@@ -1,0 +1,827 @@
+package graft.format
+
+import java.nio.{ByteBuffer, ByteOrder}
+import org.roaringbitmap.RoaringBitmap
+
+/** Codec ids for the strawboat-like paged columnar format.
+  *
+  * Structurally mirrors the reference codec numbering
+  * (reference: src/compression/mod.rs:36-108): 0-3 are byte-level
+  * "common" codecs, 10+ are data-aware encodings chosen adaptively
+  * per page (BtrBlocks-style). The implementations here are
+  * original Scala, designed for the JVM codecs shipped with Spark
+  * (lz4-java, zstd-jni, snappy-java, RoaringBitmap).
+  */
+object Codec {
+  val Plain = 0
+  val Lz4 = 1
+  val Zstd = 2
+  val Snappy = 3
+  val Rle = 10
+  val Dict = 11
+  val OneValue = 12
+  val Freq = 13
+  val BitPack = 14 // frame-of-reference + bit packing
+  val DeltaBitPack = 15 // sorted columns: first value + bit-packed deltas
+  val Patas = 16 // float XOR-chain, byte-aligned (DuckDB "patas" family)
+
+  def name(id: Int): String = id match {
+    case 0 => "plain"; case 1 => "lz4"; case 2 => "zstd"; case 3 => "snappy"
+    case 10 => "rle"; case 11 => "dict"; case 12 => "one_value"
+    case 13 => "freq"; case 14 => "bitpack"; case 15 => "delta_bitpack"
+    case 16 => "patas"; case x => s"unknown($x)"
+  }
+}
+
+/** Per-writer options (reference: WriteOptions, src/write/common.rs:37-45).
+  * @param ratio a data-aware codec is chosen only if its estimated
+  *              compression ratio beats this threshold, else `base`.
+  * @param forced force one codec for tests (replaces the reference's
+  *               STRAWBOAT_*_COMPRESSION env vars with a writer option).
+  */
+final case class WriteOptions(
+    base: Int = Codec.Lz4,
+    adaptive: Boolean = true,
+    ratio: Double = 2.0,
+    maxPageSize: Int = 8192,
+    targetFileBytes: Long = 128L << 20,
+    forced: Option[Int] = None,
+    zstdLevel: Int = 3)
+
+/** Growable little-endian byte buffer (write side). */
+final class ByteBuf(initial: Int = 1 << 14) {
+  var buf: Array[Byte] = new Array[Byte](initial)
+  var len: Int = 0
+  def ensure(n: Int): Unit = {
+    if (len + n > buf.length) {
+      var cap = buf.length
+      while (cap < len + n) cap = cap << 1
+      buf = java.util.Arrays.copyOf(buf, cap)
+    }
+  }
+  def putByte(v: Int): Unit = { ensure(1); buf(len) = v.toByte; len += 1 }
+  def putInt(v: Int): Unit = {
+    ensure(4)
+    buf(len) = v.toByte; buf(len + 1) = (v >>> 8).toByte
+    buf(len + 2) = (v >>> 16).toByte; buf(len + 3) = (v >>> 24).toByte
+    len += 4
+  }
+  def putLong(v: Long): Unit = {
+    ensure(8)
+    var i = 0
+    while (i < 8) { buf(len + i) = (v >>> (8 * i)).toByte; i += 1 }
+    len += 8
+  }
+  def putBytes(src: Array[Byte], off: Int, n: Int): Unit = {
+    ensure(n); System.arraycopy(src, off, buf, len, n); len += n
+  }
+  def putBytes(src: Array[Byte]): Unit = putBytes(src, 0, src.length)
+  /** Patch a previously written little-endian int. */
+  def patchInt(at: Int, v: Int): Unit = {
+    buf(at) = v.toByte; buf(at + 1) = (v >>> 8).toByte
+    buf(at + 2) = (v >>> 16).toByte; buf(at + 3) = (v >>> 24).toByte
+  }
+  def toArray: Array[Byte] = java.util.Arrays.copyOf(buf, len)
+  def clear(): Unit = len = 0
+}
+
+object ByteIO {
+  def reader(bytes: Array[Byte], off: Int, n: Int): ByteBuffer =
+    ByteBuffer.wrap(bytes, off, n).order(ByteOrder.LITTLE_ENDIAN)
+  def reader(bytes: Array[Byte]): ByteBuffer = reader(bytes, 0, bytes.length)
+}
+
+/** Byte-level ("common") compression wrappers. Block layout mirrors the
+  * reference's 9-byte header `codec u8 | compressed u32 | uncompressed u32`
+  * (reference: src/compression/integer/mod.rs:49-63).
+  */
+object CommonCompression {
+  private val lz4 = net.jpountz.lz4.LZ4Factory.fastestInstance()
+
+  def compress(codec: Int, src: Array[Byte], off: Int, n: Int, zstdLevel: Int): Array[Byte] =
+    codec match {
+      case Codec.Plain => java.util.Arrays.copyOfRange(src, off, off + n)
+      case Codec.Lz4 =>
+        val c = lz4.fastCompressor()
+        val out = new Array[Byte](c.maxCompressedLength(n))
+        val clen = c.compress(src, off, n, out, 0, out.length)
+        java.util.Arrays.copyOf(out, clen)
+      case Codec.Zstd =>
+        com.github.luben.zstd.Zstd.compress(
+          java.util.Arrays.copyOfRange(src, off, off + n), zstdLevel)
+      case Codec.Snappy =>
+        val out = new Array[Byte](org.xerial.snappy.Snappy.maxCompressedLength(n))
+        val clen = org.xerial.snappy.Snappy.compress(src, off, n, out, 0)
+        java.util.Arrays.copyOf(out, clen)
+      case other => throw new IllegalArgumentException(s"not a common codec: $other")
+    }
+
+  def decompress(codec: Int, src: Array[Byte], off: Int, clen: Int, rawLen: Int): Array[Byte] =
+    codec match {
+      case Codec.Plain => java.util.Arrays.copyOfRange(src, off, off + clen)
+      case Codec.Lz4 =>
+        val out = new Array[Byte](rawLen)
+        lz4.fastDecompressor().decompress(src, off, out, 0, rawLen)
+        out
+      case Codec.Zstd =>
+        val out = new Array[Byte](rawLen)
+        com.github.luben.zstd.Zstd.decompressByteArray(out, 0, rawLen, src, off, clen)
+        out
+      case Codec.Snappy =>
+        val out = new Array[Byte](rawLen)
+        org.xerial.snappy.Snappy.uncompress(src, off, clen, out, 0)
+        out
+      case other => throw new IllegalArgumentException(s"not a common codec: $other")
+    }
+
+  /** Write one block: pick `base` unless it doesn't help or input is tiny. */
+  def writeBytesBlock(src: Array[Byte], off: Int, n: Int, opts: WriteOptions, out: ByteBuf): Unit = {
+    if (n < 128) {
+      out.putByte(Codec.Plain); out.putInt(n); out.putInt(n)
+      out.putBytes(src, off, n)
+    } else {
+      val comp = compress(opts.base, src, off, n, opts.zstdLevel)
+      if (comp.length >= n) {
+        out.putByte(Codec.Plain); out.putInt(n); out.putInt(n)
+        out.putBytes(src, off, n)
+      } else {
+        out.putByte(opts.base); out.putInt(comp.length); out.putInt(n)
+        out.putBytes(comp)
+      }
+    }
+  }
+
+  /** Read one block written by [[writeBytesBlock]]. */
+  def readBytesBlock(in: ByteBuffer): Array[Byte] = {
+    val codec = in.get() & 0xff
+    val clen = in.getInt()
+    val rawLen = in.getInt()
+    val arr = in.array()
+    val pos = in.arrayOffset() + in.position()
+    val out = decompress(codec, arr, pos, clen, rawLen)
+    in.position(in.position() + clen)
+    out
+  }
+}
+
+/** Bit packing of n values at a fixed bit width (1..64). */
+object BitPacking {
+  def packedSize(n: Int, bits: Int): Int = ((n.toLong * bits + 7) / 8).toInt
+
+  def pack(values: Array[Long], n: Int, bits: Int, out: ByteBuf): Unit = {
+    val nBytes = packedSize(n, bits)
+    out.ensure(nBytes)
+    val buf = out.buf
+    val base = out.len
+    java.util.Arrays.fill(buf, base, base + nBytes, 0.toByte)
+    var bitPos = 0L
+    var i = 0
+    while (i < n) {
+      val v = values(i)
+      var b = 0
+      while (b < bits) {
+        if (((v >>> b) & 1L) != 0L) {
+          val p = bitPos + b
+          buf(base + (p >>> 3).toInt) = (buf(base + (p >>> 3).toInt) | (1 << (p & 7))).toByte
+        }
+        b += 1
+      }
+      bitPos += bits
+      i += 1
+    }
+    out.len += nBytes
+  }
+
+  def unpack(src: Array[Byte], off: Int, n: Int, bits: Int, dst: Array[Long], dstOff: Int): Unit = {
+    var bitPos = 0L
+    var i = 0
+    while (i < n) {
+      var v = 0L
+      var b = 0
+      while (b < bits) {
+        val p = bitPos + b
+        if ((src(off + (p >>> 3).toInt) & (1 << (p & 7))) != 0) v |= (1L << b)
+        b += 1
+      }
+      dst(dstOff + i) = v
+      bitPos += bits
+      i += 1
+    }
+  }
+
+  def bitsNeeded(maxValue: Long): Int =
+    if (maxValue <= 0) 1 else 64 - java.lang.Long.numberOfLeadingZeros(maxValue)
+}
+
+/** Per-page statistics driving the adaptive chooser
+  * (reference: gen_stats, src/compression/integer/mod.rs:164-229).
+  * Distinct counting is capped: beyond [[IntStats.DistinctCap]] the page is
+  * treated as high-cardinality and dict/freq/one-value are skipped.
+  */
+final class IntStats(values: Array[Long], n: Int) {
+  import IntStats.DistinctCap
+  var min: Long = Long.MaxValue
+  var max: Long = Long.MinValue
+  var runCount: Int = if (n == 0) 0 else 1
+  var sorted: Boolean = true
+  var maxDelta: Long = 0L
+  private val counts = new java.util.HashMap[java.lang.Long, Array[Int]]()
+  var highCardinality: Boolean = false
+  locally {
+    var i = 0
+    while (i < n) {
+      val v = values(i)
+      if (v < min) min = v
+      if (v > max) max = v
+      if (i > 0) {
+        val prev = values(i - 1)
+        if (v != prev) runCount += 1
+        if (v < prev) sorted = false
+        else if (sorted && v - prev > maxDelta) maxDelta = v - prev
+      }
+      if (!highCardinality) {
+        val c = counts.get(v)
+        if (c != null) c(0) += 1
+        else if (counts.size() < DistinctCap) counts.put(v, Array(1))
+        else highCardinality = true
+      }
+      i += 1
+    }
+  }
+  def distinct: Int = counts.size()
+  lazy val (topValue: Long, topCount: Int) = {
+    if (highCardinality || counts.isEmpty) (0L, 0)
+    else {
+      var bv = 0L; var bc = 0
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue()(0) > bc) { bc = e.getValue()(0); bv = e.getKey() }
+      }
+      (bv, bc)
+    }
+  }
+  def distinctValues: Array[Long] = {
+    val out = new Array[Long](counts.size())
+    val it = counts.keySet().iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(out)
+    out
+  }
+}
+object IntStats { val DistinctCap = 65536 }
+
+/** Integer-family page codec: encode/decode n values widened to Long at a
+  * natural byte width (1,2,4,8). Floats/doubles reuse this on their raw
+  * bits (bit-equality semantics match the reference's OrderedFloat use),
+  * with [[Codec.Patas]] as the float-specific candidate.
+  */
+object IntCodec {
+  /** Bitmask helpers for forbidding recursive codecs
+    * (reference: forbidden_compressions, src/compression/integer/dict.rs:60-62). */
+  final val ForbidDict = 1 << 0
+  final val ForbidFreq = 1 << 1
+
+  private def rawBytes(values: Array[Long], n: Int, width: Int): Array[Byte] = {
+    val out = new Array[Byte](n * width)
+    var i = 0
+    width match {
+      case 1 => while (i < n) { out(i) = values(i).toByte; i += 1 }
+      case 2 =>
+        while (i < n) {
+          val v = values(i)
+          out(2 * i) = v.toByte; out(2 * i + 1) = (v >>> 8).toByte; i += 1
+        }
+      case 4 =>
+        while (i < n) {
+          val v = values(i); val o = 4 * i
+          out(o) = v.toByte; out(o + 1) = (v >>> 8).toByte
+          out(o + 2) = (v >>> 16).toByte; out(o + 3) = (v >>> 24).toByte
+          i += 1
+        }
+      case 8 =>
+        while (i < n) {
+          val v = values(i); val o = 8 * i
+          var j = 0
+          while (j < 8) { out(o + j) = (v >>> (8 * j)).toByte; j += 1 }
+          i += 1
+        }
+    }
+    out
+  }
+
+  private def fromRawBytes(bytes: Array[Byte], n: Int, width: Int, signed: Boolean): Array[Long] = {
+    val out = new Array[Long](n)
+    var i = 0
+    width match {
+      case 1 => while (i < n) { out(i) = bytes(i).toLong; i += 1 }
+      case 2 =>
+        while (i < n) {
+          out(i) = ((bytes(2 * i) & 0xffL) | (bytes(2 * i + 1).toLong << 8)).toShort.toLong
+          i += 1
+        }
+      case 4 =>
+        while (i < n) {
+          val o = 4 * i
+          out(i) = ((bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+            ((bytes(o + 2) & 0xffL) << 16) | (bytes(o + 3).toLong << 24)).toInt.toLong
+          i += 1
+        }
+      case 8 =>
+        while (i < n) {
+          val o = 8 * i
+          var v = 0L
+          var j = 0
+          while (j < 8) { v |= (bytes(o + j) & 0xffL) << (8 * j); j += 1 }
+          out(i) = v
+          i += 1
+        }
+    }
+    out
+  }
+
+  // ---- encoders (payload only; header written by encode()) ----
+
+  private def encodeRle(values: Array[Long], n: Int, width: Int, out: ByteBuf): Unit = {
+    var i = 0
+    while (i < n) {
+      val v = values(i)
+      var j = i + 1
+      while (j < n && values(j) == v) j += 1
+      out.putInt(j - i)
+      putWidth(out, v, width)
+      i = j
+    }
+  }
+
+  private def putWidth(out: ByteBuf, v: Long, width: Int): Unit = width match {
+    case 1 => out.putByte(v.toInt)
+    case 2 => out.putByte(v.toInt); out.putByte((v >>> 8).toInt)
+    case 4 => out.putInt(v.toInt)
+    case 8 => out.putLong(v)
+  }
+
+  private def getWidth(in: ByteBuffer, width: Int): Long = width match {
+    case 1 => in.get().toLong
+    case 2 => in.getShort().toLong
+    case 4 => in.getInt().toLong
+    case 8 => in.getLong()
+  }
+
+  private def encodeBitPack(values: Array[Long], n: Int, min: Long, max: Long, out: ByteBuf): Unit = {
+    val bits = BitPacking.bitsNeeded(max - min)
+    out.putLong(min)
+    out.putByte(bits)
+    val shifted = new Array[Long](n)
+    var i = 0
+    while (i < n) { shifted(i) = values(i) - min; i += 1 }
+    BitPacking.pack(shifted, n, bits, out)
+  }
+
+  private def encodeDeltaBp(values: Array[Long], n: Int, maxDelta: Long, out: ByteBuf): Unit = {
+    out.putLong(if (n > 0) values(0) else 0L)
+    val bits = BitPacking.bitsNeeded(maxDelta)
+    out.putByte(bits)
+    if (n > 1) {
+      val deltas = new Array[Long](n - 1)
+      var i = 1
+      while (i < n) { deltas(i - 1) = values(i) - values(i - 1); i += 1 }
+      BitPacking.pack(deltas, n - 1, bits, out)
+    }
+  }
+
+  /** Byte-aligned XOR-chain float codec (patas/chimp family, original
+    * byte-granularity variant). Control byte 0 = same as previous;
+    * else bits 3-6 = significant byte count (1..8), bits 0-2 = trailing
+    * zero byte count. */
+  private def encodePatas(values: Array[Long], n: Int, out: ByteBuf): Unit = {
+    var prev = 0L
+    var i = 0
+    while (i < n) {
+      val v = values(i)
+      val x = v ^ prev
+      if (x == 0L) out.putByte(0)
+      else {
+        val tz = java.lang.Long.numberOfTrailingZeros(x) >>> 3 // trailing zero bytes
+        val lz = java.lang.Long.numberOfLeadingZeros(x) >>> 3
+        val sig = 8 - tz - lz
+        out.putByte((sig << 3) | tz)
+        var s = x >>> (tz * 8)
+        var j = 0
+        while (j < sig) { out.putByte((s & 0xff).toInt); s >>>= 8; j += 1 }
+      }
+      prev = v
+      i += 1
+    }
+  }
+
+  private def decodePatas(in: ByteBuffer, n: Int): Array[Long] = {
+    val out = new Array[Long](n)
+    var prev = 0L
+    var i = 0
+    while (i < n) {
+      val ctrl = in.get() & 0xff
+      if (ctrl == 0) out(i) = prev
+      else {
+        val sig = (ctrl >>> 3) & 0xf
+        val tz = ctrl & 7
+        var x = 0L
+        var j = 0
+        while (j < sig) { x |= (in.get() & 0xffL) << (8 * j); j += 1 }
+        out(i) = prev ^ (x << (tz * 8))
+      }
+      prev = out(i)
+      i += 1
+    }
+    out
+  }
+
+  private def encodeDict(values: Array[Long], n: Int, width: Int, stats: IntStats,
+      opts: WriteOptions, out: ByteBuf): Unit = {
+    val dictVals = stats.distinctValues
+    val index = new java.util.HashMap[java.lang.Long, Integer](dictVals.length * 2)
+    var i = 0
+    while (i < dictVals.length) { index.put(dictVals(i), i); i += 1 }
+    out.putInt(dictVals.length)
+    i = 0
+    while (i < dictVals.length) { putWidth(out, dictVals(i), width); i += 1 }
+    val indices = new Array[Long](n)
+    i = 0
+    while (i < n) { indices(i) = index.get(values(i)).toLong; i += 1 }
+    // indices as a nested block; chooser forbidden from re-entering Dict
+    encode(indices, n, 4, opts, ForbidDict | ForbidFreq, out)
+  }
+
+  private def encodeFreq(values: Array[Long], n: Int, width: Int, stats: IntStats,
+      opts: WriteOptions, out: ByteBuf): Unit = {
+    val top = stats.topValue
+    putWidth(out, top, width)
+    val bitmap = new RoaringBitmap()
+    var excCount = 0
+    var i = 0
+    while (i < n) {
+      if (values(i) != top) { bitmap.add(i); excCount += 1 }
+      i += 1
+    }
+    bitmap.runOptimize()
+    val bmSize = bitmap.serializedSizeInBytes()
+    out.putInt(bmSize)
+    val bb = ByteBuffer.allocate(bmSize).order(ByteOrder.LITTLE_ENDIAN)
+    bitmap.serialize(bb)
+    out.putBytes(bb.array(), 0, bmSize)
+    out.putInt(excCount)
+    if (excCount > 0) {
+      val exceptions = new Array[Long](excCount)
+      var k = 0
+      i = 0
+      while (i < n) {
+        if (values(i) != top) { exceptions(k) = values(i); k += 1 }
+        i += 1
+      }
+      encode(exceptions, excCount, width, opts, ForbidDict | ForbidFreq, out)
+    }
+  }
+
+  // ---- chooser ----
+
+  /** Estimated payload sizes per candidate; exact where cheap.
+    * (reference: compress_ratio estimators, src/compression/integer/*.rs) */
+  private def choose(values: Array[Long], n: Int, width: Int, stats: IntStats,
+      opts: WriteOptions, forbidden: Int, floatBits: Boolean): Int = {
+    val rawSize = n.toLong * width
+    if (!opts.adaptive) return opts.base
+    if (!stats.highCardinality && stats.distinct == 1 && n > 1) return Codec.OneValue
+    var best = -1
+    var bestSize = Long.MaxValue
+    def consider(codec: Int, size: Long): Unit =
+      if (size < bestSize) { best = codec; bestSize = size }
+    // RLE: exact
+    consider(Codec.Rle, stats.runCount.toLong * (4 + width))
+    // BitPack (FOR): exact; guard subtraction overflow
+    if (stats.max >= stats.min && (stats.max - stats.min) >= 0) {
+      val bits = BitPacking.bitsNeeded(stats.max - stats.min)
+      if (bits < width * 8) consider(Codec.BitPack, 9L + BitPacking.packedSize(n, bits))
+    }
+    // DeltaBitPack: sorted only; exact
+    if (stats.sorted && n > 1 && stats.maxDelta >= 0) {
+      val bits = BitPacking.bitsNeeded(stats.maxDelta)
+      consider(Codec.DeltaBitPack, 9L + BitPacking.packedSize(n - 1, bits))
+    }
+    if (!stats.highCardinality) {
+      // Dict: estimate (indices assumed bit-packed)
+      if ((forbidden & ForbidDict) == 0 && stats.distinct > 1 && stats.distinct <= n / 2) {
+        val idxBits = BitPacking.bitsNeeded(stats.distinct - 1)
+        consider(Codec.Dict,
+          4L + stats.distinct.toLong * width + 9L + 9L + BitPacking.packedSize(n, idxBits))
+      }
+      // Freq: top value must dominate (reference guard: >=90%, max>=256)
+      if ((forbidden & ForbidFreq) == 0 && stats.topCount.toLong * 10 >= n.toLong * 9 && n >= 64) {
+        val exc = n - stats.topCount
+        consider(Codec.Freq, width.toLong + 8 + 2L * exc + 9L + exc.toLong * width)
+      }
+    }
+    // Patas: floats only; deterministic sampled trial
+    if (floatBits && n >= 64) {
+      val sampleN = math.min(n, 1024)
+      val stride = math.max(1, n / sampleN)
+      val sample = new Array[Long](sampleN)
+      var i = 0
+      var j = 0
+      while (i < sampleN && j < n) { sample(i) = values(j); i += 1; j += stride }
+      val tmp = new ByteBuf(sampleN * 9)
+      encodePatas(sample, i, tmp)
+      val est = tmp.len.toLong * n / math.max(1, i)
+      consider(Codec.Patas, est)
+    }
+    if (best >= 0 && rawSize.toDouble / bestSize >= opts.ratio) best else opts.base
+  }
+
+  /** Encode one block (9-byte header + payload) to `out`. Returns codec id. */
+  def encode(values: Array[Long], n: Int, width: Int, opts: WriteOptions,
+      forbidden: Int, out: ByteBuf, floatBits: Boolean = false): Int = {
+    val headerAt = out.len
+    out.putByte(0); out.putInt(0); out.putInt(0) // patched below
+    val payloadStart = out.len
+    val rawLen = n * width
+    val codec = opts.forced match {
+      case Some(c) => c
+      case None =>
+        val stats = new IntStats(values, n)
+        choose(values, n, width, stats, opts, forbidden, floatBits)
+    }
+    val effective: Int = codec match {
+      case Codec.OneValue =>
+        putWidth(out, if (n > 0) values(0) else 0L, width); Codec.OneValue
+      case Codec.Rle =>
+        encodeRle(values, n, width, out); Codec.Rle
+      case Codec.BitPack =>
+        var min = Long.MaxValue; var max = Long.MinValue
+        var i = 0
+        while (i < n) { val v = values(i); if (v < min) min = v; if (v > max) max = v; i += 1 }
+        if (n == 0) { min = 0L; max = 0L }
+        encodeBitPack(values, n, min, max, out); Codec.BitPack
+      case Codec.DeltaBitPack =>
+        var maxDelta = 0L; var sorted = true
+        var i = 1
+        while (i < n) {
+          val d = values(i) - values(i - 1)
+          if (d < 0) sorted = false else if (d > maxDelta) maxDelta = d
+          i += 1
+        }
+        if (!sorted) { // forced-mode misuse: fall back to raw
+          out.len = payloadStart
+          val raw = rawBytes(values, n, width)
+          out.putBytes(raw)
+          Codec.Plain
+        } else { encodeDeltaBp(values, n, maxDelta, out); Codec.DeltaBitPack }
+      case Codec.Dict =>
+        val stats = new IntStats(values, n)
+        if (stats.highCardinality) { out.putBytes(rawBytes(values, n, width)); Codec.Plain }
+        else { encodeDict(values, n, width, stats, opts, out); Codec.Dict }
+      case Codec.Freq =>
+        val stats = new IntStats(values, n)
+        if (stats.highCardinality) { out.putBytes(rawBytes(values, n, width)); Codec.Plain }
+        else { encodeFreq(values, n, width, stats, opts, out); Codec.Freq }
+      case Codec.Patas =>
+        encodePatas(values, n, out); Codec.Patas
+      case common =>
+        val raw = rawBytes(values, n, width)
+        val comp = CommonCompression.compress(
+          if (common == Codec.Plain) Codec.Plain else common, raw, 0, raw.length, opts.zstdLevel)
+        if (comp.length >= raw.length && common != Codec.Plain) {
+          out.putBytes(raw); Codec.Plain
+        } else { out.putBytes(comp); common }
+    }
+    val payloadLen = out.len - payloadStart
+    out.buf(headerAt) = effective.toByte
+    out.patchInt(headerAt + 1, payloadLen)
+    out.patchInt(headerAt + 5, rawLen)
+    effective
+  }
+
+  /** Decode one block into widened Longs. `signed` controls sign extension
+    * of narrow raw values (true for all Spark integer types). */
+  def decode(in: ByteBuffer, n: Int, width: Int): Array[Long] = {
+    val codec = in.get() & 0xff
+    val clen = in.getInt()
+    val rawLen = in.getInt()
+    val endPos = in.position() + clen
+    val result: Array[Long] = codec match {
+      case Codec.OneValue =>
+        val v = getWidth(in, width)
+        val out = new Array[Long](n)
+        java.util.Arrays.fill(out, v)
+        out
+      case Codec.Rle =>
+        val out = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          val count = in.getInt()
+          val v = getWidth(in, width)
+          var j = 0
+          while (j < count) { out(i + j) = v; j += 1 }
+          i += count
+        }
+        out
+      case Codec.BitPack =>
+        val min = in.getLong()
+        val bits = in.get() & 0xff
+        val out = new Array[Long](n)
+        val arr = in.array()
+        val pos = in.arrayOffset() + in.position()
+        BitPacking.unpack(arr, pos, n, bits, out, 0)
+        var i = 0
+        while (i < n) { out(i) += min; i += 1 }
+        out
+      case Codec.DeltaBitPack =>
+        val first = in.getLong()
+        val bits = in.get() & 0xff
+        val out = new Array[Long](n)
+        if (n > 0) {
+          out(0) = first
+          if (n > 1) {
+            val deltas = new Array[Long](n - 1)
+            val arr = in.array()
+            val pos = in.arrayOffset() + in.position()
+            BitPacking.unpack(arr, pos, n - 1, bits, deltas, 0)
+            var i = 1
+            while (i < n) { out(i) = out(i - 1) + deltas(i - 1); i += 1 }
+          }
+        }
+        out
+      case Codec.Dict =>
+        val dictSize = in.getInt()
+        val dict = new Array[Long](dictSize)
+        var i = 0
+        while (i < dictSize) { dict(i) = getWidth(in, width); i += 1 }
+        val indices = decode(in, n, 4)
+        val out = new Array[Long](n)
+        i = 0
+        while (i < n) { out(i) = dict(indices(i).toInt); i += 1 }
+        out
+      case Codec.Freq =>
+        val top = getWidth(in, width)
+        val bmSize = in.getInt()
+        val bmBuf = ByteBuffer.wrap(in.array(), in.arrayOffset() + in.position(), bmSize)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        val bitmap = new RoaringBitmap()
+        bitmap.deserialize(bmBuf)
+        in.position(in.position() + bmSize)
+        val excCount = in.getInt()
+        val out = new Array[Long](n)
+        java.util.Arrays.fill(out, top)
+        if (excCount > 0) {
+          val exceptions = decode(in, excCount, width)
+          val it = bitmap.getIntIterator
+          var k = 0
+          while (it.hasNext && k < excCount) { out(it.next()) = exceptions(k); k += 1 }
+        }
+        out
+      case Codec.Patas =>
+        decodePatas(in, n)
+      case common =>
+        val arr = in.array()
+        val pos = in.arrayOffset() + in.position()
+        val raw = CommonCompression.decompress(common, arr, pos, clen, rawLen)
+        fromRawBytes(raw, n, width, signed = true)
+    }
+    in.position(endPos)
+    result
+  }
+}
+
+/** Binary/string page codec: a lengths block (via [[IntCodec]]) followed by
+  * a values block (one-value / dict-interned / common-compressed).
+  * (reference surface: src/compression/binary/\*.rs) */
+object BinaryCodec {
+  private val ValuesPlain = 0
+  private val ValuesOneValue = 1
+  private val ValuesDict = 2
+
+  /** offsets: n+1 cumulative zero-based byte offsets into bytes. */
+  def encode(offsets: Array[Int], bytes: Array[Byte], n: Int,
+      opts: WriteOptions, out: ByteBuf): Unit = {
+    val lengths = new Array[Long](n)
+    var i = 0
+    while (i < n) { lengths(i) = (offsets(i + 1) - offsets(i)).toLong; i += 1 }
+    IntCodec.encode(lengths, n, 4, opts, 0, out)
+    val total = offsets(n)
+    // values-mode byte + payload
+    val interner = new java.util.HashMap[ByteKey, Integer]()
+    var highCard = false
+    i = 0
+    while (i < n && !highCard) {
+      val k = new ByteKey(bytes, offsets(i), offsets(i + 1) - offsets(i))
+      if (!interner.containsKey(k)) {
+        if (interner.size() >= 65536) highCard = true
+        else interner.put(k, interner.size())
+      }
+      i += 1
+    }
+    val distinct = interner.size()
+    if (!highCard && distinct == 1 && n > 1) {
+      out.putByte(ValuesOneValue)
+      out.putInt(offsets(1) - offsets(0))
+      out.putBytes(bytes, offsets(0), offsets(1) - offsets(0))
+    } else if (!highCard && opts.adaptive && distinct.toLong * 8 <= n.toLong && distinct > 0) {
+      // dict pays off when values repeat heavily
+      out.putByte(ValuesDict)
+      out.putInt(distinct)
+      val dictOffsets = new Array[Int](distinct)
+      val dictLens = new Array[Int](distinct)
+      val it = interner.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        dictOffsets(e.getValue) = e.getKey.off
+        dictLens(e.getValue) = e.getKey.len
+      }
+      val dictBuf = new ByteBuf(1024)
+      i = 0
+      while (i < distinct) {
+        dictBuf.putInt(dictLens(i))
+        dictBuf.putBytes(bytes, dictOffsets(i), dictLens(i))
+        i += 1
+      }
+      CommonCompression.writeBytesBlock(dictBuf.buf, 0, dictBuf.len, opts, out)
+      val indices = new Array[Long](n)
+      i = 0
+      while (i < n) {
+        indices(i) = interner.get(new ByteKey(bytes, offsets(i), offsets(i + 1) - offsets(i))).toLong
+        i += 1
+      }
+      IntCodec.encode(indices, n, 4, opts, IntCodec.ForbidDict, out)
+    } else {
+      out.putByte(ValuesPlain)
+      CommonCompression.writeBytesBlock(bytes, 0, total, opts, out)
+    }
+  }
+
+  /** @return (offsets of n+1 entries, value bytes) */
+  def decode(in: ByteBuffer, n: Int): (Array[Int], Array[Byte]) = {
+    val lengths = IntCodec.decode(in, n, 4)
+    val offsets = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { offsets(i + 1) = offsets(i) + lengths(i).toInt; i += 1 }
+    val mode = in.get() & 0xff
+    mode match {
+      case ValuesOneValue =>
+        val len = in.getInt()
+        val one = new Array[Byte](len)
+        in.get(one)
+        val out = new Array[Byte](offsets(n))
+        i = 0
+        while (i < n) {
+          if (offsets(i + 1) - offsets(i) == len) System.arraycopy(one, 0, out, offsets(i), len)
+          i += 1
+        }
+        (offsets, out)
+      case ValuesDict =>
+        val distinct = in.getInt()
+        val dictBytes = CommonCompression.readBytesBlock(in)
+        val db = ByteIO.reader(dictBytes)
+        val dOff = new Array[Int](distinct)
+        val dLen = new Array[Int](distinct)
+        i = 0
+        while (i < distinct) {
+          dLen(i) = db.getInt()
+          dOff(i) = db.position()
+          db.position(db.position() + dLen(i))
+          i += 1
+        }
+        val indices = IntCodec.decode(in, n, 4)
+        val out = new Array[Byte](offsets(n))
+        i = 0
+        while (i < n) {
+          val d = indices(i).toInt
+          System.arraycopy(dictBytes, dOff(d), out, offsets(i), dLen(d))
+          i += 1
+        }
+        (offsets, out)
+      case _ =>
+        val bytes = CommonCompression.readBytesBlock(in)
+        (offsets, bytes)
+    }
+  }
+}
+
+/** Hash key over a byte range (for the dict interner). */
+final class ByteKey(val bytes: Array[Byte], val off: Int, val len: Int) {
+  override def hashCode(): Int = {
+    var h = 1
+    var i = off
+    while (i < off + len) { h = 31 * h + bytes(i); i += 1 }
+    h
+  }
+  override def equals(o: Any): Boolean = o match {
+    case k: ByteKey =>
+      if (k.len != len) false
+      else {
+        var i = 0
+        var eq = true
+        while (eq && i < len) { eq = bytes(off + i) == k.bytes(k.off + i); i += 1 }
+        eq
+      }
+    case _ => false
+  }
+}

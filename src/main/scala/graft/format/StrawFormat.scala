@@ -1,0 +1,516 @@
+package graft.format
+
+import java.nio.ByteBuffer
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.SpecializedGetters
+import org.apache.spark.sql.catalyst.util.{ArrayData, MapData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import scala.collection.mutable.ArrayBuffer
+
+/** On-disk layout of a `.strb` file (original design; structurally follows
+  * the reference's file shape — magic, contiguous per-column pages, trailing
+  * self-describing footer; reference: src/write/writer.rs:91-167,
+  * src/read/reader.rs:168-241):
+  *
+  * {{{
+  * magic "GRAFT1\0\0"                          (8 bytes)
+  * column 0 pages | column 1 pages | ...       (each page self-contained)
+  * schemaBytes (Spark StructType JSON, UTF-8)
+  * metaBytes   (see MetaIO)
+  * schemaLen u32 | metaLen u32 | "GRAFTEND"    (16-byte tail)
+  * }}}
+  *
+  * Unlike the reference footer (length + num_values per page only,
+  * src/lib.rs:75-80) every page carries optional zone-map stats
+  * (order-preserving min/max longs) enabling predicate page skipping —
+  * the SURVEY §7.4 "v2 footer" extension, built in from the start.
+  */
+object StrawFormat {
+  val Magic: Array[Byte] = Array('G', 'R', 'A', 'F', 'T', '1', 0, 0).map(_.toByte)
+  val EofMagic: Array[Byte] = "GRAFTEND".getBytes("UTF-8")
+  val Extension = ".strb"
+
+  /** Stats kind per page: how min/max longs are to be compared. */
+  val StatsNone = 0
+  val StatsSigned = 1 // integer-family & sortable-encoded floating point
+  val StatsPrefix = 2 // unsigned big-endian 8-byte string prefix
+
+  /** Order-preserving long for doubles/floats (zone maps). -0.0 normalizes
+    * to +0.0 so SQL equality semantics survive the encoding. */
+  def sortableDouble(d: Double): Long = {
+    val v = if (d == 0.0d) 0.0d else d
+    val bits = java.lang.Double.doubleToLongBits(v)
+    if (bits >= 0) bits else -(bits & Long.MaxValue) - 1
+  }
+
+  /** Unsigned big-endian prefix long of up to the first 8 bytes. Prefix
+    * order is consistent with full lexicographic (unsigned byte) order, so
+    * both bounds are sound at prefix granularity. */
+  def prefixLong(bytes: Array[Byte], off: Int, len: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) {
+      v <<= 8
+      if (i < len) v |= (bytes(off + i) & 0xffL)
+      i += 1
+    }
+    v
+  }
+  def prefixLong(bytes: Array[Byte]): Long = prefixLong(bytes, 0, bytes.length)
+}
+
+final case class PageMeta(
+    numValues: Int,
+    compLen: Long,
+    nullCount: Int,
+    statsKind: Int,
+    min: Long,
+    max: Long)
+
+final case class ColumnMeta(offset: Long, pages: Array[PageMeta]) {
+  /** Byte offset of page `p` within the file. */
+  def pageOffset(p: Int): Long = {
+    var off = offset
+    var i = 0
+    while (i < p) { off += pages(i).compLen; i += 1 }
+    off
+  }
+}
+
+final case class StrawFooter(schema: StructType, numRows: Long, columns: Array[ColumnMeta])
+
+object MetaIO {
+  import StrawFormat._
+
+  def writeFooter(footer: StrawFooter, out: ByteBuf): Unit = {
+    val schemaBytes = footer.schema.json.getBytes("UTF-8")
+    out.putBytes(schemaBytes)
+    val metaStart = out.len
+    out.putLong(footer.numRows)
+    out.putInt(footer.columns.length)
+    footer.columns.foreach { col =>
+      out.putLong(col.offset)
+      out.putInt(col.pages.length)
+      col.pages.foreach { p =>
+        out.putInt(p.numValues)
+        out.putLong(p.compLen)
+        out.putInt(p.nullCount)
+        out.putByte(p.statsKind)
+        if (p.statsKind != StatsNone) { out.putLong(p.min); out.putLong(p.max) }
+      }
+    }
+    val metaLen = out.len - metaStart
+    out.putInt(schemaBytes.length)
+    out.putInt(metaLen)
+    out.putBytes(EofMagic)
+  }
+
+  /** Parse footer given the file tail (at least schema+meta+16 bytes) and
+    * the absolute file length. `tail` must end exactly at file end. */
+  def readFooter(tail: Array[Byte]): StrawFooter = {
+    val n = tail.length
+    require(n >= 16, "file too small for strawboat footer")
+    val magicOk = java.util.Arrays.equals(
+      java.util.Arrays.copyOfRange(tail, n - 8, n), EofMagic)
+    require(magicOk, "bad strawboat EOF magic")
+    val szBuf = ByteIO.reader(tail, n - 16, 8)
+    val schemaLen = szBuf.getInt()
+    val metaLen = szBuf.getInt()
+    require(n >= 16 + schemaLen + metaLen, "footer tail read too short")
+    val schemaOff = n - 16 - metaLen - schemaLen
+    val schema = DataType.fromJson(
+      new String(tail, schemaOff, schemaLen, "UTF-8")).asInstanceOf[StructType]
+    val in = ByteIO.reader(tail, schemaOff + schemaLen, metaLen)
+    val numRows = in.getLong()
+    val numCols = in.getInt()
+    val cols = new Array[ColumnMeta](numCols)
+    var c = 0
+    while (c < numCols) {
+      val offset = in.getLong()
+      val numPages = in.getInt()
+      val pages = new Array[PageMeta](numPages)
+      var p = 0
+      while (p < numPages) {
+        val nv = in.getInt()
+        val cl = in.getLong()
+        val nc = in.getInt()
+        val kind = in.get() & 0xff
+        val (mn, mx) = if (kind != StatsNone) (in.getLong(), in.getLong()) else (0L, 0L)
+        pages(p) = PageMeta(nv, cl, nc, kind, mn, mx)
+        p += 1
+      }
+      cols(c) = ColumnMeta(offset, pages)
+      c += 1
+    }
+    StrawFooter(schema, numRows, cols)
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Write-side column builders: buffer one page of values, encode on flush.
+// ---------------------------------------------------------------------------
+
+/** Growable validity bitmap (1 = valid), LSB-first. */
+final class ValidityBuilder {
+  private var words = new Array[Long](128)
+  var count = 0
+  var nullCount = 0
+  def append(valid: Boolean): Unit = {
+    val w = count >>> 6
+    if (w >= words.length) words = java.util.Arrays.copyOf(words, words.length * 2)
+    if (valid) words(w) |= (1L << (count & 63)) else nullCount += 1
+    count += 1
+  }
+  def isValid(i: Int): Boolean = (words(i >>> 6) & (1L << (i & 63))) != 0
+  def encode(opts: WriteOptions, out: ByteBuf): Unit = {
+    out.putInt(count)
+    out.putInt(nullCount)
+    if (nullCount > 0) {
+      val nBytes = (count + 7) / 8
+      val bytes = new Array[Byte](nBytes)
+      var i = 0
+      while (i < nBytes) {
+        bytes(i) = ((words(i >>> 3) >>> ((i & 7) * 8)) & 0xff).toByte
+        i += 1
+      }
+      CommonCompression.writeBytesBlock(bytes, 0, nBytes, opts, out)
+    }
+  }
+  def clear(): Unit = {
+    java.util.Arrays.fill(words, 0L); count = 0; nullCount = 0
+  }
+}
+
+object ValidityReader {
+  /** @return null if no nulls, else boolean validity array of length n. */
+  def read(in: ByteBuffer): (Int, Array[Boolean]) = {
+    val n = in.getInt()
+    val nullCount = in.getInt()
+    if (nullCount == 0) (n, null)
+    else {
+      val bytes = CommonCompression.readBytesBlock(in)
+      val valid = new Array[Boolean](n)
+      var i = 0
+      while (i < n) { valid(i) = (bytes(i >>> 3) & (1 << (i & 7))) != 0; i += 1 }
+      (n, valid)
+    }
+  }
+}
+
+final case class PageStats(statsKind: Int, min: Long, max: Long)
+
+/** One top-level (or nested child) column's write-side buffer.
+  * `append` pulls the value out of a row/array via SpecializedGetters. */
+sealed abstract class ColumnWriter(val opts: WriteOptions) {
+  val validity = new ValidityBuilder
+  def count: Int = validity.count
+  def append(g: SpecializedGetters, ordinal: Int): Unit
+  def appendNull(): Unit
+  /** Encode buffered values as one self-contained page and clear. */
+  def encodePage(out: ByteBuf): PageStats
+  def clearBuffers(): Unit
+  final def flushPage(out: ByteBuf): (PageStats, Int, Int) = {
+    val n = validity.count
+    val nulls = validity.nullCount
+    val stats = encodePage(out)
+    validity.clear()
+    clearBuffers()
+    (stats, n, nulls)
+  }
+  /** Rough in-memory size of buffered data (for file rolling). */
+  def bufferedBytes: Long
+}
+
+final class LongColumnWriter(
+    opts: WriteOptions,
+    width: Int,
+    get: (SpecializedGetters, Int) => Long,
+    statsKind: Int,
+    toSortable: Long => Long = identity,
+    floatBits: Boolean = false)
+  extends ColumnWriter(opts) {
+  private var values = new Array[Long](1024)
+  private var n = 0
+  private var lastValid = 0L
+  private var min = Long.MaxValue
+  private var max = Long.MinValue
+  private def grow(): Unit =
+    if (n >= values.length) values = java.util.Arrays.copyOf(values, values.length * 2)
+  def append(g: SpecializedGetters, ordinal: Int): Unit = {
+    val v = get(g, ordinal)
+    grow(); values(n) = v; n += 1
+    lastValid = v
+    if (statsKind != StrawFormat.StatsNone) {
+      val s = toSortable(v)
+      if (s < min) min = s
+      if (s > max) max = s
+    }
+    validity.append(true)
+  }
+  def appendNull(): Unit = {
+    // null slots repeat the previous valid value: compresses well, never read
+    grow(); values(n) = lastValid; n += 1
+    validity.append(false)
+  }
+  def encodePage(out: ByteBuf): PageStats = {
+    validity.encode(opts, out)
+    IntCodec.encode(values, n, width, opts, 0, out, floatBits)
+    if (min > max) PageStats(StrawFormat.StatsNone, 0, 0)
+    else PageStats(statsKind, min, max)
+  }
+  def clearBuffers(): Unit = { n = 0; lastValid = 0L; min = Long.MaxValue; max = Long.MinValue }
+  def bufferedBytes: Long = n.toLong * width
+}
+
+final class BinaryColumnWriter(opts: WriteOptions, isString: Boolean)
+  extends ColumnWriter(opts) {
+  private val bytes = new ByteBuf(1 << 16)
+  private var offsets = new Array[Int](1025)
+  private var n = 0
+  private var minP = -1L
+  private var maxP = 0L
+  private var hasStats = false
+  private def grow(): Unit =
+    if (n + 1 >= offsets.length) offsets = java.util.Arrays.copyOf(offsets, offsets.length * 2)
+  private def appendBytes(b: Array[Byte]): Unit = {
+    grow()
+    bytes.putBytes(b)
+    offsets(n + 1) = offsets(n) + b.length
+    n += 1
+    if (isString) {
+      val p = StrawFormat.prefixLong(b)
+      if (!hasStats) { minP = p; maxP = p; hasStats = true }
+      else {
+        if (java.lang.Long.compareUnsigned(p, minP) < 0) minP = p
+        if (java.lang.Long.compareUnsigned(p, maxP) > 0) maxP = p
+      }
+    }
+    validity.append(true)
+  }
+  def append(g: SpecializedGetters, ordinal: Int): Unit =
+    appendBytes(
+      if (isString) g.getUTF8String(ordinal).getBytes else g.getBinary(ordinal))
+  def appendNull(): Unit = {
+    grow(); offsets(n + 1) = offsets(n); n += 1
+    validity.append(false)
+  }
+  def encodePage(out: ByteBuf): PageStats = {
+    validity.encode(opts, out)
+    BinaryCodec.encode(offsets, bytes.buf, n, opts, out)
+    if (hasStats) PageStats(StrawFormat.StatsPrefix, minP, maxP)
+    else PageStats(StrawFormat.StatsNone, 0, 0)
+  }
+  def clearBuffers(): Unit = {
+    bytes.clear(); n = 0; offsets(0) = 0; hasStats = false; minP = -1L; maxP = 0L
+  }
+  def bufferedBytes: Long = bytes.len.toLong + 4L * n
+}
+
+final class ArrayColumnWriter(opts: WriteOptions, elem: ColumnWriter, elemType: DataType,
+    containsNull: Boolean) extends ColumnWriter(opts) {
+  private var lengths = new Array[Long](1024)
+  private var n = 0
+  private def grow(): Unit =
+    if (n >= lengths.length) lengths = java.util.Arrays.copyOf(lengths, lengths.length * 2)
+  def append(g: SpecializedGetters, ordinal: Int): Unit = {
+    val arr = g.getArray(ordinal)
+    val m = arr.numElements()
+    grow(); lengths(n) = m.toLong; n += 1
+    var i = 0
+    while (i < m) {
+      if (containsNull && arr.isNullAt(i)) elem.appendNull()
+      else elem.append(arr, i)
+      i += 1
+    }
+    validity.append(true)
+  }
+  def appendNull(): Unit = {
+    grow(); lengths(n) = 0L; n += 1
+    validity.append(false)
+  }
+  def encodePage(out: ByteBuf): PageStats = {
+    validity.encode(opts, out)
+    IntCodec.encode(lengths, n, 4, opts, 0, out)
+    elem.flushPage(out)
+    PageStats(StrawFormat.StatsNone, 0, 0)
+  }
+  def clearBuffers(): Unit = n = 0
+  def bufferedBytes: Long = 4L * n + elem.bufferedBytes
+}
+
+final class MapColumnWriter(opts: WriteOptions, key: ColumnWriter, value: ColumnWriter,
+    valueContainsNull: Boolean) extends ColumnWriter(opts) {
+  private var lengths = new Array[Long](1024)
+  private var n = 0
+  private def grow(): Unit =
+    if (n >= lengths.length) lengths = java.util.Arrays.copyOf(lengths, lengths.length * 2)
+  def append(g: SpecializedGetters, ordinal: Int): Unit = {
+    val map: MapData = g.getMap(ordinal)
+    val m = map.numElements()
+    grow(); lengths(n) = m.toLong; n += 1
+    val ks: ArrayData = map.keyArray()
+    val vs: ArrayData = map.valueArray()
+    var i = 0
+    while (i < m) {
+      key.append(ks, i)
+      if (valueContainsNull && vs.isNullAt(i)) value.appendNull() else value.append(vs, i)
+      i += 1
+    }
+    validity.append(true)
+  }
+  def appendNull(): Unit = {
+    grow(); lengths(n) = 0L; n += 1
+    validity.append(false)
+  }
+  def encodePage(out: ByteBuf): PageStats = {
+    validity.encode(opts, out)
+    IntCodec.encode(lengths, n, 4, opts, 0, out)
+    key.flushPage(out)
+    value.flushPage(out)
+    PageStats(StrawFormat.StatsNone, 0, 0)
+  }
+  def clearBuffers(): Unit = n = 0
+  def bufferedBytes: Long = 4L * n + key.bufferedBytes + value.bufferedBytes
+}
+
+final class StructColumnWriter(opts: WriteOptions, fields: Array[ColumnWriter],
+    fieldTypes: Array[StructField]) extends ColumnWriter(opts) {
+  def append(g: SpecializedGetters, ordinal: Int): Unit = {
+    val st = g.getStruct(ordinal, fields.length)
+    var i = 0
+    while (i < fields.length) {
+      if (st.isNullAt(i)) fields(i).appendNull() else fields(i).append(st, i)
+      i += 1
+    }
+    validity.append(true)
+  }
+  def appendNull(): Unit = {
+    var i = 0
+    while (i < fields.length) { fields(i).appendNull(); i += 1 }
+    validity.append(false)
+  }
+  def encodePage(out: ByteBuf): PageStats = {
+    validity.encode(opts, out)
+    var i = 0
+    while (i < fields.length) { fields(i).flushPage(out); i += 1 }
+    PageStats(StrawFormat.StatsNone, 0, 0)
+  }
+  def clearBuffers(): Unit = ()
+  def bufferedBytes: Long = fields.map(_.bufferedBytes).sum
+}
+
+/** All-null / NullType column: validity only. */
+final class NullColumnWriter(opts: WriteOptions) extends ColumnWriter(opts) {
+  def append(g: SpecializedGetters, ordinal: Int): Unit = validity.append(true)
+  def appendNull(): Unit = validity.append(false)
+  def encodePage(out: ByteBuf): PageStats = {
+    validity.encode(opts, out)
+    PageStats(StrawFormat.StatsNone, 0, 0)
+  }
+  def clearBuffers(): Unit = ()
+  def bufferedBytes: Long = count.toLong / 8
+}
+
+object ColumnWriter {
+  import StrawFormat._
+  def apply(dt: DataType, opts: WriteOptions): ColumnWriter = dt match {
+    case BooleanType =>
+      new LongColumnWriter(opts, 1, (g, i) => if (g.getBoolean(i)) 1L else 0L, StatsSigned)
+    case ByteType => new LongColumnWriter(opts, 1, (g, i) => g.getByte(i).toLong, StatsSigned)
+    case ShortType => new LongColumnWriter(opts, 2, (g, i) => g.getShort(i).toLong, StatsSigned)
+    case IntegerType | DateType =>
+      new LongColumnWriter(opts, 4, (g, i) => g.getInt(i).toLong, StatsSigned)
+    case LongType | TimestampType | TimestampNTZType =>
+      new LongColumnWriter(opts, 8, (g, i) => g.getLong(i), StatsSigned)
+    case FloatType =>
+      new LongColumnWriter(opts, 4,
+        (g, i) => java.lang.Float.floatToIntBits(g.getFloat(i)).toLong & 0xffffffffL,
+        StatsSigned,
+        bits => sortableDouble(java.lang.Float.intBitsToFloat(bits.toInt).toDouble),
+        floatBits = true)
+    case DoubleType =>
+      new LongColumnWriter(opts, 8,
+        (g, i) => java.lang.Double.doubleToLongBits(g.getDouble(i)),
+        StatsSigned,
+        bits => sortableDouble(java.lang.Double.longBitsToDouble(bits)),
+        floatBits = true)
+    case d: DecimalType if d.precision <= 18 =>
+      new LongColumnWriter(opts, 8,
+        (g, i) => g.getDecimal(i, d.precision, d.scale).toUnscaledLong, StatsSigned)
+    case StringType => new BinaryColumnWriter(opts, isString = true)
+    case BinaryType => new BinaryColumnWriter(opts, isString = false)
+    case ArrayType(et, containsNull) =>
+      new ArrayColumnWriter(opts, apply(et, opts), et, containsNull)
+    case MapType(kt, vt, vcn) =>
+      new MapColumnWriter(opts, apply(kt, opts), apply(vt, opts), vcn)
+    case StructType(fields) =>
+      new StructColumnWriter(opts, fields.map(f => apply(f.dataType, opts)), fields)
+    case NullType => new NullColumnWriter(opts)
+    case other =>
+      throw new UnsupportedOperationException(
+        s"strawboat: unsupported write type $other (Decimal>18 lands later)")
+  }
+}
+
+/** Encodes a stream of InternalRows into one `.strb` file image. Pages are
+  * encoded incrementally (bounded memory per page); the encoded column
+  * buffers are held until `finish` so columns land contiguously — same
+  * memory shape as a Parquet row-group writer. */
+final class StrawFileWriter(schema: StructType, opts: WriteOptions) {
+  private val writers: Array[ColumnWriter] =
+    schema.fields.map(f => ColumnWriter(f.dataType, opts))
+  private val colBufs: Array[ByteBuf] = schema.fields.map(_ => new ByteBuf(1 << 16))
+  private val pageMetas: Array[ArrayBuffer[PageMeta]] =
+    schema.fields.map(_ => new ArrayBuffer[PageMeta])
+  private var rowsInPage = 0
+  private var totalRows = 0L
+
+  def write(row: InternalRow): Unit = {
+    var c = 0
+    while (c < writers.length) {
+      if (row.isNullAt(c)) writers(c).appendNull()
+      else writers(c).append(row, c)
+      c += 1
+    }
+    rowsInPage += 1
+    totalRows += 1
+    if (rowsInPage >= opts.maxPageSize) flushPages()
+  }
+
+  private def flushPages(): Unit = {
+    if (rowsInPage > 0) {
+      var c = 0
+      while (c < writers.length) {
+        val before = colBufs(c).len
+        val (stats, n, nulls) = writers(c).flushPage(colBufs(c))
+        pageMetas(c) += PageMeta(n, (colBufs(c).len - before).toLong, nulls,
+          stats.statsKind, stats.min, stats.max)
+        c += 1
+      }
+      rowsInPage = 0
+    }
+  }
+
+  def estimatedBytes: Long =
+    colBufs.map(_.len.toLong).sum + writers.map(_.bufferedBytes).sum
+
+  def numRows: Long = totalRows
+
+  /** Assemble the complete file image. */
+  def finish(): Array[Byte] = {
+    flushPages()
+    val out = new ByteBuf(1 << 20)
+    out.putBytes(StrawFormat.Magic)
+    val metas = new Array[ColumnMeta](writers.length)
+    var c = 0
+    while (c < writers.length) {
+      val off = out.len.toLong
+      out.putBytes(colBufs(c).buf, 0, colBufs(c).len)
+      metas(c) = ColumnMeta(off, pageMetas(c).toArray)
+      c += 1
+    }
+    MetaIO.writeFooter(StrawFooter(schema, totalRows, metas), out)
+    out.toArray
+  }
+}
