@@ -53,9 +53,13 @@ final class ByteBuf(initial: Int = 1 << 14) {
   var buf: Array[Byte] = new Array[Byte](initial)
   var len: Int = 0
   def ensure(n: Int): Unit = {
-    if (len + n > buf.length) {
-      var cap = buf.length
-      while (cap < len + n) cap = cap << 1
+    val need = len.toLong + n
+    if (need > buf.length) {
+      // overflow-safe growth: doubling clamped to the max JVM array size
+      val maxCap = Integer.MAX_VALUE - 8L
+      if (need > maxCap)
+        throw new IllegalStateException(s"strawboat page buffer over 2 GiB ($need bytes)")
+      val cap = math.min(maxCap, math.max(need, buf.length.toLong * 2)).toInt
       buf = java.util.Arrays.copyOf(buf, cap)
     }
   }
@@ -486,7 +490,7 @@ object IntCodec {
   // ---- chooser ----
 
   /** Estimated payload sizes per candidate; exact where cheap.
-    * (reference: compress_ratio estimators, src/compression/integer/*.rs) */
+    * (reference: compress_ratio estimators, src/compression/integer/\*.rs) */
   private def choose(values: Array[Long], n: Int, width: Int, stats: IntStats,
       opts: WriteOptions, forbidden: Int, floatBits: Boolean): Int = {
     val rawSize = n.toLong * width
@@ -544,15 +548,30 @@ object IntCodec {
     out.putByte(0); out.putInt(0); out.putInt(0) // patched below
     val payloadStart = out.len
     val rawLen = n * width
+    // single stats pass shared by chooser and Dict/Freq encoders
+    var statsCache: IntStats = null
+    def stats: IntStats = {
+      if (statsCache == null) statsCache = new IntStats(values, n)
+      statsCache
+    }
     val codec = opts.forced match {
+      // a forced codec in the forbidden mask (e.g. Dict inside Dict's own
+      // index block) would recurse forever — fall back to the base codec
+      // (reference: forbidden_compressions, integer/dict.rs:60-62)
+      case Some(c) if (c == Codec.Dict && (forbidden & ForbidDict) != 0) ||
+        (c == Codec.Freq && (forbidden & ForbidFreq) != 0) => opts.base
       case Some(c) => c
-      case None =>
-        val stats = new IntStats(values, n)
-        choose(values, n, width, stats, opts, forbidden, floatBits)
+      case None => choose(values, n, width, stats, opts, forbidden, floatBits)
     }
     val effective: Int = codec match {
       case Codec.OneValue =>
-        putWidth(out, if (n > 0) values(0) else 0L, width); Codec.OneValue
+        // forced-mode safety: OneValue on a non-constant page would silently
+        // lose data — verify constancy, else fall back to raw
+        var const = true
+        var i = 1
+        while (const && i < n) { const = values(i) == values(0); i += 1 }
+        if (!const) { out.putBytes(rawBytes(values, n, width)); Codec.Plain }
+        else { putWidth(out, if (n > 0) values(0) else 0L, width); Codec.OneValue }
       case Codec.Rle =>
         encodeRle(values, n, width, out); Codec.Rle
       case Codec.BitPack =>
@@ -560,7 +579,9 @@ object IntCodec {
         var i = 0
         while (i < n) { val v = values(i); if (v < min) min = v; if (v > max) max = v; i += 1 }
         if (n == 0) { min = 0L; max = 0L }
-        encodeBitPack(values, n, min, max, out); Codec.BitPack
+        if (max - min < 0) { // range overflows Long: bit width would truncate
+          out.putBytes(rawBytes(values, n, width)); Codec.Plain
+        } else { encodeBitPack(values, n, min, max, out); Codec.BitPack }
       case Codec.DeltaBitPack =>
         var maxDelta = 0L; var sorted = true
         var i = 1
@@ -569,18 +590,16 @@ object IntCodec {
           if (d < 0) sorted = false else if (d > maxDelta) maxDelta = d
           i += 1
         }
-        if (!sorted) { // forced-mode misuse: fall back to raw
+        if (!sorted || maxDelta < 0) { // forced-mode misuse: fall back to raw
           out.len = payloadStart
           val raw = rawBytes(values, n, width)
           out.putBytes(raw)
           Codec.Plain
         } else { encodeDeltaBp(values, n, maxDelta, out); Codec.DeltaBitPack }
       case Codec.Dict =>
-        val stats = new IntStats(values, n)
         if (stats.highCardinality) { out.putBytes(rawBytes(values, n, width)); Codec.Plain }
         else { encodeDict(values, n, width, stats, opts, out); Codec.Dict }
       case Codec.Freq =>
-        val stats = new IntStats(values, n)
         if (stats.highCardinality) { out.putBytes(rawBytes(values, n, width)); Codec.Plain }
         else { encodeFreq(values, n, width, stats, opts, out); Codec.Freq }
       case Codec.Patas =>
@@ -707,9 +726,24 @@ object BinaryCodec {
     while (i < n) { lengths(i) = (offsets(i + 1) - offsets(i)).toLong; i += 1 }
     IntCodec.encode(lengths, n, 4, opts, 0, out)
     val total = offsets(n)
-    // values-mode byte + payload
+    // values-mode byte + payload. The dict interner is O(n) hashing — gate it
+    // behind the adaptive flag and a cheap sampled cardinality probe so plain
+    // high-cardinality pages don't pay for a dictionary that gets discarded.
     val interner = new java.util.HashMap[ByteKey, Integer]()
-    var highCard = false
+    var highCard = !opts.adaptive
+    if (!highCard && n > 512) {
+      val sampleN = 256
+      val probe = new java.util.HashSet[ByteKey](sampleN * 2)
+      val stride = n / sampleN
+      var s = 0
+      while (s < sampleN) {
+        val j = s * stride
+        probe.add(new ByteKey(bytes, offsets(j), offsets(j + 1) - offsets(j)))
+        s += 1
+      }
+      // mostly-unique sample ⇒ dict can't pay off; skip the full intern pass
+      if (probe.size() * 4 > sampleN * 3) highCard = true
+    }
     i = 0
     while (i < n && !highCard) {
       val k = new ByteKey(bytes, offsets(i), offsets(i + 1) - offsets(i))

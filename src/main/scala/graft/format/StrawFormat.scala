@@ -117,7 +117,9 @@ object MetaIO {
     val szBuf = ByteIO.reader(tail, n - 16, 8)
     val schemaLen = szBuf.getInt()
     val metaLen = szBuf.getInt()
-    require(n >= 16 + schemaLen + metaLen, "footer tail read too short")
+    require(schemaLen >= 0 && metaLen >= 0 &&
+      schemaLen.toLong + metaLen <= n - 16L,
+      s"corrupt strawboat footer: schemaLen=$schemaLen metaLen=$metaLen tail=$n")
     val schemaOff = n - 16 - metaLen - schemaLen
     val schema = DataType.fromJson(
       new String(tail, schemaOff, schemaLen, "UTF-8")).asInstanceOf[StructType]
@@ -475,7 +477,11 @@ final class StrawFileWriter(schema: StructType, opts: WriteOptions) {
     }
     rowsInPage += 1
     totalRows += 1
-    if (rowsInPage >= opts.maxPageSize) flushPages()
+    // flush on row count OR buffered bytes — large binary/multimodal cells
+    // must not accumulate unbounded page memory (16 MiB cap per page)
+    if (rowsInPage >= opts.maxPageSize ||
+      (rowsInPage >= 64 && (rowsInPage & 63) == 0 &&
+        writers.foldLeft(0L)(_ + _.bufferedBytes) > (16L << 20))) flushPages()
   }
 
   private def flushPages(): Unit = {
@@ -497,20 +503,33 @@ final class StrawFileWriter(schema: StructType, opts: WriteOptions) {
 
   def numRows: Long = totalRows
 
-  /** Assemble the complete file image. */
-  def finish(): Array[Byte] = {
+  /** Stream the complete file to `os` without assembling a whole-file image
+    * in memory: magic, each column's encoded pages (already compressed, held
+    * once in `colBufs`), then the footer. Peak heap ≈ 1× compressed file size
+    * (columns must land contiguously, same constraint as a Parquet row
+    * group), not the 3× of a concat-then-copy approach. */
+  def writeTo(os: java.io.OutputStream): Long = {
     flushPages()
-    val out = new ByteBuf(1 << 20)
-    out.putBytes(StrawFormat.Magic)
+    os.write(StrawFormat.Magic)
+    var fileLen = StrawFormat.Magic.length.toLong
     val metas = new Array[ColumnMeta](writers.length)
     var c = 0
     while (c < writers.length) {
-      val off = out.len.toLong
-      out.putBytes(colBufs(c).buf, 0, colBufs(c).len)
-      metas(c) = ColumnMeta(off, pageMetas(c).toArray)
+      metas(c) = ColumnMeta(fileLen, pageMetas(c).toArray)
+      os.write(colBufs(c).buf, 0, colBufs(c).len)
+      fileLen += colBufs(c).len
       c += 1
     }
-    MetaIO.writeFooter(StrawFooter(schema, totalRows, metas), out)
-    out.toArray
+    val tail = new ByteBuf(1 << 16)
+    MetaIO.writeFooter(StrawFooter(schema, totalRows, metas), tail)
+    os.write(tail.buf, 0, tail.len)
+    fileLen + tail.len
+  }
+
+  /** Assemble the complete file image in memory (tests / small files). */
+  def finish(): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(1 << 20)
+    writeTo(bos)
+    bos.toByteArray
   }
 }
