@@ -1,0 +1,317 @@
+package graft.format
+
+import java.io.Closeable
+import java.nio.ByteBuffer
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Read side of the `.strb` format: footer parsing from a random-access
+  * input, then per-column page decoding that exactly mirrors the
+  * `ColumnWriter` hierarchy (one page of a nested column is self-contained,
+  * children inline after the parent's lengths block).
+  *
+  * Structurally mirrors the reference's streaming read path
+  * (reference: src/read/reader.rs:51-146 per-column page iterator,
+  * src/read/deserialize.rs:100-234 typed + nested dispatch) but decodes a
+  * whole page into a [[DecodedPage]] — the unit handed to Spark as one
+  * ColumnarBatch slice.
+  */
+trait RandomInput extends Closeable {
+  def length: Long
+  def readFully(pos: Long, buf: Array[Byte], off: Int, len: Int): Unit
+  final def readFully(pos: Long, len: Int): Array[Byte] = {
+    val b = new Array[Byte](len)
+    readFully(pos, b, 0, len)
+    b
+  }
+}
+
+final class ByteArrayInput(bytes: Array[Byte]) extends RandomInput {
+  def length: Long = bytes.length.toLong
+  def readFully(pos: Long, buf: Array[Byte], off: Int, len: Int): Unit =
+    System.arraycopy(bytes, pos.toInt, buf, off, len)
+  def close(): Unit = ()
+}
+
+final class LocalFileInput(path: String) extends RandomInput {
+  private val ch = java.nio.channels.FileChannel.open(
+    java.nio.file.Paths.get(path), java.nio.file.StandardOpenOption.READ)
+  def length: Long = ch.size()
+  def readFully(pos: Long, buf: Array[Byte], off: Int, len: Int): Unit = {
+    var done = 0
+    while (done < len) {
+      val n = ch.read(ByteBuffer.wrap(buf, off + done, len - done), pos + done)
+      if (n < 0) throw new java.io.EOFException(s"EOF at ${pos + done} in $path")
+      done += n
+    }
+  }
+  def close(): Unit = ch.close()
+}
+
+// ---------------------------------------------------------------------------
+// Decoded page representations (one per ColumnWriter variant)
+// ---------------------------------------------------------------------------
+
+/** One decoded page of one column; `value(i)` yields the Catalyst-internal
+  * value (UTF8String / ArrayData / InternalRow / boxed primitives). */
+sealed trait DecodedPage {
+  def numValues: Int
+  def isNullAt(i: Int): Boolean
+  def value(i: Int): Any
+  final def valueOrNull(i: Int): Any = if (isNullAt(i)) null else value(i)
+}
+
+final class LongPage(val dt: DataType, val values: Array[Long],
+    val valid: Array[Boolean]) extends DecodedPage {
+  def numValues: Int = values.length
+  def isNullAt(i: Int): Boolean = valid != null && !valid(i)
+  private val conv: Long => Any = dt match {
+    case BooleanType => v => v != 0L
+    case ByteType => v => v.toByte
+    case ShortType => v => v.toShort
+    case IntegerType | DateType => v => v.toInt
+    case LongType | TimestampType | TimestampNTZType => v => v
+    // float bits are stored zero-extended; `.toInt` keeps the low 32 bits
+    // regardless of which codec decoded them (sign- vs zero-extension safe)
+    case FloatType => v => java.lang.Float.intBitsToFloat(v.toInt)
+    case DoubleType => v => java.lang.Double.longBitsToDouble(v)
+    case d: DecimalType => v => Decimal.createUnsafe(v, d.precision, d.scale)
+    case other => throw new UnsupportedOperationException(s"LongPage: $other")
+  }
+  def value(i: Int): Any = conv(values(i))
+}
+
+final class BinaryPage(val isString: Boolean, val offsets: Array[Int],
+    val bytes: Array[Byte], val valid: Array[Boolean]) extends DecodedPage {
+  def numValues: Int = offsets.length - 1
+  def isNullAt(i: Int): Boolean = valid != null && !valid(i)
+  def value(i: Int): Any =
+    if (isString) UTF8String.fromBytes(bytes, offsets(i), offsets(i + 1) - offsets(i))
+    else java.util.Arrays.copyOfRange(bytes, offsets(i), offsets(i + 1))
+}
+
+final class ArrayPage(val lengths: Array[Int], val childStart: Array[Int],
+    val child: DecodedPage, val valid: Array[Boolean]) extends DecodedPage {
+  def numValues: Int = lengths.length
+  def isNullAt(i: Int): Boolean = valid != null && !valid(i)
+  def value(i: Int): Any = {
+    val m = lengths(i)
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) { out(j) = child.valueOrNull(childStart(i) + j); j += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+final class MapPage(val lengths: Array[Int], val childStart: Array[Int],
+    val keys: DecodedPage, val vals: DecodedPage,
+    val valid: Array[Boolean]) extends DecodedPage {
+  def numValues: Int = lengths.length
+  def isNullAt(i: Int): Boolean = valid != null && !valid(i)
+  def value(i: Int): Any = {
+    val m = lengths(i)
+    val k = new Array[Any](m)
+    val v = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      k(j) = keys.value(childStart(i) + j)
+      v(j) = vals.valueOrNull(childStart(i) + j)
+      j += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(k), new GenericArrayData(v))
+  }
+}
+
+final class StructPage(val fields: Array[DecodedPage], val n: Int,
+    val valid: Array[Boolean]) extends DecodedPage {
+  def numValues: Int = n
+  def isNullAt(i: Int): Boolean = valid != null && !valid(i)
+  def value(i: Int): Any = {
+    val row = new GenericInternalRow(fields.length)
+    var f = 0
+    while (f < fields.length) { row.update(f, fields(f).valueOrNull(i)); f += 1 }
+    row
+  }
+}
+
+final class NullPage(val n: Int) extends DecodedPage {
+  def numValues: Int = n
+  def isNullAt(i: Int): Boolean = true
+  def value(i: Int): Any = null
+}
+
+object PageDecoder {
+  /** Natural storage byte width per flat type (mirrors ColumnWriter). */
+  def widthOf(dt: DataType): Int = dt match {
+    case BooleanType | ByteType => 1
+    case ShortType => 2
+    case IntegerType | DateType | FloatType => 4
+    case _ => 8
+  }
+
+  /** Decode one self-contained page of column type `dt` from `in`
+    * (positioned at the page start; consumes exactly the page bytes). */
+  def decode(dt: DataType, in: ByteBuffer): DecodedPage = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | DateType |
+         LongType | TimestampType | TimestampNTZType | FloatType | DoubleType =>
+      val (n, valid) = ValidityReader.read(in)
+      new LongPage(dt, IntCodec.decode(in, n, widthOf(dt)), valid)
+    case d: DecimalType if d.precision <= 18 =>
+      val (n, valid) = ValidityReader.read(in)
+      new LongPage(dt, IntCodec.decode(in, n, 8), valid)
+    case StringType | BinaryType =>
+      val (n, valid) = ValidityReader.read(in)
+      val (offsets, bytes) = BinaryCodec.decode(in, n)
+      new BinaryPage(dt == StringType, offsets, bytes, valid)
+    case ArrayType(et, _) =>
+      val (n, valid) = ValidityReader.read(in)
+      val (lengths, starts) = readLengths(in, n)
+      new ArrayPage(lengths, starts, decode(et, in), valid)
+    case MapType(kt, vt, _) =>
+      val (n, valid) = ValidityReader.read(in)
+      val (lengths, starts) = readLengths(in, n)
+      new MapPage(lengths, starts, decode(kt, in), decode(vt, in), valid)
+    case StructType(fs) =>
+      val (n, valid) = ValidityReader.read(in)
+      new StructPage(fs.map(f => decode(f.dataType, in)), n, valid)
+    case NullType =>
+      val (n, _) = ValidityReader.read(in)
+      new NullPage(n)
+    case other =>
+      throw new UnsupportedOperationException(s"strawboat: unsupported read type $other")
+  }
+
+  private def readLengths(in: ByteBuffer, n: Int): (Array[Int], Array[Int]) = {
+    val raw = IntCodec.decode(in, n, 4)
+    val lengths = new Array[Int](n)
+    val starts = new Array[Int](n)
+    var acc = 0
+    var i = 0
+    while (i < n) {
+      lengths(i) = raw(i).toInt
+      starts(i) = acc
+      acc += lengths(i)
+      i += 1
+    }
+    (lengths, starts)
+  }
+}
+
+// ---------------------------------------------------------------------------
+// File-level reader
+// ---------------------------------------------------------------------------
+
+object StrawFileReader {
+  /** Read the footer with at most two positioned reads (tail-size probe then
+    * exact tail; reference pre-reads a 64 KiB tail for the same reason,
+    * src/read/reader.rs:33,184-213). */
+  def readFooter(in: RandomInput): StrawFooter = {
+    val flen = in.length
+    require(flen >= StrawFormat.Magic.length + 16, s"file too small: $flen bytes")
+    val probeLen = math.min(flen, 64L << 10).toInt
+    val probe = in.readFully(flen - probeLen, probeLen)
+    val sz = ByteIO.reader(probe, probeLen - 16, 8)
+    val schemaLen = sz.getInt()
+    val metaLen = sz.getInt()
+    require(schemaLen >= 0 && metaLen >= 0 &&
+      16L + schemaLen + metaLen <= flen,
+      s"corrupt strawboat footer: schemaLen=$schemaLen metaLen=$metaLen len=$flen")
+    val need = 16 + schemaLen + metaLen
+    val tail = if (need <= probeLen)
+      java.util.Arrays.copyOfRange(probe, probeLen - need, probeLen)
+    else in.readFully(flen - need, need)
+    MetaIO.readFooter(tail)
+  }
+
+  /** Iterate rows of one file with top-level column projection and optional
+    * page-group filter (zone-map skipping) / row limit.
+    *
+    * `projection` holds indices into `footer.schema`; the produced rows have
+    * exactly those columns in that order. `keepPage(p)` decides whether page
+    * group `p` can contain matching rows (pages are row-aligned across
+    * columns — the writer flushes all columns together).
+    */
+  def rows(
+      input: RandomInput,
+      footer: StrawFooter,
+      projection: Array[Int],
+      keepPage: Int => Boolean = _ => true,
+      limit: Long = Long.MaxValue): Iterator[InternalRow] = {
+    val numPages =
+      if (footer.columns.isEmpty) 0 else footer.columns(0).pages.length
+    val pageRows: Array[Int] =
+      if (footer.columns.isEmpty) Array.empty
+      else footer.columns(0).pages.map(_.numValues)
+    val fieldTypes = projection.map(i => footer.schema.fields(i).dataType)
+    // absolute byte offset of each page, precomputed per projected column
+    // (ColumnMeta.pageOffset is O(p) — avoid O(p^2) over the scan)
+    val pageOffsets: Array[Array[Long]] = projection.map { ci =>
+      val cm = footer.columns(ci)
+      val offs = new Array[Long](cm.pages.length)
+      var acc = cm.offset
+      var p = 0
+      while (p < cm.pages.length) { offs(p) = acc; acc += cm.pages(p).compLen; p += 1 }
+      offs
+    }
+
+    new Iterator[InternalRow] {
+      private var pageIdx = 0
+      private var rowInPage = 0
+      private var emitted = 0L
+      private var pages: Array[DecodedPage] = null
+      private var pageN = 0
+
+      private def loadNextPage(): Boolean = {
+        while (pageIdx < numPages) {
+          val p = pageIdx
+          pageIdx += 1
+          if (keepPage(p)) {
+            // count(*)-style scans project zero columns; rows still must flow
+            if (projection.isEmpty) {
+              pageN = pageRows(p)
+              rowInPage = 0
+              if (pageN > 0) return true
+            } else {
+              pages = new Array[DecodedPage](projection.length)
+              var c = 0
+              while (c < projection.length) {
+                val colMeta = footer.columns(projection(c))
+                val pm = colMeta.pages(p)
+                val bytes = input.readFully(pageOffsets(c)(p), pm.compLen.toInt)
+                pages(c) = PageDecoder.decode(fieldTypes(c), ByteIO.reader(bytes))
+                c += 1
+              }
+              pageN = if (pages.isEmpty) pageRows(p) else pages(0).numValues
+              rowInPage = 0
+              if (pageN > 0) return true
+            }
+          }
+        }
+        false
+      }
+
+      def hasNext: Boolean =
+        emitted < limit && (rowInPage < pageN || loadNextPage())
+
+      def next(): InternalRow = {
+        if (!hasNext) throw new NoSuchElementException
+        val i = rowInPage
+        rowInPage += 1
+        emitted += 1
+        if (projection.isEmpty) InternalRow.empty
+        else {
+          val row = new GenericInternalRow(projection.length)
+          var c = 0
+          while (c < projection.length) {
+            row.update(c, pages(c).valueOrNull(i))
+            c += 1
+          }
+          row
+        }
+      }
+    }
+  }
+}
