@@ -1,0 +1,159 @@
+package graft.spark
+
+import org.apache.spark.sql.connector.read.PartitionReader
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+
+import graft.format._
+
+/** Vectorized read support: one ColumnarBatch per page group, decoded pages
+  * bulk-filled into OnHeapColumnVectors so everything above the scan stays
+  * inside whole-stage codegen. Nested types fall back to the row reader. */
+object ColumnarSupport {
+
+  def isFlat(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | DateType |
+         LongType | TimestampType | TimestampNTZType | FloatType | DoubleType |
+         StringType | BinaryType => true
+    case d: DecimalType => d.precision <= 18
+    case _ => false
+  }
+
+  private def fill(v: OnHeapColumnVector, dt: DataType, page: DecodedPage): Unit = {
+    val n = page.numValues
+    page match {
+      case lp: LongPage =>
+        val vals = lp.values
+        val valid = lp.valid
+        dt match {
+          case BooleanType =>
+            var i = 0
+            while (i < n) {
+              if (valid != null && !valid(i)) v.putNull(i)
+              else v.putBoolean(i, vals(i) != 0L)
+              i += 1
+            }
+          case ByteType =>
+            var i = 0
+            while (i < n) {
+              if (valid != null && !valid(i)) v.putNull(i) else v.putByte(i, vals(i).toByte)
+              i += 1
+            }
+          case ShortType =>
+            var i = 0
+            while (i < n) {
+              if (valid != null && !valid(i)) v.putNull(i) else v.putShort(i, vals(i).toShort)
+              i += 1
+            }
+          case IntegerType | DateType =>
+            var i = 0
+            while (i < n) {
+              if (valid != null && !valid(i)) v.putNull(i) else v.putInt(i, vals(i).toInt)
+              i += 1
+            }
+          case LongType | TimestampType | TimestampNTZType =>
+            var i = 0
+            while (i < n) {
+              if (valid != null && !valid(i)) v.putNull(i) else v.putLong(i, vals(i))
+              i += 1
+            }
+          case FloatType =>
+            var i = 0
+            while (i < n) {
+              if (valid != null && !valid(i)) v.putNull(i)
+              // low 32 bits regardless of codec sign/zero extension
+              else v.putFloat(i, java.lang.Float.intBitsToFloat(vals(i).toInt))
+              i += 1
+            }
+          case DoubleType =>
+            var i = 0
+            while (i < n) {
+              if (valid != null && !valid(i)) v.putNull(i)
+              else v.putDouble(i, java.lang.Double.longBitsToDouble(vals(i)))
+              i += 1
+            }
+          case d: DecimalType => // precision <= 18: long-backed vector
+            var i = 0
+            while (i < n) {
+              if (valid != null && !valid(i)) v.putNull(i) else v.putLong(i, vals(i))
+              i += 1
+            }
+          case other => throw new UnsupportedOperationException(s"columnar fill: $other")
+        }
+      case bp: BinaryPage =>
+        val valid = bp.valid
+        var i = 0
+        while (i < n) {
+          if (valid != null && !valid(i)) v.putNull(i)
+          else v.putByteArray(i, bp.bytes, bp.offsets(i), bp.offsets(i + 1) - bp.offsets(i))
+          i += 1
+        }
+      case _: NullPage =>
+        v.putNulls(0, n)
+      case other =>
+        throw new UnsupportedOperationException(s"columnar fill: ${other.getClass}")
+    }
+  }
+
+  final class StrawColumnarReader(
+      part: StrawInputPartition,
+      requiredSchema: StructType)
+    extends PartitionReader[ColumnarBatch] {
+
+    private val input = StrawIO.open(part.path)
+    private val footer = StrawFileReader.readFooter(input)
+    // per-file name resolution (files in a dir may have evolved schemas)
+    private val resolved: Array[Int] =
+      StrawSchemaResolver.resolve(part.path, footer.schema, requiredSchema)
+    private val pageRows: Array[Int] =
+      if (footer.columns.isEmpty) Array.empty else footer.columns(0).pages.map(_.numValues)
+    private val pageOffsets: Array[Array[Long]] = resolved.map { ci =>
+      if (ci < 0) null
+      else {
+        val cm = footer.columns(ci)
+        val offs = new Array[Long](cm.pages.length)
+        var acc = cm.offset
+        var p = 0
+        while (p < cm.pages.length) { offs(p) = acc; acc += cm.pages(p).compLen; p += 1 }
+        offs
+      }
+    }
+    private var pageIdx = part.pageStart
+    private var emitted = 0L
+    private var batch: ColumnarBatch = _
+
+    override def next(): Boolean = {
+      if (batch != null) { batch.close(); batch = null }
+      if (pageIdx >= part.pageEnd || emitted >= part.limit) return false
+      val p = pageIdx
+      pageIdx += 1
+      val n = math.min(pageRows(p).toLong, part.limit - emitted).toInt
+      if (n <= 0) return next()
+      val vectors = OnHeapColumnVector.allocateColumns(pageRows(p), requiredSchema)
+      var c = 0
+      while (c < resolved.length) {
+        if (resolved(c) < 0) vectors(c).putNulls(0, pageRows(p))
+        else {
+          val cm = footer.columns(resolved(c))
+          val pm = cm.pages(p)
+          val bytes = input.readFully(pageOffsets(c)(p), pm.compLen.toInt)
+          val page = PageDecoder.decode(footer.schema.fields(resolved(c)).dataType,
+            ByteIO.reader(bytes))
+          fill(vectors(c), requiredSchema.fields(c).dataType, page)
+        }
+        c += 1
+      }
+      emitted += n
+      batch = new ColumnarBatch(vectors.map(_.asInstanceOf[ColumnVector]), n)
+      true
+    }
+
+    override def get(): ColumnarBatch = batch
+
+    override def close(): Unit = {
+      if (batch != null) { batch.close(); batch = null }
+      input.close()
+    }
+  }
+}

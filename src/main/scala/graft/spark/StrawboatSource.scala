@@ -1,0 +1,368 @@
+package graft.spark
+
+import java.util.{OptionalLong, UUID}
+import scala.collection.JavaConverters._
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.format._
+
+/** DataSource V2 connector for the `.strb` paged columnar format — the
+  * Spark-native equivalent of the reference's read/write surface
+  * (reference: src/read/reader.rs, src/write/writer.rs), registered under
+  * short name `strawboat`.
+  *
+  * Scale design: footers are read once on the driver at planning time, which
+  * lets us (a) prune pages with zone maps before any task is scheduled,
+  * (b) split large files into page-aligned input partitions, and (c) report
+  * statistics so Catalyst can choose broadcast joins.
+  */
+class StrawboatDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "strawboat"
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null, "strawboat: 'path' option required")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val dir = pathOf(options)
+    val files = StrawIO.listFiles(dir)
+    require(files.nonEmpty, s"strawboat: no ${StrawFormat.Extension} files under $dir")
+    StrawIO.withInput(files.head) { in => StrawFileReader.readFooter(in).schema }
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new StrawboatTable(properties.get("path"), schema)
+}
+
+/** IO helpers over Hadoop FileSystem (works for local paths and any
+  * configured distributed FS on the executor classpath). */
+object StrawIO {
+  def conf = new Configuration()
+
+  def fs(path: String): FileSystem = new Path(path).getFileSystem(conf)
+
+  /** All data files under `dir` (or `dir` itself if a file), path-sorted. */
+  def listFiles(dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val f = fs(dir)
+    if (!f.exists(p)) Seq.empty
+    else if (f.getFileStatus(p).isFile) Seq(dir)
+    else f.listStatus(p).filter(_.isFile)
+      .map(_.getPath.toString)
+      .filter(_.endsWith(StrawFormat.Extension))
+      .sorted.toSeq
+  }
+
+  def withInput[T](path: String)(body: RandomInput => T): T = {
+    val in = open(path)
+    try body(in) finally in.close()
+  }
+
+  def open(path: String): RandomInput = {
+    val p = new Path(path)
+    val f = fs(path)
+    val status = f.getFileStatus(p)
+    val stream = f.open(p)
+    new RandomInput {
+      def length: Long = status.getLen
+      def readFully(pos: Long, buf: Array[Byte], off: Int, len: Int): Unit =
+        stream.readFully(pos, buf, off, len)
+      def close(): Unit = stream.close()
+    }
+  }
+}
+
+class StrawboatTable(path: String, val schemaArg: StructType)
+  extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"strawboat:$path"
+  override def schema(): StructType = schemaArg
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new StrawScanBuilder(path, schemaArg)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new StrawWriteBuilder(path, info.schema())
+}
+
+// ---------------------------------------------------------------------------
+// Read path
+// ---------------------------------------------------------------------------
+
+class StrawScanBuilder(path: String, fullSchema: StructType)
+  extends ScanBuilder
+  with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters
+  with SupportsPushDownLimit {
+
+  private var requiredSchema: StructType = fullSchema
+  private var pushedFiltersArr: Array[Filter] = Array.empty
+  private var limit: Long = Long.MaxValue
+
+  override def pruneColumns(required: StructType): Unit = requiredSchema = required
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // zone maps are page-granular: we use filters to SKIP pages but cannot
+    // guarantee row-level evaluation, so every filter is also returned for
+    // Spark to re-evaluate above the scan.
+    pushedFiltersArr = filters.filter(ZoneMapFilter.supported(fullSchema, _))
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushedFiltersArr
+
+  override def pushLimit(l: Int): Boolean = { limit = l; false }
+
+  override def build(): Scan =
+    new StrawScan(path, fullSchema, requiredSchema, pushedFiltersArr, limit)
+}
+
+/** One unit of work: a page-aligned slice [pageStart, pageEnd) of one file. */
+case class StrawInputPartition(
+    path: String,
+    pageStart: Int,
+    pageEnd: Int,
+    limit: Long) extends InputPartition
+
+class StrawScan(
+    path: String,
+    fullSchema: StructType,
+    requiredSchema: StructType,
+    filters: Array[Filter],
+    limit: Long)
+  extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = requiredSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"strawboat $path skipFilters=[${filters.mkString(", ")}] limit=" +
+      (if (limit == Long.MaxValue) "none" else limit.toString)
+
+  /** Driver-side plan: read each file's footer, drop zone-map-excluded
+    * pages, slice surviving page runs into ~32 MiB partitions. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val targetBytes = 32L << 20
+    val parts = ArrayBuffer.empty[InputPartition]
+    var rowsPlanned = 0L
+    for (file <- StrawIO.listFiles(path) if rowsPlanned < limit) {
+      val footer = StrawIO.withInput(file)(StrawFileReader.readFooter)
+      if (footer.columns.nonEmpty) {
+        val keep = ZoneMapFilter.keptPages(footer, filters)
+        val pages = footer.columns(0).pages
+        val pageBytes: Int => Long =
+          p => footer.columns.foldLeft(0L)((a, c) => a + c.pages(p).compLen)
+        var p = 0
+        while (p < pages.length && rowsPlanned < limit) {
+          if (!keep(p)) p += 1
+          else {
+            // extend a contiguous kept run until the byte target is reached
+            var end = p
+            var bytes = 0L
+            while (end < pages.length && keep(end) && bytes < targetBytes &&
+              rowsPlanned < limit) {
+              bytes += pageBytes(end)
+              rowsPlanned += pages(end).numValues
+              end += 1
+            }
+            parts += StrawInputPartition(file, p, end, limit)
+            p = end
+          }
+        }
+      } else if (footer.numRows > 0) {
+        parts += StrawInputPartition(file, 0, 0, limit) // zero-column table
+      }
+    }
+    parts.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new StrawPartitionReaderFactory(fullSchema, requiredSchema)
+
+  override def estimateStatistics(): Statistics = {
+    var rows = 0L
+    var bytes = 0L
+    for (file <- StrawIO.listFiles(path)) {
+      val footer = StrawIO.withInput(file) { in => bytes += in.length; StrawFileReader.readFooter(in) }
+      rows += footer.numRows
+    }
+    val r = rows; val b = math.max(bytes, 1L)
+    new Statistics {
+      override def sizeInBytes(): OptionalLong = OptionalLong.of(b)
+      override def numRows(): OptionalLong = OptionalLong.of(r)
+    }
+  }
+}
+
+class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: StructType)
+  extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[StrawInputPartition]
+    val input = StrawIO.open(p.path)
+    val footer = StrawFileReader.readFooter(input)
+    // resolve required fields against THIS file's schema by name (files in a
+    // dir may differ, e.g. after an evolving append); missing fields → null
+    val resolved = StrawSchemaResolver.resolve(p.path, footer.schema, requiredSchema)
+    val present = resolved.filter(_ >= 0)
+    val it = StrawFileReader.rows(input, footer, present,
+      keepPage = pg => pg >= p.pageStart && pg < p.pageEnd, limit = p.limit)
+    new PartitionReader[InternalRow] {
+      private var row: InternalRow = _
+      private val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(resolved.length)
+      override def next(): Boolean = {
+        val h = it.hasNext
+        if (h) {
+          val r = it.next()
+          var c = 0
+          var pi = 0
+          while (c < resolved.length) {
+            if (resolved(c) < 0) out.update(c, null)
+            else { out.update(c, if (r.isNullAt(pi)) null else r.get(pi, requiredSchema.fields(c).dataType)); pi += 1 }
+            c += 1
+          }
+          row = out
+        }
+        h
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = input.close()
+    }
+  }
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    requiredSchema.fields.forall(f => ColumnarSupport.isFlat(f.dataType))
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[StrawInputPartition]
+    new ColumnarSupport.StrawColumnarReader(p, requiredSchema)
+  }
+}
+
+/** Per-file schema resolution by name: required field → index in the file's
+  * footer schema, or -1 when the file predates the field (read as null).
+  * Type mismatches fail loudly with the offending file in the message. */
+object StrawSchemaResolver {
+  def resolve(path: String, fileSchema: StructType, required: StructType): Array[Int] =
+    required.fields.map { f =>
+      fileSchema.fields.indexWhere(_.name == f.name) match {
+        case -1 => -1
+        case i =>
+          require(fileSchema.fields(i).dataType == f.dataType,
+            s"strawboat: column '${f.name}' is ${fileSchema.fields(i).dataType} in $path " +
+              s"but ${f.dataType} in the table schema")
+          i
+      }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Write path
+// ---------------------------------------------------------------------------
+
+class StrawWriteBuilder(path: String, schema: StructType)
+  extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new StrawBatchWrite(path, schema, doTruncate)
+  }
+}
+
+case class StrawCommitMessage(files: Seq[String]) extends WriterCommitMessage
+
+class StrawBatchWrite(path: String, schema: StructType, truncate: Boolean)
+  extends BatchWrite {
+  // captured on the driver before any task writes, so truncate-on-commit
+  // removes exactly the pre-existing generation of files
+  private val preExisting: Seq[String] = if (truncate) StrawIO.listFiles(path) else Seq.empty
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new StrawDataWriterFactory(path, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    if (truncate) {
+      val fresh = messages.flatMap { case StrawCommitMessage(fs) => fs }.toSet
+      val f = StrawIO.fs(path)
+      preExisting.filterNot(fresh).foreach(old => f.delete(new Path(old), false))
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val f = StrawIO.fs(path)
+    messages.foreach {
+      case StrawCommitMessage(fs) => fs.foreach(x => f.delete(new Path(x), false))
+      case _ =>
+    }
+  }
+}
+
+class StrawDataWriterFactory(path: String, schema: StructType)
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new StrawDataWriter(path, schema, partitionId, taskId)
+}
+
+/** Streams rows into rolling `.strb` files (one open StrawFileWriter at a
+  * time, flushed to the FS at `targetFileBytes`). Values are extracted from
+  * the incoming row eagerly, so Spark's UnsafeRow buffer reuse is safe. */
+class StrawDataWriter(dir: String, schema: StructType, partitionId: Int, taskId: Long)
+  extends DataWriter[InternalRow] {
+  private val opts = WriteOptions()
+  private val fsys = StrawIO.fs(dir)
+  locally { fsys.mkdirs(new Path(dir)) }
+  private val uuid = UUID.randomUUID().toString.take(8)
+  private var fileIdx = 0
+  private var current = new StrawFileWriter(schema, opts)
+  private var rowsSinceCheck = 0
+  private val files = ArrayBuffer.empty[String]
+
+  private def roll(): Unit = {
+    if (current.numRows > 0) {
+      val name = f"part-$partitionId%05d-$taskId-$uuid-$fileIdx%04d${StrawFormat.Extension}"
+      val p = new Path(dir, name)
+      val os = fsys.create(p, true)
+      try current.writeTo(os) finally os.close()
+      files += p.toString
+      fileIdx += 1
+    }
+    current = new StrawFileWriter(schema, opts)
+  }
+
+  override def write(row: InternalRow): Unit = {
+    current.write(row)
+    rowsSinceCheck += 1
+    if (rowsSinceCheck >= 4096) {
+      rowsSinceCheck = 0
+      if (current.estimatedBytes > opts.targetFileBytes) roll()
+    }
+  }
+
+  override def commit(): WriterCommitMessage = {
+    roll()
+    StrawCommitMessage(files.toSeq)
+  }
+
+  override def abort(): Unit = {
+    files.foreach(f => fsys.delete(new Path(f), false))
+  }
+
+  override def close(): Unit = ()
+}

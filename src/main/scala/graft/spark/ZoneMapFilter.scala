@@ -1,0 +1,154 @@
+package graft.spark
+
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+import graft.format._
+
+/** Page-skipping predicates over the per-page zone maps in the `.strb`
+  * footer (an extension the reference format lacks — its PageMeta carries
+  * only length/num_values, reference: src/lib.rs:75-80; SURVEY §7.4).
+  *
+  * Everything here is *conservative*: a page is skipped only when the zone
+  * map proves no row can match. Filters are always re-evaluated by Spark
+  * above the scan, so a false "keep" costs IO, never correctness.
+  */
+object ZoneMapFilter {
+
+  /** Encode a filter literal into the stats domain of `dt`.
+    * @return (encodedValue, expectedStatsKind), or None if not encodable. */
+  def toStatsLong(dt: DataType, v: Any): Option[(Long, Int)] = {
+    import StrawFormat._
+    if (v == null) return None
+    try dt match {
+      case BooleanType => Some(((if (v.asInstanceOf[Boolean]) 1L else 0L), StatsSigned))
+      case ByteType => Some((v.asInstanceOf[Byte].toLong, StatsSigned))
+      case ShortType => Some((v.asInstanceOf[Short].toLong, StatsSigned))
+      case IntegerType => Some((v.asInstanceOf[Int].toLong, StatsSigned))
+      case LongType => Some((v.asInstanceOf[Long], StatsSigned))
+      case DateType => v match {
+        case d: java.sql.Date => Some((d.toLocalDate.toEpochDay, StatsSigned))
+        case d: java.time.LocalDate => Some((d.toEpochDay, StatsSigned))
+        case _ => None
+      }
+      case TimestampType => v match {
+        case t: java.sql.Timestamp =>
+          Some((t.getTime * 1000L + (t.getNanos % 1000000) / 1000, StatsSigned))
+        case t: java.time.Instant =>
+          Some((t.getEpochSecond * 1000000L + t.getNano / 1000, StatsSigned))
+        case _ => None
+      }
+      case TimestampNTZType => v match {
+        case t: java.time.LocalDateTime =>
+          Some((t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000, StatsSigned))
+        case _ => None
+      }
+      case FloatType => v match {
+        case f: java.lang.Float => Some((sortableDouble(f.toDouble), StatsSigned))
+        case d: java.lang.Double => Some((sortableDouble(d), StatsSigned))
+        case _ => None
+      }
+      case DoubleType => v match {
+        case d: java.lang.Double => Some((sortableDouble(d), StatsSigned))
+        case f: java.lang.Float => Some((sortableDouble(f.toDouble), StatsSigned))
+        case _ => None
+      }
+      case d: DecimalType if d.precision <= 18 => v match {
+        case bd: java.math.BigDecimal =>
+          Some((bd.setScale(d.scale).unscaledValue().longValueExact(), StatsSigned))
+        case bd: BigDecimal =>
+          Some((bd.underlying().setScale(d.scale).unscaledValue().longValueExact(), StatsSigned))
+        case _ => None
+      }
+      case StringType => v match {
+        case s: String => Some((prefixLong(s.getBytes("UTF-8")), StatsPrefix))
+        case u: org.apache.spark.unsafe.types.UTF8String =>
+          Some((prefixLong(u.getBytes), StatsPrefix))
+        case _ => None
+      }
+      case _ => None
+    } catch { case _: ArithmeticException => None }
+  }
+
+  private def fieldIdx(schema: StructType, name: String): Option[Int] =
+    schema.fields.indexWhere(_.name == name) match {
+      case -1 => None
+      case i => Some(i)
+    }
+
+  /** Can this filter contribute to page skipping? */
+  def supported(schema: StructType, f: Filter): Boolean = f match {
+    case EqualTo(a, v) => encodable(schema, a, v)
+    case GreaterThan(a, v) => encodable(schema, a, v)
+    case GreaterThanOrEqual(a, v) => encodable(schema, a, v)
+    case LessThan(a, v) => encodable(schema, a, v)
+    case LessThanOrEqual(a, v) => encodable(schema, a, v)
+    case In(a, vs) => vs.nonEmpty && vs.forall(encodable(schema, a, _))
+    case IsNull(a) => fieldIdx(schema, a).isDefined
+    case IsNotNull(a) => fieldIdx(schema, a).isDefined
+    case And(l, r) => supported(schema, l) || supported(schema, r)
+    case Or(l, r) => supported(schema, l) && supported(schema, r)
+    case _ => false
+  }
+
+  private def encodable(schema: StructType, attr: String, v: Any): Boolean =
+    fieldIdx(schema, attr).exists(i => toStatsLong(schema.fields(i).dataType, v).isDefined)
+
+  /** Page-keep predicate for one file: true ⇔ page may contain a match. */
+  def keptPages(footer: StrawFooter, filters: Array[Filter]): Int => Boolean = {
+    val schema = footer.schema
+    if (filters.isEmpty || footer.columns.isEmpty) return _ => true
+    p => filters.forall(f => mayMatch(schema, footer, p, f))
+  }
+
+  /** Conservative page-level satisfiability of one filter. */
+  private def mayMatch(schema: StructType, footer: StrawFooter, p: Int, f: Filter): Boolean = {
+    def page(attr: String): Option[PageMeta] =
+      fieldIdx(schema, attr).map(i => footer.columns(i).pages(p))
+    def allNull(pm: PageMeta): Boolean = pm.nullCount == pm.numValues
+
+    def cmpRange(attr: String, v: Any)(
+        check: (PageMeta, Long, (Long, Long) => Int) => Boolean): Boolean = {
+      (fieldIdx(schema, attr), page(attr)) match {
+        case (Some(i), Some(pm)) =>
+          if (allNull(pm)) false // no non-null value can satisfy a comparison
+          else toStatsLong(schema.fields(i).dataType, v) match {
+            case Some((enc, kind)) if pm.statsKind == kind =>
+              val cmp: (Long, Long) => Int =
+                if (kind == StrawFormat.StatsPrefix) java.lang.Long.compareUnsigned
+                else java.lang.Long.compare
+              check(pm, enc, cmp)
+            case _ => true // stats unavailable/mismatched: keep
+          }
+        case _ => true
+      }
+    }
+
+    f match {
+      case EqualTo(a, v) =>
+        cmpRange(a, v)((pm, enc, cmp) => cmp(enc, pm.min) >= 0 && cmp(enc, pm.max) <= 0)
+      case GreaterThan(a, v) =>
+        // prefix stats blur strict bounds: treat > as >= there (conservative)
+        cmpRange(a, v)((pm, enc, cmp) =>
+          if (pm.statsKind == StrawFormat.StatsPrefix) cmp(pm.max, enc) >= 0
+          else cmp(pm.max, enc) > 0)
+      case GreaterThanOrEqual(a, v) =>
+        cmpRange(a, v)((pm, enc, cmp) => cmp(pm.max, enc) >= 0)
+      case LessThan(a, v) =>
+        cmpRange(a, v)((pm, enc, cmp) =>
+          if (pm.statsKind == StrawFormat.StatsPrefix) cmp(pm.min, enc) <= 0
+          else cmp(pm.min, enc) < 0)
+      case LessThanOrEqual(a, v) =>
+        cmpRange(a, v)((pm, enc, cmp) => cmp(pm.min, enc) <= 0)
+      case In(a, vs) => vs.exists(v => mayMatch(schema, footer, p, EqualTo(a, v)))
+      case IsNull(a) => page(a).forall(_.nullCount > 0)
+      case IsNotNull(a) => page(a).forall(pm => !allNull(pm))
+      case And(l, r) =>
+        (!supported(schema, l) || mayMatch(schema, footer, p, l)) &&
+          (!supported(schema, r) || mayMatch(schema, footer, p, r))
+      case Or(l, r) =>
+        mayMatch(schema, footer, p, l) || mayMatch(schema, footer, p, r)
+      case _ => true
+    }
+  }
+}
