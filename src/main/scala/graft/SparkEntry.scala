@@ -1,13 +1,553 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Ann, Dedup, Multimodal, TextOps}
+
+/** Driver contract: every operator surfaced as a named query over
+  * strawboat-format data (converted once from the parquet testdata by
+  * [[Tables]]), with a DuckDB-runnable oracle over the same parquet where
+  * the semantics are SQL-expressible.
+  *
+  * Conventions for oracle parity:
+  *  - every query ends in a deterministic ORDER BY (both sides);
+  *  - aggregated doubles are round()ed so accumulation-order noise can't
+  *    flip the hash compare;
+  *  - aliases match between the DataFrame and the SQL exactly.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.straw(s, dir, name)
+
+  /** events.ts is stored as exact nanos-since-epoch (long); derive a µs
+    * timestamp for calendar functions (session TZ is UTC). Integer `div`,
+    * not `/`: 2024 epoch-nanos exceed double precision. */
+  private def tsNs(): Column = expr("timestamp_micros(ts div 1000)")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_agg_groupby")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------------
+  // Queries (all read strawboat files via the DSv2 connector)
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- scans, projection, filters, limits (§2.2-2.3) -------------------
+    "q_scan_filter_project" -> ((s, d) => {
+      t(s, d, "lineitem").filter(col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          round(col("l_extendedprice"), 2).as("price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "q_scan_strings" -> ((s, d) => {
+      t(s, d, "part").filter(col("p_size").between(10, 20))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"))
+        .orderBy(col("p_partkey"))
+    }),
+    "q_point_lookup" -> ((s, d) => {
+      t(s, d, "lineitem").filter(col("l_orderkey") === 1000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_linenumber"))
+    }),
+    "q_topk_orders" -> ((s, d) => {
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("price"))
+        .orderBy(col("price").desc, col("o_orderkey")).limit(10)
+    }),
+    "q_scan_dates" -> ((s, d) => {
+      t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit(java.time.LocalDateTime.of(2000, 1, 1, 0, 0)))
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"))
+        .orderBy(col("o_orderkey"))
+    }),
+    // --- codec-trigger scans (§2.4: delta-bp sorted keys, dict/rle strings)
+    "q_codec_sorted" -> ((s, d) => {
+      t(s, d, "lineitem").agg(
+        count(lit(1)).as("cnt"), sum(col("l_orderkey")).as("s"),
+        min(col("l_orderkey")).as("mn"), max(col("l_orderkey")).as("mx"))
+    }),
+    "q_codec_lowcard" -> ((s, d) => {
+      t(s, d, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    // --- aggregations (§2.9) ---------------------------------------------
+    "q_agg_groupby" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit(java.time.LocalDateTime.of(1998, 9, 2, 0, 0)))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    "q_agg_distinct" -> ((s, d) => {
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("distinct_parts"),
+          countDistinct(col("l_suppkey")).as("distinct_supps"))
+        .orderBy(col("l_returnflag"))
+    }),
+    "q_agg_rollup" -> ((s, d) => {
+      t(s, d, "orders").rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+    "q_agg_cube" -> ((s, d) => {
+      t(s, d, "lineitem").cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+    "q_agg_minmax" -> ((s, d) => {
+      t(s, d, "lineitem").groupBy(col("l_linestatus"))
+        .agg(round(min(col("l_quantity")), 2).as("min_qty"),
+          round(max(col("l_quantity")), 2).as("max_qty"),
+          round(min(col("l_extendedprice")), 2).as("min_price"),
+          round(max(col("l_extendedprice")), 2).as("max_price"))
+        .orderBy(col("l_linestatus"))
+    }),
+    // --- joins (§2.9: broadcast, shuffle, semi, anti, outer) --------------
+    "q_join_broadcast" -> ((s, d) => {
+      t(s, d, "customer").as("c")
+        .join(broadcast(t(s, d, "nation").as("n")), col("c.c_nationkey") === col("n.n_nationkey"))
+        .join(broadcast(t(s, d, "region").as("r")), col("n.n_regionkey") === col("r.r_regionkey"))
+        .groupBy(col("r.r_name"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("c.c_acctbal")), 2).as("acctbal"))
+        .orderBy(col("r_name"))
+    }),
+    "q_join_shuffle" -> ((s, d) => {
+      t(s, d, "lineitem").as("l")
+        .join(t(s, d, "orders").as("o"), col("l.l_orderkey") === col("o.o_orderkey"))
+        .groupBy(col("o.o_orderstatus"))
+        .agg(round(sum(col("l.l_extendedprice") * (lit(1) - col("l.l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("o_orderstatus"))
+    }),
+    "q_join_semi" -> ((s, d) => {
+      t(s, d, "customer").as("c")
+        .join(t(s, d, "orders").as("o"), col("c.c_custkey") === col("o.o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+    "q_join_anti" -> ((s, d) => {
+      // customers that never placed an urgent order (non-empty anti join)
+      t(s, d, "customer").as("c")
+        .join(t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT").as("o"),
+          col("c.c_custkey") === col("o.o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+    "q_join_outer_count" -> ((s, d) => {
+      t(s, d, "customer").as("c")
+        .join(t(s, d, "orders").as("o"), col("c.c_custkey") === col("o.o_custkey"), "left_outer")
+        .groupBy(col("c.c_custkey"))
+        .agg(count(col("o.o_orderkey")).as("order_cnt"))
+        .orderBy(col("c_custkey"))
+    }),
+    "q_tpch_q3" -> ((s, d) => {
+      t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING").as("c")
+        .join(t(s, d, "orders").as("o"), col("c.c_custkey") === col("o.o_custkey"))
+        .join(t(s, d, "lineitem").as("l"), col("o.o_orderkey") === col("l.l_orderkey"))
+        .groupBy(col("o.o_orderkey"))
+        .agg(round(sum(col("l.l_extendedprice") * (lit(1) - col("l.l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
+    }),
+    "q_join_multi" -> ((s, d) => {
+      t(s, d, "customer").as("c")
+        .join(t(s, d, "orders").as("o"), col("c.c_custkey") === col("o.o_custkey"))
+        .join(t(s, d, "lineitem").as("l"), col("o.o_orderkey") === col("l.l_orderkey"))
+        .join(broadcast(t(s, d, "nation").as("n")), col("c.c_nationkey") === col("n.n_nationkey"))
+        .groupBy(col("n.n_name"))
+        .agg(round(sum(col("l.l_extendedprice") * (lit(1) - col("l.l_discount"))), 2).as("revenue"))
+        .orderBy(col("n_name"))
+    }),
+    // --- window functions (§2.9) -----------------------------------------
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_orderstatus"), col("rn"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"))
+        .orderBy(col("o_orderstatus"), col("rn"))
+    }),
+    "q_window_running" -> ((s, d) => {
+      // ts is exact nanos (long): window order matches DuckDB's ns order
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("run_sum", round(sum(col("value")).over(w), 2))
+        .select(col("event_id"), col("user_id"), col("run_sum"))
+        .orderBy(col("event_id"))
+    }),
+    "q_window_lag" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") - col("prev_price"), 2).as("price_delta"))
+        .orderBy(col("o_orderkey"))
+    }),
+    // --- sort / set ops / scalar functions (§2.9) -------------------------
+    "q_sort_limit" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 2).as("price"))
+        .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+    }),
+    "q_set_union" -> ((s, d) => {
+      t(s, d, "customer").select(col("c_nationkey").as("nk"))
+        .union(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
+        .distinct().orderBy(col("nk"))
+    }),
+    "q_set_intersect" -> ((s, d) => {
+      t(s, d, "customer").select(col("c_nationkey").as("nk"))
+        .intersect(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy(col("nk"))
+    }),
+    "q_set_except" -> ((s, d) => {
+      // negative-balance customers that have no finished order (non-empty)
+      t(s, d, "customer").filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("ck")).distinct()
+        .except(t(s, d, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("ck")))
+        .orderBy(col("ck"))
+    }),
+    "q_scalar_string" -> ((s, d) => {
+      t(s, d, "part").select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("ub"),
+        substring(col("p_type"), 1, 6).as("t6"),
+        length(col("p_name")).as("name_len"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("bt"))
+        .orderBy(col("p_partkey"))
+    }),
+    "q_scalar_math" -> ((s, d) => {
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(sqrt(col("l_extendedprice")), 4).as("sq"),
+        round(log(col("l_extendedprice") + 1), 4).as("lg"),
+        floor(col("l_quantity")).as("fq"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "q_scalar_case" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .withColumn("bucket",
+          when(col("l_quantity") < 10, "low")
+            .when(col("l_quantity") < 30, "mid").otherwise("high"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("l_extendedprice")), 2).as("total"))
+        .orderBy(col("bucket"))
+    }),
+    "q_scalar_datemath" -> ((s, d) => {
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        quarter(col("o_orderdate")).as("q"),
+        dayofmonth(col("o_orderdate")).as("dom"))
+        .orderBy(col("o_orderkey"))
+    }),
+    // --- nested/array data through the format ----------------------------
+    "q_array_ops" -> ((s, d) => {
+      t(s, d, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).as("emb_len"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("emb0"),
+        round(Ann.l2Norm(col("embedding")), 4).as("l2"),
+        col("label"))
+        .orderBy(col("vec_id"))
+    }),
+    // --- events: time-bucketed aggregation --------------------------------
+    "q_events_hourly" -> ((s, d) => {
+      t(s, d, "events").groupBy(
+        col("event_type"),
+        dayofmonth(tsNs()).as("dom"),
+        hour(tsNs()).as("h"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("total"))
+        .orderBy(col("event_type"), col("dom"), col("h"))
+    }),
+    // --- LLM-pipeline: dedup ----------------------------------------------
+    "q_dedup_exact" -> ((s, d) => {
+      Dedup.exact(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("digest"))
+    }),
+    "q_dedup_ngram" -> ((s, d) => {
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", 3, 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q_dedup_minhash" -> ((s, d) => {
+      Dedup.minHashNearDup(t(s, d, "documents"), "doc_id", "text")
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q_dedup_simhash" -> ((s, d) => {
+      Dedup.simHashCandidates(
+        Dedup.simHash(t(s, d, "documents"), "doc_id", "text"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    // --- LLM-pipeline: text analysis --------------------------------------
+    "q_text_stats" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val quality = TextOps.qualityColumns(col("text"))
+      docs.select(
+        (col("doc_id") +: TextOps.tokenCount(col("text")).as("n_tokens") +:
+          quality.map { case (n, c) => c.as(n) }): _*)
+        .orderBy(col("doc_id"))
+    }),
+    "q_lang_profile" -> ((s, d) => {
+      t(s, d, "documents").groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"), round(avg(col("n_chars")), 2).as("avg_chars"))
+        .orderBy(col("lang"))
+    }),
+    "q_langid_pred" -> ((s, d) => {
+      TextOps.langId(t(s, d, "documents"), "text")
+        .select(col("doc_id"), col("pred_lang"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_fingerprint" -> ((s, d) => {
+      TextOps.fingerprint(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+    // --- LLM-pipeline: similarity search ----------------------------------
+    "q_ann_brute" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Ann.bruteForceTopK(s, emb, emb.filter(col("vec_id") < 5), 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q_ann_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Ann.lshTopK(s, emb, emb.filter(col("vec_id") < 5), 64, 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // --- LLM-pipeline: multimodal column pattern ---------------------------
+    "q_multimodal" -> ((s, d) => {
+      // payload+metadata written through strawboat, read back, featurized
+      val mmDir = Tables.strawDir(s, d, "documents") + "_mm"
+      val marker = new java.io.File(mmDir, "_OK")
+      if (!marker.exists()) {
+        Multimodal.fromDocuments(t(s, d, "documents"))
+          .write.format("strawboat").mode("overwrite").save(mmDir)
+        marker.createNewFile()
+      }
+      Multimodal.stubFeatures(s.read.format("strawboat").load(mmDir))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles (run by the driver over the same parquet tables)
+  // ---------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, round(l_extendedprice, 2) AS price
+        |FROM lineitem WHERE l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_scan_strings" ->
+      """SELECT p_partkey, p_brand, p_type FROM part
+        |WHERE p_size BETWEEN 10 AND 20 ORDER BY p_partkey""".stripMargin,
+    "q_point_lookup" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey = 1000 ORDER BY l_linenumber""".stripMargin,
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price FROM orders
+        |ORDER BY price DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_scan_dates" ->
+      """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '2000-01-01' ORDER BY o_orderkey""".stripMargin,
+    "q_codec_sorted" ->
+      """SELECT count(*) AS cnt, sum(l_orderkey) AS s, min(l_orderkey) AS mn,
+        |max(l_orderkey) AS mx FROM lineitem""".stripMargin,
+    "q_codec_lowcard" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_agg_groupby" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  count(*) AS cnt
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts,
+        |  count(DISTINCT l_suppkey) AS distinct_supps
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_agg_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_agg_minmax" ->
+      """SELECT l_linestatus, round(min(l_quantity), 2) AS min_qty,
+        |  round(max(l_quantity), 2) AS max_qty,
+        |  round(min(l_extendedprice), 2) AS min_price,
+        |  round(max(l_extendedprice), 2) AS max_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT r_name, count(*) AS cnt, round(sum(c_acctbal), 2) AS acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_join_shuffle" ->
+      """SELECT o_orderstatus,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS cnt
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_outer_count" ->
+      """SELECT c_custkey, count(o_orderkey) AS order_cnt
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_tpch_q3" ->
+      """SELECT o_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_join_multi" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_orderstatus, rn, o_orderkey, price FROM (
+        |  SELECT o_orderstatus, o_orderkey, round(o_totalprice, 2) AS price,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_orderstatus, rn""".stripMargin,
+    "q_window_running" ->
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS run_sum
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_window_lag" ->
+      """SELECT o_orderkey,
+        |  round(o_totalprice - lag(o_totalprice, 1) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS price_delta
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+        |FROM lineitem ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "q_set_union" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |UNION SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin,
+    "q_set_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin,
+    "q_set_except" ->
+      """SELECT DISTINCT c_custkey AS ck FROM customer WHERE c_acctbal < 0
+        |EXCEPT SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY ck""".stripMargin,
+    "q_scalar_string" ->
+      """SELECT p_partkey, upper(p_brand) AS ub, substring(p_type, 1, 6) AS t6,
+        |  length(p_name) AS name_len, concat(p_brand, '#', p_type) AS bt
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_scalar_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(sqrt(l_extendedprice), 4) AS sq,
+        |  round(ln(l_extendedprice + 1), 4) AS lg,
+        |  floor(l_quantity) AS fq
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_scalar_case" ->
+      """SELECT CASE WHEN l_quantity < 10 THEN 'low'
+        |  WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS bucket,
+        |  count(*) AS cnt, round(sum(l_extendedprice), 2) AS total
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_scalar_datemath" ->
+      """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |  quarter(o_orderdate) AS q, day(o_orderdate) AS dom
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_array_ops" ->
+      """SELECT vec_id, len(embedding) AS emb_len,
+        |  round((embedding[1])::DOUBLE, 4) AS emb0,
+        |  round(sqrt(list_sum(list_transform(embedding,
+        |    x -> (x::DOUBLE) * (x::DOUBLE)))), 4) AS l2,
+        |  label
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT event_type, day(ts) AS dom, hour(ts) AS h,
+        |  count(*) AS cnt, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,
+    "q_dedup_ngram" ->
+      """WITH g AS (SELECT DISTINCT doc_id, substr(text, i::INT, 3) AS gram
+        |    FROM documents, range(1, 100001) t(i) WHERE i <= length(text) - 2),
+        |  cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |  inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |    FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
+        |FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+        |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+        |  round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+        |    / greatest(length(text), 1), 4) AS alpha_ratio,
+        |  round(length(regexp_replace(text, '[^ ]', '', 'g')) * 1.0
+        |    / greatest(length(text), 1), 4) AS space_ratio,
+        |  round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0
+        |    / greatest(length(text), 1), 4) AS punct_ratio,
+        |  round((length(text) - length(regexp_replace(text, '[^ ]', '', 'g'))) * 1.0
+        |    / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 1),
+        |    4) AS mean_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_profile" ->
+      """SELECT lang, count(*) AS cnt, round(avg(n_chars), 2) AS avg_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  sum(ascii(substr(text, i::INT, 1)) * ((i - 1) % 64 + 1)) AS fingerprint
+        |FROM documents, range(1, 100001) t(i) WHERE i <= length(text)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q_ann_brute" ->
+      """SELECT query_id, rank, neighbor_id, cosine FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.embedding, c.embedding), 4) AS cosine,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(q.embedding, c.embedding), 4) DESC,
+        |        c.vec_id) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q_multimodal" ->
+      """SELECT doc_id, strlen(text) AS byte_len, md5(text) AS digest, lang,
+        |  'text/plain' AS mime
+        |FROM documents ORDER BY doc_id""".stripMargin
+    // q_dedup_minhash / q_dedup_simhash / q_langid_pred / q_ann_lsh have no
+    // SQL-expressible oracle (hash-seeded / heuristic) → rows-only check.
+  )
 }

@@ -1,0 +1,40 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Access to the benchmark tables *through the strawboat format*: the
+  * parquet testdata is converted once per (sfDir, table) into
+  * `target/strawdata`, then every query reads via the DSv2 connector — so
+  * each query exercises write + scan + pushdowns of our format, not
+  * parquet. Conversion is cached across JVMs with a marker file.
+  */
+object Tables {
+  private val FormatVersion = "v1" // bump when the on-disk format changes
+
+  private def strawRoot = s"/root/repo/target/strawdata/$FormatVersion"
+
+  private val lock = new Object
+
+  def strawDir(spark: SparkSession, sfDir: String, table: String): String = {
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val dst = s"$strawRoot/$sfName/$table"
+    val marker = Paths.get(dst, "_OK")
+    if (!Files.exists(marker)) lock.synchronized {
+      if (!Files.exists(marker)) {
+        // events.ts is parquet TIMESTAMP(NANOS) which Spark refuses by
+        // default; read it as a raw nanos long (exact — queries derive
+        // calendar fields themselves, see SparkEntry.tsNs)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(s"$sfDir/$table.parquet")
+          .write.format("strawboat").mode("overwrite").save(dst)
+        Files.createFile(marker)
+      }
+    }
+    dst
+  }
+
+  /** The table, read through the strawboat connector. */
+  def straw(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    spark.read.format("strawboat").load(strawDir(spark, sfDir, table))
+}

@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text corpora. All shapes are
+  * shuffle-bounded: exact dedup is a hash aggregation on a digest, near-dup
+  * detection is LSH-bucketed (candidates only ever meet inside a band
+  * bucket — never an all-pairs cross join), so each scales as
+  * O(n · bucket_size) on a partitioned cluster.
+  */
+object Dedup {
+
+  /** Exact dedup by content digest: one row per distinct `col`, keeping the
+    * smallest `idCol`. A single hash-partitioned aggregation — the 100 TB
+    * shape (shuffle on digest, no sort). */
+  def exact(df: DataFrame, idCol: String, col: String): DataFrame =
+    df.groupBy(md5(org.apache.spark.sql.functions.col(col)).as("digest"))
+      .agg(
+        min(org.apache.spark.sql.functions.col(idCol)).as("keep_id"),
+        count(lit(1)).as("dup_count"))
+
+  /** Distinct character k-shingles of `text`, one row per (id, shingle). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(
+      col(idCol).as("sid"),
+      explode(array_distinct(transform(
+        sequence(lit(1), greatest(lit(1), length(col(textCol)) - (k - 1))),
+        i => col(textCol).substr(i, lit(k))))).as("shingle"))
+
+  /** MinHash signatures: `numHashes` independent hash functions realized as
+    * seeded xxhash64(seed, shingle) — deterministic and overflow-free under
+    * ANSI mode. One aggregation over the shingle table. */
+  def minHashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val aggs: Seq[Column] = (0 until numHashes).map { i =>
+      min(xxhash64(lit(i * 2654435761L + 42L), col("shingle"))).as(s"mh$i")
+    }
+    sh.groupBy(col("sid")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band buckets from signatures: `bands` bands of `rows` hashes each;
+    * docs sharing any band bucket are candidate near-duplicates. */
+  def lshBuckets(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val frames = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
+      sigs.select(col("sid"), lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
+    }
+    frames.reduce(_ unionAll _)
+  }
+
+  /** Candidate pairs (a < b) from shared band buckets — the only join, and
+    * it is keyed on (band, bucket), so work is proportional to bucket
+    * population, not corpus². */
+  def candidatePairs(buckets: DataFrame): DataFrame = {
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.sid") < col("b.sid"))
+      .select(col("a.sid").as("id_a"), col("b.sid").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact shingle-set Jaccard for a pair table (verification step after
+    * LSH candidate generation; joins only on candidate ids). */
+  def verifyJaccard(pairs: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col("sid")).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.as("sa"), col("id_a") === col("sa.sid"))
+      .join(sh.as("sb"), col("id_b") === col("sb.sid") &&
+        col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("na"), col("id_a") === col("na.sid"))
+      .join(sizes.as("nb"), col("id_b") === col("nb.sid"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter") / (col("na.n") + col("nb.n") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Full MinHash+LSH near-duplicate pipeline: shingle → sign → band →
+    * bucket-join → exact-verify. */
+  def minHashNearDup(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(df, idCol, textCol, k).cache()
+    val cands = candidatePairs(lshBuckets(minHashSignatures(sh, numHashes), bands, numHashes / bands))
+    verifyJaccard(cands, sh, threshold)
+  }
+
+  /** Exact n-gram Jaccard similarity over ALL pairs above `threshold`,
+    * computed by joining on shared grams (an inverted-index join: pairs with
+    * zero overlap never materialize). Oracle-checkable in plain SQL. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, threshold: Double): DataFrame = {
+    val sh = shingles(df, idCol, textCol, k)
+    val sizes = sh.groupBy(col("sid")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.sid") < col("b.sid"))
+      .groupBy(col("a.sid").as("id_a"), col("b.sid").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("na"), col("id_a") === col("na.sid"))
+      .join(sizes.as("nb"), col("id_b") === col("nb.sid"))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter") / (col("na.n") + col("nb.n") - col("inter")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash 64-bit fingerprints from whitespace tokens: per bit, sum ±1
+    * weighted votes of token hashes; fingerprint = sign bits. Near-dup
+    * candidates share a 16-bit band (Hamming-tolerant bucketing). */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = df.select(
+      col(idCol).as("sid"),
+      explode(filter(split(col(textCol), "\\s+"), t => t =!= lit(""))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitAggs: Seq[Column] = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$b")
+    }
+    val votes = tokens.groupBy(col("sid")).agg(bitAggs.head, bitAggs.tail: _*)
+    val fp = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    votes.select(col("sid"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: same 16-bit band in any of 4 bands. */
+  def simHashCandidates(fps: DataFrame): DataFrame = {
+    val banded = (0 until 4).map { b =>
+      fps.select(col("sid"), lit(b).as("band"),
+        shiftright(col("simhash"), 16 * b).bitwiseAND(lit(0xffffL)).as("bucket"))
+    }.reduce(_ unionAll _)
+    candidatePairs(banded)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language identification, document fingerprinting.
+  * Everything is built from codegen'd Spark SQL functions (no UDFs), so the
+  * operators stay inside whole-stage codegen and scale linearly. */
+object TextOps {
+
+  /** Whitespace token count (empty tokens dropped). */
+  def tokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => t =!= lit("")))
+
+  /** BPE-ish subword proxy: count of letter-runs, digit-runs and
+    * punctuation marks — a cheap deterministic stand-in for a tokenizer's
+    * piece count. */
+  def pieceCount(text: Column): Column =
+    size(filter(split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"), t => trim(t) =!= lit("")))
+
+  /** Quality features: alpha ratio, whitespace ratio, punctuation ratio,
+    * mean token length. */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val len = length(text).cast("double")
+    val alpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+    val spaces = length(regexp_replace(text, "[^ ]", "")).cast("double")
+    val punct = length(regexp_replace(text, "[^.,;:!?]", "")).cast("double")
+    Seq(
+      "alpha_ratio" -> round(alpha / greatest(len, lit(1.0)), 4),
+      "space_ratio" -> round(spaces / greatest(len, lit(1.0)), 4),
+      "punct_ratio" -> round(punct / greatest(len, lit(1.0)), 4),
+      "mean_token_len" -> round((len - spaces) / greatest(tokenCount(text).cast("double"), lit(1.0)), 4))
+  }
+
+  /** Order-sensitive polynomial fingerprint: sum over positions i of
+    * ascii(char_i) · ((i-1) mod 64 + 1). Deterministic, oracle-checkable,
+    * and sensitive to transpositions (unlike a bag-of-chars sum). */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), posexplode(split(col(textCol), "")).as(Seq("pos", "ch")))
+      .filter(col("ch") =!= "")
+      .groupBy(col(idCol))
+      .agg(sum(ascii(col("ch")) * ((col("pos") % 64) + 1)).as("fingerprint"))
+
+  /** Tiny per-language stopword profiles for heuristic language ID. Public
+    * common-word lists; scoring = distinct profile hits per language. */
+  private val profiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "as"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"),
+    "es" -> Seq("el", "la", "los", "que", "es", "no", "por", "con", "una", "para"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
+
+  /** Heuristic n-gram/stopword language ID: score = distinct profile-word
+    * hits; highest score wins, 'und' (undetermined) when nothing hits. */
+  def langId(df: DataFrame, textCol: String): DataFrame = {
+    val toks = array_distinct(filter(split(lower(col(textCol)), "\\s+"), t => t =!= lit("")))
+    val scores = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        size(array_intersect(toks, array(words.map(lit): _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    df.withColumn("pred_lang",
+      when(greatest(scores: _*).getField("score") > 0,
+        greatest(scores: _*).getField("lang")).otherwise(lit("und")))
+  }
+}

@@ -116,7 +116,15 @@ class StrawScanBuilder(path: String, fullSchema: StructType)
   private var pushedFiltersArr: Array[Filter] = Array.empty
   private var limit: Long = Long.MaxValue
 
-  override def pruneColumns(required: StructType): Unit = requiredSchema = required
+  override def pruneColumns(required: StructType): Unit = {
+    // accept top-level pruning only: Catalyst may hand us nested-pruned
+    // struct fields (meta: struct<lang> of a 4-field struct); we widen each
+    // field back to its full definition — returning a superset of a nested
+    // field is allowed, Spark's projection extracts above the scan
+    requiredSchema = StructType(required.fields.map { f =>
+      fullSchema.fields.find(_.name == f.name).getOrElse(f)
+    })
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // zone maps are page-granular: we use filters to SKIP pages but cannot
