@@ -26,6 +26,11 @@ object Tables {
         // default; read it as a raw nanos long (exact — queries derive
         // calendar fields themselves, see SparkEntry.tsNs)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // 1:1 partition mapping — no forced shuffle. At real scale the
+        // input already has many row-groups so the write parallelizes
+        // naturally; fragmenting small benchmarks into per-core files only
+        // adds task overhead (measured: 32-file lineitem made shuffle joins
+        // 5× slower at sf0.1 than the single-file layout).
         spark.read.parquet(s"$sfDir/$table.parquet")
           .write.format("strawboat").mode("overwrite").save(dst)
         Files.createFile(marker)
