@@ -93,7 +93,8 @@ class StrawboatTable(path: String, val schemaArg: StructType)
   override def schema(): StructType = schemaArg
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new StrawScanBuilder(path, schemaArg)
@@ -158,6 +159,9 @@ class StrawScan(
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new StrawMicroBatchStream(path, fullSchema, requiredSchema)
   override def description(): String =
     s"strawboat $path skipFilters=[${filters.mkString(", ")}] limit=" +
       (if (limit == Long.MaxValue) "none" else limit.toString)
@@ -291,6 +295,8 @@ class StrawWriteBuilder(path: String, schema: StructType)
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new StrawBatchWrite(path, schema, doTruncate)
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new StrawStreamingWrite(path, schema)
   }
 }
 
