@@ -332,6 +332,25 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // --- Decimal(>18) storage through the format ---------------------------
+    "q_decimal_agg" -> ((s, d) => {
+      // derive a wide-decimal table, store it in strawboat (two-long i128
+      // pages), read back and aggregate
+      val decDir = Tables.strawDir(s, d, "lineitem") + "_dec"
+      val marker = new java.io.File(decDir, "_OK")
+      if (!marker.exists()) {
+        t(s, d, "lineitem")
+          .select(col("l_returnflag"),
+            col("l_extendedprice").cast("decimal(25,4)").as("price_dec"))
+          .write.format("strawboat").mode("overwrite").save(decDir)
+        marker.createNewFile()
+      }
+      s.read.format("strawboat").load(decDir)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("price_dec")).cast("decimal(30,4)").as("total"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"))
+    }),
     // --- LLM-pipeline: multimodal column pattern ---------------------------
     "q_multimodal" -> ((s, d) => {
       // payload+metadata written through strawboat, read back, featurized
@@ -543,6 +562,11 @@ object SparkEntry {
         |  FROM embeddings q, embeddings c
         |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q_decimal_agg" ->
+      """SELECT l_returnflag,
+        |  (sum(l_extendedprice::DECIMAL(25,4)))::DECIMAL(30,4) AS total,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_multimodal" ->
       """SELECT doc_id, strlen(text) AS byte_len, md5(text) AS digest, lang,
         |  'text/plain' AS mime

@@ -402,6 +402,43 @@ final class StructColumnWriter(opts: WriteOptions, fields: Array[ColumnWriter],
   def bufferedBytes: Long = fields.map(_.bufferedBytes).sum
 }
 
+/** Decimal with precision 19..38: unscaled i128 stored as two long planes
+  * (high 64 | low 64), each running through the integer codec cascade.
+  * JVM has no i128 — mirror of the reference's Int128 primitive support
+  * (reference: src/write/primitive.rs:71-78). Zone maps are omitted
+  * (i128 order does not embed in one long). */
+final class Decimal128ColumnWriter(opts: WriteOptions, precision: Int, scale: Int)
+  extends ColumnWriter(opts) {
+  private var hi = new Array[Long](1024)
+  private var lo = new Array[Long](1024)
+  private var n = 0
+  private def grow(): Unit =
+    if (n >= hi.length) {
+      hi = java.util.Arrays.copyOf(hi, hi.length * 2)
+      lo = java.util.Arrays.copyOf(lo, lo.length * 2)
+    }
+  def append(g: SpecializedGetters, ordinal: Int): Unit = {
+    val unscaled = g.getDecimal(ordinal, precision, scale).toJavaBigDecimal.unscaledValue()
+    grow()
+    lo(n) = unscaled.longValue()
+    hi(n) = unscaled.shiftRight(64).longValue()
+    n += 1
+    validity.append(true)
+  }
+  def appendNull(): Unit = {
+    grow(); hi(n) = 0L; lo(n) = 0L; n += 1
+    validity.append(false)
+  }
+  def encodePage(out: ByteBuf): PageStats = {
+    validity.encode(opts, out)
+    IntCodec.encode(hi, n, 8, opts, 0, out)
+    IntCodec.encode(lo, n, 8, opts, 0, out)
+    PageStats(StrawFormat.StatsNone, 0, 0)
+  }
+  def clearBuffers(): Unit = n = 0
+  def bufferedBytes: Long = 16L * n
+}
+
 /** All-null / NullType column: validity only. */
 final class NullColumnWriter(opts: WriteOptions) extends ColumnWriter(opts) {
   def append(g: SpecializedGetters, ordinal: Int): Unit = validity.append(true)
@@ -440,6 +477,8 @@ object ColumnWriter {
     case d: DecimalType if d.precision <= 18 =>
       new LongColumnWriter(opts, 8,
         (g, i) => g.getDecimal(i, d.precision, d.scale).toUnscaledLong, StatsSigned)
+    case d: DecimalType if d.precision <= 38 =>
+      new Decimal128ColumnWriter(opts, d.precision, d.scale)
     case StringType => new BinaryColumnWriter(opts, isString = true)
     case BinaryType => new BinaryColumnWriter(opts, isString = false)
     case ArrayType(et, containsNull) =>

@@ -137,6 +137,22 @@ final class StructPage(val fields: Array[DecodedPage], val n: Int,
   }
 }
 
+final class Decimal128Page(val precision: Int, val scale: Int,
+    val hi: Array[Long], val lo: Array[Long],
+    val valid: Array[Boolean]) extends DecodedPage {
+  def numValues: Int = hi.length
+  def isNullAt(i: Int): Boolean = valid != null && !valid(i)
+  def value(i: Int): Any = {
+    val big = java.math.BigInteger.valueOf(hi(i)).shiftLeft(64)
+      .add(java.math.BigInteger.valueOf(lo(i)).and(Decimal128Page.Mask64))
+    Decimal(new java.math.BigDecimal(big, scale), precision, scale)
+  }
+}
+object Decimal128Page {
+  val Mask64: java.math.BigInteger =
+    java.math.BigInteger.ONE.shiftLeft(64).subtract(java.math.BigInteger.ONE)
+}
+
 final class NullPage(val n: Int) extends DecodedPage {
   def numValues: Int = n
   def isNullAt(i: Int): Boolean = true
@@ -162,6 +178,11 @@ object PageDecoder {
     case d: DecimalType if d.precision <= 18 =>
       val (n, valid) = ValidityReader.read(in)
       new LongPage(dt, IntCodec.decode(in, n, 8), valid)
+    case d: DecimalType if d.precision <= 38 =>
+      val (n, valid) = ValidityReader.read(in)
+      val hi = IntCodec.decode(in, n, 8)
+      val lo = IntCodec.decode(in, n, 8)
+      new Decimal128Page(d.precision, d.scale, hi, lo, valid)
     case StringType | BinaryType =>
       val (n, valid) = ValidityReader.read(in)
       val (offsets, bytes) = BinaryCodec.decode(in, n)

@@ -169,6 +169,30 @@ class RoundTripSpec extends AnyFunSuite {
     }
   }
 
+  // --- Decimal(>18) as two-long i128 ----------------------------------------
+
+  test("decimal 38 round trip incl. negatives and extremes") {
+    val schema = StructType(Seq(StructField("d", DecimalType(38, 10))))
+    val rnd = new Random(11)
+    val extremes = Seq(
+      BigDecimal("9999999999999999999999999999.9999999999"),
+      BigDecimal("-9999999999999999999999999999.9999999999"),
+      BigDecimal(0), BigDecimal("-0.0000000001"), BigDecimal("1e17"))
+    val rows = (0 until 2000).map { i =>
+      val v =
+        if (i < extremes.length) extremes(i)
+        else if (i % 11 == 0) null
+        else BigDecimal(BigInt(126, new java.util.Random(rnd.nextLong())), 10)
+          .setScale(10) * (if (rnd.nextBoolean()) 1 else -1)
+      new GenericInternalRow(Array[Any](
+        if (v == null) null else Decimal(v, 38, 10)))
+    }
+    for (forced <- Seq(None, Some(Codec.Rle), Some(Codec.Patas))) {
+      val got = writeRead(schema, rows, WriteOptions(maxPageSize = 300, forced = forced))
+      assertSame(schema, rows, got)
+    }
+  }
+
   // --- A4: nested types ------------------------------------------------------
 
   test("nested list/map/struct round trip") {
