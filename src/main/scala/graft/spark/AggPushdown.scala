@@ -1,0 +1,159 @@
+package graft.spark
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.{Expression, NamedReference}
+import org.apache.spark.sql.connector.expressions.aggregate._
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+
+import graft.format._
+
+/** Footer-only aggregate answering: COUNT(*), COUNT(col), MIN/MAX(col) over
+  * ungrouped, unfiltered scans never touch data pages — the whole query is
+  * a metadata pass over file footers (exact, because page min/max are exact
+  * aggregates of the written values). At 100 TB that turns a full scan into
+  * reading one footer per file.
+  *
+  * Strings are excluded (their zone maps are 8-byte prefixes, not exact);
+  * wide decimals are excluded (StatsNone).
+  */
+object AggPushdown {
+
+  sealed trait Spec
+  case object CountStarSpec extends Spec
+  final case class CountColSpec(field: Int) extends Spec
+  final case class MinSpec(field: Int) extends Spec
+  final case class MaxSpec(field: Int) extends Spec
+
+  private def fieldOf(schema: StructType, e: Expression): Option[Int] = e match {
+    case nr: NamedReference if nr.fieldNames().length == 1 =>
+      schema.fields.indexWhere(_.name == nr.fieldNames()(0)) match {
+        case -1 => None
+        case i => Some(i)
+      }
+    case _ => None
+  }
+
+  /** Types whose zone maps are exact & invertible to the column value. */
+  private def statsExact(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | DateType |
+         LongType | TimestampType | TimestampNTZType | FloatType | DoubleType => true
+    case d: DecimalType => d.precision <= 18
+    case _ => false
+  }
+
+  def translate(schema: StructType, agg: Aggregation): Option[Seq[Spec]] = {
+    if (agg.groupByExpressions().nonEmpty) return None
+    val specs = agg.aggregateExpressions().map {
+      case _: CountStar => Some(CountStarSpec)
+      case c: Count if !c.isDistinct => fieldOf(schema, c.column()).map(CountColSpec)
+      case m: Min =>
+        fieldOf(schema, m.column())
+          .filter(i => statsExact(schema.fields(i).dataType)).map(MinSpec)
+      case m: Max =>
+        fieldOf(schema, m.column())
+          .filter(i => statsExact(schema.fields(i).dataType)).map(MaxSpec)
+      case _ => None
+    }
+    if (specs.forall(_.isDefined)) Some(specs.flatten.toSeq) else None
+  }
+
+  def outputSchema(schema: StructType, specs: Seq[Spec]): StructType =
+    StructType(specs.zipWithIndex.map {
+      case (CountStarSpec, i) => StructField(s"agg$i", LongType, nullable = false)
+      case (CountColSpec(_), i) => StructField(s"agg$i", LongType, nullable = false)
+      case (MinSpec(f), i) => StructField(s"agg$i", schema.fields(f).dataType)
+      case (MaxSpec(f), i) => StructField(s"agg$i", schema.fields(f).dataType)
+    })
+
+  /** Invert StrawFormat.sortableDouble. */
+  private def unsortableDouble(s: Long): Double = {
+    val bits = if (s >= 0) s else -(s + 1) | Long.MinValue
+    java.lang.Double.longBitsToDouble(bits)
+  }
+
+  private def statsToValue(dt: DataType, enc: Long): Any = dt match {
+    case BooleanType => enc != 0L
+    case ByteType => enc.toByte
+    case ShortType => enc.toShort
+    case IntegerType | DateType => enc.toInt
+    case LongType | TimestampType | TimestampNTZType => enc
+    case FloatType => unsortableDouble(enc).toFloat
+    case DoubleType => unsortableDouble(enc)
+    case d: DecimalType => Decimal.createUnsafe(enc, d.precision, d.scale)
+    case other => throw new IllegalStateException(s"agg pushdown: $other")
+  }
+
+  /** Compute the single result row from all file footers, or None if any
+    * page lacks the stats needed (e.g. written before stats existed). */
+  def compute(path: String, schema: StructType, specs: Seq[Spec]): Option[InternalRow] = {
+    var countStar = 0L
+    val countCol = collection.mutable.Map.empty[Int, Long]
+    val minEnc = collection.mutable.Map.empty[Int, Long]
+    val maxEnc = collection.mutable.Map.empty[Int, Long]
+    val needCount = specs.collect { case CountColSpec(f) => f }.distinct
+    val needMinMax = (specs.collect { case MinSpec(f) => f } ++
+      specs.collect { case MaxSpec(f) => f }).distinct
+
+    for (file <- StrawIO.listFiles(path)) {
+      val footer = StrawIO.withInput(file)(StrawFileReader.readFooter)
+      countStar += footer.numRows
+      def colIdx(f: Int): Int =
+        footer.schema.fields.indexWhere(_.name == schema.fields(f).name)
+      for (f <- needCount) {
+        val ci = colIdx(f)
+        val nonNull =
+          if (ci < 0) 0L // column absent in this file: all null
+          else footer.columns(ci).pages.foldLeft(0L)((a, p) => a + p.numValues - p.nullCount)
+        countCol(f) = countCol.getOrElse(f, 0L) + nonNull
+      }
+      for (f <- needMinMax) {
+        val ci = colIdx(f)
+        if (ci >= 0) {
+          for (p <- footer.columns(ci).pages if p.nullCount < p.numValues) {
+            if (p.statsKind != StrawFormat.StatsSigned) return None // not provable
+            minEnc(f) = math.min(minEnc.getOrElse(f, Long.MaxValue), p.min)
+            maxEnc(f) = math.max(maxEnc.getOrElse(f, Long.MinValue), p.max)
+          }
+        }
+      }
+    }
+    val row = new GenericInternalRow(specs.length)
+    specs.zipWithIndex.foreach {
+      case (CountStarSpec, i) => row.update(i, countStar)
+      case (CountColSpec(f), i) => row.update(i, countCol.getOrElse(f, 0L))
+      case (MinSpec(f), i) =>
+        row.update(i, minEnc.get(f).map(statsToValue(schema.fields(f).dataType, _)).orNull)
+      case (MaxSpec(f), i) =>
+        row.update(i, maxEnc.get(f).map(statsToValue(schema.fields(f).dataType, _)).orNull)
+    }
+    Some(row)
+  }
+}
+
+case class OneRowPartition() extends InputPartition
+
+case class OneRowReaderFactory(values: Array[Any]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = { val h = !done; done = true; h }
+      override def get(): InternalRow = new GenericInternalRow(values)
+      override def close(): Unit = ()
+    }
+}
+
+/** A Scan that emits the single pre-computed aggregate row. */
+class StrawAggScan(description0: String, schema: StructType, row: InternalRow)
+  extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String = description0
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(OneRowPartition())
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    OneRowReaderFactory(row.asInstanceOf[GenericInternalRow].values.clone())
+}

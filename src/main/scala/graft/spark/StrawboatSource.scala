@@ -111,11 +111,37 @@ class StrawScanBuilder(path: String, fullSchema: StructType)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters
-  with SupportsPushDownLimit {
+  with SupportsPushDownLimit
+  with SupportsPushDownAggregates {
 
   private var requiredSchema: StructType = fullSchema
   private var pushedFiltersArr: Array[Filter] = Array.empty
   private var limit: Long = Long.MaxValue
+  private var aggResult: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
+
+  // COUNT/MIN/MAX answered from footers alone — exact, no data pages read
+  // (only when no filter survives and stats are provably exact; see
+  // AggPushdown). supportCompletePushDown => Spark uses the row as final.
+  override def supportCompletePushDown(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    tryCompute(aggregation)
+
+  override def pushAggregation(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    tryCompute(aggregation)
+
+  private def tryCompute(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (aggResult.isDefined) return true
+    if (pushedFiltersArr.nonEmpty) return false
+    AggPushdown.translate(fullSchema, aggregation) match {
+      case Some(specs) =>
+        AggPushdown.compute(path, fullSchema, specs) match {
+          case Some(row) =>
+            aggResult = Some((AggPushdown.outputSchema(fullSchema, specs), row))
+            true
+          case None => false
+        }
+      case None => false
+    }
+  }
 
   override def pruneColumns(required: StructType): Unit = {
     // accept top-level pruning only: Catalyst may hand us nested-pruned
@@ -138,8 +164,12 @@ class StrawScanBuilder(path: String, fullSchema: StructType)
 
   override def pushLimit(l: Int): Boolean = { limit = l; false }
 
-  override def build(): Scan =
-    new StrawScan(path, fullSchema, requiredSchema, pushedFiltersArr, limit)
+  override def build(): Scan = aggResult match {
+    case Some((schema, row)) =>
+      new StrawAggScan(s"strawboat $path footer-only aggregate", schema, row)
+    case None =>
+      new StrawScan(path, fullSchema, requiredSchema, pushedFiltersArr, limit)
+  }
 }
 
 /** One unit of work: a page-aligned slice [pageStart, pageEnd) of one file. */

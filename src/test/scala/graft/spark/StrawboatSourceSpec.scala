@@ -124,6 +124,25 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.format("strawboat").load(out).count() == 150)
   }
 
+  test("count/min/max answered from footers (aggregate pushdown)") {
+    val out = s"$dir/aggpush"
+    lineitem.write.format("strawboat").mode("overwrite").save(out)
+    val back = spark.read.format("strawboat").load(out)
+    val q = back.agg(count(lit(1)).as("c"), min(col("l_quantity")).as("mn"),
+      max(col("l_extendedprice")).as("mx"))
+    assert(q.queryExecution.executedPlan.toString.contains("footer-only aggregate"))
+    val r = q.collect()(0)
+    val e = lineitem.agg(count(lit(1)), min(col("l_quantity")),
+      max(col("l_extendedprice"))).collect()(0)
+    assert(r.toSeq == e.toSeq)
+    // filters and strings and group-bys must NOT push down (and stay correct)
+    val qf = back.filter(col("l_quantity") > 10).agg(min(col("l_quantity")))
+    assert(!qf.queryExecution.executedPlan.toString.contains("footer-only"))
+    assert(qf.collect()(0).getDouble(0) == 11.0)
+    val qs = back.agg(min(col("l_returnflag")))
+    assert(!qs.queryExecution.executedPlan.toString.contains("footer-only"))
+  }
+
   test("statistics reported for broadcast decisions") {
     val out = s"$dir/stats"
     spark.range(0, 1000).write.format("strawboat").mode("overwrite").save(out)
