@@ -1,0 +1,99 @@
+package graft.format
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based round-trip: for arbitrary values, null densities, page
+  * sizes and codecs, write→read is the identity (replaces the reference's
+  * seeded-random suite with shrinking, SURVEY §5). */
+class CodecPropertySpec extends AnyFunSuite {
+
+  /** Run a scalacheck property and fail the test with its message. */
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30).withMaxSize(200), prop)
+    assert(res.passed, org.scalacheck.util.Pretty.pretty(res))
+  }
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(body: (A, B) => Unit): Unit =
+    check(Prop.forAllNoShrink(ga, gb) { (a, b) => body(a, b); true })
+
+  private def roundTrip(schema: StructType, rows: Seq[InternalRow],
+      opts: WriteOptions): Seq[InternalRow] = {
+    val w = new StrawFileWriter(schema, opts)
+    rows.foreach(w.write)
+    val in = new ByteArrayInput(w.finish())
+    val footer = StrawFileReader.readFooter(in)
+    StrawFileReader.rows(in, footer, schema.fields.indices.toArray).toSeq
+  }
+
+  private val genOpts: Gen[WriteOptions] = for {
+    base <- Gen.oneOf(Codec.Plain, Codec.Lz4, Codec.Zstd, Codec.Snappy)
+    pageSize <- Gen.oneOf(64, 257, 1024)
+    forced <- Gen.option(Gen.oneOf(Codec.Rle, Codec.Dict, Codec.Freq,
+      Codec.BitPack, Codec.DeltaBitPack, Codec.OneValue, Codec.Patas))
+  } yield WriteOptions(base = base, maxPageSize = pageSize, forced = forced)
+
+  test("longs with arbitrary values and null density round trip") {
+    forAll(Gen.listOf(Gen.option(Gen.chooseNum(Long.MinValue, Long.MaxValue))),
+      genOpts) { (vals, opts) =>
+      val schema = StructType(Seq(StructField("v", LongType)))
+      val rows = vals.map(v => new GenericInternalRow(Array[Any](v.orNull)))
+      val got = roundTrip(schema, rows, opts)
+      assert(got.map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))) == vals)
+    }
+  }
+
+  test("doubles incl. specials round trip bit-exactly") {
+    val special = Gen.oneOf(Double.NaN, 0.0, -0.0,
+      Double.PositiveInfinity, Double.NegativeInfinity, Double.MinPositiveValue)
+    val genD = Gen.frequency(8 -> Gen.chooseNum(-1e12, 1e12), 2 -> special)
+    forAll(Gen.listOf(Gen.option(genD)), genOpts) { (vals, opts) =>
+      val schema = StructType(Seq(StructField("v", DoubleType)))
+      val rows = vals.map(v => new GenericInternalRow(Array[Any](v.orNull)))
+      val got = roundTrip(schema, rows, opts)
+      val gotBits = got.map(r =>
+        if (r.isNullAt(0)) None
+        else Some(java.lang.Double.doubleToRawLongBits(r.getDouble(0))))
+      assert(gotBits == vals.map(_.map(java.lang.Double.doubleToRawLongBits)))
+    }
+  }
+
+  test("strings incl. unicode and empties round trip") {
+    val genS = Gen.frequency(
+      6 -> Gen.alphaNumStr,
+      2 -> Gen.const(""),
+      2 -> Gen.listOf(Gen.oneOf("\u65e5", "\u672c", "\u00df", "\u00e9", "\ud83d\ude42", "\n", " ")).map(_.mkString))
+    forAll(Gen.listOf(Gen.option(genS)), genOpts) { (vals, opts) =>
+      val schema = StructType(Seq(StructField("v", StringType)))
+      val rows = vals.map(v =>
+        new GenericInternalRow(Array[Any](v.map(UTF8String.fromString).orNull)))
+      val got = roundTrip(schema, rows, opts)
+      assert(got.map(r => if (r.isNullAt(0)) None else Some(r.getUTF8String(0).toString)) == vals)
+    }
+  }
+
+  test("int arrays with null elements round trip") {
+    val genArr = Gen.listOf(Gen.option(Gen.chooseNum(Int.MinValue, Int.MaxValue)))
+    forAll(Gen.listOf(Gen.option(genArr)), genOpts) { (vals, opts) =>
+      val schema = StructType(Seq(
+        StructField("v", ArrayType(IntegerType, containsNull = true))))
+      val rows = vals.map { v =>
+        new GenericInternalRow(Array[Any](v.map(a =>
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            a.map(_.map(Int.box).orNull.asInstanceOf[Any]).toArray)).orNull))
+      }
+      val got = roundTrip(schema, rows, opts)
+      val norm = got.map { r =>
+        if (r.isNullAt(0)) None
+        else Some(r.getArray(0).toObjectArray(IntegerType)
+          .map(x => Option(x).map(_.asInstanceOf[Int])).toList)
+      }
+      assert(norm == vals.map(_.map(_.toList)))
+    }
+  }
+}
