@@ -168,48 +168,88 @@ object CommonCompression {
   }
 }
 
-/** Bit packing of n values at a fixed bit width (1..64). */
+/** Bit packing of n values at a fixed bit width (1..64). Widths ≤ 57 use
+  * word-level windows (one unaligned 64-bit load/store per value, JIT
+  * intrinsic via ByteBuffer); wider values fall back to the per-bit path.
+  * Same layout either way: LSB-first, values contiguous. */
 object BitPacking {
   def packedSize(n: Int, bits: Int): Int = ((n.toLong * bits + 7) / 8).toInt
 
   def pack(values: Array[Long], n: Int, bits: Int, out: ByteBuf): Unit = {
     val nBytes = packedSize(n, bits)
-    out.ensure(nBytes)
+    out.ensure(nBytes + 8) // slack so word-level RMW never exceeds capacity
     val buf = out.buf
     val base = out.len
-    java.util.Arrays.fill(buf, base, base + nBytes, 0.toByte)
-    var bitPos = 0L
-    var i = 0
-    while (i < n) {
-      val v = values(i)
-      var b = 0
-      while (b < bits) {
-        if (((v >>> b) & 1L) != 0L) {
-          val p = bitPos + b
-          buf(base + (p >>> 3).toInt) = (buf(base + (p >>> 3).toInt) | (1 << (p & 7))).toByte
-        }
-        b += 1
+    java.util.Arrays.fill(buf, base, math.min(buf.length, base + nBytes + 8), 0.toByte)
+    if (bits <= 57) {
+      val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+      var bitPos = 0L
+      var i = 0
+      while (i < n) {
+        val byteIdx = base + (bitPos >>> 3).toInt
+        val shift = (bitPos & 7).toInt
+        bb.putLong(byteIdx, bb.getLong(byteIdx) | (values(i) << shift))
+        bitPos += bits
+        i += 1
       }
-      bitPos += bits
-      i += 1
+    } else {
+      var bitPos = 0L
+      var i = 0
+      while (i < n) {
+        val v = values(i)
+        var b = 0
+        while (b < bits) {
+          if (((v >>> b) & 1L) != 0L) {
+            val p = bitPos + b
+            buf(base + (p >>> 3).toInt) = (buf(base + (p >>> 3).toInt) | (1 << (p & 7))).toByte
+          }
+          b += 1
+        }
+        bitPos += bits
+        i += 1
+      }
     }
     out.len += nBytes
   }
 
   def unpack(src: Array[Byte], off: Int, n: Int, bits: Int, dst: Array[Long], dstOff: Int): Unit = {
-    var bitPos = 0L
-    var i = 0
-    while (i < n) {
-      var v = 0L
-      var b = 0
-      while (b < bits) {
-        val p = bitPos + b
-        if ((src(off + (p >>> 3).toInt) & (1 << (p & 7))) != 0) v |= (1L << b)
-        b += 1
+    if (bits <= 57) {
+      val bb = ByteBuffer.wrap(src).order(ByteOrder.LITTLE_ENDIAN)
+      val mask = (1L << bits) - 1
+      val limit = src.length - 8
+      var bitPos = 0L
+      var i = 0
+      while (i < n) {
+        val byteIdx = off + (bitPos >>> 3).toInt
+        val shift = (bitPos & 7).toInt
+        if (byteIdx <= limit) {
+          dst(dstOff + i) = (bb.getLong(byteIdx) >>> shift) & mask
+        } else { // tail: assemble the last window byte-safely
+          var w = 0L
+          var j = 0
+          while (j < 8 && byteIdx + j < src.length) {
+            w |= (src(byteIdx + j) & 0xffL) << (8 * j); j += 1
+          }
+          dst(dstOff + i) = (w >>> shift) & mask
+        }
+        bitPos += bits
+        i += 1
       }
-      dst(dstOff + i) = v
-      bitPos += bits
-      i += 1
+    } else {
+      var bitPos = 0L
+      var i = 0
+      while (i < n) {
+        var v = 0L
+        var b = 0
+        while (b < bits) {
+          val p = bitPos + b
+          if ((src(off + (p >>> 3).toInt) & (1 << (p & 7))) != 0) v |= (1L << b)
+          b += 1
+        }
+        dst(dstOff + i) = v
+        bitPos += bits
+        i += 1
+      }
     }
   }
 
@@ -287,60 +327,40 @@ object IntCodec {
   final val ForbidDict = 1 << 0
   final val ForbidFreq = 1 << 1
 
+  // bulk little-endian transcoding via ByteBuffer views (JIT-intrinsified)
+  // instead of per-byte shift/or assembly — this is the plain-page hot path
   private def rawBytes(values: Array[Long], n: Int, width: Int): Array[Byte] = {
     val out = new Array[Byte](n * width)
+    val bb = ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
     var i = 0
     width match {
       case 1 => while (i < n) { out(i) = values(i).toByte; i += 1 }
       case 2 =>
-        while (i < n) {
-          val v = values(i)
-          out(2 * i) = v.toByte; out(2 * i + 1) = (v >>> 8).toByte; i += 1
-        }
+        val sb = bb.asShortBuffer()
+        while (i < n) { sb.put(i, values(i).toShort); i += 1 }
       case 4 =>
-        while (i < n) {
-          val v = values(i); val o = 4 * i
-          out(o) = v.toByte; out(o + 1) = (v >>> 8).toByte
-          out(o + 2) = (v >>> 16).toByte; out(o + 3) = (v >>> 24).toByte
-          i += 1
-        }
+        val ib = bb.asIntBuffer()
+        while (i < n) { ib.put(i, values(i).toInt); i += 1 }
       case 8 =>
-        while (i < n) {
-          val v = values(i); val o = 8 * i
-          var j = 0
-          while (j < 8) { out(o + j) = (v >>> (8 * j)).toByte; j += 1 }
-          i += 1
-        }
+        bb.asLongBuffer().put(values, 0, n)
     }
     out
   }
 
   private def fromRawBytes(bytes: Array[Byte], n: Int, width: Int, signed: Boolean): Array[Long] = {
     val out = new Array[Long](n)
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     var i = 0
     width match {
       case 1 => while (i < n) { out(i) = bytes(i).toLong; i += 1 }
       case 2 =>
-        while (i < n) {
-          out(i) = ((bytes(2 * i) & 0xffL) | (bytes(2 * i + 1).toLong << 8)).toShort.toLong
-          i += 1
-        }
+        val sb = bb.asShortBuffer()
+        while (i < n) { out(i) = sb.get(i).toLong; i += 1 }
       case 4 =>
-        while (i < n) {
-          val o = 4 * i
-          out(i) = ((bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
-            ((bytes(o + 2) & 0xffL) << 16) | (bytes(o + 3).toLong << 24)).toInt.toLong
-          i += 1
-        }
+        val ib = bb.asIntBuffer()
+        while (i < n) { out(i) = ib.get(i).toLong; i += 1 }
       case 8 =>
-        while (i < n) {
-          val o = 8 * i
-          var v = 0L
-          var j = 0
-          while (j < 8) { v |= (bytes(o + j) & 0xffL) << (8 * j); j += 1 }
-          out(i) = v
-          i += 1
-        }
+        bb.asLongBuffer().get(out, 0, n)
     }
     out
   }

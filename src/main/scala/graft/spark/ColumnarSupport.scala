@@ -26,60 +26,37 @@ object ColumnarSupport {
       case lp: LongPage =>
         val vals = lp.values
         val valid = lp.valid
+        // values first (bulk / branch-free: null slots hold the writer's
+        // repeat-last filler, harmless under the null mask), then the mask
         dt match {
           case BooleanType =>
             var i = 0
-            while (i < n) {
-              if (valid != null && !valid(i)) v.putNull(i)
-              else v.putBoolean(i, vals(i) != 0L)
-              i += 1
-            }
+            while (i < n) { v.putBoolean(i, vals(i) != 0L); i += 1 }
           case ByteType =>
             var i = 0
-            while (i < n) {
-              if (valid != null && !valid(i)) v.putNull(i) else v.putByte(i, vals(i).toByte)
-              i += 1
-            }
+            while (i < n) { v.putByte(i, vals(i).toByte); i += 1 }
           case ShortType =>
             var i = 0
-            while (i < n) {
-              if (valid != null && !valid(i)) v.putNull(i) else v.putShort(i, vals(i).toShort)
-              i += 1
-            }
+            while (i < n) { v.putShort(i, vals(i).toShort); i += 1 }
           case IntegerType | DateType =>
             var i = 0
-            while (i < n) {
-              if (valid != null && !valid(i)) v.putNull(i) else v.putInt(i, vals(i).toInt)
-              i += 1
-            }
+            while (i < n) { v.putInt(i, vals(i).toInt); i += 1 }
           case LongType | TimestampType | TimestampNTZType =>
-            var i = 0
-            while (i < n) {
-              if (valid != null && !valid(i)) v.putNull(i) else v.putLong(i, vals(i))
-              i += 1
-            }
+            v.putLongs(0, n, vals, 0)
           case FloatType =>
             var i = 0
-            while (i < n) {
-              if (valid != null && !valid(i)) v.putNull(i)
-              // low 32 bits regardless of codec sign/zero extension
-              else v.putFloat(i, java.lang.Float.intBitsToFloat(vals(i).toInt))
-              i += 1
-            }
+            // low 32 bits regardless of codec sign/zero extension
+            while (i < n) { v.putFloat(i, java.lang.Float.intBitsToFloat(vals(i).toInt)); i += 1 }
           case DoubleType =>
             var i = 0
-            while (i < n) {
-              if (valid != null && !valid(i)) v.putNull(i)
-              else v.putDouble(i, java.lang.Double.longBitsToDouble(vals(i)))
-              i += 1
-            }
+            while (i < n) { v.putDouble(i, java.lang.Double.longBitsToDouble(vals(i))); i += 1 }
           case d: DecimalType => // precision <= 18: long-backed vector
-            var i = 0
-            while (i < n) {
-              if (valid != null && !valid(i)) v.putNull(i) else v.putLong(i, vals(i))
-              i += 1
-            }
+            v.putLongs(0, n, vals, 0)
           case other => throw new UnsupportedOperationException(s"columnar fill: $other")
+        }
+        if (valid != null) {
+          var i = 0
+          while (i < n) { if (!valid(i)) v.putNull(i); i += 1 }
         }
       case bp: BinaryPage =>
         val valid = bp.valid
@@ -122,15 +99,24 @@ object ColumnarSupport {
     private var pageIdx = part.pageStart
     private var emitted = 0L
     private var batch: ColumnarBatch = _
+    // vectors are reused across pages (reset, not reallocated)
+    private var vectors: Array[OnHeapColumnVector] = _
+    private var vectorCapacity = 0
 
     override def next(): Boolean = {
-      if (batch != null) { batch.close(); batch = null }
       if (pageIdx >= part.pageEnd || emitted >= part.limit) return false
       val p = pageIdx
       pageIdx += 1
       val n = math.min(pageRows(p).toLong, part.limit - emitted).toInt
       if (n <= 0) return next()
-      val vectors = OnHeapColumnVector.allocateColumns(pageRows(p), requiredSchema)
+      if (vectors == null || vectorCapacity < pageRows(p)) {
+        if (vectors != null) vectors.foreach(_.close())
+        vectors = OnHeapColumnVector.allocateColumns(pageRows(p), requiredSchema)
+        vectorCapacity = pageRows(p)
+        batch = new ColumnarBatch(vectors.map(_.asInstanceOf[ColumnVector]), n)
+      } else {
+        vectors.foreach(_.reset())
+      }
       var c = 0
       while (c < resolved.length) {
         if (resolved(c) < 0) vectors(c).putNulls(0, pageRows(p))
@@ -145,14 +131,14 @@ object ColumnarSupport {
         c += 1
       }
       emitted += n
-      batch = new ColumnarBatch(vectors.map(_.asInstanceOf[ColumnVector]), n)
+      batch.setNumRows(n)
       true
     }
 
     override def get(): ColumnarBatch = batch
 
     override def close(): Unit = {
-      if (batch != null) { batch.close(); batch = null }
+      if (batch != null) { batch.close(); batch = null; vectors = null } // closes vectors
       input.close()
     }
   }
