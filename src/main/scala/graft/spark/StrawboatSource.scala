@@ -381,10 +381,19 @@ class StrawDataWriter(dir: String, schema: StructType, partitionId: Int, taskId:
   private def roll(): Unit = {
     if (current.numRows > 0) {
       val name = f"part-$partitionId%05d-$taskId-$uuid-$fileIdx%04d${StrawFormat.Extension}"
-      val p = new Path(dir, name)
-      val os = fsys.create(p, true)
-      try current.writeTo(os) finally os.close()
-      files += p.toString
+      // write to a temp name, rename on completion: an interrupted task can
+      // never leave a half-written file that LOOKS like data (readers only
+      // pick up *.strb)
+      val tmp = new Path(dir, s".$name.tmp")
+      val dst = new Path(dir, name)
+      val os = fsys.create(tmp, true)
+      var ok = false
+      try { current.writeTo(os); ok = true }
+      finally {
+        os.close()
+        if (ok) fsys.rename(tmp, dst) else fsys.delete(tmp, false)
+      }
+      files += dst.toString
       fileIdx += 1
     }
     current = new StrawFileWriter(schema, opts)

@@ -76,6 +76,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.map(_.getLong(1)).sum == 600L)
   }
 
+  test("custom stateful sessionization with flatMapGroupsWithState") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val data = s"$dir/sessions"
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // user 1: two bursts 40 min apart (2 sessions); user 2: one burst
+    val events = Seq(
+      (1L, new java.sql.Timestamp(base.getTime)),
+      (1L, new java.sql.Timestamp(base.getTime + 60000)),
+      (1L, new java.sql.Timestamp(base.getTime + 40 * 60000)),
+      (2L, new java.sql.Timestamp(base.getTime + 5 * 60000)))
+    val ss = spark
+    import ss.implicits._
+    events.toDF("user_id", "ts").write.format("strawboat").mode("append").save(data)
+
+    val sessionized = spark.readStream.format("strawboat").load(data)
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Int)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        // state = (lastSeenMillis, sessionCount); 30-minute gap starts a session
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[(Long, Long)]) =>
+          var (last, count) = state.getOption.getOrElse((Long.MinValue, 0L))
+          rows.toSeq.sortBy(_._2.getTime).foreach { case (_, ts) =>
+            if (last == Long.MinValue || ts.getTime - last > 30 * 60000) count += 1
+            last = ts.getTime
+          }
+          state.update((last, count))
+          Iterator((user, count.toInt))
+      }
+    val q = sessionized.toDF("user_id", "sessions")
+      .writeStream.format("memory").queryName("sess")
+      .option("checkpointLocation", s"$dir/ckptSess")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.sql("SELECT user_id, max(sessions) FROM sess GROUP BY 1 ORDER BY 1")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(out == Seq((1L, 2), (2L, 1)))
+  }
+
   test("streaming write lands strawboat files readable by batch") {
     val outDir = s"$dir/streamout"
     val src = spark.readStream.format("rate")
