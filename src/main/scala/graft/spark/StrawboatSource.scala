@@ -196,14 +196,30 @@ class StrawScan(
     s"strawboat $path skipFilters=[${filters.mkString(", ")}] limit=" +
       (if (limit == Long.MaxValue) "none" else limit.toString)
 
+  /** Footers of all files, read once per scan with parallel IO (footer
+    * reads dominate planning at large file counts) and shared between
+    * partition planning and statistics. */
+  private lazy val footers: Seq[(String, graft.format.StrawFooter, Long)] = {
+    val files = StrawIO.listFiles(path)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, files.size)))
+    try {
+      val futures = files.map { f =>
+        pool.submit(new java.util.concurrent.Callable[(String, graft.format.StrawFooter, Long)] {
+          def call() = StrawIO.withInput(f) { in => (f, StrawFileReader.readFooter(in), in.length) }
+        })
+      }
+      futures.map(_.get())
+    } finally pool.shutdown()
+  }
+
   /** Driver-side plan: read each file's footer, drop zone-map-excluded
     * pages, slice surviving page runs into ~32 MiB partitions. */
   override def planInputPartitions(): Array[InputPartition] = {
     val targetBytes = 32L << 20
     val parts = ArrayBuffer.empty[InputPartition]
     var rowsPlanned = 0L
-    for (file <- StrawIO.listFiles(path) if rowsPlanned < limit) {
-      val footer = StrawIO.withInput(file)(StrawFileReader.readFooter)
+    for ((file, footer, _) <- footers if rowsPlanned < limit) {
       if (footer.columns.nonEmpty) {
         val keep = ZoneMapFilter.keptPages(footer, filters)
         val pages = footer.columns(0).pages
@@ -237,13 +253,8 @@ class StrawScan(
     new StrawPartitionReaderFactory(fullSchema, requiredSchema)
 
   override def estimateStatistics(): Statistics = {
-    var rows = 0L
-    var bytes = 0L
-    for (file <- StrawIO.listFiles(path)) {
-      val footer = StrawIO.withInput(file) { in => bytes += in.length; StrawFileReader.readFooter(in) }
-      rows += footer.numRows
-    }
-    val r = rows; val b = math.max(bytes, 1L)
+    val r = footers.foldLeft(0L)(_ + _._2.numRows)
+    val b = math.max(footers.foldLeft(0L)(_ + _._3), 1L)
     new Statistics {
       override def sizeInBytes(): OptionalLong = OptionalLong.of(b)
       override def numRows(): OptionalLong = OptionalLong.of(r)
