@@ -143,6 +143,38 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!qs.queryExecution.executedPlan.toString.contains("footer-only"))
   }
 
+  test("SQL DDL: CREATE TABLE USING strawboat + pure-SQL query") {
+    val out = s"$dir/sqlddl"
+    lineitem.write.format("strawboat").mode("overwrite").save(out)
+    spark.sql(s"CREATE TABLE straw_li USING strawboat OPTIONS (path '$out')")
+    try {
+      val r = spark.sql(
+        """SELECT l_returnflag, count(*) AS c, round(sum(l_quantity), 2) AS q
+          |FROM straw_li GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+      val e = lineitem.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("c"), round(sum("l_quantity"), 2).as("q"))
+        .orderBy("l_returnflag").collect()
+      assert(r.toSeq.map(_.toSeq) == e.toSeq.map(_.toSeq))
+    } finally spark.sql("DROP TABLE straw_li")
+  }
+
+  test("salted join equals plain join on skewed data") {
+    import graft.ops.SkewJoin
+    val out = s"$dir/skew"
+    // 90% of rows share one hot key
+    spark.range(0, 50000).select(
+      col("id"), when(col("id") % 10 < 9, 7L).otherwise(col("id") % 100).as("k"))
+      .write.format("strawboat").mode("overwrite").save(out)
+    val big = spark.read.format("strawboat").load(out)
+    val small = spark.range(0, 100).select(col("id").as("k2"),
+      concat(lit("v"), col("id")).as("v"))
+    val plain = big.join(small, big("k") === small("k2"))
+      .groupBy("k").agg(count(lit(1)).as("c")).orderBy("k").collect()
+    val salted = SkewJoin.saltedInnerJoin(big, "k", "id", small, "k2", salts = 8)
+      .groupBy("k").agg(count(lit(1)).as("c")).orderBy("k").collect()
+    assert(salted.toSeq.map(_.toSeq) == plain.toSeq.map(_.toSeq))
+  }
+
   test("statistics reported for broadcast decisions") {
     val out = s"$dir/stats"
     spark.range(0, 1000).write.format("strawboat").mode("overwrite").save(out)
