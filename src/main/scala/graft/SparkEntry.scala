@@ -105,6 +105,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
+    "q_agg_groupingsets" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("li_gs")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+          |  round(sum(l_quantity), 2) AS qty
+          |FROM li_gs GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    }),
+    "q_agg_approx_distinct" -> ((s, d) => {
+      // HLL sketch (approx_count_distinct); implementations differ across
+      // engines so this is rows-only, with the exact count alongside
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy(col("l_returnflag"))
+    }),
     "q_agg_minmax" -> ((s, d) => {
       t(s, d, "lineitem").groupBy(col("l_linestatus"))
         .agg(round(min(col("l_quantity")), 2).as("min_qty"),
@@ -196,6 +212,29 @@ object SparkEntry {
         .select(col("o_orderkey"),
           round(col("o_totalprice") - col("prev_price"), 2).as("price_delta"))
         .orderBy(col("o_orderkey"))
+    }),
+    "q_window_frame" -> ((s, d) => {
+      // sliding 3-row frame per customer (rowsBetween); max is an exact
+      // order statistic — immune to accumulation-order float noise
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-2, Window.currentRow)
+      t(s, d, "orders")
+        .withColumn("mmax", round(max(col("o_totalprice")).over(w), 2))
+        .select(col("o_orderkey"), col("mmax"))
+        .orderBy(col("o_orderkey"))
+    }),
+    "q_events_sessions" -> ((s, d) => {
+      // 30-minute-gap sessionization over exact nanos timestamps
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev").isNull || col("ts") - col("prev") > lit(30L * 60 * 1000000000L), 1)
+            .otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
     }),
     // --- sort / set ops / scalar functions (§2.9) -------------------------
     "q_sort_limit" -> ((s, d) => {
@@ -415,6 +454,26 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_agg_groupingsets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_window_frame" ->
+      """SELECT o_orderkey,
+        |  round(max(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mmax
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_events_sessions" ->
+      """WITH g AS (SELECT user_id, event_id, epoch_ns(ts) AS tns,
+        |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT user_id,
+        |  sum(CASE WHEN prev IS NULL OR tns - prev > 1800000000000 THEN 1 ELSE 0 END) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_agg_minmax" ->
       """SELECT l_linestatus, round(min(l_quantity), 2) AS min_qty,
         |  round(max(l_quantity), 2) AS max_qty,
@@ -552,6 +611,26 @@ object SparkEntry {
         |  sum(ascii(substr(text, i::INT, 1)) * ((i - 1) % 64 + 1)) AS fingerprint
         |FROM documents, range(1, 100001) t(i) WHERE i <= length(text)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q_langid_pred" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '')) AS tk
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    len(list_intersect(tk, ['der','die','das','und','ist','nicht','mit','ein','zu','auf'])) AS de,
+        |    len(list_intersect(tk, ['the','and','of','to','in','is','that','for','with','as'])) AS en,
+        |    len(list_intersect(tk, ['el','la','los','que','es','no','por','con','una','para'])) AS es,
+        |    len(list_intersect(tk, ['le','la','les','et','est','pas','pour','que','une','dans'])) AS fr,
+        |    len(list_intersect(tk, ['的','是','不','了','在','人','有','我','他','这'])) AS zh
+        |  FROM toks)
+        |SELECT doc_id, CASE
+        |  WHEN greatest(de, en, es, fr, zh) = 0 THEN 'und'
+        |  WHEN zh >= greatest(de, en, es, fr) THEN 'zh'
+        |  WHEN fr >= greatest(de, en, es) THEN 'fr'
+        |  WHEN es >= greatest(de, en) THEN 'es'
+        |  WHEN en >= de THEN 'en'
+        |  ELSE 'de' END AS pred_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q_ann_brute" ->
       """SELECT query_id, rank, neighbor_id, cosine FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
