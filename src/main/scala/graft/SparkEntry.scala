@@ -175,6 +175,13 @@ object SparkEntry {
         .agg(round(sum(col("l.l_extendedprice") * (lit(1) - col("l.l_discount"))), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
     }),
+    "q_tpch_q6" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit(java.time.LocalDateTime.of(1996, 1, 1, 0, 0)) &&
+          col("l_shipdate") < lit(java.time.LocalDateTime.of(1997, 1, 1, 0, 0)) &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+    }),
     "q_join_multi" -> ((s, d) => {
       t(s, d, "customer").as("c")
         .join(t(s, d, "orders").as("o"), col("c.c_custkey") === col("o.o_custkey"))
@@ -365,6 +372,16 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_dedup_embedding" -> ((s, d) => {
+      // exact tier (broadcast self-join) — oracle-checkable
+      Ann.exactNearDupPairs(s, t(s, d, "embeddings"), 0.45)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q_dedup_embedding_lsh" -> ((s, d) => {
+      // scale tier: bucket-local pairs only (approximate recall)
+      Ann.lshNearDupPairs(s, t(s, d, "embeddings"), 64, 0.45)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "q_ann_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Ann.lshTopK(s, emb, emb.filter(col("vec_id") < 5), 64, 3)
@@ -511,6 +528,12 @@ object SparkEntry {
         |JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY 1 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_tpch_q6" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
     "q_join_multi" ->
       """SELECT n_name,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -646,6 +669,13 @@ object SparkEntry {
         |  (sum(l_extendedprice::DECIMAL(25,4)))::DECIMAL(30,4) AS total,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dedup_embedding" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_multimodal" ->
       """SELECT doc_id, strlen(text) AS byte_len, md5(text) AS digest, lang,
         |  'text/plain' AS mime

@@ -71,6 +71,32 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Embedding-cosine near-duplicate pairs, exact tier: all (a < b) pairs
+    * above `threshold` via a broadcast self-join — the verification shape
+    * for small corpora / samples. */
+  def exactNearDupPairs(spark: SparkSession, corpus: DataFrame,
+      threshold: Double): DataFrame =
+    corpus.as("a")
+      .join(broadcast(corpus.as("b")), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(VectorFunctions.cosine(spark, col("a.embedding"), col("b.embedding")), 4)
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+
+  /** Embedding-cosine near-duplicate pairs, scale tier: candidates meet
+    * only inside a shared hyperplane-sign bucket (O(n·bucket), not n²). */
+  def lshNearDupPairs(spark: SparkSession, corpus: DataFrame, dim: Int,
+      threshold: Double, nPlanes: Int = 8): DataFrame = {
+    val b = corpus.withColumn("bucket", signBucket(col("embedding"), dim, nPlanes))
+    b.as("a")
+      .join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(VectorFunctions.cosine(spark, col("a.embedding"), col("b.embedding")), 4)
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** L2 norm of an embedding column via SQL aggregate (codegen'd). */
   def l2Norm(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sqrt(aggregate(emb, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
