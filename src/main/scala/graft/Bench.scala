@@ -12,8 +12,10 @@ object Bench {
   private val headline = Seq(
     "q_scan_filter_project", "q_codec_sorted", "q_agg_groupby",
     "q_agg_distinct", "q_join_broadcast", "q_join_shuffle", "q_join_multi",
-    "q_tpch_q3", "q_window_rank", "q_window_running", "q_topk_orders",
-    "q_dedup_exact", "q_dedup_minhash", "q_ann_brute", "q_text_stats")
+    "q_tpch_q3", "q_tpch_q6", "q_window_rank", "q_window_running",
+    "q_events_sessions", "q_topk_orders",
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_embedding_lsh",
+    "q_ann_brute", "q_ann_ivf", "q_text_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -388,6 +388,12 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Ann.ivfTopK(s, emb, emb.filter(col("vec_id") < 5), 64, 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // --- Decimal(>18) storage through the format ---------------------------
     "q_decimal_agg" -> ((s, d) => {
       // derive a wide-decimal table, store it in strawboat (two-long i128

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** LLM-pipeline operator behavior: ANN tier recall vs the exact baseline. */
+class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("IVF and LSH top-k are subsets of the brute-force candidate space with sane recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Ann.bruteForceTopK(spark, emb, queries, 10))
+    val ivf = pairs(Ann.ivfTopK(spark, emb, queries, 64, 10))
+    val lsh = pairs(Ann.lshTopK(spark, emb, queries, 64, 10))
+    assert(exact.nonEmpty)
+    // approximate tiers return valid (query, neighbor) pairs only
+    assert(ivf.forall { case (q, n) => q < 10 && n != q })
+    assert(lsh.forall { case (q, n) => q < 10 && n != q })
+    // IVF with 4-of-16 probes should recover a reasonable share of true top-k
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.2, s"IVF recall too low: $recall")
+  }
+
+  test("minhash near-dup agrees with exact ngram jaccard on planted dups") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val mh = Dedup.minHashNearDup(docs, "doc_id", "text")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verified-minhash pairs are exactly the exact-jaccard pairs (same
+    // shingle definition, LSH only prunes candidates)
+    assert(mh.subsetOf(exact))
+    if (exact.nonEmpty) assert(mh.nonEmpty)
+  }
+}
