@@ -421,6 +421,17 @@ class StrawDataWriter(dir: String, schema: StructType, partitionId: Int, taskId:
 
   override def commit(): WriterCommitMessage = {
     roll()
+    // empty result set: partition 0 still writes a schema-only file so the
+    // directory stays self-describing (read back as an empty table, like
+    // parquet, instead of failing schema inference)
+    if (files.isEmpty && partitionId == 0) {
+      current = new StrawFileWriter(schema, opts)
+      val name = f"part-$partitionId%05d-$taskId-$uuid-empty${StrawFormat.Extension}"
+      val p = new Path(dir, name)
+      val os = fsys.create(p, true)
+      try current.writeTo(os) finally os.close()
+      files += p.toString
+    }
     StrawCommitMessage(files.toSeq)
   }
 

@@ -175,6 +175,19 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(salted.toSeq.map(_.toSeq) == plain.toSeq.map(_.toSeq))
   }
 
+  test("empty DataFrame writes a self-describing dir; empty overwrite truncates") {
+    val out = s"$dir/empty"
+    spark.range(0, 0).write.format("strawboat").mode("overwrite").save(out)
+    val back = spark.read.format("strawboat").load(out)
+    assert(back.schema.fieldNames.toSeq == Seq("id"))
+    assert(back.count() == 0)
+    // overwrite real data with an empty frame → empty table, not an error
+    spark.range(0, 10).write.format("strawboat").mode("overwrite").save(out)
+    assert(spark.read.format("strawboat").load(out).count() == 10)
+    spark.range(0, 0).write.format("strawboat").mode("overwrite").save(out)
+    assert(spark.read.format("strawboat").load(out).count() == 0)
+  }
+
   test("statistics reported for broadcast decisions") {
     val out = s"$dir/stats"
     spark.range(0, 1000).write.format("strawboat").mode("overwrite").save(out)
