@@ -353,10 +353,25 @@ class StrawBatchWrite(path: String, schema: StructType, truncate: Boolean)
     new StrawDataWriterFactory(path, schema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    if (truncate) {
-      val fresh = messages.flatMap { case StrawCommitMessage(fs) => fs }.toSet
-      val f = StrawIO.fs(path)
+    val fresh = messages.flatMap { case StrawCommitMessage(fs) => fs }.toSet
+    val f = StrawIO.fs(path)
+    if (truncate)
       preExisting.filterNot(fresh).foreach(old => f.delete(new Path(old), false))
+    // empty result set into an empty directory: write one schema-only
+    // marker (driver-side, once) so the table stays self-describing and
+    // reads back as empty, like parquet. Temp+rename keeps the crash-safety
+    // invariant (no partial file ever carries the data extension).
+    if (fresh.isEmpty && StrawIO.listFiles(path).isEmpty) {
+      f.mkdirs(new Path(path))
+      val name = s"part-empty-${UUID.randomUUID().toString.take(8)}${StrawFormat.Extension}"
+      val tmp = new Path(path, s".$name.tmp")
+      val os = f.create(tmp, true)
+      var ok = false
+      try { new StrawFileWriter(schema, WriteOptions()).writeTo(os); ok = true }
+      finally {
+        os.close()
+        if (ok) f.rename(tmp, new Path(path, name)) else f.delete(tmp, false)
+      }
     }
   }
 
@@ -421,17 +436,6 @@ class StrawDataWriter(dir: String, schema: StructType, partitionId: Int, taskId:
 
   override def commit(): WriterCommitMessage = {
     roll()
-    // empty result set: partition 0 still writes a schema-only file so the
-    // directory stays self-describing (read back as an empty table, like
-    // parquet, instead of failing schema inference)
-    if (files.isEmpty && partitionId == 0) {
-      current = new StrawFileWriter(schema, opts)
-      val name = f"part-$partitionId%05d-$taskId-$uuid-empty${StrawFormat.Extension}"
-      val p = new Path(dir, name)
-      val os = fsys.create(p, true)
-      try current.writeTo(os) finally os.close()
-      files += p.toString
-    }
     StrawCommitMessage(files.toSeq)
   }
 

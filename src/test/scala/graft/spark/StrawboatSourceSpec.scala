@@ -186,6 +186,13 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.format("strawboat").load(out).count() == 10)
     spark.range(0, 0).write.format("strawboat").mode("overwrite").save(out)
     assert(spark.read.format("strawboat").load(out).count() == 0)
+    // empty append onto real data must NOT add a marker file
+    spark.range(0, 10).write.format("strawboat").mode("overwrite").save(out)
+    val before = new java.io.File(out).listFiles().count(_.getName.endsWith(".strb"))
+    spark.range(0, 0).write.format("strawboat").mode("append").save(out)
+    val after = new java.io.File(out).listFiles().count(_.getName.endsWith(".strb"))
+    assert(before == after)
+    assert(spark.read.format("strawboat").load(out).count() == 10)
   }
 
   test("statistics reported for broadcast decisions") {
