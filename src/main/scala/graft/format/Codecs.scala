@@ -281,7 +281,11 @@ final class IntStats(values: Array[Long], n: Int) {
         val prev = values(i - 1)
         if (v != prev) runCount += 1
         if (v < prev) sorted = false
-        else if (sorted && v - prev > maxDelta) maxDelta = v - prev
+        else if (sorted) {
+          val d = v - prev
+          if (d < 0) sorted = false // delta overflows Long: not delta-packable
+          else if (d > maxDelta) maxDelta = d
+        }
       }
       if (!highCardinality) {
         val c = counts.get(v)
@@ -347,7 +351,7 @@ object IntCodec {
     out
   }
 
-  private def fromRawBytes(bytes: Array[Byte], n: Int, width: Int, signed: Boolean): Array[Long] = {
+  private def fromRawBytes(bytes: Array[Byte], n: Int, width: Int): Array[Long] = {
     val out = new Array[Long](n)
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     var i = 0
@@ -639,8 +643,9 @@ object IntCodec {
     effective
   }
 
-  /** Decode one block into widened Longs. `signed` controls sign extension
-    * of narrow raw values (true for all Spark integer types). */
+  /** Decode one block into widened Longs. Narrow raw values sign-extend
+    * (all Spark integer types); width-4 float bits are re-masked to their
+    * low 32 bits by the reader, so either extension is safe there. */
   def decode(in: ByteBuffer, n: Int, width: Int): Array[Long] = {
     val codec = in.get() & 0xff
     val clen = in.getInt()
@@ -723,7 +728,7 @@ object IntCodec {
         val arr = in.array()
         val pos = in.arrayOffset() + in.position()
         val raw = CommonCompression.decompress(common, arr, pos, clen, rawLen)
-        fromRawBytes(raw, n, width, signed = true)
+        fromRawBytes(raw, n, width)
     }
     in.position(endPos)
     result
@@ -764,13 +769,17 @@ object BinaryCodec {
       // mostly-unique sample ⇒ dict can't pay off; skip the full intern pass
       if (probe.size() * 4 > sampleN * 3) highCard = true
     }
+    // indices recorded during the intern pass — values are hashed once
+    val indices = new Array[Long](if (highCard) 0 else n)
     i = 0
     while (i < n && !highCard) {
       val k = new ByteKey(bytes, offsets(i), offsets(i + 1) - offsets(i))
-      if (!interner.containsKey(k)) {
+      var id = interner.get(k)
+      if (id == null) {
         if (interner.size() >= 65536) highCard = true
-        else interner.put(k, interner.size())
+        else { id = Integer.valueOf(interner.size()); interner.put(k, id) }
       }
+      if (!highCard) indices(i) = id.toLong
       i += 1
     }
     val distinct = interner.size()
@@ -798,12 +807,6 @@ object BinaryCodec {
         i += 1
       }
       CommonCompression.writeBytesBlock(dictBuf.buf, 0, dictBuf.len, opts, out)
-      val indices = new Array[Long](n)
-      i = 0
-      while (i < n) {
-        indices(i) = interner.get(new ByteKey(bytes, offsets(i), offsets(i + 1) - offsets(i))).toLong
-        i += 1
-      }
       IntCodec.encode(indices, n, 4, opts, IntCodec.ForbidDict, out)
     } else {
       out.putByte(ValuesPlain)

@@ -69,12 +69,14 @@ final case class PageMeta(
     max: Long)
 
 final case class ColumnMeta(offset: Long, pages: Array[PageMeta]) {
-  /** Byte offset of page `p` within the file. */
-  def pageOffset(p: Int): Long = {
-    var off = offset
-    var i = 0
-    while (i < p) { off += pages(i).compLen; i += 1 }
-    off
+  /** Absolute byte offset of every page (prefix sums; readers index this
+    * rather than recomputing O(p) per page). */
+  def pageOffsets: Array[Long] = {
+    val offs = new Array[Long](pages.length)
+    var acc = offset
+    var p = 0
+    while (p < pages.length) { offs(p) = acc; acc += pages(p).compLen; p += 1 }
+    offs
   }
 }
 
@@ -309,7 +311,7 @@ final class BinaryColumnWriter(opts: WriteOptions, isString: Boolean)
   def bufferedBytes: Long = bytes.len.toLong + 4L * n
 }
 
-final class ArrayColumnWriter(opts: WriteOptions, elem: ColumnWriter, elemType: DataType,
+final class ArrayColumnWriter(opts: WriteOptions, elem: ColumnWriter,
     containsNull: Boolean) extends ColumnWriter(opts) {
   private var lengths = new Array[Long](1024)
   private var n = 0
@@ -376,8 +378,8 @@ final class MapColumnWriter(opts: WriteOptions, key: ColumnWriter, value: Column
   def bufferedBytes: Long = 4L * n + key.bufferedBytes + value.bufferedBytes
 }
 
-final class StructColumnWriter(opts: WriteOptions, fields: Array[ColumnWriter],
-    fieldTypes: Array[StructField]) extends ColumnWriter(opts) {
+final class StructColumnWriter(opts: WriteOptions, fields: Array[ColumnWriter])
+  extends ColumnWriter(opts) {
   def append(g: SpecializedGetters, ordinal: Int): Unit = {
     val st = g.getStruct(ordinal, fields.length)
     var i = 0
@@ -482,11 +484,11 @@ object ColumnWriter {
     case StringType => new BinaryColumnWriter(opts, isString = true)
     case BinaryType => new BinaryColumnWriter(opts, isString = false)
     case ArrayType(et, containsNull) =>
-      new ArrayColumnWriter(opts, apply(et, opts), et, containsNull)
+      new ArrayColumnWriter(opts, apply(et, opts), containsNull)
     case MapType(kt, vt, vcn) =>
       new MapColumnWriter(opts, apply(kt, opts), apply(vt, opts), vcn)
     case StructType(fields) =>
-      new StructColumnWriter(opts, fields.map(f => apply(f.dataType, opts)), fields)
+      new StructColumnWriter(opts, fields.map(f => apply(f.dataType, opts)))
     case NullType => new NullColumnWriter(opts)
     case other =>
       throw new UnsupportedOperationException(
@@ -517,10 +519,10 @@ final class StrawFileWriter(schema: StructType, opts: WriteOptions) {
     rowsInPage += 1
     totalRows += 1
     // flush on row count OR buffered bytes — large binary/multimodal cells
-    // must not accumulate unbounded page memory (16 MiB cap per page)
+    // must not accumulate unbounded page memory (16 MiB cap, checked every
+    // row so even a single giant cell flushes at the next row boundary)
     if (rowsInPage >= opts.maxPageSize ||
-      (rowsInPage >= 64 && (rowsInPage & 63) == 0 &&
-        writers.foldLeft(0L)(_ + _.bufferedBytes) > (16L << 20))) flushPages()
+      writers.foldLeft(0L)(_ + _.bufferedBytes) > (16L << 20)) flushPages()
   }
 
   private def flushPages(): Unit = {

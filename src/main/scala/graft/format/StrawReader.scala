@@ -261,22 +261,21 @@ object StrawFileReader {
       projection: Array[Int],
       keepPage: Int => Boolean = _ => true,
       limit: Long = Long.MaxValue): Iterator[InternalRow] = {
-    val numPages =
-      if (footer.columns.isEmpty) 0 else footer.columns(0).pages.length
-    val pageRows: Array[Int] =
-      if (footer.columns.isEmpty) Array.empty
-      else footer.columns(0).pages.map(_.numValues)
-    val fieldTypes = projection.map(i => footer.schema.fields(i).dataType)
-    // absolute byte offset of each page, precomputed per projected column
-    // (ColumnMeta.pageOffset is O(p) — avoid O(p^2) over the scan)
-    val pageOffsets: Array[Array[Long]] = projection.map { ci =>
-      val cm = footer.columns(ci)
-      val offs = new Array[Long](cm.pages.length)
-      var acc = cm.offset
-      var p = 0
-      while (p < cm.pages.length) { offs(p) = acc; acc += cm.pages(p).compLen; p += 1 }
-      offs
+    // zero-column files (empty write schema) carry rows only in the footer:
+    // emit numRows empty rows directly (no pages exist to iterate)
+    if (footer.columns.isEmpty) {
+      val total = math.min(footer.numRows, limit)
+      return new Iterator[InternalRow] {
+        private var i = 0L
+        def hasNext: Boolean = i < total
+        def next(): InternalRow = { i += 1; InternalRow.empty }
+      }
     }
+    val numPages = footer.columns(0).pages.length
+    val pageRows: Array[Int] = footer.columns(0).pages.map(_.numValues)
+    val fieldTypes = projection.map(i => footer.schema.fields(i).dataType)
+    val pageOffsets: Array[Array[Long]] =
+      projection.map(ci => footer.columns(ci).pageOffsets)
 
     new Iterator[InternalRow] {
       private var pageIdx = 0

@@ -60,6 +60,9 @@ object ColumnarSupport {
         }
       case bp: BinaryPage =>
         val valid = bp.valid
+        // reserve the child byte vector once (putByteArray would otherwise
+        // grow it repeatedly through doubling)
+        v.arrayData().reserve(bp.offsets(n))
         var i = 0
         while (i < n) {
           if (valid != null && !valid(i)) v.putNull(i)
@@ -86,15 +89,7 @@ object ColumnarSupport {
     private val pageRows: Array[Int] =
       if (footer.columns.isEmpty) Array.empty else footer.columns(0).pages.map(_.numValues)
     private val pageOffsets: Array[Array[Long]] = resolved.map { ci =>
-      if (ci < 0) null
-      else {
-        val cm = footer.columns(ci)
-        val offs = new Array[Long](cm.pages.length)
-        var acc = cm.offset
-        var p = 0
-        while (p < cm.pages.length) { offs(p) = acc; acc += cm.pages(p).compLen; p += 1 }
-        offs
-      }
+      if (ci < 0) null else footer.columns(ci).pageOffsets
     }
     private var pageIdx = part.pageStart
     private var emitted = 0L
