@@ -1,0 +1,96 @@
+package graft.spark
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.format._
+
+/** Property: zone-map page skipping never loses a matching row — for
+  * arbitrary data, page sizes and filters, scanning only the kept pages
+  * yields exactly the rows a full scan + in-memory filter yields. */
+class ZoneMapPropertySpec extends AnyFunSuite {
+
+  private val schema = StructType(Seq(
+    StructField("v", LongType), StructField("s", StringType)))
+
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(60).withMaxSize(300), prop)
+    assert(res.passed, org.scalacheck.util.Pretty.pretty(res))
+  }
+
+  private val genRows: Gen[List[(Option[Long], Option[String])]] =
+    Gen.listOf(for {
+      v <- Gen.option(Gen.frequency(
+        5 -> Gen.chooseNum(-100L, 100L), 1 -> Gen.oneOf(Long.MinValue, Long.MaxValue)))
+      s <- Gen.option(Gen.oneOf("", "a", "ab", "abcdefghij", "zz", "Zebra", "日本"))
+    } yield (v, s))
+
+  private val genFilter: Gen[Filter] = {
+    val vLit = Gen.chooseNum(-100L, 100L)
+    val sLit = Gen.oneOf("", "a", "ab", "abc", "zz", "Zebra", "日本", "m")
+    Gen.oneOf(
+      vLit.map(EqualTo("v", _)), vLit.map(GreaterThan("v", _)),
+      vLit.map(GreaterThanOrEqual("v", _)), vLit.map(LessThan("v", _)),
+      vLit.map(LessThanOrEqual("v", _)),
+      Gen.listOfN(3, vLit).map(vs => In("v", vs.toArray.map(_.asInstanceOf[Any]))),
+      Gen.const(IsNull("v")), Gen.const(IsNotNull("v")),
+      sLit.map(EqualTo("s", _)), sLit.map(GreaterThan("s", _)),
+      sLit.map(LessThan("s", _)),
+      for (a <- vLit; b <- sLit) yield And(GreaterThanOrEqual("v", a), LessThanOrEqual("s", b)),
+      for (a <- vLit; b <- vLit) yield Or(LessThan("v", a), GreaterThan("v", b)))
+  }
+
+  private def matches(f: Filter, v: Option[Long], s: Option[String]): Boolean = f match {
+    case EqualTo("v", x) => v.contains(x.asInstanceOf[Long])
+    case GreaterThan("v", x) => v.exists(_ > x.asInstanceOf[Long])
+    case GreaterThanOrEqual("v", x) => v.exists(_ >= x.asInstanceOf[Long])
+    case LessThan("v", x) => v.exists(_ < x.asInstanceOf[Long])
+    case LessThanOrEqual("v", x) => v.exists(_ <= x.asInstanceOf[Long])
+    case In("v", xs) => v.exists(y => xs.contains(y))
+    case IsNull("v") => v.isEmpty
+    case IsNotNull("v") => v.isDefined
+    // string comparisons must mirror Spark's UTF8String binary ordering
+    case EqualTo("s", x) => s.contains(x.asInstanceOf[String])
+    case GreaterThan("s", x) =>
+      s.exists(y => UTF8String.fromString(y).compareTo(
+        UTF8String.fromString(x.asInstanceOf[String])) > 0)
+    case LessThan("s", x) =>
+      s.exists(y => UTF8String.fromString(y).compareTo(
+        UTF8String.fromString(x.asInstanceOf[String])) < 0)
+    case GreaterThanOrEqual("s", x) =>
+      s.exists(y => UTF8String.fromString(y).compareTo(
+        UTF8String.fromString(x.asInstanceOf[String])) >= 0)
+    case LessThanOrEqual("s", x) =>
+      s.exists(y => UTF8String.fromString(y).compareTo(
+        UTF8String.fromString(x.asInstanceOf[String])) <= 0)
+    case And(l, r) => matches(l, v, s) && matches(r, v, s)
+    case Or(l, r) => matches(l, v, s) || matches(r, v, s)
+    case other => fail(s"unhandled $other")
+  }
+
+  test("page skipping preserves every matching row for arbitrary data and filters") {
+    check(Prop.forAllNoShrink(genRows, genFilter, Gen.oneOf(3, 7, 16)) { (rows, filter, pageSize) =>
+      val w = new StrawFileWriter(schema, WriteOptions(maxPageSize = pageSize))
+      rows.foreach { case (v, s) =>
+        w.write(new GenericInternalRow(Array[Any](
+          v.map(Long.box).orNull, s.map(UTF8String.fromString).orNull)))
+      }
+      val in = new ByteArrayInput(w.finish())
+      val footer = StrawFileReader.readFooter(in)
+      val keep = ZoneMapFilter.keptPages(footer, Array(filter))
+      val got = StrawFileReader.rows(in, footer, Array(0, 1), keepPage = keep)
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          if (r.isNullAt(1)) None else Some(r.getUTF8String(1).toString)))
+        .filter { case (v, s) => matches(filter, v, s) } // row-level re-eval, like Spark
+        .toList
+      val expected = rows.filter { case (v, s) => matches(filter, v, s) }
+      got == expected
+    })
+  }
+}
