@@ -624,11 +624,11 @@ object SparkEntry {
         |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
         |  round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
         |    / greatest(length(text), 1), 4) AS alpha_ratio,
-        |  round(length(regexp_replace(text, '[^ ]', '', 'g')) * 1.0
+        |  round((length(text) - length(regexp_replace(text, '\s', '', 'g'))) * 1.0
         |    / greatest(length(text), 1), 4) AS space_ratio,
         |  round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0
         |    / greatest(length(text), 1), 4) AS punct_ratio,
-        |  round((length(text) - length(regexp_replace(text, '[^ ]', '', 'g'))) * 1.0
+        |  round(length(regexp_replace(text, '\s', '', 'g')) * 1.0
         |    / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 1),
         |    4) AS mean_token_len
         |FROM documents ORDER BY doc_id""".stripMargin,

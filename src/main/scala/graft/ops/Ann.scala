@@ -18,11 +18,15 @@ import graft.functions.VectorFunctions
 object Ann {
 
   /** Exact cosine top-k of `queries` (small, broadcast) against `corpus`.
-    * Uses the codegen'd [[graft.functions.CosineSimilarity]] expression. */
+    * Uses the codegen'd [[graft.functions.CosineSimilarity]] expression.
+    * `excludeSelf` assumes queries share the corpus id space (queries ⊆
+    * corpus); pass false when the two are independent datasets whose ids
+    * may coincide without denoting the same vector. */
   def bruteForceTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, excludeSelf: Boolean = true): DataFrame = {
     val scored = corpus.as("c")
-      .join(broadcast(queries.as("q")), col("c.vec_id") =!= col("q.vec_id"))
+      .join(broadcast(queries.as("q")),
+        if (excludeSelf) col("c.vec_id") =!= col("q.vec_id") else lit(true))
       .select(
         col("q.vec_id").as("query_id"),
         col("c.vec_id").as("neighbor_id"),

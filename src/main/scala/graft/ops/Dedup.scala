@@ -40,13 +40,16 @@ object Dedup {
   }
 
   /** LSH band buckets from signatures: `bands` bands of `rows` hashes each;
-    * docs sharing any band bucket are candidate near-duplicates. */
+    * docs sharing any band bucket are candidate near-duplicates. Emitted in
+    * ONE pass via posexplode (a per-band union would recompute the upstream
+    * signature aggregation once per band). */
   def lshBuckets(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
-    val frames = (0 until bands).map { b =>
+    val bandHashes = (0 until bands).map { b =>
       val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
-      sigs.select(col("sid"), lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
+      xxhash64(cols: _*)
     }
-    frames.reduce(_ unionAll _)
+    sigs.select(col("sid"),
+      posexplode(array(bandHashes: _*)).as(Seq("band", "bucket")))
   }
 
   /** Candidate pairs (a < b) from shared band buckets — the only join, and
@@ -91,10 +94,11 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     // shingles collapse to 64-bit hashes up front: every downstream
     // shuffle/join moves fixed-width longs instead of k-char strings
-    // (set semantics preserved modulo ~2^-64 collisions)
+    // (set semantics preserved modulo ~2^-64 collisions). Deliberately NOT
+    // cached: recomputing the map-side explode is cheaper than pinning the
+    // shingle table in executor storage for the session's lifetime.
     val sh = shingles(df, idCol, textCol, k)
       .select(col("sid"), xxhash64(col("shingle")).as("shingle"))
-      .cache()
     val cands = candidatePairs(lshBuckets(minHashSignatures(sh, numHashes), bands, numHashes / bands))
     verifyJaccard(cands, sh, threshold)
   }
@@ -136,12 +140,14 @@ object Dedup {
     votes.select(col("sid"), fp.as("simhash"))
   }
 
-  /** SimHash near-dup candidates: same 16-bit band in any of 4 bands. */
+  /** SimHash near-dup candidates: same 16-bit band in any of 4 bands
+    * (single-pass band emission, as in [[lshBuckets]]). */
   def simHashCandidates(fps: DataFrame): DataFrame = {
-    val banded = (0 until 4).map { b =>
-      fps.select(col("sid"), lit(b).as("band"),
-        shiftright(col("simhash"), 16 * b).bitwiseAND(lit(0xffffL)).as("bucket"))
-    }.reduce(_ unionAll _)
+    val bandCols = (0 until 4).map { b =>
+      shiftright(col("simhash"), 16 * b).bitwiseAND(lit(0xffffL))
+    }
+    val banded = fps.select(col("sid"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
     candidatePairs(banded)
   }
 }

@@ -20,11 +20,12 @@ object TextOps {
     size(filter(split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"), t => trim(t) =!= lit("")))
 
   /** Quality features: alpha ratio, whitespace ratio, punctuation ratio,
-    * mean token length. */
+    * mean token length. Whitespace means \s (tabs/newlines included), so
+    * mean_token_len agrees with [[tokenCount]]'s \s+ splitting. */
   def qualityColumns(text: Column): Seq[(String, Column)] = {
     val len = length(text).cast("double")
     val alpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")
-    val spaces = length(regexp_replace(text, "[^ ]", "")).cast("double")
+    val spaces = (len - length(regexp_replace(text, "\\s", ""))).cast("double")
     val punct = length(regexp_replace(text, "[^.,;:!?]", "")).cast("double")
     Seq(
       "alpha_ratio" -> round(alpha / greatest(len, lit(1.0)), 4),

@@ -82,10 +82,12 @@ object ColumnarSupport {
     extends PartitionReader[ColumnarBatch] {
 
     private val input = StrawIO.open(part.path)
-    private val footer = StrawFileReader.readFooter(input)
-    // per-file name resolution (files in a dir may have evolved schemas)
-    private val resolved: Array[Int] =
-      StrawSchemaResolver.resolve(part.path, footer.schema, requiredSchema)
+    private val (footer, resolved) =
+      try {
+        val f = StrawFileReader.readFooter(input)
+        // per-file name resolution (files in a dir may have evolved schemas)
+        (f, StrawSchemaResolver.resolve(part.path, f.schema, requiredSchema))
+      } catch { case e: Throwable => input.close(); throw e }
     private val pageRows: Array[Int] =
       if (footer.columns.isEmpty) Array.empty else footer.columns(0).pages.map(_.numValues)
     private val pageOffsets: Array[Array[Long]] = resolved.map { ci =>
@@ -97,8 +99,18 @@ object ColumnarSupport {
     // vectors are reused across pages (reset, not reallocated)
     private var vectors: Array[OnHeapColumnVector] = _
     private var vectorCapacity = 0
+    // zero-column files carry rows only in the footer (mirror of the row
+    // reader's path): emit one vector-less batch of numRows
+    private var zeroColDone = footer.columns.nonEmpty
 
     override def next(): Boolean = {
+      if (!zeroColDone) {
+        zeroColDone = true
+        val n = math.min(footer.numRows, part.limit)
+        if (n <= 0) return false
+        batch = new ColumnarBatch(Array.empty[ColumnVector], n.toInt)
+        return true
+      }
       if (pageIdx >= part.pageEnd || emitted >= part.limit) return false
       val p = pageIdx
       pageIdx += 1

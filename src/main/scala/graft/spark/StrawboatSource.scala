@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.format._
@@ -41,7 +41,30 @@ class StrawboatDataSource extends TableProvider with DataSourceRegister {
     val dir = pathOf(options)
     val files = StrawIO.listFiles(dir)
     require(files.nonEmpty, s"strawboat: no ${StrawFormat.Extension} files under $dir")
-    StrawIO.withInput(files.head) { in => StrawFileReader.readFooter(in).schema }
+    // merge across ALL files so schema-evolved appends surface new columns
+    // (the read path null-fills them per file); conflicting types fail here
+    // with both definitions named
+    val schemas = StrawIO.mapParallel(files)(f =>
+      (f, StrawIO.withInput(f)(StrawFileReader.readFooter(_).schema)))
+    val fields = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
+    val presence = scala.collection.mutable.Map.empty[String, Int]
+    for ((f, s) <- schemas; fld <- s.fields) {
+      presence(fld.name) = presence.getOrElse(fld.name, 0) + 1
+      fields.get(fld.name) match {
+        case None => fields(fld.name) = fld
+        case Some(prev) =>
+          require(prev.dataType == fld.dataType,
+            s"strawboat: column '${fld.name}' is ${prev.dataType} in one file " +
+              s"but ${fld.dataType} in $f")
+          if (fld.nullable && !prev.nullable)
+            fields(fld.name) = prev.copy(nullable = true)
+      }
+    }
+    StructType(fields.values.toSeq.map { fld =>
+      // a column absent from any file reads as null there — it MUST be
+      // nullable in the merged schema or codegen elides the null checks
+      if (presence(fld.name) < schemas.size) fld.copy(nullable = true) else fld
+    })
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -52,7 +75,14 @@ class StrawboatDataSource extends TableProvider with DataSourceRegister {
 /** IO helpers over Hadoop FileSystem (works for local paths and any
   * configured distributed FS on the executor classpath). */
 object StrawIO {
-  def conf = new Configuration()
+  /** Hadoop conf: the active session's (driver — carries spark.hadoop.*
+    * overrides) or the classpath default (executors, where core-site.xml is
+    * on the classpath on real clusters). Cached: Configuration parsing is
+    * XML-heavy and this is called per file open. */
+  lazy val conf: Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
 
   def fs(path: String): FileSystem = new Path(path).getFileSystem(conf)
 
@@ -71,6 +101,19 @@ object StrawIO {
   def withInput[T](path: String)(body: RandomInput => T): T = {
     val in = open(path)
     try body(in) finally in.close()
+  }
+
+  /** Parallel map with a bounded IO pool (footer reads dominate metadata
+    * operations at large file counts). */
+  def mapParallel[A, B](items: Seq[A])(f: A => B): Seq[B] = {
+    if (items.isEmpty) return Seq.empty
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, items.size))
+    try {
+      items.map(a => pool.submit(new java.util.concurrent.Callable[B] {
+        def call(): B = f(a)
+      })).map(_.get())
+    } finally pool.shutdown()
   }
 
   def open(path: String): RandomInput = {
@@ -199,19 +242,10 @@ class StrawScan(
   /** Footers of all files, read once per scan with parallel IO (footer
     * reads dominate planning at large file counts) and shared between
     * partition planning and statistics. */
-  private lazy val footers: Seq[(String, graft.format.StrawFooter, Long)] = {
-    val files = StrawIO.listFiles(path)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(16, math.max(1, files.size)))
-    try {
-      val futures = files.map { f =>
-        pool.submit(new java.util.concurrent.Callable[(String, graft.format.StrawFooter, Long)] {
-          def call() = StrawIO.withInput(f) { in => (f, StrawFileReader.readFooter(in), in.length) }
-        })
-      }
-      futures.map(_.get())
-    } finally pool.shutdown()
-  }
+  private lazy val footers: Seq[(String, graft.format.StrawFooter, Long)] =
+    StrawIO.mapParallel(StrawIO.listFiles(path)) { f =>
+      StrawIO.withInput(f) { in => (f, StrawFileReader.readFooter(in), in.length) }
+    }
 
   /** Driver-side plan: read each file's footer, drop zone-map-excluded
     * pages, slice surviving page runs into ~32 MiB partitions. */
@@ -268,14 +302,28 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[StrawInputPartition]
     val input = StrawIO.open(p.path)
-    val footer = StrawFileReader.readFooter(input)
-    // resolve required fields against THIS file's schema by name (files in a
-    // dir may differ, e.g. after an evolving append); missing fields → null
-    val resolved = StrawSchemaResolver.resolve(p.path, footer.schema, requiredSchema)
+    // footer parse / schema resolution can throw (corrupt file, evolved
+    // type mismatch) — don't leak the open stream on the error path
+    val (footer, resolved) =
+      try {
+        val f = StrawFileReader.readFooter(input)
+        // resolve required fields against THIS file's schema by name (files
+        // in a dir may differ after an evolving append); missing → null
+        (f, StrawSchemaResolver.resolve(p.path, f.schema, requiredSchema))
+      } catch { case e: Throwable => input.close(); throw e }
     val present = resolved.filter(_ >= 0)
     val it = StrawFileReader.rows(input, footer, present,
       keepPage = pg => pg >= p.pageStart && pg < p.pageEnd, limit = p.limit)
-    new PartitionReader[InternalRow] {
+    if (resolved.forall(_ >= 0)) {
+      // common case: every required field present — rows pass through as-is
+      new PartitionReader[InternalRow] {
+        private var row: InternalRow = _
+        override def next(): Boolean = { val h = it.hasNext; if (h) row = it.next(); h }
+        override def get(): InternalRow = row
+        override def close(): Unit = input.close()
+      }
+    } else new PartitionReader[InternalRow] {
+      // schema-evolved file: null-fill the missing fields
       private var row: InternalRow = _
       private val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(resolved.length)
       override def next(): Boolean = {
@@ -370,7 +418,11 @@ class StrawBatchWrite(path: String, schema: StructType, truncate: Boolean)
       try { new StrawFileWriter(schema, WriteOptions()).writeTo(os); ok = true }
       finally {
         os.close()
-        if (ok) f.rename(tmp, new Path(path, name)) else f.delete(tmp, false)
+        if (ok) {
+          // Hadoop rename signals failure by returning false, not throwing
+          if (!f.rename(tmp, new Path(path, name)))
+            throw new java.io.IOException(s"strawboat: rename $tmp -> $name failed")
+        } else f.delete(tmp, false)
       }
     }
   }
@@ -417,7 +469,11 @@ class StrawDataWriter(dir: String, schema: StructType, partitionId: Int, taskId:
       try { current.writeTo(os); ok = true }
       finally {
         os.close()
-        if (ok) fsys.rename(tmp, dst) else fsys.delete(tmp, false)
+        if (ok) {
+          // rename returning false would silently lose the file
+          if (!fsys.rename(tmp, dst))
+            throw new java.io.IOException(s"strawboat: rename $tmp -> $dst failed")
+        } else fsys.delete(tmp, false)
       }
       files += dst.toString
       fileIdx += 1
