@@ -143,7 +143,46 @@ class StrawboatTable(path: String, val schemaArg: StructType)
     new StrawScanBuilder(path, schemaArg)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new StrawWriteBuilder(path, info.schema())
+    new StrawWriteBuilder(path, info.schema(), StrawWriteOptions.parse(info.options()))
+}
+
+/** Writer options exposed on the DataFrame API, parquet-style:
+  * {{{
+  * df.write.format("strawboat")
+  *   .option("compression", "zstd")   // none|lz4|zstd|snappy (base codec)
+  *   .option("zstdLevel", "6")
+  *   .option("maxPageSize", "16384")  // rows per page
+  *   .option("targetFileBytes", "268435456")
+  *   .option("adaptive", "false")     // disable the per-page codec chooser
+  * }}}
+  */
+object StrawWriteOptions {
+  def parse(options: CaseInsensitiveStringMap): WriteOptions = {
+    var o = WriteOptions()
+    Option(options.get("compression")).foreach { c =>
+      o = o.copy(base = c.toLowerCase match {
+        case "none" | "uncompressed" | "plain" => Codec.Plain
+        case "lz4" => Codec.Lz4
+        case "zstd" => Codec.Zstd
+        case "snappy" => Codec.Snappy
+        case other => throw new IllegalArgumentException(
+          s"strawboat: unknown compression '$other' (none|lz4|zstd|snappy)")
+      })
+    }
+    Option(options.get("zstdLevel")).foreach(v => o = o.copy(zstdLevel = v.toInt))
+    Option(options.get("maxPageSize")).foreach { v =>
+      val n = v.toInt
+      require(n > 0, s"strawboat: maxPageSize must be positive, got $n")
+      o = o.copy(maxPageSize = n)
+    }
+    Option(options.get("targetFileBytes")).foreach { v =>
+      val n = v.toLong
+      require(n > 0, s"strawboat: targetFileBytes must be positive, got $n")
+      o = o.copy(targetFileBytes = n)
+    }
+    Option(options.get("adaptive")).foreach(v => o = o.copy(adaptive = v.toBoolean))
+    o
+  }
 }
 
 // ---------------------------------------------------------------------------
@@ -377,28 +416,28 @@ object StrawSchemaResolver {
 // Write path
 // ---------------------------------------------------------------------------
 
-class StrawWriteBuilder(path: String, schema: StructType)
+class StrawWriteBuilder(path: String, schema: StructType, opts: WriteOptions)
   extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new StrawBatchWrite(path, schema, doTruncate)
+    override def toBatch: BatchWrite = new StrawBatchWrite(path, schema, doTruncate, opts)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new StrawStreamingWrite(path, schema)
+      new StrawStreamingWrite(path, schema, opts)
   }
 }
 
 case class StrawCommitMessage(files: Seq[String]) extends WriterCommitMessage
 
-class StrawBatchWrite(path: String, schema: StructType, truncate: Boolean)
+class StrawBatchWrite(path: String, schema: StructType, truncate: Boolean, opts: WriteOptions)
   extends BatchWrite {
   // captured on the driver before any task writes, so truncate-on-commit
   // removes exactly the pre-existing generation of files
   private val preExisting: Seq[String] = if (truncate) StrawIO.listFiles(path) else Seq.empty
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new StrawDataWriterFactory(path, schema)
+    new StrawDataWriterFactory(path, schema, opts)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fresh = messages.flatMap { case StrawCommitMessage(fs) => fs }.toSet
@@ -415,7 +454,7 @@ class StrawBatchWrite(path: String, schema: StructType, truncate: Boolean)
       val tmp = new Path(path, s".$name.tmp")
       val os = f.create(tmp, true)
       var ok = false
-      try { new StrawFileWriter(schema, WriteOptions()).writeTo(os); ok = true }
+      try { new StrawFileWriter(schema, opts).writeTo(os); ok = true }
       finally {
         os.close()
         if (ok) {
@@ -436,18 +475,18 @@ class StrawBatchWrite(path: String, schema: StructType, truncate: Boolean)
   }
 }
 
-class StrawDataWriterFactory(path: String, schema: StructType)
+class StrawDataWriterFactory(path: String, schema: StructType, opts: WriteOptions)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new StrawDataWriter(path, schema, partitionId, taskId)
+    new StrawDataWriter(path, schema, partitionId, taskId, opts)
 }
 
 /** Streams rows into rolling `.strb` files (one open StrawFileWriter at a
   * time, flushed to the FS at `targetFileBytes`). Values are extracted from
   * the incoming row eagerly, so Spark's UnsafeRow buffer reuse is safe. */
-class StrawDataWriter(dir: String, schema: StructType, partitionId: Int, taskId: Long)
+class StrawDataWriter(dir: String, schema: StructType, partitionId: Int, taskId: Long,
+    opts: WriteOptions = WriteOptions())
   extends DataWriter[InternalRow] {
-  private val opts = WriteOptions()
   private val fsys = StrawIO.fs(dir)
   locally { fsys.mkdirs(new Path(dir)) }
   private val uuid = UUID.randomUUID().toString.take(8)

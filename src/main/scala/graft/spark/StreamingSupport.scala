@@ -85,16 +85,17 @@ class StrawMicroBatchStream(path: String, fullSchema: StructType,
     new StrawPartitionReaderFactory(fullSchema, requiredSchema)
 }
 
-case class StrawStreamingWriterFactory(path: String, schema: StructType)
+case class StrawStreamingWriterFactory(path: String, schema: StructType, opts: graft.format.WriteOptions)
   extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
-    new StrawDataWriter(path, schema, partitionId, taskId + epochId * 100000L)
+    new StrawDataWriter(path, schema, partitionId, taskId + epochId * 100000L, opts)
 }
 
-class StrawStreamingWrite(path: String, schema: StructType) extends StreamingWrite {
+class StrawStreamingWrite(path: String, schema: StructType,
+    opts: graft.format.WriteOptions) extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    StrawStreamingWriterFactory(path, schema)
+    StrawStreamingWriterFactory(path, schema, opts)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val f = StrawIO.fs(path)

@@ -195,6 +195,34 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.format("strawboat").load(out).count() == 10)
   }
 
+  test("writer options: compression codec, page size, adaptive toggle") {
+    def write(out: String, opts: (String, String)*): Long = {
+      var w = lineitem.write.format("strawboat").mode("overwrite")
+      opts.foreach { case (k, v) => w = w.option(k, v) }
+      w.save(out)
+      new java.io.File(out).listFiles().filter(_.getName.endsWith(".strb"))
+        .map(_.length).sum
+    }
+    val zstd = write(s"$dir/optzstd", "compression" -> "zstd", "zstdLevel" -> "9")
+    val none = write(s"$dir/optnone", "compression" -> "none", "adaptive" -> "false")
+    assert(zstd < none) // zstd+adaptive strictly smaller than raw
+    // small pages -> more pages in the footer
+    write(s"$dir/optpage", "maxPageSize" -> "512")
+    val in = new graft.format.LocalFileInput(
+      new java.io.File(s"$dir/optpage").listFiles().filter(_.getName.endsWith(".strb")).head.getPath)
+    try assert(graft.format.StrawFileReader.readFooter(in).columns(0).pages.length >= 10)
+    finally in.close()
+    // all variants read back identically
+    for (d <- Seq("optzstd", "optnone", "optpage")) {
+      assert(spark.read.format("strawboat").load(s"$dir/$d").exceptAll(lineitem).isEmpty)
+    }
+    // bad option value fails loudly
+    intercept[Exception] {
+      spark.range(5).write.format("strawboat").mode("overwrite")
+        .option("compression", "brotli").save(s"$dir/optbad")
+    }
+  }
+
   test("statistics reported for broadcast decisions") {
     val out = s"$dir/stats"
     spark.range(0, 1000).write.format("strawboat").mode("overwrite").save(out)
