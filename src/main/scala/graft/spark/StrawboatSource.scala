@@ -140,7 +140,8 @@ class StrawboatTable(path: String, val schemaArg: StructType)
       TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new StrawScanBuilder(path, schemaArg)
+    new StrawScanBuilder(path, schemaArg,
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new StrawWriteBuilder(path, info.schema(), StrawWriteOptions.parse(info.options()))
@@ -189,7 +190,8 @@ object StrawWriteOptions {
 // Read path
 // ---------------------------------------------------------------------------
 
-class StrawScanBuilder(path: String, fullSchema: StructType)
+class StrawScanBuilder(path: String, fullSchema: StructType,
+    maxFilesPerTrigger: Option[Int] = None)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters
@@ -250,7 +252,8 @@ class StrawScanBuilder(path: String, fullSchema: StructType)
     case Some((schema, row)) =>
       new StrawAggScan(s"strawboat $path footer-only aggregate", schema, row)
     case None =>
-      new StrawScan(path, fullSchema, requiredSchema, pushedFiltersArr, limit)
+      new StrawScan(path, fullSchema, requiredSchema, pushedFiltersArr, limit,
+        maxFilesPerTrigger)
   }
 }
 
@@ -266,14 +269,15 @@ class StrawScan(
     fullSchema: StructType,
     requiredSchema: StructType,
     filters: Array[Filter],
-    limit: Long)
+    limit: Long,
+    maxFilesPerTrigger: Option[Int] = None)
   extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new StrawMicroBatchStream(path, fullSchema, requiredSchema)
+    new StrawMicroBatchStream(path, fullSchema, requiredSchema, maxFilesPerTrigger)
   override def description(): String =
     s"strawboat $path skipFilters=[${filters.mkString(", ")}] limit=" +
       (if (limit == Long.MaxValue) "none" else limit.toString)

@@ -1,7 +1,7 @@
 package graft.spark
 
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -52,7 +52,8 @@ case class StrawStreamOffset(files: Seq[String]) extends Offset {
 }
 
 class StrawMicroBatchStream(path: String, fullSchema: StructType,
-    requiredSchema: StructType) extends MicroBatchStream {
+    requiredSchema: StructType, maxFilesPerTrigger: Option[Int] = None)
+  extends MicroBatchStream with SupportsAdmissionControl {
 
   private def currentFiles(): Seq[String] = {
     val fs = StrawIO.fs(path)
@@ -66,6 +67,24 @@ class StrawMicroBatchStream(path: String, fullSchema: StructType,
 
   override def initialOffset(): Offset = StrawStreamOffset(Seq.empty)
   override def latestOffset(): Offset = StrawStreamOffset(currentFiles())
+
+  // backpressure: cap the files admitted per micro-batch
+  // (.option("maxFilesPerTrigger", n) on the stream reader)
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val seenFiles = start.asInstanceOf[StrawStreamOffset].files
+    val seen = seenFiles.toSet
+    val fresh = currentFiles().filterNot(seen)
+    val admitted = limit match {
+      case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        fresh.take(mf.maxFiles())
+      case _ => fresh
+    }
+    StrawStreamOffset(seenFiles ++ admitted)
+  }
+
   override def deserializeOffset(json: String): Offset =
     StrawStreamOffset(StrawOffset.fromJson(json))
   override def commit(end: Offset): Unit = ()

@@ -117,6 +117,24 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Seq((1L, 2), (2L, 1)))
   }
 
+  test("maxFilesPerTrigger bounds files admitted per micro-batch") {
+    val data = s"$dir/mfpt"
+    for (i <- 0 until 6)
+      spark.range(i * 10, i * 10 + 10).coalesce(1)
+        .write.format("strawboat").mode("append").save(data)
+    val q = spark.readStream.format("strawboat")
+      .option("maxFilesPerTrigger", "2").load(data)
+      .writeStream.format("parquet").option("path", s"$dir/mfptOut")
+      .option("checkpointLocation", s"$dir/mfptCkpt")
+      .trigger(Trigger.ProcessingTime("200 milliseconds")).start()
+    Thread.sleep(5000)
+    q.stop(); q.awaitTermination(30000)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 3, s"expected >=3 bounded batches, got ${batches.length}")
+    assert(batches.forall(_.numInputRows <= 20)) // 2 files x 10 rows
+    assert(spark.read.parquet(s"$dir/mfptOut").count() == 60)
+  }
+
   test("streaming write lands strawboat files readable by batch") {
     val outDir = s"$dir/streamout"
     val src = spark.readStream.format("rate")
