@@ -1,7 +1,7 @@
 package graft.spark
 
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -53,7 +53,16 @@ case class StrawStreamOffset(files: Seq[String]) extends Offset {
 
 class StrawMicroBatchStream(path: String, fullSchema: StructType,
     requiredSchema: StructType, maxFilesPerTrigger: Option[Int] = None)
-  extends MicroBatchStream with SupportsAdmissionControl {
+  extends MicroBatchStream with SupportsAdmissionControl
+  with SupportsTriggerAvailableNow {
+
+  // Trigger.AvailableNow: snapshot the file set once; subsequent capped
+  // micro-batches drain exactly this backlog, then the query stops
+  @volatile private var availableNowSnapshot: Option[Seq[String]] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowSnapshot = Some(currentFiles())
+  override def reportLatestOffset(): Offset =
+    StrawStreamOffset(availableNowSnapshot.getOrElse(currentFiles()))
 
   private def currentFiles(): Seq[String] = {
     val fs = StrawIO.fs(path)
@@ -76,7 +85,8 @@ class StrawMicroBatchStream(path: String, fullSchema: StructType,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val seenFiles = start.asInstanceOf[StrawStreamOffset].files
     val seen = seenFiles.toSet
-    val fresh = currentFiles().filterNot(seen)
+    val visible = availableNowSnapshot.getOrElse(currentFiles())
+    val fresh = visible.filterNot(seen)
     val admitted = limit match {
       case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
         fresh.take(mf.maxFiles())
