@@ -34,9 +34,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // conversion (write path) timed as its own entry
+    // conversion (write path) timed as its own entry; invalidate the cache
+    // first so a marker file from a previous JVM can't zero out the timing
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
+    Tables.invalidate(sfDir)
     val convertSec = time { tables.foreach(Tables.strawDir(spark, sfDir, _)) }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()

@@ -394,6 +394,16 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_ann_ivf_full" -> ((s, d) => {
+      // nProbe = nCentroids probes every cell, so IVF degenerates to exact
+      // brute force — which makes it oracle-checkable against the same
+      // DuckDB SQL as q_ann_brute
+      val emb = t(s, d, "embeddings")
+      Ann.ivfTopK(s, emb, emb.filter(col("vec_id") < 5), 64, 3,
+          nCentroids = 16, nProbe = 16)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // --- Decimal(>18) storage through the format ---------------------------
     "q_decimal_agg" -> ((s, d) => {
       // derive a wide-decimal table, store it in strawboat (two-long i128
@@ -407,9 +417,13 @@ object SparkEntry {
           .write.format("strawboat").mode("overwrite").save(decDir)
         marker.createNewFile()
       }
+      // compare in a representation-stable domain: the decimal sum is exact
+      // at scale 4, so value×10^4 as BIGINT is lossless on both engines
+      // (DuckDB's HUGEINT-backed decimal vs Spark's Decimal disagree only at
+      // the physical-representation level, r2 verdict)
       s.read.format("strawboat").load(decDir)
         .groupBy(col("l_returnflag"))
-        .agg(sum(col("price_dec")).cast("decimal(30,4)").as("total"),
+        .agg((sum(col("price_dec")) * lit(10000)).cast("long").as("total_e4"),
           count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag"))
     }),
@@ -449,8 +463,10 @@ object SparkEntry {
     "q_scan_dates" ->
       """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m FROM orders
         |WHERE o_orderdate >= TIMESTAMP '2000-01-01' ORDER BY o_orderkey""".stripMargin,
+    // sum() promotes to HUGEINT in DuckDB; cast back so the result type
+    // matches Spark's BIGINT (values were already identical, r2 verdict)
     "q_codec_sorted" ->
-      """SELECT count(*) AS cnt, sum(l_orderkey) AS s, min(l_orderkey) AS mn,
+      """SELECT count(*) AS cnt, sum(l_orderkey)::BIGINT AS s, min(l_orderkey) AS mn,
         |max(l_orderkey) AS mx FROM lineitem""".stripMargin,
     "q_codec_lowcard" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem
@@ -494,7 +510,7 @@ object SparkEntry {
         |      ORDER BY ts, event_id) AS prev
         |  FROM events)
         |SELECT user_id,
-        |  sum(CASE WHEN prev IS NULL OR tns - prev > 1800000000000 THEN 1 ELSE 0 END) AS n_sessions,
+        |  sum(CASE WHEN prev IS NULL OR tns - prev > 1800000000000 THEN 1 ELSE 0 END)::BIGINT AS n_sessions,
         |  count(*) AS n_events
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_agg_minmax" ->
@@ -584,7 +600,7 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber,
         |  round(sqrt(l_extendedprice), 4) AS sq,
         |  round(ln(l_extendedprice + 1), 4) AS lg,
-        |  floor(l_quantity) AS fq
+        |  floor(l_quantity)::BIGINT AS fq
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_scalar_case" ->
       """SELECT CASE WHEN l_quantity < 10 THEN 'low'
@@ -637,7 +653,7 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id,
-        |  sum(ascii(substr(text, i::INT, 1)) * ((i - 1) % 64 + 1)) AS fingerprint
+        |  sum(ascii(substr(text, i::INT, 1)) * ((i - 1) % 64 + 1))::BIGINT AS fingerprint
         |FROM documents, range(1, 100001) t(i) WHERE i <= length(text)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "q_langid_pred" ->
@@ -660,6 +676,16 @@ object SparkEntry {
         |  WHEN en >= de THEN 'en'
         |  ELSE 'de' END AS pred_lang
         |FROM s ORDER BY doc_id""".stripMargin,
+    "q_ann_ivf_full" -> // full-probe IVF == brute force (same oracle)
+      """SELECT query_id, rank, neighbor_id, cosine FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.embedding, c.embedding), 4) AS cosine,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(q.embedding, c.embedding), 4) DESC,
+        |        c.vec_id) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "q_ann_brute" ->
       """SELECT query_id, rank, neighbor_id, cosine FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -672,7 +698,7 @@ object SparkEntry {
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "q_decimal_agg" ->
       """SELECT l_returnflag,
-        |  (sum(l_extendedprice::DECIMAL(25,4)))::DECIMAL(30,4) AS total,
+        |  (sum(l_extendedprice::DECIMAL(25,4)) * 10000)::BIGINT AS total_e4,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dedup_embedding" ->

@@ -39,6 +39,21 @@ object Tables {
     dst
   }
 
+  /** Drop the cached conversion for `sfDir` (including derived `_dec`/`_mm`
+    * tables) so the next [[strawDir]] re-writes it. Bench calls this first so
+    * `convert_write` times a real conversion instead of hitting a marker file
+    * left by a previous JVM. */
+  def invalidate(sfDir: String): Unit = lock.synchronized {
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val root = Paths.get(strawRoot, sfName)
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach((p: java.nio.file.Path) => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   /** The table, read through the strawboat connector. */
   def straw(spark: SparkSession, sfDir: String, table: String): DataFrame =
     spark.read.format("strawboat").load(strawDir(spark, sfDir, table))

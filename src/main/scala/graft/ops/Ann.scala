@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -8,12 +8,17 @@ import graft.functions.VectorFunctions
 
 /** Similarity search over embedding columns (`array<float>`).
   *
-  * Two tiers, as a 100 TB pipeline needs both:
+  * Three tiers, as a 100 TB pipeline needs all of them:
   *  - [[bruteForceTopK]]: exact top-k for a SMALL broadcast query set —
   *    the corpus streams once, no shuffle of the corpus, cost O(|corpus|·|Q|).
-  *  - [[lshTopK]]: random-hyperplane LSH — corpus is bucketed by sign
-  *    bits once, lookups join only their bucket, so the per-query cost is
-  *    the bucket population, not the corpus.
+  *  - [[lshTopK]]: random-hyperplane LSH, banded (OR-construction across
+  *    `nBands` independent plane families). Join-key cardinality is
+  *    `nBands · 2^nPlanes` — scale `nPlanes` with the corpus
+  *    (≈ log2(n / targetBucketSize)) so parallelism grows with the data
+  *    instead of capping at a fixed bucket count.
+  *  - [[ivfTopK]]: inverted-file index with a k-means coarse quantizer;
+  *    cell assignment is a pure per-row expression (no join, no window,
+  *    no Exchange, no row blowup).
   */
 object Ann {
 
@@ -44,32 +49,56 @@ object Ann {
   }
 
   /** Sign-bit bucket id from `nPlanes` hyperplanes — pure SQL functions
-    * (zip_with dot product), no UDF. */
-  def signBucket(emb: org.apache.spark.sql.Column, dim: Int, nPlanes: Int,
-      seed: Long = 7): org.apache.spark.sql.Column = {
+    * (zip_with dot product), no UDF. Long-valued so up to 62 planes work;
+    * bucket cardinality is 2^nPlanes. */
+  def signBucket(emb: Column, dim: Int, nPlanes: Int, seed: Long = 7): Column = {
     planes(dim, nPlanes, seed).zipWithIndex.map { case (p, i) =>
       val planeLit = array(p.map(lit): _*)
       val dot = aggregate(
         zip_with(emb, planeLit, (x, y) => x * y),
         lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, lit(1 << i)).otherwise(lit(0))
+      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 
-  /** Approximate top-k: corpus and queries bucketed by hyperplane signs;
-    * candidates meet only within their bucket (scale path). */
+  /** Banded buckets: `nBands` independent plane families of `nPlanes` each,
+    * emitted as one `array<struct<band,bucket>>` for a single-pass explode
+    * (OR-construction: a pair is a candidate if it collides in ANY band —
+    * recall no longer hinges on one family of planes). */
+  def bandedBuckets(emb: Column, dim: Int, nPlanes: Int, nBands: Int,
+      seed: Long = 7): Column =
+    array((0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        signBucket(emb, dim, nPlanes, seed + 7919L * b).as("bucket"))
+    }: _*)
+
+  private def withBandedBuckets(df: DataFrame, dim: Int, nPlanes: Int,
+      nBands: Int, seed: Long): DataFrame =
+    df.select(col("*"),
+        explode(bandedBuckets(col("embedding"), dim, nPlanes, nBands, seed)).as("bb"))
+      .withColumn("band", col("bb.band"))
+      .withColumn("bucket", col("bb.bucket"))
+      .drop("bb")
+
+  /** Approximate top-k: corpus and queries bucketed by banded hyperplane
+    * signs; candidates meet only inside a shared (band, bucket) — per-query
+    * cost is the probed bucket populations, not the corpus. Tune `nPlanes`
+    * up with corpus size (join-key cardinality `nBands · 2^nPlanes`). */
   def lshTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
-      dim: Int, k: Int, nPlanes: Int = 8): DataFrame = {
-    val cb = corpus.withColumn("bucket", signBucket(col("embedding"), dim, nPlanes))
-    val qb = queries.withColumn("bucket", signBucket(col("embedding"), dim, nPlanes))
+      dim: Int, k: Int, nPlanes: Int = 8, nBands: Int = 4,
+      seed: Long = 7): DataFrame = {
+    val cb = withBandedBuckets(corpus, dim, nPlanes, nBands, seed)
+    val qb = withBandedBuckets(queries, dim, nPlanes, nBands, seed)
     val scored = cb.as("c")
       .join(qb.as("q"),
-        col("c.bucket") === col("q.bucket") && col("c.vec_id") =!= col("q.vec_id"))
+        col("c.band") === col("q.band") && col("c.bucket") === col("q.bucket") &&
+        col("c.vec_id") =!= col("q.vec_id"))
       .select(
         col("q.vec_id").as("query_id"),
         col("c.vec_id").as("neighbor_id"),
         round(VectorFunctions.cosine(spark, col("q.embedding"), col("c.embedding")), 4)
           .as("cosine"))
+      .distinct() // a pair may collide in several bands
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -88,30 +117,39 @@ object Ann {
       .filter(col("cosine") >= threshold)
 
   /** Embedding-cosine near-duplicate pairs, scale tier: candidates meet
-    * only inside a shared hyperplane-sign bucket (O(n·bucket), not n²). */
+    * only inside a shared (band, bucket) — O(n·bucket), never n². Banded
+    * OR-construction keeps recall high while `nPlanes` (bucket cardinality
+    * per band = 2^nPlanes) scales parallelism with corpus size. */
   def lshNearDupPairs(spark: SparkSession, corpus: DataFrame, dim: Int,
-      threshold: Double, nPlanes: Int = 8): DataFrame = {
-    val b = corpus.withColumn("bucket", signBucket(col("embedding"), dim, nPlanes))
+      threshold: Double, nPlanes: Int = 8, nBands: Int = 8,
+      seed: Long = 7): DataFrame = {
+    val b = withBandedBuckets(corpus, dim, nPlanes, nBands, seed)
     b.as("a")
       .join(b.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         round(VectorFunctions.cosine(spark, col("a.embedding"), col("b.embedding")), 4)
           .as("cosine"))
       .filter(col("cosine") >= threshold)
+      .distinct() // a pair may collide in several bands
   }
 
   /** IVF (inverted-file) ANN: a coarse quantizer (seeded k-means over a
     * bounded driver-side sample, like Spark ML model fitting) assigns every
     * corpus vector to its nearest centroid once; queries probe only their
-    * `nProbe` nearest cells. Cluster assignment is a broadcast join against
-    * the tiny centroid table + per-vector top-1 window — one corpus pass,
-    * no n² anywhere.
+    * `nProbe` nearest cells. The quantizer is tiny (nCentroids × dim), so
+    * cell assignment is a PURE per-row expression — distances to literal
+    * centroid arrays, `array_sort` on (dist, cent_id) structs, `slice` for
+    * the probe list. No centroid join, no window, no Exchange, no row
+    * blowup (probes=1 explodes a 1-element array).
+    *
+    * With `nProbe = nCentroids` every cell is probed and the result equals
+    * [[bruteForceTopK]] exactly (the oracle hook for q_ann_ivf_full).
     */
   def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
       dim: Int, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
       seed: Long = 7, sampleSize: Int = 1024): DataFrame = {
-    import spark.implicits._
 
     // --- driver-side coarse quantizer over a bounded sample --------------
     val sample: Array[Array[Float]] = corpus.select(col("embedding"))
@@ -135,24 +173,8 @@ object Ann {
       }
     }
 
-    // --- distributed assignment via broadcast centroid table -------------
-    val centDf = broadcast(centroids.zipWithIndex.toSeq
-      .map { case (v, i) => (i, v.toSeq) }.toDF("cent_id", "cent"))
-    def assign(df: DataFrame, probes: Int): DataFrame = {
-      val dist = aggregate(
-        zip_with(col("embedding"), col("cent"),
-          (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cent_id"))
-      df.join(centDf)
-        .withColumn("dist", dist)
-        .withColumn("cr", row_number().over(w))
-        .filter(col("cr") <= probes)
-        .drop("cent", "dist", "cr")
-    }
-
-    val corpusCells = assign(corpus, 1)
-    val queryCells = assign(queries, nProbe)
+    val corpusCells = assignCells(corpus, centroids, 1)
+    val queryCells = assignCells(queries, centroids, nProbe)
     val scored = corpusCells.as("c")
       .join(queryCells.as("q"),
         col("c.cent_id") === col("q.cent_id") && col("c.vec_id") =!= col("q.vec_id"))
@@ -163,6 +185,26 @@ object Ann {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Nearest-`probes` centroid ids per row as a PURE expression: distances
+    * to literal centroid arrays, `array_sort` on (dist, cent_id) structs
+    * (struct comparison orders by dist then cent_id — a deterministic
+    * argmin tie-break), `slice` for the probe list. No centroid join, no
+    * window, no Exchange; probes=1 explodes a 1-element array (no blowup). */
+  def assignCells(df: DataFrame, centroids: Array[Array[Float]],
+      probes: Int): DataFrame = {
+    val sortedCells: Column = array_sort(array(
+      centroids.zipWithIndex.map { case (cv, i) =>
+        val centLit = array(cv.map(lit(_)): _*)
+        val dist = aggregate(
+          zip_with(col("embedding"), centLit, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v)
+        struct(dist.as("dist"), lit(i).as("cent_id"))
+      }: _*))
+    df.withColumn("cell", explode(slice(sortedCells, 1, probes)))
+      .withColumn("cent_id", col("cell.cent_id"))
+      .drop("cell")
   }
 
   private def nearest(v: Array[Float], cents: Array[Array[Float]]): Int = {
@@ -180,6 +222,6 @@ object Ann {
   }
 
   /** L2 norm of an embedding column via SQL aggregate (codegen'd). */
-  def l2Norm(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  def l2Norm(emb: Column): Column =
     sqrt(aggregate(emb, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
 }

@@ -36,6 +36,45 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.2, s"IVF recall too low: $recall")
   }
 
+  test("IVF with nProbe = nCentroids equals brute force exactly") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] =
+      df.select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exact = rows(Ann.bruteForceTopK(spark, emb, queries, 5))
+    val full = rows(Ann.ivfTopK(spark, emb, queries, 64, 5, nCentroids = 8, nProbe = 8))
+    assert(exact.nonEmpty)
+    assert(full === exact)
+  }
+
+  test("IVF probes=1 assignment is expression-only: no Exchange, no row blowup") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Array.fill(4)(Array.fill(64)(scala.util.Random.nextGaussian().toFloat))
+    val assigned = Ann.assignCells(emb, cents, 1)
+    assert(assigned.count() === emb.count())
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment plan shuffles:\n$plan")
+    // every row got a valid cell
+    assert(assigned.filter(col("cent_id") < 0 || col("cent_id") >= 4).count() === 0)
+  }
+
+  test("banded LSH near-dup recall >= 0.9 vs the exact tier (sf0.01)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Ann.exactNearDupPairs(spark, emb, 0.45))
+    // short bands (4 planes) OR'd 16× trade per-band precision for recall;
+    // bucket cardinality (parallelism) stays configurable via nPlanes
+    val lsh = pairSet(Ann.lshNearDupPairs(spark, emb, 64, 0.45,
+      nPlanes = 4, nBands = 16))
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact), "LSH pairs must be a subset of exact pairs")
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall too low: $recall (${lsh.size}/${exact.size})")
+  }
+
   test("minhash near-dup agrees with exact ngram jaccard on planted dups") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val mh = Dedup.minHashNearDup(docs, "doc_id", "text")
