@@ -439,6 +439,42 @@ object SparkEntry {
       }
       Multimodal.stubFeatures(s.read.format("strawboat").load(mmDir))
         .orderBy(col("doc_id"))
+    }),
+    // --- streaming: micro-batch drain through the connector ----------------
+    "q_stream_roundtrip" -> ((s, d) => {
+      // drain the strawboat events table via Trigger.AvailableNow micro-
+      // batches (capped at 1 file/trigger to force multiple batches) into a
+      // strawboat streaming sink, then read the sink back in batch. The
+      // oracle is the same aggregation over the original parquet, so a green
+      // row proves offset tracking + epoch writes preserve content exactly.
+      // min/max/count only: exact order statistics, no accumulation-order
+      // float noise across the stream/batch boundary.
+      val src = Tables.strawDir(s, d, "events")
+      val outDir = src + "_streamsink"
+      val ckpt = src + "_streamckpt"
+      val marker = new java.io.File(outDir, "_STREAMED")
+      if (!marker.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) { val c = f.listFiles; if (c != null) c.foreach(rm) }
+          f.delete(): Unit
+        }
+        rm(new java.io.File(outDir)); rm(new java.io.File(ckpt))
+        val q = s.readStream.format("strawboat")
+          .option("maxFilesPerTrigger", 1).load(src)
+          .writeStream.format("strawboat")
+          .option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(180000)
+        marker.createNewFile()
+      }
+      s.read.format("strawboat").load(outDir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cnt"),
+          round(min(col("value")), 2).as("mn"),
+          round(max(col("value")), 2).as("mx"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -711,7 +747,11 @@ object SparkEntry {
     "q_multimodal" ->
       """SELECT doc_id, strlen(text) AS byte_len, md5(text) AS digest, lang,
         |  'text/plain' AS mime
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_stream_roundtrip" -> // batch equivalent of the streamed drain
+      """SELECT user_id, count(*) AS cnt, round(min(value), 2) AS mn,
+        |  round(max(value), 2) AS mx
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
     // q_dedup_minhash / q_dedup_simhash / q_langid_pred / q_ann_lsh have no
     // SQL-expressible oracle (hash-seeded / heuristic) → rows-only check.
   )

@@ -35,6 +35,13 @@ object StrawFormat {
   val StatsNone = 0
   val StatsSigned = 1 // integer-family & sortable-encoded floating point
   val StatsPrefix = 2 // unsigned big-endian 8-byte string prefix
+  /** Wide decimals (precision 19..38): sortableDouble of the value's
+    * nearest-double approximation. Rounding-to-nearest is monotone
+    * NON-strict, so min/max are sound page bounds at every magnitude, but
+    * LOSSY: adjacent decimals can collapse to one double — strict
+    * comparisons must be blurred to inclusive ones (like StatsPrefix), and
+    * MIN/MAX aggregate pushdown must not reconstruct values from them. */
+  val StatsDoubleApprox = 3
 
   /** Order-preserving long for doubles/floats (zone maps). -0.0 normalizes
     * to +0.0 so SQL equality semantics survive the encoding. */
@@ -407,23 +414,31 @@ final class StructColumnWriter(opts: WriteOptions, fields: Array[ColumnWriter])
 /** Decimal with precision 19..38: unscaled i128 stored as two long planes
   * (high 64 | low 64), each running through the integer codec cascade.
   * JVM has no i128 — mirror of the reference's Int128 primitive support
-  * (reference: src/write/primitive.rs:71-78). Zone maps are omitted
-  * (i128 order does not embed in one long). */
+  * (reference: src/write/primitive.rs:71-78). Zone maps store sortable-
+  * double approximations of min/max ([[StrawFormat.StatsDoubleApprox]]) —
+  * monotone at every magnitude, so range filters on wide-decimal columns
+  * can skip pages (conservatively; adjacent decimals may share a double). */
 final class Decimal128ColumnWriter(opts: WriteOptions, precision: Int, scale: Int)
   extends ColumnWriter(opts) {
   private var hi = new Array[Long](1024)
   private var lo = new Array[Long](1024)
   private var n = 0
+  private var minEnc = Long.MaxValue
+  private var maxEnc = Long.MinValue
   private def grow(): Unit =
     if (n >= hi.length) {
       hi = java.util.Arrays.copyOf(hi, hi.length * 2)
       lo = java.util.Arrays.copyOf(lo, lo.length * 2)
     }
   def append(g: SpecializedGetters, ordinal: Int): Unit = {
-    val unscaled = g.getDecimal(ordinal, precision, scale).toJavaBigDecimal.unscaledValue()
+    val bd = g.getDecimal(ordinal, precision, scale).toJavaBigDecimal
+    val unscaled = bd.unscaledValue()
     grow()
     lo(n) = unscaled.longValue()
     hi(n) = unscaled.shiftRight(64).longValue()
+    val e = StrawFormat.sortableDouble(bd.doubleValue())
+    if (e < minEnc) minEnc = e
+    if (e > maxEnc) maxEnc = e
     n += 1
     validity.append(true)
   }
@@ -435,9 +450,10 @@ final class Decimal128ColumnWriter(opts: WriteOptions, precision: Int, scale: In
     validity.encode(opts, out)
     IntCodec.encode(hi, n, 8, opts, 0, out)
     IntCodec.encode(lo, n, 8, opts, 0, out)
-    PageStats(StrawFormat.StatsNone, 0, 0)
+    if (minEnc > maxEnc) PageStats(StrawFormat.StatsNone, 0, 0)
+    else PageStats(StrawFormat.StatsDoubleApprox, minEnc, maxEnc)
   }
-  def clearBuffers(): Unit = n = 0
+  def clearBuffers(): Unit = { n = 0; minEnc = Long.MaxValue; maxEnc = Long.MinValue }
   def bufferedBytes: Long = 16L * n
 }
 

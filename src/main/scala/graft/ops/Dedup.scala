@@ -91,24 +91,48 @@ object Dedup {
     * 34,480 → 296 candidates, identical 256 verified pairs). */
   def minHashNearDup(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, numHashes: Int = 32, bands: Int = 4,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, persistShingles: Boolean = false): DataFrame = {
     // shingles collapse to 64-bit hashes up front: every downstream
     // shuffle/join moves fixed-width longs instead of k-char strings
-    // (set semantics preserved modulo ~2^-64 collisions). Deliberately NOT
-    // cached: recomputing the map-side explode is cheaper than pinning the
-    // shingle table in executor storage for the session's lifetime.
-    val sh = shingles(df, idCol, textCol, k)
+    // (set semantics preserved modulo ~2^-64 collisions). The pipeline reads
+    // the shingle table 3× (signatures, intersection, sizes); by default it
+    // is recomputed — cheaper than pinning executor storage at bench scale.
+    // At large scale pass persistShingles=true to materialize it once
+    // (MEMORY_AND_DISK); the caller owns unpersist() when the result has
+    // been consumed.
+    val sh0 = shingles(df, idCol, textCol, k)
       .select(col("sid"), xxhash64(col("shingle")).as("shingle"))
+    val sh = if (persistShingles)
+      sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sh0
     val cands = candidatePairs(lshBuckets(minHashSignatures(sh, numHashes), bands, numHashes / bands))
     verifyJaccard(cands, sh, threshold)
   }
 
   /** Exact n-gram Jaccard similarity over ALL pairs above `threshold`,
     * computed by joining on shared grams (an inverted-index join: pairs with
-    * zero overlap never materialize). Oracle-checkable in plain SQL. */
+    * zero overlap never materialize). Oracle-checkable in plain SQL.
+    *
+    * `maxDocFreqFraction` is the stop-gram guard for scale: a gram present
+    * in more than that fraction of documents is dropped BEFORE the
+    * inverted-index join (a ubiquitous gram otherwise funnels nearly every
+    * doc pair through one reducer). Sizes are computed on the same filtered
+    * gram sets, so the result is the true Jaccard over retained grams —
+    * identical to the exact answer whenever the cutoff is unreached, a
+    * documented approximation when it engages (the standard web-dedup
+    * trade: exactness on noise-grams for skew immunity). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int, threshold: Double): DataFrame = {
-    val sh = shingles(df, idCol, textCol, k)
+      k: Int, threshold: Double, maxDocFreqFraction: Double = 1.0): DataFrame = {
+    val sh0 = shingles(df, idCol, textCol, k)
+    val sh = if (maxDocFreqFraction >= 1.0) sh0 else {
+      // shingles() is distinct per (sid, shingle), so count == doc frequency
+      val nDocs = df.agg(countDistinct(col(idCol)).as("n_docs"))
+      val keepGrams = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("gram_docs"))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("gram_docs") <= col("n_docs") * maxDocFreqFraction)
+        .select(col("shingle"))
+      sh0.join(keepGrams, "shingle").select(col("sid"), col("shingle"))
+    }
     val sizes = sh.groupBy(col("sid")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.sid") < col("b.sid"))

@@ -16,7 +16,7 @@ import graft.format._
   * reading one footer per file.
   *
   * Strings are excluded (their zone maps are 8-byte prefixes, not exact);
-  * wide decimals are excluded (StatsNone).
+  * wide decimals are excluded (their StatsDoubleApprox zone maps are lossy).
   */
 object AggPushdown {
 

@@ -60,6 +60,14 @@ object ZoneMapFilter {
           Some((bd.underlying().setScale(d.scale).unscaledValue().longValueExact(), StatsSigned))
         case _ => None
       }
+      case _: DecimalType => // precision 19..38: lossy sortable-double bounds
+        v match {
+          case bd: java.math.BigDecimal =>
+            Some((sortableDouble(bd.doubleValue()), StatsDoubleApprox))
+          case bd: BigDecimal =>
+            Some((sortableDouble(bd.underlying().doubleValue()), StatsDoubleApprox))
+          case _ => None
+        }
       case StringType => v match {
         case s: String => Some((prefixLong(s.getBytes("UTF-8")), StatsPrefix))
         case u: org.apache.spark.unsafe.types.UTF8String =>
@@ -69,6 +77,11 @@ object ZoneMapFilter {
       case _ => None
     } catch { case _: ArithmeticException => None }
   }
+
+  /** Kinds whose encoded stat collapses several values into one long, so
+    * strict range bounds must be widened to inclusive ones. */
+  private def lossyKind(kind: Int): Boolean =
+    kind == StrawFormat.StatsPrefix || kind == StrawFormat.StatsDoubleApprox
 
   private def fieldIdx(schema: StructType, name: String): Option[Int] =
     schema.fields.indexWhere(_.name == name) match {
@@ -128,15 +141,16 @@ object ZoneMapFilter {
       case EqualTo(a, v) =>
         cmpRange(a, v)((pm, enc, cmp) => cmp(enc, pm.min) >= 0 && cmp(enc, pm.max) <= 0)
       case GreaterThan(a, v) =>
-        // prefix stats blur strict bounds: treat > as >= there (conservative)
+        // prefix / hi-plane stats blur strict bounds: treat > as >= there
+        // (conservative — multiple values share an encoded stat)
         cmpRange(a, v)((pm, enc, cmp) =>
-          if (pm.statsKind == StrawFormat.StatsPrefix) cmp(pm.max, enc) >= 0
+          if (lossyKind(pm.statsKind)) cmp(pm.max, enc) >= 0
           else cmp(pm.max, enc) > 0)
       case GreaterThanOrEqual(a, v) =>
         cmpRange(a, v)((pm, enc, cmp) => cmp(pm.max, enc) >= 0)
       case LessThan(a, v) =>
         cmpRange(a, v)((pm, enc, cmp) =>
-          if (pm.statsKind == StrawFormat.StatsPrefix) cmp(pm.min, enc) <= 0
+          if (lossyKind(pm.statsKind)) cmp(pm.min, enc) <= 0
           else cmp(pm.min, enc) < 0)
       case LessThanOrEqual(a, v) =>
         cmpRange(a, v)((pm, enc, cmp) => cmp(pm.min, enc) <= 0)

@@ -1,0 +1,63 @@
+package graft.format
+
+import java.nio.file.Files
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** StrawStats (the `.strb` inspect CLI) must report the real page layout:
+  * page boundaries, null counts, zone-map stats, and the codec byte decoded
+  * from the correct offset — including the validity-block skip for pages
+  * with nulls. */
+class StrawStatsSpec extends AnyFunSuite {
+
+  private def writeFile(schema: StructType, opts: WriteOptions,
+      rows: Seq[Array[Any]]): String = {
+    val w = new StrawFileWriter(schema, opts)
+    rows.foreach(r => w.write(new GenericInternalRow(r)))
+    val path = Files.createTempFile("strawstats", StrawFormat.Extension).toString
+    val os = new java.io.FileOutputStream(path)
+    try w.writeTo(os) finally os.close()
+    path
+  }
+
+  test("forced-codec file: page layout, nulls, zone maps, codec byte") {
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", LongType)))
+    // 250 rows, pages of 100: k sorted, v null on every 7th row
+    val rows = (0 until 250).map { i =>
+      Array[Any](Long.box(i.toLong),
+        if (i % 7 == 0) null else Long.box(i.toLong * 10))
+    }
+    val path = writeFile(schema, WriteOptions(forced = Some(Codec.Rle),
+      maxPageSize = 100), rows)
+
+    val stats = StrawStats.fileStats(path)
+    val k = stats.filter(_.column == "k").sortBy(_.page)
+    val v = stats.filter(_.column == "v").sortBy(_.page)
+    assert(k.map(_.numValues) == Seq(100, 100, 50))
+    assert(v.map(_.numValues) == Seq(100, 100, 50))
+    // forced codec is what every page reports
+    assert((k ++ v).forall(_.codec == "rle"), (k ++ v).map(_.codec))
+    // zone maps: per-page min/max of the sorted key
+    assert(k.map(p => (p.min, p.max)) == Seq((0L, 99L), (100L, 199L), (200L, 249L)))
+    assert(k.forall(_.statsKind == StrawFormat.StatsSigned))
+    // nulls: ceil-pattern of every-7th within each page (codec byte is read
+    // through the validity-skip branch here)
+    assert(v.map(_.nullCount).sum == (0 until 250).count(_ % 7 == 0))
+    assert(v.forall(_.nullCount > 0))
+  }
+
+  test("adaptive file: chooser picks sorted/constant codecs visible in stats") {
+    val schema = StructType(Seq(
+      StructField("sorted", LongType), StructField("const", LongType)))
+    val rows = (0 until 1000).map(i => Array[Any](Long.box(i.toLong), Long.box(42L)))
+    val path = writeFile(schema, WriteOptions(), rows)
+
+    val stats = StrawStats.fileStats(path)
+    assert(stats.filter(_.column == "sorted").forall(_.codec == "delta_bitpack"))
+    assert(stats.filter(_.column == "const").forall(_.codec == "one_value"))
+    val c = stats.filter(_.column == "const").head
+    assert((c.min, c.max) == (42L, 42L))
+  }
+}

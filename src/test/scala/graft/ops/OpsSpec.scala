@@ -75,6 +75,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.9, s"LSH recall too low: $recall (${lsh.size}/${exact.size})")
   }
 
+  test("ngram stop-gram cutoff: identity when unreached, prunes ubiquitous grams when hit") {
+    val ss = spark
+    import ss.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // cutoff high enough that no gram reaches it → bit-identical output
+    val base = pairs(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8))
+    val withGuard = pairs(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8,
+      maxDocFreqFraction = 0.999))
+    assert(withGuard === base)
+
+    // skew shape: every doc shares one ubiquitous gram ("zzz"); two docs are
+    // real near-dups. The guard must keep the real pair and collapse the
+    // stop-gram fan-out (candidate rows through the join shrink).
+    val skewed = (0 until 50).map(i => (i.toLong, s"zzz unique content $i $i $i")) ++
+      Seq((100L, "zzz the quick brown fox jumps"), (101L, "zzz the quick brown fox jumps"))
+    val sdf = skewed.toDF("doc_id", "text")
+    val guarded = pairs(Dedup.ngramJaccardPairs(sdf, "doc_id", "text", 3, 0.8,
+      maxDocFreqFraction = 0.5))
+    assert(guarded.exists { case (a, b, _) => a == 100L && b == 101L })
+  }
+
+  test("minhash persistShingles=true yields identical pairs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = pairs(Dedup.minHashNearDup(docs, "doc_id", "text"))
+    val persisted = Dedup.minHashNearDup(docs, "doc_id", "text", persistShingles = true)
+    assert(pairs(persisted) === plain)
+  }
+
   test("minhash near-dup agrees with exact ngram jaccard on planted dups") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val mh = Dedup.minHashNearDup(docs, "doc_id", "text")

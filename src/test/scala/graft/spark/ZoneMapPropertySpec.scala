@@ -74,6 +74,90 @@ class ZoneMapPropertySpec extends AnyFunSuite {
     case other => fail(s"unhandled $other")
   }
 
+  // --- wide decimals (precision 19..38, StatsDoubleApprox zone maps) -------
+
+  private val decSchema = StructType(Seq(StructField("d", DecimalType(25, 4))))
+
+  /** Values across 20 orders of magnitude, with ±1-unscaled-unit neighbors
+    * (bump) that collapse to the same double at high magnitude — the lossy
+    * case the blurred strict bounds must survive. */
+  private val genDecVal: Gen[java.math.BigDecimal] = for {
+    mag <- Gen.chooseNum(0, 20)
+    base <- Gen.chooseNum(-9999L, 9999L)
+    bump <- Gen.oneOf(0L, 1L)
+  } yield new java.math.BigDecimal(
+    java.math.BigInteger.valueOf(base)
+      .multiply(java.math.BigInteger.TEN.pow(mag))
+      .add(java.math.BigInteger.valueOf(bump)), 4)
+
+  private val genDecRows: Gen[List[Option[java.math.BigDecimal]]] =
+    Gen.listOf(Gen.option(genDecVal))
+
+  private val genDecFilter: Gen[Filter] = Gen.oneOf(
+    genDecVal.map(EqualTo("d", _)), genDecVal.map(GreaterThan("d", _)),
+    genDecVal.map(GreaterThanOrEqual("d", _)), genDecVal.map(LessThan("d", _)),
+    genDecVal.map(LessThanOrEqual("d", _)),
+    Gen.const(IsNull("d")), Gen.const(IsNotNull("d")))
+
+  private def decMatches(f: Filter, v: Option[java.math.BigDecimal]): Boolean = {
+    def lit(x: Any) = x.asInstanceOf[java.math.BigDecimal]
+    f match {
+      case EqualTo("d", x) => v.exists(_.compareTo(lit(x)) == 0)
+      case GreaterThan("d", x) => v.exists(_.compareTo(lit(x)) > 0)
+      case GreaterThanOrEqual("d", x) => v.exists(_.compareTo(lit(x)) >= 0)
+      case LessThan("d", x) => v.exists(_.compareTo(lit(x)) < 0)
+      case LessThanOrEqual("d", x) => v.exists(_.compareTo(lit(x)) <= 0)
+      case IsNull("d") => v.isEmpty
+      case IsNotNull("d") => v.isDefined
+      case other => fail(s"unhandled $other")
+    }
+  }
+
+  test("wide-decimal page skipping preserves every matching row (property)") {
+    check(Prop.forAllNoShrink(genDecRows, genDecFilter, Gen.oneOf(3, 7, 16)) {
+      (rows, filter, pageSize) =>
+        val w = new StrawFileWriter(decSchema, WriteOptions(maxPageSize = pageSize))
+        rows.foreach { v =>
+          w.write(new GenericInternalRow(Array[Any](
+            v.map(Decimal(_, 25, 4)).orNull)))
+        }
+        val in = new ByteArrayInput(w.finish())
+        val footer = StrawFileReader.readFooter(in)
+        val keep = ZoneMapFilter.keptPages(footer, Array(filter))
+        val got = StrawFileReader.rows(in, footer, Array(0), keepPage = keep)
+          .map(r => if (r.isNullAt(0)) None
+            else Some(r.getDecimal(0, 25, 4).toJavaBigDecimal))
+          .filter(v => decMatches(filter, v)).toList
+        val expected = rows.filter(v => decMatches(filter, v))
+        got.size == expected.size && got.zip(expected).forall {
+          case (None, None) => true
+          case (Some(a), Some(b)) => a.compareTo(b) == 0
+          case _ => false
+        }
+    })
+  }
+
+  test("wide-decimal zone maps actually skip pages on a sorted range filter") {
+    val w = new StrawFileWriter(decSchema, WriteOptions(maxPageSize = 100))
+    for (i <- 0 until 1000) { // sorted: i * 100.0000
+      val bd = new java.math.BigDecimal(
+        java.math.BigInteger.valueOf(i.toLong * 1000000L), 4)
+      w.write(new GenericInternalRow(Array[Any](Decimal(bd, 25, 4))))
+    }
+    val in = new ByteArrayInput(w.finish())
+    val footer = StrawFileReader.readFooter(in)
+    val nPages = footer.columns(0).pages.length
+    assert(nPages == 10)
+    val cut = new java.math.BigDecimal("95000.0000")
+    val keep = ZoneMapFilter.keptPages(footer, Array(GreaterThanOrEqual("d", cut)))
+    val kept = (0 until nPages).count(keep)
+    assert(kept == 1, s"expected exactly the last page kept, got $kept")
+    val got = StrawFileReader.rows(in, footer, Array(0), keepPage = keep)
+      .map(_.getDecimal(0, 25, 4).toJavaBigDecimal)
+      .filter(_.compareTo(cut) >= 0).toList
+    assert(got.size == 50)
+  }
+
   test("page skipping preserves every matching row for arbitrary data and filters") {
     check(Prop.forAllNoShrink(genRows, genFilter, Gen.oneOf(3, 7, 16)) { (rows, filter, pageSize) =>
       val w = new StrawFileWriter(schema, WriteOptions(maxPageSize = pageSize))
