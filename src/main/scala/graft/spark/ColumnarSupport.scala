@@ -108,7 +108,16 @@ object ColumnarSupport {
         zeroColDone = true
         val n = math.min(footer.numRows, part.limit)
         if (n <= 0) return false
-        batch = new ColumnarBatch(Array.empty[ColumnVector], n.toInt)
+        if (requiredSchema.isEmpty)
+          batch = new ColumnarBatch(Array.empty[ColumnVector], n.toInt)
+        else {
+          // zero-column file under a non-empty merged schema: null-fill
+          // every required column (mirror of the row reader's path) so
+          // downstream column access works
+          vectors = OnHeapColumnVector.allocateColumns(n.toInt, requiredSchema)
+          vectors.foreach(_.putNulls(0, n.toInt))
+          batch = new ColumnarBatch(vectors.map(_.asInstanceOf[ColumnVector]), n.toInt)
+        }
         return true
       }
       if (pageIdx >= part.pageEnd || emitted >= part.limit) return false

@@ -75,14 +75,26 @@ class StrawboatDataSource extends TableProvider with DataSourceRegister {
 /** IO helpers over Hadoop FileSystem (works for local paths and any
   * configured distributed FS on the executor classpath). */
 object StrawIO {
-  /** Hadoop conf: the active session's (driver — carries spark.hadoop.*
-    * overrides) or the classpath default (executors, where core-site.xml is
-    * on the classpath on real clusters). Cached: Configuration parsing is
-    * XML-heavy and this is called per file open. */
-  lazy val conf: Configuration =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new Configuration())
+  /** Hadoop conf. On the driver this is the active session's conf (carries
+    * spark.hadoop.* overrides). On executors the driver's conf is INSTALLED
+    * by the deserialized reader/writer factories (SerializableConfiguration
+    * fields), so object-store credentials and other session overrides
+    * survive the ship; the classpath default is only the last resort.
+    * Cached: Configuration parsing is XML-heavy and this is called per file
+    * open. install() also refreshes the cache, so a session created after a
+    * first driver-side access is picked up at the next plan. */
+  @volatile private var cached: Configuration = _
+  def conf: Configuration = {
+    var c = cached
+    if (c == null) {
+      c = org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sessionState.newHadoopConf())
+        .getOrElse(new Configuration())
+      cached = c
+    }
+    c
+  }
+  def install(c: Configuration): Unit = cached = c
 
   def fs(path: String): FileSystem = new Path(path).getFileSystem(conf)
 
@@ -104,7 +116,9 @@ object StrawIO {
   }
 
   /** Parallel map with a bounded IO pool (footer reads dominate metadata
-    * operations at large file counts). */
+    * operations at large file counts). Worker failures are rethrown as
+    * their cause, not wrapped in ExecutionException — the deliberate error
+    * messages (corrupt footer, schema conflict) must reach the user. */
   def mapParallel[A, B](items: Seq[A])(f: A => B): Seq[B] = {
     if (items.isEmpty) return Seq.empty
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -112,7 +126,13 @@ object StrawIO {
     try {
       items.map(a => pool.submit(new java.util.concurrent.Callable[B] {
         def call(): B = f(a)
-      })).map(_.get())
+      })).map { fut =>
+        try fut.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException if e.getCause != null =>
+            throw e.getCause
+        }
+      }
     } finally pool.shutdown()
   }
 
@@ -327,7 +347,8 @@ class StrawScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new StrawPartitionReaderFactory(fullSchema, requiredSchema)
+    new StrawPartitionReaderFactory(fullSchema, requiredSchema,
+      new org.apache.spark.util.SerializableConfiguration(StrawIO.conf))
 
   override def estimateStatistics(): Statistics = {
     val r = footers.foldLeft(0L)(_ + _._2.numRows)
@@ -339,10 +360,12 @@ class StrawScan(
   }
 }
 
-class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: StructType)
+class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: StructType,
+    serConf: org.apache.spark.util.SerializableConfiguration)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    StrawIO.install(serConf.value) // driver's session conf, shipped per task
     val p = partition.asInstanceOf[StrawInputPartition]
     val input = StrawIO.open(p.path)
     // footer parse / schema resolution can throw (corrupt file, evolved
@@ -394,6 +417,7 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    StrawIO.install(serConf.value)
     val p = partition.asInstanceOf[StrawInputPartition]
     new ColumnarSupport.StrawColumnarReader(p, requiredSchema)
   }
@@ -434,17 +458,59 @@ class StrawWriteBuilder(path: String, schema: StructType, opts: WriteOptions)
 
 case class StrawCommitMessage(files: Seq[String]) extends WriterCommitMessage
 
+/** Job-level commit protocol (parquet-commit-protocol style). Tasks write
+  * rolled files under a job-scoped STAGED suffix (`<name>.strb.<job>.stage`)
+  * that readers never list (the directory listing is the manifest, and only
+  * `*.strb` is data). Files become visible ONLY when the driver renames
+  * them in BatchWrite/StreamingWrite.commit from the winners' commit
+  * messages — so a task killed after rolling (abort() never runs) or a
+  * losing speculative attempt can't leak duplicate rows: its staged files
+  * are swept (batch) or remain invisible (streaming). The rename fan-out is
+  * not atomic across files — the same window parquet's v1 protocol has. */
+object StrawCommitProtocol {
+  def stageSuffix(jobId: String): String = s".$jobId.stage"
+
+  /** Rename this job's staged files to their visible names; returns the
+    * final paths. Parallel IO: one rename per file, driver-side. */
+  def finalizeFiles(path: String, jobId: String, staged: Seq[String]): Seq[String] = {
+    val f = StrawIO.fs(path)
+    val suffix = stageSuffix(jobId)
+    StrawIO.mapParallel(staged) { s =>
+      val sp = new Path(s)
+      val dst = new Path(sp.getParent, sp.getName.stripSuffix(suffix))
+      if (!f.rename(sp, dst))
+        throw new java.io.IOException(s"strawboat: commit rename $sp -> $dst failed")
+      dst.toString
+    }
+  }
+
+  /** Delete any leftover staged files of this job (dead tasks that never
+    * aborted, losing speculative attempts). */
+  def sweepStaged(path: String, jobId: String): Unit = {
+    val f = StrawIO.fs(path)
+    val p = new Path(path)
+    val suffix = stageSuffix(jobId)
+    if (f.exists(p))
+      f.listStatus(p).filter(st => st.isFile && st.getPath.getName.endsWith(suffix))
+        .foreach(st => f.delete(st.getPath, false))
+  }
+}
+
 class StrawBatchWrite(path: String, schema: StructType, truncate: Boolean, opts: WriteOptions)
   extends BatchWrite {
   // captured on the driver before any task writes, so truncate-on-commit
   // removes exactly the pre-existing generation of files
   private val preExisting: Seq[String] = if (truncate) StrawIO.listFiles(path) else Seq.empty
+  private val jobId = UUID.randomUUID().toString.take(8)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new StrawDataWriterFactory(path, schema, opts)
+    new StrawDataWriterFactory(path, schema, opts, jobId,
+      new org.apache.spark.util.SerializableConfiguration(StrawIO.conf))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val fresh = messages.flatMap { case StrawCommitMessage(fs) => fs }.toSet
+    val staged = messages.flatMap { case StrawCommitMessage(fs) => fs }.toSeq
+    val fresh = StrawCommitProtocol.finalizeFiles(path, jobId, staged).toSet
+    StrawCommitProtocol.sweepStaged(path, jobId)
     val f = StrawIO.fs(path)
     if (truncate)
       preExisting.filterNot(fresh).foreach(old => f.delete(new Path(old), false))
@@ -476,20 +542,28 @@ class StrawBatchWrite(path: String, schema: StructType, truncate: Boolean, opts:
       case StrawCommitMessage(fs) => fs.foreach(x => f.delete(new Path(x), false))
       case _ =>
     }
+    StrawCommitProtocol.sweepStaged(path, jobId)
   }
 }
 
-class StrawDataWriterFactory(path: String, schema: StructType, opts: WriteOptions)
+class StrawDataWriterFactory(path: String, schema: StructType, opts: WriteOptions,
+    jobId: String,
+    serConf: org.apache.spark.util.SerializableConfiguration)
   extends DataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new StrawDataWriter(path, schema, partitionId, taskId, opts)
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    StrawIO.install(serConf.value)
+    new StrawDataWriter(path, schema, partitionId, taskId, opts, jobId)
+  }
 }
 
-/** Streams rows into rolling `.strb` files (one open StrawFileWriter at a
-  * time, flushed to the FS at `targetFileBytes`). Values are extracted from
+/** Streams rows into rolling files (one open StrawFileWriter at a time,
+  * flushed to the FS at `targetFileBytes`). Rolled files land under the
+  * job-scoped staged suffix — invisible to readers until the driver's
+  * commit renames them (see [[StrawCommitProtocol]]); a file killed
+  * mid-write is never complete under ANY name. Values are extracted from
   * the incoming row eagerly, so Spark's UnsafeRow buffer reuse is safe. */
 class StrawDataWriter(dir: String, schema: StructType, partitionId: Int, taskId: Long,
-    opts: WriteOptions = WriteOptions())
+    opts: WriteOptions, jobId: String)
   extends DataWriter[InternalRow] {
   private val fsys = StrawIO.fs(dir)
   locally { fsys.mkdirs(new Path(dir)) }
@@ -502,23 +576,16 @@ class StrawDataWriter(dir: String, schema: StructType, partitionId: Int, taskId:
   private def roll(): Unit = {
     if (current.numRows > 0) {
       val name = f"part-$partitionId%05d-$taskId-$uuid-$fileIdx%04d${StrawFormat.Extension}"
-      // write to a temp name, rename on completion: an interrupted task can
-      // never leave a half-written file that LOOKS like data (readers only
-      // pick up *.strb)
-      val tmp = new Path(dir, s".$name.tmp")
-      val dst = new Path(dir, name)
-      val os = fsys.create(tmp, true)
+      val staged = new Path(dir,
+        name + StrawCommitProtocol.stageSuffix(jobId))
+      val os = fsys.create(staged, true)
       var ok = false
       try { current.writeTo(os); ok = true }
       finally {
         os.close()
-        if (ok) {
-          // rename returning false would silently lose the file
-          if (!fsys.rename(tmp, dst))
-            throw new java.io.IOException(s"strawboat: rename $tmp -> $dst failed")
-        } else fsys.delete(tmp, false)
+        if (!ok) fsys.delete(staged, false)
       }
-      files += dst.toString
+      files += staged.toString
       fileIdx += 1
     }
     current = new StrawFileWriter(schema, opts)

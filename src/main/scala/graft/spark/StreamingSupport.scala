@@ -13,12 +13,14 @@ import graft.format.StrawFileReader
   *
   * Read side: a micro-batch file stream — each trigger picks up `.strb`
   * files not yet committed, ordered by (modificationTime, path). The offset
-  * is the sorted list of seen files (fine for the file counts a test/demo
-  * touches; a production deployment would compact into a metadata log like
-  * FileStreamSource's).
+  * is a modification-time high-water mark plus the explicit (modTime, path)
+  * entries at or above it, so long-running streams carry a bounded offset
+  * (recent window + unprocessed backlog) instead of every path ever seen —
+  * the FileStreamSource compaction idea expressed directly in the offset.
   *
   * Write side: per-epoch rolling files via the same [[StrawDataWriter]] as
-  * batch — exactly-once relies on downstream dedup of epoch-suffixed files.
+  * batch, staged under a job-scoped suffix and made visible only at epoch
+  * commit ([[StrawCommitProtocol]]).
   */
 object StrawOffset {
   def toJson(files: Seq[String]): String =
@@ -47,8 +49,39 @@ object StrawOffset {
   }
 }
 
-case class StrawStreamOffset(files: Seq[String]) extends Offset {
-  override def json(): String = StrawOffset.toJson(files)
+/** A file is SEEN iff its modTime is below `highWater` OR its path appears
+  * in `files`. The mark only ever advances past files already admitted to a
+  * batch, and trails the newest seen file by a safety lag — accepting the
+  * same mtime-race tradeoff as Spark's FileStreamSource (a file that later
+  * lands with an mtime older than the mark is treated as already seen). */
+case class StrawStreamOffset(highWater: Long, files: Seq[(Long, String)]) extends Offset {
+  override def json(): String = {
+    // each entry serialized "modTime|path" inside a plain string array
+    val entries = files.map { case (m, p) => s"$m|$p" }
+    s"""{"hw":$highWater,"files":${StrawOffset.toJson(entries)}}"""
+  }
+  def fileSet: Set[String] = files.map(_._2).toSet
+}
+
+object StrawStreamOffset {
+  def fromJson(json: String): StrawStreamOffset = {
+    val s = json.trim
+    require(s.startsWith("{") && s.endsWith("}"), s"bad stream offset json: $s")
+    val hwKey = "\"hw\":"
+    val hwIdx = s.indexOf(hwKey)
+    require(hwIdx >= 0, s"bad stream offset json (no hw): $s")
+    val hw = s.substring(hwIdx + hwKey.length)
+      .takeWhile(c => c == '-' || c.isDigit).toLong
+    val arrStart = s.indexOf('[')
+    val arrEnd = s.lastIndexOf(']')
+    require(arrStart >= 0 && arrEnd > arrStart, s"bad stream offset json (no files): $s")
+    val files = StrawOffset.fromJson(s.substring(arrStart, arrEnd + 1)).map { e =>
+      val cut = e.indexOf('|')
+      require(cut > 0, s"bad stream offset entry: $e")
+      (e.substring(0, cut).toLong, e.substring(cut + 1))
+    }
+    StrawStreamOffset(hw, files)
+  }
 }
 
 class StrawMicroBatchStream(path: String, fullSchema: StructType,
@@ -56,26 +89,34 @@ class StrawMicroBatchStream(path: String, fullSchema: StructType,
   extends MicroBatchStream with SupportsAdmissionControl
   with SupportsTriggerAvailableNow {
 
+  /** The high-water mark stays this far behind the newest seen mtime, so
+    * files still being copied in (or written by a skewed clock) within the
+    * window are not wrongly classified as seen. */
+  private val SafetyLagMs = 10000L
+
   // Trigger.AvailableNow: snapshot the file set once; subsequent capped
   // micro-batches drain exactly this backlog, then the query stops
-  @volatile private var availableNowSnapshot: Option[Seq[String]] = None
+  @volatile private var availableNowSnapshot: Option[Seq[(Long, String)]] = None
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowSnapshot = Some(currentFiles())
   override def reportLatestOffset(): Offset =
-    StrawStreamOffset(availableNowSnapshot.getOrElse(currentFiles()))
+    // an everything-visible upper bound: hw at -inf, all files explicit
+    StrawStreamOffset(Long.MinValue,
+      availableNowSnapshot.getOrElse(currentFiles()))
 
-  private def currentFiles(): Seq[String] = {
+  private def currentFiles(): Seq[(Long, String)] = {
     val fs = StrawIO.fs(path)
     val p = new org.apache.hadoop.fs.Path(path)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).filter(_.isFile)
       .filter(_.getPath.getName.endsWith(graft.format.StrawFormat.Extension))
-      .sortBy(st => (st.getModificationTime, st.getPath.toString))
-      .map(_.getPath.toString).toSeq
+      .map(st => (st.getModificationTime, st.getPath.toString))
+      .sortBy(identity).toSeq
   }
 
-  override def initialOffset(): Offset = StrawStreamOffset(Seq.empty)
-  override def latestOffset(): Offset = StrawStreamOffset(currentFiles())
+  override def initialOffset(): Offset = StrawStreamOffset(Long.MinValue, Seq.empty)
+  override def latestOffset(): Offset =
+    StrawStreamOffset(Long.MinValue, currentFiles())
 
   // backpressure: cap the files admitted per micro-batch
   // (.option("maxFilesPerTrigger", n) on the stream reader)
@@ -83,26 +124,52 @@ class StrawMicroBatchStream(path: String, fullSchema: StructType,
     maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val seenFiles = start.asInstanceOf[StrawStreamOffset].files
-    val seen = seenFiles.toSet
+    val so = start.asInstanceOf[StrawStreamOffset]
+    val seenSet = so.fileSet
     val visible = availableNowSnapshot.getOrElse(currentFiles())
-    val fresh = visible.filterNot(seen)
+    val fresh = visible.filter { case (m, p) =>
+      m >= so.highWater && !seenSet.contains(p)
+    }
     val admitted = limit match {
       case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
         fresh.take(mf.maxFiles())
       case _ => fresh
     }
-    StrawStreamOffset(seenFiles ++ admitted)
+    // nothing new: return the START offset unchanged (json-identical), which
+    // is how the engine detects no-new-data and AvailableNow terminates
+    if (admitted.isEmpty) so
+    else {
+      val allSeen = so.files ++ admitted
+      // compaction: advance the mark past admitted files, but never past
+      //  (a) a not-yet-admitted backlog file (it must stay unseen),
+      //  (b) any file admitted THIS batch (replays of (start, this] must
+      //      still find it in the explicit list), or
+      //  (c) newest-seen-mtime minus the safety lag.
+      val unadmittedMin = fresh.drop(admitted.size).map(_._1)
+        .minOption.getOrElse(Long.MaxValue)
+      val admittedMin = admitted.map(_._1).min
+      val maxSeenMod = allSeen.map(_._1).max
+      val newHw = math.max(so.highWater,
+        math.min(math.min(unadmittedMin, admittedMin), maxSeenMod - SafetyLagMs))
+      StrawStreamOffset(newHw,
+        allSeen.filter(_._1 >= newHw).sortBy(identity))
+    }
   }
 
   override def deserializeOffset(json: String): Offset =
-    StrawStreamOffset(StrawOffset.fromJson(json))
+    StrawStreamOffset.fromJson(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[StrawStreamOffset].files.toSet
-    val fresh = end.asInstanceOf[StrawStreamOffset].files.filterNot(seen)
+    // derived from the two offsets ALONE (no relisting): deterministic on
+    // replay from a checkpoint
+    val so = start.asInstanceOf[StrawStreamOffset]
+    val eo = end.asInstanceOf[StrawStreamOffset]
+    val seenSet = so.fileSet
+    val fresh = eo.files
+      .filter { case (m, p) => m >= so.highWater && !seenSet.contains(p) }
+      .map(_._2)
     fresh.flatMap { file =>
       val footer = StrawIO.withInput(file)(StrawFileReader.readFooter)
       if (footer.columns.isEmpty) Nil
@@ -111,21 +178,38 @@ class StrawMicroBatchStream(path: String, fullSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new StrawPartitionReaderFactory(fullSchema, requiredSchema)
+    new StrawPartitionReaderFactory(fullSchema, requiredSchema,
+      new org.apache.spark.util.SerializableConfiguration(StrawIO.conf))
 }
 
-case class StrawStreamingWriterFactory(path: String, schema: StructType, opts: graft.format.WriteOptions)
+case class StrawStreamingWriterFactory(path: String, schema: StructType,
+    opts: graft.format.WriteOptions, jobId: String,
+    serConf: org.apache.spark.util.SerializableConfiguration)
   extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
-      : DataWriter[InternalRow] =
-    new StrawDataWriter(path, schema, partitionId, taskId + epochId * 100000L, opts)
+      : DataWriter[InternalRow] = {
+    StrawIO.install(serConf.value)
+    new StrawDataWriter(path, schema, partitionId, taskId + epochId * 100000L,
+      opts, jobId)
+  }
 }
 
+/** Streaming sink: tasks stage files under the job-scoped suffix (invisible
+  * to readers); each epoch's winners become visible atomically-per-file in
+  * `commit(epochId)` via [[StrawCommitProtocol]]. A failed epoch's staged
+  * leftovers are never renamed, so readers can't observe partial or
+  * duplicated epochs. No cross-epoch sweep here: a re-running attempt may
+  * be staging concurrently with this commit. */
 class StrawStreamingWrite(path: String, schema: StructType,
     opts: graft.format.WriteOptions) extends StreamingWrite {
+  private val jobId = java.util.UUID.randomUUID().toString.take(8)
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    StrawStreamingWriterFactory(path, schema, opts)
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+    StrawStreamingWriterFactory(path, schema, opts, jobId,
+      new org.apache.spark.util.SerializableConfiguration(StrawIO.conf))
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val staged = messages.flatMap { case StrawCommitMessage(fs) => fs }.toSeq
+    StrawCommitProtocol.finalizeFiles(path, jobId, staged): Unit
+  }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val f = StrawIO.fs(path)
     messages.foreach {

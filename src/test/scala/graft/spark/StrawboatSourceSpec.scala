@@ -33,6 +33,25 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def lineitem: DataFrame =
     spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
 
+  test("commit protocol: no staged leftovers after commit; orphans stay invisible") {
+    val out = s"$dir/commitproto"
+    spark.range(100).write.format("strawboat").mode("append").save(out)
+    val names = new java.io.File(out).listFiles.map(_.getName)
+    assert(names.exists(_.endsWith(".strb")))
+    assert(!names.exists(_.contains(".stage")), names.mkString(","))
+    // an orphaned staged file (task died after rolling, never committed):
+    // readers list only *.strb, so it can never surface as duplicate rows
+    val orphan = new java.io.File(out, "part-99999-0-dead-0000.strb.deadbeef.stage")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    assert(spark.read.format("strawboat").load(out).count() == 100)
+    // next overwrite: old generation replaced, still no staged leftovers of
+    // the new job, orphan of the foreign job untouched but still invisible
+    spark.range(50).write.format("strawboat").mode("overwrite").save(out)
+    assert(spark.read.format("strawboat").load(out).count() == 50)
+    val after = new java.io.File(out).listFiles.map(_.getName)
+    assert(!after.exists(n => n.contains(".stage") && !n.contains("deadbeef")))
+  }
+
   test("write + read round trip equals parquet content") {
     val out = s"$dir/lineitem"
     lineitem.write.format("strawboat").mode("overwrite").save(out)

@@ -28,6 +28,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  test("stream offsets are bounded: admitted history compacts behind the high-water mark") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    // json round trip, including quotes/backslashes in paths
+    val probe = StrawStreamOffset(12345L, Seq((12345L, "/a/b.strb"), (12350L, "/a/c\"x\\y.strb")))
+    assert(StrawStreamOffset.fromJson(probe.json()) == probe)
+
+    val data = s"$dir/offsetcompact"
+    new java.io.File(data).mkdirs()
+    val schema = StructType(Seq(StructField("v", LongType)))
+    def mkFile(name: String, mtime: Long): Unit = {
+      val w = new graft.format.StrawFileWriter(schema, graft.format.WriteOptions())
+      w.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](Long.box(1L))))
+      val f = new java.io.File(data, name)
+      val os = new java.io.FileOutputStream(f)
+      try w.writeTo(os) finally os.close()
+      assert(f.setLastModified(mtime))
+    }
+    val now = System.currentTimeMillis()
+    for (i <- 0 until 10) mkFile(f"old-$i%02d.strb", now - 60000 + i * 1000)
+
+    val stream = new StrawMicroBatchStream(data, schema, schema)
+    val limit = stream.getDefaultReadLimit
+    val off0 = stream.initialOffset().asInstanceOf[StrawStreamOffset]
+    val off1 = stream.latestOffset(off0, limit).asInstanceOf[StrawStreamOffset]
+    assert(off1.files.size == 10) // first batch: everything explicit
+
+    for (i <- 0 until 10) mkFile(f"new-$i%02d.strb", now)
+    val off2 = stream.latestOffset(off1, limit).asInstanceOf[StrawStreamOffset]
+    // the 10 old admitted files fell behind the mark; only the recent
+    // window stays explicit — the offset no longer grows with history
+    assert(off2.files.size == 10, s"expected compaction, got ${off2.files.size}")
+    assert(off2.highWater > now - 60000 + 9000)
+    // batch (off1, off2] replays exactly the 10 new files from offsets alone
+    val parts = stream.planInputPartitions(off1, off2)
+    assert(parts.length == 10)
+    // idle stream: offset unchanged (json-identical) → no-new-data signal
+    val off3 = stream.latestOffset(off2, limit)
+    assert(off3.json() == off2.json())
+  }
+
   test("micro-batch read picks up files incrementally across restarts") {
     val data = s"$dir/in"
     val ckpt = s"$dir/ckpt"
