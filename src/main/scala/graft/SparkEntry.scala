@@ -114,11 +114,17 @@ object SparkEntry {
           |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
     }),
     "q_agg_approx_distinct" -> ((s, d) => {
-      // HLL sketch (approx_count_distinct); implementations differ across
-      // engines so this is rows-only, with the exact count alongside
+      // HLL sketch values differ across engines, so the oracle-checkable
+      // surface is a sanity bound: the sketch must land within 10% of the
+      // exact count (HLL standard error is ~2%, so this is deterministic
+      // headroom, not flakiness), plus the exact count itself
       t(s, d, "lineitem").groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        .agg(approx_count_distinct(col("l_partkey")).as("approx"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"),
+          (abs(col("approx") - col("exact_parts")) <= col("exact_parts") * 0.1)
+            .as("approx_ok"),
+          col("exact_parts"))
         .orderBy(col("l_returnflag"))
     }),
     "q_agg_minmax" -> ((s, d) => {
@@ -388,6 +394,30 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_ann_lsh_recall" -> ((s, d) => {
+      // oracle-checkable LSH quality gate: recall of the banded LSH tier
+      // against exact brute force must be >= 0.9 (seeded planes + fixed
+      // data => deterministic). n_exact is independently computable by the
+      // oracle; recall_ok makes the quality claim hash-checked.
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      val exact = Ann.bruteForceTopK(s, emb, queries, 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val lsh = Ann.lshTopK(s, emb, queries, 64, 3, nPlanes = 4, nBands = 16)
+        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
+      exact.join(lsh, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          (sum(coalesce(col("hit"), lit(0))) >= count(lit(1)) * 0.9).as("recall_ok"))
+    }),
+    "q_dedup_embedding_lsh_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val exact = Ann.exactNearDupPairs(s, emb, 0.45).select(col("id_a"), col("id_b"))
+      val lsh = Ann.lshNearDupPairs(s, emb, 64, 0.45, nPlanes = 4, nBands = 16)
+        .select(col("id_a"), col("id_b")).withColumn("hit", lit(1))
+      exact.join(lsh, Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          (sum(coalesce(col("hit"), lit(0))) >= count(lit(1)) * 0.9).as("recall_ok"))
+    }),
     "q_ann_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Ann.ivfTopK(s, emb, emb.filter(col("vec_id") < 5), 64, 3)
@@ -549,6 +579,10 @@ object SparkEntry {
         |  sum(CASE WHEN prev IS NULL OR tns - prev > 1800000000000 THEN 1 ELSE 0 END)::BIGINT AS n_sessions,
         |  count(*) AS n_events
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_agg_approx_distinct" -> // sketch bounded by exact (see query comment)
+      """SELECT l_returnflag, true AS approx_ok,
+        |  count(DISTINCT l_partkey) AS exact_parts
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_agg_minmax" ->
       """SELECT l_linestatus, round(min(l_quantity), 2) AS min_qty,
         |  round(max(l_quantity), 2) AS max_qty,
@@ -671,6 +705,34 @@ object SparkEntry {
         |FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
         |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+    // minhash+LSH verified pairs equal the exact k=5 shingle Jaccard pairs
+    // on this corpus (LSH only prunes candidates; verification is exact on
+    // 64-bit shingle hashes, collision odds ~2^-64) — so the exact SQL IS
+    // the oracle
+    "q_dedup_minhash" ->
+      """WITH g AS (SELECT DISTINCT doc_id, substr(text, i::INT, 5) AS gram
+        |    FROM documents, range(1, 100001) t(i) WHERE i <= length(text) - 4),
+        |  cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |  inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |    FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
+        |FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+        |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_ann_lsh_recall" -> // n_exact independently derived; recall gate true
+      """SELECT count(*)::BIGINT AS n_exact, true AS recall_ok FROM (
+        |  SELECT q.vec_id, c.vec_id AS n_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(q.embedding, c.embedding), 4) DESC,
+        |        c.vec_id) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        |WHERE rank <= 3""".stripMargin,
+    "q_dedup_embedding_lsh_recall" ->
+      """SELECT count(*)::BIGINT AS n_exact, true AS recall_ok
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.45""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id,
         |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
@@ -752,7 +814,10 @@ object SparkEntry {
       """SELECT user_id, count(*) AS cnt, round(min(value), 2) AS mn,
         |  round(max(value), 2) AS mx
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
-    // q_dedup_minhash / q_dedup_simhash / q_langid_pred / q_ann_lsh have no
-    // SQL-expressible oracle (hash-seeded / heuristic) → rows-only check.
+    // Rows-only (no SQL-expressible oracle): q_dedup_simhash (seeded token
+    // hashing, not reproducible in SQL — its candidate mechanics are pinned
+    // by OpsSpec instead), q_ann_lsh / q_ann_ivf / q_dedup_embedding_lsh
+    // (approximate tiers; their quality is oracle-checked via the paired
+    // *_recall / _full queries above).
   )
 }
