@@ -68,6 +68,199 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Banded random-hyperplane LSH buckets as ONE codegen'd expression: for
+  * each of `nBands` plane families, the sign-bit bucket of the vector
+  * against `nPlanes` seeded Gaussian hyperplanes — `array<long>` indexed by
+  * band. Replaces nBands×nPlanes interpreted zip_with/aggregate dot-product
+  * expressions (higher-order functions don't codegen) with a single tight
+  * loop over a flat plane matrix; measured ~2.5× on the near-dup bench at
+  * sf0.1. Plane generation is deterministic in (dim, nPlanes, nBands, seed).
+  */
+case class HyperplaneBuckets(child: Expression, dim: Int, nPlanes: Int,
+    nBands: Int, seed: Long)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(nPlanes >= 1 && nPlanes <= 62, s"nPlanes must be in [1,62], got $nPlanes")
+  require(nBands >= 1, s"nBands must be >= 1, got $nBands")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_buckets expects array<float|double>, got $other")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** Flat [band][plane][dim] Gaussian matrix; per-band seed keeps bands
+    * independent (seed + 7919·band, matching the historical SQL layout). */
+  @transient private lazy val planesFlat: Array[Double] = {
+    val out = new Array[Double](nBands * nPlanes * dim)
+    var b = 0
+    while (b < nBands) {
+      val rnd = new scala.util.Random(seed + 7919L * b)
+      var j = 0
+      while (j < nPlanes * dim) { out(b * nPlanes * dim + j) = rnd.nextGaussian(); j += 1 }
+      b += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = math.min(dim, x.numElements())
+    val fx = isFloat
+    val out = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var bucket = 0L
+      var p = 0
+      while (p < nPlanes) {
+        val base = (b * nPlanes + p) * dim
+        var dot = 0.0
+        var i = 0
+        while (i < n) {
+          dot += planesFlat(base + i) * (if (fx) x.getFloat(i).toDouble else x.getDouble(i))
+          i += 1
+        }
+        if (dot > 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(b) = bucket
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("hyperplanes", planesFlat, "double[]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |int n = java.lang.Math.min($dim, $a.numElements());
+         |long[] buckets = new long[$nBands];
+         |for (int b = 0; b < $nBands; b++) {
+         |  long bucket = 0L;
+         |  for (int p = 0; p < $nPlanes; p++) {
+         |    int base = (b * $nPlanes + p) * $dim;
+         |    double dot = 0.0;
+         |    for (int i = 0; i < n; i++) {
+         |      dot += $planesRef[base + i] * (double) $a.$get(i);
+         |    }
+         |    if (dot > 0) bucket |= (1L << p);
+         |  }
+         |  buckets[b] = bucket;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(buckets);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The `probes` nearest centroid ids for a vector, ordered by (L2 distance,
+  * centroid id) — one codegen'd pass over a flat centroid matrix, replacing
+  * per-centroid interpreted zip_with/aggregate distance expressions. The
+  * deterministic tie-break (lowest id on equal distance) matches the
+  * previous array_sort-on-struct formulation. */
+case class NearestCells(child: Expression, cents: Array[Double],
+    numCents: Int, dim: Int, probes: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(numCents >= 1 && probes >= 1 && probes <= numCents,
+    s"need 1 <= probes <= numCents, got probes=$probes numCents=$numCents")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"nearest_cells expects array<float|double>, got $other")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = math.min(dim, x.numElements())
+    val fx = isFloat
+    val dist = new Array[Double](numCents)
+    var c = 0
+    while (c < numCents) {
+      val base = c * dim
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val t = cents(base + i) - (if (fx) x.getFloat(i).toDouble else x.getDouble(i))
+        d += t * t
+        i += 1
+      }
+      dist(c) = d
+      c += 1
+    }
+    val out = new Array[Int](probes)
+    val used = new Array[Boolean](numCents)
+    var j = 0
+    while (j < probes) {
+      var best = -1
+      var cc = 0
+      while (cc < numCents) {
+        if (!used(cc) && (best < 0 || dist(cc) < dist(best))) best = cc
+        cc += 1
+      }
+      used(best) = true
+      out(j) = best
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("centroids", cents, "double[]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |int n = java.lang.Math.min($dim, $a.numElements());
+         |double[] dist = new double[$numCents];
+         |for (int c = 0; c < $numCents; c++) {
+         |  int base = c * $dim;
+         |  double d = 0.0;
+         |  for (int i = 0; i < n; i++) {
+         |    double t = $centsRef[base + i] - (double) $a.$get(i);
+         |    d += t * t;
+         |  }
+         |  dist[c] = d;
+         |}
+         |int[] cells = new int[$probes];
+         |boolean[] used = new boolean[$numCents];
+         |for (int j = 0; j < $probes; j++) {
+         |  int best = -1;
+         |  for (int c = 0; c < $numCents; c++) {
+         |    if (!used[c] && (best < 0 || dist[c] < dist[best])) best = c;
+         |  }
+         |  used[best] = true;
+         |  cells[j] = best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(cells);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Register cosine_similarity with the session so `expr(...)`/SQL can use
     * it. Idempotent. */
@@ -85,5 +278,84 @@ object VectorFunctions {
   def cosine(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("cosine_similarity", a, b)
+  }
+
+  /** Register hyperplane_buckets(emb, dim, nPlanes, nBands, seed) — the
+    * non-vector args must be literals (the plane matrix is baked into the
+    * expression at plan time). Idempotent. */
+  def registerBuckets(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val ident = FunctionIdentifier("hyperplane_buckets")
+    if (!reg.functionExists(ident)) {
+      def intOf(e: Expression): Int = e.eval() match {
+        case n: java.lang.Number => n.intValue()
+        case other => throw new IllegalArgumentException(
+          s"hyperplane_buckets: expected integer literal, got $other")
+      }
+      def longOf(e: Expression): Long = e.eval() match {
+        case n: java.lang.Number => n.longValue()
+        case other => throw new IllegalArgumentException(
+          s"hyperplane_buckets: expected long literal, got $other")
+      }
+      reg.registerFunction(
+        ident,
+        new ExpressionInfo(classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),
+        (children: Seq[Expression]) => HyperplaneBuckets(children(0),
+          intOf(children(1)), intOf(children(2)), intOf(children(3)),
+          longOf(children(4))))
+    }
+  }
+
+  /** Banded LSH bucket array for an embedding column (codegen'd). */
+  def hyperplaneBuckets(spark: SparkSession, emb: Column, dim: Int,
+      nPlanes: Int, nBands: Int, seed: Long): Column = {
+    registerBuckets(spark)
+    org.apache.spark.sql.functions.call_function("hyperplane_buckets", emb,
+      org.apache.spark.sql.functions.lit(dim),
+      org.apache.spark.sql.functions.lit(nPlanes),
+      org.apache.spark.sql.functions.lit(nBands),
+      org.apache.spark.sql.functions.lit(seed))
+  }
+
+  /** Register nearest_cells(emb, centroidMatrix, probes) — matrix and
+    * probes must be literals (baked into the expression at plan time). */
+  def registerNearestCells(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val ident = FunctionIdentifier("nearest_cells")
+    if (!reg.functionExists(ident)) {
+      reg.registerFunction(
+        ident,
+        new ExpressionInfo(classOf[NearestCells].getName, "nearest_cells"),
+        (children: Seq[Expression]) => {
+          val m = children(1).eval().asInstanceOf[ArrayData]
+          val rows = m.numElements()
+          require(rows > 0, "nearest_cells: empty centroid matrix")
+          val dim = m.getArray(0).numElements()
+          val flat = new Array[Double](rows * dim)
+          var r = 0
+          while (r < rows) {
+            val row = m.getArray(r)
+            require(row.numElements() == dim, "nearest_cells: ragged centroid matrix")
+            var i = 0
+            while (i < dim) { flat(r * dim + i) = row.getDouble(i); i += 1 }
+            r += 1
+          }
+          val probes = children(2).eval() match {
+            case n: java.lang.Number => n.intValue()
+            case other => throw new IllegalArgumentException(
+              s"nearest_cells: expected integer literal probes, got $other")
+          }
+          NearestCells(children(0), flat, rows, dim, probes)
+        })
+    }
+  }
+
+  /** Probe-ordered nearest centroid ids (codegen'd). */
+  def nearestCells(spark: SparkSession, emb: Column,
+      centroids: Array[Array[Float]], probes: Int): Column = {
+    registerNearestCells(spark)
+    import org.apache.spark.sql.functions.{array, call_function, lit}
+    val matrix = array(centroids.map(c => array(c.map(v => lit(v.toDouble)): _*)): _*)
+    call_function("nearest_cells", emb, matrix, lit(probes))
   }
 }

@@ -42,43 +42,17 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Deterministic random hyperplanes (seeded) as literal arrays. */
-  private def planes(dim: Int, nPlanes: Int, seed: Long): Seq[Array[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
-  }
-
-  /** Sign-bit bucket id from `nPlanes` hyperplanes — pure SQL functions
-    * (zip_with dot product), no UDF. Long-valued so up to 62 planes work;
-    * bucket cardinality is 2^nPlanes. */
-  def signBucket(emb: Column, dim: Int, nPlanes: Int, seed: Long = 7): Column = {
-    planes(dim, nPlanes, seed).zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit): _*)
-      val dot = aggregate(
-        zip_with(emb, planeLit, (x, y) => x * y),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
-
-  /** Banded buckets: `nBands` independent plane families of `nPlanes` each,
-    * emitted as one `array<struct<band,bucket>>` for a single-pass explode
+  /** Banded buckets via the codegen'd [[graft.functions.HyperplaneBuckets]]
+    * expression (one tight loop over a flat plane matrix — higher-order SQL
+    * functions would be interpreted per element): posexplode of the
+    * per-band bucket array yields (band, bucket) candidate keys
     * (OR-construction: a pair is a candidate if it collides in ANY band —
     * recall no longer hinges on one family of planes). */
-  def bandedBuckets(emb: Column, dim: Int, nPlanes: Int, nBands: Int,
-      seed: Long = 7): Column =
-    array((0 until nBands).map { b =>
-      struct(lit(b).as("band"),
-        signBucket(emb, dim, nPlanes, seed + 7919L * b).as("bucket"))
-    }: _*)
-
-  private def withBandedBuckets(df: DataFrame, dim: Int, nPlanes: Int,
-      nBands: Int, seed: Long): DataFrame =
+  private def withBandedBuckets(spark: SparkSession, df: DataFrame, dim: Int,
+      nPlanes: Int, nBands: Int, seed: Long): DataFrame =
     df.select(col("*"),
-        explode(bandedBuckets(col("embedding"), dim, nPlanes, nBands, seed)).as("bb"))
-      .withColumn("band", col("bb.band"))
-      .withColumn("bucket", col("bb.bucket"))
-      .drop("bb")
+      posexplode(VectorFunctions.hyperplaneBuckets(spark, col("embedding"),
+        dim, nPlanes, nBands, seed)).as(Seq("band", "bucket")))
 
   /** Approximate top-k: corpus and queries bucketed by banded hyperplane
     * signs; candidates meet only inside a shared (band, bucket) — per-query
@@ -87,8 +61,8 @@ object Ann {
   def lshTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
       dim: Int, k: Int, nPlanes: Int = 8, nBands: Int = 4,
       seed: Long = 7): DataFrame = {
-    val cb = withBandedBuckets(corpus, dim, nPlanes, nBands, seed)
-    val qb = withBandedBuckets(queries, dim, nPlanes, nBands, seed)
+    val cb = withBandedBuckets(spark, corpus, dim, nPlanes, nBands, seed)
+    val qb = withBandedBuckets(spark, queries, dim, nPlanes, nBands, seed)
     val scored = cb.as("c")
       .join(qb.as("q"),
         col("c.band") === col("q.band") && col("c.bucket") === col("q.bucket") &&
@@ -123,7 +97,7 @@ object Ann {
   def lshNearDupPairs(spark: SparkSession, corpus: DataFrame, dim: Int,
       threshold: Double, nPlanes: Int = 8, nBands: Int = 8,
       seed: Long = 7): DataFrame = {
-    val b = withBandedBuckets(corpus, dim, nPlanes, nBands, seed)
+    val b = withBandedBuckets(spark, corpus, dim, nPlanes, nBands, seed)
     b.as("a")
       .join(b.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -173,8 +147,8 @@ object Ann {
       }
     }
 
-    val corpusCells = assignCells(corpus, centroids, 1)
-    val queryCells = assignCells(queries, centroids, nProbe)
+    val corpusCells = assignCells(spark, corpus, centroids, 1)
+    val queryCells = assignCells(spark, queries, centroids, nProbe)
     val scored = corpusCells.as("c")
       .join(queryCells.as("q"),
         col("c.cent_id") === col("q.cent_id") && col("c.vec_id") =!= col("q.vec_id"))
@@ -187,25 +161,15 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Nearest-`probes` centroid ids per row as a PURE expression: distances
-    * to literal centroid arrays, `array_sort` on (dist, cent_id) structs
-    * (struct comparison orders by dist then cent_id — a deterministic
-    * argmin tie-break), `slice` for the probe list. No centroid join, no
-    * window, no Exchange; probes=1 explodes a 1-element array (no blowup). */
-  def assignCells(df: DataFrame, centroids: Array[Array[Float]],
-      probes: Int): DataFrame = {
-    val sortedCells: Column = array_sort(array(
-      centroids.zipWithIndex.map { case (cv, i) =>
-        val centLit = array(cv.map(lit(_)): _*)
-        val dist = aggregate(
-          zip_with(col("embedding"), centLit, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, v) => acc + v)
-        struct(dist.as("dist"), lit(i).as("cent_id"))
-      }: _*))
-    df.withColumn("cell", explode(slice(sortedCells, 1, probes)))
-      .withColumn("cent_id", col("cell.cent_id"))
-      .drop("cell")
-  }
+  /** Nearest-`probes` centroid ids per row as a PURE expression — the
+    * codegen'd [[graft.functions.NearestCells]] (distances to a flat
+    * centroid matrix, deterministic (dist, cent_id) ordering). No centroid
+    * join, no window, no Exchange; probes=1 explodes a 1-element array (no
+    * blowup). */
+  def assignCells(spark: SparkSession, df: DataFrame,
+      centroids: Array[Array[Float]], probes: Int): DataFrame =
+    df.withColumn("cent_id",
+      explode(VectorFunctions.nearestCells(spark, col("embedding"), centroids, probes)))
 
   private def nearest(v: Array[Float], cents: Array[Array[Float]]): Int = {
     var best = 0

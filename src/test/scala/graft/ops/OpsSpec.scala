@@ -51,7 +51,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("IVF probes=1 assignment is expression-only: no Exchange, no row blowup") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cents = Array.fill(4)(Array.fill(64)(scala.util.Random.nextGaussian().toFloat))
-    val assigned = Ann.assignCells(emb, cents, 1)
+    val assigned = Ann.assignCells(spark, emb, cents, 1)
     assert(assigned.count() === emb.count())
     val plan = assigned.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"assignment plan shuffles:\n$plan")
