@@ -21,32 +21,33 @@ object Dedup {
         min(org.apache.spark.sql.functions.col(idCol)).as("keep_id"),
         count(lit(1)).as("dup_count"))
 
-  /** Distinct character k-shingles of `text`, one row per (id, shingle). */
+  /** Distinct k-character shingles of `text` as 64-bit hashes, one row per
+    * (id, shingle) — the codegen'd [[graft.functions.ShingleHashes]] kernel
+    * (one pass over the UTF-8 bytes per row; the SQL sequence/transform/
+    * array_distinct formulation paid interpreted per-element dispatch).
+    * Every downstream shuffle/join moves fixed-width longs, never k-char
+    * strings; set semantics are preserved modulo ~2^-64 collisions. */
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     df.select(
       col(idCol).as("sid"),
-      explode(array_distinct(transform(
-        sequence(lit(1), greatest(lit(1), length(col(textCol)) - (k - 1))),
-        i => col(textCol).substr(i, lit(k))))).as("shingle"))
+      explode(graft.functions.TextHashFunctions.shingleHashes(
+        df.sparkSession, col(textCol), k)).as("shingle"))
 
-  /** MinHash signatures: `numHashes` independent hash functions realized as
-    * seeded xxhash64(seed, shingle) — deterministic and overflow-free under
-    * ANSI mode. One aggregation over the shingle table. */
-  def minHashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
-    val aggs: Seq[Column] = (0 until numHashes).map { i =>
-      min(xxhash64(lit(i * 2654435761L + 42L), col("shingle"))).as(s"mh$i")
-    }
-    sh.groupBy(col("sid")).agg(aggs.head, aggs.tail: _*)
-  }
+  /** MinHash signatures as a MAP-ONLY projection: one (sid, array<long>)
+    * row per doc via the codegen'd [[graft.functions.ShingleMinHash]] — no
+    * shingle relation is materialized or shuffled for signatures at all. */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int): DataFrame =
+    df.select(col(idCol).as("sid"),
+      graft.functions.TextHashFunctions.minHashSignature(
+        df.sparkSession, col(textCol), k, numHashes).as("sig"))
 
-  /** LSH band buckets from signatures: `bands` bands of `rows` hashes each;
-    * docs sharing any band bucket are candidate near-duplicates. Emitted in
-    * ONE pass via posexplode (a per-band union would recompute the upstream
-    * signature aggregation once per band). */
+  /** LSH band buckets from signature arrays: `bands` bands of `rows` hashes
+    * each; docs sharing any band bucket are candidate near-duplicates.
+    * Emitted in ONE pass via posexplode. */
   def lshBuckets(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
     val bandHashes = (0 until bands).map { b =>
-      val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
-      xxhash64(cols: _*)
+      xxhash64((b * rows until (b + 1) * rows).map(i => element_at(col("sig"), i + 1)): _*)
     }
     sigs.select(col("sid"),
       posexplode(array(bandHashes: _*)).as(Seq("band", "bucket")))
@@ -83,30 +84,38 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Full MinHash+LSH near-duplicate pipeline: shingle → sign → band →
-    * bucket-join → exact-verify. */
-  /** Band shape tuned for high-threshold dedup: 4 bands × 8 rows keeps
-    * recall ≈ 1.0 at j ≥ 0.9 while collapsing the candidate set ~100×
-    * versus 4×4 on moderately-similar corpora (measured at sf0.1:
-    * 34,480 → 296 candidates, identical 256 verified pairs). */
+  /** Full MinHash+LSH near-duplicate pipeline: signature → band →
+    * bucket-join → pairwise exact-verify.
+    *
+    * Band shape: 8 bands × 4 rows puts the LSH S-curve threshold at
+    * j ≈ 0.77 — per-pair recall ≈ 0.985 at j = 0.8 (the verify threshold)
+    * and ≈ 1.0 above 0.85, while weakly-similar pairs (j ≤ 0.3) stay under
+    * ~6% candidate rate. Looser pruning than 4×8 is the right trade now
+    * that verification is a row-local O(len) expression rather than a
+    * multi-join over a shingle relation. */
   def minHashNearDup(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 5, numHashes: Int = 32, bands: Int = 4,
-      threshold: Double = 0.8, persistShingles: Boolean = false): DataFrame = {
-    // shingles collapse to 64-bit hashes up front: every downstream
-    // shuffle/join moves fixed-width longs instead of k-char strings
-    // (set semantics preserved modulo ~2^-64 collisions). The pipeline reads
-    // the shingle table 3× (signatures, intersection, sizes); by default it
-    // is recomputed — cheaper than pinning executor storage at bench scale.
-    // At large scale pass persistShingles=true to materialize it once
-    // (MEMORY_AND_DISK); the caller owns unpersist() when the result has
-    // been consumed.
-    val sh0 = shingles(df, idCol, textCol, k)
-      .select(col("sid"), xxhash64(col("shingle")).as("shingle"))
-    val sh = if (persistShingles)
-      sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else sh0
-    val cands = candidatePairs(lshBuckets(minHashSignatures(sh, numHashes), bands, numHashes / bands))
-    verifyJaccard(cands, sh, threshold)
+      k: Int = 5, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.8): DataFrame = {
+    // 100 TB shape: signatures are a map-only projection (no shingle table
+    // is ever shuffled for them); verification joins the two texts onto the
+    // LSH-pruned pair set and computes the exact shingle Jaccard ROW-LOCALLY
+    // (codegen'd ShingleJaccard) — no shingle relation exists anywhere in
+    // the plan, so the only shuffled data is (doc, signature), the band
+    // buckets, and the candidate pairs. Per-pair verify cost is
+    // O(len_a + len_b); a doc in several pairs re-hashes per pair, bounded
+    // by LSH pruning.
+    val spark = df.sparkSession
+    val cands = candidatePairs(
+      lshBuckets(minHashSignatures(df, idCol, textCol, k, numHashes),
+        bands, numHashes / bands))
+    val texts = df.select(col(idCol).as("tid"), col(textCol).as("ttext"))
+    cands
+      .join(texts.as("ta"), col("id_a") === col("ta.tid"))
+      .join(texts.as("tb"), col("id_b") === col("tb.tid"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.TextHashFunctions.shingleJaccard(
+          spark, col("ta.ttext"), col("tb.ttext"), k).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Exact n-gram Jaccard similarity over ALL pairs above `threshold`,
@@ -147,22 +156,15 @@ object Dedup {
   }
 
   /** SimHash 64-bit fingerprints from whitespace tokens: per bit, sum ±1
-    * weighted votes of token hashes; fingerprint = sign bits. Near-dup
-    * candidates share a 16-bit band (Hamming-tolerant bucketing). */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tokens = df.select(
-      col(idCol).as("sid"),
-      explode(filter(split(col(textCol), "\\s+"), t => t =!= lit(""))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitAggs: Seq[Column] = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$b")
-    }
-    val votes = tokens.groupBy(col("sid")).agg(bitAggs.head, bitAggs.tail: _*)
-    val fp = (0 until 64).map { b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    votes.select(col("sid"), fp.as("simhash"))
-  }
+    * weighted votes of token hashes; fingerprint = sign bits. One MAP-ONLY
+    * pass via the codegen'd [[graft.functions.SimHash64]] — the former
+    * explode-tokens + 64 bit-vote aggregations shuffled the whole token
+    * table. Near-dup candidates share a 16-bit band (Hamming-tolerant
+    * bucketing, [[simHashCandidates]]). */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("sid"),
+      graft.functions.TextHashFunctions.simHash64(
+        df.sparkSession, col(textCol)).as("simhash"))
 
   /** SimHash near-dup candidates: same 16-bit band in any of 4 bands
     * (single-pass band emission, as in [[lshBuckets]]). */

@@ -99,13 +99,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(guarded.exists { case (a, b, _) => a == 100L && b == 101L })
   }
 
-  test("minhash persistShingles=true yields identical pairs") {
+  test("pairwise shingle-jaccard expression equals the relational verify") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
-      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val plain = pairs(Dedup.minHashNearDup(docs, "doc_id", "text"))
-    val persisted = Dedup.minHashNearDup(docs, "doc_id", "text", persistShingles = true)
-    assert(pairs(persisted) === plain)
+    // relational formulation over the hashed-shingle relation
+    val sh = Dedup.shingles(docs, "doc_id", "text", 5)
+    val allPairs = docs.select(col("doc_id").as("id_a"))
+      .crossJoin(docs.select(col("doc_id").as("id_b")))
+      .filter(col("id_a") < col("id_b")).limit(500)
+    val relational = Dedup.verifyJaccard(allPairs, sh, 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        math.rint(r.getDouble(2) * 10000) / 10000)).toMap
+    val texts = docs.select(col("doc_id").as("tid"), col("text").as("ttext"))
+    val pairwise = allPairs
+      .join(texts.as("ta"), col("id_a") === col("ta.tid"))
+      .join(texts.as("tb"), col("id_b") === col("tb.tid"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.TextHashFunctions.shingleJaccard(
+          spark, col("ta.ttext"), col("tb.ttext"), 5).as("j"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        math.rint(r.getDouble(2) * 10000) / 10000)).toMap
+    assert(relational.nonEmpty)
+    // relational drops zero-intersection pairs (inner join); pairwise keeps
+    // them with jaccard 0 — compare on the relational domain
+    relational.foreach { case (k, v) =>
+      assert(pairwise.getOrElse(k, -1.0) == v, s"pair $k: $v vs ${pairwise.get(k)}")
+    }
   }
 
   test("minhash near-dup agrees with exact ngram jaccard on planted dups") {
