@@ -14,13 +14,17 @@ object Tables {
 
   private def strawRoot = s"/root/repo/target/strawdata/$FormatVersion"
 
-  private val lock = new Object
+  // per-destination locks so distinct tables convert CONCURRENTLY (Spark
+  // schedules jobs from multiple threads fine); the lock only prevents a
+  // double conversion of the same (sf, table)
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private val invalidateLock = new Object
 
   def strawDir(spark: SparkSession, sfDir: String, table: String): String = {
     val sfName = Paths.get(sfDir).getFileName.toString
     val dst = s"$strawRoot/$sfName/$table"
     val marker = Paths.get(dst, "_OK")
-    if (!Files.exists(marker)) lock.synchronized {
+    if (!Files.exists(marker)) locks.computeIfAbsent(dst, _ => new Object).synchronized {
       if (!Files.exists(marker)) {
         // events.ts is parquet TIMESTAMP(NANOS) which Spark refuses by
         // default; read it as a raw nanos long (exact — queries derive
@@ -43,7 +47,7 @@ object Tables {
     * tables) so the next [[strawDir]] re-writes it. Bench calls this first so
     * `convert_write` times a real conversion instead of hitting a marker file
     * left by a previous JVM. */
-  def invalidate(sfDir: String): Unit = lock.synchronized {
+  def invalidate(sfDir: String): Unit = invalidateLock.synchronized {
     val sfName = Paths.get(sfDir).getFileName.toString
     val root = Paths.get(strawRoot, sfName)
     if (Files.exists(root)) {

@@ -269,8 +269,39 @@ final class IntStats(values: Array[Long], n: Int) {
   var runCount: Int = if (n == 0) 0 else 1
   var sorted: Boolean = true
   var maxDelta: Long = 0L
-  private val counts = new java.util.HashMap[java.lang.Long, Array[Int]]()
   var highCardinality: Boolean = false
+
+  // growable open-addressing long→count map: the boxed-HashMap version
+  // dominated the whole write path (one boxing allocation per value across
+  // every page of every integer column)
+  private var cap = 1024
+  private var keys = new Array[Long](cap)
+  private var cnts = new Array[Int](cap)
+  private var present = new Array[Boolean](cap)
+  private var nDistinct = 0
+
+  private def slotOf(v: Long, capacity: Int, ks: Array[Long], pr: Array[Boolean]): Int = {
+    var slot = (v ^ (v >>> 29)).toInt & (capacity - 1)
+    while (pr(slot) && ks(slot) != v) slot = (slot + 1) & (capacity - 1)
+    slot
+  }
+
+  private def grow(): Unit = {
+    val newCap = cap << 1
+    val nk = new Array[Long](newCap)
+    val nc = new Array[Int](newCap)
+    val np = new Array[Boolean](newCap)
+    var i = 0
+    while (i < cap) {
+      if (present(i)) {
+        val s = slotOf(keys(i), newCap, nk, np)
+        np(s) = true; nk(s) = keys(i); nc(s) = cnts(i)
+      }
+      i += 1
+    }
+    cap = newCap; keys = nk; cnts = nc; present = np
+  }
+
   locally {
     var i = 0
     while (i < n) {
@@ -288,32 +319,39 @@ final class IntStats(values: Array[Long], n: Int) {
         }
       }
       if (!highCardinality) {
-        val c = counts.get(v)
-        if (c != null) c(0) += 1
-        else if (counts.size() < DistinctCap) counts.put(v, Array(1))
-        else highCardinality = true
+        val slot = slotOf(v, cap, keys, present)
+        if (present(slot)) cnts(slot) += 1
+        else if (nDistinct < DistinctCap) {
+          present(slot) = true; keys(slot) = v; cnts(slot) = 1
+          nDistinct += 1
+          if (nDistinct * 4 > cap * 3) grow()
+        } else highCardinality = true
       }
       i += 1
     }
   }
-  def distinct: Int = counts.size()
+
+  def distinct: Int = nDistinct
   lazy val (topValue: Long, topCount: Int) = {
-    if (highCardinality || counts.isEmpty) (0L, 0)
+    if (highCardinality || nDistinct == 0) (0L, 0)
     else {
       var bv = 0L; var bc = 0
-      val it = counts.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        if (e.getValue()(0) > bc) { bc = e.getValue()(0); bv = e.getKey() }
+      var i = 0
+      while (i < cap) {
+        if (present(i) && cnts(i) > bc) { bc = cnts(i); bv = keys(i) }
+        i += 1
       }
       (bv, bc)
     }
   }
   def distinctValues: Array[Long] = {
-    val out = new Array[Long](counts.size())
-    val it = counts.keySet().iterator()
+    val out = new Array[Long](nDistinct)
     var i = 0
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    var j = 0
+    while (i < cap) {
+      if (present(i)) { out(j) = keys(i); j += 1 }
+      i += 1
+    }
     java.util.Arrays.sort(out)
     out
   }
