@@ -52,6 +52,21 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!after.exists(n => n.contains(".stage") && !n.contains("deadbeef")))
   }
 
+  test("wide-decimal range filter through the connector (StatsDoubleApprox path)") {
+    val out = s"$dir/dec25"
+    val src = lineitem.select(col("l_orderkey"),
+      col("l_extendedprice").cast("decimal(25,4)").as("p"))
+    src.write.format("strawboat").mode("overwrite").save(out)
+    val cut = new java.math.BigDecimal("50000.0000")
+    val back = spark.read.format("strawboat").load(out).filter(col("p") > cut)
+    val expect = src.filter(col("p") > cut)
+    assert(back.count() == expect.count())
+    assert(back.exceptAll(expect).isEmpty)
+    // the filter reaches the scan (page skipping can engage)
+    val desc = back.queryExecution.executedPlan.toString
+    assert(desc.contains("skipFilters=[") && desc.contains("p"), desc.take(500))
+  }
+
   test("write + read round trip equals parquet content") {
     val out = s"$dir/lineitem"
     lineitem.write.format("strawboat").mode("overwrite").save(out)
