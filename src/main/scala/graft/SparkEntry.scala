@@ -470,6 +470,24 @@ object SparkEntry {
       Multimodal.stubFeatures(s.read.format("strawboat").load(mmDir))
         .orderBy(col("doc_id"))
     }),
+    // --- hive-style partitioned table: directory pruning -------------------
+    "q_scan_partitioned" -> ((s, d) => {
+      // events re-written hive-partitioned by event_type; the equality
+      // filter eliminates the four other event_type directories before any
+      // footer IO (PartitionLayout.prune)
+      val pdir = Tables.strawDir(s, d, "events") + "_bytype"
+      val marker = new java.io.File(pdir, "_PARTITIONED")
+      if (!marker.exists()) {
+        t(s, d, "events").write.format("strawboat")
+          .option("partitionBy", "event_type").mode("overwrite").save(pdir)
+        marker.createNewFile()
+      }
+      s.read.format("strawboat").load(pdir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cnt"), round(min(col("value")), 2).as("mn"))
+        .orderBy(col("user_id"))
+    }),
     // --- streaming: micro-batch drain through the connector ----------------
     "q_stream_roundtrip" -> ((s, d) => {
       // drain the strawboat events table via Trigger.AvailableNow micro-
@@ -813,7 +831,11 @@ object SparkEntry {
     "q_stream_roundtrip" -> // batch equivalent of the streamed drain
       """SELECT user_id, count(*) AS cnt, round(min(value), 2) AS mn,
         |  round(max(value), 2) AS mx
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_scan_partitioned" ->
+      """SELECT user_id, count(*) AS cnt, round(min(value), 2) AS mn
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin
     // Rows-only (no SQL-expressible oracle): q_dedup_simhash (seeded token
     // hashing, not reproducible in SQL — its candidate mechanics are pinned
     // by OpsSpec instead), q_ann_lsh / q_ann_ivf / q_dedup_embedding_lsh

@@ -1,0 +1,97 @@
+package graft.spark
+
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+/** Hive-style directory partitioning for strawboat tables:
+  * `dir/<col>=<encodedValue>/part-*.strb`.
+  *
+  * The partition column is ALSO stored in the data files — the directory
+  * layer is purely an acceleration structure, so reads need no schema
+  * reconstruction and unpartitioned/partitioned files can coexist. What the
+  * layout buys at scale is elimination of whole directories BEFORE any
+  * footer IO: a filter on the partition column prunes terabytes of files
+  * from the plan with zero reads (classic date/category partitioning).
+  *
+  * Pruning is conservative: only filters provably contradicted by the
+  * directory value eliminate it; any parse failure keeps the directory.
+  */
+object PartitionLayout {
+
+  val NullDir = "__null__"
+
+  def encode(value: String): String =
+    if (value == null) NullDir
+    else java.net.URLEncoder.encode(value, "UTF-8")
+
+  private def decode(raw: String): Option[String] =
+    if (raw == NullDir) None
+    else Some(java.net.URLDecoder.decode(raw, "UTF-8"))
+
+  /** (column, decodedValueOrNull) from the file's parent directory, if that
+    * directory is a `col=value` segment. */
+  def partitionOf(file: String): Option[(String, Option[String])] = {
+    val parent = new org.apache.hadoop.fs.Path(file).getParent
+    if (parent == null) None
+    else {
+      val seg = parent.getName
+      val eq = seg.indexOf('=')
+      if (eq <= 0) None
+      else
+        try Some((seg.substring(0, eq), decode(seg.substring(eq + 1))))
+        catch { case _: IllegalArgumentException => None }
+    }
+  }
+
+  /** Typed equality between the directory's string value and a filter
+    * literal. None = not comparable (keep the directory). */
+  private def valueEquals(dt: DataType, dirValue: String, lit: Any): Option[Boolean] = {
+    if (lit == null) return None
+    try dt match {
+      case StringType => Some(dirValue == lit.toString)
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(dirValue.toLong == (lit match {
+          case n: java.lang.Number => n.longValue()
+          case _ => return None
+        }))
+      case BooleanType => Some(dirValue.toBoolean == lit.asInstanceOf[Boolean])
+      case _ => None
+    } catch { case _: IllegalArgumentException | _: NumberFormatException => None }
+  }
+
+  /** Can any row under this directory satisfy `f`? Conservative. */
+  private def mayMatch(schema: StructType, col: String, value: Option[String], f: Filter): Boolean = {
+    def dtOf: Option[DataType] = schema.fields.find(_.name == col).map(_.dataType)
+    f match {
+      case EqualTo(a, v) if a == col => value match {
+        case None => false // null partition never equals a literal
+        case Some(dv) => dtOf.flatMap(valueEquals(_, dv, v)).getOrElse(true)
+      }
+      case In(a, vs) if a == col => value match {
+        case None => false
+        case Some(dv) =>
+          dtOf.map(dt => vs.exists(v => valueEquals(dt, dv, v).getOrElse(true)))
+            .getOrElse(true)
+      }
+      case IsNull(a) if a == col => value.isEmpty
+      case IsNotNull(a) if a == col => value.nonEmpty
+      case And(l, r) =>
+        mayMatch(schema, col, value, l) && mayMatch(schema, col, value, r)
+      case Or(l, r) =>
+        mayMatch(schema, col, value, l) || mayMatch(schema, col, value, r)
+      case _ => true // non-partition or unsupported filter: keep
+    }
+  }
+
+  /** Drop files whose `col=value` directory is provably excluded by the
+    * filters — before any footer is read. */
+  def prune(files: Seq[String], schema: StructType, filters: Array[Filter]): Seq[String] =
+    if (filters.isEmpty) files
+    else files.filter { f =>
+      partitionOf(f) match {
+        case Some((col, value)) if schema.fieldNames.contains(col) =>
+          filters.forall(mayMatch(schema, col, value, _))
+        case _ => true
+      }
+    }
+}

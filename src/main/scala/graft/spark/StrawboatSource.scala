@@ -98,16 +98,23 @@ object StrawIO {
 
   def fs(path: String): FileSystem = new Path(path).getFileSystem(conf)
 
-  /** All data files under `dir` (or `dir` itself if a file), path-sorted. */
+  /** All data files under `dir` (or `dir` itself if a file), recursive so
+    * hive-style partition subdirectories are seen, path-sorted. */
   def listFiles(dir: String): Seq[String] = {
     val p = new Path(dir)
     val f = fs(dir)
     if (!f.exists(p)) Seq.empty
     else if (f.getFileStatus(p).isFile) Seq(dir)
-    else f.listStatus(p).filter(_.isFile)
-      .map(_.getPath.toString)
-      .filter(_.endsWith(StrawFormat.Extension))
-      .sorted.toSeq
+    else {
+      val out = ArrayBuffer.empty[String]
+      val it = f.listFiles(p, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(StrawFormat.Extension))
+          out += st.getPath.toString
+      }
+      out.sorted.toSeq
+    }
   }
 
   def withInput[T](path: String)(body: RandomInput => T): T = {
@@ -163,8 +170,15 @@ class StrawboatTable(path: String, val schemaArg: StructType)
     new StrawScanBuilder(path, schemaArg,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt))
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new StrawWriteBuilder(path, info.schema(), StrawWriteOptions.parse(info.options()))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val partitionCol = Option(info.options().get("partitionBy"))
+    partitionCol.foreach { c =>
+      require(info.schema().fieldNames.contains(c),
+        s"strawboat: partitionBy column '$c' not in schema ${info.schema().fieldNames.mkString(",")}")
+    }
+    new StrawWriteBuilder(path, info.schema(), StrawWriteOptions.parse(info.options()),
+      partitionCol)
+  }
 }
 
 /** Writer options exposed on the DataFrame API, parquet-style:
@@ -302,11 +316,14 @@ class StrawScan(
     s"strawboat $path skipFilters=[${filters.mkString(", ")}] limit=" +
       (if (limit == Long.MaxValue) "none" else limit.toString)
 
-  /** Footers of all files, read once per scan with parallel IO (footer
-    * reads dominate planning at large file counts) and shared between
-    * partition planning and statistics. */
+  /** Footers of the surviving files, read once per scan with parallel IO
+    * (footer reads dominate planning at large file counts) and shared
+    * between partition planning and statistics. Hive-style partition
+    * directories are pruned FIRST — an excluded directory costs zero footer
+    * reads, the point of the layout at scale. */
   private lazy val footers: Seq[(String, graft.format.StrawFooter, Long)] =
-    StrawIO.mapParallel(StrawIO.listFiles(path)) { f =>
+    StrawIO.mapParallel(
+      PartitionLayout.prune(StrawIO.listFiles(path), fullSchema, filters)) { f =>
       StrawIO.withInput(f) { in => (f, StrawFileReader.readFooter(in), in.length) }
     }
 
@@ -444,15 +461,17 @@ object StrawSchemaResolver {
 // Write path
 // ---------------------------------------------------------------------------
 
-class StrawWriteBuilder(path: String, schema: StructType, opts: WriteOptions)
+class StrawWriteBuilder(path: String, schema: StructType, opts: WriteOptions,
+    partitionCol: Option[String] = None)
   extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new StrawBatchWrite(path, schema, doTruncate, opts)
+    override def toBatch: BatchWrite =
+      new StrawBatchWrite(path, schema, doTruncate, opts, partitionCol)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new StrawStreamingWrite(path, schema, opts)
+      new StrawStreamingWrite(path, schema, opts, partitionCol)
   }
 }
 
@@ -485,18 +504,25 @@ object StrawCommitProtocol {
   }
 
   /** Delete any leftover staged files of this job (dead tasks that never
-    * aborted, losing speculative attempts). */
+    * aborted, losing speculative attempts). Recursive so staged files in
+    * partition subdirectories are swept too. */
   def sweepStaged(path: String, jobId: String): Unit = {
     val f = StrawIO.fs(path)
     val p = new Path(path)
     val suffix = stageSuffix(jobId)
-    if (f.exists(p))
-      f.listStatus(p).filter(st => st.isFile && st.getPath.getName.endsWith(suffix))
-        .foreach(st => f.delete(st.getPath, false))
+    if (f.exists(p)) {
+      val it = f.listFiles(p, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(suffix))
+          f.delete(st.getPath, false): Unit
+      }
+    }
   }
 }
 
-class StrawBatchWrite(path: String, schema: StructType, truncate: Boolean, opts: WriteOptions)
+class StrawBatchWrite(path: String, schema: StructType, truncate: Boolean,
+    opts: WriteOptions, partitionCol: Option[String] = None)
   extends BatchWrite {
   // captured on the driver before any task writes, so truncate-on-commit
   // removes exactly the pre-existing generation of files
@@ -505,7 +531,7 @@ class StrawBatchWrite(path: String, schema: StructType, truncate: Boolean, opts:
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new StrawDataWriterFactory(path, schema, opts, jobId,
-      new org.apache.spark.util.SerializableConfiguration(StrawIO.conf))
+      new org.apache.spark.util.SerializableConfiguration(StrawIO.conf), partitionCol)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val staged = messages.flatMap { case StrawCommitMessage(fs) => fs }.toSeq
@@ -548,60 +574,86 @@ class StrawBatchWrite(path: String, schema: StructType, truncate: Boolean, opts:
 
 class StrawDataWriterFactory(path: String, schema: StructType, opts: WriteOptions,
     jobId: String,
-    serConf: org.apache.spark.util.SerializableConfiguration)
+    serConf: org.apache.spark.util.SerializableConfiguration,
+    partitionCol: Option[String] = None)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     StrawIO.install(serConf.value)
-    new StrawDataWriter(path, schema, partitionId, taskId, opts, jobId)
+    new StrawDataWriter(path, schema, partitionId, taskId, opts, jobId, partitionCol)
   }
 }
 
-/** Streams rows into rolling files (one open StrawFileWriter at a time,
-  * flushed to the FS at `targetFileBytes`). Rolled files land under the
-  * job-scoped staged suffix — invisible to readers until the driver's
-  * commit renames them (see [[StrawCommitProtocol]]); a file killed
-  * mid-write is never complete under ANY name. Values are extracted from
-  * the incoming row eagerly, so Spark's UnsafeRow buffer reuse is safe. */
+/** Streams rows into rolling files (one open StrawFileWriter per hive
+  * partition, flushed to the FS at `targetFileBytes`). Rolled files land
+  * under the job-scoped staged suffix — invisible to readers until the
+  * driver's commit renames them (see [[StrawCommitProtocol]]); a file
+  * killed mid-write is never complete under ANY name. With `partitionCol`
+  * set, rows route to `col=value/` subdirectories ([[PartitionLayout]];
+  * intended for low-cardinality columns, as with hive partitioning —
+  * memory holds one open page buffer per live partition value). Values are
+  * extracted from the incoming row eagerly, so Spark's UnsafeRow buffer
+  * reuse is safe. */
 class StrawDataWriter(dir: String, schema: StructType, partitionId: Int, taskId: Long,
-    opts: WriteOptions, jobId: String)
+    opts: WriteOptions, jobId: String, partitionCol: Option[String] = None)
   extends DataWriter[InternalRow] {
   private val fsys = StrawIO.fs(dir)
   locally { fsys.mkdirs(new Path(dir)) }
   private val uuid = UUID.randomUUID().toString.take(8)
-  private var fileIdx = 0
-  private var current = new StrawFileWriter(schema, opts)
+  private val partIdx = partitionCol.map(schema.fieldIndex)
+  private val partDt = partIdx.map(schema.fields(_).dataType)
+
+  private final class PartState {
+    var writer = new StrawFileWriter(schema, opts)
+    var fileIdx = 0
+  }
+  private val parts = scala.collection.mutable.LinkedHashMap.empty[String, PartState]
   private var rowsSinceCheck = 0
   private val files = ArrayBuffer.empty[String]
 
-  private def roll(): Unit = {
-    if (current.numRows > 0) {
-      val name = f"part-$partitionId%05d-$taskId-$uuid-$fileIdx%04d${StrawFormat.Extension}"
-      val staged = new Path(dir,
-        name + StrawCommitProtocol.stageSuffix(jobId))
-      val os = fsys.create(staged, true)
+  private def subdirOf(row: InternalRow): String = partIdx match {
+    case None => ""
+    case Some(i) =>
+      val col = partitionCol.get
+      val enc =
+        if (row.isNullAt(i)) PartitionLayout.NullDir
+        else PartitionLayout.encode(row.get(i, partDt.get).toString)
+      s"$col=$enc"
+  }
+
+  private def roll(subdir: String, st: PartState): Unit = {
+    if (st.writer.numRows > 0) {
+      val name =
+        f"part-$partitionId%05d-$taskId-$uuid-${st.fileIdx}%04d${StrawFormat.Extension}"
+      val parent = if (subdir.isEmpty) new Path(dir) else new Path(dir, subdir)
+      val staged = new Path(parent, name + StrawCommitProtocol.stageSuffix(jobId))
+      val os = fsys.create(staged, true) // creates the partition dir as needed
       var ok = false
-      try { current.writeTo(os); ok = true }
+      try { st.writer.writeTo(os); ok = true }
       finally {
         os.close()
         if (!ok) fsys.delete(staged, false)
       }
       files += staged.toString
-      fileIdx += 1
+      st.fileIdx += 1
     }
-    current = new StrawFileWriter(schema, opts)
+    st.writer = new StrawFileWriter(schema, opts)
   }
 
   override def write(row: InternalRow): Unit = {
-    current.write(row)
+    val subdir = subdirOf(row)
+    val st = parts.getOrElseUpdate(subdir, new PartState)
+    st.writer.write(row)
     rowsSinceCheck += 1
     if (rowsSinceCheck >= 4096) {
       rowsSinceCheck = 0
-      if (current.estimatedBytes > opts.targetFileBytes) roll()
+      parts.foreach { case (sd, s) =>
+        if (s.writer.estimatedBytes > opts.targetFileBytes) roll(sd, s)
+      }
     }
   }
 
   override def commit(): WriterCommitMessage = {
-    roll()
+    parts.foreach { case (sd, s) => roll(sd, s) }
     StrawCommitMessage(files.toSeq)
   }
 

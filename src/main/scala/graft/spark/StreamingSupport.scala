@@ -108,10 +108,17 @@ class StrawMicroBatchStream(path: String, fullSchema: StructType,
     val fs = StrawIO.fs(path)
     val p = new org.apache.hadoop.fs.Path(path)
     if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).filter(_.isFile)
-      .filter(_.getPath.getName.endsWith(graft.format.StrawFormat.Extension))
-      .map(st => (st.getModificationTime, st.getPath.toString))
-      .sortBy(identity).toSeq
+    else {
+      // recursive: hive-partitioned sinks are streamable sources too
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(graft.format.StrawFormat.Extension))
+          out += ((st.getModificationTime, st.getPath.toString))
+      }
+      out.sortBy(identity).toSeq
+    }
   }
 
   override def initialOffset(): Offset = StrawStreamOffset(Long.MinValue, Seq.empty)
@@ -184,13 +191,14 @@ class StrawMicroBatchStream(path: String, fullSchema: StructType,
 
 case class StrawStreamingWriterFactory(path: String, schema: StructType,
     opts: graft.format.WriteOptions, jobId: String,
-    serConf: org.apache.spark.util.SerializableConfiguration)
+    serConf: org.apache.spark.util.SerializableConfiguration,
+    partitionCol: Option[String])
   extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] = {
     StrawIO.install(serConf.value)
     new StrawDataWriter(path, schema, partitionId, taskId + epochId * 100000L,
-      opts, jobId)
+      opts, jobId, partitionCol)
   }
 }
 
@@ -201,11 +209,12 @@ case class StrawStreamingWriterFactory(path: String, schema: StructType,
   * duplicated epochs. No cross-epoch sweep here: a re-running attempt may
   * be staging concurrently with this commit. */
 class StrawStreamingWrite(path: String, schema: StructType,
-    opts: graft.format.WriteOptions) extends StreamingWrite {
+    opts: graft.format.WriteOptions, partitionCol: Option[String] = None)
+  extends StreamingWrite {
   private val jobId = java.util.UUID.randomUUID().toString.take(8)
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     StrawStreamingWriterFactory(path, schema, opts, jobId,
-      new org.apache.spark.util.SerializableConfiguration(StrawIO.conf))
+      new org.apache.spark.util.SerializableConfiguration(StrawIO.conf), partitionCol)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val staged = messages.flatMap { case StrawCommitMessage(fs) => fs }.toSeq
     StrawCommitProtocol.finalizeFiles(path, jobId, staged): Unit

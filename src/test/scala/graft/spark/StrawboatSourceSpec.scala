@@ -67,6 +67,51 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(desc.contains("skipFilters=[") && desc.contains("p"), desc.take(500))
   }
 
+  test("partition layout prune semantics (typed equality, null dir, conservative keep)") {
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", StringType), StructField("v", LongType)))
+    val files = Seq("/t/k=a/f1.strb", "/t/k=b+c/f2.strb", "/t/k=__null__/f3.strb", "/t/plain.strb")
+    def p(fs: Filter*) = PartitionLayout.prune(files, schema, fs.toArray)
+    assert(p(EqualTo("k", "a")) == Seq("/t/k=a/f1.strb", "/t/plain.strb"))
+    assert(p(EqualTo("k", "b c")) == Seq("/t/k=b+c/f2.strb", "/t/plain.strb"))
+    assert(p(IsNull("k")) == Seq("/t/k=__null__/f3.strb", "/t/plain.strb"))
+    assert(p(IsNotNull("k")) == files.filterNot(_.contains("__null__")))
+    assert(p(In("k", Array[Any]("a", "zzz"))) == Seq("/t/k=a/f1.strb", "/t/plain.strb"))
+    assert(p(EqualTo("v", Long.box(5L))) == files) // non-partition column: keep all
+    assert(p(GreaterThan("k", "a")) == files) // unsupported shape: keep all
+    assert(p(And(EqualTo("k", "a"), EqualTo("v", Long.box(5L)))) ==
+      Seq("/t/k=a/f1.strb", "/t/plain.strb"))
+  }
+
+  test("hive-partitioned write: layout, round trip, pruning before footer IO") {
+    val out = s"$dir/li_byflag"
+    val src = lineitem.select(col("l_orderkey"), col("l_linenumber"),
+      col("l_returnflag"), col("l_quantity"))
+    src.write.format("strawboat").option("partitionBy", "l_returnflag")
+      .mode("overwrite").save(out)
+    val subdirs = new java.io.File(out).listFiles.filter(_.isDirectory).map(_.getName).sorted
+    assert(subdirs.toSeq == Seq("l_returnflag=A", "l_returnflag=N", "l_returnflag=R"))
+    val back = spark.read.format("strawboat").load(out)
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).isEmpty) // partition column present in the data
+    val got = back.filter(col("l_returnflag") === "A")
+    val expect = src.filter(col("l_returnflag") === "A")
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+    // pruning precedes footer reads: corrupt every file of the OTHER
+    // partitions — the filtered query must still succeed because those
+    // directories are eliminated before any IO touches them
+    for (sd <- Seq("l_returnflag=N", "l_returnflag=R");
+         f <- new java.io.File(s"$out/$sd").listFiles if f.getName.endsWith(".strb"))
+      java.nio.file.Files.write(f.toPath, Array[Byte](9, 9, 9))
+    assert(got.count() == expect.count())
+    // and the corruption is real: a fresh load (schema inference reads every
+    // footer) fails
+    intercept[Exception] {
+      spark.read.format("strawboat").load(out).count()
+    }
+  }
+
   test("write + read round trip equals parquet content") {
     val out = s"$dir/lineitem"
     lineitem.write.format("strawboat").mode("overwrite").save(out)
