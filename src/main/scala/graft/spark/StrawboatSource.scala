@@ -168,7 +168,8 @@ class StrawboatTable(path: String, val schemaArg: StructType)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new StrawScanBuilder(path, schemaArg,
-      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      Option(options.get("keyGrouped")).exists(_.toBoolean))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val partitionCol = Option(info.options().get("partitionBy"))
@@ -225,7 +226,7 @@ object StrawWriteOptions {
 // ---------------------------------------------------------------------------
 
 class StrawScanBuilder(path: String, fullSchema: StructType,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None, keyGrouped: Boolean = false)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters
@@ -287,7 +288,7 @@ class StrawScanBuilder(path: String, fullSchema: StructType,
       new StrawAggScan(s"strawboat $path footer-only aggregate", schema, row)
     case None =>
       new StrawScan(path, fullSchema, requiredSchema, pushedFiltersArr, limit,
-        maxFilesPerTrigger)
+        maxFilesPerTrigger, keyGrouped)
   }
 }
 
@@ -298,14 +299,49 @@ case class StrawInputPartition(
     pageEnd: Int,
     limit: Long) extends InputPartition
 
+/** All files of ONE hive-partition value as a single input partition, keyed
+  * so Spark's storage-partitioned execution (KeyGroupedPartitioning) can
+  * skip the shuffle for joins/aggregations on the partition column. */
+case class StrawKeyedPartition(files: Seq[String], rawValue: Option[String],
+    dtJson: String) extends InputPartition
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](StrawKeyedPartition.parse(rawValue,
+        org.apache.spark.sql.types.DataType.fromJson(dtJson))))
+}
+
+object StrawKeyedPartition {
+  import org.apache.spark.sql.types._
+  def parse(raw: Option[String], dt: DataType): Any = raw match {
+    case None => null
+    case Some(s) => dt match {
+      case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      case IntegerType => s.toInt
+      case LongType => s.toLong
+      case ShortType => s.toShort
+      case ByteType => s.toByte
+      case BooleanType => s.toBoolean
+      case other =>
+        throw new IllegalArgumentException(s"keyGrouped: unsupported partition type $other")
+    }
+  }
+  def parseable(dt: DataType): Boolean = dt match {
+    case StringType | IntegerType | LongType | ShortType | ByteType | BooleanType => true
+    case _ => false
+  }
+}
+
 class StrawScan(
     path: String,
     fullSchema: StructType,
     requiredSchema: StructType,
     filters: Array[Filter],
     limit: Long,
-    maxFilesPerTrigger: Option[Int] = None)
-  extends Scan with Batch with SupportsReportStatistics {
+    maxFilesPerTrigger: Option[Int] = None,
+    keyGrouped: Boolean = false)
+  extends Scan with Batch with SupportsReportStatistics
+  with SupportsReportPartitioning {
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
@@ -327,9 +363,60 @@ class StrawScan(
       StrawIO.withInput(f) { in => (f, StrawFileReader.readFooter(in), in.length) }
     }
 
+  /** Value-grouped layout, used only when `.option("keyGrouped", "true")`
+    * is set AND every (pruned) file is hive-partitioned on the same
+    * supported-type column that survives into the output schema. Explicit
+    * opt-in: one input partition per value trades split parallelism for
+    * shuffle elimination — the right trade for joins/aggregations on the
+    * partition column, the wrong one for plain scans. */
+  private lazy val keyedLayout: Option[(String, org.apache.spark.sql.types.DataType,
+      Seq[(Option[String], Seq[String])])] =
+    if (!keyGrouped) None
+    else {
+      val files = PartitionLayout.prune(StrawIO.listFiles(path), fullSchema, filters)
+      val parts = files.map(f => PartitionLayout.partitionOf(f).map((f, _)))
+      if (files.isEmpty || parts.exists(_.isEmpty)) None
+      else {
+        val flat = parts.flatten
+        flat.map(_._2._1).distinct match {
+          case Seq(col) =>
+            requiredSchema.fields.find(_.name == col) match {
+              case Some(fld) if StrawKeyedPartition.parseable(fld.dataType) =>
+                val groups = flat.groupBy(_._2._2).toSeq
+                  .sortBy(_._1.getOrElse(""))
+                  .map { case (v, fs) => (v, fs.map(_._1).sorted) }
+                Some((col, fld.dataType, groups))
+              case _ => None
+            }
+          case _ => None
+        }
+      }
+    }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    keyedLayout match {
+      case Some((col, _, groups)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.identity(col)),
+          groups.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
   /** Driver-side plan: read each file's footer, drop zone-map-excluded
-    * pages, slice surviving page runs into ~32 MiB partitions. */
+    * pages, slice surviving page runs into ~32 MiB partitions. In
+    * key-grouped mode, one partition per hive-partition value instead
+    * (page-level zone skipping is then left to Spark's row-level filter
+    * re-evaluation). */
   override def planInputPartitions(): Array[InputPartition] = {
+    keyedLayout match {
+      case Some((_, dt, groups)) =>
+        return groups.map { case (v, fs) =>
+          StrawKeyedPartition(fs, v, dt.json): InputPartition
+        }.toArray
+      case None =>
+    }
     val targetBytes = 32L << 20
     val parts = ArrayBuffer.empty[InputPartition]
     var rowsPlanned = 0L
@@ -383,6 +470,30 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     StrawIO.install(serConf.value) // driver's session conf, shipped per task
+    partition match {
+      case kp: StrawKeyedPartition =>
+        // chain the value's files through single-file readers
+        return new PartitionReader[InternalRow] {
+          private val fileIt = kp.files.iterator
+          private var cur: PartitionReader[InternalRow] = _
+          override def next(): Boolean = {
+            while (true) {
+              if (cur == null) {
+                if (!fileIt.hasNext) return false
+                cur = createReader(
+                  StrawInputPartition(fileIt.next(), 0, Int.MaxValue, Long.MaxValue))
+              }
+              if (cur.next()) return true
+              cur.close()
+              cur = null
+            }
+            false
+          }
+          override def get(): InternalRow = cur.get()
+          override def close(): Unit = if (cur != null) cur.close()
+        }
+      case _ =>
+    }
     val p = partition.asInstanceOf[StrawInputPartition]
     val input = StrawIO.open(p.path)
     // footer parse / schema resolution can throw (corrupt file, evolved
@@ -430,7 +541,8 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
   }
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    requiredSchema.fields.forall(f => ColumnarSupport.isFlat(f.dataType))
+    !partition.isInstanceOf[StrawKeyedPartition] &&
+      requiredSchema.fields.forall(f => ColumnarSupport.isFlat(f.dataType))
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {

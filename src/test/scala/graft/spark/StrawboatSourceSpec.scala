@@ -112,6 +112,46 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("key-grouped scan: aggregation on the partition column runs without a shuffle") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val out = s"$dir/li_keyed"
+      val src = lineitem.select(col("l_returnflag"), col("l_quantity"))
+      src.write.format("strawboat").option("partitionBy", "l_returnflag")
+        .mode("overwrite").save(out)
+
+      val keyed = spark.read.format("strawboat").option("keyGrouped", "true").load(out)
+        .groupBy(col("l_returnflag"))
+        .agg(round(sum(col("l_quantity")), 2).as("s"), count(lit(1)).as("c"))
+      val expect = src.groupBy(col("l_returnflag"))
+        .agg(round(sum(col("l_quantity")), 2).as("s"), count(lit(1)).as("c"))
+      assert(keyed.exceptAll(expect).isEmpty && expect.exceptAll(keyed).isEmpty)
+      val plan = keyed.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"keyed aggregation should not shuffle:\n$plan")
+
+      // storage-partitioned join: two tables co-partitioned on the same
+      // column join on it with no Exchange on either side
+      val out2 = s"$dir/li_keyed2"
+      src.groupBy(col("l_returnflag")).agg(avg(col("l_quantity")).as("aq"))
+        .write.format("strawboat").option("partitionBy", "l_returnflag")
+        .mode("overwrite").save(out2)
+      // disable broadcast so the planner must co-locate: the storage
+      // partitioning should satisfy the join's distribution with NO shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val a = spark.read.format("strawboat").option("keyGrouped", "true").load(out)
+      val b = spark.read.format("strawboat").option("keyGrouped", "true").load(out2)
+      val joined = a.join(b, "l_returnflag")
+      assert(joined.count() == src.count())
+      val jplan = joined.queryExecution.executedPlan.toString
+      assert(!jplan.contains("Exchange"),
+        s"co-partitioned join should not shuffle:\n$jplan")
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("write + read round trip equals parquet content") {
     val out = s"$dir/lineitem"
     lineitem.write.format("strawboat").mode("overwrite").save(out)
