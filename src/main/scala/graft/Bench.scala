@@ -10,7 +10,7 @@ object Bench {
   // representative slice: scan+filter, agg, joins (broadcast/shuffle/multi),
   // window, top-k, codec-heavy scan, and the LLM-pipeline operators
   private val headline = Seq(
-    "q_scan_filter_project", "q_codec_sorted", "q_agg_groupby",
+    "q_scan_filter_project", "q_scan_partitioned", "q_codec_sorted", "q_agg_groupby",
     "q_agg_distinct", "q_join_broadcast", "q_join_shuffle", "q_join_multi",
     "q_tpch_q3", "q_tpch_q6", "q_window_rank", "q_window_running",
     "q_events_sessions", "q_topk_orders",
