@@ -336,12 +336,46 @@ class StrawScan(
     path: String,
     fullSchema: StructType,
     requiredSchema: StructType,
-    filters: Array[Filter],
+    initialFilters: Array[Filter],
     limit: Long,
     maxFilesPerTrigger: Option[Int] = None,
     keyGrouped: Boolean = false)
   extends Scan with Batch with SupportsReportStatistics
-  with SupportsReportPartitioning {
+  with SupportsReportPartitioning with SupportsRuntimeFiltering {
+
+  // static pushed filters + any runtime (DPP-style) filters Spark injects
+  // after the build side of a join executes; runtime filters arrive before
+  // planInputPartitions, so they prune partitions/directories/pages exactly
+  // like static ones
+  @volatile private var filters: Array[Filter] = initialFilters
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // must reference the scan's OUTPUT columns (Spark resolves these against
+    // the pruned read schema, not the table schema)
+    requiredSchema.fieldNames
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(runtimeFilters: Array[Filter]): Unit = {
+    // key-grouped scans already reported a fixed partition count — dropping
+    // groups now would contradict the reported KeyGroupedPartitioning
+    if (keyedLayout.isDefined) return
+    // keep only shapes our pruning layers understand: zone-map-encodable
+    // filters and partition-prunable In/EqualTo/null tests (everything is
+    // re-evaluated by Spark above the scan, so dropping the rest is safe)
+    val usable = runtimeFilters.filter(f =>
+      ZoneMapFilter.supported(fullSchema, f) || isPartitionPrunable(f))
+    if (usable.nonEmpty) {
+      filters = filters ++ usable
+      footersCache = null // re-plan with the narrowed file/page set
+    }
+  }
+
+  private def isPartitionPrunable(f: Filter): Boolean = f match {
+    case _: EqualTo | _: In | _: IsNull | _: IsNotNull => true
+    case And(l, r) => isPartitionPrunable(l) || isPartitionPrunable(r)
+    case Or(l, r) => isPartitionPrunable(l) && isPartitionPrunable(r)
+    case _ => false
+  }
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
@@ -352,16 +386,24 @@ class StrawScan(
     s"strawboat $path skipFilters=[${filters.mkString(", ")}] limit=" +
       (if (limit == Long.MaxValue) "none" else limit.toString)
 
-  /** Footers of the surviving files, read once per scan with parallel IO
-    * (footer reads dominate planning at large file counts) and shared
-    * between partition planning and statistics. Hive-style partition
+  /** Footers of the surviving files, read once per filter state with
+    * parallel IO (footer reads dominate planning at large file counts) and
+    * shared between partition planning and statistics. Hive-style partition
     * directories are pruned FIRST — an excluded directory costs zero footer
-    * reads, the point of the layout at scale. */
-  private lazy val footers: Seq[(String, graft.format.StrawFooter, Long)] =
-    StrawIO.mapParallel(
-      PartitionLayout.prune(StrawIO.listFiles(path), fullSchema, filters)) { f =>
-      StrawIO.withInput(f) { in => (f, StrawFileReader.readFooter(in), in.length) }
+    * reads, the point of the layout at scale. Invalidated when a runtime
+    * filter narrows the file set. */
+  @volatile private var footersCache: Seq[(String, graft.format.StrawFooter, Long)] = _
+  private def footers: Seq[(String, graft.format.StrawFooter, Long)] = {
+    var c = footersCache
+    if (c == null) {
+      c = StrawIO.mapParallel(
+        PartitionLayout.prune(StrawIO.listFiles(path), fullSchema, filters)) { f =>
+        StrawIO.withInput(f) { in => (f, StrawFileReader.readFooter(in), in.length) }
+      }
+      footersCache = c
     }
+    c
+  }
 
   /** Value-grouped layout, used only when `.option("keyGrouped", "true")`
     * is set AND every (pruned) file is hive-partitioned on the same

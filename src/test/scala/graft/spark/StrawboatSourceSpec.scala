@@ -152,6 +152,30 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("runtime filter narrows planned partitions (SupportsRuntimeFiltering)") {
+    import org.apache.spark.sql.sources.EqualTo
+    val out = s"$dir/li_dpp"
+    lineitem.select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      .write.format("strawboat").option("partitionBy", "l_returnflag")
+      .mode("overwrite").save(out)
+    val schema = spark.read.format("strawboat").load(out).schema
+    val sb = new StrawScanBuilder(out, schema)
+    val scan = sb.build().asInstanceOf[StrawScan]
+    val before = scan.planInputPartitions().length
+    assert(before >= 3) // at least one split per partition value
+    // simulate the DPP-injected filter from a selective build side
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](EqualTo("l_returnflag", "A")))
+    val after = scan.planInputPartitions().length
+    assert(after < before, s"runtime filter should drop partitions: $before -> $after")
+    // and a real join on the partition column still returns exact results
+    val ss = spark
+    import ss.implicits._
+    val dim = Seq(("A", "keep")).toDF("flag", "tag")
+    val fact = spark.read.format("strawboat").load(out)
+    val joined = fact.join(dim, fact("l_returnflag") === dim("flag"))
+    assert(joined.count() == lineitem.filter(col("l_returnflag") === "A").count())
+  }
+
   test("write + read round trip equals parquet content") {
     val out = s"$dir/lineitem"
     lineitem.write.format("strawboat").mode("overwrite").save(out)
