@@ -126,6 +126,47 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("shingle kernel matches string-substring semantics (incl. multibyte UTF-8)") {
+    val ss = spark
+    import ss.implicits._
+    // reference: distinct k-char substrings computed on java Strings
+    def refCount(text: String, k: Int): Int = {
+      val n = text.length // java String length == code-unit count; our texts are BMP
+      val wins = math.max(1, n - (k - 1))
+      (0 until wins).map(i => text.substring(i, math.min(i + k, n))).distinct.size
+    }
+    val texts = Seq("", "a", "ab", "abcabcabc", "日本語のテキストです日本語",
+      "mixed 日本 ascii text", "aaaaaaa", "ab ab ab ab")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = graft.ops.Dedup.shingles(df, "doc_id", "text", 3)
+      .groupBy("sid").count().collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == refCount(t, 3).toLong, s"text '$t'")
+    }
+  }
+
+  test("simhash: identical docs collide, fingerprints are stable and map-only") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different content about databases and columnar formats"),
+      (4L, "")).toDF("doc_id", "text")
+    val fps = Dedup.simHash(docs, "doc_id", "text")
+    val m = fps.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(m(1L) == m(2L)) // identical text => identical fingerprint
+    assert(m(1L) != m(3L))
+    assert(m(4L) == 0L) // no tokens => zero votes => zero fingerprint
+    // no Exchange anywhere: the fingerprint is a pure projection
+    val plan = fps.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // identical docs are candidates (all four 16-bit bands collide)
+    val cands = Dedup.simHashCandidates(fps).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+  }
+
   test("minhash near-dup agrees with exact ngram jaccard on planted dups") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val mh = Dedup.minHashNearDup(docs, "doc_id", "text")

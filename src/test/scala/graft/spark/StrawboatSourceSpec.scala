@@ -176,6 +176,22 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.count() == lineitem.filter(col("l_returnflag") === "A").count())
   }
 
+  test("overwrite of a partitioned table truncates the previous generation") {
+    val out = s"$dir/li_part_overwrite"
+    val src = lineitem.select(col("l_returnflag"), col("l_quantity"))
+    src.write.format("strawboat").option("partitionBy", "l_returnflag")
+      .mode("overwrite").save(out)
+    val firstCount = spark.read.format("strawboat").load(out).count()
+    assert(firstCount == src.count())
+    // second generation: only one flag's rows — old subdir files must go
+    val gen2 = src.filter(col("l_returnflag") === "A")
+    gen2.write.format("strawboat").option("partitionBy", "l_returnflag")
+      .mode("overwrite").save(out)
+    val back = spark.read.format("strawboat").load(out)
+    assert(back.count() == gen2.count())
+    assert(back.exceptAll(gen2).isEmpty)
+  }
+
   test("write + read round trip equals parquet content") {
     val out = s"$dir/lineitem"
     lineitem.write.format("strawboat").mode("overwrite").save(out)
