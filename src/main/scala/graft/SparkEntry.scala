@@ -343,6 +343,13 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_dedup_clusters" -> ((s, d) => {
+      // pair list → duplicate clusters (connected components): the decision
+      // step of a dedup pipeline — doc_id != cluster_id is the drop set
+      Dedup.duplicateClusters(
+        Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", 3, 0.8))
+        .orderBy(col("doc_id"))
+    }),
     "q_dedup_simhash" -> ((s, d) => {
       Dedup.simHashCandidates(
         Dedup.simHash(t(s, d, "documents"), "doc_id", "text"))
@@ -723,6 +730,26 @@ object SparkEntry {
         |FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
         |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_clusters" -> // transitive closure via recursive CTE
+      """WITH RECURSIVE pairs AS (
+        |  WITH g AS (SELECT DISTINCT doc_id, substr(text, i::INT, 3) AS gram
+        |      FROM documents, range(1, 100001) t(i) WHERE i <= length(text) - 2),
+        |    cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+        |  WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges)
+        |SELECT n.id AS doc_id,
+        |  least(n.id, (SELECT min(b) FROM reach WHERE a = n.id)) AS cluster_id
+        |FROM nodes n ORDER BY doc_id""".stripMargin,
     // minhash+LSH verified pairs equal the exact k=5 shingle Jaccard pairs
     // on this corpus (LSH only prunes candidates; verification is exact on
     // 64-bit shingle hashes, collision odds ~2^-64) — so the exact SQL IS

@@ -155,6 +155,44 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over a near-duplicate pair table: every doc in
+    * the pair graph gets the SMALLEST doc id of its duplicate cluster as
+    * `cluster_id` (the canonical survivor; rows with `doc_id != cluster_id`
+    * are the drop set). Label propagation to a fixpoint — O(cluster
+    * diameter) rounds, each a join + min-aggregation; near-dup clusters are
+    * shallow in practice so this converges in a handful of rounds. Edges
+    * are pinned (MEMORY_AND_DISK) for the duration of the loop; at very
+    * large graph scale swap in the large-star/small-star variant, which
+    * shrinks diameter quadratically per round on the same join shape. */
+  def duplicateClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 64) {
+        val prop = edges.join(labels, col("dst") === col("id"))
+          .select(col("src").as("id"), col("label"))
+        val next = labels.union(prop)
+          .groupBy(col("id")).agg(min(col("label")).as("label"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
+          .filter(col("label") =!= col("prev")).count()
+        labels.unpersist()
+        labels = next
+        rounds += 1
+      }
+      // materialize before releasing the cache the lineage leans on
+      val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      out.count(): Unit
+      out
+    } finally edges.unpersist(): Unit
+  }
+
   /** SimHash 64-bit fingerprints from whitespace tokens: per bit, sum ±1
     * weighted votes of token hashes; fingerprint = sign bits. One MAP-ONLY
     * pass via the codegen'd [[graft.functions.SimHash64]] — the former

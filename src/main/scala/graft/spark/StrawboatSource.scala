@@ -98,6 +98,14 @@ object StrawIO {
 
   def fs(path: String): FileSystem = new Path(path).getFileSystem(conf)
 
+  /** Depth-first walk via listStatus — NOT FileSystem.listFiles, whose
+    * LocatedFileStatus eagerly loads permissions on the local FS (a shell
+    * exec per file: slow, and interruptible mid-stream at query stop). */
+  def walkFiles(f: FileSystem, p: Path)(visit: org.apache.hadoop.fs.FileStatus => Unit): Unit =
+    f.listStatus(p).foreach { st =>
+      if (st.isDirectory) walkFiles(f, st.getPath)(visit) else visit(st)
+    }
+
   /** All data files under `dir` (or `dir` itself if a file), recursive so
     * hive-style partition subdirectories are seen, path-sorted. */
   def listFiles(dir: String): Seq[String] = {
@@ -107,10 +115,8 @@ object StrawIO {
     else if (f.getFileStatus(p).isFile) Seq(dir)
     else {
       val out = ArrayBuffer.empty[String]
-      val it = f.listFiles(p, true)
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.isFile && st.getPath.getName.endsWith(StrawFormat.Extension))
+      walkFiles(f, p) { st =>
+        if (st.getPath.getName.endsWith(StrawFormat.Extension))
           out += st.getPath.toString
       }
       out.sorted.toSeq
@@ -664,14 +670,11 @@ object StrawCommitProtocol {
     val f = StrawIO.fs(path)
     val p = new Path(path)
     val suffix = stageSuffix(jobId)
-    if (f.exists(p)) {
-      val it = f.listFiles(p, true)
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.isFile && st.getPath.getName.endsWith(suffix))
+    if (f.exists(p))
+      StrawIO.walkFiles(f, p) { st =>
+        if (st.getPath.getName.endsWith(suffix))
           f.delete(st.getPath, false): Unit
       }
-    }
   }
 }
 

@@ -111,10 +111,8 @@ class StrawMicroBatchStream(path: String, fullSchema: StructType,
     else {
       // recursive: hive-partitioned sinks are streamable sources too
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
-      val it = fs.listFiles(p, true)
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.isFile && st.getPath.getName.endsWith(graft.format.StrawFormat.Extension))
+      StrawIO.walkFiles(fs, p) { st =>
+        if (st.getPath.getName.endsWith(graft.format.StrawFormat.Extension))
           out += ((st.getModificationTime, st.getPath.toString))
       }
       out.sortBy(identity).toSeq

@@ -167,6 +167,18 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cands.contains((1L, 2L)))
   }
 
+  test("duplicate clusters: connected components with min-label canonical ids") {
+    val ss = spark
+    import ss.implicits._
+    // chain 1-2-3-4 (multi-round propagation), pair 10-11, triangle-ish 20-21-22
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("minhash near-dup agrees with exact ngram jaccard on planted dups") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val mh = Dedup.minHashNearDup(docs, "doc_id", "text")
