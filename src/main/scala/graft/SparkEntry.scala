@@ -477,6 +477,23 @@ object SparkEntry {
       Multimodal.stubFeatures(s.read.format("strawboat").load(mmDir))
         .orderBy(col("doc_id"))
     }),
+    "q_multimodal_images" -> ((s, d) => {
+      // real binary round trip: VALID PNGs synthesized per doc (pure JDK),
+      // stored through strawboat binary pages, read back, and container
+      // metadata parsed by the codegen'd image_meta expression — the
+      // "decode headers, not pixels" step of a multimodal pipeline. The
+      // oracle re-derives the dimensions from doc_id, so a green row proves
+      // the synthesize→store→scan→parse loop end-to-end.
+      val imgDir = Tables.strawDir(s, d, "documents") + "_img"
+      val marker = new java.io.File(imgDir, "_OK")
+      if (!marker.exists()) {
+        Multimodal.asImages(t(s, d, "documents"))
+          .write.format("strawboat").mode("overwrite").save(imgDir)
+        marker.createNewFile()
+      }
+      Multimodal.imageMeta(s, s.read.format("strawboat").load(imgDir))
+        .orderBy(col("doc_id"))
+    }),
     // --- hive-style partitioned table: directory pruning -------------------
     "q_scan_partitioned" -> ((s, d) => {
       // events re-written hive-partitioned by event_type; the equality
@@ -862,7 +879,11 @@ object SparkEntry {
     "q_scan_partitioned" ->
       """SELECT user_id, count(*) AS cnt, round(min(value), 2) AS mn
         |FROM events WHERE event_type = 'purchase'
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_multimodal_images" -> // dims re-derived from doc_id (see query comment)
+      """SELECT doc_id, 'png' AS format, (16 + doc_id % 32)::INT AS width,
+        |  (8 + doc_id % 16)::INT AS height, 8 AS bit_depth
+        |FROM documents ORDER BY doc_id""".stripMargin
     // Rows-only (no SQL-expressible oracle): q_dedup_simhash (seeded token
     // hashing, not reproducible in SQL — its candidate mechanics are pinned
     // by OpsSpec instead), q_ann_lsh / q_ann_ivf / q_dedup_embedding_lsh

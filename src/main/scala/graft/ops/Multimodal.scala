@@ -37,4 +37,71 @@ object Multimodal {
       md5(col("payload")).as("digest"),
       col("meta.lang").as("lang"),
       col("meta.mime").as("mime"))
+
+  /** A minimal but fully VALID grayscale PNG (signature, IHDR with CRC,
+    * deflate-compressed scanlines, IEND) — pure JDK, no codec libraries.
+    * Test fixture for the image path: payloads synthesized with this decode
+    * in any standards-compliant reader (proven against javax.imageio). */
+  def pngBytes(width: Int, height: Int, seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val bos = new java.io.ByteArrayOutputStream(width * height + 128)
+    bos.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def be32(v: Int): Array[Byte] = Array(
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      bos.write(be32(data.length))
+      val tb = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(tb)
+      crc.update(data)
+      bos.write(tb)
+      bos.write(data)
+      bos.write(be32(crc.getValue.toInt))
+    }
+    // IHDR: w, h, bit depth 8, color type 0 (grayscale), deflate, no filter,
+    // no interlace
+    chunk("IHDR", be32(width) ++ be32(height) ++ Array[Byte](8, 0, 0, 0, 0))
+    val raw = new Array[Byte](height * (width + 1)) // filter byte + pixels
+    val rnd = new java.util.Random(seed)
+    var y = 0
+    while (y < height) {
+      raw(y * (width + 1)) = 0 // filter: None
+      var x = 0
+      while (x < width) { raw(y * (width + 1) + 1 + x) = rnd.nextInt(256).toByte; x += 1 }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw)
+    deflater.finish()
+    val zbuf = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) zbuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    chunk("IDAT", zbuf.toByteArray)
+    chunk("IEND", Array.empty[Byte])
+    bos.toByteArray
+  }
+
+  /** Documents → synthetic image table: one valid PNG payload per doc with
+    * dimensions derived deterministically from doc_id (the generation UDF is
+    * a test fixture; the SCALE-PATH operator is the codegen'd
+    * [[graft.functions.ImageMeta]] header parser run over the stored binary
+    * column). */
+  def asImages(docs: DataFrame): DataFrame = {
+    val gen = udf((id: Long) =>
+      pngBytes((16 + id % 32).toInt, (8 + id % 16).toInt, id))
+    docs.select(col("doc_id"), gen(col("doc_id")).as("payload"))
+  }
+
+  /** Parse container metadata from stored payloads (PNG/JPEG/GIF headers,
+    * no pixel decode) — flattened for oracle comparison. */
+  def imageMeta(spark: SparkSession, mm: DataFrame): DataFrame = {
+    val meta = graft.functions.ImageMetaFunctions.imageMeta(spark, col("payload"))
+    mm.select(
+      col("doc_id"),
+      meta.getField("format").as("format"),
+      meta.getField("width").as("width"),
+      meta.getField("height").as("height"),
+      meta.getField("bit_depth").as("bit_depth"))
+  }
 }

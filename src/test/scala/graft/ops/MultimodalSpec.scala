@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.functions.ImageMeta
+
+/** Multimodal binary path: synthesized PNGs must be REAL (JDK ImageIO
+  * decodes them with the right dimensions), and the image_meta header
+  * parser must read PNG/JPEG/GIF containers and reject garbage. */
+class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("synthesized PNG is standards-valid: JDK ImageIO decodes it") {
+    val bytes = Multimodal.pngBytes(37, 21, seed = 7)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO could not decode the synthesized PNG")
+    assert(img.getWidth == 37 && img.getHeight == 21)
+  }
+
+  test("image_meta parses PNG / JPEG / GIF headers and rejects garbage") {
+    def meta(b: Array[Byte]): Option[(String, Int, Int, Int)] =
+      Option(ImageMeta(org.apache.spark.sql.catalyst.expressions.Literal(b)).compute(b))
+        .map(r => (r.getUTF8String(0).toString, r.getInt(1), r.getInt(2), r.getInt(3)))
+
+    assert(meta(Multimodal.pngBytes(320, 200, 1)) == Some(("png", 320, 200, 8)))
+    // minimal JPEG: SOI + APP0 (skipped) + SOF0 with precision 8, h=480, w=640
+    val jpeg = Array[Int](
+      0xff, 0xd8,
+      0xff, 0xe0, 0x00, 0x04, 0x00, 0x00, // APP0, length 4
+      0xff, 0xc0, 0x00, 0x11, 0x08, 0x01, 0xe0, 0x02, 0x80, 0x03,
+      0x01, 0x11, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01).map(_.toByte)
+    assert(meta(jpeg) == Some(("jpeg", 640, 480, 8)))
+    // GIF89a logical screen 64 x 32 (little-endian)
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](64, 0, 32, 0, 0, 0, 0)
+    assert(meta(gif) == Some(("gif", 64, 32, 8)))
+    assert(meta(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10)).isEmpty)
+    assert(meta("plain text bytes, definitely not an image".getBytes).isEmpty)
+  }
+
+  test("image table round-trips through strawboat and parses via the expression") {
+    val ss = spark
+    import ss.implicits._
+    val docs = (0L until 50L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("strawimg").toString + "/t"
+    Multimodal.asImages(docs).write.format("strawboat").mode("overwrite").save(dir)
+    val got = Multimodal.imageMeta(spark, spark.read.format("strawboat").load(dir))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(got.size == 50)
+    got.foreach { case (id, fmt, w, h) =>
+      assert(fmt == "png" && w == (16 + id % 32).toInt && h == (8 + id % 16).toInt, s"doc $id")
+    }
+  }
+}
