@@ -494,6 +494,19 @@ object SparkEntry {
       Multimodal.imageMeta(s, s.read.format("strawboat").load(imgDir))
         .orderBy(col("doc_id"))
     }),
+    "q_multimodal_audio" -> ((s, d) => {
+      // same loop for audio: valid PCM WAVs synthesized per doc, stored as
+      // binary pages, header-parsed back by the codegen'd audio_meta
+      val audDir = Tables.strawDir(s, d, "documents") + "_aud"
+      val marker = new java.io.File(audDir, "_OK")
+      if (!marker.exists()) {
+        Multimodal.asAudio(t(s, d, "documents"))
+          .write.format("strawboat").mode("overwrite").save(audDir)
+        marker.createNewFile()
+      }
+      Multimodal.audioMeta(s, s.read.format("strawboat").load(audDir))
+        .orderBy(col("doc_id"))
+    }),
     // --- hive-style partitioned table: directory pruning -------------------
     "q_scan_partitioned" -> ((s, d) => {
       // events re-written hive-partitioned by event_type; the equality
@@ -883,6 +896,11 @@ object SparkEntry {
     "q_multimodal_images" -> // dims re-derived from doc_id (see query comment)
       """SELECT doc_id, 'png' AS format, (16 + doc_id % 32)::INT AS width,
         |  (8 + doc_id % 16)::INT AS height, 8 AS bit_depth
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_audio" -> // params re-derived from doc_id
+      """SELECT doc_id, 'wav' AS format, (1 + doc_id % 2)::INT AS channels,
+        |  (CASE WHEN doc_id % 3 = 0 THEN 16000 ELSE 44100 END)::INT AS sample_rate,
+        |  16 AS bits, (100 + doc_id % 400)::BIGINT AS n_samples
         |FROM documents ORDER BY doc_id""".stripMargin
     // Rows-only (no SQL-expressible oracle): q_dedup_simhash (seeded token
     // hashing, not reproducible in SQL — its candidate mechanics are pinned

@@ -88,18 +88,94 @@ object ImageMeta {
     StructField("bit_depth", IntegerType, nullable = false)))
 }
 
+/** Container-header metadata for an audio payload in a `binary` column:
+  * `struct<format, channels, sample_rate, bits, n_samples>`, or NULL for
+  * unknown magic. Parses the WAV RIFF fmt/data chunks — header-only, no
+  * sample decode. */
+case class AudioMeta(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = AudioMeta.schema
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"audio_meta expects binary, got $other")
+  }
+
+  private def u16(b: Array[Byte], i: Int): Int =
+    ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+  private def u32(b: Array[Byte], i: Int): Long =
+    ((b(i + 3) & 0xffL) << 24) | ((b(i + 2) & 0xffL) << 16) |
+      ((b(i + 1) & 0xffL) << 8) | (b(i) & 0xffL)
+  private def tag(b: Array[Byte], i: Int, t: String): Boolean =
+    b(i) == t(0) && b(i + 1) == t(1) && b(i + 2) == t(2) && b(i + 3) == t(3)
+
+  def compute(b: Array[Byte]): GenericInternalRow = {
+    if (b.length < 44 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return null
+    var channels = -1
+    var rate = -1L
+    var bits = -1
+    var dataLen = -1L
+    var i = 12
+    while (i + 8 <= b.length) {
+      val size = u32(b, i + 4)
+      if (tag(b, i, "fmt ") && i + 24 <= b.length) {
+        channels = u16(b, i + 10)
+        rate = u32(b, i + 12)
+        bits = u16(b, i + 22)
+      } else if (tag(b, i, "data")) dataLen = size
+      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    if (channels <= 0 || rate <= 0 || bits <= 0 || dataLen < 0) null
+    else {
+      val frameBytes = channels * (bits / 8)
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString("wav"), channels, rate.toInt, bits,
+        if (frameBytes > 0) (dataLen / frameBytes) else 0L))
+    }
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("audmeta", this, classOf[AudioMeta].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = $self.compute($c);
+       |${ev.isNull} = (${ev.value} == null);
+     """.stripMargin)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object AudioMeta {
+  val schema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false)))
+}
+
 object ImageMetaFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    val ident = FunctionIdentifier("image_meta")
-    if (!reg.functionExists(ident))
-      reg.registerFunction(ident,
-        new ExpressionInfo(classOf[ImageMeta].getName, "image_meta"),
-        (children: Seq[Expression]) => ImageMeta(children(0)))
+    def ensure(name: String, clazz: Class[_])(builder: Seq[Expression] => Expression): Unit = {
+      val ident = FunctionIdentifier(name)
+      if (!reg.functionExists(ident))
+        reg.registerFunction(ident, new ExpressionInfo(clazz.getName, name), builder)
+    }
+    ensure("image_meta", classOf[ImageMeta])(c => ImageMeta(c(0)))
+    ensure("audio_meta", classOf[AudioMeta])(c => AudioMeta(c(0)))
   }
 
   def imageMeta(spark: SparkSession, bin: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("image_meta", bin)
+  }
+
+  def audioMeta(spark: SparkSession, bin: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("audio_meta", bin)
   }
 }

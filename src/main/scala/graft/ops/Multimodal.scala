@@ -93,6 +93,51 @@ object Multimodal {
     docs.select(col("doc_id"), gen(col("doc_id")).as("payload"))
   }
 
+  /** A minimal valid PCM WAV (RIFF + fmt + data chunks) — pure JDK. Test
+    * fixture for the audio path; decodable by javax.sound.sampled. */
+  def wavBytes(channels: Int, sampleRate: Int, nSamples: Int, seed: Long): Array[Byte] = {
+    require(channels > 0 && sampleRate > 0 && nSamples >= 0)
+    val bits = 16
+    val dataLen = nSamples * channels * (bits / 8)
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * (bits / 8))
+      .putShort((channels * (bits / 8)).toShort)
+      .putShort(bits.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    val rnd = new java.util.Random(seed)
+    var i = 0
+    while (i < nSamples * channels) { bb.putShort((rnd.nextInt(65536) - 32768).toShort); i += 1 }
+    bb.array()
+  }
+
+  /** Documents → synthetic audio table (fixture UDF; the scale-path
+    * operator is the codegen'd [[graft.functions.AudioMeta]] parser). */
+  def asAudio(docs: DataFrame): DataFrame = {
+    val gen = udf((id: Long) =>
+      wavBytes((1 + id % 2).toInt, if (id % 3 == 0) 16000 else 44100,
+        (100 + id % 400).toInt, id))
+    docs.select(col("doc_id"), gen(col("doc_id")).as("payload"))
+  }
+
+  /** Parse WAV container metadata from stored payloads — flattened. */
+  def audioMeta(spark: SparkSession, mm: DataFrame): DataFrame = {
+    val meta = graft.functions.ImageMetaFunctions.audioMeta(spark, col("payload"))
+    mm.select(
+      col("doc_id"),
+      meta.getField("format").as("format"),
+      meta.getField("channels").as("channels"),
+      meta.getField("sample_rate").as("sample_rate"),
+      meta.getField("bits").as("bits"),
+      meta.getField("n_samples").as("n_samples"))
+  }
+
   /** Parse container metadata from stored payloads (PNG/JPEG/GIF headers,
     * no pixel decode) — flattened for oracle comparison. */
   def imageMeta(spark: SparkSession, mm: DataFrame): DataFrame = {

@@ -50,6 +50,27 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(meta("plain text bytes, definitely not an image".getBytes).isEmpty)
   }
 
+  test("synthesized WAV is standards-valid: JDK javax.sound decodes its format") {
+    val bytes = Multimodal.wavBytes(channels = 2, sampleRate = 44100, nSamples = 300, seed = 3)
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = in.getFormat
+    assert(fmt.getChannels == 2 && fmt.getSampleRate == 44100f &&
+      fmt.getSampleSizeInBits == 16)
+    assert(in.getFrameLength == 300)
+  }
+
+  test("audio_meta parses WAV headers and rejects garbage") {
+    import graft.functions.AudioMeta
+    def meta(b: Array[Byte]): Option[(String, Int, Int, Int, Long)] =
+      Option(AudioMeta(org.apache.spark.sql.catalyst.expressions.Literal(b)).compute(b))
+        .map(r => (r.getUTF8String(0).toString, r.getInt(1), r.getInt(2),
+          r.getInt(3), r.getLong(4)))
+    assert(meta(Multimodal.wavBytes(1, 16000, 250, 1)) == Some(("wav", 1, 16000, 16, 250L)))
+    assert(meta(Multimodal.pngBytes(8, 8, 1)).isEmpty)
+    assert(meta("RIFFxxxxNOPE".getBytes).isEmpty)
+  }
+
   test("image table round-trips through strawboat and parses via the expression") {
     val ss = spark
     import ss.implicits._
