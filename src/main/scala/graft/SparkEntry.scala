@@ -551,7 +551,8 @@ object SparkEntry {
           .option("checkpointLocation", ckpt)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination(180000)
+        require(q.awaitTermination(300000),
+          "q_stream_roundtrip: AvailableNow drain timed out — not marking the sink complete")
         marker.createNewFile()
       }
       s.read.format("strawboat").load(outDir)

@@ -33,11 +33,14 @@ case class ImageMeta(child: Expression) extends UnaryExpression {
       ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
 
   private def row(format: String, w: Long, h: Long, depth: Int): GenericInternalRow =
-    new GenericInternalRow(Array[Any](
+    // corrupt headers can carry out-of-range dims — the contract for an
+    // invalid container is NULL, never a negative width
+    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue || depth <= 0) null
+    else new GenericInternalRow(Array[Any](
       UTF8String.fromString(format), w.toInt, h.toInt, depth))
 
   def compute(b: Array[Byte]): GenericInternalRow = {
-    if (b.length >= 24 &&
+    if (b.length >= 25 &&
       (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
       b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
       // PNG: IHDR is always the first chunk — width/height/bit-depth at
@@ -116,17 +119,19 @@ case class AudioMeta(child: Expression) extends UnaryExpression {
     var rate = -1L
     var bits = -1
     var dataLen = -1L
-    var i = 12
+    var i = 12L
     while (i + 8 <= b.length) {
-      val size = u32(b, i + 4)
-      if (tag(b, i, "fmt ") && i + 24 <= b.length) {
-        channels = u16(b, i + 10)
-        rate = u32(b, i + 12)
-        bits = u16(b, i + 22)
-      } else if (tag(b, i, "data")) dataLen = size
-      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      val size = u32(b, i.toInt + 4) // unsigned chunk size
+      if (tag(b, i.toInt, "fmt ") && i + 24 <= b.length) {
+        channels = u16(b, i.toInt + 10)
+        rate = u32(b, i.toInt + 12)
+        bits = u16(b, i.toInt + 22)
+      } else if (tag(b, i.toInt, "data")) dataLen = size
+      // long arithmetic on the UNSIGNED size: a corrupt size near 2^32 must
+      // terminate the walk (i grows past length), never loop or go negative
+      i += 8L + size + (size & 1L)
     }
-    if (channels <= 0 || rate <= 0 || bits <= 0 || dataLen < 0) null
+    if (channels <= 0 || rate <= 0 || rate > Int.MaxValue || bits <= 0 || dataLen < 0) null
     else {
       val frameBytes = channels * (bits / 8)
       new GenericInternalRow(Array[Any](

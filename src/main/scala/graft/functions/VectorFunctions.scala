@@ -49,16 +49,24 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val getX = if (isFloat(left)) "getFloat" else "getDouble"
     val getY = if (isFloat(right)) "getFloat" else "getDouble"
+    // fresh locals: avoid collisions when several instances share a scope
+    val n = ctx.freshName("n")
+    val dot = ctx.freshName("dot")
+    val nx = ctx.freshName("nx")
+    val ny = ctx.freshName("ny")
+    val i = ctx.freshName("i")
+    val xv = ctx.freshName("xv")
+    val yv = ctx.freshName("yv")
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, nx = 0.0, ny = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xv = (double) $a.$getX(i);
-         |  double yv = (double) $b.$getY(i);
-         |  dot += xv * yv; nx += xv * xv; ny += yv * yv;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = (double) $a.$getX($i);
+         |  double $yv = (double) $b.$getY($i);
+         |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
          |}
-         |${ev.value} = (nx == 0.0 || ny == 0.0) ? 0.0 : dot / (java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny));
+         |${ev.value} = ($nx == 0.0 || $ny == 0.0) ? 0.0 : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
        """.stripMargin
     })
   }
@@ -140,23 +148,34 @@ case class HyperplaneBuckets(child: Expression, dim: Int, nPlanes: Int,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val planesRef = ctx.addReferenceObj("hyperplanes", planesFlat, "double[]")
     val get = if (isFloat) "getFloat" else "getDouble"
+    // fresh local names: two instances of this expression may share one
+    // whole-stage codegen scope (nullSafeCodeGen only braces the nullable
+    // case), so fixed names would collide
+    val n = ctx.freshName("n")
+    val buckets = ctx.freshName("buckets")
+    val bucket = ctx.freshName("bucket")
+    val base = ctx.freshName("base")
+    val dot = ctx.freshName("dot")
+    val b = ctx.freshName("b")
+    val p = ctx.freshName("p")
+    val i = ctx.freshName("i")
     nullSafeCodeGen(ctx, ev, a => {
       s"""
-         |int n = java.lang.Math.min($dim, $a.numElements());
-         |long[] buckets = new long[$nBands];
-         |for (int b = 0; b < $nBands; b++) {
-         |  long bucket = 0L;
-         |  for (int p = 0; p < $nPlanes; p++) {
-         |    int base = (b * $nPlanes + p) * $dim;
-         |    double dot = 0.0;
-         |    for (int i = 0; i < n; i++) {
-         |      dot += $planesRef[base + i] * (double) $a.$get(i);
+         |int $n = java.lang.Math.min($dim, $a.numElements());
+         |long[] $buckets = new long[$nBands];
+         |for (int $b = 0; $b < $nBands; $b++) {
+         |  long $bucket = 0L;
+         |  for (int $p = 0; $p < $nPlanes; $p++) {
+         |    int $base = ($b * $nPlanes + $p) * $dim;
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $dot += $planesRef[$base + $i] * (double) $a.$get($i);
          |    }
-         |    if (dot > 0) bucket |= (1L << p);
+         |    if ($dot > 0) $bucket |= (1L << $p);
          |  }
-         |  buckets[b] = bucket;
+         |  $buckets[$b] = $bucket;
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(buckets);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($buckets);
        """.stripMargin
     })
   }
@@ -229,30 +248,42 @@ case class NearestCells(child: Expression, cents: Array[Double],
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val centsRef = ctx.addReferenceObj("centroids", cents, "double[]")
     val get = if (isFloat) "getFloat" else "getDouble"
+    // fresh locals: avoid collisions when several instances share a scope
+    val n = ctx.freshName("n")
+    val dist = ctx.freshName("dist")
+    val cells = ctx.freshName("cells")
+    val used = ctx.freshName("used")
+    val best = ctx.freshName("best")
+    val base = ctx.freshName("base")
+    val d = ctx.freshName("d")
+    val t = ctx.freshName("t")
+    val c = ctx.freshName("c")
+    val i = ctx.freshName("i")
+    val j = ctx.freshName("j")
     nullSafeCodeGen(ctx, ev, a => {
       s"""
-         |int n = java.lang.Math.min($dim, $a.numElements());
-         |double[] dist = new double[$numCents];
-         |for (int c = 0; c < $numCents; c++) {
-         |  int base = c * $dim;
-         |  double d = 0.0;
-         |  for (int i = 0; i < n; i++) {
-         |    double t = $centsRef[base + i] - (double) $a.$get(i);
-         |    d += t * t;
+         |int $n = java.lang.Math.min($dim, $a.numElements());
+         |double[] $dist = new double[$numCents];
+         |for (int $c = 0; $c < $numCents; $c++) {
+         |  int $base = $c * $dim;
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $t = $centsRef[$base + $i] - (double) $a.$get($i);
+         |    $d += $t * $t;
          |  }
-         |  dist[c] = d;
+         |  $dist[$c] = $d;
          |}
-         |int[] cells = new int[$probes];
-         |boolean[] used = new boolean[$numCents];
-         |for (int j = 0; j < $probes; j++) {
-         |  int best = -1;
-         |  for (int c = 0; c < $numCents; c++) {
-         |    if (!used[c] && (best < 0 || dist[c] < dist[best])) best = c;
+         |int[] $cells = new int[$probes];
+         |boolean[] $used = new boolean[$numCents];
+         |for (int $j = 0; $j < $probes; $j++) {
+         |  int $best = -1;
+         |  for (int $c = 0; $c < $numCents; $c++) {
+         |    if (!$used[$c] && ($best < 0 || $dist[$c] < $dist[$best])) $best = $c;
          |  }
-         |  used[best] = true;
-         |  cells[j] = best;
+         |  $used[$best] = true;
+         |  $cells[$j] = $best;
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(cells);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($cells);
        """.stripMargin
     })
   }

@@ -186,9 +186,12 @@ object Dedup {
         labels = next
         rounds += 1
       }
-      // materialize before releasing the cache the lineage leans on
+      // materialize into a lineage-truncated checkpoint, then release every
+      // iteration cache (blocks of the checkpoint are reclaimed by the
+      // context cleaner once the returned frame is garbage-collected)
       val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-      out.count(): Unit
+        .localCheckpoint(true)
+      labels.unpersist()
       out
     } finally edges.unpersist(): Unit
   }

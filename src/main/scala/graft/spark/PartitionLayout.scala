@@ -22,7 +22,12 @@ object PartitionLayout {
 
   def encode(value: String): String =
     if (value == null) NullDir
-    else java.net.URLEncoder.encode(value, "UTF-8")
+    else {
+      val enc = java.net.URLEncoder.encode(value, "UTF-8")
+      // a LITERAL "__null__" value must not collide with the null sentinel:
+      // percent-escape its first underscore (URLDecoder inverts it)
+      if (enc == NullDir) "%5F" + enc.substring(1) else enc
+    }
 
   private def decode(raw: String): Option[String] =
     if (raw == NullDir) None

@@ -75,26 +75,32 @@ class StrawboatDataSource extends TableProvider with DataSourceRegister {
 /** IO helpers over Hadoop FileSystem (works for local paths and any
   * configured distributed FS on the executor classpath). */
 object StrawIO {
-  /** Hadoop conf. On the driver this is the active session's conf (carries
-    * spark.hadoop.* overrides). On executors the driver's conf is INSTALLED
-    * by the deserialized reader/writer factories (SerializableConfiguration
-    * fields), so object-store credentials and other session overrides
-    * survive the ship; the classpath default is only the last resort.
-    * Cached: Configuration parsing is XML-heavy and this is called per file
-    * open. install() also refreshes the cache, so a session created after a
-    * first driver-side access is picked up at the next plan. */
+  /** Hadoop conf. On the driver this is the ACTIVE session's conf (derived
+    * once per session instance and re-derived when a different session
+    * becomes active — so a session created later, with different
+    * spark.hadoop.* overrides, is picked up). On executors there is no
+    * active session: the driver's conf is INSTALLED by the deserialized
+    * reader/writer factories (SerializableConfiguration fields), so
+    * object-store credentials survive the ship; the classpath default is
+    * only the last resort. Cached because Configuration parsing is
+    * XML-heavy and this is called per file open. */
+  @volatile private var cachedFor: AnyRef = _
   @volatile private var cached: Configuration = _
   def conf: Configuration = {
-    var c = cached
-    if (c == null) {
-      c = org.apache.spark.sql.SparkSession.getActiveSession
-        .map(_.sessionState.newHadoopConf())
-        .getOrElse(new Configuration())
-      cached = c
+    val session = org.apache.spark.sql.SparkSession.getActiveSession.orNull
+    if (session != null) {
+      if (cachedFor ne session) {
+        cached = session.sessionState.newHadoopConf()
+        cachedFor = session
+      }
+      cached
+    } else {
+      var c = cached
+      if (c == null) { c = new Configuration(); cached = c }
+      c
     }
-    c
   }
-  def install(c: Configuration): Unit = cached = c
+  def install(c: Configuration): Unit = { cached = c; cachedFor = null }
 
   def fs(path: String): FileSystem = new Path(path).getFileSystem(conf)
 
@@ -180,11 +186,19 @@ class StrawboatTable(path: String, val schemaArg: StructType)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val partitionCol = Option(info.options().get("partitionBy"))
     partitionCol.foreach { c =>
-      require(info.schema().fieldNames.contains(c),
-        s"strawboat: partitionBy column '$c' not in schema ${info.schema().fieldNames.mkString(",")}")
+      val fld = info.schema().fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"strawboat: partitionBy column '$c' not in schema ${info.schema().fieldNames.mkString(",")}"))
+      // hive-style partitioning only makes sense for low-cardinality scalar
+      // values with a faithful string form; anything else (binary, nested,
+      // timestamps-as-internal-longs) would mint one directory per row or
+      // unreadable names
+      require(StrawKeyedPartition.parseable(fld.dataType),
+        s"strawboat: partitionBy column '$c' has unsupported type ${fld.dataType} " +
+          "(supported: string, int, long, short, byte, boolean)")
     }
     new StrawWriteBuilder(path, info.schema(), StrawWriteOptions.parse(info.options()),
-      partitionCol)
+      partitionCol, info.queryId())
   }
 }
 
@@ -622,7 +636,7 @@ object StrawSchemaResolver {
 // ---------------------------------------------------------------------------
 
 class StrawWriteBuilder(path: String, schema: StructType, opts: WriteOptions,
-    partitionCol: Option[String] = None)
+    partitionCol: Option[String] = None, queryId: String = "none")
   extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
@@ -631,7 +645,7 @@ class StrawWriteBuilder(path: String, schema: StructType, opts: WriteOptions,
     override def toBatch: BatchWrite =
       new StrawBatchWrite(path, schema, doTruncate, opts, partitionCol)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new StrawStreamingWrite(path, schema, opts, partitionCol)
+      new StrawStreamingWrite(path, schema, opts, partitionCol, queryId)
   }
 }
 
@@ -650,15 +664,21 @@ object StrawCommitProtocol {
   def stageSuffix(jobId: String): String = s".$jobId.stage"
 
   /** Rename this job's staged files to their visible names; returns the
-    * final paths. Parallel IO: one rename per file, driver-side. */
+    * final paths. Parallel IO: one rename per file, driver-side. The
+    * modification time is bumped to COMMIT time: rename preserves the
+    * task-side write mtime, and streaming sources classify seen-ness by
+    * mtime high-water mark — a file committed long after it was written
+    * must not appear under the mark. */
   def finalizeFiles(path: String, jobId: String, staged: Seq[String]): Seq[String] = {
     val f = StrawIO.fs(path)
     val suffix = stageSuffix(jobId)
+    val now = System.currentTimeMillis()
     StrawIO.mapParallel(staged) { s =>
       val sp = new Path(s)
       val dst = new Path(sp.getParent, sp.getName.stripSuffix(suffix))
       if (!f.rename(sp, dst))
         throw new java.io.IOException(s"strawboat: commit rename $sp -> $dst failed")
+      f.setTimes(dst, now, -1)
       dst.toString
     }
   }

@@ -91,8 +91,11 @@ class StrawMicroBatchStream(path: String, fullSchema: StructType,
 
   /** The high-water mark stays this far behind the newest seen mtime, so
     * files still being copied in (or written by a skewed clock) within the
-    * window are not wrongly classified as seen. */
-  private val SafetyLagMs = 10000L
+    * window are not wrongly classified as seen. Our own sinks bump mtime to
+    * COMMIT time on rename (finalizeFiles), so this guards foreign writers
+    * (copies, distcp) — five minutes of slack trades a slightly larger
+    * explicit list for tolerance of slow multi-file copy-ins. */
+  private val SafetyLagMs = 5 * 60 * 1000L
 
   // Trigger.AvailableNow: snapshot the file set once; subsequent capped
   // micro-batches drain exactly this backlog, then the query stops
@@ -202,21 +205,39 @@ case class StrawStreamingWriterFactory(path: String, schema: StructType,
 
 /** Streaming sink: tasks stage files under the job-scoped suffix (invisible
   * to readers); each epoch's winners become visible atomically-per-file in
-  * `commit(epochId)` via [[StrawCommitProtocol]]. A failed epoch's staged
-  * leftovers are never renamed, so readers can't observe partial or
-  * duplicated epochs. No cross-epoch sweep here: a re-running attempt may
-  * be staging concurrently with this commit. */
+  * `commit(epochId)` via [[StrawCommitProtocol]]. Commit is IDEMPOTENT per
+  * (queryId, epochId): a hidden epoch marker records completion, so a
+  * replayed epoch (driver died after commit, before the checkpoint advanced)
+  * discards its re-staged files instead of duplicating rows. Epochs are
+  * serial within a query, so sweeping this job's staged leftovers at
+  * commit/abort only removes dead-task debris of the same epoch. */
 class StrawStreamingWrite(path: String, schema: StructType,
-    opts: graft.format.WriteOptions, partitionCol: Option[String] = None)
+    opts: graft.format.WriteOptions, partitionCol: Option[String] = None,
+    queryId: String = "none")
   extends StreamingWrite {
   private val jobId = java.util.UUID.randomUUID().toString.take(8)
+
+  private def epochMarker(epochId: Long) =
+    new org.apache.hadoop.fs.Path(path, s".commit-$queryId-$epochId")
+
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     StrawStreamingWriterFactory(path, schema, opts, jobId,
       new org.apache.spark.util.SerializableConfiguration(StrawIO.conf), partitionCol)
+
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val f = StrawIO.fs(path)
     val staged = messages.flatMap { case StrawCommitMessage(fs) => fs }.toSeq
-    StrawCommitProtocol.finalizeFiles(path, jobId, staged): Unit
+    val marker = epochMarker(epochId)
+    if (f.exists(marker)) {
+      // replayed epoch: its rows are already visible — drop this attempt
+      staged.foreach(s => f.delete(new org.apache.hadoop.fs.Path(s), false))
+    } else {
+      StrawCommitProtocol.finalizeFiles(path, jobId, staged): Unit
+      f.create(marker, true).close()
+    }
+    StrawCommitProtocol.sweepStaged(path, jobId)
   }
+
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val f = StrawIO.fs(path)
     messages.foreach {
@@ -224,5 +245,6 @@ class StrawStreamingWrite(path: String, schema: StructType,
         fs.foreach(x => f.delete(new org.apache.hadoop.fs.Path(x), false))
       case _ =>
     }
+    StrawCommitProtocol.sweepStaged(path, jobId)
   }
 }

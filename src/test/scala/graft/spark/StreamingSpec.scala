@@ -46,8 +46,9 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       try w.writeTo(os) finally os.close()
       assert(f.setLastModified(mtime))
     }
+    // old files far outside the 5-minute safety-lag window
     val now = System.currentTimeMillis()
-    for (i <- 0 until 10) mkFile(f"old-$i%02d.strb", now - 60000 + i * 1000)
+    for (i <- 0 until 10) mkFile(f"old-$i%02d.strb", now - 3600000 + i * 1000)
 
     val stream = new StrawMicroBatchStream(data, schema, schema)
     val limit = stream.getDefaultReadLimit
@@ -60,7 +61,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the 10 old admitted files fell behind the mark; only the recent
     // window stays explicit — the offset no longer grows with history
     assert(off2.files.size == 10, s"expected compaction, got ${off2.files.size}")
-    assert(off2.highWater > now - 60000 + 9000)
+    assert(off2.highWater > now - 3600000 + 9000)
     // batch (off1, off2] replays exactly the 10 new files from offsets alone
     val parts = stream.planInputPartitions(off1, off2)
     assert(parts.length == 10)
