@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The custom expressions must COMPILE under whole-stage codegen — with
+  * fallback disabled, a janino error (e.g. colliding local names when two
+  * instances share a scope) fails the query instead of silently dropping to
+  * interpreted execution. Also pins eval/codegen agreement and kernel
+  * consistency (pairwise Jaccard == set Jaccard of the hash arrays). */
+class ExpressionCodegenSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.codegen.fallback", "false") // codegen errors are FATAL
+      .config("spark.sql.ui.explainMode", "extended")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("multiple vector-kernel instances compile in one codegen scope") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq(
+      (1L, Array.fill(8)(0.5f), Array.fill(8)(0.25f)),
+      (2L, Array.fill(8)(-1.0f), Array.fill(8)(1.0f)))
+      .toDF("id", "a", "b")
+    val cents = Array.fill(3)(Array.fill(8)(0.1f))
+    val out = df.select(
+      VectorFunctions.cosine(spark, col("a"), col("b")).as("c1"),
+      VectorFunctions.cosine(spark, col("b"), col("a")).as("c2"),
+      VectorFunctions.hyperplaneBuckets(spark, col("a"), 8, 4, 2, 7).as("h1"),
+      VectorFunctions.hyperplaneBuckets(spark, col("b"), 8, 4, 2, 7).as("h2"),
+      VectorFunctions.nearestCells(spark, col("a"), cents, 2).as("n1"),
+      VectorFunctions.nearestCells(spark, col("b"), cents, 2).as("n2"))
+      .collect()
+    assert(out.length == 2)
+    assert(out.forall(r => math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("text and media kernels compile together under strict codegen") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq((1L, "the quick brown fox", "jumped over it")).toDF("id", "t1", "t2")
+    val out = df.select(
+      TextHashFunctions.shingleHashes(spark, col("t1"), 3).as("s1"),
+      TextHashFunctions.shingleHashes(spark, col("t2"), 3).as("s2"),
+      TextHashFunctions.minHashSignature(spark, col("t1"), 3, 8).as("m1"),
+      TextHashFunctions.minHashSignature(spark, col("t2"), 3, 8).as("m2"),
+      TextHashFunctions.simHash64(spark, col("t1")).as("f1"),
+      TextHashFunctions.simHash64(spark, col("t2")).as("f2"),
+      TextHashFunctions.shingleJaccard(spark, col("t1"), col("t2"), 3).as("j"))
+      .collect()
+    assert(out.length == 1)
+  }
+
+  test("pairwise shingle jaccard equals set jaccard of the hash arrays") {
+    val ss = spark
+    import ss.implicits._
+    val texts = Seq(
+      ("abcdefgh", "abcdxyzh"), ("same text", "same text"), ("", "x"),
+      ("日本語のテキスト", "日本語のテスト"), ("aaaa", "aaab"))
+    val df = texts.toDF("t1", "t2")
+    val rows = df.select(
+      TextHashFunctions.shingleJaccard(spark, col("t1"), col("t2"), 3).as("j"),
+      TextHashFunctions.shingleHashes(spark, col("t1"), 3).as("h1"),
+      TextHashFunctions.shingleHashes(spark, col("t2"), 3).as("h2")).collect()
+    rows.foreach { r =>
+      val j = r.getDouble(0)
+      val s1 = r.getSeq[Long](1).toSet
+      val s2 = r.getSeq[Long](2).toSet
+      val inter = (s1 & s2).size
+      val union = (s1 | s2).size
+      val expect = if (union == 0) 0.0 else inter.toDouble / union
+      assert(math.abs(j - expect) < 1e-12, s"$j vs $expect")
+    }
+  }
+}
