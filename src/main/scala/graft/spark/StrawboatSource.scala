@@ -251,12 +251,28 @@ class StrawScanBuilder(path: String, fullSchema: StructType,
   with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters
   with SupportsPushDownLimit
+  with SupportsPushDownTopN
   with SupportsPushDownAggregates {
 
   private var requiredSchema: StructType = fullSchema
   private var pushedFiltersArr: Array[Filter] = Array.empty
   private var limit: Long = Long.MaxValue
+  private var topN: Option[TopNPushdown.Spec] = None
   private var aggResult: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
+
+  // PARTIAL Top-N: each partition emits only its k best candidates (and
+  // prunes pages that provably can't beat them); Spark applies the global
+  // sort+limit above. Not combined with pushed filters: candidate selection
+  // sees pre-filter rows, which could evict rows that survive the filter.
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    if (pushedFiltersArr.nonEmpty || aggResult.isDefined || keyGrouped) return false
+    TopNPushdown.translate(orders, fullSchema, n) match {
+      case Some(spec) => topN = Some(spec); true
+      case None => false
+    }
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   // COUNT/MIN/MAX answered from footers alone — exact, no data pages read
   // (only when no filter survives and stats are provably exact; see
@@ -308,7 +324,7 @@ class StrawScanBuilder(path: String, fullSchema: StructType,
       new StrawAggScan(s"strawboat $path footer-only aggregate", schema, row)
     case None =>
       new StrawScan(path, fullSchema, requiredSchema, pushedFiltersArr, limit,
-        maxFilesPerTrigger, keyGrouped)
+        maxFilesPerTrigger, keyGrouped, topN)
   }
 }
 
@@ -359,7 +375,8 @@ class StrawScan(
     initialFilters: Array[Filter],
     limit: Long,
     maxFilesPerTrigger: Option[Int] = None,
-    keyGrouped: Boolean = false)
+    keyGrouped: Boolean = false,
+    topN: Option[TopNPushdown.Spec] = None)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
@@ -514,7 +531,7 @@ class StrawScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new StrawPartitionReaderFactory(fullSchema, requiredSchema,
-      new org.apache.spark.util.SerializableConfiguration(StrawIO.conf))
+      new org.apache.spark.util.SerializableConfiguration(StrawIO.conf), topN)
 
   override def estimateStatistics(): Statistics = {
     val r = footers.foldLeft(0L)(_ + _._2.numRows)
@@ -527,8 +544,14 @@ class StrawScan(
 }
 
 class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: StructType,
-    serConf: org.apache.spark.util.SerializableConfiguration)
+    serConf: org.apache.spark.util.SerializableConfiguration,
+    topN: Option[TopNPushdown.Spec] = None)
   extends PartitionReaderFactory {
+
+  // pushed Top-N only engages when every sort column survived pruning into
+  // the produced schema (it always does for genuine ORDER BY pushdowns)
+  private lazy val topNActive: Option[TopNPushdown.Spec] =
+    topN.filter(_.cols.forall(c => requiredSchema.fieldNames.contains(c.name)))
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     StrawIO.install(serConf.value) // driver's session conf, shipped per task
@@ -568,42 +591,95 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
         (f, StrawSchemaResolver.resolve(p.path, f.schema, requiredSchema))
       } catch { case e: Throwable => input.close(); throw e }
     val present = resolved.filter(_ >= 0)
-    val it = StrawFileReader.rows(input, footer, present,
-      keepPage = pg => pg >= p.pageStart && pg < p.pageEnd, limit = p.limit)
-    if (resolved.forall(_ >= 0)) {
-      // common case: every required field present — rows pass through as-is
-      new PartitionReader[InternalRow] {
-        private var row: InternalRow = _
-        override def next(): Boolean = { val h = it.hasNext; if (h) row = it.next(); h }
-        override def get(): InternalRow = row
-        override def close(): Unit = input.close()
+
+    // pushed Top-N: bounded candidate buffer + dynamic page pruning against
+    // the primary sort column's zone maps (pages that can't beat the k-th
+    // candidate are skipped without IO)
+    val topK: Option[(TopKBuffer, Array[Int], Array[org.apache.spark.sql.types.DataType])] =
+      topNActive.map { s =>
+        val idx = s.cols.map(c => requiredSchema.fieldIndex(c.name)).toArray
+        val dts = idx.map(requiredSchema.fields(_).dataType)
+        (new TopKBuffer(TopNPushdown.rowComparator(idx, dts, s), s.limit), idx, dts)
       }
-    } else new PartitionReader[InternalRow] {
-      // schema-evolved file: null-fill the missing fields
-      private var row: InternalRow = _
-      private val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(resolved.length)
-      override def next(): Boolean = {
-        val h = it.hasNext
-        if (h) {
+    val primaryFileIdx = topNActive
+      .map(s => footer.schema.fields.indexWhere(_.name == s.cols.head.name))
+      .getOrElse(-1)
+    val keepRange: Int => Boolean = pg => pg >= p.pageStart && pg < p.pageEnd
+    val keep: Int => Boolean = topK match {
+      case Some((buf, idx, dts)) if primaryFileIdx >= 0 && footer.columns.nonEmpty =>
+        pg => keepRange(pg) && {
+          val w = buf.worst
+          w == null || {
+            val primary = topNActive.get.cols.head
+            val worstIsNull = w.isNullAt(idx(0))
+            val worstKey =
+              if (worstIsNull) None
+              else TopNPushdown.toSortable(dts(0), w.get(idx(0), dts(0)))
+            TopNPushdown.pageMayBeat(
+              footer.columns(primaryFileIdx).pages(pg), primary, worstKey, worstIsNull)
+          }
+        }
+      case _ => keepRange
+    }
+    val it = StrawFileReader.rows(input, footer, present, keepPage = keep, limit = p.limit)
+
+    val produced: Iterator[InternalRow] =
+      if (resolved.forall(_ >= 0)) it // every required field present
+      else new Iterator[InternalRow] {
+        // schema-evolved file: null-fill the missing fields (row is REUSED —
+        // consumers that retain rows must copy)
+        private val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(resolved.length)
+        override def hasNext: Boolean = it.hasNext
+        override def next(): InternalRow = {
           val r = it.next()
           var c = 0
           var pi = 0
           while (c < resolved.length) {
             if (resolved(c) < 0) out.update(c, null)
-            else { out.update(c, if (r.isNullAt(pi)) null else r.get(pi, requiredSchema.fields(c).dataType)); pi += 1 }
+            else {
+              out.update(c,
+                if (r.isNullAt(pi)) null else r.get(pi, requiredSchema.fields(c).dataType))
+              pi += 1
+            }
             c += 1
           }
-          row = out
+          out
         }
-        h
       }
-      override def get(): InternalRow = row
-      override def close(): Unit = input.close()
+
+    topK match {
+      case Some((buf, _, _)) =>
+        new PartitionReader[InternalRow] {
+          private var drained: Iterator[InternalRow] = _
+          private var row: InternalRow = _
+          override def next(): Boolean = {
+            if (drained == null) {
+              produced.foreach(buf.offer) // offer() copies retained rows
+              drained = buf.drain()
+            }
+            val h = drained.hasNext
+            if (h) row = drained.next()
+            h
+          }
+          override def get(): InternalRow = row
+          override def close(): Unit = input.close()
+        }
+      case None =>
+        new PartitionReader[InternalRow] {
+          private var row: InternalRow = _
+          override def next(): Boolean = {
+            val h = produced.hasNext
+            if (h) row = produced.next()
+            h
+          }
+          override def get(): InternalRow = row
+          override def close(): Unit = input.close()
+        }
     }
   }
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    !partition.isInstanceOf[StrawKeyedPartition] &&
+    !partition.isInstanceOf[StrawKeyedPartition] && topNActive.isEmpty &&
       requiredSchema.fields.forall(f => ColumnarSupport.isFlat(f.dataType))
 
   override def createColumnarReader(partition: InputPartition)

@@ -192,6 +192,71 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.exceptAll(gen2).isEmpty)
   }
 
+  test("top-n pushdown: results equal full sort, pages that can't beat k-th are never read") {
+    import graft.format._
+    val out = s"$dir/topn"
+    val ss = spark
+    import ss.implicits._
+    // descending data: after page 0 the candidate buffer dominates every
+    // later page for a DESC top-k
+    val rows = (0 until 1000).map(i => (1000L - i, s"row$i"))
+    rows.toDF("v", "tag").coalesce(1).write.format("strawboat")
+      .option("maxPageSize", "100").mode("overwrite").save(out)
+
+    def topk(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("v").desc, col("tag")).limit(7).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val expect = topk(rows.toDF("v", "tag"))
+    assert(topk(spark.read.format("strawboat").load(out)) == expect)
+
+    // proof pruning happens: corrupt the DATA bytes of every page except the
+    // first (footer stays intact); a DESC top-k must succeed because those
+    // pages are skipped, while a full scan must fail
+    val file = new java.io.File(out).listFiles.filter(_.getName.endsWith(".strb")).head
+    val (footer, len) = {
+      val in = new LocalFileInput(file.getPath)
+      try (StrawFileReader.readFooter(in), in.length) finally in.close()
+    }
+    val raf = new java.io.RandomAccessFile(file, "rw")
+    try {
+      for (c <- footer.columns.indices) {
+        val offs = footer.columns(c).pageOffsets
+        for (p <- 1 until footer.columns(c).pages.length) {
+          raf.seek(offs(p))
+          raf.write(Array.fill(math.min(16, footer.columns(c).pages(p).compLen.toInt))(0x5A.toByte))
+        }
+      }
+    } finally raf.close()
+    // drop the Hadoop checksum sidecar: it covers the whole file and would
+    // fail ANY read — this test needs failures only on actually-decoded pages
+    new java.io.File(file.getParentFile, s".${file.getName}.crc").delete()
+    assert(topk(spark.read.format("strawboat").load(out)) == expect) // pruned => no IO on corrupt pages
+    intercept[Exception] { // a full decode (count/min/max are footer-only) hits them
+      spark.read.format("strawboat").load(out).agg(sum(col("v"))).collect()
+    }
+  }
+
+  test("top-n pushdown: ascending, nulls, and unsorted data still exact") {
+    val out = s"$dir/topn2"
+    val ss = spark
+    import ss.implicits._
+    val rnd = new scala.util.Random(7)
+    val data = (0 until 2000).map { i =>
+      (i.toLong, if (i % 97 == 0) None else Some(rnd.nextDouble() * 1000), s"t$i")
+    }
+    data.toDF("id", "score", "tag").coalesce(2).write.format("strawboat")
+      .option("maxPageSize", "128").mode("overwrite").save(out)
+    val df = spark.read.format("strawboat").load(out)
+    val src = data.toDF("id", "score", "tag")
+    def run(d: org.apache.spark.sql.DataFrame, o: org.apache.spark.sql.Column*) =
+      d.orderBy(o: _*).limit(11).collect().map(_.toSeq).toSeq
+    assert(run(df, col("score").desc, col("id")) == run(src, col("score").desc, col("id")))
+    assert(run(df, col("score").asc, col("id")) == run(src, col("score").asc, col("id")))
+    assert(run(df, col("score").desc_nulls_first, col("id")) ==
+      run(src, col("score").desc_nulls_first, col("id")))
+    assert(run(df, col("tag").desc, col("id")) == run(src, col("tag").desc, col("id")))
+  }
+
   test("write + read round trip equals parquet content") {
     val out = s"$dir/lineitem"
     lineitem.write.format("strawboat").mode("overwrite").save(out)
