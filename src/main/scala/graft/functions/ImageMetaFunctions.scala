@@ -53,7 +53,8 @@ case class ImageMeta(child: Expression) extends UnaryExpression {
         if ((b(i) & 0xff) != 0xff) return null
         val marker = b(i + 1) & 0xff
         if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) i += 2
-        else if (marker == 0x01 || marker == 0xff) i += 2
+        else if (marker == 0x01) i += 2
+        else if (marker == 0xff) i += 1 // fill byte before a marker: skip ONE
         else {
           val len = u16be(b, i + 2)
           if (len < 2) return null
@@ -65,8 +66,9 @@ case class ImageMeta(child: Expression) extends UnaryExpression {
         }
       }
       null
-    } else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') {
-      row("gif", u16le(b, 6).toLong, u16le(b, 8).toLong, 8)
+    } else if (b.length >= 11 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') {
+      // logical-screen packed byte: bits 4-6 are colour resolution - 1
+      row("gif", u16le(b, 6).toLong, u16le(b, 8).toLong, ((b(10) >> 4) & 7) + 1)
     } else null
   }
 

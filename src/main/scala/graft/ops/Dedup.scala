@@ -188,7 +188,11 @@ object Dedup {
       }
       // materialize into a lineage-truncated checkpoint, then release every
       // iteration cache (blocks of the checkpoint are reclaimed by the
-      // context cleaner once the returned frame is garbage-collected)
+      // context cleaner once the returned frame is garbage-collected).
+      // Tradeoff: localCheckpoint blocks are NOT recomputable after executor
+      // loss — on an unreliable cluster, re-run the operator (or swap in
+      // reliable checkpointing to a checkpoint dir) rather than relying on
+      // lineage that the iteration caches no longer back
       val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
         .localCheckpoint(true)
       labels.unpersist()

@@ -84,23 +84,28 @@ object StrawIO {
     * object-store credentials survive the ship; the classpath default is
     * only the last resort. Cached because Configuration parsing is
     * XML-heavy and this is called per file open. */
-  @volatile private var cachedFor: AnyRef = _
-  @volatile private var cached: Configuration = _
+  // one volatile holding an immutable (owner, conf) pair: concurrent
+  // sessions on separate driver threads can interleave, but a reader always
+  // observes a CONSISTENT pairing (never session A's tag with B's conf)
+  @volatile private var state: (AnyRef, Configuration) = _
   def conf: Configuration = {
     val session = org.apache.spark.sql.SparkSession.getActiveSession.orNull
+    val s = state
     if (session != null) {
-      if (cachedFor ne session) {
-        cached = session.sessionState.newHadoopConf()
-        cachedFor = session
+      if (s != null && (s._1 eq session)) s._2
+      else {
+        val c = session.sessionState.newHadoopConf()
+        state = (session, c)
+        c
       }
-      cached
-    } else {
-      var c = cached
-      if (c == null) { c = new Configuration(); cached = c }
+    } else if (s != null) s._2
+    else {
+      val c = new Configuration()
+      state = (null, c)
       c
     }
   }
-  def install(c: Configuration): Unit = { cached = c; cachedFor = null }
+  def install(c: Configuration): Unit = state = (null, c)
 
   def fs(path: String): FileSystem = new Path(path).getFileSystem(conf)
 
@@ -752,9 +757,13 @@ object StrawCommitProtocol {
     StrawIO.mapParallel(staged) { s =>
       val sp = new Path(s)
       val dst = new Path(sp.getParent, sp.getName.stripSuffix(suffix))
+      // bump mtime BEFORE the rename that makes the file visible: a reader
+      // listing between rename and a later setTimes could classify the file
+      // as below its high-water mark and never admit it (rename preserves
+      // mtime on local/HDFS; object-store renames are copies and refresh it)
+      f.setTimes(sp, now, -1)
       if (!f.rename(sp, dst))
         throw new java.io.IOException(s"strawboat: commit rename $sp -> $dst failed")
-      f.setTimes(dst, now, -1)
       dst.toString
     }
   }

@@ -205,10 +205,13 @@ case class StrawStreamingWriterFactory(path: String, schema: StructType,
 
 /** Streaming sink: tasks stage files under the job-scoped suffix (invisible
   * to readers); each epoch's winners become visible atomically-per-file in
-  * `commit(epochId)` via [[StrawCommitProtocol]]. Commit is IDEMPOTENT per
-  * (queryId, epochId): a hidden epoch marker records completion, so a
-  * replayed epoch (driver died after commit, before the checkpoint advanced)
-  * discards its re-staged files instead of duplicating rows. Epochs are
+  * `commit(epochId)` via [[StrawCommitProtocol]]. A hidden epoch marker
+  * records COMPLETED commits, so the common replay (driver died after the
+  * full commit, before the checkpoint advanced) discards its re-staged
+  * files instead of duplicating rows. A crash in the MIDDLE of the rename
+  * fan-out still replays into partial duplication — the same window
+  * parquet's v1 protocol has; closing it needs an atomic manifest. Markers
+  * older than a few epochs are deleted as commits advance. Epochs are
   * serial within a query, so sweeping this job's staged leftovers at
   * commit/abort only removes dead-task debris of the same epoch. */
 class StrawStreamingWrite(path: String, schema: StructType,
@@ -235,6 +238,10 @@ class StrawStreamingWrite(path: String, schema: StructType,
       StrawCommitProtocol.finalizeFiles(path, jobId, staged): Unit
       f.create(marker, true).close()
     }
+    // retire markers the engine can no longer replay (it only ever replays
+    // the last uncommitted epoch) so the sink dir doesn't accumulate one
+    // hidden file per epoch forever
+    if (epochId >= 3) f.delete(epochMarker(epochId - 3), false): Unit
     StrawCommitProtocol.sweepStaged(path, jobId)
   }
 

@@ -21,7 +21,9 @@ object TopNPushdown {
   final case class SortCol(name: String, desc: Boolean, nullsFirst: Boolean)
   final case class Spec(cols: Seq[SortCol], limit: Int)
 
-  private val MaxPushedLimit = 1 << 20 // bound candidate-buffer memory
+  // bound candidate-buffer memory: each partition holds up to k row COPIES
+  // on heap; beyond this, Spark's own spill-capable sort is the better plan
+  private val MaxPushedLimit = 1 << 16
 
   private def comparable(dt: DataType): Boolean = dt match {
     case BooleanType | ByteType | ShortType | IntegerType | LongType |

@@ -42,10 +42,15 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       0xff, 0xc0, 0x00, 0x11, 0x08, 0x01, 0xe0, 0x02, 0x80, 0x03,
       0x01, 0x11, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01).map(_.toByte)
     assert(meta(jpeg) == Some(("jpeg", 640, 480, 8)))
-    // GIF89a logical screen 64 x 32 (little-endian)
+    // GIF89a logical screen 64 x 32, packed byte 0x70 => colour resolution 8
     val gif = "GIF89a".getBytes("US-ASCII") ++
-      Array[Byte](64, 0, 32, 0, 0, 0, 0)
+      Array[Byte](64, 0, 32, 0, 0x70.toByte, 0, 0)
     assert(meta(gif) == Some(("gif", 64, 32, 8)))
+    // JPEG with a fill byte (0xFF) before the SOF marker is still valid
+    val jpegFill = Array[Int](0xff, 0xd8, 0xff,
+      0xff, 0xc0, 0x00, 0x11, 0x08, 0x00, 0x10, 0x00, 0x20,
+      0x01, 0x11, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01).map(_.toByte)
+    assert(meta(jpegFill) == Some(("jpeg", 32, 16, 8)))
     assert(meta(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10)).isEmpty)
     assert(meta("plain text bytes, definitely not an image".getBytes).isEmpty)
   }
