@@ -333,6 +333,25 @@ class StrawScanBuilder(path: String, fullSchema: StructType,
   }
 }
 
+/** Task-level scan observability: decoded vs pruned pages surface in the
+  * Spark SQL UI per scan node, making skipping behavior (zone maps, Top-N
+  * bounds) visible without debug logging. */
+object StrawScanMetrics {
+  final class PagesRead extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def name(): String = "pagesRead"
+    override def description(): String = "strawboat pages decoded"
+  }
+  final class PagesPruned extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def name(): String = "pagesPruned"
+    override def description(): String = "strawboat pages pruned at read time"
+  }
+  case class Value(metricName: String, v: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+    override def name(): String = metricName
+    override def value(): Long = v
+  }
+}
+
 /** One unit of work: a page-aligned slice [pageStart, pageEnd) of one file. */
 case class StrawInputPartition(
     path: String,
@@ -538,6 +557,9 @@ class StrawScan(
     new StrawPartitionReaderFactory(fullSchema, requiredSchema,
       new org.apache.spark.util.SerializableConfiguration(StrawIO.conf), topN)
 
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new StrawScanMetrics.PagesRead, new StrawScanMetrics.PagesPruned)
+
   override def estimateStatistics(): Statistics = {
     val r = footers.foldLeft(0L)(_ + _._2.numRows)
     val b = math.max(footers.foldLeft(0L)(_ + _._3), 1L)
@@ -626,7 +648,19 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
         }
       case _ => keepRange
     }
-    val it = StrawFileReader.rows(input, footer, present, keepPage = keep, limit = p.limit)
+    // task metrics: decoded vs pruned pages (only this partition's range —
+    // out-of-range pages belong to sibling partitions)
+    var pagesRead = 0L
+    var pagesPruned = 0L
+    val countingKeep: Int => Boolean = pg => {
+      val k = keep(pg)
+      if (k) pagesRead += 1 else if (keepRange(pg)) pagesPruned += 1
+      k
+    }
+    val it = StrawFileReader.rows(input, footer, present, keepPage = countingKeep, limit = p.limit)
+    def metrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+      Array(StrawScanMetrics.Value("pagesRead", pagesRead),
+        StrawScanMetrics.Value("pagesPruned", pagesPruned))
 
     val produced: Iterator[InternalRow] =
       if (resolved.forall(_ >= 0)) it // every required field present
@@ -668,6 +702,8 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
           }
           override def get(): InternalRow = row
           override def close(): Unit = input.close()
+          override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+            metrics()
         }
       case None =>
         new PartitionReader[InternalRow] {
@@ -679,6 +715,8 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
           }
           override def get(): InternalRow = row
           override def close(): Unit = input.close()
+          override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+            metrics()
         }
     }
   }
@@ -780,6 +818,24 @@ object StrawCommitProtocol {
         if (st.getPath.getName.endsWith(suffix))
           f.delete(st.getPath, false): Unit
       }
+  }
+
+  /** Table maintenance: delete staged debris of OTHER (crashed) jobs once
+    * it is old enough that no in-flight job can still own it. Orphaned
+    * staged files are invisible to readers — this reclaims storage only.
+    * @return deleted file count */
+  def vacuumStaged(path: String, olderThanMs: Long = 24 * 3600 * 1000L): Int = {
+    val f = StrawIO.fs(path)
+    val p = new Path(path)
+    if (!f.exists(p)) return 0
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    var n = 0
+    StrawIO.walkFiles(f, p) { st =>
+      if (st.getPath.getName.endsWith(".stage") && st.getModificationTime < cutoff) {
+        if (f.delete(st.getPath, false)) n += 1
+      }
+    }
+    n
   }
 }
 

@@ -50,6 +50,11 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.format("strawboat").load(out).count() == 50)
     val after = new java.io.File(out).listFiles.map(_.getName)
     assert(!after.exists(n => n.contains(".stage") && !n.contains("deadbeef")))
+    // vacuum reclaims the foreign-job orphan once it ages past the cutoff
+    assert(StrawCommitProtocol.vacuumStaged(out, olderThanMs = 365L * 24 * 3600 * 1000) == 0)
+    assert(StrawCommitProtocol.vacuumStaged(out, olderThanMs = -1000) == 1)
+    assert(!new java.io.File(out).listFiles.map(_.getName).exists(_.contains(".stage")))
+    assert(spark.read.format("strawboat").load(out).count() == 50)
   }
 
   test("wide-decimal range filter through the connector (StatsDoubleApprox path)") {
