@@ -262,6 +262,25 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(df, col("tag").desc, col("id")) == run(src, col("tag").desc, col("id")))
   }
 
+  test("schema evolution inside a partitioned table: new column null-fills, pruning intact") {
+    val ss = spark
+    import ss.implicits._
+    val out = s"$dir/part_evolve"
+    Seq((1L, "A"), (2L, "B")).toDF("id", "k")
+      .write.format("strawboat").option("partitionBy", "k").mode("append").save(out)
+    // evolved append: extra column, new partition value
+    Seq((3L, "C", 30.5)).toDF("id", "k", "score")
+      .write.format("strawboat").option("partitionBy", "k").mode("append").save(out)
+    val back = spark.read.format("strawboat").load(out)
+    assert(back.schema.fieldNames.sorted.toSeq == Seq("id", "k", "score"))
+    val rows = back.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(rows.toSeq == Seq((1L, "A", None), (2L, "B", None), (3L, "C", Some(30.5))))
+    // pruning still applies across generations
+    assert(back.filter(col("k") === "C").count() == 1)
+    assert(back.filter(col("k") === "A").select("id").head.getLong(0) == 1L)
+  }
+
   test("write + read round trip equals parquet content") {
     val out = s"$dir/lineitem"
     lineitem.write.format("strawboat").mode("overwrite").save(out)

@@ -177,6 +177,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(s"$dir/mfptOut").count() == 60)
   }
 
+  test("partitioned streaming sink: epochs land in hive subdirectories") {
+    val outDir = s"$dir/streampart"
+    val src = spark.readStream.format("rate")
+      .option("rowsPerSecond", "200").load()
+      .select(col("value"), (col("value") % 3).cast("long").as("bucket"))
+    val q = src.writeStream.format("strawboat")
+      .option("path", outDir)
+      .option("partitionBy", "bucket")
+      .option("checkpointLocation", s"$dir/ckptPart")
+      .trigger(Trigger.ProcessingTime("500 milliseconds"))
+      .start()
+    Thread.sleep(4000)
+    q.stop(); q.awaitTermination(30000)
+    val subdirs = new java.io.File(outDir).listFiles.filter(_.isDirectory)
+      .map(_.getName).sorted.toSeq
+    assert(subdirs.forall(_.startsWith("bucket=")), subdirs.mkString(","))
+    assert(subdirs.size >= 2)
+    val back = spark.read.format("strawboat").load(outDir)
+    assert(back.count() > 0)
+    assert(back.filter(col("value") % 3 =!= col("bucket")).count() == 0)
+    // pruning works on the streamed layout
+    assert(back.filter(col("bucket") === 1L).count() ==
+      back.collect().count(_.getLong(1) == 1L))
+  }
+
   test("streaming write lands strawboat files readable by batch") {
     val outDir = s"$dir/streamout"
     val src = spark.readStream.format("rate")
