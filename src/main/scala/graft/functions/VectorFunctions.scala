@@ -292,6 +292,64 @@ case class NearestCells(child: Expression, cents: Array[Double],
     copy(child = newChild)
 }
 
+/** L2 (Euclidean) norm of a float/double vector — the codegen'd sibling of
+  * [[CosineSimilarity]]'s norm loop, replacing the interpreted `aggregate()`
+  * higher-order SQL function in scalar norm projections. */
+case class VectorNorm(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"vector_norm expects array<float|double>, got $other")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val fx = isFloat
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val v: Double = if (fx) x.getFloat(i).toDouble else x.getDouble(i)
+      s += v * v
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (isFloat) "getFloat" else "getDouble"
+    // fresh locals: avoid collisions when several instances share a scope
+    val n = ctx.freshName("n")
+    val s = ctx.freshName("s")
+    val i = ctx.freshName("i")
+    val v = ctx.freshName("v")
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = (double) $a.$get($i);
+         |  $s += $v * $v;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($s);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Register cosine_similarity with the session so `expr(...)`/SQL can use
     * it. Idempotent. */
@@ -388,5 +446,23 @@ object VectorFunctions {
     import org.apache.spark.sql.functions.{array, call_function, lit}
     val matrix = array(centroids.map(c => array(c.map(v => lit(v.toDouble)): _*)): _*)
     call_function("nearest_cells", emb, matrix, lit(probes))
+  }
+
+  /** Register vector_norm with the session. Idempotent. */
+  def registerNorm(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val ident = FunctionIdentifier("vector_norm")
+    if (!reg.functionExists(ident)) {
+      reg.registerFunction(
+        ident,
+        new ExpressionInfo(classOf[VectorNorm].getName, "vector_norm"),
+        (children: Seq[Expression]) => VectorNorm(children(0)))
+    }
+  }
+
+  /** L2 norm of a vector column (codegen'd). */
+  def norm(spark: SparkSession, emb: Column): Column = {
+    registerNorm(spark)
+    org.apache.spark.sql.functions.call_function("vector_norm", emb)
   }
 }

@@ -125,9 +125,18 @@ object Ann {
       dim: Int, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
       seed: Long = 7, sampleSize: Int = 1024): DataFrame = {
 
-    // --- driver-side coarse quantizer over a bounded sample --------------
-    val sample: Array[Array[Float]] = corpus.select(col("embedding"))
-      .limit(sampleSize).collect()
+    // --- driver-side coarse quantizer over a bounded RANDOM sample -------
+    // Seeded hash-order top-N: rank rows by xxhash64(seed, vec_id) and take
+    // the smallest `sampleSize` (TakeOrdered — per-partition top-k then a
+    // tiny merge, never a full sort). The sample is uniform over the corpus
+    // and independent of physical layout; `limit(n)` would instead take the
+    // FIRST rows of the first partitions, and on a corpus sorted or
+    // partitioned by content (the common 100 TB layout) k-means would fit
+    // every centroid to one region. Deterministic in `seed`.
+    val sample: Array[Array[Float]] = corpus
+      .select(col("embedding"), xxhash64(lit(seed), col("vec_id")).as("__sh"))
+      .orderBy(col("__sh")).limit(sampleSize)
+      .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray)
     val rnd = new scala.util.Random(seed)
     var centroids: Array[Array[Float]] =
@@ -185,7 +194,9 @@ object Ann {
     best
   }
 
-  /** L2 norm of an embedding column via SQL aggregate (codegen'd). */
+  /** L2 norm of an embedding column via the codegen'd
+    * [[graft.functions.VectorNorm]] expression (the `aggregate()`
+    * higher-order SQL function is interpreted per element). */
   def l2Norm(emb: Column): Column =
-    sqrt(aggregate(emb, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    VectorFunctions.norm(SparkSession.active, emb)
 }

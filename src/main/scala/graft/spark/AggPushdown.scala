@@ -96,8 +96,8 @@ object AggPushdown {
     val needMinMax = (specs.collect { case MinSpec(f) => f } ++
       specs.collect { case MaxSpec(f) => f }).distinct
 
-    for (file <- StrawIO.listFiles(path)) {
-      val footer = StrawIO.withInput(file)(StrawFileReader.readFooter)
+    for (m <- StrawIO.listFilesMeta(path)) {
+      val footer = FooterCache.get(m.path, m.mtime, m.len)
       countStar += footer.numRows
       def colIdx(f: Int): Int =
         footer.schema.fields.indexWhere(_.name == schema.fields(f).name)

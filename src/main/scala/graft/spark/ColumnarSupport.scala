@@ -84,7 +84,7 @@ object ColumnarSupport {
     private val input = StrawIO.open(part.path)
     private val (footer, resolved) =
       try {
-        val f = StrawFileReader.readFooter(input)
+        val f = FooterCache.get(part.path, input)
         // per-file name resolution (files in a dir may have evolved schemas)
         (f, StrawSchemaResolver.resolve(part.path, f.schema, requiredSchema))
       } catch { case e: Throwable => input.close(); throw e }

@@ -91,9 +91,15 @@ object PartitionLayout {
   /** Drop files whose `col=value` directory is provably excluded by the
     * filters — before any footer is read. */
   def prune(files: Seq[String], schema: StructType, filters: Array[Filter]): Seq[String] =
-    if (filters.isEmpty) files
-    else files.filter { f =>
-      partitionOf(f) match {
+    pruneBy(files, schema, filters)(identity)
+
+  /** [[prune]] over any carrier of a file path (e.g. listing entries that
+    * also hold the footer-cache version key). */
+  def pruneBy[T](items: Seq[T], schema: StructType, filters: Array[Filter])
+      (pathOf: T => String): Seq[T] =
+    if (filters.isEmpty) items
+    else items.filter { it =>
+      partitionOf(pathOf(it)) match {
         case Some((col, value)) if schema.fieldNames.contains(col) =>
           filters.forall(mayMatch(schema, col, value, _))
         case _ => true

@@ -39,13 +39,24 @@ class StrawboatDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = pathOf(options)
-    val files = StrawIO.listFiles(dir)
+    val files = StrawIO.listFilesMeta(dir)
     require(files.nonEmpty, s"strawboat: no ${StrawFormat.Extension} files under $dir")
+    // fast path (parquet-style `mergeSchema=false`): trust one footer as the
+    // table schema — one cached footer read instead of N for schema-uniform
+    // tables, the right default knob at 100k-file scale. The full merge
+    // below stays the default because it is what makes schema-evolved
+    // appends read correctly (new columns surface, absent ones null-fill).
+    val mergeSchema = Option(options.get("mergeSchema")).forall(_.toBoolean)
+    if (!mergeSchema) {
+      val one = files.head
+      return FooterCache.get(one.path, one.mtime, one.len).schema
+    }
     // merge across ALL files so schema-evolved appends surface new columns
     // (the read path null-fills them per file); conflicting types fail here
-    // with both definitions named
+    // with both definitions named. Footers come from the version-keyed cache:
+    // repeated planning over an unchanged table costs zero footer IO.
     val schemas = StrawIO.mapParallel(files)(f =>
-      (f, StrawIO.withInput(f)(StrawFileReader.readFooter(_).schema)))
+      (f.path, FooterCache.get(f.path, f.mtime, f.len).schema))
     val fields = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
     val presence = scala.collection.mutable.Map.empty[String, Int]
     for ((f, s) <- schemas; fld <- s.fields) {
@@ -117,22 +128,32 @@ object StrawIO {
       if (st.isDirectory) walkFiles(f, st.getPath)(visit) else visit(st)
     }
 
+  /** Path + the version key ([[FooterCache]]) of one data file, captured
+    * from the directory listing itself — no per-file status RPC. */
+  final case class FileMeta(path: String, mtime: Long, len: Long)
+
   /** All data files under `dir` (or `dir` itself if a file), recursive so
-    * hive-style partition subdirectories are seen, path-sorted. */
-  def listFiles(dir: String): Seq[String] = {
+    * hive-style partition subdirectories are seen, path-sorted, with the
+    * (mtime, length) version key from the same listing. */
+  def listFilesMeta(dir: String): Seq[FileMeta] = {
     val p = new Path(dir)
     val f = fs(dir)
     if (!f.exists(p)) Seq.empty
-    else if (f.getFileStatus(p).isFile) Seq(dir)
     else {
-      val out = ArrayBuffer.empty[String]
-      walkFiles(f, p) { st =>
-        if (st.getPath.getName.endsWith(StrawFormat.Extension))
-          out += st.getPath.toString
+      val st0 = f.getFileStatus(p)
+      if (st0.isFile) Seq(FileMeta(dir, st0.getModificationTime, st0.getLen))
+      else {
+        val out = ArrayBuffer.empty[FileMeta]
+        walkFiles(f, p) { st =>
+          if (st.getPath.getName.endsWith(StrawFormat.Extension))
+            out += FileMeta(st.getPath.toString, st.getModificationTime, st.getLen)
+        }
+        out.sortBy(_.path).toSeq
       }
-      out.sorted.toSeq
     }
   }
+
+  def listFiles(dir: String): Seq[String] = listFilesMeta(dir).map(_.path)
 
   def withInput[T](path: String)(body: RandomInput => T): T = {
     val in = open(path)
@@ -160,18 +181,19 @@ object StrawIO {
     } finally pool.shutdown()
   }
 
-  def open(path: String): RandomInput = {
-    val p = new Path(path)
-    val f = fs(path)
-    val status = f.getFileStatus(p)
-    val stream = f.open(p)
-    new RandomInput {
-      def length: Long = status.getLen
-      def readFully(pos: Long, buf: Array[Byte], off: Int, len: Int): Unit =
-        stream.readFully(pos, buf, off, len)
-      def close(): Unit = stream.close()
-    }
+  /** A RandomInput that also carries the file's version key, so the task
+    * read path can consult [[FooterCache]] without a second status RPC. */
+  final class StatusInput(f: FileSystem, p: Path) extends RandomInput {
+    private val status = f.getFileStatus(p)
+    private val stream = f.open(p)
+    def mtime: Long = status.getModificationTime
+    def length: Long = status.getLen
+    def readFully(pos: Long, buf: Array[Byte], off: Int, len: Int): Unit =
+      stream.readFully(pos, buf, off, len)
+    def close(): Unit = stream.close()
   }
+
+  def open(path: String): StatusInput = new StatusInput(fs(path), new Path(path))
 }
 
 class StrawboatTable(path: String, val schemaArg: StructType)
@@ -261,17 +283,20 @@ class StrawScanBuilder(path: String, fullSchema: StructType,
 
   private var requiredSchema: StructType = fullSchema
   private var pushedFiltersArr: Array[Filter] = Array.empty
+  private var exactFilters: Array[Filter] = Array.empty
   private var limit: Long = Long.MaxValue
   private var topN: Option[TopNPushdown.Spec] = None
   private var aggResult: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
 
   // PARTIAL Top-N: each partition emits only its k best candidates (and
   // prunes pages that provably can't beat them); Spark applies the global
-  // sort+limit above. Not combined with pushed filters: candidate selection
-  // sees pre-filter rows, which could evict rows that survive the filter.
+  // sort+limit above. With filters fully consumed (exactFilters), the
+  // reader evaluates them BEFORE candidate selection, so the buffer sees
+  // precisely the filter-passing rows — the condition under which filtered
+  // ORDER BY/LIMIT keeps page-bound pruning.
   override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       n: Int): Boolean = {
-    if (pushedFiltersArr.nonEmpty || aggResult.isDefined || keyGrouped) return false
+    if (aggResult.isDefined || keyGrouped) return false
     TopNPushdown.translate(orders, fullSchema, n) match {
       case Some(spec) => topN = Some(spec); true
       case None => false
@@ -290,7 +315,11 @@ class StrawScanBuilder(path: String, fullSchema: StructType,
 
   private def tryCompute(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     if (aggResult.isDefined) return true
-    if (pushedFiltersArr.nonEmpty) return false
+    // footer aggregates are unfiltered by construction: any pushed filter —
+    // zone-map or fully-consumed — makes them wrong, so bail. (With
+    // exactFilters consumed there is no residual Filter node, so Spark DOES
+    // attempt aggregate pushdown over the filtered scan.)
+    if (pushedFiltersArr.nonEmpty || exactFilters.nonEmpty) return false
     AggPushdown.translate(fullSchema, aggregation) match {
       case Some(specs) =>
         AggPushdown.compute(path, fullSchema, specs) match {
@@ -314,14 +343,26 @@ class StrawScanBuilder(path: String, fullSchema: StructType,
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    // zone maps are page-granular: we use filters to SKIP pages but cannot
-    // guarantee row-level evaluation, so every filter is also returned for
-    // Spark to re-evaluate above the scan.
+    // Two pushdown layers:
+    //  - zone maps (page-granular skipping) use every supported filter;
+    //  - filters the reader can evaluate EXACTLY under SQL semantics
+    //    ([[RowFilterEval]]) are fully CONSUMED — only the rest is returned
+    //    for Spark to re-evaluate. Consuming them removes the post-scan
+    //    Filter node, which is what lets Catalyst push Top-N and LIMIT
+    //    below a filter (its pushdown rules require an empty post-scan
+    //    filter). The reader then carries the correctness obligation: it
+    //    applies the consumed filters row-level to every produced row.
     pushedFiltersArr = filters.filter(ZoneMapFilter.supported(fullSchema, _))
-    filters
+    val (exact, residual) =
+      filters.partition(f => RowFilterEval.build(fullSchema, Array(f)).isDefined)
+    exactFilters = exact
+    residual
   }
-  override def pushedFilters(): Array[Filter] = pushedFiltersArr
+  override def pushedFilters(): Array[Filter] = pushedFiltersArr ++
+    exactFilters.filterNot(pushedFiltersArr.contains)
 
+  // partial limit: the reader emits at most `l` (filter-passing) rows per
+  // partition; Spark still applies the global limit above
   override def pushLimit(l: Int): Boolean = { limit = l; false }
 
   override def build(): Scan = aggResult match {
@@ -329,7 +370,7 @@ class StrawScanBuilder(path: String, fullSchema: StructType,
       new StrawAggScan(s"strawboat $path footer-only aggregate", schema, row)
     case None =>
       new StrawScan(path, fullSchema, requiredSchema, pushedFiltersArr, limit,
-        maxFilesPerTrigger, keyGrouped, topN)
+        maxFilesPerTrigger, keyGrouped, topN, exactFilters)
   }
 }
 
@@ -400,7 +441,8 @@ class StrawScan(
     limit: Long,
     maxFilesPerTrigger: Option[Int] = None,
     keyGrouped: Boolean = false,
-    topN: Option[TopNPushdown.Spec] = None)
+    topN: Option[TopNPushdown.Spec] = None,
+    exactFilters: Array[Filter] = Array.empty)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
@@ -420,6 +462,13 @@ class StrawScan(
     // key-grouped scans already reported a fixed partition count — dropping
     // groups now would contradict the reported KeyGroupedPartitioning
     if (keyedLayout.isDefined) return
+    // with a pushed Top-N, runtime filters must not narrow the scan: the
+    // TopK buffers would see rows the (un-evaluated) runtime filter later
+    // drops, which could evict true candidates. Runtime filters are an
+    // optional pruning layer — skipping them is always correct. (In
+    // practice the engine never pushes Top-N below a join, so this is
+    // defense in depth.)
+    if (topN.isDefined) return
     // keep only shapes our pruning layers understand: zone-map-encodable
     // filters and partition-prunable In/EqualTo/null tests (everything is
     // re-evaluated by Spark above the scan, so dropping the rest is safe)
@@ -442,24 +491,29 @@ class StrawScan(
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new StrawMicroBatchStream(path, fullSchema, requiredSchema, maxFilesPerTrigger)
+    new StrawMicroBatchStream(path, fullSchema, requiredSchema, maxFilesPerTrigger,
+      exactFilters)
   override def description(): String =
-    s"strawboat $path skipFilters=[${filters.mkString(", ")}] limit=" +
-      (if (limit == Long.MaxValue) "none" else limit.toString)
+    s"strawboat $path skipFilters=[${filters.mkString(", ")}] " +
+      s"exactFilters=[${exactFilters.mkString(", ")}] limit=" +
+      (if (limit == Long.MaxValue) "none" else limit.toString) +
+      topN.map(s => s" topN=${s.limit}@" +
+        s.cols.map(c => c.name + (if (c.desc) "-" else "+")).mkString(",")).getOrElse("")
 
-  /** Footers of the surviving files, read once per filter state with
-    * parallel IO (footer reads dominate planning at large file counts) and
+  /** Footers of the surviving files, resolved once per filter state and
     * shared between partition planning and statistics. Hive-style partition
     * directories are pruned FIRST — an excluded directory costs zero footer
-    * reads, the point of the layout at scale. Invalidated when a runtime
-    * filter narrows the file set. */
+    * reads, the point of the layout at scale. Footers come from the
+    * version-keyed [[FooterCache]] (parallel IO on misses), so repeated
+    * scans of an unchanged table pay one directory listing and zero footer
+    * reads. Invalidated when a runtime filter narrows the file set. */
   @volatile private var footersCache: Seq[(String, graft.format.StrawFooter, Long)] = _
   private def footers: Seq[(String, graft.format.StrawFooter, Long)] = {
     var c = footersCache
     if (c == null) {
       c = StrawIO.mapParallel(
-        PartitionLayout.prune(StrawIO.listFiles(path), fullSchema, filters)) { f =>
-        StrawIO.withInput(f) { in => (f, StrawFileReader.readFooter(in), in.length) }
+        PartitionLayout.pruneBy(StrawIO.listFilesMeta(path), fullSchema, filters)(_.path)) {
+        m => (m.path, FooterCache.get(m.path, m.mtime, m.len), m.len)
       }
       footersCache = c
     }
@@ -521,23 +575,27 @@ class StrawScan(
       case None =>
     }
     val targetBytes = 32L << 20
+    // a pushed limit counts FILTER-PASSING rows; with exact filters consumed
+    // the planner's page row counts are pre-filter, so planning must not
+    // truncate on them (the readers stop after `limit` passing rows instead)
+    val planLimit = if (exactFilters.nonEmpty) Long.MaxValue else limit
     val parts = ArrayBuffer.empty[InputPartition]
     var rowsPlanned = 0L
-    for ((file, footer, _) <- footers if rowsPlanned < limit) {
+    for ((file, footer, _) <- footers if rowsPlanned < planLimit) {
       if (footer.columns.nonEmpty) {
         val keep = ZoneMapFilter.keptPages(footer, filters)
         val pages = footer.columns(0).pages
         val pageBytes: Int => Long =
           p => footer.columns.foldLeft(0L)((a, c) => a + c.pages(p).compLen)
         var p = 0
-        while (p < pages.length && rowsPlanned < limit) {
+        while (p < pages.length && rowsPlanned < planLimit) {
           if (!keep(p)) p += 1
           else {
             // extend a contiguous kept run until the byte target is reached
             var end = p
             var bytes = 0L
             while (end < pages.length && keep(end) && bytes < targetBytes &&
-              rowsPlanned < limit) {
+              rowsPlanned < planLimit) {
               bytes += pageBytes(end)
               rowsPlanned += pages(end).numValues
               end += 1
@@ -555,7 +613,8 @@ class StrawScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new StrawPartitionReaderFactory(fullSchema, requiredSchema,
-      new org.apache.spark.util.SerializableConfiguration(StrawIO.conf), topN)
+      new org.apache.spark.util.SerializableConfiguration(StrawIO.conf), topN,
+      exactFilters)
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(new StrawScanMetrics.PagesRead, new StrawScanMetrics.PagesPruned)
@@ -572,8 +631,30 @@ class StrawScan(
 
 class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: StructType,
     serConf: org.apache.spark.util.SerializableConfiguration,
-    topN: Option[TopNPushdown.Spec] = None)
+    topN: Option[TopNPushdown.Spec] = None,
+    exactFilters: Array[Filter] = Array.empty)
   extends PartitionReaderFactory {
+
+  // Filters fully consumed by the scan (no residual Filter node above):
+  // evaluating them here is a CORRECTNESS obligation. They may reference
+  // columns Catalyst pruned from requiredSchema (nothing above references
+  // them anymore), so the reader reads an extended schema internally and
+  // projects back down before emitting.
+  private val readSchemaExt: StructType = {
+    val extra = exactFilters.flatMap(_.references).distinct
+      .filterNot(requiredSchema.fieldNames.contains)
+      .flatMap(n => fullSchema.fields.find(_.name == n))
+    StructType(requiredSchema.fields ++ extra)
+  }
+
+  private lazy val rowPred: Option[InternalRow => Boolean] =
+    if (exactFilters.isEmpty) None
+    else RowFilterEval.build(readSchemaExt, exactFilters) match {
+      case some @ Some(_) => some
+      case None => throw new IllegalStateException(
+        "strawboat: consumed filters are no longer row-evaluable " +
+          s"(${exactFilters.mkString(", ")} over ${readSchemaExt.catalogString})")
+    }
 
   // pushed Top-N only engages when every sort column survived pruning into
   // the produced schema (it always does for genuine ORDER BY pushdowns)
@@ -612,10 +693,12 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
     // type mismatch) — don't leak the open stream on the error path
     val (footer, resolved) =
       try {
-        val f = StrawFileReader.readFooter(input)
+        // version-keyed cache: a file split into many page-range partitions
+        // parses its footer once per executor, not once per task
+        val f = FooterCache.get(p.path, input)
         // resolve required fields against THIS file's schema by name (files
         // in a dir may differ after an evolving append); missing → null
-        (f, StrawSchemaResolver.resolve(p.path, f.schema, requiredSchema))
+        (f, StrawSchemaResolver.resolve(p.path, f.schema, readSchemaExt))
       } catch { case e: Throwable => input.close(); throw e }
     val present = resolved.filter(_ >= 0)
 
@@ -657,12 +740,15 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
       if (k) pagesRead += 1 else if (keepRange(pg)) pagesPruned += 1
       k
     }
-    val it = StrawFileReader.rows(input, footer, present, keepPage = countingKeep, limit = p.limit)
+    // a pushed limit counts FILTER-PASSING rows: with a predicate active it
+    // must be applied after filtering, not inside the page iterator
+    val preLimit = if (rowPred.isDefined) Long.MaxValue else p.limit
+    val it = StrawFileReader.rows(input, footer, present, keepPage = countingKeep, limit = preLimit)
     def metrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
       Array(StrawScanMetrics.Value("pagesRead", pagesRead),
         StrawScanMetrics.Value("pagesPruned", pagesPruned))
 
-    val produced: Iterator[InternalRow] =
+    val decoded: Iterator[InternalRow] =
       if (resolved.forall(_ >= 0)) it // every required field present
       else new Iterator[InternalRow] {
         // schema-evolved file: null-fill the missing fields (row is REUSED —
@@ -677,7 +763,7 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
             if (resolved(c) < 0) out.update(c, null)
             else {
               out.update(c,
-                if (r.isNullAt(pi)) null else r.get(pi, requiredSchema.fields(c).dataType))
+                if (r.isNullAt(pi)) null else r.get(pi, readSchemaExt.fields(c).dataType))
               pi += 1
             }
             c += 1
@@ -686,14 +772,36 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
         }
       }
 
+    // consumed-filter evaluation (correctness-critical: no Filter node
+    // remains above), then projection back down to requiredSchema when the
+    // filter needed pruned columns, then the post-filter limit
+    val filtered = rowPred match {
+      case Some(pred) => decoded.filter(pred)
+      case None => decoded
+    }
+    val narrowed: Iterator[InternalRow] =
+      if (readSchemaExt.length == requiredSchema.length) filtered
+      else {
+        val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+          requiredSchema, requiredSchema.indices)
+        filtered.map { r => proj.project(r); proj }
+      }
+    val produced: Iterator[InternalRow] =
+      if (rowPred.isDefined && p.limit != Long.MaxValue) narrowed.take(
+        math.min(p.limit, Int.MaxValue.toLong).toInt)
+      else narrowed
+
     topK match {
       case Some((buf, _, _)) =>
+        // the buffer sees exactly the filter-passing rows (pred above) — a
+        // failing row could otherwise evict a true candidate
+        val offered = produced
         new PartitionReader[InternalRow] {
           private var drained: Iterator[InternalRow] = _
           private var row: InternalRow = _
           override def next(): Boolean = {
             if (drained == null) {
-              produced.foreach(buf.offer) // offer() copies retained rows
+              offered.foreach(buf.offer) // offer() copies retained rows
               drained = buf.drain()
             }
             val h = drained.hasNext
@@ -723,6 +831,7 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
     !partition.isInstanceOf[StrawKeyedPartition] && topNActive.isEmpty &&
+      exactFilters.isEmpty &&
       requiredSchema.fields.forall(f => ColumnarSupport.isFlat(f.dataType))
 
   override def createColumnarReader(partition: InputPartition)

@@ -85,7 +85,8 @@ object StrawStreamOffset {
 }
 
 class StrawMicroBatchStream(path: String, fullSchema: StructType,
-    requiredSchema: StructType, maxFilesPerTrigger: Option[Int] = None)
+    requiredSchema: StructType, maxFilesPerTrigger: Option[Int] = None,
+    exactFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
   extends MicroBatchStream with SupportsAdmissionControl
   with SupportsTriggerAvailableNow {
 
@@ -186,8 +187,11 @@ class StrawMicroBatchStream(path: String, fullSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
+    // exactFilters forwarded defensively: if the engine ever pushes filters
+    // on the streaming path, the scan consumed them — readers must apply
     new StrawPartitionReaderFactory(fullSchema, requiredSchema,
-      new org.apache.spark.util.SerializableConfiguration(StrawIO.conf))
+      new org.apache.spark.util.SerializableConfiguration(StrawIO.conf),
+      topN = None, exactFilters = exactFilters)
 }
 
 case class StrawStreamingWriterFactory(path: String, schema: StructType,

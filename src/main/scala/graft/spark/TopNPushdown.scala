@@ -25,7 +25,7 @@ object TopNPushdown {
   // on heap; beyond this, Spark's own spill-capable sort is the better plan
   private val MaxPushedLimit = 1 << 16
 
-  private def comparable(dt: DataType): Boolean = dt match {
+  private[spark] def comparable(dt: DataType): Boolean = dt match {
     case BooleanType | ByteType | ShortType | IntegerType | LongType |
          DateType | TimestampType | TimestampNTZType | FloatType | DoubleType |
          StringType => true
@@ -58,7 +58,7 @@ object TopNPushdown {
 
   /** Spark-consistent non-null value comparison (NaN greatest, -0.0 == 0.0,
     * UTF8 binary order). */
-  private def compareValues(dt: DataType, a: Any, b: Any): Int = dt match {
+  private[spark] def compareValues(dt: DataType, a: Any, b: Any): Int = dt match {
     case BooleanType => java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
     case ByteType => java.lang.Byte.compare(a.asInstanceOf[Byte], b.asInstanceOf[Byte])
     case ShortType => java.lang.Short.compare(a.asInstanceOf[Short], b.asInstanceOf[Short])
@@ -139,6 +139,126 @@ object TopNPushdown {
         // nulls-first: nulls rank best, so a page holding nulls always may beat
         couldBeat || (primary.nullsFirst && pm.nullCount > 0)
     }
+  }
+}
+
+/** EXACT row-level evaluation of pushed filters over produced rows, for
+  * composing Top-N pushdown with filter pushdown. Exactness is the
+  * correctness requirement, not an optimization: a row that fails the
+  * filter but enters the TopK buffer can EVICT a passing row, and Spark's
+  * re-evaluation above the scan cannot bring the evicted row back — so the
+  * buffer must see precisely the filter-passing rows. Any filter shape this
+  * evaluator cannot reproduce under SQL three-valued semantics makes
+  * [[build]] return None and the Top-N pushdown decline. */
+object RowFilterEval {
+  import org.apache.spark.sql.sources._
+  import org.apache.spark.sql.catalyst.CatalystTypeConverters
+
+  /** A conjunction evaluator: row ⇒ all filters TRUE (SQL 3VL — UNKNOWN
+    * does not pass), or None when exact evaluation is not possible. */
+  def build(schema: StructType, filters: Array[Filter]): Option[InternalRow => Boolean] = {
+    if (filters.isEmpty) return None
+    val compiled = filters.map(compile(schema, _))
+    if (compiled.exists(_.isEmpty)) None
+    else {
+      val fns = compiled.map(_.get)
+      Some(row => fns.forall(f => f(row) == java.lang.Boolean.TRUE))
+    }
+  }
+
+  /** Tri-state (TRUE / FALSE / null=UNKNOWN) compile of one filter. */
+  private def compile(schema: StructType, f: Filter)
+      : Option[InternalRow => java.lang.Boolean] = {
+    def cmp(attr: String, v: Any)(pred: Int => Boolean)
+        : Option[InternalRow => java.lang.Boolean] =
+      literal(schema, attr, v).map { case (idx, dt, lit) =>
+        row =>
+          if (row.isNullAt(idx)) null
+          else java.lang.Boolean.valueOf(pred(TopNPushdown.compareValues(dt, row.get(idx, dt), lit)))
+      }
+    def idxOf(attr: String): Option[Int] =
+      schema.fields.indexWhere(_.name == attr) match {
+        case -1 => None
+        case i => Some(i)
+      }
+    f match {
+      case EqualTo(a, v) => cmp(a, v)(_ == 0)
+      case GreaterThan(a, v) => cmp(a, v)(_ > 0)
+      case GreaterThanOrEqual(a, v) => cmp(a, v)(_ >= 0)
+      case LessThan(a, v) => cmp(a, v)(_ < 0)
+      case LessThanOrEqual(a, v) => cmp(a, v)(_ <= 0)
+      case In(a, vs) =>
+        val lits = vs.map(v => literal(schema, a, v))
+        if (vs.isEmpty || lits.exists(_.isEmpty)) None
+        else {
+          val (idx, dt, _) = lits.head.get
+          val values = lits.map(_.get._3)
+          Some(row =>
+            if (row.isNullAt(idx)) null
+            else java.lang.Boolean.valueOf(
+              values.exists(l => TopNPushdown.compareValues(dt, row.get(idx, dt), l) == 0)))
+        }
+      case IsNull(a) => idxOf(a).map(i => row => java.lang.Boolean.valueOf(row.isNullAt(i)))
+      case IsNotNull(a) => idxOf(a).map(i => row => java.lang.Boolean.valueOf(!row.isNullAt(i)))
+      case StringStartsWith(a, v) => strPred(schema, a, v)((s, p) => s.startsWith(p))
+      case StringEndsWith(a, v) => strPred(schema, a, v)((s, p) => s.endsWith(p))
+      case StringContains(a, v) => strPred(schema, a, v)((s, p) => s.contains(p))
+      case And(l, r) =>
+        for (lf <- compile(schema, l); rf <- compile(schema, r)) yield { row: InternalRow =>
+          val a = lf(row); val b = rf(row)
+          if (a == java.lang.Boolean.FALSE || b == java.lang.Boolean.FALSE)
+            java.lang.Boolean.FALSE
+          else if (a == null || b == null) null
+          else java.lang.Boolean.TRUE
+        }
+      case Or(l, r) =>
+        for (lf <- compile(schema, l); rf <- compile(schema, r)) yield { row: InternalRow =>
+          val a = lf(row); val b = rf(row)
+          if (a == java.lang.Boolean.TRUE || b == java.lang.Boolean.TRUE)
+            java.lang.Boolean.TRUE
+          else if (a == null || b == null) null
+          else java.lang.Boolean.FALSE
+        }
+      case Not(c) =>
+        compile(schema, c).map { cf => row: InternalRow =>
+          val a = cf(row)
+          if (a == null) null else java.lang.Boolean.valueOf(!a.booleanValue())
+        }
+      case _ => None
+    }
+  }
+
+  /** Byte-wise string predicate on a DEFAULT-collation string column (the
+    * `StringType` pattern matches only collation UTF8_BINARY, whose
+    * semantics UTF8String reproduces exactly). */
+  private def strPred(schema: StructType, attr: String, v: String)(
+      pred: (UTF8String, UTF8String) => Boolean)
+      : Option[InternalRow => java.lang.Boolean] = {
+    val idx = schema.fields.indexWhere(_.name == attr)
+    if (idx < 0 || v == null) return None
+    schema.fields(idx).dataType match {
+      case StringType =>
+        val lit = UTF8String.fromString(v)
+        Some(row =>
+          if (row.isNullAt(idx)) null
+          else java.lang.Boolean.valueOf(pred(row.getUTF8String(idx), lit)))
+      case _ => None
+    }
+  }
+
+  /** (fieldIndex, type, Catalyst-internal literal) for a comparison, or None
+    * when the column is absent, the literal is null (the comparison would be
+    * constant-UNKNOWN — Catalyst never pushes those), or conversion fails. */
+  private def literal(schema: StructType, attr: String, v: Any)
+      : Option[(Int, DataType, Any)] = {
+    val idx = schema.fields.indexWhere(_.name == attr)
+    if (idx < 0 || v == null) return None
+    val dt = schema.fields(idx).dataType
+    if (!TopNPushdown.comparable(dt)) return None
+    try {
+      val lit = CatalystTypeConverters.createToCatalystConverter(dt)(v)
+      if (lit == null) None else Some((idx, dt, lit))
+    } catch { case _: Exception => None }
   }
 }
 

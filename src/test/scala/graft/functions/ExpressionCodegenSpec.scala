@@ -38,10 +38,26 @@ class ExpressionCodegenSpec extends AnyFunSuite with BeforeAndAfterAll {
       VectorFunctions.hyperplaneBuckets(spark, col("a"), 8, 4, 2, 7).as("h1"),
       VectorFunctions.hyperplaneBuckets(spark, col("b"), 8, 4, 2, 7).as("h2"),
       VectorFunctions.nearestCells(spark, col("a"), cents, 2).as("n1"),
-      VectorFunctions.nearestCells(spark, col("b"), cents, 2).as("n2"))
+      VectorFunctions.nearestCells(spark, col("b"), cents, 2).as("n2"),
+      VectorFunctions.norm(spark, col("a")).as("norm_a"),
+      VectorFunctions.norm(spark, col("b")).as("norm_b"))
       .collect()
     assert(out.length == 2)
     assert(out.forall(r => math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+    // vector_norm matches the closed form on a constant vector
+    val r1 = out(0)
+    assert(math.abs(r1.getAs[Double]("norm_a") - math.sqrt(8 * 0.25)) < 1e-12)
+  }
+
+  test("vector_norm plan holds no interpreted higher-order function") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq((1L, Array.fill(16)(0.5f))).toDF("id", "emb")
+    val q = df.select(round(graft.ops.Ann.l2Norm(col("emb")), 4).as("l2"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("aggregate(") && !plan.contains("lambdafunction"),
+      s"interpreted HOF survives in plan:\n$plan")
+    assert(q.collect()(0).getDouble(0) == 2.0) // sqrt(16 * 0.25)
   }
 
   test("text and media kernels compile together under strict codegen") {

@@ -48,6 +48,37 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(full === exact)
   }
 
+  test("IVF recall survives a corpus SORTED by cluster (randomized quantizer sample)") {
+    // 3000 vectors in 6 well-separated clusters, physically ordered by
+    // cluster — the layout where a first-rows quantizer sample (limit(n))
+    // would only ever see the first ~2 clusters and recall collapses for
+    // queries in the others. The seeded hash-order sample must keep recall
+    // high for queries drawn from the LAST cluster.
+    val ss = spark
+    import ss.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(42)
+    val centers = Array.tabulate(6) { c =>
+      Array.tabulate(dim)(i => if (i % 6 == c) 10.0f else 0.0f)
+    }
+    val rows = (0 until 3000).map { j =>
+      val c = j / 500 // sorted: cluster 0 first, cluster 5 last
+      val v = Array.tabulate(dim)(i => centers(c)(i) + rnd.nextGaussian().toFloat * 0.3f)
+      (j.toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding").coalesce(1) // one partition, cluster order
+    val queries = emb.filter(col("vec_id") >= 2990) // all from the last cluster
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Ann.bruteForceTopK(spark, emb, queries, 5))
+    val ivf = pairs(Ann.ivfTopK(spark, emb, queries, dim, 5,
+      nCentroids = 6, nProbe = 2, sampleSize = 1024))
+    assert(exact.nonEmpty)
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall on cluster-sorted corpus: $recall")
+  }
+
   test("IVF probes=1 assignment is expression-only: no Exchange, no row blowup") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cents = Array.fill(4)(Array.fill(64)(scala.util.Random.nextGaussian().toFloat))

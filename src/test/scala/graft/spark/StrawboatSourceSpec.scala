@@ -262,6 +262,70 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(df, col("tag").desc, col("id")) == run(src, col("tag").desc, col("id")))
   }
 
+  test("top-n pushdown composes with pushed filters: exact results, eviction-safe") {
+    val out = s"$dir/topn_filter"
+    val ss = spark
+    import ss.implicits._
+    // adversarial layout: the GLOBAL top values all FAIL the filter — a
+    // candidate buffer that saw pre-filter rows would fill with them and
+    // evict every true survivor
+    val data = (0 until 2000).map { i =>
+      (i.toLong, if (i % 5 == 0) "keep" else "drop",
+        if (i % 131 == 0) None else Some(i.toDouble / 3))
+    }
+    data.toDF("v", "tag", "score").coalesce(2).write.format("strawboat")
+      .option("maxPageSize", "128").mode("overwrite").save(out)
+    val df = spark.read.format("strawboat").load(out)
+    val src = data.toDF("v", "tag", "score")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      d.filter(col("tag") === "keep").orderBy(col("v").desc).limit(9)
+        .collect().map(_.getLong(0)).toSeq
+    assert(run(df) == run(src))
+    // more shapes: range filter, null test, conjunction
+    def run2(d: org.apache.spark.sql.DataFrame) =
+      d.filter(col("score") < 200.0 && col("score").isNotNull)
+        .orderBy(col("score").desc, col("v")).limit(13)
+        .collect().map(_.toSeq).toSeq
+    assert(run2(df) == run2(src))
+  }
+
+  test("filtered top-n still prunes pages that cannot beat the k-th candidate") {
+    import graft.format._
+    val out = s"$dir/topn_filter_prune"
+    val ss = spark
+    import ss.implicits._
+    // v strictly descending (page 0 dominates); u spreads filter survivors
+    // over every page so the filter alone prunes nothing
+    val rows = (0 until 1000).map(i => (1000L - i, (i % 10).toLong, s"r$i"))
+    rows.toDF("v", "u", "tag").coalesce(1).write.format("strawboat")
+      .option("maxPageSize", "100").mode("overwrite").save(out)
+    def topk(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("u") < 5).orderBy(col("v").desc).limit(7).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val expect = topk(rows.toDF("v", "u", "tag"))
+    assert(topk(spark.read.format("strawboat").load(out)) == expect)
+    // corrupt the data bytes of every page but the first: the filtered
+    // top-k must still succeed (those pages are pruned by the Top-N bound,
+    // not merely dropped by the filter — u<5 matches rows on EVERY page)
+    val file = new java.io.File(out).listFiles.filter(_.getName.endsWith(".strb")).head
+    val footer = {
+      val in = new LocalFileInput(file.getPath)
+      try StrawFileReader.readFooter(in) finally in.close()
+    }
+    val raf = new java.io.RandomAccessFile(file, "rw")
+    try {
+      for (c <- footer.columns.indices) {
+        val offs = footer.columns(c).pageOffsets
+        for (p <- 1 until footer.columns(c).pages.length) {
+          raf.seek(offs(p))
+          raf.write(Array.fill(math.min(16, footer.columns(c).pages(p).compLen.toInt))(0x5A.toByte))
+        }
+      }
+    } finally raf.close()
+    new java.io.File(file.getParentFile, s".${file.getName}.crc").delete()
+    assert(topk(spark.read.format("strawboat").load(out)) == expect)
+  }
+
   test("schema evolution inside a partitioned table: new column null-fills, pruning intact") {
     val ss = spark
     import ss.implicits._
