@@ -355,6 +355,17 @@ object SparkEntry {
         Dedup.simHash(t(s, d, "documents"), "doc_id", "text"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_dedup_simhash_gate" -> ((s, d) => {
+      // candidate-quality gate for the simhash tier: every fingerprint pair
+      // within 3 bits MUST appear in the candidate set (with 4 bands of 16
+      // bits, ≤3 differing bits can't touch all bands — pigeonhole — so a
+      // false here means the banding lost a pair it provably covers).
+      // n_docs anchors the corpus in the oracle; covered_ok carries the
+      // quality claim. Radius 4 is NOT gated: a 4-bit pair can land one bit
+      // per band (measured uncovered on the sf0.01 corpus).
+      val fps = Dedup.simHash(t(s, d, "documents"), "doc_id", "text")
+      Dedup.simHashCoverageGate(fps, Dedup.simHashCandidates(fps), maxHamming = 3)
+    }),
     // --- LLM-pipeline: text analysis --------------------------------------
     "q_text_stats" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -809,6 +820,12 @@ object SparkEntry {
         |FROM embeddings a, embeddings b
         |WHERE a.vec_id < b.vec_id
         |  AND round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.45""".stripMargin,
+    // the seeded fingerprints aren't SQL-derivable, but the COVERAGE claim
+    // is a construction invariant (pigeonhole over 4 bands) — the oracle
+    // pins the corpus size and the expected-true gate bit
+    "q_dedup_simhash_gate" ->
+      """SELECT count(*)::BIGINT AS n_docs, true AS covered_ok
+        |FROM documents""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id,
         |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
@@ -904,9 +921,9 @@ object SparkEntry {
         |  16 AS bits, (100 + doc_id % 400)::BIGINT AS n_samples
         |FROM documents ORDER BY doc_id""".stripMargin
     // Rows-only (no SQL-expressible oracle): q_dedup_simhash (seeded token
-    // hashing, not reproducible in SQL — its candidate mechanics are pinned
-    // by OpsSpec instead), q_ann_lsh / q_ann_ivf / q_dedup_embedding_lsh
-    // (approximate tiers; their quality is oracle-checked via the paired
-    // *_recall / _full queries above).
+    // hashing, not reproducible in SQL — gated by the oracle-checked
+    // q_dedup_simhash_gate above plus OpsSpec), q_ann_lsh / q_ann_ivf /
+    // q_dedup_embedding_lsh (approximate tiers; their quality is
+    // oracle-checked via the paired *_recall / _full queries above).
   )
 }

@@ -35,13 +35,24 @@ object StrawFormat {
   val StatsNone = 0
   val StatsSigned = 1 // integer-family & sortable-encoded floating point
   val StatsPrefix = 2 // unsigned big-endian 8-byte string prefix
-  /** Wide decimals (precision 19..38): sortableDouble of the value's
-    * nearest-double approximation. Rounding-to-nearest is monotone
-    * NON-strict, so min/max are sound page bounds at every magnitude, but
-    * LOSSY: adjacent decimals can collapse to one double — strict
-    * comparisons must be blurred to inclusive ones (like StatsPrefix), and
-    * MIN/MAX aggregate pushdown must not reconstruct values from them. */
+  /** Wide decimals, LEGACY kind (still readable): sortableDouble of the
+    * value's nearest-double approximation. Monotone NON-strict, so sound as
+    * page bounds, but LOSSY: adjacent decimals can collapse to one double —
+    * strict comparisons must be blurred to inclusive ones (like
+    * StatsPrefix), and MIN/MAX aggregate pushdown must not reconstruct
+    * values from them. New files write [[StatsDecimal128]] instead. */
   val StatsDoubleApprox = 3
+  /** Wide decimals (precision 19..38): EXACT unscaled-i128 min/max, stored
+    * as two planes — (min, max) hold the high 64 bits, (min2, max2) the low
+    * 64. Comparison is signed-hi then unsigned-lo. Exact stats make range
+    * pruning strict-capable and MIN/MAX footer-only aggregation valid. */
+  val StatsDecimal128 = 4
+
+  /** Signed i128 comparison over (hi, lo) planes. */
+  def compare128(aHi: Long, aLo: Long, bHi: Long, bLo: Long): Int = {
+    val c = java.lang.Long.compare(aHi, bHi)
+    if (c != 0) c else java.lang.Long.compareUnsigned(aLo, bLo)
+  }
 
   /** Order-preserving long for doubles/floats (zone maps). -0.0 normalizes
     * to +0.0 so SQL equality semantics survive the encoding. */
@@ -67,13 +78,17 @@ object StrawFormat {
   def prefixLong(bytes: Array[Byte]): Long = prefixLong(bytes, 0, bytes.length)
 }
 
+/** `min2`/`max2` are the low-64-bit planes, used only by
+  * [[StrawFormat.StatsDecimal128]] (zero otherwise). */
 final case class PageMeta(
     numValues: Int,
     compLen: Long,
     nullCount: Int,
     statsKind: Int,
     min: Long,
-    max: Long)
+    max: Long,
+    min2: Long = 0L,
+    max2: Long = 0L)
 
 final case class ColumnMeta(offset: Long, pages: Array[PageMeta]) {
   /** Absolute byte offset of every page (prefix sums; readers index this
@@ -107,6 +122,7 @@ object MetaIO {
         out.putInt(p.nullCount)
         out.putByte(p.statsKind)
         if (p.statsKind != StatsNone) { out.putLong(p.min); out.putLong(p.max) }
+        if (p.statsKind == StatsDecimal128) { out.putLong(p.min2); out.putLong(p.max2) }
       }
     }
     val metaLen = out.len - metaStart
@@ -148,7 +164,9 @@ object MetaIO {
         val nc = in.getInt()
         val kind = in.get() & 0xff
         val (mn, mx) = if (kind != StatsNone) (in.getLong(), in.getLong()) else (0L, 0L)
-        pages(p) = PageMeta(nv, cl, nc, kind, mn, mx)
+        val (mn2, mx2) =
+          if (kind == StatsDecimal128) (in.getLong(), in.getLong()) else (0L, 0L)
+        pages(p) = PageMeta(nv, cl, nc, kind, mn, mx, mn2, mx2)
         p += 1
       }
       cols(c) = ColumnMeta(offset, pages)
@@ -209,7 +227,8 @@ object ValidityReader {
   }
 }
 
-final case class PageStats(statsKind: Int, min: Long, max: Long)
+final case class PageStats(statsKind: Int, min: Long, max: Long,
+    min2: Long = 0L, max2: Long = 0L)
 
 /** One top-level (or nested child) column's write-side buffer.
   * `append` pulls the value out of a row/array via SpecializedGetters. */
@@ -414,31 +433,40 @@ final class StructColumnWriter(opts: WriteOptions, fields: Array[ColumnWriter])
 /** Decimal with precision 19..38: unscaled i128 stored as two long planes
   * (high 64 | low 64), each running through the integer codec cascade.
   * JVM has no i128 — mirror of the reference's Int128 primitive support
-  * (reference: src/write/primitive.rs:71-78). Zone maps store sortable-
-  * double approximations of min/max ([[StrawFormat.StatsDoubleApprox]]) —
-  * monotone at every magnitude, so range filters on wide-decimal columns
-  * can skip pages (conservatively; adjacent decimals may share a double). */
+  * (reference: src/write/primitive.rs:71-78). Zone maps store the EXACT
+  * unscaled-i128 min/max over the same two planes
+  * ([[StrawFormat.StatsDecimal128]]) — strict range pruning and footer-only
+  * MIN/MAX aggregation both stay valid (the legacy
+  * [[StrawFormat.StatsDoubleApprox]] kind remains readable). */
 final class Decimal128ColumnWriter(opts: WriteOptions, precision: Int, scale: Int)
   extends ColumnWriter(opts) {
   private var hi = new Array[Long](1024)
   private var lo = new Array[Long](1024)
   private var n = 0
-  private var minEnc = Long.MaxValue
-  private var maxEnc = Long.MinValue
+  private var hasStats = false
+  private var minHi = 0L
+  private var minLo = 0L
+  private var maxHi = 0L
+  private var maxLo = 0L
   private def grow(): Unit =
     if (n >= hi.length) {
       hi = java.util.Arrays.copyOf(hi, hi.length * 2)
       lo = java.util.Arrays.copyOf(lo, lo.length * 2)
     }
   def append(g: SpecializedGetters, ordinal: Int): Unit = {
-    val bd = g.getDecimal(ordinal, precision, scale).toJavaBigDecimal
-    val unscaled = bd.unscaledValue()
+    val unscaled = g.getDecimal(ordinal, precision, scale)
+      .toJavaBigDecimal.unscaledValue()
     grow()
-    lo(n) = unscaled.longValue()
-    hi(n) = unscaled.shiftRight(64).longValue()
-    val e = StrawFormat.sortableDouble(bd.doubleValue())
-    if (e < minEnc) minEnc = e
-    if (e > maxEnc) maxEnc = e
+    val l = unscaled.longValue()
+    val h = unscaled.shiftRight(64).longValue()
+    lo(n) = l
+    hi(n) = h
+    if (!hasStats) {
+      minHi = h; minLo = l; maxHi = h; maxLo = l; hasStats = true
+    } else {
+      if (StrawFormat.compare128(h, l, minHi, minLo) < 0) { minHi = h; minLo = l }
+      if (StrawFormat.compare128(h, l, maxHi, maxLo) > 0) { maxHi = h; maxLo = l }
+    }
     n += 1
     validity.append(true)
   }
@@ -450,10 +478,10 @@ final class Decimal128ColumnWriter(opts: WriteOptions, precision: Int, scale: In
     validity.encode(opts, out)
     IntCodec.encode(hi, n, 8, opts, 0, out)
     IntCodec.encode(lo, n, 8, opts, 0, out)
-    if (minEnc > maxEnc) PageStats(StrawFormat.StatsNone, 0, 0)
-    else PageStats(StrawFormat.StatsDoubleApprox, minEnc, maxEnc)
+    if (!hasStats) PageStats(StrawFormat.StatsNone, 0, 0)
+    else PageStats(StrawFormat.StatsDecimal128, minHi, maxHi, minLo, maxLo)
   }
-  def clearBuffers(): Unit = { n = 0; minEnc = Long.MaxValue; maxEnc = Long.MinValue }
+  def clearBuffers(): Unit = { n = 0; hasStats = false }
   def bufferedBytes: Long = 16L * n
 }
 
@@ -548,7 +576,7 @@ final class StrawFileWriter(schema: StructType, opts: WriteOptions) {
         val before = colBufs(c).len
         val (stats, n, nulls) = writers(c).flushPage(colBufs(c))
         pageMetas(c) += PageMeta(n, (colBufs(c).len - before).toLong, nulls,
-          stats.statsKind, stats.min, stats.max)
+          stats.statsKind, stats.min, stats.max, stats.min2, stats.max2)
         c += 1
       }
       rowsInPage = 0

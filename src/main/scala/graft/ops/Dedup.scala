@@ -95,7 +95,7 @@ object Dedup {
     * multi-join over a shingle relation. */
   def minHashNearDup(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, reuseShingleHashes: Boolean = false): DataFrame = {
     // 100 TB shape: signatures are a map-only projection (no shingle table
     // is ever shuffled for them); verification joins the two texts onto the
     // LSH-pruned pair set and computes the exact shingle Jaccard ROW-LOCALLY
@@ -104,18 +104,42 @@ object Dedup {
     // buckets, and the candidate pairs. Per-pair verify cost is
     // O(len_a + len_b); a doc in several pairs re-hashes per pair, bounded
     // by LSH pruning.
+    //
+    // `reuseShingleHashes` trades one stored array<long> column per doc for
+    // that re-hash: each doc's distinct shingle-hash SET is computed once
+    // (the same map-only ShingleHashes kernel) and pairs verify by set
+    // intersection over the stored arrays — O(|a|+|b|) compares instead of
+    // O(len_a+len_b) re-hashing per pair. The right trade when candidate
+    // multiplicity per doc is high; identical output by construction (both
+    // sides verify the same distinct 64-bit hash sets).
     val spark = df.sparkSession
     val cands = candidatePairs(
       lshBuckets(minHashSignatures(df, idCol, textCol, k, numHashes),
         bands, numHashes / bands))
-    val texts = df.select(col(idCol).as("tid"), col(textCol).as("ttext"))
-    cands
-      .join(texts.as("ta"), col("id_a") === col("ta.tid"))
-      .join(texts.as("tb"), col("id_b") === col("tb.tid"))
-      .select(col("id_a"), col("id_b"),
-        graft.functions.TextHashFunctions.shingleJaccard(
-          spark, col("ta.ttext"), col("tb.ttext"), k).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    if (reuseShingleHashes) {
+      val hashed = df.select(col(idCol).as("tid"),
+        graft.functions.TextHashFunctions.shingleHashes(
+          spark, col(textCol), k).as("tsh"))
+      cands
+        .join(hashed.as("ta"), col("id_a") === col("ta.tid"))
+        .join(hashed.as("tb"), col("id_b") === col("tb.tid"))
+        .withColumn("inter",
+          size(array_intersect(col("ta.tsh"), col("tb.tsh"))).cast("double"))
+        .select(col("id_a"), col("id_b"),
+          (col("inter") /
+            (size(col("ta.tsh")) + size(col("tb.tsh")) - col("inter")))
+            .as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    } else {
+      val texts = df.select(col(idCol).as("tid"), col(textCol).as("ttext"))
+      cands
+        .join(texts.as("ta"), col("id_a") === col("ta.tid"))
+        .join(texts.as("tb"), col("id_b") === col("tb.tid"))
+        .select(col("id_a"), col("id_b"),
+          graft.functions.TextHashFunctions.shingleJaccard(
+            spark, col("ta.ttext"), col("tb.ttext"), k).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    }
   }
 
   /** Exact n-gram Jaccard similarity over ALL pairs above `threshold`,
@@ -158,45 +182,67 @@ object Dedup {
   /** Connected components over a near-duplicate pair table: every doc in
     * the pair graph gets the SMALLEST doc id of its duplicate cluster as
     * `cluster_id` (the canonical survivor; rows with `doc_id != cluster_id`
-    * are the drop set). Label propagation to a fixpoint — O(cluster
-    * diameter) rounds, each a join + min-aggregation; near-dup clusters are
-    * shallow in practice so this converges in a handful of rounds. Edges
-    * are pinned (MEMORY_AND_DISK) for the duration of the loop; at very
-    * large graph scale swap in the large-star/small-star variant, which
-    * shrinks diameter quadratically per round on the same join shape. */
-  def duplicateClusters(pairs: DataFrame): DataFrame = {
+    * are the drop set).
+    *
+    *  - `algorithm = "label"` (default): label propagation to a fixpoint —
+    *    O(cluster diameter) rounds, each ONE join + min-aggregation whose
+    *    single materializing action also yields the changed-count (labels
+    *    only ever decrease, so `new < old` detects change without a second
+    *    join). The right choice for shallow near-dup clusters.
+    *  - `algorithm = "star"`: alternating large-star/small-star
+    *    ([[alternatingStarClusters]]) — O(log n) rounds on deep chain
+    *    graphs, for adversarial pair graphs at extreme scale. */
+  def duplicateClusters(pairs: DataFrame, algorithm: String = "label"): DataFrame =
+    algorithm match {
+      case "label" => labelPropagationClusters(pairs)._1
+      case "star" => alternatingStarClusters(pairs)._1
+      case other => throw new IllegalArgumentException(
+        s"duplicateClusters: unknown algorithm '$other' (label|star)")
+    }
+
+  /** @return (labels (doc_id, cluster_id), rounds run). See
+    * [[duplicateClusters]]. Iteration caches are released; the result is a
+    * lineage-truncated localCheckpoint (NOT recomputable after executor
+    * loss — on an unreliable cluster re-run the operator, or swap in
+    * reliable checkpointing). */
+  private[ops] def labelPropagationClusters(pairs: DataFrame): (DataFrame, Int) = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var labels = edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       var changed = 1L
       var rounds = 0
       while (changed > 0 && rounds < 64) {
         val prop = edges.join(labels, col("dst") === col("id"))
           .select(col("src").as("id"), col("label"))
-        val next = labels.union(prop)
-          .groupBy(col("id")).agg(min(col("label")).as("label"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
-          .filter(col("label") =!= col("prev")).count()
-        labels.unpersist()
-        labels = next
+        // one aggregation carries BOTH the new label (min over own + heard)
+        // and the previous one (min over own rows only — each id has exactly
+        // one). The LAZY localCheckpoint truncates lineage (iterative plans
+        // otherwise grow exponentially — `labels` appears twice per round)
+        // and is materialized by the count() below, so each round costs ONE
+        // action and no label-vs-label join: `new < old` is the change
+        // signal, labels being monotone non-increasing.
+        val merged = labels.select(col("id"), col("label"), lit(true).as("own"))
+          .union(prop.select(col("id"), col("label"), lit(false).as("own")))
+          .groupBy(col("id"))
+          .agg(min(col("label")).as("label"),
+            min(when(col("own"), col("label"))).as("prev"))
+          .localCheckpoint(false)
+        changed = merged.filter(col("label") < col("prev")).count()
+        labels = merged.select(col("id"), col("label"))
         rounds += 1
       }
-      // materialize into a lineage-truncated checkpoint, then release every
-      // iteration cache (blocks of the checkpoint are reclaimed by the
-      // context cleaner once the returned frame is garbage-collected).
-      // Tradeoff: localCheckpoint blocks are NOT recomputable after executor
-      // loss — on an unreliable cluster, re-run the operator (or swap in
-      // reliable checkpointing to a checkpoint dir) rather than relying on
-      // lineage that the iteration caches no longer back
+      // checkpoint blocks of intermediate rounds are reclaimed by the
+      // context cleaner as the frames go out of scope. Tradeoff:
+      // localCheckpoint blocks are NOT recomputable after executor loss —
+      // on an unreliable cluster, re-run the operator (or swap in reliable
+      // checkpointing to a checkpoint dir).
       val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
         .localCheckpoint(true)
-      labels.unpersist()
-      out
+      (out, rounds)
     } finally edges.unpersist(): Unit
   }
 
@@ -220,5 +266,112 @@ object Dedup {
     val banded = fps.select(col("sid"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
     candidatePairs(banded)
+  }
+
+  /** Candidate-quality gate for [[simHashCandidates]]: one row
+    * `(n_docs, covered_ok)` where `covered_ok` is TRUE iff the candidate
+    * set contains EVERY fingerprint pair within `maxHamming` bits —
+    * derivable exactly from the fingerprints themselves. With 4 bands of
+    * 16 bits, any pair differing in ≤ 3 bits cannot touch all four bands
+    * (pigeonhole), so coverage at `maxHamming = 3` is a construction
+    * invariant; at 4 bits it holds unless each differing bit lands in a
+    * distinct band. The ground-truth side is an all-pairs broadcast
+    * self-join over the 8-byte fingerprints — the explicit small-corpus
+    * VERIFICATION tier (the scale path is the banded candidates being
+    * gated; deriving ground truth any other way would reuse the same band
+    * join and gate nothing). */
+  def simHashCoverageGate(fps: DataFrame, cands: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    val close = fps.as("a")
+      .join(broadcast(fps.as("b")), col("a.sid") < col("b.sid"))
+      .select(col("a.sid").as("id_a"), col("b.sid").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hd"))
+      .filter(col("hd") <= maxHamming)
+    val nDocs = fps.agg(count(lit(1)).as("n_docs"))
+    val uncovered = close
+      .join(cands.select(col("id_a"), col("id_b"), lit(1).as("cand")),
+        Seq("id_a", "id_b"), "left")
+      .agg(coalesce(sum(when(col("cand").isNull, 1).otherwise(0)), lit(0))
+        .as("n_uncovered"))
+    nDocs.crossJoin(broadcast(uncovered))
+      .select(col("n_docs"), (col("n_uncovered") === 0).as("covered_ok"))
+  }
+
+  // -------------------------------------------------------------------------
+  // Connected components, alternating-star variant
+  // -------------------------------------------------------------------------
+
+  private def symmetrize(e: DataFrame): DataFrame =
+    e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+
+  /** One large-star round: every node connects its LARGER neighbors to the
+    * minimum of its closed neighborhood. Shrinks deep trees toward the
+    * minimum without growing any star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond"). */
+  private def largeStar(sym: DataFrame): DataFrame = {
+    val m = sym.groupBy(col("src"))
+      .agg(least(min(col("dst")), col("src")).as("m"))
+    sym.join(m, "src")
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .union(m.select(col("src"), col("m").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** One small-star round: every node connects its SMALLER-or-equal
+    * neighbors (and itself) to the minimum among them. */
+  private def smallStar(sym: DataFrame): DataFrame = {
+    val down = sym.filter(col("dst") <= col("src"))
+    val m = down.groupBy(col("src"))
+      .agg(least(min(col("dst")), col("src")).as("m"))
+    down.join(m, "src")
+      .filter(col("dst") =!= col("m"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .union(m.select(col("src"), col("m").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Connected components by alternating large-star/small-star rounds —
+    * component diameter shrinks geometrically, so a path graph converges in
+    * O(log n) rounds where label propagation needs O(n). Termination is the
+    * edge-set FIXPOINT (the state is a fixpoint of the round function iff
+    * the graph is a star forest rooted at component minima): edge sets are
+    * distinct, so `same count ∧ empty one-way except` proves equality.
+    * @return (labels (doc_id, cluster_id), rounds run) */
+  private[ops] def alternatingStarClusters(pairs: DataFrame): (DataFrame, Int) = {
+    // lazy localCheckpoint per round truncates the otherwise-exponential
+    // iterative lineage; the count() that drives the convergence check
+    // materializes it, so the common round costs one action (+ an exceptAll
+    // only when counts tie)
+    var edges = symmetrize(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      .localCheckpoint(false)
+    var edgeCount = edges.count()
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < 64) {
+      // BOTH operators must see the undirected graph: their neighborhoods
+      // are defined over Γ(u), and each round's output is directed (child →
+      // parent) — feeding it in un-symmetrized would make every node blind
+      // to its children
+      val next = smallStar(symmetrize(largeStar(symmetrize(edges))))
+        .localCheckpoint(false)
+      val nextCount = next.count()
+      changed =
+        if (nextCount != edgeCount) true
+        else next.exceptAll(edges).count() > 0
+      edges = next
+      edgeCount = nextCount
+      rounds += 1
+    }
+    // converged: stars around minima — each node's min closed neighbor IS
+    // its component minimum. Roots carry their own id.
+    val out = symmetrize(edges).groupBy(col("src"))
+      .agg(least(min(col("dst")), col("src")).as("cluster_id"))
+      .select(col("src").as("doc_id"), col("cluster_id"))
+      .localCheckpoint(true)
+    (out, rounds)
   }
 }

@@ -35,11 +35,14 @@ object AggPushdown {
     case _ => None
   }
 
-  /** Types whose zone maps are exact & invertible to the column value. */
+  /** Types whose zone maps are exact & invertible to the column value.
+    * Wide decimals qualify since StatsDecimal128 (exact i128 planes) — a
+    * legacy file still carrying lossy StatsDoubleApprox pages makes
+    * [[compute]] bail per page, so correctness never depends on file age. */
   private def statsExact(dt: DataType): Boolean = dt match {
     case BooleanType | ByteType | ShortType | IntegerType | DateType |
          LongType | TimestampType | TimestampNTZType | FloatType | DoubleType => true
-    case d: DecimalType => d.precision <= 18
+    case d: DecimalType => d.precision <= 38
     case _ => false
   }
 
@@ -73,28 +76,46 @@ object AggPushdown {
     java.lang.Double.longBitsToDouble(bits)
   }
 
-  private def statsToValue(dt: DataType, enc: Long): Any = dt match {
-    case BooleanType => enc != 0L
-    case ByteType => enc.toByte
-    case ShortType => enc.toShort
-    case IntegerType | DateType => enc.toInt
-    case LongType | TimestampType | TimestampNTZType => enc
-    case FloatType => unsortableDouble(enc).toFloat
-    case DoubleType => unsortableDouble(enc)
-    case d: DecimalType => Decimal.createUnsafe(enc, d.precision, d.scale)
+  private def statsToValue(dt: DataType, enc: (Long, Long)): Any = dt match {
+    case BooleanType => enc._1 != 0L
+    case ByteType => enc._1.toByte
+    case ShortType => enc._1.toShort
+    case IntegerType | DateType => enc._1.toInt
+    case LongType | TimestampType | TimestampNTZType => enc._1
+    case FloatType => unsortableDouble(enc._1).toFloat
+    case DoubleType => unsortableDouble(enc._1)
+    case d: DecimalType if d.precision <= 18 =>
+      Decimal.createUnsafe(enc._1, d.precision, d.scale)
+    case d: DecimalType => // exact i128 planes (hi, lo)
+      val big = java.math.BigInteger.valueOf(enc._1).shiftLeft(64)
+        .add(java.math.BigInteger.valueOf(enc._2)
+          .and(java.math.BigInteger.ONE.shiftLeft(64).subtract(java.math.BigInteger.ONE)))
+      Decimal(new java.math.BigDecimal(big, d.scale), d.precision, d.scale)
     case other => throw new IllegalStateException(s"agg pushdown: $other")
   }
 
+  /** The stats kind a field's pages must carry for MIN/MAX to be provable. */
+  private def requiredKind(dt: DataType): Int = dt match {
+    case d: DecimalType if d.precision > 18 => StrawFormat.StatsDecimal128
+    case _ => StrawFormat.StatsSigned
+  }
+
   /** Compute the single result row from all file footers, or None if any
-    * page lacks the stats needed (e.g. written before stats existed). */
+    * page lacks the stats needed (e.g. written before stats existed, or a
+    * legacy wide-decimal file with lossy double-approx stats). */
   def compute(path: String, schema: StructType, specs: Seq[Spec]): Option[InternalRow] = {
     var countStar = 0L
     val countCol = collection.mutable.Map.empty[Int, Long]
-    val minEnc = collection.mutable.Map.empty[Int, Long]
-    val maxEnc = collection.mutable.Map.empty[Int, Long]
+    val minEnc = collection.mutable.Map.empty[Int, (Long, Long)]
+    val maxEnc = collection.mutable.Map.empty[Int, (Long, Long)]
     val needCount = specs.collect { case CountColSpec(f) => f }.distinct
     val needMinMax = (specs.collect { case MinSpec(f) => f } ++
       specs.collect { case MaxSpec(f) => f }).distinct
+
+    def cmp(kind: Int, a: (Long, Long), b: (Long, Long)): Int =
+      if (kind == StrawFormat.StatsDecimal128)
+        StrawFormat.compare128(a._1, a._2, b._1, b._2)
+      else java.lang.Long.compare(a._1, b._1)
 
     for (m <- StrawIO.listFilesMeta(path)) {
       val footer = FooterCache.get(m.path, m.mtime, m.len)
@@ -110,11 +131,20 @@ object AggPushdown {
       }
       for (f <- needMinMax) {
         val ci = colIdx(f)
+        val kind = requiredKind(schema.fields(f).dataType)
         if (ci >= 0) {
           for (p <- footer.columns(ci).pages if p.nullCount < p.numValues) {
-            if (p.statsKind != StrawFormat.StatsSigned) return None // not provable
-            minEnc(f) = math.min(minEnc.getOrElse(f, Long.MaxValue), p.min)
-            maxEnc(f) = math.max(maxEnc.getOrElse(f, Long.MinValue), p.max)
+            if (p.statsKind != kind) return None // not provable
+            val pMin = (p.min, p.min2)
+            val pMax = (p.max, p.max2)
+            minEnc(f) = minEnc.get(f) match {
+              case Some(cur) if cmp(kind, cur, pMin) <= 0 => cur
+              case _ => pMin
+            }
+            maxEnc(f) = maxEnc.get(f) match {
+              case Some(cur) if cmp(kind, cur, pMax) >= 0 => cur
+              case _ => pMax
+            }
           }
         }
       }

@@ -79,9 +79,26 @@ object ZoneMapFilter {
   }
 
   /** Kinds whose encoded stat collapses several values into one long, so
-    * strict range bounds must be widened to inclusive ones. */
+    * strict range bounds must be widened to inclusive ones.
+    * [[StrawFormat.StatsDecimal128]] is exact — strict bounds stand. */
   private def lossyKind(kind: Int): Boolean =
     kind == StrawFormat.StatsPrefix || kind == StrawFormat.StatsDoubleApprox
+
+  /** Exact i128 planes (hi, lo) of a wide-decimal literal at the column's
+    * scale, or None when not exactly representable (a literal whose scale
+    * reduction would round — keep the page, conservative). */
+  def toStats128(dt: DecimalType, v: Any): Option[(Long, Long)] = {
+    val bd = v match {
+      case b: java.math.BigDecimal => b
+      case b: BigDecimal => b.underlying()
+      case _ => return None
+    }
+    try {
+      val unscaled = bd.setScale(dt.scale).unscaledValue()
+      if (unscaled.bitLength() > 127) None
+      else Some((unscaled.shiftRight(64).longValue(), unscaled.longValue()))
+    } catch { case _: ArithmeticException => None }
+  }
 
   private def fieldIdx(schema: StructType, name: String): Option[Int] =
     schema.fields.indexWhere(_.name == name) match {
@@ -120,18 +137,38 @@ object ZoneMapFilter {
       fieldIdx(schema, attr).map(i => footer.columns(i).pages(p))
     def allNull(pm: PageMeta): Boolean = pm.nullCount == pm.numValues
 
+    // (compare(literal, pageMin), compare(literal, pageMax)) under the
+    // PAGE's stats kind, or None when the literal can't be encoded for it —
+    // kind-aware so wide-decimal literals match both the exact
+    // StatsDecimal128 of new files and the lossy StatsDoubleApprox of old
+    def encComp(dt: DataType, v: Any, pm: PageMeta): Option[(Int, Int)] =
+      pm.statsKind match {
+        case StrawFormat.StatsDecimal128 => dt match {
+          case d: DecimalType if d.precision > 18 =>
+            toStats128(d, v).map { case (h, l) =>
+              (StrawFormat.compare128(h, l, pm.min, pm.min2),
+                StrawFormat.compare128(h, l, pm.max, pm.max2))
+            }
+          case _ => None
+        }
+        case k => toStatsLong(dt, v) match {
+          case Some((enc, kind)) if kind == k =>
+            val cmp: (Long, Long) => Int =
+              if (k == StrawFormat.StatsPrefix) java.lang.Long.compareUnsigned
+              else java.lang.Long.compare
+            Some((cmp(enc, pm.min), cmp(enc, pm.max)))
+          case _ => None
+        }
+      }
+
     def cmpRange(attr: String, v: Any)(
-        check: (PageMeta, Long, (Long, Long) => Int) => Boolean): Boolean = {
+        check: (PageMeta, Int, Int) => Boolean): Boolean = {
       (fieldIdx(schema, attr), page(attr)) match {
         case (Some(i), Some(pm)) =>
           if (allNull(pm)) false // no non-null value can satisfy a comparison
-          else toStatsLong(schema.fields(i).dataType, v) match {
-            case Some((enc, kind)) if pm.statsKind == kind =>
-              val cmp: (Long, Long) => Int =
-                if (kind == StrawFormat.StatsPrefix) java.lang.Long.compareUnsigned
-                else java.lang.Long.compare
-              check(pm, enc, cmp)
-            case _ => true // stats unavailable/mismatched: keep
+          else encComp(schema.fields(i).dataType, v, pm) match {
+            case Some((toMin, toMax)) => check(pm, toMin, toMax)
+            case None => true // stats unavailable/mismatched: keep
           }
         case _ => true
       }
@@ -139,21 +176,19 @@ object ZoneMapFilter {
 
     f match {
       case EqualTo(a, v) =>
-        cmpRange(a, v)((pm, enc, cmp) => cmp(enc, pm.min) >= 0 && cmp(enc, pm.max) <= 0)
+        cmpRange(a, v)((_, toMin, toMax) => toMin >= 0 && toMax <= 0)
       case GreaterThan(a, v) =>
-        // prefix / hi-plane stats blur strict bounds: treat > as >= there
-        // (conservative — multiple values share an encoded stat)
-        cmpRange(a, v)((pm, enc, cmp) =>
-          if (lossyKind(pm.statsKind)) cmp(pm.max, enc) >= 0
-          else cmp(pm.max, enc) > 0)
+        // prefix / double-approx stats blur strict bounds: treat > as >=
+        // there (conservative — multiple values share an encoded stat)
+        cmpRange(a, v)((pm, _, toMax) =>
+          if (lossyKind(pm.statsKind)) toMax <= 0 else toMax < 0)
       case GreaterThanOrEqual(a, v) =>
-        cmpRange(a, v)((pm, enc, cmp) => cmp(pm.max, enc) >= 0)
+        cmpRange(a, v)((_, _, toMax) => toMax <= 0)
       case LessThan(a, v) =>
-        cmpRange(a, v)((pm, enc, cmp) =>
-          if (lossyKind(pm.statsKind)) cmp(pm.min, enc) <= 0
-          else cmp(pm.min, enc) < 0)
+        cmpRange(a, v)((pm, toMin, _) =>
+          if (lossyKind(pm.statsKind)) toMin >= 0 else toMin > 0)
       case LessThanOrEqual(a, v) =>
-        cmpRange(a, v)((pm, enc, cmp) => cmp(pm.min, enc) <= 0)
+        cmpRange(a, v)((_, toMin, _) => toMin >= 0)
       case In(a, vs) => vs.exists(v => mayMatch(schema, footer, p, EqualTo(a, v)))
       case IsNull(a) => page(a).forall(_.nullCount > 0)
       case IsNotNull(a) => page(a).forall(pm => !allNull(pm))

@@ -198,6 +198,78 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cands.contains((1L, 2L)))
   }
 
+  test("simhash coverage gate: every close pair is a candidate (pigeonhole at hd<=3)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fps = Dedup.simHash(docs, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = Dedup.simHashCandidates(fps)
+    val row = Dedup.simHashCoverageGate(fps, cands, maxHamming = 3).collect()(0)
+    assert(row.getLong(0) == docs.count())
+    assert(row.getBoolean(1), "a pair within 3 bits missed all 4 bands — impossible")
+    fps.unpersist()
+  }
+
+  test("simhash coverage gate: synthetic 4-bit pair spread across all bands is the counterexample") {
+    val ss = spark
+    import ss.implicits._
+    // fingerprints differing in exactly one bit PER 16-bit band: candidates
+    // (shared band) are empty, so the gate at hd<=4 must report uncovered —
+    // proving the gate actually measures coverage rather than echoing true
+    val a = 0L
+    val b = (1L << 0) | (1L << 16) | (1L << 32) | (1L << 48)
+    val fps = Seq((1L, a), (2L, b)).toDF("sid", "simhash")
+    val cands = Dedup.simHashCandidates(fps)
+    assert(cands.count() == 0)
+    val gate4 = Dedup.simHashCoverageGate(fps, cands, maxHamming = 4).collect()(0)
+    assert(!gate4.getBoolean(1))
+    val gate3 = Dedup.simHashCoverageGate(fps, cands, maxHamming = 3).collect()(0)
+    assert(gate3.getBoolean(1)) // the pair is 4 bits apart: not "close" at 3
+  }
+
+  test("alternating-star components equal label propagation on random pair graphs") {
+    val ss = spark
+    import ss.implicits._
+    for (seed <- Seq(11, 42, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 200
+      val pairs = (0 until 150).map { _ =>
+        val a = rnd.nextInt(n).toLong
+        val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      val df = pairs.toDF("id_a", "id_b")
+      def m(r: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+        r.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      val label = m(Dedup.labelPropagationClusters(df)._1)
+      val star = m(Dedup.alternatingStarClusters(df)._1)
+      assert(star == label, s"seed=$seed")
+    }
+  }
+
+  test("alternating star converges in O(log n) rounds on a path graph") {
+    val ss = spark
+    import ss.implicits._
+    val n = 64
+    val path = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.alternatingStarClusters(path)
+    assert(labels.collect().forall(_.getLong(1) == 0L))
+    assert(rounds <= 12, s"star took $rounds rounds on a 64-path (expected O(log n))")
+    // label propagation needs O(n) rounds on the same graph
+    val (_, lpRounds) = Dedup.labelPropagationClusters(path)
+    assert(lpRounds > rounds, s"label=$lpRounds star=$rounds")
+  }
+
+  test("minhash verify via stored shingle-hash arrays equals per-pair re-hashing") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    val direct = rows(Dedup.minHashNearDup(docs, "doc_id", "text"))
+    val reused = rows(Dedup.minHashNearDup(docs, "doc_id", "text", reuseShingleHashes = true))
+    assert(direct.nonEmpty)
+    assert(reused == direct)
+  }
+
   test("duplicate clusters: connected components with min-label canonical ids") {
     val ss = spark
     import ss.implicits._

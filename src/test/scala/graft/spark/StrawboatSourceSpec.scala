@@ -57,7 +57,53 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.format("strawboat").load(out).count() == 50)
   }
 
-  test("wide-decimal range filter through the connector (StatsDoubleApprox path)") {
+  test("wide-decimal footer-only min/max (exact i128 page stats)") {
+    val out = s"$dir/decagg"
+    val src = lineitem.select(
+      (col("l_extendedprice").cast("decimal(25,4)") * -1).as("p"))
+    src.write.format("strawboat").mode("overwrite").save(out)
+    val back = spark.read.format("strawboat").load(out)
+    val q = back.agg(min(col("p")).as("mn"), max(col("p")).as("mx"),
+      count(col("p")).as("c"))
+    assert(q.queryExecution.executedPlan.toString.contains("footer-only aggregate"),
+      q.queryExecution.executedPlan.toString.take(400))
+    val r = q.collect()(0)
+    val e = src.agg(min(col("p")), max(col("p")), count(col("p"))).collect()(0)
+    assert(r.toSeq == e.toSeq)
+  }
+
+  test("wide-decimal page skipping is EXACT: adjacent unscaled units distinguish pages") {
+    import graft.format._
+    val out = s"$dir/decexact"
+    val ss = spark
+    import ss.implicits._
+    // values 20 orders of magnitude up, ±1 unscaled unit apart — these
+    // collapse to one double, so the legacy lossy stats could never prune
+    // an equality probe between them; exact i128 stats must
+    val base = new java.math.BigDecimal(new java.math.BigInteger("12345678901234567890"), 4)
+    val plus1 = new java.math.BigDecimal(new java.math.BigInteger("12345678901234567891"), 4)
+    val probe = new java.math.BigDecimal(new java.math.BigInteger("12345678901234567892"), 4)
+    Seq(base, plus1).map(d => Tuple1(scala.math.BigDecimal(d)))
+      .toDF("p").select(col("p").cast("decimal(25,4)").as("p"))
+      .coalesce(1).write.format("strawboat").mode("overwrite").save(out)
+    val file = new java.io.File(out).listFiles.filter(_.getName.endsWith(".strb")).head
+    val footer = {
+      val in = new LocalFileInput(file.getPath)
+      try StrawFileReader.readFooter(in) finally in.close()
+    }
+    val pm = footer.columns(0).pages(0)
+    assert(pm.statsKind == StrawFormat.StatsDecimal128)
+    // equality one unit above the max: provably excluded ONLY with exact stats
+    val keep = ZoneMapFilter.keptPages(footer,
+      Array(org.apache.spark.sql.sources.EqualTo("p", probe)))
+    assert(!keep(0), "exact i128 stats must exclude an adjacent-unit probe")
+    // equality at the max: kept
+    val keepHit = ZoneMapFilter.keptPages(footer,
+      Array(org.apache.spark.sql.sources.EqualTo("p", plus1)))
+    assert(keepHit(0))
+  }
+
+  test("wide-decimal range filter through the connector (exact stats path)") {
     val out = s"$dir/dec25"
     val src = lineitem.select(col("l_orderkey"),
       col("l_extendedprice").cast("decimal(25,4)").as("p"))

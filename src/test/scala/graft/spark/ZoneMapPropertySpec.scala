@@ -74,7 +74,9 @@ class ZoneMapPropertySpec extends AnyFunSuite {
     case other => fail(s"unhandled $other")
   }
 
-  // --- wide decimals (precision 19..38, StatsDoubleApprox zone maps) -------
+  // --- wide decimals (precision 19..38, exact StatsDecimal128 zone maps;
+  // the ±1-unit neighbors that used to stress the lossy double-approx kind
+  // now also pin exact-stat soundness at every magnitude) ------------------
 
   private val decSchema = StructType(Seq(StructField("d", DecimalType(25, 4))))
 
