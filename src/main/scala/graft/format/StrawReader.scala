@@ -247,6 +247,52 @@ object StrawFileReader {
     MetaIO.readFooter(tail)
   }
 
+  /** A reusable InternalRow VIEW over one row index of a set of decoded
+    * pages — lets a row-level predicate evaluate before any row object is
+    * materialized (late materialization: failing rows are never built).
+    * Only the read-side accessors a predicate needs are implemented. */
+  private final class PageRowView extends InternalRow {
+    var pages: Array[DecodedPage] = _
+    var row: Int = 0
+    override def numFields: Int = pages.length
+    override def isNullAt(o: Int): Boolean = pages(o).isNullAt(row)
+    override def get(o: Int, dt: DataType): AnyRef =
+      pages(o).valueOrNull(row).asInstanceOf[AnyRef]
+    override def getBoolean(o: Int): Boolean = pages(o).value(row).asInstanceOf[Boolean]
+    override def getByte(o: Int): Byte = pages(o).value(row).asInstanceOf[Byte]
+    override def getShort(o: Int): Short = pages(o).value(row).asInstanceOf[Short]
+    override def getInt(o: Int): Int = pages(o).value(row).asInstanceOf[Int]
+    override def getLong(o: Int): Long = pages(o).value(row).asInstanceOf[Long]
+    override def getFloat(o: Int): Float = pages(o).value(row).asInstanceOf[Float]
+    override def getDouble(o: Int): Double = pages(o).value(row).asInstanceOf[Double]
+    override def getDecimal(o: Int, precision: Int, scale: Int): Decimal =
+      pages(o).value(row).asInstanceOf[Decimal]
+    override def getUTF8String(o: Int): UTF8String =
+      pages(o).value(row).asInstanceOf[UTF8String]
+    override def getBinary(o: Int): Array[Byte] =
+      pages(o).value(row).asInstanceOf[Array[Byte]]
+    override def getInterval(o: Int): org.apache.spark.unsafe.types.CalendarInterval =
+      throw new UnsupportedOperationException("PageRowView: interval")
+    override def getStruct(o: Int, numFields: Int): InternalRow =
+      pages(o).value(row).asInstanceOf[InternalRow]
+    override def getArray(o: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+      pages(o).value(row).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    override def getMap(o: Int): org.apache.spark.sql.catalyst.util.MapData =
+      pages(o).value(row).asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+    override def getVariant(o: Int): org.apache.spark.unsafe.types.VariantVal =
+      throw new UnsupportedOperationException("PageRowView: variant")
+    override def getGeography(o: Int): org.apache.spark.unsafe.types.GeographyVal =
+      throw new UnsupportedOperationException("PageRowView: geography")
+    override def getGeometry(o: Int): org.apache.spark.unsafe.types.GeometryVal =
+      throw new UnsupportedOperationException("PageRowView: geometry")
+    override def copy(): InternalRow =
+      throw new UnsupportedOperationException("PageRowView: copy")
+    override def setNullAt(o: Int): Unit =
+      throw new UnsupportedOperationException("PageRowView: mutate")
+    override def update(o: Int, v: Any): Unit =
+      throw new UnsupportedOperationException("PageRowView: mutate")
+  }
+
   /** Iterate rows of one file with top-level column projection and optional
     * page-group filter (zone-map skipping) / row limit.
     *
@@ -254,13 +300,19 @@ object StrawFileReader {
     * exactly those columns in that order. `keepPage(p)` decides whether page
     * group `p` can contain matching rows (pages are row-aligned across
     * columns — the writer flushes all columns together).
+    *
+    * `rowPred`, when non-null, is evaluated against a reused page-backed
+    * row VIEW before materialization — failing rows cost only the predicate
+    * columns' accessors, never a row object — and `limit` then counts
+    * PASSING rows.
     */
   def rows(
       input: RandomInput,
       footer: StrawFooter,
       projection: Array[Int],
       keepPage: Int => Boolean = _ => true,
-      limit: Long = Long.MaxValue): Iterator[InternalRow] = {
+      limit: Long = Long.MaxValue,
+      rowPred: InternalRow => Boolean = null): Iterator[InternalRow] = {
     // zero-column files (empty write schema) carry rows only in the footer:
     // emit numRows empty rows directly (no pages exist to iterate)
     if (footer.columns.isEmpty) {
@@ -313,8 +365,24 @@ object StrawFileReader {
         false
       }
 
-      def hasNext: Boolean =
-        emitted < limit && (rowInPage < pageN || loadNextPage())
+      private val view = if (rowPred == null) null else new PageRowView
+
+      def hasNext: Boolean = {
+        if (emitted >= limit) return false
+        while (true) {
+          if (rowInPage < pageN) {
+            if (rowPred == null) return true
+            // late materialization: probe the predicate through the
+            // page-backed view; a failing row is skipped without ever
+            // building a row object
+            view.pages = pages
+            view.row = rowInPage
+            if (rowPred(view)) return true
+            rowInPage += 1
+          } else if (!loadNextPage()) return false
+        }
+        false
+      }
 
       def next(): InternalRow = {
         if (!hasNext) throw new NoSuchElementException

@@ -76,28 +76,67 @@ object ColumnarSupport {
     }
   }
 
+  /** Survivor copy between long-backed / byte-backed vectors (compaction
+    * after an in-reader filter). Only flat types appear here ([[isFlat]]). */
+  private def copyValue(dt: DataType, src: OnHeapColumnVector, i: Int,
+      dst: OnHeapColumnVector, j: Int): Unit = {
+    if (src.isNullAt(i)) { dst.putNull(j); return }
+    dt match {
+      case BooleanType => dst.putBoolean(j, src.getBoolean(i))
+      case ByteType => dst.putByte(j, src.getByte(i))
+      case ShortType => dst.putShort(j, src.getShort(i))
+      case IntegerType | DateType => dst.putInt(j, src.getInt(i))
+      case LongType | TimestampType | TimestampNTZType => dst.putLong(j, src.getLong(i))
+      case FloatType => dst.putFloat(j, src.getFloat(i))
+      case DoubleType => dst.putDouble(j, src.getDouble(i))
+      case _: DecimalType => dst.putLong(j, src.getLong(i)) // precision <= 18
+      case StringType | BinaryType =>
+        val b = src.getBinary(i)
+        dst.putByteArray(j, b, 0, b.length): Unit
+      case other => throw new UnsupportedOperationException(s"columnar copy: $other")
+    }
+  }
+
+  /** Vectorized reader. `readSchema` may extend the produced schema with
+    * trailing filter-only columns (consumed filters whose columns Catalyst
+    * pruned); `outCols` is the produced prefix width. `pred`, when non-null,
+    * filters rows IN the reader (the filters were consumed — no Filter node
+    * remains above): an all-pass page emits zero-copy, a mixed page
+    * compacts survivors into a second vector set, an all-fail page is
+    * skipped, and `part.limit` counts PASSING rows. */
   final class StrawColumnarReader(
       part: StrawInputPartition,
-      requiredSchema: StructType)
+      readSchema: StructType,
+      outCols: Int,
+      pred: org.apache.spark.sql.catalyst.InternalRow => Boolean = null)
     extends PartitionReader[ColumnarBatch] {
+
+    def this(part: StrawInputPartition, requiredSchema: StructType) =
+      this(part, requiredSchema, requiredSchema.length, null)
 
     private val input = StrawIO.open(part.path)
     private val (footer, resolved) =
       try {
         val f = FooterCache.get(part.path, input)
         // per-file name resolution (files in a dir may have evolved schemas)
-        (f, StrawSchemaResolver.resolve(part.path, f.schema, requiredSchema))
+        (f, StrawSchemaResolver.resolve(part.path, f.schema, readSchema))
       } catch { case e: Throwable => input.close(); throw e }
     private val pageRows: Array[Int] =
       if (footer.columns.isEmpty) Array.empty else footer.columns(0).pages.map(_.numValues)
     private val pageOffsets: Array[Array[Long]] = resolved.map { ci =>
       if (ci < 0) null else footer.columns(ci).pageOffsets
     }
+    private val outSchema = StructType(readSchema.fields.take(outCols))
     private var pageIdx = part.pageStart
     private var emitted = 0L
     private var batch: ColumnarBatch = _
     // vectors are reused across pages (reset, not reallocated)
     private var vectors: Array[OnHeapColumnVector] = _
+    private var fullBatch: ColumnarBatch = _ // over all read columns (pred view)
+    private var outBatch: ColumnarBatch = _ // over the produced prefix
+    private var compactVectors: Array[OnHeapColumnVector] = _
+    private var compactBatch: ColumnarBatch = _
+    private var selection: Array[Int] = _
     private var vectorCapacity = 0
     // zero-column files carry rows only in the footer (mirror of the row
     // reader's path): emit one vector-less batch of numRows
@@ -106,55 +145,116 @@ object ColumnarSupport {
     override def next(): Boolean = {
       if (!zeroColDone) {
         zeroColDone = true
+        // a zero-column file reads as all-null rows: a predicate evaluates
+        // once against one all-null row (comparisons are UNKNOWN → fail;
+        // IsNull passes) and applies to every row uniformly
+        if (pred != null && !pred(
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            readSchema.length))) return false
         val n = math.min(footer.numRows, part.limit)
         if (n <= 0) return false
-        if (requiredSchema.isEmpty)
+        if (outSchema.isEmpty)
           batch = new ColumnarBatch(Array.empty[ColumnVector], n.toInt)
         else {
           // zero-column file under a non-empty merged schema: null-fill
           // every required column (mirror of the row reader's path) so
           // downstream column access works
-          vectors = OnHeapColumnVector.allocateColumns(n.toInt, requiredSchema)
+          vectors = OnHeapColumnVector.allocateColumns(n.toInt, outSchema)
           vectors.foreach(_.putNulls(0, n.toInt))
           batch = new ColumnarBatch(vectors.map(_.asInstanceOf[ColumnVector]), n.toInt)
         }
         return true
       }
-      if (pageIdx >= part.pageEnd || emitted >= part.limit) return false
-      val p = pageIdx
-      pageIdx += 1
-      val n = math.min(pageRows(p).toLong, part.limit - emitted).toInt
-      if (n <= 0) return next()
-      if (vectors == null || vectorCapacity < pageRows(p)) {
-        if (vectors != null) vectors.foreach(_.close())
-        vectors = OnHeapColumnVector.allocateColumns(pageRows(p), requiredSchema)
-        vectorCapacity = pageRows(p)
-        batch = new ColumnarBatch(vectors.map(_.asInstanceOf[ColumnVector]), n)
-      } else {
-        vectors.foreach(_.reset())
-      }
-      var c = 0
-      while (c < resolved.length) {
-        if (resolved(c) < 0) vectors(c).putNulls(0, pageRows(p))
-        else {
-          val cm = footer.columns(resolved(c))
-          val pm = cm.pages(p)
-          val bytes = input.readFully(pageOffsets(c)(p), pm.compLen.toInt)
-          val page = PageDecoder.decode(footer.schema.fields(resolved(c)).dataType,
-            ByteIO.reader(bytes))
-          fill(vectors(c), requiredSchema.fields(c).dataType, page)
+      while (pageIdx < part.pageEnd && emitted < part.limit) {
+        val p = pageIdx
+        pageIdx += 1
+        val n0 = pageRows(p)
+        if (n0 > 0) {
+          if (vectors == null || vectorCapacity < n0) {
+            if (vectors != null) vectors.foreach(_.close())
+            if (compactVectors != null) compactVectors.foreach(_.close())
+            vectors = OnHeapColumnVector.allocateColumns(n0, readSchema)
+            fullBatch = new ColumnarBatch(vectors.map(_.asInstanceOf[ColumnVector]), n0)
+            outBatch =
+              if (outCols == readSchema.length) fullBatch
+              else new ColumnarBatch(
+                vectors.take(outCols).map(_.asInstanceOf[ColumnVector]), n0)
+            compactVectors =
+              if (pred == null) null else OnHeapColumnVector.allocateColumns(n0, outSchema)
+            compactBatch =
+              if (pred == null) null
+              else new ColumnarBatch(compactVectors.map(_.asInstanceOf[ColumnVector]), n0)
+            selection = if (pred == null) null else new Array[Int](n0)
+            vectorCapacity = n0
+          } else {
+            vectors.foreach(_.reset())
+          }
+          var c = 0
+          while (c < resolved.length) {
+            if (resolved(c) < 0) vectors(c).putNulls(0, n0)
+            else {
+              val cm = footer.columns(resolved(c))
+              val pm = cm.pages(p)
+              val bytes = input.readFully(pageOffsets(c)(p), pm.compLen.toInt)
+              val page = PageDecoder.decode(footer.schema.fields(resolved(c)).dataType,
+                ByteIO.reader(bytes))
+              fill(vectors(c), readSchema.fields(c).dataType, page)
+            }
+            c += 1
+          }
+          if (pred == null) {
+            val n = math.min(n0.toLong, part.limit - emitted).toInt
+            if (n > 0) {
+              emitted += n
+              outBatch.setNumRows(n)
+              batch = outBatch
+              return true
+            }
+          } else {
+            fullBatch.setNumRows(n0)
+            var nSel = 0
+            var i = 0
+            while (i < n0 && emitted + nSel < part.limit) {
+              if (pred(fullBatch.getRow(i))) { selection(nSel) = i; nSel += 1 }
+              i += 1
+            }
+            if (nSel == n0 && outCols == readSchema.length) {
+              // every row passed and nothing to project away: zero copy
+              emitted += nSel
+              outBatch.setNumRows(nSel)
+              batch = outBatch
+              return true
+            } else if (nSel > 0) {
+              compactVectors.foreach(_.reset())
+              var c2 = 0
+              while (c2 < outCols) {
+                val dt = outSchema.fields(c2).dataType
+                var j = 0
+                while (j < nSel) {
+                  copyValue(dt, vectors(c2), selection(j), compactVectors(c2), j)
+                  j += 1
+                }
+                c2 += 1
+              }
+              emitted += nSel
+              compactBatch.setNumRows(nSel)
+              batch = compactBatch
+              return true
+            }
+            // all rows failed: fall through to the next page
+          }
         }
-        c += 1
       }
-      emitted += n
-      batch.setNumRows(n)
-      true
+      false
     }
 
     override def get(): ColumnarBatch = batch
 
     override def close(): Unit = {
-      if (batch != null) { batch.close(); batch = null; vectors = null } // closes vectors
+      // close every allocated vector exactly once (batches share vectors)
+      if (vectors != null) { vectors.foreach(_.close()); vectors = null }
+      if (compactVectors != null) { compactVectors.foreach(_.close()); compactVectors = null }
+      if (batch != null) batch = null
       input.close()
     }
   }

@@ -346,17 +346,40 @@ class StrawScanBuilder(path: String, fullSchema: StructType,
     // Two pushdown layers:
     //  - zone maps (page-granular skipping) use every supported filter;
     //  - filters the reader can evaluate EXACTLY under SQL semantics
-    //    ([[RowFilterEval]]) are fully CONSUMED — only the rest is returned
-    //    for Spark to re-evaluate. Consuming them removes the post-scan
-    //    Filter node, which is what lets Catalyst push Top-N and LIMIT
-    //    below a filter (its pushdown rules require an empty post-scan
-    //    filter). The reader then carries the correctness obligation: it
-    //    applies the consumed filters row-level to every produced row.
+    //    ([[RowFilterEval]]) may be fully CONSUMED — not returned for
+    //    Spark to re-evaluate. Consuming them removes the post-scan Filter
+    //    node, which is what lets Catalyst push Top-N and LIMIT below a
+    //    filter (its pushdown rules require an empty post-scan filter), and
+    //    lets the reader prune/late-materialize around them. The reader
+    //    then carries the correctness obligation: it applies the consumed
+    //    filters row-level to every produced row.
+    //
+    // Consume-vs-residual is a selectivity decision (either choice is
+    // correct): a pass-most filter is best left to Spark's codegen'd
+    // Filter over the vectorized scan — consuming it would shift nearly
+    // every row through the connector's own evaluation for no pruning
+    // payoff — while a selective filter pays for itself through skipped
+    // materialization and Top-N/limit composition. Estimated from the
+    // (cached) footers' zone maps; on any estimation failure the filters
+    // stay residual (the long-standing default).
     pushedFiltersArr = filters.filter(ZoneMapFilter.supported(fullSchema, _))
-    val (exact, residual) =
+    val (evaluable, residual) =
       filters.partition(f => RowFilterEval.build(fullSchema, Array(f)).isDefined)
-    exactFilters = exact
-    residual
+    val maxPass =
+      try org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.strawboat.exactFilterMaxPass", "0.35").toDouble
+      catch { case _: Exception => 0.35 }
+    val consume = evaluable.nonEmpty && maxPass > 0 && {
+      val frac =
+        try {
+          val footers = StrawIO.listFilesMeta(path).take(64)
+            .map(m => FooterCache.get(m.path, m.mtime, m.len))
+          ZoneMapFilter.estimatePassFraction(fullSchema, footers, evaluable)
+        } catch { case _: Exception => 1.0 }
+      frac <= maxPass
+    }
+    if (consume) { exactFilters = evaluable; residual }
+    else { exactFilters = Array.empty; filters }
   }
   override def pushedFilters(): Array[Filter] = pushedFiltersArr ++
     exactFilters.filterNot(pushedFiltersArr.contains)
@@ -740,10 +763,18 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
       if (k) pagesRead += 1 else if (keepRange(pg)) pagesPruned += 1
       k
     }
-    // a pushed limit counts FILTER-PASSING rows: with a predicate active it
-    // must be applied after filtering, not inside the page iterator
-    val preLimit = if (rowPred.isDefined) Long.MaxValue else p.limit
-    val it = StrawFileReader.rows(input, footer, present, keepPage = countingKeep, limit = preLimit)
+    // fast path: with every read column present in this file, the predicate
+    // pushes INTO the page iterator — failing rows are probed through a
+    // page-backed view and never materialized (late materialization), and
+    // the iterator's limit counts passing rows. The schema-evolution path
+    // (null-filled columns) evaluates after null-fill instead.
+    val predInIt: InternalRow => Boolean =
+      if (resolved.forall(_ >= 0)) rowPred.orNull else null
+    // a pushed limit counts FILTER-PASSING rows: when the predicate runs
+    // outside the iterator it must be applied after filtering
+    val preLimit = if (rowPred.isDefined && predInIt == null) Long.MaxValue else p.limit
+    val it = StrawFileReader.rows(input, footer, present, keepPage = countingKeep,
+      limit = preLimit, rowPred = predInIt)
     def metrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
       Array(StrawScanMetrics.Value("pagesRead", pagesRead),
         StrawScanMetrics.Value("pagesPruned", pagesPruned))
@@ -773,12 +804,15 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
       }
 
     // consumed-filter evaluation (correctness-critical: no Filter node
-    // remains above), then projection back down to requiredSchema when the
-    // filter needed pruned columns, then the post-filter limit
-    val filtered = rowPred match {
-      case Some(pred) => decoded.filter(pred)
-      case None => decoded
-    }
+    // remains above) when it didn't already run inside the iterator, then
+    // projection back down to requiredSchema when the filter needed pruned
+    // columns, then the post-filter limit
+    val filtered =
+      if (predInIt != null) decoded
+      else rowPred match {
+        case Some(pred) => decoded.filter(pred)
+        case None => decoded
+      }
     val narrowed: Iterator[InternalRow] =
       if (readSchemaExt.length == requiredSchema.length) filtered
       else {
@@ -787,8 +821,8 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
         filtered.map { r => proj.project(r); proj }
       }
     val produced: Iterator[InternalRow] =
-      if (rowPred.isDefined && p.limit != Long.MaxValue) narrowed.take(
-        math.min(p.limit, Int.MaxValue.toLong).toInt)
+      if (predInIt == null && rowPred.isDefined && p.limit != Long.MaxValue)
+        narrowed.take(math.min(p.limit, Int.MaxValue.toLong).toInt)
       else narrowed
 
     topK match {
@@ -829,16 +863,18 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
     }
   }
 
+  // consumed filters stay vectorized: the columnar reader evaluates them
+  // in-reader (zero-copy for all-pass pages, survivor compaction for mixed)
   override def supportColumnarReads(partition: InputPartition): Boolean =
     !partition.isInstanceOf[StrawKeyedPartition] && topNActive.isEmpty &&
-      exactFilters.isEmpty &&
-      requiredSchema.fields.forall(f => ColumnarSupport.isFlat(f.dataType))
+      readSchemaExt.fields.forall(f => ColumnarSupport.isFlat(f.dataType))
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     StrawIO.install(serConf.value)
     val p = partition.asInstanceOf[StrawInputPartition]
-    new ColumnarSupport.StrawColumnarReader(p, requiredSchema)
+    new ColumnarSupport.StrawColumnarReader(p, readSchemaExt, requiredSchema.length,
+      rowPred.orNull)
   }
 }
 

@@ -124,6 +124,94 @@ object ZoneMapFilter {
   private def encodable(schema: StructType, attr: String, v: Any): Boolean =
     fieldIdx(schema, attr).exists(i => toStatsLong(schema.fields(i).dataType, v).isDefined)
 
+  // -------------------------------------------------------------------------
+  // Selectivity estimation (drives the consume-vs-residual filter decision;
+  // any answer is CORRECT — this is purely a plan-quality heuristic)
+  // -------------------------------------------------------------------------
+
+  /** Estimated fraction of rows passing the CONJUNCTION of `filters`,
+    * from page zone maps under an equi-width assumption (range predicates
+    * interpolate linearly in the encoded domain; conjuncts assumed
+    * independent). Footers beyond `sampleFiles` are ignored — an estimate
+    * over a prefix sample is plenty for a binary plan decision. */
+  def estimatePassFraction(schema: StructType, footers: Seq[StrawFooter],
+      filters: Array[Filter], sampleFiles: Int = 64): Double = {
+    if (filters.isEmpty) return 1.0
+    var rows = 0L
+    var pass = 0.0
+    for (footer <- footers.take(sampleFiles) if footer.columns.nonEmpty) {
+      val nPages = footer.columns(0).pages.length
+      var p = 0
+      while (p < nPages) {
+        val n = footer.columns(0).pages(p).numValues
+        rows += n
+        var f = 1.0
+        filters.foreach(fl => f *= filterFraction(schema, footer, p, fl))
+        pass += f * n
+        p += 1
+      }
+    }
+    if (rows == 0) 0.5 else pass / rows
+  }
+
+  /** Estimated pass fraction of one filter over one page. */
+  private def filterFraction(schema: StructType, footer: StrawFooter, p: Int,
+      f: Filter): Double = {
+    val sch = footer.schema
+    def pm(attr: String): Option[PageMeta] =
+      fieldIdx(sch, attr).map(i => footer.columns(i).pages(p))
+    def nonNullFrac(m: PageMeta): Double =
+      if (m.numValues == 0) 0.0 else 1.0 - m.nullCount.toDouble / m.numValues
+    // position of the literal inside the page's encoded [min, max], clamped
+    def interp(attr: String, v: Any): Option[Double] =
+      (fieldIdx(sch, attr), pm(attr)) match {
+        case (Some(i), Some(m)) if m.statsKind != StrawFormat.StatsNone =>
+          val dt = sch.fields(i).dataType
+          def pos(enc: Double, lo: Double, hi: Double): Double =
+            if (hi <= lo) 0.5 else math.max(0.0, math.min(1.0, (enc - lo) / (hi - lo)))
+          m.statsKind match {
+            case StrawFormat.StatsDecimal128 => dt match {
+              case d: DecimalType if d.precision > 18 =>
+                toStats128(d, v).map { case (h, l) =>
+                  def f128(hi0: Long, lo0: Long): Double =
+                    hi0.toDouble * math.pow(2, 64) + (lo0.toDouble + (if (lo0 < 0) math.pow(2, 64) else 0))
+                  pos(f128(h, l), f128(m.min, m.min2), f128(m.max, m.max2))
+                }
+              case _ => None
+            }
+            case k => toStatsLong(dt, v) match {
+              case Some((enc, kind)) if kind == k =>
+                if (k == StrawFormat.StatsPrefix)
+                  // unsigned domain: shift into positive doubles
+                  Some(pos(enc.toDouble + (if (enc < 0) math.pow(2, 64) else 0),
+                    m.min.toDouble + (if (m.min < 0) math.pow(2, 64) else 0),
+                    m.max.toDouble + (if (m.max < 0) math.pow(2, 64) else 0)))
+                else Some(pos(enc.toDouble, m.min.toDouble, m.max.toDouble))
+              case _ => None
+            }
+          }
+        case _ => None
+      }
+    def withNull(attr: String, core: Double): Double =
+      pm(attr).map(m => core * nonNullFrac(m)).getOrElse(core)
+    f match {
+      case _ if !mayMatch(schema, footer, p, f) => 0.0
+      case EqualTo(a, _) => withNull(a, 0.05)
+      case In(a, vs) => withNull(a, math.min(1.0, 0.05 * vs.length))
+      case GreaterThan(a, v) => withNull(a, 1.0 - interp(a, v).getOrElse(0.5))
+      case GreaterThanOrEqual(a, v) => withNull(a, 1.0 - interp(a, v).getOrElse(0.5))
+      case LessThan(a, v) => withNull(a, interp(a, v).getOrElse(0.5))
+      case LessThanOrEqual(a, v) => withNull(a, interp(a, v).getOrElse(0.5))
+      case IsNull(a) => pm(a).map(m => 1.0 - nonNullFrac(m)).getOrElse(0.1)
+      case IsNotNull(a) => pm(a).map(nonNullFrac).getOrElse(0.9)
+      case And(l, r) => filterFraction(schema, footer, p, l) * filterFraction(schema, footer, p, r)
+      case Or(l, r) => math.min(1.0,
+        filterFraction(schema, footer, p, l) + filterFraction(schema, footer, p, r))
+      case Not(c) => 1.0 - filterFraction(schema, footer, p, c)
+      case _ => 0.5
+    }
+  }
+
   /** Page-keep predicate for one file: true ⇔ page may contain a match. */
   def keptPages(footer: StrawFooter, filters: Array[Filter]): Int => Boolean = {
     val schema = footer.schema

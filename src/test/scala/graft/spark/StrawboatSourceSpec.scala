@@ -312,6 +312,10 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = s"$dir/topn_filter"
     val ss = spark
     import ss.implicits._
+    // pin the consume decision: this test exercises the composition, not
+    // the selectivity heuristic
+    spark.conf.set("spark.strawboat.exactFilterMaxPass", "1.0")
+    try {
     // adversarial layout: the GLOBAL top values all FAIL the filter — a
     // candidate buffer that saw pre-filter rows would fill with them and
     // evict every true survivor
@@ -333,6 +337,7 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         .orderBy(col("score").desc, col("v")).limit(13)
         .collect().map(_.toSeq).toSeq
     assert(run2(df) == run2(src))
+    } finally spark.conf.unset("spark.strawboat.exactFilterMaxPass")
   }
 
   test("filtered top-n still prunes pages that cannot beat the k-th candidate") {
@@ -340,6 +345,8 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = s"$dir/topn_filter_prune"
     val ss = spark
     import ss.implicits._
+    spark.conf.set("spark.strawboat.exactFilterMaxPass", "1.0")
+    try {
     // v strictly descending (page 0 dominates); u spreads filter survivors
     // over every page so the filter alone prunes nothing
     val rows = (0 until 1000).map(i => (1000L - i, (i % 10).toLong, s"r$i"))
@@ -370,6 +377,55 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally raf.close()
     new java.io.File(file.getParentFile, s".${file.getName}.crc").delete()
     assert(topk(spark.read.format("strawboat").load(out)) == expect)
+    } finally spark.conf.unset("spark.strawboat.exactFilterMaxPass")
+  }
+
+  test("consumed filters stay columnar: mixed pages compact, results exact") {
+    val out = s"$dir/colfilter"
+    val ss = spark
+    import ss.implicits._
+    spark.conf.set("spark.strawboat.exactFilterMaxPass", "1.0")
+    try {
+      val data = (0 until 5000).map { i =>
+        (i.toLong, if (i % 400 == 0) None else Some(i.toDouble / 7), s"s$i")
+      }
+      data.toDF("id", "score", "tag").coalesce(2).write.format("strawboat")
+        .option("maxPageSize", "256").mode("overwrite").save(out)
+      val df = spark.read.format("strawboat").load(out)
+      val src = data.toDF("id", "score", "tag")
+      // selective filter over a pruned projection (filter col leaves the
+      // output) — the consumed-filter columnar path with trailing filter col
+      val q = df.filter(col("score") < 100.0).select(col("id"), col("tag"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("exactFilters=[") && plan.contains("LessThan(score"), plan.take(400))
+      assert(!plan.contains("Filter ("), s"filter should be consumed:\n${plan.take(400)}")
+      assert(plan.contains("ColumnarToRow"), s"should stay columnar:\n${plan.take(600)}")
+      val expect = src.filter(col("score") < 100.0).select(col("id"), col("tag"))
+      assert(q.exceptAll(expect).isEmpty && expect.exceptAll(q).isEmpty)
+      // null semantics through the consumed path: IS NULL keeps the gaps
+      val qn = df.filter(col("score").isNull).select(col("id"))
+      assert(qn.count() == data.count(_._2.isEmpty))
+    } finally spark.conf.unset("spark.strawboat.exactFilterMaxPass")
+  }
+
+  test("pass-most filters stay residual by selectivity estimate; selective ones consume") {
+    val out = s"$dir/selest"
+    val ss = spark
+    import ss.implicits._
+    (0 until 20000).map(i => (i.toLong, s"t$i")).toDF("v", "tag")
+      .coalesce(1).write.format("strawboat")
+      .option("maxPageSize", "1024").mode("overwrite").save(out)
+    val df = spark.read.format("strawboat").load(out)
+    // ~95% pass: residual (Spark's codegen filter over the vectorized scan)
+    val wide = df.filter(col("v") >= 1000)
+    assert(wide.queryExecution.executedPlan.toString.contains("Filter "),
+      "pass-most filter must stay residual")
+    assert(wide.count() == 19000)
+    // ~5% pass: consumed
+    val narrow = df.filter(col("v") < 1000)
+    val nplan = narrow.queryExecution.executedPlan.toString
+    assert(nplan.contains("exactFilters=[LessThan"), nplan.take(300))
+    assert(narrow.count() == 1000)
   }
 
   test("schema evolution inside a partitioned table: new column null-fills, pruning intact") {
