@@ -363,7 +363,11 @@ object SparkEntry {
       // n_docs anchors the corpus in the oracle; covered_ok carries the
       // quality claim. Radius 4 is NOT gated: a 4-bit pair can land one bit
       // per band (measured uncovered on the sf0.01 corpus).
+      // the fingerprint frame feeds five sub-plans (band join ×2, coverage
+      // join ×2, the doc count) — one lazy localCheckpoint computes the
+      // scan+hash pipeline once
       val fps = Dedup.simHash(t(s, d, "documents"), "doc_id", "text")
+        .localCheckpoint(false)
       Dedup.simHashCoverageGate(fps, Dedup.simHashCandidates(fps), maxHamming = 3)
     }),
     // --- LLM-pipeline: text analysis --------------------------------------

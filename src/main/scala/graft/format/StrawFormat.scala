@@ -163,6 +163,11 @@ object MetaIO {
         val cl = in.getLong()
         val nc = in.getInt()
         val kind = in.get() & 0xff
+        // fail CLEANLY on files from a future format revision: an unknown
+        // kind changes the stats-plane byte count, and guessing would
+        // desync the whole footer parse into garbage page metadata
+        require(kind <= StatsDecimal128,
+          s"strawboat: unknown page stats kind $kind — file written by a newer version")
         val (mn, mx) = if (kind != StatsNone) (in.getLong(), in.getLong()) else (0L, 0L)
         val (mn2, mx2) =
           if (kind == StatsDecimal128) (in.getLong(), in.getLong()) else (0L, 0L)

@@ -50,8 +50,12 @@ object ColumnarSupport {
           case DoubleType =>
             var i = 0
             while (i < n) { v.putDouble(i, java.lang.Double.longBitsToDouble(vals(i))); i += 1 }
-          case d: DecimalType => // precision <= 18: long-backed vector
-            v.putLongs(0, n, vals, 0)
+          case d: DecimalType =>
+            // Spark backs precision <= 9 with an INT vector, 10..18 with long
+            if (d.precision <= 9) {
+              var i = 0
+              while (i < n) { v.putInt(i, vals(i).toInt); i += 1 }
+            } else v.putLongs(0, n, vals, 0)
           case other => throw new UnsupportedOperationException(s"columnar fill: $other")
         }
         if (valid != null) {
@@ -89,7 +93,9 @@ object ColumnarSupport {
       case LongType | TimestampType | TimestampNTZType => dst.putLong(j, src.getLong(i))
       case FloatType => dst.putFloat(j, src.getFloat(i))
       case DoubleType => dst.putDouble(j, src.getDouble(i))
-      case _: DecimalType => dst.putLong(j, src.getLong(i)) // precision <= 18
+      case d: DecimalType => // int-backed <= 9, long-backed 10..18
+        if (d.precision <= 9) dst.putInt(j, src.getInt(i))
+        else dst.putLong(j, src.getLong(i))
       case StringType | BinaryType =>
         val b = src.getBinary(i)
         dst.putByteArray(j, b, 0, b.length): Unit

@@ -24,6 +24,14 @@ import graft.format.{StrawFileReader, StrawFooter}
   * Entries are LRU-bounded ([[maxEntries]]); a footer is O(pages × columns)
   * small, so the bound caps driver memory at extreme file counts without a
   * time-based expiry (stale keys of deleted files simply age out).
+  *
+  * Key-collision caveat (shared with every (path, mtime, length)-keyed
+  * metadata cache, e.g. HDFS-style listing caches): two VERSIONS of the
+  * same path aliasing requires identical name, byte length, and mtime
+  * millisecond. Files produced by this library's own writers embed a task
+  * uuid in the name, so rewrites always mint new paths; only an external
+  * tool overwriting a file in place within one millisecond at equal length
+  * could alias, and such a writer violates the commit protocol anyway.
   */
 object FooterCache {
   final case class Key(path: String, mtime: Long, len: Long)

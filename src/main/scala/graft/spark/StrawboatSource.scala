@@ -372,8 +372,8 @@ class StrawScanBuilder(path: String, fullSchema: StructType,
     val consume = evaluable.nonEmpty && maxPass > 0 && {
       val frac =
         try {
-          val footers = StrawIO.listFilesMeta(path).take(64)
-            .map(m => FooterCache.get(m.path, m.mtime, m.len))
+          val footers = StrawIO.mapParallel(StrawIO.listFilesMeta(path).take(64))(
+            m => FooterCache.get(m.path, m.mtime, m.len))
           ZoneMapFilter.estimatePassFraction(fullSchema, footers, evaluable)
         } catch { case _: Exception => 1.0 }
       frac <= maxPass

@@ -195,7 +195,10 @@ object ZoneMapFilter {
     def withNull(attr: String, core: Double): Double =
       pm(attr).map(m => core * nonNullFrac(m)).getOrElse(core)
     f match {
-      case _ if !mayMatch(schema, footer, p, f) => 0.0
+      // satisfiability against the FILE's own schema (indices into
+      // footer.columns must come from footer.schema — an evolved table's
+      // field positions can differ per file)
+      case _ if !mayMatch(sch, footer, p, f) => 0.0
       case EqualTo(a, _) => withNull(a, 0.05)
       case In(a, vs) => withNull(a, math.min(1.0, 0.05 * vs.length))
       case GreaterThan(a, v) => withNull(a, 1.0 - interp(a, v).getOrElse(0.5))

@@ -408,6 +408,33 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.strawboat.exactFilterMaxPass")
   }
 
+  test("small-precision decimals ride the INT-backed columnar vectors (plain + compacted)") {
+    val out = s"$dir/dec8"
+    val ss = spark
+    import ss.implicits._
+    spark.conf.set("spark.strawboat.exactFilterMaxPass", "1.0")
+    try {
+      // precision <= 9 => Spark allocates int-backed decimal vectors; a
+      // putLong there NPEs. Cover plain columnar scan, the consumed-filter
+      // compaction path, and nulls.
+      val data = (0 until 3000).map(i =>
+        (i.toLong, if (i % 97 == 0) None else Some(BigDecimal(i).setScale(2) / 7)))
+      val src = data.toDF("id", "d")
+        .select(col("id"), col("d").cast("decimal(8,2)").as("d"))
+      src.coalesce(1).write.format("strawboat")
+        .option("maxPageSize", "256").mode("overwrite").save(out)
+      val back = spark.read.format("strawboat").load(out)
+      assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+      val cut = new java.math.BigDecimal("100.00")
+      val q = back.filter(col("d") < cut)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("exactFilters=[") && plan.contains("ColumnarToRow"),
+        plan.take(400))
+      val expect = src.filter(col("d") < cut)
+      assert(q.exceptAll(expect).isEmpty && expect.exceptAll(q).isEmpty)
+    } finally spark.conf.unset("spark.strawboat.exactFilterMaxPass")
+  }
+
   test("pass-most filters stay residual by selectivity estimate; selective ones consume") {
     val out = s"$dir/selest"
     val ss = spark
