@@ -13,7 +13,7 @@ object Bench {
     "q_scan_filter_project", "q_scan_partitioned", "q_codec_sorted", "q_agg_groupby",
     "q_agg_distinct", "q_join_broadcast", "q_join_shuffle", "q_join_multi",
     "q_tpch_q3", "q_tpch_q6", "q_window_rank", "q_window_running",
-    "q_events_sessions", "q_topk_orders",
+    "q_events_sessions", "q_topk_orders", "q_topk_filtered",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_embedding_lsh",
     "q_ann_brute", "q_ann_ivf", "q_text_stats")
 

@@ -58,6 +58,15 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("price"))
         .orderBy(col("price").desc, col("o_orderkey")).limit(10)
     }),
+    "q_topk_filtered" -> ((s, d) => {
+      // filtered ORDER BY/LIMIT: the selective equality is consumed by the
+      // scan, so the partial Top-N pushdown (per-partition k-best + page
+      // bounds) composes with it — the round-4 plan shape
+      t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("price"), col("o_orderpriority"))
+        .orderBy(col("price").desc, col("o_orderkey")).limit(10)
+    }),
     "q_scan_dates" -> ((s, d) => {
       t(s, d, "orders")
         .filter(col("o_orderdate") >= lit(java.time.LocalDateTime.of(2000, 1, 1, 0, 0)))
@@ -596,6 +605,10 @@ object SparkEntry {
         |WHERE l_orderkey = 1000 ORDER BY l_linenumber""".stripMargin,
     "q_topk_orders" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price FROM orders
+        |ORDER BY price DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_topk_filtered" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price, o_orderpriority
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
         |ORDER BY price DESC, o_orderkey LIMIT 10""".stripMargin,
     "q_scan_dates" ->
       """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m FROM orders
