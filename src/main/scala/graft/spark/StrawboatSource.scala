@@ -643,8 +643,26 @@ class StrawScan(
     Array(new StrawScanMetrics.PagesRead, new StrawScanMetrics.PagesPruned)
 
   override def estimateStatistics(): Statistics = {
-    val r = footers.foldLeft(0L)(_ + _._2.numRows)
-    val b = math.max(footers.foldLeft(0L)(_ + _._3), 1L)
+    val rawRows = footers.foldLeft(0L)(_ + _._2.numRows)
+    val rawBytes = math.max(footers.foldLeft(0L)(_ + _._3), 1L)
+    // report FILTERED estimates: without cost-based optimization Spark
+    // propagates a Filter node's size unchanged, so a selectively-filtered
+    // dimension table would never qualify for a broadcast join off its raw
+    // size. The scan knows its filters (consumed ones produce no Filter
+    // node at all) and its zone maps — scale by the estimated pass
+    // fraction. Estimates only steer join strategy; wrong is slow, not
+    // incorrect, and AQE re-plans from actual sizes at runtime anyway.
+    val allFilters = (filters ++ exactFilters).distinct
+    val frac =
+      if (allFilters.isEmpty) 1.0
+      else {
+        val f = ZoneMapFilter.estimatePassFraction(
+          fullSchema, footers.map(_._2), allFilters)
+        // never report zero: an empty estimate would make ANY plan legal
+        math.max(f, 1e-4)
+      }
+    val r = math.max((rawRows * frac).toLong, if (rawRows > 0) 1L else 0L)
+    val b = math.max((rawBytes * frac).toLong, 1L)
     new Statistics {
       override def sizeInBytes(): OptionalLong = OptionalLong.of(b)
       override def numRows(): OptionalLong = OptionalLong.of(r)

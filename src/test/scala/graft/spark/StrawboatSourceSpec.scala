@@ -435,6 +435,74 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.strawboat.exactFilterMaxPass")
   }
 
+  test("concurrent appends: both jobs' rows land, no staged leftovers, no duplicates") {
+    val out = s"$dir/concurrent"
+    val ss = spark
+    import ss.implicits._
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    // two appenders race into the same table directory; job-scoped staged
+    // suffixes keep their in-flight files invisible to each other, and each
+    // driver renames only its own winners at commit
+    val jobs = (0 until 4).map { j =>
+      Future {
+        (0 until 2000).map(i => (j.toLong * 10000 + i, s"job$j"))
+          .toDF("id", "tag").repartition(3)
+          .write.format("strawboat").mode("append").save(out)
+      }
+    }
+    Await.result(Future.sequence(jobs), 2.minutes)
+    val back = spark.read.format("strawboat").load(out)
+    assert(back.count() == 8000)
+    assert(back.select(countDistinct(col("id"))).collect()(0).getLong(0) == 8000)
+    assert(back.groupBy(col("tag")).count().collect()
+      .forall(_.getLong(1) == 2000))
+    val names = new java.io.File(out).listFiles.map(_.getName)
+    assert(!names.exists(_.contains(".stage")), names.mkString(","))
+  }
+
+  test("filtered statistics unlock broadcast joins a raw-size report would miss") {
+    val ss = spark
+    import ss.implicits._
+    val dimOut = s"$dir/statdim"
+    val factOut = s"$dir/statfact"
+    // dim: wide rows so the RAW size clearly exceeds the broadcast
+    // threshold; the selective filter passes a sliver
+    (0 until 40000).map(i => (i.toLong, "x" * 200, i % 100))
+      .toDF("k", "pad", "grp").coalesce(2)
+      .write.format("strawboat").mode("overwrite").save(dimOut)
+    // fact must ALSO exceed the threshold, or Spark would just broadcast it
+    (0 until 40000).map(i => (i.toLong % 40000, "y" * 200))
+      .toDF("k", "v").coalesce(2)
+      .write.format("strawboat").mode("overwrite").save(factOut)
+    val rawBytes = math.min(
+      StrawIO.listFilesMeta(dimOut).map(_.len).sum,
+      StrawIO.listFilesMeta(factOut).map(_.len).sum)
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // static plan only
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (rawBytes / 2).toString)
+    try {
+      val dim = spark.read.format("strawboat").load(dimOut)
+        .filter(col("k") < 100) // ~0.25% pass: scaled size is tiny
+      val fact = spark.read.format("strawboat").load(factOut)
+      val q = fact.join(dim, "k").groupBy(col("grp")).agg(count(lit(1)).as("c"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"filtered dim should broadcast:\n${plan.take(800)}")
+      // unfiltered dim at the same threshold must NOT broadcast (raw size
+      // is over it) — proving the scaling, not the threshold, decided
+      val q2 = fact.join(spark.read.format("strawboat").load(dimOut), "k")
+        .groupBy(col("grp")).agg(count(lit(1)).as("c"))
+      assert(!q2.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+      // and the result is right
+      assert(q.collect().map(_.getLong(1)).sum ==
+        spark.read.format("strawboat").load(factOut).filter(col("k") < 100).count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("pass-most filters stay residual by selectivity estimate; selective ones consume") {
     val out = s"$dir/selest"
     val ss = spark
