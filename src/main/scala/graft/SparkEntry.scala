@@ -465,6 +465,23 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_ann_ivf_indexed" -> ((s, d) => {
+      // PERSISTED IVF index (build once, probe many): assigned corpus
+      // written hive-partitioned by cent_id + centroid sidecar; probes are
+      // directory-pruned scans. Full probe == brute force, so the same
+      // DuckDB SQL is the oracle.
+      val idxDir = Tables.strawDir(s, d, "embeddings") + "_ivfidx"
+      val marker = new java.io.File(idxDir, "_OK")
+      if (!marker.exists()) {
+        Ann.buildIvfIndex(s, t(s, d, "embeddings"), idxDir, 64,
+          nCentroids = 16, seed = 7)
+        marker.createNewFile()
+      }
+      Ann.ivfTopKIndexed(s, idxDir, t(s, d, "embeddings").filter(col("vec_id") < 5),
+          3, nProbe = 16)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // --- Decimal(>18) storage through the format ---------------------------
     "q_decimal_agg" -> ((s, d) => {
       // derive a wide-decimal table, store it in strawboat (two-long i128
@@ -884,6 +901,16 @@ object SparkEntry {
         |  WHEN en >= de THEN 'en'
         |  ELSE 'de' END AS pred_lang
         |FROM s ORDER BY doc_id""".stripMargin,
+    "q_ann_ivf_indexed" -> // full-probe over the persisted index == brute force
+      """SELECT query_id, rank, neighbor_id, cosine FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.embedding, c.embedding), 4) AS cosine,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(q.embedding, c.embedding), 4) DESC,
+        |        c.vec_id) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "q_ann_ivf_full" -> // full-probe IVF == brute force (same oracle)
       """SELECT query_id, rank, neighbor_id, cosine FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

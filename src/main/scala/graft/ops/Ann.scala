@@ -124,15 +124,31 @@ object Ann {
   def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
       dim: Int, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
       seed: Long = 7, sampleSize: Int = 1024): DataFrame = {
+    val centroids = fitQuantizer(corpus, dim, nCentroids, seed, sampleSize)
+    val corpusCells = assignCells(spark, corpus, centroids, 1)
+    val queryCells = assignCells(spark, queries, centroids, nProbe)
+    val scored = corpusCells.as("c")
+      .join(queryCells.as("q"),
+        col("c.cent_id") === col("q.cent_id") && col("c.vec_id") =!= col("q.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        round(VectorFunctions.cosine(spark, col("q.embedding"), col("c.embedding")), 4)
+          .as("cosine"))
+      .distinct() // a neighbor may appear via several probed cells
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 
-    // --- driver-side coarse quantizer over a bounded RANDOM sample -------
-    // Seeded hash-order top-N: rank rows by xxhash64(seed, vec_id) and take
-    // the smallest `sampleSize` (TakeOrdered — per-partition top-k then a
-    // tiny merge, never a full sort). The sample is uniform over the corpus
-    // and independent of physical layout; `limit(n)` would instead take the
-    // FIRST rows of the first partitions, and on a corpus sorted or
-    // partitioned by content (the common 100 TB layout) k-means would fit
-    // every centroid to one region. Deterministic in `seed`.
+  /** Fit the coarse quantizer: seeded k-means over a bounded driver-side
+    * RANDOM sample. The sample is a seeded hash-order top-N — rank rows by
+    * xxhash64(seed, vec_id) and take the smallest `sampleSize` (TakeOrdered:
+    * per-partition top-k then a tiny merge, never a full sort) — uniform
+    * over the corpus and independent of physical layout; `limit(n)` would
+    * take the FIRST rows of the first partitions, and on a corpus sorted or
+    * partitioned by content (the common 100 TB layout) k-means would fit
+    * every centroid to one region. Deterministic in `seed`. */
+  def fitQuantizer(corpus: DataFrame, dim: Int, nCentroids: Int,
+      seed: Long = 7, sampleSize: Int = 1024): Array[Array[Float]] = {
     val sample: Array[Array[Float]] = corpus
       .select(col("embedding"), xxhash64(lit(seed), col("vec_id")).as("__sh"))
       .orderBy(col("__sh")).limit(sampleSize)
@@ -155,9 +171,83 @@ object Ann {
         else Array.tabulate(dim)(i => (sums(c)(i) / counts(c)).toFloat)
       }
     }
+    centroids
+  }
 
-    val corpusCells = assignCells(spark, corpus, centroids, 1)
+  // -------------------------------------------------------------------------
+  // Persisted IVF index: build once, probe many
+  // -------------------------------------------------------------------------
+
+  /** Build a PERSISTED IVF index at `dir`: fit the quantizer, assign every
+    * corpus vector to its nearest cell, and write the assigned corpus as a
+    * strawboat table hive-partitioned by `cent_id` — plus the centroid
+    * matrix as a sidecar. Probing then composes with the engine's own
+    * partition pruning: a query over `nProbe` cells scans only those cells'
+    * DIRECTORIES, paying zero footer or page IO for the rest of the corpus.
+    * That is the build-once / probe-many shape a 100 TB ANN serving table
+    * needs (the per-query cost is the probed cells, not the corpus). */
+  def buildIvfIndex(spark: SparkSession, corpus: DataFrame, dir: String,
+      dim: Int, nCentroids: Int = 16, seed: Long = 7,
+      sampleSize: Int = 1024): Array[Array[Float]] = {
+    val centroids = fitQuantizer(corpus, dim, nCentroids, seed, sampleSize)
+    assignCells(spark, corpus, centroids, 1)
+      .write.format("strawboat").option("partitionBy", "cent_id")
+      .mode("overwrite").save(dir)
+    writeCentroids(dir, centroids)
+    centroids
+  }
+
+  private def CentroidsFile = "_ivf_centroids"
+
+  /** Centroid sidecar: plain text (`nCent dim` header, one row of floats
+    * per centroid). The name carries no data extension, so scans never
+    * list it. */
+  private def writeCentroids(dir: String, cents: Array[Array[Float]]): Unit = {
+    val fs = graft.spark.StrawIO.fs(dir)
+    val p = new org.apache.hadoop.fs.Path(dir, CentroidsFile)
+    val os = fs.create(p, true)
+    try {
+      val sb = new StringBuilder
+      sb.append(cents.length).append(' ')
+        .append(if (cents.isEmpty) 0 else cents(0).length).append('\n')
+      cents.foreach { c => sb.append(c.mkString(" ")).append('\n') }
+      os.write(sb.toString.getBytes("UTF-8"))
+    } finally os.close()
+  }
+
+  def loadIvfCentroids(spark: SparkSession, dir: String): Array[Array[Float]] = {
+    val fs = graft.spark.StrawIO.fs(dir)
+    val p = new org.apache.hadoop.fs.Path(dir, CentroidsFile)
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.split('\n').filter(_.nonEmpty)
+    val Array(n, dim) = lines(0).trim.split(' ').map(_.toInt)
+    val cents = lines.slice(1, 1 + n).map(_.trim.split(' ').map(_.toFloat))
+    require(cents.length == n && cents.forall(_.length == dim),
+      s"corrupt IVF centroid sidecar at $p")
+    cents
+  }
+
+  /** Probe a persisted IVF index: assign queries to their `nProbe` nearest
+    * cells, restrict the index scan to the probed cells with a STATIC
+    * `cent_id IN (...)` filter — which [[graft.spark.PartitionLayout]]
+    * turns into directory pruning before any footer IO — and score only
+    * inside shared cells. The probed-cell collect is bounded by
+    * `nCentroids` (the quantizer is tiny by construction), not by data
+    * size. With `nProbe = nCentroids` this equals brute force exactly. */
+  def ivfTopKIndexed(spark: SparkSession, indexDir: String, queries: DataFrame,
+      k: Int, nProbe: Int = 4): DataFrame = {
+    val centroids = loadIvfCentroids(spark, indexDir)
     val queryCells = assignCells(spark, queries, centroids, nProbe)
+    val probed: Array[Int] = queryCells.select(col("cent_id")).distinct()
+      .collect().map(_.getInt(0)) // bounded by nCentroids
+    // the index is written in one overwrite, so it is schema-uniform:
+    // resolve the schema from one footer instead of all of them
+    val corpusCells = spark.read.format("strawboat")
+      .option("mergeSchema", "false").load(indexDir)
+      .filter(col("cent_id").isin(probed.map(_.asInstanceOf[Any]): _*))
     val scored = corpusCells.as("c")
       .join(queryCells.as("q"),
         col("c.cent_id") === col("q.cent_id") && col("c.vec_id") =!= col("q.vec_id"))

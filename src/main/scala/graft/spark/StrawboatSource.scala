@@ -372,7 +372,11 @@ class StrawScanBuilder(path: String, fullSchema: StructType,
     val consume = evaluable.nonEmpty && maxPass > 0 && {
       val frac =
         try {
-          val footers = StrawIO.mapParallel(StrawIO.listFilesMeta(path).take(64))(
+          // partition-prune BEFORE sampling: directory-excluded files
+          // contribute nothing and must not cost footer IO here either
+          val metas = PartitionLayout.pruneBy(
+            StrawIO.listFilesMeta(path), fullSchema, filters)(_.path).take(64)
+          val footers = StrawIO.mapParallel(metas)(
             m => FooterCache.get(m.path, m.mtime, m.len))
           ZoneMapFilter.estimatePassFraction(fullSchema, footers, evaluable)
         } catch { case _: Exception => 1.0 }

@@ -79,6 +79,47 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.9, s"IVF recall on cluster-sorted corpus: $recall")
   }
 
+  test("persisted IVF index: hive layout, pruned probes, full-probe equals brute force") {
+    val ss = spark
+    import ss.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    val centers = Array.tabulate(4)(c => Array.tabulate(dim)(i => if (i % 4 == c) 10.0f else 0.0f))
+    val rows = (0 until 1200).map { j =>
+      val c = j % 4
+      (j.toLong, Array.tabulate(dim)(i => centers(c)(i) + rnd.nextGaussian().toFloat * 0.3f))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString + "/index"
+    Ann.buildIvfIndex(spark, emb, dir, dim, nCentroids = 4, seed = 7)
+    // index layout: one directory per cell + the centroid sidecar
+    val top = new java.io.File(dir).listFiles
+    assert(top.exists(f => f.isDirectory && f.getName.startsWith("cent_id=")))
+    assert(top.exists(_.getName == "_ivf_centroids"))
+    val queries = emb.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // full probe == brute force exactly
+    val exact = pairs(Ann.bruteForceTopK(spark, emb, queries, 5))
+    val full = pairs(Ann.ivfTopKIndexed(spark, dir, queries, 5, nProbe = 4))
+    assert(full == exact)
+    // partial probe keeps recall on the clustered corpus
+    val one = pairs(Ann.ivfTopKIndexed(spark, dir, queries, 5, nProbe = 1))
+    assert(one.intersect(exact).size.toDouble / exact.size >= 0.9)
+    // and it PRUNES: a single-cell probe must not read every index file's
+    // footer (directory pruning fires before footer IO; one extra footer
+    // resolves the schema)
+    val totalFiles = graft.spark.StrawIO.listFiles(dir).size
+    assert(totalFiles >= 4)
+    graft.spark.FooterCache.clear()
+    val before = graft.spark.FooterCache.loads.get()
+    Ann.ivfTopKIndexed(spark, dir, emb.filter(col("vec_id") === 0L), 3, nProbe = 1)
+      .collect()
+    val loads = graft.spark.FooterCache.loads.get() - before
+    assert(loads < totalFiles, s"probe loaded $loads footers of $totalFiles files")
+  }
+
   test("IVF probes=1 assignment is expression-only: no Exchange, no row blowup") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cents = Array.fill(4)(Array.fill(64)(scala.util.Random.nextGaussian().toFloat))
