@@ -127,13 +127,14 @@ object Ann {
     val centroids = fitQuantizer(corpus, dim, nCentroids, seed, sampleSize)
     val corpusCells = assignCells(spark, corpus, centroids, 1)
     val queryCells = assignCells(spark, queries, centroids, nProbe)
+    // no dedup needed: every corpus vector lives in exactly ONE cell
+    // (probes=1 at assignment), so a (query, neighbor) pair meets once
     val scored = corpusCells.as("c")
       .join(queryCells.as("q"),
         col("c.cent_id") === col("q.cent_id") && col("c.vec_id") =!= col("q.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
         round(VectorFunctions.cosine(spark, col("q.embedding"), col("c.embedding")), 4)
           .as("cosine"))
-      .distinct() // a neighbor may appear via several probed cells
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -215,7 +216,7 @@ object Ann {
     } finally os.close()
   }
 
-  def loadIvfCentroids(spark: SparkSession, dir: String): Array[Array[Float]] = {
+  def loadIvfCentroids(dir: String): Array[Array[Float]] = {
     val fs = graft.spark.StrawIO.fs(dir)
     val p = new org.apache.hadoop.fs.Path(dir, CentroidsFile)
     val in = fs.open(p)
@@ -239,8 +240,11 @@ object Ann {
     * size. With `nProbe = nCentroids` this equals brute force exactly. */
   def ivfTopKIndexed(spark: SparkSession, indexDir: String, queries: DataFrame,
       k: Int, nProbe: Int = 4): DataFrame = {
-    val centroids = loadIvfCentroids(spark, indexDir)
-    val queryCells = assignCells(spark, queries, centroids, nProbe)
+    val centroids = loadIvfCentroids(indexDir)
+    // the quantizer may hold fewer centroids than requested (tiny corpus
+    // sample): clamp so "probe everything" callers can't over-ask
+    val queryCells = assignCells(spark, queries, centroids,
+      math.min(nProbe, centroids.length))
     val probed: Array[Int] = queryCells.select(col("cent_id")).distinct()
       .collect().map(_.getInt(0)) // bounded by nCentroids
     // the index is written in one overwrite, so it is schema-uniform:
@@ -248,13 +252,13 @@ object Ann {
     val corpusCells = spark.read.format("strawboat")
       .option("mergeSchema", "false").load(indexDir)
       .filter(col("cent_id").isin(probed.map(_.asInstanceOf[Any]): _*))
+    // no dedup needed: the index assigned each vector to exactly one cell
     val scored = corpusCells.as("c")
       .join(queryCells.as("q"),
         col("c.cent_id") === col("q.cent_id") && col("c.vec_id") =!= col("q.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
         round(VectorFunctions.cosine(spark, col("q.embedding"), col("c.embedding")), 4)
           .as("cosine"))
-      .distinct() // a neighbor may appear via several probed cells
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -376,9 +376,13 @@ class StrawScanBuilder(path: String, fullSchema: StructType,
           // contribute nothing and must not cost footer IO here either
           val metas = PartitionLayout.pruneBy(
             StrawIO.listFilesMeta(path), fullSchema, filters)(_.path).take(64)
+          // filters the pruning fully applied pass every surviving row —
+          // estimating them again would double-count their selectivity
+          val toEstimate = evaluable.filterNot(
+            f => StrawScan.partitionApplied(f, metas.map(_.path)))
           val footers = StrawIO.mapParallel(metas)(
             m => FooterCache.get(m.path, m.mtime, m.len))
-          ZoneMapFilter.estimatePassFraction(fullSchema, footers, evaluable)
+          ZoneMapFilter.estimatePassFraction(fullSchema, footers, toEstimate)
         } catch { case _: Exception => 1.0 }
       frac <= maxPass
     }
@@ -656,7 +660,14 @@ class StrawScan(
     // node at all) and its zone maps — scale by the estimated pass
     // fraction. Estimates only steer join strategy; wrong is slow, not
     // incorrect, and AQE re-plans from actual sizes at runtime anyway.
+    //
+    // Filters DIRECTORY PRUNING already applied must not scale the totals a
+    // second time: `footers` only contains surviving partitions, so e.g.
+    // `region = 'eu'` over a region-partitioned table already reflects the
+    // filter fully — re-applying a flat equality estimate would understate
+    // the build side ~20× and could green-light broadcasting a huge table.
     val allFilters = (filters ++ exactFilters).distinct
+      .filterNot(f => StrawScan.partitionApplied(f, footers.map(_._1)))
     val frac =
       if (allFilters.isEmpty) 1.0
       else {
@@ -671,6 +682,25 @@ class StrawScan(
       override def sizeInBytes(): OptionalLong = OptionalLong.of(b)
       override def numRows(): OptionalLong = OptionalLong.of(r)
     }
+  }
+}
+
+object StrawScan {
+  /** True iff directory pruning fully applied `f` to the surviving file
+    * set: every file is hive-partitioned on the filter's single referenced
+    * column, and the shape is one [[PartitionLayout]] evaluates completely
+    * (equality / IN / null tests — ranges only prune conservatively). Such
+    * a filter passes every remaining row and must not scale estimates. */
+  def partitionApplied(f: Filter, files: Seq[String]): Boolean = {
+    val attr = f match {
+      case EqualTo(a, v) if v != null => a
+      case In(a, vs) if vs.nonEmpty && !vs.contains(null) => a
+      case IsNull(a) => a
+      case IsNotNull(a) => a
+      case _ => return false
+    }
+    files.nonEmpty && files.forall(p =>
+      PartitionLayout.partitionOf(p).exists(_._1 == attr))
   }
 }
 

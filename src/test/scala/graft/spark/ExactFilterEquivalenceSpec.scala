@@ -49,11 +49,16 @@ class ExactFilterEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def assertEquivalent(mk: => DataFrame, what: String): Unit = {
     val on = run(mk, "1.0")
     val off = run(mk, "0.0")
-    val equal = on.toSet == off.toSet && on.size == off.size
-    if (!equal) fail(
+    // MULTISET comparison: row duplication/omission at equal cardinality is
+    // exactly the bug class survivor compaction could introduce, and a set
+    // compare would miss it
+    def counted(rows: Seq[Seq[Any]]): Map[Seq[Any], Int] =
+      rows.groupBy(identity).map { case (k, v) => (k, v.size) }
+    val onC = counted(on)
+    val offC = counted(off)
+    if (onC != offC) fail(
       s"$what: consumed=${on.size} rows, residual=${off.size} rows; " +
-        s"only-consumed=${(on.toSet -- off.toSet).take(3)} " +
-        s"only-residual=${(off.toSet -- on.toSet).take(3)}")
+        s"diff=${(onC.toSet -- offC.toSet).take(3)} vs ${(offC.toSet -- onC.toSet).take(3)}")
   }
 
   test("consumed filters are semantically identical to Spark's evaluation (adversarial values)") {

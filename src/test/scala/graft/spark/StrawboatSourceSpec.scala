@@ -503,6 +503,40 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("partition filters already applied by pruning do not double-scale statistics") {
+    val ss = spark
+    import ss.implicits._
+    val dimOut = s"$dir/statpartdim"
+    val factOut = s"$dir/statpartfact"
+    // dim partitioned by p: `p = 'a'` is FULLY applied by directory pruning,
+    // so the post-prune estimate must stay ~the surviving partition's size —
+    // a double-counted flat equality (×0.05) would wrongly green-light
+    // broadcasting the whole partition
+    (0 until 30000).map(i => (i.toLong, "x" * 200, if (i % 2 == 0) "a" else "b"))
+      .toDF("k", "pad", "p").coalesce(2)
+      .write.format("strawboat").option("partitionBy", "p")
+      .mode("overwrite").save(dimOut)
+    (0 until 30000).map(i => (i.toLong, "y" * 200))
+      .toDF("k", "v").coalesce(2)
+      .write.format("strawboat").mode("overwrite").save(factOut)
+    val partABytes = StrawIO.listFilesMeta(s"$dimOut/p=a").map(_.len).sum
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // threshold well under the surviving partition: broadcast is only legal
+    // if the estimate is (wrongly) scaled below it
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (partABytes / 4).toString)
+    try {
+      val dim = spark.read.format("strawboat").load(dimOut).filter(col("p") === "a")
+      val fact = spark.read.format("strawboat").load(factOut)
+      val plan = fact.join(dim, "k").groupBy(col("p")).agg(count(lit(1)))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"partition-applied filter must not scale stats:\n${plan.take(800)}")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("pass-most filters stay residual by selectivity estimate; selective ones consume") {
     val out = s"$dir/selest"
     val ss = spark
