@@ -566,6 +566,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), round(min(col("value")), 2).as("mn"))
         .orderBy(col("user_id"))
     }),
+    "q_agg_partition_meta" -> ((s, d) => {
+      // GROUP BY the partition column + count/min/max: answered ENTIRELY
+      // from footers (one row per partition directory, zero data pages) —
+      // the grouped form of aggregate pushdown
+      val pdir = Tables.strawDir(s, d, "events") + "_bytype"
+      val marker = new java.io.File(pdir, "_PARTITIONED")
+      if (!marker.exists()) {
+        t(s, d, "events").write.format("strawboat")
+          .option("partitionBy", "event_type").mode("overwrite").save(pdir)
+        marker.createNewFile()
+      }
+      s.read.format("strawboat").load(pdir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), min(col("value")).as("mn0"),
+          max(col("event_id")).as("mx"))
+        .select(col("event_type"), col("cnt"), round(col("mn0"), 2).as("mn"), col("mx"))
+        .orderBy(col("event_type"))
+    }),
     // --- streaming: micro-batch drain through the connector ----------------
     "q_stream_roundtrip" -> ((s, d) => {
       // drain the strawboat events table via Trigger.AvailableNow micro-
@@ -955,6 +973,10 @@ object SparkEntry {
       """SELECT user_id, count(*) AS cnt, round(min(value), 2) AS mn
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_agg_partition_meta" ->
+      """SELECT event_type, count(*) AS cnt, round(min(value), 2) AS mn,
+        |  max(event_id) AS mx
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_multimodal_images" -> // dims re-derived from doc_id (see query comment)
       """SELECT doc_id, 'png' AS format, (16 + doc_id % 32)::INT AS width,
         |  (8 + doc_id % 16)::INT AS height, 8 AS bit_depth

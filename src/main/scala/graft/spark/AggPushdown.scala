@@ -9,15 +9,20 @@ import org.apache.spark.sql.types._
 
 import graft.format._
 
-/** Footer-only aggregate answering: COUNT(*), COUNT(col), MIN/MAX(col) over
-  * ungrouped, unfiltered scans never touch data pages — the whole query is
-  * a metadata pass over file footers (exact, because page min/max are exact
-  * aggregates of the written values). At 100 TB that turns a full scan into
-  * reading one footer per file.
+/** Footer-only aggregates: COUNT(*), COUNT(col), MIN/MAX(col) over
+  * unfiltered scans never touch data pages — the whole query is a metadata
+  * pass over file footers (exact, because page min/max are exact aggregates
+  * of the written values). At 100 TB that turns a full scan into reading
+  * one footer per file.
   *
-  * Strings are excluded (their zone maps are 8-byte prefixes, not exact);
-  * wide decimals are excluded (their StatsDoubleApprox zone maps are lossy).
-  */
+  * GROUP BY is supported when the single grouping column IS the table's
+  * hive-partition column: every group maps to a directory, so the same
+  * footer pass yields one row per partition value (`SELECT event_type,
+  * count(*) ... GROUP BY event_type` over a type-partitioned table is pure
+  * metadata).
+  *
+  * Strings are excluded from MIN/MAX (their zone maps are 8-byte prefixes,
+  * not exact); legacy lossy wide-decimal stats make [[compute]] bail. */
 object AggPushdown {
 
   sealed trait Spec
@@ -46,8 +51,20 @@ object AggPushdown {
     case _ => false
   }
 
-  def translate(schema: StructType, agg: Aggregation): Option[Seq[Spec]] = {
-    if (agg.groupByExpressions().nonEmpty) return None
+  /** @return (groupByField, aggregate specs) — groupByField is None for a
+    * global aggregate, Some(i) for GROUP BY one plain column of a
+    * hive-parseable type (whether the table is ACTUALLY partitioned on it
+    * is only known at [[compute]] time, which then bails if not). */
+  def translate(schema: StructType, agg: Aggregation): Option[(Option[Int], Seq[Spec])] = {
+    val grp: Option[Int] = agg.groupByExpressions() match {
+      case Array() => None
+      case Array(e) => fieldOf(schema, e) match {
+        case Some(i) if StrawKeyedPartition.parseable(schema.fields(i).dataType) =>
+          Some(i)
+        case _ => return None
+      }
+      case _ => return None
+    }
     val specs = agg.aggregateExpressions().map {
       case _: CountStar => Some(CountStarSpec)
       case c: Count if !c.isDistinct => fieldOf(schema, c.column()).map(CountColSpec)
@@ -59,16 +76,18 @@ object AggPushdown {
           .filter(i => statsExact(schema.fields(i).dataType)).map(MaxSpec)
       case _ => None
     }
-    if (specs.forall(_.isDefined)) Some(specs.flatten.toSeq) else None
+    if (specs.forall(_.isDefined)) Some((grp, specs.flatten.toSeq)) else None
   }
 
-  def outputSchema(schema: StructType, specs: Seq[Spec]): StructType =
-    StructType(specs.zipWithIndex.map {
-      case (CountStarSpec, i) => StructField(s"agg$i", LongType, nullable = false)
-      case (CountColSpec(_), i) => StructField(s"agg$i", LongType, nullable = false)
-      case (MinSpec(f), i) => StructField(s"agg$i", schema.fields(f).dataType)
-      case (MaxSpec(f), i) => StructField(s"agg$i", schema.fields(f).dataType)
-    })
+  /** Complete-pushdown contract: group-by columns first, then aggregates. */
+  def outputSchema(schema: StructType, grp: Option[Int], specs: Seq[Spec]): StructType =
+    StructType(grp.map(i => schema.fields(i).copy(nullable = true)).toSeq ++
+      specs.zipWithIndex.map {
+        case (CountStarSpec, i) => StructField(s"agg$i", LongType, nullable = false)
+        case (CountColSpec(_), i) => StructField(s"agg$i", LongType, nullable = false)
+        case (MinSpec(f), i) => StructField(s"agg$i", schema.fields(f).dataType)
+        case (MaxSpec(f), i) => StructField(s"agg$i", schema.fields(f).dataType)
+      })
 
   /** Invert StrawFormat.sortableDouble. */
   private def unsortableDouble(s: Long): Double = {
@@ -100,25 +119,20 @@ object AggPushdown {
     case _ => StrawFormat.StatsSigned
   }
 
-  /** Compute the single result row from all file footers, or None if any
-    * page lacks the stats needed (e.g. written before stats existed, or a
-    * legacy wide-decimal file with lossy double-approx stats). */
-  def compute(path: String, schema: StructType, specs: Seq[Spec]): Option[InternalRow] = {
+  private def cmpEnc(kind: Int, a: (Long, Long), b: (Long, Long)): Int =
+    if (kind == StrawFormat.StatsDecimal128)
+      StrawFormat.compare128(a._1, a._2, b._1, b._2)
+    else java.lang.Long.compare(a._1, b._1)
+
+  /** Accumulates one (group's) aggregate state across footers. */
+  private final class Acc(schema: StructType, needCount: Seq[Int], needMinMax: Seq[Int]) {
     var countStar = 0L
     val countCol = collection.mutable.Map.empty[Int, Long]
     val minEnc = collection.mutable.Map.empty[Int, (Long, Long)]
     val maxEnc = collection.mutable.Map.empty[Int, (Long, Long)]
-    val needCount = specs.collect { case CountColSpec(f) => f }.distinct
-    val needMinMax = (specs.collect { case MinSpec(f) => f } ++
-      specs.collect { case MaxSpec(f) => f }).distinct
 
-    def cmp(kind: Int, a: (Long, Long), b: (Long, Long)): Int =
-      if (kind == StrawFormat.StatsDecimal128)
-        StrawFormat.compare128(a._1, a._2, b._1, b._2)
-      else java.lang.Long.compare(a._1, b._1)
-
-    for (m <- StrawIO.listFilesMeta(path)) {
-      val footer = FooterCache.get(m.path, m.mtime, m.len)
+    /** @return false when a page lacks provable stats. */
+    def add(footer: graft.format.StrawFooter): Boolean = {
       countStar += footer.numRows
       def colIdx(f: Int): Int =
         footer.schema.fields.indexWhere(_.name == schema.fields(f).name)
@@ -134,48 +148,99 @@ object AggPushdown {
         val kind = requiredKind(schema.fields(f).dataType)
         if (ci >= 0) {
           for (p <- footer.columns(ci).pages if p.nullCount < p.numValues) {
-            if (p.statsKind != kind) return None // not provable
+            if (p.statsKind != kind) return false // not provable
             val pMin = (p.min, p.min2)
             val pMax = (p.max, p.max2)
             minEnc(f) = minEnc.get(f) match {
-              case Some(cur) if cmp(kind, cur, pMin) <= 0 => cur
+              case Some(cur) if cmpEnc(kind, cur, pMin) <= 0 => cur
               case _ => pMin
             }
             maxEnc(f) = maxEnc.get(f) match {
-              case Some(cur) if cmp(kind, cur, pMax) >= 0 => cur
+              case Some(cur) if cmpEnc(kind, cur, pMax) >= 0 => cur
               case _ => pMax
             }
           }
         }
       }
+      true
     }
-    val row = new GenericInternalRow(specs.length)
-    specs.zipWithIndex.foreach {
-      case (CountStarSpec, i) => row.update(i, countStar)
-      case (CountColSpec(f), i) => row.update(i, countCol.getOrElse(f, 0L))
-      case (MinSpec(f), i) =>
-        row.update(i, minEnc.get(f).map(statsToValue(schema.fields(f).dataType, _)).orNull)
-      case (MaxSpec(f), i) =>
-        row.update(i, maxEnc.get(f).map(statsToValue(schema.fields(f).dataType, _)).orNull)
+
+    /** Aggregate values (spec order) written into `row` from `offset`. */
+    def fill(row: GenericInternalRow, offset: Int, specs: Seq[Spec]): Unit =
+      specs.zipWithIndex.foreach {
+        case (CountStarSpec, i) => row.update(offset + i, countStar)
+        case (CountColSpec(f), i) => row.update(offset + i, countCol.getOrElse(f, 0L))
+        case (MinSpec(f), i) => row.update(offset + i,
+          minEnc.get(f).map(statsToValue(schema.fields(f).dataType, _)).orNull)
+        case (MaxSpec(f), i) => row.update(offset + i,
+          maxEnc.get(f).map(statsToValue(schema.fields(f).dataType, _)).orNull)
+      }
+  }
+
+  /** Compute the result rows from file footers alone — one row for a global
+    * aggregate, one row per partition value for GROUP BY the partition
+    * column — or None if any page lacks the stats needed (written before
+    * stats existed, legacy lossy wide-decimal files) or, for the grouped
+    * form, any file is not hive-partitioned on the grouping column. */
+  def compute(path: String, schema: StructType, grp: Option[Int],
+      specs: Seq[Spec]): Option[Seq[InternalRow]] = {
+    val needCount = specs.collect { case CountColSpec(f) => f }.distinct
+    val needMinMax = (specs.collect { case MinSpec(f) => f } ++
+      specs.collect { case MaxSpec(f) => f }).distinct
+    val metas = StrawIO.listFilesMeta(path)
+    grp match {
+      case None =>
+        val acc = new Acc(schema, needCount, needMinMax)
+        for (m <- metas)
+          if (!acc.add(FooterCache.get(m.path, m.mtime, m.len))) return None
+        val row = new GenericInternalRow(specs.length)
+        acc.fill(row, 0, specs)
+        Some(Seq(row))
+      case Some(g) =>
+        val groupCol = schema.fields(g).name
+        val dt = schema.fields(g).dataType
+        // LinkedHashMap: deterministic row order (path-sorted first sight)
+        val groups = collection.mutable.LinkedHashMap.empty[Option[String], Acc]
+        for (m <- metas) {
+          PartitionLayout.partitionOf(m.path) match {
+            case Some((c, v)) if c == groupCol =>
+              val acc = groups.getOrElseUpdate(v, new Acc(schema, needCount, needMinMax))
+              if (!acc.add(FooterCache.get(m.path, m.mtime, m.len))) return None
+            case _ => return None // a file outside the layout: groups unknowable
+          }
+        }
+        Some(groups.toSeq.map { case (v, acc) =>
+          val row = new GenericInternalRow(1 + specs.length)
+          row.update(0,
+            try StrawKeyedPartition.parse(v, dt)
+            catch { case _: Exception => return None })
+          acc.fill(row, 1, specs)
+          row
+        })
     }
-    Some(row)
   }
 }
 
 case class OneRowPartition() extends InputPartition
 
-case class OneRowReaderFactory(values: Array[Any]) extends PartitionReaderFactory {
+case class PrecomputedRowsFactory(values: Seq[Array[Any]]) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private var done = false
-      override def next(): Boolean = { val h = !done; done = true; h }
-      override def get(): InternalRow = new GenericInternalRow(values)
+      private val it = values.iterator
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        val h = it.hasNext
+        if (h) row = new GenericInternalRow(it.next())
+        h
+      }
+      override def get(): InternalRow = row
       override def close(): Unit = ()
     }
 }
 
-/** A Scan that emits the single pre-computed aggregate row. */
-class StrawAggScan(description0: String, schema: StructType, row: InternalRow)
+/** A Scan that emits pre-computed aggregate rows (one for a global
+  * aggregate, one per group for partition-column GROUP BY). */
+class StrawAggScan(description0: String, schema: StructType, rows: Seq[InternalRow])
   extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -185,5 +250,6 @@ class StrawAggScan(description0: String, schema: StructType, row: InternalRow)
     Array(OneRowPartition())
 
   override def createReaderFactory(): PartitionReaderFactory =
-    OneRowReaderFactory(row.asInstanceOf[GenericInternalRow].values.clone())
+    PrecomputedRowsFactory(
+      rows.map(_.asInstanceOf[GenericInternalRow].values.clone()))
 }

@@ -286,7 +286,7 @@ class StrawScanBuilder(path: String, fullSchema: StructType,
   private var exactFilters: Array[Filter] = Array.empty
   private var limit: Long = Long.MaxValue
   private var topN: Option[TopNPushdown.Spec] = None
-  private var aggResult: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
+  private var aggResult: Option[(StructType, Seq[org.apache.spark.sql.catalyst.InternalRow])] = None
 
   // PARTIAL Top-N: each partition emits only its k best candidates (and
   // prunes pages that provably can't beat them); Spark applies the global
@@ -321,10 +321,10 @@ class StrawScanBuilder(path: String, fullSchema: StructType,
     // attempt aggregate pushdown over the filtered scan.)
     if (pushedFiltersArr.nonEmpty || exactFilters.nonEmpty) return false
     AggPushdown.translate(fullSchema, aggregation) match {
-      case Some(specs) =>
-        AggPushdown.compute(path, fullSchema, specs) match {
-          case Some(row) =>
-            aggResult = Some((AggPushdown.outputSchema(fullSchema, specs), row))
+      case Some((grp, specs)) =>
+        AggPushdown.compute(path, fullSchema, grp, specs) match {
+          case Some(rows) =>
+            aggResult = Some((AggPushdown.outputSchema(fullSchema, grp, specs), rows))
             true
           case None => false
         }
@@ -397,8 +397,8 @@ class StrawScanBuilder(path: String, fullSchema: StructType,
   override def pushLimit(l: Int): Boolean = { limit = l; false }
 
   override def build(): Scan = aggResult match {
-    case Some((schema, row)) =>
-      new StrawAggScan(s"strawboat $path footer-only aggregate", schema, row)
+    case Some((schema, rows)) =>
+      new StrawAggScan(s"strawboat $path footer-only aggregate", schema, rows)
     case None =>
       new StrawScan(path, fullSchema, requiredSchema, pushedFiltersArr, limit,
         maxFilesPerTrigger, keyGrouped, topN, exactFilters)

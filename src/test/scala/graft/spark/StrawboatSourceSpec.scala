@@ -686,6 +686,39 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!qs.queryExecution.executedPlan.toString.contains("footer-only"))
   }
 
+  test("GROUP BY the partition column answered from footers only") {
+    val ss = spark
+    import ss.implicits._
+    val out = s"$dir/aggpart"
+    (0 until 9000).map(i => (i.toLong, i.toDouble / 3, Seq("a", "b", "c")(i % 3)))
+      .toDF("id", "v", "cat")
+      .write.format("strawboat").option("partitionBy", "cat")
+      .mode("overwrite").save(out)
+    val back = spark.read.format("strawboat").load(out)
+    val q = back.groupBy(col("cat"))
+      .agg(count(lit(1)).as("c"), min(col("v")).as("mn"), max(col("id")).as("mx"))
+    assert(q.queryExecution.executedPlan.toString.contains("footer-only aggregate"),
+      q.queryExecution.executedPlan.toString.take(400))
+    val got = q.orderBy("cat").collect().map(_.toSeq).toSeq
+    val src = (0 until 9000).map(i => (i.toLong, i.toDouble / 3, Seq("a", "b", "c")(i % 3)))
+      .toDF("id", "v", "cat")
+    val expect = src.groupBy(col("cat"))
+      .agg(count(lit(1)).as("c"), min(col("v")).as("mn"), max(col("id")).as("mx"))
+      .orderBy("cat").collect().map(_.toSeq).toSeq
+    assert(got == expect)
+    // unpartitioned table: grouped pushdown must decline (and stay correct)
+    val flat = s"$dir/aggflat"
+    src.write.format("strawboat").mode("overwrite").save(flat)
+    val q2 = spark.read.format("strawboat").load(flat)
+      .groupBy(col("cat")).agg(count(lit(1)).as("c"))
+    assert(!q2.queryExecution.executedPlan.toString.contains("footer-only"))
+    assert(q2.collect().map(_.getLong(1)).sorted.toSeq == Seq(3000L, 3000L, 3000L))
+    // grouping by a NON-partition column of a partitioned table: decline
+    val q3 = back.groupBy(col("id") % 2).agg(count(lit(1)))
+    assert(!q3.queryExecution.executedPlan.toString.contains("footer-only"))
+    assert(q3.collect().map(_.getLong(1)).sum == 9000L)
+  }
+
   test("SQL DDL: CREATE TABLE USING strawboat + pure-SQL query") {
     val out = s"$dir/sqlddl"
     lineitem.write.format("strawboat").mode("overwrite").save(out)
