@@ -125,7 +125,17 @@ object ColumnarSupport {
       try {
         val f = FooterCache.get(part.path, input)
         // per-file name resolution (files in a dir may have evolved schemas)
-        (f, StrawSchemaResolver.resolve(part.path, f.schema, readSchema))
+        val r = StrawSchemaResolver.resolve(part.path, f.schema, readSchema)
+        // backstop: the vectorized fill has no widening conversion — batch
+        // planning routes type-widened tables to the row reader, so hitting
+        // this means a planner path forgot to (fail loudly, never misread)
+        r.zipWithIndex.foreach { case (ci, c) =>
+          if (ci >= 0)
+            require(f.schema.fields(ci).dataType == readSchema.fields(c).dataType,
+              s"strawboat: widened column '${readSchema.fields(c).name}' in " +
+                s"${part.path} requires the row reader")
+        }
+        (f, r)
       } catch { case e: Throwable => input.close(); throw e }
     private val pageRows: Array[Int] =
       if (footer.columns.isEmpty) Array.empty else footer.columns(0).pages.map(_.numValues)

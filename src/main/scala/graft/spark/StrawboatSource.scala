@@ -52,9 +52,11 @@ class StrawboatDataSource extends TableProvider with DataSourceRegister {
       return FooterCache.get(one.path, one.mtime, one.len).schema
     }
     // merge across ALL files so schema-evolved appends surface new columns
-    // (the read path null-fills them per file); conflicting types fail here
-    // with both definitions named. Footers come from the version-keyed cache:
-    // repeated planning over an unchanged table costs zero footer IO.
+    // (the read path null-fills them per file) and WIDEN across lossless
+    // type evolution (int→long, float→double: the merged column takes the
+    // wider type, readers convert per file); incompatible types fail here
+    // with both definitions named. Footers come from the version-keyed
+    // cache: repeated planning over an unchanged table costs zero footer IO.
     val schemas = StrawIO.mapParallel(files)(f =>
       (f.path, FooterCache.get(f.path, f.mtime, f.len).schema))
     val fields = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
@@ -64,11 +66,15 @@ class StrawboatDataSource extends TableProvider with DataSourceRegister {
       fields.get(fld.name) match {
         case None => fields(fld.name) = fld
         case Some(prev) =>
-          require(prev.dataType == fld.dataType,
-            s"strawboat: column '${fld.name}' is ${prev.dataType} in one file " +
-              s"but ${fld.dataType} in $f")
-          if (fld.nullable && !prev.nullable)
-            fields(fld.name) = prev.copy(nullable = true)
+          val merged =
+            if (prev.dataType == fld.dataType) prev.dataType
+            else if (StrawSchemaResolver.widenable(prev.dataType, fld.dataType)) fld.dataType
+            else if (StrawSchemaResolver.widenable(fld.dataType, prev.dataType)) prev.dataType
+            else throw new IllegalArgumentException(
+              s"strawboat: column '${fld.name}' is ${prev.dataType} in one file " +
+                s"but ${fld.dataType} in $f")
+          fields(fld.name) = StructField(fld.name, merged,
+            nullable = prev.nullable || fld.nullable)
       }
     }
     StructType(fields.values.toSeq.map { fld =>
@@ -642,10 +648,17 @@ class StrawScan(
     parts.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // type-widened files (lossless schema evolution) need the converting
+    // row reader; the flag is exact — planning holds every footer
+    val typeWidened = footers.exists { case (_, f, _) =>
+      f.schema.fields.exists(fl => fullSchema.fields.find(_.name == fl.name)
+        .exists(tf => tf.dataType != fl.dataType))
+    }
     new StrawPartitionReaderFactory(fullSchema, requiredSchema,
       new org.apache.spark.util.SerializableConfiguration(StrawIO.conf), topN,
-      exactFilters)
+      exactFilters, typeWidened)
+  }
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(new StrawScanMetrics.PagesRead, new StrawScanMetrics.PagesPruned)
@@ -707,7 +720,8 @@ object StrawScan {
 class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: StructType,
     serConf: org.apache.spark.util.SerializableConfiguration,
     topN: Option[TopNPushdown.Spec] = None,
-    exactFilters: Array[Filter] = Array.empty)
+    exactFilters: Array[Filter] = Array.empty,
+    typeWidened: Boolean = false)
   extends PartitionReaderFactory {
 
   // Filters fully consumed by the scan (no residual Filter node above):
@@ -815,13 +829,21 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
       if (k) pagesRead += 1 else if (keepRange(pg)) pagesPruned += 1
       k
     }
-    // fast path: with every read column present in this file, the predicate
-    // pushes INTO the page iterator — failing rows are probed through a
-    // page-backed view and never materialized (late materialization), and
-    // the iterator's limit counts passing rows. The schema-evolution path
-    // (null-filled columns) evaluates after null-fill instead.
+    // per-column file types; a widened column (file narrower than table —
+    // lossless type evolution) converts during materialization
+    val fileTypes: Array[StructField] =
+      resolved.map(ci => if (ci < 0) null else footer.schema.fields(ci))
+    val hasWidened = resolved.indices.exists(c => resolved(c) >= 0 &&
+      fileTypes(c).dataType != readSchemaExt.fields(c).dataType)
+    // fast path: with every read column present at the table's exact type,
+    // the predicate pushes INTO the page iterator — failing rows are probed
+    // through a page-backed view and never materialized (late
+    // materialization), and the iterator's limit counts passing rows. The
+    // schema-evolution paths (null-filled or widened columns) evaluate
+    // after conversion instead — the view would hand the predicate
+    // file-typed values.
     val predInIt: InternalRow => Boolean =
-      if (resolved.forall(_ >= 0)) rowPred.orNull else null
+      if (resolved.forall(_ >= 0) && !hasWidened) rowPred.orNull else null
     // a pushed limit counts FILTER-PASSING rows: when the predicate runs
     // outside the iterator it must be applied after filtering
     val preLimit = if (rowPred.isDefined && predInIt == null) Long.MaxValue else p.limit
@@ -832,10 +854,18 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
         StrawScanMetrics.Value("pagesPruned", pagesPruned))
 
     val decoded: Iterator[InternalRow] =
-      if (resolved.forall(_ >= 0)) it // every required field present
+      if (resolved.forall(_ >= 0) && !hasWidened) it // exact match: pass through
       else new Iterator[InternalRow] {
-        // schema-evolved file: null-fill the missing fields (row is REUSED —
-        // consumers that retain rows must copy)
+        // schema-evolved file: null-fill missing fields and widen narrower
+        // ones (row is REUSED — consumers that retain rows must copy)
+        private val conv: Array[Any => Any] = resolved.indices.map { c =>
+          if (resolved(c) < 0) null
+          else {
+            val from = fileTypes(c).dataType
+            val to = readSchemaExt.fields(c).dataType
+            if (from == to) identity[Any] _ else StrawSchemaResolver.widen(from, to)
+          }
+        }.toArray
         private val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(resolved.length)
         override def hasNext: Boolean = it.hasNext
         override def next(): InternalRow = {
@@ -846,7 +876,8 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
             if (resolved(c) < 0) out.update(c, null)
             else {
               out.update(c,
-                if (r.isNullAt(pi)) null else r.get(pi, readSchemaExt.fields(c).dataType))
+                if (r.isNullAt(pi)) null
+                else conv(c)(r.get(pi, fileTypes(c).dataType)))
               pi += 1
             }
             c += 1
@@ -919,6 +950,7 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
   // in-reader (zero-copy for all-pass pages, survivor compaction for mixed)
   override def supportColumnarReads(partition: InputPartition): Boolean =
     !partition.isInstanceOf[StrawKeyedPartition] && topNActive.isEmpty &&
+      !typeWidened &&
       readSchemaExt.fields.forall(f => ColumnarSupport.isFlat(f.dataType))
 
   override def createColumnarReader(partition: InputPartition)
@@ -932,15 +964,43 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
 
 /** Per-file schema resolution by name: required field → index in the file's
   * footer schema, or -1 when the file predates the field (read as null).
-  * Type mismatches fail loudly with the offending file in the message. */
+  * A file column NARROWER than the table column resolves too (lossless
+  * type widening across schema evolution — the reader converts); any other
+  * mismatch fails loudly with the offending file in the message. */
 object StrawSchemaResolver {
+  import org.apache.spark.sql.types._
+
+  /** Lossless widenings a long-lived table accumulates: integral up-casts
+    * and float→double. (Decimal re-precision changes the physical layout
+    * at the 18/19 boundary and is deliberately out.) */
+  def widenable(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (ByteType, ShortType | IntegerType | LongType) => true
+    case (ShortType, IntegerType | LongType) => true
+    case (IntegerType, LongType) => true
+    case (FloatType, DoubleType) => true
+    case _ => false
+  }
+
+  /** Value converter for a widened column (boxed — only evolved files pay). */
+  def widen(from: DataType, to: DataType): Any => Any = (from, to) match {
+    case (ByteType, ShortType) => v => v.asInstanceOf[Byte].toShort
+    case (ByteType, IntegerType) => v => v.asInstanceOf[Byte].toInt
+    case (ByteType, LongType) => v => v.asInstanceOf[Byte].toLong
+    case (ShortType, IntegerType) => v => v.asInstanceOf[Short].toInt
+    case (ShortType, LongType) => v => v.asInstanceOf[Short].toLong
+    case (IntegerType, LongType) => v => v.asInstanceOf[Int].toLong
+    case (FloatType, DoubleType) => v => v.asInstanceOf[Float].toDouble
+    case other => throw new IllegalStateException(s"not widenable: $other")
+  }
+
   def resolve(path: String, fileSchema: StructType, required: StructType): Array[Int] =
     required.fields.map { f =>
       fileSchema.fields.indexWhere(_.name == f.name) match {
         case -1 => -1
         case i =>
-          require(fileSchema.fields(i).dataType == f.dataType,
-            s"strawboat: column '${f.name}' is ${fileSchema.fields(i).dataType} in $path " +
+          val fdt = fileSchema.fields(i).dataType
+          require(fdt == f.dataType || widenable(fdt, f.dataType),
+            s"strawboat: column '${f.name}' is $fdt in $path " +
               s"but ${f.dataType} in the table schema")
           i
       }

@@ -22,10 +22,14 @@ object ZoneMapFilter {
     if (v == null) return None
     try dt match {
       case BooleanType => Some(((if (v.asInstanceOf[Boolean]) 1L else 0L), StatsSigned))
-      case ByteType => Some((v.asInstanceOf[Byte].toLong, StatsSigned))
-      case ShortType => Some((v.asInstanceOf[Short].toLong, StatsSigned))
-      case IntegerType => Some((v.asInstanceOf[Int].toLong, StatsSigned))
-      case LongType => Some((v.asInstanceOf[Long], StatsSigned))
+      // lenient on the literal's box: with type widening a filter on the
+      // table's LONG column probes a file whose pages are INT-typed (and
+      // vice versa) — any integral literal compares in the same signed
+      // domain as the stats
+      case ByteType | ShortType | IntegerType | LongType => v match {
+        case n: java.lang.Number => Some((n.longValue(), StatsSigned))
+        case _ => None
+      }
       case DateType => v match {
         case d: java.sql.Date => Some((d.toLocalDate.toEpochDay, StatsSigned))
         case d: java.time.LocalDate => Some((d.toEpochDay, StatsSigned))

@@ -557,6 +557,47 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(narrow.count() == 1000)
   }
 
+  test("type widening across schema evolution: int->long and float->double merge and read") {
+    val ss = spark
+    import ss.implicits._
+    val out = s"$dir/widen"
+    spark.conf.set("spark.strawboat.exactFilterMaxPass", "1.0")
+    try {
+      // generation 1: int ids, float scores; generation 2: long ids, double
+      // scores (the common lossless evolution of a long-lived table)
+      Seq((1, 1.5f), (2, 2.5f), (3, -3.5f)).toDF("id", "score")
+        .write.format("strawboat").mode("append").save(out)
+      Seq((4000000000L, 4.5), (5L, Double.NaN)).toDF("id", "score")
+        .write.format("strawboat").mode("append").save(out)
+      val back = spark.read.format("strawboat").load(out)
+      assert(back.schema("id").dataType == org.apache.spark.sql.types.LongType)
+      assert(back.schema("score").dataType == org.apache.spark.sql.types.DoubleType)
+      val rows = back.orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(rows.map(_._1) == Seq(1L, 2L, 3L, 5L, 4000000000L))
+      assert(math.abs(rows.head._2 - 1.5) < 1e-9)
+      // filters against the WIDENED type hit both generations (consumed
+      // path: the old file's rows convert before predicate evaluation)
+      assert(back.filter(col("id") > 2L).count() == 3)
+      assert(back.filter(col("id") === 4000000000L).count() == 1)
+      assert(back.filter(col("score") < 0.0).count() == 1)
+      // top-n over the widened column, both generations contribute
+      val top = back.orderBy(col("id").desc).limit(2).collect().map(_.getLong(0)).toSeq
+      assert(top == Seq(4000000000L, 5L))
+      // aggregate pushdown across mixed stats stays exact
+      val mm = back.agg(min(col("id")), max(col("id"))).collect()(0)
+      assert(mm.getLong(0) == 1L && mm.getLong(1) == 4000000000L)
+      // incompatible evolution still fails loudly
+      Seq(("x", 1.0)).toDF("id", "score")
+        .write.format("strawboat").mode("append").save(s"$dir/widenbad")
+      Seq((1L, 1.0)).toDF("id", "score")
+        .write.format("strawboat").mode("append").save(s"$dir/widenbad")
+      intercept[Exception] {
+        spark.read.format("strawboat").load(s"$dir/widenbad").collect()
+      }
+    } finally spark.conf.unset("spark.strawboat.exactFilterMaxPass")
+  }
+
   test("schema evolution inside a partitioned table: new column null-fills, pruning intact") {
     val ss = spark
     import ss.implicits._
