@@ -187,12 +187,15 @@ object AggPushdown {
     val needCount = specs.collect { case CountColSpec(f) => f }.distinct
     val needMinMax = (specs.collect { case MinSpec(f) => f } ++
       specs.collect { case MaxSpec(f) => f }).distinct
+    // prefetch with the bounded parallel pool (same pattern as inferSchema),
+    // then accumulate in path order for deterministic group ordering
     val metas = StrawIO.listFilesMeta(path)
+    val footers = StrawIO.mapParallel(metas)(
+      m => FooterCache.get(m.path, m.mtime, m.len))
     grp match {
       case None =>
         val acc = new Acc(schema, needCount, needMinMax)
-        for (m <- metas)
-          if (!acc.add(FooterCache.get(m.path, m.mtime, m.len))) return None
+        for (footer <- footers) if (!acc.add(footer)) return None
         val row = new GenericInternalRow(specs.length)
         acc.fill(row, 0, specs)
         Some(Seq(row))
@@ -201,11 +204,17 @@ object AggPushdown {
         val dt = schema.fields(g).dataType
         // LinkedHashMap: deterministic row order (path-sorted first sight)
         val groups = collection.mutable.LinkedHashMap.empty[Option[String], Acc]
-        for (m <- metas) {
+        for ((m, footer) <- metas.zip(footers)) {
           PartitionLayout.partitionOf(m.path) match {
             case Some((c, v)) if c == groupCol =>
+              // the directory name must be CORROBORATED by the group
+              // column's own page stats (the column is also stored in the
+              // data) — a directory that merely happens to parse as
+              // col=value over unpartitioned files declines instead of
+              // fabricating a group
+              if (!groupValueConfirmed(footer, groupCol, dt, v)) return None
               val acc = groups.getOrElseUpdate(v, new Acc(schema, needCount, needMinMax))
-              if (!acc.add(FooterCache.get(m.path, m.mtime, m.len))) return None
+              if (!acc.add(footer)) return None
             case _ => return None // a file outside the layout: groups unknowable
           }
         }
@@ -217,6 +226,32 @@ object AggPushdown {
           acc.fill(row, 1, specs)
           row
         })
+    }
+  }
+
+  /** Every page of the group column must pin the directory's value: all
+    * null for the null directory, else no nulls and min == max == the
+    * encoded value (8-byte-prefix granularity for strings — exact under
+    * this writer's layout, where the column is constant per file). */
+  private def groupValueConfirmed(footer: graft.format.StrawFooter,
+      groupCol: String, dt: DataType, v: Option[String]): Boolean = {
+    val ci = footer.schema.fields.indexWhere(_.name == groupCol)
+    // column absent from the file: every row reads as null, so only the
+    // null directory tells the truth
+    if (ci < 0) return v.isEmpty
+    val pages = footer.columns(ci).pages
+    v match {
+      case None => pages.forall(p => p.nullCount == p.numValues)
+      case Some(s) =>
+        val parsed =
+          try StrawKeyedPartition.parse(Some(s), dt)
+          catch { case _: Exception => return false }
+        ZoneMapFilter.toStatsLong(dt, parsed) match {
+          case Some((enc, kind)) => pages.forall(p =>
+            p.numValues == 0 || (p.nullCount == 0 && p.statsKind == kind &&
+              p.min == enc && p.max == enc))
+          case None => false
+        }
     }
   }
 }

@@ -73,7 +73,8 @@ class StrawboatDataSource extends TableProvider with DataSourceRegister {
             else throw new IllegalArgumentException(
               s"strawboat: column '${fld.name}' is ${prev.dataType} in one file " +
                 s"but ${fld.dataType} in $f")
-          fields(fld.name) = StructField(fld.name, merged,
+          // copy from prev so first-seen field METADATA survives the merge
+          fields(fld.name) = prev.copy(dataType = merged,
             nullable = prev.nullable || fld.nullable)
       }
     }
@@ -650,10 +651,15 @@ class StrawScan(
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // type-widened files (lossless schema evolution) need the converting
-    // row reader; the flag is exact — planning holds every footer
+    // row reader; the flag is exact — planning holds every footer — and
+    // scoped to the columns this scan actually READS (a widened column the
+    // projection dropped must not cost the scan its vectorization)
+    val readCols: Set[String] =
+      requiredSchema.fieldNames.toSet ++ exactFilters.flatMap(_.references)
     val typeWidened = footers.exists { case (_, f, _) =>
-      f.schema.fields.exists(fl => fullSchema.fields.find(_.name == fl.name)
-        .exists(tf => tf.dataType != fl.dataType))
+      f.schema.fields.exists(fl => readCols.contains(fl.name) &&
+        fullSchema.fields.find(_.name == fl.name)
+          .exists(tf => tf.dataType != fl.dataType))
     }
     new StrawPartitionReaderFactory(fullSchema, requiredSchema,
       new org.apache.spark.util.SerializableConfiguration(StrawIO.conf), topN,

@@ -170,6 +170,12 @@ class StrawMicroBatchStream(path: String, fullSchema: StructType,
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
+  // set while planning each batch: whether any admitted file needs the
+  // converting row reader (type widening) — micro-batches are serial per
+  // query, and the engine calls planInputPartitions before
+  // createReaderFactory for the same batch
+  @volatile private var batchTypeWidened = false
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     // derived from the two offsets ALONE (no relisting): deterministic on
     // replay from a checkpoint
@@ -179,19 +185,27 @@ class StrawMicroBatchStream(path: String, fullSchema: StructType,
     val fresh = eo.files
       .filter { case (m, p) => m >= so.highWater && !seenSet.contains(p) }
       .map(_._2)
-    fresh.flatMap { file =>
+    var widened = false
+    val parts = fresh.flatMap { file =>
       val footer = StrawIO.withInput(file)(StrawFileReader.readFooter)
+      widened ||= footer.schema.fields.exists(fl =>
+        fullSchema.fields.find(_.name == fl.name).exists(_.dataType != fl.dataType))
       if (footer.columns.isEmpty) Nil
-      else Seq(StrawInputPartition(file, 0, footer.columns(0).pages.length, Long.MaxValue))
+      else Seq(StrawInputPartition(file, 0, footer.columns(0).pages.length,
+        Long.MaxValue): InputPartition)
     }.toArray
+    batchTypeWidened = widened
+    parts
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     // exactFilters forwarded defensively: if the engine ever pushes filters
-    // on the streaming path, the scan consumed them — readers must apply
+    // on the streaming path, the scan consumed them — readers must apply.
+    // typeWidened from THIS batch's files routes widened generations to the
+    // converting row reader instead of tripping the columnar backstop.
     new StrawPartitionReaderFactory(fullSchema, requiredSchema,
       new org.apache.spark.util.SerializableConfiguration(StrawIO.conf),
-      topN = None, exactFilters = exactFilters)
+      topN = None, exactFilters = exactFilters, typeWidened = batchTypeWidened)
 }
 
 case class StrawStreamingWriterFactory(path: String, schema: StructType,
