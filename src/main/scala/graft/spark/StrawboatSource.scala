@@ -215,7 +215,8 @@ class StrawboatTable(path: String, val schemaArg: StructType)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new StrawScanBuilder(path, schemaArg,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
-      Option(options.get("keyGrouped")).exists(_.toBoolean))
+      Option(options.get("keyGrouped")).exists(_.toBoolean),
+      Option(options.get("maxBytesPerTrigger")).map(_.toLong))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val partitionCol = Option(info.options().get("partitionBy"))
@@ -280,7 +281,8 @@ object StrawWriteOptions {
 // ---------------------------------------------------------------------------
 
 class StrawScanBuilder(path: String, fullSchema: StructType,
-    maxFilesPerTrigger: Option[Int] = None, keyGrouped: Boolean = false)
+    maxFilesPerTrigger: Option[Int] = None, keyGrouped: Boolean = false,
+    maxBytesPerTrigger: Option[Long] = None)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters
@@ -408,7 +410,7 @@ class StrawScanBuilder(path: String, fullSchema: StructType,
       new StrawAggScan(s"strawboat $path footer-only aggregate", schema, rows)
     case None =>
       new StrawScan(path, fullSchema, requiredSchema, pushedFiltersArr, limit,
-        maxFilesPerTrigger, keyGrouped, topN, exactFilters)
+        maxFilesPerTrigger, keyGrouped, topN, exactFilters, maxBytesPerTrigger)
   }
 }
 
@@ -480,7 +482,8 @@ class StrawScan(
     maxFilesPerTrigger: Option[Int] = None,
     keyGrouped: Boolean = false,
     topN: Option[TopNPushdown.Spec] = None,
-    exactFilters: Array[Filter] = Array.empty)
+    exactFilters: Array[Filter] = Array.empty,
+    maxBytesPerTrigger: Option[Long] = None)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
@@ -530,7 +533,7 @@ class StrawScan(
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new StrawMicroBatchStream(path, fullSchema, requiredSchema, maxFilesPerTrigger,
-      exactFilters)
+      exactFilters, maxBytesPerTrigger)
   override def description(): String =
     s"strawboat $path skipFilters=[${filters.mkString(", ")}] " +
       s"exactFilters=[${exactFilters.mkString(", ")}] limit=" +

@@ -86,7 +86,8 @@ object StrawStreamOffset {
 
 class StrawMicroBatchStream(path: String, fullSchema: StructType,
     requiredSchema: StructType, maxFilesPerTrigger: Option[Int] = None,
-    exactFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    exactFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    maxBytesPerTrigger: Option[Long] = None)
   extends MicroBatchStream with SupportsAdmissionControl
   with SupportsTriggerAvailableNow {
 
@@ -127,10 +128,41 @@ class StrawMicroBatchStream(path: String, fullSchema: StructType,
   override def latestOffset(): Offset =
     StrawStreamOffset(Long.MinValue, currentFiles())
 
-  // backpressure: cap the files admitted per micro-batch
-  // (.option("maxFilesPerTrigger", n) on the stream reader)
-  override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+  // backpressure: cap the files and/or bytes admitted per micro-batch
+  // (.option("maxFilesPerTrigger", n) / .option("maxBytesPerTrigger", b))
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
+      maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  /** Apply one admission limit to the candidate list (in admission order).
+    * Byte caps re-stat candidates (sizes are deliberately NOT in the
+    * offset format — checkpoints stay compatible) and always admit at
+    * least one file so a single over-cap file can't wedge the stream. */
+  private def applyLimit(fresh: Seq[(Long, String)], limit: ReadLimit): Seq[(Long, String)] =
+    limit match {
+      case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        fresh.take(mf.maxFiles())
+      case mb: org.apache.spark.sql.connector.read.streaming.ReadMaxBytes =>
+        val fs = StrawIO.fs(path)
+        var budget = mb.maxBytes()
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+        for (e <- fresh) {
+          val len =
+            try fs.getFileStatus(new org.apache.hadoop.fs.Path(e._2)).getLen
+            catch { case _: java.io.IOException => 0L } // vanished: admit, reader will surface it
+          if (out.isEmpty || len <= budget) { out += e; budget -= len }
+        }
+        out.toSeq
+      case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+        c.getReadLimits.foldLeft(fresh)(applyLimit)
+      case _ => fresh
+    }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val so = start.asInstanceOf[StrawStreamOffset]
@@ -139,11 +171,7 @@ class StrawMicroBatchStream(path: String, fullSchema: StructType,
     val fresh = visible.filter { case (m, p) =>
       m >= so.highWater && !seenSet.contains(p)
     }
-    val admitted = limit match {
-      case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
-        fresh.take(mf.maxFiles())
-      case _ => fresh
-    }
+    val admitted = applyLimit(fresh, limit)
     // nothing new: return the START offset unchanged (json-identical), which
     // is how the engine detects no-new-data and AvailableNow terminates
     if (admitted.isEmpty) so

@@ -113,6 +113,10 @@ class ExactFilterEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("projection drops filter col", df =>
         df.filter(col("d") > 0.0 && col("l") < 50).select(col("id"), col("s"))),
       ("filtered limit", _.filter(col("l") > 0).limit(37)),
+      ("filtered topN drops filter col", df =>
+        df.filter(col("d") > 0.0)
+          .orderBy(col("l").desc_nulls_last, col("id")).limit(25)
+          .select(col("id"), col("s"))),
       ("filtered count", df =>
         df.filter(col("s").isNotNull && col("l") =!= 0L)
           .agg(count(lit(1)).as("c")))

@@ -177,6 +177,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(s"$dir/mfptOut").count() == 60)
   }
 
+  test("maxBytesPerTrigger bounds bytes admitted per micro-batch (composes with maxFiles)") {
+    val data = s"$dir/mbpt"
+    for (i <- 0 until 6)
+      spark.range(i * 10, i * 10 + 10).coalesce(1)
+        .write.format("strawboat").mode("append").save(data)
+    val oneFileBytes = StrawIO.listFilesMeta(data).map(_.len).max
+    val q = spark.readStream.format("strawboat")
+      // budget for ~1 file per batch; at-least-one admission guarantees
+      // progress even if a file exceeds the budget
+      .option("maxBytesPerTrigger", oneFileBytes.toString)
+      .option("maxFilesPerTrigger", "4")
+      .load(data)
+      .writeStream.format("parquet").option("path", s"$dir/mbptOut")
+      .option("checkpointLocation", s"$dir/mbptCkpt")
+      .trigger(Trigger.ProcessingTime("200 milliseconds")).start()
+    Thread.sleep(6000)
+    q.stop(); q.awaitTermination(30000)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 4, s"expected >=4 byte-bounded batches, got ${batches.length}")
+    assert(batches.forall(_.numInputRows <= 20),
+      batches.map(_.numInputRows).mkString(","))
+    assert(spark.read.parquet(s"$dir/mbptOut").count() == 60)
+  }
+
   test("partitioned streaming sink: epochs land in hive subdirectories") {
     val outDir = s"$dir/streampart"
     val src = spark.readStream.format("rate")
