@@ -149,14 +149,20 @@ class StrawMicroBatchStream(path: String, fullSchema: StructType,
       case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
         fresh.take(mf.maxFiles())
       case mb: org.apache.spark.sql.connector.read.streaming.ReadMaxBytes =>
+        // PREFIX admission only (stop at the first file over budget, never
+        // skip-and-continue): the offset compaction treats the admitted set
+        // as a prefix of the backlog — a gap could advance the high-water
+        // mark past a skipped file and lose it permanently
         val fs = StrawIO.fs(path)
         var budget = mb.maxBytes()
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
-        for (e <- fresh) {
+        var stop = false
+        for (e <- fresh if !stop) {
           val len =
             try fs.getFileStatus(new org.apache.hadoop.fs.Path(e._2)).getLen
             catch { case _: java.io.IOException => 0L } // vanished: admit, reader will surface it
           if (out.isEmpty || len <= budget) { out += e; budget -= len }
+          else stop = true
         }
         out.toSeq
       case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
