@@ -125,10 +125,15 @@ object Ann {
       dim: Int, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
       seed: Long = 7, sampleSize: Int = 1024): DataFrame = {
     val centroids = fitQuantizer(corpus, dim, nCentroids, seed, sampleSize)
-    val corpusCells = assignCells(spark, corpus, centroids, 1)
-    val queryCells = assignCells(spark, queries, centroids, nProbe)
-    // no dedup needed: every corpus vector lives in exactly ONE cell
-    // (probes=1 at assignment), so a (query, neighbor) pair meets once
+    cellTopK(spark, assignCells(spark, corpus, centroids, 1),
+      assignCells(spark, queries, centroids, nProbe), k)
+  }
+
+  /** Score cell-collocated (query, corpus) pairs and keep each query's
+    * top-k. No dedup needed: every corpus vector lives in exactly ONE cell
+    * (probes=1 at assignment), so a (query, neighbor) pair meets once. */
+  private def cellTopK(spark: SparkSession, corpusCells: DataFrame,
+      queryCells: DataFrame, k: Int): DataFrame = {
     val scored = corpusCells.as("c")
       .join(queryCells.as("q"),
         col("c.cent_id") === col("q.cent_id") && col("c.vec_id") =!= col("q.vec_id"))
@@ -198,7 +203,7 @@ object Ann {
     centroids
   }
 
-  private def CentroidsFile = "_ivf_centroids"
+  private val CentroidsFile = "_ivf_centroids"
 
   /** Centroid sidecar: plain text (`nCent dim` header, one row of floats
     * per centroid). The name carries no data extension, so scans never
@@ -252,16 +257,7 @@ object Ann {
     val corpusCells = spark.read.format("strawboat")
       .option("mergeSchema", "false").load(indexDir)
       .filter(col("cent_id").isin(probed.map(_.asInstanceOf[Any]): _*))
-    // no dedup needed: the index assigned each vector to exactly one cell
-    val scored = corpusCells.as("c")
-      .join(queryCells.as("q"),
-        col("c.cent_id") === col("q.cent_id") && col("c.vec_id") =!= col("q.vec_id"))
-      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
-        round(VectorFunctions.cosine(spark, col("q.embedding"), col("c.embedding")), 4)
-          .as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    cellTopK(spark, corpusCells, queryCells, k)
   }
 
   /** Nearest-`probes` centroid ids per row as a PURE expression — the

@@ -270,7 +270,7 @@ object ColumnarSupport {
       // close every allocated vector exactly once (batches share vectors)
       if (vectors != null) { vectors.foreach(_.close()); vectors = null }
       if (compactVectors != null) { compactVectors.foreach(_.close()); compactVectors = null }
-      if (batch != null) batch = null
+      batch = null
       input.close()
     }
   }

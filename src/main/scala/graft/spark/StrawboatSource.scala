@@ -921,13 +921,12 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
       case Some((buf, _, _)) =>
         // the buffer sees exactly the filter-passing rows (pred above) — a
         // failing row could otherwise evict a true candidate
-        val offered = produced
         new PartitionReader[InternalRow] {
           private var drained: Iterator[InternalRow] = _
           private var row: InternalRow = _
           override def next(): Boolean = {
             if (drained == null) {
-              offered.foreach(buf.offer) // offer() copies retained rows
+              produced.foreach(buf.offer) // offer() copies retained rows
               drained = buf.drain()
             }
             val h = drained.hasNext

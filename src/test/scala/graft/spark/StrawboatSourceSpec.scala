@@ -30,6 +30,30 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     if (spark != null) spark.stop()
   }
 
+  /** Corrupt the data bytes of every page except the first in the dir's one
+    * data file (footer intact, Hadoop .crc sidecar dropped so only
+    * actually-decoded pages can fail) — the shared proof that page pruning
+    * skips IO: a pruned query still succeeds, a full decode throws. */
+  private def corruptAllPagesExceptFirst(out: String): Unit = {
+    import graft.format._
+    val file = new java.io.File(out).listFiles.filter(_.getName.endsWith(".strb")).head
+    val footer = {
+      val in = new LocalFileInput(file.getPath)
+      try StrawFileReader.readFooter(in) finally in.close()
+    }
+    val raf = new java.io.RandomAccessFile(file, "rw")
+    try {
+      for (c <- footer.columns.indices) {
+        val offs = footer.columns(c).pageOffsets
+        for (p <- 1 until footer.columns(c).pages.length) {
+          raf.seek(offs(p))
+          raf.write(Array.fill(math.min(16, footer.columns(c).pages(p).compLen.toInt))(0x5A.toByte))
+        }
+      }
+    } finally raf.close()
+    new java.io.File(file.getParentFile, s".${file.getName}.crc").delete(): Unit
+  }
+
   private def lineitem: DataFrame =
     spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
 
@@ -260,27 +284,9 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val expect = topk(rows.toDF("v", "tag"))
     assert(topk(spark.read.format("strawboat").load(out)) == expect)
 
-    // proof pruning happens: corrupt the DATA bytes of every page except the
-    // first (footer stays intact); a DESC top-k must succeed because those
-    // pages are skipped, while a full scan must fail
-    val file = new java.io.File(out).listFiles.filter(_.getName.endsWith(".strb")).head
-    val (footer, len) = {
-      val in = new LocalFileInput(file.getPath)
-      try (StrawFileReader.readFooter(in), in.length) finally in.close()
-    }
-    val raf = new java.io.RandomAccessFile(file, "rw")
-    try {
-      for (c <- footer.columns.indices) {
-        val offs = footer.columns(c).pageOffsets
-        for (p <- 1 until footer.columns(c).pages.length) {
-          raf.seek(offs(p))
-          raf.write(Array.fill(math.min(16, footer.columns(c).pages(p).compLen.toInt))(0x5A.toByte))
-        }
-      }
-    } finally raf.close()
-    // drop the Hadoop checksum sidecar: it covers the whole file and would
-    // fail ANY read — this test needs failures only on actually-decoded pages
-    new java.io.File(file.getParentFile, s".${file.getName}.crc").delete()
+    // proof pruning happens: a DESC top-k must succeed because corrupted
+    // later pages are skipped, while a full scan must fail
+    corruptAllPagesExceptFirst(out)
     assert(topk(spark.read.format("strawboat").load(out)) == expect) // pruned => no IO on corrupt pages
     intercept[Exception] { // a full decode (count/min/max are footer-only) hits them
       spark.read.format("strawboat").load(out).agg(sum(col("v"))).collect()
@@ -357,25 +363,10 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
     val expect = topk(rows.toDF("v", "u", "tag"))
     assert(topk(spark.read.format("strawboat").load(out)) == expect)
-    // corrupt the data bytes of every page but the first: the filtered
-    // top-k must still succeed (those pages are pruned by the Top-N bound,
-    // not merely dropped by the filter — u<5 matches rows on EVERY page)
-    val file = new java.io.File(out).listFiles.filter(_.getName.endsWith(".strb")).head
-    val footer = {
-      val in = new LocalFileInput(file.getPath)
-      try StrawFileReader.readFooter(in) finally in.close()
-    }
-    val raf = new java.io.RandomAccessFile(file, "rw")
-    try {
-      for (c <- footer.columns.indices) {
-        val offs = footer.columns(c).pageOffsets
-        for (p <- 1 until footer.columns(c).pages.length) {
-          raf.seek(offs(p))
-          raf.write(Array.fill(math.min(16, footer.columns(c).pages(p).compLen.toInt))(0x5A.toByte))
-        }
-      }
-    } finally raf.close()
-    new java.io.File(file.getParentFile, s".${file.getName}.crc").delete()
+    // the filtered top-k must still succeed after corruption: later pages
+    // are pruned by the Top-N bound, not merely dropped by the filter
+    // (u<5 matches rows on EVERY page)
+    corruptAllPagesExceptFirst(out)
     assert(topk(spark.read.format("strawboat").load(out)) == expect)
     } finally spark.conf.unset("spark.strawboat.exactFilterMaxPass")
   }
