@@ -8,18 +8,28 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import scala.collection.mutable.ArrayBuffer
 
-/** On-disk layout of a `.strb` file (original design; structurally follows
-  * the reference's file shape — magic, contiguous per-column pages, trailing
-  * self-describing footer; reference: src/write/writer.rs:91-167,
-  * src/read/reader.rs:168-241):
+/** On-disk layout of a `.strb` file, format v2 (original design;
+  * structurally follows the reference's file shape — magic, contiguous
+  * per-column pages, trailing self-describing footer; reference:
+  * src/write/writer.rs:91-167, src/read/reader.rs:168-241):
   *
   * {{{
-  * magic "GRAFT1\0\0"                          (8 bytes)
-  * column 0 pages | column 1 pages | ...       (each page self-contained)
+  * magic "GRAFT2\0\0"                          (8 bytes)
+  * leaf 0 pages | leaf 1 pages | ...           (each page self-contained)
   * schemaBytes (Spark StructType JSON, UTF-8)
   * metaBytes   (see MetaIO)
-  * schemaLen u32 | metaLen u32 | "GRAFTEND"    (16-byte tail)
+  * schemaLen u32 | metaLen u32 | "GRAFTEN2"    (16-byte tail)
   * }}}
+  *
+  * v2 stores one page stream per LEAF column ([[LeafLayout]]): nested types
+  * are flattened into separately addressable leaves, each with its own
+  * [[ColumnMeta]] and per-page stats, as the reference does
+  * (src/write/common.rs:60-68) — so reading one struct field reads only
+  * that leaf's bytes, and struct-field predicates prune pages. v1 files
+  * (magic `GRAFT1`/`GRAFTEND`) serialized a nested column's children into
+  * one page blob; that layout cannot express leaf projection and was
+  * DROPPED in a documented breaking bump — readers reject v1 files with an
+  * explicit rewrite message rather than carrying a second decode path.
   *
   * Unlike the reference footer (length + num_values per page only,
   * src/lib.rs:75-80) every page carries optional zone-map stats
@@ -27,8 +37,9 @@ import scala.collection.mutable.ArrayBuffer
   * the SURVEY §7.4 "v2 footer" extension, built in from the start.
   */
 object StrawFormat {
-  val Magic: Array[Byte] = Array('G', 'R', 'A', 'F', 'T', '1', 0, 0).map(_.toByte)
-  val EofMagic: Array[Byte] = "GRAFTEND".getBytes("UTF-8")
+  val Magic: Array[Byte] = Array('G', 'R', 'A', 'F', 'T', '2', 0, 0).map(_.toByte)
+  val EofMagic: Array[Byte] = "GRAFTEN2".getBytes("UTF-8")
+  val EofMagicV1: Array[Byte] = "GRAFTEND".getBytes("UTF-8")
   val Extension = ".strb"
 
   /** Stats kind per page: how min/max longs are to be compared. */
@@ -78,8 +89,14 @@ object StrawFormat {
   def prefixLong(bytes: Array[Byte]): Long = prefixLong(bytes, 0, bytes.length)
 }
 
-/** `min2`/`max2` are the low-64-bit planes, used only by
-  * [[StrawFormat.StatsDecimal128]] (zero otherwise). */
+/** Per-page metadata of ONE LEAF column. `numValues` is the page group's
+  * TOP-LEVEL ROW count — uniform across every leaf of the file (the writer
+  * flushes all columns together), so planners count rows off any leaf;
+  * a leaf's own value count (elements under arrays/maps) is self-described
+  * in its page bytes. `nullCount` counts the LEAF's null slots (for a
+  * struct-path leaf this includes rows where an ancestor struct is null —
+  * exactly the SQL null semantics of `parent.field`). `min2`/`max2` are the
+  * low-64-bit planes, used only by [[StrawFormat.StatsDecimal128]]. */
 final case class PageMeta(
     numValues: Int,
     compLen: Long,
@@ -102,7 +119,17 @@ final case class ColumnMeta(offset: Long, pages: Array[PageMeta]) {
   }
 }
 
-final case class StrawFooter(schema: StructType, numRows: Long, columns: Array[ColumnMeta])
+/** `columns` holds one [[ColumnMeta]] per LEAF ([[LeafLayout]] DFS order);
+  * for a flat top-level field the leaf IS the field. */
+final case class StrawFooter(schema: StructType, numRows: Long, columns: Array[ColumnMeta]) {
+  /** Starting leaf index per top-level field (+ total leaf count last). */
+  lazy val leafStarts: Array[Int] = LeafLayout.starts(schema)
+
+  /** The first leaf's meta of top-level field `i` — for a FLAT field this
+    * is the field's own (exact) meta; callers indexing by field must gate
+    * on flatness where leaf-level stats/null counts would differ. */
+  def topLeaf(i: Int): ColumnMeta = columns(leafStarts(i))
+}
 
 object MetaIO {
   import StrawFormat._
@@ -136,9 +163,13 @@ object MetaIO {
   def readFooter(tail: Array[Byte]): StrawFooter = {
     val n = tail.length
     require(n >= 16, "file too small for strawboat footer")
-    val magicOk = java.util.Arrays.equals(
-      java.util.Arrays.copyOfRange(tail, n - 8, n), EofMagic)
-    require(magicOk, "bad strawboat EOF magic")
+    val eof = java.util.Arrays.copyOfRange(tail, n - 8, n)
+    if (java.util.Arrays.equals(eof, EofMagicV1))
+      throw new IllegalArgumentException(
+        "strawboat: file written by format v1 (nested-blob layout) — v2 is a " +
+          "breaking bump to the per-leaf column layout; rewrite the file with " +
+          "the current writer")
+    require(java.util.Arrays.equals(eof, EofMagic), "bad strawboat EOF magic")
     val szBuf = ByteIO.reader(tail, n - 16, 8)
     val schemaLen = szBuf.getInt()
     val metaLen = szBuf.getInt()
@@ -233,28 +264,53 @@ object ValidityReader {
 }
 
 final case class PageStats(statsKind: Int, min: Long, max: Long,
-    min2: Long = 0L, max2: Long = 0L)
+    min2: Long = 0L, max2: Long = 0L, nullCount: Int = 0)
 
-/** One top-level (or nested child) column's write-side buffer.
-  * `append` pulls the value out of a row/array via SpecializedGetters. */
+/** One column's write-side buffer (top-level or nested child). `append`
+  * pulls the value out of a row/array via SpecializedGetters; at page flush
+  * every descendant LEAF encodes its own self-contained page
+  * ([[encodeLeaves]]), prefixed with its ancestors' level headers. */
 sealed abstract class ColumnWriter(val opts: WriteOptions) {
   val validity = new ValidityBuilder
   def count: Int = validity.count
   def append(g: SpecializedGetters, ordinal: Int): Unit
   def appendNull(): Unit
-  /** Encode buffered values as one self-contained page and clear. */
-  def encodePage(out: ByteBuf): PageStats
-  def clearBuffers(): Unit
-  final def flushPage(out: ByteBuf): (PageStats, Int, Int) = {
-    val n = validity.count
-    val nulls = validity.nullCount
-    val stats = encodePage(out)
-    validity.clear()
-    clearBuffers()
-    (stats, n, nulls)
-  }
+  /** Number of leaf columns under this writer ([[LeafLayout.leafCount]]). */
+  def leafCount: Int
+  /** Encode the buffered page into the per-leaf buffers
+    * `outs(base until base+leafCount)`, each page prefixed with `prefix`
+    * (the already-encoded ancestor level headers), recording per-leaf
+    * stats. Buffers are NOT cleared — call [[clearPage]] afterwards (the
+    * same struct/map header bytes feed several leaf subtrees). */
+  def encodeLeaves(prefix: Array[Byte], outs: Array[ByteBuf],
+      stats: Array[PageStats], base: Int): Unit
+  /** Reset all page buffers (recursively) after [[encodeLeaves]]. */
+  def clearPage(): Unit
   /** Rough in-memory size of buffered data (for file rolling). */
   def bufferedBytes: Long
+
+  protected final def concatPrefix(prefix: Array[Byte], hdr: ByteBuf): Array[Byte] = {
+    val out = new Array[Byte](prefix.length + hdr.len)
+    System.arraycopy(prefix, 0, out, 0, prefix.length)
+    System.arraycopy(hdr.buf, 0, out, prefix.length, hdr.len)
+    out
+  }
+}
+
+/** A flat (leaf) column: owns exactly one page stream of validity + data. */
+sealed abstract class LeafColumnWriter(opts: WriteOptions) extends ColumnWriter(opts) {
+  /** Encode validity + data of the buffered page. */
+  def encodePage(out: ByteBuf): PageStats
+  def clearBuffers(): Unit
+  final def leafCount: Int = 1
+  final def encodeLeaves(prefix: Array[Byte], outs: Array[ByteBuf],
+      stats: Array[PageStats], base: Int): Unit = {
+    val out = outs(base)
+    out.putBytes(prefix)
+    val nulls = validity.nullCount
+    stats(base) = encodePage(out).copy(nullCount = nulls)
+  }
+  final def clearPage(): Unit = { validity.clear(); clearBuffers() }
 }
 
 final class LongColumnWriter(
@@ -264,7 +320,7 @@ final class LongColumnWriter(
     statsKind: Int,
     toSortable: Long => Long = identity,
     floatBits: Boolean = false)
-  extends ColumnWriter(opts) {
+  extends LeafColumnWriter(opts) {
   private var values = new Array[Long](1024)
   private var n = 0
   private var lastValid = 0L
@@ -299,7 +355,7 @@ final class LongColumnWriter(
 }
 
 final class BinaryColumnWriter(opts: WriteOptions, isString: Boolean)
-  extends ColumnWriter(opts) {
+  extends LeafColumnWriter(opts) {
   private val bytes = new ByteBuf(1 << 16)
   private var offsets = new Array[Int](1025)
   private var n = 0
@@ -364,13 +420,15 @@ final class ArrayColumnWriter(opts: WriteOptions, elem: ColumnWriter,
     grow(); lengths(n) = 0L; n += 1
     validity.append(false)
   }
-  def encodePage(out: ByteBuf): PageStats = {
-    validity.encode(opts, out)
-    IntCodec.encode(lengths, n, 4, opts, 0, out)
-    elem.flushPage(out)
-    PageStats(StrawFormat.StatsNone, 0, 0)
+  def leafCount: Int = elem.leafCount
+  def encodeLeaves(prefix: Array[Byte], outs: Array[ByteBuf],
+      stats: Array[PageStats], base: Int): Unit = {
+    val hdr = new ByteBuf(256)
+    validity.encode(opts, hdr)
+    IntCodec.encode(lengths, n, 4, opts, 0, hdr)
+    elem.encodeLeaves(concatPrefix(prefix, hdr), outs, stats, base)
   }
-  def clearBuffers(): Unit = n = 0
+  def clearPage(): Unit = { validity.clear(); n = 0; elem.clearPage() }
   def bufferedBytes: Long = 4L * n + elem.bufferedBytes
 }
 
@@ -398,14 +456,18 @@ final class MapColumnWriter(opts: WriteOptions, key: ColumnWriter, value: Column
     grow(); lengths(n) = 0L; n += 1
     validity.append(false)
   }
-  def encodePage(out: ByteBuf): PageStats = {
-    validity.encode(opts, out)
-    IntCodec.encode(lengths, n, 4, opts, 0, out)
-    key.flushPage(out)
-    value.flushPage(out)
-    PageStats(StrawFormat.StatsNone, 0, 0)
+  def leafCount: Int = key.leafCount + value.leafCount
+  def encodeLeaves(prefix: Array[Byte], outs: Array[ByteBuf],
+      stats: Array[PageStats], base: Int): Unit = {
+    // the same map-level header feeds both the key and value leaf subtrees
+    val hdr = new ByteBuf(256)
+    validity.encode(opts, hdr)
+    IntCodec.encode(lengths, n, 4, opts, 0, hdr)
+    val p2 = concatPrefix(prefix, hdr)
+    key.encodeLeaves(p2, outs, stats, base)
+    value.encodeLeaves(p2, outs, stats, base + key.leafCount)
   }
-  def clearBuffers(): Unit = n = 0
+  def clearPage(): Unit = { validity.clear(); n = 0; key.clearPage(); value.clearPage() }
   def bufferedBytes: Long = 4L * n + key.bufferedBytes + value.bufferedBytes
 }
 
@@ -425,13 +487,23 @@ final class StructColumnWriter(opts: WriteOptions, fields: Array[ColumnWriter])
     while (i < fields.length) { fields(i).appendNull(); i += 1 }
     validity.append(false)
   }
-  def encodePage(out: ByteBuf): PageStats = {
-    validity.encode(opts, out)
+  val leafCount: Int = fields.foldLeft(0)(_ + _.leafCount)
+  def encodeLeaves(prefix: Array[Byte], outs: Array[ByteBuf],
+      stats: Array[PageStats], base: Int): Unit = {
+    // the struct's own validity is encoded ONCE and replicated into every
+    // descendant leaf's page prefix (sibling leaves stay self-contained)
+    val hdr = new ByteBuf(64)
+    validity.encode(opts, hdr)
+    val p2 = concatPrefix(prefix, hdr)
+    var b = base
     var i = 0
-    while (i < fields.length) { fields(i).flushPage(out); i += 1 }
-    PageStats(StrawFormat.StatsNone, 0, 0)
+    while (i < fields.length) {
+      fields(i).encodeLeaves(p2, outs, stats, b)
+      b += fields(i).leafCount
+      i += 1
+    }
   }
-  def clearBuffers(): Unit = ()
+  def clearPage(): Unit = { validity.clear(); fields.foreach(_.clearPage()) }
   def bufferedBytes: Long = fields.map(_.bufferedBytes).sum
 }
 
@@ -444,7 +516,7 @@ final class StructColumnWriter(opts: WriteOptions, fields: Array[ColumnWriter])
   * MIN/MAX aggregation both stay valid (the legacy
   * [[StrawFormat.StatsDoubleApprox]] kind remains readable). */
 final class Decimal128ColumnWriter(opts: WriteOptions, precision: Int, scale: Int)
-  extends ColumnWriter(opts) {
+  extends LeafColumnWriter(opts) {
   private var hi = new Array[Long](1024)
   private var lo = new Array[Long](1024)
   private var n = 0
@@ -491,7 +563,7 @@ final class Decimal128ColumnWriter(opts: WriteOptions, precision: Int, scale: In
 }
 
 /** All-null / NullType column: validity only. */
-final class NullColumnWriter(opts: WriteOptions) extends ColumnWriter(opts) {
+final class NullColumnWriter(opts: WriteOptions) extends LeafColumnWriter(opts) {
   def append(g: SpecializedGetters, ordinal: Int): Unit = validity.append(true)
   def appendNull(): Unit = validity.append(false)
   def encodePage(out: ByteBuf): PageStats = {
@@ -537,6 +609,9 @@ object ColumnWriter {
     case MapType(kt, vt, vcn) =>
       new MapColumnWriter(opts, apply(kt, opts), apply(vt, opts), vcn)
     case StructType(fields) =>
+      // a field-less struct has no leaf to carry its validity in the
+      // per-leaf layout (and Spark SQL cannot construct one anyway)
+      require(fields.nonEmpty, "strawboat: empty struct type unsupported")
       new StructColumnWriter(opts, fields.map(f => apply(f.dataType, opts)))
     case NullType => new NullColumnWriter(opts)
     case other =>
@@ -552,9 +627,12 @@ object ColumnWriter {
 final class StrawFileWriter(schema: StructType, opts: WriteOptions) {
   private val writers: Array[ColumnWriter] =
     schema.fields.map(f => ColumnWriter(f.dataType, opts))
-  private val colBufs: Array[ByteBuf] = schema.fields.map(_ => new ByteBuf(1 << 16))
+  // one page stream per LEAF column (LeafLayout DFS order), not per field
+  private val leafStarts: Array[Int] = LeafLayout.starts(schema)
+  private val totalLeaves: Int = leafStarts.last
+  private val colBufs: Array[ByteBuf] = Array.fill(totalLeaves)(new ByteBuf(1 << 16))
   private val pageMetas: Array[ArrayBuffer[PageMeta]] =
-    schema.fields.map(_ => new ArrayBuffer[PageMeta])
+    Array.fill(totalLeaves)(new ArrayBuffer[PageMeta])
   private var rowsInPage = 0
   private var totalRows = 0L
 
@@ -576,13 +654,21 @@ final class StrawFileWriter(schema: StructType, opts: WriteOptions) {
 
   private def flushPages(): Unit = {
     if (rowsInPage > 0) {
+      val stats = new Array[PageStats](totalLeaves)
+      val before: Array[Int] = colBufs.map(_.len)
       var c = 0
       while (c < writers.length) {
-        val before = colBufs(c).len
-        val (stats, n, nulls) = writers(c).flushPage(colBufs(c))
-        pageMetas(c) += PageMeta(n, (colBufs(c).len - before).toLong, nulls,
-          stats.statsKind, stats.min, stats.max, stats.min2, stats.max2)
+        writers(c).encodeLeaves(Array.emptyByteArray, colBufs, stats, leafStarts(c))
+        writers(c).clearPage()
         c += 1
+      }
+      var l = 0
+      while (l < totalLeaves) {
+        val s = stats(l)
+        // numValues = the page group's ROW count, uniform across leaves
+        pageMetas(l) += PageMeta(rowsInPage, (colBufs(l).len - before(l)).toLong,
+          s.nullCount, s.statsKind, s.min, s.max, s.min2, s.max2)
+        l += 1
       }
       rowsInPage = 0
     }
@@ -602,9 +688,9 @@ final class StrawFileWriter(schema: StructType, opts: WriteOptions) {
     flushPages()
     os.write(StrawFormat.Magic)
     var fileLen = StrawFormat.Magic.length.toLong
-    val metas = new Array[ColumnMeta](writers.length)
+    val metas = new Array[ColumnMeta](totalLeaves)
     var c = 0
-    while (c < writers.length) {
+    while (c < totalLeaves) {
       metas(c) = ColumnMeta(fileLen, pageMetas(c).toArray)
       os.write(colBufs(c).buf, 0, colBufs(c).len)
       fileLen += colBufs(c).len

@@ -168,8 +168,10 @@ object PageDecoder {
     case _ => 8
   }
 
-  /** Decode one self-contained page of column type `dt` from `in`
-    * (positioned at the page start; consumes exactly the page bytes). */
+  /** Decode one FLAT leaf's validity + data from `in` (positioned after any
+    * ancestor level headers; consumes exactly the leaf bytes). Nested types
+    * never reach here — v2 stores one page stream per leaf, and
+    * [[LeafDecoder]] reassembles nesting from level headers. */
   def decode(dt: DataType, in: ByteBuffer): DecodedPage = dt match {
     case BooleanType | ByteType | ShortType | IntegerType | DateType |
          LongType | TimestampType | TimestampNTZType | FloatType | DoubleType =>
@@ -187,25 +189,14 @@ object PageDecoder {
       val (n, valid) = ValidityReader.read(in)
       val (offsets, bytes) = BinaryCodec.decode(in, n)
       new BinaryPage(dt == StringType, offsets, bytes, valid)
-    case ArrayType(et, _) =>
-      val (n, valid) = ValidityReader.read(in)
-      val (lengths, starts) = readLengths(in, n)
-      new ArrayPage(lengths, starts, decode(et, in), valid)
-    case MapType(kt, vt, _) =>
-      val (n, valid) = ValidityReader.read(in)
-      val (lengths, starts) = readLengths(in, n)
-      new MapPage(lengths, starts, decode(kt, in), decode(vt, in), valid)
-    case StructType(fs) =>
-      val (n, valid) = ValidityReader.read(in)
-      new StructPage(fs.map(f => decode(f.dataType, in)), n, valid)
     case NullType =>
       val (n, _) = ValidityReader.read(in)
       new NullPage(n)
     case other =>
-      throw new UnsupportedOperationException(s"strawboat: unsupported read type $other")
+      throw new UnsupportedOperationException(s"strawboat: unsupported leaf type $other")
   }
 
-  private def readLengths(in: ByteBuffer, n: Int): (Array[Int], Array[Int]) = {
+  private[format] def readLengths(in: ByteBuffer, n: Int): (Array[Int], Array[Int]) = {
     val raw = IntCodec.decode(in, n, 4)
     val lengths = new Array[Int](n)
     val starts = new Array[Int](n)
@@ -218,6 +209,97 @@ object PageDecoder {
       i += 1
     }
     (lengths, starts)
+  }
+}
+
+/** One decoded ancestor nesting level of a leaf page: the level's validity
+  * and (for array/map levels) its element lengths + prefix-sum starts. */
+final class LevelHeader(val n: Int, val valid: Array[Boolean],
+    val lengths: Array[Int], val starts: Array[Int])
+
+/** Decode + reassemble per-leaf pages (reassembly mirrors the reference's
+  * per-leaf deserialize, src/read/deserialize.rs:140-234, expressed over
+  * validity+lengths levels instead of rep/def levels). */
+object LeafDecoder {
+
+  /** Decode one self-contained leaf page: ancestor level headers top-down
+    * (`levels` — [[LeafLayout.LevelStruct]]/[[LeafLayout.LevelRep]]), then
+    * the flat leaf itself. */
+  def decode(levels: Array[Int], leafDt: DataType, in: ByteBuffer)
+      : (Array[LevelHeader], DecodedPage) = {
+    val hdrs = new Array[LevelHeader](levels.length)
+    var i = 0
+    while (i < levels.length) {
+      val (n, valid) = ValidityReader.read(in)
+      if (levels(i) == LeafLayout.LevelStruct)
+        hdrs(i) = new LevelHeader(n, valid, null, null)
+      else {
+        val (lengths, starts) = PageDecoder.readLengths(in, n)
+        hdrs(i) = new LevelHeader(n, valid, lengths, starts)
+      }
+      i += 1
+    }
+    (hdrs, PageDecoder.decode(leafDt, in))
+  }
+
+  /** Reassemble a column of (possibly struct-pruned) type `dt` from its
+    * decoded leaves, given in DFS order of `dt`. Ancestor headers are
+    * replicated in every leaf — assembly reads each level's header from its
+    * subtree's first leaf. */
+  def assemble(dt: DataType, leaves: Array[(Array[LevelHeader], DecodedPage)]): DecodedPage =
+    build(dt, leaves, 0, 0)._1
+
+  private def build(dt: DataType, leaves: Array[(Array[LevelHeader], DecodedPage)],
+      pos: Int, depth: Int): (DecodedPage, Int) = dt match {
+    case s: StructType =>
+      var p = pos
+      val children = new Array[DecodedPage](s.fields.length)
+      var i = 0
+      while (i < s.fields.length) {
+        val (c, np) = build(s.fields(i).dataType, leaves, p, depth + 1)
+        children(i) = c
+        p = np
+        i += 1
+      }
+      val hdr = leaves(pos)._1(depth)
+      (new StructPage(children, hdr.n, hdr.valid), p)
+    case a: ArrayType =>
+      val (child, p) = build(a.elementType, leaves, pos, depth + 1)
+      val hdr = leaves(pos)._1(depth)
+      (new ArrayPage(hdr.lengths, hdr.starts, child, hdr.valid), p)
+    case m: MapType =>
+      val (k, p1) = build(m.keyType, leaves, pos, depth + 1)
+      val (v, p2) = build(m.valueType, leaves, p1, depth + 1)
+      val hdr = leaves(pos)._1(depth)
+      (new MapPage(hdr.lengths, hdr.starts, k, v, hdr.valid), p2)
+    case _ => (leaves(pos)._2, pos + 1)
+  }
+}
+
+/** Read plan of one projected output column: which global leaves to decode
+  * and how to reassemble them into `readDt` (equal to the file's column
+  * type, or a struct-pruned subset of it). */
+final case class ProjCol(
+    readDt: DataType,
+    globalLeaves: Array[Int],
+    levelKinds: Array[Array[Int]],
+    leafDts: Array[DataType]) {
+  def isSingleFlat: Boolean = levelKinds.length == 1 && levelKinds(0).isEmpty
+}
+
+object ProjCol {
+  /** Plan reading `readDt` out of file field `fileFieldIdx`. Throws when
+    * `readDt` is not the stored type or a struct-pruned subset of it —
+    * callers ([[graft.spark]] resolver) validate compatibility first. */
+  def plan(footer: StrawFooter, fileFieldIdx: Int, readDt: DataType): ProjCol = {
+    val fileDt = footer.schema.fields(fileFieldIdx).dataType
+    val base = footer.leafStarts(fileFieldIdx)
+    val rel = LeafLayout.prunedLeafIdx(fileDt, readDt).getOrElse(
+      throw new IllegalArgumentException(
+        s"strawboat: cannot read $readDt from a column stored as $fileDt"))
+    val lv = LeafLayout.leaves(readDt)
+    require(lv.size == rel.length, s"leaf plan mismatch for $readDt")
+    ProjCol(readDt, rel.map(_ + base), lv.map(_._1).toArray, lv.map(_._2).toArray)
   }
 }
 
@@ -293,13 +375,27 @@ object StrawFileReader {
       throw new UnsupportedOperationException("PageRowView: mutate")
   }
 
-  /** Iterate rows of one file with top-level column projection and optional
-    * page-group filter (zone-map skipping) / row limit.
+  /** Convenience: project whole top-level fields by index (tests, chained
+    * readers). */
+  def rowsByField(
+      input: RandomInput,
+      footer: StrawFooter,
+      fields: Array[Int],
+      keepPage: Int => Boolean = _ => true,
+      limit: Long = Long.MaxValue): Iterator[InternalRow] =
+    rows(input, footer,
+      fields.map(i => ProjCol.plan(footer, i, footer.schema.fields(i).dataType)),
+      keepPage, limit)
+
+  /** Iterate rows of one file with column projection (possibly
+    * struct-pruned — see [[ProjCol]]) and optional page-group filter
+    * (zone-map skipping) / row limit.
     *
-    * `projection` holds indices into `footer.schema`; the produced rows have
-    * exactly those columns in that order. `keepPage(p)` decides whether page
-    * group `p` can contain matching rows (pages are row-aligned across
-    * columns — the writer flushes all columns together).
+    * The produced rows have exactly the projected columns in order; a
+    * nested-pruned column materializes ONLY its requested leaves — sibling
+    * leaf pages are never read. `keepPage(p)` decides whether page group
+    * `p` can contain matching rows (pages are row-aligned across columns —
+    * the writer flushes all columns together).
     *
     * `rowPred`, when non-null, is evaluated against a reused page-backed
     * row VIEW before materialization — failing rows cost only the predicate
@@ -309,7 +405,7 @@ object StrawFileReader {
   def rows(
       input: RandomInput,
       footer: StrawFooter,
-      projection: Array[Int],
+      projection: Array[ProjCol],
       keepPage: Int => Boolean = _ => true,
       limit: Long = Long.MaxValue,
       rowPred: InternalRow => Boolean = null): Iterator[InternalRow] = {
@@ -324,10 +420,10 @@ object StrawFileReader {
       }
     }
     val numPages = footer.columns(0).pages.length
+    // PageMeta.numValues is the page group's row count on every leaf
     val pageRows: Array[Int] = footer.columns(0).pages.map(_.numValues)
-    val fieldTypes = projection.map(i => footer.schema.fields(i).dataType)
-    val pageOffsets: Array[Array[Long]] =
-      projection.map(ci => footer.columns(ci).pageOffsets)
+    val pageOffsets: Array[Array[Array[Long]]] =
+      projection.map(_.globalLeaves.map(li => footer.columns(li).pageOffsets))
 
     new Iterator[InternalRow] {
       private var pageIdx = 0
@@ -335,6 +431,25 @@ object StrawFileReader {
       private var emitted = 0L
       private var pages: Array[DecodedPage] = null
       private var pageN = 0
+
+      private def decodeColumn(c: Int, p: Int): DecodedPage = {
+        val pc = projection(c)
+        if (pc.isSingleFlat) {
+          val pm = footer.columns(pc.globalLeaves(0)).pages(p)
+          val bytes = input.readFully(pageOffsets(c)(0)(p), pm.compLen.toInt)
+          PageDecoder.decode(pc.leafDts(0), ByteIO.reader(bytes))
+        } else {
+          val decoded = new Array[(Array[LevelHeader], DecodedPage)](pc.globalLeaves.length)
+          var l = 0
+          while (l < pc.globalLeaves.length) {
+            val pm = footer.columns(pc.globalLeaves(l)).pages(p)
+            val bytes = input.readFully(pageOffsets(c)(l)(p), pm.compLen.toInt)
+            decoded(l) = LeafDecoder.decode(pc.levelKinds(l), pc.leafDts(l), ByteIO.reader(bytes))
+            l += 1
+          }
+          LeafDecoder.assemble(pc.readDt, decoded)
+        }
+      }
 
       private def loadNextPage(): Boolean = {
         while (pageIdx < numPages) {
@@ -350,13 +465,10 @@ object StrawFileReader {
               pages = new Array[DecodedPage](projection.length)
               var c = 0
               while (c < projection.length) {
-                val colMeta = footer.columns(projection(c))
-                val pm = colMeta.pages(p)
-                val bytes = input.readFully(pageOffsets(c)(p), pm.compLen.toInt)
-                pages(c) = PageDecoder.decode(fieldTypes(c), ByteIO.reader(bytes))
+                pages(c) = decodeColumn(c, p)
                 c += 1
               }
-              pageN = if (pages.isEmpty) pageRows(p) else pages(0).numValues
+              pageN = pageRows(p)
               rowInPage = 0
               if (pageN > 0) return true
             }

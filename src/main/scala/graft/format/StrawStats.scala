@@ -20,33 +20,40 @@ object StrawStats {
       min: Long,
       max: Long)
 
-  /** Per-page stats of one file. The codec is read from the first encoded
-    * block after the validity section (for nested columns this is the
-    * lengths block — still the page's leading encoding). */
+  /** Per-page stats of one file, one row per LEAF page (nested columns
+    * surface as dotted leaf paths, e.g. `meta.lang`). The codec is sniffed
+    * from the leaf's first encoded block: ancestor level headers are parsed
+    * through (validity [+ lengths] per level), then the leaf's validity,
+    * then the data block whose leading byte is the codec id. */
   def fileStats(path: String): Seq[PageStat] = {
     val in = new LocalFileInput(path)
     try {
       val footer = StrawFileReader.readFooter(in)
-      footer.schema.fields.zipWithIndex.flatMap { case (f, c) =>
-        val cm = footer.columns(c)
+      val leafInfo: Seq[(String, Array[Int], String)] =
+        footer.schema.fields.toSeq.flatMap { f =>
+          val names = LeafLayout.leafNames(f.dataType)
+          val lvs = LeafLayout.leaves(f.dataType)
+          names.zip(lvs).map { case (n, (kinds, leafDt)) =>
+            (if (n.isEmpty) f.name else s"${f.name}.$n", kinds, leafDt.simpleString)
+          }
+        }
+      leafInfo.zipWithIndex.flatMap { case ((name, kinds, dtName), li) =>
+        val cm = footer.columns(li)
         var off = cm.offset
         cm.pages.zipWithIndex.map { case (pm, p) =>
-          val head = in.readFully(off, math.min(32L, pm.compLen).toInt)
-          val buf = ByteIO.reader(head)
-          buf.getInt() // row count
-          val nullCount = buf.getInt()
           val codecId =
-            if (nullCount > 0) {
-              // skip the validity block: codec u8 | comp u32 | raw u32 | data
-              buf.get(); val vLen = buf.getInt(); buf.getInt()
-              val codecPos = 8 + 9 + vLen
-              if (codecPos < pm.compLen) in.readFully(off + codecPos, 1)(0) & 0xff
-              else -1
-            } else if (head.length > 8) head(8) & 0xff
-            else -1
+            try {
+              val bytes = in.readFully(off, pm.compLen.toInt)
+              val buf = ByteIO.reader(bytes)
+              kinds.foreach { k =>
+                val (n, _) = ValidityReader.read(buf)
+                if (k == LeafLayout.LevelRep) { PageDecoder.readLengths(buf, n): Unit }
+              }
+              ValidityReader.read(buf) // the leaf's own validity
+              if (buf.remaining() > 0) buf.get() & 0xff else -1
+            } catch { case _: Exception => -1 }
           off += pm.compLen
-          PageStat(f.name, f.dataType.simpleString, p, pm.numValues,
-            pm.nullCount, pm.compLen,
+          PageStat(name, dtName, p, pm.numValues, pm.nullCount, pm.compLen,
             if (codecId < 0) "n/a" else Codec.name(codecId),
             pm.statsKind, pm.min, pm.max)
         }

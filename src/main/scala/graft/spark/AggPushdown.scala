@@ -67,7 +67,13 @@ object AggPushdown {
     }
     val specs = agg.aggregateExpressions().map {
       case _: CountStar => Some(CountStarSpec)
-      case c: Count if !c.isDistinct => fieldOf(schema, c.column()).map(CountColSpec)
+      // COUNT(col) needs the column's OWN null count: only a flat field's
+      // single leaf carries it (a nested field's first-leaf nullCount counts
+      // leaf nulls, a superset of the column's)
+      case c: Count if !c.isDistinct =>
+        fieldOf(schema, c.column())
+          .filter(i => !graft.format.LeafLayout.isNested(schema.fields(i).dataType))
+          .map(CountColSpec)
       case m: Min =>
         fieldOf(schema, m.column())
           .filter(i => statsExact(schema.fields(i).dataType)).map(MinSpec)
@@ -140,14 +146,14 @@ object AggPushdown {
         val ci = colIdx(f)
         val nonNull =
           if (ci < 0) 0L // column absent in this file: all null
-          else footer.columns(ci).pages.foldLeft(0L)((a, p) => a + p.numValues - p.nullCount)
+          else footer.topLeaf(ci).pages.foldLeft(0L)((a, p) => a + p.numValues - p.nullCount)
         countCol(f) = countCol.getOrElse(f, 0L) + nonNull
       }
       for (f <- needMinMax) {
         val ci = colIdx(f)
         val kind = requiredKind(schema.fields(f).dataType)
         if (ci >= 0) {
-          for (p <- footer.columns(ci).pages if p.nullCount < p.numValues) {
+          for (p <- footer.topLeaf(ci).pages if p.nullCount < p.numValues) {
             if (p.statsKind != kind) return false // not provable
             val pMin = (p.min, p.min2)
             val pMax = (p.max, p.max2)
@@ -239,7 +245,7 @@ object AggPushdown {
     // column absent from the file: every row reads as null, so only the
     // null directory tells the truth
     if (ci < 0) return v.isEmpty
-    val pages = footer.columns(ci).pages
+    val pages = footer.topLeaf(ci).pages
     v match {
       case None => pages.forall(p => p.nullCount == p.numValues)
       case Some(s) =>

@@ -139,8 +139,10 @@ object ColumnarSupport {
       } catch { case e: Throwable => input.close(); throw e }
     private val pageRows: Array[Int] =
       if (footer.columns.isEmpty) Array.empty else footer.columns(0).pages.map(_.numValues)
+    // columnar reads are gated to FLAT columns, whose single leaf is
+    // addressed via the footer's leaf numbering (topLeaf)
     private val pageOffsets: Array[Array[Long]] = resolved.map { ci =>
-      if (ci < 0) null else footer.columns(ci).pageOffsets
+      if (ci < 0) null else footer.topLeaf(ci).pageOffsets
     }
     private val outSchema = StructType(readSchema.fields.take(outCols))
     private var pageIdx = part.pageStart
@@ -209,7 +211,7 @@ object ColumnarSupport {
           while (c < resolved.length) {
             if (resolved(c) < 0) vectors(c).putNulls(0, n0)
             else {
-              val cm = footer.columns(resolved(c))
+              val cm = footer.topLeaf(resolved(c))
               val pm = cm.pages(p)
               val bytes = input.readFully(pageOffsets(c)(p), pm.compLen.toInt)
               val page = PageDecoder.decode(footer.schema.fields(resolved(c)).dataType,

@@ -342,12 +342,21 @@ class StrawScanBuilder(path: String, fullSchema: StructType,
   }
 
   override def pruneColumns(required: StructType): Unit = {
-    // accept top-level pruning only: Catalyst may hand us nested-pruned
-    // struct fields (meta: struct<lang> of a 4-field struct); we widen each
-    // field back to its full definition — returning a superset of a nested
-    // field is allowed, Spark's projection extracts above the scan
+    // accept Catalyst's NESTED pruning too: a required field may arrive as
+    // a struct-subset of its table definition (meta: struct<lang> of a
+    // 4-field struct) — the per-leaf layout reads exactly those leaves, so
+    // keeping the pruned type is what makes `meta.lang`-only queries decode
+    // one leaf instead of the whole struct. Anything that is not a clean
+    // prune-subset widens back to the full definition (always correct:
+    // Spark's projection extracts above the scan).
     requiredSchema = StructType(required.fields.map { f =>
-      fullSchema.fields.find(_.name == f.name).getOrElse(f)
+      fullSchema.fields.find(_.name == f.name) match {
+        case Some(full) if full.dataType == f.dataType => full
+        case Some(full) if LeafLayout.pruneCompatible(full.dataType, f.dataType) =>
+          full.copy(dataType = f.dataType)
+        case Some(full) => full
+        case None => f
+      }
     })
   }
 
@@ -798,7 +807,24 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
         // in a dir may differ after an evolving append); missing → null
         (f, StrawSchemaResolver.resolve(p.path, f.schema, readSchemaExt))
       } catch { case e: Throwable => input.close(); throw e }
-    val present = resolved.filter(_ >= 0)
+    // the type each present column DECODES as: the file's own type when a
+    // flat widening converts after decode; the (possibly struct-pruned)
+    // required type otherwise — the per-leaf reader materializes the pruned
+    // shape directly, no conversion step
+    val decodeDts: Array[org.apache.spark.sql.types.DataType] =
+      resolved.indices.map { c =>
+        if (resolved(c) < 0) null
+        else {
+          val fileDt = footer.schema.fields(resolved(c)).dataType
+          val readDt = readSchemaExt.fields(c).dataType
+          if (fileDt != readDt && StrawSchemaResolver.widenable(fileDt, readDt)) fileDt
+          else readDt
+        }
+      }.toArray
+    val projCols: Array[graft.format.ProjCol] =
+      resolved.indices.collect { case c if resolved(c) >= 0 =>
+        graft.format.ProjCol.plan(footer, resolved(c), decodeDts(c))
+      }.toArray
 
     // pushed Top-N: bounded candidate buffer + dynamic page pruning against
     // the primary sort column's zone maps (pages that can't beat the k-th
@@ -823,8 +849,9 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
             val worstKey =
               if (worstIsNull) None
               else TopNPushdown.toSortable(dts(0), w.get(idx(0), dts(0)))
+            // sort keys are flat top-level columns — topLeaf IS the column
             TopNPushdown.pageMayBeat(
-              footer.columns(primaryFileIdx).pages(pg), primary, worstKey, worstIsNull)
+              footer.topLeaf(primaryFileIdx).pages(pg), primary, worstKey, worstIsNull)
           }
         }
       case _ => keepRange
@@ -838,12 +865,11 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
       if (k) pagesRead += 1 else if (keepRange(pg)) pagesPruned += 1
       k
     }
-    // per-column file types; a widened column (file narrower than table —
-    // lossless type evolution) converts during materialization
-    val fileTypes: Array[StructField] =
-      resolved.map(ci => if (ci < 0) null else footer.schema.fields(ci))
+    // a widened column (file narrower than table — lossless type evolution)
+    // converts during materialization; a struct-PRUNED column does NOT (the
+    // reader already produced the pruned shape)
     val hasWidened = resolved.indices.exists(c => resolved(c) >= 0 &&
-      fileTypes(c).dataType != readSchemaExt.fields(c).dataType)
+      decodeDts(c) != readSchemaExt.fields(c).dataType)
     // fast path: with every read column present at the table's exact type,
     // the predicate pushes INTO the page iterator — failing rows are probed
     // through a page-backed view and never materialized (late
@@ -856,7 +882,7 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
     // a pushed limit counts FILTER-PASSING rows: when the predicate runs
     // outside the iterator it must be applied after filtering
     val preLimit = if (rowPred.isDefined && predInIt == null) Long.MaxValue else p.limit
-    val it = StrawFileReader.rows(input, footer, present, keepPage = countingKeep,
+    val it = StrawFileReader.rows(input, footer, projCols, keepPage = countingKeep,
       limit = preLimit, rowPred = predInIt)
     def metrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
       Array(StrawScanMetrics.Value("pagesRead", pagesRead),
@@ -870,7 +896,7 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
         private val conv: Array[Any => Any] = resolved.indices.map { c =>
           if (resolved(c) < 0) null
           else {
-            val from = fileTypes(c).dataType
+            val from = decodeDts(c)
             val to = readSchemaExt.fields(c).dataType
             if (from == to) identity[Any] _ else StrawSchemaResolver.widen(from, to)
           }
@@ -886,7 +912,7 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
             else {
               out.update(c,
                 if (r.isNullAt(pi)) null
-                else conv(c)(r.get(pi, fileTypes(c).dataType)))
+                else conv(c)(r.get(pi, decodeDts(c))))
               pi += 1
             }
             c += 1
@@ -1007,7 +1033,10 @@ object StrawSchemaResolver {
         case -1 => -1
         case i =>
           val fdt = fileSchema.fields(i).dataType
-          require(fdt == f.dataType || widenable(fdt, f.dataType),
+          // equal, flat-widenable, or a struct-pruned subset the per-leaf
+          // reader materializes directly (nested pruning)
+          require(fdt == f.dataType || widenable(fdt, f.dataType) ||
+            LeafLayout.pruneCompatible(fdt, f.dataType),
             s"strawboat: column '${f.name}' is $fdt in $path " +
               s"but ${f.dataType} in the table schema")
           i

@@ -24,10 +24,13 @@ object ZoneMapFilter {
       case BooleanType => Some(((if (v.asInstanceOf[Boolean]) 1L else 0L), StatsSigned))
       // lenient on the literal's box: with type widening a filter on the
       // table's LONG column probes a file whose pages are INT-typed (and
-      // vice versa) — any integral literal compares in the same signed
-      // domain as the stats
+      // vice versa) — any INTEGRAL literal compares in the same signed
+      // domain as the stats. Floating boxes are excluded: longValue() would
+      // truncate a fractional literal and make strict bounds unsound.
       case ByteType | ShortType | IntegerType | LongType => v match {
-        case n: java.lang.Number => Some((n.longValue(), StatsSigned))
+        case n @ (_: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
+                  _: java.lang.Long) =>
+          Some((n.asInstanceOf[java.lang.Number].longValue(), StatsSigned))
         case _ => None
       }
       case DateType => v match {
@@ -104,11 +107,14 @@ object ZoneMapFilter {
     } catch { case _: ArithmeticException => None }
   }
 
-  private def fieldIdx(schema: StructType, name: String): Option[Int] =
-    schema.fields.indexWhere(_.name == name) match {
-      case -1 => None
-      case i => Some(i)
-    }
+  /** Resolve an attribute (top-level or a dotted struct path like
+    * `meta.lang`) to its LEAF in the schema's per-leaf numbering
+    * ([[graft.format.LeafLayout.resolveLeaf]]): struct-path leaf pages are
+    * row-aligned and carry their own stats, so nested-field predicates
+    * prune pages exactly like flat ones. Array/map paths (not row-aligned)
+    * and nested targets don't resolve — those filters simply don't prune. */
+  private def leafOf(schema: StructType, attr: String): Option[(Int, DataType)] =
+    graft.format.LeafLayout.resolveLeaf(schema, attr)
 
   /** Can this filter contribute to page skipping? */
   def supported(schema: StructType, f: Filter): Boolean = f match {
@@ -118,15 +124,15 @@ object ZoneMapFilter {
     case LessThan(a, v) => encodable(schema, a, v)
     case LessThanOrEqual(a, v) => encodable(schema, a, v)
     case In(a, vs) => vs.nonEmpty && vs.forall(encodable(schema, a, _))
-    case IsNull(a) => fieldIdx(schema, a).isDefined
-    case IsNotNull(a) => fieldIdx(schema, a).isDefined
+    case IsNull(a) => leafOf(schema, a).isDefined
+    case IsNotNull(a) => leafOf(schema, a).isDefined
     case And(l, r) => supported(schema, l) || supported(schema, r)
     case Or(l, r) => supported(schema, l) && supported(schema, r)
     case _ => false
   }
 
   private def encodable(schema: StructType, attr: String, v: Any): Boolean =
-    fieldIdx(schema, attr).exists(i => toStatsLong(schema.fields(i).dataType, v).isDefined)
+    leafOf(schema, attr).exists { case (_, dt) => toStatsLong(dt, v).isDefined }
 
   // -------------------------------------------------------------------------
   // Selectivity estimation (drives the consume-vs-residual filter decision;
@@ -163,14 +169,14 @@ object ZoneMapFilter {
       f: Filter): Double = {
     val sch = footer.schema
     def pm(attr: String): Option[PageMeta] =
-      fieldIdx(sch, attr).map(i => footer.columns(i).pages(p))
+      leafOf(sch, attr).map { case (li, _) => footer.columns(li).pages(p) }
     def nonNullFrac(m: PageMeta): Double =
       if (m.numValues == 0) 0.0 else 1.0 - m.nullCount.toDouble / m.numValues
     // position of the literal inside the page's encoded [min, max], clamped
     def interp(attr: String, v: Any): Option[Double] =
-      (fieldIdx(sch, attr), pm(attr)) match {
-        case (Some(i), Some(m)) if m.statsKind != StrawFormat.StatsNone =>
-          val dt = sch.fields(i).dataType
+      leafOf(sch, attr) match {
+        case Some((li, dt)) if footer.columns(li).pages(p).statsKind != StrawFormat.StatsNone =>
+          val m = footer.columns(li).pages(p)
           def pos(enc: Double, lo: Double, hi: Double): Double =
             if (hi <= lo) 0.5 else math.max(0.0, math.min(1.0, (enc - lo) / (hi - lo)))
           m.statsKind match {
@@ -229,7 +235,9 @@ object ZoneMapFilter {
   /** Conservative page-level satisfiability of one filter. */
   private def mayMatch(schema: StructType, footer: StrawFooter, p: Int, f: Filter): Boolean = {
     def page(attr: String): Option[PageMeta] =
-      fieldIdx(schema, attr).map(i => footer.columns(i).pages(p))
+      leafOf(schema, attr).map { case (li, _) => footer.columns(li).pages(p) }
+    // every leaf slot null (for a struct path: parent null OR field null —
+    // exactly when `parent.field` is SQL-null)
     def allNull(pm: PageMeta): Boolean = pm.nullCount == pm.numValues
 
     // (compare(literal, pageMin), compare(literal, pageMax)) under the
@@ -258,14 +266,15 @@ object ZoneMapFilter {
 
     def cmpRange(attr: String, v: Any)(
         check: (PageMeta, Int, Int) => Boolean): Boolean = {
-      (fieldIdx(schema, attr), page(attr)) match {
-        case (Some(i), Some(pm)) =>
+      leafOf(schema, attr) match {
+        case Some((li, dt)) =>
+          val pm = footer.columns(li).pages(p)
           if (allNull(pm)) false // no non-null value can satisfy a comparison
-          else encComp(schema.fields(i).dataType, v, pm) match {
+          else encComp(dt, v, pm) match {
             case Some((toMin, toMax)) => check(pm, toMin, toMax)
             case None => true // stats unavailable/mismatched: keep
           }
-        case _ => true
+        case None => true
       }
     }
 

@@ -28,7 +28,7 @@ class CodecPropertySpec extends AnyFunSuite {
     rows.foreach(w.write)
     val in = new ByteArrayInput(w.finish())
     val footer = StrawFileReader.readFooter(in)
-    StrawFileReader.rows(in, footer, schema.fields.indices.toArray).toSeq
+    StrawFileReader.rowsByField(in, footer, schema.fields.indices.toArray).toSeq
   }
 
   private val genOpts: Gen[WriteOptions] = for {

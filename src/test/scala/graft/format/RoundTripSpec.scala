@@ -22,7 +22,7 @@ class RoundTripSpec extends AnyFunSuite {
     val footer = StrawFileReader.readFooter(in)
     assert(footer.schema == schema)
     assert(footer.numRows == rows.length)
-    StrawFileReader.rows(in, footer, schema.fields.indices.toArray).toSeq
+    StrawFileReader.rowsByField(in, footer, schema.fields.indices.toArray).toSeq
   }
 
   private def assertSame(schema: StructType, expected: Seq[InternalRow],
@@ -235,18 +235,18 @@ class RoundTripSpec extends AnyFunSuite {
     val footer = StrawFileReader.readFooter(in)
     // project 2 of 12 columns
     val proj = Array(3, 7) // c_i32, c_utf8
-    val got = StrawFileReader.rows(in, footer, proj).toSeq
+    val got = StrawFileReader.rowsByField(in, footer, proj).toSeq
     assert(got.length == 5000)
     rows.zip(got).foreach { case (e, a) =>
       assert(extract(e, 3, IntegerType) == extract(a, 0, IntegerType))
     }
     // skip pages 1 and 3
-    val kept = StrawFileReader.rows(in, footer, proj, keepPage = p => p != 1 && p != 3).toSeq
+    val kept = StrawFileReader.rowsByField(in, footer, proj, keepPage = p => p != 1 && p != 3).toSeq
     assert(kept.length == 3000)
     // limit
-    assert(StrawFileReader.rows(in, footer, proj, limit = 123).size == 123)
+    assert(StrawFileReader.rowsByField(in, footer, proj, limit = 123).size == 123)
     // zero-column projection (count(*) path)
-    assert(StrawFileReader.rows(in, footer, Array.empty).size == 5000)
+    assert(StrawFileReader.rowsByField(in, footer, Array.empty).size == 5000)
   }
 
   // --- zone maps -------------------------------------------------------------

@@ -838,4 +838,87 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val stats = back.queryExecution.optimizedPlan.stats
     assert(stats.sizeInBytes > 0)
   }
+
+  /** The one data file's footer under `out`. */
+  private def footerOf(out: String): graft.format.StrawFooter = {
+    val file = new java.io.File(out).listFiles.filter(_.getName.endsWith(".strb")).head
+    val in = new graft.format.LocalFileInput(file.getPath)
+    try graft.format.StrawFileReader.readFooter(in) finally in.close()
+  }
+
+  test("nested schema pruning reaches the scan and reads only the requested leaves") {
+    val out = s"$dir/nestedprune"
+    val df = spark.range(0, 2000).selectExpr(
+      "id",
+      "named_struct('lang', concat('l', cast(id % 5 as string)), " +
+        "'source', repeat('s', 50), 'n_chars', cast(id as int), 'mime', 'text') as meta",
+      "repeat('p', 100) as payload")
+    df.write.format("strawboat").mode("overwrite").save(out)
+
+    // Catalyst hands the scan a struct-pruned read schema
+    val q = spark.read.format("strawboat").load(out).select(col("meta.lang"))
+    val scans = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.readSchema().catalogString == "struct<meta:struct<lang:string>>",
+      scans.head.readSchema().catalogString)
+    assert(q.distinct().count() == 5)
+
+    // leaf isolation through the CONNECTOR: corrupt every leaf page except
+    // id (leaf 0) and meta.lang (leaf 1); the pruned query still answers,
+    // the full-struct query fails on a corrupted sibling leaf
+    val footer = footerOf(out)
+    assert(footer.columns.length == 6) // id + 4 meta leaves + payload
+    val file = new java.io.File(out).listFiles.filter(_.getName.endsWith(".strb")).head
+    val raf = new java.io.RandomAccessFile(file, "rw")
+    try {
+      for (l <- 2 until footer.columns.length) {
+        val offs = footer.columns(l).pageOffsets
+        for (p <- footer.columns(l).pages.indices) {
+          raf.seek(offs(p))
+          raf.write(Array.fill(math.min(16, footer.columns(l).pages(p).compLen.toInt))(0x5a.toByte))
+        }
+      }
+    } finally raf.close()
+    new java.io.File(file.getParentFile, s".${file.getName}.crc").delete(): Unit
+    graft.spark.FooterCache.clear()
+    assert(spark.read.format("strawboat").load(out)
+      .select(col("id"), col("meta.lang")).count() == 2000)
+    intercept[Exception] {
+      spark.read.format("strawboat").load(out).select(col("meta")).collect()
+    }
+  }
+
+  test("filters on struct fields push down and prune pages by nested zone maps") {
+    val out = s"$dir/nestedzm"
+    spark.range(0, 4000).selectExpr(
+      "id",
+      "named_struct('lang', if(id < 2000, 'en', 'de'), 'n_chars', cast(id as int)) as meta")
+      .coalesce(1)
+      .write.format("strawboat").mode("overwrite")
+      .option("maxPageSize", "500").save(out)
+
+    val q = spark.read.format("strawboat").load(out)
+      .filter(col("meta.n_chars") >= 3500).select(col("id"))
+    val descs = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.description()
+    }
+    assert(descs.exists(_.contains("meta.n_chars")), descs.mkString)
+    assert(q.count() == 500)
+
+    // pruning proof at page granularity (8 pages of 500, only the last may match)
+    val footer = footerOf(out)
+    import org.apache.spark.sql.sources._
+    val keep = graft.spark.ZoneMapFilter.keptPages(footer,
+      Array(GreaterThanOrEqual("meta.n_chars", 3500)))
+    assert((0 until footer.columns(0).pages.length).count(keep) == 1)
+    val keepLang = graft.spark.ZoneMapFilter.keptPages(footer,
+      Array(EqualTo("meta.lang", "en")))
+    assert((0 until footer.columns(0).pages.length).count(keepLang) == 4)
+    // exactness: nested-filter results equal the unfiltered-scan filter
+    val all = spark.read.format("strawboat").load(out).collect()
+    assert(all.length == 4000)
+  }
 }

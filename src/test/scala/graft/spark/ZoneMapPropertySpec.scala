@@ -126,7 +126,7 @@ class ZoneMapPropertySpec extends AnyFunSuite {
         val in = new ByteArrayInput(w.finish())
         val footer = StrawFileReader.readFooter(in)
         val keep = ZoneMapFilter.keptPages(footer, Array(filter))
-        val got = StrawFileReader.rows(in, footer, Array(0), keepPage = keep)
+        val got = StrawFileReader.rowsByField(in, footer, Array(0), keepPage = keep)
           .map(r => if (r.isNullAt(0)) None
             else Some(r.getDecimal(0, 25, 4).toJavaBigDecimal))
           .filter(v => decMatches(filter, v)).toList
@@ -154,7 +154,7 @@ class ZoneMapPropertySpec extends AnyFunSuite {
     val keep = ZoneMapFilter.keptPages(footer, Array(GreaterThanOrEqual("d", cut)))
     val kept = (0 until nPages).count(keep)
     assert(kept == 1, s"expected exactly the last page kept, got $kept")
-    val got = StrawFileReader.rows(in, footer, Array(0), keepPage = keep)
+    val got = StrawFileReader.rowsByField(in, footer, Array(0), keepPage = keep)
       .map(_.getDecimal(0, 25, 4).toJavaBigDecimal)
       .filter(_.compareTo(cut) >= 0).toList
     assert(got.size == 50)
@@ -170,7 +170,7 @@ class ZoneMapPropertySpec extends AnyFunSuite {
       val in = new ByteArrayInput(w.finish())
       val footer = StrawFileReader.readFooter(in)
       val keep = ZoneMapFilter.keptPages(footer, Array(filter))
-      val got = StrawFileReader.rows(in, footer, Array(0, 1), keepPage = keep)
+      val got = StrawFileReader.rowsByField(in, footer, Array(0, 1), keepPage = keep)
         .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
           if (r.isNullAt(1)) None else Some(r.getUTF8String(1).toString)))
         .filter { case (v, s) => matches(filter, v, s) } // row-level re-eval, like Spark
