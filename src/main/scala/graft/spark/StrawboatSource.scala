@@ -139,9 +139,31 @@ object StrawIO {
     * from the directory listing itself — no per-file status RPC. */
   final case class FileMeta(path: String, mtime: Long, len: Long)
 
+  /** Count of actual recursive directory walks performed — the observable
+    * for "a repeat query performs zero directory listings" (manifest). */
+  val listings = new java.util.concurrent.atomic.AtomicLong()
+
+  /** All data files under `dir` by RECURSIVE WALK (no manifest), sorted. */
+  def walkFilesMeta(dir: String): Seq[FileMeta] = {
+    val p = new Path(dir)
+    val f = fs(dir)
+    if (!f.exists(p)) Seq.empty
+    else {
+      listings.incrementAndGet()
+      val out = ArrayBuffer.empty[FileMeta]
+      walkFiles(f, p) { st =>
+        if (st.getPath.getName.endsWith(StrawFormat.Extension))
+          out += FileMeta(st.getPath.toString, st.getModificationTime, st.getLen)
+      }
+      out.sortBy(_.path).toSeq
+    }
+  }
+
   /** All data files under `dir` (or `dir` itself if a file), recursive so
     * hive-style partition subdirectories are seen, path-sorted, with the
-    * (mtime, length) version key from the same listing. */
+    * (mtime, length) version key from the same listing. Served from the
+    * table's committed-files [[StrawManifest]] when one exists (one cached
+    * small read instead of a directory walk); falls back to walking. */
   def listFilesMeta(dir: String): Seq[FileMeta] = {
     val p = new Path(dir)
     val f = fs(dir)
@@ -149,14 +171,7 @@ object StrawIO {
     else {
       val st0 = f.getFileStatus(p)
       if (st0.isFile) Seq(FileMeta(dir, st0.getModificationTime, st0.getLen))
-      else {
-        val out = ArrayBuffer.empty[FileMeta]
-        walkFiles(f, p) { st =>
-          if (st.getPath.getName.endsWith(StrawFormat.Extension))
-            out += FileMeta(st.getPath.toString, st.getModificationTime, st.getLen)
-        }
-        out.sortBy(_.path).toSeq
-      }
+      else StrawManifest.read(dir).getOrElse(walkFilesMeta(dir))
     }
   }
 
@@ -1082,13 +1097,17 @@ object StrawCommitProtocol {
     * task-side write mtime, and streaming sources classify seen-ness by
     * mtime high-water mark — a file committed long after it was written
     * must not appear under the mark. */
-  def finalizeFiles(path: String, jobId: String, staged: Seq[String]): Seq[String] = {
+  def finalizeFiles(path: String, jobId: String, staged: Seq[String])
+      : Seq[StrawIO.FileMeta] = {
     val f = StrawIO.fs(path)
     val suffix = stageSuffix(jobId)
     val now = System.currentTimeMillis()
     StrawIO.mapParallel(staged) { s =>
       val sp = new Path(s)
       val dst = new Path(sp.getParent, sp.getName.stripSuffix(suffix))
+      // capture the length now — rename preserves it, and the manifest
+      // entry then needs no post-rename status RPC
+      val len = f.getFileStatus(sp).getLen
       // bump mtime BEFORE the rename that makes the file visible: a reader
       // listing between rename and a later setTimes could classify the file
       // as below its high-water mark and never admit it (rename preserves
@@ -1096,7 +1115,7 @@ object StrawCommitProtocol {
       f.setTimes(sp, now, -1)
       if (!f.rename(sp, dst))
         throw new java.io.IOException(s"strawboat: commit rename $sp -> $dst failed")
-      dst.toString
+      StrawIO.FileMeta(f.makeQualified(dst).toString, now, len)
     }
   }
 
@@ -1147,16 +1166,21 @@ class StrawBatchWrite(path: String, schema: StructType, truncate: Boolean,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val staged = messages.flatMap { case StrawCommitMessage(fs) => fs }.toSeq
-    val fresh = StrawCommitProtocol.finalizeFiles(path, jobId, staged).toSet
+    val freshMeta = StrawCommitProtocol.finalizeFiles(path, jobId, staged)
+    val fresh = freshMeta.map(_.path).toSet
     StrawCommitProtocol.sweepStaged(path, jobId)
     val f = StrawIO.fs(path)
-    if (truncate)
-      preExisting.filterNot(fresh).foreach(old => f.delete(new Path(old), false))
+    if (truncate) {
+      // preExisting paths may predate qualification — compare qualified
+      val freshQ = fresh
+      preExisting.map(p => f.makeQualified(new Path(p)).toString)
+        .filterNot(freshQ).foreach(old => f.delete(new Path(old), false))
+    }
     // empty result set into an empty directory: write one schema-only
     // marker (driver-side, once) so the table stays self-describing and
     // reads back as empty, like parquet. Temp+rename keeps the crash-safety
     // invariant (no partial file ever carries the data extension).
-    if (fresh.isEmpty && StrawIO.listFiles(path).isEmpty) {
+    if (fresh.isEmpty && StrawIO.walkFilesMeta(path).isEmpty) {
       f.mkdirs(new Path(path))
       val name = s"part-empty-${UUID.randomUUID().toString.take(8)}${StrawFormat.Extension}"
       val tmp = new Path(path, s".$name.tmp")
@@ -1172,6 +1196,8 @@ class StrawBatchWrite(path: String, schema: StructType, truncate: Boolean,
         } else f.delete(tmp, false)
       }
     }
+    // publish the committed-files snapshot (planning then needs no walks)
+    StrawManifest.refresh(path, freshMeta)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

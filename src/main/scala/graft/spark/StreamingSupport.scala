@@ -100,33 +100,26 @@ class StrawMicroBatchStream(path: String, fullSchema: StructType,
   private val SafetyLagMs = 5 * 60 * 1000L
 
   // Trigger.AvailableNow: snapshot the file set once; subsequent capped
-  // micro-batches drain exactly this backlog, then the query stops
-  @volatile private var availableNowSnapshot: Option[Seq[(Long, String)]] = None
+  // micro-batches drain exactly this backlog, then the query stops.
+  // Entries carry (mtime, path, len) INTERNALLY — lengths feed byte-budget
+  // admission without per-file status RPCs; the serialized offset format
+  // stays (mtime, path), so checkpoints are unchanged.
+  @volatile private var availableNowSnapshot: Option[Seq[StrawIO.FileMeta]] = None
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowSnapshot = Some(currentFiles())
   override def reportLatestOffset(): Offset =
     // an everything-visible upper bound: hw at -inf, all files explicit
     StrawStreamOffset(Long.MinValue,
-      availableNowSnapshot.getOrElse(currentFiles()))
+      availableNowSnapshot.getOrElse(currentFiles()).map(m => (m.mtime, m.path)))
 
-  private def currentFiles(): Seq[(Long, String)] = {
-    val fs = StrawIO.fs(path)
-    val p = new org.apache.hadoop.fs.Path(path)
-    if (!fs.exists(p)) Seq.empty
-    else {
-      // recursive: hive-partitioned sinks are streamable sources too
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
-      StrawIO.walkFiles(fs, p) { st =>
-        if (st.getPath.getName.endsWith(graft.format.StrawFormat.Extension))
-          out += ((st.getModificationTime, st.getPath.toString))
-      }
-      out.sortBy(identity).toSeq
-    }
-  }
+  /** Visible files in admission order — manifest-aware ([[StrawIO
+    * .listFilesMeta]]), recursive so hive-partitioned sinks stream too. */
+  private def currentFiles(): Seq[StrawIO.FileMeta] =
+    StrawIO.listFilesMeta(path).sortBy(m => (m.mtime, m.path))
 
   override def initialOffset(): Offset = StrawStreamOffset(Long.MinValue, Seq.empty)
   override def latestOffset(): Offset =
-    StrawStreamOffset(Long.MinValue, currentFiles())
+    StrawStreamOffset(Long.MinValue, currentFiles().map(m => (m.mtime, m.path)))
 
   // backpressure: cap the files and/or bytes admitted per micro-batch
   // (.option("maxFilesPerTrigger", n) / .option("maxBytesPerTrigger", b))
@@ -141,10 +134,11 @@ class StrawMicroBatchStream(path: String, fullSchema: StructType,
   }
 
   /** Apply one admission limit to the candidate list (in admission order).
-    * Byte caps re-stat candidates (sizes are deliberately NOT in the
-    * offset format — checkpoints stay compatible) and always admit at
-    * least one file so a single over-cap file can't wedge the stream. */
-  private def applyLimit(fresh: Seq[(Long, String)], limit: ReadLimit): Seq[(Long, String)] =
+    * Byte caps use the length carried from the listing/manifest itself —
+    * zero per-candidate status RPCs even on a deep backlog — and always
+    * admit at least one file so a single over-cap file can't wedge the
+    * stream. */
+  private def applyLimit(fresh: Seq[StrawIO.FileMeta], limit: ReadLimit): Seq[StrawIO.FileMeta] =
     limit match {
       case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
         fresh.take(mf.maxFiles())
@@ -153,15 +147,11 @@ class StrawMicroBatchStream(path: String, fullSchema: StructType,
         // skip-and-continue): the offset compaction treats the admitted set
         // as a prefix of the backlog — a gap could advance the high-water
         // mark past a skipped file and lose it permanently
-        val fs = StrawIO.fs(path)
         var budget = mb.maxBytes()
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+        val out = scala.collection.mutable.ArrayBuffer.empty[StrawIO.FileMeta]
         var stop = false
         for (e <- fresh if !stop) {
-          val len =
-            try fs.getFileStatus(new org.apache.hadoop.fs.Path(e._2)).getLen
-            catch { case _: java.io.IOException => 0L } // vanished: admit, reader will surface it
-          if (out.isEmpty || len <= budget) { out += e; budget -= len }
+          if (out.isEmpty || e.len <= budget) { out += e; budget -= e.len }
           else stop = true
         }
         out.toSeq
@@ -174,23 +164,22 @@ class StrawMicroBatchStream(path: String, fullSchema: StructType,
     val so = start.asInstanceOf[StrawStreamOffset]
     val seenSet = so.fileSet
     val visible = availableNowSnapshot.getOrElse(currentFiles())
-    val fresh = visible.filter { case (m, p) =>
-      m >= so.highWater && !seenSet.contains(p)
-    }
+    val fresh = visible.filter(m =>
+      m.mtime >= so.highWater && !seenSet.contains(m.path))
     val admitted = applyLimit(fresh, limit)
     // nothing new: return the START offset unchanged (json-identical), which
     // is how the engine detects no-new-data and AvailableNow terminates
     if (admitted.isEmpty) so
     else {
-      val allSeen = so.files ++ admitted
+      val allSeen = so.files ++ admitted.map(m => (m.mtime, m.path))
       // compaction: advance the mark past admitted files, but never past
       //  (a) a not-yet-admitted backlog file (it must stay unseen),
       //  (b) any file admitted THIS batch (replays of (start, this] must
       //      still find it in the explicit list), or
       //  (c) newest-seen-mtime minus the safety lag.
-      val unadmittedMin = fresh.drop(admitted.size).map(_._1)
+      val unadmittedMin = fresh.drop(admitted.size).map(_.mtime)
         .minOption.getOrElse(Long.MaxValue)
-      val admittedMin = admitted.map(_._1).min
+      val admittedMin = admitted.map(_.mtime).min
       val maxSeenMod = allSeen.map(_._1).max
       val newHw = math.max(so.highWater,
         math.min(math.min(unadmittedMin, admittedMin), maxSeenMod - SafetyLagMs))
@@ -287,8 +276,11 @@ class StrawStreamingWrite(path: String, schema: StructType,
       // replayed epoch: its rows are already visible — drop this attempt
       staged.foreach(s => f.delete(new org.apache.hadoop.fs.Path(s), false))
     } else {
-      StrawCommitProtocol.finalizeFiles(path, jobId, staged): Unit
+      val fresh = StrawCommitProtocol.finalizeFiles(path, jobId, staged)
       f.create(marker, true).close()
+      // keep the committed-files snapshot current per epoch so readers of
+      // the sink (including a downstream stream source) skip listings
+      StrawManifest.refresh(path, fresh)
     }
     // retire markers the engine can no longer replay (it only ever replays
     // the last uncommitted epoch) so the sink dir doesn't accumulate one

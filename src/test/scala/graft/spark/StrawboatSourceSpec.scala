@@ -180,8 +180,11 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
          f <- new java.io.File(s"$out/$sd").listFiles if f.getName.endsWith(".strb"))
       java.nio.file.Files.write(f.toPath, Array[Byte](9, 9, 9))
     assert(got.count() == expect.count())
-    // and the corruption is real: a fresh load (schema inference reads every
-    // footer) fails
+    // and the corruption is real: after dropping the committed-files
+    // manifest (in-place modification is outside the commit protocol — the
+    // documented external-writer escape hatch), a fresh load lists the
+    // directory, sees the new (mtime, len) keys, re-reads footers, fails
+    StrawManifest.invalidate(out)
     intercept[Exception] {
       spark.read.format("strawboat").load(out).count()
     }
