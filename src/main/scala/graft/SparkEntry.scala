@@ -620,6 +620,106 @@ object SparkEntry {
           round(min(col("value")), 2).as("mn"),
           round(max(col("value")), 2).as("mx"))
         .orderBy(col("user_id"))
+    }),
+    // --- nested leaf layout (format v2): pruning + struct-path filters ----
+    "q_struct_prune" -> ((s, d) => {
+      // projects TWO of the meta struct's four leaves: the v2 per-leaf
+      // layout decodes only the meta.lang / meta.n_chars page streams —
+      // payload and the sibling meta leaves are never read (Catalyst's
+      // nested schema pruning reaches the scan; see StrawScanBuilder
+      // .pruneColumns and the LeafLayoutSpec isolation proof)
+      val mmDir = Tables.strawDir(s, d, "documents") + "_mm"
+      val marker = new java.io.File(mmDir, "_OK")
+      if (!marker.exists()) {
+        Multimodal.fromDocuments(t(s, d, "documents"))
+          .write.format("strawboat").mode("overwrite").save(mmDir)
+        marker.createNewFile()
+      }
+      s.read.format("strawboat").load(mmDir)
+        .select(col("doc_id"), col("meta.lang").as("lang"),
+          col("meta.n_chars").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_struct_filter" -> ((s, d) => {
+      // struct-path predicates push to the scan and prune pages by the
+      // NESTED leaves' own zone maps (meta.lang prefix stats, meta.n_chars
+      // signed stats) before any data IO
+      val mmDir = Tables.strawDir(s, d, "documents") + "_mm"
+      val marker = new java.io.File(mmDir, "_OK")
+      if (!marker.exists()) {
+        Multimodal.fromDocuments(t(s, d, "documents"))
+          .write.format("strawboat").mode("overwrite").save(mmDir)
+        marker.createNewFile()
+      }
+      s.read.format("strawboat").load(mmDir)
+        .filter(col("meta.lang") === "en" && col("meta.n_chars") >= 200)
+        .select(col("doc_id"), col("meta.source").as("source"),
+          col("meta.n_chars").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+    // --- streaming: STATEFUL windowed aggregation with watermark ----------
+    "q_stream_windowed" -> ((s, d) => {
+      // tumbling 1-day windows per event_type, built up ACROSS micro-batches
+      // in the state store (maxFilesPerTrigger=1 forces several batches),
+      // emitted in append mode once the event-time watermark closes each
+      // window, into a strawboat sink (whose window struct column exercises
+      // the v2 nested leaf writer). A sentinel row far past the real data
+      // advances the watermark so every real window closes before the
+      // AvailableNow drain terminates; the sentinel's own (never-closed)
+      // window stays in state and is excluded on both sides.
+      val src = Tables.strawDir(s, d, "events")
+      val augDir = src + "_wmsrc"
+      val outDir = src + "_wmsink"
+      val ckpt = src + "_wmckpt"
+      val marker = new java.io.File(outDir, "_STREAMED")
+      if (!marker.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) { val c = f.listFiles; if (c != null) c.foreach(rm) }
+          f.delete(): Unit
+        }
+        rm(new java.io.File(augDir)); rm(new java.io.File(outDir)); rm(new java.io.File(ckpt))
+        val events = s.read.format("strawboat").load(src)
+        // several source files -> several micro-batches, RANGE-partitioned
+        // by event time so batches arrive in event-time order (files admit
+        // in (mtime, path) order and part file names follow partition ids):
+        // a time-arbitrary split would let batch 1 advance the watermark
+        // past the whole month and every later batch would be dropped as
+        // late data — the standard replayed-backlog pitfall
+        events.repartitionByRange(4, col("ts"))
+          .write.format("strawboat").mode("overwrite").save(augDir)
+        val maxTs = events.agg(max(col("ts"))).collect()(0).getLong(0)
+        import s.implicits._
+        Seq((-1L, maxTs + 40L * 86400L * 1000000000L, -1L, "__sentinel__", 0.0, ""))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .write.format("strawboat").mode("append").save(augDir)
+        // the sentinel is NOT filtered pre-aggregation: a deterministic
+        // filter would be pushed below the EventTimeWatermark node and the
+        // sentinel would never advance the watermark. It needs no filter —
+        // its own window can never close (nothing later advances the mark),
+        // so append mode never emits it; the read-back guard is defensive.
+        val q = s.readStream.format("strawboat")
+          .option("maxFilesPerTrigger", 1).load(augDir)
+          .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+          .withWatermark("ets", "1 second")
+          .groupBy(window(col("ets"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            round(min(col("value")), 2).as("mn"),
+            round(max(col("value")), 2).as("mx"))
+          .writeStream.format("strawboat")
+          .option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000),
+          "q_stream_windowed: AvailableNow drain timed out — not marking the sink complete")
+        marker.createNewFile()
+      }
+      s.read.format("strawboat").load(outDir)
+        .filter(col("event_type") =!= "__sentinel__")
+        .select(unix_micros(col("window.start")).as("wstart"),
+          col("event_type"), col("cnt"), col("mn"), col("mx"))
+        .orderBy(col("wstart"), col("event_type"))
     })
   )
 
@@ -969,6 +1069,20 @@ object SparkEntry {
       """SELECT user_id, count(*) AS cnt, round(min(value), 2) AS mn,
         |  round(max(value), 2) AS mx
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_struct_prune" ->
+      """SELECT doc_id, lang, CAST(n_chars AS INTEGER) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_struct_filter" ->
+      """SELECT doc_id, source, CAST(n_chars AS INTEGER) AS n_chars
+        |FROM documents WHERE lang = 'en' AND n_chars >= 200
+        |ORDER BY doc_id""".stripMargin,
+    "q_stream_windowed" -> // batch equivalent of the windowed stateful drain
+      // (duckdb reads the parquet ts at µs precision, matching the query's
+      // `ts div 1000`; window start floors to the UTC day in µs)
+      """SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS wstart,
+        |  event_type, count(*) AS cnt, round(min(value), 2) AS mn,
+        |  round(max(value), 2) AS mx
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_scan_partitioned" ->
       """SELECT user_id, count(*) AS cnt, round(min(value), 2) AS mn
         |FROM events WHERE event_type = 'purchase'

@@ -208,8 +208,13 @@ object AggPushdown {
       case Some(g) =>
         val groupCol = schema.fields(g).name
         val dt = schema.fields(g).dataType
-        // LinkedHashMap: deterministic row order (path-sorted first sight)
-        val groups = collection.mutable.LinkedHashMap.empty[Option[String], Acc]
+        // keyed by the PARSED group value, not the raw directory string:
+        // two spellings of one value (cat=1 vs cat=01, true vs TRUE) must
+        // land in ONE group — complete pushdown makes these rows final, so
+        // duplicate groups would be a wrong GROUP BY answer, not a slow one.
+        // LinkedHashMap: deterministic row order (path-sorted first sight);
+        // null (the __null__ directory) is a valid key.
+        val groups = collection.mutable.LinkedHashMap.empty[Any, Acc]
         for ((m, footer) <- metas.zip(footers)) {
           PartitionLayout.partitionOf(m.path) match {
             case Some((c, v)) if c == groupCol =>
@@ -219,16 +224,17 @@ object AggPushdown {
               // col=value over unpartitioned files declines instead of
               // fabricating a group
               if (!groupValueConfirmed(footer, groupCol, dt, v)) return None
-              val acc = groups.getOrElseUpdate(v, new Acc(schema, needCount, needMinMax))
+              val parsed =
+                try StrawKeyedPartition.parse(v, dt)
+                catch { case _: Exception => return None }
+              val acc = groups.getOrElseUpdate(parsed, new Acc(schema, needCount, needMinMax))
               if (!acc.add(footer)) return None
             case _ => return None // a file outside the layout: groups unknowable
           }
         }
-        Some(groups.toSeq.map { case (v, acc) =>
+        Some(groups.toSeq.map { case (parsed, acc) =>
           val row = new GenericInternalRow(1 + specs.length)
-          row.update(0,
-            try StrawKeyedPartition.parse(v, dt)
-            catch { case _: Exception => return None })
+          row.update(0, parsed)
           acc.fill(row, 1, specs)
           row
         })

@@ -204,13 +204,28 @@ object ZoneMapFilter {
       }
     def withNull(attr: String, core: Double): Double =
       pm(attr).map(m => core * nonNullFrac(m)).getOrElse(core)
+    // corroborated equality: the flat 0.05 badly understates a pass-most
+    // equality (constant / low-cardinality columns). When the page's stats
+    // pin a SINGLE encoded value and the filter survived mayMatch, treat it
+    // as pass-all — overestimating is the safe direction here (a too-large
+    // size estimate only forgoes a broadcast; a too-small one can
+    // green-light broadcasting a huge table).
+    def eqFrac(a: String): Double =
+      leafOf(sch, a) match {
+        case Some((li, _)) =>
+          val m = footer.columns(li).pages(p)
+          if (m.statsKind != StrawFormat.StatsNone &&
+            m.min == m.max && m.min2 == m.max2) 1.0
+          else 0.05
+        case None => 0.05
+      }
     f match {
       // satisfiability against the FILE's own schema (indices into
       // footer.columns must come from footer.schema — an evolved table's
       // field positions can differ per file)
       case _ if !mayMatch(sch, footer, p, f) => 0.0
-      case EqualTo(a, _) => withNull(a, 0.05)
-      case In(a, vs) => withNull(a, math.min(1.0, 0.05 * vs.length))
+      case EqualTo(a, _) => withNull(a, eqFrac(a))
+      case In(a, vs) => withNull(a, math.min(1.0, eqFrac(a) * vs.length))
       case GreaterThan(a, v) => withNull(a, 1.0 - interp(a, v).getOrElse(0.5))
       case GreaterThanOrEqual(a, v) => withNull(a, 1.0 - interp(a, v).getOrElse(0.5))
       case LessThan(a, v) => withNull(a, interp(a, v).getOrElse(0.5))
