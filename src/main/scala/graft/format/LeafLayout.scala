@@ -91,6 +91,9 @@ object LeafLayout {
     * when `req` is not a prune-subset of `file`. */
   def prunedLeafIdx(file: DataType, req: DataType): Option[Array[Int]] = (file, req) match {
     case (f: StructType, r: StructType) =>
+      // A zero-field req struct selects NO leaf, but the assembled struct
+      // still needs one leaf to carry row alignment/validity — widen instead.
+      if (r.fields.isEmpty) return None
       val offs = starts(f)
       val out = Array.newBuilder[Int]
       var ok = true

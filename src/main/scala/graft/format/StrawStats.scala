@@ -41,9 +41,18 @@ object StrawStats {
         val cm = footer.columns(li)
         var off = cm.offset
         cm.pages.zipWithIndex.map { case (pm, p) =>
+          // A stats sweep must not read whole pages. A flat leaf's codec id
+          // sits right after the validity block, whose size is bounded by
+          // 8 (counts) + 9 (block header) + ceil(n/8) (bitmap) + 1; nested
+          // leaves carry variable-size ancestor level headers, so cap the
+          // sniff read and report codec n/a past the cap (stats/sizes stay
+          // exact either way — they come from the footer).
+          val sniffCap =
+            if (kinds.isEmpty) 8L + 9L + (pm.numValues + 7) / 8 + 1
+            else 256L * 1024
           val codecId =
             try {
-              val bytes = in.readFully(off, pm.compLen.toInt)
+              val bytes = in.readFully(off, math.min(pm.compLen, sniffCap).toInt)
               val buf = ByteIO.reader(bytes)
               kinds.foreach { k =>
                 val (n, _) = ValidityReader.read(buf)

@@ -35,15 +35,20 @@ import graft.spark.StrawIO.FileMeta
   */
 object StrawManifest {
   val FileName = "_strawboat_manifest"
-  private val Header = "strawboat-manifest v1"
+  private val HeaderV1 = "strawboat-manifest v1"
+  private val HeaderV2Prefix = "strawboat-manifest v2 "
 
-  /** Parsed-manifest cache keyed by the manifest file's own version
-    * (path, mtime, len) — a repeat query over an unchanged table re-reads
-    * nothing. Small LRU: one entry per live table. */
+  /** Parsed-manifest cache keyed by (path, snapshot id). The snapshot id is
+    * a per-write UUID embedded in the v2 header line — unlike the
+    * (mtime, len) key the rest of the IO stack uses, it cannot collide when
+    * the manifest (rewritten every commit/epoch, far more often than data
+    * files) is replaced twice within one mtime granularity unit by
+    * equal-length content. Legacy v1 manifests fall back to an
+    * (mtime, len)-derived id. Small LRU: one entry per live table. */
   private val cache =
-    new java.util.LinkedHashMap[(String, Long, Long), Seq[FileMeta]](64, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, String), Seq[FileMeta]](64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long, Long), Seq[FileMeta]]): Boolean =
+          e: java.util.Map.Entry[(String, String), Seq[FileMeta]]): Boolean =
         size() > 1024
     }
 
@@ -73,25 +78,38 @@ object StrawManifest {
       val st =
         try f.getFileStatus(mp)
         catch { case _: java.io.FileNotFoundException => return None }
-      val key = (mp.toString, st.getModificationTime, st.getLen)
-      val hit = cache.synchronized(cache.get(key))
-      if (hit != null) { hits.incrementAndGet(); return Some(hit) }
-      val bytes = new Array[Byte](st.getLen.toInt)
       val in = f.open(mp)
-      try in.readFully(0, bytes) finally in.close()
-      val lines = new String(bytes, "UTF-8").split('\n')
-      if (lines.isEmpty || lines(0) != Header) return None
-      val qdir = f.makeQualified(new Path(dir)).toString
-      val entries = lines.iterator.drop(1).filter(_.nonEmpty).map { line =>
-        val a = line.indexOf('\t')
-        val b = line.indexOf('\t', a + 1)
-        require(a > 0 && b > a, s"bad manifest line: $line")
-        FileMeta(s"$qdir/${line.substring(b + 1)}",
-          line.substring(0, a).toLong, line.substring(a + 1, b).toLong)
-      }.toVector
-      cache.synchronized(cache.put(key, entries))
-      hits.incrementAndGet()
-      Some(entries)
+      try {
+        // Sniff the header line first: the embedded snapshot id is the
+        // cache key, so a hit costs one ~96-byte read instead of a parse.
+        val head = new Array[Byte](math.min(st.getLen, 96L).toInt)
+        in.readFully(0, head)
+        val headLine = new String(head, "UTF-8").takeWhile(_ != '\n')
+        val snapshotId =
+          if (headLine.startsWith(HeaderV2Prefix)) headLine.stripPrefix(HeaderV2Prefix)
+          else if (headLine == HeaderV1) s"v1:${st.getModificationTime}:${st.getLen}"
+          else return None
+        val key = (mp.toString, snapshotId)
+        val hit = cache.synchronized(cache.get(key))
+        if (hit != null) { hits.incrementAndGet(); return Some(hit) }
+        val bytes = new Array[Byte](st.getLen.toInt)
+        in.readFully(0, bytes)
+        val lines = new String(bytes, "UTF-8").split('\n')
+        // Re-check: the file may have been swapped between the two reads —
+        // a changed header means the parse would mix snapshots; fall back.
+        if (lines.isEmpty || lines(0) != headLine) return None
+        val qdir = f.makeQualified(new Path(dir)).toString
+        val entries = lines.iterator.drop(1).filter(_.nonEmpty).map { line =>
+          val a = line.indexOf('\t')
+          val b = line.indexOf('\t', a + 1)
+          require(a > 0 && b > a, s"bad manifest line: $line")
+          FileMeta(s"$qdir/${line.substring(b + 1)}",
+            line.substring(0, a).toLong, line.substring(a + 1, b).toLong)
+        }.toVector
+        cache.synchronized(cache.put(key, entries))
+        hits.incrementAndGet()
+        Some(entries)
+      } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -123,7 +141,8 @@ object StrawManifest {
     val f = rawFs(dir)
     val qdir = StrawIO.fs(dir).makeQualified(new Path(dir)).toString
     val prefix = qdir + "/"
-    val sb = new StringBuilder(Header).append('\n')
+    val sb = new StringBuilder(HeaderV2Prefix)
+      .append(java.util.UUID.randomUUID().toString).append('\n')
     entries.sortBy(_.path).foreach { e =>
       require(e.path.startsWith(prefix), s"manifest entry outside table: ${e.path}")
       sb.append(e.mtime).append('\t').append(e.len).append('\t')

@@ -1166,6 +1166,11 @@ class StrawBatchWrite(path: String, schema: StructType, truncate: Boolean,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val staged = messages.flatMap { case StrawCommitMessage(fs) => fs }.toSeq
+    // Invalidate up front: a crash anywhere below (rename fan-out, truncate
+    // deletes, empty-marker write) must not leave a manifest describing the
+    // OLD file set while the directory already holds the new one. Missing
+    // manifest = readers walk the directory and see the truth.
+    StrawManifest.invalidate(path)
     val freshMeta = StrawCommitProtocol.finalizeFiles(path, jobId, staged)
     val fresh = freshMeta.map(_.path).toSet
     StrawCommitProtocol.sweepStaged(path, jobId)

@@ -277,6 +277,11 @@ class StrawStreamingWrite(path: String, schema: StructType,
       staged.foreach(s => f.delete(new org.apache.hadoop.fs.Path(s), false))
     } else {
       val fresh = StrawCommitProtocol.finalizeFiles(path, jobId, staged)
+      // Invalidate BEFORE the marker: a crash between marker and refresh
+      // would otherwise leave a durably-committed epoch (replay skipped)
+      // whose files a stale manifest hides indefinitely. A missing manifest
+      // degrades readers to a directory walk, which sees the renamed files.
+      StrawManifest.invalidate(path)
       f.create(marker, true).close()
       // keep the committed-files snapshot current per epoch so readers of
       // the sink (including a downstream stream source) skip listings

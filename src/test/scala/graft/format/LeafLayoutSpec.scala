@@ -47,6 +47,11 @@ class LeafLayoutSpec extends AnyFunSuite {
       StructType(Seq(StructField("lang", IntegerType)))).isEmpty)
     assert(LeafLayout.prunedLeafIdx(IntegerType, LongType).isEmpty)
     assert(LeafLayout.prunedLeafIdx(IntegerType, IntegerType).get.toSeq == Seq(0))
+    // a zero-field req struct has no leaf to carry validity — must widen,
+    // not resolve to an empty leaf set the assembler would index into
+    assert(LeafLayout.prunedLeafIdx(meta, StructType(Seq.empty)).isEmpty)
+    assert(LeafLayout.prunedLeafIdx(
+      ArrayType(meta), ArrayType(StructType(Seq.empty))).isEmpty)
   }
 
   test("resolveLeaf: dotted struct paths resolve, array/map/nested targets do not") {

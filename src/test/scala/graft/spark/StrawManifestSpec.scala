@@ -93,6 +93,21 @@ class StrawManifestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(StrawIO.listings.get() == walks0)
   }
 
+  test("same-length rewrite within one mtime tick serves the fresh snapshot") {
+    val out = s"$dir/rewrite"
+    new java.io.File(out).mkdirs()
+    val qdir = StrawIO.fs(out).makeQualified(new org.apache.hadoop.fs.Path(out)).toString
+    // equal line lengths: same mtime/len digits, path differs by one char —
+    // the (path, mtime, len) cache key of the rest of the IO stack cannot
+    // tell these apart when both writes land in one mtime granularity unit
+    val a = Seq(StrawIO.FileMeta(s"$qdir/a.strb", 1000L, 10L))
+    val b = Seq(StrawIO.FileMeta(s"$qdir/b.strb", 1000L, 10L))
+    StrawManifest.write(out, a)
+    assert(StrawManifest.read(out).get.map(_.path) == a.map(_.path))
+    StrawManifest.write(out, b)
+    assert(StrawManifest.read(out).get.map(_.path) == b.map(_.path))
+  }
+
   test("reader during concurrent appends sees complete snapshots only") {
     val out = s"$dir/concurrent"
     spark.range(0, 1000).repartition(4)
