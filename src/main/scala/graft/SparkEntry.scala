@@ -53,6 +53,32 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .orderBy(col("l_linenumber"))
     }),
+    "q_bloom_lookup" -> ((s, d) => {
+      // per-page bloom equality filters (write option bloomColumns): a
+      // digest-style key is high-cardinality with no exploitable byte
+      // order, so the 8-byte prefix zone maps keep every page — the
+      // page blooms pinpoint the one page holding the probed key. The
+      // md5 derivation is reproducible in DuckDB, so the oracle matches.
+      val gDir = Tables.strawDir(s, d, "lineitem") + "_guid"
+      val marker = new java.io.File(gDir, "_OK")
+      if (!marker.exists()) {
+        t(s, d, "lineitem")
+          .select(md5(concat(col("l_orderkey").cast("string"), lit(":"),
+              col("l_linenumber").cast("string"))).as("l_guid"),
+            col("l_quantity"))
+          .write.format("strawboat").mode("overwrite")
+          .option("bloomColumns", "l_guid")
+          .option("maxPageSize", "8192")
+          .save(gDir)
+        marker.createNewFile()
+      }
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest("1000:1".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      s.read.format("strawboat").load(gDir)
+        .filter(col("l_guid") === key)
+        .select(col("l_guid"), col("l_quantity"))
+        .orderBy(col("l_guid"))
+    }),
     "q_topk_orders" -> ((s, d) => {
       t(s, d, "orders")
         .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("price"))
@@ -738,6 +764,12 @@ object SparkEntry {
     "q_point_lookup" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_orderkey = 1000 ORDER BY l_linenumber""".stripMargin,
+    "q_bloom_lookup" ->
+      """SELECT md5(concat(CAST(l_orderkey AS VARCHAR), ':', CAST(l_linenumber AS VARCHAR))) AS l_guid,
+        |       l_quantity
+        |FROM lineitem
+        |WHERE md5(concat(CAST(l_orderkey AS VARCHAR), ':', CAST(l_linenumber AS VARCHAR))) = md5('1000:1')
+        |ORDER BY l_guid""".stripMargin,
     "q_topk_orders" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price FROM orders
         |ORDER BY price DESC, o_orderkey LIMIT 10""".stripMargin,

@@ -51,7 +51,12 @@ final case class WriteOptions(
     maxPageSize: Int = 65536,
     targetFileBytes: Long = 128L << 20,
     forced: Option[Int] = None,
-    zstdLevel: Int = 3)
+    zstdLevel: Int = 3,
+    // leaf paths (dotted for struct fields) that get a per-page equality
+    // filter ([[PageBloom]]); opt-in — the right columns are point-lookup
+    // keys whose prefix zone maps cannot prune (URLs, digests, UUIDs)
+    bloomColumns: Set[String] = Set.empty,
+    bloomFpp: Double = 0.01)
 
 /** Growable little-endian byte buffer (write side). */
 final class ByteBuf(initial: Int = 1 << 14) {

@@ -105,7 +105,10 @@ final case class PageMeta(
     min: Long,
     max: Long,
     min2: Long = 0L,
-    max2: Long = 0L)
+    max2: Long = 0L,
+    /** Optional per-page equality filter ([[PageBloom]] layout); null when
+      * the column was not bloom-enabled at write (the common case). */
+    bloom: Array[Byte] = null)
 
 final case class ColumnMeta(offset: Long, pages: Array[PageMeta]) {
   /** Absolute byte offset of every page (prefix sums; readers index this
@@ -147,9 +150,13 @@ object MetaIO {
         out.putInt(p.numValues)
         out.putLong(p.compLen)
         out.putInt(p.nullCount)
-        out.putByte(p.statsKind)
+        // high bit of the kind byte flags an attached page bloom filter;
+        // pre-bloom readers see kind >= 0x80 and reject with the clean
+        // "newer version" error below rather than desyncing the parse
+        out.putByte(p.statsKind | (if (p.bloom != null) 0x80 else 0))
         if (p.statsKind != StatsNone) { out.putLong(p.min); out.putLong(p.max) }
         if (p.statsKind == StatsDecimal128) { out.putLong(p.min2); out.putLong(p.max2) }
+        if (p.bloom != null) { out.putInt(p.bloom.length); out.putBytes(p.bloom) }
       }
     }
     val metaLen = out.len - metaStart
@@ -193,7 +200,9 @@ object MetaIO {
         val nv = in.getInt()
         val cl = in.getLong()
         val nc = in.getInt()
-        val kind = in.get() & 0xff
+        val kindByte = in.get() & 0xff
+        val hasBloom = (kindByte & 0x80) != 0
+        val kind = kindByte & 0x7f
         // fail CLEANLY on files from a future format revision: an unknown
         // kind changes the stats-plane byte count, and guessing would
         // desync the whole footer parse into garbage page metadata
@@ -202,7 +211,17 @@ object MetaIO {
         val (mn, mx) = if (kind != StatsNone) (in.getLong(), in.getLong()) else (0L, 0L)
         val (mn2, mx2) =
           if (kind == StatsDecimal128) (in.getLong(), in.getLong()) else (0L, 0L)
-        pages(p) = PageMeta(nv, cl, nc, kind, mn, mx, mn2, mx2)
+        val bloom =
+          if (!hasBloom) null
+          else {
+            val bl = in.getInt()
+            require(bl >= 0 && bl <= PageBloom.MaxBytes + 8,
+              s"strawboat: corrupt page bloom length $bl")
+            val arr = new Array[Byte](bl)
+            in.get(arr)
+            arr
+          }
+        pages(p) = PageMeta(nv, cl, nc, kind, mn, mx, mn2, mx2, bloom)
         p += 1
       }
       cols(c) = ColumnMeta(offset, pages)
@@ -264,7 +283,8 @@ object ValidityReader {
 }
 
 final case class PageStats(statsKind: Int, min: Long, max: Long,
-    min2: Long = 0L, max2: Long = 0L, nullCount: Int = 0)
+    min2: Long = 0L, max2: Long = 0L, nullCount: Int = 0,
+    bloom: Array[Byte] = null)
 
 /** One column's write-side buffer (top-level or nested child). `append`
   * pulls the value out of a row/array via SpecializedGetters; at page flush
@@ -319,7 +339,8 @@ final class LongColumnWriter(
     get: (SpecializedGetters, Int) => Long,
     statsKind: Int,
     toSortable: Long => Long = identity,
-    floatBits: Boolean = false)
+    floatBits: Boolean = false,
+    bloomEnabled: Boolean = false)
   extends LeafColumnWriter(opts) {
   private var values = new Array[Long](1024)
   private var n = 0
@@ -347,14 +368,30 @@ final class LongColumnWriter(
   def encodePage(out: ByteBuf): PageStats = {
     validity.encode(opts, out)
     IntCodec.encode(values, n, width, opts, 0, out, floatBits)
-    if (min > max) PageStats(StrawFormat.StatsNone, 0, 0)
-    else PageStats(statsKind, min, max)
+    // hash in the same encoded domain the query side probes with
+    // (ZoneMapFilter.toStatsLong): toSortable is identity for integer-family
+    // values and the sortable-double mapping for float bits
+    val bloom =
+      if (!bloomEnabled || n == 0) null
+      else {
+        val hs = new Array[Long](n - validity.nullCount)
+        var i = 0
+        var j = 0
+        while (i < n) {
+          if (validity.isValid(i)) { hs(j) = PageBloom.hashLong(toSortable(values(i))); j += 1 }
+          i += 1
+        }
+        PageBloom.build(hs, j, opts.bloomFpp)
+      }
+    if (min > max) PageStats(StrawFormat.StatsNone, 0, 0, bloom = bloom)
+    else PageStats(statsKind, min, max, bloom = bloom)
   }
   def clearBuffers(): Unit = { n = 0; lastValid = 0L; min = Long.MaxValue; max = Long.MinValue }
   def bufferedBytes: Long = n.toLong * width
 }
 
-final class BinaryColumnWriter(opts: WriteOptions, isString: Boolean)
+final class BinaryColumnWriter(opts: WriteOptions, isString: Boolean,
+    bloomEnabled: Boolean = false)
   extends LeafColumnWriter(opts) {
   private val bytes = new ByteBuf(1 << 16)
   private var offsets = new Array[Int](1025)
@@ -389,8 +426,23 @@ final class BinaryColumnWriter(opts: WriteOptions, isString: Boolean)
   def encodePage(out: ByteBuf): PageStats = {
     validity.encode(opts, out)
     BinaryCodec.encode(offsets, bytes.buf, n, opts, out)
-    if (hasStats) PageStats(StrawFormat.StatsPrefix, minP, maxP)
-    else PageStats(StrawFormat.StatsNone, 0, 0)
+    val bloom =
+      if (!bloomEnabled || n == 0) null
+      else {
+        val hs = new Array[Long](n - validity.nullCount)
+        var i = 0
+        var j = 0
+        while (i < n) {
+          if (validity.isValid(i)) {
+            hs(j) = PageBloom.hashBytes(bytes.buf, offsets(i), offsets(i + 1) - offsets(i))
+            j += 1
+          }
+          i += 1
+        }
+        PageBloom.build(hs, j, opts.bloomFpp)
+      }
+    if (hasStats) PageStats(StrawFormat.StatsPrefix, minP, maxP, bloom = bloom)
+    else PageStats(StrawFormat.StatsNone, 0, 0, bloom = bloom)
   }
   def clearBuffers(): Unit = {
     bytes.clear(); n = 0; offsets(0) = 0; hasStats = false; minP = -1L; maxP = 0L
@@ -576,47 +628,62 @@ final class NullColumnWriter(opts: WriteOptions) extends LeafColumnWriter(opts) 
 
 object ColumnWriter {
   import StrawFormat._
-  def apply(dt: DataType, opts: WriteOptions): ColumnWriter = dt match {
-    case BooleanType =>
-      new LongColumnWriter(opts, 1, (g, i) => if (g.getBoolean(i)) 1L else 0L, StatsSigned)
-    case ByteType => new LongColumnWriter(opts, 1, (g, i) => g.getByte(i).toLong, StatsSigned)
-    case ShortType => new LongColumnWriter(opts, 2, (g, i) => g.getShort(i).toLong, StatsSigned)
-    case IntegerType | DateType =>
-      new LongColumnWriter(opts, 4, (g, i) => g.getInt(i).toLong, StatsSigned)
-    case LongType | TimestampType | TimestampNTZType =>
-      new LongColumnWriter(opts, 8, (g, i) => g.getLong(i), StatsSigned)
-    case FloatType =>
-      new LongColumnWriter(opts, 4,
-        (g, i) => java.lang.Float.floatToIntBits(g.getFloat(i)).toLong & 0xffffffffL,
-        StatsSigned,
-        bits => sortableDouble(java.lang.Float.intBitsToFloat(bits.toInt).toDouble),
-        floatBits = true)
-    case DoubleType =>
-      new LongColumnWriter(opts, 8,
-        (g, i) => java.lang.Double.doubleToLongBits(g.getDouble(i)),
-        StatsSigned,
-        bits => sortableDouble(java.lang.Double.longBitsToDouble(bits)),
-        floatBits = true)
-    case d: DecimalType if d.precision <= 18 =>
-      new LongColumnWriter(opts, 8,
-        (g, i) => g.getDecimal(i, d.precision, d.scale).toUnscaledLong, StatsSigned)
-    case d: DecimalType if d.precision <= 38 =>
-      new Decimal128ColumnWriter(opts, d.precision, d.scale)
-    case StringType => new BinaryColumnWriter(opts, isString = true)
-    case BinaryType => new BinaryColumnWriter(opts, isString = false)
-    case ArrayType(et, containsNull) =>
-      new ArrayColumnWriter(opts, apply(et, opts), containsNull)
-    case MapType(kt, vt, vcn) =>
-      new MapColumnWriter(opts, apply(kt, opts), apply(vt, opts), vcn)
-    case StructType(fields) =>
-      // a field-less struct has no leaf to carry its validity in the
-      // per-leaf layout (and Spark SQL cannot construct one anyway)
-      require(fields.nonEmpty, "strawboat: empty struct type unsupported")
-      new StructColumnWriter(opts, fields.map(f => apply(f.dataType, opts)))
-    case NullType => new NullColumnWriter(opts)
-    case other =>
-      throw new UnsupportedOperationException(
-        s"strawboat: unsupported write type $other (Decimal>18 lands later)")
+  /** `path` is the column's dotted leaf path (array elements as `element`,
+    * map sides as `key`/`value`, matching [[LeafLayout.leafNames]]) — it
+    * selects which leaves build page bloom filters
+    * (`opts.bloomColumns`). */
+  def apply(dt: DataType, opts: WriteOptions, path: String = ""): ColumnWriter = {
+    def bloom = opts.bloomColumns.contains(path)
+    dt match {
+      case BooleanType =>
+        new LongColumnWriter(opts, 1, (g, i) => if (g.getBoolean(i)) 1L else 0L, StatsSigned,
+          bloomEnabled = bloom)
+      case ByteType => new LongColumnWriter(opts, 1, (g, i) => g.getByte(i).toLong, StatsSigned,
+        bloomEnabled = bloom)
+      case ShortType => new LongColumnWriter(opts, 2, (g, i) => g.getShort(i).toLong, StatsSigned,
+        bloomEnabled = bloom)
+      case IntegerType | DateType =>
+        new LongColumnWriter(opts, 4, (g, i) => g.getInt(i).toLong, StatsSigned,
+          bloomEnabled = bloom)
+      case LongType | TimestampType | TimestampNTZType =>
+        new LongColumnWriter(opts, 8, (g, i) => g.getLong(i), StatsSigned,
+          bloomEnabled = bloom)
+      case FloatType =>
+        new LongColumnWriter(opts, 4,
+          (g, i) => java.lang.Float.floatToIntBits(g.getFloat(i)).toLong & 0xffffffffL,
+          StatsSigned,
+          bits => sortableDouble(java.lang.Float.intBitsToFloat(bits.toInt).toDouble),
+          floatBits = true, bloomEnabled = bloom)
+      case DoubleType =>
+        new LongColumnWriter(opts, 8,
+          (g, i) => java.lang.Double.doubleToLongBits(g.getDouble(i)),
+          StatsSigned,
+          bits => sortableDouble(java.lang.Double.longBitsToDouble(bits)),
+          floatBits = true, bloomEnabled = bloom)
+      case d: DecimalType if d.precision <= 18 =>
+        new LongColumnWriter(opts, 8,
+          (g, i) => g.getDecimal(i, d.precision, d.scale).toUnscaledLong, StatsSigned,
+          bloomEnabled = bloom)
+      case d: DecimalType if d.precision <= 38 =>
+        new Decimal128ColumnWriter(opts, d.precision, d.scale)
+      case StringType => new BinaryColumnWriter(opts, isString = true, bloomEnabled = bloom)
+      case BinaryType => new BinaryColumnWriter(opts, isString = false, bloomEnabled = bloom)
+      case ArrayType(et, containsNull) =>
+        new ArrayColumnWriter(opts, apply(et, opts, s"$path.element"), containsNull)
+      case MapType(kt, vt, vcn) =>
+        new MapColumnWriter(opts, apply(kt, opts, s"$path.key"),
+          apply(vt, opts, s"$path.value"), vcn)
+      case StructType(fields) =>
+        // a field-less struct has no leaf to carry its validity in the
+        // per-leaf layout (and Spark SQL cannot construct one anyway)
+        require(fields.nonEmpty, "strawboat: empty struct type unsupported")
+        new StructColumnWriter(opts,
+          fields.map(f => apply(f.dataType, opts, s"$path.${f.name}")))
+      case NullType => new NullColumnWriter(opts)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"strawboat: unsupported write type $other (Decimal>18 lands later)")
+    }
   }
 }
 
@@ -626,7 +693,7 @@ object ColumnWriter {
   * memory shape as a Parquet row-group writer. */
 final class StrawFileWriter(schema: StructType, opts: WriteOptions) {
   private val writers: Array[ColumnWriter] =
-    schema.fields.map(f => ColumnWriter(f.dataType, opts))
+    schema.fields.map(f => ColumnWriter(f.dataType, opts, f.name))
   // one page stream per LEAF column (LeafLayout DFS order), not per field
   private val leafStarts: Array[Int] = LeafLayout.starts(schema)
   private val totalLeaves: Int = leafStarts.last
@@ -667,7 +734,7 @@ final class StrawFileWriter(schema: StructType, opts: WriteOptions) {
         val s = stats(l)
         // numValues = the page group's ROW count, uniform across leaves
         pageMetas(l) += PageMeta(rowsInPage, (colBufs(l).len - before(l)).toLong,
-          s.nullCount, s.statsKind, s.min, s.max, s.min2, s.max2)
+          s.nullCount, s.statsKind, s.min, s.max, s.min2, s.max2, s.bloom)
         l += 1
       }
       rowsInPage = 0

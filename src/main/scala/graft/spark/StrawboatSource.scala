@@ -287,6 +287,16 @@ object StrawWriteOptions {
       o = o.copy(targetFileBytes = n)
     }
     Option(options.get("adaptive")).foreach(v => o = o.copy(adaptive = v.toBoolean))
+    // per-page equality filters: comma-separated leaf paths (dotted for
+    // struct fields), e.g. .option("bloomColumns", "url,meta.digest")
+    Option(options.get("bloomColumns")).foreach { v =>
+      o = o.copy(bloomColumns = v.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    }
+    Option(options.get("bloomFpp")).foreach { v =>
+      val f = v.toDouble
+      require(f > 0 && f < 1, s"strawboat: bloomFpp must be in (0, 1), got $f")
+      o = o.copy(bloomFpp = f)
+    }
     o
   }
 }

@@ -293,9 +293,38 @@ object ZoneMapFilter {
       }
     }
 
+    // Per-page equality filter probe (PageBloom, opt-in at write): a page
+    // whose bloom excludes the literal provably holds no match — sharper
+    // than the 8-byte prefix bounds on shared-prefix string keys (URLs,
+    // digests). Hash domains mirror the writer: raw UTF-8/binary bytes for
+    // string/binary leaves, the encoded stats long for long-backed ones.
+    def bloomKeeps(dt: DataType, v: Any, pm: PageMeta): Boolean = {
+      if (pm.bloom == null || v == null) return true
+      dt match {
+        case StringType => v match {
+          case s: String => PageBloom.mightContain(pm.bloom, PageBloom.hashBytes(s.getBytes("UTF-8")))
+          case u: org.apache.spark.unsafe.types.UTF8String =>
+            PageBloom.mightContain(pm.bloom, PageBloom.hashBytes(u.getBytes))
+          case _ => true
+        }
+        case BinaryType => v match {
+          case b: Array[Byte] => PageBloom.mightContain(pm.bloom, PageBloom.hashBytes(b))
+          case _ => true
+        }
+        case _ => toStatsLong(dt, v) match {
+          case Some((enc, StrawFormat.StatsSigned)) =>
+            PageBloom.mightContain(pm.bloom, PageBloom.hashLong(enc))
+          case _ => true
+        }
+      }
+    }
+
     f match {
       case EqualTo(a, v) =>
-        cmpRange(a, v)((_, toMin, toMax) => toMin >= 0 && toMax <= 0)
+        cmpRange(a, v)((pm, toMin, toMax) => toMin >= 0 && toMax <= 0) &&
+          leafOf(schema, a).forall { case (li, dt) =>
+            bloomKeeps(dt, v, footer.columns(li).pages(p))
+          }
       case GreaterThan(a, v) =>
         // prefix / double-approx stats blur strict bounds: treat > as >=
         // there (conservative — multiple values share an encoded stat)
