@@ -194,10 +194,20 @@ object AggPushdown {
     val needMinMax = (specs.collect { case MinSpec(f) => f } ++
       specs.collect { case MaxSpec(f) => f }).distinct
     // prefetch with the bounded parallel pool (same pattern as inferSchema),
-    // then accumulate in path order for deterministic group ordering
-    val metas = StrawIO.listFilesMeta(path)
-    val footers = StrawIO.mapParallel(metas)(
-      m => FooterCache.get(m.path, m.mtime, m.len))
+    // then accumulate in path order for deterministic group ordering. A
+    // manifest-carried file-stats footer (ManifestStats) substitutes for
+    // the real one — the aggregate then reads NO file at all — but only
+    // when its counts are un-clamped (numValues == numRows): the synthetic
+    // page clamps to Int range, and a clamped nullCount would make
+    // COUNT(col) wrong, so oversized files fall back to their real footer.
+    val listed = StrawIO.listFilesMetaWithStats(path)
+    val metas = listed.map(_._1)
+    val footers = StrawIO.mapParallel(listed) {
+      case (_, Some(synth))
+        if synth.columns.isEmpty ||
+          synth.columns(0).pages(0).numValues.toLong == synth.numRows => synth
+      case (m, _) => FooterCache.get(m.path, m.mtime, m.len)
+    }
     grp match {
       case None =>
         val acc = new Acc(schema, needCount, needMinMax)

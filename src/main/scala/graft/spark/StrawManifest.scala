@@ -3,7 +3,9 @@ package graft.spark
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.types.{DataType, StructType}
 
+import graft.format.{ColumnMeta, LeafLayout, PageMeta, StrawFormat, StrawFooter}
 import graft.spark.StrawIO.FileMeta
 
 /** Committed-files manifest: a `_strawboat_manifest` snapshot of the
@@ -19,6 +21,17 @@ import graft.spark.StrawIO.FileMeta
   * walks — [[StrawIO.listings]] observable), and a reader during a
   * concurrent append sees a complete old or complete new snapshot instead
   * of a mid-rename partial listing.
+  *
+  * v3 additionally carries PER-FILE column statistics: each entry may
+  * reference its file's schema (deduplicated in a dictionary section) and a
+  * compact blob of per-leaf (kind, min, max, nullCount) merged over the
+  * file's pages. Planning turns each blob into a synthetic one-page footer
+  * and runs the ordinary [[ZoneMapFilter]] satisfiability over it — so a
+  * selective filter prunes WHOLE FILES from the scan before any footer IO,
+  * the difference between reading 100k footers and reading the few that
+  * can match. Stats are computed once at commit time for the just-written
+  * files and carried forward by (path, mtime, len) for the rest; an entry
+  * without stats (older manifest, carry-over miss) simply doesn't prune.
   *
   * Trust model: the manifest is maintained by THIS library's commit
   * protocol, which is the only writer of visible data files. It is written
@@ -37,18 +50,42 @@ object StrawManifest {
   val FileName = "_strawboat_manifest"
   private val HeaderV1 = "strawboat-manifest v1"
   private val HeaderV2Prefix = "strawboat-manifest v2 "
+  private val HeaderV3Prefix = "strawboat-manifest v3 "
+
+  /** One manifest entry: the file's version-keyed identity plus optional
+    * file-level stats (`schemaJson`/`statsB64` null when absent).
+    * `schemaParsed` is the pre-parsed schema when the producer had it in
+    * hand (the v3 dictionary parses each distinct schema ONCE for all its
+    * files — 100k same-schema entries must not mean 100k JSON parses). */
+  final case class Entry(meta: FileMeta, schemaJson: String, statsB64: String,
+      schemaParsed: StructType = null) {
+    /** Synthetic one-page-per-leaf footer for file-level pruning, or None
+      * when this entry carries no stats (or they fail to parse — the
+      * manifest must accelerate, never wall). Memoized: entries live in the
+      * parse cache, so each file's stats decode once per snapshot. */
+    lazy val synthetic: Option[StrawFooter] =
+      if (schemaJson == null || statsB64 == null) None
+      else
+        try {
+          val schema =
+            if (schemaParsed != null) schemaParsed
+            else DataType.fromJson(schemaJson).asInstanceOf[StructType]
+          Some(ManifestStats.decode(schema,
+            java.util.Base64.getDecoder.decode(statsB64)))
+        } catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   /** Parsed-manifest cache keyed by (path, snapshot id). The snapshot id is
-    * a per-write UUID embedded in the v2 header line — unlike the
+    * a per-write UUID embedded in the v2+/v3 header line — unlike the
     * (mtime, len) key the rest of the IO stack uses, it cannot collide when
     * the manifest (rewritten every commit/epoch, far more often than data
     * files) is replaced twice within one mtime granularity unit by
     * equal-length content. Legacy v1 manifests fall back to an
     * (mtime, len)-derived id. Small LRU: one entry per live table. */
   private val cache =
-    new java.util.LinkedHashMap[(String, String), Seq[FileMeta]](64, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, String), Seq[Entry]](64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, String), Seq[FileMeta]]): Boolean =
+          e: java.util.Map.Entry[(String, String), Seq[Entry]]): Boolean =
         size() > 1024
     }
 
@@ -56,6 +93,17 @@ object StrawManifest {
   val hits = new AtomicLong()
 
   private val writeLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Last snapshot seen per table IN THIS PROCESS — the stats carry-over
+    * source for [[refresh]]. Needed because the commit protocol DELETES the
+    * manifest before the rename fan-out (crash safety: a stale manifest
+    * hides committed files, a missing one degrades to walking), so at
+    * refresh time the on-disk previous snapshot is already gone. A
+    * cross-process committer loses carry-over and its refresh writes
+    * stats-less entries for files it didn't just commit — pruning degrades,
+    * correctness doesn't. */
+  private val lastSnapshot =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Entry]]()
 
   def manifestPath(dir: String): Path = new Path(dir, FileName)
 
@@ -71,7 +119,11 @@ object StrawManifest {
 
   /** The live-file snapshot of `dir`, or None when absent/unreadable
     * (callers fall back to walking the directory). */
-  def read(dir: String): Option[Seq[FileMeta]] = {
+  def read(dir: String): Option[Seq[FileMeta]] = readEntries(dir).map(_.map(_.meta))
+
+  /** The snapshot WITH per-file stats entries (v3; older manifests yield
+    * stats-less entries). */
+  def readEntries(dir: String): Option[Seq[Entry]] = {
     try {
       val f = rawFs(dir)
       val mp = manifestPath(dir)
@@ -86,7 +138,8 @@ object StrawManifest {
         in.readFully(0, head)
         val headLine = new String(head, "UTF-8").takeWhile(_ != '\n')
         val snapshotId =
-          if (headLine.startsWith(HeaderV2Prefix)) headLine.stripPrefix(HeaderV2Prefix)
+          if (headLine.startsWith(HeaderV3Prefix)) headLine.stripPrefix(HeaderV3Prefix)
+          else if (headLine.startsWith(HeaderV2Prefix)) headLine.stripPrefix(HeaderV2Prefix)
           else if (headLine == HeaderV1) s"v1:${st.getModificationTime}:${st.getLen}"
           else return None
         val key = (mp.toString, snapshotId)
@@ -99,54 +152,155 @@ object StrawManifest {
         // a changed header means the parse would mix snapshots; fall back.
         if (lines.isEmpty || lines(0) != headLine) return None
         val qdir = f.makeQualified(new Path(dir)).toString
-        val entries = lines.iterator.drop(1).filter(_.nonEmpty).map { line =>
-          val a = line.indexOf('\t')
-          val b = line.indexOf('\t', a + 1)
-          require(a > 0 && b > a, s"bad manifest line: $line")
-          FileMeta(s"$qdir/${line.substring(b + 1)}",
-            line.substring(0, a).toLong, line.substring(a + 1, b).toLong)
-        }.toVector
+        val entries =
+          if (headLine.startsWith(HeaderV3Prefix)) parseV3(lines, qdir)
+          else parseV2(lines, qdir)
         cache.synchronized(cache.put(key, entries))
+        lastSnapshot.put(dir, entries)
         hits.incrementAndGet()
         Some(entries)
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  private def parseV2(lines: Array[String], qdir: String): Seq[Entry] =
+    lines.iterator.drop(1).filter(_.nonEmpty).map { line =>
+      val a = line.indexOf('\t')
+      val b = line.indexOf('\t', a + 1)
+      require(a > 0 && b > a, s"bad manifest line: $line")
+      Entry(FileMeta(s"$qdir/${line.substring(b + 1)}",
+        line.substring(0, a).toLong, line.substring(a + 1, b).toLong), null, null)
+    }.toVector
+
+  /** v3 layout after the header line:
+    * {{{
+    * S<idx>\t<schema json>          (schema dictionary, deduplicated)
+    * F\t<mtime>\t<len>\t<schemaIdx|->\t<statsB64|->\t<relative path>
+    * }}}
+    * The relative path is LAST so the fixed-position fields parse even
+    * though it is unconstrained. Schema JSON cannot contain raw tabs or
+    * newlines (JSON escapes control characters), so line/tab framing is
+    * safe. */
+  private def parseV3(lines: Array[String], qdir: String): Seq[Entry] = {
+    val schemas = scala.collection.mutable.ArrayBuffer.empty[(String, StructType)]
+    val out = Vector.newBuilder[Entry]
+    lines.iterator.drop(1).filter(_.nonEmpty).foreach { line =>
+      if (line.startsWith("S")) {
+        val t = line.indexOf('\t')
+        require(t > 0 && line.substring(1, t).toInt == schemas.size,
+          s"bad manifest schema line: $line")
+        val json = line.substring(t + 1)
+        // parse each DISTINCT schema once here; every file entry of that
+        // schema shares the parsed instance
+        schemas += ((json, DataType.fromJson(json).asInstanceOf[StructType]))
+      } else {
+        require(line.startsWith("F\t"), s"bad manifest line: $line")
+        val parts = line.split('\t') // path (last) re-joined below if it had tabs
+        require(parts.length >= 6, s"bad manifest line: $line")
+        val relPath = parts.drop(5).mkString("\t")
+        val (schemaJson, schemaParsed) =
+          if (parts(3) == "-") (null, null) else schemas(parts(3).toInt)
+        val statsB64 = if (parts(4) == "-") null else parts(4)
+        out += Entry(FileMeta(s"$qdir/$relPath", parts(1).toLong, parts(2).toLong),
+          schemaJson, statsB64, schemaParsed)
+      }
+    }
+    out.result()
+  }
+
   /** Rewrite the snapshot after a commit: one direct directory walk UNION
     * the just-committed `fresh` files (the walk may race another in-flight
-    * rename fan-out; fresh entries are exact). Serialized per table within
-    * this process. On any failure the manifest is DELETED — a missing
-    * manifest degrades to listing, a stale one would lose data. */
-  def refresh(dir: String, fresh: Seq[FileMeta]): Unit = {
+    * rename fan-out; fresh entries are exact). File-level stats are
+    * COMPUTED for the fresh files (their footers were just written — one
+    * cached read each) and CARRIED OVER by (path, mtime, len) for the
+    * rest; a file with neither stays stats-less and simply doesn't prune.
+    * Serialized per table within this process. On any failure the manifest
+    * is DELETED — a missing manifest degrades to listing, a stale one
+    * would lose data. */
+  def refresh(dir: String, fresh: Seq[FileMeta]): Unit =
+    refreshInternal(dir, Set.empty, fresh)
+
+  /** Snapshot rewrite for a compaction-style swap: the next manifest is
+    * (current directory walk MINUS `drop`) overlaid with `fresh` — `drop`
+    * lists files the caller is about to delete (still present in the walk)
+    * and `fresh` the rewritten replacements, so manifest readers switch
+    * from the old file set to the new one in ONE atomic manifest swap,
+    * never observing both generations. */
+  def rewrite(dir: String, drop: Set[String], fresh: Seq[FileMeta]): Unit =
+    refreshInternal(dir, drop, fresh)
+
+  private def refreshInternal(dir: String, drop: Set[String], fresh: Seq[FileMeta]): Unit = {
     val lock = writeLocks.computeIfAbsent(dir, _ => new Object)
     lock.synchronized {
       try {
+        // previous snapshot BEFORE walking: the stats carry-over source.
+        // The on-disk manifest is usually already invalidated by the commit
+        // in flight — fall back to the last snapshot this process saw.
+        val prev: Map[(String, Long, Long), Entry] =
+          readEntries(dir).orElse(Option(lastSnapshot.get(dir)))
+            .getOrElse(Seq.empty)
+            .map(e => (e.meta.path, e.meta.mtime, e.meta.len) -> e).toMap
         val listed = StrawIO.walkFilesMeta(dir)
         val byPath = scala.collection.mutable.LinkedHashMap.empty[String, FileMeta]
-        listed.foreach(e => byPath(e.path) = e)
+        listed.foreach(e => if (!drop(e.path)) byPath(e.path) = e)
         fresh.foreach(e => byPath(e.path) = e)
-        write(dir, byPath.values.toSeq)
+        val freshSet = fresh.map(_.path).toSet
+        val entries = byPath.values.toSeq.map { m =>
+          prev.get((m.path, m.mtime, m.len)) match {
+            case Some(e) if e.schemaJson != null => e
+            case other =>
+              if (freshSet(m.path)) computeEntry(m)
+              else other.getOrElse(Entry(m, null, null))
+          }
+        }
+        writeEntries(dir, entries)
       } catch {
         case scala.util.control.NonFatal(_) => invalidate(dir)
       }
     }
   }
 
+  /** File-level stats from the (cached) footer; stats-less on any error —
+    * a commit must never fail because statistics couldn't be derived. */
+  private def computeEntry(m: FileMeta): Entry =
+    try {
+      val footer = FooterCache.get(m.path, m.mtime, m.len)
+      Entry(m, footer.schema.json,
+        java.util.Base64.getEncoder.encodeToString(ManifestStats.encode(footer)))
+    } catch { case scala.util.control.NonFatal(_) => Entry(m, null, null) }
+
+  /** Stats-less snapshot write (testing / external callers). */
+  def write(dir: String, entries: Seq[FileMeta]): Unit =
+    writeEntries(dir, entries.map(Entry(_, null, null)))
+
   /** Write a snapshot: temp + swap. On a `file:` FS the swap is a true
     * atomic replace (NIO ATOMIC_MOVE) — a concurrent reader sees old or
     * new, never a gap; elsewhere it is delete→rename, whose gap degrades a
     * reader to a directory walk, never to wrong data. */
-  def write(dir: String, entries: Seq[FileMeta]): Unit = {
+  def writeEntries(dir: String, entries: Seq[Entry]): Unit = {
     val f = rawFs(dir)
     val qdir = StrawIO.fs(dir).makeQualified(new Path(dir)).toString
     val prefix = qdir + "/"
-    val sb = new StringBuilder(HeaderV2Prefix)
+    val sb = new StringBuilder(HeaderV3Prefix)
       .append(java.util.UUID.randomUUID().toString).append('\n')
-    entries.sortBy(_.path).foreach { e =>
-      require(e.path.startsWith(prefix), s"manifest entry outside table: ${e.path}")
-      sb.append(e.mtime).append('\t').append(e.len).append('\t')
-        .append(e.path.substring(prefix.length)).append('\n')
+    val schemaIdx = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val sorted = entries.sortBy(_.meta.path)
+    sorted.foreach { e =>
+      if (e.schemaJson != null && !schemaIdx.contains(e.schemaJson)) {
+        val idx = schemaIdx.size
+        schemaIdx(e.schemaJson) = idx
+        sb.append('S').append(idx).append('\t').append(e.schemaJson).append('\n')
+      }
+    }
+    sorted.foreach { e =>
+      require(e.meta.path.startsWith(prefix),
+        s"manifest entry outside table: ${e.meta.path}")
+      sb.append("F\t").append(e.meta.mtime).append('\t').append(e.meta.len).append('\t')
+        .append(if (e.schemaJson == null) "-" else schemaIdx(e.schemaJson).toString)
+        .append('\t')
+        .append(if (e.statsB64 == null) "-" else e.statsB64)
+        .append('\t')
+        .append(e.meta.path.substring(prefix.length)).append('\n')
     }
     val tmp = new Path(dir,
       s".$FileName.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
@@ -161,6 +315,7 @@ object StrawManifest {
           f.delete(mp, false)
           if (!f.rename(tmp, mp)) { f.delete(tmp, false); invalidate(dir) }
         }
+        lastSnapshot.put(dir, sorted)
       } else f.delete(tmp, false)
     }
   }
@@ -184,5 +339,90 @@ object StrawManifest {
     try { rawFs(dir).delete(manifestPath(dir), false): Unit }
     catch { case scala.util.control.NonFatal(_) => }
 
-  def clearCache(): Unit = cache.synchronized(cache.clear())
+  def clearCache(): Unit = {
+    cache.synchronized(cache.clear())
+    lastSnapshot.clear()
+  }
+}
+
+/** File-level column statistics: each leaf's page stats merged over the
+  * whole file, serialized as a small binary blob in the manifest and
+  * re-materialized as a synthetic ONE-page footer — so file-level pruning
+  * reuses [[ZoneMapFilter]]'s page satisfiability verbatim instead of
+  * duplicating its kind-aware comparison logic. */
+object ManifestStats {
+
+  /** Layout (LE, via ByteBuf): version u8 | numRows i64 | per leaf
+    * (schema DFS order): kind u8 | nullCount i64 | if kind != None:
+    * min, max i64 | if kind == Decimal128: min2, max2 i64. */
+  def encode(footer: StrawFooter): Array[Byte] = {
+    val out = new graft.format.ByteBuf(256)
+    out.putByte(1)
+    out.putLong(footer.numRows)
+    footer.columns.foreach { col =>
+      var kind = StrawFormat.StatsNone
+      var mn = 0L; var mx = 0L; var mn2 = 0L; var mx2 = 0L
+      var nulls = 0L
+      var mixed = false
+      col.pages.foreach { p =>
+        nulls += p.nullCount
+        if (p.statsKind != StrawFormat.StatsNone && !mixed) {
+          if (kind == StrawFormat.StatsNone) {
+            kind = p.statsKind; mn = p.min; mx = p.max; mn2 = p.min2; mx2 = p.max2
+          } else if (kind != p.statsKind) {
+            // pages disagree on kind (legacy/new decimal mix): no file stats
+            mixed = true; kind = StrawFormat.StatsNone
+          } else {
+            if (lessThan(kind, p.min, p.min2, mn, mn2)) { mn = p.min; mn2 = p.min2 }
+            if (lessThan(kind, mx, mx2, p.max, p.max2)) { mx = p.max; mx2 = p.max2 }
+          }
+        }
+      }
+      out.putByte(kind)
+      out.putLong(nulls)
+      if (kind != StrawFormat.StatsNone) { out.putLong(mn); out.putLong(mx) }
+      if (kind == StrawFormat.StatsDecimal128) { out.putLong(mn2); out.putLong(mx2) }
+    }
+    java.util.Arrays.copyOf(out.buf, out.len)
+  }
+
+  private def lessThan(kind: Int, aHi: Long, aLo: Long, bHi: Long, bLo: Long): Boolean =
+    kind match {
+      case StrawFormat.StatsDecimal128 => StrawFormat.compare128(aHi, aLo, bHi, bLo) < 0
+      case StrawFormat.StatsPrefix => java.lang.Long.compareUnsigned(aHi, bHi) < 0
+      case _ => aHi < bHi
+    }
+
+  /** Synthetic footer: one page per leaf carrying the file-merged stats.
+    * `numValues`/`nullCount` clamp to Int range (page counts are ints)
+    * while preserving EXACTLY the two boolean signals pruning reads from
+    * them — all-null (nulls == rows) and has-null (nulls > 0): a >2B-row
+    * file with most-but-not-all slots null must not clamp into an all-null
+    * page that a comparison filter would wrongly prune. */
+  def decode(schema: StructType, bytes: Array[Byte]): StrawFooter = {
+    val in = graft.format.ByteIO.reader(bytes)
+    val version = in.get() & 0xff
+    require(version == 1, s"unknown manifest stats version $version")
+    val numRows = in.getLong()
+    val rowsInt = math.min(numRows, Int.MaxValue.toLong).toInt
+    val leafCount = LeafLayout.starts(schema).last
+    val cols = new Array[ColumnMeta](leafCount)
+    var i = 0
+    while (i < leafCount) {
+      val kind = in.get() & 0xff
+      require(kind <= StrawFormat.StatsDecimal128, s"bad stats kind $kind")
+      val nulls = in.getLong()
+      val (mn, mx) =
+        if (kind != StrawFormat.StatsNone) (in.getLong(), in.getLong()) else (0L, 0L)
+      val (mn2, mx2) =
+        if (kind == StrawFormat.StatsDecimal128) (in.getLong(), in.getLong()) else (0L, 0L)
+      val nullsInt =
+        if (nulls >= numRows) rowsInt
+        else math.min(nulls, (rowsInt - 1).toLong).toInt
+      cols(i) = ColumnMeta(0L,
+        Array(PageMeta(rowsInt, 0L, nullsInt, kind, mn, mx, mn2, mx2)))
+      i += 1
+    }
+    StrawFooter(schema, numRows, cols)
+  }
 }

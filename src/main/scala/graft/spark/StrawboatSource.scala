@@ -47,7 +47,14 @@ class StrawboatDataSource extends TableProvider with DataSourceRegister {
     // below stays the default because it is what makes schema-evolved
     // appends read correctly (new columns surface, absent ones null-fill).
     val mergeSchema = Option(options.get("mergeSchema")).forall(_.toBoolean)
+    // v3 manifest: every entry carries its file's schema (parsed once per
+    // DISTINCT schema) — inference is zero footer IO on a manifested table
+    val manifestSchemas: Option[Seq[(String, StructType)]] =
+      StrawManifest.readEntries(dir).filter(es =>
+        es.nonEmpty && es.forall(_.schemaParsed != null))
+        .map(_.map(e => (e.meta.path, e.schemaParsed)))
     if (!mergeSchema) {
+      manifestSchemas.foreach(ms => return ms.head._2)
       val one = files.head
       return FooterCache.get(one.path, one.mtime, one.len).schema
     }
@@ -55,10 +62,12 @@ class StrawboatDataSource extends TableProvider with DataSourceRegister {
     // (the read path null-fills them per file) and WIDEN across lossless
     // type evolution (int→long, float→double: the merged column takes the
     // wider type, readers convert per file); incompatible types fail here
-    // with both definitions named. Footers come from the version-keyed
-    // cache: repeated planning over an unchanged table costs zero footer IO.
-    val schemas = StrawIO.mapParallel(files)(f =>
-      (f.path, FooterCache.get(f.path, f.mtime, f.len).schema))
+    // with both definitions named. Schemas come from the manifest when it
+    // has them, else from the version-keyed footer cache: repeated planning
+    // over an unchanged table costs zero footer IO either way.
+    val schemas = manifestSchemas.getOrElse(
+      StrawIO.mapParallel(files)(f =>
+        (f.path, FooterCache.get(f.path, f.mtime, f.len).schema)))
     val fields = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
     val presence = scala.collection.mutable.Map.empty[String, Int]
     for ((f, s) <- schemas; fld <- s.fields) {
@@ -176,6 +185,25 @@ object StrawIO {
   }
 
   def listFiles(dir: String): Seq[String] = listFilesMeta(dir).map(_.path)
+
+  /** [[listFilesMeta]] plus each file's manifest-carried synthetic stats
+    * footer ([[ManifestStats]]) when the table has a v3 manifest — the
+    * input to FILE-level pruning (drop a file before its real footer is
+    * ever read). Files without stats carry None and are never pruned. */
+  def listFilesMetaWithStats(dir: String)
+      : Seq[(FileMeta, Option[graft.format.StrawFooter])] = {
+    val p = new Path(dir)
+    val f = fs(dir)
+    if (!f.exists(p)) Seq.empty
+    else {
+      val st0 = f.getFileStatus(p)
+      if (st0.isFile) Seq((FileMeta(dir, st0.getModificationTime, st0.getLen), None))
+      else StrawManifest.readEntries(dir) match {
+        case Some(entries) => entries.map(e => (e.meta, e.synthetic))
+        case None => walkFilesMeta(dir).map((_, None))
+      }
+    }
+  }
 
   def withInput[T](path: String)(body: RandomInput => T): T = {
     val in = open(path)
@@ -418,13 +446,19 @@ class StrawScanBuilder(path: String, fullSchema: StructType,
           // partition-prune BEFORE sampling: directory-excluded files
           // contribute nothing and must not cost footer IO here either
           val metas = PartitionLayout.pruneBy(
-            StrawIO.listFilesMeta(path), fullSchema, filters)(_.path).take(64)
+            StrawIO.listFilesMetaWithStats(path), fullSchema, filters)(_._1.path)
+            .take(64)
           // filters the pruning fully applied pass every surviving row —
           // estimating them again would double-count their selectivity
           val toEstimate = evaluable.filterNot(
-            f => StrawScan.partitionApplied(f, metas.map(_.path)))
-          val footers = StrawIO.mapParallel(metas)(
-            m => FooterCache.get(m.path, m.mtime, m.len))
+            f => StrawScan.partitionApplied(f, metas.map(_._1.path)))
+          // manifest-carried file stats stand in for real footers (their
+          // one-page shape estimates coarser, which only biases the
+          // consume-vs-residual heuristic, never correctness)
+          val footers = StrawIO.mapParallel(metas) {
+            case (_, Some(synth)) => synth
+            case (m, None) => FooterCache.get(m.path, m.mtime, m.len)
+          }
           ZoneMapFilter.estimatePassFraction(fullSchema, footers, toEstimate)
         } catch { case _: Exception => 1.0 }
       frac <= maxPass
@@ -586,9 +620,17 @@ class StrawScan(
   private def footers: Seq[(String, graft.format.StrawFooter, Long)] = {
     var c = footersCache
     if (c == null) {
-      c = StrawIO.mapParallel(
-        PartitionLayout.pruneBy(StrawIO.listFilesMeta(path), fullSchema, filters)(_.path)) {
-        m => (m.path, FooterCache.get(m.path, m.mtime, m.len), m.len)
+      // three pruning tiers before any real footer IO: hive directory
+      // pruning, then FILE-level stats from the manifest (a synthetic
+      // one-page footer per file runs the ordinary zone-map satisfiability
+      // — a file whose stats exclude every filter costs nothing at all)
+      val listed = PartitionLayout.pruneBy(
+        StrawIO.listFilesMetaWithStats(path), fullSchema, filters)(_._1.path)
+      val kept = listed.filter { case (_, synth) =>
+        synth.forall(sf => ZoneMapFilter.keptPages(sf, filters)(0))
+      }
+      c = StrawIO.mapParallel(kept) {
+        case (m, _) => (m.path, FooterCache.get(m.path, m.mtime, m.len), m.len)
       }
       footersCache = c
     }

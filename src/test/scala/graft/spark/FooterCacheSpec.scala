@@ -71,18 +71,30 @@ class FooterCacheSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(FooterCache.loads.get() > loaded, "rewrite must invalidate by key")
   }
 
-  test("mergeSchema=false resolves the table schema from exactly one footer") {
+  test("mergeSchema=false resolves the table schema from at most one footer") {
     val out = s"$dir/t3"
     spark.range(0, 12000).select(col("id"), (col("id") * 2).as("v"))
       .repartition(4).write.format("strawboat").mode("overwrite").save(out)
     assert(StrawIO.listFiles(out).size >= 3)
+    // manifested table: the schema comes from the manifest dictionary —
+    // ZERO footer IO
     FooterCache.clear()
     val before = FooterCache.loads.get()
     val schema = spark.read.format("strawboat").option("mergeSchema", "false")
       .load(out).schema
     assert(schema.fieldNames.toSet == Set("id", "v"))
-    assert(FooterCache.loads.get() == before + 1,
-      s"fast path must read one footer, got ${FooterCache.loads.get() - before}")
+    assert(FooterCache.loads.get() == before,
+      s"manifest fast path must read no footer, got ${FooterCache.loads.get() - before}")
+    // no manifest: the fast path reads exactly one footer
+    StrawManifest.invalidate(out)
+    StrawManifest.clearCache()
+    FooterCache.clear()
+    val before2 = FooterCache.loads.get()
+    val schema2 = spark.read.format("strawboat").option("mergeSchema", "false")
+      .load(out).schema
+    assert(schema2.fieldNames.toSet == Set("id", "v"))
+    assert(FooterCache.loads.get() == before2 + 1,
+      s"fallback fast path must read one footer, got ${FooterCache.loads.get() - before2}")
   }
 
   test("cache stays LRU-bounded under more file versions than maxEntries") {
