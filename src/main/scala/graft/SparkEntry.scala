@@ -647,6 +647,35 @@ object SparkEntry {
           round(max(col("value")), 2).as("mx"))
         .orderBy(col("user_id"))
     }),
+    // --- table maintenance: small-file compaction --------------------------
+    "q_compact_roundtrip" -> ((s, d) => {
+      // fragment the documents table into many tiny files (the shape a
+      // long-running streaming sink accumulates), compact in place
+      // (distributed bin rewrite + manifest-atomic swap + vacuum,
+      // StrawCompaction), then aggregate the compacted table. The oracle is
+      // the same aggregation over the original parquet — a green row proves
+      // the rewrite preserved the data multiset exactly; the require pins
+      // the maintenance effect itself (file count strictly drops).
+      val cDir = Tables.strawDir(s, d, "documents") + "_compact"
+      val marker = new java.io.File(cDir, "_OK")
+      if (!marker.exists()) {
+        t(s, d, "documents")
+          .repartition(4) // several writer tasks even at tiny scale factors
+          .write.format("strawboat").mode("overwrite")
+          .option("targetFileBytes", "16384")
+          .option("maxPageSize", "64")
+          .save(cDir)
+        val before = graft.spark.StrawIO.listFilesMeta(cDir).size
+        val res = graft.spark.StrawCompaction.compact(s, cDir)
+        require(before > 1 && res.outputFiles < before,
+          s"compaction did not reduce files (before=$before): $res")
+        marker.createNewFile()
+      }
+      s.read.format("strawboat").load(cDir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
     // --- nested leaf layout (format v2): pruning + struct-path filters ----
     "q_struct_prune" -> ((s, d) => {
       // projects TWO of the meta struct's four leaves: the v2 per-leaf
@@ -1101,6 +1130,9 @@ object SparkEntry {
       """SELECT user_id, count(*) AS cnt, round(min(value), 2) AS mn,
         |  round(max(value), 2) AS mx
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_compact_roundtrip" -> // aggregation over the compacted rewrite
+      """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_struct_prune" ->
       """SELECT doc_id, lang, CAST(n_chars AS INTEGER) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,

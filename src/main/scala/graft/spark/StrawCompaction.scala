@@ -1,0 +1,172 @@
+package graft.spark
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.format.WriteOptions
+
+/** Small-file compaction for strawboat tables.
+  *
+  * Streaming sinks emit a file set per epoch and incremental batch appends
+  * add more; a long-lived table accumulates files that every plan and scan
+  * pays for forever (footer IO, task scheduling, page fragmentation). The
+  * reference format is single-file and has no table maintenance surface —
+  * this is part of the table layer built around it (SURVEY §2.9).
+  *
+  * `compact` bin-packs the table's small files (per partition directory,
+  * per file schema) into `targetFileBytes`-sized rewrites and swaps them in
+  * through the commit-protocol machinery:
+  *
+  *  1. rewrite bins DISTRIBUTED (one Spark task per bin) into files staged
+  *     under a job-scoped suffix — invisible to every reader;
+  *  2. rename outputs visible, stamped with the bin's MAX INPUT mtime (not
+  *     commit time: compaction moves bytes, not data — a file-stream reader
+  *     whose high-water mark already passed the inputs must not see the
+  *     rewrite as fresh rows);
+  *  3. swap the committed-files manifest in one atomic write: (old set −
+  *     inputs) + outputs — manifest readers observe the old or the new
+  *     generation, never both;
+  *  4. delete the inputs (vacuum).
+  *
+  * Files at or above `smallFileBytes` (default: the target itself) are left
+  * untouched — compaction cost is proportional to the small-file backlog,
+  * not table size. Schema-evolved generations are compacted within their
+  * own schema group (rewriting never converts data); hive partition
+  * directories compact independently, preserving the layout and its
+  * pruning.
+  *
+  * Crash/concurrency contract (same class of windows as
+  * [[StrawCommitProtocol]], closed only by a true transaction log — out of
+  * scope): a crash between steps 2 and 4 can leave both generations on
+  * disk, which MANIFEST readers never see (the manifest still names exactly
+  * one generation) but a directory-walking reader (no/corrupt manifest) or
+  * a later commit's walk-based refresh would — rerun `compact` or delete
+  * the duplicates to recover. Readers that captured the pre-swap manifest
+  * can fail (not mis-answer) when step 4 deletes inputs under them.
+  * Streaming a directory AS A SOURCE while compacting it is out of
+  * contract when the stream's offset has not yet passed the inputs — the
+  * same limitation Spark's own FileStreamSource has for files rewritten
+  * in place.
+  */
+object StrawCompaction {
+
+  final case class CompactionResult(
+      inputFiles: Int,
+      outputFiles: Int,
+      rewrittenBytes: Long,
+      skippedFiles: Int) {
+    def filesRemoved: Int = inputFiles - outputFiles
+  }
+
+  /** One rewrite unit: small files of one (partition directory, schema)
+    * group whose lengths bin-pack under the target. */
+  private final case class Bin(parent: String, schemaJson: String,
+      files: Seq[StrawIO.FileMeta]) extends Serializable {
+    def bytes: Long = files.foldLeft(0L)(_ + _.len)
+    def maxMtime: Long = files.map(_.mtime).max
+  }
+
+  /** Compact `dir` in place. Returns counts; a table with nothing to do
+    * (fewer than two small files per group) is a no-op. */
+  def compact(spark: SparkSession, dir: String,
+      targetFileBytes: Long = 128L << 20,
+      opts: WriteOptions = WriteOptions(),
+      smallFileBytes: Option[Long] = None): CompactionResult = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val threshold = smallFileBytes.getOrElse(targetFileBytes)
+    val live = StrawIO.listFilesMeta(dir)
+    val (candidates, skipped) = live.partition(_.len < threshold)
+
+    // group by (partition directory, exact file schema): rewrites never
+    // cross a partition boundary (layout pruning survives) and never
+    // convert between schema generations (read semantics unchanged)
+    val withSchema = StrawIO.mapParallel(candidates) { m =>
+      (m, FooterCache.get(m.path, m.mtime, m.len).schema.json)
+    }
+    val bins = withSchema
+      .groupBy { case (m, schemaJson) => (new Path(m.path).getParent.toString, schemaJson) }
+      .toSeq.sortBy(_._1)
+      .flatMap { case ((parent, schemaJson), members) =>
+        // first-fit in path order; only multi-file bins are worth a rewrite
+        val out = Seq.newBuilder[Bin]
+        var cur = Vector.empty[StrawIO.FileMeta]
+        var bytes = 0L
+        for ((m, _) <- members.sortBy(_._1.path)) {
+          if (cur.nonEmpty && bytes + m.len > targetFileBytes) {
+            if (cur.size > 1) out += Bin(parent, schemaJson, cur)
+            cur = Vector.empty; bytes = 0L
+          }
+          cur :+= m; bytes += m.len
+        }
+        if (cur.size > 1) out += Bin(parent, schemaJson, cur)
+        out.result()
+      }
+
+    if (bins.isEmpty)
+      return CompactionResult(0, 0, 0L, skipped.size + candidates.size)
+
+    val jobId = java.util.UUID.randomUUID().toString.take(8)
+    val serConf = new org.apache.spark.util.SerializableConfiguration(StrawIO.conf)
+    val outOpts = opts.copy(targetFileBytes = targetFileBytes)
+
+    // one task per bin: stream the bin's rows through a fresh writer into
+    // staged (invisible) files; executors return the staged names
+    val staged: Array[(Bin, Seq[String])] =
+      try {
+        spark.sparkContext.parallelize(bins, bins.size).map { bin =>
+          StrawIO.install(serConf.value)
+          val schema = DataType.fromJson(bin.schemaJson).asInstanceOf[StructType]
+          val factory = new StrawPartitionReaderFactory(schema, schema, serConf)
+          val writer = new StrawDataWriter(bin.parent, schema,
+            partitionId = 0, taskId = 0, outOpts, jobId)
+          var ok = false
+          try {
+            for (f <- bin.files) {
+              val reader = factory.createReader(
+                StrawInputPartition(f.path, 0, Int.MaxValue, Long.MaxValue))
+              try { while (reader.next()) writer.write(reader.get()) }
+              finally reader.close()
+            }
+            val msg = writer.commit().asInstanceOf[StrawCommitMessage]
+            ok = true
+            (bin, msg.files)
+          } finally if (!ok) writer.abort()
+        }.collect()
+      } catch {
+        case e: Throwable =>
+          // failed rewrite: nothing visible changed; drop this job's debris
+          StrawCommitProtocol.sweepStaged(dir, jobId)
+          throw e
+      }
+
+    // make outputs visible, stamped with the bin's max input mtime (before
+    // the rename, as the commit protocol does — rename preserves mtime on
+    // local/HDFS, and a reader must never list the file with a wrong one)
+    val f = StrawIO.fs(dir)
+    val suffix = StrawCommitProtocol.stageSuffix(jobId)
+    val fresh = staged.flatMap { case (bin, names) =>
+      StrawIO.mapParallel(names) { s =>
+        val sp = new Path(s)
+        val dst = new Path(sp.getParent, sp.getName.stripSuffix(suffix))
+        val len = f.getFileStatus(sp).getLen
+        f.setTimes(sp, bin.maxMtime, -1)
+        if (!f.rename(sp, dst))
+          throw new java.io.IOException(s"strawboat: compaction rename $sp -> $dst failed")
+        StrawIO.FileMeta(f.makeQualified(dst).toString, bin.maxMtime, len)
+      }
+    }.toSeq
+
+    // atomic generation switch for manifest readers, THEN vacuum the inputs
+    val inputs = bins.flatMap(_.files.map(_.path)).toSet
+    StrawManifest.rewrite(dir, inputs, fresh)
+    StrawIO.mapParallel(inputs.toSeq)(p => f.delete(new Path(p), false))
+    StrawCommitProtocol.sweepStaged(dir, jobId)
+
+    CompactionResult(
+      inputFiles = inputs.size,
+      outputFiles = fresh.size,
+      rewrittenBytes = bins.foldLeft(0L)(_ + _.bytes),
+      skippedFiles = live.size - inputs.size)
+  }
+}

@@ -1,0 +1,213 @@
+package graft.spark
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** [[StrawCompaction]]: small-file rewrite with a manifest-atomic swap.
+  * The contract under test: file count drops, data is multiset-identical,
+  * big files and partition layout are untouched, the manifest switches in
+  * one step, and a streaming SINK keeps committing epochs afterwards. */
+class CompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var dir: String = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("compaction-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    dir = Files.createTempDirectory("compacttest").toString
+  }
+
+  override def afterAll(): Unit = { if (spark != null) spark.stop() }
+
+  private def strbFiles(out: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles.toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".strb")) Seq(f) else Seq.empty
+    walk(new java.io.File(out))
+  }
+
+  /** Write `df` as MANY small files: tiny target bytes + per-row pages. */
+  private def writeFragmented(df: DataFrame, out: String): Unit =
+    df.write.format("strawboat").mode("overwrite")
+      .option("targetFileBytes", "2048")
+      .option("maxPageSize", "64")
+      .save(out)
+
+  test("compaction drops file count, keeps the data multiset") {
+    val out = s"$dir/basic"
+    val df = spark.range(0, 5000)
+      .select(col("id"), (col("id") % 97).as("m"), concat(lit("v"), col("id")).as("s"))
+    writeFragmented(df.repartition(8), out)
+    val before = strbFiles(out).size
+    assert(before >= 8, s"fragmentation premise failed: $before files")
+    val res = StrawCompaction.compact(spark, out, targetFileBytes = 64L << 20)
+    val after = strbFiles(out).size
+    assert(res.inputFiles == before, s"expected all $before inputs, got ${res.inputFiles}")
+    assert(res.outputFiles < before && after == res.outputFiles,
+      s"before=$before after=$after result=$res")
+    val back = spark.read.format("strawboat").load(out)
+    assert(back.count() == 5000)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
+  test("duplicate rows survive compaction (multiset, not set, semantics)") {
+    val out = s"$dir/dups"
+    val sp = spark; import sp.implicits._
+    val df = (0 until 500).map(i => (i % 10L, "dup")).toDF("k", "tag")
+    writeFragmented(df.repartition(6), out)
+    StrawCompaction.compact(spark, out, targetFileBytes = 64L << 20)
+    val back = spark.read.format("strawboat").load(out)
+    assert(back.count() == 500)
+    assert(back.groupBy("k").count().filter(col("count") =!= 50L).count() == 0)
+  }
+
+  test("files at or above the small-file threshold are left untouched") {
+    val out = s"$dir/bigsmall"
+    val sp = spark; import sp.implicits._
+    // one BIG file
+    spark.range(0, 20000).select(col("id"), lit("x").as("pad"))
+      .coalesce(1).write.format("strawboat").mode("overwrite").save(out)
+    val big = strbFiles(out).head
+    val bigName = big.getName
+    val bigMtime = big.lastModified
+    // plus several small appended files
+    (0 until 4).foreach { i =>
+      Seq((100000L + i, "small")).toDF("id", "pad")
+        .coalesce(1).write.format("strawboat").mode("append").save(out)
+    }
+    assert(strbFiles(out).size == 5)
+    val res = StrawCompaction.compact(spark, out,
+      targetFileBytes = 64L << 20, smallFileBytes = Some(big.length))
+    assert(res.inputFiles == 4 && res.outputFiles == 1)
+    val after = strbFiles(out)
+    assert(after.size == 2)
+    val bigAfter = after.find(_.getName == bigName).get
+    assert(bigAfter.lastModified == bigMtime, "big file must not be rewritten")
+    val back = spark.read.format("strawboat").load(out)
+    assert(back.count() == 20004)
+  }
+
+  test("hive-partitioned table compacts per partition; pruning intact") {
+    val out = s"$dir/part"
+    spark.range(0, 3000)
+      .select(col("id"), (col("id") % 3).cast("string").as("bucket"))
+      .repartition(6)
+      .write.format("strawboat").mode("overwrite")
+      .option("partitionBy", "bucket")
+      .option("targetFileBytes", "2048")
+      .option("maxPageSize", "64")
+      .save(out)
+    val before = strbFiles(out).size
+    assert(before > 3)
+    val res = StrawCompaction.compact(spark, out, targetFileBytes = 64L << 20)
+    assert(res.outputFiles < res.inputFiles)
+    // outputs stayed inside their partition directories
+    val byDir = strbFiles(out).groupBy(_.getParentFile.getName)
+    assert(byDir.keySet == Set("bucket=0", "bucket=1", "bucket=2"))
+    val back = spark.read.format("strawboat").load(out)
+    assert(back.count() == 3000)
+    assert(back.filter(col("bucket") === "1").count() == 1000)
+  }
+
+  test("schema-evolved generations compact within their own schema group") {
+    val out = s"$dir/evolve"
+    val sp = spark; import sp.implicits._
+    // generation 1: (id, a) — several small files
+    (0 until 3).foreach { i =>
+      Seq((i.toLong, s"a$i")).toDF("id", "a")
+        .coalesce(1).write.format("strawboat").mode("append").save(out)
+    }
+    // generation 2: (id, a, b) — several small files
+    (0 until 3).foreach { i =>
+      Seq((100L + i, s"a${100 + i}", s"b$i")).toDF("id", "a", "b")
+        .coalesce(1).write.format("strawboat").mode("append").save(out)
+    }
+    assert(strbFiles(out).size == 6)
+    val res = StrawCompaction.compact(spark, out, targetFileBytes = 64L << 20)
+    assert(res.inputFiles == 6 && res.outputFiles == 2, res.toString)
+    val back = spark.read.format("strawboat").load(out).orderBy("id")
+    assert(back.columns.toSeq == Seq("id", "a", "b"))
+    assert(back.count() == 6)
+    // old generation null-fills b, new generation keeps it
+    assert(back.filter(col("id") < 100 && col("b").isNotNull).count() == 0)
+    assert(back.filter(col("id") >= 100 && col("b").isNull).count() == 0)
+  }
+
+  test("manifest swaps atomically: post-compaction reads pay zero walks") {
+    val out = s"$dir/manifest"
+    writeFragmented(spark.range(0, 2000).toDF("id").repartition(5), out)
+    StrawCompaction.compact(spark, out, targetFileBytes = 64L << 20)
+    // warm the manifest cache, then prove a repeat query never walks
+    assert(spark.read.format("strawboat").load(out).count() == 2000)
+    val walks0 = StrawIO.listings.get()
+    assert(spark.read.format("strawboat").load(out).count() == 2000)
+    assert(StrawIO.listings.get() == walks0,
+      "repeat query over a compacted table must not walk the directory")
+    // and the manifest names exactly the surviving files
+    val manifest = StrawManifest.read(out).get.map(_.path).toSet
+    val onDisk = strbFiles(out).map(f =>
+      StrawIO.fs(out).makeQualified(new org.apache.hadoop.fs.Path(f.getPath)).toString).toSet
+    assert(manifest == onDisk)
+  }
+
+  test("outputs carry the max input mtime, not commit time") {
+    val out = s"$dir/mtime"
+    writeFragmented(spark.range(0, 1000).toDF("id").repartition(4), out)
+    val maxIn = strbFiles(out).map(_.lastModified).max
+    Thread.sleep(1500) // ensure wall clock has moved past the inputs
+    StrawCompaction.compact(spark, out, targetFileBytes = 64L << 20)
+    val outs = strbFiles(out)
+    assert(outs.nonEmpty)
+    outs.foreach(f => assert(f.lastModified <= maxIn,
+      s"${f.getName} mtime ${f.lastModified} is newer than max input $maxIn"))
+  }
+
+  test("nothing to do is a clean no-op") {
+    val out = s"$dir/noop"
+    spark.range(0, 100).coalesce(1).write.format("strawboat").mode("overwrite").save(out)
+    val before = strbFiles(out).map(f => (f.getName, f.lastModified, f.length)).toSet
+    val res = StrawCompaction.compact(spark, out, targetFileBytes = 64L << 20)
+    assert(res.inputFiles == 0 && res.outputFiles == 0)
+    assert(strbFiles(out).map(f => (f.getName, f.lastModified, f.length)).toSet == before)
+  }
+
+  test("streaming sink keeps committing epochs after a mid-stream compaction") {
+    val outDir = s"$dir/streamsink"
+    val src = spark.readStream.format("rate")
+      .option("rowsPerSecond", "500").load()
+      .select(col("value"), (col("value") % 7).as("m"))
+    val q = src.writeStream.format("strawboat")
+      .option("path", outDir)
+      .option("checkpointLocation", s"$dir/ckptCompact")
+      .trigger(Trigger.ProcessingTime("500 milliseconds"))
+      .start()
+    try {
+      // let epochs accumulate files, compact the SINK mid-stream, continue
+      Thread.sleep(4000)
+      val res = StrawCompaction.compact(spark, outDir, targetFileBytes = 64L << 20)
+      assert(res.inputFiles > res.outputFiles, res.toString)
+      Thread.sleep(3000)
+    } finally { q.stop(); q.awaitTermination(30000) }
+    val back = spark.read.format("strawboat").load(outDir)
+    val cnt = back.count()
+    assert(cnt > 0)
+    // exactly-once survived the rewrite: rate values are unique
+    assert(back.distinct().count() == cnt, "duplicate or lost rows after compaction")
+    // a FRESH downstream stream over the compacted dir drains the full set
+    val drained = spark.readStream.format("strawboat").load(outDir)
+      .writeStream.format("memory").queryName("compactDrain")
+      .trigger(Trigger.AvailableNow()).start()
+    drained.awaitTermination(60000)
+    assert(spark.table("compactDrain").count() == cnt)
+  }
+}
