@@ -80,6 +80,14 @@ object LeafLayout {
     out.result()
   }
 
+  /** Full dotted leaf paths of a top-level schema (field name + the
+    * column-internal [[leafNames]] path), aligned with the schema's leaf
+    * numbering — exactly the names `ColumnWriter.apply` threads down and
+    * the `bloomColumns` option selects on. */
+  def leafPaths(schema: StructType): Seq[String] =
+    schema.fields.toSeq.flatMap(f => leafNames(f.dataType).map(s =>
+      if (s.isEmpty) f.name else s"${f.name}.$s"))
+
   /** Is `req` readable from a column stored as `file` by decoding a subset
     * of its leaves? True when `req` only prunes struct fields (matched by
     * name, any order) and every surviving leaf type matches exactly. */

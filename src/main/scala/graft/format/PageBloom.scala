@@ -44,6 +44,20 @@ object PageBloom {
   def hashBytes(b: Array[Byte]): Long = hashBytes(b, 0, b.length)
   def hashLong(v: Long): Long = XXH64.hashLong(v, Seed)
 
+  /** Leaf types that can build (and be probed through) a page bloom:
+    * string/binary bytes and the long-backed family. Wide decimals (two
+    * planes) and NullType are out. */
+  def capable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType | BinaryType | BooleanType | ByteType | ShortType |
+           IntegerType | LongType | DateType | TimestampType |
+           TimestampNTZType | FloatType | DoubleType => true
+      case d: DecimalType => d.precision <= 18
+      case _ => false
+    }
+  }
+
   /** Build the filter over `hashes(0 until n)` sized for `fpp`, or null
     * when the page has no hashable values. */
   def build(hashes: Array[Long], n: Int, fpp: Double): Array[Byte] = {
@@ -91,7 +105,12 @@ object PageBloom {
     val k = bloom(0) & 0xff
     val nWords = (bloom(1) & 0xff) | ((bloom(2) & 0xff) << 8) |
       ((bloom(3) & 0xff) << 16) | ((bloom(4) & 0xff) << 24)
-    if (k < 1 || nWords < 1 || bloom.length != 5 + nWords * 8 ||
+    // bound nWords BEFORE the length check: a crafted header declaring
+    // ~2^29 words would overflow `5 + nWords * 8` right back to the actual
+    // length and then index far out of bounds — malformed must mean "keep",
+    // never a crash out of query planning
+    if (k < 1 || nWords < 1 || nWords > MaxBytes / 8 ||
+      bloom.length != 5 + nWords * 8 ||
       java.lang.Integer.bitCount(nWords) != 1) return true
     val mask = (nWords.toLong << 6) - 1
     val h2 = (hash >>> 32) | 1L

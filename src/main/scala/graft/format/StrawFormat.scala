@@ -692,6 +692,23 @@ object ColumnWriter {
   * buffers are held until `finish` so columns land contiguously — same
   * memory shape as a Parquet row-group writer. */
 final class StrawFileWriter(schema: StructType, opts: WriteOptions) {
+  locally {
+    // fail fast on bloom column typos: a misspelled path would silently
+    // build no filter while the user believes point lookups are covered
+    if (opts.bloomColumns.nonEmpty) {
+      val paths = LeafLayout.leafPaths(schema)
+      val types = paths.zip(LeafLayout.leaves(schema).map(_._2)).toMap
+      opts.bloomColumns.foreach { c =>
+        val dt = types.get(c)
+        require(dt.isDefined,
+          s"strawboat: bloomColumns entry '$c' names no leaf of the schema " +
+            s"(leaves: ${paths.mkString(", ")})")
+        require(PageBloom.capable(dt.get),
+          s"strawboat: bloomColumns entry '$c' has type ${dt.get} — no bloom " +
+            "support (string/binary/integer-family/float/decimal<=18 only)")
+      }
+    }
+  }
   private val writers: Array[ColumnWriter] =
     schema.fields.map(f => ColumnWriter(f.dataType, opts, f.name))
   // one page stream per LEAF column (LeafLayout DFS order), not per field

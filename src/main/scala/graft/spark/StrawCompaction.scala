@@ -42,12 +42,25 @@ import graft.format.WriteOptions
   * disk, which MANIFEST readers never see (the manifest still names exactly
   * one generation) but a directory-walking reader (no/corrupt manifest) or
   * a later commit's walk-based refresh would — rerun `compact` or delete
-  * the duplicates to recover. Readers that captured the pre-swap manifest
-  * can fail (not mis-answer) when step 4 deletes inputs under them.
-  * Streaming a directory AS A SOURCE while compacting it is out of
-  * contract when the stream's offset has not yet passed the inputs — the
-  * same limitation Spark's own FileStreamSource has for files rewritten
-  * in place.
+  * the duplicates to recover. A FAILED manifest swap (IO error) degrades
+  * the same way without a crash: the manifest is deleted, walkers see both
+  * generations until the vacuum finishes — surfaced as
+  * `manifestSwapped = false` in the result so callers can alert/retry.
+  * Readers that captured the pre-swap manifest can fail (not mis-answer)
+  * when step 4 deletes inputs under them.
+  *
+  * Streaming a directory AS A SOURCE while compacting it is OUT OF
+  * CONTRACT unless the stream's high-water mark has already advanced past
+  * `max input mtime` — and note the mark trails the newest seen file by
+  * the source's safety lag (5 minutes), so compacting files a live stream
+  * saw less than that ago WILL re-deliver the rewritten rows under their
+  * new paths. Compact stream SOURCES only when the feeding stream is
+  * stopped/drained and the inputs are older than the lag, or when
+  * downstream re-delivery is acceptable. (Stream SINKS are always safe to
+  * compact: the writing query's exactly-once bookkeeping is the epoch
+  * markers + engine checkpoint, which compaction never touches.) This is
+  * the same limitation Spark's own FileStreamSource has for files
+  * rewritten in place.
   */
 object StrawCompaction {
 
@@ -55,7 +68,11 @@ object StrawCompaction {
       inputFiles: Int,
       outputFiles: Int,
       rewrittenBytes: Long,
-      skippedFiles: Int) {
+      skippedFiles: Int,
+      /** false = the atomic manifest swap failed and was deleted instead;
+        * readers walk the directory (correct once the vacuum finished, but
+        * both generations were briefly visible) — alert/retry. */
+      manifestSwapped: Boolean = true) {
     def filesRemoved: Int = inputFiles - outputFiles
   }
 
@@ -118,8 +135,22 @@ object StrawCompaction {
           StrawIO.install(serConf.value)
           val schema = DataType.fromJson(bin.schemaJson).asInstanceOf[StructType]
           val factory = new StrawPartitionReaderFactory(schema, schema, serConf)
+          // preserve page bloom filters through the rewrite: the input
+          // footers record exactly which leaves carry them — without this,
+          // routine maintenance would silently strip the point-lookup
+          // acceleration the table was written with
+          val leafPaths = graft.format.LeafLayout.leafPaths(schema)
+          val bloomLeaves = bin.files.flatMap { fm =>
+            val foot = FooterCache.get(fm.path, fm.mtime, fm.len)
+            foot.columns.indices.collect {
+              case li if foot.columns(li).pages.exists(_.bloom != null) =>
+                leafPaths(li)
+            }
+          }.toSet
           val writer = new StrawDataWriter(bin.parent, schema,
-            partitionId = 0, taskId = 0, outOpts, jobId)
+            partitionId = 0, taskId = 0,
+            outOpts.copy(bloomColumns = outOpts.bloomColumns ++ bloomLeaves),
+            jobId)
           var ok = false
           try {
             for (f <- bin.files) {
@@ -158,8 +189,10 @@ object StrawCompaction {
     }.toSeq
 
     // atomic generation switch for manifest readers, THEN vacuum the inputs
+    // (prompt vacuum is the recovery path even when the swap failed: once
+    // the inputs are gone a directory walk sees only the new generation)
     val inputs = bins.flatMap(_.files.map(_.path)).toSet
-    StrawManifest.rewrite(dir, inputs, fresh)
+    val swapped = StrawManifest.rewrite(dir, inputs, fresh)
     StrawIO.mapParallel(inputs.toSeq)(p => f.delete(new Path(p), false))
     StrawCommitProtocol.sweepStaged(dir, jobId)
 
@@ -167,6 +200,7 @@ object StrawCompaction {
       inputFiles = inputs.size,
       outputFiles = fresh.size,
       rewrittenBytes = bins.foldLeft(0L)(_ + _.bytes),
-      skippedFiles = live.size - inputs.size)
+      skippedFiles = live.size - inputs.size,
+      manifestSwapped = swapped)
   }
 }

@@ -101,9 +101,18 @@ object StrawManifest {
     * refresh time the on-disk previous snapshot is already gone. A
     * cross-process committer loses carry-over and its refresh writes
     * stats-less entries for files it didn't just commit — pruning degrades,
-    * correctness doesn't. */
+    * correctness doesn't. LRU-bounded like the parse cache: a long-lived
+    * driver touching many table directories must not retain every entry
+    * vector forever. */
   private val lastSnapshot =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[Entry]]()
+    new java.util.LinkedHashMap[String, Seq[Entry]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[Entry]]): Boolean = size() > 256
+    }
+  private def lastSnapshotPut(dir: String, entries: Seq[Entry]): Unit =
+    lastSnapshot.synchronized { lastSnapshot.put(dir, entries): Unit }
+  private def lastSnapshotGet(dir: String): Option[Seq[Entry]] =
+    lastSnapshot.synchronized(Option(lastSnapshot.get(dir)))
 
   def manifestPath(dir: String): Path = new Path(dir, FileName)
 
@@ -156,7 +165,7 @@ object StrawManifest {
           if (headLine.startsWith(HeaderV3Prefix)) parseV3(lines, qdir)
           else parseV2(lines, qdir)
         cache.synchronized(cache.put(key, entries))
-        lastSnapshot.put(dir, entries)
+        lastSnapshotPut(dir, entries)
         hits.incrementAndGet()
         Some(entries)
       } finally in.close()
@@ -217,19 +226,25 @@ object StrawManifest {
     * Serialized per table within this process. On any failure the manifest
     * is DELETED — a missing manifest degrades to listing, a stale one
     * would lose data. */
-  def refresh(dir: String, fresh: Seq[FileMeta]): Unit =
-    refreshInternal(dir, Set.empty, fresh)
+  def refresh(dir: String, fresh: Seq[FileMeta]): Unit = {
+    refreshInternal(dir, Set.empty, fresh): Unit
+  }
 
   /** Snapshot rewrite for a compaction-style swap: the next manifest is
     * (current directory walk MINUS `drop`) overlaid with `fresh` — `drop`
     * lists files the caller is about to delete (still present in the walk)
     * and `fresh` the rewritten replacements, so manifest readers switch
     * from the old file set to the new one in ONE atomic manifest swap,
-    * never observing both generations. */
-  def rewrite(dir: String, drop: Set[String], fresh: Seq[FileMeta]): Unit =
+    * never observing both generations.
+    * @return false when the swap could not be written (the manifest was
+    *         deleted instead — readers degrade to directory walks and can
+    *         see both generations until the caller's vacuum completes, so
+    *         the caller must surface the degradation, not assume
+    *         atomicity). */
+  def rewrite(dir: String, drop: Set[String], fresh: Seq[FileMeta]): Boolean =
     refreshInternal(dir, drop, fresh)
 
-  private def refreshInternal(dir: String, drop: Set[String], fresh: Seq[FileMeta]): Unit = {
+  private def refreshInternal(dir: String, drop: Set[String], fresh: Seq[FileMeta]): Boolean = {
     val lock = writeLocks.computeIfAbsent(dir, _ => new Object)
     lock.synchronized {
       try {
@@ -237,7 +252,7 @@ object StrawManifest {
         // The on-disk manifest is usually already invalidated by the commit
         // in flight — fall back to the last snapshot this process saw.
         val prev: Map[(String, Long, Long), Entry] =
-          readEntries(dir).orElse(Option(lastSnapshot.get(dir)))
+          readEntries(dir).orElse(lastSnapshotGet(dir))
             .getOrElse(Seq.empty)
             .map(e => (e.meta.path, e.meta.mtime, e.meta.len) -> e).toMap
         val listed = StrawIO.walkFilesMeta(dir)
@@ -255,7 +270,7 @@ object StrawManifest {
         }
         writeEntries(dir, entries)
       } catch {
-        case scala.util.control.NonFatal(_) => invalidate(dir)
+        case scala.util.control.NonFatal(_) => invalidate(dir); false
       }
     }
   }
@@ -270,14 +285,16 @@ object StrawManifest {
     } catch { case scala.util.control.NonFatal(_) => Entry(m, null, null) }
 
   /** Stats-less snapshot write (testing / external callers). */
-  def write(dir: String, entries: Seq[FileMeta]): Unit =
-    writeEntries(dir, entries.map(Entry(_, null, null)))
+  def write(dir: String, entries: Seq[FileMeta]): Unit = {
+    writeEntries(dir, entries.map(Entry(_, null, null))): Unit
+  }
 
   /** Write a snapshot: temp + swap. On a `file:` FS the swap is a true
     * atomic replace (NIO ATOMIC_MOVE) — a concurrent reader sees old or
     * new, never a gap; elsewhere it is delete→rename, whose gap degrades a
-    * reader to a directory walk, never to wrong data. */
-  def writeEntries(dir: String, entries: Seq[Entry]): Unit = {
+    * reader to a directory walk, never to wrong data.
+    * @return false when the swap failed and the manifest was deleted. */
+  def writeEntries(dir: String, entries: Seq[Entry]): Boolean = {
     val f = rawFs(dir)
     val qdir = StrawIO.fs(dir).makeQualified(new Path(dir)).toString
     val prefix = qdir + "/"
@@ -306,18 +323,22 @@ object StrawManifest {
       s".$FileName.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val os = f.create(tmp, true)
     var ok = false
+    var swapped = false
     try { os.write(sb.toString.getBytes("UTF-8")); ok = true }
     finally {
       os.close()
       if (ok) {
         val mp = manifestPath(dir)
-        if (!atomicReplace(f, tmp, mp)) {
+        if (atomicReplace(f, tmp, mp)) swapped = true
+        else {
           f.delete(mp, false)
-          if (!f.rename(tmp, mp)) { f.delete(tmp, false); invalidate(dir) }
+          if (f.rename(tmp, mp)) swapped = true
+          else { f.delete(tmp, false); invalidate(dir) }
         }
-        lastSnapshot.put(dir, sorted)
+        lastSnapshotPut(dir, sorted)
       } else f.delete(tmp, false)
     }
+    swapped
   }
 
   private def atomicReplace(f: org.apache.hadoop.fs.FileSystem,
@@ -341,7 +362,7 @@ object StrawManifest {
 
   def clearCache(): Unit = {
     cache.synchronized(cache.clear())
-    lastSnapshot.clear()
+    lastSnapshot.synchronized(lastSnapshot.clear())
   }
 }
 

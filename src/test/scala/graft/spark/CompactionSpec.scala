@@ -172,6 +172,36 @@ class CompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"${f.getName} mtime ${f.lastModified} is newer than max input $maxIn"))
   }
 
+  test("page bloom filters survive the rewrite") {
+    val out = s"$dir/blooms"
+    val sp = spark; import sp.implicits._
+    def digest(i: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"k$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    (0L until 4000L).map(i => (i, digest(i))).toDF("id", "key")
+      .repartition(4)
+      .write.format("strawboat").mode("overwrite")
+      .option("targetFileBytes", "2048")
+      .option("maxPageSize", "256")
+      .option("bloomColumns", "key")
+      .save(out)
+    val before = strbFiles(out).size
+    val res = StrawCompaction.compact(spark, out, targetFileBytes = 64L << 20)
+    assert(res.outputFiles < before && res.manifestSwapped)
+    // every compacted file still carries blooms on the key leaf only
+    strbFiles(out).foreach { file =>
+      val in = new graft.format.LocalFileInput(file.getPath)
+      val footer = try graft.format.StrawFileReader.readFooter(in) finally in.close()
+      assert(footer.columns(1).pages.forall(_.bloom != null),
+        s"${file.getName} lost its blooms")
+      assert(footer.columns(0).pages.forall(_.bloom == null))
+    }
+    // and the data still answers point lookups
+    assert(spark.read.format("strawboat").load(out)
+      .filter(col("key") === digest(1234L)).count() == 1)
+  }
+
   test("nothing to do is a clean no-op") {
     val out = s"$dir/noop"
     spark.range(0, 100).coalesce(1).write.format("strawboat").mode("overwrite").save(out)

@@ -64,6 +64,28 @@ class PageBloomSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(PageBloom.mightContain(Array[Byte](3), 1L)) // truncated header
     assert(PageBloom.mightContain(Array[Byte](0, 1, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8), 1L)) // k=0
     assert(PageBloom.mightContain(Array[Byte](2, 3, 0, 0, 0, 1, 2), 1L)) // non-pow2/short
+    // crafted nWords=2^29: `5 + nWords * 8` overflows Int right back to 5,
+    // passing a naive length check — must keep, not crash out of planning
+    assert(PageBloom.mightContain(Array[Byte](1, 0, 0, 0, 0x20), 1L))
+    assert(PageBloom.mightContain(Array[Byte](1, 0, 0, 0, 0x20), Long.MinValue))
+  }
+
+  test("bloomColumns typos and unsupported types fail fast at write") {
+    val sp = spark; import sp.implicits._
+    val df = (0L until 10L).map(i => (i, digest(i))).toDF("id", "key")
+    val e1 = intercept[Exception] {
+      df.write.format("strawboat").mode("overwrite")
+        .option("bloomColumns", "kye") // typo
+        .save(s"$dir/badcol")
+    }
+    assert(e1.getMessage.contains("kye") || e1.getCause.getMessage.contains("kye"))
+    val dec = df.select(col("id").cast("decimal(25,0)").as("wide"))
+    val e2 = intercept[Exception] {
+      dec.write.format("strawboat").mode("overwrite")
+        .option("bloomColumns", "wide") // wide decimal: no bloom support
+        .save(s"$dir/badtype")
+    }
+    assert(e2.getMessage.contains("wide") || e2.getCause.getMessage.contains("wide"))
   }
 
   test("build returns null on an empty page") {
