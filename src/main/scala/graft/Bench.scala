@@ -14,6 +14,9 @@ object Bench {
     "q_agg_distinct", "q_join_broadcast", "q_join_shuffle", "q_join_multi",
     "q_tpch_q3", "q_tpch_q6", "q_window_rank", "q_window_running",
     "q_events_sessions", "q_topk_orders", "q_topk_filtered",
+    // bloom point lookup + read-after-compaction (their one-time table
+    // derivations land in run 1 and are absorbed by the min-of-2)
+    "q_bloom_lookup", "q_compact_roundtrip",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_embedding_lsh",
     "q_ann_brute", "q_ann_ivf", "q_text_stats")
 

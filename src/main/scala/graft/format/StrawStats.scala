@@ -18,7 +18,8 @@ object StrawStats {
       codec: String,
       statsKind: Int,
       min: Long,
-      max: Long)
+      max: Long,
+      bloomBytes: Int = 0)
 
   /** Per-page stats of one file, one row per LEAF page (nested columns
     * surface as dotted leaf paths, e.g. `meta.lang`). The codec is sniffed
@@ -64,7 +65,8 @@ object StrawStats {
           off += pm.compLen
           PageStat(name, dtName, p, pm.numValues, pm.nullCount, pm.compLen,
             if (codecId < 0) "n/a" else Codec.name(codecId),
-            pm.statsKind, pm.min, pm.max)
+            pm.statsKind, pm.min, pm.max,
+            if (pm.bloom == null) 0 else pm.bloom.length)
         }
       }.toSeq
     } finally in.close()
@@ -87,8 +89,10 @@ object StrawStats {
         val bytes = pages.map(_.compBytes).sum
         val rows = pages.map(_.numValues.toLong).sum
         val nulls = pages.map(_.nullCount.toLong).sum
+        val bloom = pages.map(_.bloomBytes.toLong).sum
         println(f"  $col%-20s $dt%-12s pages=${pages.size}%-4d rows=$rows%-8d " +
-          f"nulls=$nulls%-6d bytes=$bytes%-10d codecs=$codecs")
+          f"nulls=$nulls%-6d bytes=$bytes%-10d codecs=$codecs" +
+          (if (bloom > 0) s" bloomBytes=$bloom" else ""))
       }
     }
   }
