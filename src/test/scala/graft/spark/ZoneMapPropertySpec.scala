@@ -160,6 +160,46 @@ class ZoneMapPropertySpec extends AnyFunSuite {
     assert(got.size == 50)
   }
 
+  // --- file-level stats merge (ManifestStats): the manifest's synthetic
+  // one-page footer must never prune a file that contains a match — a
+  // wrong merge would silently drop whole files from scans -----------------
+
+  test("file-level stats merge never prunes a file containing a match (property)") {
+    check(Prop.forAllNoShrink(genRows, genFilter, Gen.oneOf(3, 7, 16)) {
+      (rows, filter, pageSize) =>
+        val w = new StrawFileWriter(schema, WriteOptions(maxPageSize = pageSize))
+        rows.foreach { case (v, s) =>
+          w.write(new GenericInternalRow(Array[Any](
+            v.map(Long.box).orNull, s.map(UTF8String.fromString).orNull)))
+        }
+        val in = new ByteArrayInput(w.finish())
+        val footer = StrawFileReader.readFooter(in)
+        val synthetic = ManifestStats.decode(schema, ManifestStats.encode(footer))
+        val fileKept = ZoneMapFilter.keptPages(synthetic, Array(filter))(0)
+        val anyMatch = rows.exists { case (v, s) => matches(filter, v, s) }
+        // soundness: a matching row forces the file to be kept. (Sharpness
+        // is not required — a kept file with no match only costs IO.)
+        !anyMatch || fileKept
+    })
+  }
+
+  test("file-level wide-decimal merge stays sound (property)") {
+    check(Prop.forAllNoShrink(genDecRows, genDecFilter, Gen.oneOf(3, 7, 16)) {
+      (rows, filter, pageSize) =>
+        val w = new StrawFileWriter(decSchema, WriteOptions(maxPageSize = pageSize))
+        rows.foreach { v =>
+          w.write(new GenericInternalRow(Array[Any](
+            v.map(Decimal(_, 25, 4)).orNull)))
+        }
+        val in = new ByteArrayInput(w.finish())
+        val footer = StrawFileReader.readFooter(in)
+        val synthetic = ManifestStats.decode(decSchema, ManifestStats.encode(footer))
+        val fileKept = ZoneMapFilter.keptPages(synthetic, Array(filter))(0)
+        val anyMatch = rows.exists(v => decMatches(filter, v))
+        !anyMatch || fileKept
+    })
+  }
+
   test("page skipping preserves every matching row for arbitrary data and filters") {
     check(Prop.forAllNoShrink(genRows, genFilter, Gen.oneOf(3, 7, 16)) { (rows, filter, pageSize) =>
       val w = new StrawFileWriter(schema, WriteOptions(maxPageSize = pageSize))
