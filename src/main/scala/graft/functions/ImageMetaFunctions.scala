@@ -165,15 +165,19 @@ object AudioMeta {
 }
 
 object ImageMetaFunctions {
+  /** (name, impl class, builder) — shared by [[register]] and
+    * [[graft.spark.GraftExtensions]]. */
+  val descriptions: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("image_meta", classOf[ImageMeta], (c: Seq[Expression]) => ImageMeta(c(0))),
+    ("audio_meta", classOf[AudioMeta], (c: Seq[Expression]) => AudioMeta(c(0))))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    def ensure(name: String, clazz: Class[_])(builder: Seq[Expression] => Expression): Unit = {
+    descriptions.foreach { case (name, clazz, builder) =>
       val ident = FunctionIdentifier(name)
       if (!reg.functionExists(ident))
         reg.registerFunction(ident, new ExpressionInfo(clazz.getName, name), builder)
     }
-    ensure("image_meta", classOf[ImageMeta])(c => ImageMeta(c(0)))
-    ensure("audio_meta", classOf[AudioMeta])(c => AudioMeta(c(0)))
   }
 
   def imageMeta(spark: SparkSession, bin: Column): Column = {

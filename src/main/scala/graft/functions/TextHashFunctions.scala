@@ -300,22 +300,26 @@ object TextHashFunctions {
     case other => throw new IllegalArgumentException(s"$what: expected integer literal, got $other")
   }
 
-  /** Register the three text-hash functions with the session. Idempotent. */
+  /** (name, impl class, builder) of every text-hash function — shared by
+    * [[register]] and [[graft.spark.GraftExtensions]]. */
+  val descriptions: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("shingle_hashes", classOf[ShingleHashes],
+      (c: Seq[Expression]) => ShingleHashes(c(0), intLit(c(1), "shingle_hashes"))),
+    ("minhash_signature", classOf[ShingleMinHash],
+      (c: Seq[Expression]) => ShingleMinHash(c(0), intLit(c(1), "minhash_signature"),
+        intLit(c(2), "minhash_signature"))),
+    ("simhash64", classOf[SimHash64], (c: Seq[Expression]) => SimHash64(c(0))),
+    ("shingle_jaccard", classOf[ShingleJaccard],
+      (c: Seq[Expression]) => ShingleJaccard(c(0), c(1), intLit(c(2), "shingle_jaccard"))))
+
+  /** Register the text-hash functions with the session. Idempotent. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    def ensure(name: String, clazz: Class[_])(builder: Seq[Expression] => Expression): Unit = {
+    descriptions.foreach { case (name, clazz, builder) =>
       val ident = FunctionIdentifier(name)
       if (!reg.functionExists(ident))
         reg.registerFunction(ident, new ExpressionInfo(clazz.getName, name), builder)
     }
-    ensure("shingle_hashes", classOf[ShingleHashes])(c =>
-      ShingleHashes(c(0), intLit(c(1), "shingle_hashes")))
-    ensure("minhash_signature", classOf[ShingleMinHash])(c =>
-      ShingleMinHash(c(0), intLit(c(1), "minhash_signature"),
-        intLit(c(2), "minhash_signature")))
-    ensure("simhash64", classOf[SimHash64])(c => SimHash64(c(0)))
-    ensure("shingle_jaccard", classOf[ShingleJaccard])(c =>
-      ShingleJaccard(c(0), c(1), intLit(c(2), "shingle_jaccard")))
   }
 
   import org.apache.spark.sql.functions.{call_function, lit}

@@ -351,16 +351,55 @@ case class VectorNorm(child: Expression)
 }
 
 object VectorFunctions {
-  /** Register cosine_similarity with the session so `expr(...)`/SQL can use
-    * it. Idempotent. */
+  private def intOf(what: String)(e: Expression): Int = e.eval() match {
+    case n: java.lang.Number => n.intValue()
+    case other => throw new IllegalArgumentException(
+      s"$what: expected integer literal, got $other")
+  }
+  private def longOf(what: String)(e: Expression): Long = e.eval() match {
+    case n: java.lang.Number => n.longValue()
+    case other => throw new IllegalArgumentException(
+      s"$what: expected long literal, got $other")
+  }
+
+  /** (name, impl class, builder) of every vector function — shared by the
+    * session-level register helpers and [[graft.spark.GraftExtensions]]'
+    * config-time injection. Non-vector args must be literals (plane/
+    * centroid matrices are baked into the expression at plan time). */
+  val descriptions: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("cosine_similarity", classOf[CosineSimilarity],
+      (c: Seq[Expression]) => CosineSimilarity(c(0), c(1))),
+    ("vector_norm", classOf[VectorNorm],
+      (c: Seq[Expression]) => VectorNorm(c(0))),
+    ("hyperplane_buckets", classOf[HyperplaneBuckets],
+      (c: Seq[Expression]) => HyperplaneBuckets(c(0),
+        intOf("hyperplane_buckets")(c(1)), intOf("hyperplane_buckets")(c(2)),
+        intOf("hyperplane_buckets")(c(3)), longOf("hyperplane_buckets")(c(4)))),
+    ("nearest_cells", classOf[NearestCells], (c: Seq[Expression]) => {
+      val m = c(1).eval().asInstanceOf[ArrayData]
+      val rows = m.numElements()
+      require(rows > 0, "nearest_cells: empty centroid matrix")
+      val dim = m.getArray(0).numElements()
+      val flat = new Array[Double](rows * dim)
+      var r = 0
+      while (r < rows) {
+        val row = m.getArray(r)
+        require(row.numElements() == dim, "nearest_cells: ragged centroid matrix")
+        var i = 0
+        while (i < dim) { flat(r * dim + i) = row.getDouble(i); i += 1 }
+        r += 1
+      }
+      NearestCells(c(0), flat, rows, dim, intOf("nearest_cells")(c(2)))
+    }))
+
+  /** Register every vector function with the session so `expr(...)`/SQL can
+    * use them. Idempotent. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    val ident = FunctionIdentifier("cosine_similarity")
-    if (!reg.functionExists(ident)) {
-      reg.registerFunction(
-        ident,
-        new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
-        (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
+    descriptions.foreach { case (name, clazz, builder) =>
+      val ident = FunctionIdentifier(name)
+      if (!reg.functionExists(ident))
+        reg.registerFunction(ident, new ExpressionInfo(clazz.getName, name), builder)
     }
   }
 
@@ -369,31 +408,8 @@ object VectorFunctions {
     org.apache.spark.sql.functions.call_function("cosine_similarity", a, b)
   }
 
-  /** Register hyperplane_buckets(emb, dim, nPlanes, nBands, seed) — the
-    * non-vector args must be literals (the plane matrix is baked into the
-    * expression at plan time). Idempotent. */
-  def registerBuckets(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    val ident = FunctionIdentifier("hyperplane_buckets")
-    if (!reg.functionExists(ident)) {
-      def intOf(e: Expression): Int = e.eval() match {
-        case n: java.lang.Number => n.intValue()
-        case other => throw new IllegalArgumentException(
-          s"hyperplane_buckets: expected integer literal, got $other")
-      }
-      def longOf(e: Expression): Long = e.eval() match {
-        case n: java.lang.Number => n.longValue()
-        case other => throw new IllegalArgumentException(
-          s"hyperplane_buckets: expected long literal, got $other")
-      }
-      reg.registerFunction(
-        ident,
-        new ExpressionInfo(classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),
-        (children: Seq[Expression]) => HyperplaneBuckets(children(0),
-          intOf(children(1)), intOf(children(2)), intOf(children(3)),
-          longOf(children(4))))
-    }
-  }
+  /** Kept for API stability — registration is all-or-nothing now. */
+  def registerBuckets(spark: SparkSession): Unit = register(spark)
 
   /** Banded LSH bucket array for an embedding column (codegen'd). */
   def hyperplaneBuckets(spark: SparkSession, emb: Column, dim: Int,
@@ -406,38 +422,8 @@ object VectorFunctions {
       org.apache.spark.sql.functions.lit(seed))
   }
 
-  /** Register nearest_cells(emb, centroidMatrix, probes) — matrix and
-    * probes must be literals (baked into the expression at plan time). */
-  def registerNearestCells(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    val ident = FunctionIdentifier("nearest_cells")
-    if (!reg.functionExists(ident)) {
-      reg.registerFunction(
-        ident,
-        new ExpressionInfo(classOf[NearestCells].getName, "nearest_cells"),
-        (children: Seq[Expression]) => {
-          val m = children(1).eval().asInstanceOf[ArrayData]
-          val rows = m.numElements()
-          require(rows > 0, "nearest_cells: empty centroid matrix")
-          val dim = m.getArray(0).numElements()
-          val flat = new Array[Double](rows * dim)
-          var r = 0
-          while (r < rows) {
-            val row = m.getArray(r)
-            require(row.numElements() == dim, "nearest_cells: ragged centroid matrix")
-            var i = 0
-            while (i < dim) { flat(r * dim + i) = row.getDouble(i); i += 1 }
-            r += 1
-          }
-          val probes = children(2).eval() match {
-            case n: java.lang.Number => n.intValue()
-            case other => throw new IllegalArgumentException(
-              s"nearest_cells: expected integer literal probes, got $other")
-          }
-          NearestCells(children(0), flat, rows, dim, probes)
-        })
-    }
-  }
+  /** Kept for API stability — registration is all-or-nothing now. */
+  def registerNearestCells(spark: SparkSession): Unit = register(spark)
 
   /** Probe-ordered nearest centroid ids (codegen'd). */
   def nearestCells(spark: SparkSession, emb: Column,
@@ -448,17 +434,8 @@ object VectorFunctions {
     call_function("nearest_cells", emb, matrix, lit(probes))
   }
 
-  /** Register vector_norm with the session. Idempotent. */
-  def registerNorm(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    val ident = FunctionIdentifier("vector_norm")
-    if (!reg.functionExists(ident)) {
-      reg.registerFunction(
-        ident,
-        new ExpressionInfo(classOf[VectorNorm].getName, "vector_norm"),
-        (children: Seq[Expression]) => VectorNorm(children(0)))
-    }
-  }
+  /** Kept for API stability — registration is all-or-nothing now. */
+  def registerNorm(spark: SparkSession): Unit = register(spark)
 
   /** L2 norm of a vector column (codegen'd). */
   def norm(spark: SparkSession, emb: Column): Column = {

@@ -1,0 +1,77 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Config-only activation of the whole function surface: a session built
+  * with `spark.sql.extensions=graft.spark.GraftExtensions` answers plain
+  * SQL over every graft kernel without any code-side registration. */
+class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("extensions-test")
+      // the config-file route a cluster operator uses — not withExtensions
+      .config("spark.sql.extensions", "graft.spark.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = { if (spark != null) spark.stop() }
+
+  test("vector kernels answer from plain SQL") {
+    val cos = spark.sql(
+      "SELECT cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+      .collect()(0).getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-9)
+    val orth = spark.sql(
+      "SELECT cosine_similarity(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS c")
+      .collect()(0).getDouble(0)
+    assert(math.abs(orth) < 1e-9)
+    val norm = spark.sql("SELECT vector_norm(array(3.0D, 4.0D)) AS n")
+      .collect()(0).getDouble(0)
+    assert(math.abs(norm - 5.0) < 1e-9)
+  }
+
+  test("text-hash kernels answer from plain SQL") {
+    // simhash is deterministic: equal inputs hash equal, and a self-jaccard is 1
+    val rows = spark.sql(
+      """SELECT simhash64('the quick brown fox') AS h1,
+        |       simhash64('the quick brown fox') AS h2,
+        |       shingle_jaccard('abcdefgh', 'abcdefgh', 3) AS j""".stripMargin)
+      .collect()(0)
+    assert(rows.getLong(0) == rows.getLong(1))
+    assert(math.abs(rows.getDouble(2) - 1.0) < 1e-9)
+    assert(spark.sql("SELECT minhash_signature('hello world text', 5, 8) AS s")
+      .collect()(0).getSeq[Long](0).size == 8)
+  }
+
+  test("media header parsers answer from plain SQL") {
+    // 1x1 PNG synthesized inline (pure JDK), parsed by image_meta
+    val sp = spark; import sp.implicits._
+    val img = java.awt.image.BufferedImage.TYPE_INT_RGB
+    val bi = new java.awt.image.BufferedImage(7, 5, img)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", bos)
+    val row = Seq(Tuple1(bos.toByteArray)).toDF("payload")
+      .selectExpr("image_meta(payload) AS m")
+      .selectExpr("m.format", "m.width", "m.height")
+      .collect()(0)
+    assert(row.getString(0) == "png" && row.getInt(1) == 7 && row.getInt(2) == 5)
+  }
+
+  test("hyperplane buckets reject non-integer config args with a clear error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT hyperplane_buckets(array(1.0D), 'abc', 4, 2, 42L)")
+        .collect()
+    }
+    assert(e.getMessage.contains("integer literal") ||
+      (e.getCause != null && e.getCause.getMessage.contains("integer literal")))
+  }
+}
