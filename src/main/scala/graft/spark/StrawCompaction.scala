@@ -85,11 +85,22 @@ object StrawCompaction {
   }
 
   /** Compact `dir` in place. Returns counts; a table with nothing to do
-    * (fewer than two small files per group) is a no-op. */
+    * (fewer than two small files per group) is a no-op.
+    *
+    * `clusterBy`: sort each rewritten bin by these top-level columns before
+    * writing (ascending, SQL null ordering) — the OPTIMIZE-style clustering
+    * pass. Small files arrive in arrival order, so their zone maps overlap
+    * and range/point queries keep every page; a clustered rewrite makes
+    * page (and file-stats) bounds disjoint, so the same queries prune.
+    * Sorting buffers one bin in memory (bounded by `targetFileBytes`
+    * compressed — budget a few × that raw). A bin whose schema generation
+    * lacks a cluster column is written unsorted (schema evolution must not
+    * block maintenance). */
   def compact(spark: SparkSession, dir: String,
       targetFileBytes: Long = 128L << 20,
       opts: WriteOptions = WriteOptions(),
-      smallFileBytes: Option[Long] = None): CompactionResult = {
+      smallFileBytes: Option[Long] = None,
+      clusterBy: Seq[String] = Nil): CompactionResult = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val threshold = smallFileBytes.getOrElse(targetFileBytes)
     val live = StrawIO.listFilesMeta(dir)
@@ -151,13 +162,40 @@ object StrawCompaction {
             partitionId = 0, taskId = 0,
             outOpts.copy(bloomColumns = outOpts.bloomColumns ++ bloomLeaves),
             jobId)
+          // clustering: sort the bin in memory when every cluster column
+          // exists in this schema generation (ascending, SQL null order) —
+          // bounded by the bin's size, which bin-packing already caps
+          val sortIdx = clusterBy.map(schema.fieldNames.indexOf(_))
+          val ordering: Option[Ordering[org.apache.spark.sql.catalyst.InternalRow]] =
+            if (clusterBy.isEmpty || sortIdx.exists(_ < 0)) None
+            else Some(new org.apache.spark.sql.catalyst.expressions.InterpretedOrdering(
+              sortIdx.map(i => org.apache.spark.sql.catalyst.expressions.SortOrder(
+                org.apache.spark.sql.catalyst.expressions.BoundReference(
+                  i, schema.fields(i).dataType, schema.fields(i).nullable),
+                org.apache.spark.sql.catalyst.expressions.Ascending))))
           var ok = false
           try {
-            for (f <- bin.files) {
-              val reader = factory.createReader(
-                StrawInputPartition(f.path, 0, Int.MaxValue, Long.MaxValue))
-              try { while (reader.next()) writer.write(reader.get()) }
-              finally reader.close()
+            ordering match {
+              case None =>
+                for (f <- bin.files) {
+                  val reader = factory.createReader(
+                    StrawInputPartition(f.path, 0, Int.MaxValue, Long.MaxValue))
+                  try { while (reader.next()) writer.write(reader.get()) }
+                  finally reader.close()
+                }
+              case Some(ord) =>
+                val buf = scala.collection.mutable.ArrayBuffer
+                  .empty[org.apache.spark.sql.catalyst.InternalRow]
+                for (f <- bin.files) {
+                  val reader = factory.createReader(
+                    StrawInputPartition(f.path, 0, Int.MaxValue, Long.MaxValue))
+                  // copy: the reader reuses its row buffer across next()
+                  try { while (reader.next()) buf += reader.get().copy() }
+                  finally reader.close()
+                }
+                val arr = buf.toArray
+                java.util.Arrays.sort(arr, ord)
+                arr.foreach(writer.write)
             }
             val msg = writer.commit().asInstanceOf[StrawCommitMessage]
             ok = true

@@ -202,6 +202,75 @@ class CompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("key") === digest(1234L)).count() == 1)
   }
 
+  test("clusterBy compaction makes zone maps disjoint; unsorted does not") {
+    val sp = spark; import sp.implicits._
+    def footerOf(out: String) = {
+      val file = strbFiles(out).maxBy(_.length)
+      val in = new graft.format.LocalFileInput(file.getPath)
+      try graft.format.StrawFileReader.readFooter(in) finally in.close()
+    }
+    // scattered key: arrival order has every page spanning ~the full range
+    def writeScattered(out: String): Unit =
+      (0L until 8000L).map(i => (i, (i * 2654435761L) % 1000000007L))
+        .toDF("id", "k")
+        .repartition(4)
+        .write.format("strawboat").mode("overwrite")
+        .option("targetFileBytes", "4096")
+        .option("maxPageSize", "500")
+        .save(out)
+
+    val plain = s"$dir/clusterPlain"
+    writeScattered(plain)
+    StrawCompaction.compact(spark, plain, targetFileBytes = 64L << 20,
+      opts = graft.format.WriteOptions(maxPageSize = 500))
+    val plainPages = footerOf(plain).columns(1).pages
+    // premise: an unsorted rewrite keeps overlapping page ranges
+    assert(plainPages.length >= 4)
+    assert(plainPages.toSeq.sliding(2).exists {
+      case Seq(a, b) => b.min <= a.max
+      case _ => false
+    }, "unsorted pages unexpectedly disjoint — test premise broken")
+
+    val clustered = s"$dir/clusterSorted"
+    writeScattered(clustered)
+    val res = StrawCompaction.compact(spark, clustered,
+      targetFileBytes = 64L << 20,
+      opts = graft.format.WriteOptions(maxPageSize = 500), clusterBy = Seq("k"))
+    assert(res.outputFiles < res.inputFiles)
+    val pages = footerOf(clustered).columns(1).pages
+    assert(pages.length >= 4)
+    pages.toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a.max < b.min, "clustered pages must be disjoint")
+      case _ =>
+    }
+    // data survived the sort byte-for-byte (multiset)
+    val back = spark.read.format("strawboat").load(clustered)
+    assert(back.count() == 8000)
+    assert(back.agg(sum(col("id"))).collect()(0).getLong(0) == (0L until 8000L).sum)
+    // and a range probe now prunes pages (disjoint bounds)
+    val probe = (4321L * 2654435761L) % 1000000007L
+    assert(back.filter(col("k") === probe).count() == 1)
+  }
+
+  test("clusterBy falls back to unsorted for schema generations lacking the column") {
+    val out = s"$dir/clusterEvolve"
+    val sp = spark; import sp.implicits._
+    (0 until 3).foreach { i =>
+      Seq((i.toLong, s"a$i")).toDF("id", "a")
+        .coalesce(1).write.format("strawboat").mode("append").save(out)
+    }
+    (0 until 3).foreach { i =>
+      Seq((100L + i, s"a${100 + i}", (i * 37L) % 7L)).toDF("id", "a", "k")
+        .coalesce(1).write.format("strawboat").mode("append").save(out)
+    }
+    val res = StrawCompaction.compact(spark, out,
+      targetFileBytes = 64L << 20, clusterBy = Seq("k"))
+    assert(res.inputFiles == 6 && res.outputFiles == 2)
+    val back = spark.read.format("strawboat").load(out)
+    assert(back.count() == 6)
+    assert(back.filter(col("id") < 100 && col("k").isNotNull).count() == 0)
+  }
+
   test("nothing to do is a clean no-op") {
     val out = s"$dir/noop"
     spark.range(0, 100).coalesce(1).write.format("strawboat").mode("overwrite").save(out)
