@@ -601,7 +601,7 @@ class StrawScan(
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new StrawMicroBatchStream(path, fullSchema, requiredSchema, maxFilesPerTrigger,
-      exactFilters, maxBytesPerTrigger)
+      exactFilters, maxBytesPerTrigger, skipFilters = filters)
   override def description(): String =
     s"strawboat $path skipFilters=[${filters.mkString(", ")}] " +
       s"exactFilters=[${exactFilters.mkString(", ")}] limit=" +

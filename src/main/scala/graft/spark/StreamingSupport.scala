@@ -87,7 +87,8 @@ object StrawStreamOffset {
 class StrawMicroBatchStream(path: String, fullSchema: StructType,
     requiredSchema: StructType, maxFilesPerTrigger: Option[Int] = None,
     exactFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    skipFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
   extends MicroBatchStream with SupportsAdmissionControl
   with SupportsTriggerAvailableNow {
 
@@ -201,21 +202,46 @@ class StrawMicroBatchStream(path: String, fullSchema: StructType,
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     // derived from the two offsets ALONE (no relisting): deterministic on
-    // replay from a checkpoint
+    // replay from a checkpoint — the pruning below is a pure function of
+    // the (static) pushed filters and each file's footer, so a replayed
+    // batch prunes identically
     val so = start.asInstanceOf[StrawStreamOffset]
     val eo = end.asInstanceOf[StrawStreamOffset]
     val seenSet = so.fileSet
     val fresh = eo.files
       .filter { case (m, p) => m >= so.highWater && !seenSet.contains(p) }
       .map(_._2)
+    // pushed filters prune the streaming read like the batch path: whole
+    // hive partition directories first (zero footer IO for excluded ones),
+    // then pages by their zone maps/blooms. Admission already marked the
+    // files seen, so skipping their data here never re-delivers later.
+    val freshKept =
+      if (skipFilters.isEmpty) fresh
+      else PartitionLayout.pruneBy(fresh, fullSchema, skipFilters)(identity)
     var widened = false
-    val parts = fresh.flatMap { file =>
+    val parts = freshKept.flatMap { file =>
       val footer = StrawIO.withInput(file)(StrawFileReader.readFooter)
       widened ||= footer.schema.fields.exists(fl =>
         fullSchema.fields.find(_.name == fl.name).exists(_.dataType != fl.dataType))
       if (footer.columns.isEmpty) Nil
-      else Seq(StrawInputPartition(file, 0, footer.columns(0).pages.length,
-        Long.MaxValue): InputPartition)
+      else {
+        val nPages = footer.columns(0).pages.length
+        val keep = ZoneMapFilter.keptPages(footer, skipFilters)
+        // contiguous kept runs, like the batch planner (without the byte
+        // targeting — admission already bounds per-batch volume)
+        val runs = Seq.newBuilder[InputPartition]
+        var p = 0
+        while (p < nPages) {
+          if (!keep(p)) p += 1
+          else {
+            var endP = p
+            while (endP < nPages && keep(endP)) endP += 1
+            runs += StrawInputPartition(file, p, endP, Long.MaxValue)
+            p = endP
+          }
+        }
+        runs.result()
+      }
     }.toArray
     batchTypeWidened = widened
     parts

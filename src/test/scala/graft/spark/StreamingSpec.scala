@@ -28,6 +28,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  // Spark does not (yet) push filters into micro-batch DSv2 scans — the
+  // scan's skipFilters plumbing is exercised at the source level here so
+  // the pruning is proven ready the day the engine starts pushing them.
+  test("streaming planInputPartitions prunes pages and partition dirs by pushed filters") {
+    import org.apache.spark.sql.sources.{EqualTo, LessThan}
+    val data = s"$dir/streamprune"
+    spark.range(0, 4000)
+      .select(col("id"), (col("id") % 2).cast("string").as("side"))
+      .orderBy("id")
+      .write.format("strawboat").mode("overwrite")
+      .option("partitionBy", "side")
+      .option("maxPageSize", "250")
+      .save(data)
+    val schema = spark.read.format("strawboat").load(data).schema
+    def planned(filters: Array[org.apache.spark.sql.sources.Filter]): Seq[StrawInputPartition] = {
+      val stream = new StrawMicroBatchStream(data, schema, schema,
+        skipFilters = filters)
+      val start = stream.initialOffset()
+      val end = stream.latestOffset()
+      stream.planInputPartitions(start, end).toSeq.map(_.asInstanceOf[StrawInputPartition])
+    }
+    val all = planned(Array.empty)
+    val allPages = all.map(p => p.pageEnd - p.pageStart).sum
+    assert(all.size >= 2 && allPages >= 8)
+    // page pruning: a selective range keeps a strict subset of pages
+    val some = planned(Array(LessThan("id", 200L)))
+    val somePages = some.map(p => p.pageEnd - p.pageStart).sum
+    assert(somePages > 0 && somePages < allPages,
+      s"expected page pruning: $somePages of $allPages")
+    // partition-directory pruning: only side=0 files survive
+    val oneSide = planned(Array(EqualTo("side", "0")))
+    assert(oneSide.nonEmpty && oneSide.forall(_.path.contains("side=0")))
+    assert(oneSide.map(_.path).toSet.size < all.map(_.path).toSet.size)
+  }
+
   test("stream offsets are bounded: admitted history compacts behind the high-water mark") {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     // json round trip, including quotes/backslashes in paths
