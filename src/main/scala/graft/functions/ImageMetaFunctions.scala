@@ -171,14 +171,8 @@ object ImageMetaFunctions {
     ("image_meta", classOf[ImageMeta], (c: Seq[Expression]) => ImageMeta(c(0))),
     ("audio_meta", classOf[AudioMeta], (c: Seq[Expression]) => AudioMeta(c(0))))
 
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    descriptions.foreach { case (name, clazz, builder) =>
-      val ident = FunctionIdentifier(name)
-      if (!reg.functionExists(ident))
-        reg.registerFunction(ident, new ExpressionInfo(clazz.getName, name), builder)
-    }
-  }
+  def register(spark: SparkSession): Unit =
+    FunctionRegistration.register(spark, descriptions)
 
   def imageMeta(spark: SparkSession, bin: Column): Column = {
     register(spark)

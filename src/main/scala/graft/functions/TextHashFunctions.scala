@@ -313,14 +313,8 @@ object TextHashFunctions {
       (c: Seq[Expression]) => ShingleJaccard(c(0), c(1), intLit(c(2), "shingle_jaccard"))))
 
   /** Register the text-hash functions with the session. Idempotent. */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    descriptions.foreach { case (name, clazz, builder) =>
-      val ident = FunctionIdentifier(name)
-      if (!reg.functionExists(ident))
-        reg.registerFunction(ident, new ExpressionInfo(clazz.getName, name), builder)
-    }
-  }
+  def register(spark: SparkSession): Unit =
+    FunctionRegistration.register(spark, descriptions)
 
   import org.apache.spark.sql.functions.{call_function, lit}
 

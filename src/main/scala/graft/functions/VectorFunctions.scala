@@ -394,14 +394,8 @@ object VectorFunctions {
 
   /** Register every vector function with the session so `expr(...)`/SQL can
     * use them. Idempotent. */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    descriptions.foreach { case (name, clazz, builder) =>
-      val ident = FunctionIdentifier(name)
-      if (!reg.functionExists(ident))
-        reg.registerFunction(ident, new ExpressionInfo(clazz.getName, name), builder)
-    }
-  }
+  def register(spark: SparkSession): Unit =
+    FunctionRegistration.register(spark, descriptions)
 
   def cosine(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)

@@ -92,15 +92,20 @@ object StrawCompaction {
     * pass. Small files arrive in arrival order, so their zone maps overlap
     * and range/point queries keep every page; a clustered rewrite makes
     * page (and file-stats) bounds disjoint, so the same queries prune.
-    * Sorting buffers one bin in memory (bounded by `targetFileBytes`
-    * compressed — budget a few × that raw). A bin whose schema generation
+    * Sorting buffers one bin in memory as materialized rows, so clustered
+    * bins are ADDITIONALLY capped at `maxClusterRows` (boxed-row memory
+    * tracks row count far more predictably than compressed bytes — a
+    * 50×-compressed 128 MB bin can be gigabytes of heap). Clustered
+    * outputs may therefore be smaller than `targetFileBytes`; rerun with a
+    * higher cap to consolidate further. A bin whose schema generation
     * lacks a cluster column is written unsorted (schema evolution must not
-    * block maintenance). */
+    * block maintenance) — but a column no generation has fails fast. */
   def compact(spark: SparkSession, dir: String,
       targetFileBytes: Long = 128L << 20,
       opts: WriteOptions = WriteOptions(),
       smallFileBytes: Option[Long] = None,
-      clusterBy: Seq[String] = Nil): CompactionResult = {
+      clusterBy: Seq[String] = Nil,
+      maxClusterRows: Long = 4L << 20): CompactionResult = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val threshold = smallFileBytes.getOrElse(targetFileBytes)
     val live = StrawIO.listFilesMeta(dir)
@@ -110,22 +115,37 @@ object StrawCompaction {
     // cross a partition boundary (layout pruning survives) and never
     // convert between schema generations (read semantics unchanged)
     val withSchema = StrawIO.mapParallel(candidates) { m =>
-      (m, FooterCache.get(m.path, m.mtime, m.len).schema.json)
+      val footer = FooterCache.get(m.path, m.mtime, m.len)
+      (m, footer.schema, footer.numRows)
     }
+    // fail fast on a cluster column NO generation has (typo / wrong case /
+    // dotted leaf path — clusterBy is top-level only); a per-bin miss
+    // still falls back to unsorted for genuine schema evolution
+    if (clusterBy.nonEmpty && withSchema.nonEmpty) {
+      val known = withSchema.flatMap(_._2.fieldNames).toSet
+      val unknown = clusterBy.filterNot(known)
+      require(unknown.isEmpty,
+        s"strawboat: clusterBy column(s) ${unknown.mkString(", ")} exist in no " +
+          s"file schema (top-level columns: ${known.toSeq.sorted.mkString(", ")})")
+    }
+    val rowCap = if (clusterBy.isEmpty) Long.MaxValue else maxClusterRows
     val bins = withSchema
-      .groupBy { case (m, schemaJson) => (new Path(m.path).getParent.toString, schemaJson) }
+      .groupBy { case (m, schema, _) =>
+        (new Path(m.path).getParent.toString, schema.json)
+      }
       .toSeq.sortBy(_._1)
       .flatMap { case ((parent, schemaJson), members) =>
         // first-fit in path order; only multi-file bins are worth a rewrite
         val out = Seq.newBuilder[Bin]
         var cur = Vector.empty[StrawIO.FileMeta]
         var bytes = 0L
-        for ((m, _) <- members.sortBy(_._1.path)) {
-          if (cur.nonEmpty && bytes + m.len > targetFileBytes) {
+        var rows = 0L
+        for ((m, _, nRows) <- members.sortBy(_._1.path)) {
+          if (cur.nonEmpty && (bytes + m.len > targetFileBytes || rows + nRows > rowCap)) {
             if (cur.size > 1) out += Bin(parent, schemaJson, cur)
-            cur = Vector.empty; bytes = 0L
+            cur = Vector.empty; bytes = 0L; rows = 0L
           }
-          cur :+= m; bytes += m.len
+          cur :+= m; bytes += m.len; rows += nRows
         }
         if (cur.size > 1) out += Bin(parent, schemaJson, cur)
         out.result()

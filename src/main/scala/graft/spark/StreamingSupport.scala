@@ -218,13 +218,23 @@ class StrawMicroBatchStream(path: String, fullSchema: StructType,
     val freshKept =
       if (skipFilters.isEmpty) fresh
       else PartitionLayout.pruneBy(fresh, fullSchema, skipFilters)(identity)
+    // footers via the bounded parallel pool + version-keyed cache, like the
+    // batch planner — a wide AvailableNow backlog must not pay one serial
+    // round-trip per file
+    val footers = StrawIO.mapParallel(freshKept) { f =>
+      val in = StrawIO.open(f)
+      try (f, FooterCache.get(f, in)) finally in.close()
+    }
     var widened = false
-    val parts = freshKept.flatMap { file =>
-      val footer = StrawIO.withInput(file)(StrawFileReader.readFooter)
+    val parts = footers.flatMap { case (file, footer) =>
       widened ||= footer.schema.fields.exists(fl =>
         fullSchema.fields.find(_.name == fl.name).exists(_.dataType != fl.dataType))
-      if (footer.columns.isEmpty) Nil
-      else {
+      if (footer.columns.isEmpty) {
+        // zero-column files still carry rows (schema-only projections) —
+        // same special case as the batch planner
+        if (footer.numRows > 0) Seq(StrawInputPartition(file, 0, 0, Long.MaxValue))
+        else Nil
+      } else {
         val nPages = footer.columns(0).pages.length
         val keep = ZoneMapFilter.keptPages(footer, skipFilters)
         // contiguous kept runs, like the batch planner (without the byte

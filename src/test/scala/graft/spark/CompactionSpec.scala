@@ -271,6 +271,20 @@ class CompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.filter(col("id") < 100 && col("k").isNotNull).count() == 0)
   }
 
+  test("clusterBy names no generation has fail fast; row cap splits bins") {
+    val out = s"$dir/clusterValidate"
+    writeFragmented(spark.range(0, 2000).toDF("id").repartition(4), out)
+    val e = intercept[IllegalArgumentException] {
+      StrawCompaction.compact(spark, out, clusterBy = Seq("Id")) // wrong case
+    }
+    assert(e.getMessage.contains("Id") && e.getMessage.contains("id"))
+    // tiny row cap: clustered bins split instead of buffering everything
+    val res = StrawCompaction.compact(spark, out,
+      targetFileBytes = 64L << 20, clusterBy = Seq("id"), maxClusterRows = 1200)
+    assert(res.outputFiles > 1, s"row cap must split the rewrite: $res")
+    assert(spark.read.format("strawboat").load(out).count() == 2000)
+  }
+
   test("nothing to do is a clean no-op") {
     val out = s"$dir/noop"
     spark.range(0, 100).coalesce(1).write.format("strawboat").mode("overwrite").save(out)
