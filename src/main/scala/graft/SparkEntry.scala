@@ -592,6 +592,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), round(min(col("value")), 2).as("mn"))
         .orderBy(col("user_id"))
     }),
+    "q_agg_sum_meta" -> ((s, d) => {
+      // SUM answered from the footers' exact i128 page sums (integer-family
+      // columns; zero data pages read) — alongside count, the classic
+      // "how many rows / how much volume" metadata query at 100 TB
+      t(s, d, "lineitem")
+        .agg(sum(col("l_orderkey")).as("sum_okey"),
+          sum(col("l_linenumber")).as("sum_line"),
+          count(lit(1)).as("cnt"))
+    }),
     "q_agg_partition_meta" -> ((s, d) => {
       // GROUP BY the partition column + count/min/max: answered ENTIRELY
       // from footers (one row per partition directory, zero data pages) —
@@ -1151,6 +1160,10 @@ object SparkEntry {
       """SELECT user_id, count(*) AS cnt, round(min(value), 2) AS mn
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_agg_sum_meta" ->
+      """SELECT CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+        |  CAST(sum(l_linenumber) AS BIGINT) AS sum_line, count(*) AS cnt
+        |FROM lineitem""".stripMargin,
     "q_agg_partition_meta" ->
       """SELECT event_type, count(*) AS cnt, round(min(value), 2) AS mn,
         |  max(event_id) AS mx

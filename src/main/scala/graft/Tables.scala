@@ -10,7 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * parquet. Conversion is cached across JVMs with a marker file.
   */
 object Tables {
-  private val FormatVersion = "v2" // bump when the on-disk format changes
+  private val FormatVersion = "v3" // bump when the on-disk format changes
 
   private def strawRoot = s"/root/repo/target/strawdata/$FormatVersion"
 

@@ -65,6 +65,14 @@ object StrawFormat {
     if (c != 0) c else java.lang.Long.compareUnsigned(aLo, bLo)
   }
 
+  /** i128 (hi, lo) + i128 (bHi, bLo), two's complement. */
+  def add128(aHi: Long, aLo: Long, bHi: Long, bLo: Long): (Long, Long) = {
+    val lo = aLo + bLo
+    // carry-out of the unsigned low-plane addition
+    val carry = ((aLo & bLo) | ((aLo | bLo) & ~lo)) >>> 63
+    (aHi + bHi + carry, lo)
+  }
+
   /** Order-preserving long for doubles/floats (zone maps). -0.0 normalizes
     * to +0.0 so SQL equality semantics survive the encoding. */
   def sortableDouble(d: Double): Long = {
@@ -108,7 +116,14 @@ final case class PageMeta(
     max2: Long = 0L,
     /** Optional per-page equality filter ([[PageBloom]] layout); null when
       * the column was not bloom-enabled at write (the common case). */
-    bloom: Array[Byte] = null)
+    bloom: Array[Byte] = null,
+    /** Exact i128 SUM of the page's non-null values in the VALUE domain
+      * (raw integral / unscaled decimal), present (`hasSum`) for
+      * integer-family and decimal(≤18) leaves — footer-only SUM
+      * aggregation. Floats are excluded: their sums are order-dependent. */
+    hasSum: Boolean = false,
+    sumHi: Long = 0L,
+    sumLo: Long = 0L)
 
 final case class ColumnMeta(offset: Long, pages: Array[PageMeta]) {
   /** Absolute byte offset of every page (prefix sums; readers index this
@@ -150,12 +165,15 @@ object MetaIO {
         out.putInt(p.numValues)
         out.putLong(p.compLen)
         out.putInt(p.nullCount)
-        // high bit of the kind byte flags an attached page bloom filter;
-        // pre-bloom readers see kind >= 0x80 and reject with the clean
-        // "newer version" error below rather than desyncing the parse
-        out.putByte(p.statsKind | (if (p.bloom != null) 0x80 else 0))
+        // flag bits on the kind byte: 0x80 = attached page bloom filter,
+        // 0x40 = exact i128 page sum. Pre-extension readers see kind >= 0x40
+        // and reject with the clean "newer version" error below rather than
+        // desyncing the parse.
+        out.putByte(p.statsKind |
+          (if (p.bloom != null) 0x80 else 0) | (if (p.hasSum) 0x40 else 0))
         if (p.statsKind != StatsNone) { out.putLong(p.min); out.putLong(p.max) }
         if (p.statsKind == StatsDecimal128) { out.putLong(p.min2); out.putLong(p.max2) }
+        if (p.hasSum) { out.putLong(p.sumHi); out.putLong(p.sumLo) }
         if (p.bloom != null) { out.putInt(p.bloom.length); out.putBytes(p.bloom) }
       }
     }
@@ -202,7 +220,8 @@ object MetaIO {
         val nc = in.getInt()
         val kindByte = in.get() & 0xff
         val hasBloom = (kindByte & 0x80) != 0
-        val kind = kindByte & 0x7f
+        val hasSum = (kindByte & 0x40) != 0
+        val kind = kindByte & 0x3f
         // fail CLEANLY on files from a future format revision: an unknown
         // kind changes the stats-plane byte count, and guessing would
         // desync the whole footer parse into garbage page metadata
@@ -211,6 +230,7 @@ object MetaIO {
         val (mn, mx) = if (kind != StatsNone) (in.getLong(), in.getLong()) else (0L, 0L)
         val (mn2, mx2) =
           if (kind == StatsDecimal128) (in.getLong(), in.getLong()) else (0L, 0L)
+        val (sHi, sLo) = if (hasSum) (in.getLong(), in.getLong()) else (0L, 0L)
         val bloom =
           if (!hasBloom) null
           else {
@@ -221,7 +241,7 @@ object MetaIO {
             in.get(arr)
             arr
           }
-        pages(p) = PageMeta(nv, cl, nc, kind, mn, mx, mn2, mx2, bloom)
+        pages(p) = PageMeta(nv, cl, nc, kind, mn, mx, mn2, mx2, bloom, hasSum, sHi, sLo)
         p += 1
       }
       cols(c) = ColumnMeta(offset, pages)
@@ -284,7 +304,8 @@ object ValidityReader {
 
 final case class PageStats(statsKind: Int, min: Long, max: Long,
     min2: Long = 0L, max2: Long = 0L, nullCount: Int = 0,
-    bloom: Array[Byte] = null)
+    bloom: Array[Byte] = null,
+    hasSum: Boolean = false, sumHi: Long = 0L, sumLo: Long = 0L)
 
 /** One column's write-side buffer (top-level or nested child). `append`
   * pulls the value out of a row/array via SpecializedGetters; at page flush
@@ -340,13 +361,18 @@ final class LongColumnWriter(
     statsKind: Int,
     toSortable: Long => Long = identity,
     floatBits: Boolean = false,
-    bloomEnabled: Boolean = false)
+    bloomEnabled: Boolean = false,
+    /** Accumulate an exact i128 page sum of the raw values (integer-family
+      * and unscaled small-decimal leaves) — footer-only SUM. */
+    sumEnabled: Boolean = false)
   extends LeafColumnWriter(opts) {
   private var values = new Array[Long](1024)
   private var n = 0
   private var lastValid = 0L
   private var min = Long.MaxValue
   private var max = Long.MinValue
+  private var sumHi = 0L
+  private var sumLo = 0L
   private def grow(): Unit =
     if (n >= values.length) values = java.util.Arrays.copyOf(values, values.length * 2)
   def append(g: SpecializedGetters, ordinal: Int): Unit = {
@@ -357,6 +383,12 @@ final class LongColumnWriter(
       val s = toSortable(v)
       if (s < min) min = s
       if (s > max) max = s
+    }
+    if (sumEnabled) {
+      val lo = sumLo + v
+      val carry = ((sumLo & v) | ((sumLo | v) & ~lo)) >>> 63
+      sumHi += (v >> 63) + carry
+      sumLo = lo
     }
     validity.append(true)
   }
@@ -383,10 +415,16 @@ final class LongColumnWriter(
         }
         PageBloom.build(hs, j, opts.bloomFpp)
       }
-    if (min > max) PageStats(StrawFormat.StatsNone, 0, 0, bloom = bloom)
-    else PageStats(statsKind, min, max, bloom = bloom)
+    if (min > max)
+      PageStats(StrawFormat.StatsNone, 0, 0, bloom = bloom,
+        hasSum = sumEnabled, sumHi = sumHi, sumLo = sumLo)
+    else PageStats(statsKind, min, max, bloom = bloom,
+      hasSum = sumEnabled, sumHi = sumHi, sumLo = sumLo)
   }
-  def clearBuffers(): Unit = { n = 0; lastValid = 0L; min = Long.MaxValue; max = Long.MinValue }
+  def clearBuffers(): Unit = {
+    n = 0; lastValid = 0L; min = Long.MaxValue; max = Long.MinValue
+    sumHi = 0L; sumLo = 0L
+  }
   def bufferedBytes: Long = n.toLong * width
 }
 
@@ -639,15 +677,16 @@ object ColumnWriter {
         new LongColumnWriter(opts, 1, (g, i) => if (g.getBoolean(i)) 1L else 0L, StatsSigned,
           bloomEnabled = bloom)
       case ByteType => new LongColumnWriter(opts, 1, (g, i) => g.getByte(i).toLong, StatsSigned,
-        bloomEnabled = bloom)
+        bloomEnabled = bloom, sumEnabled = true)
       case ShortType => new LongColumnWriter(opts, 2, (g, i) => g.getShort(i).toLong, StatsSigned,
-        bloomEnabled = bloom)
+        bloomEnabled = bloom, sumEnabled = true)
       case IntegerType | DateType =>
+        // SUM over dates is not SQL; don't spend the footer bytes there
         new LongColumnWriter(opts, 4, (g, i) => g.getInt(i).toLong, StatsSigned,
-          bloomEnabled = bloom)
+          bloomEnabled = bloom, sumEnabled = dt == IntegerType)
       case LongType | TimestampType | TimestampNTZType =>
         new LongColumnWriter(opts, 8, (g, i) => g.getLong(i), StatsSigned,
-          bloomEnabled = bloom)
+          bloomEnabled = bloom, sumEnabled = dt == LongType)
       case FloatType =>
         new LongColumnWriter(opts, 4,
           (g, i) => java.lang.Float.floatToIntBits(g.getFloat(i)).toLong & 0xffffffffL,
@@ -663,7 +702,7 @@ object ColumnWriter {
       case d: DecimalType if d.precision <= 18 =>
         new LongColumnWriter(opts, 8,
           (g, i) => g.getDecimal(i, d.precision, d.scale).toUnscaledLong, StatsSigned,
-          bloomEnabled = bloom)
+          bloomEnabled = bloom, sumEnabled = true)
       case d: DecimalType if d.precision <= 38 =>
         new Decimal128ColumnWriter(opts, d.precision, d.scale)
       case StringType => new BinaryColumnWriter(opts, isString = true, bloomEnabled = bloom)
@@ -751,7 +790,8 @@ final class StrawFileWriter(schema: StructType, opts: WriteOptions) {
         val s = stats(l)
         // numValues = the page group's ROW count, uniform across leaves
         pageMetas(l) += PageMeta(rowsInPage, (colBufs(l).len - before(l)).toLong,
-          s.nullCount, s.statsKind, s.min, s.max, s.min2, s.max2, s.bloom)
+          s.nullCount, s.statsKind, s.min, s.max, s.min2, s.max2, s.bloom,
+          s.hasSum, s.sumHi, s.sumLo)
         l += 1
       }
       rowsInPage = 0

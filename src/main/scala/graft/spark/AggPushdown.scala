@@ -30,6 +30,7 @@ object AggPushdown {
   final case class CountColSpec(field: Int) extends Spec
   final case class MinSpec(field: Int) extends Spec
   final case class MaxSpec(field: Int) extends Spec
+  final case class SumSpec(field: Int) extends Spec
 
   private def fieldOf(schema: StructType, e: Expression): Option[Int] = e match {
     case nr: NamedReference if nr.fieldNames().length == 1 =>
@@ -49,6 +50,21 @@ object AggPushdown {
          LongType | TimestampType | TimestampNTZType | FloatType | DoubleType => true
     case d: DecimalType => d.precision <= 38
     case _ => false
+  }
+
+  /** Types whose pages carry exact i128 sums (the writer's sumEnabled set). */
+  private def sumCapable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case d: DecimalType => d.precision <= 18
+    case _ => false
+  }
+
+  /** Spark's result type for a pushed SUM (must match the engine's
+    * expectation for complete pushdown): integral → long, decimal(p, s) →
+    * decimal(min(38, p+10), s). */
+  private def sumResultType(dt: DataType): DataType = dt match {
+    case d: DecimalType => DecimalType(math.min(38, d.precision + 10), d.scale)
+    case _ => LongType
   }
 
   /** @return (groupByField, aggregate specs) — groupByField is None for a
@@ -80,6 +96,11 @@ object AggPushdown {
       case m: Max =>
         fieldOf(schema, m.column())
           .filter(i => statsExact(schema.fields(i).dataType)).map(MaxSpec)
+      // SUM from the per-page i128 sums — integer-family and decimal(≤18)
+      // only (float sums are order-dependent, so pages carry none)
+      case s: Sum if !s.isDistinct =>
+        fieldOf(schema, s.column())
+          .filter(i => sumCapable(schema.fields(i).dataType)).map(SumSpec)
       case _ => None
     }
     if (specs.forall(_.isDefined)) Some((grp, specs.flatten.toSeq)) else None
@@ -93,6 +114,8 @@ object AggPushdown {
         case (CountColSpec(_), i) => StructField(s"agg$i", LongType, nullable = false)
         case (MinSpec(f), i) => StructField(s"agg$i", schema.fields(f).dataType)
         case (MaxSpec(f), i) => StructField(s"agg$i", schema.fields(f).dataType)
+        case (SumSpec(f), i) =>
+          StructField(s"agg$i", sumResultType(schema.fields(f).dataType))
       })
 
   /** Invert StrawFormat.sortableDouble. */
@@ -131,11 +154,16 @@ object AggPushdown {
     else java.lang.Long.compare(a._1, b._1)
 
   /** Accumulates one (group's) aggregate state across footers. */
-  private final class Acc(schema: StructType, needCount: Seq[Int], needMinMax: Seq[Int]) {
+  private final class Acc(schema: StructType, needCount: Seq[Int],
+      needMinMax: Seq[Int], needSum: Seq[Int]) {
     var countStar = 0L
     val countCol = collection.mutable.Map.empty[Int, Long]
     val minEnc = collection.mutable.Map.empty[Int, (Long, Long)]
     val maxEnc = collection.mutable.Map.empty[Int, (Long, Long)]
+    // exact i128 running sums + whether any non-null value contributed
+    // (SUM over zero non-null rows is SQL NULL, not 0)
+    val sumEnc = collection.mutable.Map.empty[Int, (Long, Long)]
+    val sumSeen = collection.mutable.Set.empty[Int]
 
     /** @return false when a page lacks provable stats. */
     def add(footer: graft.format.StrawFooter): Boolean = {
@@ -168,8 +196,45 @@ object AggPushdown {
           }
         }
       }
+      for (f <- needSum) {
+        val ci = colIdx(f)
+        if (ci >= 0) {
+          for (p <- footer.topLeaf(ci).pages) {
+            // a page with any non-null values must carry a sum (files from
+            // before the sum extension don't — bail to the normal scan)
+            if (p.nullCount < p.numValues) {
+              if (!p.hasSum) return false
+              sumSeen += f
+            }
+            if (p.hasSum) {
+              val cur = sumEnc.getOrElse(f, (0L, 0L))
+              sumEnc(f) = StrawFormat.add128(cur._1, cur._2, p.sumHi, p.sumLo)
+            }
+          }
+        }
+      }
       true
     }
+
+    /** The accumulated sum fits its result representation: long sums must
+      * not exceed 64 bits (Spark's own non-pushed sum would wrap or throw
+      * depending on ANSI mode — bail and let it), decimal sums must fit the
+      * widened precision. */
+    def sumsRepresentable(specs: Seq[Spec]): Boolean = specs.forall {
+      case SumSpec(f) => sumEnc.get(f).forall { case (hi, lo) =>
+        schema.fields(f).dataType match {
+          case d: DecimalType =>
+            toBigInteger(hi, lo).abs.toString.length <= math.min(38, d.precision + 10)
+          case _ => hi == (lo >> 63) // sign-extension consistent: fits i64
+        }
+      }
+      case _ => true
+    }
+
+    private def toBigInteger(hi: Long, lo: Long): java.math.BigInteger =
+      java.math.BigInteger.valueOf(hi).shiftLeft(64)
+        .add(java.math.BigInteger.valueOf(lo)
+          .and(java.math.BigInteger.ONE.shiftLeft(64).subtract(java.math.BigInteger.ONE)))
 
     /** Aggregate values (spec order) written into `row` from `offset`. */
     def fill(row: GenericInternalRow, offset: Int, specs: Seq[Spec]): Unit =
@@ -180,6 +245,19 @@ object AggPushdown {
           minEnc.get(f).map(statsToValue(schema.fields(f).dataType, _)).orNull)
         case (MaxSpec(f), i) => row.update(offset + i,
           maxEnc.get(f).map(statsToValue(schema.fields(f).dataType, _)).orNull)
+        case (SumSpec(f), i) =>
+          val v: Any =
+            if (!sumSeen(f)) null
+            else {
+              val (hi, lo) = sumEnc(f)
+              schema.fields(f).dataType match {
+                case d: DecimalType =>
+                  val p = math.min(38, d.precision + 10)
+                  Decimal(new java.math.BigDecimal(toBigInteger(hi, lo), d.scale), p, d.scale)
+                case _ => lo // fits i64 (checked by sumsRepresentable)
+              }
+            }
+          row.update(offset + i, v)
       }
   }
 
@@ -193,6 +271,7 @@ object AggPushdown {
     val needCount = specs.collect { case CountColSpec(f) => f }.distinct
     val needMinMax = (specs.collect { case MinSpec(f) => f } ++
       specs.collect { case MaxSpec(f) => f }).distinct
+    val needSum = specs.collect { case SumSpec(f) => f }.distinct
     // prefetch with the bounded parallel pool (same pattern as inferSchema),
     // then accumulate in path order for deterministic group ordering. A
     // manifest-carried file-stats footer (ManifestStats) substitutes for
@@ -200,18 +279,25 @@ object AggPushdown {
     // when its counts are un-clamped (numValues == numRows): the synthetic
     // page clamps to Int range, and a clamped nullCount would make
     // COUNT(col) wrong, so oversized files fall back to their real footer.
+    // With SUM specs, a synthetic entry must additionally carry sums on
+    // every non-all-null leaf (older manifest snapshots don't) — otherwise
+    // the real footer answers for that file instead of failing the whole
+    // pushdown.
     val listed = StrawIO.listFilesMetaWithStats(path)
     val metas = listed.map(_._1)
     val footers = StrawIO.mapParallel(listed) {
       case (_, Some(synth))
-        if synth.columns.isEmpty ||
-          synth.columns(0).pages(0).numValues.toLong == synth.numRows => synth
+        if (synth.columns.isEmpty ||
+          synth.columns(0).pages(0).numValues.toLong == synth.numRows) &&
+          (needSum.isEmpty || synth.columns.forall(c =>
+            c.pages(0).hasSum || c.pages(0).nullCount == c.pages(0).numValues)) => synth
       case (m, _) => FooterCache.get(m.path, m.mtime, m.len)
     }
     grp match {
       case None =>
-        val acc = new Acc(schema, needCount, needMinMax)
+        val acc = new Acc(schema, needCount, needMinMax, needSum)
         for (footer <- footers) if (!acc.add(footer)) return None
+        if (!acc.sumsRepresentable(specs)) return None
         val row = new GenericInternalRow(specs.length)
         acc.fill(row, 0, specs)
         Some(Seq(row))
@@ -237,11 +323,13 @@ object AggPushdown {
               val parsed =
                 try StrawKeyedPartition.parse(v, dt)
                 catch { case _: Exception => return None }
-              val acc = groups.getOrElseUpdate(parsed, new Acc(schema, needCount, needMinMax))
+              val acc = groups.getOrElseUpdate(parsed,
+                new Acc(schema, needCount, needMinMax, needSum))
               if (!acc.add(footer)) return None
             case _ => return None // a file outside the layout: groups unknowable
           }
         }
+        if (!groups.values.forall(_.sumsRepresentable(specs))) return None
         Some(groups.toSeq.map { case (parsed, acc) =>
           val row = new GenericInternalRow(1 + specs.length)
           row.update(0, parsed)

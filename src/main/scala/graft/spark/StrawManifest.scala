@@ -373,20 +373,30 @@ object StrawManifest {
   * duplicating its kind-aware comparison logic. */
 object ManifestStats {
 
-  /** Layout (LE, via ByteBuf): version u8 | numRows i64 | per leaf
-    * (schema DFS order): kind u8 | nullCount i64 | if kind != None:
-    * min, max i64 | if kind == Decimal128: min2, max2 i64. */
+  /** Layout (LE, via ByteBuf), version 2: version u8 | numRows i64 | per
+    * leaf (schema DFS order): flags u8 (low 6 bits = stats kind, 0x40 =
+    * has i128 sum) | nullCount i64 | if kind != None: min, max i64 | if
+    * kind == Decimal128: min2, max2 i64 | if has sum: sumHi, sumLo i64.
+    * Version-1 blobs (pre-sum) still decode. */
   def encode(footer: StrawFooter): Array[Byte] = {
     val out = new graft.format.ByteBuf(256)
-    out.putByte(1)
+    out.putByte(2)
     out.putLong(footer.numRows)
     footer.columns.foreach { col =>
       var kind = StrawFormat.StatsNone
       var mn = 0L; var mx = 0L; var mn2 = 0L; var mx2 = 0L
       var nulls = 0L
       var mixed = false
+      // file-level sum exists iff EVERY page carries one (the writer emits
+      // sums uniformly per leaf, so a mixed leaf means generations differ)
+      var hasSum = col.pages.nonEmpty
+      var sHi = 0L; var sLo = 0L
       col.pages.foreach { p =>
         nulls += p.nullCount
+        if (p.hasSum) {
+          val s = StrawFormat.add128(sHi, sLo, p.sumHi, p.sumLo)
+          sHi = s._1; sLo = s._2
+        } else hasSum = false
         if (p.statsKind != StrawFormat.StatsNone && !mixed) {
           if (kind == StrawFormat.StatsNone) {
             kind = p.statsKind; mn = p.min; mx = p.max; mn2 = p.min2; mx2 = p.max2
@@ -399,10 +409,11 @@ object ManifestStats {
           }
         }
       }
-      out.putByte(kind)
+      out.putByte(kind | (if (hasSum) 0x40 else 0))
       out.putLong(nulls)
       if (kind != StrawFormat.StatsNone) { out.putLong(mn); out.putLong(mx) }
       if (kind == StrawFormat.StatsDecimal128) { out.putLong(mn2); out.putLong(mx2) }
+      if (hasSum) { out.putLong(sHi); out.putLong(sLo) }
     }
     java.util.Arrays.copyOf(out.buf, out.len)
   }
@@ -423,25 +434,29 @@ object ManifestStats {
   def decode(schema: StructType, bytes: Array[Byte]): StrawFooter = {
     val in = graft.format.ByteIO.reader(bytes)
     val version = in.get() & 0xff
-    require(version == 1, s"unknown manifest stats version $version")
+    require(version == 1 || version == 2, s"unknown manifest stats version $version")
     val numRows = in.getLong()
     val rowsInt = math.min(numRows, Int.MaxValue.toLong).toInt
     val leafCount = LeafLayout.starts(schema).last
     val cols = new Array[ColumnMeta](leafCount)
     var i = 0
     while (i < leafCount) {
-      val kind = in.get() & 0xff
+      val flags = in.get() & 0xff
+      val hasSum = version >= 2 && (flags & 0x40) != 0
+      val kind = flags & 0x3f
       require(kind <= StrawFormat.StatsDecimal128, s"bad stats kind $kind")
       val nulls = in.getLong()
       val (mn, mx) =
         if (kind != StrawFormat.StatsNone) (in.getLong(), in.getLong()) else (0L, 0L)
       val (mn2, mx2) =
         if (kind == StrawFormat.StatsDecimal128) (in.getLong(), in.getLong()) else (0L, 0L)
+      val (sHi, sLo) = if (hasSum) (in.getLong(), in.getLong()) else (0L, 0L)
       val nullsInt =
         if (nulls >= numRows) rowsInt
         else math.min(nulls, (rowsInt - 1).toLong).toInt
       cols(i) = ColumnMeta(0L,
-        Array(PageMeta(rowsInt, 0L, nullsInt, kind, mn, mx, mn2, mx2)))
+        Array(PageMeta(rowsInt, 0L, nullsInt, kind, mn, mx, mn2, mx2, null,
+          hasSum, sHi, sLo)))
       i += 1
     }
     StrawFooter(schema, numRows, cols)

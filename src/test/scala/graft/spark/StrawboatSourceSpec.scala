@@ -291,8 +291,9 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // later pages are skipped, while a full scan must fail
     corruptAllPagesExceptFirst(out)
     assert(topk(spark.read.format("strawboat").load(out)) == expect) // pruned => no IO on corrupt pages
-    intercept[Exception] { // a full decode (count/min/max are footer-only) hits them
-      spark.read.format("strawboat").load(out).agg(sum(col("v"))).collect()
+    intercept[Exception] { // a full decode hits them (sum over an EXPRESSION
+      // cannot push — plain count/min/max/sum are all footer-only now)
+      spark.read.format("strawboat").load(out).agg(sum(col("v") + 1)).collect()
     }
   }
 
@@ -719,6 +720,64 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(qf.collect()(0).getDouble(0) == 11.0)
     val qs = back.agg(min(col("l_returnflag")))
     assert(!qs.queryExecution.executedPlan.toString.contains("footer-only"))
+  }
+
+  test("SUM answered from footers (exact i128 page sums)") {
+    val ss = spark
+    import ss.implicits._
+    val out = s"$dir/sumpush"
+    val src = (0 until 7000).map { i =>
+      (i.toLong, i - 3500, if (i % 5 == 0) null else java.lang.Long.valueOf(i.toLong * 7),
+        BigDecimal(i).*(BigDecimal("0.01")))
+    }.toDF("id", "neg", "sparse", "dec")
+      .select(col("id"), col("neg"), col("sparse"),
+        col("dec").cast("decimal(12,2)").as("dec"))
+    src.repartition(3).write.format("strawboat").mode("overwrite")
+      .option("maxPageSize", "500").save(out)
+    val back = spark.read.format("strawboat").load(out)
+    val q = back.agg(sum(col("id")).as("s1"), sum(col("neg")).as("s2"),
+      sum(col("sparse")).as("s3"), sum(col("dec")).as("s4"),
+      count(lit(1)).as("c"))
+    assert(q.queryExecution.executedPlan.toString.contains("footer-only aggregate"),
+      q.queryExecution.executedPlan.toString.take(400))
+    val r = q.collect()(0)
+    val e = src.agg(sum(col("id")), sum(col("neg")), sum(col("sparse")),
+      sum(col("dec")), count(lit(1))).collect()(0)
+    assert(r.toSeq == e.toSeq, s"${r.toSeq} vs ${e.toSeq}")
+    // SUM over an all-null column is NULL, not 0
+    val nulls = s"$dir/sumnull"
+    Seq[Option[Long]](None, None, None).toDF("v")
+      .write.format("strawboat").mode("overwrite").save(nulls)
+    val qn = spark.read.format("strawboat").load(nulls).agg(sum(col("v")))
+    assert(qn.queryExecution.executedPlan.toString.contains("footer-only aggregate"))
+    assert(qn.collect()(0).isNullAt(0))
+    // float/double sums are order-dependent: never pushed, still correct
+    val qd = spark.read.format("strawboat").load(
+      { val p = s"$dir/sumdouble"
+        src.select(col("id").cast("double").as("d"))
+          .write.format("strawboat").mode("overwrite").save(p); p })
+      .agg(sum(col("d")))
+    assert(!qd.queryExecution.executedPlan.toString.contains("footer-only"))
+    assert(math.abs(qd.collect()(0).getDouble(0) - (0 until 7000).map(_.toDouble).sum) < 1e-6)
+  }
+
+  test("SUM pushdown declines on 64-bit overflow (normal scan answers)") {
+    val ss = spark
+    import ss.implicits._
+    val out = s"$dir/sumovf"
+    // two near-max longs: the exact i128 sum exceeds i64, Spark's own
+    // non-ansi sum wraps — pushdown must bail and let the scan do it
+    Seq(Long.MaxValue - 1, Long.MaxValue - 2).toDF("v")
+      .coalesce(1).write.format("strawboat").mode("overwrite").save(out)
+    val q = spark.read.format("strawboat").load(out).agg(sum(col("v")))
+    assert(!q.queryExecution.executedPlan.toString.contains("footer-only"),
+      "overflowing sum must not push")
+    // under ANSI (the default) Spark's own sum THROWS on overflow — the
+    // declined pushdown must surface the same behavior, not a wrapped value
+    intercept[Exception] { q.collect() }
+    intercept[Exception] {
+      Seq(Long.MaxValue - 1, Long.MaxValue - 2).toDF("v").agg(sum(col("v"))).collect()
+    }
   }
 
   test("GROUP BY the partition column answered from footers only") {
