@@ -73,6 +73,12 @@ object StrawFormat {
     (aHi + bHi + carry, lo)
   }
 
+  /** Signed i128 (hi, lo) → BigInteger (hi signed, lo unsigned plane). */
+  def i128ToBigInteger(hi: Long, lo: Long): java.math.BigInteger =
+    java.math.BigInteger.valueOf(hi).shiftLeft(64)
+      .add(java.math.BigInteger.valueOf(lo)
+        .and(java.math.BigInteger.ONE.shiftLeft(64).subtract(java.math.BigInteger.ONE)))
+
   /** Order-preserving long for doubles/floats (zone maps). -0.0 normalizes
     * to +0.0 so SQL equality semantics survive the encoding. */
   def sortableDouble(d: Double): Long = {
@@ -385,10 +391,10 @@ final class LongColumnWriter(
       if (s > max) max = s
     }
     if (sumEnabled) {
-      val lo = sumLo + v
-      val carry = ((sumLo & v) | ((sumLo | v) & ~lo)) >>> 63
-      sumHi += (v >> 63) + carry
-      sumLo = lo
+      // canonical i128 add (Tuple2[Long, Long] is scalar-replaced by the JIT)
+      val s = StrawFormat.add128(sumHi, sumLo, v >> 63, v)
+      sumHi = s._1
+      sumLo = s._2
     }
     validity.append(true)
   }
@@ -668,25 +674,28 @@ object ColumnWriter {
   import StrawFormat._
   /** `path` is the column's dotted leaf path (array elements as `element`,
     * map sides as `key`/`value`, matching [[LeafLayout.leafNames]]) — it
-    * selects which leaves build page bloom filters
-    * (`opts.bloomColumns`). */
-  def apply(dt: DataType, opts: WriteOptions, path: String = ""): ColumnWriter = {
+    * selects which leaves build page bloom filters (`opts.bloomColumns`).
+    * `topLevel` marks the schema's own fields: only their leaves carry
+    * page sums (SUM pushdown only targets flat top-level columns — nested
+    * leaves would pay the footer bytes with no reader). */
+  def apply(dt: DataType, opts: WriteOptions, path: String = "",
+      topLevel: Boolean = true): ColumnWriter = {
     def bloom = opts.bloomColumns.contains(path)
     dt match {
       case BooleanType =>
         new LongColumnWriter(opts, 1, (g, i) => if (g.getBoolean(i)) 1L else 0L, StatsSigned,
           bloomEnabled = bloom)
       case ByteType => new LongColumnWriter(opts, 1, (g, i) => g.getByte(i).toLong, StatsSigned,
-        bloomEnabled = bloom, sumEnabled = true)
+        bloomEnabled = bloom, sumEnabled = topLevel)
       case ShortType => new LongColumnWriter(opts, 2, (g, i) => g.getShort(i).toLong, StatsSigned,
-        bloomEnabled = bloom, sumEnabled = true)
+        bloomEnabled = bloom, sumEnabled = topLevel)
       case IntegerType | DateType =>
         // SUM over dates is not SQL; don't spend the footer bytes there
         new LongColumnWriter(opts, 4, (g, i) => g.getInt(i).toLong, StatsSigned,
-          bloomEnabled = bloom, sumEnabled = dt == IntegerType)
+          bloomEnabled = bloom, sumEnabled = topLevel && dt == IntegerType)
       case LongType | TimestampType | TimestampNTZType =>
         new LongColumnWriter(opts, 8, (g, i) => g.getLong(i), StatsSigned,
-          bloomEnabled = bloom, sumEnabled = dt == LongType)
+          bloomEnabled = bloom, sumEnabled = topLevel && dt == LongType)
       case FloatType =>
         new LongColumnWriter(opts, 4,
           (g, i) => java.lang.Float.floatToIntBits(g.getFloat(i)).toLong & 0xffffffffL,
@@ -702,22 +711,23 @@ object ColumnWriter {
       case d: DecimalType if d.precision <= 18 =>
         new LongColumnWriter(opts, 8,
           (g, i) => g.getDecimal(i, d.precision, d.scale).toUnscaledLong, StatsSigned,
-          bloomEnabled = bloom, sumEnabled = true)
+          bloomEnabled = bloom, sumEnabled = topLevel)
       case d: DecimalType if d.precision <= 38 =>
         new Decimal128ColumnWriter(opts, d.precision, d.scale)
       case StringType => new BinaryColumnWriter(opts, isString = true, bloomEnabled = bloom)
       case BinaryType => new BinaryColumnWriter(opts, isString = false, bloomEnabled = bloom)
       case ArrayType(et, containsNull) =>
-        new ArrayColumnWriter(opts, apply(et, opts, s"$path.element"), containsNull)
+        new ArrayColumnWriter(opts, apply(et, opts, s"$path.element", topLevel = false),
+          containsNull)
       case MapType(kt, vt, vcn) =>
-        new MapColumnWriter(opts, apply(kt, opts, s"$path.key"),
-          apply(vt, opts, s"$path.value"), vcn)
+        new MapColumnWriter(opts, apply(kt, opts, s"$path.key", topLevel = false),
+          apply(vt, opts, s"$path.value", topLevel = false), vcn)
       case StructType(fields) =>
         // a field-less struct has no leaf to carry its validity in the
         // per-leaf layout (and Spark SQL cannot construct one anyway)
         require(fields.nonEmpty, "strawboat: empty struct type unsupported")
         new StructColumnWriter(opts,
-          fields.map(f => apply(f.dataType, opts, s"$path.${f.name}")))
+          fields.map(f => apply(f.dataType, opts, s"$path.${f.name}", topLevel = false)))
       case NullType => new NullColumnWriter(opts)
       case other =>
         throw new UnsupportedOperationException(

@@ -135,10 +135,8 @@ object AggPushdown {
     case d: DecimalType if d.precision <= 18 =>
       Decimal.createUnsafe(enc._1, d.precision, d.scale)
     case d: DecimalType => // exact i128 planes (hi, lo)
-      val big = java.math.BigInteger.valueOf(enc._1).shiftLeft(64)
-        .add(java.math.BigInteger.valueOf(enc._2)
-          .and(java.math.BigInteger.ONE.shiftLeft(64).subtract(java.math.BigInteger.ONE)))
-      Decimal(new java.math.BigDecimal(big, d.scale), d.precision, d.scale)
+      Decimal(new java.math.BigDecimal(
+        StrawFormat.i128ToBigInteger(enc._1, enc._2), d.scale), d.precision, d.scale)
     case other => throw new IllegalStateException(s"agg pushdown: $other")
   }
 
@@ -232,9 +230,7 @@ object AggPushdown {
     }
 
     private def toBigInteger(hi: Long, lo: Long): java.math.BigInteger =
-      java.math.BigInteger.valueOf(hi).shiftLeft(64)
-        .add(java.math.BigInteger.valueOf(lo)
-          .and(java.math.BigInteger.ONE.shiftLeft(64).subtract(java.math.BigInteger.ONE)))
+      StrawFormat.i128ToBigInteger(hi, lo)
 
     /** Aggregate values (spec order) written into `row` from `offset`. */
     def fill(row: GenericInternalRow, offset: Int, specs: Seq[Spec]): Unit =
@@ -280,17 +276,25 @@ object AggPushdown {
     // page clamps to Int range, and a clamped nullCount would make
     // COUNT(col) wrong, so oversized files fall back to their real footer.
     // With SUM specs, a synthetic entry must additionally carry sums on
-    // every non-all-null leaf (older manifest snapshots don't) — otherwise
-    // the real footer answers for that file instead of failing the whole
-    // pushdown.
+    // the SUMMED fields' leaves (older manifest snapshots don't; other
+    // columns — dates, strings, floats — never have them and must not
+    // block the manifest path) — otherwise the real footer answers for
+    // that file instead of failing the whole pushdown.
+    def synthCoversSum(synth: graft.format.StrawFooter): Boolean =
+      needSum.forall { f =>
+        val ci = synth.schema.fields.indexWhere(_.name == schema.fields(f).name)
+        ci < 0 || { // absent column: all null, no sum needed
+          val p = synth.topLeaf(ci).pages(0)
+          p.hasSum || p.nullCount == p.numValues
+        }
+      }
     val listed = StrawIO.listFilesMetaWithStats(path)
     val metas = listed.map(_._1)
     val footers = StrawIO.mapParallel(listed) {
       case (_, Some(synth))
         if (synth.columns.isEmpty ||
           synth.columns(0).pages(0).numValues.toLong == synth.numRows) &&
-          (needSum.isEmpty || synth.columns.forall(c =>
-            c.pages(0).hasSum || c.pages(0).nullCount == c.pages(0).numValues)) => synth
+          (needSum.isEmpty || synthCoversSum(synth)) => synth
       case (m, _) => FooterCache.get(m.path, m.mtime, m.len)
     }
     grp match {

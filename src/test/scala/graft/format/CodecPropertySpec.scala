@@ -96,4 +96,33 @@ class CodecPropertySpec extends AnyFunSuite {
       assert(norm == vals.map(_.map(_.toList)))
     }
   }
+
+  test("i128 sum arithmetic matches BigInteger (property)") {
+    val genLong = Gen.oneOf(
+      Gen.chooseNum(Long.MinValue, Long.MaxValue),
+      Gen.oneOf(0L, 1L, -1L, Long.MinValue, Long.MaxValue))
+    check(Prop.forAllNoShrink(Gen.listOf(genLong)) { vs =>
+      // accumulate exactly as LongColumnWriter does: i128 += sign-extended v
+      var hi = 0L
+      var lo = 0L
+      vs.foreach { v =>
+        val s = StrawFormat.add128(hi, lo, v >> 63, v)
+        hi = s._1; lo = s._2
+      }
+      val expect = vs.foldLeft(java.math.BigInteger.ZERO)(
+        (a, v) => a.add(java.math.BigInteger.valueOf(v)))
+      // i128 wraps only beyond 2^127 — unreachable from summing i64s in
+      // these list sizes, so the reconstruction must be EXACT
+      StrawFormat.i128ToBigInteger(hi, lo) == expect
+    })
+    // pairwise plane addition agrees with BigInteger too
+    check(Prop.forAllNoShrink(genLong, genLong, genLong, genLong) { (aHi, aLo, bHi, bLo) =>
+      val (h, l) = StrawFormat.add128(aHi, aLo, bHi, bLo)
+      val mod = java.math.BigInteger.ONE.shiftLeft(128)
+      val ea = StrawFormat.i128ToBigInteger(aHi, aLo)
+      val eb = StrawFormat.i128ToBigInteger(bHi, bLo)
+      val sum = ea.add(eb).mod(mod) // wrap to the i128 ring
+      StrawFormat.i128ToBigInteger(h, l).mod(mod) == sum
+    })
+  }
 }

@@ -139,10 +139,14 @@ class ManifestStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(StrawManifest.readEntries(out).isDefined) // warm manifest cache
     FooterCache.clear()
     val loads0 = FooterCache.loads.get()
+    // SUM included: the `name` column (string, no sums) must not block the
+    // manifest path — only the SUMMED field's leaf needs one
     val row = spark.read.format("strawboat").load(out)
-      .agg(count(lit(1)).as("cnt"), min(col("id")).as("mn"), max(col("id")).as("mx"))
+      .agg(count(lit(1)).as("cnt"), min(col("id")).as("mn"), max(col("id")).as("mx"),
+        sum(col("id")).as("s"))
       .collect()(0)
     assert(row.getLong(0) == 40000L && row.getLong(1) == 0L && row.getLong(2) == 39999L)
+    assert(row.getLong(3) == (0L until 40000L).sum)
     val loads = FooterCache.loads.get() - loads0
     assert(loads == 0, s"metadata-only aggregate read $loads footers")
   }

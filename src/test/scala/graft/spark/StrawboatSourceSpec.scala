@@ -734,6 +734,11 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         col("dec").cast("decimal(12,2)").as("dec"))
     src.repartition(3).write.format("strawboat").mode("overwrite")
       .option("maxPageSize", "500").save(out)
+    // force the REAL multi-page footer path: every save also writes a
+    // manifest whose one-page synthetic stats would otherwise answer and
+    // shadow the per-page sum accumulation under test
+    StrawManifest.invalidate(out)
+    StrawManifest.clearCache()
     val back = spark.read.format("strawboat").load(out)
     val q = back.agg(sum(col("id")).as("s1"), sum(col("neg")).as("s2"),
       sum(col("sparse")).as("s3"), sum(col("dec")).as("s4"),
