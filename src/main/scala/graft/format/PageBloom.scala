@@ -37,6 +37,11 @@ object PageBloom {
     * rather than growing — footers stay bounded in the [[graft.spark
     * .FooterCache]]. */
   val MaxBytes: Int = 128 << 10
+
+  /** Largest byte image [[build]] can emit: the 5-byte header (k + word
+    * count) plus at most [[MaxBytes]] of filter words — the footer parser's
+    * corruption bound. */
+  val MaxEncodedBytes: Int = MaxBytes + 5
   private val MinBits = 64
 
   def hashBytes(b: Array[Byte], off: Int, len: Int): Long =

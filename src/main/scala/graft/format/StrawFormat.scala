@@ -241,7 +241,7 @@ object MetaIO {
           if (!hasBloom) null
           else {
             val bl = in.getInt()
-            require(bl >= 0 && bl <= PageBloom.MaxBytes + 8,
+            require(bl >= 0 && bl <= PageBloom.MaxEncodedBytes,
               s"strawboat: corrupt page bloom length $bl")
             val arr = new Array[Byte](bl)
             in.get(arr)
@@ -746,15 +746,24 @@ final class StrawFileWriter(schema: StructType, opts: WriteOptions) {
     // build no filter while the user believes point lookups are covered
     if (opts.bloomColumns.nonEmpty) {
       val paths = LeafLayout.leafPaths(schema)
-      val types = paths.zip(LeafLayout.leaves(schema).map(_._2)).toMap
+      val infos = paths.zip(LeafLayout.leaves(schema)).toMap
       opts.bloomColumns.foreach { c =>
-        val dt = types.get(c)
-        require(dt.isDefined,
+        val info = infos.get(c)
+        require(info.isDefined,
           s"strawboat: bloomColumns entry '$c' names no leaf of the schema " +
             s"(leaves: ${paths.mkString(", ")})")
-        require(PageBloom.capable(dt.get),
-          s"strawboat: bloomColumns entry '$c' has type ${dt.get} — no bloom " +
+        val (levels, dt) = info.get
+        require(PageBloom.capable(dt),
+          s"strawboat: bloomColumns entry '$c' has type $dt — no bloom " +
             "support (string/binary/integer-family/float/decimal<=18 only)")
+        // only row-aligned leaves (struct ancestry all the way down) are
+        // probe-able: ZoneMapFilter never resolves a path crossing an
+        // array/map level, so a bloom there would be written into every
+        // footer yet never consulted — silent bloat, not acceleration
+        require(!levels.contains(LeafLayout.LevelRep),
+          s"strawboat: bloomColumns entry '$c' crosses an array/map level — " +
+            "repeated leaves are not row-aligned and can never be probed by " +
+            "equality pushdown")
       }
     }
   }

@@ -42,7 +42,10 @@ import graft.format.WriteOptions
   * disk, which MANIFEST readers never see (the manifest still names exactly
   * one generation) but a directory-walking reader (no/corrupt manifest) or
   * a later commit's walk-based refresh would — rerun `compact` or delete
-  * the duplicates to recover. A FAILED manifest swap (IO error) degrades
+  * the duplicates to recover. An ordinary IO FAILURE during the rename
+  * fan-out (step 2) self-cleans: outputs already made visible are deleted
+  * before rethrowing (the inputs are still intact), so only a true crash
+  * leaves both generations. A FAILED manifest swap (IO error) degrades
   * the same way without a crash: the manifest is deleted, walkers see both
   * generations until the vacuum finishes — surfaced as
   * `manifestSwapped = false` in the result so callers can alert/retry.
@@ -171,10 +174,17 @@ object StrawCompaction {
           // routine maintenance would silently strip the point-lookup
           // acceleration the table was written with
           val leafPaths = graft.format.LeafLayout.leafPaths(schema)
+          // drop any bloom on a repeated (array/map) leaf: the writer now
+          // rejects such paths (they are not row-aligned, so equality
+          // pushdown can never probe them), but files written before that
+          // check may still carry one — stripping it loses nothing
+          val rowAligned = graft.format.LeafLayout.leaves(schema)
+            .map(!_._1.contains(graft.format.LeafLayout.LevelRep))
           val bloomLeaves = bin.files.flatMap { fm =>
             val foot = FooterCache.get(fm.path, fm.mtime, fm.len)
             foot.columns.indices.collect {
-              case li if foot.columns(li).pages.exists(_.bloom != null) =>
+              case li if rowAligned(li) &&
+                  foot.columns(li).pages.exists(_.bloom != null) =>
                 leafPaths(li)
             }
           }.toSet
@@ -234,17 +244,37 @@ object StrawCompaction {
     // local/HDFS, and a reader must never list the file with a wrong one)
     val f = StrawIO.fs(dir)
     val suffix = StrawCommitProtocol.stageSuffix(jobId)
-    val fresh = staged.flatMap { case (bin, names) =>
-      StrawIO.mapParallel(names) { s =>
-        val sp = new Path(s)
-        val dst = new Path(sp.getParent, sp.getName.stripSuffix(suffix))
-        val len = f.getFileStatus(sp).getLen
-        f.setTimes(sp, bin.maxMtime, -1)
-        if (!f.rename(sp, dst))
-          throw new java.io.IOException(s"strawboat: compaction rename $sp -> $dst failed")
-        StrawIO.FileMeta(f.makeQualified(dst).toString, bin.maxMtime, len)
+    // track successful renames so an ordinary IO failure mid-fan-out can
+    // roll the visible outputs back (inputs are untouched until the vacuum,
+    // so deleting them loses nothing) — without this, a failed rename left
+    // both generations on disk for a later walk-based manifest refresh to
+    // bake in as duplicate rows. A hard crash still leaves debris (the
+    // documented no-transaction-log window); this closes the non-crash path.
+    val visible = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
+    val fresh =
+      try {
+        staged.flatMap { case (bin, names) =>
+          StrawIO.mapParallel(names) { s =>
+            val sp = new Path(s)
+            val dst = new Path(sp.getParent, sp.getName.stripSuffix(suffix))
+            val len = f.getFileStatus(sp).getLen
+            f.setTimes(sp, bin.maxMtime, -1)
+            if (!f.rename(sp, dst))
+              throw new java.io.IOException(s"strawboat: compaction rename $sp -> $dst failed")
+            visible.add(dst)
+            StrawIO.FileMeta(f.makeQualified(dst).toString, bin.maxMtime, len)
+          }
+        }.toSeq
+      } catch {
+        case e: Throwable =>
+          visible.forEach { p =>
+            try f.delete(p, false)
+            catch { case scala.util.control.NonFatal(s) => e.addSuppressed(s) }
+          }
+          try StrawCommitProtocol.sweepStaged(dir, jobId)
+          catch { case scala.util.control.NonFatal(s) => e.addSuppressed(s) }
+          throw e
       }
-    }.toSeq
 
     // atomic generation switch for manifest readers, THEN vacuum the inputs
     // (prompt vacuum is the recovery path even when the swap failed: once

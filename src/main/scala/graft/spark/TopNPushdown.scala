@@ -183,6 +183,17 @@ object RowFilterEval {
       }
     f match {
       case EqualTo(a, v) => cmp(a, v)(_ == 0)
+      // null-safe equality is total (never UNKNOWN): a null row matches a
+      // null literal, fails a non-null one
+      case EqualNullSafe(a, v) =>
+        if (v == null)
+          idxOf(a).map(i => row => java.lang.Boolean.valueOf(row.isNullAt(i)))
+        else
+          literal(schema, a, v).map { case (idx, dt, lit) =>
+            row =>
+              java.lang.Boolean.valueOf(!row.isNullAt(idx) &&
+                TopNPushdown.compareValues(dt, row.get(idx, dt), lit) == 0)
+          }
       case GreaterThan(a, v) => cmp(a, v)(_ > 0)
       case GreaterThanOrEqual(a, v) => cmp(a, v)(_ >= 0)
       case LessThan(a, v) => cmp(a, v)(_ < 0)

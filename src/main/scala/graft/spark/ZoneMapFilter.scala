@@ -119,6 +119,10 @@ object ZoneMapFilter {
   /** Can this filter contribute to page skipping? */
   def supported(schema: StructType, f: Filter): Boolean = f match {
     case EqualTo(a, v) => encodable(schema, a, v)
+    // `a <=> v` prunes exactly like `a = v` for a non-null literal (a null
+    // row never satisfies either) and like IS NULL for a null one
+    case EqualNullSafe(a, v) =>
+      if (v == null) leafOf(schema, a).isDefined else encodable(schema, a, v)
     case GreaterThan(a, v) => encodable(schema, a, v)
     case GreaterThanOrEqual(a, v) => encodable(schema, a, v)
     case LessThan(a, v) => encodable(schema, a, v)
@@ -225,6 +229,9 @@ object ZoneMapFilter {
       // field positions can differ per file)
       case _ if !mayMatch(sch, footer, p, f) => 0.0
       case EqualTo(a, _) => withNull(a, eqFrac(a))
+      case EqualNullSafe(a, v) =>
+        if (v == null) filterFraction(schema, footer, p, IsNull(a))
+        else filterFraction(schema, footer, p, EqualTo(a, v))
       case In(a, vs) => withNull(a, math.min(1.0, eqFrac(a) * vs.length))
       case GreaterThan(a, v) => withNull(a, 1.0 - interp(a, v).getOrElse(0.5))
       case GreaterThanOrEqual(a, v) => withNull(a, 1.0 - interp(a, v).getOrElse(0.5))
@@ -325,6 +332,9 @@ object ZoneMapFilter {
           leafOf(schema, a).forall { case (li, dt) =>
             bloomKeeps(dt, v, footer.columns(li).pages(p))
           }
+      case EqualNullSafe(a, v) =>
+        if (v == null) mayMatch(schema, footer, p, IsNull(a))
+        else mayMatch(schema, footer, p, EqualTo(a, v))
       case GreaterThan(a, v) =>
         // prefix / double-approx stats blur strict bounds: treat > as >=
         // there (conservative — multiple values share an encoded stat)

@@ -107,6 +107,9 @@ class ExactFilterEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("dec range", _.filter(col("dec") > new java.math.BigDecimal("-5000.00") &&
         col("dec") <= new java.math.BigDecimal("5000.00"))),
       ("IN list", _.filter(col("l").isin(0L, 1L, -1L, Long.MinValue))),
+      ("l <=> -1 (null-safe eq)", _.filter(col("l") <=> -1L)),
+      ("d <=> 0.0 (null-safe ±0)", _.filter(col("d") <=> 0.0)),
+      ("s <=> null (null-safe null)", _.filter(col("s") <=> lit(null))),
       ("conjunction", _.filter(col("l") > -50 && col("d") < 50.0 && col("s").isNotNull)),
       ("disjunction", _.filter(col("l") > 90 || col("d") < -90.0)),
       ("negation", _.filter(!(col("s") === "a"))),

@@ -86,6 +86,17 @@ class PageBloomSpec extends AnyFunSuite with BeforeAndAfterAll {
         .save(s"$dir/badtype")
     }
     assert(e2.getMessage.contains("wide") || e2.getCause.getMessage.contains("wide"))
+    // a path crossing an array level names a real leaf but is not
+    // row-aligned: ZoneMapFilter can never probe it, so the writer must
+    // reject rather than emit dead footer bytes
+    val arr = df.select(col("id"), array(col("key")).as("tags"))
+    val e3 = intercept[Exception] {
+      arr.write.format("strawboat").mode("overwrite")
+        .option("bloomColumns", "tags.element")
+        .save(s"$dir/badrep")
+    }
+    val msg3 = e3.getMessage + Option(e3.getCause).map(_.getMessage).getOrElse("")
+    assert(msg3.contains("array/map"), s"unexpected: $msg3")
   }
 
   test("build returns null on an empty page") {
@@ -177,6 +188,23 @@ class PageBloomSpec extends AnyFunSuite with BeforeAndAfterAll {
     val keepMiss = ZoneMapFilter.keptPages(footer,
       Array(EqualTo("url", "https://cdn.example.com/obj/not-a-digest")))
     assert((0 until 8).count(keepMiss) <= 1)
+  }
+
+  test("EqualNullSafe probes prune through the bloom like EqualTo") {
+    val (_, footer) = urlTable
+    import org.apache.spark.sql.sources.{EqualNullSafe, IsNull}
+    val present = s"https://cdn.example.com/obj/${digest(4321L)}"
+    val keepHit = ZoneMapFilter.keptPages(footer, Array(EqualNullSafe("url", present)))
+    assert(keepHit(4), "the containing page must be kept")
+    assert((0 until 8).count(keepHit) <= 2)
+    val keepMiss = ZoneMapFilter.keptPages(footer,
+      Array(EqualNullSafe("url", "https://cdn.example.com/obj/not-a-digest")))
+    assert((0 until 8).count(keepMiss) <= 1)
+    // null literal reduces to IS NULL: the url column has no nulls, so
+    // every page is provably unsatisfiable
+    val keepNull = ZoneMapFilter.keptPages(footer, Array(EqualNullSafe("url", null)))
+    assert((0 until 8).forall(p => !keepNull(p)), "<=> null must prune null-free pages")
+    assert(ZoneMapFilter.keptPages(footer, Array(IsNull("url")))(0) == keepNull(0))
   }
 
   test("In() probes prune through the bloom per value") {
