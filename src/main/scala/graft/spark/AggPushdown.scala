@@ -263,7 +263,7 @@ object AggPushdown {
     * stats existed, legacy lossy wide-decimal files) or, for the grouped
     * form, any file is not hive-partitioned on the grouping column. */
   def compute(path: String, schema: StructType, grp: Option[Int],
-      specs: Seq[Spec]): Option[Seq[InternalRow]] = {
+      specs: Seq[Spec], asOf: Option[Long] = None): Option[Seq[InternalRow]] = {
     val needCount = specs.collect { case CountColSpec(f) => f }.distinct
     val needMinMax = (specs.collect { case MinSpec(f) => f } ++
       specs.collect { case MaxSpec(f) => f }).distinct
@@ -288,7 +288,7 @@ object AggPushdown {
           p.hasSum || p.nullCount == p.numValues
         }
       }
-    val listed = StrawIO.listFilesMetaWithStats(path)
+    val listed = StrawIO.listFilesMetaWithStats(path, asOf)
     val metas = listed.map(_._1)
     val footers = StrawIO.mapParallel(listed) {
       case (_, Some(synth))

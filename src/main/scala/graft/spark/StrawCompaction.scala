@@ -24,9 +24,9 @@ import graft.format.WriteOptions
   *     commit time: compaction moves bytes, not data — a file-stream reader
   *     whose high-water mark already passed the inputs must not see the
   *     rewrite as fresh rows);
-  *  3. swap the committed-files manifest in one atomic write: (old set −
-  *     inputs) + outputs — manifest readers observe the old or the new
-  *     generation, never both;
+  *  3. commit the generation switch to the [[StrawLog]] transaction log in
+  *     ONE atomic version file (adds = outputs, removes = inputs) — log
+  *     readers observe the old or the new generation, never both;
   *  4. delete the inputs (vacuum).
   *
   * Files at or above `smallFileBytes` (default: the target itself) are left
@@ -36,21 +36,18 @@ import graft.format.WriteOptions
   * directories compact independently, preserving the layout and its
   * pruning.
   *
-  * Crash/concurrency contract (same class of windows as
-  * [[StrawCommitProtocol]], closed only by a true transaction log — out of
-  * scope): a crash between steps 2 and 4 can leave both generations on
-  * disk, which MANIFEST readers never see (the manifest still names exactly
-  * one generation) but a directory-walking reader (no/corrupt manifest) or
-  * a later commit's walk-based refresh would — rerun `compact` or delete
-  * the duplicates to recover. An ordinary IO FAILURE during the rename
-  * fan-out (step 2) self-cleans: outputs already made visible are deleted
-  * before rethrowing (the inputs are still intact), so only a true crash
-  * leaves both generations. A FAILED manifest swap (IO error) degrades
-  * the same way without a crash: the manifest is deleted, walkers see both
-  * generations until the vacuum finishes — surfaced as
-  * `manifestSwapped = false` in the result so callers can alert/retry.
-  * Readers that captured the pre-swap manifest can fail (not mis-answer)
-  * when step 4 deletes inputs under them.
+  * Crash/concurrency contract (backed by the [[StrawLog]] transaction
+  * log): the generation switch is ONE atomic log commit, so log readers
+  * observe the old or the new file set, never both. A crash or IO failure
+  * before the commit leaves nothing visible (outputs are rolled back on an
+  * ordinary failure; after a hard crash they are unreferenced debris for
+  * [[StrawLog.vacuumUnreferenced]]); a crash after the commit but before
+  * the input vacuum leaves unreferenced INPUTS, reclaimed the same way. A
+  * concurrent committer that removed any input first surfaces as a clean
+  * [[StrawLog.ConflictException]] no-op. Only a directory-WALKING reader
+  * (log and manifest both deleted/corrupt) can transiently see both
+  * generations mid-vacuum. Readers that captured a pre-compaction snapshot
+  * can fail (not mis-answer) when the vacuum deletes inputs under them.
   *
   * Streaming a directory AS A SOURCE while compacting it is OUT OF
   * CONTRACT unless the stream's high-water mark has already advanced past
@@ -72,9 +69,9 @@ object StrawCompaction {
       outputFiles: Int,
       rewrittenBytes: Long,
       skippedFiles: Int,
-      /** false = the atomic manifest swap failed and was deleted instead;
-        * readers walk the directory (correct once the vacuum finished, but
-        * both generations were briefly visible) — alert/retry. */
+      /** Always true since the [[StrawLog]] switch: a failed commit now
+        * rolls back and throws instead of degrading. Retained for caller
+        * compatibility. */
       manifestSwapped: Boolean = true) {
     def filesRemoved: Int = inputFiles - outputFiles
   }
@@ -276,11 +273,26 @@ object StrawCompaction {
           throw e
       }
 
-    // atomic generation switch for manifest readers, THEN vacuum the inputs
-    // (prompt vacuum is the recovery path even when the swap failed: once
-    // the inputs are gone a directory walk sees only the new generation)
+    // ONE atomic log commit switches generations (adds = rewrites, removes
+    // = inputs): log readers observe the old or the new set, never both.
+    // On a failed/conflicting commit nothing became visible — roll the
+    // outputs back (inputs untouched) and rethrow, a clean no-op failure
+    // instead of the old degraded walk-sees-both-generations mode. The
+    // vacuum of inputs follows the metadata commit; a crash between them
+    // leaves unreferenced inputs for StrawLog.vacuumUnreferenced.
     val inputs = bins.flatMap(_.files.map(_.path)).toSet
-    val swapped = StrawManifest.rewrite(dir, inputs, fresh)
+    val adds = StrawIO.mapParallel(fresh)(StrawManifest.entryFor)
+    try StrawLog.commit(dir, adds, removes = inputs)
+    catch {
+      case e: Throwable =>
+        fresh.foreach { m =>
+          try f.delete(new Path(m.path), false)
+          catch { case scala.util.control.NonFatal(s) => e.addSuppressed(s) }
+        }
+        try StrawCommitProtocol.sweepStaged(dir, jobId)
+        catch { case scala.util.control.NonFatal(s) => e.addSuppressed(s) }
+        throw e
+    }
     StrawIO.mapParallel(inputs.toSeq)(p => f.delete(new Path(p), false))
     StrawCommitProtocol.sweepStaged(dir, jobId)
 
@@ -289,6 +301,6 @@ object StrawCompaction {
       outputFiles = fresh.size,
       rewrittenBytes = bins.foldLeft(0L)(_ + _.bytes),
       skippedFiles = live.size - inputs.size,
-      manifestSwapped = swapped)
+      manifestSwapped = true)
   }
 }

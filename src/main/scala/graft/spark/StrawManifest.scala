@@ -130,9 +130,18 @@ object StrawManifest {
     * (callers fall back to walking the directory). */
   def read(dir: String): Option[Seq[FileMeta]] = readEntries(dir).map(_.map(_.meta))
 
-  /** The snapshot WITH per-file stats entries (v3; older manifests yield
-    * stats-less entries). */
-  def readEntries(dir: String): Option[Seq[Entry]] = {
+  /** The snapshot WITH per-file stats entries. The transaction log
+    * ([[StrawLog]]) is the authority when the table has one; the
+    * single-file legacy manifest (written by pre-log commits) serves tables
+    * that predate it. Callers that get None fall back to walking. */
+  def readEntries(dir: String): Option[Seq[Entry]] =
+    StrawLog.snapshot(dir).map { s => hits.incrementAndGet(); s.entries }
+      .orElse(readLegacyEntries(dir))
+
+  /** The legacy single-file `_strawboat_manifest` snapshot only — no log
+    * consultation (used by the log's own bootstrap, which must fold in the
+    * PRE-log state). */
+  def readLegacyEntries(dir: String): Option[Seq[Entry]] = {
     try {
       val f = rawFs(dir)
       val mp = manifestPath(dir)
@@ -276,7 +285,10 @@ object StrawManifest {
   }
 
   /** File-level stats from the (cached) footer; stats-less on any error —
-    * a commit must never fail because statistics couldn't be derived. */
+    * a commit must never fail because statistics couldn't be derived.
+    * Shared with [[StrawLog]] commits, whose A-lines carry the same stats. */
+  def entryFor(m: FileMeta): Entry = computeEntry(m)
+
   private def computeEntry(m: FileMeta): Entry =
     try {
       val footer = FooterCache.get(m.path, m.mtime, m.len)

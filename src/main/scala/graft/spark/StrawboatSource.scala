@@ -39,7 +39,8 @@ class StrawboatDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = pathOf(options)
-    val files = StrawIO.listFilesMeta(dir)
+    val asOf = Option(options.get("versionAsOf")).map(_.toLong)
+    val files = StrawIO.listFilesMeta(dir, asOf)
     require(files.nonEmpty, s"strawboat: no ${StrawFormat.Extension} files under $dir")
     // fast path (parquet-style `mergeSchema=false`): trust one footer as the
     // table schema — one cached footer read instead of N for schema-uniform
@@ -47,10 +48,16 @@ class StrawboatDataSource extends TableProvider with DataSourceRegister {
     // below stays the default because it is what makes schema-evolved
     // appends read correctly (new columns surface, absent ones null-fill).
     val mergeSchema = Option(options.get("mergeSchema")).forall(_.toBoolean)
-    // v3 manifest: every entry carries its file's schema (parsed once per
-    // DISTINCT schema) — inference is zero footer IO on a manifested table
+    // log/v3-manifest entries carry each file's schema (parsed once per
+    // DISTINCT schema) — inference is zero footer IO on a manifested table.
+    // With versionAsOf the PINNED snapshot's schemas apply: the table reads
+    // exactly as it did at that version, dropping later-added columns.
+    val snapshotEntries: Option[Seq[StrawManifest.Entry]] = asOf match {
+      case Some(v) => StrawLog.snapshotAt(dir, v).map(_.entries)
+      case None => StrawManifest.readEntries(dir)
+    }
     val manifestSchemas: Option[Seq[(String, StructType)]] =
-      StrawManifest.readEntries(dir).filter(es =>
+      snapshotEntries.filter(es =>
         es.nonEmpty && es.forall(_.schemaParsed != null))
         .map(_.map(e => (e.meta.path, e.schemaParsed)))
     if (!mergeSchema) {
@@ -168,12 +175,24 @@ object StrawIO {
     }
   }
 
+  /** Entries of the PINNED log version for time travel (`versionAsOf`).
+    * LOUD on an unavailable version: silently serving the latest snapshot
+    * instead would answer a different question. */
+  private def entriesAt(dir: String, version: Long): Seq[StrawManifest.Entry] =
+    StrawLog.snapshotAt(dir, version).getOrElse(throw new IllegalArgumentException(
+      s"strawboat: versionAsOf $version is not available for $dir — the table " +
+        "has no transaction log, the version was never committed, or its log " +
+        s"files were vacuumed (latest: ${StrawLog.latestVersion(dir).getOrElse("none")})")
+    ).entries
+
   /** All data files under `dir` (or `dir` itself if a file), recursive so
     * hive-style partition subdirectories are seen, path-sorted, with the
     * (mtime, length) version key from the same listing. Served from the
-    * table's committed-files [[StrawManifest]] when one exists (one cached
-    * small read instead of a directory walk); falls back to walking. */
-  def listFilesMeta(dir: String): Seq[FileMeta] = {
+    * table's [[StrawLog]] snapshot / committed-files [[StrawManifest]] when
+    * one exists (one cached small read instead of a directory walk); falls
+    * back to walking. `asOf` pins a historical log version (time travel). */
+  def listFilesMeta(dir: String, asOf: Option[Long] = None): Seq[FileMeta] = {
+    asOf.foreach(v => return entriesAt(dir, v).map(_.meta))
     val p = new Path(dir)
     val f = fs(dir)
     if (!f.exists(p)) Seq.empty
@@ -187,11 +206,12 @@ object StrawIO {
   def listFiles(dir: String): Seq[String] = listFilesMeta(dir).map(_.path)
 
   /** [[listFilesMeta]] plus each file's manifest-carried synthetic stats
-    * footer ([[ManifestStats]]) when the table has a v3 manifest — the
-    * input to FILE-level pruning (drop a file before its real footer is
-    * ever read). Files without stats carry None and are never pruned. */
-  def listFilesMetaWithStats(dir: String)
+    * footer ([[ManifestStats]]) when the snapshot has them — the input to
+    * FILE-level pruning (drop a file before its real footer is ever read).
+    * Files without stats carry None and are never pruned. */
+  def listFilesMetaWithStats(dir: String, asOf: Option[Long] = None)
       : Seq[(FileMeta, Option[graft.format.StrawFooter])] = {
+    asOf.foreach(v => return entriesAt(dir, v).map(e => (e.meta, e.synthetic)))
     val p = new Path(dir)
     val f = fs(dir)
     if (!f.exists(p)) Seq.empty
@@ -259,7 +279,8 @@ class StrawboatTable(path: String, val schemaArg: StructType)
     new StrawScanBuilder(path, schemaArg,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       Option(options.get("keyGrouped")).exists(_.toBoolean),
-      Option(options.get("maxBytesPerTrigger")).map(_.toLong))
+      Option(options.get("maxBytesPerTrigger")).map(_.toLong),
+      Option(options.get("versionAsOf")).map(_.toLong))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val partitionCol = Option(info.options().get("partitionBy"))
@@ -335,7 +356,7 @@ object StrawWriteOptions {
 
 class StrawScanBuilder(path: String, fullSchema: StructType,
     maxFilesPerTrigger: Option[Int] = None, keyGrouped: Boolean = false,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None, asOf: Option[Long] = None)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters
@@ -384,7 +405,7 @@ class StrawScanBuilder(path: String, fullSchema: StructType,
     if (pushedFiltersArr.nonEmpty || exactFilters.nonEmpty) return false
     AggPushdown.translate(fullSchema, aggregation) match {
       case Some((grp, specs)) =>
-        AggPushdown.compute(path, fullSchema, grp, specs) match {
+        AggPushdown.compute(path, fullSchema, grp, specs, asOf) match {
           case Some(rows) =>
             aggResult = Some((AggPushdown.outputSchema(fullSchema, grp, specs), rows))
             true
@@ -446,7 +467,7 @@ class StrawScanBuilder(path: String, fullSchema: StructType,
           // partition-prune BEFORE sampling: directory-excluded files
           // contribute nothing and must not cost footer IO here either
           val metas = PartitionLayout.pruneBy(
-            StrawIO.listFilesMetaWithStats(path), fullSchema, filters)(_._1.path)
+            StrawIO.listFilesMetaWithStats(path, asOf), fullSchema, filters)(_._1.path)
             .take(64)
           // filters the pruning fully applied pass every surviving row —
           // estimating them again would double-count their selectivity
@@ -478,7 +499,8 @@ class StrawScanBuilder(path: String, fullSchema: StructType,
       new StrawAggScan(s"strawboat $path footer-only aggregate", schema, rows)
     case None =>
       new StrawScan(path, fullSchema, requiredSchema, pushedFiltersArr, limit,
-        maxFilesPerTrigger, keyGrouped, topN, exactFilters, maxBytesPerTrigger)
+        maxFilesPerTrigger, keyGrouped, topN, exactFilters, maxBytesPerTrigger,
+        asOf)
   }
 }
 
@@ -551,7 +573,8 @@ class StrawScan(
     keyGrouped: Boolean = false,
     topN: Option[TopNPushdown.Spec] = None,
     exactFilters: Array[Filter] = Array.empty,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    asOf: Option[Long] = None)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
@@ -599,9 +622,13 @@ class StrawScan(
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // a stream tails the LIVE table; pinning it to a historical version
+    // contradicts itself — reject loudly rather than silently ignore
+    require(asOf.isEmpty, "strawboat: versionAsOf is not supported for streaming reads")
     new StrawMicroBatchStream(path, fullSchema, requiredSchema, maxFilesPerTrigger,
       exactFilters, maxBytesPerTrigger, skipFilters = filters)
+  }
   override def description(): String =
     s"strawboat $path skipFilters=[${filters.mkString(", ")}] " +
       s"exactFilters=[${exactFilters.mkString(", ")}] limit=" +
@@ -625,7 +652,7 @@ class StrawScan(
       // one-page footer per file runs the ordinary zone-map satisfiability
       // — a file whose stats exclude every filter costs nothing at all)
       val listed = PartitionLayout.pruneBy(
-        StrawIO.listFilesMetaWithStats(path), fullSchema, filters)(_._1.path)
+        StrawIO.listFilesMetaWithStats(path, asOf), fullSchema, filters)(_._1.path)
       val kept = listed.filter { case (_, synth) =>
         synth.forall(sf => ZoneMapFilter.keptPages(sf, filters)(0))
       }
@@ -647,7 +674,8 @@ class StrawScan(
       Seq[(Option[String], Seq[String])])] =
     if (!keyGrouped) None
     else {
-      val files = PartitionLayout.prune(StrawIO.listFiles(path), fullSchema, filters)
+      val files = PartitionLayout.prune(
+        StrawIO.listFilesMeta(path, asOf).map(_.path), fullSchema, filters)
       val parts = files.map(f => PartitionLayout.partitionOf(f).map((f, _)))
       if (files.isEmpty || parts.exists(_.isEmpty)) None
       else {
@@ -1218,26 +1246,23 @@ class StrawBatchWrite(path: String, schema: StructType, truncate: Boolean,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val staged = messages.flatMap { case StrawCommitMessage(fs) => fs }.toSeq
-    // Invalidate up front: a crash anywhere below (rename fan-out, truncate
-    // deletes, empty-marker write) must not leave a manifest describing the
-    // OLD file set while the directory already holds the new one. Missing
-    // manifest = readers walk the directory and see the truth.
-    StrawManifest.invalidate(path)
-    val freshMeta = StrawCommitProtocol.finalizeFiles(path, jobId, staged)
-    val fresh = freshMeta.map(_.path).toSet
+    var freshMeta = StrawCommitProtocol.finalizeFiles(path, jobId, staged)
     StrawCommitProtocol.sweepStaged(path, jobId)
     val f = StrawIO.fs(path)
-    if (truncate) {
-      // preExisting paths may predate qualification — compare qualified
-      val freshQ = fresh
-      preExisting.map(p => f.makeQualified(new Path(p)).toString)
-        .filterNot(freshQ).foreach(old => f.delete(new Path(old), false))
-    }
-    // empty result set into an empty directory: write one schema-only
-    // marker (driver-side, once) so the table stays self-describing and
-    // reads back as empty, like parquet. Temp+rename keeps the crash-safety
-    // invariant (no partial file ever carries the data extension).
-    if (fresh.isEmpty && StrawIO.walkFilesMeta(path).isEmpty) {
+    val fresh = freshMeta.map(_.path).toSet
+    val removes: Set[String] =
+      if (truncate)
+        // preExisting paths may predate qualification — compare qualified
+        preExisting.map(p => f.makeQualified(new Path(p)).toString)
+          .filterNot(fresh).toSet
+      else Set.empty
+    // empty result set into a table left empty by this commit: write one
+    // schema-only marker (driver-side, once) so the table stays
+    // self-describing and reads back as empty, like parquet. Judged on the
+    // POST-commit logical state — physical deletes happen after the log
+    // commit, so the directory still holds the outgoing generation here.
+    val priorLive = if (truncate) Seq.empty else StrawIO.listFilesMeta(path)
+    if (fresh.isEmpty && priorLive.isEmpty) {
       f.mkdirs(new Path(path))
       val name = s"part-empty-${UUID.randomUUID().toString.take(8)}${StrawFormat.Extension}"
       val tmp = new Path(path, s".$name.tmp")
@@ -1252,9 +1277,22 @@ class StrawBatchWrite(path: String, schema: StructType, truncate: Boolean,
             throw new java.io.IOException(s"strawboat: rename $tmp -> $name failed")
         } else f.delete(tmp, false)
       }
+      val st = f.getFileStatus(new Path(path, name))
+      freshMeta :+= StrawIO.FileMeta(f.makeQualified(st.getPath).toString,
+        st.getModificationTime, st.getLen)
     }
-    // publish the committed-files snapshot (planning then needs no walks)
-    StrawManifest.refresh(path, freshMeta)
+    // ONE atomic log commit makes the new generation visible — adds AND
+    // truncate's removes switch together, so a reader sees the old or the
+    // new file set, never a mix. A crash before this line leaves the
+    // renamed files invisible to log readers (vacuumUnreferenced debris),
+    // not a partial commit. Physical deletes follow the metadata commit;
+    // a crash between them leaves unreferenced files, reclaimed the same
+    // way.
+    if (freshMeta.nonEmpty || removes.nonEmpty) {
+      val adds = StrawIO.mapParallel(freshMeta)(StrawManifest.entryFor)
+      StrawLog.commit(path, adds, removes)
+    }
+    if (truncate) removes.foreach(old => f.delete(new Path(old), false))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

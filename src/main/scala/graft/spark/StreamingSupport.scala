@@ -307,21 +307,26 @@ class StrawStreamingWrite(path: String, schema: StructType,
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val f = StrawIO.fs(path)
     val staged = messages.flatMap { case StrawCommitMessage(fs) => fs }.toSeq
+    // Epoch idempotence is a TXN ACTION in the transaction log: the log
+    // commit that makes the epoch's files visible and the replay guard are
+    // one atomic write, so there is no marker-vs-manifest crash window left.
+    // The engine-visible queryId is the txn app id; "none" (non-streaming
+    // construction paths) falls back to marker files, whose window is the
+    // pre-log behavior. Markers written by pre-log code are still honored.
+    val txn: Option[(String, Long)] =
+      if (queryId != "none") Some((queryId, epochId)) else None
     val marker = epochMarker(epochId)
-    if (f.exists(marker)) {
+    val alreadyCommitted =
+      StrawLog.snapshot(path).exists(
+        _.txns.getOrElse(queryId, Long.MinValue) >= epochId) || f.exists(marker)
+    if (alreadyCommitted) {
       // replayed epoch: its rows are already visible — drop this attempt
       staged.foreach(s => f.delete(new org.apache.hadoop.fs.Path(s), false))
     } else {
       val fresh = StrawCommitProtocol.finalizeFiles(path, jobId, staged)
-      // Invalidate BEFORE the marker: a crash between marker and refresh
-      // would otherwise leave a durably-committed epoch (replay skipped)
-      // whose files a stale manifest hides indefinitely. A missing manifest
-      // degrades readers to a directory walk, which sees the renamed files.
-      StrawManifest.invalidate(path)
-      f.create(marker, true).close()
-      // keep the committed-files snapshot current per epoch so readers of
-      // the sink (including a downstream stream source) skip listings
-      StrawManifest.refresh(path, fresh)
+      val adds = StrawIO.mapParallel(fresh)(StrawManifest.entryFor)
+      StrawLog.commit(path, adds, txn = txn)
+      if (txn.isEmpty) f.create(marker, true).close()
     }
     // retire markers the engine can no longer replay (it only ever replays
     // the last uncommitted epoch) so the sink dir doesn't accumulate one

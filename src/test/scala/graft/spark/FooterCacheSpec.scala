@@ -85,7 +85,8 @@ class FooterCacheSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(schema.fieldNames.toSet == Set("id", "v"))
     assert(FooterCache.loads.get() == before,
       s"manifest fast path must read no footer, got ${FooterCache.loads.get() - before}")
-    // no manifest: the fast path reads exactly one footer
+    // no log/manifest: the fast path reads exactly one footer
+    StrawLog.invalidate(out)
     StrawManifest.invalidate(out)
     StrawManifest.clearCache()
     FooterCache.clear()

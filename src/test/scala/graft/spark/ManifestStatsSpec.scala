@@ -121,8 +121,10 @@ class ManifestStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("stats-less manifest entries never prune (v2 compatibility)") {
     val out = s"$dir/v2compat"
     writeRanged(out)
-    // replace the manifest with a stats-less snapshot of the same files
+    // replace the snapshot with a stats-less LEGACY manifest of the same
+    // files (drop the log: this simulates a pre-log, pre-v3 table)
     val metas = StrawIO.walkFilesMeta(out)
+    StrawLog.invalidate(out)
     StrawManifest.write(out, metas)
     StrawManifest.clearCache()
     val entries = StrawManifest.readEntries(out).get

@@ -1,0 +1,312 @@
+package graft.spark
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Transaction-log semantics ([[StrawLog]]): atomic commits, snapshot
+  * isolation across truncate/compaction, crash recovery (uncommitted debris
+  * stays invisible and is vacuumable), streaming-epoch idempotence, time
+  * travel, checkpoint replay, and the fallback ladder. */
+class StrawLogSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var dir: String = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("strawlog-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    dir = Files.createTempDirectory("strawlog").toString
+  }
+
+  override def afterAll(): Unit = { if (spark != null) spark.stop() }
+
+  private def write(out: String, from: Long, n: Long, mode: String = "append"): Unit = {
+    val sp = spark; import sp.implicits._
+    (from until from + n).map(i => (i, s"row-$i")).toDF("id", "s")
+      .coalesce(1).write.format("strawboat").mode(mode).save(out)
+  }
+
+  private def read(out: String) = spark.read.format("strawboat").load(out)
+
+  private def logFiles(out: String): Seq[String] = {
+    val d = new java.io.File(out, StrawLog.DirName)
+    if (!d.exists()) Seq.empty
+    else d.listFiles.map(_.getName).filterNot(_.startsWith(".")).sorted.toSeq
+  }
+
+  // ---------------------------------------------------------------------
+  // Core commit / snapshot semantics
+  // ---------------------------------------------------------------------
+
+  test("every batch commit is one log version; snapshot matches the data") {
+    val out = s"$dir/basic"
+    write(out, 0, 100)
+    write(out, 100, 100)
+    write(out, 200, 100)
+    assert(StrawLog.latestVersion(out).contains(3L))
+    val snap = StrawLog.snapshot(out).get
+    assert(snap.version == 3L)
+    assert(snap.entries.size == 3)
+    assert(read(out).count() == 300)
+    // entries carry schemas + stats (file-level pruning stays armed)
+    assert(snap.entries.forall(_.schemaParsed != null))
+    assert(snap.entries.forall(_.synthetic.isDefined))
+  }
+
+  test("truncate is one atomic version: removes and adds switch together") {
+    val out = s"$dir/trunc"
+    write(out, 0, 100)
+    write(out, 100, 100)
+    val v2 = StrawLog.snapshot(out).get
+    assert(v2.entries.size == 2)
+    write(out, 500, 50, mode = "overwrite")
+    val v3 = StrawLog.snapshot(out).get
+    assert(v3.version == 3L)
+    assert(v3.entries.size == 1, "old generation must leave the snapshot")
+    val got = read(out).agg(min(col("id")), max(col("id")), count(lit(1))).collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == ((500L, 549L, 50L)))
+    // physical files of the old generation are gone (deletes after commit)
+    val disk = new java.io.File(out).listFiles.count(_.getName.endsWith(".strb"))
+    assert(disk == 1, s"expected 1 data file on disk, got $disk")
+  }
+
+  test("log bootstrap folds a pre-log (legacy manifest) table's state in") {
+    val out = s"$dir/boot"
+    // simulate a pre-log table: data files + legacy manifest, no log
+    write(out, 0, 100)
+    write(out, 100, 100)
+    val entries = StrawLog.snapshot(out).get.entries
+    StrawLog.invalidate(out)
+    StrawManifest.writeEntries(out, entries)
+    StrawManifest.clearCache()
+    assert(StrawLog.snapshot(out).isEmpty)
+    assert(read(out).count() == 200) // served by the legacy manifest
+    // next commit bootstraps: version 1 holds old + new
+    write(out, 200, 100)
+    val snap = StrawLog.snapshot(out).get
+    assert(snap.version == 1L)
+    assert(snap.entries.size == 3)
+    assert(read(out).count() == 300)
+    // bootstrap carried the legacy STATS (no footer re-read needed)
+    assert(snap.entries.forall(_.statsB64 != null))
+    // the legacy manifest file is retired — a stale pre-log snapshot can
+    // never shadow the log on a fallback
+    assert(!new java.io.File(out, StrawManifest.FileName).exists())
+  }
+
+  test("crash before the log commit leaves renamed files INVISIBLE (and vacuumable)") {
+    val out = s"$dir/crash"
+    write(out, 0, 100)
+    write(out, 100, 100)
+    assert(read(out).count() == 200)
+    // simulate the crash window: a data file appears on disk (rename
+    // fan-out happened) but its log commit never did
+    val orphan = new java.io.File(out, "part-orphan-00000000.strb")
+    val src = new java.io.File(out).listFiles.filter(_.getName.endsWith(".strb")).head
+    java.nio.file.Files.copy(src.toPath, orphan.toPath)
+    FooterCache.clear()
+    assert(read(out).count() == 200, "uncommitted file must not be read")
+    // walk-based readers WOULD see it — that's the degraded fallback mode
+    assert(StrawIO.walkFilesMeta(out).size == 3)
+    // vacuum reclaims it (old enough)
+    orphan.setLastModified(System.currentTimeMillis() - 48L * 3600 * 1000)
+    val n = StrawLog.vacuumUnreferenced(out, olderThanMs = 24L * 3600 * 1000)
+    assert(n == 1)
+    assert(!orphan.exists())
+    assert(read(out).count() == 200)
+    // a YOUNG unreferenced file survives the vacuum (in-flight commit safety)
+    val young = new java.io.File(out, "part-young-00000000.strb")
+    java.nio.file.Files.copy(src.toPath, young.toPath)
+    assert(StrawLog.vacuumUnreferenced(out) == 0)
+    assert(young.exists())
+    young.delete()
+  }
+
+  test("snapshot isolation across compaction: a pinned version still resolves") {
+    val out = s"$dir/compact"
+    (0 until 5).foreach(g => write(out, g * 100L, 100))
+    val preVersion = StrawLog.latestVersion(out).get
+    val pre = StrawIO.listFilesMeta(out, Some(preVersion))
+    assert(pre.size == 5)
+    val res = StrawCompaction.compact(spark, out, targetFileBytes = 64L << 20)
+    assert(res.inputFiles == 5 && res.outputFiles == 1)
+    // latest: one file; pinned pre-compaction version: five entries (their
+    // files are vacuumed, so only the METADATA is promised to resolve)
+    assert(StrawLog.snapshot(out).get.entries.size == 1)
+    assert(StrawIO.listFilesMeta(out, Some(preVersion)).size == 5)
+    assert(read(out).count() == 500)
+    // compaction = exactly one more version
+    assert(StrawLog.latestVersion(out).contains(preVersion + 1))
+  }
+
+  test("conflicting removes fail cleanly (ConflictException), nothing changes") {
+    val out = s"$dir/conflict"
+    write(out, 0, 100)
+    val victim = StrawLog.snapshot(out).get.entries.head
+    // someone else removes the file first
+    StrawLog.commit(out, Seq.empty, removes = Set(victim.meta.path))
+    val before = StrawLog.latestVersion(out)
+    intercept[StrawLog.ConflictException] {
+      StrawLog.commit(out, Seq.empty, removes = Set(victim.meta.path))
+    }
+    assert(StrawLog.latestVersion(out) == before)
+  }
+
+  test("txn actions make commits idempotent per app id") {
+    val out = s"$dir/txn"
+    write(out, 0, 10)
+    val v1 = StrawLog.latestVersion(out).get
+    val e = StrawLog.snapshot(out).get.entries.head
+    val fake = e.copy(meta = e.meta.copy(path = e.meta.path + ".dup.strb"))
+    // first commit with the txn wins
+    val v2 = StrawLog.commit(out, Seq(fake), txn = Some(("appA", 7L)))
+    assert(v2 == v1 + 1)
+    // replay of the same epoch is a no-op (returns current version)
+    val v3 = StrawLog.commit(out, Seq(fake), txn = Some(("appA", 7L)))
+    assert(v3 == v2)
+    // an older epoch of the same app is also a no-op
+    assert(StrawLog.commit(out, Seq(fake), txn = Some(("appA", 3L))) == v2)
+    // a NEWER epoch commits
+    assert(StrawLog.commit(out, Seq.empty, txn = Some(("appA", 8L))) == v2 + 1)
+    // a different app is independent
+    assert(StrawLog.commit(out, Seq.empty, txn = Some(("appB", 1L))) == v2 + 2)
+    assert(StrawLog.snapshot(out).get.txns == Map("appA" -> 8L, "appB" -> 1L))
+  }
+
+  // ---------------------------------------------------------------------
+  // Checkpoints and replay
+  // ---------------------------------------------------------------------
+
+  test("checkpoints bound replay and survive log vacuum") {
+    val out = s"$dir/ckpt"
+    (0 until 23).foreach(g => write(out, g * 10L, 10))
+    assert(StrawLog.latestVersion(out).contains(23L))
+    val names = logFiles(out)
+    assert(names.count(_.endsWith(".checkpoint")) == 2, s"got $names") // v10, v20
+    assert(read(out).count() == 230)
+    // replay from checkpoint: drop pre-checkpoint commits, snapshot intact
+    val removed = StrawLog.vacuumLog(out, keepVersions = 3)
+    assert(removed > 0)
+    StrawLog.clearCache()
+    assert(StrawLog.snapshot(out).get.entries.size == 23)
+    assert(read(out).count() == 230)
+    // time travel to a vacuumed version now fails loudly
+    intercept[IllegalArgumentException] {
+      StrawIO.listFilesMeta(out, Some(5L))
+    }
+    // but versions at/after the retained checkpoint still resolve
+    assert(StrawIO.listFilesMeta(out, Some(21L)).size == 21)
+  }
+
+  test("a corrupt commit file degrades to the walk, never to wrong data") {
+    val out = s"$dir/corrupt"
+    write(out, 0, 100)
+    write(out, 100, 100)
+    val last = new java.io.File(s"$out/${StrawLog.DirName}").listFiles
+      .filter(_.getName.endsWith(".commit")).sortBy(_.getName).last
+    val raf = new java.io.RandomAccessFile(last, "rw")
+    try { raf.seek(0); raf.write("garbage".getBytes) } finally raf.close()
+    StrawLog.clearCache(); StrawManifest.clearCache(); FooterCache.clear()
+    assert(StrawLog.snapshot(out).isEmpty, "corrupt log must not resolve")
+    // the walk fallback still sees every visible data file
+    assert(read(out).count() == 200)
+  }
+
+  // ---------------------------------------------------------------------
+  // Time travel
+  // ---------------------------------------------------------------------
+
+  test("versionAsOf reads the pinned append-history snapshot") {
+    val out = s"$dir/tt"
+    write(out, 0, 100)
+    write(out, 100, 100)
+    write(out, 200, 100)
+    def at(v: Long) = spark.read.format("strawboat")
+      .option("versionAsOf", v.toString).load(out)
+    assert(at(1).count() == 100)
+    assert(at(2).count() == 200)
+    assert(at(3).count() == 300)
+    assert(at(1).agg(max(col("id"))).collect()(0).getLong(0) == 99L)
+    // aggregate pushdown over a pinned version answers from ITS footers
+    assert(at(2).count() == 200)
+    intercept[Exception] { at(99).count() }
+  }
+
+  test("versionAsOf is rejected for streaming reads") {
+    val out = s"$dir/ttstream"
+    write(out, 0, 10)
+    val e = intercept[Exception] {
+      spark.readStream.format("strawboat").option("versionAsOf", "1")
+        .schema(read(out).schema)
+        .load(out)
+        .writeStream.format("memory").queryName("tt_no").start()
+        .processAllAvailable()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("versionAsOf")))
+  }
+
+  // ---------------------------------------------------------------------
+  // Streaming epochs
+  // ---------------------------------------------------------------------
+
+  test("streaming sink epochs are log versions with txn idempotence") {
+    val sp = spark; import sp.implicits._
+    val src = s"$dir/stream_src"
+    val out = s"$dir/stream_out"
+    val ckpt = s"$dir/stream_ckpt"
+    write(src, 0, 50)
+    val q = spark.readStream.format("strawboat")
+      .schema(read(src).schema)
+      .option("maxFilesPerTrigger", "1")
+      .load(src)
+      .writeStream.format("strawboat")
+      .option("checkpointLocation", ckpt)
+      .option("path", out)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(read(out).count() == 50)
+    val snap = StrawLog.snapshot(out).get
+    assert(snap.txns.nonEmpty, "epoch commits must record txn actions")
+    // append more source rows; a restarted query continues epoch numbering
+    write(src, 50, 50)
+    val q2 = spark.readStream.format("strawboat")
+      .schema(read(src).schema)
+      .load(src)
+      .writeStream.format("strawboat")
+      .option("checkpointLocation", ckpt)
+      .option("path", out)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(60000)
+    assert(read(out).count() == 100)
+  }
+
+  // ---------------------------------------------------------------------
+  // Planning cost: log-served listings, zero walks
+  // ---------------------------------------------------------------------
+
+  test("repeat planning over an unchanged log table performs zero walks") {
+    val out = s"$dir/zerowalk"
+    write(out, 0, 1000)
+    write(out, 1000, 1000)
+    // warm every cache with one full query
+    assert(read(out).filter(col("id") >= 500).count() == 1500)
+    val walksBefore = StrawIO.listings.get()
+    val df = read(out).filter(col("id") >= 500 && col("id") < 1500).select("id")
+    assert(df.count() == 1000)
+    assert(StrawIO.listings.get() == walksBefore,
+      "a repeat query over an unchanged log table must not walk directories")
+  }
+}

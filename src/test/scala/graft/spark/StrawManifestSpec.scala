@@ -31,9 +31,10 @@ class StrawManifestSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = s"$dir/zerolist"
     spark.range(0, 5000).selectExpr("id", "id % 7 as k")
       .write.format("strawboat").mode("overwrite").save(out)
-    assert(new java.io.File(out, StrawManifest.FileName).exists())
+    // commits write the transaction log; readEntries serves from it
+    assert(StrawLog.exists(out))
 
-    // manifest content == a direct walk of the directory
+    // snapshot content == a direct walk of the directory
     val walked = StrawIO.walkFilesMeta(out)
     val manifest = StrawManifest.read(out).get.sortBy(_.path)
     assert(manifest.map(_.path) == walked.map(_.path))
@@ -55,6 +56,7 @@ class StrawManifestSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = s"$dir/fallback"
     spark.range(0, 1000).write.format("strawboat").mode("overwrite").save(out)
     val withManifest = spark.read.format("strawboat").load(out).count()
+    StrawLog.invalidate(out)
     StrawManifest.invalidate(out)
     val walks0 = StrawIO.listings.get()
     assert(spark.read.format("strawboat").load(out).count() == withManifest)
@@ -148,7 +150,7 @@ class StrawManifestSpec extends AnyFunSuite with BeforeAndAfterAll {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     assert(q.awaitTermination(120000))
-    assert(new java.io.File(sink, StrawManifest.FileName).exists())
+    assert(StrawLog.exists(sink)) // every epoch is a log version
     assert(StrawManifest.read(sink).get.map(_.path).toSet ==
       StrawIO.walkFilesMeta(sink).map(_.path).toSet)
     assert(spark.read.format("strawboat").load(sink).count() == 600)

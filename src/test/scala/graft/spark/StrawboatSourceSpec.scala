@@ -165,7 +165,8 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       col("l_returnflag"), col("l_quantity"))
     src.write.format("strawboat").option("partitionBy", "l_returnflag")
       .mode("overwrite").save(out)
-    val subdirs = new java.io.File(out).listFiles.filter(_.isDirectory).map(_.getName).sorted
+    val subdirs = new java.io.File(out).listFiles.filter(_.isDirectory)
+      .map(_.getName).filterNot(n => n.startsWith("_") || n.startsWith(".")).sorted
     assert(subdirs.toSeq == Seq("l_returnflag=A", "l_returnflag=N", "l_returnflag=R"))
     val back = spark.read.format("strawboat").load(out)
     assert(back.count() == src.count())
@@ -180,10 +181,11 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
          f <- new java.io.File(s"$out/$sd").listFiles if f.getName.endsWith(".strb"))
       java.nio.file.Files.write(f.toPath, Array[Byte](9, 9, 9))
     assert(got.count() == expect.count())
-    // and the corruption is real: after dropping the committed-files
-    // manifest (in-place modification is outside the commit protocol — the
-    // documented external-writer escape hatch), a fresh load lists the
+    // and the corruption is real: after dropping the transaction log AND
+    // the manifest (in-place modification is outside the commit protocol —
+    // the documented external-writer escape hatch), a fresh load lists the
     // directory, sees the new (mtime, len) keys, re-reads footers, fails
+    StrawLog.invalidate(out)
     StrawManifest.invalidate(out)
     intercept[Exception] {
       spark.read.format("strawboat").load(out).count()

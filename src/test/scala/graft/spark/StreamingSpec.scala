@@ -250,7 +250,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     Thread.sleep(4000)
     q.stop(); q.awaitTermination(30000)
     val subdirs = new java.io.File(outDir).listFiles.filter(_.isDirectory)
-      .map(_.getName).sorted.toSeq
+      .map(_.getName).filterNot(n => n.startsWith("_") || n.startsWith(".")).sorted.toSeq
     assert(subdirs.forall(_.startsWith("bucket=")), subdirs.mkString(","))
     assert(subdirs.size >= 2)
     val back = spark.read.format("strawboat").load(outDir)
