@@ -232,23 +232,10 @@ object StrawLog {
     var txns = Map.empty[String, Long]
     try {
       body.dropRight(1).foreach { line =>
-        if (line.startsWith("S")) {
-          val t = line.indexOf('\t')
-          require(t > 0 && line.substring(1, t).toInt == schemas.size,
-            s"bad log schema line: $line")
-          val json = line.substring(t + 1)
-          schemas += ((json, DataType.fromJson(json).asInstanceOf[StructType]))
-        } else if (line.startsWith("A\t")) {
-          val parts = line.split('\t')
-          require(parts.length >= 6, s"bad log add line: $line")
-          val relPath = parts.drop(5).mkString("\t")
-          val (schemaJson, schemaParsed) =
-            if (parts(3) == "-") (null, null) else schemas(parts(3).toInt)
-          val statsB64 = if (parts(4) == "-") null else parts(4)
-          out += Right(Entry(
-            FileMeta(s"$qdir/$relPath", parts(1).toLong, parts(2).toLong),
-            schemaJson, statsB64, schemaParsed))
-        } else if (line.startsWith("R\t")) {
+        if (line.startsWith("S")) StrawManifest.parseSchemaLine(line, schemas, "log")
+        else if (line.startsWith("A\t"))
+          out += Right(StrawManifest.parseEntryLine(line, schemas, qdir, "log"))
+        else if (line.startsWith("R\t")) {
           out += Left(s"$qdir/${line.substring(2)}")
         } else if (line.startsWith("X\t")) {
           val parts = line.split('\t')
@@ -265,30 +252,16 @@ object StrawLog {
     val prefix = qdir + "/"
     val sb = new StringBuilder(Header)
       .append(java.util.UUID.randomUUID().toString).append('\n')
-    val schemaIdx = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val sorted = adds.sortBy(_.meta.path)
-    sorted.foreach { e =>
-      if (e.schemaJson != null && !schemaIdx.contains(e.schemaJson)) {
-        val idx = schemaIdx.size
-        schemaIdx(e.schemaJson) = idx
-        sb.append('S').append(idx).append('\t').append(e.schemaJson).append('\n')
-      }
-    }
-    sorted.foreach { e =>
-      require(e.meta.path.startsWith(prefix),
-        s"log entry outside table: ${e.meta.path}")
-      sb.append("A\t").append(e.meta.mtime).append('\t').append(e.meta.len)
-        .append('\t')
-        .append(if (e.schemaJson == null) "-" else schemaIdx(e.schemaJson).toString)
-        .append('\t')
-        .append(if (e.statsB64 == null) "-" else e.statsB64)
-        .append('\t')
-        .append(e.meta.path.substring(prefix.length)).append('\n')
-    }
+    val schemaIdx = StrawManifest.appendSchemaDict(sb, sorted)
+    // R before A: replay applies actions in file order, so if the
+    // adds/removes disjointness requirement is ever relaxed, an in-place
+    // path replacement nets to ADDED rather than silently removed
     removes.sorted.foreach { p =>
       require(p.startsWith(prefix), s"log remove outside table: $p")
       sb.append("R\t").append(p.substring(prefix.length)).append('\n')
     }
+    sorted.foreach(StrawManifest.appendEntryLine(sb, 'A', _, schemaIdx, prefix, "log"))
     txns.toSeq.sortBy(_._1).foreach { case (app, v) =>
       sb.append("X\t").append(v).append('\t').append(app).append('\n')
     }
@@ -344,6 +317,9 @@ object StrawLog {
     * snapshot. */
   def commit(table: String, adds: Seq[Entry], removes: Set[String] = Set.empty,
       txn: Option[(String, Long)] = None): Long = {
+    require(adds.map(_.meta.path).toSet.intersect(removes).isEmpty,
+      "strawboat: log commit adds and removes must be disjoint (an in-place " +
+        "path replacement would net to REMOVED on replay)")
     val lock = writeLocks.computeIfAbsent(table, _ => new Object)
     lock.synchronized {
       val f = rawFs(table)
@@ -353,6 +329,20 @@ object StrawLog {
       var attempt = 0
       while (true) {
         val cur = snapshot(table)
+        if (cur.isEmpty) {
+          // distinguish "no log" (bootstrap) from "log present but
+          // unreadable" (corrupt/vacuumed tail, concurrent cleanup):
+          // bootstrapping over an EXISTING log would claim a low version
+          // number the latest snapshot never replays — a silent fork that
+          // loses the commit (and, with removes, deletes files the live
+          // snapshot still references). Refuse instead.
+          val (commits, _) = listVersions(f, ld)
+          if (commits.nonEmpty) throw new IllegalStateException(
+            s"strawboat: transaction log of $table exists (versions " +
+              s"${commits.firstKey}..${commits.lastKey}) but cannot be " +
+              "resolved — refusing to commit over an unreadable log; repair " +
+              "or delete _straw_log to fall back to directory listing")
+        }
         txn.foreach { case (app, v) =>
           if (cur.exists(_.txns.getOrElse(app, Long.MinValue) >= v))
             return cur.get.version // replayed epoch: already committed
@@ -453,10 +443,12 @@ object StrawLog {
     if (commits.isEmpty) return 0
     val horizon = commits.lastKey - math.max(0, keepVersions)
     // newest checkpoint at or below the horizon becomes the replay base for
-    // every retained version; all older files are droppable
+    // every retained version; STRICTLY older files are droppable (the base
+    // version's own commit file stays, so snapshotAt(base) and the
+    // commits-nonEmpty invariant survive even keepVersions = 0)
     val base = checkpoints.filter(_ <= horizon).lastOption.getOrElse(return 0)
     var n = 0
-    commits.keysIterator.filter(_ <= base).foreach { v =>
+    commits.keysIterator.filter(_ < base).foreach { v =>
       if (f.delete(commitPath(ld, v), false)) n += 1
     }
     checkpoints.filter(_ < base).foreach { v =>

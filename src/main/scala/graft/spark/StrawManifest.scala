@@ -8,43 +8,41 @@ import org.apache.spark.sql.types.{DataType, StructType}
 import graft.format.{ColumnMeta, LeafLayout, PageMeta, StrawFormat, StrawFooter}
 import graft.spark.StrawIO.FileMeta
 
-/** Committed-files manifest: a `_strawboat_manifest` snapshot of the
-  * table's live data files (path + the (mtime, len) version key), written
-  * by the commit protocol on every successful batch commit / streaming
-  * epoch and read by planning in place of a recursive directory walk.
+/** Committed-files snapshot layer. [[readEntries]] resolves a table's live
+  * data files (path + the (mtime, len) version key + per-file stats) for
+  * planning, in place of a recursive directory walk: the [[StrawLog]]
+  * transaction log is the authority when the table has one; the legacy
+  * single-file `_strawboat_manifest` (written by pre-log versions of this
+  * library) serves older tables read-only and is folded into the log's
+  * bootstrap version on their first new commit.
   *
   * Why: at 100k-file / object-store scale, LIST is the dominant planning
   * cost once footers are cached ([[FooterCache]]) — every query paid
   * `inferSchema` + selectivity-probe + scan-planning listings, and listings
-  * are eventually-consistent on some stores. With the manifest, planning
+  * are eventually-consistent on some stores. With a snapshot, planning
   * over an unchanged table is ONE small cached read (zero directory
   * walks — [[StrawIO.listings]] observable), and a reader during a
-  * concurrent append sees a complete old or complete new snapshot instead
+  * concurrent commit sees a complete old or complete new snapshot instead
   * of a mid-rename partial listing.
   *
-  * v3 additionally carries PER-FILE column statistics: each entry may
-  * reference its file's schema (deduplicated in a dictionary section) and a
-  * compact blob of per-leaf (kind, min, max, nullCount) merged over the
-  * file's pages. Planning turns each blob into a synthetic one-page footer
-  * and runs the ordinary [[ZoneMapFilter]] satisfiability over it — so a
+  * Entries (v3) carry PER-FILE column statistics: each entry may reference
+  * its file's schema (deduplicated in a dictionary section) and a compact
+  * blob of per-leaf (kind, min, max, nullCount) merged over the file's
+  * pages. Planning turns each blob into a synthetic one-page footer and
+  * runs the ordinary [[ZoneMapFilter]] satisfiability over it — so a
   * selective filter prunes WHOLE FILES from the scan before any footer IO,
   * the difference between reading 100k footers and reading the few that
   * can match. Stats are computed once at commit time for the just-written
-  * files and carried forward by (path, mtime, len) for the rest; an entry
-  * without stats (older manifest, carry-over miss) simply doesn't prune.
+  * files and carried forward verbatim in the log; an entry without stats
+  * simply doesn't prune. The entry-line grammar is shared with the log's
+  * add actions ([[appendEntryLine]]/[[parseEntryLine]]).
   *
-  * Trust model: the manifest is maintained by THIS library's commit
-  * protocol, which is the only writer of visible data files. It is written
-  * from a post-commit directory walk UNIONed with the just-committed files
-  * (under a per-table in-process lock, so same-driver concurrent commits
-  * serialize their snapshot writes); a CROSS-process concurrent committer
-  * can still produce a momentarily-incomplete manifest — the same
-  * non-atomic-commit window the rename fan-out itself has (documented at
-  * [[StrawCommitProtocol]]), closed only by a true transaction log, which
-  * is out of scope. Files dropped into the directory by external tools are
-  * not seen until the next commit; delete the manifest to force listing.
-  * Any read/parse problem falls back to a directory walk — the manifest is
-  * an accelerator with a well-defined failure mode, never a wall.
+  * Trust model: snapshots are maintained by THIS library's committers, the
+  * only writers of visible data files. Files dropped in by external tools
+  * are not seen; delete `_straw_log/` and the manifest file to force
+  * listing. Any read/parse problem falls back to a directory walk — the
+  * snapshot layer is an accelerator with a well-defined failure mode,
+  * never a wall.
   */
 object StrawManifest {
   val FileName = "_strawboat_manifest"
@@ -91,28 +89,6 @@ object StrawManifest {
 
   /** Manifest-backed listings served (cache or parse) — observability. */
   val hits = new AtomicLong()
-
-  private val writeLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
-  /** Last snapshot seen per table IN THIS PROCESS — the stats carry-over
-    * source for [[refresh]]. Needed because the commit protocol DELETES the
-    * manifest before the rename fan-out (crash safety: a stale manifest
-    * hides committed files, a missing one degrades to walking), so at
-    * refresh time the on-disk previous snapshot is already gone. A
-    * cross-process committer loses carry-over and its refresh writes
-    * stats-less entries for files it didn't just commit — pruning degrades,
-    * correctness doesn't. LRU-bounded like the parse cache: a long-lived
-    * driver touching many table directories must not retain every entry
-    * vector forever. */
-  private val lastSnapshot =
-    new java.util.LinkedHashMap[String, Seq[Entry]](64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Seq[Entry]]): Boolean = size() > 256
-    }
-  private def lastSnapshotPut(dir: String, entries: Seq[Entry]): Unit =
-    lastSnapshot.synchronized { lastSnapshot.put(dir, entries): Unit }
-  private def lastSnapshotGet(dir: String): Option[Seq[Entry]] =
-    lastSnapshot.synchronized(Option(lastSnapshot.get(dir)))
 
   def manifestPath(dir: String): Path = new Path(dir, FileName)
 
@@ -174,7 +150,6 @@ object StrawManifest {
           if (headLine.startsWith(HeaderV3Prefix)) parseV3(lines, qdir)
           else parseV2(lines, qdir)
         cache.synchronized(cache.put(key, entries))
-        lastSnapshotPut(dir, entries)
         hits.incrementAndGet()
         Some(entries)
       } finally in.close()
@@ -203,85 +178,76 @@ object StrawManifest {
     val schemas = scala.collection.mutable.ArrayBuffer.empty[(String, StructType)]
     val out = Vector.newBuilder[Entry]
     lines.iterator.drop(1).filter(_.nonEmpty).foreach { line =>
-      if (line.startsWith("S")) {
-        val t = line.indexOf('\t')
-        require(t > 0 && line.substring(1, t).toInt == schemas.size,
-          s"bad manifest schema line: $line")
-        val json = line.substring(t + 1)
-        // parse each DISTINCT schema once here; every file entry of that
-        // schema shares the parsed instance
-        schemas += ((json, DataType.fromJson(json).asInstanceOf[StructType]))
-      } else {
+      if (line.startsWith("S")) parseSchemaLine(line, schemas, "manifest")
+      else {
         require(line.startsWith("F\t"), s"bad manifest line: $line")
-        val parts = line.split('\t') // path (last) re-joined below if it had tabs
-        require(parts.length >= 6, s"bad manifest line: $line")
-        val relPath = parts.drop(5).mkString("\t")
-        val (schemaJson, schemaParsed) =
-          if (parts(3) == "-") (null, null) else schemas(parts(3).toInt)
-        val statsB64 = if (parts(4) == "-") null else parts(4)
-        out += Entry(FileMeta(s"$qdir/$relPath", parts(1).toLong, parts(2).toLong),
-          schemaJson, statsB64, schemaParsed)
+        out += parseEntryLine(line, schemas, qdir, "manifest")
       }
     }
     out.result()
   }
 
-  /** Rewrite the snapshot after a commit: one direct directory walk UNION
-    * the just-committed `fresh` files (the walk may race another in-flight
-    * rename fan-out; fresh entries are exact). File-level stats are
-    * COMPUTED for the fresh files (their footers were just written — one
-    * cached read each) and CARRIED OVER by (path, mtime, len) for the
-    * rest; a file with neither stays stats-less and simply doesn't prune.
-    * Serialized per table within this process. On any failure the manifest
-    * is DELETED — a missing manifest degrades to listing, a stale one
-    * would lose data. */
-  def refresh(dir: String, fresh: Seq[FileMeta]): Unit = {
-    refreshInternal(dir, Set.empty, fresh): Unit
-  }
+  // -------------------------------------------------------------------
+  // Shared v3 entry-line codec: manifest `F` lines and transaction-log
+  // `A` lines ([[StrawLog]]) use the same grammar after their tag —
+  //   <tag>\t<mtime>\t<len>\t<schemaIdx|->\t<statsB64|->\t<relative path>
+  // with an `S<idx>\t<schema json>` dictionary above. One codec, two
+  // framings: a format change (new field, escaping fix) lands here once.
+  // The relative path is LAST so the fixed-position fields parse even
+  // though it is unconstrained; schema JSON cannot contain raw tabs or
+  // newlines (JSON escapes control characters), so framing is safe.
+  // -------------------------------------------------------------------
 
-  /** Snapshot rewrite for a compaction-style swap: the next manifest is
-    * (current directory walk MINUS `drop`) overlaid with `fresh` — `drop`
-    * lists files the caller is about to delete (still present in the walk)
-    * and `fresh` the rewritten replacements, so manifest readers switch
-    * from the old file set to the new one in ONE atomic manifest swap,
-    * never observing both generations.
-    * @return false when the swap could not be written (the manifest was
-    *         deleted instead — readers degrade to directory walks and can
-    *         see both generations until the caller's vacuum completes, so
-    *         the caller must surface the degradation, not assume
-    *         atomicity). */
-  def rewrite(dir: String, drop: Set[String], fresh: Seq[FileMeta]): Boolean =
-    refreshInternal(dir, drop, fresh)
-
-  private def refreshInternal(dir: String, drop: Set[String], fresh: Seq[FileMeta]): Boolean = {
-    val lock = writeLocks.computeIfAbsent(dir, _ => new Object)
-    lock.synchronized {
-      try {
-        // previous snapshot BEFORE walking: the stats carry-over source.
-        // The on-disk manifest is usually already invalidated by the commit
-        // in flight — fall back to the last snapshot this process saw.
-        val prev: Map[(String, Long, Long), Entry] =
-          readEntries(dir).orElse(lastSnapshotGet(dir))
-            .getOrElse(Seq.empty)
-            .map(e => (e.meta.path, e.meta.mtime, e.meta.len) -> e).toMap
-        val listed = StrawIO.walkFilesMeta(dir)
-        val byPath = scala.collection.mutable.LinkedHashMap.empty[String, FileMeta]
-        listed.foreach(e => if (!drop(e.path)) byPath(e.path) = e)
-        fresh.foreach(e => byPath(e.path) = e)
-        val freshSet = fresh.map(_.path).toSet
-        val entries = byPath.values.toSeq.map { m =>
-          prev.get((m.path, m.mtime, m.len)) match {
-            case Some(e) if e.schemaJson != null => e
-            case other =>
-              if (freshSet(m.path)) computeEntry(m)
-              else other.getOrElse(Entry(m, null, null))
-          }
-        }
-        writeEntries(dir, entries)
-      } catch {
-        case scala.util.control.NonFatal(_) => invalidate(dir); false
+  private[spark] def appendSchemaDict(sb: StringBuilder,
+      sorted: Seq[Entry]): scala.collection.Map[String, Int] = {
+    val schemaIdx = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    sorted.foreach { e =>
+      if (e.schemaJson != null && !schemaIdx.contains(e.schemaJson)) {
+        val idx = schemaIdx.size
+        schemaIdx(e.schemaJson) = idx
+        sb.append('S').append(idx).append('\t').append(e.schemaJson).append('\n')
       }
     }
+    schemaIdx
+  }
+
+  private[spark] def appendEntryLine(sb: StringBuilder, tag: Char, e: Entry,
+      schemaIdx: scala.collection.Map[String, Int], prefix: String,
+      what: String): Unit = {
+    require(e.meta.path.startsWith(prefix),
+      s"$what entry outside table: ${e.meta.path}")
+    sb.append(tag).append('\t').append(e.meta.mtime).append('\t').append(e.meta.len)
+      .append('\t')
+      .append(if (e.schemaJson == null) "-" else schemaIdx(e.schemaJson).toString)
+      .append('\t')
+      .append(if (e.statsB64 == null) "-" else e.statsB64)
+      .append('\t')
+      .append(e.meta.path.substring(prefix.length)).append('\n')
+  }
+
+  /** Parse one `S<idx>\t<json>` dictionary line; each DISTINCT schema
+    * parses once, every entry of that schema shares the instance. */
+  private[spark] def parseSchemaLine(line: String,
+      schemas: scala.collection.mutable.ArrayBuffer[(String, StructType)],
+      what: String): Unit = {
+    val t = line.indexOf('\t')
+    require(t > 0 && line.substring(1, t).toInt == schemas.size,
+      s"bad $what schema line: $line")
+    val json = line.substring(t + 1)
+    schemas += ((json, DataType.fromJson(json).asInstanceOf[StructType]))
+  }
+
+  private[spark] def parseEntryLine(line: String,
+      schemas: scala.collection.IndexedSeq[(String, StructType)], qdir: String,
+      what: String): Entry = {
+    val parts = line.split('\t') // path (last) re-joined below if it had tabs
+    require(parts.length >= 6, s"bad $what line: $line")
+    val relPath = parts.drop(5).mkString("\t")
+    val (schemaJson, schemaParsed) =
+      if (parts(3) == "-") (null, null) else schemas(parts(3).toInt)
+    val statsB64 = if (parts(4) == "-") null else parts(4)
+    Entry(FileMeta(s"$qdir/$relPath", parts(1).toLong, parts(2).toLong),
+      schemaJson, statsB64, schemaParsed)
   }
 
   /** File-level stats from the (cached) footer; stats-less on any error —
@@ -312,25 +278,9 @@ object StrawManifest {
     val prefix = qdir + "/"
     val sb = new StringBuilder(HeaderV3Prefix)
       .append(java.util.UUID.randomUUID().toString).append('\n')
-    val schemaIdx = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val sorted = entries.sortBy(_.meta.path)
-    sorted.foreach { e =>
-      if (e.schemaJson != null && !schemaIdx.contains(e.schemaJson)) {
-        val idx = schemaIdx.size
-        schemaIdx(e.schemaJson) = idx
-        sb.append('S').append(idx).append('\t').append(e.schemaJson).append('\n')
-      }
-    }
-    sorted.foreach { e =>
-      require(e.meta.path.startsWith(prefix),
-        s"manifest entry outside table: ${e.meta.path}")
-      sb.append("F\t").append(e.meta.mtime).append('\t').append(e.meta.len).append('\t')
-        .append(if (e.schemaJson == null) "-" else schemaIdx(e.schemaJson).toString)
-        .append('\t')
-        .append(if (e.statsB64 == null) "-" else e.statsB64)
-        .append('\t')
-        .append(e.meta.path.substring(prefix.length)).append('\n')
-    }
+    val schemaIdx = appendSchemaDict(sb, sorted)
+    sorted.foreach(appendEntryLine(sb, 'F', _, schemaIdx, prefix, "manifest"))
     val tmp = new Path(dir,
       s".$FileName.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val os = f.create(tmp, true)
@@ -347,7 +297,6 @@ object StrawManifest {
           if (f.rename(tmp, mp)) swapped = true
           else { f.delete(tmp, false); invalidate(dir) }
         }
-        lastSnapshotPut(dir, sorted)
       } else f.delete(tmp, false)
     }
     swapped
@@ -367,14 +316,14 @@ object StrawManifest {
       } catch { case scala.util.control.NonFatal(_) => false }
     }
 
-  /** Drop the manifest (external-writer escape hatch / failed refresh). */
+  /** Drop the legacy manifest file (external-writer escape hatch; also
+    * called by the log bootstrap to retire the pre-log snapshot). */
   def invalidate(dir: String): Unit =
     try { rawFs(dir).delete(manifestPath(dir), false): Unit }
     catch { case scala.util.control.NonFatal(_) => }
 
   def clearCache(): Unit = {
     cache.synchronized(cache.clear())
-    lastSnapshot.synchronized(lastSnapshot.clear())
   }
 }
 

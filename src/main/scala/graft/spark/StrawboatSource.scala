@@ -1261,8 +1261,8 @@ class StrawBatchWrite(path: String, schema: StructType, truncate: Boolean,
     // self-describing and reads back as empty, like parquet. Judged on the
     // POST-commit logical state — physical deletes happen after the log
     // commit, so the directory still holds the outgoing generation here.
-    val priorLive = if (truncate) Seq.empty else StrawIO.listFilesMeta(path)
-    if (fresh.isEmpty && priorLive.isEmpty) {
+    // (fresh.isEmpty first: ordinary appends must not pay a listing.)
+    if (fresh.isEmpty && (truncate || StrawIO.listFilesMeta(path).isEmpty)) {
       f.mkdirs(new Path(path))
       val name = s"part-empty-${UUID.randomUUID().toString.take(8)}${StrawFormat.Extension}"
       val tmp = new Path(path, s".$name.tmp")
@@ -1287,10 +1287,20 @@ class StrawBatchWrite(path: String, schema: StructType, truncate: Boolean,
     // renamed files invisible to log readers (vacuumUnreferenced debris),
     // not a partial commit. Physical deletes follow the metadata commit;
     // a crash between them leaves unreferenced files, reclaimed the same
-    // way.
+    // way. A FAILED commit (IO error, ConflictException against a racing
+    // truncate/compaction) rolls the renamed outputs back so the job fails
+    // as a clean no-op, mirroring StrawCompaction.
     if (freshMeta.nonEmpty || removes.nonEmpty) {
       val adds = StrawIO.mapParallel(freshMeta)(StrawManifest.entryFor)
-      StrawLog.commit(path, adds, removes)
+      try StrawLog.commit(path, adds, removes)
+      catch {
+        case e: Throwable =>
+          freshMeta.foreach { m =>
+            try f.delete(new Path(m.path), false)
+            catch { case scala.util.control.NonFatal(s) => e.addSuppressed(s) }
+          }
+          throw e
+      }
     }
     if (truncate) removes.foreach(old => f.delete(new Path(old), false))
   }

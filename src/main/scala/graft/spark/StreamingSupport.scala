@@ -281,16 +281,19 @@ case class StrawStreamingWriterFactory(path: String, schema: StructType,
 }
 
 /** Streaming sink: tasks stage files under the job-scoped suffix (invisible
-  * to readers); each epoch's winners become visible atomically-per-file in
-  * `commit(epochId)` via [[StrawCommitProtocol]]. A hidden epoch marker
-  * records COMPLETED commits, so the common replay (driver died after the
-  * full commit, before the checkpoint advanced) discards its re-staged
-  * files instead of duplicating rows. A crash in the MIDDLE of the rename
-  * fan-out still replays into partial duplication — the same window
-  * parquet's v1 protocol has; closing it needs an atomic manifest. Markers
-  * older than a few epochs are deleted as commits advance. Epochs are
-  * serial within a query, so sweeping this job's staged leftovers at
-  * commit/abort only removes dead-task debris of the same epoch. */
+  * to readers); each epoch's winners are renamed in `commit(epochId)` and
+  * become visible through ONE atomic [[StrawLog]] commit that also records
+  * the epoch as a txn action (queryId, epochId). Replay at any crash point
+  * is therefore exact: before the log commit, nothing is visible (renamed
+  * files are unreferenced debris for [[StrawLog.vacuumUnreferenced]]) and
+  * the replayed epoch commits cleanly; after it, the txn in the snapshot
+  * identifies the epoch as committed and the replay's re-staged files are
+  * discarded — no partial-duplication window remains, unlike parquet's v1
+  * protocol. Hidden epoch-marker files serve only the `queryId == "none"`
+  * construction path and pre-log sinks; markers older than a few epochs
+  * are deleted as commits advance. Epochs are serial within a query, so
+  * sweeping this job's staged leftovers at commit/abort only removes
+  * dead-task debris of the same epoch. */
 class StrawStreamingWrite(path: String, schema: StructType,
     opts: graft.format.WriteOptions, partitionCol: Option[String] = None,
     queryId: String = "none")

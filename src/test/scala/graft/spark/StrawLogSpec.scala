@@ -207,6 +207,42 @@ class StrawLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(StrawIO.listFilesMeta(out, Some(21L)).size == 21)
   }
 
+  test("commit over an unreadable log refuses instead of forking version 1") {
+    val out = s"$dir/nofork"
+    write(out, 0, 100)
+    write(out, 100, 100)
+    // corrupt the whole log tail: snapshot unresolvable, but versions exist
+    val lf = new java.io.File(s"$out/${StrawLog.DirName}").listFiles
+      .filter(_.getName.endsWith(".commit"))
+    lf.foreach { f =>
+      val raf = new java.io.RandomAccessFile(f, "rw")
+      try { raf.seek(0); raf.write("xx".getBytes) } finally raf.close()
+    }
+    StrawLog.clearCache()
+    val e = intercept[Exception] {
+      write(out, 200, 100)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("unreadable")), msgs(e).mkString("; "))
+    // nothing was committed over the broken log, and the failed write
+    // rolled its renamed outputs back — walkers still see exactly the old
+    // two files
+    assert(StrawIO.walkFilesMeta(out).size == 2)
+  }
+
+  test("vacuumLog at keepVersions=0 keeps the checkpoint's own commit (no brick)") {
+    val out = s"$dir/keep0"
+    (0 until 12).foreach(g => write(out, g * 10L, 10))
+    assert(StrawLog.latestVersion(out).contains(12L))
+    StrawLog.vacuumLog(out, keepVersions = 0)
+    StrawLog.clearCache()
+    // checkpoint 10 + commits 10..12 remain; the log still resolves
+    assert(StrawLog.snapshot(out).get.version == 12L)
+    assert(StrawIO.listFilesMeta(out, Some(10L)).size == 10) // the base itself
+    assert(read(out).count() == 120)
+  }
+
   test("a corrupt commit file degrades to the walk, never to wrong data") {
     val out = s"$dir/corrupt"
     write(out, 0, 100)
