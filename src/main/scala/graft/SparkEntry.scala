@@ -685,6 +685,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).cast("long").as("sum_chars"))
         .orderBy(col("lang"))
     }),
+    // --- transaction log: snapshot isolation / time travel ----------------
+    "q_timetravel" -> ((s, d) => {
+      // two log commits into a fresh table (even doc_ids, then odd), read
+      // back pinned to version 1 via the versionAsOf option — the
+      // transaction log's snapshot isolation surfaced as a reader API
+      // (StrawLog; every commit is one atomic version file). The oracle is
+      // the even-doc_id subset of the original parquet: a green row proves
+      // the pinned snapshot is EXACTLY the pre-append table, untouched by
+      // the second commit.
+      val ttDir = Tables.strawDir(s, d, "documents") + "_tt"
+      val marker = new java.io.File(ttDir, "_OK")
+      if (!marker.exists()) {
+        val docs = t(s, d, "documents")
+        docs.filter(col("doc_id") % 2 === 0)
+          .write.format("strawboat").mode("overwrite").save(ttDir)
+        docs.filter(col("doc_id") % 2 =!= 0)
+          .write.format("strawboat").mode("append").save(ttDir)
+        require(graft.spark.StrawLog.latestVersion(ttDir).exists(_ >= 2L),
+          "q_timetravel: expected at least two log versions")
+        marker.createNewFile()
+      }
+      s.read.format("strawboat").option("versionAsOf", "1").load(ttDir)
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("int").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     // --- nested leaf layout (format v2): pruning + struct-path filters ----
     "q_struct_prune" -> ((s, d) => {
       // projects TWO of the meta struct's four leaves: the v2 per-leaf
@@ -1142,6 +1167,9 @@ object SparkEntry {
     "q_compact_roundtrip" -> // aggregation over the compacted rewrite
       """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_timetravel" -> // version 1 = the even-doc_id first commit only
+      """SELECT doc_id, lang, CAST(n_chars AS INTEGER) AS n_chars
+        |FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin,
     "q_struct_prune" ->
       """SELECT doc_id, lang, CAST(n_chars AS INTEGER) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
