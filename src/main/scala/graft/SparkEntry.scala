@@ -601,6 +601,19 @@ object SparkEntry {
           sum(col("l_linenumber")).as("sum_line"),
           count(lit(1)).as("cnt"))
     }),
+    "q_agg_avg_meta" -> ((s, d) => {
+      // AVG answered without reading a data page: Spark rewrites avg into
+      // SUM + COUNT (V2 aggregate pushdown), both served from the footers'
+      // exact i128 page sums and row counts, and performs the division
+      // itself above the scan — so the result is bit-identical to the
+      // non-pushed plan by construction (no reimplemented semantics). The
+      // AggPushdownSpec pins the plan shape (footer-only, zero page IO).
+      t(s, d, "lineitem")
+        .agg(avg(col("l_linenumber")).as("avg_line"),
+          avg(col("l_orderkey")).as("avg_okey"))
+        .select(round(col("avg_line"), 6).as("avg_line"),
+          round(col("avg_okey"), 6).as("avg_okey"))
+    }),
     "q_agg_partition_meta" -> ((s, d) => {
       // GROUP BY the partition column + count/min/max: answered ENTIRELY
       // from footers (one row per partition directory, zero data pages) —
@@ -1191,6 +1204,10 @@ object SparkEntry {
     "q_agg_sum_meta" ->
       """SELECT CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
         |  CAST(sum(l_linenumber) AS BIGINT) AS sum_line, count(*) AS cnt
+        |FROM lineitem""".stripMargin,
+    "q_agg_avg_meta" -> // avg = pushed exact SUM / COUNT, divided by Spark
+      """SELECT round(avg(l_linenumber), 6) AS avg_line,
+        |  round(avg(l_orderkey), 6) AS avg_okey
         |FROM lineitem""".stripMargin,
     "q_agg_partition_meta" ->
       """SELECT event_type, count(*) AS cnt, round(min(value), 2) AS mn,

@@ -736,11 +736,13 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         col("dec").cast("decimal(12,2)").as("dec"))
     src.repartition(3).write.format("strawboat").mode("overwrite")
       .option("maxPageSize", "500").save(out)
-    // force the REAL multi-page footer path: every save also writes a
-    // manifest whose one-page synthetic stats would otherwise answer and
-    // shadow the per-page sum accumulation under test
+    // force the REAL multi-page footer path: every save also commits a log
+    // snapshot whose one-page synthetic file stats would otherwise answer
+    // and shadow the per-page sum accumulation under test
+    StrawLog.invalidate(out)
     StrawManifest.invalidate(out)
     StrawManifest.clearCache()
+    StrawLog.clearCache()
     val back = spark.read.format("strawboat").load(out)
     val q = back.agg(sum(col("id")).as("s1"), sum(col("neg")).as("s2"),
       sum(col("sparse")).as("s3"), sum(col("dec")).as("s4"),
@@ -766,6 +768,54 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .agg(sum(col("d")))
     assert(!qd.queryExecution.executedPlan.toString.contains("footer-only"))
     assert(math.abs(qd.collect()(0).getDouble(0) - (0 until 7000).map(_.toDouble).sum) < 1e-6)
+  }
+
+  test("AVG answers footer-only via Spark's sum/count rewrite (no data pages)") {
+    val ss = spark
+    import ss.implicits._
+    val out = s"$dir/avgpush"
+    val src = (0 until 5000).map(i =>
+      (i.toLong, i - 2500, if (i % 4 == 0) null else java.lang.Long.valueOf(i.toLong)))
+      .toDF("id", "neg", "sparse")
+    src.repartition(2).write.format("strawboat").mode("overwrite")
+      .option("maxPageSize", "500").save(out)
+    val back = spark.read.format("strawboat").load(out)
+    // Spark rewrites avg into SUM + COUNT at the V2 pushdown boundary; both
+    // answer from footers and Spark itself performs the division — the
+    // result is the engine's own avg semantics over our exact sums, with
+    // zero reimplementation and zero data-page IO
+    val q = back.agg(avg(col("id")).as("a1"), avg(col("neg")).as("a2"),
+      avg(col("sparse")).as("a3"))
+    assert(q.queryExecution.executedPlan.toString.contains("footer-only aggregate"),
+      q.queryExecution.executedPlan.toString.take(400))
+    val r = q.collect()(0)
+    val e = src.agg(avg(col("id")), avg(col("neg")), avg(col("sparse"))).collect()(0)
+    assert(r.toSeq == e.toSeq, s"${r.toSeq} vs ${e.toSeq}")
+    // corruption proof: clobber the head of EVERY data page — the footer
+    // answer must survive, a forced data read must not
+    for (f <- new java.io.File(out).listFiles if f.getName.endsWith(".strb")) {
+      val in = new graft.format.LocalFileInput(f.getPath)
+      val footer = try graft.format.StrawFileReader.readFooter(in) finally in.close()
+      val raf = new java.io.RandomAccessFile(f, "rw")
+      try {
+        for (c <- footer.columns.indices) {
+          val offs = footer.columns(c).pageOffsets
+          for (p <- footer.columns(c).pages.indices)
+            if (footer.columns(c).pages(p).compLen > 0) {
+              raf.seek(offs(p))
+              raf.write(Array.fill(
+                math.min(16, footer.columns(c).pages(p).compLen.toInt))(0x5A.toByte))
+            }
+        }
+      } finally raf.close()
+      new java.io.File(f.getParentFile, s".${f.getName}.crc").delete(): Unit
+    }
+    val back2 = spark.read.format("strawboat").load(out)
+    val q2 = back2.agg(avg(col("id")).as("a1"), avg(col("neg")).as("a2"),
+      avg(col("sparse")).as("a3"))
+    assert(q2.queryExecution.executedPlan.toString.contains("footer-only aggregate"))
+    assert(q2.collect()(0).toSeq == e.toSeq, "footer-only avg must not read pages")
+    intercept[Throwable] { back2.agg(sum(col("id") + 1)).collect() }
   }
 
   test("SUM pushdown declines on 64-bit overflow (normal scan answers)") {
