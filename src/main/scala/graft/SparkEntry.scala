@@ -22,6 +22,25 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.straw(s, dir, name)
 
+  /** The two-commit time-travel fixture (q_timetravel / q_history): even
+    * doc_ids as log version 1 (truncate of a fresh dir), odd as version 2
+    * (append). Built once per sf, marker-cached like the conversions. */
+  private def ttTable(s: SparkSession, d: String): String = {
+    val ttDir = Tables.strawDir(s, d, "documents") + "_tt"
+    val marker = new java.io.File(ttDir, "_OK")
+    if (!marker.exists()) {
+      val docs = t(s, d, "documents")
+      docs.filter(col("doc_id") % 2 === 0)
+        .write.format("strawboat").mode("overwrite").save(ttDir)
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .write.format("strawboat").mode("append").save(ttDir)
+      require(graft.spark.StrawLog.latestVersion(ttDir).exists(_ >= 2L),
+        "timetravel fixture: expected at least two log versions")
+      marker.createNewFile()
+    }
+    ttDir
+  }
+
   /** events.ts is stored as exact nanos-since-epoch (long); derive a µs
     * timestamp for calendar functions (session TZ is UTC). Integer `div`,
     * not `/`: 2024 epoch-nanos exceed double precision. */
@@ -707,21 +726,20 @@ object SparkEntry {
       // the even-doc_id subset of the original parquet: a green row proves
       // the pinned snapshot is EXACTLY the pre-append table, untouched by
       // the second commit.
-      val ttDir = Tables.strawDir(s, d, "documents") + "_tt"
-      val marker = new java.io.File(ttDir, "_OK")
-      if (!marker.exists()) {
-        val docs = t(s, d, "documents")
-        docs.filter(col("doc_id") % 2 === 0)
-          .write.format("strawboat").mode("overwrite").save(ttDir)
-        docs.filter(col("doc_id") % 2 =!= 0)
-          .write.format("strawboat").mode("append").save(ttDir)
-        require(graft.spark.StrawLog.latestVersion(ttDir).exists(_ >= 2L),
-          "q_timetravel: expected at least two log versions")
-        marker.createNewFile()
-      }
-      s.read.format("strawboat").option("versionAsOf", "1").load(ttDir)
+      s.read.format("strawboat").option("versionAsOf", "1").load(ttTable(s, d))
         .select(col("doc_id"), col("lang"), col("n_chars").cast("int").as("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+    "q_history" -> ((s, d) => {
+      // the table's commit audit (StrawLog.history, DESCRIBE-HISTORY
+      // style): version numbers and writer-recorded operations of the
+      // two-commit time-travel table. Timestamps/file-counts are
+      // run-dependent, so the oracle pins the deterministic columns.
+      val sp = s; import sp.implicits._
+      graft.spark.StrawLog.history(ttTable(s, d))
+        .map(h => (h.version, h.operation))
+        .toDF("version", "operation")
+        .orderBy(col("version"))
     }),
     // --- nested leaf layout (format v2): pruning + struct-path filters ----
     "q_struct_prune" -> ((s, d) => {
@@ -1183,6 +1201,10 @@ object SparkEntry {
     "q_timetravel" -> // version 1 = the even-doc_id first commit only
       """SELECT doc_id, lang, CAST(n_chars AS INTEGER) AS n_chars
         |FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin,
+    "q_history" -> // the fixture's commit audit: deterministic columns only
+      """SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'truncate (bootstrap)'),
+        |  (CAST(2 AS BIGINT), 'append')) AS t(version, operation)
+        |ORDER BY version""".stripMargin,
     "q_struct_prune" ->
       """SELECT doc_id, lang, CAST(n_chars AS INTEGER) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -10,7 +10,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * parquet. Conversion is cached across JVMs with a marker file.
   */
 object Tables {
-  private val FormatVersion = "v3" // bump when the on-disk format changes
+  // bump when the on-disk format OR the commit metadata it produces changes
+  // (v4: transaction-log commits with operation lines)
+  private val FormatVersion = "v4"
 
   private def strawRoot = s"/root/repo/target/strawdata/$FormatVersion"
 

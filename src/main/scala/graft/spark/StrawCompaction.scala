@@ -282,7 +282,7 @@ object StrawCompaction {
     // leaves unreferenced inputs for StrawLog.vacuumUnreferenced.
     val inputs = bins.flatMap(_.files.map(_.path)).toSet
     val adds = StrawIO.mapParallel(fresh)(StrawManifest.entryFor)
-    try StrawLog.commit(dir, adds, removes = inputs)
+    try StrawLog.commit(dir, adds, removes = inputs, op = "compact")
     catch {
       case e: Throwable =>
         fresh.foreach { m =>

@@ -188,19 +188,19 @@ object StrawLog {
       val entries = scala.collection.mutable.LinkedHashMap.empty[String, Entry]
       var txns = Map.empty[String, Long]
       base.foreach { cv =>
-        val (es, xs) = parseActions(readLines(f, checkpointPath(ld, cv)), qdir)
+        val a = parseActions(readLines(f, checkpointPath(ld, cv)), qdir)
           .getOrElse(return None)
-        es.foreach { case Right(e) => entries(e.meta.path) = e; case _ => }
-        txns ++= xs
+        a.actions.foreach { case Right(e) => entries(e.meta.path) = e; case _ => }
+        txns ++= a.txns
       }
       tail.foreach { v =>
-        val (es, xs) = parseActions(readLines(f, commitPath(ld, v)), qdir)
+        val a = parseActions(readLines(f, commitPath(ld, v)), qdir)
           .getOrElse(return None)
-        es.foreach {
+        a.actions.foreach {
           case Right(e) => entries(e.meta.path) = e
           case Left(removed) => entries.remove(removed): Unit
         }
-        txns ++= xs
+        txns ++= a.txns
       }
       val snap = Snapshot(target, entries.values.toVector.sortBy(_.meta.path), txns)
       cache.synchronized(cache.put(key, snap))
@@ -218,18 +218,22 @@ object StrawLog {
     } finally in.close()
   }
 
-  /** Parse one commit/checkpoint body into (Right(add) | Left(removePath))
-    * actions plus txns; None on any malformed framing (missing header or
-    * `E` terminator, bad line) — the caller treats the whole log as
-    * unreadable rather than trusting a partial parse. */
-  private def parseActions(lines: Array[String], qdir: String)
-      : Option[(Seq[Either[String, Entry]], Map[String, Long])] = {
+  /** One parsed commit/checkpoint body: (Right(add) | Left(removePath))
+    * actions in file order, txns, and the operation description. */
+  private final case class Actions(actions: Seq[Either[String, Entry]],
+      txns: Map[String, Long], op: String)
+
+  /** Parse one commit/checkpoint body; None on any malformed framing
+    * (missing header or `E` terminator, bad line) — the caller treats the
+    * whole log as unreadable rather than trusting a partial parse. */
+  private def parseActions(lines: Array[String], qdir: String): Option[Actions] = {
     if (lines.isEmpty || !lines(0).startsWith(Header)) return None
     val body = lines.drop(1).filter(_.nonEmpty)
     if (body.isEmpty || body.last != "E") return None
     val schemas = scala.collection.mutable.ArrayBuffer.empty[(String, StructType)]
     val out = Seq.newBuilder[Either[String, Entry]]
     var txns = Map.empty[String, Long]
+    var op = ""
     try {
       body.dropRight(1).foreach { line =>
         if (line.startsWith("S")) StrawManifest.parseSchemaLine(line, schemas, "log")
@@ -241,17 +245,21 @@ object StrawLog {
           val parts = line.split('\t')
           require(parts.length >= 3, s"bad log txn line: $line")
           txns += (parts.drop(2).mkString("\t") -> parts(1).toLong)
+        } else if (line.startsWith("O\t")) {
+          op = line.substring(2)
         } else require(false, s"bad log line: $line")
       }
-      Some((out.result(), txns))
+      Some(Actions(out.result(), txns, op))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   private def serialize(adds: Seq[Entry], removes: Seq[String],
-      txns: Map[String, Long], qdir: String): String = {
+      txns: Map[String, Long], qdir: String, op: String): String = {
     val prefix = qdir + "/"
     val sb = new StringBuilder(Header)
       .append(java.util.UUID.randomUUID().toString).append('\n')
+    if (op.nonEmpty)
+      sb.append("O\t").append(op.replace('\n', ' ').replace('\t', ' ')).append('\n')
     val sorted = adds.sortBy(_.meta.path)
     val schemaIdx = StrawManifest.appendSchemaDict(sb, sorted)
     // R before A: replay applies actions in file order, so if the
@@ -271,7 +279,7 @@ object StrawLog {
 
   /** Claim `dst` with create-if-absent semantics.
     * @return true when THIS writer's content is at `dst`. */
-  private def claim(f: FileSystem, tmp: Path, dst: Path): Boolean = {
+  private[spark] def claim(f: FileSystem, tmp: Path, dst: Path): Boolean = {
     val won =
       if (f.getUri.getScheme == "file") {
         try {
@@ -316,7 +324,7 @@ object StrawLog {
     * [[ConflictException]] when any removed path is no longer in the latest
     * snapshot. */
   def commit(table: String, adds: Seq[Entry], removes: Set[String] = Set.empty,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None, op: String = ""): Long = {
     require(adds.map(_.meta.path).toSet.intersect(removes).isEmpty,
       "strawboat: log commit adds and removes must be disjoint (an in-place " +
         "path replacement would net to REMOVED on replay)")
@@ -368,8 +376,10 @@ object StrawLog {
         // a bootstrap needs no R lines: files subtracted from the folded
         // prior state are simply never listed
         val removeLines = if (cur.isEmpty) Seq.empty else removes.toSeq
+        val opLine = if (cur.isEmpty && op.nonEmpty) s"$op (bootstrap)" else op
         val body = serialize(bootstrap ++ adds, removeLines,
-          txn.map { case (app, v) => Map(app -> v) }.getOrElse(Map.empty), qdir)
+          txn.map { case (app, v) => Map(app -> v) }.getOrElse(Map.empty), qdir,
+          opLine)
         val tmp = new Path(ld, s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
         val os = f.create(tmp, true)
         var ok = false
@@ -397,7 +407,7 @@ object StrawLog {
     try {
       val snap = snapshot(table).getOrElse(return)
       if (snap.version == version && version % CheckpointInterval == 0) {
-        val body = serialize(snap.entries, Seq.empty, snap.txns, qdir)
+        val body = serialize(snap.entries, Seq.empty, snap.txns, qdir, "checkpoint")
         val tmp = new Path(ld, s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
         val os = f.create(tmp, true)
         var ok = false
@@ -406,6 +416,35 @@ object StrawLog {
         if (ok) claim(f, tmp, checkpointPath(ld, version)): Unit
       }
     } catch { case scala.util.control.NonFatal(_) => }
+  }
+
+  /** One table-history row ([[history]]): the version, the commit file's
+    * timestamp, the writer-recorded operation, and the commit's action
+    * counts. `addedFiles` of a bootstrap commit includes the folded pre-log
+    * state. */
+  final case class HistoryRow(version: Long, timestampMs: Long, operation: String,
+      addedFiles: Int, removedFiles: Int, txn: Option[(String, Long)])
+
+  /** The table's commit history, newest first — a DESCRIBE-HISTORY-style
+    * audit of every retained log version (vacuumed versions are absent).
+    * Unreadable version files yield a row with operation
+    * `"(unreadable)"` rather than hiding the version. */
+  def history(table: String): Seq[HistoryRow] = {
+    val f = rawFs(table)
+    val ld = logDir(table)
+    val (commits, _) = listVersions(f, ld)
+    val qdir = StrawIO.fs(table).makeQualified(new Path(table)).toString
+    commits.toSeq.sortBy(-_._1).map { case (v, (mtime, _)) =>
+      (try parseActions(readLines(f, commitPath(ld, v)), qdir)
+      catch { case scala.util.control.NonFatal(_) => None }) match {
+        case Some(a) =>
+          HistoryRow(v, mtime, a.op,
+            addedFiles = a.actions.count(_.isRight),
+            removedFiles = a.actions.count(_.isLeft),
+            txn = a.txns.headOption)
+        case None => HistoryRow(v, mtime, "(unreadable)", 0, 0, None)
+      }
+    }
   }
 
   /** Reclaim data files that are VISIBLE on disk (`*.strb`, no stage

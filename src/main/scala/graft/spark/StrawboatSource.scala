@@ -1292,7 +1292,8 @@ class StrawBatchWrite(path: String, schema: StructType, truncate: Boolean,
     // as a clean no-op, mirroring StrawCompaction.
     if (freshMeta.nonEmpty || removes.nonEmpty) {
       val adds = StrawIO.mapParallel(freshMeta)(StrawManifest.entryFor)
-      try StrawLog.commit(path, adds, removes)
+      try StrawLog.commit(path, adds, removes,
+        op = if (truncate) "truncate" else "append")
       catch {
         case e: Throwable =>
           freshMeta.foreach { m =>

@@ -328,7 +328,7 @@ class StrawStreamingWrite(path: String, schema: StructType,
     } else {
       val fresh = StrawCommitProtocol.finalizeFiles(path, jobId, staged)
       val adds = StrawIO.mapParallel(fresh)(StrawManifest.entryFor)
-      StrawLog.commit(path, adds, txn = txn)
+      StrawLog.commit(path, adds, txn = txn, op = s"streaming epoch $epochId")
       if (txn.isEmpty) f.create(marker, true).close()
     }
     // retire markers the engine can no longer replay (it only ever replays

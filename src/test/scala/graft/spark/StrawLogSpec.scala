@@ -257,6 +257,53 @@ class StrawLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(read(out).count() == 200)
   }
 
+  test("history records versions, operations, and action counts newest-first") {
+    val out = s"$dir/history"
+    write(out, 0, 100, mode = "overwrite")
+    write(out, 100, 100)
+    StrawCompaction.compact(spark, out, targetFileBytes = 64L << 20)
+    write(out, 0, 10, mode = "overwrite")
+    val h = StrawLog.history(out)
+    assert(h.map(_.version) == Seq(4L, 3L, 2L, 1L))
+    assert(h.map(_.operation) ==
+      Seq("truncate", "compact", "append", "truncate (bootstrap)"))
+    val compact = h.find(_.operation == "compact").get
+    assert(compact.addedFiles == 1 && compact.removedFiles == 2)
+    assert(h.last.removedFiles == 0) // bootstrap lists no removes
+    // a streaming txn surfaces in its row
+    val e = StrawLog.snapshot(out).get.entries.head
+    val fake = e.copy(meta = e.meta.copy(path = e.meta.path + ".x.strb"))
+    StrawLog.commit(out, Seq(fake), txn = Some(("qA", 5L)), op = "streaming epoch 5")
+    val h2 = StrawLog.history(out).head
+    assert(h2.operation == "streaming epoch 5" && h2.txn.contains(("qA", 5L)))
+  }
+
+  test("claim is create-if-absent: the loser's content never lands") {
+    val out = s"$dir/claim"
+    val f = StrawIO.fs(out) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
+    f.mkdirs(new Path(out))
+    def mkTmp(content: String): Path = {
+      val p = new Path(out, s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      val os = f.create(p, true)
+      try os.write(content.getBytes("UTF-8")) finally os.close()
+      p
+    }
+    val dst = new Path(out, "00000000000000000007.commit")
+    val a = mkTmp("winner")
+    val b = mkTmp("loser")
+    assert(StrawLog.claim(f, a, dst))
+    assert(!StrawLog.claim(f, b, dst), "second claim of the same version must lose")
+    val in = f.open(dst)
+    val buf = new Array[Byte](6)
+    try in.readFully(0, buf) finally in.close()
+    assert(new String(buf, "UTF-8") == "winner")
+    // both tmps are gone regardless of outcome
+    assert(!f.exists(a) && !f.exists(b))
+  }
+
   // ---------------------------------------------------------------------
   // Time travel
   // ---------------------------------------------------------------------
