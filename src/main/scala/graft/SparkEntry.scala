@@ -730,6 +730,31 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars").cast("int").as("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    "q_delete" -> ((s, d) => {
+      // copy-on-write row-level DELETE (StrawDelete): copy the documents
+      // table, delete short docs (n_chars < 200) under SQL 3VL, read the
+      // survivors back. Oracle = the original parquet WHERE the condition
+      // is not TRUE — a green row proves delete semantics exactly (the
+      // takedown/GDPR primitive over an LLM corpus). File/page stats prune
+      // non-matching files before any IO; the switch is one atomic log
+      // version.
+      val delDir = Tables.strawDir(s, d, "documents") + "_del"
+      val marker = new java.io.File(delDir, "_OK")
+      if (!marker.exists()) {
+        t(s, d, "documents").write.format("strawboat").mode("overwrite").save(delDir)
+        val nCharsLit: Any = t(s, d, "documents").schema("n_chars").dataType match {
+          case org.apache.spark.sql.types.LongType => 200L
+          case _ => 200
+        }
+        val res = graft.spark.StrawDelete.delete(s, delDir,
+          Seq(org.apache.spark.sql.sources.LessThan("n_chars", nCharsLit)))
+        require(res.deletedRows > 0, s"q_delete: nothing deleted ($res)")
+        marker.createNewFile()
+      }
+      s.read.format("strawboat").load(delDir)
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("int").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     "q_history" -> ((s, d) => {
       // the table's commit audit (StrawLog.history, DESCRIBE-HISTORY
       // style): version numbers and writer-recorded operations of the
@@ -1201,6 +1226,10 @@ object SparkEntry {
     "q_timetravel" -> // version 1 = the even-doc_id first commit only
       """SELECT doc_id, lang, CAST(n_chars AS INTEGER) AS n_chars
         |FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin,
+    "q_delete" -> // survivors of DELETE WHERE n_chars < 200 (3VL: nulls kept)
+      """SELECT doc_id, lang, CAST(n_chars AS INTEGER) AS n_chars
+        |FROM documents WHERE n_chars >= 200 OR n_chars IS NULL
+        |ORDER BY doc_id""".stripMargin,
     "q_history" -> // the fixture's commit audit: deterministic columns only
       """SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'truncate (bootstrap)'),
         |  (CAST(2 AS BIGINT), 'append')) AS t(version, operation)

@@ -1,0 +1,226 @@
+package graft.spark
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+
+import graft.format.WriteOptions
+
+/** Row-level DELETE over a strawboat table, copy-on-write: files that may
+  * hold matching rows are rewritten without them and swapped in through ONE
+  * atomic [[StrawLog]] commit; everything else is untouched. The
+  * GDPR/takedown primitive an LLM-corpus table needs — at 100 TB the cost
+  * must be proportional to the files CONTAINING matches, not table size,
+  * which the snapshot's file-level stats and the footers' page zone maps
+  * provide: a file whose stats prove no row can match costs nothing.
+  *
+  * `condition` is a conjunction of [[org.apache.spark.sql.sources.Filter]]s
+  * (the public pushdown algebra — EqualTo/GreaterThan/In/IsNull/And/Or/Not,
+  * string predicates). Rows where the conjunction evaluates TRUE under SQL
+  * three-valued logic are deleted; FALSE and UNKNOWN rows are kept — SQL
+  * DELETE semantics, evaluated by the same [[RowFilterEval]] machinery that
+  * carries the scan's consumed-filter correctness obligation (pinned
+  * adversarially against Spark's own evaluation in
+  * ExactFilterEquivalenceSpec). A condition [[RowFilterEval]] cannot compile
+  * exactly is REJECTED up front — never approximated.
+  *
+  * Rows are evaluated and rewritten in the TABLE schema (per-file null-fill
+  * and lossless widening, the scan's own resolution): a schema-evolved file
+  * lacking the condition column keeps all its rows (absent reads as null →
+  * UNKNOWN), and a rewritten file comes out in the current table schema.
+  *
+  * Crash/concurrency contract mirrors [[StrawCompaction]]: rewrites stage
+  * invisibly, the add/remove switch is one atomic log version (op
+  * `delete`), physical input deletion follows the metadata commit, any
+  * failure rolls visible outputs back, and a concurrent remover surfaces as
+  * [[StrawLog.ConflictException]]. Outputs carry their input's max mtime so
+  * a file-stream source that already saw the input does not re-deliver the
+  * surviving rows (same contract as compaction; deleting from a LIVE stream
+  * source is subject to the same safety-lag caveat).
+  */
+object StrawDelete {
+
+  final case class DeleteResult(
+      deletedRows: Long,
+      rewrittenFiles: Int,
+      removedFiles: Int,
+      /** files the stats tiers proved could not match (zero IO). */
+      prunedFiles: Int,
+      /** candidate files whose rewrite found no matching row (discarded). */
+      falsePositiveFiles: Int) {
+    def touchedFiles: Int = rewrittenFiles
+  }
+
+  /** Delete rows matching `condition` (conjunction, SQL 3VL) from `dir`.
+    * No-op (version unchanged) when nothing matches. */
+  def delete(spark: SparkSession, dir: String, condition: Seq[Filter],
+      opts: WriteOptions = WriteOptions()): DeleteResult = {
+    require(condition.nonEmpty, "strawboat: delete needs a condition " +
+      "(to remove every row, overwrite the table instead)")
+    val schema = spark.read.format("strawboat").load(dir).schema
+    require(RowFilterEval.build(schema, condition.toArray).isDefined,
+      s"strawboat: delete condition is not exactly row-evaluable over " +
+        s"${schema.catalogString}: ${condition.mkString(", ")} (supported: the " +
+        "pushdown filter algebra over flat comparable columns)")
+    val filters = condition.toArray
+
+    // pruning tiers before any data IO: hive partition directories, then
+    // file-level stats from the snapshot, then the real footer's page zone
+    // maps — exactly the scan's planning ladder
+    val listed = StrawIO.listFilesMetaWithStats(dir)
+    val afterPartition = PartitionLayout.pruneBy(listed, schema, filters)(_._1.path)
+    val afterStats = afterPartition.filter { case (_, synth) =>
+      synth.forall(sf => ZoneMapFilter.keptPages(sf, filters)(0))
+    }
+    val candidates = StrawIO.mapParallel(afterStats) { case (m, _) =>
+      val footer = FooterCache.get(m.path, m.mtime, m.len)
+      val keep = ZoneMapFilter.keptPages(footer, filters)
+      (m, footer.columns.headOption.map(_.pages.length).getOrElse(0), keep)
+    }.collect { case (m, nPages, keep) if (0 until nPages).exists(keep) => m }
+    val pruned = listed.size - candidates.size
+
+    if (candidates.isEmpty)
+      return DeleteResult(0L, 0, 0, pruned, 0)
+
+    val jobId = java.util.UUID.randomUUID().toString.take(8)
+    val serConf = new org.apache.spark.util.SerializableConfiguration(StrawIO.conf)
+    val schemaJson = schema.json
+    val filtersB = spark.sparkContext.broadcast(filters)
+
+    // one task per candidate file: stream rows (table schema — the reader
+    // null-fills and widens per file), drop cond=TRUE rows, stage survivors
+    final case class Rewrite(input: String, inputMtime: Long, deleted: Long,
+        staged: Seq[String]) extends Serializable
+    val rewrites: Array[Rewrite] =
+      try {
+        spark.sparkContext.parallelize(candidates, candidates.size).map { m =>
+          StrawIO.install(serConf.value)
+          val tableSchema = org.apache.spark.sql.types.DataType
+            .fromJson(schemaJson).asInstanceOf[StructType]
+          val pred = RowFilterEval.build(tableSchema, filtersB.value).getOrElse(
+            throw new IllegalStateException("strawboat: delete condition no " +
+              "longer compiles on the executor"))
+          // preserve the input's page blooms (row-aligned leaves only)
+          val foot = FooterCache.get(m.path, m.mtime, m.len)
+          val paths = graft.format.LeafLayout.leafPaths(foot.schema)
+          val aligned = graft.format.LeafLayout.leaves(foot.schema)
+            .map(!_._1.contains(graft.format.LeafLayout.LevelRep))
+          val bloomLeaves = foot.columns.indices.collect {
+            case li if aligned(li) && foot.columns(li).pages.exists(_.bloom != null) =>
+              paths(li)
+          }.toSet
+          val parent = new Path(m.path).getParent.toString
+          val writer = new StrawDataWriter(parent, tableSchema,
+            partitionId = 0, taskId = 0,
+            opts.copy(bloomColumns = opts.bloomColumns ++ bloomLeaves), jobId)
+          val factory = new StrawPartitionReaderFactory(tableSchema, tableSchema, serConf)
+          var deleted = 0L
+          var ok = false
+          try {
+            val reader = factory.createReader(
+              StrawInputPartition(m.path, 0, Int.MaxValue, Long.MaxValue))
+            try {
+              while (reader.next()) {
+                val row = reader.get()
+                if (pred(row)) deleted += 1 else writer.write(row)
+              }
+            } finally reader.close()
+            val msg = writer.commit().asInstanceOf[StrawCommitMessage]
+            ok = true
+            Rewrite(m.path, m.mtime, deleted, msg.files)
+          } finally if (!ok) writer.abort()
+        }.collect()
+      } catch {
+        case e: Throwable =>
+          try StrawCommitProtocol.sweepStaged(dir, jobId)
+          catch { case scala.util.control.NonFatal(s) => e.addSuppressed(s) }
+          throw e
+      }
+
+    val f = StrawIO.fs(dir)
+    val suffix = StrawCommitProtocol.stageSuffix(jobId)
+    val (changed, untouched) = rewrites.partition(_.deleted > 0)
+    // zone maps keep a file whose pages MIGHT match; a rewrite that found
+    // no matching row is discarded and its input stays byte-identical
+    untouched.foreach(_.staged.foreach(s => f.delete(new Path(s), false)))
+
+    if (changed.isEmpty) {
+      StrawCommitProtocol.sweepStaged(dir, jobId)
+      return DeleteResult(0L, 0, 0, pruned, untouched.length)
+    }
+
+    // make survivors visible under the input's mtime (stream seen-ness),
+    // rolling back on any failure — as compaction does
+    val visible = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
+    val fresh =
+      try {
+        changed.toSeq.flatMap { rw =>
+          StrawIO.mapParallel(rw.staged) { s =>
+            val sp = new Path(s)
+            val dst = new Path(sp.getParent, sp.getName.stripSuffix(suffix))
+            val len = f.getFileStatus(sp).getLen
+            f.setTimes(sp, rw.inputMtime, -1)
+            if (!f.rename(sp, dst))
+              throw new java.io.IOException(s"strawboat: delete rename $sp -> $dst failed")
+            visible.add(dst)
+            StrawIO.FileMeta(f.makeQualified(dst).toString, rw.inputMtime, len)
+          }
+        }
+      } catch {
+        case e: Throwable =>
+          visible.forEach { p =>
+            try f.delete(p, false)
+            catch { case scala.util.control.NonFatal(s) => e.addSuppressed(s) }
+          }
+          try StrawCommitProtocol.sweepStaged(dir, jobId)
+          catch { case scala.util.control.NonFatal(s) => e.addSuppressed(s) }
+          throw e
+      }
+
+    val removes = changed.map(c => f.makeQualified(new Path(c.input)).toString).toSet
+    // every row of every file deleted: leave one schema-only marker so the
+    // table stays self-describing and reads back empty (as BatchWrite does
+    // for an empty overwrite)
+    var freshAll = fresh
+    if (fresh.isEmpty && removes.size == listed.size) {
+      val name = s"part-empty-${java.util.UUID.randomUUID().toString.take(8)}" +
+        graft.format.StrawFormat.Extension
+      val tmp = new Path(dir, s".$name.tmp")
+      val os = f.create(tmp, true)
+      var ok = false
+      try { new graft.format.StrawFileWriter(schema, opts).writeTo(os); ok = true }
+      finally {
+        os.close()
+        if (ok) {
+          if (!f.rename(tmp, new Path(dir, name)))
+            throw new java.io.IOException(s"strawboat: rename $tmp -> $name failed")
+        } else f.delete(tmp, false)
+      }
+      val st = f.getFileStatus(new Path(dir, name))
+      freshAll :+= StrawIO.FileMeta(f.makeQualified(st.getPath).toString,
+        st.getModificationTime, st.getLen)
+    }
+    val adds = StrawIO.mapParallel(freshAll)(StrawManifest.entryFor)
+    try StrawLog.commit(dir, adds, removes = removes, op = "delete")
+    catch {
+      case e: Throwable =>
+        freshAll.foreach { m =>
+          try f.delete(new Path(m.path), false)
+          catch { case scala.util.control.NonFatal(s) => e.addSuppressed(s) }
+        }
+        try StrawCommitProtocol.sweepStaged(dir, jobId)
+        catch { case scala.util.control.NonFatal(s) => e.addSuppressed(s) }
+        throw e
+    }
+    StrawIO.mapParallel(removes.toSeq)(p => f.delete(new Path(p), false))
+    StrawCommitProtocol.sweepStaged(dir, jobId)
+
+    DeleteResult(
+      deletedRows = changed.map(_.deleted).sum,
+      rewrittenFiles = fresh.size,
+      removedFiles = removes.size,
+      prunedFiles = pruned,
+      falsePositiveFiles = untouched.length)
+  }
+}
