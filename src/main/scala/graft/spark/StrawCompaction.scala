@@ -62,6 +62,93 @@ import graft.format.WriteOptions
   * the same limitation Spark's own FileStreamSource has for files
   * rewritten in place.
   */
+/** Mechanics shared by the table-maintenance rewriters ([[StrawCompaction]],
+  * [[StrawDelete]]): bloom re-derivation, the stamped rename-visible fan-out
+  * with rollback, and the atomic log switch + vacuum epilogue. One
+  * implementation, so a fix to the rollback or mtime-stamping contract
+  * cannot diverge between the two paths. */
+private[spark] object MaintenanceOps {
+
+  /** Row-aligned leaf paths of `footer`'s schema that carry page blooms —
+    * rewrites re-derive these so routine maintenance never silently strips
+    * the point-lookup acceleration the table was written with. Repeated
+    * (array/map) leaves are dropped: not row-aligned, never probe-able
+    * (files written before the writer rejected such paths may carry them). */
+  def bloomLeavesOf(footer: graft.format.StrawFooter): Set[String] = {
+    val paths = graft.format.LeafLayout.leafPaths(footer.schema)
+    val aligned = graft.format.LeafLayout.leaves(footer.schema)
+      .map(!_._1.contains(graft.format.LeafLayout.LevelRep))
+    footer.columns.indices.collect {
+      case li if aligned(li) && footer.columns(li).pages.exists(_.bloom != null) =>
+        paths(li)
+    }.toSet
+  }
+
+  /** Rename staged outputs visible, each group stamped with its mtime
+    * BEFORE the rename (a reader must never list a file under a wrong
+    * mtime; maintenance stamps the inputs' max mtime so a file-stream
+    * source that already saw the data does not re-deliver it). On any
+    * failure every output already made visible is deleted (the inputs are
+    * untouched until the caller's vacuum, so nothing is lost) and this
+    * job's staged debris swept before rethrowing — an ordinary IO error is
+    * a clean no-op, never a both-generations directory. */
+  def renameVisibleStamped(dir: String, jobId: String,
+      groups: Seq[(Long, Seq[String])]): Seq[StrawIO.FileMeta] = {
+    val f = StrawIO.fs(dir)
+    val suffix = StrawCommitProtocol.stageSuffix(jobId)
+    val visible = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
+    try {
+      groups.flatMap { case (mtime, names) =>
+        StrawIO.mapParallel(names) { s =>
+          val sp = new Path(s)
+          val dst = new Path(sp.getParent, sp.getName.stripSuffix(suffix))
+          val len = f.getFileStatus(sp).getLen
+          f.setTimes(sp, mtime, -1)
+          if (!f.rename(sp, dst))
+            throw new java.io.IOException(s"strawboat: maintenance rename $sp -> $dst failed")
+          visible.add(dst)
+          StrawIO.FileMeta(f.makeQualified(dst).toString, mtime, len)
+        }
+      }
+    } catch {
+      case e: Throwable =>
+        visible.forEach { p =>
+          try f.delete(p, false)
+          catch { case scala.util.control.NonFatal(s) => e.addSuppressed(s) }
+        }
+        try StrawCommitProtocol.sweepStaged(dir, jobId)
+        catch { case scala.util.control.NonFatal(s) => e.addSuppressed(s) }
+        throw e
+    }
+  }
+
+  /** The maintenance epilogue: ONE atomic log version switches generations
+    * (adds = rewrites, removes = inputs, recorded as `op`) — log readers
+    * observe the old or the new set, never both. On a failed/conflicting
+    * commit the visible `adds` are rolled back and staged debris swept
+    * before rethrowing (inputs untouched — a clean no-op). On success the
+    * removed inputs are vacuumed and staged debris swept; a crash between
+    * commit and vacuum leaves unreferenced inputs for
+    * [[StrawLog.vacuumUnreferenced]]. */
+  def commitSwitchAndVacuum(dir: String, jobId: String,
+      adds: Seq[StrawManifest.Entry], removes: Set[String], op: String): Unit = {
+    val f = StrawIO.fs(dir)
+    try StrawLog.commit(dir, adds, removes = removes, op = op)
+    catch {
+      case e: Throwable =>
+        adds.foreach { a =>
+          try f.delete(new Path(a.meta.path), false)
+          catch { case scala.util.control.NonFatal(s) => e.addSuppressed(s) }
+        }
+        try StrawCommitProtocol.sweepStaged(dir, jobId)
+        catch { case scala.util.control.NonFatal(s) => e.addSuppressed(s) }
+        throw e
+    }
+    StrawIO.mapParallel(removes.toSeq)(p => f.delete(new Path(p), false))
+    StrawCommitProtocol.sweepStaged(dir, jobId)
+  }
+}
+
 object StrawCompaction {
 
   final case class CompactionResult(
@@ -170,21 +257,8 @@ object StrawCompaction {
           // footers record exactly which leaves carry them — without this,
           // routine maintenance would silently strip the point-lookup
           // acceleration the table was written with
-          val leafPaths = graft.format.LeafLayout.leafPaths(schema)
-          // drop any bloom on a repeated (array/map) leaf: the writer now
-          // rejects such paths (they are not row-aligned, so equality
-          // pushdown can never probe them), but files written before that
-          // check may still carry one — stripping it loses nothing
-          val rowAligned = graft.format.LeafLayout.leaves(schema)
-            .map(!_._1.contains(graft.format.LeafLayout.LevelRep))
-          val bloomLeaves = bin.files.flatMap { fm =>
-            val foot = FooterCache.get(fm.path, fm.mtime, fm.len)
-            foot.columns.indices.collect {
-              case li if rowAligned(li) &&
-                  foot.columns(li).pages.exists(_.bloom != null) =>
-                leafPaths(li)
-            }
-          }.toSet
+          val bloomLeaves = bin.files.flatMap(fm =>
+            MaintenanceOps.bloomLeavesOf(FooterCache.get(fm.path, fm.mtime, fm.len))).toSet
           val writer = new StrawDataWriter(bin.parent, schema,
             partitionId = 0, taskId = 0,
             outOpts.copy(bloomColumns = outOpts.bloomColumns ++ bloomLeaves),
@@ -236,65 +310,14 @@ object StrawCompaction {
           throw e
       }
 
-    // make outputs visible, stamped with the bin's max input mtime (before
-    // the rename, as the commit protocol does — rename preserves mtime on
-    // local/HDFS, and a reader must never list the file with a wrong one)
-    val f = StrawIO.fs(dir)
-    val suffix = StrawCommitProtocol.stageSuffix(jobId)
-    // track successful renames so an ordinary IO failure mid-fan-out can
-    // roll the visible outputs back (inputs are untouched until the vacuum,
-    // so deleting them loses nothing) — without this, a failed rename left
-    // both generations on disk for a later walk-based manifest refresh to
-    // bake in as duplicate rows. A hard crash still leaves debris (the
-    // documented no-transaction-log window); this closes the non-crash path.
-    val visible = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
-    val fresh =
-      try {
-        staged.flatMap { case (bin, names) =>
-          StrawIO.mapParallel(names) { s =>
-            val sp = new Path(s)
-            val dst = new Path(sp.getParent, sp.getName.stripSuffix(suffix))
-            val len = f.getFileStatus(sp).getLen
-            f.setTimes(sp, bin.maxMtime, -1)
-            if (!f.rename(sp, dst))
-              throw new java.io.IOException(s"strawboat: compaction rename $sp -> $dst failed")
-            visible.add(dst)
-            StrawIO.FileMeta(f.makeQualified(dst).toString, bin.maxMtime, len)
-          }
-        }.toSeq
-      } catch {
-        case e: Throwable =>
-          visible.forEach { p =>
-            try f.delete(p, false)
-            catch { case scala.util.control.NonFatal(s) => e.addSuppressed(s) }
-          }
-          try StrawCommitProtocol.sweepStaged(dir, jobId)
-          catch { case scala.util.control.NonFatal(s) => e.addSuppressed(s) }
-          throw e
-      }
-
-    // ONE atomic log commit switches generations (adds = rewrites, removes
-    // = inputs): log readers observe the old or the new set, never both.
-    // On a failed/conflicting commit nothing became visible — roll the
-    // outputs back (inputs untouched) and rethrow, a clean no-op failure
-    // instead of the old degraded walk-sees-both-generations mode. The
-    // vacuum of inputs follows the metadata commit; a crash between them
-    // leaves unreferenced inputs for StrawLog.vacuumUnreferenced.
+    // make outputs visible stamped with the bin's max input mtime, then
+    // switch generations atomically and vacuum — shared mechanics (incl.
+    // rollback on every failure path) live in [[MaintenanceOps]]
+    val fresh = MaintenanceOps.renameVisibleStamped(dir, jobId,
+      staged.toSeq.map { case (bin, names) => (bin.maxMtime, names) })
     val inputs = bins.flatMap(_.files.map(_.path)).toSet
     val adds = StrawIO.mapParallel(fresh)(StrawManifest.entryFor)
-    try StrawLog.commit(dir, adds, removes = inputs, op = "compact")
-    catch {
-      case e: Throwable =>
-        fresh.foreach { m =>
-          try f.delete(new Path(m.path), false)
-          catch { case scala.util.control.NonFatal(s) => e.addSuppressed(s) }
-        }
-        try StrawCommitProtocol.sweepStaged(dir, jobId)
-        catch { case scala.util.control.NonFatal(s) => e.addSuppressed(s) }
-        throw e
-    }
-    StrawIO.mapParallel(inputs.toSeq)(p => f.delete(new Path(p), false))
-    StrawCommitProtocol.sweepStaged(dir, jobId)
+    MaintenanceOps.commitSwitchAndVacuum(dir, jobId, adds, inputs, op = "compact")
 
     CompactionResult(
       inputFiles = inputs.size,

@@ -48,9 +48,7 @@ object StrawDelete {
       /** files the stats tiers proved could not match (zero IO). */
       prunedFiles: Int,
       /** candidate files whose rewrite found no matching row (discarded). */
-      falsePositiveFiles: Int) {
-    def touchedFiles: Int = rewrittenFiles
-  }
+      falsePositiveFiles: Int)
 
   /** Delete rows matching `condition` (conjunction, SQL 3VL) from `dir`.
     * No-op (version unchanged) when nothing matches. */
@@ -58,7 +56,16 @@ object StrawDelete {
       opts: WriteOptions = WriteOptions()): DeleteResult = {
     require(condition.nonEmpty, "strawboat: delete needs a condition " +
       "(to remove every row, overwrite the table instead)")
-    val schema = spark.read.format("strawboat").load(dir).schema
+    // ONE listing snapshot drives both the table schema and the candidate
+    // set: deriving the schema from a separate (earlier) resolution could
+    // rewrite a concurrently-appended file in a stale schema that silently
+    // drops its new column's data
+    val listed = StrawIO.listFilesMetaWithStats(dir)
+    require(listed.nonEmpty, s"strawboat: no data files under $dir")
+    val schema = StrawSchemaResolver.merge(StrawIO.mapParallel(listed) {
+      case (m, Some(synth)) => (m.path, synth.schema)
+      case (m, None) => (m.path, FooterCache.get(m.path, m.mtime, m.len).schema)
+    })
     require(RowFilterEval.build(schema, condition.toArray).isDefined,
       s"strawboat: delete condition is not exactly row-evaluable over " +
         s"${schema.catalogString}: ${condition.mkString(", ")} (supported: the " +
@@ -68,7 +75,6 @@ object StrawDelete {
     // pruning tiers before any data IO: hive partition directories, then
     // file-level stats from the snapshot, then the real footer's page zone
     // maps — exactly the scan's planning ladder
-    val listed = StrawIO.listFilesMetaWithStats(dir)
     val afterPartition = PartitionLayout.pruneBy(listed, schema, filters)(_._1.path)
     val afterStats = afterPartition.filter { case (_, synth) =>
       synth.forall(sf => ZoneMapFilter.keptPages(sf, filters)(0))
@@ -102,14 +108,8 @@ object StrawDelete {
             throw new IllegalStateException("strawboat: delete condition no " +
               "longer compiles on the executor"))
           // preserve the input's page blooms (row-aligned leaves only)
-          val foot = FooterCache.get(m.path, m.mtime, m.len)
-          val paths = graft.format.LeafLayout.leafPaths(foot.schema)
-          val aligned = graft.format.LeafLayout.leaves(foot.schema)
-            .map(!_._1.contains(graft.format.LeafLayout.LevelRep))
-          val bloomLeaves = foot.columns.indices.collect {
-            case li if aligned(li) && foot.columns(li).pages.exists(_.bloom != null) =>
-              paths(li)
-          }.toSet
+          val bloomLeaves = MaintenanceOps.bloomLeavesOf(
+            FooterCache.get(m.path, m.mtime, m.len))
           val parent = new Path(m.path).getParent.toString
           val writer = new StrawDataWriter(parent, tableSchema,
             partitionId = 0, taskId = 0,
@@ -139,11 +139,10 @@ object StrawDelete {
       }
 
     val f = StrawIO.fs(dir)
-    val suffix = StrawCommitProtocol.stageSuffix(jobId)
     val (changed, untouched) = rewrites.partition(_.deleted > 0)
     // zone maps keep a file whose pages MIGHT match; a rewrite that found
-    // no matching row is discarded and its input stays byte-identical
-    untouched.foreach(_.staged.foreach(s => f.delete(new Path(s), false)))
+    // no matching row is discarded (the epilogue's staged sweep reclaims
+    // its outputs) and its input stays byte-identical
 
     if (changed.isEmpty) {
       StrawCommitProtocol.sweepStaged(dir, jobId)
@@ -151,32 +150,9 @@ object StrawDelete {
     }
 
     // make survivors visible under the input's mtime (stream seen-ness),
-    // rolling back on any failure — as compaction does
-    val visible = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
-    val fresh =
-      try {
-        changed.toSeq.flatMap { rw =>
-          StrawIO.mapParallel(rw.staged) { s =>
-            val sp = new Path(s)
-            val dst = new Path(sp.getParent, sp.getName.stripSuffix(suffix))
-            val len = f.getFileStatus(sp).getLen
-            f.setTimes(sp, rw.inputMtime, -1)
-            if (!f.rename(sp, dst))
-              throw new java.io.IOException(s"strawboat: delete rename $sp -> $dst failed")
-            visible.add(dst)
-            StrawIO.FileMeta(f.makeQualified(dst).toString, rw.inputMtime, len)
-          }
-        }
-      } catch {
-        case e: Throwable =>
-          visible.forEach { p =>
-            try f.delete(p, false)
-            catch { case scala.util.control.NonFatal(s) => e.addSuppressed(s) }
-          }
-          try StrawCommitProtocol.sweepStaged(dir, jobId)
-          catch { case scala.util.control.NonFatal(s) => e.addSuppressed(s) }
-          throw e
-      }
+    // with rollback on any failure — shared mechanics in [[MaintenanceOps]]
+    val fresh = MaintenanceOps.renameVisibleStamped(dir, jobId,
+      changed.toSeq.map(rw => (rw.inputMtime, rw.staged)))
 
     val removes = changed.map(c => f.makeQualified(new Path(c.input)).toString).toSet
     // every row of every file deleted: leave one schema-only marker so the
@@ -202,19 +178,7 @@ object StrawDelete {
         st.getModificationTime, st.getLen)
     }
     val adds = StrawIO.mapParallel(freshAll)(StrawManifest.entryFor)
-    try StrawLog.commit(dir, adds, removes = removes, op = "delete")
-    catch {
-      case e: Throwable =>
-        freshAll.foreach { m =>
-          try f.delete(new Path(m.path), false)
-          catch { case scala.util.control.NonFatal(s) => e.addSuppressed(s) }
-        }
-        try StrawCommitProtocol.sweepStaged(dir, jobId)
-        catch { case scala.util.control.NonFatal(s) => e.addSuppressed(s) }
-        throw e
-    }
-    StrawIO.mapParallel(removes.toSeq)(p => f.delete(new Path(p), false))
-    StrawCommitProtocol.sweepStaged(dir, jobId)
+    MaintenanceOps.commitSwitchAndVacuum(dir, jobId, adds, removes, op = "delete")
 
     DeleteResult(
       deletedRows = changed.map(_.deleted).sum,

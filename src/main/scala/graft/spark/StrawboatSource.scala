@@ -75,30 +75,7 @@ class StrawboatDataSource extends TableProvider with DataSourceRegister {
     val schemas = manifestSchemas.getOrElse(
       StrawIO.mapParallel(files)(f =>
         (f.path, FooterCache.get(f.path, f.mtime, f.len).schema)))
-    val fields = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
-    val presence = scala.collection.mutable.Map.empty[String, Int]
-    for ((f, s) <- schemas; fld <- s.fields) {
-      presence(fld.name) = presence.getOrElse(fld.name, 0) + 1
-      fields.get(fld.name) match {
-        case None => fields(fld.name) = fld
-        case Some(prev) =>
-          val merged =
-            if (prev.dataType == fld.dataType) prev.dataType
-            else if (StrawSchemaResolver.widenable(prev.dataType, fld.dataType)) fld.dataType
-            else if (StrawSchemaResolver.widenable(fld.dataType, prev.dataType)) prev.dataType
-            else throw new IllegalArgumentException(
-              s"strawboat: column '${fld.name}' is ${prev.dataType} in one file " +
-                s"but ${fld.dataType} in $f")
-          // copy from prev so first-seen field METADATA survives the merge
-          fields(fld.name) = prev.copy(dataType = merged,
-            nullable = prev.nullable || fld.nullable)
-      }
-    }
-    StructType(fields.values.toSeq.map { fld =>
-      // a column absent from any file reads as null there — it MUST be
-      // nullable in the merged schema or codegen elides the null checks
-      if (presence(fld.name) < schemas.size) fld.copy(nullable = true) else fld
-    })
+    StrawSchemaResolver.merge(schemas)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -1098,6 +1075,38 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
   * mismatch fails loudly with the offending file in the message. */
 object StrawSchemaResolver {
   import org.apache.spark.sql.types._
+
+  /** Merge per-file schemas into the table schema: new columns surface
+    * (null-filled where absent — those turn nullable), lossless type
+    * evolution widens, incompatible types fail with both definitions
+    * named. Shared by `inferSchema` and maintenance ops that must derive
+    * the schema from the SAME snapshot as their file listing. */
+  def merge(schemas: Seq[(String, StructType)]): StructType = {
+    val fields = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
+    val presence = scala.collection.mutable.Map.empty[String, Int]
+    for ((f, s) <- schemas; fld <- s.fields) {
+      presence(fld.name) = presence.getOrElse(fld.name, 0) + 1
+      fields.get(fld.name) match {
+        case None => fields(fld.name) = fld
+        case Some(prev) =>
+          val merged =
+            if (prev.dataType == fld.dataType) prev.dataType
+            else if (widenable(prev.dataType, fld.dataType)) fld.dataType
+            else if (widenable(fld.dataType, prev.dataType)) prev.dataType
+            else throw new IllegalArgumentException(
+              s"strawboat: column '${fld.name}' is ${prev.dataType} in one file " +
+                s"but ${fld.dataType} in $f")
+          // copy from prev so first-seen field METADATA survives the merge
+          fields(fld.name) = prev.copy(dataType = merged,
+            nullable = prev.nullable || fld.nullable)
+      }
+    }
+    StructType(fields.values.toSeq.map { fld =>
+      // a column absent from any file reads as null there — it MUST be
+      // nullable in the merged schema or codegen elides the null checks
+      if (presence(fld.name) < schemas.size) fld.copy(nullable = true) else fld
+    })
+  }
 
   /** Lossless widenings a long-lived table accumulates: integral up-casts
     * and float→double. (Decimal re-precision changes the physical layout

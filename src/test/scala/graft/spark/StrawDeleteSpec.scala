@@ -61,9 +61,18 @@ class StrawDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
         .coalesce(1).write.format("strawboat").mode("append").save(out)
     val before = StrawIO.listFilesMeta(out).map(m => m.path -> (m.mtime, m.len)).toMap
     // corrupt the DATA pages of the two non-matching files: if delete reads
-    // them, it fails; if pruning works, they are never opened
+    // them, it fails; if pruning works, they are never opened. Select them
+    // by their OWN stats (max id < 2500), not by file-name order — task ids
+    // in names are unpadded, so lexicographic order is not append order
     val matchless = new java.io.File(out).listFiles
-      .filter(_.getName.endsWith(".strb")).sortBy(_.getName).take(2)
+      .filter(_.getName.endsWith(".strb"))
+      .filter { f =>
+        val in = new graft.format.LocalFileInput(f.getPath)
+        val footer = try graft.format.StrawFileReader.readFooter(in) finally in.close()
+        val idIdx = footer.schema.fieldIndex("id")
+        footer.columns(idIdx).pages.forall(_.max < 2500L)
+      }
+    assert(matchless.length == 2, s"expected 2 matchless files, got ${matchless.length}")
     for (f <- matchless) {
       val in = new graft.format.LocalFileInput(f.getPath)
       val footer = try graft.format.StrawFileReader.readFooter(in) finally in.close()
@@ -78,8 +87,7 @@ class StrawDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
       } finally raf.close()
       new java.io.File(f.getParentFile, s".${f.getName}.crc").delete(): Unit
     }
-    // files are path-sorted per append order: take(2) corrupted the first
-    // two appends (ids 0..1999); delete from the third range only
+    // the corrupted files hold ids 0..1999; delete from the third range only
     val res = StrawDelete.delete(spark, out,
       Seq(GreaterThanOrEqual("id", 2500L): Filter))
     assert(res.deletedRows == 500, res.toString)
