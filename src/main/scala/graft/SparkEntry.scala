@@ -755,6 +755,30 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars").cast("int").as("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    "q_update" -> ((s, d) => {
+      // copy-on-write row-level UPDATE (StrawUpdate): the redaction
+      // primitive — overwrite the lang of short docs with a sentinel. The
+      // oracle applies the same CASE over parquet: a green row proves
+      // assignment + 3VL semantics exactly. Non-matching files are pruned
+      // by stats before any IO; the switch is one atomic log version.
+      val updDir = Tables.strawDir(s, d, "documents") + "_upd"
+      val marker = new java.io.File(updDir, "_OK")
+      if (!marker.exists()) {
+        t(s, d, "documents").write.format("strawboat").mode("overwrite").save(updDir)
+        val lit: Any = t(s, d, "documents").schema("n_chars").dataType match {
+          case org.apache.spark.sql.types.LongType => 200L
+          case _ => 200
+        }
+        val res = graft.spark.StrawUpdate.update(s, updDir,
+          Seq(org.apache.spark.sql.sources.LessThan("n_chars", lit)),
+          Map("lang" -> "redacted"))
+        require(res.updatedRows > 0, s"q_update: nothing updated ($res)")
+        marker.createNewFile()
+      }
+      s.read.format("strawboat").load(updDir)
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("int").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     "q_history" -> ((s, d) => {
       // the table's commit audit (StrawLog.history, DESCRIBE-HISTORY
       // style): version numbers and writer-recorded operations of the
@@ -1230,6 +1254,11 @@ object SparkEntry {
       """SELECT doc_id, lang, CAST(n_chars AS INTEGER) AS n_chars
         |FROM documents WHERE n_chars >= 200 OR n_chars IS NULL
         |ORDER BY doc_id""".stripMargin,
+    "q_update" -> // UPDATE SET lang='redacted' WHERE n_chars < 200 (3VL)
+      """SELECT doc_id,
+        |  CASE WHEN n_chars < 200 THEN 'redacted' ELSE lang END AS lang,
+        |  CAST(n_chars AS INTEGER) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_history" -> // the fixture's commit audit: deterministic columns only
       """SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'truncate (bootstrap)'),
         |  (CAST(2 AS BIGINT), 'append')) AS t(version, operation)

@@ -84,6 +84,27 @@ private[spark] object MaintenanceOps {
     }.toSet
   }
 
+  /** The row-matching ops' candidate ladder: hive partition directories,
+    * then file-level stats from the snapshot, then the real footer's page
+    * zone maps — a file excluded by any tier provably holds no matching
+    * row and costs no data IO.
+    * @return (candidate files, pruned-file count) */
+  def matchCandidates(listed: Seq[(StrawIO.FileMeta, Option[graft.format.StrawFooter])],
+      schema: org.apache.spark.sql.types.StructType,
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : (Seq[StrawIO.FileMeta], Int) = {
+    val afterPartition = PartitionLayout.pruneBy(listed, schema, filters)(_._1.path)
+    val afterStats = afterPartition.filter { case (_, synth) =>
+      synth.forall(sf => ZoneMapFilter.keptPages(sf, filters)(0))
+    }
+    val candidates = StrawIO.mapParallel(afterStats) { case (m, _) =>
+      val footer = FooterCache.get(m.path, m.mtime, m.len)
+      val keep = ZoneMapFilter.keptPages(footer, filters)
+      (m, footer.columns.headOption.map(_.pages.length).getOrElse(0), keep)
+    }.collect { case (m, nPages, keep) if (0 until nPages).exists(keep) => m }
+    (candidates, listed.size - candidates.size)
+  }
+
   /** Rename staged outputs visible, each group stamped with its mtime
     * BEFORE the rename (a reader must never list a file under a wrong
     * mtime; maintenance stamps the inputs' max mtime so a file-stream

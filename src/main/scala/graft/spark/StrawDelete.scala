@@ -75,16 +75,7 @@ object StrawDelete {
     // pruning tiers before any data IO: hive partition directories, then
     // file-level stats from the snapshot, then the real footer's page zone
     // maps — exactly the scan's planning ladder
-    val afterPartition = PartitionLayout.pruneBy(listed, schema, filters)(_._1.path)
-    val afterStats = afterPartition.filter { case (_, synth) =>
-      synth.forall(sf => ZoneMapFilter.keptPages(sf, filters)(0))
-    }
-    val candidates = StrawIO.mapParallel(afterStats) { case (m, _) =>
-      val footer = FooterCache.get(m.path, m.mtime, m.len)
-      val keep = ZoneMapFilter.keptPages(footer, filters)
-      (m, footer.columns.headOption.map(_.pages.length).getOrElse(0), keep)
-    }.collect { case (m, nPages, keep) if (0 until nPages).exists(keep) => m }
-    val pruned = listed.size - candidates.size
+    val (candidates, pruned) = MaintenanceOps.matchCandidates(listed, schema, filters)
 
     if (candidates.isEmpty)
       return DeleteResult(0L, 0, 0, pruned, 0)

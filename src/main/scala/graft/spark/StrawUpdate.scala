@@ -1,0 +1,193 @@
+package graft.spark
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.sources.Filter
+
+import graft.format.WriteOptions
+
+/** Row-level UPDATE over a strawboat table, copy-on-write: files that may
+  * hold matching rows are rewritten with the assignments applied to every
+  * cond=TRUE row and swapped in through ONE atomic [[StrawLog]] commit —
+  * the redaction primitive for an LLM corpus (null out or overwrite a PII
+  * column where flagged) with cost proportional to the files CONTAINING
+  * matches, exactly like [[StrawDelete]].
+  *
+  * `condition` is the same pushdown-filter conjunction as delete's (SQL
+  * 3VL: only TRUE rows update); `set` maps flat column names to new
+  * LITERAL values (external JVM forms — String, Long, java.math.BigDecimal,
+  * null to redact — converted to the column's type up front, rejected
+  * loudly on mismatch). Assigning the table's hive PARTITION column is
+  * rejected: rows would have to move between directories, which a
+  * file-local rewrite cannot do.
+  *
+  * Crash/concurrency, mtime stamping, bloom preservation, and schema
+  * handling all follow [[StrawDelete]] (shared [[MaintenanceOps]]): the
+  * rewrite happens in the table schema derived from the SAME listing
+  * snapshot, stages invisibly, commits one atomic log version (op
+  * `update`), rolls back on failure, and vacuums inputs after.
+  */
+object StrawUpdate {
+
+  final case class UpdateResult(
+      updatedRows: Long,
+      rewrittenFiles: Int,
+      removedFiles: Int,
+      prunedFiles: Int,
+      falsePositiveFiles: Int)
+
+  /** Is `v` the Catalyst-internal representation `dt` stores? */
+  private def internalForm(dt: org.apache.spark.sql.types.DataType, v: Any): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case BooleanType => v.isInstanceOf[java.lang.Boolean]
+      case ByteType => v.isInstanceOf[java.lang.Byte]
+      case ShortType => v.isInstanceOf[java.lang.Short]
+      case IntegerType | DateType => v.isInstanceOf[java.lang.Integer]
+      case LongType | TimestampType | TimestampNTZType => v.isInstanceOf[java.lang.Long]
+      case FloatType => v.isInstanceOf[java.lang.Float]
+      case DoubleType => v.isInstanceOf[java.lang.Double]
+      case StringType => v.isInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      case BinaryType => v.isInstanceOf[Array[Byte]]
+      case _: DecimalType => v.isInstanceOf[org.apache.spark.sql.types.Decimal]
+      case _ => false // nested targets are rejected earlier
+    }
+  }
+
+  /** Update rows matching `condition` (conjunction, SQL 3VL) in `dir`,
+    * applying `set` column := literal assignments. No-op (version
+    * unchanged) when nothing matches. */
+  def update(spark: SparkSession, dir: String, condition: Seq[Filter],
+      set: Map[String, Any], opts: WriteOptions = WriteOptions()): UpdateResult = {
+    require(condition.nonEmpty, "strawboat: update needs a condition")
+    require(set.nonEmpty, "strawboat: update needs at least one assignment")
+    val listed = StrawIO.listFilesMetaWithStats(dir)
+    require(listed.nonEmpty, s"strawboat: no data files under $dir")
+    val schema = StrawSchemaResolver.merge(StrawIO.mapParallel(listed) {
+      case (m, Some(synth)) => (m.path, synth.schema)
+      case (m, None) => (m.path, FooterCache.get(m.path, m.mtime, m.len).schema)
+    })
+    require(RowFilterEval.build(schema, condition.toArray).isDefined,
+      s"strawboat: update condition is not exactly row-evaluable over " +
+        s"${schema.catalogString}: ${condition.mkString(", ")}")
+    // resolve assignments to (ordinal, catalyst value) up front — a typo'd
+    // column, nested target, type mismatch, or null into a non-nullable
+    // column must fail before anything is rewritten
+    val assigns: Seq[(Int, Any)] = set.toSeq.map { case (name, v) =>
+      val i = schema.fields.indexWhere(_.name == name)
+      require(i >= 0, s"strawboat: update column '$name' not in ${schema.fieldNames.mkString(",")}")
+      val fld = schema.fields(i)
+      require(!graft.format.LeafLayout.isNested(fld.dataType),
+        s"strawboat: update column '$name' is nested (${fld.dataType}) — flat columns only")
+      if (v == null) {
+        require(fld.nullable, s"strawboat: cannot set non-nullable column '$name' to null")
+        (i, null)
+      } else {
+        val cv =
+          try CatalystTypeConverters.createToCatalystConverter(fld.dataType)(v)
+          catch {
+            case scala.util.control.NonFatal(e) => throw new IllegalArgumentException(
+              s"strawboat: value ${v} (${v.getClass.getName}) does not convert " +
+                s"to column '$name' of type ${fld.dataType}", e)
+          }
+        // the converter is identity for primitive-backed types, so a
+        // mistyped literal passes through and would only blow up mid-job —
+        // pin the internal representation here instead
+        require(cv != null && internalForm(fld.dataType, cv),
+          s"strawboat: value $v (${v.getClass.getName}) does not convert to " +
+            s"column '$name' of type ${fld.dataType}")
+        (i, cv)
+      }
+    }
+    val filters = condition.toArray
+
+    val (candidates, pruned) = MaintenanceOps.matchCandidates(listed, schema, filters)
+    if (candidates.isEmpty) return UpdateResult(0L, 0, 0, pruned, 0)
+
+    // a file-local rewrite cannot move rows between hive partition
+    // directories, and the directory=value invariant backs pruning and
+    // grouped aggregate pushdown — updating the partition column is out
+    candidates.foreach { m =>
+      PartitionLayout.partitionOf(m.path).foreach { case (c, _) =>
+        require(!set.contains(c),
+          s"strawboat: cannot update hive partition column '$c' (rows would " +
+            "have to move between partition directories); rewrite the table instead")
+      }
+    }
+
+    val jobId = java.util.UUID.randomUUID().toString.take(8)
+    val serConf = new org.apache.spark.util.SerializableConfiguration(StrawIO.conf)
+    val schemaJson = schema.json
+    val filtersB = spark.sparkContext.broadcast(filters)
+    val assignsB = spark.sparkContext.broadcast(assigns)
+
+    final case class Rewrite(input: String, inputMtime: Long, updated: Long,
+        staged: Seq[String]) extends Serializable
+    val rewrites: Array[Rewrite] =
+      try {
+        spark.sparkContext.parallelize(candidates, candidates.size).map { m =>
+          StrawIO.install(serConf.value)
+          val tableSchema = org.apache.spark.sql.types.DataType
+            .fromJson(schemaJson).asInstanceOf[org.apache.spark.sql.types.StructType]
+          val pred = RowFilterEval.build(tableSchema, filtersB.value).getOrElse(
+            throw new IllegalStateException("strawboat: update condition no " +
+              "longer compiles on the executor"))
+          val as = assignsB.value
+          val bloomLeaves = MaintenanceOps.bloomLeavesOf(
+            FooterCache.get(m.path, m.mtime, m.len))
+          val parent = new Path(m.path).getParent.toString
+          val writer = new StrawDataWriter(parent, tableSchema,
+            partitionId = 0, taskId = 0,
+            opts.copy(bloomColumns = opts.bloomColumns ++ bloomLeaves), jobId)
+          val factory = new StrawPartitionReaderFactory(tableSchema, tableSchema, serConf)
+          var updated = 0L
+          var ok = false
+          try {
+            val reader = factory.createReader(
+              StrawInputPartition(m.path, 0, Int.MaxValue, Long.MaxValue))
+            try {
+              while (reader.next()) {
+                val row = reader.get()
+                if (pred(row)) {
+                  updated += 1
+                  // copy() yields a mutable GenericInternalRow regardless of
+                  // the reader's buffer representation
+                  val r = row.copy()
+                  as.foreach { case (i, cv) => r.update(i, cv) }
+                  writer.write(r)
+                } else writer.write(row)
+              }
+            } finally reader.close()
+            val msg = writer.commit().asInstanceOf[StrawCommitMessage]
+            ok = true
+            Rewrite(m.path, m.mtime, updated, msg.files)
+          } finally if (!ok) writer.abort()
+        }.collect()
+      } catch {
+        case e: Throwable =>
+          try StrawCommitProtocol.sweepStaged(dir, jobId)
+          catch { case scala.util.control.NonFatal(s) => e.addSuppressed(s) }
+          throw e
+      }
+
+    val f = StrawIO.fs(dir)
+    val (changed, untouched) = rewrites.partition(_.updated > 0)
+    if (changed.isEmpty) {
+      StrawCommitProtocol.sweepStaged(dir, jobId)
+      return UpdateResult(0L, 0, 0, pruned, untouched.length)
+    }
+    val fresh = MaintenanceOps.renameVisibleStamped(dir, jobId,
+      changed.toSeq.map(rw => (rw.inputMtime, rw.staged)))
+    val removes = changed.map(c => f.makeQualified(new Path(c.input)).toString).toSet
+    val adds = StrawIO.mapParallel(fresh)(StrawManifest.entryFor)
+    MaintenanceOps.commitSwitchAndVacuum(dir, jobId, adds, removes, op = "update")
+
+    UpdateResult(
+      updatedRows = changed.map(_.updated).sum,
+      rewrittenFiles = fresh.size,
+      removedFiles = removes.size,
+      prunedFiles = pruned,
+      falsePositiveFiles = untouched.length)
+  }
+}
