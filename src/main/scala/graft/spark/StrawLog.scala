@@ -159,6 +159,16 @@ object StrawLog {
   def snapshotAt(table: String, version: Long): Option[Snapshot] =
     resolve(table, Some(version))
 
+  /** The newest version whose commit-file timestamp is at or before
+    * `tsMs` — the `timestampAsOf` resolution. None when the log is absent
+    * or nothing was committed by then. Commit timestamps are the log
+    * files' mtimes: monotone in practice (commits serialize on the version
+    * claim) but clock-skewed writers can blur sub-second ordering. */
+  def versionAtTimestamp(table: String, tsMs: Long): Option[Long] = {
+    val (commits, _) = listVersions(rawFs(table), logDir(table))
+    commits.toSeq.filter(_._2._1 <= tsMs).map(_._1).maxOption
+  }
+
   private def resolve(table: String, asOf: Option[Long]): Option[Snapshot] =
     try {
       val f = rawFs(table)

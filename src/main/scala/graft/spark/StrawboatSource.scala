@@ -39,7 +39,7 @@ class StrawboatDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = pathOf(options)
-    val asOf = Option(options.get("versionAsOf")).map(_.toLong)
+    val asOf = TimeTravel.resolveAsOf(dir, options)
     val files = StrawIO.listFilesMeta(dir, asOf)
     require(files.nonEmpty, s"strawboat: no ${StrawFormat.Extension} files under $dir")
     // fast path (parquet-style `mergeSchema=false`): trust one footer as the
@@ -81,6 +81,37 @@ class StrawboatDataSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
     new StrawboatTable(properties.get("path"), schema)
+}
+
+/** Time-travel option parsing shared by schema inference and scan
+  * building: `versionAsOf` pins a log version directly; `timestampAsOf`
+  * (epoch millis, ISO-8601 instant, or `yyyy-mm-dd hh:mm:ss[.f]`) resolves
+  * to the newest version committed at or before that moment. */
+private[spark] object TimeTravel {
+  def resolveAsOf(dir: String, options: CaseInsensitiveStringMap): Option[Long] = {
+    val byVersion = Option(options.get("versionAsOf")).map(_.toLong)
+    val byTs = Option(options.get("timestampAsOf"))
+    require(byVersion.isEmpty || byTs.isEmpty,
+      "strawboat: versionAsOf and timestampAsOf cannot both be set")
+    byVersion.orElse(byTs.map { s =>
+      val ts = parseTs(s)
+      StrawLog.versionAtTimestamp(dir, ts).getOrElse(
+        throw new IllegalArgumentException(
+          s"strawboat: no committed version at or before timestampAsOf '$s' " +
+            s"for $dir (earliest retained commit is newer, or no log)"))
+    })
+  }
+
+  private def parseTs(s: String): Long =
+    try s.toLong
+    catch {
+      case _: NumberFormatException =>
+        try java.time.Instant.parse(s).toEpochMilli
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            java.sql.Timestamp.valueOf(s).getTime
+        }
+    }
 }
 
 /** IO helpers over Hadoop FileSystem (works for local paths and any
@@ -257,7 +288,7 @@ class StrawboatTable(path: String, val schemaArg: StructType)
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       Option(options.get("keyGrouped")).exists(_.toBoolean),
       Option(options.get("maxBytesPerTrigger")).map(_.toLong),
-      Option(options.get("versionAsOf")).map(_.toLong))
+      TimeTravel.resolveAsOf(path, options))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val partitionCol = Option(info.options().get("partitionBy"))

@@ -324,6 +324,44 @@ class StrawLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception] { at(99).count() }
   }
 
+  test("timestampAsOf resolves to the newest version committed by then") {
+    val out = s"$dir/ts"
+    write(out, 0, 100)
+    val t1 = new java.io.File(s"$out/${StrawLog.DirName}").listFiles
+      .filter(_.getName.endsWith(".commit")).map(_.lastModified).max
+    Thread.sleep(1100) // commit-file mtimes have second granularity on some FS
+    write(out, 100, 100)
+    def at(ts: String) = spark.read.format("strawboat")
+      .option("timestampAsOf", ts).load(out)
+    assert(at(t1.toString).count() == 100)
+    assert(at(System.currentTimeMillis().toString).count() == 200)
+    // ISO form parses too
+    assert(at(java.time.Instant.ofEpochMilli(t1).toString).count() == 100)
+    // before the first commit: loud error, not an empty table
+    intercept[Exception] { at("1000").count() }
+    // both pins together are rejected
+    intercept[Exception] {
+      spark.read.format("strawboat").option("timestampAsOf", t1.toString)
+        .option("versionAsOf", "1").load(out).count()
+    }
+  }
+
+  test("concurrent appends through the connector serialize into distinct versions") {
+    val out = s"$dir/concwrite"
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = (0 until 6).map { g =>
+      Future { write(out, g * 1000L, 1000) }
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    val snap = StrawLog.snapshot(out).get
+    assert(snap.version == 6L, s"expected 6 serialized versions, got ${snap.version}")
+    assert(read(out).count() == 6000)
+    assert(read(out).agg(org.apache.spark.sql.functions.countDistinct(
+      org.apache.spark.sql.functions.col("id"))).collect()(0).getLong(0) == 6000)
+  }
+
   test("versionAsOf is rejected for streaming reads") {
     val out = s"$dir/ttstream"
     write(out, 0, 10)
