@@ -105,6 +105,77 @@ private[spark] object MaintenanceOps {
     (candidates, listed.size - candidates.size)
   }
 
+  /** One candidate file's rewrite outcome ([[rewriteMatching]]). */
+  final case class RewriteOut(input: String, inputMtime: Long, matched: Long,
+      staged: Seq[String]) extends Serializable
+
+  /** The row-matching ops' distributed rewrite: one task per candidate file
+    * streams TABLE-schema rows (the reader null-fills and widens per file),
+    * counts `filters`-conjunction TRUE rows (SQL 3VL — [[RowFilterEval]]),
+    * and stages the file's replacement: matching rows are DROPPED when
+    * `assigns` is None (DELETE) or rewritten with the (ordinal, catalyst
+    * value) assignments applied (UPDATE); non-matching rows pass through
+    * unchanged. Input page blooms are re-derived; zero surviving rows stage
+    * no file. On any task failure the job's staged debris is swept and the
+    * error rethrown — nothing visible changed. */
+  def rewriteMatching(spark: org.apache.spark.sql.SparkSession, dir: String,
+      jobId: String, schema: org.apache.spark.sql.types.StructType,
+      candidates: Seq[StrawIO.FileMeta],
+      filters: Array[org.apache.spark.sql.sources.Filter],
+      assigns: Option[Seq[(Int, Any)]],
+      opts: WriteOptions): Array[RewriteOut] = {
+    val serConf = new org.apache.spark.util.SerializableConfiguration(StrawIO.conf)
+    val schemaJson = schema.json
+    val filtersB = spark.sparkContext.broadcast(filters)
+    val assignsB = spark.sparkContext.broadcast(assigns)
+    try {
+      spark.sparkContext.parallelize(candidates, candidates.size).map { m =>
+        StrawIO.install(serConf.value)
+        val tableSchema = org.apache.spark.sql.types.DataType
+          .fromJson(schemaJson).asInstanceOf[org.apache.spark.sql.types.StructType]
+        val pred = RowFilterEval.build(tableSchema, filtersB.value).getOrElse(
+          throw new IllegalStateException(
+            "strawboat: rewrite condition no longer compiles on the executor"))
+        val as = assignsB.value
+        val bloomLeaves = bloomLeavesOf(FooterCache.get(m.path, m.mtime, m.len))
+        val parent = new Path(m.path).getParent.toString
+        val writer = new StrawDataWriter(parent, tableSchema,
+          partitionId = 0, taskId = 0,
+          opts.copy(bloomColumns = opts.bloomColumns ++ bloomLeaves), jobId)
+        val factory = new StrawPartitionReaderFactory(tableSchema, tableSchema, serConf)
+        var matched = 0L
+        var ok = false
+        try {
+          val reader = factory.createReader(
+            StrawInputPartition(m.path, 0, Int.MaxValue, Long.MaxValue))
+          try {
+            while (reader.next()) {
+              val row = reader.get()
+              if (pred(row)) {
+                matched += 1
+                as.foreach { a =>
+                  // copy() yields a mutable GenericInternalRow regardless
+                  // of the reader's buffer representation
+                  val r = row.copy()
+                  a.foreach { case (i, cv) => r.update(i, cv) }
+                  writer.write(r)
+                }
+              } else writer.write(row)
+            }
+          } finally reader.close()
+          val msg = writer.commit().asInstanceOf[StrawCommitMessage]
+          ok = true
+          RewriteOut(m.path, m.mtime, matched, msg.files)
+        } finally if (!ok) writer.abort()
+      }.collect()
+    } catch {
+      case e: Throwable =>
+        try StrawCommitProtocol.sweepStaged(dir, jobId)
+        catch { case scala.util.control.NonFatal(s) => e.addSuppressed(s) }
+        throw e
+    }
+  }
+
   /** Rename staged outputs visible, each group stamped with its mtime
     * BEFORE the rename (a reader must never list a file under a wrong
     * mtime; maintenance stamps the inputs' max mtime so a file-stream

@@ -81,56 +81,14 @@ object StrawDelete {
       return DeleteResult(0L, 0, 0, pruned, 0)
 
     val jobId = java.util.UUID.randomUUID().toString.take(8)
-    val serConf = new org.apache.spark.util.SerializableConfiguration(StrawIO.conf)
-    val schemaJson = schema.json
-    val filtersB = spark.sparkContext.broadcast(filters)
-
     // one task per candidate file: stream rows (table schema — the reader
     // null-fills and widens per file), drop cond=TRUE rows, stage survivors
-    final case class Rewrite(input: String, inputMtime: Long, deleted: Long,
-        staged: Seq[String]) extends Serializable
-    val rewrites: Array[Rewrite] =
-      try {
-        spark.sparkContext.parallelize(candidates, candidates.size).map { m =>
-          StrawIO.install(serConf.value)
-          val tableSchema = org.apache.spark.sql.types.DataType
-            .fromJson(schemaJson).asInstanceOf[StructType]
-          val pred = RowFilterEval.build(tableSchema, filtersB.value).getOrElse(
-            throw new IllegalStateException("strawboat: delete condition no " +
-              "longer compiles on the executor"))
-          // preserve the input's page blooms (row-aligned leaves only)
-          val bloomLeaves = MaintenanceOps.bloomLeavesOf(
-            FooterCache.get(m.path, m.mtime, m.len))
-          val parent = new Path(m.path).getParent.toString
-          val writer = new StrawDataWriter(parent, tableSchema,
-            partitionId = 0, taskId = 0,
-            opts.copy(bloomColumns = opts.bloomColumns ++ bloomLeaves), jobId)
-          val factory = new StrawPartitionReaderFactory(tableSchema, tableSchema, serConf)
-          var deleted = 0L
-          var ok = false
-          try {
-            val reader = factory.createReader(
-              StrawInputPartition(m.path, 0, Int.MaxValue, Long.MaxValue))
-            try {
-              while (reader.next()) {
-                val row = reader.get()
-                if (pred(row)) deleted += 1 else writer.write(row)
-              }
-            } finally reader.close()
-            val msg = writer.commit().asInstanceOf[StrawCommitMessage]
-            ok = true
-            Rewrite(m.path, m.mtime, deleted, msg.files)
-          } finally if (!ok) writer.abort()
-        }.collect()
-      } catch {
-        case e: Throwable =>
-          try StrawCommitProtocol.sweepStaged(dir, jobId)
-          catch { case scala.util.control.NonFatal(s) => e.addSuppressed(s) }
-          throw e
-      }
+    // (shared distributed-rewrite scaffolding; assigns=None means DROP)
+    val rewrites = MaintenanceOps.rewriteMatching(spark, dir, jobId, schema,
+      candidates, filters, assigns = None, opts)
 
     val f = StrawIO.fs(dir)
-    val (changed, untouched) = rewrites.partition(_.deleted > 0)
+    val (changed, untouched) = rewrites.partition(_.matched > 0)
     // zone maps keep a file whose pages MIGHT match; a rewrite that found
     // no matching row is discarded (the epilogue's staged sweep reclaims
     // its outputs) and its input stays byte-identical
@@ -172,7 +130,7 @@ object StrawDelete {
     MaintenanceOps.commitSwitchAndVacuum(dir, jobId, adds, removes, op = "delete")
 
     DeleteResult(
-      deletedRows = changed.map(_.deleted).sum,
+      deletedRows = changed.map(_.matched).sum,
       rewrittenFiles = fresh.size,
       removedFiles = removes.size,
       prunedFiles = pruned,

@@ -169,6 +169,12 @@ object StrawLog {
     commits.toSeq.filter(_._2._1 <= tsMs).map(_._1).maxOption
   }
 
+  /** (version, commit-file mtime) of the newest retained commit. */
+  def latestCommitInfo(table: String): Option[(Long, Long)] = {
+    val (commits, _) = listVersions(rawFs(table), logDir(table))
+    commits.lastOption.map { case (v, (mtime, _)) => (v, mtime) }
+  }
+
   private def resolve(table: String, asOf: Option[Long]): Option[Snapshot] =
     try {
       val f = rawFs(table)

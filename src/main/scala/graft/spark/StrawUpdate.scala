@@ -102,13 +102,12 @@ object StrawUpdate {
     }
     val filters = condition.toArray
 
-    val (candidates, pruned) = MaintenanceOps.matchCandidates(listed, schema, filters)
-    if (candidates.isEmpty) return UpdateResult(0L, 0, 0, pruned, 0)
-
     // a file-local rewrite cannot move rows between hive partition
     // directories, and the directory=value invariant backs pruning and
-    // grouped aggregate pushdown — updating the partition column is out
-    candidates.foreach { m =>
+    // grouped aggregate pushdown — updating the partition column is out.
+    // Validated over the FULL listing (not the pruned candidates): the
+    // same invalid call must fail identically whether or not rows match.
+    listed.foreach { case (m, _) =>
       PartitionLayout.partitionOf(m.path).foreach { case (c, _) =>
         require(!set.contains(c),
           s"strawboat: cannot update hive partition column '$c' (rows would " +
@@ -116,63 +115,17 @@ object StrawUpdate {
       }
     }
 
-    val jobId = java.util.UUID.randomUUID().toString.take(8)
-    val serConf = new org.apache.spark.util.SerializableConfiguration(StrawIO.conf)
-    val schemaJson = schema.json
-    val filtersB = spark.sparkContext.broadcast(filters)
-    val assignsB = spark.sparkContext.broadcast(assigns)
+    val (candidates, pruned) = MaintenanceOps.matchCandidates(listed, schema, filters)
+    if (candidates.isEmpty) return UpdateResult(0L, 0, 0, pruned, 0)
 
-    final case class Rewrite(input: String, inputMtime: Long, updated: Long,
-        staged: Seq[String]) extends Serializable
-    val rewrites: Array[Rewrite] =
-      try {
-        spark.sparkContext.parallelize(candidates, candidates.size).map { m =>
-          StrawIO.install(serConf.value)
-          val tableSchema = org.apache.spark.sql.types.DataType
-            .fromJson(schemaJson).asInstanceOf[org.apache.spark.sql.types.StructType]
-          val pred = RowFilterEval.build(tableSchema, filtersB.value).getOrElse(
-            throw new IllegalStateException("strawboat: update condition no " +
-              "longer compiles on the executor"))
-          val as = assignsB.value
-          val bloomLeaves = MaintenanceOps.bloomLeavesOf(
-            FooterCache.get(m.path, m.mtime, m.len))
-          val parent = new Path(m.path).getParent.toString
-          val writer = new StrawDataWriter(parent, tableSchema,
-            partitionId = 0, taskId = 0,
-            opts.copy(bloomColumns = opts.bloomColumns ++ bloomLeaves), jobId)
-          val factory = new StrawPartitionReaderFactory(tableSchema, tableSchema, serConf)
-          var updated = 0L
-          var ok = false
-          try {
-            val reader = factory.createReader(
-              StrawInputPartition(m.path, 0, Int.MaxValue, Long.MaxValue))
-            try {
-              while (reader.next()) {
-                val row = reader.get()
-                if (pred(row)) {
-                  updated += 1
-                  // copy() yields a mutable GenericInternalRow regardless of
-                  // the reader's buffer representation
-                  val r = row.copy()
-                  as.foreach { case (i, cv) => r.update(i, cv) }
-                  writer.write(r)
-                } else writer.write(row)
-              }
-            } finally reader.close()
-            val msg = writer.commit().asInstanceOf[StrawCommitMessage]
-            ok = true
-            Rewrite(m.path, m.mtime, updated, msg.files)
-          } finally if (!ok) writer.abort()
-        }.collect()
-      } catch {
-        case e: Throwable =>
-          try StrawCommitProtocol.sweepStaged(dir, jobId)
-          catch { case scala.util.control.NonFatal(s) => e.addSuppressed(s) }
-          throw e
-      }
+    val jobId = java.util.UUID.randomUUID().toString.take(8)
+    // shared distributed-rewrite scaffolding: matching rows pass through
+    // the assignments, everything else is byte-identical
+    val rewrites = MaintenanceOps.rewriteMatching(spark, dir, jobId, schema,
+      candidates, filters, assigns = Some(assigns), opts)
 
     val f = StrawIO.fs(dir)
-    val (changed, untouched) = rewrites.partition(_.updated > 0)
+    val (changed, untouched) = rewrites.partition(_.matched > 0)
     if (changed.isEmpty) {
       StrawCommitProtocol.sweepStaged(dir, jobId)
       return UpdateResult(0L, 0, 0, pruned, untouched.length)
@@ -184,7 +137,7 @@ object StrawUpdate {
     MaintenanceOps.commitSwitchAndVacuum(dir, jobId, adds, removes, op = "update")
 
     UpdateResult(
-      updatedRows = changed.map(_.updated).sum,
+      updatedRows = changed.map(_.matched).sum,
       rewrittenFiles = fresh.size,
       removedFiles = removes.size,
       prunedFiles = pruned,

@@ -85,9 +85,21 @@ class StrawboatDataSource extends TableProvider with DataSourceRegister {
 
 /** Time-travel option parsing shared by schema inference and scan
   * building: `versionAsOf` pins a log version directly; `timestampAsOf`
-  * (epoch millis, ISO-8601 instant, or `yyyy-mm-dd hh:mm:ss[.f]`) resolves
-  * to the newest version committed at or before that moment. */
+  * (epoch millis, ISO-8601 instant, or `yyyy-mm-dd hh:mm:ss[.f]` in the
+  * SESSION timezone) resolves to the newest version committed at or before
+  * that moment. A timestamp is rejected when it lies beyond the latest
+  * commit (the resolution would otherwise silently move as new commits
+  * land), and each (table, timestamp) resolves ONCE per process — schema
+  * inference and scan building must pin the SAME version even when a
+  * commit races between them. */
 private[spark] object TimeTravel {
+  // (qualified dir, epoch ms) -> resolved version; first resolution wins
+  private val resolved =
+    new java.util.LinkedHashMap[(String, Long), Long](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), Long]): Boolean = size() > 1024
+    }
+
   def resolveAsOf(dir: String, options: CaseInsensitiveStringMap): Option[Long] = {
     val byVersion = Option(options.get("versionAsOf")).map(_.toLong)
     val byTs = Option(options.get("timestampAsOf"))
@@ -95,10 +107,27 @@ private[spark] object TimeTravel {
       "strawboat: versionAsOf and timestampAsOf cannot both be set")
     byVersion.orElse(byTs.map { s =>
       val ts = parseTs(s)
-      StrawLog.versionAtTimestamp(dir, ts).getOrElse(
-        throw new IllegalArgumentException(
-          s"strawboat: no committed version at or before timestampAsOf '$s' " +
-            s"for $dir (earliest retained commit is newer, or no log)"))
+      val key = (StrawIO.fs(dir).makeQualified(new Path(dir)).toString, ts)
+      resolved.synchronized(Option(resolved.get(key))).getOrElse {
+        // reject a timestamp BEYOND the newest commit: a commit landing
+        // later would have mtime > latest's, so any accepted timestamp's
+        // resolution is stable; an unstable one (ts >= "now") is refused
+        // with the concrete alternatives
+        val (latestV, latestMtime) = StrawLog.latestCommitInfo(dir).getOrElse(
+          throw new IllegalArgumentException(
+            s"strawboat: timestampAsOf requires a transaction log ($dir has none)"))
+        require(ts <= latestMtime,
+          s"strawboat: timestampAsOf '$s' is after the latest commit of $dir " +
+            s"(${java.time.Instant.ofEpochMilli(latestMtime)}) — a later commit " +
+            s"could change what it resolves to; use that timestamp or " +
+            s"versionAsOf $latestV")
+        val v = StrawLog.versionAtTimestamp(dir, ts).getOrElse(
+          throw new IllegalArgumentException(
+            s"strawboat: no committed version at or before timestampAsOf '$s' " +
+              s"for $dir (earliest retained commit is newer)"))
+        resolved.synchronized(resolved.put(key, v)): Unit
+        v
+      }
     })
   }
 
@@ -109,7 +138,13 @@ private[spark] object TimeTravel {
         try java.time.Instant.parse(s).toEpochMilli
         catch {
           case _: java.time.format.DateTimeParseException =>
-            java.sql.Timestamp.valueOf(s).getTime
+            // SQL timestamp form: interpret in the SESSION timezone, not the
+            // JVM default — .option("timestampAsOf", "2026-01-01 00:00:00")
+            // must mean the same instant the session's SQL functions would
+            java.sql.Timestamp.valueOf(s).toLocalDateTime
+              .atZone(java.time.ZoneId.of(
+                org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+              .toInstant.toEpochMilli
         }
     }
 }
@@ -633,7 +668,8 @@ class StrawScan(
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     // a stream tails the LIVE table; pinning it to a historical version
     // contradicts itself — reject loudly rather than silently ignore
-    require(asOf.isEmpty, "strawboat: versionAsOf is not supported for streaming reads")
+    require(asOf.isEmpty, "strawboat: time travel (versionAsOf/timestampAsOf) " +
+      "is not supported for streaming reads")
     new StrawMicroBatchStream(path, fullSchema, requiredSchema, maxFilesPerTrigger,
       exactFilters, maxBytesPerTrigger, skipFilters = filters)
   }

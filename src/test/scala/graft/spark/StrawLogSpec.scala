@@ -334,11 +334,16 @@ class StrawLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     def at(ts: String) = spark.read.format("strawboat")
       .option("timestampAsOf", ts).load(out)
     assert(at(t1.toString).count() == 100)
-    assert(at(System.currentTimeMillis().toString).count() == 200)
+    val t2 = new java.io.File(s"$out/${StrawLog.DirName}").listFiles
+      .filter(_.getName.endsWith(".commit")).map(_.lastModified).max
+    assert(at(t2.toString).count() == 200)
     // ISO form parses too
     assert(at(java.time.Instant.ofEpochMilli(t1).toString).count() == 100)
     // before the first commit: loud error, not an empty table
     intercept[Exception] { at("1000").count() }
+    // AFTER the latest commit: rejected — the resolution would silently
+    // move as new commits land
+    intercept[Exception] { at((t2 + 60000).toString).count() }
     // both pins together are rejected
     intercept[Exception] {
       spark.read.format("strawboat").option("timestampAsOf", t1.toString)

@@ -95,6 +95,12 @@ class StrawUpdateSpec extends AnyFunSuite with BeforeAndAfterAll {
       StrawUpdate.update(spark, out,
         Seq(EqualTo("g", "g1"): Filter), Map("g" -> "g9"))
     }
+    // rejection must not be data-dependent: a condition matching nothing
+    // still fails the same way
+    intercept[IllegalArgumentException] {
+      StrawUpdate.update(spark, out,
+        Seq(EqualTo("g", "no-such-group"): Filter), Map("g" -> "g9"))
+    }
     val res = StrawUpdate.update(spark, out,
       Seq(EqualTo("g", "g1"): Filter), Map("v" -> 0L))
     assert(res.updatedRows == 300, res.toString)
