@@ -278,6 +278,29 @@ class StrawLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(h2.operation == "streaming epoch 5" && h2.txn.contains(("qA", 5L)))
   }
 
+  test("a foreign committer's version file is discovered and appended after") {
+    val out = s"$dir/race"
+    write(out, 0, 100)
+    write(out, 100, 100)
+    // simulate a CROSS-PROCESS committer (the in-process lock serializes
+    // same-driver commits, so a true mid-commit claim race can't be staged
+    // here; the claim primitive's loser path has its own test): version 3
+    // appears from outside, as a copy of version 2's commit file —
+    // replaying it is idempotent (same adds, same paths)
+    val ld = new java.io.File(s"$out/${StrawLog.DirName}")
+    val v2 = ld.listFiles.filter(_.getName == "00000000000000000002.commit").head
+    java.nio.file.Files.copy(v2.toPath,
+      new java.io.File(ld, "00000000000000000003.commit").toPath)
+    StrawLog.clearCache()
+    // the next connector append must integrate the foreign version and
+    // land on 4, not fork or overwrite 3
+    write(out, 200, 100)
+    val snap = StrawLog.snapshot(out).get
+    assert(snap.version == 4L, s"expected version 4 after the foreign 3, got ${snap.version}")
+    assert(read(out).count() == 300)
+    assert(StrawLog.history(out).map(_.version) == Seq(4L, 3L, 2L, 1L))
+  }
+
   test("claim is create-if-absent: the loser's content never lands") {
     val out = s"$dir/claim"
     val f = StrawIO.fs(out) match {
