@@ -46,6 +46,29 @@ object SparkEntry {
     * not `/`: 2024 epoch-nanos exceed double precision. */
   private def tsNs(): Column = expr("timestamp_micros(ts div 1000)")
 
+  /** The deleted-documents fixture (q_delete / q_delete_count): a copy of
+    * documents with short docs (n_chars < 200) removed via the
+    * merge-on-read DELETE — the data files stay, deletion-vector sidecars
+    * carry the dead ordinals. Built once per sf, marker-cached. */
+  private def delTable(s: SparkSession, d: String): String = {
+    val delDir = Tables.strawDir(s, d, "documents") + "_del"
+    val marker = new java.io.File(delDir, "_OK")
+    if (!marker.exists()) {
+      t(s, d, "documents").write.format("strawboat").mode("overwrite").save(delDir)
+      val nCharsLit: Any = t(s, d, "documents").schema("n_chars").dataType match {
+        case org.apache.spark.sql.types.LongType => 200L
+        case _ => 200
+      }
+      val res = graft.spark.StrawDelete.delete(s, delDir,
+        Seq(org.apache.spark.sql.sources.LessThan("n_chars", nCharsLit)))
+      require(res.deletedRows > 0, s"q_delete: nothing deleted ($res)")
+      require(res.rewrittenFiles == 0,
+        s"q_delete: merge-on-read must not rewrite data files ($res)")
+      marker.createNewFile()
+    }
+    delDir
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_agg_groupby")(spark, "/root/testdata/sf0.001")
@@ -731,29 +754,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "q_delete" -> ((s, d) => {
-      // copy-on-write row-level DELETE (StrawDelete): copy the documents
-      // table, delete short docs (n_chars < 200) under SQL 3VL, read the
-      // survivors back. Oracle = the original parquet WHERE the condition
-      // is not TRUE — a green row proves delete semantics exactly (the
-      // takedown/GDPR primitive over an LLM corpus). File/page stats prune
-      // non-matching files before any IO; the switch is one atomic log
-      // version.
-      val delDir = Tables.strawDir(s, d, "documents") + "_del"
-      val marker = new java.io.File(delDir, "_OK")
-      if (!marker.exists()) {
-        t(s, d, "documents").write.format("strawboat").mode("overwrite").save(delDir)
-        val nCharsLit: Any = t(s, d, "documents").schema("n_chars").dataType match {
-          case org.apache.spark.sql.types.LongType => 200L
-          case _ => 200
-        }
-        val res = graft.spark.StrawDelete.delete(s, delDir,
-          Seq(org.apache.spark.sql.sources.LessThan("n_chars", nCharsLit)))
-        require(res.deletedRows > 0, s"q_delete: nothing deleted ($res)")
-        marker.createNewFile()
-      }
-      s.read.format("strawboat").load(delDir)
+      // merge-on-read row-level DELETE (StrawDelete, deletion vectors):
+      // copy the documents table, delete short docs (n_chars < 200) under
+      // SQL 3VL, read the survivors back. Oracle = the original parquet
+      // WHERE the condition is not TRUE — a green row proves delete
+      // semantics exactly (the takedown/GDPR primitive over an LLM
+      // corpus). No data file is rewritten: matched ordinals union into
+      // per-file sidecars switched in by one atomic log version; readers
+      // subtract them at scan time.
+      s.read.format("strawboat").load(delTable(s, d))
         .select(col("doc_id"), col("lang"), col("n_chars").cast("int").as("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+    "q_delete_count" -> ((s, d) => {
+      // footer-only COUNT over the deleted table: the DV'd files' footer
+      // row counts net out each deletion vector's cardinality, so the
+      // whole query stays a metadata pass (AggPushdown) — the merge-on-read
+      // delete does not cost COUNT(*) its zero-IO path. Shares q_delete's
+      // fixture (and therefore its DV sidecars).
+      val df = s.read.format("strawboat").load(delTable(s, d))
+        .agg(count(lit(1)).as("cnt"))
+      require(df.queryExecution.executedPlan.toString.contains("footer-only aggregate"),
+        "q_delete_count: COUNT over the DV'd table must be footer-only")
+      df
     }),
     "q_update" -> ((s, d) => {
       // copy-on-write row-level UPDATE (StrawUpdate): the redaction
@@ -1254,6 +1277,9 @@ object SparkEntry {
       """SELECT doc_id, lang, CAST(n_chars AS INTEGER) AS n_chars
         |FROM documents WHERE n_chars >= 200 OR n_chars IS NULL
         |ORDER BY doc_id""".stripMargin,
+    "q_delete_count" -> // footer-only COUNT nets the deletion vectors
+      """SELECT count(*) AS cnt FROM documents
+        |WHERE n_chars >= 200 OR n_chars IS NULL""".stripMargin,
     "q_update" -> // UPDATE SET lang='redacted' WHERE n_chars < 200 (3VL)
       """SELECT doc_id,
         |  CASE WHEN n_chars < 200 THEN 'redacted' ELSE lang END AS lang,

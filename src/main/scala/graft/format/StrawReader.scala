@@ -401,6 +401,13 @@ object StrawFileReader {
     * row VIEW before materialization — failing rows cost only the predicate
     * columns' accessors, never a row object — and `limit` then counts
     * PASSING rows.
+    *
+    * `deadRows`, when non-null, is the file's deletion-vector bitmap of
+    * dead ORDINALS (0-based row position in the file): dead rows are
+    * skipped before the predicate ever runs, a fully-dead page is skipped
+    * without decoding, and `limit` counts only LIVE passing rows. Ordinals
+    * are file-absolute, so page skipping (zone maps, fully-dead pages)
+    * never desynchronizes them.
     */
   def rows(
       input: RandomInput,
@@ -408,7 +415,8 @@ object StrawFileReader {
       projection: Array[ProjCol],
       keepPage: Int => Boolean = _ => true,
       limit: Long = Long.MaxValue,
-      rowPred: InternalRow => Boolean = null): Iterator[InternalRow] = {
+      rowPred: InternalRow => Boolean = null,
+      deadRows: org.roaringbitmap.RoaringBitmap = null): Iterator[InternalRow] = {
     // zero-column files (empty write schema) carry rows only in the footer:
     // emit numRows empty rows directly (no pages exist to iterate)
     if (footer.columns.isEmpty) {
@@ -422,6 +430,10 @@ object StrawFileReader {
     val numPages = footer.columns(0).pages.length
     // PageMeta.numValues is the page group's row count on every leaf
     val pageRows: Array[Int] = footer.columns(0).pages.map(_.numValues)
+    // file-absolute ordinal of each page's first row (deletion vectors)
+    val pageStartOrd: Array[Long] =
+      if (deadRows == null) null
+      else pageRows.scanLeft(0L)(_ + _)
     val pageOffsets: Array[Array[Array[Long]]] =
       projection.map(_.globalLeaves.map(li => footer.columns(li).pageOffsets))
 
@@ -431,6 +443,8 @@ object StrawFileReader {
       private var emitted = 0L
       private var pages: Array[DecodedPage] = null
       private var pageN = 0
+      private var pageOrd = 0L // current page's first-row ordinal
+      private var pageHasDead = false // any dead ordinal in current page?
 
       private def decodeColumn(c: Int, p: Int): DecodedPage = {
         val pc = projection(c)
@@ -455,7 +469,12 @@ object StrawFileReader {
         while (pageIdx < numPages) {
           val p = pageIdx
           pageIdx += 1
-          if (keepPage(p)) {
+          val deadInPage =
+            if (deadRows == null) 0L
+            else deadRows.rangeCardinality(pageStartOrd(p), pageStartOrd(p) + pageRows(p))
+          // fully-dead page: skipped without decoding a byte
+          if (keepPage(p) && (deadRows == null || deadInPage < pageRows(p))) {
+            if (deadRows != null) { pageOrd = pageStartOrd(p); pageHasDead = deadInPage > 0 }
             // count(*)-style scans project zero columns; rows still must flow
             if (projection.isEmpty) {
               pageN = pageRows(p)
@@ -483,14 +502,22 @@ object StrawFileReader {
         if (emitted >= limit) return false
         while (true) {
           if (rowInPage < pageN) {
-            if (rowPred == null) return true
-            // late materialization: probe the predicate through the
-            // page-backed view; a failing row is skipped without ever
-            // building a row object
-            view.pages = pages
-            view.row = rowInPage
-            if (rowPred(view)) return true
-            rowInPage += 1
+            // deletion vector first: a dead row must not reach the
+            // predicate, the limit, or any downstream buffer (clean pages
+            // — the common case in a selectively-deleted file — pay zero
+            // per-row probes via the pageHasDead shortcut)
+            if (pageHasDead && deadRows.contains((pageOrd + rowInPage).toInt)) {
+              rowInPage += 1
+            } else if (rowPred == null) return true
+            else {
+              // late materialization: probe the predicate through the
+              // page-backed view; a failing row is skipped without ever
+              // building a row object
+              view.pages = pages
+              view.row = rowInPage
+              if (rowPred(view)) return true
+              rowInPage += 1
+            }
           } else if (!loadNextPage()) return false
         }
         false

@@ -289,18 +289,28 @@ object AggPushdown {
         }
       }
     val listed = StrawIO.listFilesMetaWithStats(path, asOf)
-    val metas = listed.map(_._1)
+    val metas = listed.map(_.meta)
+    // deletion vectors: a DV'd file's footer aggregates over DEAD rows too.
+    // COUNT(*) nets out exactly (the DV's cardinality is the dead count);
+    // COUNT(col)/MIN/MAX/SUM cannot (which dead rows were null / extreme /
+    // how much they summed is only in the data) — bail to the real scan,
+    // whose readers subtract the DV row-level.
+    val dvDead: Seq[Long] = listed.map(l => if (l.dv == null) 0L else l.dv.cardinality)
+    if (dvDead.exists(_ > 0L) && !specs.forall(_ == CountStarSpec)) return None
     val footers = StrawIO.mapParallel(listed) {
-      case (_, Some(synth))
+      case StrawIO.Listed(_, Some(synth), _)
         if (synth.columns.isEmpty ||
           synth.columns(0).pages(0).numValues.toLong == synth.numRows) &&
           (needSum.isEmpty || synthCoversSum(synth)) => synth
-      case (m, _) => FooterCache.get(m.path, m.mtime, m.len)
+      case StrawIO.Listed(m, _, _) => FooterCache.get(m.path, m.mtime, m.len)
     }
     grp match {
       case None =>
         val acc = new Acc(schema, needCount, needMinMax, needSum)
-        for (footer <- footers) if (!acc.add(footer)) return None
+        for ((footer, dead) <- footers.zip(dvDead)) {
+          if (!acc.add(footer)) return None
+          acc.countStar -= dead
+        }
         if (!acc.sumsRepresentable(specs)) return None
         val row = new GenericInternalRow(specs.length)
         acc.fill(row, 0, specs)
@@ -315,7 +325,7 @@ object AggPushdown {
         // LinkedHashMap: deterministic row order (path-sorted first sight);
         // null (the __null__ directory) is a valid key.
         val groups = collection.mutable.LinkedHashMap.empty[Any, Acc]
-        for ((m, footer) <- metas.zip(footers)) {
+        for (((m, footer), dead) <- metas.zip(footers).zip(dvDead)) {
           PartitionLayout.partitionOf(m.path) match {
             case Some((c, v)) if c == groupCol =>
               // the directory name must be CORROBORATED by the group
@@ -330,6 +340,7 @@ object AggPushdown {
               val acc = groups.getOrElseUpdate(parsed,
                 new Acc(schema, needCount, needMinMax, needSum))
               if (!acc.add(footer)) return None
+              acc.countStar -= dead
             case _ => return None // a file outside the layout: groups unknowable
           }
         }

@@ -109,16 +109,20 @@ object ColumnarSupport {
     * filters rows IN the reader (the filters were consumed — no Filter node
     * remains above): an all-pass page emits zero-copy, a mixed page
     * compacts survivors into a second vector set, an all-fail page is
-    * skipped, and `part.limit` counts PASSING rows. */
+    * skipped, and `part.limit` counts PASSING rows. `dead`, when non-null,
+    * is the file's deletion-vector bitmap: dead ordinals are dropped by the
+    * same survivor compaction (a page with no dead rows stays zero-copy, a
+    * fully-dead page is skipped without decoding). */
   final class StrawColumnarReader(
       part: StrawInputPartition,
       readSchema: StructType,
       outCols: Int,
-      pred: org.apache.spark.sql.catalyst.InternalRow => Boolean = null)
+      pred: org.apache.spark.sql.catalyst.InternalRow => Boolean = null,
+      dead: org.roaringbitmap.RoaringBitmap = null)
     extends PartitionReader[ColumnarBatch] {
 
     def this(part: StrawInputPartition, requiredSchema: StructType) =
-      this(part, requiredSchema, requiredSchema.length, null)
+      this(part, requiredSchema, requiredSchema.length, null, null)
 
     private val input = StrawIO.open(part.path)
     private val (footer, resolved) =
@@ -139,6 +143,11 @@ object ColumnarSupport {
       } catch { case e: Throwable => input.close(); throw e }
     private val pageRows: Array[Int] =
       if (footer.columns.isEmpty) Array.empty else footer.columns(0).pages.map(_.numValues)
+    // file-absolute ordinal of each page's first row (deletion vectors)
+    private val pageStartOrd: Array[Long] =
+      if (dead == null) null else pageRows.scanLeft(0L)(_ + _)
+    // survivor compaction engages when EITHER filter source is active
+    private def filtering: Boolean = pred != null || dead != null
     // columnar reads are gated to FLAT columns, whose single leaf is
     // addressed via the footer's leaf numbering (topLeaf)
     private val pageOffsets: Array[Array[Long]] = resolved.map { ci =>
@@ -169,7 +178,10 @@ object ColumnarSupport {
         if (pred != null && !pred(
           new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
             readSchema.length))) return false
-        val n = math.min(footer.numRows, part.limit)
+        val live =
+          if (dead == null) footer.numRows
+          else math.max(0L, footer.numRows - dead.getLongCardinality)
+        val n = math.min(live, part.limit)
         if (n <= 0) return false
         if (outSchema.isEmpty)
           batch = new ColumnarBatch(Array.empty[ColumnVector], n.toInt)
@@ -187,7 +199,11 @@ object ColumnarSupport {
         val p = pageIdx
         pageIdx += 1
         val n0 = pageRows(p)
-        if (n0 > 0) {
+        val deadInPage =
+          if (dead == null || n0 == 0) 0L
+          else dead.rangeCardinality(pageStartOrd(p), pageStartOrd(p) + n0)
+        // a fully-dead page is skipped without decoding a byte
+        if (n0 > 0 && deadInPage < n0) {
           if (vectors == null || vectorCapacity < n0) {
             if (vectors != null) vectors.foreach(_.close())
             if (compactVectors != null) compactVectors.foreach(_.close())
@@ -198,11 +214,11 @@ object ColumnarSupport {
               else new ColumnarBatch(
                 vectors.take(outCols).map(_.asInstanceOf[ColumnVector]), n0)
             compactVectors =
-              if (pred == null) null else OnHeapColumnVector.allocateColumns(n0, outSchema)
+              if (!filtering) null else OnHeapColumnVector.allocateColumns(n0, outSchema)
             compactBatch =
-              if (pred == null) null
+              if (!filtering) null
               else new ColumnarBatch(compactVectors.map(_.asInstanceOf[ColumnVector]), n0)
-            selection = if (pred == null) null else new Array[Int](n0)
+            selection = if (!filtering) null else new Array[Int](n0)
             vectorCapacity = n0
           } else {
             vectors.foreach(_.reset())
@@ -220,7 +236,7 @@ object ColumnarSupport {
             }
             c += 1
           }
-          if (pred == null) {
+          if (pred == null && deadInPage == 0L) {
             val n = math.min(n0.toLong, part.limit - emitted).toInt
             if (n > 0) {
               emitted += n
@@ -229,11 +245,17 @@ object ColumnarSupport {
               return true
             }
           } else {
+            // survivor selection: deletion vector first (a dead row must
+            // never reach the predicate), then the consumed filters
             fullBatch.setNumRows(n0)
             var nSel = 0
             var i = 0
             while (i < n0 && emitted + nSel < part.limit) {
-              if (pred(fullBatch.getRow(i))) { selection(nSel) = i; nSel += 1 }
+              val alive = deadInPage == 0L ||
+                !dead.contains((pageStartOrd(p) + i).toInt)
+              if (alive && (pred == null || pred(fullBatch.getRow(i)))) {
+                selection(nSel) = i; nSel += 1
+              }
               i += 1
             }
             if (nSel == n0 && outCols == readSchema.length) {

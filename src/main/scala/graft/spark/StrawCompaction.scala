@@ -84,24 +84,32 @@ private[spark] object MaintenanceOps {
     }.toSet
   }
 
+  /** One candidate for a row-matching op: the file, its current deletion
+    * vector (null = fully live), and its footer row count. */
+  final case class Candidate(meta: StrawIO.FileMeta,
+      dv: DeletionVector.DvInfo, numRows: Long) extends Serializable
+
   /** The row-matching ops' candidate ladder: hive partition directories,
     * then file-level stats from the snapshot, then the real footer's page
     * zone maps — a file excluded by any tier provably holds no matching
-    * row and costs no data IO.
+    * row and costs no data IO. (Zone maps of a DV'd file cover dead rows
+    * too: only over-approximation, a kept file's scan re-checks row-level.)
     * @return (candidate files, pruned-file count) */
-  def matchCandidates(listed: Seq[(StrawIO.FileMeta, Option[graft.format.StrawFooter])],
+  def matchCandidates(listed: Seq[StrawIO.Listed],
       schema: org.apache.spark.sql.types.StructType,
       filters: Array[org.apache.spark.sql.sources.Filter])
-      : (Seq[StrawIO.FileMeta], Int) = {
-    val afterPartition = PartitionLayout.pruneBy(listed, schema, filters)(_._1.path)
-    val afterStats = afterPartition.filter { case (_, synth) =>
-      synth.forall(sf => ZoneMapFilter.keptPages(sf, filters)(0))
+      : (Seq[Candidate], Int) = {
+    val afterPartition = PartitionLayout.pruneBy(listed, schema, filters)(_.meta.path)
+    val afterStats = afterPartition.filter { lf =>
+      lf.synth.forall(sf => ZoneMapFilter.keptPages(sf, filters)(0))
     }
-    val candidates = StrawIO.mapParallel(afterStats) { case (m, _) =>
+    val candidates = StrawIO.mapParallel(afterStats) { lf =>
+      val m = lf.meta
       val footer = FooterCache.get(m.path, m.mtime, m.len)
       val keep = ZoneMapFilter.keptPages(footer, filters)
-      (m, footer.columns.headOption.map(_.pages.length).getOrElse(0), keep)
-    }.collect { case (m, nPages, keep) if (0 until nPages).exists(keep) => m }
+      val nPages = footer.columns.headOption.map(_.pages.length).getOrElse(0)
+      (Candidate(m, lf.dv, footer.numRows), nPages, keep)
+    }.collect { case (c, nPages, keep) if (0 until nPages).exists(keep) => c }
     (candidates, listed.size - candidates.size)
   }
 
@@ -120,7 +128,7 @@ private[spark] object MaintenanceOps {
     * error rethrown — nothing visible changed. */
   def rewriteMatching(spark: org.apache.spark.sql.SparkSession, dir: String,
       jobId: String, schema: org.apache.spark.sql.types.StructType,
-      candidates: Seq[StrawIO.FileMeta],
+      candidates: Seq[Candidate],
       filters: Array[org.apache.spark.sql.sources.Filter],
       assigns: Option[Seq[(Int, Any)]],
       opts: WriteOptions): Array[RewriteOut] = {
@@ -129,7 +137,8 @@ private[spark] object MaintenanceOps {
     val filtersB = spark.sparkContext.broadcast(filters)
     val assignsB = spark.sparkContext.broadcast(assigns)
     try {
-      spark.sparkContext.parallelize(candidates, candidates.size).map { m =>
+      spark.sparkContext.parallelize(candidates, candidates.size).map { cand =>
+        val m = cand.meta
         StrawIO.install(serConf.value)
         val tableSchema = org.apache.spark.sql.types.DataType
           .fromJson(schemaJson).asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -146,8 +155,12 @@ private[spark] object MaintenanceOps {
         var matched = 0L
         var ok = false
         try {
+          // an existing DV rides along in the partition: rows it already
+          // killed never reach the rewrite, so the output materializes it
           val reader = factory.createReader(
-            StrawInputPartition(m.path, 0, Int.MaxValue, Long.MaxValue))
+            StrawInputPartition(m.path, 0, Int.MaxValue, Long.MaxValue,
+              if (cand.dv == null) null else cand.dv.path,
+              if (cand.dv == null) 0L else cand.dv.len))
           try {
             while (reader.next()) {
               val row = reader.get()
@@ -176,6 +189,229 @@ private[spark] object MaintenanceOps {
     }
   }
 
+  /** One candidate file's merge-on-read outcome ([[dvMatch]]): newly-dead
+    * live rows matched, the replacement sidecar (null when the file went
+    * fully dead or nothing matched), whether the union covers every row,
+    * and — for UPDATE — the staged files holding the rewritten matches. */
+  final case class DvOut(input: String, inputMtime: Long, matched: Long,
+      oldDvPath: String, newDv: DeletionVector.DvInfo, fullDead: Boolean,
+      staged: Seq[String]) extends Serializable
+
+  /** The merge-on-read half of DELETE/UPDATE: one task per candidate file
+    * finds the LIVE rows where the `filters` conjunction is TRUE (SQL 3VL)
+    * and, instead of rewriting the file, unions their ordinals into the
+    * file's deletion vector — writing a replacement sidecar beside the data
+    * (unreferenced until the caller's log commit). Matching reads ONLY the
+    * condition's columns, page-skipped by the footer's zone maps with
+    * file-absolute ordinal accounting, so a 10-row takedown on a wide
+    * 1 GB file costs a few filter-column pages and a tiny sidecar.
+    *
+    * With `assigns` (UPDATE), each page's matched rows are ALSO decoded in
+    * full, the assignments applied, and the results staged as new files
+    * (the merge-on-read update: old versions die via the DV, new versions
+    * append) — non-matching rows are never rewritten.
+    *
+    * A file whose union covers every row reports `fullDead` (the caller
+    * removes it outright instead of carrying an all-dead sidecar). Nothing
+    * visible changes here: sidecars are unreferenced, staged files carry
+    * the job suffix. On failure the caller sweeps both. */
+  def dvMatch(spark: org.apache.spark.sql.SparkSession, dir: String,
+      jobId: String, schema: org.apache.spark.sql.types.StructType,
+      candidates: Seq[Candidate],
+      filters: Array[org.apache.spark.sql.sources.Filter],
+      assigns: Option[Seq[(Int, Any)]],
+      opts: WriteOptions): Array[DvOut] = {
+    val serConf = new org.apache.spark.util.SerializableConfiguration(StrawIO.conf)
+    val schemaJson = schema.json
+    val filtersB = spark.sparkContext.broadcast(filters)
+    val assignsB = spark.sparkContext.broadcast(assigns)
+    try {
+      spark.sparkContext.parallelize(candidates, candidates.size).map { cand =>
+        StrawIO.install(serConf.value)
+        val m = cand.meta
+        val tableSchema = org.apache.spark.sql.types.DataType
+          .fromJson(schemaJson).asInstanceOf[org.apache.spark.sql.types.StructType]
+        val existing: org.roaringbitmap.RoaringBitmap =
+          if (cand.dv == null) null else DeletionVector.read(cand.dv.path, cand.dv.len)
+        val as = assignsB.value
+        val flt = filtersB.value
+        // the condition references a subset of (flat) table columns — the
+        // match pass reads only those
+        val refs = flt.flatMap(_.references).distinct
+        val subSchema = org.apache.spark.sql.types.StructType(
+          refs.flatMap(n => tableSchema.fields.find(_.name == n)))
+        val pred = RowFilterEval.build(subSchema, flt).getOrElse(
+          throw new IllegalStateException(
+            "strawboat: condition no longer row-evaluable on the executor"))
+        val input = StrawIO.open(m.path)
+        try {
+          val footer = FooterCache.get(m.path, input)
+          val matched = new org.roaringbitmap.RoaringBitmap()
+          var writer: StrawDataWriter = null
+          var ok = false
+          try {
+            // per-file resolution of the needed columns: absent → null,
+            // narrower → decode native and widen (same rules as the scan)
+            def resolveCols(s: org.apache.spark.sql.types.StructType) = {
+              val idx = s.fields.map(f =>
+                footer.schema.fields.indexWhere(_.name == f.name))
+              val plans = idx.map(ci =>
+                if (ci < 0) null
+                else graft.format.ProjCol.plan(footer, ci,
+                  footer.schema.fields(ci).dataType))
+              val convs = idx.zipWithIndex.map { case (ci, c) =>
+                if (ci < 0) null
+                else {
+                  val from = footer.schema.fields(ci).dataType
+                  val to = s.fields(c).dataType
+                  if (from == to) identity[Any] _ else StrawSchemaResolver.widen(from, to)
+                }
+              }
+              (plans, convs)
+            }
+            def decodePage(plan: graft.format.ProjCol, p: Int): graft.format.DecodedPage = {
+              if (plan.isSingleFlat) {
+                val li = plan.globalLeaves(0)
+                val pm = footer.columns(li).pages(p)
+                val bytes = input.readFully(footer.columns(li).pageOffsets(p), pm.compLen.toInt)
+                graft.format.PageDecoder.decode(plan.leafDts(0),
+                  graft.format.ByteIO.reader(bytes))
+              } else {
+                val decoded = new Array[(Array[graft.format.LevelHeader],
+                  graft.format.DecodedPage)](plan.globalLeaves.length)
+                var l = 0
+                while (l < plan.globalLeaves.length) {
+                  val li = plan.globalLeaves(l)
+                  val pm = footer.columns(li).pages(p)
+                  val bytes = input.readFully(footer.columns(li).pageOffsets(p), pm.compLen.toInt)
+                  decoded(l) = graft.format.LeafDecoder.decode(
+                    plan.levelKinds(l), plan.leafDts(l), graft.format.ByteIO.reader(bytes))
+                  l += 1
+                }
+                graft.format.LeafDecoder.assemble(plan.readDt, decoded)
+              }
+            }
+            val (subPlans, subConvs) = resolveCols(subSchema)
+            // full-schema plans resolve lazily — only UPDATE pages with
+            // matches pay for them
+            lazy val fullPlanned = resolveCols(tableSchema)
+            val keep = ZoneMapFilter.keptPages(footer, flt)
+            val pageRows: Array[Int] =
+              if (footer.columns.isEmpty) Array.empty
+              else footer.columns(0).pages.map(_.numValues)
+            val subRow = new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(subSchema.length)
+            val pageMatches = new scala.collection.mutable.ArrayBuffer[Int]()
+            // zero-column file: every row reads all-null — the predicate
+            // evaluates once and applies uniformly (mirror of the scan)
+            if (pageRows.isEmpty && footer.numRows > 0) {
+              var c = 0
+              while (c < subSchema.length) { subRow.update(c, null); c += 1 }
+              if (pred(subRow)) {
+                var o = 0
+                while (o < footer.numRows) {
+                  if (existing == null || !existing.contains(o)) {
+                    matched.add(o)
+                    as.foreach { assign =>
+                      if (writer == null) {
+                        writer = new StrawDataWriter(new Path(m.path).getParent.toString,
+                          tableSchema, partitionId = 0, taskId = 0, opts, jobId)
+                      }
+                      val r = new org.apache.spark.sql.catalyst.expressions
+                        .GenericInternalRow(tableSchema.length)
+                      assign.foreach { case (ci, cv) => r.update(ci, cv) }
+                      writer.write(r)
+                    }
+                  }
+                  o += 1
+                }
+              }
+            }
+            var ord = 0L
+            var p = 0
+            while (p < pageRows.length) {
+              val n = pageRows(p)
+              if (!keep(p)) ord += n
+              else {
+                val subPages = subPlans.map(pl => if (pl == null) null else decodePage(pl, p))
+                pageMatches.clear()
+                var i = 0
+                while (i < n) {
+                  if (existing == null || !existing.contains(ord.toInt)) {
+                    var c = 0
+                    while (c < subPages.length) {
+                      val v = if (subPages(c) == null) null else subPages(c).valueOrNull(i)
+                      subRow.update(c, if (v == null) null else subConvs(c)(v))
+                      c += 1
+                    }
+                    if (pred(subRow)) { matched.add(ord.toInt); pageMatches += i }
+                  }
+                  i += 1
+                  ord += 1
+                }
+                // UPDATE: decode the full page once and stage the matched
+                // rows with assignments applied
+                if (pageMatches.nonEmpty) as.foreach { assign =>
+                  if (writer == null) {
+                    val bloomLeaves = bloomLeavesOf(footer)
+                    writer = new StrawDataWriter(new Path(m.path).getParent.toString,
+                      tableSchema, partitionId = 0, taskId = 0,
+                      opts.copy(bloomColumns = opts.bloomColumns ++ bloomLeaves), jobId)
+                  }
+                  val (fullPlans, fullConvs) = fullPlanned
+                  val fullPages = fullPlans.map(pl => if (pl == null) null else decodePage(pl, p))
+                  pageMatches.foreach { i =>
+                    val r = new org.apache.spark.sql.catalyst.expressions
+                      .GenericInternalRow(tableSchema.length)
+                    var c = 0
+                    while (c < fullPages.length) {
+                      val v = if (fullPages(c) == null) null else fullPages(c).valueOrNull(i)
+                      r.update(c, if (v == null) null else fullConvs(c)(v))
+                      c += 1
+                    }
+                    assign.foreach { case (ci, cv) => r.update(ci, cv) }
+                    writer.write(r)
+                  }
+                }
+              }
+              p += 1
+            }
+            val matchedCount = matched.getLongCardinality
+            if (matchedCount == 0) {
+              if (writer != null) writer.abort()
+              ok = true
+              DvOut(m.path, m.mtime, 0L,
+                if (cand.dv == null) null else cand.dv.path, null, fullDead = false,
+                Seq.empty)
+            } else {
+              val union = matched.clone() // cached `existing` is shared read-only
+              if (existing != null) union.or(existing)
+              val fullDead = union.getLongCardinality >= footer.numRows
+              val newDv =
+                if (fullDead) null
+                else DeletionVector.write(StrawIO.fs(m.path), new Path(m.path), union)
+              val staged =
+                if (writer == null) Seq.empty[String]
+                else writer.commit().asInstanceOf[StrawCommitMessage].files
+              writer = null
+              ok = true
+              DvOut(m.path, m.mtime, matchedCount,
+                if (cand.dv == null) null else cand.dv.path, newDv, fullDead, staged)
+            }
+          } finally if (!ok && writer != null) writer.abort()
+        } finally input.close()
+      }.collect()
+    } catch {
+      case e: Throwable =>
+        // nothing visible changed: staged files are invisible, fresh
+        // sidecars unreferenced — sweep the stage debris, leave sidecar
+        // debris to vacuumUnreferenced (their names are unknown here)
+        try StrawCommitProtocol.sweepStaged(dir, jobId)
+        catch { case scala.util.control.NonFatal(s) => e.addSuppressed(s) }
+        throw e
+    }
+  }
+
   /** Rename staged outputs visible, each group stamped with its mtime
     * BEFORE the rename (a reader must never list a file under a wrong
     * mtime; maintenance stamps the inputs' max mtime so a file-stream
@@ -183,12 +419,23 @@ private[spark] object MaintenanceOps {
     * failure every output already made visible is deleted (the inputs are
     * untouched until the caller's vacuum, so nothing is lost) and this
     * job's staged debris swept before rethrowing — an ordinary IO error is
-    * a clean no-op, never a both-generations directory. */
+    * a clean no-op, never a both-generations directory.
+    *
+    * An IN-FLIGHT MARKER (`_straw_log/.inflight.<jobId>`) is created before
+    * the first rename and retired by [[commitSwitchAndVacuum]] (or the
+    * rollback here): the outputs surface stamped with arbitrarily OLD
+    * mtimes while still unreferenced, which is exactly the shape
+    * [[StrawLog.vacuumUnreferenced]] reclaims — the marker is what tells a
+    * concurrent vacuum that an op is between rename and commit, closing
+    * the delete-the-outputs-then-commit-referencing-them corruption
+    * window. A crashed op's marker goes stale and is reclaimed by vacuum
+    * along with the debris itself. */
   def renameVisibleStamped(dir: String, jobId: String,
       groups: Seq[(Long, Seq[String])]): Seq[StrawIO.FileMeta] = {
     val f = StrawIO.fs(dir)
     val suffix = StrawCommitProtocol.stageSuffix(jobId)
     val visible = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
+    StrawLog.markInflight(dir, jobId)
     try {
       groups.flatMap { case (mtime, names) =>
         StrawIO.mapParallel(names) { s =>
@@ -210,34 +457,43 @@ private[spark] object MaintenanceOps {
         }
         try StrawCommitProtocol.sweepStaged(dir, jobId)
         catch { case scala.util.control.NonFatal(s) => e.addSuppressed(s) }
+        try StrawLog.clearInflight(dir, jobId)
+        catch { case scala.util.control.NonFatal(s) => e.addSuppressed(s) }
         throw e
     }
   }
 
   /** The maintenance epilogue: ONE atomic log version switches generations
-    * (adds = rewrites, removes = inputs, recorded as `op`) — log readers
-    * observe the old or the new set, never both. On a failed/conflicting
-    * commit the visible `adds` are rolled back and staged debris swept
-    * before rethrowing (inputs untouched — a clean no-op). On success the
-    * removed inputs are vacuumed and staged debris swept; a crash between
-    * commit and vacuum leaves unreferenced inputs for
-    * [[StrawLog.vacuumUnreferenced]]. */
+    * (adds = rewrites, removes = inputs, `dvs` = deletion-vector
+    * replacements, recorded as `op`) — log readers observe the old or the
+    * new set, never both. On a failed/conflicting commit the visible `adds`
+    * and the `alsoRollback` paths (fresh, still-unreferenced DV sidecars)
+    * are rolled back and staged debris swept before rethrowing (inputs
+    * untouched — a clean no-op). On success the removed inputs and the
+    * `alsoVacuum` paths (superseded sidecars) are vacuumed and staged
+    * debris swept; a crash between commit and vacuum leaves unreferenced
+    * files for [[StrawLog.vacuumUnreferenced]]. */
   def commitSwitchAndVacuum(dir: String, jobId: String,
-      adds: Seq[StrawManifest.Entry], removes: Set[String], op: String): Unit = {
+      adds: Seq[StrawManifest.Entry], removes: Set[String], op: String,
+      dvs: Seq[StrawLog.DvUpdate] = Seq.empty,
+      alsoVacuum: Seq[String] = Seq.empty,
+      alsoRollback: Seq[String] = Seq.empty): Unit = {
     val f = StrawIO.fs(dir)
-    try StrawLog.commit(dir, adds, removes = removes, op = op)
-    catch {
-      case e: Throwable =>
-        adds.foreach { a =>
-          try f.delete(new Path(a.meta.path), false)
+    try {
+      try StrawLog.commit(dir, adds, removes = removes, op = op, dvs = dvs)
+      catch {
+        case e: Throwable =>
+          (adds.map(_.meta.path) ++ alsoRollback).foreach { a =>
+            try f.delete(new Path(a), false)
+            catch { case scala.util.control.NonFatal(s) => e.addSuppressed(s) }
+          }
+          try StrawCommitProtocol.sweepStaged(dir, jobId)
           catch { case scala.util.control.NonFatal(s) => e.addSuppressed(s) }
-        }
-        try StrawCommitProtocol.sweepStaged(dir, jobId)
-        catch { case scala.util.control.NonFatal(s) => e.addSuppressed(s) }
-        throw e
-    }
-    StrawIO.mapParallel(removes.toSeq)(p => f.delete(new Path(p), false))
-    StrawCommitProtocol.sweepStaged(dir, jobId)
+          throw e
+      }
+      StrawIO.mapParallel(removes.toSeq ++ alsoVacuum)(p => f.delete(new Path(p), false))
+      StrawCommitProtocol.sweepStaged(dir, jobId)
+    } finally StrawLog.clearInflight(dir, jobId)
   }
 }
 
@@ -255,12 +511,17 @@ object StrawCompaction {
     def filesRemoved: Int = inputFiles - outputFiles
   }
 
-  /** One rewrite unit: small files of one (partition directory, schema)
-    * group whose lengths bin-pack under the target. */
+  /** One compaction input: the file plus its deletion vector (null = fully
+    * live) — the rewrite streams only live rows, materializing the DV away. */
+  private final case class BinFile(meta: StrawIO.FileMeta,
+      dvPath: String, dvLen: Long) extends Serializable
+
+  /** One rewrite unit: small (or DV-carrying) files of one (partition
+    * directory, schema) group whose lengths bin-pack under the target. */
   private final case class Bin(parent: String, schemaJson: String,
-      files: Seq[StrawIO.FileMeta]) extends Serializable {
-    def bytes: Long = files.foldLeft(0L)(_ + _.len)
-    def maxMtime: Long = files.map(_.mtime).max
+      files: Seq[BinFile]) extends Serializable {
+    def bytes: Long = files.foldLeft(0L)(_ + _.meta.len)
+    def maxMtime: Long = files.map(_.meta.mtime).max
   }
 
   /** Compact `dir` in place. Returns counts; a table with nothing to do
@@ -287,15 +548,24 @@ object StrawCompaction {
       maxClusterRows: Long = 4L << 20): CompactionResult = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val threshold = smallFileBytes.getOrElse(targetFileBytes)
-    val live = StrawIO.listFilesMeta(dir)
-    val (candidates, skipped) = live.partition(_.len < threshold)
+    val live = StrawIO.listFilesMetaWithStats(dir)
+    // a file carrying a deletion vector is ALWAYS a candidate regardless of
+    // size: compaction is what materializes merge-on-read deletes away
+    // (the rewrite reads only live rows and the output drops the sidecar)
+    val (candidates, skipped) =
+      live.partition(lf => lf.meta.len < threshold || lf.dv != null)
 
     // group by (partition directory, exact file schema): rewrites never
     // cross a partition boundary (layout pruning survives) and never
     // convert between schema generations (read semantics unchanged)
-    val withSchema = StrawIO.mapParallel(candidates) { m =>
+    val withSchema = StrawIO.mapParallel(candidates) { lf =>
+      val m = lf.meta
       val footer = FooterCache.get(m.path, m.mtime, m.len)
-      (m, footer.schema, footer.numRows)
+      val liveRows =
+        if (lf.dv == null) footer.numRows
+        else math.max(0L, footer.numRows - lf.dv.cardinality)
+      (BinFile(m, if (lf.dv == null) null else lf.dv.path,
+        if (lf.dv == null) 0L else lf.dv.len), footer.schema, liveRows)
     }
     // fail fast on a cluster column NO generation has (typo / wrong case /
     // dotted leaf path — clusterBy is top-level only); a per-bin miss
@@ -309,24 +579,28 @@ object StrawCompaction {
     }
     val rowCap = if (clusterBy.isEmpty) Long.MaxValue else maxClusterRows
     val bins = withSchema
-      .groupBy { case (m, schema, _) =>
-        (new Path(m.path).getParent.toString, schema.json)
+      .groupBy { case (bf, schema, _) =>
+        (new Path(bf.meta.path).getParent.toString, schema.json)
       }
       .toSeq.sortBy(_._1)
       .flatMap { case ((parent, schemaJson), members) =>
         // first-fit in path order; only multi-file bins are worth a rewrite
+        // — except a lone DV'd file, whose rewrite materializes the vector
         val out = Seq.newBuilder[Bin]
-        var cur = Vector.empty[StrawIO.FileMeta]
+        def flush(cur: Vector[BinFile]): Unit =
+          if (cur.size > 1 || cur.exists(_.dvPath != null))
+            out += Bin(parent, schemaJson, cur)
+        var cur = Vector.empty[BinFile]
         var bytes = 0L
         var rows = 0L
-        for ((m, _, nRows) <- members.sortBy(_._1.path)) {
-          if (cur.nonEmpty && (bytes + m.len > targetFileBytes || rows + nRows > rowCap)) {
-            if (cur.size > 1) out += Bin(parent, schemaJson, cur)
+        for ((bf, _, nRows) <- members.sortBy(_._1.meta.path)) {
+          if (cur.nonEmpty && (bytes + bf.meta.len > targetFileBytes || rows + nRows > rowCap)) {
+            flush(cur)
             cur = Vector.empty; bytes = 0L; rows = 0L
           }
-          cur :+= m; bytes += m.len; rows += nRows
+          cur :+= bf; bytes += bf.meta.len; rows += nRows
         }
-        if (cur.size > 1) out += Bin(parent, schemaJson, cur)
+        flush(cur)
         out.result()
       }
 
@@ -349,8 +623,9 @@ object StrawCompaction {
           // footers record exactly which leaves carry them — without this,
           // routine maintenance would silently strip the point-lookup
           // acceleration the table was written with
-          val bloomLeaves = bin.files.flatMap(fm =>
-            MaintenanceOps.bloomLeavesOf(FooterCache.get(fm.path, fm.mtime, fm.len))).toSet
+          val bloomLeaves = bin.files.flatMap(bf =>
+            MaintenanceOps.bloomLeavesOf(
+              FooterCache.get(bf.meta.path, bf.meta.mtime, bf.meta.len))).toSet
           val writer = new StrawDataWriter(bin.parent, schema,
             partitionId = 0, taskId = 0,
             outOpts.copy(bloomColumns = outOpts.bloomColumns ++ bloomLeaves),
@@ -371,8 +646,11 @@ object StrawCompaction {
             ordering match {
               case None =>
                 for (f <- bin.files) {
+                  // the input's DV rides along: only LIVE rows survive the
+                  // rewrite, and the output carries no sidecar
                   val reader = factory.createReader(
-                    StrawInputPartition(f.path, 0, Int.MaxValue, Long.MaxValue))
+                    StrawInputPartition(f.meta.path, 0, Int.MaxValue, Long.MaxValue,
+                      f.dvPath, f.dvLen))
                   try { while (reader.next()) writer.write(reader.get()) }
                   finally reader.close()
                 }
@@ -381,7 +659,8 @@ object StrawCompaction {
                   .empty[org.apache.spark.sql.catalyst.InternalRow]
                 for (f <- bin.files) {
                   val reader = factory.createReader(
-                    StrawInputPartition(f.path, 0, Int.MaxValue, Long.MaxValue))
+                    StrawInputPartition(f.meta.path, 0, Int.MaxValue, Long.MaxValue,
+                      f.dvPath, f.dvLen))
                   // copy: the reader reuses its row buffer across next()
                   try { while (reader.next()) buf += reader.get().copy() }
                   finally reader.close()
@@ -407,9 +686,11 @@ object StrawCompaction {
     // rollback on every failure path) live in [[MaintenanceOps]]
     val fresh = MaintenanceOps.renameVisibleStamped(dir, jobId,
       staged.toSeq.map { case (bin, names) => (bin.maxMtime, names) })
-    val inputs = bins.flatMap(_.files.map(_.path)).toSet
+    val inputs = bins.flatMap(_.files.map(_.meta.path)).toSet
     val adds = StrawIO.mapParallel(fresh)(StrawManifest.entryFor)
-    MaintenanceOps.commitSwitchAndVacuum(dir, jobId, adds, inputs, op = "compact")
+    MaintenanceOps.commitSwitchAndVacuum(dir, jobId, adds, inputs, op = "compact",
+      // materialized-away sidecars are reclaimed with their data files
+      alsoVacuum = bins.flatMap(_.files.flatMap(bf => Option(bf.dvPath))))
 
     CompactionResult(
       inputFiles = inputs.size,

@@ -7,13 +7,18 @@ import org.apache.spark.sql.types.StructType
 
 import graft.format.WriteOptions
 
-/** Row-level DELETE over a strawboat table, copy-on-write: files that may
-  * hold matching rows are rewritten without them and swapped in through ONE
-  * atomic [[StrawLog]] commit; everything else is untouched. The
-  * GDPR/takedown primitive an LLM-corpus table needs — at 100 TB the cost
-  * must be proportional to the files CONTAINING matches, not table size,
-  * which the snapshot's file-level stats and the footers' page zone maps
-  * provide: a file whose stats prove no row can match costs nothing.
+/** Row-level DELETE over a strawboat table. Default is MERGE-ON-READ via
+  * deletion vectors ([[DeletionVector]]): each file that holds matching
+  * rows gets a sidecar bitmap of its newly-dead ordinals (unioned with any
+  * prior vector) and ONE atomic [[StrawLog]] commit switches the
+  * references — no data file is rewritten, so a 10-row GDPR takedown on a
+  * 100 TB table costs a handful of filter-column page reads and a few
+  * hundred bytes of sidecar, not a gigabyte-scale rewrite. A file whose
+  * vector would cover EVERY row is removed outright instead. Compaction
+  * ([[StrawCompaction]]) later materializes vectors away. The legacy
+  * copy-on-write rewrite remains available (`useDeletionVectors = false`)
+  * and is the automatic fallback for a pathological >2^31-row file (DV
+  * ordinals are 32-bit).
   *
   * `condition` is a conjunction of [[org.apache.spark.sql.sources.Filter]]s
   * (the public pushdown algebra — EqualTo/GreaterThan/In/IsNull/And/Or/Not,
@@ -25,19 +30,18 @@ import graft.format.WriteOptions
   * ExactFilterEquivalenceSpec). A condition [[RowFilterEval]] cannot compile
   * exactly is REJECTED up front — never approximated.
   *
-  * Rows are evaluated and rewritten in the TABLE schema (per-file null-fill
-  * and lossless widening, the scan's own resolution): a schema-evolved file
-  * lacking the condition column keeps all its rows (absent reads as null →
-  * UNKNOWN), and a rewritten file comes out in the current table schema.
+  * Rows are evaluated in the TABLE schema (per-file null-fill and lossless
+  * widening, the scan's own resolution): a schema-evolved file lacking the
+  * condition column keeps all its rows (absent reads as null → UNKNOWN).
   *
-  * Crash/concurrency contract mirrors [[StrawCompaction]]: rewrites stage
-  * invisibly, the add/remove switch is one atomic log version (op
-  * `delete`), physical input deletion follows the metadata commit, any
-  * failure rolls visible outputs back, and a concurrent remover surfaces as
-  * [[StrawLog.ConflictException]]. Outputs carry their input's max mtime so
-  * a file-stream source that already saw the input does not re-deliver the
-  * surviving rows (same contract as compaction; deleting from a LIVE stream
-  * source is subject to the same safety-lag caveat).
+  * Crash/concurrency contract: sidecars (and, copy-on-write, rewrites) are
+  * unreferenced/invisible until the single atomic log commit (op `delete`);
+  * any failure rolls fresh outputs back; a concurrent remover or competing
+  * delete on the same file surfaces as [[StrawLog.ConflictException]] (the
+  * DV commit carries the expected prior sidecar — lost-update safe). The
+  * data files' mtimes never change under merge-on-read, so file-stream
+  * sources re-deliver nothing (deletes simply do not propagate to an
+  * already-streamed row — retraction is out of streaming's contract).
   */
 object StrawDelete {
 
@@ -47,24 +51,27 @@ object StrawDelete {
       removedFiles: Int,
       /** files the stats tiers proved could not match (zero IO). */
       prunedFiles: Int,
-      /** candidate files whose rewrite found no matching row (discarded). */
-      falsePositiveFiles: Int)
+      /** candidate files whose scan found no matching live row. */
+      falsePositiveFiles: Int,
+      /** files that took (or replaced) a deletion-vector sidecar. */
+      dvFiles: Int = 0)
 
   /** Delete rows matching `condition` (conjunction, SQL 3VL) from `dir`.
     * No-op (version unchanged) when nothing matches. */
   def delete(spark: SparkSession, dir: String, condition: Seq[Filter],
-      opts: WriteOptions = WriteOptions()): DeleteResult = {
+      opts: WriteOptions = WriteOptions(),
+      useDeletionVectors: Boolean = true): DeleteResult = {
     require(condition.nonEmpty, "strawboat: delete needs a condition " +
       "(to remove every row, overwrite the table instead)")
     // ONE listing snapshot drives both the table schema and the candidate
     // set: deriving the schema from a separate (earlier) resolution could
-    // rewrite a concurrently-appended file in a stale schema that silently
-    // drops its new column's data
+    // evaluate a concurrently-appended file in a stale schema
     val listed = StrawIO.listFilesMetaWithStats(dir)
     require(listed.nonEmpty, s"strawboat: no data files under $dir")
     val schema = StrawSchemaResolver.merge(StrawIO.mapParallel(listed) {
-      case (m, Some(synth)) => (m.path, synth.schema)
-      case (m, None) => (m.path, FooterCache.get(m.path, m.mtime, m.len).schema)
+      case StrawIO.Listed(m, Some(synth), _) => (m.path, synth.schema)
+      case StrawIO.Listed(m, None, _) =>
+        (m.path, FooterCache.get(m.path, m.mtime, m.len).schema)
     })
     require(RowFilterEval.build(schema, condition.toArray).isDefined,
       s"strawboat: delete condition is not exactly row-evaluable over " +
@@ -76,14 +83,67 @@ object StrawDelete {
     // file-level stats from the snapshot, then the real footer's page zone
     // maps — exactly the scan's planning ladder
     val (candidates, pruned) = MaintenanceOps.matchCandidates(listed, schema, filters)
-
     if (candidates.isEmpty)
       return DeleteResult(0L, 0, 0, pruned, 0)
 
     val jobId = java.util.UUID.randomUUID().toString.take(8)
-    // one task per candidate file: stream rows (table schema — the reader
-    // null-fills and widens per file), drop cond=TRUE rows, stage survivors
-    // (shared distributed-rewrite scaffolding; assigns=None means DROP)
+    val dvCapable = useDeletionVectors &&
+      candidates.forall(_.numRows <= Int.MaxValue.toLong)
+    if (dvCapable)
+      deleteViaDv(spark, dir, jobId, schema, listed, candidates, filters, pruned, opts)
+    else
+      deleteCopyOnWrite(spark, dir, jobId, schema, listed, candidates, filters,
+        pruned, opts)
+  }
+
+  /** Merge-on-read: match → union into sidecars → one log commit. No data
+    * file is written unless every file went fully dead (schema marker). */
+  private def deleteViaDv(spark: SparkSession, dir: String, jobId: String,
+      schema: StructType, listed: Seq[StrawIO.Listed],
+      candidates: Seq[MaintenanceOps.Candidate], filters: Array[Filter],
+      pruned: Int, opts: WriteOptions): DeleteResult = {
+    val outs = MaintenanceOps.dvMatch(spark, dir, jobId, schema, candidates,
+      filters, assigns = None, opts)
+    val changed = outs.filter(_.matched > 0)
+    if (changed.isEmpty)
+      return DeleteResult(0L, 0, 0, pruned, outs.length)
+
+    val f = StrawIO.fs(dir)
+    def q(p: String): String = f.makeQualified(new Path(p)).toString
+    val (full, partial) = changed.partition(_.fullDead)
+    val removes = full.map(c => q(c.input)).toSet
+    val dvUpdates = partial.map(c => StrawLog.DvUpdate(q(c.input), c.newDv,
+      Option(c.oldDvPath))).toSeq
+    // every row of every file deleted: leave one schema-only marker so the
+    // table stays self-describing and reads back empty
+    val adds =
+      if (dvUpdates.isEmpty && removes.size == listed.size)
+        Seq(StrawManifest.entryFor(writeEmptyMarker(dir, schema, opts)))
+      else Seq.empty
+    MaintenanceOps.commitSwitchAndVacuum(dir, jobId, adds, removes, op = "delete",
+      dvs = dvUpdates,
+      // superseded sidecars AND the sidecars of fully-removed files
+      alsoVacuum = changed.flatMap(c => Option(c.oldDvPath)).toSeq,
+      alsoRollback = partial.map(_.newDv.path).toSeq)
+
+    DeleteResult(
+      deletedRows = changed.map(_.matched).sum,
+      rewrittenFiles = 0,
+      removedFiles = removes.size,
+      prunedFiles = pruned,
+      falsePositiveFiles = outs.count(_.matched == 0),
+      dvFiles = dvUpdates.size)
+  }
+
+  /** Copy-on-write: rewrite each matching file without its matching rows
+    * (dropping any prior deletion vector along the way). */
+  private def deleteCopyOnWrite(spark: SparkSession, dir: String, jobId: String,
+      schema: StructType, listed: Seq[StrawIO.Listed],
+      candidates: Seq[MaintenanceOps.Candidate], filters: Array[Filter],
+      pruned: Int, opts: WriteOptions): DeleteResult = {
+    // one task per candidate file: stream LIVE rows (table schema — the
+    // reader null-fills, widens, and subtracts any prior DV), drop
+    // cond=TRUE rows, stage survivors (assigns=None means DROP)
     val rewrites = MaintenanceOps.rewriteMatching(spark, dir, jobId, schema,
       candidates, filters, assigns = None, opts)
 
@@ -104,30 +164,15 @@ object StrawDelete {
       changed.toSeq.map(rw => (rw.inputMtime, rw.staged)))
 
     val removes = changed.map(c => f.makeQualified(new Path(c.input)).toString).toSet
-    // every row of every file deleted: leave one schema-only marker so the
-    // table stays self-describing and reads back empty (as BatchWrite does
-    // for an empty overwrite)
+    val replacedDvs = candidates
+      .filter(c => removes(f.makeQualified(new Path(c.meta.path)).toString))
+      .flatMap(c => Option(c.dv).map(_.path))
     var freshAll = fresh
-    if (fresh.isEmpty && removes.size == listed.size) {
-      val name = s"part-empty-${java.util.UUID.randomUUID().toString.take(8)}" +
-        graft.format.StrawFormat.Extension
-      val tmp = new Path(dir, s".$name.tmp")
-      val os = f.create(tmp, true)
-      var ok = false
-      try { new graft.format.StrawFileWriter(schema, opts).writeTo(os); ok = true }
-      finally {
-        os.close()
-        if (ok) {
-          if (!f.rename(tmp, new Path(dir, name)))
-            throw new java.io.IOException(s"strawboat: rename $tmp -> $name failed")
-        } else f.delete(tmp, false)
-      }
-      val st = f.getFileStatus(new Path(dir, name))
-      freshAll :+= StrawIO.FileMeta(f.makeQualified(st.getPath).toString,
-        st.getModificationTime, st.getLen)
-    }
+    if (fresh.isEmpty && removes.size == listed.size)
+      freshAll :+= writeEmptyMarker(dir, schema, opts)
     val adds = StrawIO.mapParallel(freshAll)(StrawManifest.entryFor)
-    MaintenanceOps.commitSwitchAndVacuum(dir, jobId, adds, removes, op = "delete")
+    MaintenanceOps.commitSwitchAndVacuum(dir, jobId, adds, removes, op = "delete",
+      alsoVacuum = replacedDvs)
 
     DeleteResult(
       deletedRows = changed.map(_.matched).sum,
@@ -135,5 +180,28 @@ object StrawDelete {
       removedFiles = removes.size,
       prunedFiles = pruned,
       falsePositiveFiles = untouched.length)
+  }
+
+  /** Write a visible schema-only `.strb` marker so an emptied table stays
+    * self-describing (as BatchWrite does for an empty overwrite). */
+  private[spark] def writeEmptyMarker(dir: String, schema: StructType,
+      opts: WriteOptions): StrawIO.FileMeta = {
+    val f = StrawIO.fs(dir)
+    val name = s"part-empty-${java.util.UUID.randomUUID().toString.take(8)}" +
+      graft.format.StrawFormat.Extension
+    val tmp = new Path(dir, s".$name.tmp")
+    val os = f.create(tmp, true)
+    var ok = false
+    try { new graft.format.StrawFileWriter(schema, opts).writeTo(os); ok = true }
+    finally {
+      os.close()
+      if (ok) {
+        if (!f.rename(tmp, new Path(dir, name)))
+          throw new java.io.IOException(s"strawboat: rename $tmp -> $name failed")
+      } else f.delete(tmp, false)
+    }
+    val st = f.getFileStatus(new Path(dir, name))
+    StrawIO.FileMeta(f.makeQualified(st.getPath).toString,
+      st.getModificationTime, st.getLen)
   }
 }

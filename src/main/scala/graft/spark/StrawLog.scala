@@ -43,15 +43,21 @@ import graft.spark.StrawManifest.Entry
   * 00000000000000000010.checkpoint  // full snapshot every Nth version
   * }}}
   * Commit/checkpoint body is line-framed UTF-8, the [[StrawManifest]] v3
-  * grammar plus remove/txn actions:
+  * grammar plus remove/dv/txn actions:
   * {{{
   * strawboat-log v1 <uuid>
   * S<idx>\t<schema json>                     (schema dictionary)
   * A\t<mtime>\t<len>\t<schemaIdx|->\t<statsB64|->\t<relpath>
   * R\t<relpath>
+  * D\t<dvLen>\t<dvCardinality>\t<dvFileName>\t<data relpath>
   * X\t<version>\t<appId>                     (streaming idempotence)
   * E                                         (completeness terminator)
   * }}}
+  * A `D` action attaches (or replaces) a data file's deletion vector
+  * ([[DeletionVector]] — merge-on-read row deletes): the sidecar named
+  * `<dvFileName>` in the data file's own directory. Replay applies it to
+  * the file's current entry; an `A` for the same path (a rewrite) clears
+  * any DV, an `R` removes file and DV together.
   *
   * Atomicity of the version claim: the commit body is written to a temp
   * file, then linked/renamed to `<version>.commit` with a create-if-absent
@@ -62,10 +68,12 @@ import graft.spark.StrawManifest.Entry
   *
   * Trust model mirrors the manifest: this library's committers are the only
   * writers. Files dropped in externally are not seen; delete `_straw_log/`
-  * (and `_strawboat_manifest`) to force directory walking. Any replay
-  * problem (corrupt or missing version file) falls back to the legacy
-  * manifest, then to a walk — the log accelerates and isolates, it must
-  * never wall off the data.
+  * (and `_strawboat_manifest`) to force directory walking. A replay problem
+  * on an EXISTING log (corrupt or missing version file) fails reads loudly
+  * after a retry — a silent walk fallback could expose uncommitted renamed
+  * files and resurrect rows deleted via deletion vectors, so only the
+  * absence of a log (or its explicit deletion, the escape hatch) selects
+  * the listing path.
   */
 object StrawLog {
   val DirName = "_straw_log"
@@ -144,6 +152,40 @@ object StrawLog {
     try rawFs(table).getFileStatus(logDir(table)).isDirectory
     catch { case _: java.io.IOException => false }
 
+  // -------------------------------------------------------------------
+  // In-flight maintenance markers: a maintenance op's outputs surface
+  // (renamed visible, stamped with OLD input mtimes) BEFORE its log
+  // commit references them — precisely the shape vacuumUnreferenced
+  // reclaims. The marker file signals "an op is between rename and
+  // commit"; vacuum refuses to run while any fresh marker exists and
+  // reclaims stale ones (crashed ops) along with their debris.
+  // -------------------------------------------------------------------
+  private val InflightPrefix = ".inflight."
+
+  private[spark] def markInflight(table: String, jobId: String): Unit = {
+    val f = rawFs(table)
+    val ld = logDir(table)
+    f.mkdirs(ld)
+    val os = f.create(new Path(ld, s"$InflightPrefix$jobId"), true)
+    os.close()
+  }
+
+  private[spark] def clearInflight(table: String, jobId: String): Unit =
+    try { rawFs(table).delete(new Path(logDir(table), s"$InflightPrefix$jobId"), false): Unit }
+    catch { case scala.util.control.NonFatal(_) => }
+
+  /** Fresh in-flight markers (and, as a side effect, reclaim stale ones
+    * older than `cutoff` — their op crashed; its debris is fair game). */
+  private def freshInflight(f: FileSystem, ld: Path, cutoff: Long): Seq[String] =
+    try {
+      f.listStatus(ld).toSeq
+        .filter(_.getPath.getName.startsWith(InflightPrefix))
+        .flatMap { st =>
+          if (st.getModificationTime >= cutoff) Seq(st.getPath.getName)
+          else { f.delete(st.getPath, false); Seq.empty }
+        }
+    } catch { case _: java.io.FileNotFoundException => Seq.empty }
+
   def latestVersion(table: String): Option[Long] = {
     val (commits, _) = listVersions(rawFs(table), logDir(table))
     commits.keySet.lastOption
@@ -175,54 +217,91 @@ object StrawLog {
     commits.lastOption.map { case (v, (mtime, _)) => (v, mtime) }
   }
 
-  private def resolve(table: String, asOf: Option[Long]): Option[Snapshot] =
-    try {
-      val f = rawFs(table)
-      val ld = logDir(table)
-      val (commits, checkpoints) = listVersions(f, ld)
-      if (commits.isEmpty) return None
-      val target = asOf match {
-        case Some(v) => if (commits.contains(v)) v else return None
-        case None => commits.lastKey
+  /** Resolution failure classes: None = genuinely no log (or the asOf
+    * version was never committed / was vacuumed) — callers fall back to the
+    * legacy manifest or a walk. A log that EXISTS but cannot be replayed
+    * (IO error, corrupt version file, replay gap) THROWS after one retry
+    * instead: silently degrading to a directory walk would expose
+    * uncommitted renamed files, mid-vacuum both-generations states, and —
+    * worst — resurrect rows deleted via deletion vectors (the walk cannot
+    * see sidecars). The retry absorbs benign races (a concurrent vacuumLog
+    * deleting a commit file between the listing and the read); the throw
+    * mirrors the commit side's refusal. Deleting `_straw_log/` remains the
+    * explicit escape hatch back to listing. */
+  private def resolve(table: String, asOf: Option[Long]): Option[Snapshot] = {
+    var attempt = 0
+    while (true) {
+      try return resolveOnce(table, asOf)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          attempt += 1
+          if (attempt >= 2) throw new IllegalStateException(
+            s"strawboat: transaction log of $table exists but is unreadable — " +
+              "refusing to fall back to a directory listing (it could expose " +
+              "uncommitted files and resurrect deleted rows); repair or delete " +
+              s"$DirName to force listing", e)
       }
-      val (tMtime, tLen) = commits(target)
-      val key = (f.makeQualified(ld).toString, target, tMtime, tLen)
-      cache.synchronized(Option(cache.get(key))).foreach { s =>
-        hits.incrementAndGet(); return Some(s)
-      }
-      // replay: nearest checkpoint at or below the target, then the commit
-      // tail. A gap in the tail (cleaned or lost version file) is a replay
-      // failure — fall back rather than serve a snapshot with holes.
-      val base = checkpoints.filter(_ <= target).lastOption
-      val start = base.map(_ + 1).getOrElse(
-        if (commits.firstKey == 1L) 1L else return None)
-      val tail = (start to target).filter { v =>
-        if (!commits.contains(v)) return None
-        true
-      }
-      val qdir = StrawIO.fs(table).makeQualified(new Path(table)).toString
-      val entries = scala.collection.mutable.LinkedHashMap.empty[String, Entry]
-      var txns = Map.empty[String, Long]
-      base.foreach { cv =>
-        val a = parseActions(readLines(f, checkpointPath(ld, cv)), qdir)
-          .getOrElse(return None)
-        a.actions.foreach { case Right(e) => entries(e.meta.path) = e; case _ => }
-        txns ++= a.txns
-      }
-      tail.foreach { v =>
-        val a = parseActions(readLines(f, commitPath(ld, v)), qdir)
-          .getOrElse(return None)
-        a.actions.foreach {
-          case Right(e) => entries(e.meta.path) = e
-          case Left(removed) => entries.remove(removed): Unit
+    }
+    None // unreachable
+  }
+
+  private def resolveOnce(table: String, asOf: Option[Long]): Option[Snapshot] = {
+    val f = rawFs(table)
+    val ld = logDir(table)
+    val (commits, checkpoints) = listVersions(f, ld)
+    if (commits.isEmpty) return None
+    val target = asOf match {
+      case Some(v) => if (commits.contains(v)) v else return None
+      case None => commits.lastKey
+    }
+    val (tMtime, tLen) = commits(target)
+    val key = (f.makeQualified(ld).toString, target, tMtime, tLen)
+    cache.synchronized(Option(cache.get(key))).foreach { s =>
+      hits.incrementAndGet(); return Some(s)
+    }
+    def unreadable(what: String): Nothing =
+      throw new java.io.IOException(s"strawboat: log of $table: $what")
+    // replay: nearest checkpoint at or below the target, then the commit
+    // tail. A gap in the tail (cleaned or lost version file) is a replay
+    // failure — never serve a snapshot with holes.
+    val base = checkpoints.filter(_ <= target).lastOption
+    val start = base.map(_ + 1).getOrElse(
+      if (commits.firstKey == 1L) 1L
+      else unreadable(s"no checkpoint at or below $target and no version 1"))
+    val tail = (start to target).filter { v =>
+      if (!commits.contains(v)) unreadable(s"version $v missing from the tail")
+      true
+    }
+    val qdir = StrawIO.fs(table).makeQualified(new Path(table)).toString
+    val entries = scala.collection.mutable.LinkedHashMap.empty[String, Entry]
+    var txns = Map.empty[String, Long]
+    // applies one commit's actions in file order; a DV action on a path
+    // the state doesn't hold is an inconsistent log (the committer
+    // validated presence) — unreadable rather than dropped deletes
+    def apply(a: Actions): Unit = {
+      a.actions.foreach {
+        case AddAction(e) => entries(e.meta.path) = e
+        case RemoveAction(removed) => entries.remove(removed): Unit
+        case DvAction(dataPath, dv) => entries.get(dataPath) match {
+          case Some(e) => entries(dataPath) = e.copy(dv = dv)
+          case None => unreadable(s"DV action targets unknown file $dataPath")
         }
-        txns ++= a.txns
       }
-      val snap = Snapshot(target, entries.values.toVector.sortBy(_.meta.path), txns)
-      cache.synchronized(cache.put(key, snap))
-      hits.incrementAndGet()
-      Some(snap)
-    } catch { case scala.util.control.NonFatal(_) => None }
+      txns ++= a.txns
+    }
+    base.foreach { cv =>
+      apply(parseActions(readLines(f, checkpointPath(ld, cv)), qdir)
+        .getOrElse(unreadable(s"checkpoint $cv does not parse")))
+    }
+    tail.foreach { v =>
+      apply(parseActions(readLines(f, commitPath(ld, v)), qdir)
+        .getOrElse(unreadable(s"commit $v does not parse")))
+    }
+    val snap = Snapshot(target, entries.values.toVector.sortBy(_.meta.path), txns)
+    cache.synchronized(cache.put(key, snap))
+    hits.incrementAndGet()
+    Some(snap)
+  }
 
   private def readLines(f: FileSystem, p: Path): Array[String] = {
     val st = f.getFileStatus(p)
@@ -234,10 +313,25 @@ object StrawLog {
     } finally in.close()
   }
 
-  /** One parsed commit/checkpoint body: (Right(add) | Left(removePath))
-    * actions in file order, txns, and the operation description. */
-  private final case class Actions(actions: Seq[Either[String, Entry]],
+  /** One commit/checkpoint action, applied in file order on replay. */
+  private sealed trait Action
+  private final case class AddAction(e: Entry) extends Action
+  private final case class RemoveAction(path: String) extends Action
+  private final case class DvAction(dataPath: String,
+      dv: DeletionVector.DvInfo) extends Action
+
+  /** One parsed commit/checkpoint body: actions in file order, txns, and
+    * the operation description. */
+  private final case class Actions(actions: Seq[Action],
       txns: Map[String, Long], op: String)
+
+  /** The sidecar path a `D` line's (dvName, data relpath) resolves to: the
+    * DV lives in the data file's own directory. */
+  private def dvPathOf(qdir: String, dataRel: String, dvName: String): String = {
+    val slash = dataRel.lastIndexOf('/')
+    if (slash < 0) s"$qdir/$dvName"
+    else s"$qdir/${dataRel.substring(0, slash + 1)}$dvName"
+  }
 
   /** Parse one commit/checkpoint body; None on any malformed framing
     * (missing header or `E` terminator, bad line) — the caller treats the
@@ -247,16 +341,25 @@ object StrawLog {
     val body = lines.drop(1).filter(_.nonEmpty)
     if (body.isEmpty || body.last != "E") return None
     val schemas = scala.collection.mutable.ArrayBuffer.empty[(String, StructType)]
-    val out = Seq.newBuilder[Either[String, Entry]]
+    val out = Seq.newBuilder[Action]
     var txns = Map.empty[String, Long]
     var op = ""
     try {
       body.dropRight(1).foreach { line =>
         if (line.startsWith("S")) StrawManifest.parseSchemaLine(line, schemas, "log")
         else if (line.startsWith("A\t"))
-          out += Right(StrawManifest.parseEntryLine(line, schemas, qdir, "log"))
+          out += AddAction(StrawManifest.parseEntryLine(line, schemas, qdir, "log"))
         else if (line.startsWith("R\t")) {
-          out += Left(s"$qdir/${line.substring(2)}")
+          out += RemoveAction(s"$qdir/${line.substring(2)}")
+        } else if (line.startsWith("D\t")) {
+          // D\t<dvLen>\t<dvCardinality>\t<dvFileName>\t<data relpath> —
+          // data path LAST (unconstrained), dv name tab-free by writer rule
+          val parts = line.split('\t')
+          require(parts.length >= 5, s"bad log dv line: $line")
+          val dataRel = parts.drop(4).mkString("\t")
+          out += DvAction(s"$qdir/$dataRel",
+            DeletionVector.DvInfo(dvPathOf(qdir, dataRel, parts(3)),
+              parts(1).toLong, parts(2).toLong))
         } else if (line.startsWith("X\t")) {
           val parts = line.split('\t')
           require(parts.length >= 3, s"bad log txn line: $line")
@@ -270,7 +373,8 @@ object StrawLog {
   }
 
   private def serialize(adds: Seq[Entry], removes: Seq[String],
-      txns: Map[String, Long], qdir: String, op: String): String = {
+      txns: Map[String, Long], qdir: String, op: String,
+      dvs: Seq[(String, DeletionVector.DvInfo)] = Seq.empty): String = {
     val prefix = qdir + "/"
     val sb = new StringBuilder(Header)
       .append(java.util.UUID.randomUUID().toString).append('\n')
@@ -278,14 +382,26 @@ object StrawLog {
       sb.append("O\t").append(op.replace('\n', ' ').replace('\t', ' ')).append('\n')
     val sorted = adds.sortBy(_.meta.path)
     val schemaIdx = StrawManifest.appendSchemaDict(sb, sorted)
-    // R before A: replay applies actions in file order, so if the
-    // adds/removes disjointness requirement is ever relaxed, an in-place
-    // path replacement nets to ADDED rather than silently removed
+    // R before A before D: replay applies actions in file order — a DV
+    // must attach after its file's add, and if the adds/removes
+    // disjointness requirement is ever relaxed, an in-place path
+    // replacement nets to ADDED rather than silently removed
     removes.sorted.foreach { p =>
       require(p.startsWith(prefix), s"log remove outside table: $p")
       sb.append("R\t").append(p.substring(prefix.length)).append('\n')
     }
     sorted.foreach(StrawManifest.appendEntryLine(sb, 'A', _, schemaIdx, prefix, "log"))
+    dvs.sortBy(_._1).foreach { case (dataPath, dv) =>
+      require(dataPath.startsWith(prefix), s"log dv outside table: $dataPath")
+      val dataRel = dataPath.substring(prefix.length)
+      val dvName = dv.path.substring(dv.path.lastIndexOf('/') + 1)
+      require(!dvName.contains('\t') && dvName.endsWith(DeletionVector.Extension),
+        s"log dv sidecar name not frameable: ${dv.path}")
+      require(dv.path == dvPathOf(qdir, dataRel, dvName),
+        s"log dv sidecar not beside its data file: ${dv.path} vs $dataPath")
+      sb.append("D\t").append(dv.len).append('\t').append(dv.cardinality)
+        .append('\t').append(dvName).append('\t').append(dataRel).append('\n')
+    }
     txns.toSeq.sortBy(_._1).foreach { case (app, v) =>
       sb.append("X\t").append(v).append('\t').append(app).append('\n')
     }
@@ -294,10 +410,20 @@ object StrawLog {
   }
 
   /** Claim `dst` with create-if-absent semantics.
+    * @param headerLine the body's first line (carries this writer's UUID)
+    *   — used to VERIFY the claim on stores whose rename can overwrite: two
+    *   same-version racers can each observe exists=false and "win" the
+    *   rename, and without verification the true loser (whose content was
+    *   overwritten) would return true and silently lose its commit. After
+    *   a non-atomic claim the destination is re-read and the UUID compared;
+    *   a mismatch (or unreadable dst) reports false, sending this writer
+    *   back through the retry loop.
     * @return true when THIS writer's content is at `dst`. */
-  private[spark] def claim(f: FileSystem, tmp: Path, dst: Path): Boolean = {
+  private[spark] def claim(f: FileSystem, tmp: Path, dst: Path,
+      headerLine: String): Boolean = {
     val won =
       if (f.getUri.getScheme == "file") {
+        // hard link: atomic create-if-absent — no verification needed
         try {
           java.nio.file.Files.createLink(
             java.nio.file.Paths.get(f.makeQualified(dst).toUri.getPath),
@@ -308,9 +434,15 @@ object StrawLog {
           case scala.util.control.NonFatal(_) => false
         }
       } else {
-        // HDFS-like rename does not overwrite an existing destination
-        try !f.exists(dst) && f.rename(tmp, dst)
-        catch { case scala.util.control.NonFatal(_) => false }
+        // HDFS rename does not overwrite an existing destination, but the
+        // exists+rename pair is check-then-act — verify the winner
+        val renamed =
+          try !f.exists(dst) && f.rename(tmp, dst)
+          catch { case scala.util.control.NonFatal(_) => false }
+        renamed && {
+          try readLines(f, dst).headOption.contains(headerLine)
+          catch { case scala.util.control.NonFatal(_) => false }
+        }
       }
     try f.delete(tmp, false) catch { case scala.util.control.NonFatal(_) => }
     won
@@ -321,6 +453,14 @@ object StrawLog {
     * retrying blindly would resurrect or double-delete a generation. */
   final class ConflictException(msg: String)
     extends java.util.ConcurrentModificationException(msg)
+
+  /** One DV assignment within a commit: attach `dv` to `dataPath`,
+    * expecting the file's CURRENT sidecar to be `expectedOld` (None = none).
+    * The expectation is the lost-update guard: two committers that each
+    * unioned the same base bitmap must not silently drop one another's
+    * deletes — the loser's stale expectation surfaces as a conflict. */
+  final case class DvUpdate(dataPath: String, dv: DeletionVector.DvInfo,
+      expectedOld: Option[String])
 
   /** Commit `adds` (absolute-path entries, stats optional) and `removes`
     * (absolute paths) as the next log version and return it.
@@ -338,17 +478,39 @@ object StrawLog {
     * Append-only commits retry transparently when another committer claims
     * the version first (adds commute). Commits with `removes` throw
     * [[ConflictException]] when any removed path is no longer in the latest
-    * snapshot. */
+    * snapshot; commits with `dvs` throw it when the target file is gone or
+    * its current DV is not the one the op unioned from. */
   def commit(table: String, adds: Seq[Entry], removes: Set[String] = Set.empty,
-      txn: Option[(String, Long)] = None, op: String = ""): Long = {
+      txn: Option[(String, Long)] = None, op: String = "",
+      dvs: Seq[DvUpdate] = Seq.empty): Long = {
     require(adds.map(_.meta.path).toSet.intersect(removes).isEmpty,
       "strawboat: log commit adds and removes must be disjoint (an in-place " +
         "path replacement would net to REMOVED on replay)")
+    require(dvs.map(_.dataPath).distinct.length == dvs.length,
+      "strawboat: log commit carries two DV updates for one file")
+    require(dvs.forall(d => !removes(d.dataPath) &&
+      !adds.exists(_.meta.path == d.dataPath)),
+      "strawboat: DV updates must target files the commit neither adds nor " +
+        "removes (a rewrite clears the DV, a remove takes it along)")
     val lock = writeLocks.computeIfAbsent(table, _ => new Object)
     lock.synchronized {
       val f = rawFs(table)
       val ld = logDir(table)
       f.mkdirs(ld)
+      // last-moment existence check on everything this commit is about to
+      // reference: a concurrent vacuumUnreferenced that raced the
+      // maintenance window (or an operator deleting files by hand) must
+      // fail the commit LOUDLY here — committing references to deleted
+      // files would silently lose rows at the very next read
+      StrawIO.mapParallel(adds.map(_.meta.path) ++ dvs.map(_.dv.path)) { p =>
+        try f.getFileStatus(new Path(p))
+        catch {
+          case _: java.io.FileNotFoundException => throw new IllegalStateException(
+            s"strawboat: commit on $table references missing file $p " +
+              "(concurrent vacuum or manual deletion?) — aborting before the " +
+              "log records it")
+        }
+      }
       val qdir = StrawIO.fs(table).makeQualified(new Path(table)).toString
       var attempt = 0
       while (true) {
@@ -378,6 +540,22 @@ object StrawLog {
               s"version ${s.version} of $table (concurrent truncate/compaction?): " +
               gone.take(3).mkString(", "))
         }
+        cur.foreach { s =>
+          val byPath = s.entries.map(e => e.meta.path -> e).toMap
+          dvs.foreach { d =>
+            byPath.get(d.dataPath) match {
+              case None => throw new ConflictException(
+                s"strawboat: DV commit targets ${d.dataPath}, no longer in " +
+                  s"version ${s.version} of $table (concurrent rewrite?)")
+              case Some(e) =>
+                val curDv = Option(e.dv).map(_.path)
+                if (curDv != d.expectedOld) throw new ConflictException(
+                  s"strawboat: DV commit on ${d.dataPath} expected sidecar " +
+                    s"${d.expectedOld.getOrElse("none")} but version ${s.version} " +
+                    s"holds ${curDv.getOrElse("none")} (concurrent delete?)")
+            }
+          }
+        }
         val next = cur.map(_.version + 1).getOrElse(1L)
         val addPaths = adds.map(_.meta.path).toSet
         val bootstrap: Seq[Entry] =
@@ -389,19 +567,28 @@ object StrawLog {
               .getOrElse(StrawIO.walkFilesMeta(table).map(Entry(_, null, null)))
             prior.filterNot(e => addPaths(e.meta.path) || removes(e.meta.path))
           }
+        if (cur.isEmpty) {
+          // bootstrap: DV targets must exist in the folded state, and no
+          // prior sidecar can exist (the pre-log world had no row deletes)
+          val known = bootstrap.map(_.meta.path).toSet ++ addPaths
+          dvs.foreach { d =>
+            require(known(d.dataPath) && d.expectedOld.isEmpty,
+              s"strawboat: bootstrap DV commit targets unknown file ${d.dataPath}")
+          }
+        }
         // a bootstrap needs no R lines: files subtracted from the folded
         // prior state are simply never listed
         val removeLines = if (cur.isEmpty) Seq.empty else removes.toSeq
         val opLine = if (cur.isEmpty && op.nonEmpty) s"$op (bootstrap)" else op
         val body = serialize(bootstrap ++ adds, removeLines,
           txn.map { case (app, v) => Map(app -> v) }.getOrElse(Map.empty), qdir,
-          opLine)
+          opLine, dvs.map(d => (d.dataPath, d.dv)))
         val tmp = new Path(ld, s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
         val os = f.create(tmp, true)
         var ok = false
         try { os.write(body.getBytes("UTF-8")); ok = true }
         finally { os.close(); if (!ok) f.delete(tmp, false): Unit }
-        if (claim(f, tmp, commitPath(ld, next))) {
+        if (claim(f, tmp, commitPath(ld, next), body.takeWhile(_ != '\n'))) {
           if (cur.isEmpty) StrawManifest.invalidate(table) // retire legacy snapshot
           afterCommit(table, f, ld, qdir, next)
           return next
@@ -423,13 +610,16 @@ object StrawLog {
     try {
       val snap = snapshot(table).getOrElse(return)
       if (snap.version == version && version % CheckpointInterval == 0) {
-        val body = serialize(snap.entries, Seq.empty, snap.txns, qdir, "checkpoint")
+        // A lines never carry DVs — the checkpoint re-attaches them as D
+        // lines after the adds, same replay order as a commit
+        val body = serialize(snap.entries, Seq.empty, snap.txns, qdir, "checkpoint",
+          snap.entries.collect { case e if e.dv != null => (e.meta.path, e.dv) })
         val tmp = new Path(ld, s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
         val os = f.create(tmp, true)
         var ok = false
         try { os.write(body.getBytes("UTF-8")); ok = true }
         finally { os.close(); if (!ok) f.delete(tmp, false): Unit }
-        if (ok) claim(f, tmp, checkpointPath(ld, version)): Unit
+        if (ok) claim(f, tmp, checkpointPath(ld, version), body.takeWhile(_ != '\n')): Unit
       }
     } catch { case scala.util.control.NonFatal(_) => }
   }
@@ -439,7 +629,8 @@ object StrawLog {
     * counts. `addedFiles` of a bootstrap commit includes the folded pre-log
     * state. */
   final case class HistoryRow(version: Long, timestampMs: Long, operation: String,
-      addedFiles: Int, removedFiles: Int, txn: Option[(String, Long)])
+      addedFiles: Int, removedFiles: Int, txn: Option[(String, Long)],
+      dvFiles: Int = 0)
 
   /** The table's commit history, newest first — a DESCRIBE-HISTORY-style
     * audit of every retained log version (vacuumed versions are absent).
@@ -455,9 +646,10 @@ object StrawLog {
       catch { case scala.util.control.NonFatal(_) => None }) match {
         case Some(a) =>
           HistoryRow(v, mtime, a.op,
-            addedFiles = a.actions.count(_.isRight),
-            removedFiles = a.actions.count(_.isLeft),
-            txn = a.txns.headOption)
+            addedFiles = a.actions.count(_.isInstanceOf[AddAction]),
+            removedFiles = a.actions.count(_.isInstanceOf[RemoveAction]),
+            txn = a.txns.headOption,
+            dvFiles = a.actions.count(_.isInstanceOf[DvAction]))
         case None => HistoryRow(v, mtime, "(unreadable)", 0, 0, None)
       }
     }
@@ -474,13 +666,25 @@ object StrawLog {
     * @return deleted file count */
   def vacuumUnreferenced(table: String, olderThanMs: Long = 24 * 3600 * 1000L): Int = {
     val snap = snapshot(table).getOrElse(return 0)
+    val liveDvs: Set[String] =
+      snap.entries.collect { case e if e.dv != null => e.dv.path }.toSet
     val f = StrawIO.fs(table)
     val cutoff = System.currentTimeMillis() - olderThanMs
+    // a maintenance op between its rename fan-out and its log commit has
+    // VISIBLE outputs stamped with old input mtimes that the sweep below
+    // would eat — refuse while any fresh in-flight marker exists (stale
+    // markers are crashed ops: reclaimed here, their debris swept below)
+    val inflight = freshInflight(rawFs(table), logDir(table), cutoff)
+    if (inflight.nonEmpty) return 0
     var n = 0
     StrawIO.walkFiles(f, new Path(table)) { st =>
       val p = f.makeQualified(st.getPath).toString
-      if (p.endsWith(graft.format.StrawFormat.Extension) && !snap.pathSet(p) &&
-        st.getModificationTime < cutoff) {
+      val deadData =
+        p.endsWith(graft.format.StrawFormat.Extension) && !snap.pathSet(p)
+      // DV sidecars superseded (or orphaned by a crashed delete) are debris
+      // the same way — only the snapshot's referenced sidecars are live
+      val deadDv = p.endsWith(DeletionVector.Extension) && !liveDvs(p)
+      if ((deadData || deadDv) && st.getModificationTime < cutoff) {
         if (f.delete(st.getPath, false)) n += 1
       }
     }
@@ -513,10 +717,21 @@ object StrawLog {
   }
 
   /** External-writer escape hatch: delete the whole log (readers fall back
-    * to the legacy manifest or directory walking). */
-  def invalidate(table: String): Unit =
+    * to the legacy manifest or directory walking). Also drops the table's
+    * pinned timestampAsOf resolutions — first-resolution-wins stability is
+    * only sound within one log incarnation. NOTE: on a STREAMING SINK this
+    * forfeits epoch idempotence — the log's txn actions are the replay
+    * guard, so a replayed epoch arriving after invalidate() re-commits its
+    * rows (legacy epoch markers, where still present, are a best-effort
+    * secondary guard). */
+  def invalidate(table: String): Unit = {
     try { rawFs(table).delete(logDir(table), true): Unit }
     catch { case scala.util.control.NonFatal(_) => }
+    TimeTravel.invalidate(table)
+  }
 
-  def clearCache(): Unit = cache.synchronized(cache.clear())
+  def clearCache(): Unit = {
+    cache.synchronized(cache.clear())
+    TimeTravel.clearAll()
+  }
 }

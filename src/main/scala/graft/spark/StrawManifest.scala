@@ -54,9 +54,16 @@ object StrawManifest {
     * file-level stats (`schemaJson`/`statsB64` null when absent).
     * `schemaParsed` is the pre-parsed schema when the producer had it in
     * hand (the v3 dictionary parses each distinct schema ONCE for all its
-    * files — 100k same-schema entries must not mean 100k JSON parses). */
+    * files — 100k same-schema entries must not mean 100k JSON parses).
+    * `dv` is the file's deletion vector, null for a fully-live file — only
+    * the transaction log carries DV references ([[StrawLog]] `D` actions);
+    * the legacy manifest predates row-level deletes and never has one. */
   final case class Entry(meta: FileMeta, schemaJson: String, statsB64: String,
-      schemaParsed: StructType = null) {
+      schemaParsed: StructType = null,
+      dv: DeletionVector.DvInfo = null) {
+    /** Rows the file contributes to the table (footer rows minus dead). */
+    def liveRowsOf(footerRows: Long): Long =
+      if (dv == null) footerRows else math.max(0L, footerRows - dv.cardinality)
     /** Synthetic one-page-per-leaf footer for file-level pruning, or None
       * when this entry carries no stats (or they fail to parse — the
       * manifest must accelerate, never wall). Memoized: entries live in the

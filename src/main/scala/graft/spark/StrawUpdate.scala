@@ -4,15 +4,23 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
 
 import graft.format.WriteOptions
 
-/** Row-level UPDATE over a strawboat table, copy-on-write: files that may
-  * hold matching rows are rewritten with the assignments applied to every
-  * cond=TRUE row and swapped in through ONE atomic [[StrawLog]] commit —
-  * the redaction primitive for an LLM corpus (null out or overwrite a PII
-  * column where flagged) with cost proportional to the files CONTAINING
-  * matches, exactly like [[StrawDelete]].
+/** Row-level UPDATE over a strawboat table — the redaction primitive for an
+  * LLM corpus (null out or overwrite a PII column where flagged).
+  *
+  * Default is MERGE-ON-READ: matching rows' ordinals are unioned into each
+  * file's deletion vector ([[DeletionVector]] — the old row versions die in
+  * place) while the UPDATED versions are written to new files beside the
+  * input, all switched in ONE atomic [[StrawLog]] commit (op `update`).
+  * Cost is proportional to the MATCHED rows, not to the files containing
+  * them: a 100-row redaction in a 1 GB file writes a 100-row file and a
+  * sidecar, never rewrites the gigabyte. A file whose every row matched is
+  * removed outright. Copy-on-write (rewrite the whole file with assignments
+  * applied) remains available via `useDeletionVectors = false` and is the
+  * automatic fallback for >2^31-row files.
   *
   * `condition` is the same pushdown-filter conjunction as delete's (SQL
   * 3VL: only TRUE rows update); `set` maps flat column names to new
@@ -20,13 +28,13 @@ import graft.format.WriteOptions
   * null to redact — converted to the column's type up front, rejected
   * loudly on mismatch). Assigning the table's hive PARTITION column is
   * rejected: rows would have to move between directories, which a
-  * file-local rewrite cannot do.
+  * file-local operation cannot do.
   *
-  * Crash/concurrency, mtime stamping, bloom preservation, and schema
-  * handling all follow [[StrawDelete]] (shared [[MaintenanceOps]]): the
-  * rewrite happens in the table schema derived from the SAME listing
-  * snapshot, stages invisibly, commits one atomic log version (op
-  * `update`), rolls back on failure, and vacuums inputs after.
+  * Crash/concurrency, schema handling, and conflict semantics follow
+  * [[StrawDelete]] (shared [[MaintenanceOps]]): evaluation happens in the
+  * table schema derived from the SAME listing snapshot; sidecars and staged
+  * files are invisible until the commit; failures roll back; a competing
+  * mutation of the same file surfaces as [[StrawLog.ConflictException]].
   */
 object StrawUpdate {
 
@@ -35,7 +43,9 @@ object StrawUpdate {
       rewrittenFiles: Int,
       removedFiles: Int,
       prunedFiles: Int,
-      falsePositiveFiles: Int)
+      falsePositiveFiles: Int,
+      /** files that took (or replaced) a deletion-vector sidecar. */
+      dvFiles: Int = 0)
 
   /** Is `v` the Catalyst-internal representation `dt` stores? */
   private def internalForm(dt: org.apache.spark.sql.types.DataType, v: Any): Boolean = {
@@ -59,14 +69,16 @@ object StrawUpdate {
     * applying `set` column := literal assignments. No-op (version
     * unchanged) when nothing matches. */
   def update(spark: SparkSession, dir: String, condition: Seq[Filter],
-      set: Map[String, Any], opts: WriteOptions = WriteOptions()): UpdateResult = {
+      set: Map[String, Any], opts: WriteOptions = WriteOptions(),
+      useDeletionVectors: Boolean = true): UpdateResult = {
     require(condition.nonEmpty, "strawboat: update needs a condition")
     require(set.nonEmpty, "strawboat: update needs at least one assignment")
     val listed = StrawIO.listFilesMetaWithStats(dir)
     require(listed.nonEmpty, s"strawboat: no data files under $dir")
     val schema = StrawSchemaResolver.merge(StrawIO.mapParallel(listed) {
-      case (m, Some(synth)) => (m.path, synth.schema)
-      case (m, None) => (m.path, FooterCache.get(m.path, m.mtime, m.len).schema)
+      case StrawIO.Listed(m, Some(synth), _) => (m.path, synth.schema)
+      case StrawIO.Listed(m, None, _) =>
+        (m.path, FooterCache.get(m.path, m.mtime, m.len).schema)
     })
     require(RowFilterEval.build(schema, condition.toArray).isDefined,
       s"strawboat: update condition is not exactly row-evaluable over " +
@@ -102,13 +114,13 @@ object StrawUpdate {
     }
     val filters = condition.toArray
 
-    // a file-local rewrite cannot move rows between hive partition
+    // a file-local operation cannot move rows between hive partition
     // directories, and the directory=value invariant backs pruning and
     // grouped aggregate pushdown — updating the partition column is out.
     // Validated over the FULL listing (not the pruned candidates): the
     // same invalid call must fail identically whether or not rows match.
-    listed.foreach { case (m, _) =>
-      PartitionLayout.partitionOf(m.path).foreach { case (c, _) =>
+    listed.foreach { lf =>
+      PartitionLayout.partitionOf(lf.meta.path).foreach { case (c, _) =>
         require(!set.contains(c),
           s"strawboat: cannot update hive partition column '$c' (rows would " +
             "have to move between partition directories); rewrite the table instead")
@@ -119,6 +131,61 @@ object StrawUpdate {
     if (candidates.isEmpty) return UpdateResult(0L, 0, 0, pruned, 0)
 
     val jobId = java.util.UUID.randomUUID().toString.take(8)
+    val dvCapable = useDeletionVectors &&
+      candidates.forall(_.numRows <= Int.MaxValue.toLong)
+    if (dvCapable)
+      updateViaDv(spark, dir, jobId, schema, candidates, filters, assigns,
+        pruned, opts)
+    else
+      updateCopyOnWrite(spark, dir, jobId, schema, candidates, filters, assigns,
+        pruned, opts)
+  }
+
+  /** Merge-on-read: old row versions die via the deletion vector, updated
+    * versions append as new files — one atomic commit switches both. */
+  private def updateViaDv(spark: SparkSession, dir: String, jobId: String,
+      schema: StructType, candidates: Seq[MaintenanceOps.Candidate],
+      filters: Array[Filter], assigns: Seq[(Int, Any)], pruned: Int,
+      opts: WriteOptions): UpdateResult = {
+    val outs = MaintenanceOps.dvMatch(spark, dir, jobId, schema, candidates,
+      filters, assigns = Some(assigns), opts)
+    val changed = outs.filter(_.matched > 0)
+    if (changed.isEmpty) {
+      StrawCommitProtocol.sweepStaged(dir, jobId)
+      return UpdateResult(0L, 0, 0, pruned, outs.length)
+    }
+    val f = StrawIO.fs(dir)
+    def q(p: String): String = f.makeQualified(new Path(p)).toString
+    // updated rows are NEW data: their files surface under commit-time
+    // mtime (a tailing stream legitimately sees the new row versions)
+    val now = System.currentTimeMillis()
+    val fresh = MaintenanceOps.renameVisibleStamped(dir, jobId,
+      changed.toSeq.map(c => (now, c.staged)))
+    val (full, partial) = changed.partition(_.fullDead)
+    val removes = full.map(c => q(c.input)).toSet
+    val dvUpdates = partial.map(c => StrawLog.DvUpdate(q(c.input), c.newDv,
+      Option(c.oldDvPath))).toSeq
+    val adds = StrawIO.mapParallel(fresh)(StrawManifest.entryFor)
+    MaintenanceOps.commitSwitchAndVacuum(dir, jobId, adds, removes, op = "update",
+      dvs = dvUpdates,
+      alsoVacuum = changed.flatMap(c => Option(c.oldDvPath)).toSeq,
+      alsoRollback = partial.map(_.newDv.path).toSeq)
+
+    UpdateResult(
+      updatedRows = changed.map(_.matched).sum,
+      rewrittenFiles = fresh.size,
+      removedFiles = removes.size,
+      prunedFiles = pruned,
+      falsePositiveFiles = outs.count(_.matched == 0),
+      dvFiles = dvUpdates.size)
+  }
+
+  /** Copy-on-write: rewrite each matching file with assignments applied
+    * (dropping any prior deletion vector along the way). */
+  private def updateCopyOnWrite(spark: SparkSession, dir: String, jobId: String,
+      schema: StructType, candidates: Seq[MaintenanceOps.Candidate],
+      filters: Array[Filter], assigns: Seq[(Int, Any)], pruned: Int,
+      opts: WriteOptions): UpdateResult = {
     // shared distributed-rewrite scaffolding: matching rows pass through
     // the assignments, everything else is byte-identical
     val rewrites = MaintenanceOps.rewriteMatching(spark, dir, jobId, schema,
@@ -133,8 +200,12 @@ object StrawUpdate {
     val fresh = MaintenanceOps.renameVisibleStamped(dir, jobId,
       changed.toSeq.map(rw => (rw.inputMtime, rw.staged)))
     val removes = changed.map(c => f.makeQualified(new Path(c.input)).toString).toSet
+    val replacedDvs = candidates
+      .filter(c => removes(f.makeQualified(new Path(c.meta.path)).toString))
+      .flatMap(c => Option(c.dv).map(_.path))
     val adds = StrawIO.mapParallel(fresh)(StrawManifest.entryFor)
-    MaintenanceOps.commitSwitchAndVacuum(dir, jobId, adds, removes, op = "update")
+    MaintenanceOps.commitSwitchAndVacuum(dir, jobId, adds, removes, op = "update",
+      alsoVacuum = replacedDvs)
 
     UpdateResult(
       updatedRows = changed.map(_.matched).sum,

@@ -93,12 +93,27 @@ class StrawboatDataSource extends TableProvider with DataSourceRegister {
   * inference and scan building must pin the SAME version even when a
   * commit races between them. */
 private[spark] object TimeTravel {
-  // (qualified dir, epoch ms) -> resolved version; first resolution wins
+  // (qualified dir, epoch ms) -> resolved version; first resolution wins.
+  // Stability is only sound WITHIN one log incarnation: StrawLog.invalidate
+  // (table recreation / external-writer escape hatch) clears the table's
+  // entries so a pinned version number can never carry over to a different
+  // log's colliding history.
   private val resolved =
     new java.util.LinkedHashMap[(String, Long), Long](64, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[(String, Long), Long]): Boolean = size() > 1024
     }
+
+  /** Drop resolutions for one table (called by [[StrawLog.invalidate]]). */
+  private[spark] def invalidate(dir: String): Unit = {
+    val q = StrawIO.fs(dir).makeQualified(new Path(dir)).toString
+    resolved.synchronized {
+      val it = resolved.keySet().iterator()
+      while (it.hasNext) if (it.next()._1 == q) it.remove()
+    }
+  }
+
+  private[spark] def clearAll(): Unit = resolved.synchronized(resolved.clear())
 
   def resolveAsOf(dir: String, options: CaseInsensitiveStringMap): Option[Long] = {
     val byVersion = Option(options.get("versionAsOf")).map(_.toLong)
@@ -248,22 +263,30 @@ object StrawIO {
 
   def listFiles(dir: String): Seq[String] = listFilesMeta(dir).map(_.path)
 
+  /** One planned-over data file: its identity, the manifest-carried
+    * synthetic stats footer when the snapshot has one (file-level pruning
+    * input), and its deletion vector (null when fully live — only a log
+    * snapshot can carry one). */
+  final case class Listed(meta: FileMeta, synth: Option[graft.format.StrawFooter],
+      dv: DeletionVector.DvInfo)
+
   /** [[listFilesMeta]] plus each file's manifest-carried synthetic stats
     * footer ([[ManifestStats]]) when the snapshot has them — the input to
-    * FILE-level pruning (drop a file before its real footer is ever read).
-    * Files without stats carry None and are never pruned. */
-  def listFilesMetaWithStats(dir: String, asOf: Option[Long] = None)
-      : Seq[(FileMeta, Option[graft.format.StrawFooter])] = {
-    asOf.foreach(v => return entriesAt(dir, v).map(e => (e.meta, e.synthetic)))
+    * FILE-level pruning (drop a file before its real footer is ever read) —
+    * and its deletion vector. Files without stats are never pruned. */
+  def listFilesMetaWithStats(dir: String, asOf: Option[Long] = None): Seq[Listed] = {
+    asOf.foreach(v =>
+      return entriesAt(dir, v).map(e => Listed(e.meta, e.synthetic, e.dv)))
     val p = new Path(dir)
     val f = fs(dir)
     if (!f.exists(p)) Seq.empty
     else {
       val st0 = f.getFileStatus(p)
-      if (st0.isFile) Seq((FileMeta(dir, st0.getModificationTime, st0.getLen), None))
+      if (st0.isFile)
+        Seq(Listed(FileMeta(dir, st0.getModificationTime, st0.getLen), None, null))
       else StrawManifest.readEntries(dir) match {
-        case Some(entries) => entries.map(e => (e.meta, e.synthetic))
-        case None => walkFilesMeta(dir).map((_, None))
+        case Some(entries) => entries.map(e => Listed(e.meta, e.synthetic, e.dv))
+        case None => walkFilesMeta(dir).map(Listed(_, None, null))
       }
     }
   }
@@ -510,18 +533,18 @@ class StrawScanBuilder(path: String, fullSchema: StructType,
           // partition-prune BEFORE sampling: directory-excluded files
           // contribute nothing and must not cost footer IO here either
           val metas = PartitionLayout.pruneBy(
-            StrawIO.listFilesMetaWithStats(path, asOf), fullSchema, filters)(_._1.path)
+            StrawIO.listFilesMetaWithStats(path, asOf), fullSchema, filters)(_.meta.path)
             .take(64)
           // filters the pruning fully applied pass every surviving row —
           // estimating them again would double-count their selectivity
           val toEstimate = evaluable.filterNot(
-            f => StrawScan.partitionApplied(f, metas.map(_._1.path)))
+            f => StrawScan.partitionApplied(f, metas.map(_.meta.path)))
           // manifest-carried file stats stand in for real footers (their
           // one-page shape estimates coarser, which only biases the
           // consume-vs-residual heuristic, never correctness)
           val footers = StrawIO.mapParallel(metas) {
-            case (_, Some(synth)) => synth
-            case (m, None) => FooterCache.get(m.path, m.mtime, m.len)
+            case StrawIO.Listed(_, Some(synth), _) => synth
+            case StrawIO.Listed(m, None, _) => FooterCache.get(m.path, m.mtime, m.len)
           }
           ZoneMapFilter.estimatePassFraction(fullSchema, footers, toEstimate)
         } catch { case _: Exception => 1.0 }
@@ -566,12 +589,17 @@ object StrawScanMetrics {
   }
 }
 
-/** One unit of work: a page-aligned slice [pageStart, pageEnd) of one file. */
+/** One unit of work: a page-aligned slice [pageStart, pageEnd) of one file.
+  * `dvPath`/`dvLen` reference the file's deletion-vector sidecar when the
+  * snapshot carries one (null = fully live): every reader of the slice
+  * subtracts the dead ordinals. */
 case class StrawInputPartition(
     path: String,
     pageStart: Int,
     pageEnd: Int,
-    limit: Long) extends InputPartition
+    limit: Long,
+    dvPath: String = null,
+    dvLen: Long = 0L) extends InputPartition
 
 /** All files of ONE hive-partition value as a single input partition, keyed
   * so Spark's storage-partitioned execution (KeyGroupedPartitioning) can
@@ -687,21 +715,27 @@ class StrawScan(
     * version-keyed [[FooterCache]] (parallel IO on misses), so repeated
     * scans of an unchanged table pay one directory listing and zero footer
     * reads. Invalidated when a runtime filter narrows the file set. */
-  @volatile private var footersCache: Seq[(String, graft.format.StrawFooter, Long)] = _
-  private def footers: Seq[(String, graft.format.StrawFooter, Long)] = {
+  /** One planned file: path, real footer, byte length, deletion vector. */
+  @volatile private var footersCache: Seq[(String, graft.format.StrawFooter, Long,
+    DeletionVector.DvInfo)] = _
+  private def footers: Seq[(String, graft.format.StrawFooter, Long,
+      DeletionVector.DvInfo)] = {
     var c = footersCache
     if (c == null) {
       // three pruning tiers before any real footer IO: hive directory
       // pruning, then FILE-level stats from the manifest (a synthetic
       // one-page footer per file runs the ordinary zone-map satisfiability
-      // — a file whose stats exclude every filter costs nothing at all)
+      // — a file whose stats exclude every filter costs nothing at all).
+      // DV'd files keep their full stats: zone maps over dead rows only
+      // over-approximate, never exclude a live match.
       val listed = PartitionLayout.pruneBy(
-        StrawIO.listFilesMetaWithStats(path, asOf), fullSchema, filters)(_._1.path)
-      val kept = listed.filter { case (_, synth) =>
-        synth.forall(sf => ZoneMapFilter.keptPages(sf, filters)(0))
+        StrawIO.listFilesMetaWithStats(path, asOf), fullSchema, filters)(_.meta.path)
+      val kept = listed.filter { lf =>
+        lf.synth.forall(sf => ZoneMapFilter.keptPages(sf, filters)(0))
       }
-      c = StrawIO.mapParallel(kept) {
-        case (m, _) => (m.path, FooterCache.get(m.path, m.mtime, m.len), m.len)
+      c = StrawIO.mapParallel(kept) { lf =>
+        (lf.meta.path, FooterCache.get(lf.meta.path, lf.meta.mtime, lf.meta.len),
+          lf.meta.len, lf.dv)
       }
       footersCache = c
     }
@@ -717,6 +751,10 @@ class StrawScan(
   private lazy val keyedLayout: Option[(String, org.apache.spark.sql.types.DataType,
       Seq[(Option[String], Seq[String])])] =
     if (!keyGrouped) None
+    // keyed partitions chain whole files through single-file readers with
+    // no DV threading — a table carrying deletion vectors declines the
+    // opt-in layout (ordinary planning applies them) rather than resurrect
+    else if (StrawIO.listFilesMetaWithStats(path, asOf).exists(_.dv != null)) None
     else {
       val files = PartitionLayout.prune(
         StrawIO.listFilesMeta(path, asOf).map(_.path), fullSchema, filters)
@@ -770,12 +808,18 @@ class StrawScan(
     val planLimit = if (exactFilters.nonEmpty) Long.MaxValue else limit
     val parts = ArrayBuffer.empty[InputPartition]
     var rowsPlanned = 0L
-    for ((file, footer, _) <- footers if rowsPlanned < planLimit) {
+    for ((file, footer, _, dv) <- footers if rowsPlanned < planLimit) {
       if (footer.columns.nonEmpty) {
         val keep = ZoneMapFilter.keptPages(footer, filters)
         val pages = footer.columns(0).pages
         val pageBytes: Int => Long =
           p => footer.columns.foldLeft(0L)((a, c) => a + c.pages(p).compLen)
+        // limit-truncation budget must count LIVE rows: charge the file's
+        // dead count against its earliest pages (as if the deletes were all
+        // up front) — an under-count only plans MORE pages, never fewer
+        var deadLeft = if (dv == null) 0L else dv.cardinality
+        val dvPath = if (dv == null) null else dv.path
+        val dvLen = if (dv == null) 0L else dv.len
         var p = 0
         while (p < pages.length && rowsPlanned < planLimit) {
           if (!keep(p)) p += 1
@@ -786,10 +830,13 @@ class StrawScan(
             while (end < pages.length && keep(end) && bytes < targetBytes &&
               rowsPlanned < planLimit) {
               bytes += pageBytes(end)
-              rowsPlanned += pages(end).numValues
+              val n = pages(end).numValues.toLong
+              val dead = math.min(deadLeft, n)
+              deadLeft -= dead
+              rowsPlanned += n - dead
               end += 1
             }
-            parts += StrawInputPartition(file, p, end, limit)
+            parts += StrawInputPartition(file, p, end, limit, dvPath, dvLen)
             p = end
           }
         }
@@ -807,7 +854,7 @@ class StrawScan(
     // projection dropped must not cost the scan its vectorization)
     val readCols: Set[String] =
       requiredSchema.fieldNames.toSet ++ exactFilters.flatMap(_.references)
-    val typeWidened = footers.exists { case (_, f, _) =>
+    val typeWidened = footers.exists { case (_, f, _, _) =>
       f.schema.fields.exists(fl => readCols.contains(fl.name) &&
         fullSchema.fields.find(_.name == fl.name)
           .exists(tf => tf.dataType != fl.dataType))
@@ -821,7 +868,10 @@ class StrawScan(
     Array(new StrawScanMetrics.PagesRead, new StrawScanMetrics.PagesPruned)
 
   override def estimateStatistics(): Statistics = {
-    val rawRows = footers.foldLeft(0L)(_ + _._2.numRows)
+    // live rows: footer counts net of each file's deletion-vector dead rows
+    val rawRows = footers.foldLeft(0L) { case (a, (_, f, _, dv)) =>
+      a + (if (dv == null) f.numRows else math.max(0L, f.numRows - dv.cardinality))
+    }
     val rawBytes = math.max(footers.foldLeft(0L)(_ + _._3), 1L)
     // report FILTERED estimates: without cost-based optimization Spark
     // propagates a Filter node's size unchanged, so a selectively-filtered
@@ -934,6 +984,11 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
       case _ =>
     }
     val p = partition.asInstanceOf[StrawInputPartition]
+    // the slice's deletion vector: loaded once per task (process-wide
+    // (path, len) cache behind it), applied INSIDE the page iterator so
+    // limits, consumed filters, and Top-N all see only live rows
+    val dead: org.roaringbitmap.RoaringBitmap =
+      if (p.dvPath == null) null else DeletionVector.read(p.dvPath, p.dvLen)
     val input = StrawIO.open(p.path)
     // footer parse / schema resolution can throw (corrupt file, evolved
     // type mismatch) — don't leak the open stream on the error path
@@ -1022,7 +1077,7 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
     // outside the iterator it must be applied after filtering
     val preLimit = if (rowPred.isDefined && predInIt == null) Long.MaxValue else p.limit
     val it = StrawFileReader.rows(input, footer, projCols, keepPage = countingKeep,
-      limit = preLimit, rowPred = predInIt)
+      limit = preLimit, rowPred = predInIt, deadRows = dead)
     def metrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
       Array(StrawScanMetrics.Value("pagesRead", pagesRead),
         StrawScanMetrics.Value("pagesPruned", pagesPruned))
@@ -1130,8 +1185,10 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     StrawIO.install(serConf.value)
     val p = partition.asInstanceOf[StrawInputPartition]
+    val dead: org.roaringbitmap.RoaringBitmap =
+      if (p.dvPath == null) null else DeletionVector.read(p.dvPath, p.dvLen)
     new ColumnarSupport.StrawColumnarReader(p, readSchemaExt, requiredSchema.length,
-      rowPred.orNull)
+      rowPred.orNull, dead)
   }
 }
 

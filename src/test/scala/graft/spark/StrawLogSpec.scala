@@ -167,6 +167,10 @@ class StrawLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val v1 = StrawLog.latestVersion(out).get
     val e = StrawLog.snapshot(out).get.entries.head
     val fake = e.copy(meta = e.meta.copy(path = e.meta.path + ".dup.strb"))
+    // the commit re-stats its adds (vacuum-race guard) — the file must exist
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(new java.net.URI(e.meta.path)),
+      java.nio.file.Paths.get(new java.net.URI(fake.meta.path)))
     // first commit with the txn wins
     val v2 = StrawLog.commit(out, Seq(fake), txn = Some(("appA", 7L)))
     assert(v2 == v1 + 1)
@@ -243,7 +247,7 @@ class StrawLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(read(out).count() == 120)
   }
 
-  test("a corrupt commit file degrades to the walk, never to wrong data") {
+  test("a corrupt commit file fails reads LOUDLY; deleting the log restores the walk") {
     val out = s"$dir/corrupt"
     write(out, 0, 100)
     write(out, 100, 100)
@@ -252,9 +256,59 @@ class StrawLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val raf = new java.io.RandomAccessFile(last, "rw")
     try { raf.seek(0); raf.write("garbage".getBytes) } finally raf.close()
     StrawLog.clearCache(); StrawManifest.clearCache(); FooterCache.clear()
-    assert(StrawLog.snapshot(out).isEmpty, "corrupt log must not resolve")
-    // the walk fallback still sees every visible data file
+    // an EXISTING but unreadable log refuses — a silent directory-walk
+    // fallback could expose uncommitted files or resurrect DV-deleted rows
+    val e = intercept[IllegalStateException] { StrawLog.snapshot(out) }
+    assert(e.getMessage.contains("unreadable"), e.getMessage)
+    intercept[Exception] { read(out).count() }
+    // the explicit escape hatch: drop the log, fall back to listing
+    StrawLog.invalidate(out)
     assert(read(out).count() == 200)
+  }
+
+  test("vacuumUnreferenced refuses while a maintenance op is in flight") {
+    val out = s"$dir/inflight"
+    write(out, 0, 100)
+    val src = new java.io.File(out).listFiles.filter(_.getName.endsWith(".strb")).head
+    def plantOrphan(name: String): java.io.File = {
+      val orphan = new java.io.File(out, name)
+      java.nio.file.Files.copy(src.toPath, orphan.toPath)
+      orphan.setLastModified(System.currentTimeMillis() - 48L * 3600 * 1000)
+      orphan
+    }
+    // debris that WOULD be reclaimed — a maintenance op between its rename
+    // fan-out and its commit looks exactly like this
+    val o1 = plantOrphan("part-orphan1-00000000.strb")
+    StrawLog.markInflight(out, "job42")
+    assert(StrawLog.vacuumUnreferenced(out, olderThanMs = 3600 * 1000L) == 0,
+      "vacuum must refuse while an op is in flight")
+    assert(o1.exists())
+    StrawLog.clearInflight(out, "job42")
+    assert(StrawLog.vacuumUnreferenced(out, olderThanMs = 3600 * 1000L) == 1)
+    assert(!o1.exists())
+    // a STALE marker (crashed op) does not wedge vacuum forever: it is
+    // reclaimed and the sweep proceeds
+    val o2 = plantOrphan("part-orphan2-00000000.strb")
+    StrawLog.markInflight(out, "jobDead")
+    val mk = new java.io.File(s"$out/${StrawLog.DirName}/.inflight.jobDead")
+    assert(mk.exists())
+    mk.setLastModified(System.currentTimeMillis() - 48L * 3600 * 1000): Unit
+    assert(StrawLog.vacuumUnreferenced(out, olderThanMs = 3600 * 1000L) == 1)
+    assert(!o2.exists() && !mk.exists())
+    assert(read(out).count() == 100)
+  }
+
+  test("a commit referencing a vanished file fails loudly (vacuum race guard)") {
+    val out = s"$dir/restat"
+    write(out, 0, 100)
+    val e = StrawLog.snapshot(out).get.entries.head
+    val fake = e.copy(meta = e.meta.copy(path = e.meta.path + ".gone.strb"))
+    val ex = intercept[IllegalStateException] {
+      StrawLog.commit(out, Seq(fake), op = "append")
+    }
+    assert(ex.getMessage.contains("missing file"), ex.getMessage)
+    // nothing was committed
+    assert(StrawLog.snapshot(out).get.version == 1L)
   }
 
   test("history records versions, operations, and action counts newest-first") {
@@ -273,6 +327,9 @@ class StrawLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a streaming txn surfaces in its row
     val e = StrawLog.snapshot(out).get.entries.head
     val fake = e.copy(meta = e.meta.copy(path = e.meta.path + ".x.strb"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(new java.net.URI(e.meta.path)),
+      java.nio.file.Paths.get(new java.net.URI(fake.meta.path)))
     StrawLog.commit(out, Seq(fake), txn = Some(("qA", 5L)), op = "streaming epoch 5")
     val h2 = StrawLog.history(out).head
     assert(h2.operation == "streaming epoch 5" && h2.txn.contains(("qA", 5L)))
@@ -317,8 +374,8 @@ class StrawLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dst = new Path(out, "00000000000000000007.commit")
     val a = mkTmp("winner")
     val b = mkTmp("loser")
-    assert(StrawLog.claim(f, a, dst))
-    assert(!StrawLog.claim(f, b, dst), "second claim of the same version must lose")
+    assert(StrawLog.claim(f, a, dst, "winner"))
+    assert(!StrawLog.claim(f, b, dst, "loser"), "second claim of the same version must lose")
     val in = f.open(dst)
     val buf = new Array[Byte](6)
     try in.readFully(0, buf) finally in.close()

@@ -79,9 +79,13 @@ class StrawUpdateSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(GreaterThanOrEqual("id", 2500L): Filter), Map("s" -> "x"))
     assert(res.updatedRows == 500 && res.prunedFiles >= 2, res.toString)
     val after = StrawIO.listFilesMeta(out).map(m => m.path -> (m.mtime, m.len)).toMap
-    val untouched = before.keySet.intersect(after.keySet)
-    assert(untouched.size == 2, s"expected 2 untouched files, got $untouched")
-    assert(untouched.forall(p => before(p) == after(p)))
+    // merge-on-read: EVERY original file stays byte-identical — the matched
+    // file's old row versions die via its deletion vector, the updated
+    // versions append as a new file
+    assert(before.keySet.subsetOf(after.keySet), "an original file disappeared")
+    assert(before.keySet.forall(p => before(p) == after(p)), "an original changed")
+    assert((after.keySet -- before.keySet).nonEmpty, "expected an appended file")
+    assert(res.dvFiles == 1, res.toString)
   }
 
   test("updating the hive partition column is rejected; other columns work") {
