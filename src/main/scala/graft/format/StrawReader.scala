@@ -418,9 +418,14 @@ object StrawFileReader {
       rowPred: InternalRow => Boolean = null,
       deadRows: org.roaringbitmap.RoaringBitmap = null): Iterator[InternalRow] = {
     // zero-column files (empty write schema) carry rows only in the footer:
-    // emit numRows empty rows directly (no pages exist to iterate)
+    // emit the LIVE row count directly (no pages exist to iterate; with a
+    // deletion vector, dead ordinals simply reduce the count — the rows
+    // are indistinguishable)
     if (footer.columns.isEmpty) {
-      val total = math.min(footer.numRows, limit)
+      val live =
+        if (deadRows == null) footer.numRows
+        else math.max(0L, footer.numRows - deadRows.getLongCardinality)
+      val total = math.min(live, limit)
       return new Iterator[InternalRow] {
         private var i = 0L
         def hasNext: Boolean = i < total

@@ -109,7 +109,13 @@ private[spark] object MaintenanceOps {
       val keep = ZoneMapFilter.keptPages(footer, filters)
       val nPages = footer.columns.headOption.map(_.pages.length).getOrElse(0)
       (Candidate(m, lf.dv, footer.numRows), nPages, keep)
-    }.collect { case (c, nPages, keep) if (0 until nPages).exists(keep) => c }
+    }.collect {
+      // zero-column files (nPages == 0) carry footer-only rows that read
+      // as all-null — an IsNull-style condition can match them, so they
+      // stay candidates (the scan's zero-column path mirrors this)
+      case (c, nPages, keep)
+        if (0 until nPages).exists(keep) || (nPages == 0 && c.numRows > 0) => c
+    }
     (candidates, listed.size - candidates.size)
   }
 
@@ -477,11 +483,17 @@ private[spark] object MaintenanceOps {
       adds: Seq[StrawManifest.Entry], removes: Set[String], op: String,
       dvs: Seq[StrawLog.DvUpdate] = Seq.empty,
       alsoVacuum: Seq[String] = Seq.empty,
-      alsoRollback: Seq[String] = Seq.empty): Unit = {
+      alsoRollback: Seq[String] = Seq.empty,
+      expectDvOnRemove: Map[String, Option[String]] = Map.empty): Unit = {
     val f = StrawIO.fs(dir)
     try {
-      try StrawLog.commit(dir, adds, removes = removes, op = op, dvs = dvs)
+      try StrawLog.commit(dir, adds, removes = removes, op = op, dvs = dvs,
+        expectDvOnRemove = expectDvOnRemove)
       catch {
+        // an ambiguous claim means the commit MAY be live — deleting the
+        // adds would destroy files the latest version possibly references;
+        // leave everything (unreferenced debris is vacuumable later)
+        case e: StrawLog.AmbiguousCommitException => throw e
         case e: Throwable =>
           (adds.map(_.meta.path) ++ alsoRollback).foreach { a =>
             try f.delete(new Path(a), false)
@@ -690,7 +702,11 @@ object StrawCompaction {
     val adds = StrawIO.mapParallel(fresh)(StrawManifest.entryFor)
     MaintenanceOps.commitSwitchAndVacuum(dir, jobId, adds, inputs, op = "compact",
       // materialized-away sidecars are reclaimed with their data files
-      alsoVacuum = bins.flatMap(_.files.flatMap(bf => Option(bf.dvPath))))
+      alsoVacuum = bins.flatMap(_.files.flatMap(bf => Option(bf.dvPath))),
+      // conflict if a row delete swapped any input's DV after this rewrite
+      // read it — the output would resurrect the freshly-deleted rows
+      expectDvOnRemove =
+        bins.flatMap(_.files).map(bf => bf.meta.path -> Option(bf.dvPath)).toMap)
 
     CompactionResult(
       inputFiles = inputs.size,

@@ -124,7 +124,9 @@ object StrawDelete {
       dvs = dvUpdates,
       // superseded sidecars AND the sidecars of fully-removed files
       alsoVacuum = changed.flatMap(c => Option(c.oldDvPath)).toSeq,
-      alsoRollback = partial.map(_.newDv.path).toSeq)
+      alsoRollback = partial.map(_.newDv.path).toSeq,
+      // a full-dead removal is only sound against the DV this op read
+      expectDvOnRemove = full.map(c => q(c.input) -> Option(c.oldDvPath)).toMap)
 
     DeleteResult(
       deletedRows = changed.map(_.matched).sum,
@@ -164,15 +166,20 @@ object StrawDelete {
       changed.toSeq.map(rw => (rw.inputMtime, rw.staged)))
 
     val removes = changed.map(c => f.makeQualified(new Path(c.input)).toString).toSet
-    val replacedDvs = candidates
-      .filter(c => removes(f.makeQualified(new Path(c.meta.path)).toString))
-      .flatMap(c => Option(c.dv).map(_.path))
+    val candDv = candidates
+      .map(c => f.makeQualified(new Path(c.meta.path)).toString -> Option(c.dv))
+      .toMap
+    val replacedDvs = removes.toSeq.flatMap(p => candDv.getOrElse(p, None).map(_.path))
     var freshAll = fresh
     if (fresh.isEmpty && removes.size == listed.size)
       freshAll :+= writeEmptyMarker(dir, schema, opts)
     val adds = StrawIO.mapParallel(freshAll)(StrawManifest.entryFor)
     MaintenanceOps.commitSwitchAndVacuum(dir, jobId, adds, removes, op = "delete",
-      alsoVacuum = replacedDvs)
+      alsoVacuum = replacedDvs,
+      // conflict if a concurrent row delete swapped an input's DV after
+      // this rewrite read it — the survivors would resurrect its rows
+      expectDvOnRemove =
+        removes.iterator.map(p => p -> candDv.getOrElse(p, None).map(_.path)).toMap)
 
     DeleteResult(
       deletedRows = changed.map(_.matched).sum,

@@ -174,6 +174,12 @@ object StrawLog {
     try { rawFs(table).delete(new Path(logDir(table), s"$InflightPrefix$jobId"), false): Unit }
     catch { case scala.util.control.NonFatal(_) => }
 
+  /** A marker younger than this is an op that may still be running — an
+    * aggressive vacuum's `olderThanMs` must not shrink the window below
+    * it, or a healthy long rename fan-out gets its outputs swept mid-op.
+    * Six hours bounds how long a crashed op's debris lingers. */
+  private[spark] val InflightTtlMs = 6 * 3600 * 1000L
+
   /** Fresh in-flight markers (and, as a side effect, reclaim stale ones
     * older than `cutoff` — their op crashed; its debris is fair game). */
   private def freshInflight(f: FileSystem, ld: Path, cutoff: Long): Seq[String] =
@@ -440,8 +446,25 @@ object StrawLog {
           try !f.exists(dst) && f.rename(tmp, dst)
           catch { case scala.util.control.NonFatal(_) => false }
         renamed && {
-          try readLines(f, dst).headOption.contains(headerLine)
-          catch { case scala.util.control.NonFatal(_) => false }
+          // a rename that succeeded but cannot be VERIFIED is ambiguous:
+          // this writer's commit may well be live at dst, so reporting
+          // "lost" would send the caller into a retry that sees its own
+          // effects as a conflict and rolls back files the committed
+          // version references. Retry the read; if it stays unreadable,
+          // abort LOUDLY without claiming either outcome.
+          var read: Option[String] = None
+          var attempt = 0
+          while (read.isEmpty && attempt < 3) {
+            try read = readLines(f, dst).headOption
+            catch { case scala.util.control.NonFatal(_) => attempt += 1 }
+          }
+          read match {
+            case Some(h) => h == headerLine
+            case None => throw new AmbiguousCommitException(
+              s"strawboat: claimed $dst but cannot read it back to verify the " +
+                "claim — the commit may or may not be live; do NOT roll back " +
+                "its files; inspect the log before retrying")
+          }
         }
       }
     try f.delete(tmp, false) catch { case scala.util.control.NonFatal(_) => }
@@ -453,6 +476,14 @@ object StrawLog {
     * retrying blindly would resurrect or double-delete a generation. */
   final class ConflictException(msg: String)
     extends java.util.ConcurrentModificationException(msg)
+
+  /** Raised when a version claim's outcome cannot be determined (the
+    * destination was written but cannot be read back for verification):
+    * the commit MAY be live, so callers must not roll back the files it
+    * references — rollback paths treat this as "leave everything in
+    * place and fail the operation". */
+  final class AmbiguousCommitException(msg: String)
+    extends java.io.IOException(msg)
 
   /** One DV assignment within a commit: attach `dv` to `dataPath`,
     * expecting the file's CURRENT sidecar to be `expectedOld` (None = none).
@@ -479,10 +510,21 @@ object StrawLog {
     * the version first (adds commute). Commits with `removes` throw
     * [[ConflictException]] when any removed path is no longer in the latest
     * snapshot; commits with `dvs` throw it when the target file is gone or
-    * its current DV is not the one the op unioned from. */
+    * its current DV is not the one the op unioned from.
+    *
+    * `expectDvOnRemove`: the sidecar (None = none) each removed path
+    * carried when the REMOVING op read its rows. Path presence alone is not
+    * enough for removes: a concurrent merge-on-read DELETE mutates a file's
+    * entry WITHOUT removing the path (it only swaps the DV), so a
+    * compaction/rewrite that read the file before that delete would
+    * otherwise commit a replacement still containing the freshly-deleted
+    * rows — silent resurrection. A mismatch throws [[ConflictException]]
+    * (rerun the op over the new snapshot). Removers that genuinely read the
+    * files they remove should always pass this. */
   def commit(table: String, adds: Seq[Entry], removes: Set[String] = Set.empty,
       txn: Option[(String, Long)] = None, op: String = "",
-      dvs: Seq[DvUpdate] = Seq.empty): Long = {
+      dvs: Seq[DvUpdate] = Seq.empty,
+      expectDvOnRemove: Map[String, Option[String]] = Map.empty): Long = {
     require(adds.map(_.meta.path).toSet.intersect(removes).isEmpty,
       "strawboat: log commit adds and removes must be disjoint (an in-place " +
         "path replacement would net to REMOVED on replay)")
@@ -542,6 +584,16 @@ object StrawLog {
         }
         cur.foreach { s =>
           val byPath = s.entries.map(e => e.meta.path -> e).toMap
+          expectDvOnRemove.foreach { case (p, expected) =>
+            byPath.get(p).foreach { e =>
+              val curDv = Option(e.dv).map(_.path)
+              if (curDv != expected) throw new ConflictException(
+                s"strawboat: remove of $p expected sidecar " +
+                  s"${expected.getOrElse("none")} but version ${s.version} holds " +
+                  s"${curDv.getOrElse("none")} — a concurrent row delete landed " +
+                  "after this op read the file; rerun it over the new snapshot")
+            }
+          }
           dvs.foreach { d =>
             byPath.get(d.dataPath) match {
               case None => throw new ConflictException(
@@ -673,8 +725,12 @@ object StrawLog {
     // a maintenance op between its rename fan-out and its log commit has
     // VISIBLE outputs stamped with old input mtimes that the sweep below
     // would eat — refuse while any fresh in-flight marker exists (stale
-    // markers are crashed ops: reclaimed here, their debris swept below)
-    val inflight = freshInflight(rawFs(table), logDir(table), cutoff)
+    // markers are crashed ops: reclaimed here, their debris swept below).
+    // Marker freshness uses its own floor: an aggressive olderThanMs must
+    // not reclassify a live op's marker as stale mid-run.
+    val markerCutoff =
+      System.currentTimeMillis() - math.max(olderThanMs, InflightTtlMs)
+    val inflight = freshInflight(rawFs(table), logDir(table), markerCutoff)
     if (inflight.nonEmpty) return 0
     var n = 0
     StrawIO.walkFiles(f, new Path(table)) { st =>

@@ -169,7 +169,9 @@ object StrawUpdate {
     MaintenanceOps.commitSwitchAndVacuum(dir, jobId, adds, removes, op = "update",
       dvs = dvUpdates,
       alsoVacuum = changed.flatMap(c => Option(c.oldDvPath)).toSeq,
-      alsoRollback = partial.map(_.newDv.path).toSeq)
+      alsoRollback = partial.map(_.newDv.path).toSeq,
+      // a full-dead removal is only sound against the DV this op read
+      expectDvOnRemove = full.map(c => q(c.input) -> Option(c.oldDvPath)).toMap)
 
     UpdateResult(
       updatedRows = changed.map(_.matched).sum,
@@ -200,12 +202,17 @@ object StrawUpdate {
     val fresh = MaintenanceOps.renameVisibleStamped(dir, jobId,
       changed.toSeq.map(rw => (rw.inputMtime, rw.staged)))
     val removes = changed.map(c => f.makeQualified(new Path(c.input)).toString).toSet
-    val replacedDvs = candidates
-      .filter(c => removes(f.makeQualified(new Path(c.meta.path)).toString))
-      .flatMap(c => Option(c.dv).map(_.path))
+    val candDv = candidates
+      .map(c => f.makeQualified(new Path(c.meta.path)).toString -> Option(c.dv))
+      .toMap
+    val replacedDvs = removes.toSeq.flatMap(p => candDv.getOrElse(p, None).map(_.path))
     val adds = StrawIO.mapParallel(fresh)(StrawManifest.entryFor)
     MaintenanceOps.commitSwitchAndVacuum(dir, jobId, adds, removes, op = "update",
-      alsoVacuum = replacedDvs)
+      alsoVacuum = replacedDvs,
+      // conflict if a concurrent row delete swapped an input's DV after
+      // this rewrite read it — the rewrite would resurrect its rows
+      expectDvOnRemove =
+        removes.iterator.map(p => p -> candDv.getOrElse(p, None).map(_.path)).toMap)
 
     UpdateResult(
       updatedRows = changed.map(_.matched).sum,

@@ -751,13 +751,15 @@ class StrawScan(
   private lazy val keyedLayout: Option[(String, org.apache.spark.sql.types.DataType,
       Seq[(Option[String], Seq[String])])] =
     if (!keyGrouped) None
-    // keyed partitions chain whole files through single-file readers with
-    // no DV threading — a table carrying deletion vectors declines the
-    // opt-in layout (ordinary planning applies them) rather than resurrect
-    else if (StrawIO.listFilesMetaWithStats(path, asOf).exists(_.dv != null)) None
     else {
-      val files = PartitionLayout.prune(
-        StrawIO.listFilesMeta(path, asOf).map(_.path), fullSchema, filters)
+      val listed = StrawIO.listFilesMetaWithStats(path, asOf)
+      val files =
+        // keyed partitions chain whole files through single-file readers
+        // with no DV threading — a table carrying deletion vectors declines
+        // the opt-in layout (ordinary planning applies them) rather than
+        // resurrect deleted rows
+        if (listed.exists(_.dv != null)) Seq.empty
+        else PartitionLayout.prune(listed.map(_.meta.path), fullSchema, filters)
       val parts = files.map(f => PartitionLayout.partitionOf(f).map((f, _)))
       if (files.isEmpty || parts.exists(_.isEmpty)) None
       else {
@@ -841,7 +843,9 @@ class StrawScan(
           }
         }
       } else if (footer.numRows > 0) {
-        parts += StrawInputPartition(file, 0, 0, limit) // zero-column table
+        // zero-column table: rows live only in the footer; DV still applies
+        parts += StrawInputPartition(file, 0, 0, limit,
+          if (dv == null) null else dv.path, if (dv == null) 0L else dv.len)
       }
     }
     parts.toArray
@@ -1428,6 +1432,9 @@ class StrawBatchWrite(path: String, schema: StructType, truncate: Boolean,
       try StrawLog.commit(path, adds, removes,
         op = if (truncate) "truncate" else "append")
       catch {
+        // ambiguous claim: the commit may be live — never delete files the
+        // latest version possibly references (debris is vacuumable later)
+        case e: StrawLog.AmbiguousCommitException => throw e
         case e: Throwable =>
           freshMeta.foreach { m =>
             try f.delete(new Path(m.path), false)

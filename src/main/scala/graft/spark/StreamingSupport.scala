@@ -218,6 +218,19 @@ class StrawMicroBatchStream(path: String, fullSchema: StructType,
     val freshKept =
       if (skipFilters.isEmpty) fresh
       else PartitionLayout.pruneBy(fresh, fullSchema, skipFilters)(identity)
+    // deletion vectors: a file admitted after a merge-on-read DELETE must
+    // not deliver the dead rows — resolve each file's CURRENT sidecar from
+    // the snapshot. This reads the LATEST vector deliberately: a batch
+    // replayed after a further delete delivers fewer rows than the
+    // original attempt (never more) — for the takedown use case,
+    // under-delivery on replay is the correct bias, and rows the stream
+    // already shipped are out of reach regardless (no retraction).
+    val dvByPath: Map[String, DeletionVector.DvInfo] =
+      StrawManifest.readEntries(path) match {
+        case Some(entries) =>
+          entries.collect { case e if e.dv != null => e.meta.path -> e.dv }.toMap
+        case None => Map.empty
+      }
     // footers via the bounded parallel pool + version-keyed cache, like the
     // batch planner — a wide AvailableNow backlog must not pay one serial
     // round-trip per file
@@ -229,10 +242,13 @@ class StrawMicroBatchStream(path: String, fullSchema: StructType,
     val parts = footers.flatMap { case (file, footer) =>
       widened ||= footer.schema.fields.exists(fl =>
         fullSchema.fields.find(_.name == fl.name).exists(_.dataType != fl.dataType))
+      val dv = dvByPath.getOrElse(file, null)
+      val (dvPath, dvLen) = if (dv == null) (null, 0L) else (dv.path, dv.len)
       if (footer.columns.isEmpty) {
         // zero-column files still carry rows (schema-only projections) —
         // same special case as the batch planner
-        if (footer.numRows > 0) Seq(StrawInputPartition(file, 0, 0, Long.MaxValue))
+        if (footer.numRows > 0)
+          Seq(StrawInputPartition(file, 0, 0, Long.MaxValue, dvPath, dvLen))
         else Nil
       } else {
         val nPages = footer.columns(0).pages.length
@@ -246,7 +262,7 @@ class StrawMicroBatchStream(path: String, fullSchema: StructType,
           else {
             var endP = p
             while (endP < nPages && keep(endP)) endP += 1
-            runs += StrawInputPartition(file, p, endP, Long.MaxValue)
+            runs += StrawInputPartition(file, p, endP, Long.MaxValue, dvPath, dvLen)
             p = endP
           }
         }

@@ -217,6 +217,49 @@ class DeletionVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(read(out).count() == 990)
   }
 
+  test("a stream started after a merge-on-read delete does not deliver dead rows") {
+    val sp = spark; import sp.implicits._
+    val out = s"$dir/streamDv"
+    (0L until 1000L).map(i => (i, s"r$i")).toDF("id", "s")
+      .coalesce(1).write.format("strawboat").mode("overwrite").save(out)
+    StrawDelete.delete(spark, out, Seq(LessThan("id", 100L): Filter)): Unit
+    val q = spark.readStream.format("strawboat")
+      .schema(read(out).schema).load(out)
+      .writeStream.format("memory").queryName("dvstream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("dvstream")
+    assert(got.count() == 900, "stream delivered dead rows")
+    assert(got.filter(col("id") < 100L).count() == 0)
+  }
+
+  test("a remove expecting a stale sidecar conflicts (rewrite-vs-delete race)") {
+    val sp = spark; import sp.implicits._
+    val out = s"$dir/removeRace"
+    (0L until 500L).map(i => (i, s"r$i")).toDF("id", "s")
+      .coalesce(1).write.format("strawboat").mode("overwrite").save(out)
+    val target = StrawLog.snapshot(out).get.entries.head
+    // a rewriting op (compaction / copy-on-write) reads the file while it
+    // has NO sidecar...
+    val replacement = target.copy(meta =
+      target.meta.copy(path = target.meta.path + ".rw.strb"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(new java.net.URI(target.meta.path)),
+      java.nio.file.Paths.get(new java.net.URI(replacement.meta.path)))
+    // ...then a merge-on-read DELETE lands first
+    StrawDelete.delete(spark, out, Seq(EqualTo("id", 7L): Filter)): Unit
+    // the rewrite's remove-commit must conflict: its replacement was built
+    // from the pre-delete read and would resurrect row 7
+    intercept[StrawLog.ConflictException] {
+      StrawLog.commit(out, Seq(replacement), removes = Set(target.meta.path),
+        op = "compact",
+        expectDvOnRemove = Map(target.meta.path -> None))
+    }
+    // the delete survived
+    assert(read(out).filter(col("id") === 7L).count() == 0)
+    assert(read(out).count() == 499)
+  }
+
   test("a DV commit with a stale expected sidecar conflicts instead of losing deletes") {
     val sp = spark; import sp.implicits._
     val out = s"$dir/conflict"
