@@ -802,6 +802,30 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars").cast("int").as("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    "q_update_expr" -> ((s, d) => {
+      // expression-valued UPDATE (StrawUpdate.updateExpressions): the
+      // redaction workflow's form — SET lang = upper(lang) over the
+      // matching rows, with right-hand sides analyzed by the session and
+      // evaluated against the pre-update row. Merge-on-read like q_update.
+      // Oracle applies the same CASE over parquet.
+      val updDir = Tables.strawDir(s, d, "documents") + "_updx"
+      val marker = new java.io.File(updDir, "_OK")
+      if (!marker.exists()) {
+        t(s, d, "documents").write.format("strawboat").mode("overwrite").save(updDir)
+        val lit: Any = t(s, d, "documents").schema("n_chars").dataType match {
+          case org.apache.spark.sql.types.LongType => 200L
+          case _ => 200
+        }
+        val res = graft.spark.StrawUpdate.updateExpressions(s, updDir,
+          Seq(org.apache.spark.sql.sources.LessThan("n_chars", lit)),
+          Map("lang" -> "upper(lang)"))
+        require(res.updatedRows > 0, s"q_update_expr: nothing updated ($res)")
+        marker.createNewFile()
+      }
+      s.read.format("strawboat").load(updDir)
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("int").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     "q_history" -> ((s, d) => {
       // the table's commit audit (StrawLog.history, DESCRIBE-HISTORY
       // style): version numbers and writer-recorded operations of the
@@ -1283,6 +1307,11 @@ object SparkEntry {
     "q_update" -> // UPDATE SET lang='redacted' WHERE n_chars < 200 (3VL)
       """SELECT doc_id,
         |  CASE WHEN n_chars < 200 THEN 'redacted' ELSE lang END AS lang,
+        |  CAST(n_chars AS INTEGER) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_update_expr" -> // UPDATE SET lang=upper(lang) WHERE n_chars < 200 (3VL)
+      """SELECT doc_id,
+        |  CASE WHEN n_chars < 200 THEN upper(lang) ELSE lang END AS lang,
         |  CAST(n_chars AS INTEGER) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_history" -> // the fixture's commit audit: deterministic columns only

@@ -119,6 +119,23 @@ private[spark] object MaintenanceOps {
     (candidates, listed.size - candidates.size)
   }
 
+  /** One UPDATE assignment: target ordinal := a pre-converted Catalyst
+    * literal (Left) or a BOUND deterministic Catalyst expression evaluated
+    * against the pre-update row (Right) — `SET lang = upper(lang)`. All
+    * right-hand sides of one row evaluate BEFORE any column is written
+    * (SQL UPDATE semantics: `SET a = b, b = a` swaps). */
+  type Assign = (Int, Either[Any, org.apache.spark.sql.catalyst.expressions.Expression])
+
+  /** Evaluate-then-write one row's assignments (see [[Assign]]). */
+  def applyAssigns(assigns: Seq[Assign],
+      row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+    val vals = assigns.map {
+      case (i, Left(v)) => (i, v)
+      case (i, Right(e)) => (i, e.eval(row))
+    }
+    vals.foreach { case (i, v) => row.update(i, v) }
+  }
+
   /** One candidate file's rewrite outcome ([[rewriteMatching]]). */
   final case class RewriteOut(input: String, inputMtime: Long, matched: Long,
       staged: Seq[String]) extends Serializable
@@ -136,7 +153,7 @@ private[spark] object MaintenanceOps {
       jobId: String, schema: org.apache.spark.sql.types.StructType,
       candidates: Seq[Candidate],
       filters: Array[org.apache.spark.sql.sources.Filter],
-      assigns: Option[Seq[(Int, Any)]],
+      assigns: Option[Seq[Assign]],
       opts: WriteOptions): Array[RewriteOut] = {
     val serConf = new org.apache.spark.util.SerializableConfiguration(StrawIO.conf)
     val schemaJson = schema.json
@@ -176,7 +193,7 @@ private[spark] object MaintenanceOps {
                   // copy() yields a mutable GenericInternalRow regardless
                   // of the reader's buffer representation
                   val r = row.copy()
-                  a.foreach { case (i, cv) => r.update(i, cv) }
+                  MaintenanceOps.applyAssigns(a, r)
                   writer.write(r)
                 }
               } else writer.write(row)
@@ -225,7 +242,7 @@ private[spark] object MaintenanceOps {
       jobId: String, schema: org.apache.spark.sql.types.StructType,
       candidates: Seq[Candidate],
       filters: Array[org.apache.spark.sql.sources.Filter],
-      assigns: Option[Seq[(Int, Any)]],
+      assigns: Option[Seq[Assign]],
       opts: WriteOptions): Array[DvOut] = {
     val serConf = new org.apache.spark.util.SerializableConfiguration(StrawIO.conf)
     val schemaJson = schema.json
@@ -325,7 +342,7 @@ private[spark] object MaintenanceOps {
                       }
                       val r = new org.apache.spark.sql.catalyst.expressions
                         .GenericInternalRow(tableSchema.length)
-                      assign.foreach { case (ci, cv) => r.update(ci, cv) }
+                      applyAssigns(assign, r)
                       writer.write(r)
                     }
                   }
@@ -375,7 +392,8 @@ private[spark] object MaintenanceOps {
                       r.update(c, if (v == null) null else fullConvs(c)(v))
                       c += 1
                     }
-                    assign.foreach { case (ci, cv) => r.update(ci, cv) }
+                    // expression right-hand sides see the PRE-update row
+                    applyAssigns(assign, r)
                     writer.write(r)
                   }
                 }

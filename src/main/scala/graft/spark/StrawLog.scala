@@ -676,6 +676,40 @@ object StrawLog {
     } catch { case scala.util.control.NonFatal(_) => }
   }
 
+  // parsed per-version add lists for incremental (streaming) consumers,
+  // keyed by the commit file's identity — commit files are write-once, the
+  // (mtime, len) guards a delete-and-recreate log incarnation
+  private val addsCache =
+    new java.util.LinkedHashMap[(String, Long, Long), (String, Seq[Entry])](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), (String, Seq[Entry])]): Boolean =
+        size() > 1024
+    }
+
+  /** The operation and add-entries of ONE committed version — the streaming
+    * source's O(delta) incremental feed (adds come back path-sorted, the
+    * order [[serialize]] wrote them). None when the version's commit file
+    * is not retained (vacuumed past the consumer's position) — callers
+    * fail loudly rather than silently skip data. Throws when the file
+    * exists but does not parse. */
+  def commitAdds(table: String, v: Long): Option[(String, Seq[Entry])] = {
+    val f = rawFs(table)
+    val p = commitPath(logDir(table), v)
+    val st =
+      try f.getFileStatus(p)
+      catch { case _: java.io.FileNotFoundException => return None }
+    val key = (f.makeQualified(p).toString, st.getModificationTime, st.getLen)
+    val hit = addsCache.synchronized(addsCache.get(key))
+    if (hit != null) return Some(hit)
+    val qdir = StrawIO.fs(table).makeQualified(new Path(table)).toString
+    val a = parseActions(readLines(f, p), qdir).getOrElse(
+      throw new java.io.IOException(
+        s"strawboat: log of $table: commit $v does not parse"))
+    val res = (a.op, a.actions.collect { case AddAction(e) => e })
+    addsCache.synchronized(addsCache.put(key, res))
+    Some(res)
+  }
+
   /** One table-history row ([[history]]): the version, the commit file's
     * timestamp, the writer-recorded operation, and the commit's action
     * counts. `addedFiles` of a bootstrap commit includes the folded pre-log

@@ -70,9 +70,112 @@ object StrawUpdate {
     * unchanged) when nothing matches. */
   def update(spark: SparkSession, dir: String, condition: Seq[Filter],
       set: Map[String, Any], opts: WriteOptions = WriteOptions(),
-      useDeletionVectors: Boolean = true): UpdateResult = {
+      useDeletionVectors: Boolean = true): UpdateResult =
+    run(spark, dir, condition, set.keySet, opts, useDeletionVectors) {
+      (schema, _) =>
+        // resolve assignments to (ordinal, catalyst value) up front — a
+        // typo'd column, nested target, type mismatch, or null into a
+        // non-nullable column must fail before anything is rewritten
+        set.toSeq.map { case (name, v) =>
+          val (i, fld) = targetField(schema, name)
+          if (v == null) {
+            require(fld.nullable,
+              s"strawboat: cannot set non-nullable column '$name' to null")
+            (i, Left(null): Either[Any, org.apache.spark.sql.catalyst.expressions.Expression])
+          } else {
+            val cv =
+              try CatalystTypeConverters.createToCatalystConverter(fld.dataType)(v)
+              catch {
+                case scala.util.control.NonFatal(e) => throw new IllegalArgumentException(
+                  s"strawboat: value ${v} (${v.getClass.getName}) does not convert " +
+                    s"to column '$name' of type ${fld.dataType}", e)
+              }
+            // the converter is identity for primitive-backed types, so a
+            // mistyped literal passes through and would only blow up
+            // mid-job — pin the internal representation here instead
+            require(cv != null && internalForm(fld.dataType, cv),
+              s"strawboat: value $v (${v.getClass.getName}) does not convert to " +
+                s"column '$name' of type ${fld.dataType}")
+            (i, Left(cv))
+          }
+        }
+    }
+
+  /** Update with EXPRESSION-valued assignments — `SET lang = upper(lang)`,
+    * `SET text = regexp_replace(text, '[0-9]+', 'N')` — the redaction
+    * workflow's form. Each value is a SQL scalar expression over the
+    * table's columns, analyzed by the session (function registry,
+    * session timezone) and bound to the row once up front; right-hand
+    * sides see the PRE-update row. Deterministic scalar expressions only
+    * (no aggregates, no subqueries); the result type must equal the
+    * column's type exactly — add an explicit CAST in the expression to
+    * convert. */
+  def updateExpressions(spark: SparkSession, dir: String, condition: Seq[Filter],
+      set: Map[String, String], opts: WriteOptions = WriteOptions(),
+      useDeletionVectors: Boolean = true): UpdateResult =
+    run(spark, dir, condition, set.keySet, opts, useDeletionVectors) {
+      (schema, _) =>
+        import org.apache.spark.sql.catalyst.expressions.{Alias, BindReferences, PlanExpression}
+        import org.apache.spark.sql.catalyst.plans.logical.Project
+        // one empty frame over the TABLE schema: the session analyzer
+        // resolves names/functions/timezones exactly as spark.sql would
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        set.toSeq.map { case (name, exprStr) =>
+          val (i, fld) = targetField(schema, name)
+          val analyzed =
+            try empty.select(org.apache.spark.sql.functions.expr(exprStr))
+              .queryExecution.analyzed
+            catch {
+              case scala.util.control.NonFatal(e) => throw new IllegalArgumentException(
+                s"strawboat: assignment for '$name' does not analyze over " +
+                  s"${schema.catalogString}: $exprStr", e)
+            }
+          val (resolved, childOutput) = analyzed match {
+            case p: Project =>
+              (p.projectList.head match {
+                case a: Alias => a.child
+                case e => e
+              }, p.child.output)
+            case other => throw new IllegalArgumentException(
+              s"strawboat: assignment for '$name' is not a scalar row " +
+                s"expression (${other.nodeName}): $exprStr")
+          }
+          require(resolved.deterministic,
+            s"strawboat: assignment for '$name' must be deterministic: $exprStr")
+          require(!resolved.exists(_.isInstanceOf[PlanExpression[_]]),
+            s"strawboat: assignment for '$name' must not contain a subquery: $exprStr")
+          require(resolved.dataType == fld.dataType,
+            s"strawboat: assignment for '$name' is ${resolved.dataType} but the " +
+              s"column is ${fld.dataType} — add an explicit CAST: $exprStr")
+          require(fld.nullable || !resolved.nullable,
+            s"strawboat: possibly-null assignment into non-nullable '$name': $exprStr")
+          (i, Right(BindReferences.bindReference(resolved, childOutput)))
+        }
+    }
+
+  /** (ordinal, field) of an assignable target column. */
+  private def targetField(schema: StructType, name: String)
+      : (Int, org.apache.spark.sql.types.StructField) = {
+    val i = schema.fields.indexWhere(_.name == name)
+    require(i >= 0,
+      s"strawboat: update column '$name' not in ${schema.fieldNames.mkString(",")}")
+    val fld = schema.fields(i)
+    require(!graft.format.LeafLayout.isNested(fld.dataType),
+      s"strawboat: update column '$name' is nested (${fld.dataType}) — flat columns only")
+    (i, fld)
+  }
+
+  /** Shared validation + dispatch: derive the table schema from ONE listing
+    * snapshot, compile the condition, build assignments via `mkAssigns`
+    * (literal or expression form), reject partition-column targets, run the
+    * candidate ladder, and execute merge-on-read or copy-on-write. */
+  private def run(spark: SparkSession, dir: String, condition: Seq[Filter],
+      assignedCols: Set[String], opts: WriteOptions, useDeletionVectors: Boolean)(
+      mkAssigns: (StructType, Seq[StrawIO.Listed]) => Seq[MaintenanceOps.Assign])
+      : UpdateResult = {
     require(condition.nonEmpty, "strawboat: update needs a condition")
-    require(set.nonEmpty, "strawboat: update needs at least one assignment")
+    require(assignedCols.nonEmpty, "strawboat: update needs at least one assignment")
     val listed = StrawIO.listFilesMetaWithStats(dir)
     require(listed.nonEmpty, s"strawboat: no data files under $dir")
     val schema = StrawSchemaResolver.merge(StrawIO.mapParallel(listed) {
@@ -83,35 +186,7 @@ object StrawUpdate {
     require(RowFilterEval.build(schema, condition.toArray).isDefined,
       s"strawboat: update condition is not exactly row-evaluable over " +
         s"${schema.catalogString}: ${condition.mkString(", ")}")
-    // resolve assignments to (ordinal, catalyst value) up front — a typo'd
-    // column, nested target, type mismatch, or null into a non-nullable
-    // column must fail before anything is rewritten
-    val assigns: Seq[(Int, Any)] = set.toSeq.map { case (name, v) =>
-      val i = schema.fields.indexWhere(_.name == name)
-      require(i >= 0, s"strawboat: update column '$name' not in ${schema.fieldNames.mkString(",")}")
-      val fld = schema.fields(i)
-      require(!graft.format.LeafLayout.isNested(fld.dataType),
-        s"strawboat: update column '$name' is nested (${fld.dataType}) — flat columns only")
-      if (v == null) {
-        require(fld.nullable, s"strawboat: cannot set non-nullable column '$name' to null")
-        (i, null)
-      } else {
-        val cv =
-          try CatalystTypeConverters.createToCatalystConverter(fld.dataType)(v)
-          catch {
-            case scala.util.control.NonFatal(e) => throw new IllegalArgumentException(
-              s"strawboat: value ${v} (${v.getClass.getName}) does not convert " +
-                s"to column '$name' of type ${fld.dataType}", e)
-          }
-        // the converter is identity for primitive-backed types, so a
-        // mistyped literal passes through and would only blow up mid-job —
-        // pin the internal representation here instead
-        require(cv != null && internalForm(fld.dataType, cv),
-          s"strawboat: value $v (${v.getClass.getName}) does not convert to " +
-            s"column '$name' of type ${fld.dataType}")
-        (i, cv)
-      }
-    }
+    val assigns = mkAssigns(schema, listed)
     val filters = condition.toArray
 
     // a file-local operation cannot move rows between hive partition
@@ -121,7 +196,7 @@ object StrawUpdate {
     // same invalid call must fail identically whether or not rows match.
     listed.foreach { lf =>
       PartitionLayout.partitionOf(lf.meta.path).foreach { case (c, _) =>
-        require(!set.contains(c),
+        require(!assignedCols.contains(c),
           s"strawboat: cannot update hive partition column '$c' (rows would " +
             "have to move between partition directories); rewrite the table instead")
       }
@@ -145,7 +220,7 @@ object StrawUpdate {
     * versions append as new files — one atomic commit switches both. */
   private def updateViaDv(spark: SparkSession, dir: String, jobId: String,
       schema: StructType, candidates: Seq[MaintenanceOps.Candidate],
-      filters: Array[Filter], assigns: Seq[(Int, Any)], pruned: Int,
+      filters: Array[Filter], assigns: Seq[MaintenanceOps.Assign], pruned: Int,
       opts: WriteOptions): UpdateResult = {
     val outs = MaintenanceOps.dvMatch(spark, dir, jobId, schema, candidates,
       filters, assigns = Some(assigns), opts)
@@ -186,7 +261,7 @@ object StrawUpdate {
     * (dropping any prior deletion vector along the way). */
   private def updateCopyOnWrite(spark: SparkSession, dir: String, jobId: String,
       schema: StructType, candidates: Seq[MaintenanceOps.Candidate],
-      filters: Array[Filter], assigns: Seq[(Int, Any)], pruned: Int,
+      filters: Array[Filter], assigns: Seq[MaintenanceOps.Assign], pruned: Int,
       opts: WriteOptions): UpdateResult = {
     // shared distributed-rewrite scaffolding: matching rows pass through
     // the assignments, everything else is byte-identical

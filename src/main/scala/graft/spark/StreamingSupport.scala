@@ -11,12 +11,27 @@ import graft.format.StrawFileReader
 
 /** Structured Streaming over the strawboat format.
   *
-  * Read side: a micro-batch file stream — each trigger picks up `.strb`
-  * files not yet committed, ordered by (modificationTime, path). The offset
-  * is a modification-time high-water mark plus the explicit (modTime, path)
-  * entries at or above it, so long-running streams carry a bounded offset
-  * (recent window + unprocessed backlog) instead of every path ever seen —
-  * the FileStreamSource compaction idea expressed directly in the offset.
+  * Read side, LOG MODE (tables with a [[StrawLog]] — everything this
+  * library writes): the stream consumes committed VERSION DELTAS. The
+  * offset is a position in the commit history ([[StrawLogStreamOffset]]);
+  * each trigger reads only the commit files past it — exact, O(delta),
+  * no listing, no mtime safety lag. A new stream starts from the latest
+  * snapshot (initial-snapshot phase) and then follows the tail. Only
+  * data-bearing commits deliver (append / streaming epoch / truncate);
+  * compaction moves bytes, not data, and delivers NOTHING — rewriting
+  * files under a live stream no longer re-delivers their rows — while
+  * row-level delete/update cannot be represented in an append-only
+  * stream and are skipped (no retraction; a stream started AFTER them
+  * sees the post-mutation state via the snapshot + current deletion
+  * vectors).
+  *
+  * Read side, LISTING MODE (no log — foreign directories): the legacy
+  * micro-batch file stream — each trigger lists `.strb` files not yet
+  * seen, ordered by (modificationTime, path). The offset is an mtime
+  * high-water mark plus the explicit entries at or above it, bounded the
+  * way FileStreamSource compacts its seen-log. A checkpointed stream
+  * keeps its mode: offsets are self-describing, and a restart dispatches
+  * on the offset shape.
   *
   * Write side: per-epoch rolling files via the same [[StrawDataWriter]] as
   * batch, staged under a job-scoped suffix and made visible only at epoch
@@ -63,6 +78,42 @@ case class StrawStreamOffset(highWater: Long, files: Seq[(Long, String)]) extend
   def fileSet: Set[String] = files.map(_._2).toSet
 }
 
+/** Log-mode stream offset: a position in the table's commit history.
+  *
+  *  - `version > 0`: every deliverable add of versions `< version` is
+  *    consumed, plus the first `idx` adds (path-sorted) of `version`.
+  *  - `version < 0` (initial-snapshot phase): the stream started from the
+  *    full snapshot AT `-version`; the first `idx` of its files
+  *    (path-sorted) are consumed. Once the snapshot drains, the position
+  *    advances into the tail at `-version + 1`.
+  *
+  * Replay is exact: commit files are write-once, so `(start, end]` always
+  * re-derives the same file list (a vacuumed-away commit file fails the
+  * stream loudly instead of skipping data). */
+case class StrawLogStreamOffset(version: Long, idx: Int) extends Offset {
+  override def json(): String = s"""{"v":$version,"i":$idx}"""
+  /** Sortable position: the initial-snapshot phase of V orders before the
+    * tail phase (which starts at V+1). */
+  def key: (Long, Int, Int) =
+    if (version < 0) (-version, 0, idx) else (version, 1, idx)
+}
+
+object StrawLogStreamOffset {
+  def fromJson(json: String): StrawLogStreamOffset = {
+    val s = json.trim
+    require(s.startsWith("{") && s.endsWith("}"), s"bad log stream offset: $s")
+    def field(k: String): String = {
+      val i = s.indexOf(s""""$k":""")
+      require(i >= 0, s"bad log stream offset (no $k): $s")
+      s.substring(i + k.length + 3).takeWhile(c => c == '-' || c.isDigit)
+    }
+    StrawLogStreamOffset(field("v").toLong, field("i").toInt)
+  }
+
+  def leq(a: StrawLogStreamOffset, b: StrawLogStreamOffset): Boolean =
+    Ordering[(Long, Int, Int)].lteq(a.key, b.key)
+}
+
 object StrawStreamOffset {
   def fromJson(json: String): StrawStreamOffset = {
     val s = json.trim
@@ -100,27 +151,91 @@ class StrawMicroBatchStream(path: String, fullSchema: StructType,
     * explicit list for tolerance of slow multi-file copy-ins. */
   private val SafetyLagMs = 5 * 60 * 1000L
 
-  // Trigger.AvailableNow: snapshot the file set once; subsequent capped
-  // micro-batches drain exactly this backlog, then the query stops.
-  // Entries carry (mtime, path, len) INTERNALLY — lengths feed byte-budget
-  // admission without per-file status RPCs; the serialized offset format
-  // stays (mtime, path), so checkpoints are unchanged.
+  /** Log mode iff the table carries a transaction log at stream start.
+    * A RESTARTED stream dispatches on its checkpointed offset's shape, so
+    * the mode is sticky per query regardless of this flag. */
+  private val logMode: Boolean = StrawLog.latestVersion(path).isDefined
+
+  // Trigger.AvailableNow: pin the drain target once — the latest log
+  // version (log mode) or the file-set snapshot (listing mode); subsequent
+  // capped micro-batches drain exactly this backlog, then the query stops.
   @volatile private var availableNowSnapshot: Option[Seq[StrawIO.FileMeta]] = None
+  @volatile private var availableNowVersion: Option[Long] = None
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowSnapshot = Some(currentFiles())
+    if (logMode) availableNowVersion = Some(latestVersionNow())
+    else availableNowSnapshot = Some(currentFiles())
   override def reportLatestOffset(): Offset =
-    // an everything-visible upper bound: hw at -inf, all files explicit
-    StrawStreamOffset(Long.MinValue,
-      availableNowSnapshot.getOrElse(currentFiles()).map(m => (m.mtime, m.path)))
+    if (logMode) StrawLogStreamOffset(latestVersionNow() + 1, 0)
+    else
+      // an everything-visible upper bound: hw at -inf, all files explicit
+      StrawStreamOffset(Long.MinValue,
+        availableNowSnapshot.getOrElse(currentFiles()).map(m => (m.mtime, m.path)))
 
   /** Visible files in admission order — manifest-aware ([[StrawIO
     * .listFilesMeta]]), recursive so hive-partitioned sinks stream too. */
   private def currentFiles(): Seq[StrawIO.FileMeta] =
     StrawIO.listFilesMeta(path).sortBy(m => (m.mtime, m.path))
 
-  override def initialOffset(): Offset = StrawStreamOffset(Long.MinValue, Seq.empty)
+  private def latestVersionNow(): Long =
+    availableNowVersion.getOrElse(StrawLog.latestVersion(path).getOrElse(0L))
+
+  /** Data-bearing ops deliver; compaction moves bytes (not data), and
+    * row-level delete/update cannot be expressed in an append-only
+    * stream — their commits deliver nothing. */
+  private def deliverableOp(op: String): Boolean =
+    !(op.startsWith("compact") || op.startsWith("delete") || op.startsWith("update"))
+
+  private def addsOf(v: Long): Seq[StrawIO.FileMeta] =
+    StrawLog.commitAdds(path, v) match {
+      case Some((op, adds)) =>
+        if (deliverableOp(op)) adds.map(_.meta).sortBy(_.path) else Seq.empty
+      case None => throw new IllegalStateException(
+        s"strawboat: streaming source needs log version $v of $path but its " +
+          "commit file is no longer retained (vacuumLog passed the stream's " +
+          "position) — restart the stream from a fresh checkpoint")
+    }
+
+  private def snapshotFilesAt(v: Long): Seq[StrawIO.FileMeta] =
+    StrawLog.snapshotAt(path, v).getOrElse(throw new IllegalStateException(
+      s"strawboat: streaming source cannot reconstruct snapshot $v of $path " +
+        "(log vacuumed past it) — restart the stream from a fresh checkpoint")
+    ).entries.map(_.meta).sortBy(_.path)
+
+  /** Every unconsumed (position-after-it, file) from `start` through the
+    * tail version `bound`, in delivery order. */
+  private def pendingFrom(start: StrawLogStreamOffset, bound: Long)
+      : Seq[(StrawLogStreamOffset, StrawIO.FileMeta)] = {
+    val out = Seq.newBuilder[(StrawLogStreamOffset, StrawIO.FileMeta)]
+    var firstTail = start.version
+    if (start.version < 0) {
+      val v0 = -start.version
+      val snap = snapshotFilesAt(v0)
+      var i = start.idx
+      while (i < snap.size) {
+        out += ((StrawLogStreamOffset(start.version, i + 1), snap(i)))
+        i += 1
+      }
+      firstTail = v0 + 1
+    }
+    var v = firstTail
+    while (v <= bound) {
+      val adds = addsOf(v)
+      var i = if (start.version >= 0 && v == start.version) start.idx else 0
+      while (i < adds.size) {
+        out += ((StrawLogStreamOffset(v, i + 1), adds(i)))
+        i += 1
+      }
+      v += 1
+    }
+    out.result()
+  }
+
+  override def initialOffset(): Offset =
+    if (logMode) StrawLogStreamOffset(-latestVersionNow(), 0)
+    else StrawStreamOffset(Long.MinValue, Seq.empty)
   override def latestOffset(): Offset =
-    StrawStreamOffset(Long.MinValue, currentFiles().map(m => (m.mtime, m.path)))
+    if (logMode) StrawLogStreamOffset(latestVersionNow() + 1, 0)
+    else StrawStreamOffset(Long.MinValue, currentFiles().map(m => (m.mtime, m.path)))
 
   // backpressure: cap the files and/or bytes admitted per micro-batch
   // (.option("maxFilesPerTrigger", n) / .option("maxBytesPerTrigger", b))
@@ -161,8 +276,27 @@ class StrawMicroBatchStream(path: String, fullSchema: StructType,
       case _ => fresh
     }
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val so = start.asInstanceOf[StrawStreamOffset]
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = start match {
+    case lo: StrawLogStreamOffset =>
+      val bound = latestVersionNow()
+      val pending = pendingFrom(lo, bound)
+      if (pending.isEmpty) {
+        // nothing deliverable — fast-forward past data-less versions
+        // (compaction/delete/update commits) so the offset never lags into
+        // the vacuumLog horizon; same position → start unchanged
+        // (json-identical), the engine's no-new-data signal
+        val ff = StrawLogStreamOffset(bound + 1, 0)
+        if (StrawLogStreamOffset.leq(ff, lo)) lo else ff
+      } else {
+        val admitted = applyLimit(pending.map(_._2), limit)
+        if (admitted.isEmpty) lo
+        else if (admitted.size == pending.size) StrawLogStreamOffset(bound + 1, 0)
+        else pending(admitted.size - 1)._1
+      }
+    case so: StrawStreamOffset => mtimeLatestOffset(so, limit)
+  }
+
+  private def mtimeLatestOffset(so: StrawStreamOffset, limit: ReadLimit): Offset = {
     val seenSet = so.fileSet
     val visible = availableNowSnapshot.getOrElse(currentFiles())
     val fresh = visible.filter(m =>
@@ -190,7 +324,10 @@ class StrawMicroBatchStream(path: String, fullSchema: StructType,
   }
 
   override def deserializeOffset(json: String): Offset =
-    StrawStreamOffset.fromJson(json)
+    // offsets are self-describing: log-mode {"v":..,"i":..} vs listing-mode
+    // {"hw":..,"files":[..]} — a restarted stream keeps its mode
+    if (json.contains("\"hw\":")) StrawStreamOffset.fromJson(json)
+    else StrawLogStreamOffset.fromJson(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
@@ -201,16 +338,27 @@ class StrawMicroBatchStream(path: String, fullSchema: StructType,
   @volatile private var batchTypeWidened = false
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    // derived from the two offsets ALONE (no relisting): deterministic on
-    // replay from a checkpoint — the pruning below is a pure function of
-    // the (static) pushed filters and each file's footer, so a replayed
-    // batch prunes identically
-    val so = start.asInstanceOf[StrawStreamOffset]
-    val eo = end.asInstanceOf[StrawStreamOffset]
-    val seenSet = so.fileSet
-    val fresh = eo.files
-      .filter { case (m, p) => m >= so.highWater && !seenSet.contains(p) }
-      .map(_._2)
+    // derived from the two offsets ALONE (log mode: plus the write-once
+    // commit files they index): deterministic on replay from a checkpoint —
+    // the pruning below is a pure function of the (static) pushed filters
+    // and each file's footer, so a replayed batch prunes identically
+    val fresh: Seq[String] = (start, end) match {
+      case (lo: StrawLogStreamOffset, eo: StrawLogStreamOffset) =>
+        val bound =
+          if (eo.version < 0) -eo.version - 1
+          else if (eo.idx == 0) eo.version - 1
+          else eo.version
+        pendingFrom(lo, bound)
+          .filter { case (post, _) => StrawLogStreamOffset.leq(post, eo) }
+          .map(_._2.path)
+      case (so: StrawStreamOffset, eo: StrawStreamOffset) =>
+        val seenSet = so.fileSet
+        eo.files
+          .filter { case (m, p) => m >= so.highWater && !seenSet.contains(p) }
+          .map(_._2)
+      case _ => throw new IllegalStateException(
+        s"strawboat: mixed stream offset modes: ${start.json()} .. ${end.json()}")
+    }
     // pushed filters prune the streaming read like the batch path: whole
     // hive partition directories first (zero footer IO for excluded ones),
     // then pages by their zone maps/blooms. Admission already marked the

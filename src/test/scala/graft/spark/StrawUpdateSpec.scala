@@ -88,6 +88,39 @@ class StrawUpdateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.dvFiles == 1, res.toString)
   }
 
+  test("expression assignments evaluate against the pre-update row") {
+    val sp = spark; import sp.implicits._
+    val out = s"$dir/exprs"
+    (0L until 200L).map(i => (i, s"word$i", i * 10))
+      .toDF("id", "s", "v")
+      .coalesce(1).write.format("strawboat").mode("overwrite").save(out)
+    // swap-flavored: both right-hand sides must see the OLD row
+    val res = StrawUpdate.updateExpressions(spark, out,
+      Seq(LessThan("id", 50L): Filter),
+      Map("s" -> "upper(s)", "v" -> "v + id"))
+    assert(res.updatedRows == 50, res.toString)
+    val back = read(out).orderBy("id").collect()
+    assert(back(7).getString(1) == "WORD7")
+    assert(back(7).getLong(2) == 77L) // 70 + 7, from the pre-update row
+    assert(back(60).getString(1) == "word60")
+    assert(back(60).getLong(2) == 600L)
+    // bad expressions are rejected before anything is touched
+    intercept[IllegalArgumentException] {
+      StrawUpdate.updateExpressions(spark, out,
+        Seq(LessThan("id", 5L): Filter), Map("s" -> "nope(s)"))
+    }
+    intercept[IllegalArgumentException] {
+      // type mismatch without an explicit cast
+      StrawUpdate.updateExpressions(spark, out,
+        Seq(LessThan("id", 5L): Filter), Map("v" -> "'x'"))
+    }
+    intercept[IllegalArgumentException] {
+      // non-deterministic
+      StrawUpdate.updateExpressions(spark, out,
+        Seq(LessThan("id", 5L): Filter), Map("v" -> "cast(rand() * 10 as long)"))
+    }
+  }
+
   test("updating the hive partition column is rejected; other columns work") {
     val sp = spark; import sp.implicits._
     val out = s"$dir/hive"

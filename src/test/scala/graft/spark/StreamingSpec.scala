@@ -105,6 +105,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(off3.json() == off2.json())
   }
 
+  test("log-mode stream: compaction during a live stream re-delivers nothing") {
+    val data = s"$dir/logcompact"
+    // several small files via separate appends (each a log version)
+    for (i <- 0 until 4)
+      spark.range(i * 100, (i + 1) * 100).withColumn("v", col("id") * 2)
+        .coalesce(1).write.format("strawboat").mode("append").save(data)
+    val schema = spark.read.format("strawboat").load(data).schema
+    val stream = new StrawMicroBatchStream(data, schema, schema)
+    val limit = stream.getDefaultReadLimit
+    val o0 = stream.initialOffset()
+    assert(o0.isInstanceOf[StrawLogStreamOffset], "connector tables stream in log mode")
+    // json round trip
+    assert(StrawLogStreamOffset.fromJson(
+      StrawLogStreamOffset(-3L, 17).json()) == StrawLogStreamOffset(-3L, 17))
+    val o1 = stream.latestOffset(o0, limit)
+    val firstBatch = stream.planInputPartitions(o0, o1)
+    assert(firstBatch.nonEmpty, "initial snapshot must deliver")
+    // compact the table mid-stream: files are rewritten under new paths
+    // with data unchanged — the mtime source would re-deliver them (all
+    // mtimes are within the safety lag); the log source must not
+    val res = StrawCompaction.compact(spark, data)
+    assert(res.inputFiles > 0, res.toString)
+    val o2 = stream.latestOffset(o1, limit)
+    assert(stream.planInputPartitions(o1, o2).isEmpty,
+      "compaction re-delivered rewritten files")
+    // merge-on-read delete: also delivers nothing (no retraction)
+    import org.apache.spark.sql.sources.{Filter, LessThan}
+    StrawDelete.delete(spark, data, Seq(LessThan("id", 10L): Filter)): Unit
+    val o3 = stream.latestOffset(o2, limit)
+    assert(stream.planInputPartitions(o2, o3).isEmpty,
+      "a delete must not deliver rows to a stream")
+    // but a fresh append IS delivered — exactly the new file(s)
+    spark.range(400, 450).withColumn("v", col("id") * 2)
+      .coalesce(1).write.format("strawboat").mode("append").save(data)
+    val o4 = stream.latestOffset(o3, limit)
+    val newParts = stream.planInputPartitions(o3, o4)
+      .map(_.asInstanceOf[StrawInputPartition].path).distinct
+    assert(newParts.length == 1, s"expected exactly the appended file: ${newParts.toSeq}")
+    // idle: offset unchanged (no-new-data signal)
+    val o5 = stream.latestOffset(o4, limit)
+    assert(o5.json() == o4.json())
+  }
+
   test("micro-batch read picks up files incrementally across restarts") {
     val data = s"$dir/in"
     val ckpt = s"$dir/ckpt"
