@@ -802,6 +802,32 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars").cast("int").as("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    "q_merge" -> ((s, d) => {
+      // MERGE INTO (StrawMerge): keyed upsert over the merge-on-read
+      // machinery — every doc_id % 10 == 0 row is replaced by a 'merged'
+      // source version, and shifted copies of doc_id % 17 == 0 rows insert
+      // as new keys; ONE atomic log commit (matched target rows die via
+      // deletion vectors, source rows append). Oracle = the same
+      // source-wins union in plain SQL.
+      val mDir = Tables.strawDir(s, d, "documents") + "_merge"
+      val marker = new java.io.File(mDir, "_OK")
+      if (!marker.exists()) {
+        val docs = t(s, d, "documents")
+        docs.write.format("strawboat").mode("overwrite").save(mDir)
+        val src = docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("lang", lit("merged"))
+          .unionByName(docs.filter(col("doc_id") % 17 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000L)
+            .withColumn("lang", lit("inserted")))
+        val res = graft.spark.StrawMerge.merge(s, mDir, src, keys = Seq("doc_id"))
+        require(res.matchedRows > 0 && res.insertedRows > res.matchedRows,
+          s"q_merge: expected updates and inserts ($res)")
+        marker.createNewFile()
+      }
+      s.read.format("strawboat").load(mDir)
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("int").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     "q_update_expr" -> ((s, d) => {
       // expression-valued UPDATE (StrawUpdate.updateExpressions): the
       // redaction workflow's form — SET lang = upper(lang) over the
@@ -827,15 +853,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "q_history" -> ((s, d) => {
-      // the table's commit audit (StrawLog.history, DESCRIBE-HISTORY
-      // style): version numbers and writer-recorded operations of the
-      // two-commit time-travel table. Timestamps/file-counts are
-      // run-dependent, so the oracle pins the deterministic columns.
-      val sp = s; import sp.implicits._
-      graft.spark.StrawLog.history(ttTable(s, d))
-        .map(h => (h.version, h.operation))
-        .toDF("version", "operation")
-        .orderBy(col("version"))
+      // the table's commit audit in PLAIN SQL: straw_history('path') is a
+      // table-valued function (StrawSqlSurface, also injected config-only
+      // via GraftExtensions) over the transaction log — DESCRIBE HISTORY
+      // without leaving SQL. Timestamps/file-counts are run-dependent, so
+      // the oracle pins the deterministic columns.
+      graft.spark.StrawSqlSurface.register(s)
+      s.sql(s"""SELECT version, operation FROM straw_history('${ttTable(s, d)}')
+               |ORDER BY version""".stripMargin)
     }),
     // --- nested leaf layout (format v2): pruning + struct-path filters ----
     "q_struct_prune" -> ((s, d) => {
@@ -1309,6 +1334,19 @@ object SparkEntry {
         |  CASE WHEN n_chars < 200 THEN 'redacted' ELSE lang END AS lang,
         |  CAST(n_chars AS INTEGER) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_merge" -> // source-wins upsert: replaced, inserted, and untouched rows
+      """WITH src AS (
+        |  SELECT doc_id, 'merged' AS lang, n_chars
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'inserted', n_chars
+        |  FROM documents WHERE doc_id % 17 = 0)
+        |SELECT doc_id, lang, CAST(n_chars AS INTEGER) AS n_chars FROM (
+        |  SELECT doc_id, lang, n_chars FROM src
+        |  UNION ALL
+        |  SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+        |  WHERE d.doc_id NOT IN (SELECT doc_id FROM src))
+        |ORDER BY doc_id""".stripMargin,
     "q_update_expr" -> // UPDATE SET lang=upper(lang) WHERE n_chars < 200 (3VL)
       """SELECT doc_id,
         |  CASE WHEN n_chars < 200 THEN upper(lang) ELSE lang END AS lang,

@@ -212,6 +212,69 @@ private[spark] object MaintenanceOps {
     }
   }
 
+  /** Ordinal-aware projection over ONE open file for the maintenance scans
+    * ([[dvMatch]], [[graft.spark.StrawMerge]]): resolves a sub-schema
+    * against the file's own schema (absent → null, narrower → decode
+    * native and widen — the scan's resolution rules), decodes one page of
+    * every projected column on demand, and fills a reused row. One
+    * implementation so the maintenance ops cannot drift from each other. */
+  private[spark] final class ResolvedFileRead(
+      input: graft.format.RandomInput,
+      footer: graft.format.StrawFooter,
+      sub: org.apache.spark.sql.types.StructType) {
+    private val idx = sub.fields.map(f =>
+      footer.schema.fields.indexWhere(_.name == f.name))
+    private val plans = idx.map(ci =>
+      if (ci < 0) null
+      else graft.format.ProjCol.plan(footer, ci, footer.schema.fields(ci).dataType))
+    private val convs = idx.zipWithIndex.map { case (ci, c) =>
+      if (ci < 0) null
+      else {
+        val from = footer.schema.fields(ci).dataType
+        val to = sub.fields(c).dataType
+        if (from == to) identity[Any] _ else StrawSchemaResolver.widen(from, to)
+      }
+    }
+
+    private def decodeOne(plan: graft.format.ProjCol, p: Int): graft.format.DecodedPage =
+      if (plan.isSingleFlat) {
+        val li = plan.globalLeaves(0)
+        val pm = footer.columns(li).pages(p)
+        val bytes = input.readFully(footer.columns(li).pageOffsets(p), pm.compLen.toInt)
+        graft.format.PageDecoder.decode(plan.leafDts(0),
+          graft.format.ByteIO.reader(bytes))
+      } else {
+        val decoded = new Array[(Array[graft.format.LevelHeader],
+          graft.format.DecodedPage)](plan.globalLeaves.length)
+        var l = 0
+        while (l < plan.globalLeaves.length) {
+          val li = plan.globalLeaves(l)
+          val pm = footer.columns(li).pages(p)
+          val bytes = input.readFully(footer.columns(li).pageOffsets(p), pm.compLen.toInt)
+          decoded(l) = graft.format.LeafDecoder.decode(
+            plan.levelKinds(l), plan.leafDts(l), graft.format.ByteIO.reader(bytes))
+          l += 1
+        }
+        graft.format.LeafDecoder.assemble(plan.readDt, decoded)
+      }
+
+    /** Decode page `p` of every projected column (null where absent). */
+    def decodePages(p: Int): Array[graft.format.DecodedPage] =
+      plans.map(pl => if (pl == null) null else decodeOne(pl, p))
+
+    /** Fill `row` (width `sub.length`) from `pages` at in-page index `i`,
+      * null-filling absent columns and widening narrower ones. */
+    def fill(pages: Array[graft.format.DecodedPage], i: Int,
+        row: org.apache.spark.sql.catalyst.expressions.GenericInternalRow): Unit = {
+      var c = 0
+      while (c < pages.length) {
+        val v = if (pages(c) == null) null else pages(c).valueOrNull(i)
+        row.update(c, if (v == null) null else convs(c)(v))
+        c += 1
+      }
+    }
+  }
+
   /** One candidate file's merge-on-read outcome ([[dvMatch]]): newly-dead
     * live rows matched, the replacement sidecar (null when the file went
     * fully dead or nothing matched), whether the union covers every row,
@@ -273,51 +336,10 @@ private[spark] object MaintenanceOps {
           var writer: StrawDataWriter = null
           var ok = false
           try {
-            // per-file resolution of the needed columns: absent → null,
-            // narrower → decode native and widen (same rules as the scan)
-            def resolveCols(s: org.apache.spark.sql.types.StructType) = {
-              val idx = s.fields.map(f =>
-                footer.schema.fields.indexWhere(_.name == f.name))
-              val plans = idx.map(ci =>
-                if (ci < 0) null
-                else graft.format.ProjCol.plan(footer, ci,
-                  footer.schema.fields(ci).dataType))
-              val convs = idx.zipWithIndex.map { case (ci, c) =>
-                if (ci < 0) null
-                else {
-                  val from = footer.schema.fields(ci).dataType
-                  val to = s.fields(c).dataType
-                  if (from == to) identity[Any] _ else StrawSchemaResolver.widen(from, to)
-                }
-              }
-              (plans, convs)
-            }
-            def decodePage(plan: graft.format.ProjCol, p: Int): graft.format.DecodedPage = {
-              if (plan.isSingleFlat) {
-                val li = plan.globalLeaves(0)
-                val pm = footer.columns(li).pages(p)
-                val bytes = input.readFully(footer.columns(li).pageOffsets(p), pm.compLen.toInt)
-                graft.format.PageDecoder.decode(plan.leafDts(0),
-                  graft.format.ByteIO.reader(bytes))
-              } else {
-                val decoded = new Array[(Array[graft.format.LevelHeader],
-                  graft.format.DecodedPage)](plan.globalLeaves.length)
-                var l = 0
-                while (l < plan.globalLeaves.length) {
-                  val li = plan.globalLeaves(l)
-                  val pm = footer.columns(li).pages(p)
-                  val bytes = input.readFully(footer.columns(li).pageOffsets(p), pm.compLen.toInt)
-                  decoded(l) = graft.format.LeafDecoder.decode(
-                    plan.levelKinds(l), plan.leafDts(l), graft.format.ByteIO.reader(bytes))
-                  l += 1
-                }
-                graft.format.LeafDecoder.assemble(plan.readDt, decoded)
-              }
-            }
-            val (subPlans, subConvs) = resolveCols(subSchema)
-            // full-schema plans resolve lazily — only UPDATE pages with
-            // matches pay for them
-            lazy val fullPlanned = resolveCols(tableSchema)
+            val subRead = new ResolvedFileRead(input, footer, subSchema)
+            // full-schema projection resolves lazily — only UPDATE pages
+            // with matches pay for it
+            lazy val fullRead = new ResolvedFileRead(input, footer, tableSchema)
             val keep = ZoneMapFilter.keptPages(footer, flt)
             val pageRows: Array[Int] =
               if (footer.columns.isEmpty) Array.empty
@@ -356,17 +378,12 @@ private[spark] object MaintenanceOps {
               val n = pageRows(p)
               if (!keep(p)) ord += n
               else {
-                val subPages = subPlans.map(pl => if (pl == null) null else decodePage(pl, p))
+                val subPages = subRead.decodePages(p)
                 pageMatches.clear()
                 var i = 0
                 while (i < n) {
                   if (existing == null || !existing.contains(ord.toInt)) {
-                    var c = 0
-                    while (c < subPages.length) {
-                      val v = if (subPages(c) == null) null else subPages(c).valueOrNull(i)
-                      subRow.update(c, if (v == null) null else subConvs(c)(v))
-                      c += 1
-                    }
+                    subRead.fill(subPages, i, subRow)
                     if (pred(subRow)) { matched.add(ord.toInt); pageMatches += i }
                   }
                   i += 1
@@ -381,17 +398,11 @@ private[spark] object MaintenanceOps {
                       tableSchema, partitionId = 0, taskId = 0,
                       opts.copy(bloomColumns = opts.bloomColumns ++ bloomLeaves), jobId)
                   }
-                  val (fullPlans, fullConvs) = fullPlanned
-                  val fullPages = fullPlans.map(pl => if (pl == null) null else decodePage(pl, p))
+                  val fullPages = fullRead.decodePages(p)
                   pageMatches.foreach { i =>
                     val r = new org.apache.spark.sql.catalyst.expressions
                       .GenericInternalRow(tableSchema.length)
-                    var c = 0
-                    while (c < fullPages.length) {
-                      val v = if (fullPages(c) == null) null else fullPages(c).valueOrNull(i)
-                      r.update(c, if (v == null) null else fullConvs(c)(v))
-                      c += 1
-                    }
+                    fullRead.fill(fullPages, i, r)
                     // expression right-hand sides see the PRE-update row
                     applyAssigns(assign, r)
                     writer.write(r)

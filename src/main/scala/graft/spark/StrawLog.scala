@@ -415,19 +415,38 @@ object StrawLog {
     sb.toString
   }
 
-  /** Claim `dst` with create-if-absent semantics.
-    * @param headerLine the body's first line (carries this writer's UUID)
-    *   — used to VERIFY the claim on stores whose rename can overwrite: two
-    *   same-version racers can each observe exists=false and "win" the
-    *   rename, and without verification the true loser (whose content was
-    *   overwritten) would return true and silently lose its commit. After
-    *   a non-atomic claim the destination is re-read and the UUID compared;
-    *   a mismatch (or unreadable dst) reports false, sending this writer
-    *   back through the retry loop.
-    * @return true when THIS writer's content is at `dst`. */
-  private[spark] def claim(f: FileSystem, tmp: Path, dst: Path,
-      headerLine: String): Boolean = {
-    val won =
+  /** The version-claim primitive, PLUGGABLE for stores with a true
+    * conditional put. `claim(f, tmp, dst, headerLine)` must place `tmp`'s
+    * content at `dst` iff no `dst` exists, returning true only when THIS
+    * writer's content is live there — the create-if-absent contract every
+    * commit races on. An object-store deployment (S3 `If-None-Match`, GCS
+    * generation-0 preconditions, ABFS lease) plugs its conditional PUT in
+    * via the `graft.strawboat.claimStore` system property (class name, no-
+    * arg constructor); without one, same-version races on such stores
+    * degrade to rename-then-verify. May throw
+    * [[StrawLog.AmbiguousCommitException]] when the outcome cannot be
+    * determined — callers then must NOT roll back the commit's files. */
+  trait ClaimStore {
+    def claim(f: FileSystem, tmp: Path, dst: Path, headerLine: String): Boolean
+  }
+
+  /** Default claim: atomic hard link on `file:`; non-overwriting rename
+    * plus read-back verification elsewhere.
+    *
+    * Verification rationale: HDFS rename does not overwrite, but the
+    * exists+rename pair is check-then-act — on stores whose rename CAN
+    * overwrite, two same-version racers may each observe exists=false and
+    * "win", and without verification the true loser (whose content was
+    * overwritten) would silently lose its commit. The destination is
+    * re-read and the body's UUID header compared; a mismatch reports
+    * false (retry at the next version). A rename that succeeded but
+    * cannot be VERIFIED is ambiguous — this writer's commit may well be
+    * live at `dst`, so reporting "lost" would send the caller into a
+    * retry that sees its own effects as a conflict and rolls back files
+    * the committed version references; it throws instead. */
+  final class DefaultClaimStore extends ClaimStore {
+    override def claim(f: FileSystem, tmp: Path, dst: Path,
+        headerLine: String): Boolean =
       if (f.getUri.getScheme == "file") {
         // hard link: atomic create-if-absent — no verification needed
         try {
@@ -440,18 +459,10 @@ object StrawLog {
           case scala.util.control.NonFatal(_) => false
         }
       } else {
-        // HDFS rename does not overwrite an existing destination, but the
-        // exists+rename pair is check-then-act — verify the winner
         val renamed =
           try !f.exists(dst) && f.rename(tmp, dst)
           catch { case scala.util.control.NonFatal(_) => false }
         renamed && {
-          // a rename that succeeded but cannot be VERIFIED is ambiguous:
-          // this writer's commit may well be live at dst, so reporting
-          // "lost" would send the caller into a retry that sees its own
-          // effects as a conflict and rolls back files the committed
-          // version references. Retry the read; if it stays unreadable,
-          // abort LOUDLY without claiming either outcome.
           var read: Option[String] = None
           var attempt = 0
           while (read.isEmpty && attempt < 3) {
@@ -467,6 +478,26 @@ object StrawLog {
           }
         }
       }
+  }
+
+  @volatile private var claimStoreOverride: ClaimStore = _
+  private lazy val configuredClaimStore: ClaimStore =
+    sys.props.get("graft.strawboat.claimStore") match {
+      case Some(cn) => Class.forName(cn).getDeclaredConstructor()
+        .newInstance().asInstanceOf[ClaimStore]
+      case None => new DefaultClaimStore
+    }
+  private def claimStore: ClaimStore = {
+    val o = claimStoreOverride
+    if (o != null) o else configuredClaimStore
+  }
+  /** Test/embedding hook: install a claim store programmatically
+    * (null restores the configured one). */
+  def setClaimStore(cs: ClaimStore): Unit = claimStoreOverride = cs
+
+  private[spark] def claim(f: FileSystem, tmp: Path, dst: Path,
+      headerLine: String): Boolean = {
+    val won = claimStore.claim(f, tmp, dst, headerLine)
     try f.delete(tmp, false) catch { case scala.util.control.NonFatal(_) => }
     won
   }

@@ -66,6 +66,34 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getString(0) == "png" && row.getInt(1) == 7 && row.getInt(2) == 5)
   }
 
+  test("straw_history answers as a table-valued function in plain SQL") {
+    val sp = spark; import sp.implicits._
+    val out = java.nio.file.Files.createTempDirectory("extshistory").toString
+    (0L until 50L).map(i => (i, s"r$i")).toDF("id", "s")
+      .coalesce(1).write.format("strawboat").mode("overwrite").save(out)
+    (50L until 80L).map(i => (i, s"r$i")).toDF("id", "s")
+      .coalesce(1).write.format("strawboat").mode("append").save(out)
+    import org.apache.spark.sql.sources.{Filter, LessThan}
+    StrawDelete.delete(spark, out, Seq(LessThan("id", 5L): Filter)): Unit
+    val rows = spark.sql(
+      s"""SELECT version, operation, added_files, dv_files
+         |FROM straw_history('$out') ORDER BY version""".stripMargin).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.map(_.getString(1)).toSeq ==
+      Seq("truncate (bootstrap)", "append", "delete"))
+    assert(rows(2).getInt(3) == 1, "the delete's DV action must surface")
+    // the relation re-resolves per query: a new commit is visible at once
+    (80L until 90L).map(i => (i, s"r$i")).toDF("id", "s")
+      .coalesce(1).write.format("strawboat").mode("append").save(out)
+    assert(spark.sql(s"SELECT count(*) AS c FROM straw_history('$out')")
+      .collect()(0).getLong(0) == 4L)
+    // time travel from SQL via a temporary view with reader options
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW tt_v1
+         |USING strawboat OPTIONS (path '$out', versionAsOf '1')""".stripMargin)
+    assert(spark.sql("SELECT count(*) AS c FROM tt_v1").collect()(0).getLong(0) == 50L)
+  }
+
   test("hyperplane buckets reject non-integer config args with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT hyperplane_buckets(array(1.0D), 'abc', 4, 2, 42L)")

@@ -89,7 +89,23 @@ class LogModelPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
         case 5 => // compact
           val res = StrawCompaction.compact(spark, out, targetFileBytes = 64L << 20)
           expectNewVersion = res.outputFiles > 0
-        case 6 | 7 => // delete an id range (3VL irrelevant: no nulls here)
+        case 6 => // merge: replace an id range with source versions + inserts
+          val lo = rnd.nextLong(math.max(1L, nextId))
+          val hi = lo + 30
+          val updates = model.collect { case (id, _) if id >= lo && id < hi => id }
+            .distinct.map(id => (id, s"m$step"))
+          val inserts = freshRows(10)
+          val src = (updates ++ inserts).toDF("id", "tag")
+          val res = StrawMerge.merge(spark, out, src, keys = Seq("id"))
+          val matched = model.count(r => r._1 >= lo && r._1 < hi)
+          assert(res.matchedRows == matched, s"step $step merge: $res vs $matched")
+          // source-wins: every matched row replaced by its source version
+          // (duplicate target ids collapse to one source row each), plus
+          // the inserts
+          model = model.filterNot(r => r._1 >= lo && r._1 < hi) ++
+            updates ++ inserts
+          expectNewVersion = true // inserts always land
+        case 7 => // delete an id range (3VL irrelevant: no nulls here)
           val lo = rnd.nextLong(math.max(1L, nextId))
           val hi = lo + 40
           val cond: Seq[Filter] =
