@@ -56,10 +56,15 @@ import graft.format.WriteOptions
   * saw less than that ago WILL re-deliver the rewritten rows under their
   * new paths. Compact stream SOURCES only when the feeding stream is
   * stopped/drained and the inputs are older than the lag, or when
-  * downstream re-delivery is acceptable. (Stream SINKS are always safe to
-  * compact: the writing query's exactly-once bookkeeping is the epoch
-  * markers + engine checkpoint, which compaction never touches.) This is
-  * the same limitation Spark's own FileStreamSource has for files
+  * downstream re-delivery is acceptable. Under a LOG-mode stream the
+  * failure shape flips but the contract is the same: the stream skips
+  * maintenance commits (no re-delivery, ever), yet the input vacuum
+  * destroys any not-yet-delivered backlog the stream's offset still
+  * points at — compact a streamed table only after the stream's offset
+  * has passed the inputs' commit versions. (Stream SINKS are always safe
+  * to compact: the writing query's exactly-once bookkeeping is the log's
+  * txn actions + engine checkpoint, which compaction never touches.) This
+  * is the same limitation Spark's own FileStreamSource has for files
   * rewritten in place.
   */
 /** Mechanics shared by the table-maintenance rewriters ([[StrawCompaction]],

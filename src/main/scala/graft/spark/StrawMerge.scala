@@ -18,10 +18,13 @@ import graft.format.WriteOptions
   * }}}
   * expressed as [[merge]](whenMatched = Replace|Delete|Keep,
   * insertNotMatched). A matched TARGET row's replacement is its source
-  * row (SET *); with duplicate keys in the target, every matched row is
-  * replaced by the same source row (SQL MERGE's own behavior). Duplicate
-  * keys in the SOURCE are rejected up front — SQL MERGE declares multiple
-  * source matches per target row nondeterministic and errors; so do we.
+  * row (SET *). With duplicate keys in the TARGET, all duplicates die and
+  * ONE source row replaces them — the merge deduplicates the key, which
+  * is STRICTER than SQL MERGE (it would update each duplicate in place);
+  * key-unique tables are unaffected. Duplicate non-null keys in the
+  * SOURCE are rejected up front — SQL MERGE declares multiple source
+  * matches per target row nondeterministic and errors; so do we. Null
+  * source keys never match anything (SQL equality) and simply insert.
   *
   * Execution is MERGE-ON-READ over the deletion-vector machinery: the
   * source's keys broadcast to one task per candidate target file (pruned
@@ -113,6 +116,23 @@ object StrawMerge {
       sel
     }
 
+    // MATERIALIZE the source before anything reads it: the key collect and
+    // the insert write are two separate Spark jobs over the same frame — a
+    // non-deterministic or concurrently-changing source evaluated twice
+    // could insert rows whose keys were never probed (duplicate keys /
+    // lost updates). One evaluation, both consumers.
+    val srcMat = srcAligned.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try mergeMaterialized(spark, dir, srcMat, keys, keyIdx, whenMatched,
+      insertNotMatched, opts, listed, schema)
+    finally { srcMat.unpersist(): Unit }
+  }
+
+  private def mergeMaterialized(spark: SparkSession, dir: String,
+      srcAligned: DataFrame, keys: Seq[String], keyIdx: Seq[Int],
+      whenMatched: MatchedAction, insertNotMatched: Boolean,
+      opts: WriteOptions, listed: Seq[StrawIO.Listed],
+      schema: StructType): MergeResult = {
     // the source KEY SET comes to the driver: dedup check + pruning bounds
     // + broadcast probe set (catalyst-valued tuples; the types above are
     // all value-hashable)
@@ -122,17 +142,20 @@ object StrawMerge {
     val toCatalyst = keySchema.fields.map(f =>
       org.apache.spark.sql.catalyst.CatalystTypeConverters
         .createToCatalystConverter(f.dataType))
-    val srcKeys: Set[Vector[Any]] = keyRows.iterator.map { r =>
+    val keyTuples: Seq[Vector[Any]] = keyRows.toSeq.map { r =>
       Vector.tabulate(keys.size)(c =>
         if (r.isNullAt(c)) null else toCatalyst(c)(r.get(c)))
-    }.toSet
-    require(srcKeys.size == keyRows.length,
-      s"strawboat: merge source carries duplicate keys (${keyRows.length} rows, " +
-        s"${srcKeys.size} distinct ${keys.mkString("(", ",", ")")}) — SQL MERGE " +
-        "declares multiple source matches per target row nondeterministic")
+    }
     // a null key never equals anything (SQL equality) — it can match no
-    // target row; it still inserts when insertNotMatched
-    val probeKeys = srcKeys.filterNot(_.contains(null))
+    // target row, so several null-keyed rows are NOT ambiguous matches;
+    // they simply insert when insertNotMatched
+    val probeList = keyTuples.filterNot(_.contains(null))
+    val probeKeys: Set[Vector[Any]] = probeList.toSet
+    require(probeKeys.size == probeList.length,
+      s"strawboat: merge source carries duplicate keys (${probeList.length} " +
+        s"non-null-keyed rows, ${probeKeys.size} distinct " +
+        s"${keys.mkString("(", ",", ")")}) — SQL MERGE declares multiple " +
+        "source matches per target row nondeterministic")
 
     // candidate pruning: per-key-column In filters (external-form values)
     // ride the ordinary stats ladder; row matching below uses the hash set
@@ -241,17 +264,20 @@ object StrawMerge {
     // only unmatched rows insert.
     val keepMatchedSrc = whenMatched == Replace
     val toWrite: DataFrame = {
-      // broadcast the matched-key set (bounded by the source itself) and
-      // filter each source row on whether its key matched a target row
-      val matchedB = spark.sparkContext.broadcast(allMatchedKeys)
-      val keyDts = keySchema.fields.map(_.dataType)
+      // broadcast the matched-key set in EXTERNAL form (converted once on
+      // the driver), so the per-row filter compares Row values directly —
+      // no converter allocation inside the hot lambda
+      val toScala = keySchema.fields.map(f =>
+        org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToScalaConverter(f.dataType))
+      val matchedExternal: Set[Vector[Any]] =
+        allMatchedKeys.map(k => Vector.tabulate(k.size)(c =>
+          if (k(c) == null) null else toScala(c)(k(c))))
+      val matchedB = spark.sparkContext.broadcast(matchedExternal)
       val kIdx = keyIdx.toArray
       val filterFn: org.apache.spark.sql.Row => Boolean = { r =>
-        val conv = keyDts.map(dt =>
-          org.apache.spark.sql.catalyst.CatalystTypeConverters
-            .createToCatalystConverter(dt))
         val key = Vector.tabulate(kIdx.length)(c =>
-          if (r.isNullAt(kIdx(c))) null else conv(c)(r.get(kIdx(c))))
+          if (r.isNullAt(kIdx(c))) null else r.get(kIdx(c)))
         val isMatched = matchedB.value(key)
         (isMatched && keepMatchedSrc) || (!isMatched && insertNotMatched)
       }
@@ -284,17 +310,19 @@ object StrawMerge {
       }.collect().flatten.toSeq
     }
 
-    if (changed.isEmpty && staged.isEmpty) {
+    // Keep produced no sidecars — nothing to switch on the target side;
+    // with nothing staged either, commit NO version (an all-matched
+    // insert-only merge must not append a blank history entry)
+    val mutated = if (mutate) changed else Array.empty[MatchOut]
+    if (mutated.isEmpty && staged.isEmpty) {
       StrawCommitProtocol.sweepStaged(dir, jobId)
-      return MergeResult(0L, 0L, 0, 0, 0, pruned)
+      return MergeResult(changed.map(_.matched).sum, 0L, 0, 0, 0, pruned)
     }
 
     val fresh = MaintenanceOps.renameVisibleStamped(dir, jobId,
       Seq((System.currentTimeMillis(), staged)))
     val insertedRows = fresh.map(fm =>
       FooterCache.get(fm.path, fm.mtime, fm.len).numRows).sum
-    // Keep produced no sidecars — nothing to switch on the target side
-    val mutated = if (mutate) changed else Array.empty[MatchOut]
     val (full, partial) = mutated.partition(_.fullDead)
     val removes = full.map(c => q(c.input)).toSet
     val dvUpdates = partial.map(c => StrawLog.DvUpdate(q(c.input), c.newDv,

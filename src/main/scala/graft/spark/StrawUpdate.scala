@@ -109,7 +109,9 @@ object StrawUpdate {
     * sides see the PRE-update row. Deterministic scalar expressions only
     * (no aggregates, no subqueries); the result type must equal the
     * column's type exactly — add an explicit CAST in the expression to
-    * convert. */
+    * convert. Foldable subtrees (including `current_timestamp()` /
+    * `current_date()`) are evaluated once on the driver, so time-dependent
+    * functions are statement-scoped as SQL requires. */
   def updateExpressions(spark: SparkSession, dir: String, condition: Seq[Filter],
       set: Map[String, String], opts: WriteOptions = WriteOptions(),
       useDeletionVectors: Boolean = true): UpdateResult =
@@ -150,9 +152,37 @@ object StrawUpdate {
               s"column is ${fld.dataType} — add an explicit CAST: $exprStr")
           require(fld.nullable || !resolved.nullable,
             s"strawboat: possibly-null assignment into non-nullable '$name': $exprStr")
-          (i, Right(BindReferences.bindReference(resolved, childOutput)))
+          // Fold every foldable subtree ONCE on the driver, exactly as the
+          // optimizer's ConstantFolding would for a real query. Our rewrite
+          // evals the ANALYZED tree per row, so without this a time-dependent
+          // foldable like current_timestamp() would drift across rows and
+          // task retries; folding here pins it to one statement-scoped value
+          // (SQL's own semantics), and data-independent errors (ANSI 1/0)
+          // surface on the driver before any file is touched.
+          val folded = foldOnce(resolved)
+          val bound = BindReferences.bindReference(folded, childOutput)
+          // Safety net: anything STILL unevaluable after folding + binding
+          // (attributes became BoundReferences; foldables became Literals)
+          // would crash mid-job on executors — reject up front instead.
+          require(!bound.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Unevaluable]),
+            s"strawboat: assignment for '$name' contains an expression only the " +
+              s"optimizer can evaluate — compute it in the caller and pass a " +
+              s"literal: $exprStr")
+          (i, Right(bound))
         }
     }
+
+  /** Driver-side ConstantFolding: replace each maximal foldable subtree
+    * with the Literal it evaluates to. Mirrors what the optimizer does for
+    * a real query plan; see the call site for why per-row eval of foldables
+    * is wrong. Runs pre-binding — a foldable subtree holds no attributes. */
+  private def foldOnce(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    if (e.foldable)
+      org.apache.spark.sql.catalyst.expressions.Literal
+        .create(e.eval(org.apache.spark.sql.catalyst.expressions.EmptyRow), e.dataType)
+    else e.mapChildren(foldOnce)
 
   /** (ordinal, field) of an assignable target column. */
   private def targetField(schema: StructType, name: String)

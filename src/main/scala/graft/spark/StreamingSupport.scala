@@ -161,9 +161,14 @@ class StrawMicroBatchStream(path: String, fullSchema: StructType,
   // capped micro-batches drain exactly this backlog, then the query stops.
   @volatile private var availableNowSnapshot: Option[Seq[StrawIO.FileMeta]] = None
   @volatile private var availableNowVersion: Option[Long] = None
-  override def prepareForTriggerAvailableNow(): Unit =
+  override def prepareForTriggerAvailableNow(): Unit = {
+    // pin BOTH drain targets: the offset SHAPE follows the checkpoint,
+    // not this stream's logMode flag — a listing-mode checkpoint restarted
+    // after the table gained a log must still drain against a pinned file
+    // snapshot, and vice versa
     if (logMode) availableNowVersion = Some(latestVersionNow())
-    else availableNowSnapshot = Some(currentFiles())
+    availableNowSnapshot = Some(currentFiles())
+  }
   override def reportLatestOffset(): Offset =
     if (logMode) StrawLogStreamOffset(latestVersionNow() + 1, 0)
     else
@@ -180,10 +185,22 @@ class StrawMicroBatchStream(path: String, fullSchema: StructType,
     availableNowVersion.getOrElse(StrawLog.latestVersion(path).getOrElse(0L))
 
   /** Data-bearing ops deliver; compaction moves bytes (not data), and
-    * row-level delete/update cannot be expressed in an append-only
-    * stream — their commits deliver nothing. */
+    * row mutations (delete/update/merge) cannot be expressed in an
+    * append-only stream — their commits deliver nothing (a merge's adds
+    * are mostly REPLACEMENT versions of rows already shipped; skipping
+    * the whole commit trades its genuine inserts for never
+    * double-delivering, the same no-retraction bias as delete/update).
+    *
+    * NOTE the standing backlog contract (unchanged from the listing-mode
+    * source): maintenance that VACUUMS files the stream has not yet
+    * delivered destroys that backlog — compact/delete/update/merge a
+    * streamed table only after the stream's offset passed the inputs. A
+    * commit the stream already consumed re-delivers nothing under any
+    * later maintenance, which is the guarantee the mtime path could not
+    * give. */
   private def deliverableOp(op: String): Boolean =
-    !(op.startsWith("compact") || op.startsWith("delete") || op.startsWith("update"))
+    !(op.startsWith("compact") || op.startsWith("delete") ||
+      op.startsWith("update") || op.startsWith("merge"))
 
   private def addsOf(v: Long): Seq[StrawIO.FileMeta] =
     StrawLog.commitAdds(path, v) match {

@@ -119,6 +119,15 @@ class StrawUpdateSpec extends AnyFunSuite with BeforeAndAfterAll {
       StrawUpdate.updateExpressions(spark, out,
         Seq(LessThan("id", 5L): Filter), Map("v" -> "cast(rand() * 10 as long)"))
     }
+    // time-dependent foldables are folded ONCE on the driver: every updated
+    // row gets the SAME statement-scoped value (no per-row/per-retry drift)
+    val res2 = StrawUpdate.updateExpressions(spark, out,
+      Seq(LessThan("id", 5L): Filter),
+      Map("v" -> "cast(unix_micros(current_timestamp()) as long)"))
+    assert(res2.updatedRows == 5, res2.toString)
+    val stamped = read(out).filter("id < 5").select("v").collect().map(_.getLong(0))
+    assert(stamped.length == 5 && stamped.distinct.length == 1,
+      s"current_timestamp must be statement-scoped, got ${stamped.toSeq}")
   }
 
   test("updating the hive partition column is rejected; other columns work") {
