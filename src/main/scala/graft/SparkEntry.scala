@@ -862,6 +862,38 @@ object SparkEntry {
       s.sql(s"""SELECT version, operation FROM straw_history('${ttTable(s, d)}')
                |ORDER BY version""".stripMargin)
     }),
+    "q_restore" -> ((s, d) => {
+      // RESTORE to an earlier version (StrawRestore, via the straw_restore
+      // SQL surface): copy documents (v1), DV-delete the short docs (v2),
+      // then restore to v1 — a metadata-only commit that clears the
+      // vectors, so the deleted rows come back without moving a byte.
+      // Oracle = the ORIGINAL parquet: a green row proves the undo is
+      // exact, and that the restore survives as its own auditable version
+      // (history gains 'restore to v1' on top, never rewinds).
+      val rDir = Tables.strawDir(s, d, "documents") + "_restore"
+      val marker = new java.io.File(rDir, "_OK")
+      if (!marker.exists()) {
+        t(s, d, "documents").write.format("strawboat").mode("overwrite").save(rDir)
+        val nCharsLit: Any = t(s, d, "documents").schema("n_chars").dataType match {
+          case org.apache.spark.sql.types.LongType => 200L
+          case _ => 200
+        }
+        val del = graft.spark.StrawDelete.delete(s, rDir,
+          Seq(org.apache.spark.sql.sources.LessThan("n_chars", nCharsLit)))
+        require(del.deletedRows > 0 && del.rewrittenFiles == 0,
+          s"q_restore: expected a pure-DV delete ($del)")
+        graft.spark.StrawSqlSurface.register(s)
+        val m = s.sql(s"SELECT * FROM straw_restore('$rDir', 1)").collect().head
+        require(m.getLong(1) == 1L,
+          s"q_restore: restore reported $m")
+        require(graft.spark.StrawLog.history(rDir).head.operation == "restore to v1",
+          "q_restore: restore must be the newest audited version")
+        marker.createNewFile()
+      }
+      s.read.format("strawboat").load(rDir)
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("int").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     // --- nested leaf layout (format v2): pruning + struct-path filters ----
     "q_struct_prune" -> ((s, d) => {
       // projects TWO of the meta struct's four leaves: the v2 per-leaf
@@ -1356,6 +1388,9 @@ object SparkEntry {
       """SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'truncate (bootstrap)'),
         |  (CAST(2 AS BIGINT), 'append')) AS t(version, operation)
         |ORDER BY version""".stripMargin,
+    "q_restore" -> // delete then RESTORE to v1: the original table, exactly
+      """SELECT doc_id, lang, CAST(n_chars AS INTEGER) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_struct_prune" ->
       """SELECT doc_id, lang, CAST(n_chars AS INTEGER) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,

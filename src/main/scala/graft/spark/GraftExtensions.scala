@@ -62,13 +62,48 @@ object StrawSqlSurface {
     LocalRelation(historySchema, rows)
   }
 
+  val RestoreName = "straw_restore"
+
+  private def restoreSchema: Seq[AttributeReference] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("restored_to", LongType, nullable = false)(),
+    AttributeReference("added_files", IntegerType, nullable = false)(),
+    AttributeReference("removed_files", IntegerType, nullable = false)(),
+    AttributeReference("dv_changes", IntegerType, nullable = false)())
+
+  /** `straw_restore('<path>', <version>)`: performs the restore and returns
+    * its metrics as one row (Delta's RESTORE TABLE shape). NOTE the restore
+    * executes when the call RESOLVES — once per analyzed query, including
+    * under EXPLAIN; re-running the restore is the no-op second row
+    * (`version = -1`), so resolution-time execution cannot compound. */
+  def restoreBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 2 && args.forall(_.foldable) &&
+      args.head.dataType == StringType &&
+      Seq[org.apache.spark.sql.types.DataType](ByteType, ShortType,
+        IntegerType, LongType).contains(args(1).dataType),
+      s"$RestoreName expects (table path string, version integer) literals")
+    val empty = org.apache.spark.sql.catalyst.InternalRow.empty
+    val path = args.head.eval(empty)
+    val v = args(1).eval(empty)
+    require(path != null && v != null, s"$RestoreName: arguments must not be null")
+    val r = StrawRestore.restore(path.toString,
+      v.asInstanceOf[Number].longValue())
+    LocalRelation(restoreSchema, Seq(org.apache.spark.sql.catalyst.InternalRow(
+      r.version, r.restoredTo, r.addedFiles, r.removedFiles, r.dvChanges)))
+  }
+
   /** Session-scoped registration (code-driven use; [[GraftExtensions]]
-    * injects the same builder config-only). Idempotent. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    * injects the same builders config-only). Idempotent. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier(HistoryName),
       new ExpressionInfo(classOf[StrawLog.HistoryRow].getName, HistoryName),
       historyBuilder _)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier(RestoreName),
+      new ExpressionInfo(classOf[StrawRestore.RestoreResult].getName, RestoreName),
+      restoreBuilder _)
+  }
 }
 
 /** Session-extensions entry point: injects every graft codegen'd function
@@ -101,11 +136,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       extensions.injectFunction(
         (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder))
     }
-    // table-valued metadata access (straw_history) rides the same config
+    // table-valued metadata access (straw_history, straw_restore) rides
+    // the same config
     extensions.injectTableFunction((
       FunctionIdentifier(StrawSqlSurface.HistoryName),
       new ExpressionInfo(classOf[StrawLog.HistoryRow].getName,
         StrawSqlSurface.HistoryName),
       StrawSqlSurface.historyBuilder _))
+    extensions.injectTableFunction((
+      FunctionIdentifier(StrawSqlSurface.RestoreName),
+      new ExpressionInfo(classOf[StrawRestore.RestoreResult].getName,
+        StrawSqlSurface.RestoreName),
+      StrawSqlSurface.restoreBuilder _))
   }
 }

@@ -561,10 +561,18 @@ object StrawLog {
         "path replacement would net to REMOVED on replay)")
     require(dvs.map(_.dataPath).distinct.length == dvs.length,
       "strawboat: log commit carries two DV updates for one file")
-    require(dvs.forall(d => !removes(d.dataPath) &&
-      !adds.exists(_.meta.path == d.dataPath)),
-      "strawboat: DV updates must target files the commit neither adds nor " +
-        "removes (a rewrite clears the DV, a remove takes it along)")
+    require(dvs.forall(d => !removes(d.dataPath)),
+      "strawboat: DV updates must not target files the commit removes " +
+        "(a remove takes the sidecar along)")
+    // a DV may target a path this commit ADDS — the restore shape: the A
+    // line re-instates the file (clearing any sidecar, A lines carry none)
+    // and the D line re-attaches the one the restored version held; replay
+    // applies them in file order. Such a DV carries no expectation (the add
+    // is authoritative, there is no current sidecar to race against).
+    require(dvs.forall(d =>
+      !adds.exists(_.meta.path == d.dataPath) || d.expectedOld.isEmpty),
+      "strawboat: a DV update on a path this commit adds must expect no " +
+        "prior sidecar")
     val lock = writeLocks.computeIfAbsent(table, _ => new Object)
     lock.synchronized {
       val f = rawFs(table)
@@ -626,17 +634,20 @@ object StrawLog {
             }
           }
           dvs.foreach { d =>
-            byPath.get(d.dataPath) match {
-              case None => throw new ConflictException(
-                s"strawboat: DV commit targets ${d.dataPath}, no longer in " +
-                  s"version ${s.version} of $table (concurrent rewrite?)")
-              case Some(e) =>
-                val curDv = Option(e.dv).map(_.path)
-                if (curDv != d.expectedOld) throw new ConflictException(
-                  s"strawboat: DV commit on ${d.dataPath} expected sidecar " +
-                    s"${d.expectedOld.getOrElse("none")} but version ${s.version} " +
-                    s"holds ${curDv.getOrElse("none")} (concurrent delete?)")
-            }
+            // a DV riding an ADD (restore re-attachment) answers to the add,
+            // not to the current snapshot — the path may well be absent
+            if (!adds.exists(_.meta.path == d.dataPath))
+              byPath.get(d.dataPath) match {
+                case None => throw new ConflictException(
+                  s"strawboat: DV commit targets ${d.dataPath}, no longer in " +
+                    s"version ${s.version} of $table (concurrent rewrite?)")
+                case Some(e) =>
+                  val curDv = Option(e.dv).map(_.path)
+                  if (curDv != d.expectedOld) throw new ConflictException(
+                    s"strawboat: DV commit on ${d.dataPath} expected sidecar " +
+                      s"${d.expectedOld.getOrElse("none")} but version ${s.version} " +
+                      s"holds ${curDv.getOrElse("none")} (concurrent delete?)")
+              }
           }
         }
         val next = cur.map(_.version + 1).getOrElse(1L)

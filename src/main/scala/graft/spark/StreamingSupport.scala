@@ -83,9 +83,10 @@ case class StrawStreamOffset(highWater: Long, files: Seq[(Long, String)]) extend
   *  - `version > 0`: every deliverable add of versions `< version` is
   *    consumed, plus the first `idx` adds (path-sorted) of `version`.
   *  - `version < 0` (initial-snapshot phase): the stream started from the
-  *    full snapshot AT `-version`; the first `idx` of its files
-  *    (path-sorted) are consumed. Once the snapshot drains, the position
-  *    advances into the tail at `-version + 1`.
+  *    full snapshot AT `-version`; the first `idx` of its files (sorted by
+  *    the log-recorded (mtime, path) — delivery order) are consumed. Once
+  *    the snapshot drains, the position advances into the tail at
+  *    `-version + 1`.
   *
   * Replay is exact: commit files are write-once, so `(start, end]` always
   * re-derives the same file list (a vacuumed-away commit file fails the
@@ -212,11 +213,17 @@ class StrawMicroBatchStream(path: String, fullSchema: StructType,
           "position) — restart the stream from a fresh checkpoint")
     }
 
+  /** The full file set at version `v` in DELIVERY order: (mtime, path),
+    * the listing-mode admission order — a consumer that relies on rough
+    * arrival ordering (e.g. event-time watermarks fed by time-ranged
+    * files) sees the same sequence whichever mode the source runs in.
+    * Deterministic on replay: both keys come from the LOG's recorded
+    * entries, never a live listing. */
   private def snapshotFilesAt(v: Long): Seq[StrawIO.FileMeta] =
     StrawLog.snapshotAt(path, v).getOrElse(throw new IllegalStateException(
       s"strawboat: streaming source cannot reconstruct snapshot $v of $path " +
         "(log vacuumed past it) — restart the stream from a fresh checkpoint")
-    ).entries.map(_.meta).sortBy(_.path)
+    ).entries.map(_.meta).sortBy(m => (m.mtime, m.path))
 
   /** Every unconsumed (position-after-it, file) from `start` through the
     * tail version `bound`, in delivery order. */

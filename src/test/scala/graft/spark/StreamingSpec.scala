@@ -279,6 +279,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(s"$dir/mbptOut").count() == 60)
   }
 
+  test("log-mode initial snapshot delivers in (mtime, path) order, not path order") {
+    val sp = spark; import sp.implicits._
+    val data = s"$dir/snaporder"
+    // hive layout makes path order provably DISAGREE with commit order:
+    // g=z commits first but path-sorts last. A watermark-style consumer
+    // depends on rough arrival ordering, so the snapshot phase must
+    // deliver the older file first (the listing-mode admission order).
+    Seq((1L, "z")).toDF("id", "g").coalesce(1)
+      .write.format("strawboat").option("partitionBy", "g")
+      .mode("overwrite").save(data)
+    Thread.sleep(1100) // distinct mtimes at 1s filesystem granularity
+    Seq((2L, "a")).toDF("id", "g").coalesce(1)
+      .write.format("strawboat").option("partitionBy", "g")
+      .mode("append").save(data)
+    assert(StrawLog.latestVersion(data).exists(_ >= 2L))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    val q = spark.readStream.format("strawboat")
+      .option("maxFilesPerTrigger", "1").load(data)
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        seen.synchronized { seen += ((id, df.select("id").collect().map(_.getLong(0)).toSeq)) }
+        (): Unit
+      }
+      .option("checkpointLocation", s"$dir/snaporderCkpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val order = seen.sortBy(_._1).flatMap(_._2).toSeq
+    assert(order == Seq(1L, 2L),
+      s"snapshot must drain in commit (mtime) order, got $order")
+  }
+
   test("partitioned streaming sink: epochs land in hive subdirectories") {
     val outDir = s"$dir/streampart"
     val src = spark.readStream.format("rate")
