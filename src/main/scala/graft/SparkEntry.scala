@@ -862,6 +862,34 @@ object SparkEntry {
       s.sql(s"""SELECT version, operation FROM straw_history('${ttTable(s, d)}')
                |ORDER BY version""".stripMargin)
     }),
+    "q_schema_evolution" -> ((s, d) => {
+      // declared schema evolution on append (mergeSchema=true): generation
+      // 1 carries (doc_id, lang) for even doc_ids, generation 2 appends
+      // (doc_id, lang, n_chars) for odd — the merged table surfaces the new
+      // column and null-fills it for generation-1 rows. An UNDECLARED
+      // evolving append is rejected at write time (the anti-typo gate),
+      // proven in the fixture before the evolved append lands.
+      val evoDir = Tables.strawDir(s, d, "documents") + "_evo"
+      val marker = new java.io.File(evoDir, "_OK")
+      if (!marker.exists()) {
+        val docs = t(s, d, "documents")
+        docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
+          .write.format("strawboat").mode("overwrite").save(evoDir)
+        val evolved = docs.filter(col("doc_id") % 2 =!= 0)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        var gated = false
+        try evolved.write.format("strawboat").mode("append").save(evoDir)
+        catch { case e: IllegalArgumentException
+          if e.getMessage.contains("mergeSchema") => gated = true }
+        require(gated, "q_schema_evolution: undeclared evolution must be rejected")
+        evolved.write.format("strawboat").option("mergeSchema", "true")
+          .mode("append").save(evoDir)
+        marker.createNewFile()
+      }
+      s.read.format("strawboat").load(evoDir)
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("int").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     "q_restore" -> ((s, d) => {
       // RESTORE to an earlier version (StrawRestore, via the straw_restore
       // SQL surface): copy documents (v1), DV-delete the short docs (v2),
@@ -1390,6 +1418,10 @@ object SparkEntry {
         |ORDER BY version""".stripMargin,
     "q_restore" -> // delete then RESTORE to v1: the original table, exactly
       """SELECT doc_id, lang, CAST(n_chars AS INTEGER) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_schema_evolution" -> // gen-1 rows null-fill the column gen-2 added
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 2 <> 0 THEN CAST(n_chars AS INTEGER) END AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_struct_prune" ->
       """SELECT doc_id, lang, CAST(n_chars AS INTEGER) AS n_chars

@@ -363,7 +363,8 @@ class StrawboatTable(path: String, val schemaArg: StructType)
           "(supported: string, int, long, short, byte, boolean)")
     }
     new StrawWriteBuilder(path, info.schema(), StrawWriteOptions.parse(info.options()),
-      partitionCol, info.queryId())
+      partitionCol, info.queryId(),
+      Option(info.options().get("mergeSchema")).exists(_.toBoolean))
   }
 }
 
@@ -1259,6 +1260,79 @@ object StrawSchemaResolver {
     case other => throw new IllegalStateException(s"not widenable: $other")
   }
 
+  /** The table's CURRENT merged schema, or None when the directory holds no
+    * data yet (first write). Same sources as `inferSchema`: log/manifest
+    * schemas when present (zero footer IO), footers otherwise. */
+  def tableSchemaOf(dir: String): Option[StructType] = {
+    val files =
+      try StrawIO.listFilesMeta(dir)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    if (files.isEmpty) return None
+    val manifestSchemas = StrawManifest.readEntries(dir)
+      .filter(es => es.nonEmpty && es.forall(_.schemaParsed != null))
+      .map(_.map(e => (e.meta.path, e.schemaParsed)))
+    Some(merge(manifestSchemas.getOrElse(
+      StrawIO.mapParallel(files)(f =>
+        (f.path, FooterCache.get(f.path, f.mtime, f.len).schema)))))
+  }
+
+  /** Names+types only: nullable flags and field metadata normalized away,
+    * recursively — the structural identity the append gate compares. */
+  private def shape(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      StructField(f.name, shape(f.dataType), nullable = true)))
+    case a: ArrayType => ArrayType(shape(a.elementType), containsNull = true)
+    case m: MapType =>
+      MapType(shape(m.keyType), shape(m.valueType), valueContainsNull = true)
+    case o => o
+  }
+
+  /** Gate an APPEND's schema against the table's current schema. An exact
+    * match passes; STRUCTURAL evolution — new columns, omitted columns,
+    * type widening — must be stated with the write option
+    * `mergeSchema=true` (the reader handles evolved tables fine, but a
+    * silent default would let a typo'd column name fork the schema).
+    * Nullability drift is NOT gated: Spark frames flip the flag constantly
+    * (lit() vs Seq-derived), and the reader unions it anyway. Two shapes
+    * are rejected even WITH the option: a non-widenable type change
+    * (`merge` throws, naming both definitions), and omitting a
+    * non-nullable column (the reader null-fills absent columns, which
+    * would break that column's contract). */
+  def validateAppend(dir: String, table: StructType, query: StructType,
+      mergeSchema: Boolean): Unit = {
+    // merge throws on a non-widenable type change, naming both definitions
+    val merged = merge(Seq((s"table $dir", table), ("this append", query)))
+    table.fields.filter(f => !query.fieldNames.contains(f.name))
+      .filterNot(_.nullable).foreach { f =>
+        throw new IllegalArgumentException(
+          s"strawboat: append to $dir omits non-nullable column '${f.name}' " +
+            "— absent columns read as null, breaking its contract")
+      }
+    // an omitted column leaves no trace in the merged SHAPE (it only forces
+    // nullability, which shape() normalizes away) — check it structurally
+    val omitsAny = table.fieldNames.exists(n => !query.fieldNames.contains(n))
+    if ((shape(merged) != shape(table) || omitsAny) && !mergeSchema) {
+      val newCols = query.fieldNames.filterNot(table.fieldNames.contains)
+      val dropped = table.fieldNames.filterNot(query.fieldNames.contains)
+      val changed = table.fields.flatMap { tf =>
+        query.fields.find(_.name == tf.name).collect {
+          case qf if qf.dataType != tf.dataType =>
+            s"${tf.name}: ${tf.dataType.simpleString}->${qf.dataType.simpleString}"
+        }
+      }
+      val diff = Seq(
+        if (newCols.nonEmpty) s"new columns ${newCols.mkString(", ")}" else "",
+        if (dropped.nonEmpty) s"omitted columns ${dropped.mkString(", ")}" else "",
+        if (changed.nonEmpty) s"type changes ${changed.mkString(", ")}" else "")
+        .filter(_.nonEmpty).mkString("; ")
+      throw new IllegalArgumentException(
+        s"strawboat: append schema does not match table $dir " +
+          s"(${if (diff.nonEmpty) diff else "nullability relaxation"}) — " +
+          "pass .option(\"mergeSchema\", \"true\") to evolve the table, " +
+          "or align the frame to the table schema")
+    }
+  }
+
   def resolve(path: String, fileSchema: StructType, required: StructType): Array[Int] =
     required.fields.map { f =>
       fileSchema.fields.indexWhere(_.name == f.name) match {
@@ -1281,12 +1355,23 @@ object StrawSchemaResolver {
 // ---------------------------------------------------------------------------
 
 class StrawWriteBuilder(path: String, schema: StructType, opts: WriteOptions,
-    partitionCol: Option[String] = None, queryId: String = "none")
+    partitionCol: Option[String] = None, queryId: String = "none",
+    mergeSchema: Boolean = false)
   extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
+  // appends answer to the table's current schema (truncate replaces it, so
+  // overwrite needs no gate): exact match, or a declared evolution via
+  // .option("mergeSchema", "true") — see StrawSchemaResolver.validateAppend.
+  // Checked at build() on the driver, before any task writes a byte.
+  private def validated(): Unit =
+    if (!doTruncate)
+      StrawSchemaResolver.tableSchemaOf(path).foreach(table =>
+        StrawSchemaResolver.validateAppend(path, table, schema, mergeSchema))
+
   override def build(): Write = new Write {
+    validated()
     override def toBatch: BatchWrite =
       new StrawBatchWrite(path, schema, doTruncate, opts, partitionCol)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =

@@ -130,7 +130,8 @@ class CompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     // generation 2: (id, a, b) — several small files
     (0 until 3).foreach { i =>
       Seq((100L + i, s"a${100 + i}", s"b$i")).toDF("id", "a", "b")
-        .coalesce(1).write.format("strawboat").mode("append").save(out)
+        .coalesce(1).write.format("strawboat").option("mergeSchema", "true")
+        .mode("append").save(out)
     }
     assert(strbFiles(out).size == 6)
     val res = StrawCompaction.compact(spark, out, targetFileBytes = 64L << 20)
@@ -261,7 +262,8 @@ class CompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     (0 until 3).foreach { i =>
       Seq((100L + i, s"a${100 + i}", (i * 37L) % 7L)).toDF("id", "a", "k")
-        .coalesce(1).write.format("strawboat").mode("append").save(out)
+        .coalesce(1).write.format("strawboat").option("mergeSchema", "true")
+        .mode("append").save(out)
     }
     val res = StrawCompaction.compact(spark, out,
       targetFileBytes = 64L << 20, clusterBy = Seq("k"))

@@ -139,7 +139,8 @@ class ExactFilterEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "s")
       .write.format("strawboat").mode("append").save(out)
     Seq((4L, "w", 10.5), (5L, "v", -3.0)).toDF("id", "s", "score")
-      .write.format("strawboat").mode("append").save(out)
+      .write.format("strawboat").option("mergeSchema", "true")
+      .mode("append").save(out)
     def t = spark.read.format("strawboat").load(out)
     assertEquivalent(t.filter(col("score") > 0.0), "range on evolved col")
     assertEquivalent(t.filter(col("score").isNull), "IS NULL on evolved col")

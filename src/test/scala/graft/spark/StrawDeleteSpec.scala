@@ -106,7 +106,8 @@ class StrawDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
       .coalesce(1).write.format("strawboat").mode("append").save(out)
     Seq((4L, "d", 9.5), (5L, "e", -1.0)).toDF("id", "s", "score")
-      .coalesce(1).write.format("strawboat").mode("append").save(out)
+      .coalesce(1).write.format("strawboat").option("mergeSchema", "true")
+      .mode("append").save(out)
     val res = StrawDelete.delete(spark, out,
       Seq(GreaterThan("score", 0.0): Filter))
     assert(res.deletedRows == 1, res.toString) // only (4, d, 9.5)

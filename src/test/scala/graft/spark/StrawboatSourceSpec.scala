@@ -565,7 +565,8 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((1, 1.5f), (2, 2.5f), (3, -3.5f)).toDF("id", "score")
         .write.format("strawboat").mode("append").save(out)
       Seq((4000000000L, 4.5), (5L, Double.NaN)).toDF("id", "score")
-        .write.format("strawboat").mode("append").save(out)
+        .write.format("strawboat").option("mergeSchema", "true")
+        .mode("append").save(out)
       val back = spark.read.format("strawboat").load(out)
       assert(back.schema("id").dataType == org.apache.spark.sql.types.LongType)
       assert(back.schema("score").dataType == org.apache.spark.sql.types.DoubleType)
@@ -584,14 +585,17 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       // aggregate pushdown across mixed stats stays exact
       val mm = back.agg(min(col("id")), max(col("id"))).collect()(0)
       assert(mm.getLong(0) == 1L && mm.getLong(1) == 4000000000L)
-      // incompatible evolution still fails loudly
+      // incompatible evolution fails loudly AT WRITE TIME (append
+      // validation), mergeSchema or not — never lands a poisoned file
       Seq(("x", 1.0)).toDF("id", "score")
         .write.format("strawboat").mode("append").save(s"$dir/widenbad")
-      Seq((1L, 1.0)).toDF("id", "score")
-        .write.format("strawboat").mode("append").save(s"$dir/widenbad")
       intercept[Exception] {
-        spark.read.format("strawboat").load(s"$dir/widenbad").collect()
+        Seq((1L, 1.0)).toDF("id", "score")
+          .write.format("strawboat").option("mergeSchema", "true")
+          .mode("append").save(s"$dir/widenbad")
       }
+      assert(spark.read.format("strawboat").load(s"$dir/widenbad")
+        .collect().length == 1, "rejected append must not land")
     } finally spark.conf.unset("spark.strawboat.exactFilterMaxPass")
   }
 
@@ -603,7 +607,8 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .write.format("strawboat").option("partitionBy", "k").mode("append").save(out)
     // evolved append: extra column, new partition value
     Seq((3L, "C", 30.5)).toDF("id", "k", "score")
-      .write.format("strawboat").option("partitionBy", "k").mode("append").save(out)
+      .write.format("strawboat").option("partitionBy", "k")
+      .option("mergeSchema", "true").mode("append").save(out)
     val back = spark.read.format("strawboat").load(out)
     assert(back.schema.fieldNames.sorted.toSeq == Seq("id", "k", "score"))
     val rows = back.orderBy("id").collect()
