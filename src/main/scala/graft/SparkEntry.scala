@@ -862,6 +862,22 @@ object SparkEntry {
       s.sql(s"""SELECT version, operation FROM straw_history('${ttTable(s, d)}')
                |ORDER BY version""".stripMargin)
     }),
+    "q_cdf" -> ((s, d) => {
+      // change data feed (StrawChanges): the row-level diff of q_delete's
+      // DV-delete commit, derived from the log's snapshot diff — no change
+      // files are ever written. Version 2 is the delete, so the feed is
+      // exactly the short docs with _change_type='delete'; the oracle is
+      // the same predicate over the original parquet. The
+      // replication/incremental-ETL surface at 100 TB: driver touches only
+      // log metadata + bitmap diffs, rows fan out one task per changed
+      // file reading only DV-diff ordinals.
+      graft.spark.StrawChanges.changes(s, delTable(s, d), 2L, 2L)
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("int").as("n_chars"),
+          col(graft.spark.StrawChanges.ChangeTypeCol),
+          col(graft.spark.StrawChanges.CommitVersionCol))
+        .orderBy(col("doc_id"))
+    }),
     "q_schema_evolution" -> ((s, d) => {
       // declared schema evolution on append (mergeSchema=true): generation
       // 1 carries (doc_id, lang) for even doc_ids, generation 2 appends
@@ -1419,6 +1435,10 @@ object SparkEntry {
     "q_restore" -> // delete then RESTORE to v1: the original table, exactly
       """SELECT doc_id, lang, CAST(n_chars AS INTEGER) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_cdf" -> // the delete commit's change feed: dead rows, labeled
+      """SELECT doc_id, lang, CAST(n_chars AS INTEGER) AS n_chars,
+        |  'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+        |FROM documents WHERE n_chars < 200 ORDER BY doc_id""".stripMargin,
     "q_schema_evolution" -> // gen-1 rows null-fill the column gen-2 added
       """SELECT doc_id, lang,
         |  CASE WHEN doc_id % 2 <> 0 THEN CAST(n_chars AS INTEGER) END AS n_chars

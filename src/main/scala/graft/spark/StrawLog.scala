@@ -752,6 +752,27 @@ object StrawLog {
     Some(res)
   }
 
+  /** Everything ONE committed version did, for consumers that must see
+    * removes and DV swaps too (the change-data-feed reader; [[commitAdds]]
+    * stays the lean streaming feed). None when the commit file is no
+    * longer retained. */
+  final case class CommitDelta(op: String, adds: Seq[Entry],
+      removes: Seq[String], dvs: Seq[(String, DeletionVector.DvInfo)])
+  def commitDelta(table: String, v: Long): Option[CommitDelta] = {
+    val f = rawFs(table)
+    val p = commitPath(logDir(table), v)
+    try f.getFileStatus(p)
+    catch { case _: java.io.FileNotFoundException => return None }
+    val qdir = StrawIO.fs(table).makeQualified(new Path(table)).toString
+    val a = parseActions(readLines(f, p), qdir).getOrElse(
+      throw new java.io.IOException(
+        s"strawboat: log of $table: commit $v does not parse"))
+    Some(CommitDelta(a.op,
+      a.actions.collect { case AddAction(e) => e },
+      a.actions.collect { case RemoveAction(p) => p },
+      a.actions.collect { case DvAction(dp, dv) => (dp, dv) }))
+  }
+
   /** One table-history row ([[history]]): the version, the commit file's
     * timestamp, the writer-recorded operation, and the commit's action
     * counts. `addedFiles` of a bootstrap commit includes the folded pre-log
