@@ -18,10 +18,11 @@ object Bench {
     // derivations land in run 1 and are absorbed by the min-of-2)
     "q_bloom_lookup", "q_compact_roundtrip",
     // the mutation surface: reads through deletion vectors (q_delete),
-    // the merged table (q_merge), and a pinned historical snapshot
-    // (q_timetravel) — regressions in the round-7/8 mutation machinery
-    // must show up in the driver bench, not only in correctness
-    "q_delete", "q_merge", "q_timetravel",
+    // the merged table (q_merge), a pinned historical snapshot
+    // (q_timetravel), and the log-derived change feed (q_cdf) —
+    // regressions in the round-7/8 mutation machinery must show up in
+    // the driver bench, not only in correctness
+    "q_delete", "q_merge", "q_timetravel", "q_cdf",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_embedding_lsh",
     "q_ann_brute", "q_ann_ivf", "q_text_stats")
 

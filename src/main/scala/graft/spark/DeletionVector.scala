@@ -18,10 +18,14 @@ import org.roaringbitmap.RoaringBitmap
   *  - A DV file is IMMUTABLE once referenced by a committed log version. A
   *    later delete on the same file writes a NEW sidecar (the union of the
   *    old bitmap and the newly-dead ordinals) and the log's `D` action
-  *    replaces the reference atomically; the superseded sidecar is physically
-  *    reclaimed after the commit (same contract as replaced data files —
-  *    time travel to versions that referenced it then fails loudly at scan
-  *    time, never mis-answers).
+  *    replaces the reference atomically; the superseded sidecar STAYS on
+  *    disk until [[StrawLog.vacuumUnreferenced]]'s age-based sweep — it is
+  *    tiny, and within that window time travel to the versions that
+  *    referenced it, RESTORE back to them, and the change feed's
+  *    before-diff all keep working. Past the sweep they fail loudly at
+  *    read time, never mis-answer. (A fully-dead file's sidecar goes
+  *    eagerly WITH its data bytes — retaining it alone would serve
+  *    nothing.)
   *  - Sidecars live next to their data file as `<dataFileName>.<uuid>.dv`.
   *    The `.dv` extension keeps them invisible to data-file listings (only
   *    `*.strb` is data), so a directory-WALKING reader (log deleted — the

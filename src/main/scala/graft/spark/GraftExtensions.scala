@@ -71,11 +71,21 @@ object StrawSqlSurface {
     AttributeReference("removed_files", IntegerType, nullable = false)(),
     AttributeReference("dv_changes", IntegerType, nullable = false)())
 
+  // (path, version) pairs this process has already restored through the
+  // SQL surface: re-RESOLVING the same call (a temp view re-analyzed, an
+  // EXPLAIN, a retried query) must not re-execute the restore — between
+  // resolutions a racing append would land in the new diff and be silently
+  // undone by what reads as a query. First execution's metrics are replayed.
+  private val restored =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), StrawRestore.RestoreResult]()
+
   /** `straw_restore('<path>', <version>)`: performs the restore and returns
-    * its metrics as one row (Delta's RESTORE TABLE shape). NOTE the restore
-    * executes when the call RESOLVES — once per analyzed query, including
-    * under EXPLAIN; re-running the restore is the no-op second row
-    * (`version = -1`), so resolution-time execution cannot compound. */
+    * its metrics as one row (Delta's RESTORE TABLE shape). The restore
+    * executes when the call first RESOLVES in this process; later
+    * resolutions of the same (path, version) — view re-analysis, EXPLAIN,
+    * retries — replay the recorded metrics without touching the table. To
+    * deliberately restore the same target again after new commits, use the
+    * programmatic [[StrawRestore.restore]]. */
   def restoreBuilder(args: Seq[Expression]): LogicalPlan = {
     require(args.length == 2 && args.forall(_.foldable) &&
       args.head.dataType == StringType &&
@@ -86,10 +96,36 @@ object StrawSqlSurface {
     val path = args.head.eval(empty)
     val v = args(1).eval(empty)
     require(path != null && v != null, s"$RestoreName: arguments must not be null")
-    val r = StrawRestore.restore(path.toString,
-      v.asInstanceOf[Number].longValue())
+    val r = restored.computeIfAbsent(
+      (path.toString, v.asInstanceOf[Number].longValue()),
+      { case (p, ver) => StrawRestore.restore(p, ver) })
     LocalRelation(restoreSchema, Seq(org.apache.spark.sql.catalyst.InternalRow(
       r.version, r.restoredTo, r.addedFiles, r.removedFiles, r.dvChanges)))
+  }
+
+  val VacuumName = "straw_vacuum"
+
+  /** `straw_vacuum('<path>'[, <older_than_hours>])`: reclaims unreferenced
+    * debris (crashed-op leftovers, aged-out superseded sidecars, files a
+    * restore retired) older than the cutoff — default 24h, the
+    * restore/change-feed retention window. Age-based and idempotent, so
+    * re-resolution (views, EXPLAIN) is harmless; returns the count. */
+  def vacuumBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.nonEmpty && args.length <= 2 && args.forall(_.foldable) &&
+      args.head.dataType == StringType,
+      s"$VacuumName expects (table path string[, older-than hours integer])")
+    val empty = org.apache.spark.sql.catalyst.InternalRow.empty
+    val path = args.head.eval(empty)
+    require(path != null, s"$VacuumName: path must not be null")
+    val hours = if (args.length < 2) 24L else {
+      val h = args(1).eval(empty)
+      require(h != null, s"$VacuumName: hours must not be null")
+      h.asInstanceOf[Number].longValue()
+    }
+    val n = StrawLog.vacuumUnreferenced(path.toString, hours * 3600 * 1000L)
+    LocalRelation(
+      Seq(AttributeReference("removed_files", IntegerType, nullable = false)()),
+      Seq(org.apache.spark.sql.catalyst.InternalRow(n)))
   }
 
   /** Session-scoped registration (code-driven use; [[GraftExtensions]]
@@ -103,6 +139,10 @@ object StrawSqlSurface {
       FunctionIdentifier(RestoreName),
       new ExpressionInfo(classOf[StrawRestore.RestoreResult].getName, RestoreName),
       restoreBuilder _)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier(VacuumName),
+      new ExpressionInfo(classOf[StrawLog.HistoryRow].getName, VacuumName),
+      vacuumBuilder _)
   }
 }
 
@@ -148,5 +188,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[StrawRestore.RestoreResult].getName,
         StrawSqlSurface.RestoreName),
       StrawSqlSurface.restoreBuilder _))
+    extensions.injectTableFunction((
+      FunctionIdentifier(StrawSqlSurface.VacuumName),
+      new ExpressionInfo(classOf[StrawLog.HistoryRow].getName,
+        StrawSqlSurface.VacuumName),
+      StrawSqlSurface.vacuumBuilder _))
   }
 }

@@ -30,10 +30,13 @@ import org.roaringbitmap.RoaringBitmap
   * write-once.
   *
   * The one genuine limit is physical retention, as with time travel: rows
-  * are read from the files the DIFF references, so a feed that reaches
-  * back past an eager vacuum (a dropped file's bytes, a superseded
-  * sidecar) fails LOUDLY rather than under-reporting. Read feeds soon
-  * after mutation, or bound them with the vacuum window. */
+  * are read from the files the DIFF references. Merge-on-read mutations
+  * keep everything the feed needs within the age-based vacuum window
+  * (data files stay live; superseded sidecars are retained for the sweep)
+  * — but an op that drops bytes EAGERLY (truncate, compaction's inputs,
+  * a copy-on-write rewrite, a fully-dead delete) makes that version's
+  * preimages unreadable immediately, and the feed fails LOUDLY rather
+  * than under-reporting. */
 object StrawChanges {
 
   val ChangeTypeCol = "_change_type"
@@ -57,6 +60,17 @@ object StrawChanges {
     b.deserialize(java.nio.ByteBuffer.wrap(a))
     b
   }
+
+  /** Driver-side sidecar read with the feed's retention story attached —
+    * a superseded sidecar lives until the age-based vacuum, so a miss
+    * means the feed reached past the retention window. */
+  private def readDv(dir: String, v: Long, dv: DeletionVector.DvInfo): RoaringBitmap =
+    try DeletionVector.read(dv.path, dv.len)
+    catch {
+      case e: java.io.FileNotFoundException => throw new IllegalStateException(
+        s"strawboat: change feed of $dir version $v needs sidecar ${dv.path} " +
+          "but it was vacuumed — derive feeds within the retention window", e)
+    }
 
   /** Row-level changes committed in versions `[fromVersion, toVersion]`
     * (both inclusive), ordered by nothing — apply your own ORDER BY. */
@@ -90,17 +104,13 @@ object StrawChanges {
       val cur = snapAt(v).map(e => e.meta.path -> e).toMap
       if (!op.startsWith("compact")) {
         val isUpdate = op.startsWith("update")
-        val isDelete = op.startsWith("delete")
         val insLabel = if (isUpdate) "update_postimage" else "insert"
-        val delLabel =
-          if (isUpdate) "update_preimage"
-          else if (isDelete) "delete"
-          else "delete"
+        val delLabel = if (isUpdate) "update_preimage" else "delete"
         // files entering the snapshot: their live rows insert
         cur.foreach { case (p, e) =>
           prev.get(p) match {
             case None =>
-              val dead = Option(e.dv).map(d => DeletionVector.read(d.path, d.len))
+              val dead = Option(e.dv).map(d => readDv(dir, v, d))
               tasks += (dead match {
                 case None => ChangeTask(e.meta.path, e.meta.mtime, e.meta.len,
                   All, insLabel, v)
@@ -110,9 +120,9 @@ object StrawChanges {
             case Some(pe) if Option(pe.dv).map(_.path) != Option(e.dv).map(_.path) =>
               // shared file, vector swapped: newly-dead rows delete,
               // newly-live rows (restore clearing a vector) insert
-              val before = Option(pe.dv).map(d => DeletionVector.read(d.path, d.len))
+              val before = Option(pe.dv).map(d => readDv(dir, v, d))
                 .getOrElse(new RoaringBitmap())
-              val after = Option(e.dv).map(d => DeletionVector.read(d.path, d.len))
+              val after = Option(e.dv).map(d => readDv(dir, v, d))
                 .getOrElse(new RoaringBitmap())
               val newlyDead = RoaringBitmap.andNot(after, before)
               val newlyLive = RoaringBitmap.andNot(before, after)
@@ -128,7 +138,7 @@ object StrawChanges {
         // files leaving the snapshot: their remaining live rows delete
         prev.foreach { case (p, pe) =>
           if (!cur.contains(p)) {
-            val dead = Option(pe.dv).map(d => DeletionVector.read(d.path, d.len))
+            val dead = Option(pe.dv).map(d => readDv(dir, v, d))
             tasks += (dead match {
               case None => ChangeTask(pe.meta.path, pe.meta.mtime, pe.meta.len,
                 All, delLabel, v)

@@ -122,8 +122,11 @@ object StrawDelete {
       else Seq.empty
     MaintenanceOps.commitSwitchAndVacuum(dir, jobId, adds, removes, op = "delete",
       dvs = dvUpdates,
-      // superseded sidecars AND the sidecars of fully-removed files
-      alsoVacuum = changed.flatMap(c => Option(c.oldDvPath)).toSeq,
+      // only sidecars of fully-removed files go eagerly (their data bytes
+      // are gone anyway); a PARTIAL file's superseded sidecar stays for the
+      // age-based vacuum — it is what RESTORE to the pre-delete DV state
+      // and the change feed's before-diff need within the retention window
+      alsoVacuum = full.flatMap(c => Option(c.oldDvPath)).toSeq,
       alsoRollback = partial.map(_.newDv.path).toSeq,
       // a full-dead removal is only sound against the DV this op read
       expectDvOnRemove = full.map(c => q(c.input) -> Option(c.oldDvPath)).toMap)

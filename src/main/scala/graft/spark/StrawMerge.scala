@@ -120,12 +120,14 @@ object StrawMerge {
     // the insert write are two separate Spark jobs over the same frame — a
     // non-deterministic or concurrently-changing source evaluated twice
     // could insert rows whose keys were never probed (duplicate keys /
-    // lost updates). One evaluation, both consumers.
-    val srcMat = srcAligned.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try mergeMaterialized(spark, dir, srcMat, keys, keyIdx, whenMatched,
+    // lost updates). localCheckpoint CUTS LINEAGE, not just caches: losing
+    // a materialized partition fails the merge loudly instead of silently
+    // recomputing the source (persist would re-evaluate on cache loss —
+    // the exact hazard again). Blocks are reclaimed by the context cleaner
+    // once the frame is unreachable.
+    val srcMat = srcAligned.localCheckpoint(true)
+    mergeMaterialized(spark, dir, srcMat, keys, keyIdx, whenMatched,
       insertNotMatched, opts, listed, schema)
-    finally { srcMat.unpersist(): Unit }
   }
 
   private def mergeMaterialized(spark: SparkSession, dir: String,
@@ -330,7 +332,10 @@ object StrawMerge {
     val adds = StrawIO.mapParallel(fresh)(StrawManifest.entryFor)
     MaintenanceOps.commitSwitchAndVacuum(dir, jobId, adds, removes, op = "merge",
       dvs = dvUpdates,
-      alsoVacuum = mutated.flatMap(c => Option(c.oldDvPath)).toSeq,
+      // partial files keep their superseded sidecar for the age-based
+      // vacuum (restore/change-feed retention); full-dead files' sidecars
+      // go with their bytes
+      alsoVacuum = full.flatMap(c => Option(c.oldDvPath)).toSeq,
       alsoRollback = partial.map(_.newDv.path).toSeq,
       expectDvOnRemove = full.map(c => q(c.input) -> Option(c.oldDvPath)).toMap)
 

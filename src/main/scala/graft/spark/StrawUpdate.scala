@@ -273,7 +273,10 @@ object StrawUpdate {
     val adds = StrawIO.mapParallel(fresh)(StrawManifest.entryFor)
     MaintenanceOps.commitSwitchAndVacuum(dir, jobId, adds, removes, op = "update",
       dvs = dvUpdates,
-      alsoVacuum = changed.flatMap(c => Option(c.oldDvPath)).toSeq,
+      // partial files keep their superseded sidecar for the age-based
+      // vacuum (restore/change-feed retention); full-dead files' sidecars
+      // go with their bytes
+      alsoVacuum = full.flatMap(c => Option(c.oldDvPath)).toSeq,
       alsoRollback = partial.map(_.newDv.path).toSeq,
       // a full-dead removal is only sound against the DV this op read
       expectDvOnRemove = full.map(c => q(c.input) -> Option(c.oldDvPath)).toMap)

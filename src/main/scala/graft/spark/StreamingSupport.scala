@@ -201,7 +201,12 @@ class StrawMicroBatchStream(path: String, fullSchema: StructType,
     * give. */
   private def deliverableOp(op: String): Boolean =
     !(op.startsWith("compact") || op.startsWith("delete") ||
-      op.startsWith("update") || op.startsWith("merge"))
+      op.startsWith("update") || op.startsWith("merge") ||
+      // a restore's A lines re-add files the stream already consumed (its
+      // genuinely-resurrected rows are sacrificed to the same no-
+      // double-delivery bias; the change feed is the surface that can
+      // express them)
+      op.startsWith("restore"))
 
   private def addsOf(v: Long): Seq[StrawIO.FileMeta] =
     StrawLog.commitAdds(path, v) match {

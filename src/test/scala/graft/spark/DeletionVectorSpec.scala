@@ -91,9 +91,16 @@ class DeletionVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r2 = StrawDelete.delete(spark, out, Seq(LessThan("id", 300L): Filter))
     assert(r1.deletedRows == 100 && r2.deletedRows == 200, s"$r1 / $r2")
     assert(read(out).count() == 1700)
-    // exactly one live sidecar: the replaced one was vacuumed post-commit
-    assert(dvSidecars(out).size == 1,
-      s"expected the superseded sidecar reclaimed: ${dvSidecars(out)}")
+    // both sidecars remain ON DISK (the superseded one is retained for the
+    // change feed / restore within the vacuum window) but the LOG references
+    // exactly one — the union — and an aggressive vacuum reclaims the other
+    assert(dvSidecars(out).size == 2, dvSidecars(out).toString)
+    val live = StrawLog.snapshot(out).get.entries.flatMap(e => Option(e.dv)).map(_.path)
+    assert(live.size == 1, s"log must reference exactly the union sidecar: $live")
+    assert(StrawLog.vacuumUnreferenced(out, olderThanMs = 0L) == 1,
+      "the superseded sidecar is exactly what the age-based vacuum reclaims")
+    assert(dvSidecars(out).size == 1)
+    assert(read(out).count() == 1700, "reclaim must not disturb the live sidecar")
     // a delete of already-dead rows is a no-op (no new version)
     val v = StrawLog.latestVersion(out)
     val r3 = StrawDelete.delete(spark, out, Seq(LessThan("id", 250L): Filter))

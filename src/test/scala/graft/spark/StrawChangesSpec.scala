@@ -64,6 +64,22 @@ class StrawChangesSpec extends AnyFunSuite with BeforeAndAfterAll {
       (50L, "insert", 3L), (999L, "insert", 3L)))
   }
 
+  test("a second DV delete feeds only the newly-dead rows (superseded sidecar retained)") {
+    val sp = spark; import sp.implicits._
+    val out = s"$dir/del2"
+    (0L until 100L).map(i => (i, i)).toDF("id", "v")
+      .coalesce(1).write.format("strawboat").mode("overwrite").save(out)
+    StrawDelete.delete(spark, out, Seq(LessThan("id", 10L): Filter))
+    // the second delete SUPERSEDES the first sidecar; its feed needs the
+    // first one as the before-state — retained until the age-based vacuum
+    StrawDelete.delete(spark, out, Seq(LessThan("id", 25L): Filter))
+    assert(feed(out, 3, 3) == (10L until 25L).map(i => (i, "delete", 3L)))
+    // restore to between the deletes also still works (same retention)
+    val r = StrawRestore.restore(out, 2L)
+    assert(r.dvChanges == 1, r.toString)
+    assert(spark.read.format("strawboat").load(out).count() == 90)
+  }
+
   test("UPDATE feeds update_preimage and update_postimage") {
     val sp = spark; import sp.implicits._
     val out = s"$dir/upd"

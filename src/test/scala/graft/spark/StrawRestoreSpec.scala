@@ -150,5 +150,17 @@ class StrawRestoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"SELECT operation FROM straw_history('$out') ORDER BY version DESC")
       .collect().map(_.getString(0))
     assert(ops.head == "restore to v1", ops.mkString(","))
+    // re-RESOLVING the same restore replays its metrics without touching
+    // the table (a racing append must not be silently undone)
+    (90L until 95L).map(i => (i, s"v$i")).toDF("id", "s")
+      .coalesce(1).write.format("strawboat").mode("append").save(out)
+    val again = spark.sql(s"SELECT * FROM straw_restore('$out', 1)").collect().head
+    assert(again.getLong(1) == 1L && again.getInt(3) == 1, again.toString)
+    assert(ids(out) == ((0L until 60L) ++ (90L until 95L)),
+      "replayed restore metrics must not re-execute over the append")
+    // the vacuum surface reclaims what the restore retired (0h cutoff)
+    val vac = spark.sql(s"SELECT removed_files FROM straw_vacuum('$out', 0)")
+      .collect().head.getInt(0)
+    assert(vac >= 1, s"expected the restored-away file reclaimed, got $vac")
   }
 }
