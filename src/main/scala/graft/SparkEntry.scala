@@ -740,6 +740,37 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).cast("long").as("sum_chars"))
         .orderBy(col("lang"))
     }),
+    "q_zorder" -> ((s, d) => {
+      // multi-column Z-ORDER clustering (StrawCompaction zOrder): fragment
+      // the documents table, compact clustered by (n_chars, doc_id) on the
+      // interleaved curve, then range-probe the TRAILING cluster column —
+      // the dimension a lexicographic sort leaves unpruned. The oracle is
+      // the same probe over the original parquet: a green row proves the
+      // interleave sort preserved the data exactly; the spec-level pruning
+      // proof lives in CompactionSpec.
+      val zDir = Tables.strawDir(s, d, "documents") + "_zorder"
+      val marker = new java.io.File(zDir, "_OK")
+      if (!marker.exists()) {
+        t(s, d, "documents")
+          .repartition(4)
+          .write.format("strawboat").mode("overwrite")
+          .option("targetFileBytes", "16384")
+          .option("maxPageSize", "64")
+          .save(zDir)
+        val before = graft.spark.StrawIO.listFilesMeta(zDir).size
+        val res = graft.spark.StrawCompaction.compact(s, zDir,
+          opts = graft.format.WriteOptions(maxPageSize = 256),
+          clusterBy = Seq("n_chars", "doc_id"), zOrder = true)
+        require(before > 1 && res.outputFiles < before,
+          s"z-order compaction did not reduce files (before=$before): $res")
+        marker.createNewFile()
+      }
+      s.read.format("strawboat").load(zDir)
+        .filter(col("doc_id") >= 100 && col("doc_id") < 200)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
     // --- transaction log: snapshot isolation / time travel ----------------
     "q_timetravel" -> ((s, d) => {
       // two log commits into a fresh table (even doc_ids, then odd), read
@@ -1395,6 +1426,10 @@ object SparkEntry {
     "q_compact_roundtrip" -> // aggregation over the compacted rewrite
       """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_zorder" -> // range probe over the z-order clustered rewrite
+      """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id >= 100 AND doc_id < 200
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_timetravel" -> // version 1 = the even-doc_id first commit only
       """SELECT doc_id, lang, CAST(n_chars AS INTEGER) AS n_chars
         |FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin,

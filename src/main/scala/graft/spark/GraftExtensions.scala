@@ -103,6 +103,52 @@ object StrawSqlSurface {
       r.version, r.restoredTo, r.addedFiles, r.removedFiles, r.dvChanges)))
   }
 
+  val CompactName = "straw_compact"
+
+  private def compactSchema: Seq[AttributeReference] = Seq(
+    AttributeReference("input_files", IntegerType, nullable = false)(),
+    AttributeReference("output_files", IntegerType, nullable = false)(),
+    AttributeReference("rewritten_bytes", LongType, nullable = false)(),
+    AttributeReference("skipped_files", IntegerType, nullable = false)())
+
+  // same re-resolution guard as [[restored]]: a compaction is a distributed
+  // rewrite job — view re-analysis or EXPLAIN must not run it twice
+  private val compacted = new java.util.concurrent.ConcurrentHashMap[
+    (String, Seq[String], Boolean), StrawCompaction.CompactionResult]()
+
+  /** `straw_compact('<path>'[, '<col,col,...>'[, <zorder>]])`: rewrites the
+    * table's small files (Delta's OPTIMIZE shape), optionally clustering by
+    * the named columns — lexicographic by default, multi-column Z-ORDER when
+    * the third argument is true — and returns the rewrite metrics as one
+    * row. Executes when the call first resolves in this process; later
+    * resolutions of the same (path, columns, zorder) replay the metrics. To
+    * deliberately compact again, use [[StrawCompaction.compact]]. */
+  def compactBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.nonEmpty && args.length <= 3 && args.forall(_.foldable) &&
+      args.head.dataType == StringType &&
+      args.drop(1).headOption.forall(_.dataType == StringType) &&
+      args.drop(2).headOption.forall(_.dataType == BooleanType),
+      s"$CompactName expects (table path string[, cluster columns string[, zorder boolean]])")
+    val empty = org.apache.spark.sql.catalyst.InternalRow.empty
+    val path = args.head.eval(empty)
+    require(path != null, s"$CompactName: path must not be null")
+    val cols: Seq[String] = args.drop(1).headOption.map(_.eval(empty)) match {
+      case Some(null) | None => Nil
+      case Some(s) => s.toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    }
+    val zorder = args.drop(2).headOption.exists { e =>
+      val v = e.eval(empty)
+      require(v != null, s"$CompactName: zorder must not be null")
+      v.asInstanceOf[Boolean]
+    }
+    val r = compacted.computeIfAbsent((path.toString, cols, zorder), { _ =>
+      StrawCompaction.compact(org.apache.spark.sql.SparkSession.active,
+        path.toString, clusterBy = cols, zOrder = zorder)
+    })
+    LocalRelation(compactSchema, Seq(org.apache.spark.sql.catalyst.InternalRow(
+      r.inputFiles, r.outputFiles, r.rewrittenBytes, r.skippedFiles)))
+  }
+
   val VacuumName = "straw_vacuum"
 
   /** `straw_vacuum('<path>'[, <older_than_hours>])`: reclaims unreferenced
@@ -143,6 +189,10 @@ object StrawSqlSurface {
       FunctionIdentifier(VacuumName),
       new ExpressionInfo(classOf[StrawLog.HistoryRow].getName, VacuumName),
       vacuumBuilder _)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier(CompactName),
+      new ExpressionInfo(classOf[StrawCompaction.CompactionResult].getName, CompactName),
+      compactBuilder _)
   }
 }
 
@@ -193,5 +243,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[StrawLog.HistoryRow].getName,
         StrawSqlSurface.VacuumName),
       StrawSqlSurface.vacuumBuilder _))
+    extensions.injectTableFunction((
+      FunctionIdentifier(StrawSqlSurface.CompactName),
+      new ExpressionInfo(classOf[StrawCompaction.CompactionResult].getName,
+        StrawSqlSurface.CompactName),
+      StrawSqlSurface.compactBuilder _))
   }
 }

@@ -280,6 +280,71 @@ private[spark] object MaintenanceOps {
     }
   }
 
+  /** Z-ORDER an in-memory batch (a compaction bin) across `cols`, in
+    * place. Each column contributes `63 / k` bits of its DENSE RANK within
+    * the batch (nulls first at rank 0, equal values sharing a rank so one
+    * value never straddles a z-boundary), bit-interleaved column-major
+    * into one 63-bit key the batch sorts by. Rank-based rather than
+    * value-based: the interleave sees a uniform [0, 2^bits) space whatever
+    * the column's type or skew, so no per-type bit extraction and no
+    * hot-spot from clustered raw values. Effect: when the writer rolls the
+    * sorted batch into several files, EVERY clustered column's zone maps
+    * are narrow in every file — a selective filter on any one of them
+    * prunes, where a lexicographic sort serves only its leading column. */
+  def zOrderSort(rows: Array[org.apache.spark.sql.catalyst.InternalRow],
+      cols: Array[Int],
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, BoundReference, InterpretedOrdering, SortOrder}
+    val n = rows.length
+    if (n <= 1 || cols.isEmpty) return
+    val k = cols.length
+    val bits = math.max(1, 63 / k)
+    val keys = new Array[Long](n)
+    cols.zipWithIndex.foreach { case (ci, c) =>
+      val ord = new InterpretedOrdering(Seq(SortOrder(
+        BoundReference(ci, schema.fields(ci).dataType, schema.fields(ci).nullable),
+        Ascending)))
+      val idx = Array.tabulate(n)(identity)
+      // sort indices by the column (stable not required — ranks are dense)
+      val boxed = idx.map(Integer.valueOf)
+      java.util.Arrays.sort(boxed, new java.util.Comparator[Integer] {
+        override def compare(a: Integer, b: Integer): Int =
+          ord.compare(rows(a), rows(b))
+      })
+      // dense ranks, then scale into the column's bit budget
+      val rank = new Array[Int](n)
+      var r = 0
+      var i = 1
+      rank(boxed(0)) = 0
+      while (i < n) {
+        if (ord.compare(rows(boxed(i - 1)), rows(boxed(i))) != 0) r += 1
+        rank(boxed(i)) = r
+        i += 1
+      }
+      val maxRank = math.max(1, r)
+      val scaleMax = (1L << bits) - 1
+      i = 0
+      while (i < n) {
+        val v = rank(i).toLong * scaleMax / maxRank
+        // interleave column-major: bit j of column c lands at j * k + c
+        var j = 0
+        while (j < bits) {
+          keys(i) |= ((v >> j) & 1L) << (j * k + c)
+          j += 1
+        }
+        i += 1
+      }
+    }
+    // sort rows by key (indices carry the pairing through the sort)
+    val order = Array.tabulate(n)(Integer.valueOf(_))
+    java.util.Arrays.sort(order, new java.util.Comparator[Integer] {
+      override def compare(a: Integer, b: Integer): Int =
+        java.lang.Long.compare(keys(a), keys(b))
+    })
+    val sorted = order.map(i => rows(i.intValue()))
+    System.arraycopy(sorted, 0, rows, 0, n)
+  }
+
   /** One candidate file's merge-on-read outcome ([[dvMatch]]): newly-dead
     * live rows matched, the replacement sidecar (null when the file went
     * fully dead or nothing matched), whether the union covers every row,
@@ -591,8 +656,12 @@ object StrawCompaction {
       opts: WriteOptions = WriteOptions(),
       smallFileBytes: Option[Long] = None,
       clusterBy: Seq[String] = Nil,
-      maxClusterRows: Long = 4L << 20): CompactionResult = {
+      maxClusterRows: Long = 4L << 20,
+      zOrder: Boolean = false): CompactionResult = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
+    require(!zOrder || clusterBy.size >= 2,
+      "strawboat: zOrder needs at least two clusterBy columns (one column " +
+        "is a plain sort — drop zOrder)")
     val threshold = smallFileBytes.getOrElse(targetFileBytes)
     val live = StrawIO.listFilesMetaWithStats(dir)
     // a file carrying a deletion vector is ALWAYS a candidate regardless of
@@ -712,7 +781,10 @@ object StrawCompaction {
                   finally reader.close()
                 }
                 val arr = buf.toArray
-                java.util.Arrays.sort(arr, ord)
+                if (zOrder)
+                  MaintenanceOps.zOrderSort(arr,
+                    sortIdx.toArray, schema)
+                else java.util.Arrays.sort(arr, ord)
                 arr.foreach(writer.write)
             }
             val msg = writer.commit().asInstanceOf[StrawCommitMessage]

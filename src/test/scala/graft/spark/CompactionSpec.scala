@@ -253,6 +253,87 @@ class CompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.filter(col("k") === probe).count() == 1)
   }
 
+  test("zOrder narrows zone maps on EVERY clustered column; lex sort only the first") {
+    val sp = spark; import sp.implicits._
+    // scattered 2-D points: both coordinates full-range in arrival order
+    def writeScattered(out: String): Unit =
+      (0L until 8000L)
+        .map(i => (i, (i * 2654435761L) % 1009L, (i * 40503L) % 1013L))
+        .toDF("id", "x", "y")
+        .repartition(4)
+        .write.format("strawboat").mode("overwrite")
+        .option("targetFileBytes", "4096")
+        .option("maxPageSize", "250")
+        .save(out)
+    // pages of one column across every live file
+    def pagesOf(out: String, col: Int): Seq[graft.format.PageMeta] =
+      strbFiles(out).flatMap { file =>
+        val in = new graft.format.LocalFileInput(file.getPath)
+        val footer = try graft.format.StrawFileReader.readFooter(in) finally in.close()
+        footer.columns(col).pages.toSeq
+      }
+    def hits(pages: Seq[graft.format.PageMeta], v: Long): Int =
+      pages.count(p => p.min <= v && v <= p.max)
+
+    val lex = s"$dir/zorderLex"
+    writeScattered(lex)
+    StrawCompaction.compact(spark, lex, targetFileBytes = 64L << 20,
+      opts = graft.format.WriteOptions(maxPageSize = 250),
+      clusterBy = Seq("x", "y"))
+    // premise: lexicographic (x, y) leaves y's pages spanning ~everything
+    val lexY = pagesOf(lex, 2)
+    assert(lexY.size >= 16)
+    assert(hits(lexY, 500L) >= lexY.size * 3 / 4,
+      s"lex-sorted y pages unexpectedly narrow — test premise broken")
+
+    val zed = s"$dir/zorderZ"
+    writeScattered(zed)
+    val res = StrawCompaction.compact(spark, zed, targetFileBytes = 64L << 20,
+      opts = graft.format.WriteOptions(maxPageSize = 250),
+      clusterBy = Seq("x", "y"), zOrder = true)
+    assert(res.outputFiles < res.inputFiles)
+    val (zX, zY) = (pagesOf(zed, 1), pagesOf(zed, 2))
+    assert(zY.size >= 16)
+    // a point probe on EITHER clustered column prunes most pages
+    assert(hits(zX, 500L) <= zX.size / 2,
+      s"x probe hit ${hits(zX, 500L)} of ${zX.size} z-ordered pages")
+    assert(hits(zY, 500L) <= zY.size / 2,
+      s"y probe hit ${hits(zY, 500L)} of ${zY.size} z-ordered pages")
+    // and the curve beats lex on the trailing column by construction
+    assert(hits(zY, 500L) < hits(lexY, 500L))
+    // multiset preserved through the interleave sort
+    val back = spark.read.format("strawboat").load(zed)
+    assert(back.count() == 8000)
+    assert(back.agg(sum(col("id")), sum(col("x")), sum(col("y"))).collect()(0)
+      == spark.read.format("strawboat").load(lex)
+           .agg(sum(col("id")), sum(col("x")), sum(col("y"))).collect()(0))
+    // the filter machinery exploits it: ZoneMapFilter keeps few pages for a
+    // point probe on EITHER clustered column
+    import org.apache.spark.sql.sources.EqualTo
+    val (keptX, keptY, total) = strbFiles(zed).map { file =>
+      val in = new graft.format.LocalFileInput(file.getPath)
+      val footer = try graft.format.StrawFileReader.readFooter(in) finally in.close()
+      val n = footer.columns(0).pages.length
+      val kx = ZoneMapFilter.keptPages(footer, Array(EqualTo("x", 500L)))
+      val ky = ZoneMapFilter.keptPages(footer, Array(EqualTo("y", 500L)))
+      ((0 until n).count(kx), (0 until n).count(ky), n)
+    }.foldLeft((0, 0, 0)) { case ((a, b, c), (x, y, n)) => (a + x, b + y, c + n) }
+    assert(keptX <= total / 2 && keptY <= total / 2,
+      s"point probes kept $keptX/$keptY of $total pages")
+    // and the query still answers right through the pruned scan
+    assert(back.filter(col("y") === 500L).count() ==
+      (0L until 8000L).count(i => (i * 40503L) % 1013L == 500L))
+  }
+
+  test("zOrder with fewer than two clusterBy columns fails fast") {
+    val out = s"$dir/zorderValidate"
+    writeFragmented(spark.range(0, 500).toDF("id").repartition(2), out)
+    val e = intercept[IllegalArgumentException] {
+      StrawCompaction.compact(spark, out, clusterBy = Seq("id"), zOrder = true)
+    }
+    assert(e.getMessage.contains("zOrder"))
+  }
+
   test("clusterBy falls back to unsorted for schema generations lacking the column") {
     val out = s"$dir/clusterEvolve"
     val sp = spark; import sp.implicits._

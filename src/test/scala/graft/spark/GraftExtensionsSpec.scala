@@ -94,6 +94,36 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) AS c FROM tt_v1").collect()(0).getLong(0) == 50L)
   }
 
+  test("straw_compact rewrites small files from plain SQL; re-resolution replays") {
+    val sp = spark; import sp.implicits._
+    val out = java.nio.file.Files.createTempDirectory("extscompact").toString
+    (0L until 4000L).map(i => (i, (i * 2654435761L) % 1009L, (i * 40503L) % 1013L))
+      .toDF("id", "x", "y")
+      .repartition(4)
+      .write.format("strawboat").mode("overwrite")
+      .option("targetFileBytes", "4096").option("maxPageSize", "250")
+      .save(out)
+    val before = StrawIO.listFilesMeta(out).size
+    val row = spark.sql(
+      s"""SELECT input_files, output_files
+         |FROM straw_compact('$out', 'x,y', true)""".stripMargin).collect()(0)
+    assert(row.getInt(0) == before && row.getInt(1) < before)
+    assert(spark.read.format("strawboat").load(out).count() == 4000L)
+    // re-resolving the same call replays metrics, no second rewrite: the
+    // file set (names + mtimes) is untouched
+    val after = StrawLog.snapshot(out).get.entries.map(e => (e.meta.path, e.meta.mtime))
+    val again = spark.sql(
+      s"SELECT output_files FROM straw_compact('$out', 'x,y', true)").collect()(0)
+    assert(again.getInt(0) == row.getInt(1))
+    assert(StrawLog.snapshot(out).get.entries.map(e => (e.meta.path, e.meta.mtime)) == after)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM straw_compact('$out', 'x', true)").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("zOrder")))
+  }
+
   test("hyperplane buckets reject non-integer config args with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT hyperplane_buckets(array(1.0D), 'abc', 4, 2, 42L)")
