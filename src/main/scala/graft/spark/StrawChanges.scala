@@ -1,7 +1,8 @@
 package graft.spark
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.roaringbitmap.RoaringBitmap
 
 /** Change data feed: the ROW-LEVEL difference each committed version made,
@@ -23,11 +24,23 @@ import org.roaringbitmap.RoaringBitmap
   * `delete` + `insert` (the log does not record which of its appended rows
   * replaced vs inserted — documented approximation).
   *
+  * Two equivalent surfaces share one planner ([[plan]]):
+  * {{{
+  * StrawChanges.changes(spark, dir, 2, 5)            // function API
+  * spark.read.format("strawboat")                    // reader options
+  *   .option("readChangeFeed", "true")
+  *   .option("startingVersion", "2")
+  *   .option("endingVersion", "5")                   // optional: pins latest
+  *   .load(dir)
+  * }}}
+  * The function API delegates to the options route, so the DSv2 scan
+  * ([[ChangeFeedScan]]) is the single execution path.
+  *
   * Scale shape: the driver touches only log metadata (snapshots + bitmap
   * diffs); row reads fan out one task per (file, change) with the wanted
-  * ordinals' bitmap broadcast in the task, page-skipped like the
+  * ordinals' bitmap shipped in the partition, page-skipped like the
   * maintenance scans. The feed is replay-deterministic — commit files are
-  * write-once.
+  * write-once — which is also what makes [[plan]] cacheable per process.
   *
   * The one genuine limit is physical retention, as with time travel: rows
   * are read from the files the DIFF references. Merge-on-read mutations
@@ -44,10 +57,20 @@ object StrawChanges {
 
   /** One per-file read task: emit the file's rows at `positions` (explicit
     * ordinal bitmap) labeled `changeType`/`version`. `null` bitmap bytes =
-    * every row. Bitmaps ship portable-serialized — tasks broadcast with
-    * the closure. */
-  private final case class ChangeTask(path: String, mtime: Long, len: Long,
+    * every row; a `!`-prefixed changeType means all EXCEPT positions.
+    * Bitmaps ship portable-serialized inside the input partition. */
+  private[spark] final case class ChangeTask(path: String, mtime: Long, len: Long,
       positionBytes: Array[Byte], changeType: String, version: Long)
+
+  /** A resolved feed: its read tasks and the DATA schema (merged over every
+    * referenced file — not the latest snapshot's, which may lack columns
+    * that only deleted files carried). */
+  private[spark] final case class ChangePlan(tasks: Seq[ChangeTask],
+      dataSchema: StructType) {
+    def outSchema: StructType = StructType(dataSchema.fields ++ Seq(
+      StructField(ChangeTypeCol, StringType, nullable = false),
+      StructField(CommitVersionCol, LongType, nullable = false)))
+  }
 
   private def toBytes(b: RoaringBitmap): Array[Byte] = {
     b.runOptimize()
@@ -55,7 +78,7 @@ object StrawChanges {
     b.serialize(buf)
     buf.array()
   }
-  private def fromBytes(a: Array[Byte]): RoaringBitmap = {
+  private[spark] def fromBytes(a: Array[Byte]): RoaringBitmap = {
     val b = new RoaringBitmap()
     b.deserialize(java.nio.ByteBuffer.wrap(a))
     b
@@ -72,10 +95,92 @@ object StrawChanges {
           "but it was vacuumed — derive feeds within the retention window", e)
     }
 
-  /** Row-level changes committed in versions `[fromVersion, toVersion]`
-    * (both inclusive), ordered by nothing — apply your own ORDER BY. */
-  def changes(spark: SparkSession, dir: String,
-      fromVersion: Long, toVersion: Long): DataFrame = {
+  // ---------------------------------------------------------------------
+  // Reader-option surface
+  // ---------------------------------------------------------------------
+
+  // (qualified dir, startingVersion) -> ending resolved for an OMITTED
+  // endingVersion; first resolution wins so schema inference and scan
+  // building pin the SAME feed even when a commit races between them
+  // (the TimeTravel timestamp pattern). Sound within one log incarnation;
+  // StrawLog.invalidate clears the table's pins.
+  private val pinnedEnding =
+    new java.util.LinkedHashMap[(String, Long), Long](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), Long]): Boolean = size() > 1024
+    }
+
+  /** Parses the change-feed reader options: `None` unless
+    * `readChangeFeed=true`; else the pinned inclusive version range. */
+  private[spark] def resolveRange(dir: String,
+      options: CaseInsensitiveStringMap): Option[(Long, Long)] = {
+    if (!Option(options.get("readChangeFeed")).exists(_.toBoolean)) return None
+    require(options.get("versionAsOf") == null && options.get("timestampAsOf") == null,
+      "strawboat: readChangeFeed cannot combine with versionAsOf/timestampAsOf " +
+        "(a feed is a version RANGE; pin it with startingVersion/endingVersion)")
+    val from = Option(options.get("startingVersion")).map(_.toLong).getOrElse(
+      throw new IllegalArgumentException(
+        "strawboat: readChangeFeed requires startingVersion"))
+    val to = Option(options.get("endingVersion")).map(_.toLong).getOrElse {
+      val key = (qualify(dir), from)
+      pinnedEnding.synchronized(Option(pinnedEnding.get(key))).getOrElse {
+        val latest = StrawLog.latestVersion(dir).getOrElse(
+          throw new IllegalStateException(
+            s"strawboat: no transaction log under $dir — no change feed"))
+        pinnedEnding.synchronized {
+          Option(pinnedEnding.get(key)).getOrElse {
+            pinnedEnding.put(key, latest); latest
+          }
+        }
+      }
+    }
+    Some((from, to))
+  }
+
+  private def qualify(dir: String): String =
+    StrawIO.fs(dir).makeQualified(new org.apache.hadoop.fs.Path(dir)).toString
+
+  /** Drop one table's cached plans and ending pins
+    * (called by [[StrawLog.invalidate]]). */
+  private[spark] def invalidate(dir: String): Unit = {
+    val q = qualify(dir)
+    pinnedEnding.synchronized {
+      val it = pinnedEnding.keySet().iterator()
+      while (it.hasNext) if (it.next()._1 == q) it.remove()
+    }
+    plans.synchronized {
+      val it = plans.keySet().iterator()
+      while (it.hasNext) if (it.next()._1 == q) it.remove()
+    }
+  }
+
+  private[spark] def clearCache(): Unit = {
+    pinnedEnding.synchronized(pinnedEnding.clear())
+    plans.synchronized(plans.clear())
+  }
+
+  // ---------------------------------------------------------------------
+  // Planning
+  // ---------------------------------------------------------------------
+
+  // (qualified dir, from, to) -> plan. Commit files and DV sidecars are
+  // write-once, so a resolved range's plan is immutable; caching spares
+  // the snapshot diffs + sidecar reads across inferSchema / getTable /
+  // scan building of ONE read (and across repeated reads).
+  private val plans =
+    new java.util.LinkedHashMap[(String, Long, Long), ChangePlan](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), ChangePlan]): Boolean =
+        size() > 64
+    }
+
+  /** Row-level changes committed in `[fromVersion, toVersion]` (both
+    * inclusive) as read tasks + schema. Cached per process ([[plans]]). */
+  private[spark] def plan(dir: String, fromVersion: Long,
+      toVersion: Long): ChangePlan = {
+    val key = (qualify(dir), fromVersion, toVersion)
+    plans.synchronized(Option(plans.get(key))).foreach(return _)
+
     val latest = StrawLog.latestVersion(dir).getOrElse(
       throw new IllegalStateException(
         s"strawboat: no transaction log under $dir — no change feed"))
@@ -152,104 +257,25 @@ object StrawChanges {
     }
     val all = tasks.result()
 
-    // table schema for the feed: merged over every referenced file, the
-    // same name-resolution rules as the scan (absent → null, widen)
+    // feed data schema: merged over every referenced file, the same
+    // name-resolution rules as the scan (absent → null, widen)
     val schemas = StrawIO.mapParallel(all.map(t => (t.path, t.mtime, t.len))
       .distinct)(f => (f._1, FooterCache.get(f._1, f._2, f._3).schema))
     val dataSchema =
       if (schemas.isEmpty) StructType(Nil) else StrawSchemaResolver.merge(schemas)
-    val outSchema = StructType(dataSchema.fields ++ Seq(
-      StructField(ChangeTypeCol, StringType, nullable = false),
-      StructField(CommitVersionCol, LongType, nullable = false)))
-
-    if (all.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], outSchema)
-
-    val serConf = new org.apache.spark.util.SerializableConfiguration(StrawIO.conf)
-    val schemaJson = dataSchema.json
-    val width = dataSchema.length
-    val rowRdd = spark.sparkContext.parallelize(all, all.size).flatMap { t =>
-      StrawIO.install(serConf.value)
-      val dataSch = org.apache.spark.sql.types.DataType
-        .fromJson(schemaJson).asInstanceOf[StructType]
-      val toScala = dataSch.fields.map(f =>
-        org.apache.spark.sql.catalyst.CatalystTypeConverters
-          .createToScalaConverter(f.dataType))
-      val (invert, label) =
-        if (t.changeType.startsWith("!")) (true, t.changeType.substring(1))
-        else (false, t.changeType)
-      val positions = Option(t.positionBytes).map(fromBytes)
-      val input =
-        try StrawIO.open(t.path)
-        catch {
-          case e: java.io.FileNotFoundException => throw new IllegalStateException(
-            s"strawboat: change feed needs ${t.path} (version ${t.version}) " +
-              "but it was vacuumed — derive feeds within the retention window", e)
-        }
-      try {
-        val footer = FooterCache.get(t.path, input)
-        val read = new MaintenanceOps.ResolvedFileRead(input, footer, dataSch)
-        val pageRows: Array[Int] =
-          if (footer.columns.isEmpty) Array.empty
-          else footer.columns(0).pages.map(_.numValues)
-        def emit(ord: Long): Boolean = positions match {
-          case None => true
-          case Some(b) =>
-            val in = ord <= Int.MaxValue && b.contains(ord.toInt)
-            if (invert) !in else in
-        }
-        val out = Seq.newBuilder[Row]
-        if (pageRows.isEmpty && footer.numRows > 0) {
-          // zero-column file: every row is all-null
-          var o = 0L
-          while (o < footer.numRows) {
-            if (emit(o)) out += Row.fromSeq(
-              Seq.fill[Any](width)(null) :+ label :+ t.version)
-            o += 1
-          }
-        }
-        var ord = 0L
-        var p = 0
-        while (p < pageRows.length) {
-          val n = pageRows(p)
-          // page-skip: a positions-mode task decodes only pages holding a
-          // wanted ordinal (the common case for small DV diffs)
-          val wanted = positions match {
-            case Some(b) if !invert =>
-              ord <= Int.MaxValue &&
-                b.rangeCardinality(ord, math.min(ord + n, Int.MaxValue.toLong + 1)) > 0
-            case _ => true
-          }
-          if (wanted) {
-            val pages = read.decodePages(p)
-            val internal = new org.apache.spark.sql.catalyst.expressions
-              .GenericInternalRow(width)
-            var i = 0
-            while (i < n) {
-              if (emit(ord)) {
-                read.fill(pages, i, internal)
-                val vals = new Array[Any](width + 2)
-                var c = 0
-                while (c < width) {
-                  val v = internal.values(c)
-                  vals(c) = if (v == null) null else toScala(c)(v)
-                  c += 1
-                }
-                vals(width) = label
-                vals(width + 1) = t.version
-                out += Row.fromSeq(scala.collection.immutable.ArraySeq
-                  .unsafeWrapArray(vals))
-              }
-              i += 1
-              ord += 1
-            }
-          } else ord += n
-          p += 1
-        }
-        out.result()
-      } finally input.close()
-    }
-    spark.createDataFrame(rowRdd, outSchema)
+    val p = ChangePlan(all, dataSchema)
+    plans.synchronized(plans.put(key, p))
+    p
   }
+
+  /** Row-level changes committed in versions `[fromVersion, toVersion]`
+    * (both inclusive), ordered by nothing — apply your own ORDER BY.
+    * Delegates to the reader-option surface: one execution path. */
+  def changes(spark: SparkSession, dir: String,
+      fromVersion: Long, toVersion: Long): DataFrame =
+    spark.read.format("strawboat")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", fromVersion.toString)
+      .option("endingVersion", toVersion.toString)
+      .load(dir)
 }

@@ -881,10 +881,12 @@ object StrawLog {
     try { rawFs(table).delete(logDir(table), true): Unit }
     catch { case scala.util.control.NonFatal(_) => }
     TimeTravel.invalidate(table)
+    StrawChanges.invalidate(table)
   }
 
   def clearCache(): Unit = {
     cache.synchronized(cache.clear())
     TimeTravel.clearAll()
+    StrawChanges.clearCache()
   }
 }

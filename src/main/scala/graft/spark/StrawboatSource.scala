@@ -39,6 +39,10 @@ class StrawboatDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = pathOf(options)
+    // change-feed reads have their own schema (referenced files + labels)
+    StrawChanges.resolveRange(dir, options).foreach { case (from, to) =>
+      return StrawChanges.plan(dir, from, to).outSchema
+    }
     val asOf = TimeTravel.resolveAsOf(dir, options)
     val files = StrawIO.listFilesMeta(dir, asOf)
     require(files.nonEmpty, s"strawboat: no ${StrawFormat.Extension} files under $dir")
@@ -79,8 +83,12 @@ class StrawboatDataSource extends TableProvider with DataSourceRegister {
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    new StrawboatTable(properties.get("path"), schema)
+      properties: java.util.Map[String, String]): Table = {
+    val dir = properties.get("path")
+    StrawChanges.resolveRange(dir, new CaseInsensitiveStringMap(properties))
+      .foreach { case (from, to) => return new ChangeFeedTable(dir, from, to) }
+    new StrawboatTable(dir, schema)
+  }
 }
 
 /** Time-travel option parsing shared by schema inference and scan

@@ -132,4 +132,49 @@ class StrawChangesSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { StrawChanges.changes(spark, out, 2, 1) }
     intercept[IllegalArgumentException] { StrawChanges.changes(spark, out, 1, 99) }
   }
+
+  test("reader options read the feed; omitted endingVersion pins latest once") {
+    val sp = spark; import sp.implicits._
+    val out = s"$dir/opts"
+    (0L until 5L).map(i => (i, s"v$i")).toDF("id", "s")
+      .coalesce(1).write.format("strawboat").mode("overwrite").save(out)
+    (5L until 8L).map(i => (i, s"v$i")).toDF("id", "s")
+      .coalesce(1).write.format("strawboat").mode("append").save(out)
+    def open() = spark.read.format("strawboat")
+      .option("readChangeFeed", "true").option("startingVersion", "1").load(out)
+    assert(open().count() == 8) // resolves and PINS endingVersion = 2
+    // a commit landing after the pin must not shift the same options' feed:
+    // schema inference and scan building already agreed on [1, 2], and a
+    // re-read with identical options replays that resolution
+    (8L until 10L).map(i => (i, s"v$i")).toDF("id", "s")
+      .coalesce(1).write.format("strawboat").mode("append").save(out)
+    assert(open().count() == 8)
+    // an explicit endingVersion reaches past the pin
+    val full = spark.read.format("strawboat")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1").option("endingVersion", "3").load(out)
+    assert(full.count() == 10)
+    // the label columns are ordinary columns above the scan
+    assert(full.filter(col(StrawChanges.CommitVersionCol) === 3L)
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq == Seq(8L, 9L))
+    assert(full.filter(col(StrawChanges.ChangeTypeCol) === "insert").count() == 10)
+  }
+
+  test("readChangeFeed rejects missing startingVersion and time-travel combos") {
+    val sp = spark; import sp.implicits._
+    val out = s"$dir/optsbad"
+    Seq((1L, 1L)).toDF("id", "v")
+      .write.format("strawboat").mode("overwrite").save(out)
+    val noStart = intercept[IllegalArgumentException] {
+      spark.read.format("strawboat")
+        .option("readChangeFeed", "true").load(out).collect()
+    }
+    assert(noStart.getMessage.contains("startingVersion"))
+    val combo = intercept[IllegalArgumentException] {
+      spark.read.format("strawboat")
+        .option("readChangeFeed", "true").option("startingVersion", "1")
+        .option("versionAsOf", "1").load(out).collect()
+    }
+    assert(combo.getMessage.contains("versionAsOf"))
+  }
 }
