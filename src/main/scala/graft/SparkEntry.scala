@@ -937,6 +937,48 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars").cast("int").as("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    "q_constraints" -> ((s, d) => {
+      // CHECK constraints (StrawConstraints, SQL: straw_add_constraint):
+      // copy documents, add a log-recorded constraint the data satisfies
+      // (lenient spelling — n_chars is nullable and strict semantics
+      // reject NULL), prove a violating append fails ATOMICALLY (codegen'd
+      // per-row predicate in the writer, nothing lands, no log version),
+      // then land a compliant append of long docs with a new doc_id range.
+      // Oracle = original documents UNION the compliant rows: a green row
+      // proves both the enforcement and the non-destructive failure.
+      val cDir = Tables.strawDir(s, d, "documents") + "_constr"
+      val marker = new java.io.File(cDir, "_OK")
+      if (!marker.exists()) {
+        val docs = t(s, d, "documents")
+        docs.write.format("strawboat").mode("overwrite").save(cDir)
+        graft.spark.StrawConstraints.add(s, cDir, "n_chars_nonneg",
+          "n_chars IS NULL OR n_chars >= 0")
+        val fresh = docs.filter(col("n_chars") >= 500)
+          .withColumn("doc_id", col("doc_id") + lit(2000000))
+          .withColumn("lang", lit("appended"))
+        val before = s.read.format("strawboat").load(cDir).count()
+        var enforced = false
+        try fresh
+          .withColumn("n_chars", lit(-1).cast(docs.schema("n_chars").dataType))
+          .write.format("strawboat").mode("append").save(cDir)
+        catch { case e: Throwable =>
+          var cur = e
+          while (cur != null && !enforced) {
+            if (Option(cur.getMessage).exists(_.contains("CHECK constraint")))
+              enforced = true
+            cur = cur.getCause
+          }
+        }
+        require(enforced, "q_constraints: violating append must fail the check")
+        require(s.read.format("strawboat").load(cDir).count() == before,
+          "q_constraints: failed append must not change the table")
+        fresh.write.format("strawboat").mode("append").save(cDir)
+        marker.createNewFile()
+      }
+      s.read.format("strawboat").load(cDir)
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("int").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     "q_restore" -> ((s, d) => {
       // RESTORE to an earlier version (StrawRestore, via the straw_restore
       // SQL surface): copy documents (v1), DV-delete the short docs (v2),
@@ -1478,6 +1520,13 @@ object SparkEntry {
       """SELECT doc_id, lang,
         |  CASE WHEN doc_id % 2 <> 0 THEN CAST(n_chars AS INTEGER) END AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_constraints" -> // originals + the compliant append; the violating one died
+      """SELECT doc_id, lang, CAST(n_chars AS INTEGER) AS n_chars FROM (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, 'appended', n_chars
+        |  FROM documents WHERE n_chars >= 500)
+        |ORDER BY doc_id""".stripMargin,
     "q_struct_prune" ->
       """SELECT doc_id, lang, CAST(n_chars AS INTEGER) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -174,6 +174,76 @@ object StrawSqlSurface {
       Seq(org.apache.spark.sql.catalyst.InternalRow(n)))
   }
 
+  val ConstraintsName = "straw_constraints"
+
+  /** `straw_constraints('<path>')`: the table's live CHECK constraints as
+    * (name, expression) rows — resolves at analysis time, so every query
+    * sees the current log state. */
+  def constraintsBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 1 && args.head.foldable &&
+      args.head.dataType == StringType,
+      s"$ConstraintsName expects one string literal: the table path")
+    val path = args.head.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    require(path != null, s"$ConstraintsName: path must not be null")
+    val rows = StrawConstraints.list(path.toString).toSeq.sortBy(_._1).map {
+      case (n, e) => org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(n), UTF8String.fromString(e))
+    }
+    LocalRelation(Seq(
+      AttributeReference("name", StringType, nullable = false)(),
+      AttributeReference("expression", StringType, nullable = false)()), rows)
+  }
+
+  val AddConstraintName = "straw_add_constraint"
+  val DropConstraintName = "straw_drop_constraint"
+
+  private def constraintOpSchema: Seq[AttributeReference] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("name", StringType, nullable = false)(),
+    AttributeReference("expression", StringType, nullable = true)())
+
+  // same re-resolution guard as [[restored]]: the add validates the whole
+  // table (a scan) and the drop fails on a missing name — view re-analysis,
+  // EXPLAIN, and retries must replay the first execution instead
+  private val constraintOps =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Option[String]), Long]()
+
+  /** `straw_add_constraint('<path>', '<name>', '<expr>')`: validates every
+    * existing row against the CHECK expression, then commits it to the log
+    * ([[StrawConstraints.add]]); returns (version, name, expression). */
+  def addConstraintBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 3 && args.forall(a =>
+      a.foldable && a.dataType == StringType),
+      s"$AddConstraintName expects (table path, name, expression) string literals")
+    val empty = org.apache.spark.sql.catalyst.InternalRow.empty
+    val Seq(path, name, expr) = args.map(_.eval(empty))
+    require(path != null && name != null && expr != null,
+      s"$AddConstraintName: arguments must not be null")
+    val v = constraintOps.computeIfAbsent(
+      (path.toString, name.toString, Some(expr.toString)),
+      _ => StrawConstraints.add(org.apache.spark.sql.SparkSession.active,
+        path.toString, name.toString, expr.toString))
+    LocalRelation(constraintOpSchema, Seq(org.apache.spark.sql.catalyst.InternalRow(
+      v, UTF8String.fromString(name.toString), UTF8String.fromString(expr.toString))))
+  }
+
+  /** `straw_drop_constraint('<path>', '<name>')`: removes the named
+    * constraint ([[StrawConstraints.drop]]); returns (version, name, null). */
+  def dropConstraintBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 2 && args.forall(a =>
+      a.foldable && a.dataType == StringType),
+      s"$DropConstraintName expects (table path, name) string literals")
+    val empty = org.apache.spark.sql.catalyst.InternalRow.empty
+    val Seq(path, name) = args.map(_.eval(empty))
+    require(path != null && name != null,
+      s"$DropConstraintName: arguments must not be null")
+    val v = constraintOps.computeIfAbsent(
+      (path.toString, name.toString, None),
+      _ => StrawConstraints.drop(path.toString, name.toString))
+    LocalRelation(constraintOpSchema, Seq(org.apache.spark.sql.catalyst.InternalRow(
+      v, UTF8String.fromString(name.toString), null)))
+  }
+
   /** Session-scoped registration (code-driven use; [[GraftExtensions]]
     * injects the same builders config-only). Idempotent. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -193,6 +263,18 @@ object StrawSqlSurface {
       FunctionIdentifier(CompactName),
       new ExpressionInfo(classOf[StrawCompaction.CompactionResult].getName, CompactName),
       compactBuilder _)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier(ConstraintsName),
+      new ExpressionInfo(classOf[StrawConstraints.Constraint].getName, ConstraintsName),
+      constraintsBuilder _)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier(AddConstraintName),
+      new ExpressionInfo(classOf[StrawConstraints.Constraint].getName, AddConstraintName),
+      addConstraintBuilder _)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier(DropConstraintName),
+      new ExpressionInfo(classOf[StrawConstraints.Constraint].getName, DropConstraintName),
+      dropConstraintBuilder _)
   }
 }
 
@@ -248,5 +330,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[StrawCompaction.CompactionResult].getName,
         StrawSqlSurface.CompactName),
       StrawSqlSurface.compactBuilder _))
+    extensions.injectTableFunction((
+      FunctionIdentifier(StrawSqlSurface.ConstraintsName),
+      new ExpressionInfo(classOf[StrawConstraints.Constraint].getName,
+        StrawSqlSurface.ConstraintsName),
+      StrawSqlSurface.constraintsBuilder _))
+    extensions.injectTableFunction((
+      FunctionIdentifier(StrawSqlSurface.AddConstraintName),
+      new ExpressionInfo(classOf[StrawConstraints.Constraint].getName,
+        StrawSqlSurface.AddConstraintName),
+      StrawSqlSurface.addConstraintBuilder _))
+    extensions.injectTableFunction((
+      FunctionIdentifier(StrawSqlSurface.DropConstraintName),
+      new ExpressionInfo(classOf[StrawConstraints.Constraint].getName,
+        StrawSqlSurface.DropConstraintName),
+      StrawSqlSurface.dropConstraintBuilder _))
   }
 }

@@ -159,7 +159,8 @@ private[spark] object MaintenanceOps {
       candidates: Seq[Candidate],
       filters: Array[org.apache.spark.sql.sources.Filter],
       assigns: Option[Seq[Assign]],
-      opts: WriteOptions): Array[RewriteOut] = {
+      opts: WriteOptions,
+      checkUpdated: StrawConstraints.RowChecker = null): Array[RewriteOut] = {
     val serConf = new org.apache.spark.util.SerializableConfiguration(StrawIO.conf)
     val schemaJson = schema.json
     val filtersB = spark.sparkContext.broadcast(filters)
@@ -199,6 +200,9 @@ private[spark] object MaintenanceOps {
                   // of the reader's buffer representation
                   val r = row.copy()
                   MaintenanceOps.applyAssigns(a, r)
+                  // CHECK constraints guard only the UPDATED rows — the
+                  // pass-through rows below were validated when written
+                  if (checkUpdated != null) checkUpdated.validate(r)
                   writer.write(r)
                 }
               } else writer.write(row)
@@ -376,7 +380,8 @@ private[spark] object MaintenanceOps {
       candidates: Seq[Candidate],
       filters: Array[org.apache.spark.sql.sources.Filter],
       assigns: Option[Seq[Assign]],
-      opts: WriteOptions): Array[DvOut] = {
+      opts: WriteOptions,
+      checkUpdated: StrawConstraints.RowChecker = null): Array[DvOut] = {
     val serConf = new org.apache.spark.util.SerializableConfiguration(StrawIO.conf)
     val schemaJson = schema.json
     val filtersB = spark.sparkContext.broadcast(filters)
@@ -435,6 +440,7 @@ private[spark] object MaintenanceOps {
                       val r = new org.apache.spark.sql.catalyst.expressions
                         .GenericInternalRow(tableSchema.length)
                       applyAssigns(assign, r)
+                      if (checkUpdated != null) checkUpdated.validate(r)
                       writer.write(r)
                     }
                   }
@@ -475,6 +481,7 @@ private[spark] object MaintenanceOps {
                     fullRead.fill(fullPages, i, r)
                     // expression right-hand sides see the PRE-update row
                     applyAssigns(assign, r)
+                    if (checkUpdated != null) checkUpdated.validate(r)
                     writer.write(r)
                   }
                 }

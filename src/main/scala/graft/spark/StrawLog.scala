@@ -51,8 +51,12 @@ import graft.spark.StrawManifest.Entry
   * R\t<relpath>
   * D\t<dvLen>\t<dvCardinality>\t<dvFileName>\t<data relpath>
   * X\t<version>\t<appId>                     (streaming idempotence)
+  * C\t<name>\t<b64(expr)|->                  (CHECK constraint set / drop)
   * E                                         (completeness terminator)
   * }}}
+  * A `C` action sets (payload = base64 of the SQL expression, framing-safe)
+  * or drops (payload `-`) a named CHECK constraint; replay folds them into
+  * [[Snapshot.constraints]] and checkpoints re-emit the live set.
   * A `D` action attaches (or replaces) a data file's deletion vector
   * ([[DeletionVector]] — merge-on-read row deletes): the sidecar named
   * `<dvFileName>` in the data file's own directory. Replay applies it to
@@ -85,9 +89,12 @@ object StrawLog {
   val CheckpointInterval = 10
 
   /** One resolved table state: `entries` keyed by path (sorted), `txns` the
-    * latest committed version per streaming query id. */
+    * latest committed version per streaming query id, `constraints` the
+    * live CHECK constraints (name → SQL expression) every new-data write
+    * must satisfy ([[StrawConstraints]]). */
   final case class Snapshot(version: Long, entries: Seq[Entry],
-      txns: Map[String, Long]) {
+      txns: Map[String, Long],
+      constraints: Map[String, String] = Map.empty) {
     lazy val pathSet: Set[String] = entries.map(_.meta.path).toSet
   }
 
@@ -281,6 +288,7 @@ object StrawLog {
     val qdir = StrawIO.fs(table).makeQualified(new Path(table)).toString
     val entries = scala.collection.mutable.LinkedHashMap.empty[String, Entry]
     var txns = Map.empty[String, Long]
+    var constraints = Map.empty[String, String]
     // applies one commit's actions in file order; a DV action on a path
     // the state doesn't hold is an inconsistent log (the committer
     // validated presence) — unreadable rather than dropped deletes
@@ -294,6 +302,10 @@ object StrawLog {
         }
       }
       txns ++= a.txns
+      a.constraintOps.foreach {
+        case (name, Some(expr)) => constraints += (name -> expr)
+        case (name, None) => constraints -= name
+      }
     }
     base.foreach { cv =>
       apply(parseActions(readLines(f, checkpointPath(ld, cv)), qdir)
@@ -303,7 +315,8 @@ object StrawLog {
       apply(parseActions(readLines(f, commitPath(ld, v)), qdir)
         .getOrElse(unreadable(s"commit $v does not parse")))
     }
-    val snap = Snapshot(target, entries.values.toVector.sortBy(_.meta.path), txns)
+    val snap =
+      Snapshot(target, entries.values.toVector.sortBy(_.meta.path), txns, constraints)
     cache.synchronized(cache.put(key, snap))
     hits.incrementAndGet()
     Some(snap)
@@ -326,10 +339,11 @@ object StrawLog {
   private final case class DvAction(dataPath: String,
       dv: DeletionVector.DvInfo) extends Action
 
-  /** One parsed commit/checkpoint body: actions in file order, txns, and
-    * the operation description. */
+  /** One parsed commit/checkpoint body: actions in file order, txns,
+    * constraint set/drop ops in file order, and the operation description. */
   private final case class Actions(actions: Seq[Action],
-      txns: Map[String, Long], op: String)
+      txns: Map[String, Long], op: String,
+      constraintOps: Seq[(String, Option[String])] = Seq.empty)
 
   /** The sidecar path a `D` line's (dvName, data relpath) resolves to: the
     * DV lives in the data file's own directory. */
@@ -349,6 +363,7 @@ object StrawLog {
     val schemas = scala.collection.mutable.ArrayBuffer.empty[(String, StructType)]
     val out = Seq.newBuilder[Action]
     var txns = Map.empty[String, Long]
+    val constraintOps = Seq.newBuilder[(String, Option[String])]
     var op = ""
     try {
       body.dropRight(1).foreach { line =>
@@ -370,17 +385,26 @@ object StrawLog {
           val parts = line.split('\t')
           require(parts.length >= 3, s"bad log txn line: $line")
           txns += (parts.drop(2).mkString("\t") -> parts(1).toLong)
+        } else if (line.startsWith("C\t")) {
+          val parts = line.split('\t')
+          require(parts.length == 3, s"bad log constraint line: $line")
+          constraintOps += (parts(1) -> (parts(2) match {
+            case "-" => None
+            case b64 => Some(new String(
+              java.util.Base64.getDecoder.decode(b64), "UTF-8"))
+          }))
         } else if (line.startsWith("O\t")) {
           op = line.substring(2)
         } else require(false, s"bad log line: $line")
       }
-      Some(Actions(out.result(), txns, op))
+      Some(Actions(out.result(), txns, op, constraintOps.result()))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   private def serialize(adds: Seq[Entry], removes: Seq[String],
       txns: Map[String, Long], qdir: String, op: String,
-      dvs: Seq[(String, DeletionVector.DvInfo)] = Seq.empty): String = {
+      dvs: Seq[(String, DeletionVector.DvInfo)] = Seq.empty,
+      constraintOps: Seq[(String, Option[String])] = Seq.empty): String = {
     val prefix = qdir + "/"
     val sb = new StringBuilder(Header)
       .append(java.util.UUID.randomUUID().toString).append('\n')
@@ -410,6 +434,14 @@ object StrawLog {
     }
     txns.toSeq.sortBy(_._1).foreach { case (app, v) =>
       sb.append("X\t").append(v).append('\t').append(app).append('\n')
+    }
+    constraintOps.foreach { case (name, exprOpt) =>
+      require(name.nonEmpty && !name.exists(c => c == '\t' || c == '\n'),
+        s"log constraint name not frameable: '$name'")
+      sb.append("C\t").append(name).append('\t')
+        .append(exprOpt.fold("-")(e =>
+          java.util.Base64.getEncoder.encodeToString(e.getBytes("UTF-8"))))
+        .append('\n')
     }
     sb.append("E\n")
     sb.toString
@@ -555,7 +587,10 @@ object StrawLog {
   def commit(table: String, adds: Seq[Entry], removes: Set[String] = Set.empty,
       txn: Option[(String, Long)] = None, op: String = "",
       dvs: Seq[DvUpdate] = Seq.empty,
-      expectDvOnRemove: Map[String, Option[String]] = Map.empty): Long = {
+      expectDvOnRemove: Map[String, Option[String]] = Map.empty,
+      constraintOps: Seq[(String, Option[String])] = Seq.empty): Long = {
+    require(constraintOps.map(_._1).distinct.length == constraintOps.length,
+      "strawboat: log commit carries two ops for one constraint name")
     require(adds.map(_.meta.path).toSet.intersect(removes).isEmpty,
       "strawboat: log commit adds and removes must be disjoint (an in-place " +
         "path replacement would net to REMOVED on replay)")
@@ -650,6 +685,22 @@ object StrawLog {
               }
           }
         }
+        // constraint set/drop races on the NAME: a concurrent add of the
+        // same name (different expression) or a drop of a name a racing
+        // commit already dropped must conflict, not silently last-write-win
+        constraintOps.foreach {
+          case (name, Some(expr)) =>
+            val existing = cur.map(_.constraints).getOrElse(Map.empty).get(name)
+            if (existing.exists(_ != expr)) throw new ConflictException(
+              s"strawboat: constraint '$name' already exists on $table with a " +
+                s"different expression (concurrent ADD CONSTRAINT?)")
+          case (name, None) =>
+            if (!cur.exists(_.constraints.contains(name)))
+              throw new ConflictException(
+                s"strawboat: constraint '$name' not present in " +
+                  s"version ${cur.map(_.version).getOrElse(0L)} of $table " +
+                  "(concurrent drop?)")
+        }
         val next = cur.map(_.version + 1).getOrElse(1L)
         val addPaths = adds.map(_.meta.path).toSet
         val bootstrap: Seq[Entry] =
@@ -676,7 +727,7 @@ object StrawLog {
         val opLine = if (cur.isEmpty && op.nonEmpty) s"$op (bootstrap)" else op
         val body = serialize(bootstrap ++ adds, removeLines,
           txn.map { case (app, v) => Map(app -> v) }.getOrElse(Map.empty), qdir,
-          opLine, dvs.map(d => (d.dataPath, d.dv)))
+          opLine, dvs.map(d => (d.dataPath, d.dv)), constraintOps)
         val tmp = new Path(ld, s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
         val os = f.create(tmp, true)
         var ok = false
@@ -707,7 +758,8 @@ object StrawLog {
         // A lines never carry DVs — the checkpoint re-attaches them as D
         // lines after the adds, same replay order as a commit
         val body = serialize(snap.entries, Seq.empty, snap.txns, qdir, "checkpoint",
-          snap.entries.collect { case e if e.dv != null => (e.meta.path, e.dv) })
+          snap.entries.collect { case e if e.dv != null => (e.meta.path, e.dv) },
+          snap.constraints.toSeq.sortBy(_._1).map { case (n, e) => (n, Some(e)) })
         val tmp = new Path(ld, s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
         val os = f.create(tmp, true)
         var ok = false

@@ -294,6 +294,9 @@ object StrawMerge {
       case _ => None
     }
     val schemaJson = schema.json
+    // every row this phase writes is NEW data (inserts and replaced
+    // versions alike) — CHECK constraints bind once here and ride the task
+    val checker = StrawConstraints.checkerFor(spark, dir, schema).orNull
     val staged: Seq[String] = {
       val optsB = opts
       toWrite.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
@@ -301,7 +304,7 @@ object StrawMerge {
         val s = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
           .asInstanceOf[StructType]
         val writer = new StrawDataWriter(dir, s, pid, pid.toLong, optsB, jobId,
-          partitionCol)
+          partitionCol, checker)
         var ok = false
         try {
           rows.foreach(writer.write)

@@ -236,14 +236,17 @@ object StrawUpdate {
     if (candidates.isEmpty) return UpdateResult(0L, 0, 0, pruned, 0)
 
     val jobId = java.util.UUID.randomUUID().toString.take(8)
+    // CHECK constraints apply to the POST-assignment rows — an update may
+    // not move a row out of compliance (bound once here, on the driver)
+    val checker = StrawConstraints.checkerFor(spark, dir, schema).orNull
     val dvCapable = useDeletionVectors &&
       candidates.forall(_.numRows <= Int.MaxValue.toLong)
     if (dvCapable)
       updateViaDv(spark, dir, jobId, schema, candidates, filters, assigns,
-        pruned, opts)
+        pruned, opts, checker)
     else
       updateCopyOnWrite(spark, dir, jobId, schema, candidates, filters, assigns,
-        pruned, opts)
+        pruned, opts, checker)
   }
 
   /** Merge-on-read: old row versions die via the deletion vector, updated
@@ -251,9 +254,10 @@ object StrawUpdate {
   private def updateViaDv(spark: SparkSession, dir: String, jobId: String,
       schema: StructType, candidates: Seq[MaintenanceOps.Candidate],
       filters: Array[Filter], assigns: Seq[MaintenanceOps.Assign], pruned: Int,
-      opts: WriteOptions): UpdateResult = {
+      opts: WriteOptions,
+      checker: StrawConstraints.RowChecker = null): UpdateResult = {
     val outs = MaintenanceOps.dvMatch(spark, dir, jobId, schema, candidates,
-      filters, assigns = Some(assigns), opts)
+      filters, assigns = Some(assigns), opts, checkUpdated = checker)
     val changed = outs.filter(_.matched > 0)
     if (changed.isEmpty) {
       StrawCommitProtocol.sweepStaged(dir, jobId)
@@ -295,11 +299,12 @@ object StrawUpdate {
   private def updateCopyOnWrite(spark: SparkSession, dir: String, jobId: String,
       schema: StructType, candidates: Seq[MaintenanceOps.Candidate],
       filters: Array[Filter], assigns: Seq[MaintenanceOps.Assign], pruned: Int,
-      opts: WriteOptions): UpdateResult = {
+      opts: WriteOptions,
+      checker: StrawConstraints.RowChecker = null): UpdateResult = {
     // shared distributed-rewrite scaffolding: matching rows pass through
     // the assignments, everything else is byte-identical
     val rewrites = MaintenanceOps.rewriteMatching(spark, dir, jobId, schema,
-      candidates, filters, assigns = Some(assigns), opts)
+      candidates, filters, assigns = Some(assigns), opts, checkUpdated = checker)
 
     val f = StrawIO.fs(dir)
     val (changed, untouched) = rewrites.partition(_.matched > 0)

@@ -1380,10 +1380,16 @@ class StrawWriteBuilder(path: String, schema: StructType, opts: WriteOptions,
 
   override def build(): Write = new Write {
     validated()
+    // CHECK constraints bind on the driver against THIS write's schema —
+    // a constraint whose columns the write lacks fails the job up front;
+    // truncate keeps the table's constraints (metadata survives data
+    // replacement — drop the constraint first to overwrite past it)
+    private val checker = StrawConstraints.checkerFor(
+      org.apache.spark.sql.SparkSession.active, path, schema).orNull
     override def toBatch: BatchWrite =
-      new StrawBatchWrite(path, schema, doTruncate, opts, partitionCol)
+      new StrawBatchWrite(path, schema, doTruncate, opts, partitionCol, checker)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new StrawStreamingWrite(path, schema, opts, partitionCol, queryId)
+      new StrawStreamingWrite(path, schema, opts, partitionCol, queryId, checker)
   }
 }
 
@@ -1463,7 +1469,8 @@ object StrawCommitProtocol {
 }
 
 class StrawBatchWrite(path: String, schema: StructType, truncate: Boolean,
-    opts: WriteOptions, partitionCol: Option[String] = None)
+    opts: WriteOptions, partitionCol: Option[String] = None,
+    checker: StrawConstraints.RowChecker = null)
   extends BatchWrite {
   // captured on the driver before any task writes, so truncate-on-commit
   // removes exactly the pre-existing generation of files
@@ -1472,7 +1479,8 @@ class StrawBatchWrite(path: String, schema: StructType, truncate: Boolean,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new StrawDataWriterFactory(path, schema, opts, jobId,
-      new org.apache.spark.util.SerializableConfiguration(StrawIO.conf), partitionCol)
+      new org.apache.spark.util.SerializableConfiguration(StrawIO.conf), partitionCol,
+      checker)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val staged = messages.flatMap { case StrawCommitMessage(fs) => fs }.toSeq
@@ -1552,11 +1560,13 @@ class StrawBatchWrite(path: String, schema: StructType, truncate: Boolean,
 class StrawDataWriterFactory(path: String, schema: StructType, opts: WriteOptions,
     jobId: String,
     serConf: org.apache.spark.util.SerializableConfiguration,
-    partitionCol: Option[String] = None)
+    partitionCol: Option[String] = None,
+    checker: StrawConstraints.RowChecker = null)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     StrawIO.install(serConf.value)
-    new StrawDataWriter(path, schema, partitionId, taskId, opts, jobId, partitionCol)
+    new StrawDataWriter(path, schema, partitionId, taskId, opts, jobId, partitionCol,
+      checker)
   }
 }
 
@@ -1571,7 +1581,8 @@ class StrawDataWriterFactory(path: String, schema: StructType, opts: WriteOption
   * extracted from the incoming row eagerly, so Spark's UnsafeRow buffer
   * reuse is safe. */
 class StrawDataWriter(dir: String, schema: StructType, partitionId: Int, taskId: Long,
-    opts: WriteOptions, jobId: String, partitionCol: Option[String] = None)
+    opts: WriteOptions, jobId: String, partitionCol: Option[String] = None,
+    checker: StrawConstraints.RowChecker = null)
   extends DataWriter[InternalRow] {
   private val fsys = StrawIO.fs(dir)
   locally { fsys.mkdirs(new Path(dir)) }
@@ -1617,6 +1628,7 @@ class StrawDataWriter(dir: String, schema: StructType, partitionId: Int, taskId:
   }
 
   override def write(row: InternalRow): Unit = {
+    if (checker != null) checker.validate(row)
     val subdir = subdirOf(row)
     val st = parts.getOrElseUpdate(subdir, new PartState)
     st.writer.write(row)

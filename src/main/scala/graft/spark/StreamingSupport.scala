@@ -463,13 +463,14 @@ class StrawMicroBatchStream(path: String, fullSchema: StructType,
 case class StrawStreamingWriterFactory(path: String, schema: StructType,
     opts: graft.format.WriteOptions, jobId: String,
     serConf: org.apache.spark.util.SerializableConfiguration,
-    partitionCol: Option[String])
+    partitionCol: Option[String],
+    checker: StrawConstraints.RowChecker = null)
   extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] = {
     StrawIO.install(serConf.value)
     new StrawDataWriter(path, schema, partitionId, taskId + epochId * 100000L,
-      opts, jobId, partitionCol)
+      opts, jobId, partitionCol, checker)
   }
 }
 
@@ -489,7 +490,8 @@ case class StrawStreamingWriterFactory(path: String, schema: StructType,
   * dead-task debris of the same epoch. */
 class StrawStreamingWrite(path: String, schema: StructType,
     opts: graft.format.WriteOptions, partitionCol: Option[String] = None,
-    queryId: String = "none")
+    queryId: String = "none",
+    checker: StrawConstraints.RowChecker = null)
   extends StreamingWrite {
   private val jobId = java.util.UUID.randomUUID().toString.take(8)
 
@@ -498,7 +500,8 @@ class StrawStreamingWrite(path: String, schema: StructType,
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     StrawStreamingWriterFactory(path, schema, opts, jobId,
-      new org.apache.spark.util.SerializableConfiguration(StrawIO.conf), partitionCol)
+      new org.apache.spark.util.SerializableConfiguration(StrawIO.conf), partitionCol,
+      checker)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val f = StrawIO.fs(path)

@@ -124,6 +124,37 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(msgs(e).exists(_.contains("zOrder")))
   }
 
+  test("constraint lifecycle runs from plain SQL: add, list, enforce, drop") {
+    val sp = spark; import sp.implicits._
+    val out = java.nio.file.Files.createTempDirectory("extsconstraint").toString
+    (0L until 50L).map(i => (i, s"r$i")).toDF("id", "s")
+      .coalesce(1).write.format("strawboat").mode("overwrite").save(out)
+    val added = spark.sql(
+      s"SELECT version, name, expression FROM straw_add_constraint('$out', 'id_small', 'id < 100')")
+      .collect()(0)
+    assert(added.getLong(0) == 2L && added.getString(1) == "id_small" &&
+      added.getString(2) == "id < 100")
+    val listed = spark.sql(
+      s"SELECT name, expression FROM straw_constraints('$out')").collect()
+    assert(listed.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("id_small", "id < 100")))
+    val e = intercept[Exception] {
+      (100L until 105L).map(i => (i, s"r$i")).toDF("id", "s")
+        .write.format("strawboat").mode("append").save(out)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("CHECK constraint")))
+    val dropped = spark.sql(
+      s"SELECT version, name FROM straw_drop_constraint('$out', 'id_small')")
+      .collect()(0)
+    assert(dropped.getLong(0) == 3L && dropped.getString(1) == "id_small")
+    assert(spark.sql(s"SELECT * FROM straw_constraints('$out')").collect().isEmpty)
+    (100L until 105L).map(i => (i, s"r$i")).toDF("id", "s")
+      .write.format("strawboat").mode("append").save(out)
+    assert(spark.read.format("strawboat").load(out).count() == 55L)
+  }
+
   test("hyperplane buckets reject non-integer config args with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT hyperplane_buckets(array(1.0D), 'abc', 4, 2, 42L)")
