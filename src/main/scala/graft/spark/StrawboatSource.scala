@@ -8,7 +8,8 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, Transform, SortOrder => V2SortOrder}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
@@ -370,9 +371,29 @@ class StrawboatTable(path: String, val schemaArg: StructType)
         s"strawboat: partitionBy column '$c' has unsupported type ${fld.dataType} " +
           "(supported: string, int, long, short, byte, boolean)")
     }
+    // clustered-write surface: `sortBy` (comma list) adds a task-local sort
+    // so pages land with tight, mostly disjoint zone maps (and sorted runs
+    // the delta-bitpacking codec exploits); `distribute` overrides the
+    // clustering columns ("none" opts out — e.g. tests that deliberately
+    // fabricate many small files per partition)
+    def cols(opt: String): Seq[String] =
+      Option(info.options().get(opt)).toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val sortBy = cols("sortBy")
+    val distribute = Option(info.options().get("distribute")).map(_.trim) match {
+      case Some(v) if v.equalsIgnoreCase("none") => Seq.empty
+      case Some(_) => cols("distribute")
+      case None => partitionCol.toSeq
+    }
+    (sortBy ++ distribute).foreach { c =>
+      require(info.schema().fieldNames.contains(c),
+        s"strawboat: sortBy/distribute column '$c' not in schema " +
+          info.schema().fieldNames.mkString(","))
+    }
     new StrawWriteBuilder(path, info.schema(), StrawWriteOptions.parse(info.options()),
       partitionCol, info.queryId(),
-      Option(info.options().get("mergeSchema")).exists(_.toBoolean))
+      Option(info.options().get("mergeSchema")).exists(_.toBoolean),
+      sortBy, distribute)
   }
 }
 
@@ -384,6 +405,8 @@ class StrawboatTable(path: String, val schemaArg: StructType)
   *   .option("maxPageSize", "16384")  // rows per page
   *   .option("targetFileBytes", "268435456")
   *   .option("adaptive", "false")     // disable the per-page codec chooser
+  *   .option("sortBy", "l_shipdate")  // task-local sort → tight zone maps
+  *   .option("distribute", "none")    // opt out of write-side clustering
   * }}}
   */
 object StrawWriteOptions {
@@ -1364,7 +1387,8 @@ object StrawSchemaResolver {
 
 class StrawWriteBuilder(path: String, schema: StructType, opts: WriteOptions,
     partitionCol: Option[String] = None, queryId: String = "none",
-    mergeSchema: Boolean = false)
+    mergeSchema: Boolean = false, sortBy: Seq[String] = Seq.empty,
+    distribute: Seq[String] = Seq.empty)
   extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
@@ -1378,7 +1402,23 @@ class StrawWriteBuilder(path: String, schema: StructType, opts: WriteOptions,
       StrawSchemaResolver.tableSchemaOf(path).foreach(table =>
         StrawSchemaResolver.validateAppend(path, table, schema, mergeSchema))
 
-  override def build(): Write = new Write {
+  // partition column first in the write-side ordering: rows then arrive
+  // GROUPED by partition value, so a task holds one open file writer at a
+  // time instead of one per live value (bounded memory at high fan-out)
+  private def orderingCols: Seq[String] =
+    if (sortBy.isEmpty && distribute.isEmpty) Seq.empty
+    else (partitionCol.toSeq ++ sortBy.filterNot(partitionCol.contains)).distinct
+
+  /** Write-side distribution & ordering, the anti-small-files story at
+    * scale: a hive-partitioned write from an N-task stage would otherwise
+    * emit up to N files PER partition value. The clustered distribution is
+    * non-strict, so Spark satisfies it with a `RebalancePartitions` — AQE
+    * coalesces undersized shuffle partitions and SPLITS skewed ones (a hot
+    * partition value does not serialize into one task), with
+    * [[WriteOptions.targetFileBytes]] as the advisory partition size so
+    * shuffle partitions are born file-sized. Opt out per write with
+    * `.option("distribute", "none")`. */
+  override def build(): Write = new Write with RequiresDistributionAndOrdering {
     validated()
     // CHECK constraints bind on the driver against THIS write's schema —
     // a constraint whose columns the write lacks fails the job up front;
@@ -1386,10 +1426,24 @@ class StrawWriteBuilder(path: String, schema: StructType, opts: WriteOptions,
     // replacement — drop the constraint first to overwrite past it)
     private val checker = StrawConstraints.checkerFor(
       org.apache.spark.sql.SparkSession.active, path, schema).orNull
+    override def requiredDistribution(): Distribution =
+      if (distribute.isEmpty) Distributions.unspecified()
+      else Distributions.clustered(
+        distribute.map(c => Expressions.identity(c))
+          .toArray[org.apache.spark.sql.connector.expressions.Expression])
+    override def distributionStrictlyRequired(): Boolean = false
+    override def advisoryPartitionSizeInBytes(): Long =
+      if (distribute.isEmpty) 0L else opts.targetFileBytes
+    override def requiredOrdering(): Array[V2SortOrder] =
+      orderingCols.map(c =>
+        Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+    private def ordered: Boolean = orderingCols.headOption == partitionCol
     override def toBatch: BatchWrite =
-      new StrawBatchWrite(path, schema, doTruncate, opts, partitionCol, checker)
+      new StrawBatchWrite(path, schema, doTruncate, opts, partitionCol, checker,
+        ordered)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new StrawStreamingWrite(path, schema, opts, partitionCol, queryId, checker)
+      new StrawStreamingWrite(path, schema, opts, partitionCol, queryId, checker,
+        ordered)
   }
 }
 
@@ -1470,7 +1524,7 @@ object StrawCommitProtocol {
 
 class StrawBatchWrite(path: String, schema: StructType, truncate: Boolean,
     opts: WriteOptions, partitionCol: Option[String] = None,
-    checker: StrawConstraints.RowChecker = null)
+    checker: StrawConstraints.RowChecker = null, ordered: Boolean = false)
   extends BatchWrite {
   // captured on the driver before any task writes, so truncate-on-commit
   // removes exactly the pre-existing generation of files
@@ -1480,7 +1534,7 @@ class StrawBatchWrite(path: String, schema: StructType, truncate: Boolean,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new StrawDataWriterFactory(path, schema, opts, jobId,
       new org.apache.spark.util.SerializableConfiguration(StrawIO.conf), partitionCol,
-      checker)
+      checker, ordered)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val staged = messages.flatMap { case StrawCommitMessage(fs) => fs }.toSeq
@@ -1561,12 +1615,12 @@ class StrawDataWriterFactory(path: String, schema: StructType, opts: WriteOption
     jobId: String,
     serConf: org.apache.spark.util.SerializableConfiguration,
     partitionCol: Option[String] = None,
-    checker: StrawConstraints.RowChecker = null)
+    checker: StrawConstraints.RowChecker = null, ordered: Boolean = false)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     StrawIO.install(serConf.value)
     new StrawDataWriter(path, schema, partitionId, taskId, opts, jobId, partitionCol,
-      checker)
+      checker, ordered)
   }
 }
 
@@ -1582,7 +1636,7 @@ class StrawDataWriterFactory(path: String, schema: StructType, opts: WriteOption
   * reuse is safe. */
 class StrawDataWriter(dir: String, schema: StructType, partitionId: Int, taskId: Long,
     opts: WriteOptions, jobId: String, partitionCol: Option[String] = None,
-    checker: StrawConstraints.RowChecker = null)
+    checker: StrawConstraints.RowChecker = null, ordered: Boolean = false)
   extends DataWriter[InternalRow] {
   private val fsys = StrawIO.fs(dir)
   locally { fsys.mkdirs(new Path(dir)) }
@@ -1595,8 +1649,13 @@ class StrawDataWriter(dir: String, schema: StructType, partitionId: Int, taskId:
     var fileIdx = 0
   }
   private val parts = scala.collection.mutable.LinkedHashMap.empty[String, PartState]
+  private var currentSubdir: String = null
   private var rowsSinceCheck = 0
   private val files = ArrayBuffer.empty[String]
+
+  /** Live partition buffers — the write-side memory footprint. With the
+    * clustered+ordered write path this stays at 1. */
+  private[spark] def openPartitions: Int = parts.size
 
   private def subdirOf(row: InternalRow): String = partIdx match {
     case None => ""
@@ -1630,6 +1689,14 @@ class StrawDataWriter(dir: String, schema: StructType, partitionId: Int, taskId:
   override def write(row: InternalRow): Unit = {
     if (checker != null) checker.validate(row)
     val subdir = subdirOf(row)
+    // ordered mode: the plan sorts by the partition column, so values
+    // arrive grouped — a value change means the previous buffer is final;
+    // flush and drop it so memory stays one open writer regardless of how
+    // many values the task holds. (If a row ever arrives out of order the
+    // value simply re-opens: extra file, same rows — never wrong.)
+    if (ordered && currentSubdir != null && subdir != currentSubdir)
+      parts.remove(currentSubdir).foreach(st => roll(currentSubdir, st))
+    currentSubdir = subdir
     val st = parts.getOrElseUpdate(subdir, new PartState)
     st.writer.write(row)
     rowsSinceCheck += 1

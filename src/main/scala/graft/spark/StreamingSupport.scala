@@ -464,13 +464,13 @@ case class StrawStreamingWriterFactory(path: String, schema: StructType,
     opts: graft.format.WriteOptions, jobId: String,
     serConf: org.apache.spark.util.SerializableConfiguration,
     partitionCol: Option[String],
-    checker: StrawConstraints.RowChecker = null)
+    checker: StrawConstraints.RowChecker = null, ordered: Boolean = false)
   extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] = {
     StrawIO.install(serConf.value)
     new StrawDataWriter(path, schema, partitionId, taskId + epochId * 100000L,
-      opts, jobId, partitionCol, checker)
+      opts, jobId, partitionCol, checker, ordered)
   }
 }
 
@@ -491,7 +491,7 @@ case class StrawStreamingWriterFactory(path: String, schema: StructType,
 class StrawStreamingWrite(path: String, schema: StructType,
     opts: graft.format.WriteOptions, partitionCol: Option[String] = None,
     queryId: String = "none",
-    checker: StrawConstraints.RowChecker = null)
+    checker: StrawConstraints.RowChecker = null, ordered: Boolean = false)
   extends StreamingWrite {
   private val jobId = java.util.UUID.randomUUID().toString.take(8)
 
@@ -501,7 +501,7 @@ class StrawStreamingWrite(path: String, schema: StructType,
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     StrawStreamingWriterFactory(path, schema, opts, jobId,
       new org.apache.spark.util.SerializableConfiguration(StrawIO.conf), partitionCol,
-      checker)
+      checker, ordered)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val f = StrawIO.fs(path)
