@@ -909,6 +909,49 @@ object SparkEntry {
           col(graft.spark.StrawChanges.CommitVersionCol))
         .orderBy(col("doc_id"))
     }),
+    "q_stream_cdf" -> ((s, d) => {
+      // streaming CDC (ChangeFeedMicroBatchStream): drain the deleted-
+      // documents fixture's change feed from version 1 via AvailableNow
+      // micro-batches (paced to 1 task/trigger), land the raw change rows
+      // in a sink, then reconstruct the table's net state from the FEED
+      // ALONE — inserts minus retractions. The oracle is the delete's
+      // survivors over the original parquet: a green row proves the
+      // streamed feed carries exactly the information a downstream
+      // replica needs, retractions included (the append-only table
+      // stream cannot express them).
+      val src = delTable(s, d)
+      val sink = src + "_cdcsink"
+      val ckpt = src + "_cdcckpt"
+      val marker = new java.io.File(sink, "_STREAMED")
+      if (!marker.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) { val c = f.listFiles; if (c != null) c.foreach(rm) }
+          f.delete(): Unit
+        }
+        rm(new java.io.File(sink)); rm(new java.io.File(ckpt))
+        val q = s.readStream.format("strawboat")
+          .option("readChangeFeed", "true")
+          .option("startingVersion", "1")
+          .option("maxFilesPerTrigger", "1")
+          .load(src)
+          .writeStream.format("parquet")
+          .option("path", sink)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000),
+          "q_stream_cdf: AvailableNow drain timed out — not marking the sink complete")
+        marker.createNewFile()
+      }
+      val delta = when(col(graft.spark.StrawChanges.ChangeTypeCol)
+        .isin("insert", "update_postimage"), 1).otherwise(-1)
+      s.read.parquet(sink)
+        .groupBy(col("doc_id"), col("lang"), col("n_chars"))
+        .agg(sum(delta).as("net"))
+        .filter(col("net") > 0)
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("int").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     "q_schema_evolution" -> ((s, d) => {
       // declared schema evolution on append (mergeSchema=true): generation
       // 1 carries (doc_id, lang) for even doc_ids, generation 2 appends
@@ -1516,6 +1559,10 @@ object SparkEntry {
       """SELECT doc_id, lang, CAST(n_chars AS INTEGER) AS n_chars,
         |  'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
         |FROM documents WHERE n_chars < 200 ORDER BY doc_id""".stripMargin,
+    "q_stream_cdf" -> // net state reconstructed from the streamed feed
+      """SELECT doc_id, lang, CAST(n_chars AS INTEGER) AS n_chars
+        |FROM documents WHERE n_chars >= 200 OR n_chars IS NULL
+        |ORDER BY doc_id""".stripMargin,
     "q_schema_evolution" -> // gen-1 rows null-fill the column gen-2 added
       """SELECT doc_id, lang,
         |  CASE WHEN doc_id % 2 <> 0 THEN CAST(n_chars AS INTEGER) END AS n_chars

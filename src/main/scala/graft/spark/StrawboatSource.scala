@@ -86,8 +86,10 @@ class StrawboatDataSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val dir = properties.get("path")
-    StrawChanges.resolveRange(dir, new CaseInsensitiveStringMap(properties))
-      .foreach { case (from, to) => return new ChangeFeedTable(dir, from, to) }
+    val opts = new CaseInsensitiveStringMap(properties)
+    StrawChanges.resolveRange(dir, opts)
+      .foreach { case (from, to) => return new ChangeFeedTable(dir, from, to,
+        bounded = opts.get("endingVersion") != null) }
     new StrawboatTable(dir, schema)
   }
 }
