@@ -174,6 +174,37 @@ object StrawSqlSurface {
       Seq(org.apache.spark.sql.catalyst.InternalRow(n)))
   }
 
+  val ChangesName = "straw_changes"
+
+  /** `straw_changes('<path>', <from>[, <to>])`: the change data feed as a
+    * RELATION — the distributed [[ChangeFeedScan]], never collected to the
+    * driver (unlike the metadata TVFs above, this one can be table-sized).
+    * {{{
+    * SELECT * FROM straw_changes('/data/t', 2)        -- through latest
+    * SELECT * FROM straw_changes('/data/t', 2, 5)     -- pinned range
+    * }}} */
+  def changesBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 2 || args.length == 3,
+      s"$ChangesName expects (table path string, from version[, to version])")
+    require(args.forall(_.foldable) && args.head.dataType == StringType,
+      s"$ChangesName expects literal arguments (path string, integer versions)")
+    val empty = org.apache.spark.sql.catalyst.InternalRow.empty
+    val path = args.head.eval(empty)
+    require(path != null, s"$ChangesName: path must not be null")
+    def ver(i: Int): Long = {
+      val v = args(i).eval(empty)
+      require(v != null, s"$ChangesName: version must not be null")
+      v.asInstanceOf[Number].longValue()
+    }
+    val spark = org.apache.spark.sql.SparkSession.active
+    val reader = spark.read.format("strawboat")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", ver(1).toString)
+    val df = (if (args.length == 3) reader.option("endingVersion", ver(2).toString)
+      else reader).load(path.toString)
+    df.queryExecution.analyzed
+  }
+
   val ConstraintsName = "straw_constraints"
 
   /** `straw_constraints('<path>')`: the table's live CHECK constraints as
@@ -330,6 +361,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[StrawCompaction.CompactionResult].getName,
         StrawSqlSurface.CompactName),
       StrawSqlSurface.compactBuilder _))
+    extensions.injectTableFunction((
+      FunctionIdentifier(StrawSqlSurface.ChangesName),
+      new ExpressionInfo(classOf[StrawChanges.ChangeTask].getName,
+        StrawSqlSurface.ChangesName),
+      StrawSqlSurface.changesBuilder _))
     extensions.injectTableFunction((
       FunctionIdentifier(StrawSqlSurface.ConstraintsName),
       new ExpressionInfo(classOf[StrawConstraints.Constraint].getName,

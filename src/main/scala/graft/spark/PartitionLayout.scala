@@ -34,18 +34,37 @@ object PartitionLayout {
     else Some(java.net.URLDecoder.decode(raw, "UTF-8"))
 
   /** (column, decodedValueOrNull) from the file's parent directory, if that
-    * directory is a `col=value` segment. */
-  def partitionOf(file: String): Option[(String, Option[String])] = {
-    val parent = new org.apache.hadoop.fs.Path(file).getParent
-    if (parent == null) None
-    else {
-      val seg = parent.getName
-      val eq = seg.indexOf('=')
-      if (eq <= 0) None
-      else
-        try Some((seg.substring(0, eq), decode(seg.substring(eq + 1))))
-        catch { case _: IllegalArgumentException => None }
+    * directory is a `col=value` segment — the INNERMOST level of a (possibly
+    * multi-level) layout. */
+  def partitionOf(file: String): Option[(String, Option[String])] =
+    segmentOf(new org.apache.hadoop.fs.Path(file).getParent)
+
+  private def segmentOf(dir: org.apache.hadoop.fs.Path)
+      : Option[(String, Option[String])] = {
+    if (dir == null) return None
+    val seg = dir.getName
+    val eq = seg.indexOf('=')
+    if (eq <= 0) None
+    else
+      try Some((seg.substring(0, eq), decode(seg.substring(eq + 1))))
+      catch { case _: IllegalArgumentException => None }
+  }
+
+  /** EVERY `col=value` ancestor segment of the file, outer→inner — the full
+    * key of a multi-level layout (`.../date=D/hour=H/part-*.strb` yields
+    * `Seq(date -> D, hour -> H)`). The walk stops at the first ancestor that
+    * is not a partition segment, so a partitioned table nested under a
+    * `key=value`-looking data directory cannot capture foreign segments. */
+  def partitionsOf(file: String): Seq[(String, Option[String])] = {
+    var out = List.empty[(String, Option[String])]
+    var dir = new org.apache.hadoop.fs.Path(file).getParent
+    var seg = segmentOf(dir)
+    while (seg.isDefined) {
+      out = seg.get :: out
+      dir = dir.getParent
+      seg = segmentOf(dir)
     }
+    out
   }
 
   /** Typed equality between the directory's string value and a filter
@@ -94,15 +113,16 @@ object PartitionLayout {
     pruneBy(files, schema, filters)(identity)
 
   /** [[prune]] over any carrier of a file path (e.g. listing entries that
-    * also hold the footer-cache version key). */
+    * also hold the footer-cache version key). Every partition level the
+    * file sits under constrains it: a filter provably contradicted at ANY
+    * level eliminates the file. */
   def pruneBy[T](items: Seq[T], schema: StructType, filters: Array[Filter])
       (pathOf: T => String): Seq[T] =
     if (filters.isEmpty) items
     else items.filter { it =>
-      partitionOf(pathOf(it)) match {
-        case Some((col, value)) if schema.fieldNames.contains(col) =>
-          filters.forall(mayMatch(schema, col, value, _))
-        case _ => true
-      }
+      val segs = partitionsOf(pathOf(it))
+        .filter { case (col, _) => schema.fieldNames.contains(col) }
+      filters.forall(f =>
+        segs.forall { case (col, value) => mayMatch(schema, col, value, f) })
     }
 }

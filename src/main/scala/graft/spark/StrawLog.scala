@@ -842,7 +842,10 @@ object StrawLog {
     val ld = logDir(table)
     val (commits, _) = listVersions(f, ld)
     val qdir = StrawIO.fs(table).makeQualified(new Path(table)).toString
-    commits.toSeq.sortBy(-_._1).map { case (v, (mtime, _)) =>
+    // parallel small reads: the audit is O(retained versions) commit files,
+    // bounded by vacuumLog — fan the IO out rather than serialize a long
+    // streaming-sink history on the driver
+    StrawIO.mapParallel(commits.toSeq.sortBy(-_._1)) { case (v, (mtime, _)) =>
       (try parseActions(readLines(f, commitPath(ld, v)), qdir)
       catch { case scala.util.control.NonFatal(_) => None }) match {
         case Some(a) =>

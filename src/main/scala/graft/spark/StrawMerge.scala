@@ -286,12 +286,13 @@ object StrawMerge {
       srcAligned.filter(filterFn)
     }
     // hive-partitioned targets route inserted rows into their value
-    // directories, preserving the layout and its pruning
-    val partitionCol: Option[String] = listed
-      .flatMap(lf => PartitionLayout.partitionOf(lf.meta.path).map(_._1))
+    // directories, preserving the (possibly multi-level) layout and its
+    // pruning — every existing file must agree on the column sequence
+    val partitionCols: Seq[String] = listed
+      .map(lf => PartitionLayout.partitionsOf(lf.meta.path).map(_._1))
       .distinct match {
-      case Seq(one) => Some(one)
-      case _ => None
+      case Seq(one) => one
+      case _ => Seq.empty
     }
     val schemaJson = schema.json
     // every row this phase writes is NEW data (inserts and replaced
@@ -304,7 +305,7 @@ object StrawMerge {
         val s = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
           .asInstanceOf[StructType]
         val writer = new StrawDataWriter(dir, s, pid, pid.toLong, optsB, jobId,
-          partitionCol, checker)
+          partitionCols, checker)
         var ok = false
         try {
           rows.foreach(writer.write)

@@ -360,8 +360,13 @@ class StrawboatTable(path: String, val schemaArg: StructType)
       TimeTravel.resolveAsOf(path, options))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    val partitionCol = Option(info.options().get("partitionBy"))
-    partitionCol.foreach { c =>
+    // comma list = multi-level layout, outer→inner: partitionBy "date,hour"
+    // writes date=D/hour=H/part-*.strb — the canonical time-series shape
+    val partitionCols = Option(info.options().get("partitionBy")).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    require(partitionCols.distinct.size == partitionCols.size,
+      s"strawboat: partitionBy lists a column twice: ${partitionCols.mkString(",")}")
+    partitionCols.foreach { c =>
       val fld = info.schema().fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
           s"strawboat: partitionBy column '$c' not in schema ${info.schema().fieldNames.mkString(",")}"))
@@ -385,7 +390,7 @@ class StrawboatTable(path: String, val schemaArg: StructType)
     val distribute = Option(info.options().get("distribute")).map(_.trim) match {
       case Some(v) if v.equalsIgnoreCase("none") => Seq.empty
       case Some(_) => cols("distribute")
-      case None => partitionCol.toSeq
+      case None => partitionCols
     }
     (sortBy ++ distribute).foreach { c =>
       require(info.schema().fieldNames.contains(c),
@@ -393,7 +398,7 @@ class StrawboatTable(path: String, val schemaArg: StructType)
           info.schema().fieldNames.mkString(","))
     }
     new StrawWriteBuilder(path, info.schema(), StrawWriteOptions.parse(info.options()),
-      partitionCol, info.queryId(),
+      partitionCols, info.queryId(),
       Option(info.options().get("mergeSchema")).exists(_.toBoolean),
       sortBy, distribute)
   }
@@ -958,7 +963,7 @@ object StrawScan {
       case _ => return false
     }
     files.nonEmpty && files.forall(p =>
-      PartitionLayout.partitionOf(p).exists(_._1 == attr))
+      PartitionLayout.partitionsOf(p).exists(_._1 == attr))
   }
 }
 
@@ -1388,7 +1393,7 @@ object StrawSchemaResolver {
 // ---------------------------------------------------------------------------
 
 class StrawWriteBuilder(path: String, schema: StructType, opts: WriteOptions,
-    partitionCol: Option[String] = None, queryId: String = "none",
+    partitionCols: Seq[String] = Seq.empty, queryId: String = "none",
     mergeSchema: Boolean = false, sortBy: Seq[String] = Seq.empty,
     distribute: Seq[String] = Seq.empty)
   extends WriteBuilder with SupportsTruncate {
@@ -1404,12 +1409,12 @@ class StrawWriteBuilder(path: String, schema: StructType, opts: WriteOptions,
       StrawSchemaResolver.tableSchemaOf(path).foreach(table =>
         StrawSchemaResolver.validateAppend(path, table, schema, mergeSchema))
 
-  // partition column first in the write-side ordering: rows then arrive
+  // partition columns first in the write-side ordering: rows then arrive
   // GROUPED by partition value, so a task holds one open file writer at a
   // time instead of one per live value (bounded memory at high fan-out)
   private def orderingCols: Seq[String] =
     if (sortBy.isEmpty && distribute.isEmpty) Seq.empty
-    else (partitionCol.toSeq ++ sortBy.filterNot(partitionCol.contains)).distinct
+    else (partitionCols ++ sortBy.filterNot(partitionCols.contains)).distinct
 
   /** Write-side distribution & ordering, the anti-small-files story at
     * scale: a hive-partitioned write from an N-task stage would otherwise
@@ -1439,12 +1444,13 @@ class StrawWriteBuilder(path: String, schema: StructType, opts: WriteOptions,
     override def requiredOrdering(): Array[V2SortOrder] =
       orderingCols.map(c =>
         Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
-    private def ordered: Boolean = orderingCols.headOption == partitionCol
+    private def ordered: Boolean =
+      partitionCols.nonEmpty && orderingCols.startsWith(partitionCols)
     override def toBatch: BatchWrite =
-      new StrawBatchWrite(path, schema, doTruncate, opts, partitionCol, checker,
+      new StrawBatchWrite(path, schema, doTruncate, opts, partitionCols, checker,
         ordered)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new StrawStreamingWrite(path, schema, opts, partitionCol, queryId, checker,
+      new StrawStreamingWrite(path, schema, opts, partitionCols, queryId, checker,
         ordered)
   }
 }
@@ -1525,7 +1531,7 @@ object StrawCommitProtocol {
 }
 
 class StrawBatchWrite(path: String, schema: StructType, truncate: Boolean,
-    opts: WriteOptions, partitionCol: Option[String] = None,
+    opts: WriteOptions, partitionCols: Seq[String] = Seq.empty,
     checker: StrawConstraints.RowChecker = null, ordered: Boolean = false)
   extends BatchWrite {
   // captured on the driver before any task writes, so truncate-on-commit
@@ -1535,7 +1541,7 @@ class StrawBatchWrite(path: String, schema: StructType, truncate: Boolean,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new StrawDataWriterFactory(path, schema, opts, jobId,
-      new org.apache.spark.util.SerializableConfiguration(StrawIO.conf), partitionCol,
+      new org.apache.spark.util.SerializableConfiguration(StrawIO.conf), partitionCols,
       checker, ordered)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -1616,12 +1622,12 @@ class StrawBatchWrite(path: String, schema: StructType, truncate: Boolean,
 class StrawDataWriterFactory(path: String, schema: StructType, opts: WriteOptions,
     jobId: String,
     serConf: org.apache.spark.util.SerializableConfiguration,
-    partitionCol: Option[String] = None,
+    partitionCols: Seq[String] = Seq.empty,
     checker: StrawConstraints.RowChecker = null, ordered: Boolean = false)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     StrawIO.install(serConf.value)
-    new StrawDataWriter(path, schema, partitionId, taskId, opts, jobId, partitionCol,
+    new StrawDataWriter(path, schema, partitionId, taskId, opts, jobId, partitionCols,
       checker, ordered)
   }
 }
@@ -1637,13 +1643,13 @@ class StrawDataWriterFactory(path: String, schema: StructType, opts: WriteOption
   * extracted from the incoming row eagerly, so Spark's UnsafeRow buffer
   * reuse is safe. */
 class StrawDataWriter(dir: String, schema: StructType, partitionId: Int, taskId: Long,
-    opts: WriteOptions, jobId: String, partitionCol: Option[String] = None,
+    opts: WriteOptions, jobId: String, partitionCols: Seq[String] = Seq.empty,
     checker: StrawConstraints.RowChecker = null, ordered: Boolean = false)
   extends DataWriter[InternalRow] {
   private val fsys = StrawIO.fs(dir)
   locally { fsys.mkdirs(new Path(dir)) }
   private val uuid = UUID.randomUUID().toString.take(8)
-  private val partIdx = partitionCol.map(schema.fieldIndex)
+  private val partIdx: Array[Int] = partitionCols.map(schema.fieldIndex).toArray
   private val partDt = partIdx.map(schema.fields(_).dataType)
 
   private final class PartState {
@@ -1659,15 +1665,22 @@ class StrawDataWriter(dir: String, schema: StructType, partitionId: Int, taskId:
     * clustered+ordered write path this stays at 1. */
   private[spark] def openPartitions: Int = parts.size
 
-  private def subdirOf(row: InternalRow): String = partIdx match {
-    case None => ""
-    case Some(i) =>
-      val col = partitionCol.get
-      val enc =
-        if (row.isNullAt(i)) PartitionLayout.NullDir
-        else PartitionLayout.encode(row.get(i, partDt.get).toString)
-      s"$col=$enc"
-  }
+  private def subdirOf(row: InternalRow): String =
+    if (partIdx.isEmpty) ""
+    else {
+      val sb = new StringBuilder
+      var k = 0
+      while (k < partIdx.length) {
+        if (k > 0) sb.append('/')
+        val i = partIdx(k)
+        val enc =
+          if (row.isNullAt(i)) PartitionLayout.NullDir
+          else PartitionLayout.encode(row.get(i, partDt(k)).toString)
+        sb.append(partitionCols(k)).append('=').append(enc)
+        k += 1
+      }
+      sb.toString
+    }
 
   private def roll(subdir: String, st: PartState): Unit = {
     if (st.writer.numRows > 0) {

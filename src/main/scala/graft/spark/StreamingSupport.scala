@@ -463,14 +463,14 @@ class StrawMicroBatchStream(path: String, fullSchema: StructType,
 case class StrawStreamingWriterFactory(path: String, schema: StructType,
     opts: graft.format.WriteOptions, jobId: String,
     serConf: org.apache.spark.util.SerializableConfiguration,
-    partitionCol: Option[String],
+    partitionCols: Seq[String],
     checker: StrawConstraints.RowChecker = null, ordered: Boolean = false)
   extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] = {
     StrawIO.install(serConf.value)
     new StrawDataWriter(path, schema, partitionId, taskId + epochId * 100000L,
-      opts, jobId, partitionCol, checker, ordered)
+      opts, jobId, partitionCols, checker, ordered)
   }
 }
 
@@ -489,7 +489,7 @@ case class StrawStreamingWriterFactory(path: String, schema: StructType,
   * sweeping this job's staged leftovers at commit/abort only removes
   * dead-task debris of the same epoch. */
 class StrawStreamingWrite(path: String, schema: StructType,
-    opts: graft.format.WriteOptions, partitionCol: Option[String] = None,
+    opts: graft.format.WriteOptions, partitionCols: Seq[String] = Seq.empty,
     queryId: String = "none",
     checker: StrawConstraints.RowChecker = null, ordered: Boolean = false)
   extends StreamingWrite {
@@ -500,7 +500,7 @@ class StrawStreamingWrite(path: String, schema: StructType,
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     StrawStreamingWriterFactory(path, schema, opts, jobId,
-      new org.apache.spark.util.SerializableConfiguration(StrawIO.conf), partitionCol,
+      new org.apache.spark.util.SerializableConfiguration(StrawIO.conf), partitionCols,
       checker, ordered)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {

@@ -94,6 +94,30 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) AS c FROM tt_v1").collect()(0).getLong(0) == 50L)
   }
 
+  test("straw_changes serves the change feed from plain SQL, distributed") {
+    val sp = spark; import sp.implicits._
+    val out = java.nio.file.Files.createTempDirectory("extschanges").toString
+    (0L until 20L).map(i => (i, i % 4)).toDF("id", "b")
+      .coalesce(1).write.format("strawboat").mode("overwrite").save(out) // v1
+    import org.apache.spark.sql.sources.{Filter, LessThan}
+    StrawDelete.delete(spark, out, Seq(LessThan("id", 3L): Filter)): Unit // v2
+    val rows = spark.sql(
+      s"""SELECT id, _change_type, _commit_version
+         |FROM straw_changes('$out', 2) ORDER BY id""".stripMargin).collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      (0L until 3L).map(i => (i, "delete", 2L)))
+    // pinned range + aggregation over the feed
+    val counts = spark.sql(
+      s"""SELECT _change_type, count(*) AS c
+         |FROM straw_changes('$out', 1, 2) GROUP BY 1 ORDER BY 1""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(counts == Seq(("delete", 3L), ("insert", 20L)))
+    // the plan is the distributed change-feed scan, not a collected relation
+    val plan = spark.sql(s"SELECT * FROM straw_changes('$out', 1)")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("strawboat changes"), s"expected a ChangeFeedScan:\n$plan")
+  }
+
   test("straw_compact rewrites small files from plain SQL; re-resolution replays") {
     val sp = spark; import sp.implicits._
     val out = java.nio.file.Files.createTempDirectory("extscompact").toString

@@ -95,7 +95,7 @@ class WriteDistributionSpec extends AnyFunSuite with BeforeAndAfterAll {
       StructField("k", StringType), StructField("x", LongType)))
     val out = s"$dir/ordered-writer"
     val w = new StrawDataWriter(out, schema, 0, 0L, WriteOptions(), "job1",
-      partitionCol = Some("k"), ordered = true)
+      partitionCols = Seq("k"), ordered = true)
     for (k <- Seq("a", "b", "c"); i <- 0 until 10) {
       w.write(InternalRow(UTF8String.fromString(k), i.toLong))
       assert(w.openPartitions <= 1,
@@ -114,7 +114,7 @@ class WriteDistributionSpec extends AnyFunSuite with BeforeAndAfterAll {
       StructField("k", StringType), StructField("x", LongType)))
     val out = s"$dir/unordered-writer"
     val w = new StrawDataWriter(out, schema, 0, 0L, WriteOptions(), "job2",
-      partitionCol = Some("k"), ordered = false)
+      partitionCols = Seq("k"), ordered = false)
     for (i <- 0 until 10; k <- Seq("a", "b", "c")) // interleaved
       w.write(InternalRow(UTF8String.fromString(k), i.toLong))
     assert(w.openPartitions == 3)
@@ -151,5 +151,41 @@ class WriteDistributionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val back = spark.read.format("strawboat").load(out)
     assert(back.count() == 6000 && back.exceptAll(src).isEmpty)
+  }
+
+  test("multi-level partitionBy: nested layout, every level prunes, clustered") {
+    import org.apache.spark.sql.sources.{EqualTo, Filter}
+    val src = spark.range(0, 4000).select(
+      col("id"),
+      (col("id") % 2).cast("string").as("d"),
+      (col("id") % 3).cast("int").as("h"))
+      .repartition(8)
+    val out = s"$dir/multi"
+    src.write.format("strawboat").mode("overwrite")
+      .option("partitionBy", "d,h").save(out)
+    // nested dirs d=?/h=?, one clustered file per leaf
+    val byDir = strbFiles(out).groupBy(f =>
+      s"${f.getParentFile.getParentFile.getName}/${f.getParentFile.getName}")
+    assert(byDir.keySet ==
+      (for (d <- 0 to 1; h <- 0 to 2) yield s"d=$d/h=$h").toSet)
+    byDir.values.foreach(fs => assert(fs.size == 1))
+    // both levels prune before footer IO
+    val schema = spark.read.format("strawboat").load(out).schema
+    def planned(filters: Array[Filter]): Int = {
+      val sb = new StrawScanBuilder(out, schema)
+      sb.pushFilters(filters)
+      sb.build().asInstanceOf[StrawScan].planInputPartitions().length
+    }
+    val all = planned(Array.empty)
+    assert(all >= 6)
+    assert(planned(Array(EqualTo("d", "1"))) <= all / 2)
+    assert(planned(Array(EqualTo("h", 2))) <= all / 3 + 1)
+    assert(planned(Array(EqualTo("d", "0"), EqualTo("h", 1))) == 1)
+    // round trip + filter parity
+    val back = spark.read.format("strawboat").load(out)
+    assert(back.count() == 4000 && back.exceptAll(src).isEmpty)
+    val got = back.filter(col("d") === "1" && col("h") === 0).agg(sum("id")).head.getLong(0)
+    val exp = src.filter(col("d") === "1" && col("h") === 0).agg(sum("id")).head.getLong(0)
+    assert(got == exp)
   }
 }
