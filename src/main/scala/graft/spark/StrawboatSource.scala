@@ -90,7 +90,9 @@ class StrawboatDataSource extends TableProvider with DataSourceRegister {
     StrawChanges.resolveRange(dir, opts)
       .foreach { case (from, to) => return new ChangeFeedTable(dir, from, to,
         bounded = opts.get("endingVersion") != null) }
-    new StrawboatTable(dir, schema)
+    new StrawboatTable(dir, schema,
+      Option(opts.get("partitionBy")).toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty))
   }
 }
 
@@ -343,13 +345,28 @@ object StrawIO {
   def open(path: String): StatusInput = new StatusInput(fs(path), new Path(path))
 }
 
-class StrawboatTable(path: String, val schemaArg: StructType)
+class StrawboatTable(path: String, val schemaArg: StructType,
+    partitionByOpt: Seq[String] = Seq.empty)
   extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"strawboat:$path"
   override def schema(): StructType = schemaArg
+
+  /** The hive layout as identity transforms — what makes Spark plan
+    * `OverwritePartitionsDynamic` under `partitionOverwriteMode=dynamic`
+    * (the planner requires a PARTITIONED table). From the write's
+    * `partitionBy` option when given, else derived from the existing
+    * directory layout (one file's `col=value` ancestors). */
+  override def partitioning(): Array[Transform] = {
+    val cols =
+      if (partitionByOpt.nonEmpty) partitionByOpt
+      else StrawIO.listFiles(path).headOption
+        .map(f => PartitionLayout.partitionsOf(f).map(_._1)).getOrElse(Seq.empty)
+    cols.map(c => Expressions.identity(c): Transform).toArray
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -1396,14 +1413,21 @@ class StrawWriteBuilder(path: String, schema: StructType, opts: WriteOptions,
     partitionCols: Seq[String] = Seq.empty, queryId: String = "none",
     mergeSchema: Boolean = false, sortBy: Seq[String] = Seq.empty,
     distribute: Seq[String] = Seq.empty)
-  extends WriteBuilder with SupportsTruncate {
+  extends WriteBuilder with SupportsTruncate with SupportsDynamicOverwrite {
   private var doTruncate = false
+  private var doDynamic = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
+  /** `INSERT OVERWRITE` under `partitionOverwriteMode=dynamic`: replace
+    * ONLY the hive partitions this write produces rows for; every other
+    * partition survives untouched. */
+  override def overwriteDynamicPartitions(): WriteBuilder = { doDynamic = true; this }
 
   // appends answer to the table's current schema (truncate replaces it, so
-  // overwrite needs no gate): exact match, or a declared evolution via
-  // .option("mergeSchema", "true") — see StrawSchemaResolver.validateAppend.
-  // Checked at build() on the driver, before any task writes a byte.
+  // overwrite needs no gate; a DYNAMIC overwrite keeps the untouched
+  // partitions' files, so it validates like an append). Exact match, or a
+  // declared evolution via .option("mergeSchema", "true") — see
+  // StrawSchemaResolver.validateAppend. Checked at build() on the driver,
+  // before any task writes a byte.
   private def validated(): Unit =
     if (!doTruncate)
       StrawSchemaResolver.tableSchemaOf(path).foreach(table =>
@@ -1448,7 +1472,7 @@ class StrawWriteBuilder(path: String, schema: StructType, opts: WriteOptions,
       partitionCols.nonEmpty && orderingCols.startsWith(partitionCols)
     override def toBatch: BatchWrite =
       new StrawBatchWrite(path, schema, doTruncate, opts, partitionCols, checker,
-        ordered)
+        ordered, doDynamic)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new StrawStreamingWrite(path, schema, opts, partitionCols, queryId, checker,
         ordered)
@@ -1532,11 +1556,13 @@ object StrawCommitProtocol {
 
 class StrawBatchWrite(path: String, schema: StructType, truncate: Boolean,
     opts: WriteOptions, partitionCols: Seq[String] = Seq.empty,
-    checker: StrawConstraints.RowChecker = null, ordered: Boolean = false)
+    checker: StrawConstraints.RowChecker = null, ordered: Boolean = false,
+    dynamicOverwrite: Boolean = false)
   extends BatchWrite {
-  // captured on the driver before any task writes, so truncate-on-commit
+  // captured on the driver before any task writes, so overwrite-on-commit
   // removes exactly the pre-existing generation of files
-  private val preExisting: Seq[String] = if (truncate) StrawIO.listFiles(path) else Seq.empty
+  private val preExisting: Seq[String] =
+    if (truncate || dynamicOverwrite) StrawIO.listFiles(path) else Seq.empty
   private val jobId = UUID.randomUUID().toString.take(8)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -1555,7 +1581,18 @@ class StrawBatchWrite(path: String, schema: StructType, truncate: Boolean,
         // preExisting paths may predate qualification — compare qualified
         preExisting.map(p => f.makeQualified(new Path(p)).toString)
           .filterNot(fresh).toSet
-      else Set.empty
+      else if (dynamicOverwrite) {
+        // replace exactly the hive partitions this write produced rows for:
+        // old files whose full col=value key sequence matches a fresh
+        // file's. An UNPARTITIONED dynamic overwrite degenerates to the
+        // whole table (its one implicit partition); files under a layout
+        // the write did not touch (mixed/foreign levels) always survive.
+        val touched = freshMeta.map(m => PartitionLayout.partitionsOf(m.path)).toSet
+        preExisting.map(p => f.makeQualified(new Path(p)).toString)
+          .filterNot(fresh)
+          .filter(p => touched.contains(PartitionLayout.partitionsOf(p)))
+          .toSet
+      } else Set.empty
     // empty result set into a table left empty by this commit: write one
     // schema-only marker (driver-side, once) so the table stays
     // self-describing and reads back as empty, like parquet. Judged on the
@@ -1593,7 +1630,8 @@ class StrawBatchWrite(path: String, schema: StructType, truncate: Boolean,
     if (freshMeta.nonEmpty || removes.nonEmpty) {
       val adds = StrawIO.mapParallel(freshMeta)(StrawManifest.entryFor)
       try StrawLog.commit(path, adds, removes,
-        op = if (truncate) "truncate" else "append")
+        op = if (truncate) "truncate"
+        else if (dynamicOverwrite) "overwrite (dynamic)" else "append")
       catch {
         // ambiguous claim: the commit may be live — never delete files the
         // latest version possibly references (debris is vacuumable later)
@@ -1606,7 +1644,7 @@ class StrawBatchWrite(path: String, schema: StructType, truncate: Boolean,
           throw e
       }
     }
-    if (truncate) removes.foreach(old => f.delete(new Path(old), false))
+    removes.foreach(old => f.delete(new Path(old), false))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -206,7 +206,11 @@ class StrawMicroBatchStream(path: String, fullSchema: StructType,
       // genuinely-resurrected rows are sacrificed to the same no-
       // double-delivery bias; the change feed is the surface that can
       // express them)
-      op.startsWith("restore"))
+      op.startsWith("restore") ||
+      // a dynamic partition overwrite's adds are mostly REPLACEMENT
+      // versions of partitions already shipped — same bias as merge; the
+      // change-feed STREAM expresses the replacement exactly
+      op.startsWith("overwrite"))
 
   private def addsOf(v: Long): Seq[StrawIO.FileMeta] =
     StrawLog.commitAdds(path, v) match {

@@ -153,6 +153,41 @@ class WriteDistributionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.count() == 6000 && back.exceptAll(src).isEmpty)
   }
 
+  test("dynamic partition overwrite replaces only the touched partitions") {
+    val out = s"$dir/dynover"
+    val gen1 = spark.range(0, 500)
+      .select(col("id"), (col("id") % 5).cast("string").as("k"))
+    gen1.write.format("strawboat").mode("overwrite")
+      .option("partitionBy", "k").save(out)
+    val untouchedBefore = strbFiles(out)
+      .filter(f => Set("k=0", "k=3", "k=4").contains(f.getParentFile.getName))
+      .map(_.getPath).toSet
+    // replacement rows for k=1 and k=2 only
+    val gen2 = spark.range(1000, 1200)
+      .select(col("id"), (lit(1) + col("id") % 2).cast("string").as("k"))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      gen2.write.format("strawboat").mode("overwrite")
+        .option("partitionBy", "k").save(out)
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    val back = spark.read.format("strawboat").load(out)
+    val expect = gen1.filter(!col("k").isin("1", "2")).unionAll(gen2)
+    assert(back.count() == expect.count() && back.exceptAll(expect).isEmpty,
+      "k=1/k=2 replaced, k=0/3/4 kept")
+    // untouched partitions kept their PHYSICAL files (no rewrite)
+    val untouchedAfter = strbFiles(out)
+      .filter(f => Set("k=0", "k=3", "k=4").contains(f.getParentFile.getName))
+      .map(_.getPath).toSet
+    assert(untouchedAfter == untouchedBefore)
+    // audited as its own operation
+    assert(StrawLog.history(out).head.operation == "overwrite (dynamic)")
+    // STATIC overwrite (default conf) still replaces the whole table
+    gen2.write.format("strawboat").mode("overwrite")
+      .option("partitionBy", "k").save(out)
+    val afterStatic = spark.read.format("strawboat").load(out)
+    assert(afterStatic.count() == 200)
+  }
+
   test("multi-level partitionBy: nested layout, every level prunes, clustered") {
     import org.apache.spark.sql.sources.{EqualTo, Filter}
     val src = spark.range(0, 4000).select(
