@@ -44,7 +44,9 @@ object SparkEntry {
   /** events.ts is stored as exact nanos-since-epoch (long); derive a µs
     * timestamp for calendar functions (session TZ is UTC). Integer `div`,
     * not `/`: 2024 epoch-nanos exceed double precision. */
-  private def tsNs(): Column = expr("timestamp_micros(ts div 1000)")
+  // events.ts is TIMESTAMP(µs); calendar fields come straight off the column
+  // (DuckDB's day()/hour() on the same parquet column agree by construction)
+  private def tsNs(): Column = col("ts")
 
   /** The deleted-documents fixture (q_delete / q_delete_count): a copy of
     * documents with short docs (n_chars < 200) removed via the
@@ -286,7 +288,8 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"), col("rn"))
     }),
     "q_window_running" -> ((s, d) => {
-      // ts is exact nanos (long): window order matches DuckDB's ns order
+      // (ts, event_id) is a total order on both sides, so the running sum
+      // accumulates in the same row order as the DuckDB oracle
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
       t(s, d, "events")
@@ -315,12 +318,15 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
     "q_events_sessions" -> ((s, d) => {
-      // 30-minute-gap sessionization over exact nanos timestamps
+      // 30-minute-gap sessionization; gap measured in epoch micros so the
+      // comparison stays integral whether ts surfaces as TIMESTAMP or long
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       t(s, d, "events")
         .withColumn("prev", lag(col("ts"), 1).over(w))
         .withColumn("new_session",
-          when(col("prev").isNull || col("ts") - col("prev") > lit(30L * 60 * 1000000000L), 1)
+          when(col("prev").isNull ||
+            unix_micros(col("ts").cast("timestamp")) -
+              unix_micros(col("prev").cast("timestamp")) > lit(30L * 60 * 1000000L), 1)
             .otherwise(0))
         .groupBy(col("user_id"))
         .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
@@ -1120,10 +1126,15 @@ object SparkEntry {
         // late data — the standard replayed-backlog pitfall
         events.repartitionByRange(4, col("ts"))
           .write.format("strawboat").mode("overwrite").save(augDir)
-        val maxTs = events.agg(max(col("ts"))).collect()(0).getLong(0)
-        import s.implicits._
-        Seq((-1L, maxTs + 40L * 86400L * 1000000000L, -1L, "__sentinel__", 0.0, ""))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        val maxMicros = events
+          .agg(max(unix_micros(col("ts").cast("timestamp"))))
+          .collect()(0).getLong(0)
+        val sentinelMicros = maxMicros + 40L * 86400L * 1000000L
+        s.range(1).select(
+          lit(-1L).as("event_id"),
+          expr(s"cast(timestamp_micros(${sentinelMicros}L) as timestamp_ntz)").as("ts"),
+          lit(-1L).as("user_id"), lit("__sentinel__").as("event_type"),
+          lit(0.0).as("value"), lit("").as("props"))
           .write.format("strawboat").mode("append").save(augDir)
         // the sentinel is NOT filtered pre-aggregation: a deterministic
         // filter would be pushed below the EventTimeWatermark node and the
@@ -1132,7 +1143,7 @@ object SparkEntry {
         // so append mode never emits it; the read-back guard is defensive.
         val q = s.readStream.format("strawboat")
           .option("maxFilesPerTrigger", 1).load(augDir)
-          .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+          .withColumn("ets", col("ts").cast("timestamp"))
           .withWatermark("ets", "1 second")
           .groupBy(window(col("ets"), "1 day"), col("event_type"))
           .agg(count(lit(1)).as("cnt"),
@@ -1582,8 +1593,8 @@ object SparkEntry {
         |FROM documents WHERE lang = 'en' AND n_chars >= 200
         |ORDER BY doc_id""".stripMargin,
     "q_stream_windowed" -> // batch equivalent of the windowed stateful drain
-      // (duckdb reads the parquet ts at µs precision, matching the query's
-      // `ts div 1000`; window start floors to the UTC day in µs)
+      // (both sides see the parquet ts at µs precision; window start floors
+      // to the UTC day in µs)
       """SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS wstart,
         |  event_type, count(*) AS cnt, round(min(value), 2) AS mn,
         |  round(max(value), 2) AS mx

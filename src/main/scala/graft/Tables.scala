@@ -28,10 +28,6 @@ object Tables {
     val marker = Paths.get(dst, "_OK")
     if (!Files.exists(marker)) locks.computeIfAbsent(dst, _ => new Object).synchronized {
       if (!Files.exists(marker)) {
-        // events.ts is parquet TIMESTAMP(NANOS) which Spark refuses by
-        // default; read it as a raw nanos long (exact — queries derive
-        // calendar fields themselves, see SparkEntry.tsNs)
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         // 1:1 partition mapping — no forced shuffle. At real scale the
         // input already has many row-groups so the write parallelizes
         // naturally; fragmenting small benchmarks into per-core files only

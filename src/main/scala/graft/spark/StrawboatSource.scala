@@ -12,6 +12,8 @@ import org.apache.spark.sql.connector.distributions.{Distribution, Distributions
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, Transform, SortOrder => V2SortOrder}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.internal.SQLConf.PartitionOverwriteMode
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -1416,7 +1418,17 @@ class StrawWriteBuilder(path: String, schema: StructType, opts: WriteOptions,
   extends WriteBuilder with SupportsTruncate with SupportsDynamicOverwrite {
   private var doTruncate = false
   private var doDynamic = false
-  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def truncate(): WriteBuilder = {
+    // DataFrameWriter.mode(Overwrite).save(path) always plans
+    // OverwriteByExpression(true) — i.e. truncate — for DSv2 path tables;
+    // only the SQL INSERT OVERWRITE route reaches overwriteDynamicPartitions.
+    // Honor spark.sql.sources.partitionOverwriteMode=dynamic for partitioned
+    // writes here, matching the built-in file sources' conf-driven behavior.
+    val dynamic = partitionCols.nonEmpty &&
+      SQLConf.get.partitionOverwriteMode == PartitionOverwriteMode.DYNAMIC
+    if (dynamic) doDynamic = true else doTruncate = true
+    this
+  }
   /** `INSERT OVERWRITE` under `partitionOverwriteMode=dynamic`: replace
     * ONLY the hive partitions this write produces rows for; every other
     * partition survives untouched. */
