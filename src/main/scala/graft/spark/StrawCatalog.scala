@@ -1,0 +1,383 @@
+package graft.spark
+
+import java.util.UUID
+
+import scala.collection.JavaConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.format.{StrawFileWriter, WriteOptions}
+
+/** A Spark [[TableCatalog]] over a warehouse directory of strawboat tables —
+  * the piece that turns the path-based connector into a full SQL surface:
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.straw", "graft.spark.StrawCatalog")
+  * spark.conf.set("spark.sql.catalog.straw.warehouse", "/data/warehouse")
+  *
+  * CREATE TABLE straw.db.events (id BIGINT, kind STRING)
+  *   PARTITIONED BY (kind)
+  * INSERT INTO straw.db.events SELECT ...
+  * SELECT * FROM straw.db.events VERSION AS OF 3      -- time travel
+  * SELECT * FROM straw.db.events TIMESTAMP AS OF '2026-01-01 00:00:00'
+  * }}}
+  *
+  * Layout: a table named `ns1.ns2.t` lives at `<warehouse>/ns1/ns2/t`;
+  * namespaces are plain directories. A directory COUNTS as a table when it
+  * holds `.strb` data, a transaction log, or the catalog's own
+  * `_straw_table.json` sidecar (which records the partition columns and
+  * table properties that are not derivable from data files — an empty
+  * partitioned table has no `col=value` directories to infer from).
+  *
+  * Scale notes: `loadTable` resolves the schema through the same
+  * manifest/log-served, footer-cache-backed inference as the path reader —
+  * repeated planning over an unchanged table costs zero footer IO. Inserts
+  * into a partitioned table inherit the table's partition columns, so plain
+  * `INSERT INTO` maintains the hive layout (and the clustered write
+  * distribution) without any per-statement options. Time travel resolves
+  * the version ONCE here, and the pinned [[StrawboatTable]] refuses writes.
+  */
+class StrawCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).map(_.stripSuffix("/")).getOrElse(
+      throw new IllegalArgumentException(
+        s"strawboat: set spark.sql.catalog.$name.warehouse to the table root directory"))
+  }
+  override def name(): String = catalogName
+  override def defaultNamespace(): Array[String] = Array.empty
+
+  // -------------------------------------------------------------------------
+  // path mapping
+  // -------------------------------------------------------------------------
+
+  private def checkPart(part: String): String = {
+    require(part.nonEmpty && !part.contains("/") && !part.contains("\\") &&
+      part != "." && part != ".." && !part.startsWith("_") && !part.startsWith("."),
+      s"strawboat: illegal catalog name component '$part'")
+    part
+  }
+
+  private def dirOf(ident: Identifier): String =
+    ((warehouse +: ident.namespace().map(checkPart)) :+ checkPart(ident.name()))
+      .mkString("/")
+
+  private def dirOf(ns: Array[String]): String =
+    (warehouse +: ns.map(checkPart)).mkString("/")
+
+  /** A table dir is recognized by a catalog sidecar, a transaction log,
+    * `.strb` data at its root, or hive `col=value` subdirectories — all
+    * SHALLOW checks: a namespace directory holding tables must not itself
+    * read as a table, so we never recurse into children here. Externally
+    * written strawboat directories under the warehouse surface as tables. */
+  private def isTable(dir: String): Boolean = {
+    val f = StrawIO.fs(dir)
+    val p = new Path(dir)
+    if (!f.exists(p)) return false
+    f.exists(new Path(p, StrawTableSidecar.FileName)) ||
+      f.exists(new Path(p, StrawLog.DirName)) || {
+        val entries = f.listStatus(p)
+        entries.exists(st => st.isFile &&
+          st.getPath.getName.endsWith(graft.format.StrawFormat.Extension)) ||
+          entries.exists(st => st.isDirectory && st.getPath.getName.contains("="))
+      }
+  }
+
+  // -------------------------------------------------------------------------
+  // TableCatalog
+  // -------------------------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = dirOf(namespace)
+    val f = StrawIO.fs(dir)
+    val p = new Path(dir)
+    if (!f.exists(p)) throw new NoSuchNamespaceException(namespace)
+    f.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+      .filter(n => isTable(s"$dir/$n"))
+      .map(n => Identifier.of(namespace, n))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    try isTable(dirOf(ident)) catch { case _: IllegalArgumentException => false }
+
+  override def loadTable(ident: Identifier): Table = loadAt(ident, None)
+
+  /** `VERSION AS OF n` — pins the log version. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadAt(ident, Some(
+      try version.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"strawboat: VERSION AS OF wants a numeric log version, got '$version'")
+      }))
+
+  /** `TIMESTAMP AS OF ts` — Spark hands epoch MICROseconds; resolve to the
+    * newest version committed at or before it (same rules as the
+    * `timestampAsOf` reader option, including the beyond-latest refusal). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = dirOf(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val opts = new CaseInsensitiveStringMap(
+      Map("path" -> dir, "timestampAsOf" -> (timestampMicros / 1000L).toString).asJava)
+    loadAt(ident, TimeTravel.resolveAsOf(dir, opts))
+  }
+
+  private def loadAt(ident: Identifier, asOf: Option[Long]): Table = {
+    val dir = dirOf(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val sidecar = StrawTableSidecar.read(dir)
+    val optMap = Map("path" -> dir) ++ asOf.map("versionAsOf" -> _.toString)
+    val schema = new StrawboatDataSource()
+      .inferSchema(new CaseInsensitiveStringMap(optMap.asJava))
+    val partitionBy = sidecar.map(_.partitionBy).filter(_.nonEmpty).getOrElse(
+      StrawIO.listFiles(dir).headOption
+        .map(f => PartitionLayout.partitionsOf(f).map(_._1)).getOrElse(Seq.empty))
+    new StrawboatTable(dir, schema, partitionBy,
+      asOfOpt = asOf,
+      propertiesArg = sidecar.map(_.properties).getOrElse(Map.empty))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+    val dir = dirOf(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    val partitionBy = partitions.toSeq.map { t =>
+      require(t.name == "identity" && t.references.length == 1,
+        s"strawboat: only identity (hive-style) partitioning is supported, got $t")
+      t.references.head.fieldNames.mkString(".")
+    }
+    partitionBy.foreach { c =>
+      val fld = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"strawboat: partition column '$c' not in ${schema.fieldNames.mkString(",")}"))
+      require(StrawKeyedPartition.parseable(fld.dataType),
+        s"strawboat: partition column '$c' has unsupported type ${fld.dataType} " +
+          "(supported: string, int, long, short, byte, boolean)")
+    }
+    val props = properties.asScala.toMap
+    props.get(TableCatalog.PROP_PROVIDER).foreach(p =>
+      require(p.equalsIgnoreCase("strawboat"),
+        s"strawboat: catalog '$catalogName' stores strawboat tables, not USING $p"))
+    require(!props.contains(TableCatalog.PROP_LOCATION),
+      "strawboat: LOCATION is not supported — tables live under the " +
+        s"catalog warehouse; read external paths via spark.read.format(\"strawboat\")")
+    val keep = props -- Seq(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER,
+      TableCatalog.PROP_EXTERNAL, "option.path")
+
+    // a schema-only marker file makes the empty table self-describing (the
+    // same shape a truncate-to-empty leaves behind), and the bootstrap log
+    // commit starts the version history at the CREATE
+    val f = StrawIO.fs(dir)
+    f.mkdirs(new Path(dir))
+    val fileName = s"part-empty-${UUID.randomUUID().toString.take(8)}${graft.format.StrawFormat.Extension}"
+    val tmp = new Path(dir, s".$fileName.tmp")
+    val os = f.create(tmp, true)
+    var ok = false
+    try { new StrawFileWriter(schema, WriteOptions()).writeTo(os); ok = true }
+    finally {
+      os.close()
+      if (ok) {
+        if (!f.rename(tmp, new Path(dir, fileName)))
+          throw new java.io.IOException(s"strawboat: rename $tmp -> $fileName failed")
+      } else f.delete(tmp, false)
+    }
+    val st = f.getFileStatus(new Path(dir, fileName))
+    val meta = StrawIO.FileMeta(f.makeQualified(st.getPath).toString,
+      st.getModificationTime, st.getLen)
+    StrawTableSidecar.write(dir, StrawTableSidecar(partitionBy, keep))
+    StrawLog.commit(dir, Seq(StrawManifest.entryFor(meta)), op = "create")
+    new StrawboatTable(dir, schema, partitionBy, propertiesArg = keep)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val cur = StrawTableSidecar.read(dir).getOrElse(StrawTableSidecar(Seq.empty, Map.empty))
+    val next = changes.foldLeft(cur) {
+      case (s, set: TableChange.SetProperty) =>
+        s.copy(properties = s.properties + (set.property -> set.value))
+      case (s, rm: TableChange.RemoveProperty) =>
+        s.copy(properties = s.properties - rm.property)
+      case (_, other) => throw new UnsupportedOperationException(
+        s"strawboat: ALTER TABLE change not supported: $other " +
+          "(schema evolves through mergeSchema appends)")
+    }
+    StrawTableSidecar.write(dir, next)
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    if (!isTable(dir)) return false
+    StrawLog.invalidate(dir)
+    StrawIO.fs(dir).delete(new Path(dir), true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = dirOf(oldIdent)
+    val to = dirOf(newIdent)
+    if (!isTable(from)) throw new NoSuchTableException(oldIdent)
+    if (isTable(to)) throw new TableAlreadyExistsException(newIdent)
+    val f = StrawIO.fs(from)
+    f.mkdirs(new Path(to).getParent)
+    StrawLog.invalidate(from)
+    if (!f.rename(new Path(from), new Path(to)))
+      throw new java.io.IOException(s"strawboat: rename $from -> $to failed")
+  }
+
+  override def invalidateTable(ident: Identifier): Unit =
+    StrawLog.invalidate(dirOf(ident))
+
+  // -------------------------------------------------------------------------
+  // SupportsNamespaces — namespaces are directories
+  // -------------------------------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] = listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val dir = dirOf(namespace)
+    val f = StrawIO.fs(dir)
+    val p = new Path(dir)
+    if (!f.exists(p)) {
+      if (namespace.isEmpty) return Array.empty
+      throw new NoSuchNamespaceException(namespace)
+    }
+    f.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+      .filterNot(n => isTable(s"$dir/$n"))
+      .map(n => namespace :+ n)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || {
+      val dir = dirOf(namespace)
+      StrawIO.fs(dir).exists(new Path(dir)) && !isTable(dir)
+    }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : java.util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    val dir = dirOf(namespace)
+    StrawIO.fs(dir).mkdirs(new Path(dir)): Unit
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "strawboat: namespaces carry no alterable metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace) || namespace.isEmpty) return false
+    val dir = dirOf(namespace)
+    val f = StrawIO.fs(dir)
+    if (!cascade && (listTables(namespace).nonEmpty || listNamespaces(namespace).nonEmpty))
+      throw new IllegalStateException(
+        s"strawboat: namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
+    f.delete(new Path(dir), true)
+  }
+}
+
+/** The catalog's per-table sidecar (`_straw_table.json`): partition columns
+  * and table properties — metadata the data files cannot carry (an empty
+  * partitioned table has no `col=value` directories to infer from). Format:
+  * one flat JSON object, hand-rolled like the manifest (no JSON dependency).
+  */
+final case class StrawTableSidecar(partitionBy: Seq[String],
+    properties: Map[String, String])
+
+object StrawTableSidecar {
+  val FileName = "_straw_table.json"
+
+  private def esc(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  def write(dir: String, s: StrawTableSidecar): Unit = {
+    val json = "{\"partitionBy\":[" +
+      s.partitionBy.map(esc).mkString(",") + "],\"properties\":{" +
+      s.properties.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${esc(k)}:${esc(v)}" }.mkString(",") + "}}"
+    val f = StrawIO.fs(dir)
+    val tmp = new Path(dir, s".$FileName.tmp")
+    val os = f.create(tmp, true)
+    try os.write(json.getBytes("UTF-8")) finally os.close()
+    val dst = new Path(dir, FileName)
+    f.delete(dst, false)
+    if (!f.rename(tmp, dst))
+      throw new java.io.IOException(s"strawboat: rename $tmp -> $dst failed")
+  }
+
+  def read(dir: String): Option[StrawTableSidecar] = {
+    val f = StrawIO.fs(dir)
+    val p = new Path(dir, FileName)
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    val raw = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toString("UTF-8")
+    } finally in.close()
+    Some(parse(raw))
+  }
+
+  /** Minimal parser for exactly the flat shape [[write]] emits. */
+  private[spark] def parse(raw: String): StrawTableSidecar = {
+    // tokenize strings honoring escapes, then read the two known sections
+    val strings = scala.collection.mutable.ArrayBuffer[(Int, String)]()
+    var i = 0
+    while (i < raw.length) {
+      if (raw.charAt(i) == '"') {
+        val start = i
+        val sb = new StringBuilder
+        i += 1
+        while (raw.charAt(i) != '"') {
+          if (raw.charAt(i) == '\\') {
+            i += 1
+            raw.charAt(i) match {
+              case 'n' => sb.append('\n')
+              case 'u' => sb.append(Integer.parseInt(raw.substring(i + 1, i + 5), 16).toChar); i += 4
+              case c => sb.append(c)
+            }
+          } else sb.append(raw.charAt(i))
+          i += 1
+        }
+        strings += ((start, sb.toString))
+      }
+      i += 1
+    }
+    val partStart = raw.indexOf("\"partitionBy\"")
+    val propStart = raw.indexOf("\"properties\"")
+    require(partStart >= 0 && propStart >= 0,
+      s"strawboat: malformed $FileName: $raw")
+    val partEnd = raw.indexOf(']', partStart)
+    val parts = strings.filter { case (pos, _) => pos > partStart + 13 && pos < partEnd }
+      .map(_._2).toSeq
+    val propStrings = strings.filter(_._1 > propStart + 12).map(_._2)
+    require(propStrings.length % 2 == 0, s"strawboat: malformed $FileName: $raw")
+    StrawTableSidecar(parts,
+      propStrings.grouped(2).map(g => (g(0): String, g(1): String)).toMap)
+  }
+}

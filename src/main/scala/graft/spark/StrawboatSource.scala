@@ -348,10 +348,14 @@ object StrawIO {
 }
 
 class StrawboatTable(path: String, val schemaArg: StructType,
-    partitionByOpt: Seq[String] = Seq.empty)
+    partitionByOpt: Seq[String] = Seq.empty,
+    asOfOpt: Option[Long] = None,
+    propertiesArg: Map[String, String] = Map.empty)
   extends Table with SupportsRead with SupportsWrite {
-  override def name(): String = s"strawboat:$path"
+  override def name(): String =
+    s"strawboat:$path" + asOfOpt.map(v => s"@v$v").getOrElse("")
   override def schema(): StructType = schemaArg
+  override def properties(): java.util.Map[String, String] = propertiesArg.asJava
 
   /** The hive layout as identity transforms — what makes Spark plan
     * `OverwritePartitionsDynamic` under `partitionOverwriteMode=dynamic`
@@ -376,13 +380,21 @@ class StrawboatTable(path: String, val schemaArg: StructType,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       Option(options.get("keyGrouped")).exists(_.toBoolean),
       Option(options.get("maxBytesPerTrigger")).map(_.toLong),
-      TimeTravel.resolveAsOf(path, options))
+      // a catalog-pinned table (VERSION/TIMESTAMP AS OF) carries its version
+      // in asOfOpt; per-read options may still override on path tables
+      TimeTravel.resolveAsOf(path, options).orElse(asOfOpt))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(asOfOpt.isEmpty,
+      s"strawboat: $path is pinned to version ${asOfOpt.get} (time travel) — " +
+        "historical snapshots are read-only; write through the current table")
     // comma list = multi-level layout, outer→inner: partitionBy "date,hour"
-    // writes date=D/hour=H/part-*.strb — the canonical time-series shape
-    val partitionCols = Option(info.options().get("partitionBy")).toSeq
+    // writes date=D/hour=H/part-*.strb — the canonical time-series shape.
+    // Without the option, a catalog/partitioned table's own layout applies,
+    // so plain INSERT INTO maintains the hive directories.
+    val explicitCols = Option(info.options().get("partitionBy")).toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val partitionCols = if (explicitCols.nonEmpty) explicitCols else partitionByOpt
     require(partitionCols.distinct.size == partitionCols.size,
       s"strawboat: partitionBy lists a column twice: ${partitionCols.mkString(",")}")
     partitionCols.foreach { c =>

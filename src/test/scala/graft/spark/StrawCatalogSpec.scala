@@ -1,0 +1,159 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The SQL catalog surface: CREATE/INSERT/SELECT/DROP through
+  * `straw.<ns>.<table>` identifiers, hive-partitioned creates whose plain
+  * INSERTs maintain the layout, time travel via VERSION/TIMESTAMP AS OF,
+  * rename, CTAS, and the sidecar that round-trips partition metadata. */
+class StrawCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var warehouse: String = _
+
+  override def beforeAll(): Unit = {
+    warehouse = Files.createTempDirectory("strawcat").toString
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("straw-catalog-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.catalog.straw", classOf[StrawCatalog].getName)
+      .config("spark.sql.catalog.straw.warehouse", warehouse)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = {
+    if (spark != null) spark.stop()
+  }
+
+  test("create, insert, select, drop — plain SQL end to end") {
+    spark.sql("CREATE TABLE straw.t1 (id BIGINT, name STRING)")
+    assert(spark.sql("SELECT * FROM straw.t1").count() == 0)
+    spark.sql("INSERT INTO straw.t1 VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    assert(spark.sql("SELECT * FROM straw.t1").count() == 3)
+    assert(spark.sql("SELECT name FROM straw.t1 WHERE id = 2")
+      .collect().map(_.getString(0)).toSeq == Seq("b"))
+    // INSERT OVERWRITE replaces
+    spark.sql("INSERT OVERWRITE straw.t1 VALUES (9, 'z')")
+    assert(spark.sql("SELECT * FROM straw.t1").collect().map(_.getLong(0)).toSeq == Seq(9L))
+    spark.sql("DROP TABLE straw.t1")
+    assert(!spark.catalog.tableExists("straw.t1"))
+    intercept[Exception](spark.sql("SELECT * FROM straw.t1").collect())
+  }
+
+  test("partitioned create: INSERT INTO maintains the hive layout") {
+    spark.sql("CREATE TABLE straw.pt (id BIGINT, k STRING) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO straw.pt SELECT id, CAST(id % 3 AS STRING) FROM range(30)")
+    // files landed in k=<v> directories (the table's layout, no options)
+    val dirs = new java.io.File(s"$warehouse/pt").listFiles()
+      .filter(_.isDirectory).map(_.getName).filterNot(_.startsWith("_")).sorted
+    assert(dirs.toSeq == Seq("k=0", "k=1", "k=2"))
+    assert(spark.sql("SELECT count(*) FROM straw.pt WHERE k = '1'")
+      .collect()(0).getLong(0) == 10)
+    // a second insert appends into the same layout
+    spark.sql("INSERT INTO straw.pt VALUES (100, '1')")
+    assert(spark.sql("SELECT count(*) FROM straw.pt WHERE k = '1'")
+      .collect()(0).getLong(0) == 11)
+    spark.sql("DROP TABLE straw.pt")
+  }
+
+  test("namespaces are directories; listTables/listNamespaces see them") {
+    spark.sql("CREATE NAMESPACE straw.db1")
+    spark.sql("CREATE TABLE straw.db1.inner (x INT)")
+    spark.sql("INSERT INTO straw.db1.inner VALUES (42)")
+    assert(spark.sql("SELECT x FROM straw.db1.inner").collect()(0).getInt(0) == 42)
+    val tables = spark.sql("SHOW TABLES IN straw.db1").collect().map(_.getString(1))
+    assert(tables.contains("inner"))
+    val nss = spark.sql("SHOW NAMESPACES IN straw").collect().map(_.getString(0))
+    assert(nss.contains("db1"))
+    spark.sql("DROP TABLE straw.db1.inner")
+    spark.sql("DROP NAMESPACE straw.db1")
+    assert(!spark.sql("SHOW NAMESPACES IN straw").collect()
+      .map(_.getString(0)).contains("db1"))
+  }
+
+  test("VERSION AS OF / TIMESTAMP AS OF read pinned snapshots; writes refused") {
+    spark.sql("CREATE TABLE straw.tt (id BIGINT)")
+    spark.sql("INSERT INTO straw.tt SELECT id FROM range(10)")
+    spark.sql("INSERT INTO straw.tt SELECT id FROM range(10, 30)")
+    assert(spark.sql("SELECT count(*) FROM straw.tt").collect()(0).getLong(0) == 30)
+    // resolve versions from the history (the create may carry a bootstrap
+    // commit, so append versions are discovered, not assumed)
+    val hist = StrawLog.history(s"$warehouse/tt").sortBy(_.version)
+    val appends = hist.filter(_.operation == "append").map(_.version)
+    assert(appends.length == 2)
+    assert(spark.sql(s"SELECT count(*) FROM straw.tt VERSION AS OF ${appends(0)}")
+      .collect()(0).getLong(0) == 10)
+    assert(spark.sql(s"SELECT count(*) FROM straw.tt VERSION AS OF ${appends(0) - 1}")
+      .collect()(0).getLong(0) == 0)
+    val t1 = java.time.Instant.ofEpochMilli(
+      hist.find(_.version == appends(0)).get.timestampMs).toString
+    assert(spark.sql(s"SELECT count(*) FROM straw.tt TIMESTAMP AS OF '$t1'")
+      .collect()(0).getLong(0) == 10)
+    // historical snapshots are read-only
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO straw.tt VERSION AS OF 1 VALUES (99)"))
+    assert(e.getMessage != null)
+    spark.sql("DROP TABLE straw.tt")
+  }
+
+  test("CTAS, rename, and table properties") {
+    spark.sql("CREATE TABLE straw.src AS SELECT id, id * 2 AS dbl FROM range(5)")
+    assert(spark.sql("SELECT sum(dbl) FROM straw.src").collect()(0).getLong(0) == 20)
+    spark.sql("ALTER TABLE straw.src SET TBLPROPERTIES ('team' = 'data-eng')")
+    assert(spark.sql("SHOW TBLPROPERTIES straw.src").collect()
+      .exists(r => r.getString(0) == "team" && r.getString(1) == "data-eng"))
+    spark.sql("ALTER TABLE straw.src RENAME TO dst")
+    assert(!spark.catalog.tableExists("straw.src"))
+    assert(spark.sql("SELECT count(*) FROM straw.dst").collect()(0).getLong(0) == 5)
+    spark.sql("DROP TABLE straw.dst")
+  }
+
+  test("create rejects duplicate tables, bad partition types, foreign providers") {
+    spark.sql("CREATE TABLE straw.dup (x INT)")
+    intercept[Exception](spark.sql("CREATE TABLE straw.dup (y INT)"))
+    spark.sql("DROP TABLE straw.dup")
+    intercept[Exception](
+      spark.sql("CREATE TABLE straw.badpart (x INT, d DOUBLE) PARTITIONED BY (d)"))
+    intercept[Exception](
+      spark.sql("CREATE TABLE straw.badprov (x INT) USING parquet"))
+  }
+
+  test("sidecar round-trips partition columns and properties exactly") {
+    val s = StrawTableSidecar(Seq("a", "b"),
+      Map("k\"quote" -> "v\nline", "plain" -> "x"))
+    val dir = Files.createTempDirectory("sidecar").toString
+    StrawTableSidecar.write(dir, s)
+    assert(StrawTableSidecar.read(dir).contains(s))
+    // empty shapes survive too
+    StrawTableSidecar.write(dir, StrawTableSidecar(Seq.empty, Map.empty))
+    assert(StrawTableSidecar.read(dir).contains(StrawTableSidecar(Seq.empty, Map.empty)))
+  }
+
+  test("external strawboat directory surfaces as a catalog table") {
+    import org.apache.spark.sql.functions._
+    spark.range(7).select(col("id"))
+      .write.format("strawboat").mode("overwrite").save(s"$warehouse/ext")
+    assert(spark.sql("SELECT count(*) FROM straw.ext").collect()(0).getLong(0) == 7)
+    val listed = spark.sql("SHOW TABLES IN straw").collect().map(_.getString(1))
+    assert(listed.contains("ext"))
+    spark.sql("DROP TABLE straw.ext")
+  }
+
+  test("loadTable on a missing table raises NoSuchTableException") {
+    intercept[NoSuchTableException] {
+      spark.sessionState.catalogManager.catalog("straw")
+        .asInstanceOf[StrawCatalog]
+        .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array.empty[String], "nope"))
+    }
+  }
+}
