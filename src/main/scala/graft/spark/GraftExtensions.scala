@@ -381,5 +381,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[StrawConstraints.Constraint].getName,
         StrawSqlSurface.DropConstraintName),
       StrawSqlSurface.dropConstraintBuilder _))
+    // SQL UPDATE / MERGE INTO over the native mutation machinery
+    extensions.injectPostHocResolutionRule(session => new StrawDmlRules(session))
   }
 }

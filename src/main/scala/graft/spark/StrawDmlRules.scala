@@ -1,0 +1,192 @@
+package graft.spark
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.DataSourceStrategy
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.sources.Filter
+
+/** SQL `UPDATE` and `MERGE INTO` for strawboat tables.
+  *
+  * Spark's generic path for these statements requires
+  * `SupportsRowLevelOperations` (a scan/replace handshake built for
+  * copy-on-write file groups). The engine already has STRONGER native
+  * machinery — [[StrawUpdate]] evaluates assignments against deletion-vector
+  * merge-on-read and [[StrawMerge]] bucket-joins on zone-map-pruned key
+  * ranges — so, Delta-style, a post-hoc resolution rule rewrites the
+  * analyzed [[UpdateTable]] / [[MergeIntoTable]] plans into eager commands
+  * over that machinery instead:
+  *
+  * {{{
+  * UPDATE straw.t SET name = upper(name), n = n + 1 WHERE id > 5
+  * MERGE INTO straw.t USING updates AS u ON t.id = u.id
+  *   WHEN MATCHED THEN UPDATE SET *
+  *   WHEN NOT MATCHED THEN INSERT *
+  * }}}
+  *
+  * Supported MERGE forms are exactly [[StrawMerge]]'s semantics: an
+  * equi-join condition on identically-named columns, `UPDATE SET *` /
+  * `DELETE` (unconditional) when matched, `INSERT *` (unconditional) when
+  * not matched. Richer forms fail with a message naming the limitation —
+  * never silently approximated. UPDATE conditions must translate to the
+  * v1 filter algebra AND compile exactly in [[RowFilterEval]], the same
+  * obligation every other mutation surface carries.
+  */
+class StrawDmlRules(session: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case u @ UpdateTable(StrawRelation(table), assignments, condition)
+        if u.resolved =>
+      StrawUpdateCommand(table.tablePath, table.pinnedVersion,
+        assignments, condition)
+    case m @ MergeIntoTable(StrawRelation(table), source, cond,
+        matched, notMatched, notMatchedBySource, withSchemaEvolution)
+        if m.resolved =>
+      require(!withSchemaEvolution,
+        "strawboat: MERGE WITH SCHEMA EVOLUTION is not supported — evolve " +
+          "the table first via a mergeSchema append")
+      StrawMergeCommand(table.tablePath, table.pinnedVersion, source,
+        m.targetTable.outputSet.toSeq, cond, matched, notMatched,
+        notMatchedBySource)
+    case _ => plan
+  }
+
+  private object StrawRelation {
+    def unapply(plan: LogicalPlan): Option[StrawboatTable] = plan match {
+      case r: DataSourceV2Relation => r.table match {
+        case t: StrawboatTable => Some(t)
+        case _ => None
+      }
+      // UPDATE/MERGE targets may carry an alias
+      case SubqueryAlias(_, child) => unapply(child)
+      case _ => None
+    }
+  }
+}
+
+private[spark] object StrawDml {
+  /** Split a condition into v1 filters, refusing anything that does not
+    * translate (no silent approximation). */
+  def toFilters(cond: Expression, what: String): Seq[Filter] = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    conjuncts(cond).map { c =>
+      org.apache.spark.sql.graft.GraftSqlShims.translateFilter(c)
+        .getOrElse(throw new UnsupportedOperationException(
+          s"strawboat: $what condition does not translate to the source " +
+            s"filter algebra: ${c.sql} (flat comparisons, IN, LIKE-prefix, " +
+            "IS [NOT] NULL, AND/OR/NOT)"))
+    }
+  }
+
+  def requireWritable(path: String, pinned: Option[Long]): Unit =
+    require(pinned.isEmpty,
+      s"strawboat: $path is pinned to version ${pinned.get} (time travel) — " +
+        "historical snapshots are read-only")
+}
+
+/** Eager `UPDATE` execution over [[StrawUpdate.updateExpressions]]. */
+case class StrawUpdateCommand(path: String, pinned: Option[Long],
+    assignments: Seq[Assignment], condition: Option[Expression])
+  extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    StrawDml.requireWritable(path, pinned)
+    // the analyzer aligns assignments to EVERY table column (identity for
+    // untouched ones) — keep only the real updates
+    val real = assignments.filter {
+      case Assignment(k: Attribute, v: Attribute) => k.name != v.name
+      case _ => true
+    }
+    require(real.nonEmpty, "strawboat: UPDATE assigns every column to itself")
+    val set = real.map {
+      case Assignment(k: Attribute, value) =>
+        // render the RHS unqualified (`upper(name)`, not `upper(cat.t.name)`)
+        // — StrawUpdate re-analyzes it over the bare table schema
+        k.name -> value.transform {
+          case a: AttributeReference => a.withQualifier(Seq.empty)
+        }.sql
+      case a => throw new UnsupportedOperationException(
+        s"strawboat: UPDATE of a nested field is not supported: ${a.key.sql}")
+    }.toMap
+    val filters = condition match {
+      case Some(c) => StrawDml.toFilters(c, "UPDATE")
+      case None => Seq(org.apache.spark.sql.sources.AlwaysTrue)
+    }
+    StrawUpdate.updateExpressions(spark, path, filters, set): Unit
+    Seq.empty
+  }
+}
+
+/** Eager `MERGE INTO` execution over [[StrawMerge.merge]]. */
+case class StrawMergeCommand(path: String, pinned: Option[Long],
+    source: LogicalPlan, targetOutput: Seq[Attribute], cond: Expression,
+    matched: Seq[MergeAction], notMatched: Seq[MergeAction],
+    notMatchedBySource: Seq[MergeAction])
+  extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    StrawDml.requireWritable(path, pinned)
+    require(notMatchedBySource.isEmpty,
+      "strawboat: MERGE WHEN NOT MATCHED BY SOURCE is not supported")
+    val targetSet = org.apache.spark.sql.catalyst.expressions.AttributeSet(targetOutput)
+
+    // join condition: conjunction of target.k = source.k over same-named
+    // columns — StrawMerge's key contract
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val keys = conjuncts(cond).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        val (t, s) = if (targetSet.contains(a)) (a, b) else (b, a)
+        require(targetSet.contains(t) && !targetSet.contains(s),
+          s"strawboat: MERGE condition must compare a target column with a " +
+            s"source column: ${cond.sql}")
+        require(t.name == s.name,
+          s"strawboat: MERGE key columns must have the same name on both " +
+            s"sides (got ${t.name} = ${s.name}); alias the source first")
+        t.name
+      case other => throw new UnsupportedOperationException(
+        s"strawboat: MERGE condition must be a conjunction of column " +
+          s"equalities, got: ${other.sql}")
+    }
+
+    // the analyzer expands `UPDATE SET *` / `INSERT *` into per-column
+    // assignments from the source — verify that is the shape we got
+    def isStarAssignment(as: Seq[Assignment]): Boolean =
+      as.forall {
+        case Assignment(k: Attribute, v: AttributeReference) =>
+          !targetSet.contains(v) && k.name == v.name
+        case _ => false
+      }
+
+    val whenMatched = matched match {
+      case Seq() => StrawMerge.Keep
+      case Seq(UpdateAction(None, as, _)) if isStarAssignment(as) => StrawMerge.Replace
+      case Seq(DeleteAction(None)) => StrawMerge.Delete
+      case other => throw new UnsupportedOperationException(
+        "strawboat: supported WHEN MATCHED forms are exactly one " +
+          "unconditional `UPDATE SET *` or `DELETE`, got: " + other.mkString(", "))
+    }
+    val insertNotMatched = notMatched match {
+      case Seq() => false
+      case Seq(InsertAction(None, as)) if isStarAssignment(as) => true
+      case other => throw new UnsupportedOperationException(
+        "strawboat: supported WHEN NOT MATCHED form is exactly one " +
+          "unconditional `INSERT *`, got: " + other.mkString(", "))
+    }
+    val sourceDf = org.apache.spark.sql.graft.GraftSqlShims.dataFrame(spark, source)
+    StrawMerge.merge(spark, path, sourceDf, keys, whenMatched, insertNotMatched): Unit
+    Seq.empty
+  }
+}

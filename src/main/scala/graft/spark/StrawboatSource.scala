@@ -351,11 +351,48 @@ class StrawboatTable(path: String, val schemaArg: StructType,
     partitionByOpt: Seq[String] = Seq.empty,
     asOfOpt: Option[Long] = None,
     propertiesArg: Map[String, String] = Map.empty)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
   override def name(): String =
     s"strawboat:$path" + asOfOpt.map(v => s"@v$v").getOrElse("")
   override def schema(): StructType = schemaArg
   override def properties(): java.util.Map[String, String] = propertiesArg.asJava
+
+  private[spark] def tablePath: String = path
+  private[spark] def pinnedVersion: Option[Long] = asOfOpt
+
+  // ---- SQL DELETE FROM (SupportsDelete) ---------------------------------
+  // Spark translates the WHERE clause to the v1 filter algebra and calls
+  // deleteWhere; canDeleteWhere gates on RowFilterEval compiling the
+  // conjunction EXACTLY (the same obligation the row-level Scala API
+  // carries) so an unsupported condition fails the statement up front
+  // instead of over-deleting. An empty/always-true condition is a full
+  // truncate: one log commit removes every file and leaves the schema
+  // marker, no per-row work.
+  private def isAlwaysTrue(f: Filter): Boolean = f.isInstanceOf[AlwaysTrue]
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    asOfOpt.isEmpty && {
+      val real = filters.filterNot(isAlwaysTrue)
+      real.isEmpty || RowFilterEval.build(schemaArg, real).isDefined
+    }
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(asOfOpt.isEmpty,
+      s"strawboat: $path is pinned to version ${asOfOpt.get} (time travel) — " +
+        "historical snapshots are read-only")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val real = filters.filterNot(isAlwaysTrue)
+    if (real.isEmpty) {
+      // DELETE without WHERE — truncate through the existing overwrite
+      // machinery (removes-all + schema marker + one log commit)
+      val writer = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaArg)
+        .write.format("strawboat").mode("overwrite")
+      (if (partitionByOpt.nonEmpty)
+        writer.option("partitionBy", partitionByOpt.mkString(","))
+      else writer).save(path)
+    } else StrawDelete.delete(spark, path, real.toSeq): Unit
+  }
 
   /** The hive layout as identity transforms — what makes Spark plan
     * `OverwritePartitionsDynamic` under `partitionOverwriteMode=dynamic`

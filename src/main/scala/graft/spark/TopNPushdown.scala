@@ -235,6 +235,9 @@ object RowFilterEval {
           val a = cf(row)
           if (a == null) null else java.lang.Boolean.valueOf(!a.booleanValue())
         }
+      // constants (SQL DELETE/UPDATE without WHERE reach mutations this way)
+      case _: AlwaysTrue => Some(_ => java.lang.Boolean.TRUE)
+      case _: AlwaysFalse => Some(_ => java.lang.Boolean.FALSE)
       case _ => None
     }
   }

@@ -1,0 +1,142 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** SQL DML against catalog tables: DELETE FROM (SupportsDelete),
+  * UPDATE (rewritten onto StrawUpdate), MERGE INTO (onto StrawMerge) —
+  * each one atomic log commit, merge-on-read where applicable. */
+class StrawSqlDmlSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var warehouse: String = _
+
+  override def beforeAll(): Unit = {
+    warehouse = Files.createTempDirectory("strawdml").toString
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("straw-sql-dml-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .config("spark.sql.catalog.straw", classOf[StrawCatalog].getName)
+      .config("spark.sql.catalog.straw.warehouse", warehouse)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = {
+    if (spark != null) spark.stop()
+  }
+
+  test("DELETE FROM with WHERE goes merge-on-read; audited as delete") {
+    spark.sql("CREATE TABLE straw.d1 (id BIGINT, k STRING)")
+    spark.sql("INSERT INTO straw.d1 SELECT id, CAST(id % 3 AS STRING) FROM range(30)")
+    spark.sql("DELETE FROM straw.d1 WHERE k = '1'")
+    assert(spark.sql("SELECT count(*) FROM straw.d1").collect()(0).getLong(0) == 20)
+    assert(spark.sql("SELECT count(*) FROM straw.d1 WHERE k = '1'")
+      .collect()(0).getLong(0) == 0)
+    val hist = StrawLog.history(s"$warehouse/d1")
+    assert(hist.head.operation == "delete")
+    // merge-on-read: the delete touched no data file, only a DV sidecar
+    assert(hist.head.dvFiles > 0)
+    spark.sql("DROP TABLE straw.d1")
+  }
+
+  test("DELETE FROM without WHERE truncates") {
+    spark.sql("CREATE TABLE straw.d2 (id BIGINT)")
+    spark.sql("INSERT INTO straw.d2 SELECT id FROM range(10)")
+    spark.sql("DELETE FROM straw.d2")
+    assert(spark.sql("SELECT count(*) FROM straw.d2").collect()(0).getLong(0) == 0)
+    // table still self-describing after full delete
+    assert(spark.sql("SELECT * FROM straw.d2").schema.fieldNames.toSeq == Seq("id"))
+    spark.sql("DROP TABLE straw.d2")
+  }
+
+  test("UPDATE with expression assignments and WHERE") {
+    spark.sql("CREATE TABLE straw.u1 (id BIGINT, name STRING, n BIGINT)")
+    spark.sql("INSERT INTO straw.u1 SELECT id, concat('n', id), id FROM range(10)")
+    spark.sql("UPDATE straw.u1 SET name = upper(name), n = n + 100 WHERE id >= 5")
+    val rows = spark.sql("SELECT id, name, n FROM straw.u1 ORDER BY id").collect()
+    assert(rows(4).getString(1) == "n4" && rows(4).getLong(2) == 4)
+    assert(rows(5).getString(1) == "N5" && rows(5).getLong(2) == 105)
+    assert(StrawLog.history(s"$warehouse/u1").head.operation == "update")
+    spark.sql("DROP TABLE straw.u1")
+  }
+
+  test("UPDATE without WHERE touches every row") {
+    spark.sql("CREATE TABLE straw.u2 (id BIGINT, flag STRING)")
+    spark.sql("INSERT INTO straw.u2 SELECT id, 'old' FROM range(5)")
+    spark.sql("UPDATE straw.u2 SET flag = 'new'")
+    assert(spark.sql("SELECT count(*) FROM straw.u2 WHERE flag = 'new'")
+      .collect()(0).getLong(0) == 5)
+    spark.sql("DROP TABLE straw.u2")
+  }
+
+  test("MERGE INTO: upsert (UPDATE SET * / INSERT *)") {
+    spark.sql("CREATE TABLE straw.m1 (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO straw.m1 VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("CREATE TABLE straw.m1src (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO straw.m1src VALUES (2, 'B'), (4, 'D')")
+    spark.sql("""MERGE INTO straw.m1 AS t USING straw.m1src AS s ON t.id = s.id
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+    val out = spark.sql("SELECT id, v FROM straw.m1 ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D")))
+    assert(StrawLog.history(s"$warehouse/m1").head.operation == "merge")
+    spark.sql("DROP TABLE straw.m1"); spark.sql("DROP TABLE straw.m1src")
+  }
+
+  test("MERGE INTO: WHEN MATCHED THEN DELETE; subquery source") {
+    spark.sql("CREATE TABLE straw.m2 (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO straw.m2 VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("""MERGE INTO straw.m2 USING (SELECT id, 'x' AS v FROM range(2, 3)) s
+                 ON m2.id = s.id
+                 WHEN MATCHED THEN DELETE""")
+    assert(spark.sql("SELECT id FROM straw.m2 ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    spark.sql("DROP TABLE straw.m2")
+  }
+
+  test("unsupported MERGE forms fail loudly, not approximately") {
+    spark.sql("CREATE TABLE straw.m3 (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO straw.m3 VALUES (1, 'a')")
+    spark.sql("CREATE TABLE straw.m3src (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO straw.m3src VALUES (1, 'A')")
+    // conditional matched action
+    val e = intercept[Exception](
+      spark.sql("""MERGE INTO straw.m3 t USING straw.m3src s ON t.id = s.id
+                   WHEN MATCHED AND s.v = 'A' THEN DELETE"""))
+    assert(e.getMessage.contains("strawboat"))
+    // non-equi condition
+    val e2 = intercept[Exception](
+      spark.sql("""MERGE INTO straw.m3 t USING straw.m3src s ON t.id > s.id
+                   WHEN MATCHED THEN DELETE"""))
+    assert(e2.getMessage.contains("strawboat"))
+    spark.sql("DROP TABLE straw.m3"); spark.sql("DROP TABLE straw.m3src")
+  }
+
+  test("DELETE/UPDATE against a pinned snapshot are refused") {
+    spark.sql("CREATE TABLE straw.p1 (id BIGINT)")
+    spark.sql("INSERT INTO straw.p1 SELECT id FROM range(5)")
+    // DELETE parses time travel but the pinned table must refuse
+    val e = intercept[Exception](
+      spark.sql("DELETE FROM straw.p1 VERSION AS OF 1 WHERE id = 1"))
+    assert(e.getMessage != null)
+    assert(spark.sql("SELECT count(*) FROM straw.p1").collect()(0).getLong(0) == 5)
+    spark.sql("DROP TABLE straw.p1")
+  }
+
+  test("EXPLAIN of UPDATE/MERGE does not execute them") {
+    spark.sql("CREATE TABLE straw.x1 (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO straw.x1 VALUES (1, 'a')")
+    spark.sql("EXPLAIN UPDATE straw.x1 SET v = 'CHANGED'").collect()
+    assert(spark.sql("SELECT v FROM straw.x1").collect()(0).getString(0) == "a")
+    spark.sql("DROP TABLE straw.x1")
+  }
+}
