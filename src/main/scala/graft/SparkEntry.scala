@@ -41,11 +41,9 @@ object SparkEntry {
     ttDir
   }
 
-  /** events.ts is stored as exact nanos-since-epoch (long); derive a µs
-    * timestamp for calendar functions (session TZ is UTC). Integer `div`,
-    * not `/`: 2024 epoch-nanos exceed double precision. */
-  // events.ts is TIMESTAMP(µs); calendar fields come straight off the column
-  // (DuckDB's day()/hour() on the same parquet column agree by construction)
+  /** events.ts is TIMESTAMP(µs); calendar fields come straight off the
+    * column (DuckDB's day()/hour() on the same parquet column agree by
+    * construction). */
   private def tsNs(): Column = col("ts")
 
   /** The deleted-documents fixture (q_delete / q_delete_count): a copy of
@@ -1097,6 +1095,38 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     // --- streaming: STATEFUL windowed aggregation with watermark ----------
+    // --- SQL catalog + DML: the pure-SQL user lifecycle -------------------
+    "q_sql_dml" -> ((s, d) => {
+      // CTAS through the TableCatalog, then DELETE / UPDATE / MERGE INTO as
+      // plain SQL statements — each one atomic log commit, the delete and
+      // update merge-on-read. The final table is read back through the
+      // catalog identifier; the oracle replays the same transformations in
+      // DuckDB SQL over the source parquet.
+      val wh = Tables.strawDir(s, d, "documents") + "_sqlwh"
+      s.conf.set("spark.sql.catalog.strawdml", "graft.spark.StrawCatalog")
+      s.conf.set("spark.sql.catalog.strawdml.warehouse", wh)
+      val marker = new java.io.File(wh, "_SQL_DML_OK")
+      if (!marker.exists()) {
+        t(s, d, "documents").createOrReplaceTempView("sql_dml_docs_src")
+        s.sql("DROP TABLE IF EXISTS strawdml.docs")
+        s.sql("""CREATE TABLE strawdml.docs AS
+                 SELECT doc_id, lang, n_chars FROM sql_dml_docs_src""")
+        s.sql("DELETE FROM strawdml.docs WHERE n_chars < 100")
+        s.sql("UPDATE strawdml.docs SET lang = upper(lang) WHERE n_chars >= 400")
+        s.sql("""MERGE INTO strawdml.docs AS t
+                 USING (SELECT doc_id, 'merged' AS lang, n_chars
+                          FROM sql_dml_docs_src WHERE n_chars BETWEEN 150 AND 300
+                        UNION ALL
+                        SELECT doc_id + 1000000 AS doc_id, 'new' AS lang, n_chars
+                          FROM sql_dml_docs_src WHERE n_chars > 500) AS src
+                 ON t.doc_id = src.doc_id
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+        marker.createNewFile()
+      }
+      s.sql("""SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+               FROM strawdml.docs ORDER BY doc_id""")
+    }),
     "q_stream_windowed" -> ((s, d) => {
       // tumbling 1-day windows per event_type, built up ACROSS micro-batches
       // in the state store (maxFilesPerTrigger=1 forces several batches),
@@ -1592,6 +1622,22 @@ object SparkEntry {
       """SELECT doc_id, source, CAST(n_chars AS INTEGER) AS n_chars
         |FROM documents WHERE lang = 'en' AND n_chars >= 200
         |ORDER BY doc_id""".stripMargin,
+    "q_sql_dml" -> // replay of the SQL DML lifecycle: delete<100, upper()
+      // for >=400, 'merged' overlay on 150..300, inserts for >500
+      """WITH kept AS (
+        |    SELECT doc_id, lang, n_chars FROM documents WHERE n_chars >= 100),
+        |  upd AS (
+        |    SELECT doc_id,
+        |      CASE WHEN n_chars >= 400 THEN upper(lang) ELSE lang END AS lang,
+        |      n_chars FROM kept),
+        |  final AS (
+        |    SELECT doc_id,
+        |      CASE WHEN n_chars BETWEEN 150 AND 300 THEN 'merged' ELSE lang END AS lang,
+        |      n_chars FROM upd
+        |    UNION ALL
+        |    SELECT doc_id + 1000000, 'new', n_chars FROM documents WHERE n_chars > 500)
+        |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM final ORDER BY doc_id""".stripMargin,
     "q_stream_windowed" -> // batch equivalent of the windowed stateful drain
       // (both sides see the parquet ts at µs precision; window start floors
       // to the UTC day in µs)
