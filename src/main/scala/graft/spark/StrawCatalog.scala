@@ -209,12 +209,55 @@ class StrawCatalog extends TableCatalog with SupportsNamespaces {
         s.copy(properties = s.properties + (set.property -> set.value))
       case (s, rm: TableChange.RemoveProperty) =>
         s.copy(properties = s.properties - rm.property)
+      case (s, add: TableChange.AddColumn) => addColumn(ident, dir, add); s
       case (_, other) => throw new UnsupportedOperationException(
         s"strawboat: ALTER TABLE change not supported: $other " +
-          "(schema evolves through mergeSchema appends)")
+          "(add columns via ADD COLUMN or mergeSchema appends; drops/renames " +
+          "would orphan the data files' own schemas)")
     }
     StrawTableSidecar.write(dir, next)
     loadTable(ident)
+  }
+
+  /** `ALTER TABLE … ADD COLUMN c T` — pure metadata, the same machinery as
+    * a mergeSchema append: one schema-only marker file carrying the WIDENED
+    * schema joins the log, schema inference merges it in, and every
+    * existing file null-fills the new column on read. No data is touched. */
+  private def addColumn(ident: Identifier, dir: String,
+      add: TableChange.AddColumn): Unit = {
+    require(add.fieldNames.length == 1,
+      s"strawboat: ADD COLUMN supports top-level columns only, " +
+        s"got ${add.fieldNames.mkString(".")}")
+    require(add.isNullable,
+      s"strawboat: added column '${add.fieldNames.head}' must be nullable — " +
+        "existing rows read it as NULL")
+    require(add.position() == null,
+      "strawboat: ADD COLUMN FIRST/AFTER is not supported — new columns " +
+        "append at the end of the schema")
+    val name = add.fieldNames.head
+    val current = loadTable(ident).schema()
+    require(!current.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"strawboat: column '$name' already exists")
+    val widened = StructType(current.fields :+
+      org.apache.spark.sql.types.StructField(name, add.dataType, nullable = true))
+    val f = StrawIO.fs(dir)
+    val fileName =
+      s"part-empty-${UUID.randomUUID().toString.take(8)}${graft.format.StrawFormat.Extension}"
+    val tmp = new Path(dir, s".$fileName.tmp")
+    val os = f.create(tmp, true)
+    var ok = false
+    try { new StrawFileWriter(widened, WriteOptions()).writeTo(os); ok = true }
+    finally {
+      os.close()
+      if (ok) {
+        if (!f.rename(tmp, new Path(dir, fileName)))
+          throw new java.io.IOException(s"strawboat: rename $tmp -> $fileName failed")
+      } else f.delete(tmp, false)
+    }
+    val st = f.getFileStatus(new Path(dir, fileName))
+    val meta = StrawIO.FileMeta(f.makeQualified(st.getPath).toString,
+      st.getModificationTime, st.getLen)
+    StrawLog.commit(dir, Seq(StrawManifest.entryFor(meta)), op = "add column")
   }
 
   override def dropTable(ident: Identifier): Boolean = {

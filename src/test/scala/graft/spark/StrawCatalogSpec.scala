@@ -148,6 +148,46 @@ class StrawCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE straw.ext")
   }
 
+  test("ALTER TABLE ADD COLUMN: metadata-only evolution, old rows null-fill") {
+    spark.sql("CREATE TABLE straw.ev (id BIGINT)")
+    spark.sql("INSERT INTO straw.ev SELECT id FROM range(5)")
+    val filesBefore = StrawIO.listFiles(s"$warehouse/ev").size
+    spark.sql("ALTER TABLE straw.ev ADD COLUMN note STRING")
+    assert(spark.sql("SELECT * FROM straw.ev").schema.fieldNames.toSeq ==
+      Seq("id", "note"))
+    assert(spark.sql("SELECT count(*) FROM straw.ev WHERE note IS NULL")
+      .collect()(0).getLong(0) == 5)
+    // metadata-only: one schema marker joined, no data file rewritten
+    assert(StrawIO.listFiles(s"$warehouse/ev").size == filesBefore + 1)
+    assert(StrawLog.history(s"$warehouse/ev").head.operation == "add column")
+    // new writes can fill it; old rows stay null
+    spark.sql("INSERT INTO straw.ev VALUES (100, 'annotated')")
+    assert(spark.sql("SELECT count(*) FROM straw.ev WHERE note = 'annotated'")
+      .collect()(0).getLong(0) == 1)
+    // duplicates and non-nullable adds are refused
+    intercept[Exception](spark.sql("ALTER TABLE straw.ev ADD COLUMN note STRING"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE straw.ev ADD COLUMN strict STRING NOT NULL"))
+    spark.sql("DROP TABLE straw.ev")
+  }
+
+  test("writeStream.toTable drains into a catalog table") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = s"$warehouse/_outside/streamsrc" // outside the namespace tree
+    spark.range(20).select(col("id"))
+      .write.format("strawboat").mode("overwrite").save(srcDir)
+    spark.sql("CREATE TABLE straw.streamed (id BIGINT)")
+    val q = spark.readStream.format("strawboat").load(srcDir)
+      .writeStream
+      .option("checkpointLocation", s"$warehouse/_outside/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .toTable("straw.streamed")
+    assert(q.awaitTermination(120000))
+    assert(spark.sql("SELECT count(*) FROM straw.streamed").collect()(0).getLong(0) == 20)
+    spark.sql("DROP TABLE straw.streamed")
+  }
+
   test("loadTable on a missing table raises NoSuchTableException") {
     intercept[NoSuchTableException] {
       spark.sessionState.catalogManager.catalog("straw")
