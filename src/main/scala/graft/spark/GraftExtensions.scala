@@ -41,6 +41,28 @@ object StrawSqlSurface {
     AttributeReference("txn_app", StringType, nullable = true)(),
     AttributeReference("txn_version", LongType, nullable = true)())
 
+  /** Table-function argument → table directory. Accepts a filesystem path
+    * verbatim, or a CATALOG IDENTIFIER (`straw.ns.t`) resolved through the
+    * session's registered [[StrawCatalog]] — so SQL users of catalog tables
+    * never handle warehouse paths:
+    * {{{ SELECT * FROM straw_history('straw.prod.orders') }}} */
+  private[spark] def resolveDir(arg: String): String = {
+    if (arg.contains("/") || arg.contains("\\")) return arg
+    val spark = org.apache.spark.sql.SparkSession.active
+    val parts =
+      try spark.sessionState.sqlParser.parseMultipartIdentifier(arg)
+      catch { case scala.util.control.NonFatal(_) => return arg }
+    if (parts.length < 2) return arg
+    val mgr = spark.sessionState.catalogManager
+    if (!mgr.isCatalogRegistered(parts.head)) return arg
+    mgr.catalog(parts.head) match {
+      case sc: StrawCatalog => sc.tableDir(
+        org.apache.spark.sql.connector.catalog.Identifier.of(
+          parts.tail.init.toArray, parts.last))
+      case _ => arg
+    }
+  }
+
   /** Builds the relation for one `straw_history('<path>')` call. */
   def historyBuilder(args: Seq[Expression]): LogicalPlan = {
     require(args.length == 1 && args.head.foldable &&
@@ -48,7 +70,7 @@ object StrawSqlSurface {
       s"$HistoryName expects one string literal: the table path")
     val path = args.head.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
     require(path != null, s"$HistoryName: path must not be null")
-    val rows = StrawLog.history(path.toString).map { h =>
+    val rows = StrawLog.history(resolveDir(path.toString)).map { h =>
       org.apache.spark.sql.catalyst.InternalRow(
         h.version,
         h.timestampMs * 1000L, // ms → µs
@@ -97,7 +119,7 @@ object StrawSqlSurface {
     val v = args(1).eval(empty)
     require(path != null && v != null, s"$RestoreName: arguments must not be null")
     val r = restored.computeIfAbsent(
-      (path.toString, v.asInstanceOf[Number].longValue()),
+      (resolveDir(path.toString), v.asInstanceOf[Number].longValue()),
       { case (p, ver) => StrawRestore.restore(p, ver) })
     LocalRelation(restoreSchema, Seq(org.apache.spark.sql.catalyst.InternalRow(
       r.version, r.restoredTo, r.addedFiles, r.removedFiles, r.dvChanges)))
@@ -141,9 +163,9 @@ object StrawSqlSurface {
       require(v != null, s"$CompactName: zorder must not be null")
       v.asInstanceOf[Boolean]
     }
-    val r = compacted.computeIfAbsent((path.toString, cols, zorder), { _ =>
+    val r = compacted.computeIfAbsent((resolveDir(path.toString), cols, zorder), { _ =>
       StrawCompaction.compact(org.apache.spark.sql.SparkSession.active,
-        path.toString, clusterBy = cols, zOrder = zorder)
+        resolveDir(path.toString), clusterBy = cols, zOrder = zorder)
     })
     LocalRelation(compactSchema, Seq(org.apache.spark.sql.catalyst.InternalRow(
       r.inputFiles, r.outputFiles, r.rewrittenBytes, r.skippedFiles)))
@@ -168,7 +190,7 @@ object StrawSqlSurface {
       require(h != null, s"$VacuumName: hours must not be null")
       h.asInstanceOf[Number].longValue()
     }
-    val n = StrawLog.vacuumUnreferenced(path.toString, hours * 3600 * 1000L)
+    val n = StrawLog.vacuumUnreferenced(resolveDir(path.toString), hours * 3600 * 1000L)
     LocalRelation(
       Seq(AttributeReference("removed_files", IntegerType, nullable = false)()),
       Seq(org.apache.spark.sql.catalyst.InternalRow(n)))
@@ -201,7 +223,7 @@ object StrawSqlSurface {
       .option("readChangeFeed", "true")
       .option("startingVersion", ver(1).toString)
     val df = (if (args.length == 3) reader.option("endingVersion", ver(2).toString)
-      else reader).load(path.toString)
+      else reader).load(resolveDir(path.toString))
     df.queryExecution.analyzed
   }
 
@@ -216,7 +238,7 @@ object StrawSqlSurface {
       s"$ConstraintsName expects one string literal: the table path")
     val path = args.head.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
     require(path != null, s"$ConstraintsName: path must not be null")
-    val rows = StrawConstraints.list(path.toString).toSeq.sortBy(_._1).map {
+    val rows = StrawConstraints.list(resolveDir(path.toString)).toSeq.sortBy(_._1).map {
       case (n, e) => org.apache.spark.sql.catalyst.InternalRow(
         UTF8String.fromString(n), UTF8String.fromString(e))
     }
@@ -251,9 +273,9 @@ object StrawSqlSurface {
     require(path != null && name != null && expr != null,
       s"$AddConstraintName: arguments must not be null")
     val v = constraintOps.computeIfAbsent(
-      (path.toString, name.toString, Some(expr.toString)),
+      (resolveDir(path.toString), name.toString, Some(expr.toString)),
       _ => StrawConstraints.add(org.apache.spark.sql.SparkSession.active,
-        path.toString, name.toString, expr.toString))
+        resolveDir(path.toString), name.toString, expr.toString))
     LocalRelation(constraintOpSchema, Seq(org.apache.spark.sql.catalyst.InternalRow(
       v, UTF8String.fromString(name.toString), UTF8String.fromString(expr.toString))))
   }
@@ -269,8 +291,8 @@ object StrawSqlSurface {
     require(path != null && name != null,
       s"$DropConstraintName: arguments must not be null")
     val v = constraintOps.computeIfAbsent(
-      (path.toString, name.toString, None),
-      _ => StrawConstraints.drop(path.toString, name.toString))
+      (resolveDir(path.toString), name.toString, None),
+      _ => StrawConstraints.drop(resolveDir(path.toString), name.toString))
     LocalRelation(constraintOpSchema, Seq(org.apache.spark.sql.catalyst.InternalRow(
       v, UTF8String.fromString(name.toString), null)))
   }

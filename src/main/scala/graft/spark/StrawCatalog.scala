@@ -282,6 +282,14 @@ class StrawCatalog extends TableCatalog with SupportsNamespaces {
   override def invalidateTable(ident: Identifier): Unit =
     StrawLog.invalidate(dirOf(ident))
 
+  /** The directory a catalog identifier maps to — the bridge the `straw_*`
+    * table functions use to accept identifiers in place of paths. */
+  private[spark] def tableDir(ident: Identifier): String = {
+    val dir = dirOf(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    dir
+  }
+
   // -------------------------------------------------------------------------
   // SupportsNamespaces — namespaces are directories
   // -------------------------------------------------------------------------

@@ -132,6 +132,22 @@ class StrawSqlDmlSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE straw.p1")
   }
 
+  test("straw_* table functions accept catalog identifiers, not only paths") {
+    spark.sql("CREATE TABLE straw.tvf (id BIGINT)")
+    spark.sql("INSERT INTO straw.tvf SELECT id FROM range(4)")
+    val ops = spark.sql("SELECT operation FROM straw_history('straw.tvf')")
+      .collect().map(_.getString(0))
+    assert(ops.contains("append"))
+    // paths keep working; unknown identifiers fail with the table name
+    val byPath = spark.sql(s"SELECT count(*) c FROM straw_history('$warehouse/tvf')")
+      .collect()(0).getLong(0)
+    assert(byPath == ops.length)
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM straw_history('straw.missing')").collect())
+    assert(e.getMessage.contains("missing"))
+    spark.sql("DROP TABLE straw.tvf")
+  }
+
   test("EXPLAIN of UPDATE/MERGE does not execute them") {
     spark.sql("CREATE TABLE straw.x1 (id BIGINT, v STRING)")
     spark.sql("INSERT INTO straw.x1 VALUES (1, 'a')")
