@@ -175,11 +175,19 @@ class StrawCatalog extends TableCatalog with SupportsNamespaces {
     val keep = props -- Seq(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER,
       TableCatalog.PROP_EXTERNAL, "option.path")
 
+    // the sidecar doubles as the CREATE's atomic claim (create-if-absent):
+    // two racing CREATE TABLEs serialize here — the loser sees the winner's
+    // sidecar and fails with already-exists instead of double-bootstrapping
+    val f = StrawIO.fs(dir)
+    f.mkdirs(new Path(dir))
+    try StrawTableSidecar.claim(dir, StrawTableSidecar(partitionBy, keep))
+    catch {
+      case _: java.io.IOException | _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        throw new TableAlreadyExistsException(ident)
+    }
     // a schema-only marker file makes the empty table self-describing (the
     // same shape a truncate-to-empty leaves behind), and the bootstrap log
     // commit starts the version history at the CREATE
-    val f = StrawIO.fs(dir)
-    f.mkdirs(new Path(dir))
     val fileName = s"part-empty-${UUID.randomUUID().toString.take(8)}${graft.format.StrawFormat.Extension}"
     val tmp = new Path(dir, s".$fileName.tmp")
     val os = f.create(tmp, true)
@@ -195,7 +203,6 @@ class StrawCatalog extends TableCatalog with SupportsNamespaces {
     val st = f.getFileStatus(new Path(dir, fileName))
     val meta = StrawIO.FileMeta(f.makeQualified(st.getPath).toString,
       st.getModificationTime, st.getLen)
-    StrawTableSidecar.write(dir, StrawTableSidecar(partitionBy, keep))
     StrawLog.commit(dir, Seq(StrawManifest.entryFor(meta)), op = "create")
     new StrawboatTable(dir, schema, partitionBy, propertiesArg = keep)
   }
@@ -364,19 +371,39 @@ object StrawTableSidecar {
     case c => c.toString
   } + "\""
 
-  def write(dir: String, s: StrawTableSidecar): Unit = {
-    val json = "{\"partitionBy\":[" +
+  private def render(s: StrawTableSidecar): String =
+    "{\"partitionBy\":[" +
       s.partitionBy.map(esc).mkString(",") + "],\"properties\":{" +
       s.properties.toSeq.sortBy(_._1)
         .map { case (k, v) => s"${esc(k)}:${esc(v)}" }.mkString(",") + "}}"
+
+  /** Overwrite-in-place (ALTER TABLE property updates). */
+  def write(dir: String, s: StrawTableSidecar): Unit = {
     val f = StrawIO.fs(dir)
     val tmp = new Path(dir, s".$FileName.tmp")
     val os = f.create(tmp, true)
-    try os.write(json.getBytes("UTF-8")) finally os.close()
+    try os.write(render(s).getBytes("UTF-8")) finally os.close()
     val dst = new Path(dir, FileName)
     f.delete(dst, false)
     if (!f.rename(tmp, dst))
       throw new java.io.IOException(s"strawboat: rename $tmp -> $dst failed")
+  }
+
+  /** Create-if-absent (the CREATE TABLE claim): throws when the sidecar
+    * already exists. Rides the log's pluggable claim primitive — atomic
+    * hard link on `file:` (Hadoop's `create(overwrite=false)` is
+    * check-then-act there), non-overwriting rename + verify elsewhere —
+    * so racing creators serialize exactly like racing commits. */
+  def claim(dir: String, s: StrawTableSidecar): Unit = {
+    val f = StrawIO.fs(dir)
+    val json = render(s)
+    val tmp = new Path(dir,
+      s".$FileName.claim-${java.util.UUID.randomUUID().toString.take(8)}")
+    val os = f.create(tmp, true)
+    try os.write(json.getBytes("UTF-8")) finally os.close()
+    if (!StrawLog.claim(f, tmp, new Path(dir, FileName), json))
+      throw new java.io.IOException(
+        s"strawboat: $dir is already claimed by another table")
   }
 
   def read(dir: String): Option[StrawTableSidecar] = {

@@ -425,11 +425,23 @@ class StrawboatTable(path: String, val schemaArg: StructType,
     require(asOfOpt.isEmpty,
       s"strawboat: $path is pinned to version ${asOfOpt.get} (time travel) — " +
         "historical snapshots are read-only; write through the current table")
+    // per-table write configuration: TBLPROPERTIES with a `write.` prefix
+    // ('write.compression'='zstd', 'write.sortBy'='ts', 'write.bloomColumns'
+    // ='digest', …) apply to every write into the table; per-statement
+    // .option(...)s override them
+    val inherited = propertiesArg.collect {
+      case (k, v) if k.toLowerCase(java.util.Locale.ROOT).startsWith("write.") =>
+        k.substring("write.".length) -> v
+    }
+    val options: CaseInsensitiveStringMap =
+      if (inherited.isEmpty) info.options()
+      else new CaseInsensitiveStringMap(
+        (inherited ++ info.options().asScala).asJava)
     // comma list = multi-level layout, outer→inner: partitionBy "date,hour"
     // writes date=D/hour=H/part-*.strb — the canonical time-series shape.
     // Without the option, a catalog/partitioned table's own layout applies,
     // so plain INSERT INTO maintains the hive directories.
-    val explicitCols = Option(info.options().get("partitionBy")).toSeq
+    val explicitCols = Option(options.get("partitionBy")).toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     val partitionCols = if (explicitCols.nonEmpty) explicitCols else partitionByOpt
     require(partitionCols.distinct.size == partitionCols.size,
@@ -452,10 +464,10 @@ class StrawboatTable(path: String, val schemaArg: StructType,
     // clustering columns ("none" opts out — e.g. tests that deliberately
     // fabricate many small files per partition)
     def cols(opt: String): Seq[String] =
-      Option(info.options().get(opt)).toSeq
+      Option(options.get(opt)).toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     val sortBy = cols("sortBy")
-    val distribute = Option(info.options().get("distribute")).map(_.trim) match {
+    val distribute = Option(options.get("distribute")).map(_.trim) match {
       case Some(v) if v.equalsIgnoreCase("none") => Seq.empty
       case Some(_) => cols("distribute")
       case None => partitionCols
@@ -465,9 +477,9 @@ class StrawboatTable(path: String, val schemaArg: StructType,
         s"strawboat: sortBy/distribute column '$c' not in schema " +
           info.schema().fieldNames.mkString(","))
     }
-    new StrawWriteBuilder(path, info.schema(), StrawWriteOptions.parse(info.options()),
+    new StrawWriteBuilder(path, info.schema(), StrawWriteOptions.parse(options),
       partitionCols, info.queryId(),
-      Option(info.options().get("mergeSchema")).exists(_.toBoolean),
+      Option(options.get("mergeSchema")).exists(_.toBoolean),
       sortBy, distribute)
   }
 }

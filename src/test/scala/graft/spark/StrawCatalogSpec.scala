@@ -188,6 +188,40 @@ class StrawCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE straw.streamed")
   }
 
+  test("write.* TBLPROPERTIES configure every write into the table") {
+    import graft.format.{LocalFileInput, StrawFileReader}
+    spark.sql("""CREATE TABLE straw.wp (id BIGINT, digest STRING)
+                 TBLPROPERTIES ('write.maxPageSize' = '16',
+                                'write.bloomColumns' = 'digest')""")
+    spark.sql("INSERT INTO straw.wp SELECT id, concat('d', id) FROM range(100)")
+    val dataFile = new java.io.File(s"$warehouse/wp").listFiles()
+      .filter(f => f.getName.endsWith(".strb") && f.length > 0)
+      .maxBy(_.length)
+    val in = new LocalFileInput(dataFile.getPath)
+    val footer = try StrawFileReader.readFooter(in) finally in.close()
+    // 100 rows split over 4 input partitions → ~25 rows per file; 16-row
+    // property pages ⇒ at least 2 pages (default 64k-row pages would be 1)
+    assert(footer.topLeaf(0).pages.length >= 2)
+    // per-statement options still win over the property
+    spark.sql("DROP TABLE straw.wp")
+  }
+
+  test("racing CREATE TABLE: exactly one creator wins") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val results = Await.result(
+      Future.sequence((1 to 4).map(i => Future(
+        try { spark.sql(s"CREATE TABLE straw.race (id BIGINT)"); "ok" }
+        catch { case _: Throwable => "lost" }))),
+      2.minutes)
+    assert(results.count(_ == "ok") == 1, results.toString)
+    // the winner's table is intact
+    spark.sql("INSERT INTO straw.race VALUES (1)")
+    assert(spark.sql("SELECT count(*) FROM straw.race").collect()(0).getLong(0) == 1)
+    spark.sql("DROP TABLE straw.race")
+  }
+
   test("loadTable on a missing table raises NoSuchTableException") {
     intercept[NoSuchTableException] {
       spark.sessionState.catalogManager.catalog("straw")
