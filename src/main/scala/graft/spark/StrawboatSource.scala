@@ -17,6 +17,7 @@ import org.apache.spark.sql.internal.SQLConf.PartitionOverwriteMode
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.format._
 
@@ -351,11 +352,17 @@ class StrawboatTable(path: String, val schemaArg: StructType,
     partitionByOpt: Seq[String] = Seq.empty,
     asOfOpt: Option[Long] = None,
     propertiesArg: Map[String, String] = Map.empty)
-  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete
+  with SupportsMetadataColumns {
   override def name(): String =
     s"strawboat:$path" + asOfOpt.map(v => s"@v$v").getOrElse("")
   override def schema(): StructType = schemaArg
   override def properties(): java.util.Map[String, String] = propertiesArg.asJava
+
+  /** `SELECT _file FROM t` — the producing data file per row (Iceberg's
+    * metadata-column shape), the handle maintenance workflows key on. */
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(StrawboatTable.FileColumn)
 
   private[spark] def tablePath: String = path
   private[spark] def pinnedVersion: Option[Long] = asOfOpt
@@ -484,6 +491,19 @@ class StrawboatTable(path: String, val schemaArg: StructType,
   }
 }
 
+object StrawboatTable {
+  val FileColumnName = "_file"
+  /** `_file: STRING NOT NULL` — appended LAST in the scan's read schema
+    * when requested (Spark matches scan output by name). */
+  object FileColumn extends MetadataColumn {
+    override def name(): String = FileColumnName
+    override def dataType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.StringType
+    override def isNullable: Boolean = false
+    override def comment(): String = "data file the row was read from"
+  }
+}
+
 /** Writer options exposed on the DataFrame API, parquet-style:
   * {{{
   * df.write.format("strawboat")
@@ -550,6 +570,7 @@ class StrawScanBuilder(path: String, fullSchema: StructType,
   with SupportsPushDownAggregates {
 
   private var requiredSchema: StructType = fullSchema
+  private var wantsFileColumn: Boolean = false
   private var pushedFiltersArr: Array[Filter] = Array.empty
   private var exactFilters: Array[Filter] = Array.empty
   private var limit: Long = Long.MaxValue
@@ -601,6 +622,14 @@ class StrawScanBuilder(path: String, fullSchema: StructType,
   }
 
   override def pruneColumns(required: StructType): Unit = {
+    // the _file METADATA column (not a data column) is produced by the
+    // readers, not read from files — strip it here, append it to the read
+    // schema at the end (Spark matches scan output by name)
+    val (metaF, dataF) = required.fields.partition(f =>
+      f.name == StrawboatTable.FileColumnName &&
+        !fullSchema.fieldNames.contains(StrawboatTable.FileColumnName))
+    wantsFileColumn = metaF.nonEmpty
+    val requiredData = StructType(dataF)
     // accept Catalyst's NESTED pruning too: a required field may arrive as
     // a struct-subset of its table definition (meta: struct<lang> of a
     // 4-field struct) — the per-leaf layout reads exactly those leaves, so
@@ -608,7 +637,7 @@ class StrawScanBuilder(path: String, fullSchema: StructType,
     // one leaf instead of the whole struct. Anything that is not a clean
     // prune-subset widens back to the full definition (always correct:
     // Spark's projection extracts above the scan).
-    requiredSchema = StructType(required.fields.map { f =>
+    requiredSchema = StructType(requiredData.fields.map { f =>
       fullSchema.fields.find(_.name == f.name) match {
         case Some(full) if full.dataType == f.dataType => full
         case Some(full) if LeafLayout.pruneCompatible(full.dataType, f.dataType) =>
@@ -685,7 +714,7 @@ class StrawScanBuilder(path: String, fullSchema: StructType,
     case None =>
       new StrawScan(path, fullSchema, requiredSchema, pushedFiltersArr, limit,
         maxFilesPerTrigger, keyGrouped, topN, exactFilters, maxBytesPerTrigger,
-        asOf)
+        asOf, appendFile = wantsFileColumn)
   }
 }
 
@@ -764,7 +793,8 @@ class StrawScan(
     topN: Option[TopNPushdown.Spec] = None,
     exactFilters: Array[Filter] = Array.empty,
     maxBytesPerTrigger: Option[Long] = None,
-    asOf: Option[Long] = None)
+    asOf: Option[Long] = None,
+    appendFile: Boolean = false)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
@@ -809,7 +839,12 @@ class StrawScan(
     case _ => false
   }
 
-  override def readSchema(): StructType = requiredSchema
+  override def readSchema(): StructType =
+    if (appendFile)
+      StructType(requiredSchema.fields :+ org.apache.spark.sql.types.StructField(
+        StrawboatTable.FileColumnName, org.apache.spark.sql.types.StringType,
+        nullable = false))
+    else requiredSchema
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -817,6 +852,8 @@ class StrawScan(
     // contradicts itself — reject loudly rather than silently ignore
     require(asOf.isEmpty, "strawboat: time travel (versionAsOf/timestampAsOf) " +
       "is not supported for streaming reads")
+    require(!appendFile,
+      "strawboat: the _file metadata column is not available on streaming reads")
     new StrawMicroBatchStream(path, fullSchema, requiredSchema, maxFilesPerTrigger,
       exactFilters, maxBytesPerTrigger, skipFilters = filters)
   }
@@ -984,7 +1021,7 @@ class StrawScan(
     }
     new StrawPartitionReaderFactory(fullSchema, requiredSchema,
       new org.apache.spark.util.SerializableConfiguration(StrawIO.conf), topN,
-      exactFilters, typeWidened)
+      exactFilters, typeWidened, appendFile)
   }
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
@@ -1051,8 +1088,27 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
     serConf: org.apache.spark.util.SerializableConfiguration,
     topN: Option[TopNPushdown.Spec] = None,
     exactFilters: Array[Filter] = Array.empty,
-    typeWidened: Boolean = false)
+    typeWidened: Boolean = false,
+    appendFile: Boolean = false)
   extends PartitionReaderFactory {
+
+  /** `_file` metadata column: every produced row gets the partition's data
+    * file path appended LAST (matching the scan's declared read schema).
+    * One constant single-field row per reader — no per-row allocation. */
+  private def withFileColumn(base: PartitionReader[InternalRow], path: String)
+      : PartitionReader[InternalRow] =
+    if (!appendFile) base
+    else new PartitionReader[InternalRow] {
+      private val fileRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](UTF8String.fromString(path)))
+      private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      override def next(): Boolean = base.next()
+      override def get(): InternalRow = joined(base.get(), fileRow)
+      override def close(): Unit = base.close()
+      override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+        base.currentMetricsValues()
+    }
 
   // Filters fully consumed by the scan (no residual Filter node above):
   // evaluating them here is a CORRECTNESS obligation. They may reference
@@ -1260,7 +1316,7 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
         narrowed.take(math.min(p.limit, Int.MaxValue.toLong).toInt)
       else narrowed
 
-    topK match {
+    val reader = topK match {
       case Some((buf, _, _)) =>
         // the buffer sees exactly the filter-passing rows (pred above) — a
         // failing row could otherwise evict a true candidate
@@ -1295,13 +1351,14 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
             metrics()
         }
     }
+    withFileColumn(reader, p.path)
   }
 
   // consumed filters stay vectorized: the columnar reader evaluates them
   // in-reader (zero-copy for all-pass pages, survivor compaction for mixed)
   override def supportColumnarReads(partition: InputPartition): Boolean =
     !partition.isInstanceOf[StrawKeyedPartition] && topNActive.isEmpty &&
-      !typeWidened &&
+      !typeWidened && !appendFile &&
       readSchemaExt.fields.forall(f => ColumnarSupport.isFlat(f.dataType))
 
   override def createColumnarReader(partition: InputPartition)

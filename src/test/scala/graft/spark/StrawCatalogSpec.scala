@@ -222,6 +222,33 @@ class StrawCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE straw.race")
   }
 
+  test("_file metadata column names the producing data file per row") {
+    import org.apache.spark.sql.functions._
+    spark.sql("CREATE TABLE straw.mf (id BIGINT, k STRING) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO straw.mf SELECT id, CAST(id % 2 AS STRING) FROM range(20)")
+    val rows = spark.sql("SELECT id, k, _file FROM straw.mf").collect()
+    assert(rows.length == 20)
+    // every row's _file is a real .strb path inside its own k=<v> directory
+    rows.foreach { r =>
+      val f = r.getString(2)
+      assert(f.endsWith(".strb") && f.contains(s"k=${r.getString(1)}"), f)
+      assert(new java.io.File(new java.net.URI(f).getPath).exists(), f)
+    }
+    // distinct files ≥ partitions; _file-only and filtered projections work
+    val files = spark.sql("SELECT DISTINCT _file FROM straw.mf").collect()
+    assert(files.length >= 2)
+    assert(spark.sql("SELECT _file FROM straw.mf WHERE k = '1'").collect()
+      .forall(_.getString(0).contains("k=1")))
+    // grouping by _file — the maintenance shape (rows per file)
+    val perFile = spark.sql(
+      "SELECT _file, count(*) AS c FROM straw.mf GROUP BY 1").collect()
+    assert(perFile.map(_.getLong(1)).sum == 20)
+    // _file does not leak into SELECT *
+    assert(spark.sql("SELECT * FROM straw.mf").schema.fieldNames.toSeq ==
+      Seq("id", "k"))
+    spark.sql("DROP TABLE straw.mf")
+  }
+
   test("loadTable on a missing table raises NoSuchTableException") {
     intercept[NoSuchTableException] {
       spark.sessionState.catalogManager.catalog("straw")
