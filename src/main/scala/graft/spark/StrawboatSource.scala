@@ -1358,7 +1358,7 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
   // in-reader (zero-copy for all-pass pages, survivor compaction for mixed)
   override def supportColumnarReads(partition: InputPartition): Boolean =
     !partition.isInstanceOf[StrawKeyedPartition] && topNActive.isEmpty &&
-      !typeWidened && !appendFile &&
+      !typeWidened &&
       readSchemaExt.fields.forall(f => ColumnarSupport.isFlat(f.dataType))
 
   override def createColumnarReader(partition: InputPartition)
@@ -1367,8 +1367,27 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
     val p = partition.asInstanceOf[StrawInputPartition]
     val dead: org.roaringbitmap.RoaringBitmap =
       if (p.dvPath == null) null else DeletionVector.read(p.dvPath, p.dvLen)
-    new ColumnarSupport.StrawColumnarReader(p, readSchemaExt, requiredSchema.length,
-      rowPred.orNull, dead)
+    val base = new ColumnarSupport.StrawColumnarReader(p, readSchemaExt,
+      requiredSchema.length, rowPred.orNull, dead)
+    if (!appendFile) base
+    else new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      // _file stays vectorized: one constant string vector appended per
+      // batch (the wrapper batch is per-page, the vector is shared)
+      private val fileVec =
+        new org.apache.spark.sql.execution.vectorized.ConstantColumnVector(
+          1, org.apache.spark.sql.types.StringType)
+      fileVec.setUtf8String(UTF8String.fromString(p.path))
+      override def next(): Boolean = base.next()
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+        val b = base.get()
+        val cols = Array.tabulate[org.apache.spark.sql.vectorized.ColumnVector](
+          b.numCols() + 1)(i => if (i < b.numCols()) b.column(i) else fileVec)
+        new org.apache.spark.sql.vectorized.ColumnarBatch(cols, b.numRows())
+      }
+      override def close(): Unit = base.close()
+      override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+        base.currentMetricsValues()
+    }
   }
 }
 
