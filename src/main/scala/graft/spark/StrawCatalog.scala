@@ -56,6 +56,12 @@ class StrawCatalog extends TableCatalog with SupportsNamespaces {
   override def name(): String = catalogName
   override def defaultNamespace(): Array[String] = Array.empty
 
+  /** ANSI constraint DDL routes through the catalog (CREATE TABLE …
+    * CHECK (…), ALTER TABLE ADD/DROP CONSTRAINT) — enforcement itself is
+    * the engine's log-recorded [[StrawConstraints]] machinery. */
+  override def capabilities(): java.util.Set[TableCatalogCapability] =
+    java.util.Collections.singleton(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   // -------------------------------------------------------------------------
   // path mapping
   // -------------------------------------------------------------------------
@@ -148,6 +154,16 @@ class StrawCatalog extends TableCatalog with SupportsNamespaces {
       propertiesArg = sidecar.map(_.properties).getOrElse(Map.empty))
   }
 
+  /** CREATE TABLE with ANSI constraints (the TableInfo overload). */
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    val t = createTable(ident, info.schema(), info.partitions(), info.properties())
+    if (info.constraints().isEmpty) t
+    else {
+      info.constraints().foreach(c => addCheckConstraint(dirOf(ident), c))
+      loadTable(ident)
+    }
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
     val dir = dirOf(ident)
@@ -217,6 +233,12 @@ class StrawCatalog extends TableCatalog with SupportsNamespaces {
       case (s, rm: TableChange.RemoveProperty) =>
         s.copy(properties = s.properties - rm.property)
       case (s, add: TableChange.AddColumn) => addColumn(ident, dir, add); s
+      case (s, add: TableChange.AddConstraint) =>
+        addCheckConstraint(dir, add.constraint()); s
+      case (s, drop: TableChange.DropConstraint) =>
+        try StrawConstraints.drop(dir, drop.name()): Unit
+        catch { case e: IllegalArgumentException if drop.ifExists() => }
+        s
       case (_, other) => throw new UnsupportedOperationException(
         s"strawboat: ALTER TABLE change not supported: $other " +
           "(add columns via ADD COLUMN or mergeSchema appends; drops/renames " +
@@ -225,6 +247,22 @@ class StrawCatalog extends TableCatalog with SupportsNamespaces {
     StrawTableSidecar.write(dir, next)
     loadTable(ident)
   }
+
+  /** Only enforced CHECK constraints are accepted — the one kind the
+    * engine actually validates ([[StrawConstraints]]: existing rows checked
+    * up front, every new-row write path gated). Informational PK/FK/UNIQUE
+    * would be silently-unchecked metadata; refuse rather than pretend. */
+  private def addCheckConstraint(dir: String,
+      c: org.apache.spark.sql.connector.catalog.constraints.Constraint): Unit =
+    c match {
+      case chk: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        require(chk.enforced(),
+          s"strawboat: NOT ENFORCED constraints are not supported (${c.name()})")
+        StrawConstraints.add(org.apache.spark.sql.SparkSession.active, dir,
+          chk.name(), chk.predicateSql()): Unit
+      case other => throw new UnsupportedOperationException(
+        s"strawboat: only CHECK constraints are supported, got ${other.toDDL}")
+    }
 
   /** `ALTER TABLE … ADD COLUMN c T` — pure metadata, the same machinery as
     * a mergeSchema append: one schema-only marker file carrying the WIDENED

@@ -364,6 +364,15 @@ class StrawboatTable(path: String, val schemaArg: StructType,
   override def metadataColumns(): Array[MetadataColumn] =
     Array(StrawboatTable.FileColumn)
 
+  /** The log-recorded CHECK constraints, surfaced as V2 constraints so
+    * DESCRIBE and the analyzer see what every write path enforces. */
+  override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    StrawConstraints.list(path).toSeq.sortBy(_._1).map { case (n, sql) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(n).predicateSql(sql).enforced(true).build()
+        : org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
+
   private[spark] def tablePath: String = path
   private[spark] def pinnedVersion: Option[Long] = asOfOpt
 

@@ -148,6 +148,25 @@ class StrawSqlDmlSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE straw.tvf")
   }
 
+  test("ANSI CHECK constraints: CREATE TABLE ... CHECK, ALTER ADD/DROP CONSTRAINT") {
+    spark.sql("""CREATE TABLE straw.cons (id BIGINT, n BIGINT,
+                 CONSTRAINT pos CHECK (n > 0))""")
+    spark.sql("INSERT INTO straw.cons VALUES (1, 5)")
+    // a violating insert fails and leaves nothing behind
+    intercept[Exception](spark.sql("INSERT INTO straw.cons VALUES (2, -1)"))
+    assert(spark.sql("SELECT count(*) FROM straw.cons").collect()(0).getLong(0) == 1)
+    // ALTER ADD validates existing rows up front
+    intercept[Exception](
+      spark.sql("ALTER TABLE straw.cons ADD CONSTRAINT big CHECK (n > 100)"))
+    spark.sql("ALTER TABLE straw.cons ADD CONSTRAINT small CHECK (n < 100)")
+    intercept[Exception](spark.sql("INSERT INTO straw.cons VALUES (3, 500)"))
+    // DROP re-opens the gate
+    spark.sql("ALTER TABLE straw.cons DROP CONSTRAINT small")
+    spark.sql("INSERT INTO straw.cons VALUES (3, 500)")
+    assert(spark.sql("SELECT count(*) FROM straw.cons").collect()(0).getLong(0) == 2)
+    spark.sql("DROP TABLE straw.cons")
+  }
+
   test("EXPLAIN of UPDATE/MERGE does not execute them") {
     spark.sql("CREATE TABLE straw.x1 (id BIGINT, v STRING)")
     spark.sql("INSERT INTO straw.x1 VALUES (1, 'a')")
