@@ -167,6 +167,31 @@ class StrawSqlDmlSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE straw.cons")
   }
 
+  test("TRUNCATE TABLE, SHOW CREATE TABLE, and readStream.table work") {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.sql("CREATE TABLE straw.misc (id BIGINT, k STRING) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO straw.misc SELECT id, CAST(id % 2 AS STRING) FROM range(10)")
+    // streaming read from a catalog identifier
+    val sinkDir = s"$warehouse/_outside/misc_sink"
+    val q = spark.readStream.table("straw.misc")
+      .writeStream.format("strawboat")
+      .option("path", sinkDir)
+      .option("checkpointLocation", s"$warehouse/_outside/misc_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000))
+    assert(spark.read.format("strawboat").load(sinkDir).count() == 10)
+    // SHOW CREATE TABLE names the connector and partitioning
+    val ddl = spark.sql("SHOW CREATE TABLE straw.misc").collect()(0).getString(0)
+    assert(ddl.contains("straw.misc") && ddl.toLowerCase.contains("partitioned"), ddl)
+    // TRUNCATE empties but keeps the schema
+    spark.sql("TRUNCATE TABLE straw.misc")
+    assert(spark.sql("SELECT count(*) FROM straw.misc").collect()(0).getLong(0) == 0)
+    assert(spark.sql("SELECT * FROM straw.misc").schema.fieldNames.toSeq ==
+      Seq("id", "k"))
+    spark.sql("DROP TABLE straw.misc")
+  }
+
   test("EXPLAIN of UPDATE/MERGE does not execute them") {
     spark.sql("CREATE TABLE straw.x1 (id BIGINT, v STRING)")
     spark.sql("INSERT INTO straw.x1 VALUES (1, 'a')")
