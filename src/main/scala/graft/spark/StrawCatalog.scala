@@ -59,8 +59,14 @@ class StrawCatalog extends TableCatalog with SupportsNamespaces {
   /** ANSI constraint DDL routes through the catalog (CREATE TABLE …
     * CHECK (…), ALTER TABLE ADD/DROP CONSTRAINT) — enforcement itself is
     * the engine's log-recorded [[StrawConstraints]] machinery. */
-  override def capabilities(): java.util.Set[TableCatalogCapability] =
-    java.util.Collections.singleton(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+  override def capabilities(): java.util.Set[TableCatalogCapability] = {
+    val s = new java.util.HashSet[TableCatalogCapability]()
+    s.add(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    // column DEFAULTs live in StructField metadata, which the footer's
+    // StructType-JSON schema round-trips; the analyzer does the filling
+    s.add(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+    s
+  }
 
   // -------------------------------------------------------------------------
   // path mapping

@@ -249,6 +249,18 @@ class StrawCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE straw.mf")
   }
 
+  test("column DEFAULTs fill omitted values; survive the footer round-trip") {
+    spark.sql("""CREATE TABLE straw.dft (id BIGINT,
+                 status STRING DEFAULT 'new', score DOUBLE DEFAULT 0.0)""")
+    spark.sql("INSERT INTO straw.dft (id) VALUES (1)")
+    spark.sql("INSERT INTO straw.dft VALUES (2, 'done', 1.0)")
+    spark.sql("INSERT INTO straw.dft (id, status) VALUES (3, DEFAULT)")
+    val rows = spark.sql("SELECT id, status, score FROM straw.dft ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(rows == Seq((1L, "new", 0.0), (2L, "done", 1.0), (3L, "new", 0.0)))
+    spark.sql("DROP TABLE straw.dft")
+  }
+
   test("loadTable on a missing table raises NoSuchTableException") {
     intercept[NoSuchTableException] {
       spark.sessionState.catalogManager.catalog("straw")
