@@ -89,6 +89,14 @@ private[spark] object StrawDml {
     require(pinned.isEmpty,
       s"strawboat: $path is pinned to version ${pinned.get} (time travel) — " +
         "historical snapshots are read-only")
+
+  /** Strip analyzer-inserted implicit casts (an INT-typed VALUES source
+    * against a BIGINT table) — the aligned source applies the target types
+    * explicitly, so the cast carries no information here. */
+  def uncast(e: Expression): Expression = e match {
+    case c: org.apache.spark.sql.catalyst.expressions.Cast => uncast(c.child)
+    case other => other
+  }
 }
 
 /** Eager `UPDATE` execution over [[StrawUpdate.updateExpressions]]. */
@@ -146,8 +154,17 @@ case class StrawMergeCommand(path: String, pinned: Option[Long],
         conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
+    // unwrap analyzer-inserted implicit casts (an INT-typed source keyed
+    // against a BIGINT table column) so key detection sees the attributes;
+    // the type contract itself is enforced by StrawMerge's source
+    // alignment, whose message says what to cast
     val keys = conjuncts(cond).map {
-      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+      case EqualTo(l, r) => (StrawDml.uncast(l), StrawDml.uncast(r))
+      case other => throw new UnsupportedOperationException(
+        s"strawboat: MERGE condition must be a conjunction of column " +
+          s"equalities, got: ${other.sql}")
+    }.map {
+      case (a: AttributeReference, b: AttributeReference) =>
         val (t, s) = if (targetSet.contains(a)) (a, b) else (b, a)
         require(targetSet.contains(t) && !targetSet.contains(s),
           s"strawboat: MERGE condition must compare a target column with a " +
@@ -156,18 +173,21 @@ case class StrawMergeCommand(path: String, pinned: Option[Long],
           s"strawboat: MERGE key columns must have the same name on both " +
             s"sides (got ${t.name} = ${s.name}); alias the source first")
         t.name
-      case other => throw new UnsupportedOperationException(
+      case (l, r) => throw new UnsupportedOperationException(
         s"strawboat: MERGE condition must be a conjunction of column " +
-          s"equalities, got: ${other.sql}")
+          s"equalities, got: ${l.sql} = ${r.sql}")
     }
 
     // the analyzer expands `UPDATE SET *` / `INSERT *` into per-column
-    // assignments from the source — verify that is the shape we got
+    // assignments from the source (possibly cast-wrapped when the source
+    // is narrower) — verify that is the shape we got
     def isStarAssignment(as: Seq[Assignment]): Boolean =
-      as.forall {
-        case Assignment(k: Attribute, v: AttributeReference) =>
-          !targetSet.contains(v) && k.name == v.name
-        case _ => false
+      as.forall { a =>
+        (a.key, StrawDml.uncast(a.value)) match {
+          case (k: Attribute, v: AttributeReference) =>
+            !targetSet.contains(v) && k.name == v.name
+          case _ => false
+        }
       }
 
     val whenMatched = matched match {
@@ -185,7 +205,12 @@ case class StrawMergeCommand(path: String, pinned: Option[Long],
         "strawboat: supported WHEN NOT MATCHED form is exactly one " +
           "unconditional `INSERT *`, got: " + other.mkString(", "))
     }
+    // align the source to the TABLE's exact column types (the SQL-side
+    // equivalent of the implicit casts the analyzer put in the assignments)
+    // so an INT-typed VALUES source merges into a BIGINT table directly
     val sourceDf = org.apache.spark.sql.graft.GraftSqlShims.dataFrame(spark, source)
+      .select(targetOutput.map(a =>
+        org.apache.spark.sql.functions.col(a.name).cast(a.dataType).as(a.name)): _*)
     StrawMerge.merge(spark, path, sourceDf, keys, whenMatched, insertNotMatched): Unit
     Seq.empty
   }
