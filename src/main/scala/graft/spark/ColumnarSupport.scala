@@ -20,6 +20,14 @@ object ColumnarSupport {
     case _ => false
   }
 
+  /** Vectorizable = flat, or a struct tree bottoming out in flat leaves
+    * (struct levels carry a validity mask only, so row counts line up
+    * across leaves). Arrays/maps repeat — those stay on the row reader. */
+  def isVectorizable(dt: DataType): Boolean = dt match {
+    case s: StructType => s.fields.forall(f => isVectorizable(f.dataType))
+    case other => isFlat(other)
+  }
+
   private def fill(v: OnHeapColumnVector, dt: DataType, page: DecodedPage): Unit = {
     val n = page.numValues
     page match {
@@ -75,6 +83,20 @@ object ColumnarSupport {
         }
       case _: NullPage =>
         v.putNulls(0, n)
+      case sp: StructPage =>
+        // parent validity mask, then each child leaf into its child vector
+        // (null parents leave child slots as filler — masked by the parent)
+        val st = dt.asInstanceOf[StructType]
+        if (sp.valid != null) {
+          var i = 0
+          while (i < n) { if (!sp.valid(i)) v.putNull(i); i += 1 }
+        }
+        var f = 0
+        while (f < st.fields.length) {
+          fill(v.getChild(f).asInstanceOf[OnHeapColumnVector],
+            st.fields(f).dataType, sp.fields(f))
+          f += 1
+        }
       case other =>
         throw new UnsupportedOperationException(s"columnar fill: ${other.getClass}")
     }
@@ -99,6 +121,14 @@ object ColumnarSupport {
       case StringType | BinaryType =>
         val b = src.getBinary(i)
         dst.putByteArray(j, b, 0, b.length): Unit
+      case st: StructType =>
+        var f = 0
+        while (f < st.fields.length) {
+          copyValue(st.fields(f).dataType,
+            src.getChild(f).asInstanceOf[OnHeapColumnVector], i,
+            dst.getChild(f).asInstanceOf[OnHeapColumnVector], j)
+          f += 1
+        }
       case other => throw new UnsupportedOperationException(s"columnar copy: $other")
     }
   }
@@ -134,10 +164,14 @@ object ColumnarSupport {
         // planning routes type-widened tables to the row reader, so hitting
         // this means a planner path forgot to (fail loudly, never misread)
         r.zipWithIndex.foreach { case (ci, c) =>
-          if (ci >= 0)
-            require(f.schema.fields(ci).dataType == readSchema.fields(c).dataType,
+          if (ci >= 0) {
+            val fileDt = f.schema.fields(ci).dataType
+            val readDt = readSchema.fields(c).dataType
+            require(fileDt == readDt ||
+              LeafLayout.pruneCompatible(fileDt, readDt),
               s"strawboat: widened column '${readSchema.fields(c).name}' in " +
                 s"${part.path} requires the row reader")
+          }
         }
         (f, r)
       } catch { case e: Throwable => input.close(); throw e }
@@ -148,10 +182,13 @@ object ColumnarSupport {
       if (dead == null) null else pageRows.scanLeft(0L)(_ + _)
     // survivor compaction engages when EITHER filter source is active
     private def filtering: Boolean = pred != null || dead != null
-    // columnar reads are gated to FLAT columns, whose single leaf is
-    // addressed via the footer's leaf numbering (topLeaf)
-    private val pageOffsets: Array[Array[Long]] = resolved.map { ci =>
-      if (ci < 0) null else footer.topLeaf(ci).pageOffsets
+    // per-column leaf read plan (flat = one leaf, struct = its leaf set);
+    // page byte offsets precomputed per leaf
+    private val plans: Array[ProjCol] = resolved.zipWithIndex.map { case (ci, c) =>
+      if (ci < 0) null else ProjCol.plan(footer, ci, readSchema.fields(c).dataType)
+    }
+    private val leafOffsets: Array[Array[Array[Long]]] = plans.map { pl =>
+      if (pl == null) null else pl.globalLeaves.map(l => footer.columns(l).pageOffsets)
     }
     private val outSchema = StructType(readSchema.fields.take(outCols))
     private var pageIdx = part.pageStart
@@ -227,12 +264,21 @@ object ColumnarSupport {
           while (c < resolved.length) {
             if (resolved(c) < 0) vectors(c).putNulls(0, n0)
             else {
-              val cm = footer.topLeaf(resolved(c))
-              val pm = cm.pages(p)
-              val bytes = input.readFully(pageOffsets(c)(p), pm.compLen.toInt)
-              val page = PageDecoder.decode(footer.schema.fields(resolved(c)).dataType,
-                ByteIO.reader(bytes))
-              fill(vectors(c), readSchema.fields(c).dataType, page)
+              val pl = plans(c)
+              // decode each leaf page, reassemble (flat = the leaf itself)
+              val leaves = new Array[(Array[LevelHeader], DecodedPage)](
+                pl.globalLeaves.length)
+              var li = 0
+              while (li < pl.globalLeaves.length) {
+                val cm = footer.columns(pl.globalLeaves(li))
+                val bytes = input.readFully(leafOffsets(c)(li)(p),
+                  cm.pages(p).compLen.toInt)
+                leaves(li) = LeafDecoder.decode(pl.levelKinds(li), pl.leafDts(li),
+                  ByteIO.reader(bytes))
+                li += 1
+              }
+              fill(vectors(c), readSchema.fields(c).dataType,
+                LeafDecoder.assemble(readSchema.fields(c).dataType, leaves))
             }
             c += 1
           }

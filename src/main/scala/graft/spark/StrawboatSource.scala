@@ -1368,7 +1368,7 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
   override def supportColumnarReads(partition: InputPartition): Boolean =
     !partition.isInstanceOf[StrawKeyedPartition] && topNActive.isEmpty &&
       !typeWidened &&
-      readSchemaExt.fields.forall(f => ColumnarSupport.isFlat(f.dataType))
+      readSchemaExt.fields.forall(f => ColumnarSupport.isVectorizable(f.dataType))
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
