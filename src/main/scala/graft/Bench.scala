@@ -24,7 +24,9 @@ object Bench {
     // the driver bench, not only in correctness
     "q_delete", "q_merge", "q_timetravel", "q_cdf",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_embedding_lsh",
-    "q_ann_brute", "q_ann_ivf", "q_text_stats")
+    "q_ann_brute", "q_ann_ivf", "q_text_stats",
+    // nested-leaf scan through the vectorized struct reader (round 9)
+    "q_struct_filter")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
