@@ -1095,6 +1095,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     // --- streaming: STATEFUL windowed aggregation with watermark ----------
+    // --- LLM-pipeline: sequence packing + sampling/mixing -----------------
+    "q_pack_sequences" -> ((s, d) => {
+      // concat-and-chunk packing into 4096-token sequences, sharded by
+      // language (shards pack in parallel; n_chars stands in for the
+      // tokenizer count — a stored column both sides read identically)
+      graft.ops.Packing.packingSummary(
+        t(s, d, "documents"), "lang", "doc_id", "n_chars", 4096L)
+        .select(col("lang"), col("bucket"), col("n_docs"),
+          col("tokens").cast("long").as("tokens"), col("fill"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
+    "q_mix_weighted" -> ((s, d) => {
+      // weighted dataset mixing: short docs thinned to 900‰, long docs to
+      // 400‰, deterministic per-row selection (reproducible run-over-run)
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.ops.Packing.mixDatasets(Seq(
+        ("short", docs.filter(col("n_chars") < 200), 900),
+        ("long", docs.filter(col("n_chars") >= 200), 400)), "doc_id")
+        .orderBy(col("source_ds"), col("doc_id"))
+    }),
     // --- SQL catalog + DML: the pure-SQL user lifecycle -------------------
     "q_sql_dml" -> ((s, d) => {
       // CTAS through the TableCatalog, then DELETE / UPDATE / MERGE INTO as
@@ -1622,6 +1642,24 @@ object SparkEntry {
       """SELECT doc_id, source, CAST(n_chars AS INTEGER) AS n_chars
         |FROM documents WHERE lang = 'en' AND n_chars >= 200
         |ORDER BY doc_id""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH seq AS (
+        |    SELECT lang, doc_id, n_chars AS tokens,
+        |      sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |    FROM documents),
+        |  b AS (SELECT lang, (cum - tokens) // 4096 AS bucket, tokens FROM seq)
+        |SELECT lang, bucket, count(*) AS n_docs,
+        |  CAST(sum(tokens) AS BIGINT) AS tokens,
+        |  round(sum(tokens) / 4096.0, 4) AS fill
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_mix_weighted" ->
+      """SELECT doc_id, lang, n_chars, 'short' AS source_ds FROM documents
+        |  WHERE n_chars < 200 AND doc_id % 1000 < 900
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars, 'long' AS source_ds FROM documents
+        |  WHERE n_chars >= 200 AND doc_id % 1000 < 400
+        |ORDER BY source_ds, doc_id""".stripMargin,
     "q_sql_dml" -> // replay of the SQL DML lifecycle: delete<100, upper()
       // for >=400, 'merged' overlay on 150..300, inserts for >500
       """WITH kept AS (

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing and dataset sampling/mixing for training pipelines.
+  *
+  * Packing is the concat-and-chunk form most LLM data pipelines use: lay
+  * documents out in a DETERMINISTIC order (per shard), run a cumulative
+  * token sum, and cut training sequences every `budget` tokens. A document
+  * straddling a boundary belongs to the bucket its span STARTS in (the
+  * trainer's chunker splits it; the assignment stays deterministic). All
+  * window work — one shuffle on the shard key, then codegen'd running
+  * sums; no driver-side state, no UDFs.
+  *
+  * Sampling is hash-free deterministic stratified sampling: a stable
+  * per-row key modulo 1000 against a per-stratum permille threshold. The
+  * key is an arbitrary integral column (ids in the testdata); a production
+  * deployment would substitute `xxhash64(id)` — same plan shape, same
+  * pushdown behavior — the modulo form is chosen here so the DuckDB oracle
+  * can replay the exact selection.
+  */
+object Packing {
+
+  /** Assign each document to a training-sequence bucket of `budget` tokens
+    * under concat-and-chunk, packed INDEPENDENTLY per `shardCol` value in
+    * ascending `idCol` order within the shard. Output keeps the shard, id,
+    * token count, bucket, and the offset of the document's first token
+    * within its bucket.
+    *
+    * Scale shape: one shuffle on the shard key, then a codegen'd running
+    * sum per shard — shards pack in parallel across the cluster. A single
+    * global ordering would serialize the cumulative sum into one task;
+    * sharding (by source, language, date — whatever the pipeline already
+    * groups by) is the 100 TB form, and is also what keeps bucket ids
+    * stable when shards are added or re-packed. */
+  def packSequences(df: DataFrame, shardCol: String, idCol: String,
+      tokensCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"strawboat: packing budget must be positive ($budget)")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(shardCol), col(idCol), col(tokensCol).cast("long").as("tokens"))
+      .withColumn("cum", sum(col("tokens")).over(w))
+      .select(
+        col(shardCol),
+        col(idCol),
+        col("tokens"),
+        expr(s"(cum - tokens) div ${budget}L").as("bucket"),
+        ((col("cum") - col("tokens")) % budget).as("offset"))
+  }
+
+  /** Per-(shard, bucket) packing summary: document count, token total, and
+    * fill ratio against the budget (the tail bucket underfills; interior
+    * buckets may overfill by at most one straddling document). */
+  def packingSummary(df: DataFrame, shardCol: String, idCol: String,
+      tokensCol: String, budget: Long): DataFrame =
+    packSequences(df, shardCol, idCol, tokensCol, budget)
+      .groupBy(col(shardCol), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("tokens"))
+      .withColumn("fill", round(col("tokens") / lit(budget.toDouble), 4))
+
+  /** Deterministic stratified sampling: keep a row iff
+    * `pmod(key, 1000) < permille(stratum)`. Missing strata keep nothing.
+    * The selection is reproducible run-over-run and cluster-size-invariant
+    * (pure map work — the filter pushes into the scan where the key is a
+    * stored column). */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+      permille: Map[String, Int]): DataFrame = {
+    require(permille.values.forall(p => p >= 0 && p <= 1000),
+      s"strawboat: permille rates must be 0..1000: $permille")
+    val rate = permille.foldLeft(lit(0)) { case (acc, (s, p)) =>
+      when(col(stratumCol) === s, lit(p)).otherwise(acc)
+    }
+    df.filter(pmod(col(keyCol), lit(1000)) < rate)
+  }
+
+  /** Weighted dataset mixing: union the sources, each thinned to its
+    * permille rate by [[stratifiedSample]]'s rule on `keyCol`, labeled with
+    * its source name. Schemas must match by name (union by name). */
+  def mixDatasets(sources: Seq[(String, DataFrame, Int)], keyCol: String): DataFrame = {
+    require(sources.nonEmpty, "strawboat: mixDatasets needs at least one source")
+    sources.map { case (name, df, permille) =>
+      require(permille >= 0 && permille <= 1000,
+        s"strawboat: permille rate for '$name' must be 0..1000: $permille")
+      df.filter(pmod(col(keyCol), lit(1000)) < lit(permille))
+        .withColumn("source_ds", lit(name))
+    }.reduce(_.unionByName(_))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Sequence packing + deterministic sampling/mixing invariants. */
+class PackingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .appName("packing-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = { if (spark != null) spark.stop() }
+
+  test("packSequences: deterministic concat-and-chunk per shard") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      ("a", 1L, 100L), ("a", 2L, 100L), ("a", 3L, 60L), ("a", 4L, 100L),
+      ("b", 1L, 250L), ("b", 2L, 10L)).toDF("shard", "id", "toks")
+    val packed = Packing.packSequences(docs, "shard", "id", "toks", 200L)
+      .orderBy("shard", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    // shard a: cum-before = 0,100,200,260 → buckets 0,0,1,1; offsets 0,100,0,60
+    // shard b: cum-before = 0,250 → buckets 0,1; offsets 0,50
+    assert(packed.toSeq == Seq(
+      ("a", 1L, 0L, 0L), ("a", 2L, 0L, 100L), ("a", 3L, 1L, 0L), ("a", 4L, 1L, 60L),
+      ("b", 1L, 0L, 0L), ("b", 2L, 1L, 50L)))
+    // invariants: every document assigned exactly once; token totals conserved
+    val summary = Packing.packingSummary(docs, "shard", "id", "toks", 200L)
+    assert(summary.agg(sum("n_docs")).collect()(0).getLong(0) == 6)
+    assert(summary.agg(sum("tokens")).collect()(0).getLong(0) == 620)
+    // a document never starts past the budget boundary
+    assert(Packing.packSequences(docs, "shard", "id", "toks", 200L)
+      .filter(col("offset") >= 200).count() == 0)
+  }
+
+  test("stratifiedSample + mixDatasets: deterministic, rate-bounded") {
+    val sp = spark; import sp.implicits._
+    val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val sampled = Packing.stratifiedSample(df, "id", "lang",
+      Map("en" -> 500, "de" -> 100))
+    val byLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ids 0..999: en = even ids with id%1000<500 → 250; de = odd with <100 → 50
+    assert(byLang == Map("en" -> 250L, "de" -> 50L))
+    // determinism: same selection twice
+    assert(sampled.collect().map(_.getLong(0)).sorted.toSeq ==
+      Packing.stratifiedSample(df, "id", "lang", Map("en" -> 500, "de" -> 100))
+        .collect().map(_.getLong(0)).sorted.toSeq)
+    // mixing: weights apply per source, label column added
+    val mixed = Packing.mixDatasets(Seq(
+      ("even", df.filter(col("id") % 2 === 0), 1000),
+      ("odd", df.filter(col("id") % 2 === 1), 0)), "id")
+    assert(mixed.filter(col("source_ds") === "even").count() == 500)
+    assert(mixed.filter(col("source_ds") === "odd").count() == 0)
+  }
+}
