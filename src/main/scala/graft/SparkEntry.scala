@@ -497,6 +497,29 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_ann_quantized" -> ((s, d) => {
+      // int8-quantized tier (integer codegen'd kernel; quarter the vector
+      // bytes) — approximate like the LSH tier, adjudicated by the paired
+      // recall gate below
+      val emb = t(s, d, "embeddings")
+      Ann.quantizedTopK(s, emb, emb.filter(col("vec_id") < 5), 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q_ann_quantized_recall" -> ((s, d) => {
+      // quality gate: int8 cosine ranking recalls >= 0.9 of the exact
+      // float top-k (deterministic quantization + fixed data); n_exact is
+      // independently computable by the oracle, recall_ok hash-checked
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      val exact = Ann.bruteForceTopK(s, emb, queries, 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val quant = Ann.quantizedTopK(s, emb, queries, 3)
+        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
+      exact.join(quant, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          (sum(coalesce(col("hit"), lit(0))) >= count(lit(1)) * 0.9).as("recall_ok"))
+    }),
     "q_ann_lsh_recall" -> ((s, d) => {
       // oracle-checkable LSH quality gate: recall of the banded LSH tier
       // against exact brute force must be >= 0.9 (seeded planes + fixed
@@ -1459,6 +1482,15 @@ object SparkEntry {
         |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
     "q_ann_lsh_recall" -> // n_exact independently derived; recall gate true
+      """SELECT count(*)::BIGINT AS n_exact, true AS recall_ok FROM (
+        |  SELECT q.vec_id, c.vec_id AS n_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(q.embedding, c.embedding), 4) DESC,
+        |        c.vec_id) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        |WHERE rank <= 3""".stripMargin,
+    "q_ann_quantized_recall" -> // same independently-derived n_exact shape
       """SELECT count(*)::BIGINT AS n_exact, true AS recall_ok FROM (
         |  SELECT q.vec_id, c.vec_id AS n_id,
         |    row_number() OVER (PARTITION BY q.vec_id

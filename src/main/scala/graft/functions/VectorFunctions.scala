@@ -76,6 +76,84 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Cosine similarity of two symmetric-int8-quantized vectors
+  * (`array<tinyint>`). Cosine is SCALE-INVARIANT, so the per-vector
+  * quantization scales cancel and the kernel is pure integer dot/norms —
+  * ~4× the vectors per byte of scan IO and executor memory versus float32,
+  * the standard first lever for ANN at corpus scale. Codegen'd tight loop;
+  * exact 64-bit accumulation (127² · dim never overflows a long). */
+case class CosineInt8(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(ByteType, _) | BinaryType => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cosine_int8 expects array<tinyint> or binary, got " +
+        s"${left.dataType} / ${right.dataType}")
+  }
+
+  private def isBinary(e: Expression): Boolean = e.dataType == BinaryType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    def len(v: Any, bin: Boolean): Int =
+      if (bin) v.asInstanceOf[Array[Byte]].length
+      else v.asInstanceOf[ArrayData].numElements()
+    def at(v: Any, bin: Boolean, i: Int): Long =
+      if (bin) v.asInstanceOf[Array[Byte]](i).toLong
+      else v.asInstanceOf[ArrayData].getByte(i).toLong
+    val bx = isBinary(left); val by = isBinary(right)
+    val n = math.min(len(a, bx), len(b, by))
+    var dot = 0L; var nx = 0L; var ny = 0L
+    var i = 0
+    while (i < n) {
+      val xv = at(a, bx, i)
+      val yv = at(b, by, i)
+      dot += xv * yv; nx += xv * xv; ny += yv * yv
+      i += 1
+    }
+    if (nx == 0L || ny == 0L) 0.0
+    else dot / (math.sqrt(nx.toDouble) * math.sqrt(ny.toDouble))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val n = ctx.freshName("n")
+    val dot = ctx.freshName("dot")
+    val nx = ctx.freshName("nx")
+    val ny = ctx.freshName("ny")
+    val i = ctx.freshName("i")
+    val xv = ctx.freshName("xv")
+    val yv = ctx.freshName("yv")
+    def lenOf(v: String, bin: Boolean) = if (bin) s"$v.length" else s"$v.numElements()"
+    def atOf(v: String, bin: Boolean, idx: String) =
+      if (bin) s"(long) $v[$idx]" else s"(long) $v.getByte($idx)"
+    val bx = isBinary(left); val by = isBinary(right)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int $n = java.lang.Math.min(${lenOf(a, bx)}, ${lenOf(b, by)});
+         |long $dot = 0L, $nx = 0L, $ny = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $xv = ${atOf(a, bx, i)};
+         |  long $yv = ${atOf(b, by, i)};
+         |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |}
+         |${ev.value} = ($nx == 0L || $ny == 0L) ? 0.0 :
+         |  $dot / (java.lang.Math.sqrt((double) $nx) * java.lang.Math.sqrt((double) $ny));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Banded random-hyperplane LSH buckets as ONE codegen'd expression: for
   * each of `nBands` plane families, the sign-bit bucket of the vector
   * against `nPlanes` seeded Gaussian hyperplanes — `array<long>` indexed by
@@ -369,6 +447,8 @@ object VectorFunctions {
   val descriptions: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("cosine_similarity", classOf[CosineSimilarity],
       (c: Seq[Expression]) => CosineSimilarity(c(0), c(1))),
+    ("cosine_int8", classOf[CosineInt8],
+      (c: Seq[Expression]) => CosineInt8(c(0), c(1))),
     ("vector_norm", classOf[VectorNorm],
       (c: Seq[Expression]) => VectorNorm(c(0))),
     ("hyperplane_buckets", classOf[HyperplaneBuckets],
@@ -400,6 +480,12 @@ object VectorFunctions {
   def cosine(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("cosine_similarity", a, b)
+  }
+
+  /** Cosine over int8-quantized vectors (codegen'd; scales cancel). */
+  def cosineInt8(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("cosine_int8", a, b)
   }
 
   /** Kept for API stability — registration is all-or-nothing now. */

@@ -289,4 +289,39 @@ object Ann {
     * higher-order SQL function is interpreted per element). */
   def l2Norm(emb: Column): Column =
     VectorFunctions.norm(SparkSession.active, emb)
+
+  /** Symmetric per-vector int8 quantization of an embedding column:
+    * `q_i = round(x_i · 127 / max|x|)` as `array<tinyint>` (plus the
+    * `qscale` needed to dequantize). 4× the vectors per byte of scan IO
+    * and executor memory versus float32 — the standard first lever for
+    * ANN at corpus scale; cosine RANKING over the quantized vectors needs
+    * no dequantization at all (scales cancel — [[quantizedTopK]]). */
+  def quantizeInt8(df: DataFrame, embCol: String): DataFrame = {
+    val mx = greatest(array_max(col(embCol)), -array_min(col(embCol)))
+    df.withColumn("qscale", (mx / lit(127.0f)).cast("float"))
+      .withColumn("qvec",
+        transform(col(embCol), x =>
+          round(x / col("qscale")).cast("byte")))
+  }
+
+  /** Exact cosine top-k over INT8-QUANTIZED vectors via the codegen'd
+    * integer kernel [[graft.functions.CosineInt8]] — same plan shape as
+    * [[bruteForceTopK]] at a quarter of the vector bytes. Ranking quality
+    * versus full-precision is gated in the driver suite. */
+  def quantizedTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+      k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val qc = quantizeInt8(corpus, "embedding").select(col("vec_id"), col("qvec"))
+    val qq = quantizeInt8(queries, "embedding").select(col("vec_id"), col("qvec"))
+    val scored = qc.as("c")
+      .join(broadcast(qq.as("q")),
+        if (excludeSelf) col("c.vec_id") =!= col("q.vec_id") else lit(true))
+      .select(
+        col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        round(VectorFunctions.cosineInt8(spark, col("q.qvec"), col("c.qvec")), 4)
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

@@ -49,6 +49,38 @@ class ExpressionCodegenSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(r1.getAs[Double]("norm_a") - math.sqrt(8 * 0.25)) < 1e-12)
   }
 
+  test("cosine_int8 compiles under strict codegen; scales cancel exactly") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq(
+      (Array[Byte](127, 0, -127, 64), Array[Byte](127, 0, -127, 64)),
+      (Array[Byte](1, 2, 3, 4), Array[Byte](-1, -2, -3, -4)),
+      (Array[Byte](0, 0, 0, 0), Array[Byte](5, 5, 5, 5)))
+      .toDF("a", "b")
+    val out = df.select(
+      VectorFunctions.cosineInt8(spark, col("a"), col("b")).as("c"),
+      VectorFunctions.cosineInt8(spark, col("b"), col("a")).as("cr"))
+      .collect()
+    assert(math.abs(out(0).getDouble(0) - 1.0) < 1e-12)   // identical vectors
+    assert(math.abs(out(1).getDouble(0) + 1.0) < 1e-12)   // exact negation
+    assert(out(2).getDouble(0) == 0.0)                    // zero vector
+    assert(out.forall(r => r.getDouble(0) == r.getDouble(1))) // symmetric
+    // quantization round-trip: int8 cosine tracks float cosine closely
+    val vecs = Seq(
+      (1L, Array.tabulate(16)(i => (math.sin(i + 1) / 2).toFloat)),
+      (2L, Array.tabulate(16)(i => (math.cos(i * 2 + 1) / 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = graft.ops.Ann.quantizeInt8(vecs, "embedding")
+    val both = q.as("x").join(q.as("y"),
+      col("x.vec_id") < col("y.vec_id"))
+      .select(
+        VectorFunctions.cosine(spark, col("x.embedding"), col("y.embedding")).as("f"),
+        VectorFunctions.cosineInt8(spark, col("x.qvec"), col("y.qvec")).as("q"))
+      .collect()(0)
+    assert(math.abs(both.getDouble(0) - both.getDouble(1)) < 0.02,
+      s"float=${both.getDouble(0)} int8=${both.getDouble(1)}")
+  }
+
   test("vector_norm plan holds no interpreted higher-order function") {
     val ss = spark
     import ss.implicits._
