@@ -22,9 +22,18 @@ object ColumnarSupport {
 
   /** Vectorizable = flat, or a struct tree bottoming out in flat leaves
     * (struct levels carry a validity mask only, so row counts line up
-    * across leaves). Arrays/maps repeat — those stay on the row reader. */
+    * across leaves). Maps stay on the row reader. */
   def isVectorizable(dt: DataType): Boolean = dt match {
     case s: StructType => s.fields.forall(f => isVectorizable(f.dataType))
+    case a: ArrayType => isVectorizable(a.elementType)
+    case other => isFlat(other)
+  }
+
+  /** Survivor compaction (in-reader filters / deletion vectors) copies
+    * values between vectors — implemented for flat and struct-of-flat
+    * only; array columns take the row reader on filtering partitions. */
+  def isCompactable(dt: DataType): Boolean = dt match {
+    case s: StructType => s.fields.forall(f => isCompactable(f.dataType))
     case other => isFlat(other)
   }
 
@@ -96,6 +105,19 @@ object ColumnarSupport {
           fill(v.getChild(f).asInstanceOf[OnHeapColumnVector],
             st.fields(f).dataType, sp.fields(f))
           f += 1
+        }
+      case ap: ArrayPage =>
+        // per-row (offset, length) into a bulk-filled element child vector
+        val elemDt = dt.asInstanceOf[ArrayType].elementType
+        val childN = ap.child.numValues
+        val childVec = v.arrayData().asInstanceOf[OnHeapColumnVector]
+        childVec.reserve(childN)
+        fill(childVec, elemDt, ap.child)
+        var i = 0
+        while (i < n) {
+          if (ap.valid != null && !ap.valid(i)) v.putNull(i)
+          else v.putArray(i, ap.childStart(i), ap.lengths(i))
+          i += 1
         }
       case other =>
         throw new UnsupportedOperationException(s"columnar fill: ${other.getClass}")

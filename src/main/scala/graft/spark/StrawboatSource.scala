@@ -1368,7 +1368,17 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
   override def supportColumnarReads(partition: InputPartition): Boolean =
     !partition.isInstanceOf[StrawKeyedPartition] && topNActive.isEmpty &&
       !typeWidened &&
-      readSchemaExt.fields.forall(f => ColumnarSupport.isVectorizable(f.dataType))
+      readSchemaExt.fields.forall(f => ColumnarSupport.isVectorizable(f.dataType)) && {
+        // survivor compaction (consumed filters / deletion vectors) copies
+        // between vectors — not implemented for array columns, which route
+        // to the row reader on filtering partitions only
+        val filtering = exactFilters.nonEmpty || (partition match {
+          case p: StrawInputPartition => p.dvPath != null
+          case _ => false
+        })
+        !filtering ||
+          readSchemaExt.fields.forall(f => ColumnarSupport.isCompactable(f.dataType))
+      }
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {

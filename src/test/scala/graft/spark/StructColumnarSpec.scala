@@ -103,6 +103,47 @@ class StructColumnarSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("array columns vectorize: values, nulls, empties, variable lengths") {
+    val out = s"$dir/arr"
+    spark.range(3000).select(
+      col("id"),
+      when(col("id") % 11 =!= 0,
+        when(col("id") % 5 === 0, array().cast("array<bigint>"))
+          .otherwise(expr("sequence(0L, id % 7)"))).as("nums"),
+      when(col("id") % 3 =!= 0,
+        split(concat(lit("w"), col("id"), lit(" x y")), " ")).as("words"))
+      .coalesce(1)
+      .write.format("strawboat").mode("overwrite")
+      .option("maxPageSize", "512").save(out)
+    val df = spark.read.format("strawboat").load(out)
+    val plan = df.select("id", "nums", "words").queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), plan)
+    val rows = df.select("id", "nums", "words").collect().sortBy(_.getLong(0))
+    assert(rows.length == 3000)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 11 == 0) assert(r.isNullAt(1), s"id=$id")
+      else if (id % 5 == 0) assert(r.getSeq[Long](1).isEmpty, s"id=$id")
+      else assert(r.getSeq[Long](1) == (0L to id % 7), s"id=$id")
+      if (id % 3 == 0) assert(r.isNullAt(2), s"id=$id")
+      else assert(r.getSeq[String](2) == Seq(s"w$id", "x", "y"), s"id=$id")
+    }
+    // aggregation over exploded arrays agrees with the closed form
+    val total = df.selectExpr("explode(nums) AS n").agg(sum("n")).collect()(0).getLong(0)
+    val expected = (0L until 3000L).filter(i => i % 11 != 0 && i % 5 != 0)
+      .map(i => (0L to i % 7).sum).sum
+    assert(total == expected)
+    // a filtering partition (deletion vector) routes arrays to the row
+    // reader and still reads exactly
+    val res = StrawDelete.delete(spark, out,
+      Seq(org.apache.spark.sql.sources.LessThan("id", 1000L)))
+    assert(res.dvFiles > 0)
+    val after = spark.read.format("strawboat").load(out)
+    assert(after.count() == 2000)
+    assert(after.filter(col("id") === 1501).select("words").collect()(0)
+      .getSeq[String](0) == Seq("w1501", "x", "y"))
+  }
+
   test("columnar and row readers return identical struct results") {
     val out = s"$dir/t1"
     // force the row path via a type the vectorizer refuses (array column)
