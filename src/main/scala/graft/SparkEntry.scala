@@ -405,8 +405,8 @@ object SparkEntry {
     "q_events_hourly" -> ((s, d) => {
       t(s, d, "events").groupBy(
         col("event_type"),
-        dayofmonth(tsNs()).as("dom"),
-        hour(tsNs()).as("h"))
+        dayofmonth(tsNs()).cast("long").as("dom"),
+        hour(tsNs()).cast("long").as("h"))
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("total"))
         .orderBy(col("event_type"), col("dom"), col("h"))
     }),
@@ -1680,7 +1680,8 @@ object SparkEntry {
         |      sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |    FROM documents),
-        |  b AS (SELECT lang, (cum - tokens) // 4096 AS bucket, tokens FROM seq)
+        |  b AS (SELECT lang,
+        |    CAST((cum - tokens) // 4096 AS BIGINT) AS bucket, tokens FROM seq)
         |SELECT lang, bucket, count(*) AS n_docs,
         |  CAST(sum(tokens) AS BIGINT) AS tokens,
         |  round(sum(tokens) / 4096.0, 4) AS fill

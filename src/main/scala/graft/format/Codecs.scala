@@ -272,22 +272,26 @@ object BitPacking {
   * Distinct counting is capped: beyond [[IntStats.DistinctCap]] the page is
   * treated as high-cardinality and dict/freq/one-value are skipped.
   */
-final class IntStats(values: Array[Long], n: Int) {
+final class IntStats(values: Array[Long], n: Int, countDistinct: Boolean = true) {
   import IntStats.DistinctCap
   var min: Long = Long.MaxValue
   var max: Long = Long.MinValue
   var runCount: Int = if (n == 0) 0 else 1
   var sorted: Boolean = true
   var maxDelta: Long = 0L
-  var highCardinality: Boolean = false
+  // countDistinct=false skips the distinct map entirely (the caller has
+  // ruled out the dict-family codecs, e.g. a column writer whose previous
+  // pages all came back high-cardinality) — only the sequential
+  // min/max/sorted/run pass below runs
+  var highCardinality: Boolean = !countDistinct
 
   // growable open-addressing long→count map: the boxed-HashMap version
   // dominated the whole write path (one boxing allocation per value across
   // every page of every integer column)
-  private var cap = 1024
-  private var keys = new Array[Long](cap)
-  private var cnts = new Array[Int](cap)
-  private var present = new Array[Boolean](cap)
+  private var cap = if (countDistinct) 4096 else 0
+  private var keys = if (countDistinct) new Array[Long](cap) else null
+  private var cnts = if (countDistinct) new Array[Int](cap) else null
+  private var present = if (countDistinct) new Array[Boolean](cap) else null
   private var nDistinct = 0
 
   private def slotOf(v: Long, capacity: Int, ks: Array[Long], pr: Array[Boolean]): Int = {
@@ -297,7 +301,7 @@ final class IntStats(values: Array[Long], n: Int) {
   }
 
   private def grow(): Unit = {
-    val newCap = cap << 1
+    val newCap = cap << 2
     val nk = new Array[Long](newCap)
     val nc = new Array[Int](newCap)
     val np = new Array[Boolean](newCap)
@@ -313,6 +317,11 @@ final class IntStats(values: Array[Long], n: Int) {
   }
 
   locally {
+    // bail threshold: Dict requires distinct <= n/2 and Freq implies
+    // distinct <= n/10+1, and nDistinct only grows — so the moment the
+    // PREFIX already exceeds n/2 distinct, no dict-family codec can
+    // qualify and the rest of the counting pass is provably wasted
+    val capLimit = math.min(DistinctCap, n >>> 1)
     var i = 0
     while (i < n) {
       val v = values(i)
@@ -331,11 +340,14 @@ final class IntStats(values: Array[Long], n: Int) {
       if (!highCardinality) {
         val slot = slotOf(v, cap, keys, present)
         if (present(slot)) cnts(slot) += 1
-        else if (nDistinct < DistinctCap) {
+        else if (nDistinct < capLimit) {
           present(slot) = true; keys(slot) = v; cnts(slot) = 1
           nDistinct += 1
           if (nDistinct * 4 > cap * 3) grow()
-        } else highCardinality = true
+        } else {
+          highCardinality = true
+          keys = null; cnts = null; present = null; cap = 0
+        }
       }
       i += 1
     }
@@ -367,6 +379,26 @@ final class IntStats(values: Array[Long], n: Int) {
   }
 }
 object IntStats { val DistinctCap = 65536 }
+
+/** Cross-page dict-probe memory for one leaf's page stream. The distinct
+  * map inside [[IntStats]] exists only to qualify Dict/Freq; once a
+  * column's pages have repeatedly come back without a dict-family codec,
+  * re-counting 64k values per page is provably wasted work (the dominant
+  * write-path cost on high-cardinality columns). Probe the first pages,
+  * then skip the map, re-probing every 16th page so a shift to
+  * low-cardinality regions (clustered or sorted data) is still caught
+  * within one page group. Mirrors parquet's once-per-column dictionary
+  * fallback, but adaptive instead of once-and-done. */
+final class DictProbe {
+  private var pageIdx = 0
+  private var missStreak = 0
+  def shouldProbe: Boolean = missStreak < 2 || (pageIdx & 15) == 0
+  def record(codec: Int): Unit = {
+    if (codec == Codec.Dict || codec == Codec.Freq) missStreak = 0
+    else missStreak += 1
+    pageIdx += 1
+  }
+}
 
 /** Integer-family page codec: encode/decode n values widened to Long at a
   * natural byte width (1,2,4,8). Floats/doubles reuse this on their raw
@@ -516,15 +548,17 @@ object IntCodec {
   private def encodeDict(values: Array[Long], n: Int, width: Int, stats: IntStats,
       opts: WriteOptions, out: ByteBuf): Unit = {
     val dictVals = stats.distinctValues
-    val index = new java.util.HashMap[java.lang.Long, Integer](dictVals.length * 2)
-    var i = 0
-    while (i < dictVals.length) { index.put(dictVals(i), i); i += 1 }
     out.putInt(dictVals.length)
-    i = 0
+    var i = 0
     while (i < dictVals.length) { putWidth(out, dictVals(i), width); i += 1 }
+    // dictVals is sorted: binary search per value — allocation/boxing-free
+    // (a boxed HashMap here dominated the dict-page encode path)
     val indices = new Array[Long](n)
     i = 0
-    while (i < n) { indices(i) = index.get(values(i)).toLong; i += 1 }
+    while (i < n) {
+      indices(i) = java.util.Arrays.binarySearch(dictVals, values(i)).toLong
+      i += 1
+    }
     // indices as a nested block; chooser forbidden from re-entering Dict
     encode(indices, n, 4, opts, ForbidDict | ForbidFreq, out)
   }
@@ -567,7 +601,9 @@ object IntCodec {
       opts: WriteOptions, forbidden: Int, floatBits: Boolean): Int = {
     val rawSize = n.toLong * width
     if (!opts.adaptive) return opts.base
-    if (!stats.highCardinality && stats.distinct == 1 && n > 1) return Codec.OneValue
+    // runCount == 1 ⟺ every value equals the first — constancy doesn't
+    // need the distinct map, so OneValue still fires when it's disabled
+    if (stats.runCount == 1 && n > 1) return Codec.OneValue
     var best = -1
     var bestSize = Long.MaxValue
     def consider(codec: Int, size: Long): Unit =
@@ -613,17 +649,28 @@ object IntCodec {
     if (best >= 0 && rawSize.toDouble / bestSize >= opts.ratio) best else opts.base
   }
 
-  /** Encode one block (9-byte header + payload) to `out`. Returns codec id. */
+  /** Encode one block (9-byte header + payload) to `out`. Returns codec id.
+    * `countDistinct=false` skips the distinct-count pass (the dominant cost
+    * on high-cardinality pages) — the chooser then never picks Dict/Freq;
+    * column writers pass false once a column's pages have proven
+    * high-cardinality, re-probing periodically. */
   def encode(values: Array[Long], n: Int, width: Int, opts: WriteOptions,
-      forbidden: Int, out: ByteBuf, floatBits: Boolean = false): Int = {
+      forbidden: Int, out: ByteBuf, floatBits: Boolean = false,
+      countDistinct: Boolean = true): Int = {
     val headerAt = out.len
     out.putByte(0); out.putInt(0); out.putInt(0) // patched below
     val payloadStart = out.len
     val rawLen = n * width
+    // the map only feeds Dict/Freq: skip it when both are forbidden (the
+    // recursive index/exception blocks), keep it when a forced test mode
+    // demands a dict-family codec regardless of the caller's hint
+    val wantDistinct = (countDistinct ||
+      opts.forced.exists(c => c == Codec.Dict || c == Codec.Freq)) &&
+      (forbidden & (ForbidDict | ForbidFreq)) != (ForbidDict | ForbidFreq)
     // single stats pass shared by chooser and Dict/Freq encoders
     var statsCache: IntStats = null
     def stats: IntStats = {
-      if (statsCache == null) statsCache = new IntStats(values, n)
+      if (statsCache == null) statsCache = new IntStats(values, n, wantDistinct)
       statsCache
     }
     val codec = opts.forced match {

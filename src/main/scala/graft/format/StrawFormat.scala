@@ -403,9 +403,12 @@ final class LongColumnWriter(
     grow(); values(n) = lastValid; n += 1
     validity.append(false)
   }
+  private val dictProbe = new DictProbe
   def encodePage(out: ByteBuf): PageStats = {
     validity.encode(opts, out)
-    IntCodec.encode(values, n, width, opts, 0, out, floatBits)
+    val codec = IntCodec.encode(values, n, width, opts, 0, out, floatBits,
+      countDistinct = dictProbe.shouldProbe)
+    dictProbe.record(codec)
     // hash in the same encoded domain the query side probes with
     // (ZoneMapFilter.toStatsLong): toSortable is identity for integer-family
     // values and the sortable-double mapping for float bits
@@ -647,10 +650,14 @@ final class Decimal128ColumnWriter(opts: WriteOptions, precision: Int, scale: In
     grow(); hi(n) = 0L; lo(n) = 0L; n += 1
     validity.append(false)
   }
+  private val hiProbe = new DictProbe
+  private val loProbe = new DictProbe
   def encodePage(out: ByteBuf): PageStats = {
     validity.encode(opts, out)
-    IntCodec.encode(hi, n, 8, opts, 0, out)
-    IntCodec.encode(lo, n, 8, opts, 0, out)
+    hiProbe.record(IntCodec.encode(hi, n, 8, opts, 0, out,
+      countDistinct = hiProbe.shouldProbe))
+    loProbe.record(IntCodec.encode(lo, n, 8, opts, 0, out,
+      countDistinct = loProbe.shouldProbe))
     if (!hasStats) PageStats(StrawFormat.StatsNone, 0, 0)
     else PageStats(StrawFormat.StatsDecimal128, minHi, maxHi, minLo, maxLo)
   }
@@ -777,6 +784,21 @@ final class StrawFileWriter(schema: StructType, opts: WriteOptions) {
     Array.fill(totalLeaves)(new ArrayBuffer[PageMeta])
   private var rowsInPage = 0
   private var totalRows = 0L
+  // running upper-ish estimate of this page's buffered bytes: UnsafeRow
+  // (the DSv2 write path's row class) reports its serialized size in O(1),
+  // so the cap check costs one field read per row instead of a
+  // boxing-foldLeft over every column writer (which dominated the write
+  // profile). Non-Unsafe rows poison the estimate and fall back to the
+  // exact per-row fold — same 16 MiB bound either way.
+  private var approxBuffered = 0L
+  private var approxUnknown = false
+
+  private def bufferedExact: Long = {
+    var total = 0L
+    var c = 0
+    while (c < writers.length) { total += writers(c).bufferedBytes; c += 1 }
+    total
+  }
 
   def write(row: InternalRow): Unit = {
     var c = 0
@@ -787,11 +809,17 @@ final class StrawFileWriter(schema: StructType, opts: WriteOptions) {
     }
     rowsInPage += 1
     totalRows += 1
+    row match {
+      case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+        approxBuffered += u.getSizeInBytes.toLong
+      case _ => approxUnknown = true
+    }
     // flush on row count OR buffered bytes — large binary/multimodal cells
     // must not accumulate unbounded page memory (16 MiB cap, checked every
     // row so even a single giant cell flushes at the next row boundary)
     if (rowsInPage >= opts.maxPageSize ||
-      writers.foldLeft(0L)(_ + _.bufferedBytes) > (16L << 20)) flushPages()
+      (if (approxUnknown) bufferedExact else approxBuffered) > (16L << 20))
+      flushPages()
   }
 
   private def flushPages(): Unit = {
@@ -814,11 +842,13 @@ final class StrawFileWriter(schema: StructType, opts: WriteOptions) {
         l += 1
       }
       rowsInPage = 0
+      approxBuffered = 0L
+      approxUnknown = false
     }
   }
 
   def estimatedBytes: Long =
-    colBufs.map(_.len.toLong).sum + writers.map(_.bufferedBytes).sum
+    colBufs.map(_.len.toLong).sum + bufferedExact
 
   def numRows: Long = totalRows
 
