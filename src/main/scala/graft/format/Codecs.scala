@@ -272,7 +272,41 @@ object BitPacking {
   * Distinct counting is capped: beyond [[IntStats.DistinctCap]] the page is
   * treated as high-cardinality and dict/freq/one-value are skipped.
   */
-final class IntStats(values: Array[Long], n: Int, countDistinct: Boolean = true) {
+/** Incremental chooser statistics over one page's raw buffered values
+  * (including null-filled slots), maintained by the column writer's append
+  * path — so the steady-state encode needs NO second scan of the page.
+  * Must see exactly the values the page buffer holds, in order. */
+final class PageScan {
+  var min: Long = Long.MaxValue
+  var max: Long = Long.MinValue
+  var runCount: Int = 0
+  var sorted: Boolean = true
+  var maxDelta: Long = 0L
+  private var prev: Long = 0L
+  def update(v: Long): Unit = {
+    if (v < min) min = v
+    if (v > max) max = v
+    if (runCount == 0) runCount = 1
+    else {
+      if (v != prev) runCount += 1
+      if (v < prev) sorted = false
+      else if (sorted) {
+        val d = v - prev
+        if (d < 0) sorted = false // delta overflows Long: not delta-packable
+        else if (d > maxDelta) maxDelta = d
+      }
+    }
+    prev = v
+  }
+  def reset(): Unit = {
+    min = Long.MaxValue; max = Long.MinValue
+    runCount = 0; sorted = true; maxDelta = 0L; prev = 0L
+  }
+}
+
+final class IntStats(values: Array[Long], n: Int, countDistinct: Boolean = true,
+    width: Int = 8, ratio: Double = 2.0, forcedDictFamily: Boolean = false,
+    precomputed: PageScan = null) {
   import IntStats.DistinctCap
   var min: Long = Long.MaxValue
   var max: Long = Long.MinValue
@@ -285,14 +319,20 @@ final class IntStats(values: Array[Long], n: Int, countDistinct: Boolean = true)
   // min/max/sorted/run pass below runs
   var highCardinality: Boolean = !countDistinct
 
-  // growable open-addressing long→count map: the boxed-HashMap version
-  // dominated the whole write path (one boxing allocation per value across
-  // every page of every integer column)
+  // growable open-addressing membership map (keys only — Freq's top value
+  // comes from the Boyer–Moore vote below, so per-key counts are never
+  // needed): the boxed-HashMap version dominated the whole write path
   private var cap = if (countDistinct) 4096 else 0
   private var keys = if (countDistinct) new Array[Long](cap) else null
-  private var cnts = if (countDistinct) new Array[Int](cap) else null
   private var present = if (countDistinct) new Array[Boolean](cap) else null
   private var nDistinct = 0
+  // Boyer–Moore majority vote: Freq needs a >=90% top value, which is in
+  // particular a majority — the surviving candidate is the only possible
+  // one, verified with an exact single-compare pass after the main loop
+  private var cand = 0L
+  private var candCnt = 0
+  var topValue: Long = 0L
+  var topCount: Int = 0
 
   private def slotOf(v: Long, capacity: Int, ks: Array[Long], pr: Array[Boolean]): Int = {
     var slot = (v ^ (v >>> 29)).toInt & (capacity - 1)
@@ -303,69 +343,89 @@ final class IntStats(values: Array[Long], n: Int, countDistinct: Boolean = true)
   private def grow(): Unit = {
     val newCap = cap << 2
     val nk = new Array[Long](newCap)
-    val nc = new Array[Int](newCap)
     val np = new Array[Boolean](newCap)
     var i = 0
     while (i < cap) {
       if (present(i)) {
         val s = slotOf(keys(i), newCap, nk, np)
-        np(s) = true; nk(s) = keys(i); nc(s) = cnts(i)
+        np(s) = true; nk(s) = keys(i)
       }
       i += 1
     }
-    cap = newCap; keys = nk; cnts = nc; present = np
+    cap = newCap; keys = nk; present = np
   }
 
   locally {
-    // bail threshold: Dict requires distinct <= n/2 and Freq implies
-    // distinct <= n/10+1, and nDistinct only grows — so the moment the
-    // PREFIX already exceeds n/2 distinct, no dict-family codec can
-    // qualify and the rest of the counting pass is provably wasted
-    val capLimit = math.min(DistinctCap, n >>> 1)
-    var i = 0
-    while (i < n) {
-      val v = values(i)
-      if (v < min) min = v
-      if (v > max) max = v
-      if (i > 0) {
-        val prev = values(i - 1)
-        if (v != prev) runCount += 1
-        if (v < prev) sorted = false
-        else if (sorted) {
-          val d = v - prev
-          if (d < 0) sorted = false // delta overflows Long: not delta-packable
-          else if (d > maxDelta) maxDelta = d
+    // bail threshold: the map exists only to qualify Dict, and the chooser
+    // only ever picks Dict when its estimated size beats the ratio gate —
+    // so count no further than the largest distinct count that could still
+    // win ([[IntStats.maxUsefulDistinct]]; ~4k at width 4, ~16k at width 8
+    // for 64k-row pages — far below the generic n/2 dict bound, and the
+    // counting beyond it was the dominant write-path cost on mid-cardinality
+    // columns). A forced dict-family codec (test mode) bypasses the chooser,
+    // so it keeps the generic bound.
+    val capLimit =
+      if (forcedDictFamily) math.min(DistinctCap, n >>> 1)
+      else math.min(math.min(DistinctCap, n >>> 1),
+        IntStats.maxUsefulDistinct(n, width, ratio))
+    if (precomputed != null && n > 0) {
+      // the writer's append path already scanned the page — reuse
+      min = precomputed.min; max = precomputed.max
+      runCount = precomputed.runCount; sorted = precomputed.sorted
+      maxDelta = precomputed.maxDelta
+    }
+    if (precomputed == null || countDistinct) {
+      val scanSequential = precomputed == null
+      var i = 0
+      while (i < n) {
+        val v = values(i)
+        if (scanSequential) {
+          if (v < min) min = v
+          if (v > max) max = v
+          if (i > 0) {
+            val prev = values(i - 1)
+            if (v != prev) runCount += 1
+            if (v < prev) sorted = false
+            else if (sorted) {
+              val d = v - prev
+              if (d < 0) sorted = false // delta overflows Long: not delta-packable
+              else if (d > maxDelta) maxDelta = d
+            }
+          }
         }
-      }
-      if (!highCardinality) {
-        val slot = slotOf(v, cap, keys, present)
-        if (present(slot)) cnts(slot) += 1
-        else if (nDistinct < capLimit) {
-          present(slot) = true; keys(slot) = v; cnts(slot) = 1
-          nDistinct += 1
-          if (nDistinct * 4 > cap * 3) grow()
-        } else {
-          highCardinality = true
-          keys = null; cnts = null; present = null; cap = 0
+        if (countDistinct) {
+          if (candCnt == 0) { cand = v; candCnt = 1 }
+          else if (v == cand) candCnt += 1
+          else candCnt -= 1
+          if (!highCardinality) {
+            val slot = slotOf(v, cap, keys, present)
+            if (!present(slot)) {
+              if (nDistinct < capLimit) {
+                present(slot) = true; keys(slot) = v; nDistinct += 1
+                if (nDistinct * 4 > cap * 3) grow()
+              } else {
+                highCardinality = true
+                keys = null; present = null; cap = 0
+              }
+            }
+          }
         }
+        i += 1
       }
-      i += 1
+    }
+    // exact count of the surviving candidate. The vote's final counter c
+    // bounds the true count f: 2f − n <= c <= f, so f >= 0.9n implies
+    // c >= 0.8n — verify (one compare per value) only when that holds, which
+    // skips the pass entirely on every non-Freq-shaped page
+    if (countDistinct && n >= 64 && candCnt.toLong * 5 >= n.toLong * 4) {
+      var c = 0
+      var i = 0
+      while (i < n) { if (values(i) == cand) c += 1; i += 1 }
+      topValue = cand; topCount = c
     }
   }
 
   def distinct: Int = nDistinct
-  lazy val (topValue: Long, topCount: Int) = {
-    if (highCardinality || nDistinct == 0) (0L, 0)
-    else {
-      var bv = 0L; var bc = 0
-      var i = 0
-      while (i < cap) {
-        if (present(i) && cnts(i) > bc) { bc = cnts(i); bv = keys(i) }
-        i += 1
-      }
-      (bv, bc)
-    }
-  }
   def distinctValues: Array[Long] = {
     val out = new Array[Long](nDistinct)
     var i = 0
@@ -377,8 +437,42 @@ final class IntStats(values: Array[Long], n: Int, countDistinct: Boolean = true)
     java.util.Arrays.sort(out)
     out
   }
+
+  // value→sorted-dict-index lookup reusing the membership map (replaces a
+  // per-value binary search in the dict encoder with one O(1) probe)
+  private var dictIdx: Array[Int] = null
+  def buildDictIndex(sortedVals: Array[Long]): Unit = {
+    dictIdx = new Array[Int](cap)
+    var i = 0
+    while (i < sortedVals.length) {
+      dictIdx(slotOf(sortedVals(i), cap, keys, present)) = i
+      i += 1
+    }
+  }
+  def dictIndexOf(v: Long): Int = dictIdx(slotOf(v, cap, keys, present))
 }
-object IntStats { val DistinctCap = 65536 }
+object IntStats {
+  val DistinctCap = 65536
+
+  /** Largest distinct count for which a Dict page could still beat the
+    * chooser's ratio gate: size(d) = 4 + d*width + 18 + packed(n, bits(d-1))
+    * must be <= n*width/ratio. Monotone in d → binary search. */
+  def maxUsefulDistinct(n: Int, width: Int, ratio: Double): Int = {
+    val budget = (n.toLong * width / ratio).toLong
+    def fits(d: Int): Boolean = {
+      val idxBits = BitPacking.bitsNeeded(d - 1L)
+      4L + d.toLong * width + 18L + BitPacking.packedSize(n, idxBits) <= budget
+    }
+    if (!fits(2)) return 0
+    var lo = 2
+    var hi = math.min(DistinctCap, math.max(2, n >>> 1))
+    while (lo < hi) {
+      val mid = lo + (hi - lo + 1) / 2
+      if (fits(mid)) lo = mid else hi = mid - 1
+    }
+    lo
+  }
+}
 
 /** Cross-page dict-probe memory for one leaf's page stream. The distinct
   * map inside [[IntStats]] exists only to qualify Dict/Freq; once a
@@ -551,12 +645,13 @@ object IntCodec {
     out.putInt(dictVals.length)
     var i = 0
     while (i < dictVals.length) { putWidth(out, dictVals(i), width); i += 1 }
-    // dictVals is sorted: binary search per value — allocation/boxing-free
-    // (a boxed HashMap here dominated the dict-page encode path)
+    // one hash probe per value against the stats map (replaced a per-value
+    // binary search — O(n) instead of O(n log d), allocation/boxing-free)
+    stats.buildDictIndex(dictVals)
     val indices = new Array[Long](n)
     i = 0
     while (i < n) {
-      indices(i) = java.util.Arrays.binarySearch(dictVals, values(i)).toLong
+      indices(i) = stats.dictIndexOf(values(i)).toLong
       i += 1
     }
     // indices as a nested block; chooser forbidden from re-entering Dict
@@ -627,11 +722,14 @@ object IntCodec {
         consider(Codec.Dict,
           4L + stats.distinct.toLong * width + 9L + 9L + BitPacking.packedSize(n, idxBits))
       }
-      // Freq: top value must dominate (reference guard: >=90%, max>=256)
-      if ((forbidden & ForbidFreq) == 0 && stats.topCount.toLong * 10 >= n.toLong * 9 && n >= 64) {
-        val exc = n - stats.topCount
-        consider(Codec.Freq, width.toLong + 8 + 2L * exc + 9L + exc.toLong * width)
-      }
+    }
+    // Freq: top value must dominate (reference guard: >=90%, max>=256).
+    // topCount comes from the Boyer–Moore vote, which survives the distinct
+    // map's high-cardinality bail — a near-constant page with a long
+    // all-distinct exception tail still qualifies
+    if ((forbidden & ForbidFreq) == 0 && stats.topCount.toLong * 10 >= n.toLong * 9 && n >= 64) {
+      val exc = n - stats.topCount
+      consider(Codec.Freq, width.toLong + 8 + 2L * exc + 9L + exc.toLong * width)
     }
     // Patas: floats only; deterministic sampled trial
     if (floatBits && n >= 64) {
@@ -656,7 +754,7 @@ object IntCodec {
     * high-cardinality, re-probing periodically. */
   def encode(values: Array[Long], n: Int, width: Int, opts: WriteOptions,
       forbidden: Int, out: ByteBuf, floatBits: Boolean = false,
-      countDistinct: Boolean = true): Int = {
+      countDistinct: Boolean = true, scan: PageScan = null): Int = {
     val headerAt = out.len
     out.putByte(0); out.putInt(0); out.putInt(0) // patched below
     val payloadStart = out.len
@@ -670,7 +768,10 @@ object IntCodec {
     // single stats pass shared by chooser and Dict/Freq encoders
     var statsCache: IntStats = null
     def stats: IntStats = {
-      if (statsCache == null) statsCache = new IntStats(values, n, wantDistinct)
+      if (statsCache == null) statsCache = new IntStats(values, n, wantDistinct,
+        width, opts.ratio,
+        forcedDictFamily = opts.forced.exists(c => c == Codec.Dict || c == Codec.Freq),
+        precomputed = scan)
       statsCache
     }
     val codec = opts.forced match {

@@ -381,10 +381,14 @@ final class LongColumnWriter(
   private var sumLo = 0L
   private def grow(): Unit =
     if (n >= values.length) values = java.util.Arrays.copyOf(values, values.length * 2)
+  // chooser stats gathered inline (the page is hot in cache here) — the
+  // encode step then needs no second scan outside dict-probe pages
+  private val scan = new PageScan
   def append(g: SpecializedGetters, ordinal: Int): Unit = {
     val v = get(g, ordinal)
     grow(); values(n) = v; n += 1
     lastValid = v
+    scan.update(v)
     if (statsKind != StrawFormat.StatsNone) {
       val s = toSortable(v)
       if (s < min) min = s
@@ -401,13 +405,14 @@ final class LongColumnWriter(
   def appendNull(): Unit = {
     // null slots repeat the previous valid value: compresses well, never read
     grow(); values(n) = lastValid; n += 1
+    scan.update(lastValid)
     validity.append(false)
   }
   private val dictProbe = new DictProbe
   def encodePage(out: ByteBuf): PageStats = {
     validity.encode(opts, out)
     val codec = IntCodec.encode(values, n, width, opts, 0, out, floatBits,
-      countDistinct = dictProbe.shouldProbe)
+      countDistinct = dictProbe.shouldProbe, scan = scan)
     dictProbe.record(codec)
     // hash in the same encoded domain the query side probes with
     // (ZoneMapFilter.toStatsLong): toSortable is identity for integer-family
@@ -433,6 +438,7 @@ final class LongColumnWriter(
   def clearBuffers(): Unit = {
     n = 0; lastValid = 0L; min = Long.MaxValue; max = Long.MinValue
     sumHi = 0L; sumLo = 0L
+    scan.reset()
   }
   def bufferedBytes: Long = n.toLong * width
 }
