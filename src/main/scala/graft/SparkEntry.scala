@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Ann, Dedup, Multimodal, TextOps}
+import graft.ops.{Ann, Decontaminate, Dedup, Multimodal, Privacy, TextOps}
 
 /** Driver contract: every operator surfaced as a named query over
   * strawboat-format data (converted once from the parquet testdata by
@@ -472,6 +472,35 @@ object SparkEntry {
     }),
     "q_fingerprint" -> ((s, d) => {
       TextOps.fingerprint(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+    "q_quality_repetition" -> ((s, d) => {
+      TextOps.repetitionStats(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+    "q_pii_redact" -> ((s, d) => {
+      // the corpus carries no natural PII, so the query plants deterministic
+      // specimens (same expression in the oracle) and then strips them —
+      // counts are over the pre-redaction text
+      val aug = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"), when(col("doc_id") % 5 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com now")))
+          .when(col("doc_id") % 5 === 1, lit(" call 555-123-4567 today"))
+          .when(col("doc_id") % 5 === 2,
+            concat(lit(" server 192.168.1."), (col("doc_id") % 250).cast("string"),
+              lit(" down")))
+          .otherwise(lit(""))).as("aug"))
+      val counts = Privacy.piiCounts(col("aug"))
+      aug.select(
+        (col("doc_id") +: Privacy.redact(col("aug")).as("redacted") +:
+          counts.map { case (n, c) => c.as(n) }): _*)
+        .orderBy(col("doc_id"))
+    }),
+    "q_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Decontaminate.contaminatedIds(docs,
+        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", "text", 4)
         .orderBy(col("doc_id"))
     }),
     // --- LLM-pipeline: similarity search ----------------------------------
@@ -1526,6 +1555,55 @@ object SparkEntry {
     "q_lang_profile" ->
       """SELECT lang, count(*) AS cnt, round(avg(n_chars), 2) AS avg_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_quality_repetition" ->
+      """WITH words AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |w AS (SELECT doc_id, unnest(ws) AS w FROM words),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+        |wstats AS (SELECT doc_id, sum(c)::BIGINT AS n_words,
+        |    max(c)::BIGINT AS top_word_count FROM wc GROUP BY 1),
+        |bg AS (SELECT doc_id, array_to_string(ws[i.i:i.i+1], ' ') AS g
+        |  FROM words, LATERAL (SELECT unnest(range(1, len(ws))) AS i) i),
+        |bstats AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |    count(DISTINCT g)::BIGINT AS n_distinct FROM bg GROUP BY 1)
+        |SELECT ws.doc_id, n_words,
+        |  round(top_word_count * 1.0 / n_words, 4) AS top_word_frac,
+        |  coalesce(round(1.0 - n_distinct * 1.0 / greatest(n_bigrams, 1), 4),
+        |    0.0) AS dup_bigram_frac
+        |FROM wstats ws LEFT JOIN bstats b ON ws.doc_id = b.doc_id
+        |ORDER BY ws.doc_id""".stripMargin,
+    "q_pii_redact" ->
+      """WITH aug AS (SELECT doc_id, text ||
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN ' contact user' || doc_id || '@example.com now'
+        |      WHEN 1 THEN ' call 555-123-4567 today'
+        |      WHEN 2 THEN ' server 192.168.1.' || (doc_id % 250) || ' down'
+        |      ELSE '' END AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(aug,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g') AS redacted,
+        |  len(regexp_extract_all(aug,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT AS n_email,
+        |  len(regexp_extract_all(aug,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::INT AS n_ip,
+        |  len(regexp_extract_all(aug,
+        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))::INT AS n_phone
+        |FROM aug ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" ->
+      """WITH words AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |pg AS (SELECT DISTINCT array_to_string(ws[i.i:i.i+3], ' ') AS gram
+        |  FROM words, LATERAL (SELECT unnest(range(1, len(ws) - 2)) AS i) i
+        |  WHERE doc_id % 97 = 0),
+        |dg AS (SELECT DISTINCT doc_id, array_to_string(ws[i.i:i.i+3], ' ') AS gram
+        |  FROM words, LATERAL (SELECT unnest(range(1, len(ws) - 2)) AS i) i)
+        |SELECT DISTINCT doc_id FROM dg JOIN pg USING (gram)
+        |ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id,
         |  sum(ascii(substr(text, i::INT, 1)) * ((i - 1) % 64 + 1))::BIGINT AS fingerprint

@@ -43,6 +43,32 @@ object TextOps {
       .groupBy(col(idCol))
       .agg(sum(ascii(col("ch")) * ((col("pos") % 64) + 1)).as("fingerprint"))
 
+  /** Gopher-style repetition features per document: total words, the top
+    * word's frequency share, and the duplicate word-bigram fraction —
+    * the classic signals for boilerplate/spam filtering in pretraining
+    * pipelines (Rae et al. 2021's repetition rules, re-expressed
+    * relationally). Two hash-partitioned aggregations keyed by document —
+    * no cross-document state, linear at corpus scale. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = filter(split(trim(col(textCol)), "\\s+"), w => w =!= lit(""))
+    val wordStats = df.select(col(idCol), explode(ws).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(
+        sum(col("c")).as("n_words"),
+        max(col("c")).as("top_word_count"))
+    val bigramStats = df.select(col(idCol),
+        explode(Decontaminate.wordNgrams(col(textCol), 2)).as("g"))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_bigrams"),
+        countDistinct(col("g")).as("n_distinct_bigrams"))
+    wordStats.join(bigramStats, Seq(idCol), "left")
+      .select(col(idCol), col("n_words"),
+        round(col("top_word_count") * 1.0 / col("n_words"), 4).as("top_word_frac"),
+        coalesce(
+          round(lit(1.0) - col("n_distinct_bigrams") * 1.0 / greatest(col("n_bigrams"), lit(1L)), 4),
+          lit(0.0)).as("dup_bigram_frac"))
+  }
+
   /** Tiny per-language stopword profiles for heuristic language ID. Public
     * common-word lists; scoring = distinct profile hits per language. */
   private val profiles: Map[String, Seq[String]] = Map(

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** PII redaction, repetition quality features, benchmark decontamination. */
+class PipelineTextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .appName("pipeline-text-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = { if (spark != null) spark.stop() }
+
+  test("Privacy.redact replaces emails, IPs and phones; counts match") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (1L, "mail me at a.b-c_d%x+1@sub.example.org or x@y.io thanks"),
+      (2L, "server 10.0.255.3 and 192.168.1.42 are down"),
+      (3L, "call 555-123-4567 or 555.987.6543 or 555 111 2222"),
+      (4L, "no pii here, just 1.5 numbers and a@b (not an email)"),
+      (5L, "mixed: u@example.com from 8.8.8.8 called 555-000-1111"))
+      .toDF("id", "t")
+    val out = df.select(
+        (col("id") +: Privacy.redact(col("t")).as("r") +:
+          Privacy.piiCounts(col("t")).map { case (n, c) => c.as(n) }): _*)
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "mail me at [EMAIL] or [EMAIL] thanks")
+    assert(out(1).getString(1) == "server [IP] and [IP] are down")
+    assert(out(2).getString(1) == "call [PHONE] or [PHONE] or [PHONE]")
+    // "a@b" has no dot-TLD → not an email; "1.5" is not an IP
+    assert(out(3).getString(1) == "no pii here, just 1.5 numbers and a@b (not an email)")
+    assert(out(4).getString(1) == "mixed: [EMAIL] from [IP] called [PHONE]")
+    assert(out.map(r => (r.getInt(2), r.getInt(3), r.getInt(4))).toSeq ==
+      Seq((2, 0, 0), (0, 2, 0), (0, 0, 3), (0, 0, 0), (1, 1, 1)))
+  }
+
+  test("TextOps.repetitionStats: word totals, top-word share, dup bigrams") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (1L, "a b a b a"), // 5 words, top a=3; bigrams: ab ba ab ba → 4 total 2 distinct
+      (2L, "x y z w"), // all distinct, bigrams all distinct
+      (3L, "solo")) // 1 word, no bigrams
+      .toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 5L, 0.6, 0.5),
+      (2L, 4L, 0.25, 0.0),
+      (3L, 1L, 1.0, 0.0)))
+  }
+
+  test("Decontaminate: exact word-n-gram matches, short docs safe") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a completely different document about sparks"),
+      (3L, "prefix words then quick brown fox jumps suffix"), // shares 4-gram
+      (4L, "quick brown fox"), // shorter than n → no grams → clean
+      (5L, "")).toDF("doc_id", "text")
+    val probes = Seq("the quick brown fox jumps").toDF("ptext")
+    val flagged = Decontaminate
+      .contaminatedIds(docs, probes, "doc_id", "text", "ptext", 4)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(flagged == Seq(1L, 3L))
+    val clean = Decontaminate
+      .decontaminate(docs, probes, "doc_id", "text", "ptext", 4)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(clean == Seq(2L, 4L, 5L))
+    // the corpus side joins against a broadcast of probe grams
+    val plan = Decontaminate
+      .contaminatedIds(docs, probes, "doc_id", "text", "ptext", 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast join in:\n$plan")
+  }
+}
