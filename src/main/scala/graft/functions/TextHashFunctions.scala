@@ -23,11 +23,21 @@ private[functions] object TextHashKernel {
   val Seed = 42L // Spark's xxhash64 default seed
 
   /** Byte offsets of character boundaries; returns (bounds, nChars) with
-    * bounds(nChars) == numBytes. */
+    * bounds(nChars) == numBytes — or (null, numBytes) when the string is
+    * pure ASCII (boundaries are the identity), which skips the per-call
+    * bounds allocation on the dominant corpus shape. Callers treat a null
+    * bounds array as `bounds(i) == i`. */
   def charBounds(base: AnyRef, off: Long, nb: Int): (Array[Int], Int) = {
+    // 8-byte strided high-bit scan: pure-ASCII iff no byte has bit 7 set
+    var acc = 0L
+    var i = 0
+    while (i + 8 <= nb) { acc |= Platform.getLong(base, off + i); i += 8 }
+    var accB = 0
+    while (i < nb) { accB |= Platform.getByte(base, off + i); i += 1 }
+    if ((acc & 0x8080808080808080L) == 0L && (accB & 0x80) == 0) return (null, nb)
     val bounds = new Array[Int](nb + 1)
     var nChars = 0
-    var i = 0
+    i = 0
     while (i < nb) {
       bounds(nChars) = i
       nChars += 1
@@ -36,6 +46,10 @@ private[functions] object TextHashKernel {
     bounds(nChars) = nb
     (bounds, nChars)
   }
+
+  /** `bounds(i)` with the null-means-identity convention of [[charBounds]]. */
+  @inline def boundAt(bounds: Array[Int], i: Int): Int =
+    if (bounds == null) i else bounds(i)
 }
 
 /** Distinct xxhash64 values of the k-character shingles of `child` —
@@ -67,8 +81,8 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
     var n = 0
     var w = 0
     while (w < nWin) {
-      val startB = bounds(w)
-      val endB = bounds(math.min(w + k, nChars))
+      val startB = TextHashKernel.boundAt(bounds, w)
+      val endB = TextHashKernel.boundAt(bounds, math.min(w + k, nChars))
       val h = XXH64.hashUnsafeBytes(base, off + startB, endB - startB, TextHashKernel.Seed)
       var slot = (h ^ (h >>> 29)).toInt & (cap - 1)
       var dup = false
@@ -124,8 +138,8 @@ case class ShingleMinHash(child: Expression, k: Int, numHashes: Int)
     java.util.Arrays.fill(sig, Long.MaxValue)
     var w = 0
     while (w < nWin) {
-      val startB = bounds(w)
-      val endB = bounds(math.min(w + k, nChars))
+      val startB = TextHashKernel.boundAt(bounds, w)
+      val endB = TextHashKernel.boundAt(bounds, math.min(w + k, nChars))
       val h = XXH64.hashUnsafeBytes(base, off + startB, endB - startB, TextHashKernel.Seed)
       var j = 0
       while (j < numHashes) {
@@ -230,8 +244,8 @@ case class ShingleJaccard(left: Expression, right: Expression, k: Int)
     var n = 0
     var w = 0
     while (w < nWin) {
-      val startB = bounds(w)
-      val endB = bounds(math.min(w + k, nChars))
+      val startB = TextHashKernel.boundAt(bounds, w)
+      val endB = TextHashKernel.boundAt(bounds, math.min(w + k, nChars))
       val h = XXH64.hashUnsafeBytes(base, off + startB, endB - startB, TextHashKernel.Seed)
       var slot = (h ^ (h >>> 29)).toInt & (cap - 1)
       var dup = false
@@ -259,8 +273,8 @@ case class ShingleJaccard(left: Expression, right: Expression, k: Int)
     var inter = 0
     var w = 0
     while (w < nWin) {
-      val startB = bounds(w)
-      val endB = bounds(math.min(w + k, nChars))
+      val startB = TextHashKernel.boundAt(bounds, w)
+      val endB = TextHashKernel.boundAt(bounds, math.min(w + k, nChars))
       val h = XXH64.hashUnsafeBytes(base, off + startB, endB - startB, TextHashKernel.Seed)
       var slot = (h ^ (h >>> 29)).toInt & (cap - 1)
       var dup = false
