@@ -1199,6 +1199,33 @@ object SparkEntry {
       s.sql("""SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
                FROM strawdml.docs ORDER BY doc_id""")
     }),
+    "q_column_mapping" -> ((s, d) => {
+      // metadata-only schema evolution: RENAME COLUMN (old files read
+      // through the spelling alias), DROP COLUMN (data invisible), re-ADD
+      // of the dropped name (fresh physical spelling — no resurrection),
+      // then an append under the evolved schema. Zero data rewrites; the
+      // oracle replays the surviving projection in DuckDB.
+      val wh = Tables.strawDir(s, d, "documents") + "_mapwh"
+      s.conf.set("spark.sql.catalog.strawmap", "graft.spark.StrawCatalog")
+      s.conf.set("spark.sql.catalog.strawmap.warehouse", wh)
+      val marker = new java.io.File(wh, "_MAP_OK")
+      if (!marker.exists()) {
+        t(s, d, "documents").createOrReplaceTempView("colmap_docs_src")
+        s.sql("DROP TABLE IF EXISTS strawmap.docs")
+        s.sql("""CREATE TABLE strawmap.docs AS
+                 SELECT doc_id, lang, source, n_chars FROM colmap_docs_src""")
+        s.sql("ALTER TABLE strawmap.docs RENAME COLUMN lang TO language")
+        s.sql("ALTER TABLE strawmap.docs DROP COLUMN source")
+        s.sql("ALTER TABLE strawmap.docs ADD COLUMN source STRING")
+        s.sql("""INSERT INTO strawmap.docs
+                 SELECT doc_id + 1000000 AS doc_id, upper(lang) AS language,
+                        n_chars, 'fresh' AS source
+                 FROM colmap_docs_src WHERE n_chars > 400""")
+        marker.createNewFile()
+      }
+      s.sql("""SELECT doc_id, language, CAST(n_chars AS BIGINT) AS n_chars, source
+               FROM strawmap.docs ORDER BY doc_id""")
+    }),
     "q_stream_windowed" -> ((s, d) => {
       // tumbling 1-day windows per event_type, built up ACROSS micro-batches
       // in the state store (maxFilesPerTrigger=1 forces several batches),
@@ -1787,6 +1814,16 @@ object SparkEntry {
         |    SELECT doc_id + 1000000, 'new', n_chars FROM documents WHERE n_chars > 500)
         |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
         |FROM final ORDER BY doc_id""".stripMargin,
+    "q_column_mapping" -> // rename lang->language (alias over old files),
+      // drop+re-add source (original values dead, re-add reads null),
+      // one post-evolution append
+      """SELECT doc_id, lang AS language, CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(NULL AS VARCHAR) AS source
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id + 1000000, upper(lang), CAST(n_chars AS BIGINT), 'fresh'
+        |FROM documents WHERE n_chars > 400
+        |ORDER BY doc_id""".stripMargin,
     "q_stream_windowed" -> // batch equivalent of the windowed stateful drain
       // (both sides see the parquet ts at µs precision; window start floors
       // to the UTC day in µs)

@@ -297,12 +297,20 @@ object AggPushdown {
     // whose readers subtract the DV row-level.
     val dvDead: Seq[Long] = listed.map(l => if (l.dv == null) 0L else l.dv.cardinality)
     if (dvDead.exists(_ > 0L) && !specs.forall(_ == CountStarSpec)) return None
-    val footers = StrawIO.mapParallel(listed) {
-      case StrawIO.Listed(_, Some(synth), _)
-        if (synth.columns.isEmpty ||
-          synth.columns(0).pages(0).numValues.toLong == synth.numRows) &&
-          (needSum.isEmpty || synthCoversSum(synth)) => synth
-      case StrawIO.Listed(m, _, _) => FooterCache.get(m.path, m.mtime, m.len)
+    // rename/drop history: footer spellings translate to the logical
+    // namespace the aggregation references (identity on unmapped tables) —
+    // BEFORE the synth-coverage guard, which matches by logical name
+    val mapping = StrawLog.mappingAt(path, asOf)
+    val footers = StrawIO.mapParallel(listed) { l =>
+      l.synth.map(mapping.toLogicalFooter) match {
+        case Some(synth)
+          if (synth.columns.isEmpty ||
+            synth.columns(0).pages(0).numValues.toLong == synth.numRows) &&
+            (needSum.isEmpty || synthCoversSum(synth)) => synth
+        case _ =>
+          mapping.toLogicalFooter(
+            FooterCache.get(l.meta.path, l.meta.mtime, l.meta.len))
+      }
     }
     grp match {
       case None =>

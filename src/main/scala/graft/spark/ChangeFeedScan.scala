@@ -53,7 +53,8 @@ private[spark] class ChangeFeedScan(dir: String, from: Long, to: Long,
     plan.tasks.map(t => ChangeFeedPartition(t): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new ChangeFeedReaderFactory(plan.dataSchema.json,
-      new org.apache.spark.util.SerializableConfiguration(StrawIO.conf))
+      new org.apache.spark.util.SerializableConfiguration(StrawIO.conf),
+      plan.mapping)
   /** Streaming surface: replay the feed from `from`, then follow the
     * log's tail ([[ChangeFeedMicroBatchStream]]). An EXPLICIT
     * endingVersion bounds the stream (it drains and idles there); the
@@ -68,17 +69,20 @@ private[spark] final case class ChangeFeedPartition(
     task: StrawChanges.ChangeTask) extends InputPartition
 
 private[spark] class ChangeFeedReaderFactory(dataSchemaJson: String,
-    serConf: org.apache.spark.util.SerializableConfiguration)
+    serConf: org.apache.spark.util.SerializableConfiguration,
+    mapping: ColumnMappingState = ColumnMappingState.Empty)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     StrawIO.install(serConf.value)
     new ChangeFeedReader(
-      partition.asInstanceOf[ChangeFeedPartition].task, dataSchemaJson)
+      partition.asInstanceOf[ChangeFeedPartition].task, dataSchemaJson, mapping)
   }
 }
 
 private[spark] class ChangeFeedReader(t: StrawChanges.ChangeTask,
-    dataSchemaJson: String) extends PartitionReader[InternalRow] {
+    dataSchemaJson: String,
+    mapping: ColumnMappingState = ColumnMappingState.Empty)
+  extends PartitionReader[InternalRow] {
 
   private val (invert, label) =
     if (t.changeType.startsWith("!")) (true, t.changeType.substring(1))
@@ -94,7 +98,7 @@ private[spark] class ChangeFeedReader(t: StrawChanges.ChangeTask,
         s"strawboat: change feed needs ${t.path} (version ${t.version}) " +
           "but it was vacuumed — derive feeds within the retention window", e)
     }
-  private val footer = FooterCache.get(t.path, input)
+  private val footer = mapping.toLogicalFooter(FooterCache.get(t.path, input))
   private val read = new MaintenanceOps.ResolvedFileRead(input, footer, dataSch)
   private val pageRows: Array[Int] =
     if (footer.columns.isEmpty) Array.empty
@@ -330,7 +334,8 @@ private[spark] class ChangeFeedMicroBatchStream(dir: String, from: Long,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ChangeFeedReaderFactory(dataSchema.json,
-      new org.apache.spark.util.SerializableConfiguration(StrawIO.conf))
+      new org.apache.spark.util.SerializableConfiguration(StrawIO.conf),
+      StrawLog.mappingAt(dir))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

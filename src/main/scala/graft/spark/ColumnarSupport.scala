@@ -170,7 +170,8 @@ object ColumnarSupport {
       readSchema: StructType,
       outCols: Int,
       pred: org.apache.spark.sql.catalyst.InternalRow => Boolean = null,
-      dead: org.roaringbitmap.RoaringBitmap = null)
+      dead: org.roaringbitmap.RoaringBitmap = null,
+      mapping: ColumnMappingState = ColumnMappingState.Empty)
     extends PartitionReader[ColumnarBatch] {
 
     def this(part: StrawInputPartition, requiredSchema: StructType) =
@@ -179,7 +180,7 @@ object ColumnarSupport {
     private val input = StrawIO.open(part.path)
     private val (footer, resolved) =
       try {
-        val f = FooterCache.get(part.path, input)
+        val f = mapping.toLogicalFooter(FooterCache.get(part.path, input))
         // per-file name resolution (files in a dir may have evolved schemas)
         val r = StrawSchemaResolver.resolve(part.path, f.schema, readSchema)
         // backstop: the vectorized fill has no widening conversion — batch

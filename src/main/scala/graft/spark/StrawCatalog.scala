@@ -239,6 +239,8 @@ class StrawCatalog extends TableCatalog with SupportsNamespaces {
       case (s, rm: TableChange.RemoveProperty) =>
         s.copy(properties = s.properties - rm.property)
       case (s, add: TableChange.AddColumn) => addColumn(ident, dir, add); s
+      case (s, rn: TableChange.RenameColumn) => renameColumn(ident, dir, rn); s
+      case (s, del: TableChange.DeleteColumn) => deleteColumn(ident, dir, del); s
       case (s, add: TableChange.AddConstraint) =>
         addCheckConstraint(dir, add.constraint()); s
       case (s, drop: TableChange.DropConstraint) =>
@@ -246,9 +248,7 @@ class StrawCatalog extends TableCatalog with SupportsNamespaces {
         catch { case e: IllegalArgumentException if drop.ifExists() => }
         s
       case (_, other) => throw new UnsupportedOperationException(
-        s"strawboat: ALTER TABLE change not supported: $other " +
-          "(add columns via ADD COLUMN or mergeSchema appends; drops/renames " +
-          "would orphan the data files' own schemas)")
+        s"strawboat: ALTER TABLE change not supported: $other")
     }
     StrawTableSidecar.write(dir, next)
     loadTable(ident)
@@ -270,6 +270,91 @@ class StrawCatalog extends TableCatalog with SupportsNamespaces {
         s"strawboat: only CHECK constraints are supported, got ${other.toDDL}")
     }
 
+  /** Columns a table's CHECK constraints reference — RENAME/DROP of one is
+    * refused (the stored constraint SQL would stop binding), mirroring
+    * Delta's restriction. */
+  private def constraintColumns(dir: String): Set[String] = {
+    val exprs = StrawLog.snapshot(dir).map(_.constraints.values.toSeq)
+      .getOrElse(Seq.empty)
+    val parser = org.apache.spark.sql.SparkSession.active.sessionState.sqlParser
+    exprs.flatMap { sql =>
+      parser.parseExpression(sql).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.head
+      }
+    }.toSet
+  }
+
+  private def partitionColumns(ident: Identifier): Set[String] =
+    loadTable(ident).partitioning().flatMap(_.references()
+      .flatMap(_.fieldNames().headOption)).toSet
+
+  private def guardAlterable(ident: Identifier, dir: String, col: String,
+      what: String): Unit = {
+    require(!partitionColumns(ident).exists(_.equalsIgnoreCase(col)),
+      s"strawboat: cannot $what partition column '$col' — the hive directory " +
+        "layout spells it on disk")
+    require(!constraintColumns(dir).exists(_.equalsIgnoreCase(col)),
+      s"strawboat: cannot $what column '$col' — a CHECK constraint references " +
+        "it; drop the constraint first")
+  }
+
+  /** `ALTER TABLE … RENAME COLUMN a TO b` — pure metadata: data files keep
+    * their physical spellings, one column-mapping commit records
+    * `old spelling -> new logical name`, and every read/write path
+    * translates ([[ColumnMappingState]]). Zero data IO at any table size;
+    * rewrites (compaction, row-level DML) materialize current spellings,
+    * retiring aliases over time. */
+  private def renameColumn(ident: Identifier, dir: String,
+      rn: TableChange.RenameColumn): Unit = {
+    require(rn.fieldNames.length == 1,
+      s"strawboat: RENAME COLUMN supports top-level columns only, " +
+        s"got ${rn.fieldNames.mkString(".")}")
+    val from = rn.fieldNames.head
+    val to = rn.newName
+    require(!to.startsWith(ColumnMappingState.DroppedPrefix),
+      s"strawboat: column name '$to' uses the reserved prefix " +
+        ColumnMappingState.DroppedPrefix)
+    val schema = loadTable(ident).schema()
+    require(schema.fieldNames.contains(from),
+      s"strawboat: no column '$from' to rename (table has " +
+        s"${schema.fieldNames.mkString(", ")})")
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+      s"strawboat: column '$to' already exists")
+    guardAlterable(ident, dir, from, "rename")
+    val cur = StrawLog.mappingAt(dir)
+    val v = StrawLog.snapshot(dir).map(_.version + 1).getOrElse(1L)
+    val next = ColumnMappingState.rename(cur, from, to, s"@v$v")
+    StrawLog.commit(dir, Seq.empty, op = s"rename column $from -> $to",
+      mappingUpdate = Some((cur, next))): Unit
+  }
+
+  /** `ALTER TABLE … DROP COLUMN c` — pure metadata: the column's physical
+    * spellings join the mapping's dropped set and vanish from every read;
+    * re-ADDing the name later gets a FRESH physical spelling, so old data
+    * can never resurrect. */
+  private def deleteColumn(ident: Identifier, dir: String,
+      del: TableChange.DeleteColumn): Unit = {
+    require(del.fieldNames.length == 1,
+      s"strawboat: DROP COLUMN supports top-level columns only, " +
+        s"got ${del.fieldNames.mkString(".")}")
+    val name = del.fieldNames.head
+    val schema = loadTable(ident).schema()
+    if (!schema.fieldNames.contains(name)) {
+      if (del.ifExists()) return
+      throw new IllegalArgumentException(
+        s"strawboat: no column '$name' to drop (table has " +
+          s"${schema.fieldNames.mkString(", ")})")
+    }
+    require(schema.fields.length > 1,
+      s"strawboat: cannot drop the table's only column '$name'")
+    guardAlterable(ident, dir, name, "drop")
+    val cur = StrawLog.mappingAt(dir)
+    val next = ColumnMappingState.drop(cur, name)
+    StrawLog.commit(dir, Seq.empty, op = s"drop column $name",
+      mappingUpdate = Some((cur, next))): Unit
+  }
+
   /** `ALTER TABLE … ADD COLUMN c T` — pure metadata, the same machinery as
     * a mergeSchema append: one schema-only marker file carrying the WIDENED
     * schema joins the log, schema inference merges it in, and every
@@ -286,11 +371,21 @@ class StrawCatalog extends TableCatalog with SupportsNamespaces {
       "strawboat: ADD COLUMN FIRST/AFTER is not supported — new columns " +
         "append at the end of the schema")
     val name = add.fieldNames.head
+    require(!name.startsWith(ColumnMappingState.DroppedPrefix),
+      s"strawboat: column name '$name' uses the reserved prefix " +
+        ColumnMappingState.DroppedPrefix)
     val current = loadTable(ident).schema()
     require(!current.fieldNames.exists(_.equalsIgnoreCase(name)),
       s"strawboat: column '$name' already exists")
-    val widened = StructType(current.fields :+
-      org.apache.spark.sql.types.StructField(name, add.dataType, nullable = true))
+    // re-ADD of a dropped/renamed-away spelling gets a FRESH physical name
+    // so old files' dead data can never resurrect under the new column
+    val curMap = StrawLog.mappingAt(dir)
+    val v = StrawLog.snapshot(dir).map(_.version + 1).getOrElse(1L)
+    val spelling = ColumnMappingState.addSpelling(curMap, name, s"@v$v")
+    val nextMap = ColumnMappingState.add(curMap, name, spelling)
+    // the marker is a DATA FILE: its footer must carry physical spellings
+    val widened = nextMap.toPhysical(StructType(current.fields :+
+      org.apache.spark.sql.types.StructField(name, add.dataType, nullable = true)))
     val f = StrawIO.fs(dir)
     val fileName =
       s"part-empty-${UUID.randomUUID().toString.take(8)}${graft.format.StrawFormat.Extension}"
@@ -308,7 +403,9 @@ class StrawCatalog extends TableCatalog with SupportsNamespaces {
     val st = f.getFileStatus(new Path(dir, fileName))
     val meta = StrawIO.FileMeta(f.makeQualified(st.getPath).toString,
       st.getModificationTime, st.getLen)
-    StrawLog.commit(dir, Seq(StrawManifest.entryFor(meta)), op = "add column")
+    StrawLog.commit(dir, Seq(StrawManifest.entryFor(meta)), op = "add column",
+      mappingUpdate =
+        if (spelling.isDefined) Some((curMap, nextMap)) else None): Unit
   }
 
   override def dropTable(ident: Identifier): Boolean = {

@@ -66,7 +66,8 @@ object StrawChanges {
     * referenced file — not the latest snapshot's, which may lack columns
     * that only deleted files carried). */
   private[spark] final case class ChangePlan(tasks: Seq[ChangeTask],
-      dataSchema: StructType) {
+      dataSchema: StructType,
+      mapping: ColumnMappingState = ColumnMappingState.Empty) {
     def outSchema: StructType = StructType(dataSchema.fields ++ Seq(
       StructField(ChangeTypeCol, StringType, nullable = false),
       StructField(CommitVersionCol, LongType, nullable = false)))
@@ -259,11 +260,15 @@ object StrawChanges {
 
     // feed data schema: merged over every referenced file, the same
     // name-resolution rules as the scan (absent → null, widen)
+    // rename/drop history: the feed's data schema speaks the CURRENT
+    // logical namespace even for files written under old spellings
+    val mapping = StrawLog.mappingAt(dir)
     val schemas = StrawIO.mapParallel(all.map(t => (t.path, t.mtime, t.len))
-      .distinct)(f => (f._1, FooterCache.get(f._1, f._2, f._3).schema))
+      .distinct)(f =>
+      (f._1, mapping.toLogical(FooterCache.get(f._1, f._2, f._3).schema)))
     val dataSchema =
       if (schemas.isEmpty) StructType(Nil) else StrawSchemaResolver.merge(schemas)
-    val p = ChangePlan(all, dataSchema)
+    val p = ChangePlan(all, dataSchema, mapping)
     plans.synchronized(plans.put(key, p))
     p
   }

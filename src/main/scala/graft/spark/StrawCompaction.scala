@@ -102,15 +102,17 @@ private[spark] object MaintenanceOps {
     * @return (candidate files, pruned-file count) */
   def matchCandidates(listed: Seq[StrawIO.Listed],
       schema: org.apache.spark.sql.types.StructType,
-      filters: Array[org.apache.spark.sql.sources.Filter])
+      filters: Array[org.apache.spark.sql.sources.Filter],
+      mapping: ColumnMappingState = ColumnMappingState.Empty)
       : (Seq[Candidate], Int) = {
     val afterPartition = PartitionLayout.pruneBy(listed, schema, filters)(_.meta.path)
     val afterStats = afterPartition.filter { lf =>
-      lf.synth.forall(sf => ZoneMapFilter.keptPages(sf, filters)(0))
+      lf.synth.forall(sf =>
+        ZoneMapFilter.keptPages(mapping.toLogicalFooter(sf), filters)(0))
     }
     val candidates = StrawIO.mapParallel(afterStats) { lf =>
       val m = lf.meta
-      val footer = FooterCache.get(m.path, m.mtime, m.len)
+      val footer = mapping.toLogicalFooter(FooterCache.get(m.path, m.mtime, m.len))
       val keep = ZoneMapFilter.keptPages(footer, filters)
       val nPages = footer.columns.headOption.map(_.pages.length).getOrElse(0)
       (Candidate(m, lf.dv, footer.numRows), nPages, keep)
@@ -160,7 +162,8 @@ private[spark] object MaintenanceOps {
       filters: Array[org.apache.spark.sql.sources.Filter],
       assigns: Option[Seq[Assign]],
       opts: WriteOptions,
-      checkUpdated: StrawConstraints.RowChecker = null): Array[RewriteOut] = {
+      checkUpdated: StrawConstraints.RowChecker = null,
+      mapping: ColumnMappingState = ColumnMappingState.Empty): Array[RewriteOut] = {
     val serConf = new org.apache.spark.util.SerializableConfiguration(StrawIO.conf)
     val schemaJson = schema.json
     val filtersB = spark.sparkContext.broadcast(filters)
@@ -175,12 +178,18 @@ private[spark] object MaintenanceOps {
           throw new IllegalStateException(
             "strawboat: rewrite condition no longer compiles on the executor"))
         val as = assignsB.value
-        val bloomLeaves = bloomLeavesOf(FooterCache.get(m.path, m.mtime, m.len))
+        // input bloom leaves carry PHYSICAL spellings; the rewrite emits
+        // the table's logical spellings (materializing renames), so the
+        // carried-over bloom columns translate with it (dead leaves drop)
+        val bloomLeaves =
+          bloomLeavesOf(FooterCache.get(m.path, m.mtime, m.len))
+            .flatMap(mapping.logicalLeafPath).map(mapping.writeLeafPath)
         val parent = new Path(m.path).getParent.toString
-        val writer = new StrawDataWriter(parent, tableSchema,
+        val writer = new StrawDataWriter(parent, mapping.toPhysical(tableSchema),
           partitionId = 0, taskId = 0,
           opts.copy(bloomColumns = opts.bloomColumns ++ bloomLeaves), jobId)
-        val factory = new StrawPartitionReaderFactory(tableSchema, tableSchema, serConf)
+        val factory = new StrawPartitionReaderFactory(tableSchema, tableSchema,
+          serConf, mapping = mapping)
         var matched = 0L
         var ok = false
         try {
@@ -381,7 +390,8 @@ private[spark] object MaintenanceOps {
       filters: Array[org.apache.spark.sql.sources.Filter],
       assigns: Option[Seq[Assign]],
       opts: WriteOptions,
-      checkUpdated: StrawConstraints.RowChecker = null): Array[DvOut] = {
+      checkUpdated: StrawConstraints.RowChecker = null,
+      mapping: ColumnMappingState = ColumnMappingState.Empty): Array[DvOut] = {
     val serConf = new org.apache.spark.util.SerializableConfiguration(StrawIO.conf)
     val schemaJson = schema.json
     val filtersB = spark.sparkContext.broadcast(filters)
@@ -406,7 +416,7 @@ private[spark] object MaintenanceOps {
             "strawboat: condition no longer row-evaluable on the executor"))
         val input = StrawIO.open(m.path)
         try {
-          val footer = FooterCache.get(m.path, input)
+          val footer = mapping.toLogicalFooter(FooterCache.get(m.path, input))
           val matched = new org.roaringbitmap.RoaringBitmap()
           var writer: StrawDataWriter = null
           var ok = false
@@ -435,7 +445,8 @@ private[spark] object MaintenanceOps {
                     as.foreach { assign =>
                       if (writer == null) {
                         writer = new StrawDataWriter(new Path(m.path).getParent.toString,
-                          tableSchema, partitionId = 0, taskId = 0, opts, jobId)
+                          mapping.toPhysical(tableSchema),
+                          partitionId = 0, taskId = 0, opts, jobId)
                       }
                       val r = new org.apache.spark.sql.catalyst.expressions
                         .GenericInternalRow(tableSchema.length)
@@ -469,9 +480,13 @@ private[spark] object MaintenanceOps {
                 // rows with assignments applied
                 if (pageMatches.nonEmpty) as.foreach { assign =>
                   if (writer == null) {
+                    // footer is already LOGICAL here: translate its bloom
+                    // leaves into the write namespace only
                     val bloomLeaves = bloomLeavesOf(footer)
+                      .filterNot(_.startsWith(ColumnMappingState.DroppedPrefix))
+                      .map(mapping.writeLeafPath)
                     writer = new StrawDataWriter(new Path(m.path).getParent.toString,
-                      tableSchema, partitionId = 0, taskId = 0,
+                      mapping.toPhysical(tableSchema), partitionId = 0, taskId = 0,
                       opts.copy(bloomColumns = opts.bloomColumns ++ bloomLeaves), jobId)
                   }
                   val fullPages = fullRead.decodePages(p)

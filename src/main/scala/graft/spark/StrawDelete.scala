@@ -68,10 +68,14 @@ object StrawDelete {
     // evaluate a concurrently-appended file in a stale schema
     val listed = StrawIO.listFilesMetaWithStats(dir)
     require(listed.nonEmpty, s"strawboat: no data files under $dir")
+    // rename/drop history: the condition and the merged schema speak the
+    // logical namespace; per-file translation happens in MaintenanceOps
+    val mapping = StrawLog.mappingAt(dir)
     val schema = StrawSchemaResolver.merge(StrawIO.mapParallel(listed) {
-      case StrawIO.Listed(m, Some(synth), _) => (m.path, synth.schema)
+      case StrawIO.Listed(m, Some(synth), _) =>
+        (m.path, mapping.toLogical(synth.schema))
       case StrawIO.Listed(m, None, _) =>
-        (m.path, FooterCache.get(m.path, m.mtime, m.len).schema)
+        (m.path, mapping.toLogical(FooterCache.get(m.path, m.mtime, m.len).schema))
     })
     require(RowFilterEval.build(schema, condition.toArray).isDefined,
       s"strawboat: delete condition is not exactly row-evaluable over " +
@@ -82,7 +86,8 @@ object StrawDelete {
     // pruning tiers before any data IO: hive partition directories, then
     // file-level stats from the snapshot, then the real footer's page zone
     // maps — exactly the scan's planning ladder
-    val (candidates, pruned) = MaintenanceOps.matchCandidates(listed, schema, filters)
+    val (candidates, pruned) = MaintenanceOps.matchCandidates(listed, schema, filters,
+      StrawLog.mappingAt(dir))
     if (candidates.isEmpty)
       return DeleteResult(0L, 0, 0, pruned, 0)
 
@@ -103,7 +108,7 @@ object StrawDelete {
       candidates: Seq[MaintenanceOps.Candidate], filters: Array[Filter],
       pruned: Int, opts: WriteOptions): DeleteResult = {
     val outs = MaintenanceOps.dvMatch(spark, dir, jobId, schema, candidates,
-      filters, assigns = None, opts)
+      filters, assigns = None, opts, mapping = StrawLog.mappingAt(dir))
     val changed = outs.filter(_.matched > 0)
     if (changed.isEmpty)
       return DeleteResult(0L, 0, 0, pruned, outs.length)
@@ -118,7 +123,8 @@ object StrawDelete {
     // table stays self-describing and reads back empty
     val adds =
       if (dvUpdates.isEmpty && removes.size == listed.size)
-        Seq(StrawManifest.entryFor(writeEmptyMarker(dir, schema, opts)))
+        Seq(StrawManifest.entryFor(writeEmptyMarker(dir,
+          StrawLog.mappingAt(dir).toPhysical(schema), opts)))
       else Seq.empty
     MaintenanceOps.commitSwitchAndVacuum(dir, jobId, adds, removes, op = "delete",
       dvs = dvUpdates,
@@ -150,7 +156,8 @@ object StrawDelete {
     // reader null-fills, widens, and subtracts any prior DV), drop
     // cond=TRUE rows, stage survivors (assigns=None means DROP)
     val rewrites = MaintenanceOps.rewriteMatching(spark, dir, jobId, schema,
-      candidates, filters, assigns = None, opts)
+      candidates, filters, assigns = None, opts,
+      mapping = StrawLog.mappingAt(dir))
 
     val f = StrawIO.fs(dir)
     val (changed, untouched) = rewrites.partition(_.matched > 0)
@@ -175,7 +182,8 @@ object StrawDelete {
     val replacedDvs = removes.toSeq.flatMap(p => candDv.getOrElse(p, None).map(_.path))
     var freshAll = fresh
     if (fresh.isEmpty && removes.size == listed.size)
-      freshAll :+= writeEmptyMarker(dir, schema, opts)
+      freshAll :+= writeEmptyMarker(dir,
+        StrawLog.mappingAt(dir).toPhysical(schema), opts)
     val adds = StrawIO.mapParallel(freshAll)(StrawManifest.entryFor)
     MaintenanceOps.commitSwitchAndVacuum(dir, jobId, adds, removes, op = "delete",
       alsoVacuum = replacedDvs,

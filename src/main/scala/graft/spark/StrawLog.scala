@@ -94,7 +94,8 @@ object StrawLog {
     * must satisfy ([[StrawConstraints]]). */
   final case class Snapshot(version: Long, entries: Seq[Entry],
       txns: Map[String, Long],
-      constraints: Map[String, String] = Map.empty) {
+      constraints: Map[String, String] = Map.empty,
+      mapping: ColumnMappingState = ColumnMappingState.Empty) {
     lazy val pathSet: Set[String] = entries.map(_.meta.path).toSet
   }
 
@@ -214,6 +215,13 @@ object StrawLog {
   def snapshotAt(table: String, version: Long): Option[Snapshot] =
     resolve(table, Some(version))
 
+  /** The column-mapping state visible at `asOf` (or latest). Empty for
+    * tables without a log or without rename/drop history — the zero-cost
+    * common case every schema/scan/write resolution starts from. */
+  def mappingAt(table: String, asOf: Option[Long] = None): ColumnMappingState =
+    asOf.fold(snapshot(table))(snapshotAt(table, _))
+      .map(_.mapping).getOrElse(ColumnMappingState.Empty)
+
   /** The newest version whose commit-file timestamp is at or before
     * `tsMs` — the `timestampAsOf` resolution. None when the log is absent
     * or nothing was committed by then. Commit timestamps are the log
@@ -289,6 +297,7 @@ object StrawLog {
     val entries = scala.collection.mutable.LinkedHashMap.empty[String, Entry]
     var txns = Map.empty[String, Long]
     var constraints = Map.empty[String, String]
+    var mapping = ColumnMappingState.Empty
     // applies one commit's actions in file order; a DV action on a path
     // the state doesn't hold is an inconsistent log (the committer
     // validated presence) — unreadable rather than dropped deletes
@@ -306,6 +315,7 @@ object StrawLog {
         case (name, Some(expr)) => constraints += (name -> expr)
         case (name, None) => constraints -= name
       }
+      a.mapping.foreach(mapping = _) // full-state line: latest wins
     }
     base.foreach { cv =>
       apply(parseActions(readLines(f, checkpointPath(ld, cv)), qdir)
@@ -316,7 +326,8 @@ object StrawLog {
         .getOrElse(unreadable(s"commit $v does not parse")))
     }
     val snap =
-      Snapshot(target, entries.values.toVector.sortBy(_.meta.path), txns, constraints)
+      Snapshot(target, entries.values.toVector.sortBy(_.meta.path), txns,
+        constraints, mapping)
     cache.synchronized(cache.put(key, snap))
     hits.incrementAndGet()
     Some(snap)
@@ -340,10 +351,12 @@ object StrawLog {
       dv: DeletionVector.DvInfo) extends Action
 
   /** One parsed commit/checkpoint body: actions in file order, txns,
-    * constraint set/drop ops in file order, and the operation description. */
+    * constraint set/drop ops in file order, the column-mapping state (full
+    * replacement, latest wins), and the operation description. */
   private final case class Actions(actions: Seq[Action],
       txns: Map[String, Long], op: String,
-      constraintOps: Seq[(String, Option[String])] = Seq.empty)
+      constraintOps: Seq[(String, Option[String])] = Seq.empty,
+      mapping: Option[ColumnMappingState] = None)
 
   /** The sidecar path a `D` line's (dvName, data relpath) resolves to: the
     * DV lives in the data file's own directory. */
@@ -364,6 +377,7 @@ object StrawLog {
     val out = Seq.newBuilder[Action]
     var txns = Map.empty[String, Long]
     val constraintOps = Seq.newBuilder[(String, Option[String])]
+    var mapping: Option[ColumnMappingState] = None
     var op = ""
     try {
       body.dropRight(1).foreach { line =>
@@ -393,18 +407,28 @@ object StrawLog {
             case b64 => Some(new String(
               java.util.Base64.getDecoder.decode(b64), "UTF-8"))
           }))
+        } else if (line.startsWith("M\t") || line == "M") {
+          // M\t<alias pairs>\t<dropped>\t<writeNames pairs> — full state
+          // (limit -1: empty trailing tokens are meaningful empty sets)
+          val parts = line.split("\t", -1)
+          require(parts.length == 4 || parts.length == 1,
+            s"bad log mapping line: $line")
+          mapping = Some(
+            if (parts.length == 1) ColumnMappingState.Empty
+            else ColumnMappingState.parse(parts(1), parts(2), parts(3)))
         } else if (line.startsWith("O\t")) {
           op = line.substring(2)
         } else require(false, s"bad log line: $line")
       }
-      Some(Actions(out.result(), txns, op, constraintOps.result()))
+      Some(Actions(out.result(), txns, op, constraintOps.result(), mapping))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   private def serialize(adds: Seq[Entry], removes: Seq[String],
       txns: Map[String, Long], qdir: String, op: String,
       dvs: Seq[(String, DeletionVector.DvInfo)] = Seq.empty,
-      constraintOps: Seq[(String, Option[String])] = Seq.empty): String = {
+      constraintOps: Seq[(String, Option[String])] = Seq.empty,
+      mapping: Option[ColumnMappingState] = None): String = {
     val prefix = qdir + "/"
     val sb = new StringBuilder(Header)
       .append(java.util.UUID.randomUUID().toString).append('\n')
@@ -443,6 +467,7 @@ object StrawLog {
           java.util.Base64.getEncoder.encodeToString(e.getBytes("UTF-8"))))
         .append('\n')
     }
+    mapping.foreach(m => sb.append("M\t").append(m.serialize).append('\n'))
     sb.append("E\n")
     sb.toString
   }
@@ -588,7 +613,8 @@ object StrawLog {
       txn: Option[(String, Long)] = None, op: String = "",
       dvs: Seq[DvUpdate] = Seq.empty,
       expectDvOnRemove: Map[String, Option[String]] = Map.empty,
-      constraintOps: Seq[(String, Option[String])] = Seq.empty): Long = {
+      constraintOps: Seq[(String, Option[String])] = Seq.empty,
+      mappingUpdate: Option[(ColumnMappingState, ColumnMappingState)] = None): Long = {
     require(constraintOps.map(_._1).distinct.length == constraintOps.length,
       "strawboat: log commit carries two ops for one constraint name")
     require(adds.map(_.meta.path).toSet.intersect(removes).isEmpty,
@@ -701,6 +727,16 @@ object StrawLog {
                   s"version ${cur.map(_.version).getOrElse(0L)} of $table " +
                   "(concurrent drop?)")
         }
+        // a mapping update carries the state it was derived FROM: a racing
+        // metadata commit in between must conflict, not silently lose the
+        // earlier ALTER on replay (full-state lines are last-writer-wins)
+        mappingUpdate.foreach { case (expected, _) =>
+          val live = cur.map(_.mapping).getOrElse(ColumnMappingState.Empty)
+          if (live != expected) throw new ConflictException(
+            s"strawboat: column-mapping commit on $table derived from a stale " +
+              s"state (concurrent ALTER TABLE?) — rerun against version " +
+              s"${cur.map(_.version).getOrElse(0L)}")
+        }
         val next = cur.map(_.version + 1).getOrElse(1L)
         val addPaths = adds.map(_.meta.path).toSet
         val bootstrap: Seq[Entry] =
@@ -727,7 +763,8 @@ object StrawLog {
         val opLine = if (cur.isEmpty && op.nonEmpty) s"$op (bootstrap)" else op
         val body = serialize(bootstrap ++ adds, removeLines,
           txn.map { case (app, v) => Map(app -> v) }.getOrElse(Map.empty), qdir,
-          opLine, dvs.map(d => (d.dataPath, d.dv)), constraintOps)
+          opLine, dvs.map(d => (d.dataPath, d.dv)), constraintOps,
+          mappingUpdate.map(_._2))
         val tmp = new Path(ld, s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
         val os = f.create(tmp, true)
         var ok = false
@@ -759,7 +796,8 @@ object StrawLog {
         // lines after the adds, same replay order as a commit
         val body = serialize(snap.entries, Seq.empty, snap.txns, qdir, "checkpoint",
           snap.entries.collect { case e if e.dv != null => (e.meta.path, e.dv) },
-          snap.constraints.toSeq.sortBy(_._1).map { case (n, e) => (n, Some(e)) })
+          snap.constraints.toSeq.sortBy(_._1).map { case (n, e) => (n, Some(e)) },
+          if (snap.mapping.isEmpty) None else Some(snap.mapping))
         val tmp = new Path(ld, s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
         val os = f.create(tmp, true)
         var ok = false

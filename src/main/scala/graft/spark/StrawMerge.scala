@@ -82,10 +82,14 @@ object StrawMerge {
       "strawboat: merge with whenMatched=Keep and insertNotMatched=false is a no-op")
     val listed = StrawIO.listFilesMetaWithStats(dir)
     require(listed.nonEmpty, s"strawboat: no data files under $dir")
+    // rename/drop history: keys and the merged schema speak the logical
+    // namespace; per-file footer translation happens at each access below
+    val mapping = StrawLog.mappingAt(dir)
     val schema = StrawSchemaResolver.merge(StrawIO.mapParallel(listed) {
-      case StrawIO.Listed(m, Some(synth), _) => (m.path, synth.schema)
+      case StrawIO.Listed(m, Some(synth), _) =>
+        (m.path, mapping.toLogical(synth.schema))
       case StrawIO.Listed(m, None, _) =>
-        (m.path, FooterCache.get(m.path, m.mtime, m.len).schema)
+        (m.path, mapping.toLogical(FooterCache.get(m.path, m.mtime, m.len).schema))
     })
     val keyIdx = keys.map { k =>
       val i = schema.fields.indexWhere(_.name == k)
@@ -135,6 +139,7 @@ object StrawMerge {
       whenMatched: MatchedAction, insertNotMatched: Boolean,
       opts: WriteOptions, listed: Seq[StrawIO.Listed],
       schema: StructType): MergeResult = {
+    val mapping = StrawLog.mappingAt(dir)
     // the source KEY SET comes to the driver: dedup check + pruning bounds
     // + broadcast probe set (catalyst-valued tuples; the types above are
     // all value-hashable)
@@ -171,7 +176,7 @@ object StrawMerge {
     // never mutates the matched target rows
     val mutate = whenMatched != Keep
     val (candidates, pruned) =
-      MaintenanceOps.matchCandidates(listed, schema, pruneFilters)
+      MaintenanceOps.matchCandidates(listed, schema, pruneFilters, mapping)
     require(candidates.forall(_.numRows <= Int.MaxValue.toLong),
       "strawboat: merge needs 32-bit row ordinals per file")
 
@@ -184,6 +189,7 @@ object StrawMerge {
     val keySchemaJson = keySchema.json
     val probeB = spark.sparkContext.broadcast(probeKeys)
     val mutateB = spark.sparkContext.broadcast(mutate)
+    val mappingB = spark.sparkContext.broadcast(mapping)
     final case class MatchOut(input: String, matched: Long, oldDvPath: String,
         newDv: DeletionVector.DvInfo, fullDead: Boolean,
         matchedKeys: Seq[Vector[Any]])
@@ -199,7 +205,7 @@ object StrawMerge {
           if (cand.dv == null) null else DeletionVector.read(cand.dv.path, cand.dv.len)
         val input = StrawIO.open(m.path)
         try {
-          val footer = FooterCache.get(m.path, input)
+          val footer = mappingB.value.toLogicalFooter(FooterCache.get(m.path, input))
           val read = new MaintenanceOps.ResolvedFileRead(input, footer, keySub)
           val matched = new org.roaringbitmap.RoaringBitmap()
           val matchedKeys = scala.collection.mutable.LinkedHashSet.empty[Vector[Any]]
@@ -294,7 +300,9 @@ object StrawMerge {
       case Seq(one) => one
       case _ => Seq.empty
     }
-    val schemaJson = schema.json
+    // written files carry PHYSICAL spellings (fresh names for re-added
+    // columns); rows bind positionally so only the field names differ
+    val schemaJson = mapping.toPhysical(schema).json
     // every row this phase writes is NEW data (inserts and replaced
     // versions alike) — CHECK constraints bind once here and ride the task
     val checker = StrawConstraints.checkerFor(spark, dir, schema).orNull

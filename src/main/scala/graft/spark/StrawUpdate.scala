@@ -208,10 +208,14 @@ object StrawUpdate {
     require(assignedCols.nonEmpty, "strawboat: update needs at least one assignment")
     val listed = StrawIO.listFilesMetaWithStats(dir)
     require(listed.nonEmpty, s"strawboat: no data files under $dir")
+    // rename/drop history: assignments, condition and the merged schema
+    // speak the logical namespace; per-file translation is in MaintenanceOps
+    val mapping = StrawLog.mappingAt(dir)
     val schema = StrawSchemaResolver.merge(StrawIO.mapParallel(listed) {
-      case StrawIO.Listed(m, Some(synth), _) => (m.path, synth.schema)
+      case StrawIO.Listed(m, Some(synth), _) =>
+        (m.path, mapping.toLogical(synth.schema))
       case StrawIO.Listed(m, None, _) =>
-        (m.path, FooterCache.get(m.path, m.mtime, m.len).schema)
+        (m.path, mapping.toLogical(FooterCache.get(m.path, m.mtime, m.len).schema))
     })
     require(RowFilterEval.build(schema, condition.toArray).isDefined,
       s"strawboat: update condition is not exactly row-evaluable over " +
@@ -232,7 +236,8 @@ object StrawUpdate {
       }
     }
 
-    val (candidates, pruned) = MaintenanceOps.matchCandidates(listed, schema, filters)
+    val (candidates, pruned) = MaintenanceOps.matchCandidates(listed, schema, filters,
+      mapping)
     if (candidates.isEmpty) return UpdateResult(0L, 0, 0, pruned, 0)
 
     val jobId = java.util.UUID.randomUUID().toString.take(8)
@@ -257,7 +262,8 @@ object StrawUpdate {
       opts: WriteOptions,
       checker: StrawConstraints.RowChecker = null): UpdateResult = {
     val outs = MaintenanceOps.dvMatch(spark, dir, jobId, schema, candidates,
-      filters, assigns = Some(assigns), opts, checkUpdated = checker)
+      filters, assigns = Some(assigns), opts, checkUpdated = checker,
+      mapping = StrawLog.mappingAt(dir))
     val changed = outs.filter(_.matched > 0)
     if (changed.isEmpty) {
       StrawCommitProtocol.sweepStaged(dir, jobId)
@@ -304,7 +310,8 @@ object StrawUpdate {
     // shared distributed-rewrite scaffolding: matching rows pass through
     // the assignments, everything else is byte-identical
     val rewrites = MaintenanceOps.rewriteMatching(spark, dir, jobId, schema,
-      candidates, filters, assigns = Some(assigns), opts, checkUpdated = checker)
+      candidates, filters, assigns = Some(assigns), opts, checkUpdated = checker,
+      mapping = StrawLog.mappingAt(dir))
 
     val f = StrawIO.fs(dir)
     val (changed, untouched) = rewrites.partition(_.matched > 0)

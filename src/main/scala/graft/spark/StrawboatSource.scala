@@ -68,10 +68,13 @@ class StrawboatDataSource extends TableProvider with DataSourceRegister {
       snapshotEntries.filter(es =>
         es.nonEmpty && es.forall(_.schemaParsed != null))
         .map(_.map(e => (e.meta.path, e.schemaParsed)))
+    // file schemas are PHYSICAL; rename/drop history maps them to the live
+    // logical namespace (dropped spellings vanish from the table schema)
+    val mapping = StrawLog.mappingAt(dir, asOf)
     if (!mergeSchema) {
-      manifestSchemas.foreach(ms => return ms.head._2)
+      manifestSchemas.foreach(ms => return mapping.toLogical(ms.head._2))
       val one = files.head
-      return FooterCache.get(one.path, one.mtime, one.len).schema
+      return mapping.toLogical(FooterCache.get(one.path, one.mtime, one.len).schema)
     }
     // merge across ALL files so schema-evolved appends surface new columns
     // (the read path null-fills them per file) and WIDEN across lossless
@@ -83,7 +86,8 @@ class StrawboatDataSource extends TableProvider with DataSourceRegister {
     val schemas = manifestSchemas.getOrElse(
       StrawIO.mapParallel(files)(f =>
         (f.path, FooterCache.get(f.path, f.mtime, f.len).schema)))
-    StrawSchemaResolver.merge(schemas)
+    StrawSchemaResolver.merge(
+      schemas.map { case (p, s) => (p, mapping.toLogical(s)) })
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -699,9 +703,11 @@ class StrawScanBuilder(path: String, fullSchema: StructType,
           // manifest-carried file stats stand in for real footers (their
           // one-page shape estimates coarser, which only biases the
           // consume-vs-residual heuristic, never correctness)
+          val mapping = StrawLog.mappingAt(path, asOf)
           val footers = StrawIO.mapParallel(metas) {
-            case StrawIO.Listed(_, Some(synth), _) => synth
-            case StrawIO.Listed(m, None, _) => FooterCache.get(m.path, m.mtime, m.len)
+            case StrawIO.Listed(_, Some(synth), _) => mapping.toLogicalFooter(synth)
+            case StrawIO.Listed(m, None, _) =>
+              mapping.toLogicalFooter(FooterCache.get(m.path, m.mtime, m.len))
           }
           ZoneMapFilter.estimatePassFraction(fullSchema, footers, toEstimate)
         } catch { case _: Exception => 1.0 }
@@ -813,6 +819,11 @@ class StrawScan(
   // like static ones
   @volatile private var filters: Array[Filter] = initialFilters
 
+  // rename/drop history: footers carry PHYSICAL spellings, planning and
+  // filters speak the logical namespace — pinned at the scan's version for
+  // time travel. Empty (identity) on tables without rename/drop DDL.
+  private lazy val mapping: ColumnMappingState = StrawLog.mappingAt(path, asOf)
+
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     // must reference the scan's OUTPUT columns (Spark resolves these against
     // the pruned read schema, not the table schema)
@@ -896,10 +907,13 @@ class StrawScan(
       val listed = PartitionLayout.pruneBy(
         StrawIO.listFilesMetaWithStats(path, asOf), fullSchema, filters)(_.meta.path)
       val kept = listed.filter { lf =>
-        lf.synth.forall(sf => ZoneMapFilter.keptPages(sf, filters)(0))
+        lf.synth.forall(sf =>
+          ZoneMapFilter.keptPages(mapping.toLogicalFooter(sf), filters)(0))
       }
       c = StrawIO.mapParallel(kept) { lf =>
-        (lf.meta.path, FooterCache.get(lf.meta.path, lf.meta.mtime, lf.meta.len),
+        (lf.meta.path,
+          mapping.toLogicalFooter(
+            FooterCache.get(lf.meta.path, lf.meta.mtime, lf.meta.len)),
           lf.meta.len, lf.dv)
       }
       footersCache = c
@@ -1030,7 +1044,7 @@ class StrawScan(
     }
     new StrawPartitionReaderFactory(fullSchema, requiredSchema,
       new org.apache.spark.util.SerializableConfiguration(StrawIO.conf), topN,
-      exactFilters, typeWidened, appendFile)
+      exactFilters, typeWidened, appendFile, mapping)
   }
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
@@ -1041,7 +1055,14 @@ class StrawScan(
     val rawRows = footers.foldLeft(0L) { case (a, (_, f, _, dv)) =>
       a + (if (dv == null) f.numRows else math.max(0L, f.numRows - dv.cardinality))
     }
-    val rawBytes = math.max(footers.foldLeft(0L)(_ + _._3), 1L)
+    // DECODED size, not on-disk bytes: the scan's output width (pruned
+    // schema defaultSize + per-row overhead) times live rows. Join-strategy
+    // decisions compare sizeInBytes against the broadcast threshold as a
+    // proxy for build-side memory — a well-compressed 600k-row fact table
+    // can be under 10 MB on disk and would get broadcast off its file size
+    // (parquet narrowly avoids this only because it compresses worse).
+    val width = math.max(8L, requiredSchema.defaultSize.toLong + 8L)
+    val rawBytes = math.max(rawRows * width, 1L)
     // report FILTERED estimates: without cost-based optimization Spark
     // propagates a Filter node's size unchanged, so a selectively-filtered
     // dimension table would never qualify for a broadcast join off its raw
@@ -1098,7 +1119,8 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
     topN: Option[TopNPushdown.Spec] = None,
     exactFilters: Array[Filter] = Array.empty,
     typeWidened: Boolean = false,
-    appendFile: Boolean = false)
+    appendFile: Boolean = false,
+    mapping: ColumnMappingState = ColumnMappingState.Empty)
   extends PartitionReaderFactory {
 
   /** `_file` metadata column: every produced row gets the partition's data
@@ -1183,8 +1205,10 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
     val (footer, resolved) =
       try {
         // version-keyed cache: a file split into many page-range partitions
-        // parses its footer once per executor, not once per task
-        val f = FooterCache.get(p.path, input)
+        // parses its footer once per executor, not once per task. Spellings
+        // translate to the logical namespace before name resolution
+        // (rename/drop history; identity on unmapped tables).
+        val f = mapping.toLogicalFooter(FooterCache.get(p.path, input))
         // resolve required fields against THIS file's schema by name (files
         // in a dir may differ after an evolving append); missing → null
         (f, StrawSchemaResolver.resolve(p.path, f.schema, readSchemaExt))
@@ -1387,7 +1411,7 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
     val dead: org.roaringbitmap.RoaringBitmap =
       if (p.dvPath == null) null else DeletionVector.read(p.dvPath, p.dvLen)
     val base = new ColumnarSupport.StrawColumnarReader(p, readSchemaExt,
-      requiredSchema.length, rowPred.orNull, dead)
+      requiredSchema.length, rowPred.orNull, dead, mapping)
     if (!appendFile) base
     else new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
       // _file stays vectorized: one constant string vector appended per
@@ -1484,9 +1508,11 @@ object StrawSchemaResolver {
     val manifestSchemas = StrawManifest.readEntries(dir)
       .filter(es => es.nonEmpty && es.forall(_.schemaParsed != null))
       .map(_.map(e => (e.meta.path, e.schemaParsed)))
+    val mapping = StrawLog.mappingAt(dir)
     Some(merge(manifestSchemas.getOrElse(
       StrawIO.mapParallel(files)(f =>
-        (f.path, FooterCache.get(f.path, f.mtime, f.len).schema)))))
+        (f.path, FooterCache.get(f.path, f.mtime, f.len).schema)))
+      .map { case (p, s) => (p, mapping.toLogical(s)) }))
   }
 
   /** Names+types only: nullable flags and field metadata normalized away,
@@ -1638,12 +1664,17 @@ class StrawWriteBuilder(path: String, schema: StructType, opts: WriteOptions,
         Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
     private def ordered: Boolean =
       partitionCols.nonEmpty && orderingCols.startsWith(partitionCols)
+    // physical spellings for re-added-after-drop columns (positions are
+    // untouched, so the incoming rows bind unchanged); empty mapping — the
+    // overwhelmingly common case — is the identity
+    private def physicalSchema: StructType =
+      StrawLog.mappingAt(path).toPhysical(schema)
     override def toBatch: BatchWrite =
-      new StrawBatchWrite(path, schema, doTruncate, opts, partitionCols, checker,
-        ordered, doDynamic)
+      new StrawBatchWrite(path, physicalSchema, doTruncate, opts, partitionCols,
+        checker, ordered, doDynamic)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new StrawStreamingWrite(path, schema, opts, partitionCols, queryId, checker,
-        ordered)
+      new StrawStreamingWrite(path, physicalSchema, opts, partitionCols, queryId,
+        checker, ordered)
   }
 }
 

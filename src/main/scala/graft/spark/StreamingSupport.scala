@@ -461,7 +461,8 @@ class StrawMicroBatchStream(path: String, fullSchema: StructType,
     // converting row reader instead of tripping the columnar backstop.
     new StrawPartitionReaderFactory(fullSchema, requiredSchema,
       new org.apache.spark.util.SerializableConfiguration(StrawIO.conf),
-      topN = None, exactFilters = exactFilters, typeWidened = batchTypeWidened)
+      topN = None, exactFilters = exactFilters, typeWidened = batchTypeWidened,
+      mapping = StrawLog.mappingAt(path))
 }
 
 case class StrawStreamingWriterFactory(path: String, schema: StructType,
