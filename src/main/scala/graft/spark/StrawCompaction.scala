@@ -695,6 +695,10 @@ object StrawCompaction {
     // group by (partition directory, exact file schema): rewrites never
     // cross a partition boundary (layout pruning survives) and never
     // convert between schema generations (read semantics unchanged)
+    // bin schemas are LOGICAL: files differing only in historical spellings
+    // bin together, and the rewrite emits current names minus dropped
+    // columns — compaction materializes renames AND drops away
+    val mapping = StrawLog.mappingAt(dir)
     val withSchema = StrawIO.mapParallel(candidates) { lf =>
       val m = lf.meta
       val footer = FooterCache.get(m.path, m.mtime, m.len)
@@ -702,7 +706,8 @@ object StrawCompaction {
         if (lf.dv == null) footer.numRows
         else math.max(0L, footer.numRows - lf.dv.cardinality)
       (BinFile(m, if (lf.dv == null) null else lf.dv.path,
-        if (lf.dv == null) 0L else lf.dv.len), footer.schema, liveRows)
+        if (lf.dv == null) 0L else lf.dv.len),
+        mapping.toLogical(footer.schema), liveRows)
     }
     // fail fast on a cluster column NO generation has (typo / wrong case /
     // dotted leaf path — clusterBy is top-level only); a per-bin miss
@@ -755,7 +760,8 @@ object StrawCompaction {
         spark.sparkContext.parallelize(bins, bins.size).map { bin =>
           StrawIO.install(serConf.value)
           val schema = DataType.fromJson(bin.schemaJson).asInstanceOf[StructType]
-          val factory = new StrawPartitionReaderFactory(schema, schema, serConf)
+          val factory = new StrawPartitionReaderFactory(schema, schema, serConf,
+            mapping = mapping)
           // preserve page bloom filters through the rewrite: the input
           // footers record exactly which leaves carry them — without this,
           // routine maintenance would silently strip the point-lookup
@@ -763,7 +769,8 @@ object StrawCompaction {
           val bloomLeaves = bin.files.flatMap(bf =>
             MaintenanceOps.bloomLeavesOf(
               FooterCache.get(bf.meta.path, bf.meta.mtime, bf.meta.len))).toSet
-          val writer = new StrawDataWriter(bin.parent, schema,
+            .flatMap(mapping.logicalLeafPath).map(mapping.writeLeafPath)
+          val writer = new StrawDataWriter(bin.parent, mapping.toPhysical(schema),
             partitionId = 0, taskId = 0,
             outOpts.copy(bloomColumns = outOpts.bloomColumns ++ bloomLeaves),
             jobId)

@@ -144,6 +144,30 @@ class ColumnMappingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("straw.g2").columns.contains("amount"))
   }
 
+  test("compaction materializes renames and drops into current spellings") {
+    spark.sql("CREATE TABLE straw.cp1 (id BIGINT, old BIGINT, dead STRING)")
+    spark.sql("INSERT INTO straw.cp1 VALUES (1, 10, 'x')")
+    spark.sql("INSERT INTO straw.cp1 VALUES (2, 20, 'y')")
+    spark.sql("ALTER TABLE straw.cp1 RENAME COLUMN old TO fresh")
+    spark.sql("ALTER TABLE straw.cp1 DROP COLUMN dead")
+    val dir = s"$warehouse/cp1"
+    val res = StrawCompaction.compact(spark, dir, targetFileBytes = 1L << 20,
+      smallFileBytes = Some(1L << 20))
+    assert(res.outputFiles >= 1)
+    // outputs carry the CURRENT spelling physically: identity mapping reads
+    // them even if the alias were lost
+    // every DATA-carrying file now spells current names (the CREATE-time
+    // 0-row schema marker may survive in its own bin; the alias covers it)
+    val files = StrawIO.listFilesMeta(dir)
+    val schemas = files.map(f => FooterCache.get(f.path, f.mtime, f.len))
+      .filter(_.numRows > 0).map(_.schema.fieldNames.toSeq)
+    assert(schemas.nonEmpty && schemas.forall(_ == Seq("id", "fresh")),
+      s"physical spellings after compaction: $schemas")
+    assert(spark.sql("SELECT id, fresh FROM straw.cp1 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (2L, 20L)))
+  }
+
   test("change feed after rename labels columns with current names") {
     spark.sql("CREATE TABLE straw.cf1 (id BIGINT, txt STRING)")
     spark.sql("INSERT INTO straw.cf1 VALUES (1, 'a')")
