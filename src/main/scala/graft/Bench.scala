@@ -26,7 +26,10 @@ object Bench {
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_embedding_lsh",
     "q_ann_brute", "q_ann_ivf", "q_text_stats",
     // nested-leaf scan through the vectorized struct reader (round 9)
-    "q_struct_filter")
+    "q_struct_filter",
+    // round-9 pipeline ops: broadcast n-gram decontamination join and the
+    // map-only regex redaction pass
+    "q_decontaminate", "q_pii_redact")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -606,6 +606,25 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_ann_ivf_appended" -> ((s, d) => {
+      // INCREMENTAL index maintenance: build over the even half, append the
+      // odd half against the frozen quantizer (one atomic log commit into
+      // the hive layout), then full-probe — must equal brute force over the
+      // WHOLE corpus, proving appended vectors are indexed and probed.
+      val idxDir = Tables.strawDir(s, d, "embeddings") + "_ivfappend"
+      val marker = new java.io.File(idxDir, "_OK")
+      if (!marker.exists()) {
+        val emb = t(s, d, "embeddings")
+        Ann.buildIvfIndex(s, emb.filter(col("vec_id") % 2 === 0), idxDir, 64,
+          nCentroids = 16, seed = 7)
+        Ann.appendToIvfIndex(s, emb.filter(col("vec_id") % 2 === 1), idxDir)
+        marker.createNewFile()
+      }
+      Ann.ivfTopKIndexed(s, idxDir, t(s, d, "embeddings").filter(col("vec_id") < 5),
+          3, nProbe = 16)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // --- Decimal(>18) storage through the format ---------------------------
     "q_decimal_agg" -> ((s, d) => {
       // derive a wide-decimal table, store it in strawboat (two-long i128
@@ -1657,6 +1676,17 @@ object SparkEntry {
         |  ELSE 'de' END AS pred_lang
         |FROM s ORDER BY doc_id""".stripMargin,
     "q_ann_ivf_indexed" -> // full-probe over the persisted index == brute force
+      """SELECT query_id, rank, neighbor_id, cosine FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.embedding, c.embedding), 4) AS cosine,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(q.embedding, c.embedding), 4) DESC,
+        |        c.vec_id) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q_ann_ivf_appended" -> // built on half, appended half, full probe ==
+      // brute force over the whole corpus
       """SELECT query_id, rank, neighbor_id, cosine FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |    round(list_cosine_similarity(q.embedding, c.embedding), 4) AS cosine,

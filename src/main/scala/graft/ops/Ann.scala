@@ -203,6 +203,21 @@ object Ann {
     centroids
   }
 
+  /** Append new vectors into an EXISTING persisted index: assign them to
+    * the frozen quantizer's cells and append into the hive layout — one
+    * atomic log commit, probes see old+new immediately. This is how an
+    * IVF serving table absorbs a stream of fresh embeddings at 100 TB
+    * (assignment is a map-only codegen'd expression; only the touched
+    * cells' directories gain files). The quantizer stays fixed — rebuild
+    * the index when centroid drift degrades recall, as FAISS does. */
+  def appendToIvfIndex(spark: SparkSession, newVectors: DataFrame,
+      dir: String): Unit = {
+    val centroids = loadIvfCentroids(dir)
+    assignCells(spark, newVectors, centroids, 1)
+      .write.format("strawboat").option("partitionBy", "cent_id")
+      .mode("append").save(dir)
+  }
+
   private val CentroidsFile = "_ivf_centroids"
 
   /** Centroid sidecar: plain text (`nCent dim` header, one row of floats
