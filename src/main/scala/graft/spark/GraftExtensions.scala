@@ -247,6 +247,50 @@ object StrawSqlSurface {
       AttributeReference("expression", StringType, nullable = false)()), rows)
   }
 
+  val DetailName = "straw_detail"
+
+  /** `straw_detail('<path>')`: one DESCRIBE-DETAIL-style row — current
+    * version, file/DV counts, live bytes and rows, constraint count, and
+    * the column-mapping footprint (renamed/dropped spellings). Answers
+    * from the log snapshot alone: zero data IO. */
+  def detailBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 1 && args.head.foldable &&
+      args.head.dataType == StringType,
+      s"$DetailName expects one string literal: the table path")
+    val path = args.head.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    require(path != null, s"$DetailName: path must not be null")
+    val dir = resolveDir(path.toString)
+    val snap = StrawLog.snapshot(dir).getOrElse(throw new IllegalArgumentException(
+      s"$DetailName: no transaction log under $dir"))
+    val dvFiles = snap.entries.count(_.dv != null)
+    val deadRows = snap.entries.collect { case e if e.dv != null => e.dv.cardinality }.sum
+    // per-file row counts ride the entries' stats blobs when the writer
+    // recorded them — report null (unknown) rather than pay footer IO here
+    val counts = snap.entries.map(_.synthetic.map(_.numRows))
+    val numRows: Any =
+      if (counts.exists(_.isEmpty)) null else counts.flatten.sum - deadRows
+    LocalRelation(Seq(
+      AttributeReference("version", LongType, nullable = false)(),
+      AttributeReference("num_files", LongType, nullable = false)(),
+      AttributeReference("size_bytes", LongType, nullable = false)(),
+      AttributeReference("num_rows", LongType, nullable = true)(),
+      AttributeReference("dv_files", LongType, nullable = false)(),
+      AttributeReference("dv_dead_rows", LongType, nullable = false)(),
+      AttributeReference("constraints", LongType, nullable = false)(),
+      AttributeReference("renamed_columns", LongType, nullable = false)(),
+      AttributeReference("dropped_spellings", LongType, nullable = false)()),
+      Seq(org.apache.spark.sql.catalyst.InternalRow(
+        snap.version,
+        snap.entries.size.toLong,
+        snap.entries.map(_.meta.len).sum,
+        numRows,
+        dvFiles.toLong,
+        deadRows,
+        snap.constraints.size.toLong,
+        snap.mapping.alias.size.toLong,
+        snap.mapping.dropped.size.toLong)))
+  }
+
   val AddConstraintName = "straw_add_constraint"
   val DropConstraintName = "straw_drop_constraint"
 
@@ -320,6 +364,10 @@ object StrawSqlSurface {
       FunctionIdentifier(ConstraintsName),
       new ExpressionInfo(classOf[StrawConstraints.Constraint].getName, ConstraintsName),
       constraintsBuilder _)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier(DetailName),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName, DetailName),
+      detailBuilder _)
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier(AddConstraintName),
       new ExpressionInfo(classOf[StrawConstraints.Constraint].getName, AddConstraintName),
@@ -403,6 +451,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[StrawConstraints.Constraint].getName,
         StrawSqlSurface.DropConstraintName),
       StrawSqlSurface.dropConstraintBuilder _))
+    extensions.injectTableFunction((
+      FunctionIdentifier(StrawSqlSurface.DetailName),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName,
+        StrawSqlSurface.DetailName),
+      StrawSqlSurface.detailBuilder _))
     // SQL UPDATE / MERGE INTO over the native mutation machinery
     extensions.injectPostHocResolutionRule(session => new StrawDmlRules(session))
   }

@@ -179,6 +179,23 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.format("strawboat").load(out).count() == 55L)
   }
 
+  test("straw_detail reports the table's log state from plain SQL") {
+    val ss = spark
+    import ss.implicits._
+    val out = java.nio.file.Files.createTempDirectory("ext_detail").toString + "/t"
+    (0L until 50L).map(i => (i, s"r$i")).toDF("id", "s")
+      .write.format("strawboat").mode("overwrite").save(out)
+    StrawDelete.delete(spark, out,
+      Seq(org.apache.spark.sql.sources.LessThan("id", 5L)))
+    val d = spark.sql(s"SELECT * FROM straw_detail('$out')").collect()(0)
+    assert(d.getLong(0) == 2L) // version: write + delete
+    assert(d.getLong(1) >= 1L) // files
+    assert(d.getLong(2) > 0L) // bytes
+    assert(d.getLong(3) == 45L) // live rows net of the DV
+    assert(d.getLong(4) == 1L && d.getLong(5) == 5L) // dv files / dead rows
+    assert(d.getLong(6) == 0L && d.getLong(7) == 0L && d.getLong(8) == 0L)
+  }
+
   test("hyperplane buckets reject non-integer config args with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT hyperplane_buckets(array(1.0D), 'abc', 4, 2, 42L)")
