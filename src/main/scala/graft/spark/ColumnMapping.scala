@@ -140,11 +140,14 @@ object ColumnMappingState {
   def rename(cur: ColumnMappingState, from: String, to: String,
       freshSuffix: => String): ColumnMappingState = {
     // every historical spelling of the column follows the new name; the
-    // identity spelling `from` joins the alias unless it is a DEAD spelling
-    // of some earlier column (then live data never used it)
+    // identity spelling `from` joins the alias unless it belongs to some
+    // EARLIER column — dead (dropped) or renamed-away (already a key in the
+    // alias map) — in which case this column's data never used it (its
+    // writes carried a fresh spelling precisely because of that collision)
     val realiased = cur.alias.map { case (p, l) => (p, if (l == from) to else l) }
     val withIdentity =
-      if (cur.dropped.contains(from)) realiased else realiased + (from -> to)
+      if (cur.dropped.contains(from) || realiased.contains(from)) realiased
+      else realiased + (from -> to)
     // drop the no-op identity entry if the rename cycles back (b -> a -> b)
     val alias2 = withIdentity.filter { case (p, l) => p != l }
     // collision AFTER re-aliasing: `to` is dangerous only if historical
@@ -162,10 +165,13 @@ object ColumnMappingState {
   /** The state after dropping logical `name`. */
   def drop(cur: ColumnMappingState, name: String): ColumnMappingState = {
     // every historical spelling of the column dies; the identity spelling
-    // dies too unless it was already a dead spelling of an EARLIER column
-    // (then live data of THIS column never used it)
+    // dies too unless it belongs to an EARLIER column — dead, or an alias
+    // key pointing at some other live column (then THIS column's data never
+    // used it: its writes carried a fresh spelling)
+    val identityDead =
+      !cur.dropped.contains(name) && !cur.alias.contains(name)
     val spellings = cur.alias.collect { case (p, l) if l == name => p }.toSet ++
-      (if (cur.dropped.contains(name)) Set.empty[String] else Set(name))
+      (if (identityDead) Set(name) else Set.empty[String])
     ColumnMappingState(
       alias = cur.alias.filter { case (_, l) => l != name },
       dropped = cur.dropped ++ spellings,
