@@ -308,6 +308,82 @@ case class ShingleJaccard(left: Expression, right: Expression, k: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Space-joined word n-grams of `child` (whitespace tokenization, ASCII
+  * `\s`, empty tokens dropped — the same semantics as
+  * `split(trim(s), "\\s+")` windows joined with single spaces) as
+  * array<string>, in ONE pass over the UTF-8 bytes. Replaces a
+  * sequence+transform+slice+array_join SQL chain whose interpreted
+  * higher-order dispatch dominated the decontamination scan (~10 µs per
+  * gram); each gram is one byte copy here. Documents shorter than n words
+  * yield an empty array. */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n-gram size must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"word_ngrams expects string, got $other")
+  }
+
+  private def isSpace(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0B
+
+  def compute(s: UTF8String): GenericArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nb = s.numBytes
+    // token boundaries in one scan
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var nTok = 0
+    var i = 0
+    while (i < nb) {
+      while (i < nb && isSpace(Platform.getByte(base, off + i))) i += 1
+      val st = i
+      while (i < nb && !isSpace(Platform.getByte(base, off + i))) i += 1
+      if (i > st) {
+        if (nTok == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nTok * 2)
+          ends = java.util.Arrays.copyOf(ends, nTok * 2)
+        }
+        starts(nTok) = st; ends(nTok) = i; nTok += 1
+      }
+    }
+    val nWin = nTok - (n - 1)
+    if (nWin <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](nWin)
+    var w = 0
+    while (w < nWin) {
+      var len = n - 1 // single joining spaces
+      var t = w
+      while (t < w + n) { len += ends(t) - starts(t); t += 1 }
+      val bytes = new Array[Byte](len)
+      var pos = 0
+      t = w
+      while (t < w + n) {
+        if (t > w) { bytes(pos) = ' '; pos += 1 }
+        val wl = ends(t) - starts(t)
+        Platform.copyMemory(base, off + starts(t), bytes,
+          Platform.BYTE_ARRAY_OFFSET + pos, wl)
+        pos += wl
+        t += 1
+      }
+      out(w) = UTF8String.fromBytes(bytes)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("ngrams", this, classOf[WordNgrams].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextHashFunctions {
   private def intLit(e: Expression, what: String): Int = e.eval() match {
     case n: java.lang.Number => n.intValue()
@@ -324,7 +400,9 @@ object TextHashFunctions {
         intLit(c(2), "minhash_signature"))),
     ("simhash64", classOf[SimHash64], (c: Seq[Expression]) => SimHash64(c(0))),
     ("shingle_jaccard", classOf[ShingleJaccard],
-      (c: Seq[Expression]) => ShingleJaccard(c(0), c(1), intLit(c(2), "shingle_jaccard"))))
+      (c: Seq[Expression]) => ShingleJaccard(c(0), c(1), intLit(c(2), "shingle_jaccard"))),
+    ("word_ngrams", classOf[WordNgrams],
+      (c: Seq[Expression]) => WordNgrams(c(0), intLit(c(1), "word_ngrams"))))
 
   /** Register the text-hash functions with the session. Idempotent. */
   def register(spark: SparkSession): Unit =
@@ -350,5 +428,10 @@ object TextHashFunctions {
   def shingleJaccard(spark: SparkSession, a: Column, b: Column, k: Int): Column = {
     register(spark)
     call_function("shingle_jaccard", a, b, lit(k))
+  }
+
+  def wordNgrams(spark: SparkSession, text: Column, n: Int): Column = {
+    register(spark)
+    call_function("word_ngrams", text, lit(n))
   }
 }

@@ -57,7 +57,7 @@ object TextOps {
         sum(col("c")).as("n_words"),
         max(col("c")).as("top_word_count"))
     val bigramStats = df.select(col(idCol),
-        explode(Decontaminate.wordNgrams(col(textCol), 2)).as("g"))
+        explode(Decontaminate.wordNgrams(df.sparkSession, col(textCol), 2)).as("g"))
       .groupBy(col(idCol)).agg(
         count(lit(1)).as("n_bigrams"),
         countDistinct(col("g")).as("n_distinct_bigrams"))
