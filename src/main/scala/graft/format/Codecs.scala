@@ -820,7 +820,12 @@ object IntCodec {
         if (stats.highCardinality) { out.putBytes(rawBytes(values, n, width)); Codec.Plain }
         else { encodeDict(values, n, width, stats, opts, out); Codec.Dict }
       case Codec.Freq =>
-        if (stats.highCardinality) { out.putBytes(rawBytes(values, n, width)); Codec.Plain }
+        // encodeFreq only needs topValue/topCount (Boyer–Moore vote), which
+        // survive the distinct map's high-cardinality bail — so a
+        // near-constant page with a long all-distinct exception tail stays
+        // Freq. Fall back only when the vote never verified a top value
+        // (forced mode on a page the chooser would never have qualified).
+        if (stats.topCount == 0) { out.putBytes(rawBytes(values, n, width)); Codec.Plain }
         else { encodeFreq(values, n, width, stats, opts, out); Codec.Freq }
       case Codec.Patas =>
         encodePatas(values, n, out); Codec.Patas

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, Generic
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import org.scalatest.funsuite.AnyFunSuite
+import java.nio.{ByteBuffer, ByteOrder}
 import scala.util.Random
 
 /** Write→read round-trip over the full type surface, mirroring the
@@ -148,6 +149,24 @@ class RoundTripSpec extends AnyFunSuite {
     assert(encodedCodec(Array.tabulate(2048)(i => (i % 8).toLong), 8) == Codec.Dict
       || encodedCodec(Array.tabulate(2048)(i => (i % 8).toLong), 8) == Codec.BitPack)
     assert(encodedCodec(Array.tabulate(2048)(_.toLong), 8) == Codec.DeltaBitPack)
+  }
+
+  test("Freq survives the distinct map's high-cardinality bail") {
+    // 90% one value + a long all-distinct exception tail: the distinct map
+    // bails (exceptions >> maxUsefulDistinct at width 4) but the Boyer–Moore
+    // vote still verifies the top value — the page must encode as Freq, not
+    // fall back to raw Plain (which would invert the optimization).
+    val n = 65536
+    val values = Array.tabulate(n) { i =>
+      if (i % 13 != 0) 7L else 1000000L + i // 5042 distinct exceptions
+    }
+    val out = new ByteBuf()
+    val codec = IntCodec.encode(values, n, 4, WriteOptions(), 0, out)
+    assert(codec == Codec.Freq, s"expected Freq, got ${Codec.name(codec)}")
+    assert(out.len < n * 4, s"Freq page (${out.len} B) should beat raw (${n * 4} B)")
+    val in = ByteBuffer.wrap(out.buf, 0, out.len).order(ByteOrder.LITTLE_ENDIAN)
+    val got = IntCodec.decode(in, n, 4)
+    assert(java.util.Arrays.equals(got, values))
   }
 
   // --- float/double bit-exactness incl. NaN, ±0, infinities ------------------
