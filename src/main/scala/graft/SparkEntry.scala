@@ -934,6 +934,37 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars").cast("int").as("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    "q_merge_large" -> ((s, d) => {
+      // large-source MERGE (StrawMerge distributed path): the gate is
+      // forced to 0 so the backfill-shaped source (~26% of the table:
+      // doc_id % 5 == 0 updates + doc_id % 17 == 0 shifted inserts) takes
+      // the shuffle-join path — the driver NEVER materializes the source
+      // key set; per-file DVs are built and written on executors. Oracle =
+      // the same source-wins union in plain SQL.
+      val mDir = Tables.strawDir(s, d, "documents") + "_mergelg"
+      val marker = new java.io.File(mDir, "_OK")
+      if (!marker.exists()) {
+        val docs = t(s, d, "documents")
+        docs.write.format("strawboat").mode("overwrite").save(mDir)
+        val src = docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("lang", lit("merged"))
+          .unionByName(docs.filter(col("doc_id") % 17 === 0)
+            .withColumn("doc_id", col("doc_id") + 2000000L)
+            .withColumn("lang", lit("inserted")))
+        s.conf.set(graft.spark.StrawMerge.BroadcastKeyBytesConf, "0")
+        val res =
+          try graft.spark.StrawMerge.merge(s, mDir, src, keys = Seq("doc_id"))
+          finally s.conf.unset(graft.spark.StrawMerge.BroadcastKeyBytesConf)
+        require(res.distributedSource,
+          s"q_merge_large: expected the distributed match path ($res)")
+        require(res.matchedRows > 0 && res.insertedRows > res.matchedRows,
+          s"q_merge_large: expected updates and inserts ($res)")
+        marker.createNewFile()
+      }
+      s.read.format("strawboat").load(mDir)
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("int").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     "q_update_expr" -> ((s, d) => {
       // expression-valued UPDATE (StrawUpdate.updateExpressions): the
       // redaction workflow's form — SET lang = upper(lang) over the
@@ -1764,6 +1795,19 @@ object SparkEntry {
         |  FROM documents WHERE doc_id % 10 = 0
         |  UNION ALL
         |  SELECT doc_id + 1000000, 'inserted', n_chars
+        |  FROM documents WHERE doc_id % 17 = 0)
+        |SELECT doc_id, lang, CAST(n_chars AS INTEGER) AS n_chars FROM (
+        |  SELECT doc_id, lang, n_chars FROM src
+        |  UNION ALL
+        |  SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+        |  WHERE d.doc_id NOT IN (SELECT doc_id FROM src))
+        |ORDER BY doc_id""".stripMargin,
+    "q_merge_large" -> // large-source upsert via the distributed match path
+      """WITH src AS (
+        |  SELECT doc_id, 'merged' AS lang, n_chars
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, 'inserted', n_chars
         |  FROM documents WHERE doc_id % 17 = 0)
         |SELECT doc_id, lang, CAST(n_chars AS INTEGER) AS n_chars FROM (
         |  SELECT doc_id, lang, n_chars FROM src

@@ -32,17 +32,35 @@ import graft.format.WriteOptions
   * union into each file's DV, and the surviving source rows are written
   * DISTRIBUTED as new files — target rows never rewrite. Everything
   * switches in ONE atomic [[StrawLog]] commit (op `merge`); a concurrent
-  * mutation of a touched file conflicts cleanly. At 100 TB this is a
-  * broadcast-join-shaped plan: cost tracks the SOURCE size and the files
-  * containing matches, not the table.
+  * mutation of a touched file conflicts cleanly.
   *
-  * Scale bound: the source's KEY SET is collected to the driver and
-  * broadcast (the source data itself is written distributed, never
-  * collected) — the usual upsert shape where the batch is orders of
-  * magnitude smaller than the table. A shuffle-based large-source merge
-  * is deliberately out of scope.
+  * Two match strategies, chosen by the SOURCE's estimated key bytes
+  * against [[BroadcastKeyBytesConf]] (default 64 MiB):
+  *
+  *  - '''broadcast''' (small source — the usual upsert): the source's key
+  *    set is collected to the driver and broadcast; one task per candidate
+  *    target file probes it. Cost tracks the source size and the files
+  *    containing matches, not the table.
+  *  - '''distributed''' (large source — a backfill): NOTHING key-shaped
+  *    ever reaches the driver. Candidate files emit their live key rows
+  *    tagged (file, ordinal); a shuffle semi-join against the source keys
+  *    yields the matched pairs; matched ordinals aggregate into per-file
+  *    RoaringBitmaps ON EXECUTORS, which write the DVs; insert gating is a
+  *    semi/anti join of the source against the matched keys. The driver
+  *    sees only per-file [[MatchOut]] metadata (bounded by the file
+  *    count) — a source of any size survives.
+  *
+  * Both paths stage inserts distributed and share the single atomic
+  * commit. Candidate pruning runs before either: hive partition dirs,
+  * file stats and page zone maps against the source keys' ranges (plus
+  * exact In-sets when the source is small enough to enumerate them).
   */
 object StrawMerge {
+
+  /** Runtime conf: max estimated source-key bytes for the driver-collect
+    * (broadcast) match path; larger sources take the shuffle-join path. */
+  val BroadcastKeyBytesConf = "spark.strawboat.merge.broadcastKeyBytes"
+  private val BroadcastKeyBytesDefault: Long = 64L << 20
 
   sealed trait MatchedAction
   /** Replace each matched target row with its source row (UPDATE SET *). */
@@ -58,7 +76,16 @@ object StrawMerge {
       removedFiles: Int,
       dvFiles: Int,
       newFiles: Int,
-      prunedFiles: Int)
+      prunedFiles: Int,
+      /** true = the shuffle-join (large-source) match path ran; the
+        * driver never materialized the source key set. */
+      distributedSource: Boolean = false)
+
+  /** One candidate file's match outcome, driver-bound (O(files), never
+    * O(keys)): matched live-row count, the DV switch, full-death. */
+  private final case class MatchOut(input: String, matched: Long,
+      oldDvPath: String, newDv: DeletionVector.DvInfo, fullDead: Boolean)
+    extends Serializable
 
   /** Key types we can hash/compare value-exactly on the driver and prune
     * by zone maps — the flat orderable set minus floats (NaN equality) and
@@ -130,11 +157,24 @@ object StrawMerge {
     // the exact hazard again). Blocks are reclaimed by the context cleaner
     // once the frame is unreachable.
     val srcMat = srcAligned.localCheckpoint(true)
-    mergeMaterialized(spark, dir, srcMat, keys, keyIdx, whenMatched,
-      insertNotMatched, opts, listed, schema)
+    // path gate: estimated source KEY bytes (row count is exact — the
+    // frame is materialized — widths are schema estimates). Above the
+    // gate the driver-collect path would court an OOM; take the
+    // shuffle-join path instead.
+    val keySchema = StructType(keyIdx.map(schema.fields(_)))
+    val srcRows = srcMat.count()
+    val perRowKeyBytes = keySchema.fields.map(_.dataType.defaultSize + 16).sum.toLong
+    val gateBytes = spark.conf.get(BroadcastKeyBytesConf,
+      BroadcastKeyBytesDefault.toString).toLong
+    if (srcRows * perRowKeyBytes <= gateBytes)
+      mergeBroadcast(spark, dir, srcMat, keys, keyIdx, whenMatched,
+        insertNotMatched, opts, listed, schema)
+    else
+      mergeDistributed(spark, dir, srcMat, keys, keyIdx, whenMatched,
+        insertNotMatched, opts, listed, schema)
   }
 
-  private def mergeMaterialized(spark: SparkSession, dir: String,
+  private def mergeBroadcast(spark: SparkSession, dir: String,
       srcAligned: DataFrame, keys: Seq[String], keyIdx: Seq[Int],
       whenMatched: MatchedAction, insertNotMatched: Boolean,
       opts: WriteOptions, listed: Seq[StrawIO.Listed],
@@ -165,13 +205,18 @@ object StrawMerge {
         "source matches per target row nondeterministic")
 
     // candidate pruning: per-key-column In filters (external-form values)
-    // ride the ordinary stats ladder; row matching below uses the hash set
+    // ride the ordinary stats ladder; row matching below uses the hash
+    // set. Beyond the 1000-value enumeration cap an In filter drops, but
+    // the key range still prunes: zone maps exclude files wholly outside
+    // [min, max] — a clustered batch (the common backfill) keeps pruning.
     val pruneFilters: Array[org.apache.spark.sql.sources.Filter] =
-      keys.zipWithIndex.map { case (k, c) =>
+      keys.zipWithIndex.flatMap { case (k, c) =>
         val vals: Array[Any] = keyRows.iterator.map(r => r.get(c))
-          .filter(_ != null).toArray.distinct.take(1001)
-        org.apache.spark.sql.sources.In(k, vals)
-      }.filter(_.values.length <= 1000).toArray
+          .filter(_ != null).toArray.distinct
+        if (vals.nonEmpty && vals.length <= 1000)
+          Seq(org.apache.spark.sql.sources.In(k, vals))
+        else rangeFilters(k, vals)
+      }.toArray
     // Keep still MATCHES (to know which source keys must not insert) but
     // never mutates the matched target rows
     val mutate = whenMatched != Keep
@@ -181,8 +226,6 @@ object StrawMerge {
       "strawboat: merge needs 32-bit row ordinals per file")
 
     val jobId = java.util.UUID.randomUUID().toString.take(8)
-    val f = StrawIO.fs(dir)
-    def q(p: String): String = f.makeQualified(new Path(p)).toString
 
     // ---- match phase: one task per candidate file probes the key set ----
     val serConf = new org.apache.spark.util.SerializableConfiguration(StrawIO.conf)
@@ -190,10 +233,10 @@ object StrawMerge {
     val probeB = spark.sparkContext.broadcast(probeKeys)
     val mutateB = spark.sparkContext.broadcast(mutate)
     val mappingB = spark.sparkContext.broadcast(mapping)
-    final case class MatchOut(input: String, matched: Long, oldDvPath: String,
+    final case class Probe(input: String, matched: Long, oldDvPath: String,
         newDv: DeletionVector.DvInfo, fullDead: Boolean,
         matchedKeys: Seq[Vector[Any]])
-    val outs: Array[MatchOut] =
+    val outs: Array[Probe] =
       if (candidates.isEmpty) Array.empty
       else spark.sparkContext.parallelize(candidates, candidates.size).map { cand =>
         StrawIO.install(serConf.value)
@@ -242,12 +285,12 @@ object StrawMerge {
           }
           val matchedCount = matched.getLongCardinality
           if (matchedCount == 0)
-            MatchOut(m.path, 0L,
+            Probe(m.path, 0L,
               if (cand.dv == null) null else cand.dv.path, null, fullDead = false,
               Seq.empty)
           else if (!mutateB.value) {
             // Keep: the matched keys gate inserts; the target rows stay
-            MatchOut(m.path, matchedCount,
+            Probe(m.path, matchedCount,
               if (cand.dv == null) null else cand.dv.path, null, fullDead = false,
               matchedKeys.toSeq)
           } else {
@@ -257,7 +300,7 @@ object StrawMerge {
             val newDv =
               if (fullDead) null
               else DeletionVector.write(StrawIO.fs(m.path), new Path(m.path), union)
-            MatchOut(m.path, matchedCount,
+            Probe(m.path, matchedCount,
               if (cand.dv == null) null else cand.dv.path, newDv, fullDead,
               matchedKeys.toSeq)
           }
@@ -291,6 +334,207 @@ object StrawMerge {
       }
       srcAligned.filter(filterFn)
     }
+    val mutated: Array[MatchOut] =
+      if (mutate)
+        changed.map(o => MatchOut(o.input, o.matched, o.oldDvPath, o.newDv, o.fullDead))
+      else Array.empty
+    commitMerge(spark, dir, jobId, toWrite, schema, mapping, opts, listed,
+      serConf, mutated, matchedRows = changed.map(_.matched).sum, pruned)
+  }
+
+  /** The shuffle-join match path: nothing proportional to the source's
+    * key set touches the driver. See the object scaladoc for the shape. */
+  private def mergeDistributed(spark: SparkSession, dir: String,
+      srcAligned: DataFrame, keys: Seq[String], keyIdx: Seq[Int],
+      whenMatched: MatchedAction, insertNotMatched: Boolean,
+      opts: WriteOptions, listed: Seq[StrawIO.Listed],
+      schema: StructType): MergeResult = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    val mapping = StrawLog.mappingAt(dir)
+    val keySchema = StructType(keyIdx.map(schema.fields(_)))
+    val keyCols = keys.map(col)
+    // null keys never equal anything (SQL equality): they match no target
+    // row and are not duplicate-ambiguous — drop them from the probe side
+    val srcKeys = srcAligned.select(keyCols: _*)
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+    // duplicate-key rejection, distributed (the broadcast path's driver
+    // set-dedup, re-expressed as a grouped count)
+    val dupSample = srcKeys.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("__straw_cnt"))
+      .filter(col("__straw_cnt") > 1).limit(1).collect()
+    require(dupSample.isEmpty,
+      s"strawboat: merge source carries duplicate keys (e.g. " +
+        s"${keys.mkString("(", ",", ")")} = " +
+        s"${dupSample.headOption.map(_.toSeq.dropRight(1).mkString(",")).getOrElse("")}) " +
+        "— SQL MERGE declares multiple source matches per target row " +
+        "nondeterministic")
+
+    // candidate pruning by the source keys' RANGE (one tiny agg job): a
+    // clustered backfill still skips most of the table's files/pages even
+    // though the key set itself is too big to enumerate
+    val aggExprs = keys.flatMap(k =>
+      Seq(min(col(k)).as(s"__min_$k"), max(col(k)).as(s"__max_$k")))
+    val rangeRow = srcKeys.agg(aggExprs.head, aggExprs.tail: _*).collect()(0)
+    val pruneFilters: Array[org.apache.spark.sql.sources.Filter] =
+      keys.zipWithIndex.flatMap { case (k, i) =>
+        val lo = rangeRow.get(2 * i); val hi = rangeRow.get(2 * i + 1)
+        if (lo == null || hi == null) Nil // empty probe side: no pruning info
+        else Seq(org.apache.spark.sql.sources.GreaterThanOrEqual(k, lo),
+          org.apache.spark.sql.sources.LessThanOrEqual(k, hi))
+      }.toArray
+    val mutate = whenMatched != Keep
+    val (candidates, pruned) =
+      MaintenanceOps.matchCandidates(listed, schema, pruneFilters, mapping)
+    require(candidates.forall(_.numRows <= Int.MaxValue.toLong),
+      "strawboat: merge needs 32-bit row ordinals per file")
+
+    val jobId = java.util.UUID.randomUUID().toString.take(8)
+    val serConf = new org.apache.spark.util.SerializableConfiguration(StrawIO.conf)
+    val keySchemaJson = keySchema.json
+    val mappingB = spark.sparkContext.broadcast(mapping)
+
+    // ---- target side: every candidate file streams its live key rows,
+    // tagged (file index, row ordinal), page-skipped by the range zone
+    // maps. External-form values so the rows build a regular DataFrame.
+    val extSchema = StructType(
+      org.apache.spark.sql.types.StructField("__straw_file",
+        org.apache.spark.sql.types.IntegerType, nullable = false) +:
+      org.apache.spark.sql.types.StructField("__straw_ord",
+        org.apache.spark.sql.types.LongType, nullable = false) +:
+      keySchema.fields)
+    val targetKeyRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+      if (candidates.isEmpty) spark.sparkContext.emptyRDD
+      else spark.sparkContext.parallelize(candidates.zipWithIndex, candidates.size)
+        .flatMap { case (cand, fi) =>
+          StrawIO.install(serConf.value)
+          val m = cand.meta
+          val keySub = org.apache.spark.sql.types.DataType
+            .fromJson(keySchemaJson).asInstanceOf[StructType]
+          val toScala = keySub.fields.map(f =>
+            org.apache.spark.sql.catalyst.CatalystTypeConverters
+              .createToScalaConverter(f.dataType))
+          val existing: org.roaringbitmap.RoaringBitmap =
+            if (cand.dv == null) null else DeletionVector.read(cand.dv.path, cand.dv.len)
+          val input = StrawIO.open(m.path)
+          val tc = org.apache.spark.TaskContext.get()
+          if (tc != null) tc.addTaskCompletionListener[Unit](_ => input.close())
+          val footer = mappingB.value.toLogicalFooter(FooterCache.get(m.path, input))
+          val read = new MaintenanceOps.ResolvedFileRead(input, footer, keySub)
+          val keep = ZoneMapFilter.keptPages(footer, pruneFilters)
+          val pageRows: Array[Int] =
+            if (footer.columns.isEmpty) Array.empty
+            else footer.columns(0).pages.map(_.numValues)
+          val pageBase = pageRows.scanLeft(0L)(_ + _)
+          val row = new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(keySub.length)
+          // page-lazy iterator: one decoded page in memory at a time
+          pageRows.indices.iterator.filter(keep).flatMap { p =>
+            val pages = read.decodePages(p)
+            (0 until pageRows(p)).iterator.flatMap { i =>
+              val ord = pageBase(p) + i
+              if (existing != null && existing.contains(ord.toInt)) Iterator.empty
+              else {
+                read.fill(pages, i, row)
+                var hasNull = false
+                val vals = new Array[Any](keySub.length + 2)
+                vals(0) = fi
+                vals(1) = ord
+                var c = 0
+                while (c < keySub.length) {
+                  if (row.isNullAt(c)) hasNull = true
+                  else vals(c + 2) = toScala(c)(row.get(c, keySub.fields(c).dataType))
+                  c += 1
+                }
+                if (hasNull) Iterator.empty
+                else Iterator(org.apache.spark.sql.Row.fromSeq(
+                  scala.collection.immutable.ArraySeq.unsafeWrapArray(vals)))
+              }
+            }
+          }
+        }
+    val targetKeys = spark.createDataFrame(targetKeyRdd, extSchema)
+
+    // ---- match: shuffle semi-join (source keys are verified-unique, so
+    // semi ≡ inner here), then CUT LINEAGE so the two consumers below
+    // don't re-read every candidate file
+    val matchedPairs = targetKeys.join(srcKeys, keys, "left_semi")
+      .localCheckpoint(true)
+    val matchedRows = matchedPairs.count()
+
+    // ---- DV phase: matched ordinals aggregate into per-file bitmaps on
+    // executors (combiner-based — never a materialized per-file ordinal
+    // list), which read/union/write each file's DV in place
+    val outs: Array[MatchOut] =
+      if (!mutate || matchedRows == 0) Array.empty
+      else {
+        val candB = spark.sparkContext.broadcast(candidates.toArray)
+        matchedPairs.select(col("__straw_file"), col("__straw_ord")).rdd
+          .map(r => (r.getInt(0), r.getLong(1)))
+          .aggregateByKey(new org.roaringbitmap.RoaringBitmap())(
+            (bm, o) => { bm.add(o.toInt); bm },
+            (a, b) => { a.or(b); a })
+          .map { case (fi, matched) =>
+            StrawIO.install(serConf.value)
+            val cand = candB.value(fi)
+            val matchedCount = matched.getLongCardinality
+            val existing: org.roaringbitmap.RoaringBitmap =
+              if (cand.dv == null) null
+              else DeletionVector.read(cand.dv.path, cand.dv.len)
+            if (existing != null) matched.or(existing)
+            val fullDead = matched.getLongCardinality >= cand.numRows
+            val newDv =
+              if (fullDead) null
+              else DeletionVector.write(StrawIO.fs(cand.meta.path),
+                new Path(cand.meta.path), matched)
+            MatchOut(cand.meta.path, matchedCount,
+              if (cand.dv == null) null else cand.dv.path, newDv, fullDead)
+          }.collect()
+      }
+
+    // ---- insert gating: semi/anti join against the matched keys (a
+    // frame bounded by the matched target rows). Anti-join keeps
+    // null-keyed source rows (null matches nothing) — same semantics as
+    // the broadcast path's set filter.
+    val keepMatchedSrc = whenMatched == Replace
+    val toWrite: DataFrame =
+      if (keepMatchedSrc && insertNotMatched) srcAligned
+      else {
+        val matchedKeys = matchedPairs.select(keyCols: _*)
+        if (keepMatchedSrc) srcAligned.join(matchedKeys, keys, "left_semi")
+        else if (insertNotMatched) srcAligned.join(matchedKeys, keys, "left_anti")
+        else srcAligned.limit(0)
+      }
+    commitMerge(spark, dir, jobId, toWrite, schema, mapping, opts, listed,
+      serConf, outs, matchedRows, pruned)
+      .copy(distributedSource = true)
+  }
+
+  /** Min/max range filters over external-form key values (all supported
+    * key types are Comparable); sound page/file pruning when the exact
+    * value set is too large to enumerate. */
+  private def rangeFilters(k: String,
+      vals: Array[Any]): Seq[org.apache.spark.sql.sources.Filter] =
+    if (vals.isEmpty) Nil
+    else {
+      var lo = vals(0); var hi = vals(0)
+      vals.foreach { v =>
+        val c = v.asInstanceOf[Comparable[Any]]
+        if (c.compareTo(lo) < 0) lo = v
+        if (c.compareTo(hi) > 0) hi = v
+      }
+      Seq(org.apache.spark.sql.sources.GreaterThanOrEqual(k, lo),
+        org.apache.spark.sql.sources.LessThanOrEqual(k, hi))
+    }
+
+  /** Shared tail of both match paths: stage `toWrite` distributed, then
+    * switch DVs + removes + adds in one atomic log commit. */
+  private def commitMerge(spark: SparkSession, dir: String, jobId: String,
+      toWrite: DataFrame, schema: StructType, mapping: ColumnMappingState,
+      opts: WriteOptions, listed: Seq[StrawIO.Listed],
+      serConf: org.apache.spark.util.SerializableConfiguration,
+      mutated: Array[MatchOut], matchedRows: Long, pruned: Int): MergeResult = {
+    val f = StrawIO.fs(dir)
+    def q(p: String): String = f.makeQualified(new Path(p)).toString
     // hive-partitioned targets route inserted rows into their value
     // directories, preserving the (possibly multi-level) layout and its
     // pruning — every existing file must agree on the column sequence
@@ -327,10 +571,9 @@ object StrawMerge {
     // Keep produced no sidecars — nothing to switch on the target side;
     // with nothing staged either, commit NO version (an all-matched
     // insert-only merge must not append a blank history entry)
-    val mutated = if (mutate) changed else Array.empty[MatchOut]
     if (mutated.isEmpty && staged.isEmpty) {
       StrawCommitProtocol.sweepStaged(dir, jobId)
-      return MergeResult(changed.map(_.matched).sum, 0L, 0, 0, 0, pruned)
+      return MergeResult(matchedRows, 0L, 0, 0, 0, pruned)
     }
 
     val fresh = MaintenanceOps.renameVisibleStamped(dir, jobId,
@@ -352,7 +595,7 @@ object StrawMerge {
       expectDvOnRemove = full.map(c => q(c.input) -> Option(c.oldDvPath)).toMap)
 
     MergeResult(
-      matchedRows = changed.map(_.matched).sum,
+      matchedRows = matchedRows,
       insertedRows = insertedRows,
       removedFiles = removes.size,
       dvFiles = dvUpdates.size,
