@@ -1249,6 +1249,31 @@ object SparkEntry {
       s.sql("""SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
                FROM strawdml.docs ORDER BY doc_id""")
     }),
+    "q_delete_subquery" -> ((s, d) => {
+      // scan-based DML fallback (StrawScanDml): DELETE and UPDATE whose
+      // conditions hold IN-subqueries — beyond the v1 filter algebra, so
+      // the native RowFilterEval paths refuse them. Spark evaluates the
+      // full condition through the ordinary scan's (_file, _pos) metadata
+      // columns; matched ordinals become per-file deletion vectors built
+      // on executors. Oracle replays both statements in DuckDB SQL.
+      val wh = Tables.strawDir(s, d, "documents") + "_subqwh"
+      s.conf.set("spark.sql.catalog.strawsubq", "graft.spark.StrawCatalog")
+      s.conf.set("spark.sql.catalog.strawsubq.warehouse", wh)
+      val marker = new java.io.File(wh, "_SUBQ_OK")
+      if (!marker.exists()) {
+        t(s, d, "documents").createOrReplaceTempView("subq_docs_src")
+        s.sql("DROP TABLE IF EXISTS strawsubq.docs")
+        s.sql("""CREATE TABLE strawsubq.docs AS
+                 SELECT doc_id, lang, n_chars FROM subq_docs_src""")
+        s.sql("""DELETE FROM strawsubq.docs WHERE doc_id IN
+                 (SELECT doc_id FROM subq_docs_src WHERE n_chars < 120)""")
+        s.sql("""UPDATE strawsubq.docs SET lang = 'long' WHERE doc_id IN
+                 (SELECT doc_id FROM subq_docs_src WHERE n_chars > 450)""")
+        marker.createNewFile()
+      }
+      s.sql("""SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+               FROM strawsubq.docs ORDER BY doc_id""")
+    }),
     "q_column_mapping" -> ((s, d) => {
       // metadata-only schema evolution: RENAME COLUMN (old files read
       // through the spelling alias), DROP COLUMN (data invisible), re-ADD
@@ -1872,6 +1897,14 @@ object SparkEntry {
         |SELECT doc_id, lang, n_chars, 'long' AS source_ds FROM documents
         |  WHERE n_chars >= 200 AND doc_id % 1000 < 400
         |ORDER BY source_ds, doc_id""".stripMargin,
+    "q_delete_subquery" -> // subquery-conditioned DELETE + UPDATE replay
+      """SELECT doc_id,
+        |  CASE WHEN n_chars > 450 THEN 'long' ELSE lang END AS lang,
+        |  CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents
+        |WHERE doc_id NOT IN
+        |  (SELECT doc_id FROM documents WHERE n_chars < 120)
+        |ORDER BY doc_id""".stripMargin,
     "q_sql_dml" -> // replay of the SQL DML lifecycle: delete<100, upper()
       // for >=400, 'merged' overlay on 150..300, inserts for >500
       """WITH kept AS (

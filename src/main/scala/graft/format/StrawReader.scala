@@ -307,6 +307,13 @@ object ProjCol {
 // File-level reader
 // ---------------------------------------------------------------------------
 
+/** Row iterator that also knows the FILE-ABSOLUTE ordinal (deletion-vector
+  * ordinal space: dead and page-skipped rows count) of the row the last
+  * `next()` returned — what row-level maintenance needs to target rows. */
+abstract class PosIterator extends Iterator[InternalRow] {
+  def lastOrdinal: Long
+}
+
 object StrawFileReader {
   /** Read the footer with at most two positioned reads (tail-size probe then
     * exact tail; reference pre-reads a 64 KiB tail for the same reason,
@@ -416,7 +423,7 @@ object StrawFileReader {
       keepPage: Int => Boolean = _ => true,
       limit: Long = Long.MaxValue,
       rowPred: InternalRow => Boolean = null,
-      deadRows: org.roaringbitmap.RoaringBitmap = null): Iterator[InternalRow] = {
+      deadRows: org.roaringbitmap.RoaringBitmap = null): PosIterator = {
     // zero-column files (empty write schema) carry rows only in the footer:
     // emit the LIVE row count directly (no pages exist to iterate; with a
     // deletion vector, dead ordinals simply reduce the count — the rows
@@ -426,26 +433,36 @@ object StrawFileReader {
         if (deadRows == null) footer.numRows
         else math.max(0L, footer.numRows - deadRows.getLongCardinality)
       val total = math.min(live, limit)
-      return new Iterator[InternalRow] {
+      // ordinals advance past dead rows so each emitted row gets its own
+      // live file-absolute position
+      return new PosIterator {
         private var i = 0L
+        private var ord = -1L
+        def lastOrdinal: Long = ord
         def hasNext: Boolean = i < total
-        def next(): InternalRow = { i += 1; InternalRow.empty }
+        def next(): InternalRow = {
+          i += 1
+          ord += 1
+          if (deadRows != null) while (deadRows.contains(ord.toInt)) ord += 1
+          InternalRow.empty
+        }
       }
     }
     val numPages = footer.columns(0).pages.length
     // PageMeta.numValues is the page group's row count on every leaf
     val pageRows: Array[Int] = footer.columns(0).pages.map(_.numValues)
-    // file-absolute ordinal of each page's first row (deletion vectors)
-    val pageStartOrd: Array[Long] =
-      if (deadRows == null) null
-      else pageRows.scanLeft(0L)(_ + _)
+    // file-absolute ordinal of each page's first row (deletion vectors,
+    // lastOrdinal)
+    val pageStartOrd: Array[Long] = pageRows.scanLeft(0L)(_ + _)
     val pageOffsets: Array[Array[Array[Long]]] =
       projection.map(_.globalLeaves.map(li => footer.columns(li).pageOffsets))
 
-    new Iterator[InternalRow] {
+    new PosIterator {
       private var pageIdx = 0
       private var rowInPage = 0
       private var emitted = 0L
+      private var lastOrd = -1L
+      def lastOrdinal: Long = lastOrd
       private var pages: Array[DecodedPage] = null
       private var pageN = 0
       private var pageOrd = 0L // current page's first-row ordinal
@@ -479,7 +496,8 @@ object StrawFileReader {
             else deadRows.rangeCardinality(pageStartOrd(p), pageStartOrd(p) + pageRows(p))
           // fully-dead page: skipped without decoding a byte
           if (keepPage(p) && (deadRows == null || deadInPage < pageRows(p))) {
-            if (deadRows != null) { pageOrd = pageStartOrd(p); pageHasDead = deadInPage > 0 }
+            pageOrd = pageStartOrd(p)
+            pageHasDead = deadInPage > 0
             // count(*)-style scans project zero columns; rows still must flow
             if (projection.isEmpty) {
               pageN = pageRows(p)
@@ -531,6 +549,7 @@ object StrawFileReader {
       def next(): InternalRow = {
         if (!hasNext) throw new NoSuchElementException
         val i = rowInPage
+        lastOrd = pageOrd + i
         rowInPage += 1
         emitted += 1
         if (projection.isEmpty) InternalRow.empty

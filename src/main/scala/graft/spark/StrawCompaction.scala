@@ -628,6 +628,43 @@ private[spark] object MaintenanceOps {
       StrawCommitProtocol.sweepStaged(dir, jobId)
     } finally StrawLog.clearInflight(dir, jobId)
   }
+
+  /** The DV half of a row-level op whose MATCHING already happened
+    * elsewhere (a shuffle-join merge, a scan-based DML fallback): matched
+    * `(candidate index, file-absolute ordinal)` pairs aggregate into
+    * per-file RoaringBitmaps on EXECUTORS (combiner-based — never a
+    * materialized ordinal list), each of which reads the file's existing
+    * deletion vector, unions, and writes the replacement sidecar in place
+    * (unreferenced until the caller's commit). The driver receives only
+    * O(matched files) [[DvOut]] metadata. Candidates with no pairs return
+    * nothing (the caller treats absence as untouched). */
+  def dvFromPairs(spark: org.apache.spark.sql.SparkSession,
+      pairs: org.apache.spark.rdd.RDD[(Int, Long)],
+      candidates: IndexedSeq[Candidate]): Array[DvOut] = {
+    val serConf = new org.apache.spark.util.SerializableConfiguration(StrawIO.conf)
+    val candB = spark.sparkContext.broadcast(candidates.toArray)
+    pairs
+      .aggregateByKey(new org.roaringbitmap.RoaringBitmap())(
+        (bm, o) => { bm.add(o.toInt); bm },
+        (a, b) => { a.or(b); a })
+      .map { case (fi, matched) =>
+        StrawIO.install(serConf.value)
+        val cand = candB.value(fi)
+        val matchedCount = matched.getLongCardinality
+        val existing: org.roaringbitmap.RoaringBitmap =
+          if (cand.dv == null) null
+          else DeletionVector.read(cand.dv.path, cand.dv.len)
+        if (existing != null) matched.or(existing)
+        val fullDead = matched.getLongCardinality >= cand.numRows
+        val newDv =
+          if (fullDead) null
+          else DeletionVector.write(StrawIO.fs(cand.meta.path),
+            new org.apache.hadoop.fs.Path(cand.meta.path), matched)
+        DvOut(cand.meta.path, cand.meta.mtime, matchedCount,
+          if (cand.dv == null) null else cand.dv.path, newDv, fullDead,
+          Seq.empty)
+      }.collect()
+  }
 }
 
 object StrawCompaction {

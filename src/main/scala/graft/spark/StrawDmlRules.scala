@@ -38,11 +38,10 @@ import org.apache.spark.sql.sources.Filter
 class StrawDmlRules(session: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
-    case u @ UpdateTable(StrawRelation(table), assignments, condition)
+    case u @ UpdateTable(StrawRelation(rel, table), assignments, condition)
         if u.resolved =>
-      StrawUpdateCommand(table.tablePath, table.pinnedVersion,
-        assignments, condition)
-    case m @ MergeIntoTable(StrawRelation(table), source, cond,
+      StrawDml.rewriteUpdate(table, rel, assignments, condition)
+    case m @ MergeIntoTable(StrawRelation(_, table), source, cond,
         matched, notMatched, notMatchedBySource, withSchemaEvolution)
         if m.resolved =>
       require(!withSchemaEvolution,
@@ -51,23 +50,105 @@ class StrawDmlRules(session: SparkSession) extends Rule[LogicalPlan] {
       StrawMergeCommand(table.tablePath, table.pinnedVersion, source,
         m.targetTable.outputSet.toSeq, cond, matched, notMatched,
         notMatchedBySource)
+    // DELETE whose condition translates to the v1 algebra rides Spark's own
+    // SupportsDelete path (untouched — spec-pinned fast path); anything
+    // beyond it (subqueries, complex expressions) would fail Spark's
+    // translation, so it reroutes to the scan-based fallback instead
+    case d @ DeleteFromTable(StrawRelation(rel, table), condition)
+        if d.resolved && !StrawDml.nativeDeleteSupported(table, condition) =>
+      require(condition.deterministic,
+        "strawboat: DELETE condition must be deterministic")
+      StrawDeleteScanCommand(table.tablePath, table.pinnedVersion,
+        StrawScanDml.planWithMeta(rel, condition, Nil))
     case _ => plan
   }
 
   private object StrawRelation {
-    def unapply(plan: LogicalPlan): Option[StrawboatTable] = plan match {
-      case r: DataSourceV2Relation => r.table match {
-        case t: StrawboatTable => Some(t)
+    def unapply(plan: LogicalPlan): Option[(DataSourceV2Relation, StrawboatTable)] =
+      plan match {
+        case r: DataSourceV2Relation => r.table match {
+          case t: StrawboatTable => Some((r, t))
+          case _ => None
+        }
+        // UPDATE/MERGE targets may carry an alias
+        case SubqueryAlias(_, child) => unapply(child)
         case _ => None
       }
-      // UPDATE/MERGE targets may carry an alias
-      case SubqueryAlias(_, child) => unapply(child)
-      case _ => None
-    }
   }
 }
 
 private[spark] object StrawDml {
+
+  /** Does the condition fully translate to v1 filters the table's native
+    * SupportsDelete path accepts? (The scan-based fallback handles the
+    * rest.) */
+  def nativeDeleteSupported(table: StrawboatTable, cond: Expression): Boolean =
+    tryFilters(cond).exists(fs => table.canDeleteWhere(fs.toArray))
+
+  /** Route an analyzed UPDATE: conditions inside the v1 algebra (and
+    * exactly row-evaluable) go to the native merge-on-read command;
+    * anything else builds the scan-based plan HERE (so subqueries live in
+    * a Filter node, which CheckAnalysis permits) and goes to
+    * [[StrawUpdateScanCommand]]. */
+  def rewriteUpdate(table: StrawboatTable,
+      rel: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation,
+      assignments: Seq[Assignment], condition: Option[Expression]): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
+    val nativeFilters: Option[Seq[Filter]] = condition match {
+      case None => Some(Seq(org.apache.spark.sql.sources.AlwaysTrue))
+      case Some(c) => tryFilters(c).filter(fs =>
+        RowFilterEval.build(rel.schema, fs.toArray).isDefined)
+    }
+    if (nativeFilters.isDefined)
+      return StrawUpdateCommand(table.tablePath, table.pinnedVersion,
+        assignments, condition)
+    // scan-based: real (non-identity) assignments → post-assignment
+    // projection over Filter(cond, relation+metadata)
+    val real = assignments.filter {
+      case Assignment(k: Attribute, v: Attribute) => k.name != v.name
+      case _ => true
+    }
+    require(real.nonEmpty, "strawboat: UPDATE assigns every column to itself")
+    val assignMap: Map[String, Expression] = real.map {
+      case Assignment(k: Attribute, value) => k.name -> value
+      case a => throw new UnsupportedOperationException(
+        s"strawboat: UPDATE of a nested field is not supported: ${a.key.sql}")
+    }.toMap
+    val cond = condition.get
+    require(cond.deterministic,
+      "strawboat: UPDATE condition must be deterministic")
+    require(assignMap.values.forall(_.deterministic),
+      "strawboat: UPDATE assignments must be deterministic")
+    val dataCols: Seq[NamedExpression] = rel.output.map { a =>
+      assignMap.get(a.name) match {
+        case Some(v) => Alias(v, a.name)()
+        case None => a
+      }
+    }
+    StrawUpdateScanCommand(table.tablePath, table.pinnedVersion,
+      StrawScanDml.planWithMeta(rel, cond, dataCols),
+      assignMap.map { case (n, e) => n -> e.nullable })
+  }
+
+  /** Conjuncts → v1 filters; None when any conjunct refuses. The routing
+    * rule runs at ANALYSIS time — before the optimizer's constant folding —
+    * so analyzer-inserted literal casts (`id >= cast(5 as bigint)`) are
+    * folded here first, exactly what the native paths see post-optimizer. */
+  def tryFilters(cond: Expression): Option[Seq[Filter]] = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Literal}
+    def fold(e: Expression): Expression = e.transformUp {
+      case x if x.foldable && !x.isInstanceOf[Literal] =>
+        Literal.create(x.eval(), x.dataType)
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val translated = conjuncts(fold(cond))
+      .map(org.apache.spark.sql.graft.GraftSqlShims.translateFilter)
+    if (translated.forall(_.isDefined)) Some(translated.map(_.get)) else None
+  }
+
   /** Split a condition into v1 filters, refusing anything that does not
     * translate (no silent approximation). */
   def toFilters(cond: Expression, what: String): Seq[Filter] = {
@@ -99,7 +180,12 @@ private[spark] object StrawDml {
   }
 }
 
-/** Eager `UPDATE` execution over [[StrawUpdate.updateExpressions]]. */
+/** Eager `UPDATE` execution: conditions inside the v1 filter algebra ride
+  * [[StrawUpdate.updateExpressions]] (the native merge-on-read path, with
+  * zone-map candidate pruning); anything beyond it — subqueries, complex
+  * expressions — falls back to the scan-based [[StrawScanDml.update]],
+  * where Spark itself evaluates the condition through the `_file`/`_pos`
+  * metadata scan. */
 case class StrawUpdateCommand(path: String, pinned: Option[Long],
     assignments: Seq[Assignment], condition: Option[Expression])
   extends LeafRunnableCommand {
@@ -128,6 +214,41 @@ case class StrawUpdateCommand(path: String, pinned: Option[Long],
       case None => Seq(org.apache.spark.sql.sources.AlwaysTrue)
     }
     StrawUpdate.updateExpressions(spark, path, filters, set): Unit
+    Seq.empty
+  }
+}
+
+/** Eager scan-based `UPDATE` for conditions beyond the v1 filter algebra
+  * ([[StrawScanDml.update]]): `scanPlan` holds the post-assignment
+  * projection over `Filter(cond, relation+metadata)`, built at rewrite
+  * time (so subqueries sit inside a Filter node — the location
+  * CheckAnalysis permits). */
+case class StrawUpdateScanCommand(path: String, pinned: Option[Long],
+    scanPlan: LogicalPlan, assignedNullable: Map[String, Boolean])
+  extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(scanPlan)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    StrawDml.requireWritable(path, pinned)
+    StrawScanDml.update(spark, path, scanPlan, assignedNullable): Unit
+    Seq.empty
+  }
+}
+
+/** Eager scan-based `DELETE` for conditions beyond the v1 filter algebra
+  * ([[StrawScanDml.delete]]) — the translatable ones never reach here
+  * (Spark's own SupportsDelete path handles them). `scanPlan` projects the
+  * matched rows' `(_file, _pos)`. */
+case class StrawDeleteScanCommand(path: String, pinned: Option[Long],
+    scanPlan: LogicalPlan)
+  extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(scanPlan)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    StrawDml.requireWritable(path, pinned)
+    StrawScanDml.delete(spark, path, scanPlan): Unit
     Seq.empty
   }
 }

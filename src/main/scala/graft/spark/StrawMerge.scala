@@ -466,30 +466,11 @@ object StrawMerge {
     // list), which read/union/write each file's DV in place
     val outs: Array[MatchOut] =
       if (!mutate || matchedRows == 0) Array.empty
-      else {
-        val candB = spark.sparkContext.broadcast(candidates.toArray)
+      else MaintenanceOps.dvFromPairs(spark,
         matchedPairs.select(col("__straw_file"), col("__straw_ord")).rdd
-          .map(r => (r.getInt(0), r.getLong(1)))
-          .aggregateByKey(new org.roaringbitmap.RoaringBitmap())(
-            (bm, o) => { bm.add(o.toInt); bm },
-            (a, b) => { a.or(b); a })
-          .map { case (fi, matched) =>
-            StrawIO.install(serConf.value)
-            val cand = candB.value(fi)
-            val matchedCount = matched.getLongCardinality
-            val existing: org.roaringbitmap.RoaringBitmap =
-              if (cand.dv == null) null
-              else DeletionVector.read(cand.dv.path, cand.dv.len)
-            if (existing != null) matched.or(existing)
-            val fullDead = matched.getLongCardinality >= cand.numRows
-            val newDv =
-              if (fullDead) null
-              else DeletionVector.write(StrawIO.fs(cand.meta.path),
-                new Path(cand.meta.path), matched)
-            MatchOut(cand.meta.path, matchedCount,
-              if (cand.dv == null) null else cand.dv.path, newDv, fullDead)
-          }.collect()
-      }
+          .map(r => (r.getInt(0), r.getLong(1))),
+        candidates.toIndexedSeq)
+        .map(o => MatchOut(o.input, o.matched, o.oldDvPath, o.newDv, o.fullDead))
 
     // ---- insert gating: semi/anti join against the matched keys (a
     // frame bounded by the matched target rows). Anti-join keeps

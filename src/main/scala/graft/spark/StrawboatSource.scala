@@ -366,7 +366,7 @@ class StrawboatTable(path: String, val schemaArg: StructType,
   /** `SELECT _file FROM t` — the producing data file per row (Iceberg's
     * metadata-column shape), the handle maintenance workflows key on. */
   override def metadataColumns(): Array[MetadataColumn] =
-    Array(StrawboatTable.FileColumn)
+    Array(StrawboatTable.FileColumn, StrawboatTable.PosColumn)
 
   /** The log-recorded CHECK constraints, surfaced as V2 constraints so
     * DESCRIBE and the analyzer see what every write path enforces. */
@@ -515,6 +515,19 @@ object StrawboatTable {
     override def isNullable: Boolean = false
     override def comment(): String = "data file the row was read from"
   }
+
+  val PosColumnName = "_pos"
+  /** `_pos: BIGINT NOT NULL` — the row's FILE-ABSOLUTE ordinal (the
+    * deletion-vector ordinal space: dead and skipped rows still count).
+    * `(_file, _pos)` uniquely addresses a physical row — what the
+    * scan-based DML fallback targets deletion vectors with. */
+  object PosColumn extends MetadataColumn {
+    override def name(): String = PosColumnName
+    override def dataType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.LongType
+    override def isNullable: Boolean = false
+    override def comment(): String = "row ordinal within its data file"
+  }
 }
 
 /** Writer options exposed on the DataFrame API, parquet-style:
@@ -584,6 +597,7 @@ class StrawScanBuilder(path: String, fullSchema: StructType,
 
   private var requiredSchema: StructType = fullSchema
   private var wantsFileColumn: Boolean = false
+  private var wantsPosColumn: Boolean = false
   private var pushedFiltersArr: Array[Filter] = Array.empty
   private var exactFilters: Array[Filter] = Array.empty
   private var limit: Long = Long.MaxValue
@@ -639,9 +653,11 @@ class StrawScanBuilder(path: String, fullSchema: StructType,
     // readers, not read from files — strip it here, append it to the read
     // schema at the end (Spark matches scan output by name)
     val (metaF, dataF) = required.fields.partition(f =>
-      f.name == StrawboatTable.FileColumnName &&
-        !fullSchema.fieldNames.contains(StrawboatTable.FileColumnName))
-    wantsFileColumn = metaF.nonEmpty
+      (f.name == StrawboatTable.FileColumnName ||
+        f.name == StrawboatTable.PosColumnName) &&
+        !fullSchema.fieldNames.contains(f.name))
+    wantsFileColumn = metaF.exists(_.name == StrawboatTable.FileColumnName)
+    wantsPosColumn = metaF.exists(_.name == StrawboatTable.PosColumnName)
     val requiredData = StructType(dataF)
     // accept Catalyst's NESTED pruning too: a required field may arrive as
     // a struct-subset of its table definition (meta: struct<lang> of a
@@ -729,7 +745,7 @@ class StrawScanBuilder(path: String, fullSchema: StructType,
     case None =>
       new StrawScan(path, fullSchema, requiredSchema, pushedFiltersArr, limit,
         maxFilesPerTrigger, keyGrouped, topN, exactFilters, maxBytesPerTrigger,
-        asOf, appendFile = wantsFileColumn)
+        asOf, appendFile = wantsFileColumn, appendPos = wantsPosColumn)
   }
 }
 
@@ -809,7 +825,8 @@ class StrawScan(
     exactFilters: Array[Filter] = Array.empty,
     maxBytesPerTrigger: Option[Long] = None,
     asOf: Option[Long] = None,
-    appendFile: Boolean = false)
+    appendFile: Boolean = false,
+    appendPos: Boolean = false)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
@@ -859,12 +876,18 @@ class StrawScan(
     case _ => false
   }
 
-  override def readSchema(): StructType =
+  override def readSchema(): StructType = {
+    var fields = requiredSchema.fields
+    if (appendPos)
+      fields :+= org.apache.spark.sql.types.StructField(
+        StrawboatTable.PosColumnName, org.apache.spark.sql.types.LongType,
+        nullable = false)
     if (appendFile)
-      StructType(requiredSchema.fields :+ org.apache.spark.sql.types.StructField(
+      fields :+= org.apache.spark.sql.types.StructField(
         StrawboatTable.FileColumnName, org.apache.spark.sql.types.StringType,
-        nullable = false))
-    else requiredSchema
+        nullable = false)
+    if (fields eq requiredSchema.fields) requiredSchema else StructType(fields)
+  }
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -872,8 +895,9 @@ class StrawScan(
     // contradicts itself — reject loudly rather than silently ignore
     require(asOf.isEmpty, "strawboat: time travel (versionAsOf/timestampAsOf) " +
       "is not supported for streaming reads")
-    require(!appendFile,
-      "strawboat: the _file metadata column is not available on streaming reads")
+    require(!appendFile && !appendPos,
+      "strawboat: the _file/_pos metadata columns are not available on " +
+        "streaming reads")
     new StrawMicroBatchStream(path, fullSchema, requiredSchema, maxFilesPerTrigger,
       exactFilters, maxBytesPerTrigger, skipFilters = filters)
   }
@@ -1044,7 +1068,7 @@ class StrawScan(
     }
     new StrawPartitionReaderFactory(fullSchema, requiredSchema,
       new org.apache.spark.util.SerializableConfiguration(StrawIO.conf), topN,
-      exactFilters, typeWidened, appendFile, mapping)
+      exactFilters, typeWidened, appendFile, mapping, appendPos)
   }
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
@@ -1120,7 +1144,8 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
     exactFilters: Array[Filter] = Array.empty,
     typeWidened: Boolean = false,
     appendFile: Boolean = false,
-    mapping: ColumnMappingState = ColumnMappingState.Empty)
+    mapping: ColumnMappingState = ColumnMappingState.Empty,
+    appendPos: Boolean = false)
   extends PartitionReaderFactory {
 
   /** `_file` metadata column: every produced row gets the partition's data
@@ -1165,7 +1190,11 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
   // pushed Top-N only engages when every sort column survived pruning into
   // the produced schema (it always does for genuine ORDER BY pushdowns)
   private lazy val topNActive: Option[TopNPushdown.Spec] =
-    topN.filter(_.cols.forall(c => requiredSchema.fieldNames.contains(c.name)))
+    // under _pos the TopK buffer would reorder rows after ordinals were
+    // captured; the pushdown is partial (Spark sorts above), so skipping
+    // the buffer is always correct
+    if (appendPos) None
+    else topN.filter(_.cols.forall(c => requiredSchema.fieldNames.contains(c.name)))
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     StrawIO.install(serConf.value) // driver's session conf, shipped per task
@@ -1344,10 +1373,20 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
           requiredSchema, requiredSchema.indices)
         filtered.map { r => proj.project(r); proj }
       }
-    val produced: Iterator[InternalRow] =
+    val producedNarrow: Iterator[InternalRow] =
       if (predInIt == null && rowPred.isDefined && p.limit != Long.MaxValue)
         narrowed.take(math.min(p.limit, Int.MaxValue.toLong).toInt)
       else narrowed
+    // `_pos`: the conversion/filter/projection chain above is strictly
+    // 1:1-lazy over `it`, so at each emitted element `it.lastOrdinal` IS
+    // that row's file-absolute ordinal — captured here, joined last
+    val produced: Iterator[InternalRow] =
+      if (!appendPos) producedNarrow
+      else {
+        val posRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+        val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+        producedNarrow.map { r => posRow.update(0, it.lastOrdinal); joined(r, posRow) }
+      }
 
     val reader = topK match {
       case Some((buf, _, _)) =>
@@ -1391,7 +1430,7 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
   // in-reader (zero-copy for all-pass pages, survivor compaction for mixed)
   override def supportColumnarReads(partition: InputPartition): Boolean =
     !partition.isInstanceOf[StrawKeyedPartition] && topNActive.isEmpty &&
-      !typeWidened &&
+      !typeWidened && !appendPos &&
       readSchemaExt.fields.forall(f => ColumnarSupport.isVectorizable(f.dataType)) && {
         // survivor compaction (consumed filters / deletion vectors) copies
         // between vectors — not implemented for array columns, which route
