@@ -83,21 +83,29 @@ object Bench {
     }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val spreads = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
     convertError.foreach(errors("convert_write") = _)
-    results("convert_write") = math.rint(convertSec * 1000) / 1000
+    results("convert_write") = r3(convertSec)
     headline.foreach { name =>
       val fn = SparkEntry.queries(name)
       def once(): Double = time {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       }
-      // steady-state: min of two runs — the first pays one-time whole-stage
-      // codegen compilation and JIT, which a session pays once, not per query.
+      // steady-state: min of THREE runs — the first pays one-time
+      // whole-stage codegen compilation and JIT, which a session pays once,
+      // not per query. The per-query SPREAD (max − min over the two warm
+      // runs) is reported alongside, so a round-over-round delta can be
+      // told apart from scheduler noise: a real regression moves min well
+      // beyond the spread; sub-second jitter does not.
       // A single failing query must not sink the whole suite: record it and
       // keep going so the driver still gets its JSON line.
       try {
-        val sec = math.min(once(), once())
-        results(name) = math.rint(sec * 1000) / 1000
+        once() // warm-up: codegen + JIT, excluded from min and spread
+        val warm = Seq(once(), once())
+        results(name) = r3(warm.min)
+        spreads(name) = r3(warm.max - warm.min)
       } catch {
         case e: Throwable =>
           errors(name) = (e.getClass.getSimpleName + ": " +
@@ -108,12 +116,14 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = math.rint(results.values.sum * 1000) / 1000
+    val sp = spreads.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = r3(results.values.sum)
     val errJson =
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
         .mkString(",\"errors\":{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spreads":$sp$errJson,"sf":"$sfDir"}""")
     // exit 0 even when a query failed: the JSON line (with its "errors"
     // field) is the report, and a non-zero rc would make the driver drop it
     spark.stop()
