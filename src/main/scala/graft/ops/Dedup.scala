@@ -96,7 +96,7 @@ object Dedup {
   def minHashNearDup(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.8, reuseShingleHashes: Boolean = false,
-      signaturePrefilter: Double = 0.5): DataFrame = {
+      signaturePrefilter: Double = -1.0): DataFrame = {
     // 100 TB shape: signatures are a map-only projection (no shingle table
     // is ever shuffled for them); verification joins the two texts onto the
     // LSH-pruned pair set and computes the exact shingle Jaccard ROW-LOCALLY
@@ -114,26 +114,36 @@ object Dedup {
     // multiplicity per doc is high; identical output by construction (both
     // sides verify the same distinct 64-bit hash sets).
     // `signaturePrefilter` drops candidates whose MinHash-estimated Jaccard
-    // (signature agreement fraction) falls below it BEFORE the exact verify.
-    // The estimator is Binomial(numHashes, j)/numHashes, so at the default
-    // 0.5 a true j>=0.8 pair is mis-dropped with P ~ 1e-5 (and the hashes
-    // are seeded, so on a given corpus the outcome is deterministic and
-    // oracle-checkable) — the same approximation class as banding itself,
-    // which also prunes by signature. On high-baseline-similarity corpora
-    // this cuts the verify set several-fold. 0.0 disables.
+    // (signature agreement fraction) falls below it BEFORE the exact
+    // verify. The estimator is Binomial(numHashes, j)/numHashes, so a cut
+    // 3σ below the verify threshold mis-drops a true j>=threshold pair
+    // with P ~ 1e-3 at worst (1e-5 at the default threshold=0.8, whose σ
+    // shrinks as j→1; the hashes are seeded, so on a given corpus the
+    // outcome is deterministic and oracle-checkable) — the same
+    // approximation class as banding itself, which also prunes by
+    // signature. On high-baseline-similarity corpora this cuts the verify
+    // set several-fold. Negative (the default) DERIVES the cut as
+    // max(0, threshold − 3·sqrt(threshold·(1−threshold)/numHashes)) so
+    // recall holds for ANY caller threshold — a fixed cut tuned for 0.8
+    // would silently lose boundary pairs at, say, threshold=0.5. Explicit
+    // 0.0 disables the prefilter entirely.
+    val effectivePrefilter =
+      if (signaturePrefilter >= 0.0) signaturePrefilter
+      else math.max(0.0,
+        threshold - 3.0 * math.sqrt(threshold * (1 - threshold) / numHashes))
     val spark = df.sparkSession
     val sigs = minHashSignatures(df, idCol, textCol, k, numHashes)
     val rawCands = candidatePairs(
       lshBuckets(sigs, bands, numHashes / bands))
     val cands =
-      if (signaturePrefilter <= 0.0) rawCands
+      if (effectivePrefilter <= 0.0) rawCands
       else rawCands
         .join(sigs.as("ga"), col("id_a") === col("ga.sid"))
         .join(sigs.as("gb"), col("id_b") === col("gb.sid"))
         .withColumn("est",
           size(filter(zip_with(col("ga.sig"), col("gb.sig"),
             (x, y) => x === y), e => e)).cast("double") / numHashes)
-        .filter(col("est") >= signaturePrefilter)
+        .filter(col("est") >= effectivePrefilter)
         .select(col("id_a"), col("id_b"))
     if (reuseShingleHashes) {
       val hashed = df.select(col(idCol).as("tid"),

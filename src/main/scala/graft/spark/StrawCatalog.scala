@@ -310,23 +310,29 @@ class StrawCatalog extends TableCatalog with SupportsNamespaces {
     require(rn.fieldNames.length == 1,
       s"strawboat: RENAME COLUMN supports top-level columns only, " +
         s"got ${rn.fieldNames.mkString(".")}")
-    val from = rn.fieldNames.head
     val to = rn.newName
     require(!to.startsWith(ColumnMappingState.DroppedPrefix),
       s"strawboat: column name '$to' uses the reserved prefix " +
         ColumnMappingState.DroppedPrefix)
+    // pin the version BEFORE any schema check: the commit conflicts on it,
+    // so a concurrent commit (e.g. ADD COLUMN of the target name) between
+    // check and commit cannot slip through
+    val v0 = StrawLog.snapshot(dir).map(_.version).getOrElse(0L)
     val schema = loadTable(ident).schema()
-    require(schema.fieldNames.contains(from),
-      s"strawboat: no column '$from' to rename (table has " +
-        s"${schema.fieldNames.mkString(", ")})")
+    // resolve the source spelling with the session's resolver (Spark's
+    // default is case-insensitive: RENAME COLUMN Lang must find lang) and
+    // use the RESOLVED spelling in the mapping algebra
+    val from = resolveColumn(schema, rn.fieldNames.head).getOrElse(
+      throw new IllegalArgumentException(
+        s"strawboat: no column '${rn.fieldNames.head}' to rename (table has " +
+          s"${schema.fieldNames.mkString(", ")})"))
     require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
       s"strawboat: column '$to' already exists")
     guardAlterable(ident, dir, from, "rename")
     val cur = StrawLog.mappingAt(dir)
-    val v = StrawLog.snapshot(dir).map(_.version + 1).getOrElse(1L)
-    val next = ColumnMappingState.rename(cur, from, to, s"@v$v")
+    val next = ColumnMappingState.rename(cur, from, to, s"@v${v0 + 1}")
     StrawLog.commit(dir, Seq.empty, op = s"rename column $from -> $to",
-      mappingUpdate = Some((cur, next))): Unit
+      mappingUpdate = Some((cur, next)), expectVersion = Some(v0)): Unit
   }
 
   /** `ALTER TABLE … DROP COLUMN c` — pure metadata: the column's physical
@@ -338,12 +344,12 @@ class StrawCatalog extends TableCatalog with SupportsNamespaces {
     require(del.fieldNames.length == 1,
       s"strawboat: DROP COLUMN supports top-level columns only, " +
         s"got ${del.fieldNames.mkString(".")}")
-    val name = del.fieldNames.head
+    val v0 = StrawLog.snapshot(dir).map(_.version).getOrElse(0L)
     val schema = loadTable(ident).schema()
-    if (!schema.fieldNames.contains(name)) {
+    val name = resolveColumn(schema, del.fieldNames.head).getOrElse {
       if (del.ifExists()) return
       throw new IllegalArgumentException(
-        s"strawboat: no column '$name' to drop (table has " +
+        s"strawboat: no column '${del.fieldNames.head}' to drop (table has " +
           s"${schema.fieldNames.mkString(", ")})")
     }
     require(schema.fields.length > 1,
@@ -352,7 +358,17 @@ class StrawCatalog extends TableCatalog with SupportsNamespaces {
     val cur = StrawLog.mappingAt(dir)
     val next = ColumnMappingState.drop(cur, name)
     StrawLog.commit(dir, Seq.empty, op = s"drop column $name",
-      mappingUpdate = Some((cur, next))): Unit
+      mappingUpdate = Some((cur, next)), expectVersion = Some(v0)): Unit
+  }
+
+  /** Resolve `name` against `schema` with the session's resolver
+    * (case-insensitive under Spark's default), returning the STORED
+    * spelling — what the mapping algebra must operate on. */
+  private def resolveColumn(schema: org.apache.spark.sql.types.StructType,
+      name: String): Option[String] = {
+    val resolver = org.apache.spark.sql.SparkSession.active
+      .sessionState.conf.resolver
+    schema.fieldNames.find(f => resolver(f, name))
   }
 
   /** `ALTER TABLE … ADD COLUMN c T` — pure metadata, the same machinery as

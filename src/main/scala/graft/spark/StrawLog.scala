@@ -614,7 +614,8 @@ object StrawLog {
       dvs: Seq[DvUpdate] = Seq.empty,
       expectDvOnRemove: Map[String, Option[String]] = Map.empty,
       constraintOps: Seq[(String, Option[String])] = Seq.empty,
-      mappingUpdate: Option[(ColumnMappingState, ColumnMappingState)] = None): Long = {
+      mappingUpdate: Option[(ColumnMappingState, ColumnMappingState)] = None,
+      expectVersion: Option[Long] = None): Long = {
     require(constraintOps.map(_._1).distinct.length == constraintOps.length,
       "strawboat: log commit carries two ops for one constraint name")
     require(adds.map(_.meta.path).toSet.intersect(removes).isEmpty,
@@ -726,6 +727,19 @@ object StrawLog {
                 s"strawboat: constraint '$name' not present in " +
                   s"version ${cur.map(_.version).getOrElse(0L)} of $table " +
                   "(concurrent drop?)")
+        }
+        // a DDL commit pins the exact snapshot version its schema checks
+        // ran against: ANY commit in between — mapping or plain data —
+        // conflicts. The mapping-state check below alone cannot catch a
+        // rename racing a concurrent ADD COLUMN of the new name (a data
+        // commit carrying only a schema marker), which would yield two
+        // sources of one logical column.
+        expectVersion.foreach { v0 =>
+          val live = cur.map(_.version).getOrElse(0L)
+          if (live != v0) throw new ConflictException(
+            s"strawboat: DDL commit on $table derived from version $v0 but " +
+              s"the log is now at $live (concurrent commit) — re-check and " +
+              "rerun the statement")
         }
         // a mapping update carries the state it was derived FROM: a racing
         // metadata commit in between must conflict, not silently lose the

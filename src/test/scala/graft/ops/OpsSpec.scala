@@ -311,6 +311,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(reused == direct)
   }
 
+  test("signature prefilter derives from threshold: low thresholds keep recall") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def pairs(prefilter: Double, threshold: Double): Set[(Long, Long)] =
+      Dedup.minHashNearDup(docs, "doc_id", "text", threshold = threshold,
+        signaturePrefilter = prefilter)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // at threshold=0.5 a fixed 0.5 cut would drop a large share of true
+    // boundary pairs; the derived cut (≈0.23) must keep the exact-verified
+    // set identical to running with the prefilter disabled
+    val noPrefilter = pairs(0.0, 0.5)
+    val derived = pairs(-1.0, 0.5)
+    assert(noPrefilter.nonEmpty)
+    assert(derived == noPrefilter,
+      s"derived prefilter lost ${(noPrefilter -- derived).size} pairs")
+    // the default threshold keeps its prior behavior (prefilter active)
+    assert(pairs(-1.0, 0.8) == pairs(0.0, 0.8))
+  }
+
   test("duplicate clusters: connected components with min-label canonical ids") {
     val ss = spark
     import ss.implicits._

@@ -180,4 +180,38 @@ class ColumnMappingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(feed.columns.contains("body") && !feed.columns.contains("txt"))
     assert(feed.filter("_change_type = 'insert'").count() == 2)
   }
+
+  test("RENAME/DROP resolve case-insensitively under the default resolver") {
+    spark.sql("CREATE TABLE straw.ci1 (id BIGINT, lang STRING, extra BIGINT)")
+    spark.sql("INSERT INTO straw.ci1 VALUES (1, 'en', 7)")
+    // Spark's default resolution is case-insensitive: 'Lang' must find
+    // the stored 'lang' and the mapping must record the STORED spelling
+    spark.sql("ALTER TABLE straw.ci1 RENAME COLUMN Lang TO language")
+    assert(spark.sql("SELECT language FROM straw.ci1").collect()(0).getString(0) == "en")
+    spark.sql("ALTER TABLE straw.ci1 DROP COLUMN EXTRA")
+    assert(!spark.table("straw.ci1").columns.contains("extra"))
+    assert(spark.sql("SELECT id, language FROM straw.ci1").collect()(0).getLong(0) == 1L)
+  }
+
+  test("DDL commits conflict on ANY intervening commit, not only mapping ones") {
+    spark.sql("CREATE TABLE straw.race1 (id BIGINT, a STRING)")
+    spark.sql("INSERT INTO straw.race1 VALUES (1, 'x')")
+    val dir = s"$warehouse/race1"
+    val v0 = StrawLog.snapshot(dir).get.version
+    // a plain DATA commit lands in between (the ADD COLUMN race shape:
+    // same mapping state before and after)
+    spark.sql("INSERT INTO straw.race1 VALUES (2, 'y')")
+    val cur = StrawLog.mappingAt(dir)
+    val next = ColumnMappingState.rename(cur, "a", "b", s"@v${v0 + 1}")
+    // the mapping-state check alone would pass (unchanged); the version
+    // pin must reject
+    val e = intercept[StrawLog.ConflictException] {
+      StrawLog.commit(dir, Seq.empty, op = "rename column a -> b",
+        mappingUpdate = Some((cur, next)), expectVersion = Some(v0))
+    }
+    assert(e.getMessage.contains("concurrent commit"), e.getMessage)
+    // and the statement-level retry (fresh version) succeeds
+    spark.sql("ALTER TABLE straw.race1 RENAME COLUMN a TO b")
+    assert(spark.table("straw.race1").columns.toSeq == Seq("id", "b"))
+  }
 }
