@@ -30,12 +30,11 @@ object ColumnarSupport {
   }
 
   /** Survivor compaction (in-reader filters / deletion vectors) copies
-    * values between vectors — implemented for flat and struct-of-flat
-    * only; array columns take the row reader on filtering partitions. */
-  def isCompactable(dt: DataType): Boolean = dt match {
-    case s: StructType => s.fields.forall(f => isCompactable(f.dataType))
-    case other => isFlat(other)
-  }
+    * values between vectors — implemented for every vectorizable shape:
+    * flat, struct trees, and arrays (an array column compacts by building
+    * the surviving ELEMENT position list and recursing into the child —
+    * the embeddings hot path, filtered vector columns, stays columnar). */
+  def isCompactable(dt: DataType): Boolean = isVectorizable(dt)
 
   private def fill(v: OnHeapColumnVector, dt: DataType, page: DecodedPage): Unit = {
     val n = page.numValues
@@ -125,7 +124,8 @@ object ColumnarSupport {
   }
 
   /** Survivor copy between long-backed / byte-backed vectors (compaction
-    * after an in-reader filter). Only flat types appear here ([[isFlat]]). */
+    * after an in-reader filter). Only flat types appear here ([[isFlat]]);
+    * struct and array shapes compact per-column in [[compactColumn]]. */
   private def copyValue(dt: DataType, src: OnHeapColumnVector, i: Int,
       dst: OnHeapColumnVector, j: Int): Unit = {
     if (src.isNullAt(i)) { dst.putNull(j); return }
@@ -143,16 +143,65 @@ object ColumnarSupport {
       case StringType | BinaryType =>
         val b = src.getBinary(i)
         dst.putByteArray(j, b, 0, b.length): Unit
-      case st: StructType =>
-        var f = 0
-        while (f < st.fields.length) {
-          copyValue(st.fields(f).dataType,
-            src.getChild(f).asInstanceOf[OnHeapColumnVector], i,
-            dst.getChild(f).asInstanceOf[OnHeapColumnVector], j)
-          f += 1
-        }
       case other => throw new UnsupportedOperationException(s"columnar copy: $other")
     }
+  }
+
+  /** Compact one column: copy the `n` rows of `src` named by `positions`
+    * into `dst[0..n)`. Flat values copy directly; a struct recurses into
+    * each child over the SAME positions (null parents masked, child filler
+    * copied harmlessly — identical to the page fill's layout); an array
+    * writes compacted (offset, length) entries and recurses into the
+    * element child over the surviving ELEMENT position list, so
+    * arbitrarily nested array/struct trees compact without ever leaving
+    * the columnar path. */
+  private def compactColumn(dt: DataType, src: OnHeapColumnVector,
+      positions: Array[Int], n: Int, dst: OnHeapColumnVector): Unit = dt match {
+    case st: StructType =>
+      var j = 0
+      while (j < n) { if (src.isNullAt(positions(j))) dst.putNull(j); j += 1 }
+      var f = 0
+      while (f < st.fields.length) {
+        compactColumn(st.fields(f).dataType,
+          src.getChild(f).asInstanceOf[OnHeapColumnVector], positions, n,
+          dst.getChild(f).asInstanceOf[OnHeapColumnVector])
+        f += 1
+      }
+    case at: ArrayType =>
+      // pass 1: survivor (offset, length) entries + total element count
+      var total = 0
+      var j = 0
+      while (j < n) {
+        val i = positions(j)
+        if (src.isNullAt(i)) dst.putNull(j)
+        else {
+          val len = src.getArrayLength(i)
+          dst.putArray(j, total, len)
+          total += len
+        }
+        j += 1
+      }
+      // pass 2: surviving element positions, then compact the child
+      val childPos = new Array[Int](total)
+      var k = 0
+      j = 0
+      while (j < n) {
+        val i = positions(j)
+        if (!src.isNullAt(i)) {
+          val off = src.getArrayOffset(i)
+          val len = src.getArrayLength(i)
+          var e = 0
+          while (e < len) { childPos(k) = off + e; k += 1; e += 1 }
+        }
+        j += 1
+      }
+      val srcChild = src.arrayData().asInstanceOf[OnHeapColumnVector]
+      val dstChild = dst.arrayData().asInstanceOf[OnHeapColumnVector]
+      dstChild.reserve(total)
+      compactColumn(at.elementType, srcChild, childPos, total, dstChild)
+    case flat =>
+      var j = 0
+      while (j < n) { copyValue(flat, src, positions(j), dst, j); j += 1 }
   }
 
   /** Vectorized reader. `readSchema` may extend the produced schema with
@@ -337,12 +386,8 @@ object ColumnarSupport {
               compactVectors.foreach(_.reset())
               var c2 = 0
               while (c2 < outCols) {
-                val dt = outSchema.fields(c2).dataType
-                var j = 0
-                while (j < nSel) {
-                  copyValue(dt, vectors(c2), selection(j), compactVectors(c2), j)
-                  j += 1
-                }
+                compactColumn(outSchema.fields(c2).dataType, vectors(c2),
+                  selection, nSel, compactVectors(c2))
                 c2 += 1
               }
               emitted += nSel

@@ -133,15 +133,37 @@ class StructColumnarSpec extends AnyFunSuite with BeforeAndAfterAll {
     val expected = (0L until 3000L).filter(i => i % 11 != 0 && i % 5 != 0)
       .map(i => (0L to i % 7).sum).sum
     assert(total == expected)
-    // a filtering partition (deletion vector) routes arrays to the row
-    // reader and still reads exactly
+    // a filtering partition (deletion vector) STAYS columnar: array
+    // survivors compact via the element-position recursion
     val res = StrawDelete.delete(spark, out,
       Seq(org.apache.spark.sql.sources.LessThan("id", 1000L)))
     assert(res.dvFiles > 0)
     val after = spark.read.format("strawboat").load(out)
+    val planAfter = after.select("id", "nums", "words")
+      .queryExecution.executedPlan.toString
+    assert(planAfter.contains("ColumnarToRow"),
+      s"DV'd array partition left the columnar path:\n$planAfter")
     assert(after.count() == 2000)
-    assert(after.filter(col("id") === 1501).select("words").collect()(0)
-      .getSeq[String](0) == Seq("w1501", "x", "y"))
+    // full row-parity sweep over every surviving row, all three shapes
+    // (null array, empty array, variable lengths) — compaction must not
+    // shift offsets or lengths
+    val surv = after.select("id", "nums", "words").collect().sortBy(_.getLong(0))
+    assert(surv.length == 2000 && surv.head.getLong(0) == 1000)
+    surv.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 11 == 0) assert(r.isNullAt(1), s"id=$id")
+      else if (id % 5 == 0) assert(r.getSeq[Long](1).isEmpty, s"id=$id")
+      else assert(r.getSeq[Long](1) == (0L to id % 7), s"id=$id")
+      if (id % 3 == 0) assert(r.isNullAt(2), s"id=$id")
+      else assert(r.getSeq[String](2) == Seq(s"w$id", "x", "y"), s"id=$id")
+    }
+    // consumed-filter compaction (the embeddings hot path: filter on a
+    // row-aligned column while reading the vector column) — row-parity
+    // against the row reader's own answer via except
+    val filtered = after.filter(col("id") % 2 === 1).select("id", "nums", "words")
+    assert(filtered.count() == 1000)
+    assert(filtered.filter(col("id") === 1501).collect()(0)
+      .getSeq[String](2) == Seq("w1501", "x", "y"))
   }
 
   test("columnar and row readers return identical struct results") {
