@@ -218,14 +218,57 @@ object Ann {
       .mode("append").save(dir)
   }
 
+  /** Retrain a persisted index's quantizer and re-partition its contents —
+    * the maintenance step after heavy [[appendToIvfIndex]] drift (frozen
+    * centroids fit the ORIGINAL distribution; appended mass concentrates
+    * in few cells, so probes of a hot cell scan far beyond
+    * corpus/nCentroids and recall at fixed nProbe decays). Cell skew is
+    * visible beforehand via the `straw_ivf_detail('<dir>')` SQL function
+    * (per-cell rows from the log's stats — zero data IO).
+    *
+    * The data rewrite is one atomic log commit (the overwrite's
+    * remove-all + add-all); the centroid sidecar is staged first and
+    * renamed into place right after. A crash between the two leaves old
+    * centroids over re-partitioned data — probes DEGRADE (wrong cells
+    * scanned — an approximate index approximates worse) but nothing
+    * reads incorrectly labeled data, and rerunning the reindex repairs.
+    * Returns the new centroids. */
+  def reindexIvf(spark: SparkSession, dir: String, dim: Int,
+      nCentroids: Int = 16, seed: Long = 7,
+      sampleSize: Int = 1024): Array[Array[Float]] = {
+    val current = spark.read.format("strawboat").load(dir).drop("cent_id")
+    // the rewrite reads the PRE-overwrite snapshot while the overwrite
+    // commits new files: sever the read from the directory listing first
+    // (the overwrite's remove+add is atomic in the log, but the scan must
+    // not plan over the post-commit state mid-job)
+    val frozen = current.localCheckpoint(true)
+    val centroids = fitQuantizer(frozen, dim, nCentroids, seed, sampleSize)
+    val fs = graft.spark.StrawIO.fs(dir)
+    val staged = new org.apache.hadoop.fs.Path(dir,
+      CentroidsFile + ".reindex-" + java.util.UUID.randomUUID().toString.take(8))
+    writeCentroidsTo(fs, staged, centroids)
+    assignCells(spark, frozen, centroids, 1)
+      .write.format("strawboat").option("partitionBy", "cent_id")
+      .mode("overwrite").save(dir)
+    val dst = new org.apache.hadoop.fs.Path(dir, CentroidsFile)
+    fs.delete(dst, false)
+    if (!fs.rename(staged, dst))
+      throw new java.io.IOException(
+        s"strawboat: IVF reindex could not publish $staged -> $dst")
+    centroids
+  }
+
   private val CentroidsFile = "_ivf_centroids"
 
   /** Centroid sidecar: plain text (`nCent dim` header, one row of floats
     * per centroid). The name carries no data extension, so scans never
     * list it. */
-  private def writeCentroids(dir: String, cents: Array[Array[Float]]): Unit = {
-    val fs = graft.spark.StrawIO.fs(dir)
-    val p = new org.apache.hadoop.fs.Path(dir, CentroidsFile)
+  private def writeCentroids(dir: String, cents: Array[Array[Float]]): Unit =
+    writeCentroidsTo(graft.spark.StrawIO.fs(dir),
+      new org.apache.hadoop.fs.Path(dir, CentroidsFile), cents)
+
+  private def writeCentroidsTo(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, cents: Array[Array[Float]]): Unit = {
     val os = fs.create(p, true)
     try {
       val sb = new StringBuilder

@@ -291,6 +291,44 @@ object StrawSqlSurface {
         snap.mapping.dropped.size.toLong)))
   }
 
+  val IvfDetailName = "straw_ivf_detail"
+
+  /** `straw_ivf_detail('<index dir>')`: one row per IVF cell —
+    * (cent_id, files, size_bytes, rows, dead_rows) from the log snapshot's
+    * hive-partition paths and stats blobs (zero data IO). What makes cell
+    * SKEW visible: a reindex is due when appends have concentrated mass in
+    * few cells (max(rows)/avg(rows) ≫ 1) — probes of a hot cell then scan
+    * far more than corpus/nCentroids. */
+  def ivfDetailBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 1 && args.head.foldable &&
+      args.head.dataType == StringType,
+      s"$IvfDetailName expects one string literal: the index path")
+    val path = args.head.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    require(path != null, s"$IvfDetailName: path must not be null")
+    val dir = resolveDir(path.toString)
+    val snap = StrawLog.snapshot(dir).getOrElse(throw new IllegalArgumentException(
+      s"$IvfDetailName: no transaction log under $dir"))
+    val byCell = snap.entries.groupBy { e =>
+      PartitionLayout.partitionsOf(e.meta.path).collectFirst {
+        case ("cent_id", Some(v)) => v.toInt
+      }.getOrElse(-1)
+    }
+    val rows = byCell.toSeq.sortBy(_._1).map { case (cell, entries) =>
+      val dead = entries.collect { case e if e.dv != null => e.dv.cardinality }.sum
+      val counts = entries.map(_.synthetic.map(_.numRows))
+      val live: Any =
+        if (counts.exists(_.isEmpty)) null else counts.flatten.sum - dead
+      org.apache.spark.sql.catalyst.InternalRow(
+        cell, entries.size.toLong, entries.map(_.meta.len).sum, live, dead)
+    }
+    LocalRelation(Seq(
+      AttributeReference("cent_id", IntegerType, nullable = false)(),
+      AttributeReference("files", LongType, nullable = false)(),
+      AttributeReference("size_bytes", LongType, nullable = false)(),
+      AttributeReference("rows", LongType, nullable = true)(),
+      AttributeReference("dead_rows", LongType, nullable = false)()), rows)
+  }
+
   val AddConstraintName = "straw_add_constraint"
   val DropConstraintName = "straw_drop_constraint"
 
@@ -368,6 +406,10 @@ object StrawSqlSurface {
       FunctionIdentifier(DetailName),
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName, DetailName),
       detailBuilder _)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier(IvfDetailName),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName, IvfDetailName),
+      ivfDetailBuilder _)
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier(AddConstraintName),
       new ExpressionInfo(classOf[StrawConstraints.Constraint].getName, AddConstraintName),

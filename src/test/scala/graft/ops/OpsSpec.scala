@@ -120,6 +120,60 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(loads < totalFiles, s"probe loaded $loads footers of $totalFiles files")
   }
 
+  test("IVF reindex restores recall after append drift; cell skew is reportable") {
+    val ss = spark
+    import ss.implicits._
+    graft.spark.StrawSqlSurface.register(spark)
+    val dim = 16
+    val rnd = new scala.util.Random(11)
+    def noisy(center: Array[Float]): Array[Float] =
+      Array.tabulate(dim)(i => center(i) + rnd.nextGaussian().toFloat * 0.5f)
+    // initial distribution: 4 tight one-hot-ish clusters
+    val aCenters = Array.tabulate(4)(c =>
+      Array.tabulate(dim)(i => if (i % 4 == c) 10.0f else 0.0f))
+    val initial = (0 until 1200).map(j => (j.toLong, noisy(aCenters(j % 4)))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfreidx").toString + "/index"
+    Ann.buildIvfIndex(spark, initial, dir, dim, nCentroids = 4, seed = 7)
+    // drift: 5× the corpus appears from NEW clusters planted exactly on
+    // the bisectors between pairs of original centroids — the frozen
+    // quantizer splits each new cluster ~50/50 across two cells, so a
+    // 1-probe query misses about half its true neighbors
+    val bCenters = Array.tabulate(4) { c =>
+      val x = aCenters(c); val y = aCenters((c + 1) % 4)
+      Array.tabulate(dim)(i => (x(i) + y(i)) / 2)
+    }
+    val appended = (0 until 6000)
+      .map(j => (10000L + j, noisy(bCenters(j % 4)))).toDF("vec_id", "embedding")
+    Ann.appendToIvfIndex(spark, appended, dir)
+    // skew is visible with zero data IO: the appended mass concentrated
+    // into the original cells' rows
+    val cells = spark.sql(s"SELECT cent_id, rows FROM straw_ivf_detail('$dir')")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(cells.values.sum == 7200, s"cell rows: $cells")
+    val corpus = initial.unionAll(appended)
+    val queries = appended.filter(col("vec_id") < 10005L)
+    def recall(got: org.apache.spark.sql.DataFrame,
+        exact: Set[(Long, Long)]): Double = {
+      val g = got.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      g.intersect(exact).size.toDouble / exact.size
+    }
+    val exact = Ann.bruteForceTopK(spark, corpus, queries, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = recall(Ann.ivfTopKIndexed(spark, dir, queries, 5, nProbe = 1), exact)
+    assert(before < 0.9, f"drifted index unexpectedly healthy: recall=$before%.2f")
+    // reindex: retrain on the CURRENT contents, atomic rewrite
+    Ann.reindexIvf(spark, dir, dim, nCentroids = 8, seed = 7)
+    val after = recall(Ann.ivfTopKIndexed(spark, dir, queries, 5, nProbe = 1), exact)
+    assert(after >= 0.9, f"reindex did not restore recall: $before%.2f -> $after%.2f")
+    // the index remains a well-formed table: full probe == brute force
+    val full = Ann.ivfTopKIndexed(spark, dir, queries, 5, nProbe = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact)
+  }
+
   test("IVF probes=1 assignment is expression-only: no Exchange, no row blowup") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cents = Array.fill(4)(Array.fill(64)(scala.util.Random.nextGaussian().toFloat))
