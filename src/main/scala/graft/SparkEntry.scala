@@ -1289,6 +1289,20 @@ object SparkEntry {
         s.sql("DROP TABLE IF EXISTS strawmap.docs")
         s.sql("""CREATE TABLE strawmap.docs AS
                  SELECT doc_id, lang, source, n_chars FROM colmap_docs_src""")
+        // nested-field mapping is TOP-LEVEL only: a subfield rename must
+        // refuse loudly (never a silent non-metadata-only mutation)
+        s.sql("DROP TABLE IF EXISTS strawmap.nested_probe")
+        s.sql("""CREATE TABLE strawmap.nested_probe
+                 (id BIGINT, meta STRUCT<lang: STRING>)""")
+        val nestedRefused =
+          try { s.sql(
+            "ALTER TABLE strawmap.nested_probe RENAME COLUMN meta.lang TO x")
+            false
+          } catch { case e: Exception =>
+            e.getMessage.contains("top-level columns only") }
+        require(nestedRefused,
+          "q_column_mapping: nested RENAME COLUMN must be refused loudly")
+        s.sql("DROP TABLE strawmap.nested_probe")
         s.sql("ALTER TABLE strawmap.docs RENAME COLUMN lang TO language")
         s.sql("ALTER TABLE strawmap.docs DROP COLUMN source")
         s.sql("ALTER TABLE strawmap.docs ADD COLUMN source STRING")

@@ -1496,11 +1496,13 @@ object StrawSchemaResolver {
         case Some(prev) =>
           val merged =
             if (prev.dataType == fld.dataType) prev.dataType
-            else if (widenable(prev.dataType, fld.dataType)) fld.dataType
-            else if (widenable(fld.dataType, prev.dataType)) prev.dataType
-            else throw new IllegalArgumentException(
-              s"strawboat: column '${fld.name}' is ${prev.dataType} in one file " +
-                s"but ${fld.dataType} in $f")
+            else unifyNullability(prev.dataType, fld.dataType).getOrElse {
+              if (widenable(prev.dataType, fld.dataType)) fld.dataType
+              else if (widenable(fld.dataType, prev.dataType)) prev.dataType
+              else throw new IllegalArgumentException(
+                s"strawboat: column '${fld.name}' is ${prev.dataType} in one file " +
+                  s"but ${fld.dataType} in $f")
+            }
           // copy from prev so first-seen field METADATA survives the merge
           fields(fld.name) = prev.copy(dataType = merged,
             nullable = prev.nullable || fld.nullable)
@@ -1512,6 +1514,34 @@ object StrawSchemaResolver {
       if (presence(fld.name) < schemas.size) fld.copy(nullable = true) else fld
     })
   }
+
+  /** Same type up to NESTED nullability (struct field nullable, array
+    * containsNull, map valueContainsNull) → the union-nullable form; None
+    * when genuinely different. A table whose declared struct is nullable
+    * must accept a file whose literal-valued INSERT wrote the inner fields
+    * non-nullable — the reader is already agnostic (leaf matching is by
+    * name/shape), only this merge compared strictly. */
+  private def unifyNullability(a: DataType, b: DataType): Option[DataType] =
+    (a, b) match {
+      case (x, y) if x == y => Some(x)
+      case (StructType(fa), StructType(fb))
+          if fa.length == fb.length &&
+            fa.zip(fb).forall { case (x, y) => x.name == y.name } =>
+        val merged = fa.zip(fb).map { case (x, y) =>
+          unifyNullability(x.dataType, y.dataType).map(dt =>
+            x.copy(dataType = dt, nullable = x.nullable || y.nullable))
+        }
+        if (merged.forall(_.isDefined)) Some(StructType(merged.map(_.get)))
+        else None
+      case (ArrayType(ea, na), ArrayType(eb, nb)) =>
+        unifyNullability(ea, eb).map(e => ArrayType(e, na || nb))
+      case (MapType(ka, va, na), MapType(kb, vb, nb)) =>
+        for {
+          k <- unifyNullability(ka, kb)
+          v <- unifyNullability(va, vb)
+        } yield MapType(k, v, na || nb)
+      case _ => None
+    }
 
   /** Lossless widenings a long-lived table accumulates: integral up-casts
     * and float→double. (Decimal re-precision changes the physical layout

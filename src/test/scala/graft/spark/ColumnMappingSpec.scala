@@ -181,6 +181,30 @@ class ColumnMappingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(feed.filter("_change_type = 'insert'").count() == 2)
   }
 
+  test("nested-field RENAME/DROP are refused loudly at the DDL boundary") {
+    // the mapping algebra is top-level-only (physical leaf paths inside a
+    // struct are not aliased) — a nested ALTER must fail with a clear
+    // message, never silently do a non-metadata-only thing
+    spark.sql("CREATE TABLE straw.nst (id BIGINT, meta STRUCT<lang: STRING, n: BIGINT>)")
+    spark.sql("INSERT INTO straw.nst VALUES (1, named_struct('lang', 'en', 'n', 5L))")
+    val er = intercept[Exception] {
+      spark.sql("ALTER TABLE straw.nst RENAME COLUMN meta.lang TO language")
+    }
+    assert(er.getMessage.contains("top-level columns only"), er.getMessage)
+    val ed = intercept[Exception] {
+      spark.sql("ALTER TABLE straw.nst DROP COLUMN meta.lang")
+    }
+    assert(ed.getMessage.contains("top-level columns only"), ed.getMessage)
+    // the table is untouched: schema and data read back exactly
+    val r = spark.sql("SELECT id, meta.lang, meta.n FROM straw.nst").collect()(0)
+    assert(r.getLong(0) == 1L && r.getString(1) == "en" && r.getLong(2) == 5L)
+    // renaming the top-level STRUCT column itself IS metadata-only and
+    // carries the nested fields along
+    spark.sql("ALTER TABLE straw.nst RENAME COLUMN meta TO info")
+    val r2 = spark.sql("SELECT info.lang FROM straw.nst").collect()(0)
+    assert(r2.getString(0) == "en")
+  }
+
   test("RENAME/DROP resolve case-insensitively under the default resolver") {
     spark.sql("CREATE TABLE straw.ci1 (id BIGINT, lang STRING, extra BIGINT)")
     spark.sql("INSERT INTO straw.ci1 VALUES (1, 'en', 7)")
