@@ -239,6 +239,8 @@ class StrawCatalog extends TableCatalog with SupportsNamespaces {
       case (s, rm: TableChange.RemoveProperty) =>
         s.copy(properties = s.properties - rm.property)
       case (s, add: TableChange.AddColumn) => addColumn(ident, dir, add); s
+      case (s, up: TableChange.UpdateColumnType) =>
+        updateColumnType(ident, dir, up); s
       case (s, rn: TableChange.RenameColumn) => renameColumn(ident, dir, rn); s
       case (s, del: TableChange.DeleteColumn) => deleteColumn(ident, dir, del); s
       case (s, add: TableChange.AddConstraint) =>
@@ -422,6 +424,66 @@ class StrawCatalog extends TableCatalog with SupportsNamespaces {
     StrawLog.commit(dir, Seq(StrawManifest.entryFor(meta)), op = "add column",
       mappingUpdate =
         if (spelling.isDefined) Some((curMap, nextMap)) else None): Unit
+  }
+
+  /** `ALTER TABLE … ALTER COLUMN c TYPE T` — metadata-only LOSSLESS type
+    * widening (int→long, float→double, the read path's own ladder): one
+    * schema-only marker file carrying the column at the WIDER type joins
+    * the log, schema inference merges it in, existing files decode native
+    * and widen on read, and new writes bind at the wide type. Narrowing or
+    * layout-changing conversions are refused — rewrite the table. */
+  private def updateColumnType(ident: Identifier, dir: String,
+      up: TableChange.UpdateColumnType): Unit = {
+    require(up.fieldNames.length == 1,
+      s"strawboat: ALTER COLUMN TYPE supports top-level columns only, " +
+        s"got ${up.fieldNames.mkString(".")}")
+    // version pin BEFORE the schema check: any concurrent commit conflicts
+    val v0 = StrawLog.snapshot(dir).map(_.version).getOrElse(0L)
+    val current = loadTable(ident).schema()
+    val resolver = org.apache.spark.sql.SparkSession.active.sessionState.conf.resolver
+    val name = current.fieldNames.find(f => resolver(f, up.fieldNames.head))
+      .getOrElse(throw new IllegalArgumentException(
+        s"strawboat: no column '${up.fieldNames.head}' to alter (table has " +
+          s"${current.fieldNames.mkString(", ")})"))
+    val idx = current.fieldNames.indexOf(name)
+    val from = current.fields(idx).dataType
+    val to = up.newDataType()
+    if (from == to) return // idempotent no-op
+    require(StrawSchemaResolver.widenable(from, to),
+      s"strawboat: cannot alter column '$name' from $from to $to — only " +
+        "lossless widenings (byte/short/int→wider integral, float→double) " +
+        "are metadata-only; rewrite the table for anything else")
+    require(!partitionColumns(ident).exists(_.equalsIgnoreCase(name)),
+      s"strawboat: cannot alter type of partition column '$name' — the hive " +
+        "directory layout spells its values on disk")
+    val widened = StrawLog.mappingAt(dir).toPhysical(StructType(
+      current.fields.updated(idx, current.fields(idx).copy(dataType = to))))
+    val meta = writeSchemaMarker(dir, widened)
+    StrawLog.commit(dir, Seq(StrawManifest.entryFor(meta)),
+      op = s"alter column $name type $to", expectVersion = Some(v0)): Unit
+  }
+
+  /** Write a visible schema-only marker data file carrying `schema`
+    * (PHYSICAL spellings) and return its meta. */
+  private def writeSchemaMarker(dir: String,
+      schema: StructType): StrawIO.FileMeta = {
+    val f = StrawIO.fs(dir)
+    val fileName =
+      s"part-empty-${UUID.randomUUID().toString.take(8)}${graft.format.StrawFormat.Extension}"
+    val tmp = new Path(dir, s".$fileName.tmp")
+    val os = f.create(tmp, true)
+    var ok = false
+    try { new StrawFileWriter(schema, WriteOptions()).writeTo(os); ok = true }
+    finally {
+      os.close()
+      if (ok) {
+        if (!f.rename(tmp, new Path(dir, fileName)))
+          throw new java.io.IOException(s"strawboat: rename $tmp -> $fileName failed")
+      } else f.delete(tmp, false)
+    }
+    val st = f.getFileStatus(new Path(dir, fileName))
+    StrawIO.FileMeta(f.makeQualified(st.getPath).toString,
+      st.getModificationTime, st.getLen)
   }
 
   override def dropTable(ident: Identifier): Boolean = {

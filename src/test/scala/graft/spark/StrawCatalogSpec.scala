@@ -269,4 +269,37 @@ class StrawCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
           Array.empty[String], "nope"))
     }
   }
+  test("ALTER COLUMN TYPE: metadata-only lossless widening") {
+    spark.sql("CREATE TABLE straw.wide1 (id BIGINT, n INT, x FLOAT)")
+    spark.sql("INSERT INTO straw.wide1 VALUES (1, 100, CAST(1.5 AS FLOAT))")
+    val filesBefore = StrawIO.listFiles(s"$warehouse/wide1").toSet
+    spark.sql("ALTER TABLE straw.wide1 ALTER COLUMN n TYPE BIGINT")
+    spark.sql("ALTER TABLE straw.wide1 ALTER COLUMN x TYPE DOUBLE")
+    // metadata-only: every pre-existing data file is untouched
+    filesBefore.foreach(p => assert(new java.io.File(new java.net.URI(p)).exists(), p))
+    // old rows read widened; the declared schema is the wide type
+    val sch = spark.table("straw.wide1").schema
+    assert(sch("n").dataType == org.apache.spark.sql.types.LongType, sch.toString)
+    assert(sch("x").dataType == org.apache.spark.sql.types.DoubleType, sch.toString)
+    val r0 = spark.sql("SELECT n, x FROM straw.wide1 WHERE id = 1").collect()(0)
+    assert(r0.getLong(0) == 100L && r0.getDouble(1) == 1.5)
+    // new writes bind at the wide type, beyond INT range
+    spark.sql("INSERT INTO straw.wide1 VALUES (2, 5000000000, 2.25)")
+    val rows = spark.sql("SELECT id, n, x FROM straw.wide1 ORDER BY id").collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(100L, 5000000000L))
+    // narrowing refuses loudly — Spark's own analyzer rejects non-up-casts
+    // before the catalog ever sees them
+    val narrow = intercept[Exception] {
+      spark.sql("ALTER TABLE straw.wide1 ALTER COLUMN n TYPE INT")
+    }
+    assert(narrow.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"), narrow.getMessage)
+    val toStr = intercept[Exception] {
+      spark.sql("ALTER TABLE straw.wide1 ALTER COLUMN n TYPE STRING")
+    }
+    assert(toStr.getMessage.contains("lossless widening"), toStr.getMessage)
+    assert(StrawLog.history(s"$warehouse/wide1")
+      .exists(_.operation.startsWith("alter column n type")))
+    spark.sql("DROP TABLE straw.wide1")
+  }
+
 }
