@@ -56,7 +56,11 @@ final case class WriteOptions(
     // filter ([[PageBloom]]); opt-in — the right columns are point-lookup
     // keys whose prefix zone maps cannot prune (URLs, digests, UUIDs)
     bloomColumns: Set[String] = Set.empty,
-    bloomFpp: Double = 0.01)
+    bloomFpp: Double = 0.01,
+    // Patas float variant: Some(true) forces the ring-reference search,
+    // Some(false) the prev-XOR chain, None (default) decides per page by
+    // trial-encoding a contiguous prefix with both
+    patasRing: Option[Boolean] = None)
 
 /** Growable little-endian byte buffer (write side). */
 final class ByteBuf(initial: Int = 1 << 14) {
@@ -597,7 +601,102 @@ object IntCodec {
     * byte-granularity variant). Control byte 0 = same as previous;
     * else bits 3-6 = significant byte count (1..8), bits 0-2 = trailing
     * zero byte count. */
-  private def encodePatas(values: Array[Long], n: Int, out: ByteBuf): Unit = {
+  /** Patas dispatcher: the page payload self-describes its variant (first
+    * byte 0xFF = ring, anything else = prev-chain — a prev-chain control
+    * byte is structurally <= 71). Auto mode trial-encodes a contiguous
+    * prefix with both (contiguous, not strided: the ring variant's whole
+    * advantage is LOCAL periodic structure a stride would destroy). */
+  private def encodePatas(values: Array[Long], n: Int, out: ByteBuf,
+      opts: WriteOptions): Unit = {
+    val useRing = opts.patasRing.getOrElse(n >= 64 && {
+      val m = math.min(n, 1024)
+      val a = new ByteBuf(m * 10)
+      encodePatasPrev(values, m, a)
+      val b = new ByteBuf(m * 10)
+      encodePatasRing(values, m, b)
+      b.len < a.len
+    })
+    if (useRing) encodePatasRing(values, n, out)
+    else encodePatasPrev(values, n, out)
+  }
+
+  /** Ring-reference variant (the reference's 128-slot search,
+    * src/compression/double/patas.rs:34-202, re-derived byte-aligned): a
+    * 128-value ring of recent values plus a 1024-slot hash keyed on the
+    * value's high 48 bits picks the reference — an OSCILLATING series
+    * (alternating sensor phases, interleaved channels) XORs against its
+    * own phase instead of the immediately-previous opposite phase. Each
+    * value stores [refOff: 1 byte][ctrl][sig bytes]; refOff 0 = zero
+    * reference, else the value `refOff` positions back. */
+  private def encodePatasRing(values: Array[Long], n: Int, out: ByteBuf): Unit = {
+    if (n == 0) return
+    out.putByte(0xFF)
+    val ring = new Array[Long](128)
+    val table = new Array[Int](1024) // 0 = empty, else absolute pos + 1
+    var i = 0
+    while (i < n) {
+      val v = values(i)
+      // key on sign+exponent+top mantissa bits: same-phase values of an
+      // oscillating series share it even under drift; the candidate still
+      // COMPETES with the previous value (whichever XORs smaller wins), so
+      // a stale or colliding slot can never do worse than the prev chain
+      val k = v >>> 32
+      val slot = (((k * -7046029254386353131L) >>> 54) & 1023).toInt
+      val p = table(slot) - 1
+      var refOff = 0
+      var ref = 0L
+      if (i > 0) {
+        ref = ring((i - 1) & 127)
+        refOff = 1
+        if (p >= 0 && p < i && p >= i - 127) {
+          val cand = ring(p & 127)
+          if (java.lang.Long.numberOfLeadingZeros(v ^ cand) >
+              java.lang.Long.numberOfLeadingZeros(v ^ ref)) {
+            ref = cand
+            refOff = i - p
+          }
+        }
+      }
+      val x = v ^ ref
+      out.putByte(refOff)
+      if (x == 0L) out.putByte(0)
+      else {
+        val tz = java.lang.Long.numberOfTrailingZeros(x) >>> 3
+        val lz = java.lang.Long.numberOfLeadingZeros(x) >>> 3
+        val sig = 8 - tz - lz
+        out.putByte((sig << 3) | tz)
+        var sx = x >>> (tz * 8)
+        var j = 0
+        while (j < sig) { out.putByte((sx & 0xff).toInt); sx >>>= 8; j += 1 }
+      }
+      ring(i & 127) = v
+      table(slot) = i + 1
+      i += 1
+    }
+  }
+
+  private def decodePatasRing(in: ByteBuffer, n: Int): Array[Long] = {
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val refOff = in.get() & 0xff
+      val ref = if (refOff == 0) 0L else out(i - refOff)
+      val ctrl = in.get() & 0xff
+      if (ctrl == 0) out(i) = ref
+      else {
+        val sig = (ctrl >>> 3) & 0xf
+        val tz = ctrl & 7
+        var x = 0L
+        var j = 0
+        while (j < sig) { x |= (in.get() & 0xffL) << (8 * j); j += 1 }
+        out(i) = ref ^ (x << (tz * 8))
+      }
+      i += 1
+    }
+    out
+  }
+
+  private def encodePatasPrev(values: Array[Long], n: Int, out: ByteBuf): Unit = {
     var prev = 0L
     var i = 0
     while (i < n) {
@@ -619,6 +718,15 @@ object IntCodec {
   }
 
   private def decodePatas(in: ByteBuffer, n: Int): Array[Long] = {
+    if (n == 0) return new Array[Long](0)
+    if ((in.get(in.position()) & 0xff) == 0xFF) {
+      in.get() // consume the ring-variant tag
+      return decodePatasRing(in, n)
+    }
+    decodePatasPrev(in, n)
+  }
+
+  private def decodePatasPrev(in: ByteBuffer, n: Int): Array[Long] = {
     val out = new Array[Long](n)
     var prev = 0L
     var i = 0
@@ -731,17 +839,14 @@ object IntCodec {
       val exc = n - stats.topCount
       consider(Codec.Freq, width.toLong + 8 + 2L * exc + 9L + exc.toLong * width)
     }
-    // Patas: floats only; deterministic sampled trial
+    // Patas: floats only; deterministic trial on a CONTIGUOUS prefix (the
+    // family exploits local structure — prev deltas, ring-periodicity — a
+    // stride sample would destroy)
     if (floatBits && n >= 64) {
       val sampleN = math.min(n, 1024)
-      val stride = math.max(1, n / sampleN)
-      val sample = new Array[Long](sampleN)
-      var i = 0
-      var j = 0
-      while (i < sampleN && j < n) { sample(i) = values(j); i += 1; j += stride }
-      val tmp = new ByteBuf(sampleN * 9)
-      encodePatas(sample, i, tmp)
-      val est = tmp.len.toLong * n / math.max(1, i)
+      val tmp = new ByteBuf(sampleN * 10)
+      encodePatas(values, sampleN, tmp, opts)
+      val est = tmp.len.toLong * n / sampleN
       consider(Codec.Patas, est)
     }
     if (best >= 0 && rawSize.toDouble / bestSize >= opts.ratio) best else opts.base
@@ -828,7 +933,7 @@ object IntCodec {
         if (stats.topCount == 0) { out.putBytes(rawBytes(values, n, width)); Codec.Plain }
         else { encodeFreq(values, n, width, stats, opts, out); Codec.Freq }
       case Codec.Patas =>
-        encodePatas(values, n, out); Codec.Patas
+        encodePatas(values, n, out, opts); Codec.Patas
       case common =>
         val raw = rawBytes(values, n, width)
         val comp = CommonCompression.compress(

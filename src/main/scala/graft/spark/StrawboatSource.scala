@@ -577,6 +577,16 @@ object StrawWriteOptions {
       require(f > 0 && f < 1, s"strawboat: bloomFpp must be in (0, 1), got $f")
       o = o.copy(bloomFpp = f)
     }
+    // float codec variant: auto (default, per-page trial) | ring | prev
+    Option(options.get("patasVariant")).foreach { v =>
+      o = o.copy(patasRing = v.toLowerCase match {
+        case "auto" => None
+        case "ring" => Some(true)
+        case "prev" => Some(false)
+        case other => throw new IllegalArgumentException(
+          s"strawboat: unknown patasVariant '$other' (auto|ring|prev)")
+      })
+    }
     o
   }
 }

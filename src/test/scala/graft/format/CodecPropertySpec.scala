@@ -36,7 +36,9 @@ class CodecPropertySpec extends AnyFunSuite {
     pageSize <- Gen.oneOf(64, 257, 1024)
     forced <- Gen.option(Gen.oneOf(Codec.Rle, Codec.Dict, Codec.Freq,
       Codec.BitPack, Codec.DeltaBitPack, Codec.OneValue, Codec.Patas))
-  } yield WriteOptions(base = base, maxPageSize = pageSize, forced = forced)
+    patasRing <- Gen.oneOf(None, Some(true), Some(false))
+  } yield WriteOptions(base = base, maxPageSize = pageSize, forced = forced,
+    patasRing = patasRing)
 
   test("longs with arbitrary values and null density round trip") {
     forAll(Gen.listOf(Gen.option(Gen.chooseNum(Long.MinValue, Long.MaxValue))),

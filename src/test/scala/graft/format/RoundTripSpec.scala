@@ -151,6 +151,32 @@ class RoundTripSpec extends AnyFunSuite {
     assert(encodedCodec(Array.tabulate(2048)(_.toLong), 8) == Codec.DeltaBitPack)
   }
 
+  test("Patas ring variant beats the prev-chain on oscillating floats") {
+    // two interleaved phases: the prev-XOR chain pays a full-magnitude XOR
+    // every step; the ring reference finds the same-phase value 2 back
+    val n = 8192
+    val values = Array.tabulate(n) { i =>
+      val v = if (i % 2 == 0) 1000.0 + i * 1e-12 else -0.5 - i * 1e-15
+      java.lang.Double.doubleToRawLongBits(v)
+    }
+    def sized(ring: Option[Boolean]): Int = {
+      val out = new ByteBuf()
+      val codec = IntCodec.encode(values, n, 8,
+        WriteOptions(forced = Some(Codec.Patas), patasRing = ring), 0, out)
+      assert(codec == Codec.Patas)
+      // both variants decode through the same self-describing payload
+      val in = ByteBuffer.wrap(out.buf, 0, out.len).order(ByteOrder.LITTLE_ENDIAN)
+      assert(java.util.Arrays.equals(IntCodec.decode(in, n, 8), values))
+      out.len
+    }
+    val prev = sized(Some(false))
+    val ring = sized(Some(true))
+    assert(ring * 2 < prev,
+      s"ring variant ($ring B) should be <= half the prev chain ($prev B)")
+    // auto mode picks the ring variant on this shape
+    assert(sized(None) == ring)
+  }
+
   test("Freq survives the distinct map's high-cardinality bail") {
     // 90% one value + a long all-distinct exception tail: the distinct map
     // bails (exceptions >> maxUsefulDistinct at width 4) but the Boyer–Moore
