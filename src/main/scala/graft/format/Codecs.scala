@@ -603,22 +603,27 @@ object IntCodec {
     * zero byte count. */
   /** Patas dispatcher: the page payload self-describes its variant (first
     * byte 0xFF = ring, anything else = prev-chain — a prev-chain control
-    * byte is structurally <= 71). Auto mode trial-encodes a contiguous
-    * prefix with both (contiguous, not strided: the ring variant's whole
-    * advantage is LOCAL periodic structure a stride would destroy). */
+    * byte is structurally <= 71). The variant is decided ONCE per page in
+    * [[encode]] (see [[patasRingAuto]]) so neither the chooser's size
+    * trial nor the final encode re-trials. */
   private def encodePatas(values: Array[Long], n: Int, out: ByteBuf,
-      opts: WriteOptions): Unit = {
-    val useRing = opts.patasRing.getOrElse(n >= 64 && {
-      val m = math.min(n, 1024)
+      opts: WriteOptions): Unit =
+    if (opts.patasRing.contains(true)) encodePatasRing(values, n, out)
+    else encodePatasPrev(values, n, out)
+
+  /** Auto variant decision: trial-encode both on a short CONTIGUOUS prefix
+    * (contiguous, not strided — the ring variant's whole advantage is
+    * LOCAL periodic structure a stride would destroy). Cost ≈ the single
+    * trial the chooser paid before the variant existed. */
+  private def patasRingAuto(values: Array[Long], n: Int): Boolean =
+    n >= 64 && {
+      val m = math.min(n, 512)
       val a = new ByteBuf(m * 10)
       encodePatasPrev(values, m, a)
       val b = new ByteBuf(m * 10)
       encodePatasRing(values, m, b)
       b.len < a.len
-    })
-    if (useRing) encodePatasRing(values, n, out)
-    else encodePatasPrev(values, n, out)
-  }
+    }
 
   /** Ring-reference variant (the reference's 128-slot search,
     * src/compression/double/patas.rs:34-202, re-derived byte-aligned): a
@@ -864,6 +869,15 @@ object IntCodec {
     out.putByte(0); out.putInt(0); out.putInt(0) // patched below
     val payloadStart = out.len
     val rawLen = n * width
+    // Patas variant decided ONCE per page (auto = short contiguous-prefix
+    // trial): both the chooser's size estimate and the final encode then
+    // run the same already-chosen variant without re-trialing
+    val effOpts =
+      if (opts.patasRing.isEmpty &&
+          ((floatBits && opts.adaptive && opts.forced.isEmpty) ||
+            opts.forced.contains(Codec.Patas)))
+        opts.copy(patasRing = Some(patasRingAuto(values, n)))
+      else opts
     // the map only feeds Dict/Freq: skip it when both are forbidden (the
     // recursive index/exception blocks), keep it when a forced test mode
     // demands a dict-family codec regardless of the caller's hint
@@ -886,7 +900,7 @@ object IntCodec {
       case Some(c) if (c == Codec.Dict && (forbidden & ForbidDict) != 0) ||
         (c == Codec.Freq && (forbidden & ForbidFreq) != 0) => opts.base
       case Some(c) => c
-      case None => choose(values, n, width, stats, opts, forbidden, floatBits)
+      case None => choose(values, n, width, stats, effOpts, forbidden, floatBits)
     }
     val effective: Int = codec match {
       case Codec.OneValue =>
@@ -933,7 +947,7 @@ object IntCodec {
         if (stats.topCount == 0) { out.putBytes(rawBytes(values, n, width)); Codec.Plain }
         else { encodeFreq(values, n, width, stats, opts, out); Codec.Freq }
       case Codec.Patas =>
-        encodePatas(values, n, out, opts); Codec.Patas
+        encodePatas(values, n, out, effOpts); Codec.Patas
       case common =>
         val raw = rawBytes(values, n, width)
         val comp = CommonCompression.compress(
