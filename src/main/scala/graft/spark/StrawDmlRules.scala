@@ -93,13 +93,19 @@ private[spark] object StrawDml {
   def rewriteUpdate(table: StrawboatTable,
       rel: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation,
       assignments: Seq[Assignment], condition: Option[Expression]): LogicalPlan = {
-    import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression, PlanExpression}
     val nativeFilters: Option[Seq[Filter]] = condition match {
       case None => Some(Seq(org.apache.spark.sql.sources.AlwaysTrue))
       case Some(c) => tryFilters(c).filter(fs =>
         RowFilterEval.build(rel.schema, fs.toArray).isDefined)
     }
-    if (nativeFilters.isDefined)
+    // the native path re-analyzes assignment RHS from rendered SQL over
+    // the bare table schema — a SUBQUERY-valued assignment (SET v =
+    // (SELECT max(x) FROM s)) cannot round-trip that way and routes to
+    // the scan-based path, where Spark plans the whole projection
+    val subqueryAssigned = assignments.exists(
+      _.value.exists(_.isInstanceOf[PlanExpression[_]]))
+    if (nativeFilters.isDefined && !subqueryAssigned)
       return StrawUpdateCommand(table.tablePath, table.pinnedVersion,
         assignments, condition)
     // scan-based: real (non-identity) assignments → post-assignment
@@ -114,7 +120,8 @@ private[spark] object StrawDml {
       case a => throw new UnsupportedOperationException(
         s"strawboat: UPDATE of a nested field is not supported: ${a.key.sql}")
     }.toMap
-    val cond = condition.get
+    val cond = condition.getOrElse(
+      org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral)
     require(cond.deterministic,
       "strawboat: UPDATE condition must be deterministic")
     require(assignMap.values.forall(_.deterministic),

@@ -132,6 +132,27 @@ class StrawScanDmlSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE straw.su2")
   }
 
+  test("UPDATE with a scalar-subquery ASSIGNMENT routes to the scan fallback") {
+    spark.sql("CREATE TABLE straw.su3 (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO straw.su3 SELECT id, id FROM range(20)")
+    spark.sql("CREATE TABLE straw.su3_src (x BIGINT)")
+    spark.sql("INSERT INTO straw.su3_src VALUES (100), (250)")
+    val n0 = fallbacks
+    // translatable CONDITION, but the RHS holds a scalar subquery the
+    // native SQL-round-trip path cannot carry
+    spark.sql("""UPDATE straw.su3 SET v = (SELECT max(x) FROM straw.su3_src)
+      WHERE id >= 15""")
+    assert(fallbacks == n0 + 1, "subquery-assigned UPDATE must take the scan fallback")
+    val rows = spark.sql("SELECT id, v FROM straw.su3 ORDER BY id").collect()
+    assert(rows.take(15).forall(r => r.getLong(1) == r.getLong(0)))
+    assert(rows.drop(15).forall(_.getLong(1) == 250L), rows.drop(15).mkString(","))
+    // ... and without a WHERE clause at all
+    spark.sql("UPDATE straw.su3 SET v = (SELECT min(x) FROM straw.su3_src)")
+    assert(spark.sql("SELECT count(*) FROM straw.su3 WHERE v = 100")
+      .collect()(0).getLong(0) == 20)
+    spark.sql("DROP TABLE straw.su3"); spark.sql("DROP TABLE straw.su3_src")
+  }
+
   test("scan-fallback DELETE composes with prior deletion vectors") {
     spark.sql("CREATE TABLE straw.sd4 (id BIGINT, v BIGINT)")
     spark.sql("INSERT INTO straw.sd4 SELECT id, id FROM range(100)")
