@@ -23,6 +23,11 @@ object Bench {
     // regressions in the round-7/8 mutation machinery must show up in
     // the driver bench, not only in correctness
     "q_delete", "q_merge", "q_timetravel", "q_cdf",
+    // round-10 mutation surface: the distributed (shuffle-join) merge path
+    // and the scan-based subquery DML fallback — their one-time table
+    // mutations land in the warm-up run; steady state times the reads
+    // through the resulting DVs
+    "q_merge_large", "q_delete_subquery",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_embedding_lsh",
     "q_ann_brute", "q_ann_ivf", "q_text_stats",
     // nested-leaf scan through the vectorized struct reader (round 9)

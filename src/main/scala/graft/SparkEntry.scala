@@ -965,6 +965,35 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars").cast("int").as("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    "q_merge_sync" -> ((s, d) => {
+      // MERGE with WHEN NOT MATCHED BY SOURCE THEN DELETE (the sync
+      // shape): whenMatched=Keep preserves the TARGET versions of matched
+      // keys (so this is NOT a plain source copy — the oracle can tell),
+      // source-only keys insert, and target rows the source no longer
+      // carries (n_chars < 250 or NULL here) die via deletion vectors.
+      val mDir = Tables.strawDir(s, d, "documents") + "_mergesync"
+      val marker = new java.io.File(mDir, "_OK")
+      if (!marker.exists()) {
+        val docs = t(s, d, "documents")
+        docs.write.format("strawboat").mode("overwrite").save(mDir)
+        val src = docs.filter(col("n_chars") >= 250)
+          .withColumn("lang", lit("srcver"))
+          .unionByName(docs
+            .filter(col("n_chars") >= 250 && col("doc_id") % 13 === 0)
+            .withColumn("doc_id", col("doc_id") + 3000000L)
+            .withColumn("lang", lit("synced")))
+        val res = graft.spark.StrawMerge.merge(s, mDir, src,
+          keys = Seq("doc_id"), whenMatched = graft.spark.StrawMerge.Keep,
+          insertNotMatched = true, deleteNotMatchedBySource = true)
+        require(res.matchedRows > 0 && res.notMatchedBySourceDeleted > 0 &&
+          res.insertedRows > 0,
+          s"q_merge_sync: expected keeps, deletes, and inserts ($res)")
+        marker.createNewFile()
+      }
+      s.read.format("strawboat").load(mDir)
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("int").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     "q_update_expr" -> ((s, d) => {
       // expression-valued UPDATE (StrawUpdate.updateExpressions): the
       // redaction workflow's form — SET lang = upper(lang) over the
@@ -1853,6 +1882,13 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT d.doc_id, d.lang, d.n_chars FROM documents d
         |  WHERE d.doc_id NOT IN (SELECT doc_id FROM src))
+        |ORDER BY doc_id""".stripMargin,
+    "q_merge_sync" -> // Keep-matched sync: target versions survive, rest die
+      """SELECT doc_id, lang, CAST(n_chars AS INTEGER) AS n_chars FROM (
+        |  SELECT doc_id, lang, n_chars FROM documents WHERE n_chars >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, 'synced', n_chars FROM documents
+        |  WHERE n_chars >= 250 AND doc_id % 13 = 0)
         |ORDER BY doc_id""".stripMargin,
     "q_update_expr" -> // UPDATE SET lang=upper(lang) WHERE n_chars < 200 (3VL)
       """SELECT doc_id,

@@ -271,8 +271,15 @@ case class StrawMergeCommand(path: String, pinned: Option[Long],
 
   override def run(spark: SparkSession): Seq[Row] = {
     StrawDml.requireWritable(path, pinned)
-    require(notMatchedBySource.isEmpty,
-      "strawboat: MERGE WHEN NOT MATCHED BY SOURCE is not supported")
+    // the one supported BY SOURCE form: unconditional DELETE (the "sync"
+    // shape — target rows whose key the source no longer carries die)
+    val deleteNotMatchedBySource = notMatchedBySource match {
+      case Seq() => false
+      case Seq(DeleteAction(None)) => true
+      case other => throw new UnsupportedOperationException(
+        "strawboat: supported WHEN NOT MATCHED BY SOURCE form is exactly " +
+          "one unconditional `DELETE`, got: " + other.mkString(", "))
+    }
     val targetSet = org.apache.spark.sql.catalyst.expressions.AttributeSet(targetOutput)
 
     // join condition: conjunction of target.k = source.k over same-named
@@ -339,7 +346,8 @@ case class StrawMergeCommand(path: String, pinned: Option[Long],
     val sourceDf = org.apache.spark.sql.graft.GraftSqlShims.dataFrame(spark, source)
       .select(targetOutput.map(a =>
         org.apache.spark.sql.functions.col(a.name).cast(a.dataType).as(a.name)): _*)
-    StrawMerge.merge(spark, path, sourceDf, keys, whenMatched, insertNotMatched): Unit
+    StrawMerge.merge(spark, path, sourceDf, keys, whenMatched, insertNotMatched,
+      deleteNotMatchedBySource = deleteNotMatchedBySource): Unit
     Seq.empty
   }
 }

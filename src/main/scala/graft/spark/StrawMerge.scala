@@ -79,7 +79,10 @@ object StrawMerge {
       prunedFiles: Int,
       /** true = the shuffle-join (large-source) match path ran; the
         * driver never materialized the source key set. */
-      distributedSource: Boolean = false)
+      distributedSource: Boolean = false,
+      /** target rows deleted because their key had NO source match
+        * (WHEN NOT MATCHED BY SOURCE THEN DELETE). */
+      notMatchedBySourceDeleted: Long = 0L)
 
   /** One candidate file's match outcome, driver-bound (O(files), never
     * O(keys)): matched live-row count, the DV switch, full-death. */
@@ -103,9 +106,10 @@ object StrawMerge {
   def merge(spark: SparkSession, dir: String, source: DataFrame,
       keys: Seq[String], whenMatched: MatchedAction = Replace,
       insertNotMatched: Boolean = true,
-      opts: WriteOptions = WriteOptions()): MergeResult = {
+      opts: WriteOptions = WriteOptions(),
+      deleteNotMatchedBySource: Boolean = false): MergeResult = {
     require(keys.nonEmpty, "strawboat: merge needs at least one key column")
-    require(whenMatched != Keep || insertNotMatched,
+    require(whenMatched != Keep || insertNotMatched || deleteNotMatchedBySource,
       "strawboat: merge with whenMatched=Keep and insertNotMatched=false is a no-op")
     val listed = StrawIO.listFilesMetaWithStats(dir)
     require(listed.nonEmpty, s"strawboat: no data files under $dir")
@@ -168,17 +172,17 @@ object StrawMerge {
       BroadcastKeyBytesDefault.toString).toLong
     if (srcRows * perRowKeyBytes <= gateBytes)
       mergeBroadcast(spark, dir, srcMat, keys, keyIdx, whenMatched,
-        insertNotMatched, opts, listed, schema)
+        insertNotMatched, opts, listed, schema, deleteNotMatchedBySource)
     else
       mergeDistributed(spark, dir, srcMat, keys, keyIdx, whenMatched,
-        insertNotMatched, opts, listed, schema)
+        insertNotMatched, opts, listed, schema, deleteNotMatchedBySource)
   }
 
   private def mergeBroadcast(spark: SparkSession, dir: String,
       srcAligned: DataFrame, keys: Seq[String], keyIdx: Seq[Int],
       whenMatched: MatchedAction, insertNotMatched: Boolean,
       opts: WriteOptions, listed: Seq[StrawIO.Listed],
-      schema: StructType): MergeResult = {
+      schema: StructType, deleteUnmatched: Boolean): MergeResult = {
     val mapping = StrawLog.mappingAt(dir)
     // the source KEY SET comes to the driver: dedup check + pruning bounds
     // + broadcast probe set (catalyst-valued tuples; the types above are
@@ -209,8 +213,11 @@ object StrawMerge {
     // set. Beyond the 1000-value enumeration cap an In filter drops, but
     // the key range still prunes: zone maps exclude files wholly outside
     // [min, max] — a clustered batch (the common backfill) keeps pruning.
+    // WHEN NOT MATCHED BY SOURCE deletes rows anywhere in the table — no
+    // key-derived pruning is sound then; every file is a candidate
     val pruneFilters: Array[org.apache.spark.sql.sources.Filter] =
-      keys.zipWithIndex.flatMap { case (k, c) =>
+      if (deleteUnmatched) Array.empty
+      else keys.zipWithIndex.flatMap { case (k, c) =>
         val vals: Array[Any] = keyRows.iterator.map(r => r.get(c))
           .filter(_ != null).toArray.distinct
         if (vals.nonEmpty && vals.length <= 1000)
@@ -232,10 +239,11 @@ object StrawMerge {
     val keySchemaJson = keySchema.json
     val probeB = spark.sparkContext.broadcast(probeKeys)
     val mutateB = spark.sparkContext.broadcast(mutate)
+    val delUnB = spark.sparkContext.broadcast(deleteUnmatched)
     val mappingB = spark.sparkContext.broadcast(mapping)
     final case class Probe(input: String, matched: Long, oldDvPath: String,
         newDv: DeletionVector.DvInfo, fullDead: Boolean,
-        matchedKeys: Seq[Vector[Any]])
+        matchedKeys: Seq[Vector[Any]], unmatchedDeleted: Long)
     val outs: Array[Probe] =
       if (candidates.isEmpty) Array.empty
       else spark.sparkContext.parallelize(candidates, candidates.size).map { cand =>
@@ -251,6 +259,7 @@ object StrawMerge {
           val footer = mappingB.value.toLogicalFooter(FooterCache.get(m.path, input))
           val read = new MaintenanceOps.ResolvedFileRead(input, footer, keySub)
           val matched = new org.roaringbitmap.RoaringBitmap()
+          val unmatched = new org.roaringbitmap.RoaringBitmap()
           val matchedKeys = scala.collection.mutable.LinkedHashSet.empty[Vector[Any]]
           val keep = ZoneMapFilter.keptPages(footer, pruneFilters)
           val pageRows: Array[Int] =
@@ -275,6 +284,10 @@ object StrawMerge {
                   if (!key.contains(null) && probe(key)) {
                     matched.add(ord.toInt)
                     matchedKeys += key
+                  } else if (delUnB.value) {
+                    // no source match (null target keys match nothing):
+                    // WHEN NOT MATCHED BY SOURCE THEN DELETE
+                    unmatched.add(ord.toInt)
                   }
                 }
                 i += 1
@@ -284,30 +297,29 @@ object StrawMerge {
             p += 1
           }
           val matchedCount = matched.getLongCardinality
-          if (matchedCount == 0)
-            Probe(m.path, 0L,
-              if (cand.dv == null) null else cand.dv.path, null, fullDead = false,
-              Seq.empty)
-          else if (!mutateB.value) {
-            // Keep: the matched keys gate inserts; the target rows stay
+          val unmatchedCount = unmatched.getLongCardinality
+          // rows this merge kills: matched ones when the action mutates,
+          // source-unmatched ones under WHEN NOT MATCHED BY SOURCE DELETE
+          val dying = new org.roaringbitmap.RoaringBitmap()
+          if (mutateB.value) dying.or(matched)
+          if (delUnB.value) dying.or(unmatched)
+          if (dying.isEmpty)
             Probe(m.path, matchedCount,
               if (cand.dv == null) null else cand.dv.path, null, fullDead = false,
-              matchedKeys.toSeq)
-          } else {
-            val union = matched.clone()
-            if (existing != null) union.or(existing)
-            val fullDead = union.getLongCardinality >= footer.numRows
+              matchedKeys.toSeq, 0L)
+          else {
+            if (existing != null) dying.or(existing)
+            val fullDead = dying.getLongCardinality >= footer.numRows
             val newDv =
               if (fullDead) null
-              else DeletionVector.write(StrawIO.fs(m.path), new Path(m.path), union)
+              else DeletionVector.write(StrawIO.fs(m.path), new Path(m.path), dying)
             Probe(m.path, matchedCount,
               if (cand.dv == null) null else cand.dv.path, newDv, fullDead,
-              matchedKeys.toSeq)
+              matchedKeys.toSeq, unmatchedCount)
           }
         } finally input.close()
       }.collect()
-    val changed = outs.filter(_.matched > 0)
-    val allMatchedKeys: Set[Vector[Any]] = changed.flatMap(_.matchedKeys).toSet
+    val allMatchedKeys: Set[Vector[Any]] = outs.flatMap(_.matchedKeys).toSet
 
     // ---- insert phase: choose the source rows to write, distributed ----
     // Replace: every source row lands (matched ones are the new versions,
@@ -334,12 +346,12 @@ object StrawMerge {
       }
       srcAligned.filter(filterFn)
     }
-    val mutated: Array[MatchOut] =
-      if (mutate)
-        changed.map(o => MatchOut(o.input, o.matched, o.oldDvPath, o.newDv, o.fullDead))
-      else Array.empty
+    val mutated: Array[MatchOut] = outs
+      .filter(o => o.newDv != null || o.fullDead)
+      .map(o => MatchOut(o.input, o.matched, o.oldDvPath, o.newDv, o.fullDead))
     commitMerge(spark, dir, jobId, toWrite, schema, mapping, opts, listed,
-      serConf, mutated, matchedRows = changed.map(_.matched).sum, pruned)
+      serConf, mutated, matchedRows = outs.map(_.matched).sum, pruned,
+      unmatchedDeleted = outs.map(_.unmatchedDeleted).sum)
   }
 
   /** The shuffle-join match path: nothing proportional to the source's
@@ -348,7 +360,7 @@ object StrawMerge {
       srcAligned: DataFrame, keys: Seq[String], keyIdx: Seq[Int],
       whenMatched: MatchedAction, insertNotMatched: Boolean,
       opts: WriteOptions, listed: Seq[StrawIO.Listed],
-      schema: StructType): MergeResult = {
+      schema: StructType, deleteUnmatched: Boolean): MergeResult = {
     import org.apache.spark.sql.functions.{col, count, lit, max, min}
     val mapping = StrawLog.mappingAt(dir)
     val keySchema = StructType(keyIdx.map(schema.fields(_)))
@@ -371,17 +383,21 @@ object StrawMerge {
 
     // candidate pruning by the source keys' RANGE (one tiny agg job): a
     // clustered backfill still skips most of the table's files/pages even
-    // though the key set itself is too big to enumerate
-    val aggExprs = keys.flatMap(k =>
-      Seq(min(col(k)).as(s"__min_$k"), max(col(k)).as(s"__max_$k")))
-    val rangeRow = srcKeys.agg(aggExprs.head, aggExprs.tail: _*).collect()(0)
+    // though the key set itself is too big to enumerate. WHEN NOT MATCHED
+    // BY SOURCE deletes rows anywhere — no pruning is sound then.
     val pruneFilters: Array[org.apache.spark.sql.sources.Filter] =
-      keys.zipWithIndex.flatMap { case (k, i) =>
-        val lo = rangeRow.get(2 * i); val hi = rangeRow.get(2 * i + 1)
-        if (lo == null || hi == null) Nil // empty probe side: no pruning info
-        else Seq(org.apache.spark.sql.sources.GreaterThanOrEqual(k, lo),
-          org.apache.spark.sql.sources.LessThanOrEqual(k, hi))
-      }.toArray
+      if (deleteUnmatched) Array.empty
+      else {
+        val aggExprs = keys.flatMap(k =>
+          Seq(min(col(k)).as(s"__min_$k"), max(col(k)).as(s"__max_$k")))
+        val rangeRow = srcKeys.agg(aggExprs.head, aggExprs.tail: _*).collect()(0)
+        keys.zipWithIndex.flatMap { case (k, i) =>
+          val lo = rangeRow.get(2 * i); val hi = rangeRow.get(2 * i + 1)
+          if (lo == null || hi == null) Nil // empty probe side: no pruning info
+          else Seq(org.apache.spark.sql.sources.GreaterThanOrEqual(k, lo),
+            org.apache.spark.sql.sources.LessThanOrEqual(k, hi))
+        }.toArray
+      }
     val mutate = whenMatched != Keep
     val (candidates, pruned) =
       MaintenanceOps.matchCandidates(listed, schema, pruneFilters, mapping)
@@ -392,6 +408,7 @@ object StrawMerge {
     val serConf = new org.apache.spark.util.SerializableConfiguration(StrawIO.conf)
     val keySchemaJson = keySchema.json
     val mappingB = spark.sparkContext.broadcast(mapping)
+    val delUn = deleteUnmatched
 
     // ---- target side: every candidate file streams its live key rows,
     // tagged (file index, row ordinal), page-skipped by the range zone
@@ -445,14 +462,21 @@ object StrawMerge {
                   else vals(c + 2) = toScala(c)(row.get(c, keySub.fields(c).dataType))
                   c += 1
                 }
-                if (hasNull) Iterator.empty
+                // null-keyed target rows match nothing: they are dead
+                // weight for MATCHING, but under WHEN NOT MATCHED BY
+                // SOURCE they are exactly the rows to delete — keep them
+                if (hasNull && !delUn) Iterator.empty
                 else Iterator(org.apache.spark.sql.Row.fromSeq(
                   scala.collection.immutable.ArraySeq.unsafeWrapArray(vals)))
               }
             }
           }
         }
-    val targetKeys = spark.createDataFrame(targetKeyRdd, extSchema)
+    val targetKeysRaw = spark.createDataFrame(targetKeyRdd, extSchema)
+    // the unmatched-delete shape consumes the target keys TWICE (semi and
+    // anti joins) — checkpoint so candidate files read once
+    val targetKeys =
+      if (deleteUnmatched) targetKeysRaw.localCheckpoint(true) else targetKeysRaw
 
     // ---- match: shuffle semi-join (source keys are verified-unique, so
     // semi ≡ inner here), then CUT LINEAGE so the two consumers below
@@ -460,17 +484,34 @@ object StrawMerge {
     val matchedPairs = targetKeys.join(srcKeys, keys, "left_semi")
       .localCheckpoint(true)
     val matchedRows = matchedPairs.count()
+    // source-unmatched target rows (anti join keeps null-keyed rows —
+    // null matches nothing, so they are "not matched by source")
+    val unmatchedPairs: Option[DataFrame] =
+      if (!deleteUnmatched) None
+      else Some(targetKeys.join(srcKeys, keys, "left_anti")
+        .select(col("__straw_file"), col("__straw_ord")).localCheckpoint(true))
+    val unmatchedDeleted = unmatchedPairs.map(_.count()).getOrElse(0L)
 
-    // ---- DV phase: matched ordinals aggregate into per-file bitmaps on
-    // executors (combiner-based — never a materialized per-file ordinal
-    // list), which read/union/write each file's DV in place
+    // ---- DV phase: dying ordinals (matched when the action mutates,
+    // plus source-unmatched under the delete clause) aggregate into
+    // per-file bitmaps on executors (combiner-based — never a
+    // materialized per-file ordinal list), which read/union/write each
+    // file's DV in place
+    val dvPairs: Seq[org.apache.spark.rdd.RDD[(Int, Long)]] =
+      (if (mutate && matchedRows > 0)
+        Seq(matchedPairs.select(col("__straw_file"), col("__straw_ord")).rdd
+          .map(r => (r.getInt(0), r.getLong(1))))
+      else Nil) ++
+      (if (unmatchedDeleted > 0)
+        unmatchedPairs.map(_.rdd.map(r => (r.getInt(0), r.getLong(1)))).toSeq
+      else Nil)
     val outs: Array[MatchOut] =
-      if (!mutate || matchedRows == 0) Array.empty
-      else MaintenanceOps.dvFromPairs(spark,
-        matchedPairs.select(col("__straw_file"), col("__straw_ord")).rdd
-          .map(r => (r.getInt(0), r.getLong(1))),
-        candidates.toIndexedSeq)
-        .map(o => MatchOut(o.input, o.matched, o.oldDvPath, o.newDv, o.fullDead))
+      dvPairs.reduceOption(_ union _) match {
+        case None => Array.empty
+        case Some(pairs) => MaintenanceOps.dvFromPairs(spark, pairs,
+          candidates.toIndexedSeq)
+          .map(o => MatchOut(o.input, o.matched, o.oldDvPath, o.newDv, o.fullDead))
+      }
 
     // ---- insert gating: semi/anti join against the matched keys (a
     // frame bounded by the matched target rows). Anti-join keeps
@@ -486,7 +527,7 @@ object StrawMerge {
         else srcAligned.limit(0)
       }
     commitMerge(spark, dir, jobId, toWrite, schema, mapping, opts, listed,
-      serConf, outs, matchedRows, pruned)
+      serConf, outs, matchedRows, pruned, unmatchedDeleted = unmatchedDeleted)
       .copy(distributedSource = true)
   }
 
@@ -513,7 +554,8 @@ object StrawMerge {
       toWrite: DataFrame, schema: StructType, mapping: ColumnMappingState,
       opts: WriteOptions, listed: Seq[StrawIO.Listed],
       serConf: org.apache.spark.util.SerializableConfiguration,
-      mutated: Array[MatchOut], matchedRows: Long, pruned: Int): MergeResult = {
+      mutated: Array[MatchOut], matchedRows: Long, pruned: Int,
+      unmatchedDeleted: Long = 0L): MergeResult = {
     val f = StrawIO.fs(dir)
     def q(p: String): String = f.makeQualified(new Path(p)).toString
     // hive-partitioned targets route inserted rows into their value
@@ -581,6 +623,7 @@ object StrawMerge {
       removedFiles = removes.size,
       dvFiles = dvUpdates.size,
       newFiles = fresh.size,
-      prunedFiles = pruned)
+      prunedFiles = pruned,
+      notMatchedBySourceDeleted = unmatchedDeleted)
   }
 }

@@ -141,4 +141,51 @@ class StrawMergeDistributedSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!res.distributedSource, res.toString)
     assert(res.matchedRows == 1 && res.insertedRows == 2)
   }
+  test("WHEN NOT MATCHED BY SOURCE THEN DELETE: sync semantics, both paths") {
+    val sp = spark; import sp.implicits._
+    val target = (0L until 1000L).map(i => (i, s"old$i")).toDF("k", "s")
+    // source: updates for 200..699, fresh rows 2000..2099
+    val source = ((200L until 700L) ++ (2000L until 2100L))
+      .map(i => (i, s"new$i")).toDF("k", "s")
+    def run(dist: Boolean): (StrawMerge.MergeResult, Set[(Long, String)]) = {
+      val out = s"$dir/sync_${if (dist) "d" else "b"}"
+      target.write.format("strawboat").mode("overwrite").save(out)
+      val res =
+        if (dist) forcedDistributed(StrawMerge.merge(spark, out, source,
+          Seq("k"), deleteNotMatchedBySource = true))
+        else StrawMerge.merge(spark, out, source, Seq("k"),
+          deleteNotMatchedBySource = true)
+      (res, read(out).collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    }
+    val (resB, gotB) = run(dist = false)
+    val (resD, gotD) = run(dist = true)
+    assert(!resB.distributedSource && resD.distributedSource)
+    // full sync: the table now IS the source
+    val want = source.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(gotB == want, s"broadcast sync diff: ${(gotB diff want).take(3)}")
+    assert(gotD == want)
+    // 0..199 and 700..999 had no source match
+    assert(resB.notMatchedBySourceDeleted == 500, resB.toString)
+    assert(resD.notMatchedBySourceDeleted == 500, resD.toString)
+    assert(resB.matchedRows == 500 && resD.matchedRows == 500)
+  }
+
+  test("Keep + deleteNotMatchedBySource keeps matched target versions") {
+    val sp = spark; import sp.implicits._
+    val out = s"$dir/keep_sync"
+    (0L until 100L).map(i => (i, s"t$i")).toDF("k", "s")
+      .write.format("strawboat").mode("overwrite").save(out)
+    val source = ((40L until 60L) ++ (500L until 510L))
+      .map(i => (i, s"s$i")).toDF("k", "s")
+    val res = StrawMerge.merge(spark, out, source, Seq("k"),
+      whenMatched = StrawMerge.Keep, insertNotMatched = true,
+      deleteNotMatchedBySource = true)
+    assert(res.matchedRows == 20 && res.notMatchedBySourceDeleted == 80, res.toString)
+    val got = read(out).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // matched keys keep their TARGET versions; source-only rows insert
+    val want = (40L until 60L).map(i => (i, s"t$i")).toSet ++
+      (500L until 510L).map(i => (i, s"s$i")).toSet
+    assert(got == want)
+  }
+
 }

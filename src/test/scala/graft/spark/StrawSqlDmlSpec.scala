@@ -199,4 +199,28 @@ class StrawSqlDmlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT v FROM straw.x1").collect()(0).getString(0) == "a")
     spark.sql("DROP TABLE straw.x1")
   }
+  test("MERGE WHEN NOT MATCHED BY SOURCE THEN DELETE syncs the target") {
+    spark.sql("CREATE TABLE straw.sync (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO straw.sync SELECT id, concat('t', id) FROM range(50)")
+    spark.sql("CREATE TABLE straw.sync_src (id BIGINT, v STRING)")
+    spark.sql("""INSERT INTO straw.sync_src
+      SELECT id, concat('s', id) FROM range(20, 60)""")
+    spark.sql("""MERGE INTO straw.sync AS t USING straw.sync_src AS s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    val got = spark.sql("SELECT id, v FROM straw.sync ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == (20L until 60L).map(i => (i, s"s$i")))
+    // conditional BY SOURCE forms refuse loudly
+    val e = intercept[Exception] {
+      spark.sql("""MERGE INTO straw.sync AS t USING straw.sync_src AS s
+        ON t.id = s.id
+        WHEN NOT MATCHED BY SOURCE AND t.id < 30 THEN DELETE""")
+    }
+    assert(e.getMessage.contains("NOT MATCHED BY SOURCE"), e.getMessage)
+    spark.sql("DROP TABLE straw.sync"); spark.sql("DROP TABLE straw.sync_src")
+  }
+
 }
