@@ -220,7 +220,8 @@ object ColumnarSupport {
       outCols: Int,
       pred: org.apache.spark.sql.catalyst.InternalRow => Boolean = null,
       dead: org.roaringbitmap.RoaringBitmap = null,
-      mapping: ColumnMappingState = ColumnMappingState.Empty)
+      mapping: ColumnMappingState = ColumnMappingState.Empty,
+      appendPos: Boolean = false)
     extends PartitionReader[ColumnarBatch] {
 
     def this(part: StrawInputPartition, requiredSchema: StructType) =
@@ -249,9 +250,23 @@ object ColumnarSupport {
       } catch { case e: Throwable => input.close(); throw e }
     private val pageRows: Array[Int] =
       if (footer.columns.isEmpty) Array.empty else footer.columns(0).pages.map(_.numValues)
-    // file-absolute ordinal of each page's first row (deletion vectors)
+    // file-absolute ordinal of each page's first row (deletion vectors,
+    // the `_pos` metadata column)
     private val pageStartOrd: Array[Long] =
-      if (dead == null) null else pageRows.scanLeft(0L)(_ + _)
+      if (dead == null && !appendPos) null else pageRows.scanLeft(0L)(_ + _)
+    // `_pos` vector: appended AFTER the produced data prefix; refilled per
+    // batch with the surviving rows' file-absolute ordinals
+    private var posVec: OnHeapColumnVector = _
+    private def withPos(vecs: Array[OnHeapColumnVector], cap: Int)
+        : Array[ColumnVector] = {
+      if (!appendPos) return vecs.map(_.asInstanceOf[ColumnVector])
+      if (posVec == null)
+        posVec = OnHeapColumnVector.allocateColumns(cap,
+          StructType(Seq(org.apache.spark.sql.types.StructField("_pos",
+            org.apache.spark.sql.types.LongType, nullable = false))))(0)
+      else posVec.reserve(cap)
+      (vecs :+ posVec).map(_.asInstanceOf[ColumnVector])
+    }
     // survivor compaction engages when EITHER filter source is active
     private def filtering: Boolean = pred != null || dead != null
     // per-column leaf read plan (flat = one leaf, struct = its leaf set);
@@ -292,16 +307,32 @@ object ColumnarSupport {
           else math.max(0L, footer.numRows - dead.getLongCardinality)
         val n = math.min(live, part.limit)
         if (n <= 0) return false
-        if (outSchema.isEmpty)
-          batch = new ColumnarBatch(Array.empty[ColumnVector], n.toInt)
-        else {
-          // zero-column file under a non-empty merged schema: null-fill
-          // every required column (mirror of the row reader's path) so
-          // downstream column access works
-          vectors = OnHeapColumnVector.allocateColumns(n.toInt, outSchema)
-          vectors.foreach(_.putNulls(0, n.toInt))
-          batch = new ColumnarBatch(vectors.map(_.asInstanceOf[ColumnVector]), n.toInt)
-        }
+        val zeroVecs =
+          if (outSchema.isEmpty) Array.empty[OnHeapColumnVector]
+          else {
+            // zero-column file under a non-empty merged schema: null-fill
+            // every required column (mirror of the row reader's path) so
+            // downstream column access works
+            vectors = OnHeapColumnVector.allocateColumns(n.toInt, outSchema)
+            vectors.foreach(_.putNulls(0, n.toInt))
+            vectors
+          }
+        if (appendPos) {
+          // live ordinals advance past dead rows (mirror of the row
+          // reader's zero-column PosIterator)
+          val cols = withPos(zeroVecs, n.toInt)
+          var ord = -1L
+          var j = 0
+          while (j < n.toInt) {
+            ord += 1
+            if (dead != null) while (dead.contains(ord.toInt)) ord += 1
+            posVec.putLong(j, ord)
+            j += 1
+          }
+          batch = new ColumnarBatch(cols, n.toInt)
+        } else
+          batch = new ColumnarBatch(
+            zeroVecs.map(_.asInstanceOf[ColumnVector]), n.toInt)
         return true
       }
       while (pageIdx < part.pageEnd && emitted < part.limit) {
@@ -319,14 +350,13 @@ object ColumnarSupport {
             vectors = OnHeapColumnVector.allocateColumns(n0, readSchema)
             fullBatch = new ColumnarBatch(vectors.map(_.asInstanceOf[ColumnVector]), n0)
             outBatch =
-              if (outCols == readSchema.length) fullBatch
-              else new ColumnarBatch(
-                vectors.take(outCols).map(_.asInstanceOf[ColumnVector]), n0)
+              if (outCols == readSchema.length && !appendPos) fullBatch
+              else new ColumnarBatch(withPos(vectors.take(outCols), n0), n0)
             compactVectors =
               if (!filtering) null else OnHeapColumnVector.allocateColumns(n0, outSchema)
             compactBatch =
               if (!filtering) null
-              else new ColumnarBatch(compactVectors.map(_.asInstanceOf[ColumnVector]), n0)
+              else new ColumnarBatch(withPos(compactVectors, n0), n0)
             selection = if (!filtering) null else new Array[Int](n0)
             vectorCapacity = n0
           } else {
@@ -357,6 +387,10 @@ object ColumnarSupport {
           if (pred == null && deadInPage == 0L) {
             val n = math.min(n0.toLong, part.limit - emitted).toInt
             if (n > 0) {
+              if (appendPos) {
+                var j = 0
+                while (j < n) { posVec.putLong(j, pageStartOrd(p) + j); j += 1 }
+              }
               emitted += n
               outBatch.setNumRows(n)
               batch = outBatch
@@ -378,6 +412,10 @@ object ColumnarSupport {
             }
             if (nSel == n0 && outCols == readSchema.length) {
               // every row passed and nothing to project away: zero copy
+              if (appendPos) {
+                var j = 0
+                while (j < nSel) { posVec.putLong(j, pageStartOrd(p) + j); j += 1 }
+              }
               emitted += nSel
               outBatch.setNumRows(nSel)
               batch = outBatch
@@ -389,6 +427,13 @@ object ColumnarSupport {
                 compactColumn(outSchema.fields(c2).dataType, vectors(c2),
                   selection, nSel, compactVectors(c2))
                 c2 += 1
+              }
+              if (appendPos) {
+                var j = 0
+                while (j < nSel) {
+                  posVec.putLong(j, pageStartOrd(p) + selection(j))
+                  j += 1
+                }
               }
               emitted += nSel
               compactBatch.setNumRows(nSel)
@@ -408,6 +453,7 @@ object ColumnarSupport {
       // close every allocated vector exactly once (batches share vectors)
       if (vectors != null) { vectors.foreach(_.close()); vectors = null }
       if (compactVectors != null) { compactVectors.foreach(_.close()); compactVectors = null }
+      if (posVec != null) { posVec.close(); posVec = null }
       batch = null
       input.close()
     }

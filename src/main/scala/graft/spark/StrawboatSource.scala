@@ -1440,7 +1440,7 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
   // in-reader (zero-copy for all-pass pages, survivor compaction for mixed)
   override def supportColumnarReads(partition: InputPartition): Boolean =
     !partition.isInstanceOf[StrawKeyedPartition] && topNActive.isEmpty &&
-      !typeWidened && !appendPos &&
+      !typeWidened &&
       readSchemaExt.fields.forall(f => ColumnarSupport.isVectorizable(f.dataType)) && {
         // survivor compaction (consumed filters / deletion vectors) copies
         // between vectors — not implemented for array columns, which route
@@ -1460,7 +1460,7 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
     val dead: org.roaringbitmap.RoaringBitmap =
       if (p.dvPath == null) null else DeletionVector.read(p.dvPath, p.dvLen)
     val base = new ColumnarSupport.StrawColumnarReader(p, readSchemaExt,
-      requiredSchema.length, rowPred.orNull, dead, mapping)
+      requiredSchema.length, rowPred.orNull, dead, mapping, appendPos)
     if (!appendFile) base
     else new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
       // _file stays vectorized: one constant string vector appended per

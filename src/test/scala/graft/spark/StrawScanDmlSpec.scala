@@ -41,6 +41,10 @@ class StrawScanDmlSpec extends AnyFunSuite with BeforeAndAfterAll {
     (0L until 1000L).map(i => (i, i % 7)).toDF("id", "g")
       .repartition(2).write.format("strawboat").mode("overwrite").save(dir)
     val df = spark.read.format("strawboat").load(dir)
+    // `_pos` reads stay VECTORIZED (the ordinal vector fills per batch)
+    val plan = df.select("_file", "_pos", "id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), s"_pos scan left columnar:\n$plan")
     val pos = df.select("_file", "_pos", "id").collect()
     assert(pos.length == 1000)
     // per file: ordinals are exactly 0..n-1
