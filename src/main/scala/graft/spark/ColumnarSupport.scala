@@ -64,8 +64,14 @@ object ColumnarSupport {
             // low 32 bits regardless of codec sign/zero extension
             while (i < n) { v.putFloat(i, java.lang.Float.intBitsToFloat(vals(i).toInt)); i += 1 }
           case DoubleType =>
-            var i = 0
-            while (i < n) { v.putDouble(i, java.lang.Double.longBitsToDouble(vals(i))); i += 1 }
+            // bit-identical reinterpretation: one bulk copy through a
+            // scratch double[] instead of n scalar putDouble calls — the
+            // TPC-H money columns' hot path
+            val d = new Array[Double](n)
+            org.apache.spark.unsafe.Platform.copyMemory(
+              vals, org.apache.spark.unsafe.Platform.LONG_ARRAY_OFFSET,
+              d, org.apache.spark.unsafe.Platform.DOUBLE_ARRAY_OFFSET, n * 8L)
+            v.putDoubles(0, n, d, 0)
           case d: DecimalType =>
             // Spark backs precision <= 9 with an INT vector, 10..18 with long
             if (d.precision <= 9) {

@@ -1016,7 +1016,16 @@ class StrawScan(
         }.toArray
       case None =>
     }
-    val targetBytes = 32L << 20
+    // split sizing mirrors the file-source heuristic: cap at 32 MiB, but
+    // shrink toward totalBytes/defaultParallelism (floored at the 4 MiB
+    // open cost) so a table smaller than cores×cap still fans out — a
+    // 9 MB probe side must not scan single-threaded under a 32-way join
+    val targetBytes = {
+      val totalBytes = footers.foldLeft(0L)((a, f) => a + f._3)
+      val par = math.max(1,
+        org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism)
+      math.min(32L << 20, math.max(4L << 20, totalBytes / par))
+    }
     // a pushed limit counts FILTER-PASSING rows; with exact filters consumed
     // the planner's page row counts are pre-filter, so planning must not
     // truncate on them (the readers stop after `limit` passing rows instead)
