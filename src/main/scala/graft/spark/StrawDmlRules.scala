@@ -333,12 +333,29 @@ case class StrawMergeCommand(path: String, pinned: Option[Long],
         "strawboat: supported WHEN MATCHED forms are exactly one " +
           "unconditional `UPDATE SET *` or `DELETE`, got: " + other.mkString(", "))
     }
-    val insertNotMatched = notMatched match {
-      case Seq() => false
-      case Seq(InsertAction(None, as)) if isStarAssignment(as) => true
+    val (insertNotMatched, insertCondition) = notMatched match {
+      case Seq() => (false, None)
+      case Seq(InsertAction(None, as)) if isStarAssignment(as) => (true, None)
+      case Seq(InsertAction(Some(c), as)) if isStarAssignment(as) =>
+        // condition over SOURCE columns only, re-analyzed over the aligned
+        // source by name (the same SQL-round-trip idiom UPDATE uses) —
+        // target references or subqueries cannot ride it
+        require(c.references.forall(a => !targetSet.contains(a)),
+          "strawboat: WHEN NOT MATCHED condition may reference only " +
+            s"SOURCE columns, got: ${c.sql}")
+        require(!c.exists(_.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]),
+          "strawboat: WHEN NOT MATCHED condition must not contain a subquery")
+        require(c.deterministic,
+          "strawboat: WHEN NOT MATCHED condition must be deterministic")
+        val sql = c.transform {
+          case a: AttributeReference => a.withQualifier(Seq.empty)
+        }.sql
+        (true, Some(sql))
       case other => throw new UnsupportedOperationException(
-        "strawboat: supported WHEN NOT MATCHED form is exactly one " +
-          "unconditional `INSERT *`, got: " + other.mkString(", "))
+        "strawboat: supported WHEN NOT MATCHED forms are one `INSERT *`, " +
+          "optionally with an AND condition over source columns, got: " +
+          other.mkString(", "))
     }
     // align the source to the TABLE's exact column types (the SQL-side
     // equivalent of the implicit casts the analyzer put in the assignments)
@@ -347,7 +364,8 @@ case class StrawMergeCommand(path: String, pinned: Option[Long],
       .select(targetOutput.map(a =>
         org.apache.spark.sql.functions.col(a.name).cast(a.dataType).as(a.name)): _*)
     StrawMerge.merge(spark, path, sourceDf, keys, whenMatched, insertNotMatched,
-      deleteNotMatchedBySource = deleteNotMatchedBySource): Unit
+      deleteNotMatchedBySource = deleteNotMatchedBySource,
+      insertCondition = insertCondition): Unit
     Seq.empty
   }
 }

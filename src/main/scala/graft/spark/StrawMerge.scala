@@ -103,11 +103,17 @@ object StrawMerge {
     }
   }
 
+  /** @param insertCondition SQL predicate over the TABLE's columns gating
+    *        which NOT-MATCHED source rows insert (`WHEN NOT MATCHED AND c
+    *        THEN INSERT *`); analyzed by the session against the aligned
+    *        source. Matching itself is unaffected — a matched source row
+    *        is never an insert candidate regardless. */
   def merge(spark: SparkSession, dir: String, source: DataFrame,
       keys: Seq[String], whenMatched: MatchedAction = Replace,
       insertNotMatched: Boolean = true,
       opts: WriteOptions = WriteOptions(),
-      deleteNotMatchedBySource: Boolean = false): MergeResult = {
+      deleteNotMatchedBySource: Boolean = false,
+      insertCondition: Option[String] = None): MergeResult = {
     require(keys.nonEmpty, "strawboat: merge needs at least one key column")
     require(whenMatched != Keep || insertNotMatched || deleteNotMatchedBySource,
       "strawboat: merge with whenMatched=Keep and insertNotMatched=false is a no-op")
@@ -170,19 +176,25 @@ object StrawMerge {
     val perRowKeyBytes = keySchema.fields.map(_.dataType.defaultSize + 16).sum.toLong
     val gateBytes = spark.conf.get(BroadcastKeyBytesConf,
       BroadcastKeyBytesDefault.toString).toLong
+    // bind the insert condition up front: a typo'd column or analysis
+    // error must fail before anything mutates
+    val icCol: Option[org.apache.spark.sql.Column] =
+      insertCondition.map(c => org.apache.spark.sql.functions.expr(c))
+    icCol.foreach(c => srcMat.filter(c).queryExecution.assertAnalyzed())
     if (srcRows * perRowKeyBytes <= gateBytes)
       mergeBroadcast(spark, dir, srcMat, keys, keyIdx, whenMatched,
-        insertNotMatched, opts, listed, schema, deleteNotMatchedBySource)
+        insertNotMatched, opts, listed, schema, deleteNotMatchedBySource, icCol)
     else
       mergeDistributed(spark, dir, srcMat, keys, keyIdx, whenMatched,
-        insertNotMatched, opts, listed, schema, deleteNotMatchedBySource)
+        insertNotMatched, opts, listed, schema, deleteNotMatchedBySource, icCol)
   }
 
   private def mergeBroadcast(spark: SparkSession, dir: String,
       srcAligned: DataFrame, keys: Seq[String], keyIdx: Seq[Int],
       whenMatched: MatchedAction, insertNotMatched: Boolean,
       opts: WriteOptions, listed: Seq[StrawIO.Listed],
-      schema: StructType, deleteUnmatched: Boolean): MergeResult = {
+      schema: StructType, deleteUnmatched: Boolean,
+      insertCond: Option[org.apache.spark.sql.Column]): MergeResult = {
     val mapping = StrawLog.mappingAt(dir)
     // the source KEY SET comes to the driver: dedup check + pruning bounds
     // + broadcast probe set (catalyst-valued tuples; the types above are
@@ -338,13 +350,29 @@ object StrawMerge {
           if (k(c) == null) null else toScala(c)(k(c))))
       val matchedB = spark.sparkContext.broadcast(matchedExternal)
       val kIdx = keyIdx.toArray
-      val filterFn: org.apache.spark.sql.Row => Boolean = { r =>
-        val key = Vector.tabulate(kIdx.length)(c =>
+      def keyOf(r: org.apache.spark.sql.Row): Vector[Any] =
+        Vector.tabulate(kIdx.length)(c =>
           if (r.isNullAt(kIdx(c))) null else r.get(kIdx(c)))
-        val isMatched = matchedB.value(key)
-        (isMatched && keepMatchedSrc) || (!isMatched && insertNotMatched)
+      insertCond match {
+        case None =>
+          val filterFn: org.apache.spark.sql.Row => Boolean = { r =>
+            val isMatched = matchedB.value(keyOf(r))
+            (isMatched && keepMatchedSrc) || (!isMatched && insertNotMatched)
+          }
+          srcAligned.filter(filterFn)
+        case Some(ic) =>
+          // the condition gates only the NOT-MATCHED branch — matched
+          // source rows (the replacement versions) are never subject to it
+          val matchedPart =
+            if (!keepMatchedSrc) srcAligned.limit(0)
+            else srcAligned.filter((r: org.apache.spark.sql.Row) =>
+              matchedB.value(keyOf(r)))
+          val unmatchedPart =
+            if (!insertNotMatched) srcAligned.limit(0)
+            else srcAligned.filter((r: org.apache.spark.sql.Row) =>
+              !matchedB.value(keyOf(r))).filter(ic)
+          matchedPart.unionAll(unmatchedPart)
       }
-      srcAligned.filter(filterFn)
     }
     val mutated: Array[MatchOut] = outs
       .filter(o => o.newDv != null || o.fullDead)
@@ -360,7 +388,8 @@ object StrawMerge {
       srcAligned: DataFrame, keys: Seq[String], keyIdx: Seq[Int],
       whenMatched: MatchedAction, insertNotMatched: Boolean,
       opts: WriteOptions, listed: Seq[StrawIO.Listed],
-      schema: StructType, deleteUnmatched: Boolean): MergeResult = {
+      schema: StructType, deleteUnmatched: Boolean,
+      insertCond: Option[org.apache.spark.sql.Column]): MergeResult = {
     import org.apache.spark.sql.functions.{col, count, lit, max, min}
     val mapping = StrawLog.mappingAt(dir)
     val keySchema = StructType(keyIdx.map(schema.fields(_)))
@@ -519,12 +548,19 @@ object StrawMerge {
     // the broadcast path's set filter.
     val keepMatchedSrc = whenMatched == Replace
     val toWrite: DataFrame =
-      if (keepMatchedSrc && insertNotMatched) srcAligned
+      if (keepMatchedSrc && insertNotMatched && insertCond.isEmpty) srcAligned
       else {
         val matchedKeys = matchedPairs.select(keyCols: _*)
-        if (keepMatchedSrc) srcAligned.join(matchedKeys, keys, "left_semi")
-        else if (insertNotMatched) srcAligned.join(matchedKeys, keys, "left_anti")
-        else srcAligned.limit(0)
+        val matchedPart =
+          if (keepMatchedSrc) srcAligned.join(matchedKeys, keys, "left_semi")
+          else srcAligned.limit(0)
+        val unmatchedPart =
+          if (!insertNotMatched) srcAligned.limit(0)
+          else {
+            val anti = srcAligned.join(matchedKeys, keys, "left_anti")
+            insertCond.map(anti.filter).getOrElse(anti)
+          }
+        matchedPart.unionAll(unmatchedPart)
       }
     commitMerge(spark, dir, jobId, toWrite, schema, mapping, opts, listed,
       serConf, outs, matchedRows, pruned, unmatchedDeleted = unmatchedDeleted)

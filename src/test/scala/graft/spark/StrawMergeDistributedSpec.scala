@@ -188,4 +188,27 @@ class StrawMergeDistributedSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("insert condition gates the not-matched branch on both paths") {
+    val sp = spark; import sp.implicits._
+    val target = (0L until 500L).map(i => (i, s"t$i")).toDF("k", "s")
+    val source = ((400L until 500L) ++ (900L until 1000L))
+      .map(i => (i, s"s$i")).toDF("k", "s")
+    def run(dist: Boolean): Set[(Long, String)] = {
+      val out = s"$dir/ic_${if (dist) "d" else "b"}"
+      target.write.format("strawboat").mode("overwrite").save(out)
+      val body = () => StrawMerge.merge(spark, out, source, Seq("k"),
+        insertCondition = Some("k % 2 = 0"))
+      val res = if (dist) forcedDistributed(body()) else body()
+      assert(res.distributedSource == dist)
+      read(out).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    }
+    // matched 400..499 all replaced (condition gates inserts only);
+    // unmatched 900..999 inserted only when even
+    val want = (0L until 400L).map(i => (i, s"t$i")).toSet ++
+      (400L until 500L).map(i => (i, s"s$i")).toSet ++
+      (900L until 1000L by 2).map(i => (i, s"s$i")).toSet
+    assert(run(dist = false) == want)
+    assert(run(dist = true) == want)
+  }
+
 }

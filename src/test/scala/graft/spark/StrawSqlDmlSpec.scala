@@ -223,4 +223,35 @@ class StrawSqlDmlSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE straw.sync"); spark.sql("DROP TABLE straw.sync_src")
   }
 
+  test("MERGE WHEN NOT MATCHED AND <cond> THEN INSERT gates inserts only") {
+    spark.sql("CREATE TABLE straw.ci (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO straw.ci SELECT id, id FROM range(10)")
+    spark.sql("CREATE TABLE straw.ci_src (id BIGINT, v BIGINT)")
+    // 5..9 matched (v=1000x), 20..29 unmatched with mixed v parity
+    spark.sql("""INSERT INTO straw.ci_src
+      SELECT id, id * 1000 FROM range(5, 10)
+      UNION ALL SELECT id, id FROM range(20, 30)""")
+    spark.sql("""MERGE INTO straw.ci AS t USING straw.ci_src AS s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED AND s.v % 2 = 0 THEN INSERT *""")
+    val got = spark.sql("SELECT id, v FROM straw.ci ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // matched rows replaced REGARDLESS of the insert condition; unmatched
+    // rows inserted only when even
+    val want = (0L until 5L).map(i => (i, i)) ++
+      (5L until 10L).map(i => (i, i * 1000)) ++
+      (20L until 30L by 2).map(i => (i, i))
+    assert(got == want, got.mkString(","))
+    // a target-column reference in the insert condition refuses loudly
+    val e = intercept[Exception] {
+      spark.sql("""MERGE INTO straw.ci AS t USING straw.ci_src AS s
+        ON t.id = s.id
+        WHEN NOT MATCHED AND t.v > 0 THEN INSERT *""")
+    }
+    assert(e.getMessage.contains("SOURCE columns") ||
+      e.getMessage.contains("UNRESOLVED_COLUMN"), e.getMessage)
+    spark.sql("DROP TABLE straw.ci"); spark.sql("DROP TABLE straw.ci_src")
+  }
+
 }
