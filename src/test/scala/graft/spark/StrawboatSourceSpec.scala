@@ -1045,4 +1045,21 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val all = spark.read.format("strawboat").load(out).collect()
     assert(all.length == 4000)
   }
+  test("scan splits scale to parallelism: small tables still fan out") {
+    val sp = spark; import sp.implicits._
+    val out = s"$dir/fanout"
+    // ~12 MB of INCOMPRESSIBLE rows in one file: far under cores x 32 MiB,
+    // so the fixed cap would plan ONE partition and a join probe would run
+    // single-threaded; the bytes-per-core floor must split it
+    spark.range(400000)
+      .selectExpr("id", "concat(md5(cast(id as string)), md5(cast(id+1 as string))) AS s")
+      .coalesce(1)
+      .write.format("strawboat").mode("overwrite")
+      .option("maxPageSize", "16384").save(out)
+    val bytes = StrawIO.listFilesMeta(out).map(_.len).sum
+    assert(bytes > (8L << 20), s"fixture too small/compressible: $bytes B")
+    val parts = spark.read.format("strawboat").load(out).rdd.getNumPartitions
+    assert(parts >= 2, s"small-table scan planned $parts partition(s)")
+  }
+
 }
