@@ -28,6 +28,10 @@ object Bench {
     // mutations land in the warm-up run; steady state times the reads
     // through the resulting DVs
     "q_merge_large", "q_delete_subquery",
+    // round-10: storage-partitioned join over hash-bucketed tables (the
+    // one-time bucketed CTAS lands in the warm-up; steady state times the
+    // shuffle-free join itself)
+    "q_join_bucketed",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_embedding_lsh",
     "q_ann_brute", "q_ann_ivf", "q_text_stats",
     // nested-leaf scan through the vectorized struct reader (round 9)

@@ -1344,6 +1344,35 @@ object SparkEntry {
       s.sql("""SELECT doc_id, language, CAST(n_chars AS BIGINT) AS n_chars, source
                FROM strawmap.docs ORDER BY doc_id""")
     }),
+    "q_join_bucketed" -> ((s, d) => {
+      // hash-bucketed tables (PARTITIONED BY bucket(n, key)): every data
+      // file holds one murmur3 bucket of the key, so two co-bucketed tables
+      // join with a storage-partitioned plan — zero shuffle on either side
+      // at any scale (see StrawBucket / StrawBucketSpec for the
+      // no-Exchange plan proof). Decimal sums keep the oracle hash exact.
+      val wh = Tables.strawDir(s, d, "orders") + "_bktwh"
+      s.conf.set("spark.sql.catalog.strawbkt", "graft.spark.StrawCatalog")
+      s.conf.set("spark.sql.catalog.strawbkt.warehouse", wh)
+      val marker = new java.io.File(wh, "_BKT_OK")
+      if (!marker.exists()) {
+        t(s, d, "orders").createOrReplaceTempView("bkt_orders_src")
+        t(s, d, "customer").createOrReplaceTempView("bkt_customer_src")
+        s.sql("DROP TABLE IF EXISTS strawbkt.ord")
+        s.sql("DROP TABLE IF EXISTS strawbkt.cust")
+        s.sql("""CREATE TABLE strawbkt.ord PARTITIONED BY (bucket(16, o_custkey))
+                 AS SELECT o_orderkey, o_custkey, o_totalprice FROM bkt_orders_src""")
+        s.sql("""CREATE TABLE strawbkt.cust PARTITIONED BY (bucket(16, c_custkey))
+                 AS SELECT c_custkey, c_name, c_mktsegment FROM bkt_customer_src""")
+        marker.createNewFile()
+      }
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      // exact-cents BIGINT keeps the decimal sum associative AND
+      // engine-representation-free (the q_decimal_agg convention)
+      s.sql("""SELECT c.c_mktsegment, COUNT(*) AS orders,
+                      CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_c
+               FROM strawbkt.ord o JOIN strawbkt.cust c ON o.o_custkey = c.c_custkey
+               GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""")
+    }),
     "q_stream_windowed" -> ((s, d) => {
       // tumbling 1-day windows per event_type, built up ACROSS micro-batches
       // in the state store (maxFilesPerTrigger=1 forces several batches),
@@ -1981,6 +2010,12 @@ object SparkEntry {
         |SELECT doc_id + 1000000, upper(lang), CAST(n_chars AS BIGINT), 'fresh'
         |FROM documents WHERE n_chars > 400
         |ORDER BY doc_id""".stripMargin,
+    "q_join_bucketed" -> // same join/agg over the source parquet — bucketing
+      // changes the physical plan (storage-partitioned join), never results
+      """SELECT c.c_mktsegment, COUNT(*) AS orders,
+        |  (SUM(o.o_totalprice::DECIMAL(18,2)) * 100)::BIGINT AS total_c
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
     "q_stream_windowed" -> // batch equivalent of the windowed stateful drain
       // (both sides see the parquet ts at µs precision; window start floors
       // to the UTC day in µs)

@@ -60,7 +60,12 @@ final case class WriteOptions(
     // Patas float variant: Some(true) forces the ring-reference search,
     // Some(false) the prev-XOR chain, None (default) decides per page by
     // trial-encoding a contiguous prefix with both
-    patasRing: Option[Boolean] = None)
+    patasRing: Option[Boolean] = None,
+    // hash-bucket layout: rows route to one of `buckets` files per task by
+    // murmur3 of the `bucketBy` column — equal keys co-locate across tables
+    // for storage-partitioned (shuffle-free) joins; see spark.StrawBucket
+    bucketBy: Option[String] = None,
+    buckets: Int = 0)
 
 /** Growable little-endian byte buffer (write side). */
 final class ByteBuf(initial: Int = 1 << 14) {

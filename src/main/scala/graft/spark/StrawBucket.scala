@@ -1,0 +1,201 @@
+package graft.spark
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hash-bucketed table layout.
+  *
+  * `df.write.format("strawboat").option("bucketBy", "key").option("buckets", n)`
+  * routes each row to one of `n` buckets by murmur3 of the key column; every
+  * data file holds exactly one bucket, tagged in its NAME (`-bBBBBBofNNNNN`
+  * before the extension) so planning needs zero extra IO to group or prune.
+  *
+  * Why it matters at scale: two large tables bucketed the same way join on
+  * the bucket column with NO shuffle on either side — the scan reports
+  * `KeyGroupedPartitioning(bucket(n, key))` and Spark's storage-partitioned
+  * execution aligns bucket i with bucket i. Hive identity partitioning gives
+  * the same for low-cardinality columns; bucketing extends it to
+  * high-cardinality join keys (user id, order key) where a directory per
+  * value is impossible. Equality filters on the key additionally prune to
+  * 1/n of the files before any footer IO.
+  *
+  * The hash is fixed (murmur3, seed 42) and implemented once here for the
+  * write path, the filter-pruning path, and the V2 `bucket` catalog function
+  * that Spark's `V2ExpressionUtils` resolves transforms against — all three
+  * must agree or co-location silently breaks.
+  */
+object StrawBucket {
+  private val Seed = 42
+
+  /** Types a bucket key may have: fixed-width integrals and strings — the
+    * realistic join-key shapes. (Float/decimal equality is a modeling bug
+    * more often than a join key; nested types have no stable hash.) */
+  def bucketable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType |
+        BooleanType | DateType | TimestampType => true
+    case _ => false
+  }
+
+  /** Murmur3 of an INTERNAL value (UTF8String for strings, micros for
+    * timestamps). Null hashes are never taken — [[bucketOf]] pins nulls. */
+  private def hash(value: Any, dt: DataType): Int = dt match {
+    case ByteType => Murmur3_x86_32.hashLong(value.asInstanceOf[Byte].toLong, Seed)
+    case ShortType => Murmur3_x86_32.hashLong(value.asInstanceOf[Short].toLong, Seed)
+    case IntegerType | DateType => Murmur3_x86_32.hashLong(value.asInstanceOf[Int].toLong, Seed)
+    case LongType | TimestampType => Murmur3_x86_32.hashLong(value.asInstanceOf[Long], Seed)
+    case BooleanType => Murmur3_x86_32.hashLong(if (value.asInstanceOf[Boolean]) 1L else 0L, Seed)
+    case StringType =>
+      val s = value.asInstanceOf[UTF8String]
+      Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, Seed)
+    case other =>
+      throw new IllegalArgumentException(s"strawboat: unbucketable type $other")
+  }
+
+  /** Bucket of an internal value in [0, n). Nulls go to bucket 0 — a fixed,
+    * documented choice both the writer and the pruner share. */
+  def bucketOf(value: Any, dt: DataType, n: Int): Int =
+    if (value == null) 0
+    else {
+      val h = hash(value, dt) % n
+      if (h < 0) h + n else h
+    }
+
+  /** Bucket of a filter-side (EXTERNAL) value: Scala/Java types as the
+    * v1 Filter API carries them. None = unprunable value shape. */
+  def bucketOfExternal(value: Any, dt: DataType, n: Int): Option[Int] =
+    (dt, value) match {
+      case (_, null) => None
+      case (StringType, s: String) => Some(bucketOf(UTF8String.fromString(s), dt, n))
+      case (ByteType, v: Byte) => Some(bucketOf(v, dt, n))
+      case (ShortType, v: Short) => Some(bucketOf(v, dt, n))
+      case (IntegerType, v: Int) => Some(bucketOf(v, dt, n))
+      case (LongType, v: Long) => Some(bucketOf(v, dt, n))
+      case (BooleanType, v: Boolean) => Some(bucketOf(v, dt, n))
+      case _ => None // dates/timestamps arrive as java.sql/java.time — skip
+    }
+
+  // ---- file-name tag ------------------------------------------------------
+
+  /** Inserted before the extension: `part-...-b00003of00016.strb`. */
+  def fileTag(bucket: Int, n: Int): String = f"-b$bucket%05dof$n%05d"
+
+  private val TagRe = raw"-b(\d{5})of(\d{5})\.".r
+
+  /** (bucket, numBuckets) from a data-file path, if tagged. */
+  def parseTag(path: String): Option[(Int, Int)] = {
+    val name = path.substring(path.lastIndexOf('/') + 1)
+    TagRe.findFirstMatchIn(name).map(m => (m.group(1).toInt, m.group(2).toInt))
+  }
+
+  /** Schema-only marker files (`part-empty-*`) carry no bucket; they are
+    * legal in a bucketed table and invisible to the layout. */
+  def isMarker(path: String): Boolean =
+    path.substring(path.lastIndexOf('/') + 1).startsWith("part-empty-")
+
+  // ---- table-level spec ---------------------------------------------------
+
+  val PropBucketBy = "write.bucketBy"
+  val PropBuckets = "write.buckets"
+
+  /** The table's bucket spec from its (sidecar) properties, if declared. */
+  def specFromProps(props: Map[String, String]): Option[(String, Int)] = {
+    def get(k: String): Option[String] =
+      props.collectFirst { case (key, v) if key.equalsIgnoreCase(k) => v }
+    for (c <- get(PropBucketBy); n <- get(PropBuckets)) yield (c.trim, n.trim.toInt)
+  }
+
+  /** The spec persisted on disk: `_straw_table.json` properties. Catalog
+    * tables record it at CREATE; a bucketed path write claims a minimal
+    * sidecar at commit ([[recordSpec]]) so every later reader, mutation,
+    * and maintenance pass resolves the layout with no options. */
+  def specOf(dir: String): Option[(String, Int)] =
+    try StrawTableSidecar.read(dir).flatMap(s => specFromProps(s.properties))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** `opts` with the table's persisted spec filled in — what MERGE inserts,
+    * DML rewrites, and compaction call so their outputs keep the layout a
+    * plain write established. No-op when `opts` already carries a spec or
+    * the table has none. */
+  def withTableSpec(dir: String, opts: graft.format.WriteOptions)
+      : graft.format.WriteOptions =
+    if (opts.buckets > 0) opts
+    else specOf(dir) match {
+      case Some((c, n)) => opts.copy(bucketBy = Some(c), buckets = n)
+      case None => opts
+    }
+
+  private def stripSpec(props: Map[String, String]): Map[String, String] =
+    props.filterNot { case (k, _) =>
+      k.equalsIgnoreCase(PropBucketBy) || k.equalsIgnoreCase(PropBuckets) }
+
+  /** Driver-side, at write-commit time: make the sidecar agree with this
+    * write's layout. A bucketed write records its spec (claiming a minimal
+    * sidecar on path tables that have none); an unbucketed TRUNCATE drops a
+    * stale spec. Racing first writes both carry the same spec (the append
+    * gate enforced it), so losing the claim is a no-op. */
+  def recordSpec(dir: String, opts: graft.format.WriteOptions,
+      truncate: Boolean): Unit = {
+    val cur =
+      try StrawTableSidecar.read(dir)
+      catch { case scala.util.control.NonFatal(_) => return }
+    if (opts.buckets > 0) {
+      val col = opts.bucketBy.get
+      val want = Map(PropBucketBy -> col, PropBuckets -> opts.buckets.toString)
+      cur match {
+        case None =>
+          try StrawTableSidecar.claim(dir, StrawTableSidecar(Seq.empty, want))
+          catch { case _: java.io.IOException => () } // racing writer recorded it
+        case Some(s) if !specFromProps(s.properties).contains((col, opts.buckets)) =>
+          StrawTableSidecar.write(dir,
+            s.copy(properties = stripSpec(s.properties) ++ want))
+        case _ => ()
+      }
+    } else if (truncate && cur.exists(s => specFromProps(s.properties).isDefined)) {
+      val s = cur.get
+      StrawTableSidecar.write(dir, s.copy(properties = stripSpec(s.properties)))
+    }
+  }
+
+  // ---- V2 catalog function ------------------------------------------------
+
+  /** The `bucket` function [[StrawCatalog]] serves. Spark's
+    * storage-partitioned join resolves a scan-reported `bucket(n, col)`
+    * transform by loading THIS function from the table's catalog and
+    * binding it to `(int, colType)`; two scans whose bound functions share
+    * a canonical name and bucket count are co-partitioned. The same
+    * function is directly callable in SQL as `mycat.bucket(n, col)`. */
+  object BucketFunction extends UnboundFunction {
+    override def name(): String = "bucket"
+    override def description(): String =
+      "bucket(n, col) - murmur3 hash-bucket of col in [0, n)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2,
+        s"strawboat: bucket takes (numBuckets, col), got ${inputType.catalogString}")
+      require(inputType.fields(0).dataType == IntegerType,
+        s"strawboat: bucket's first argument is the int bucket count, got " +
+          inputType.fields(0).dataType.catalogString)
+      val keyType = inputType.fields(1).dataType
+      require(bucketable(keyType),
+        s"strawboat: unbucketable key type ${keyType.catalogString}")
+      new BoundBucket(keyType)
+    }
+  }
+
+  final class BoundBucket(keyType: DataType) extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    // keyed by the INPUT TYPE: co-partitioning requires the same hash of the
+    // same physical values, which int vs string keys do not share
+    override def canonicalName(): String = s"strawboat.bucket(${keyType.catalogString})"
+    override def isResultNullable: Boolean = false
+    override def produceResult(input: InternalRow): Integer = {
+      val n = input.getInt(0)
+      val v = if (input.isNullAt(1)) null else input.get(1, keyType)
+      Integer.valueOf(bucketOf(v, keyType, n))
+    }
+  }
+}

@@ -42,10 +42,26 @@ import graft.format.{StrawFileWriter, WriteOptions}
   * distribution) without any per-statement options. Time travel resolves
   * the version ONCE here, and the pinned [[StrawboatTable]] refuses writes.
   */
-class StrawCatalog extends TableCatalog with SupportsNamespaces {
+class StrawCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
+
+  /** The catalog's built-in functions: just `bucket`. Serving it here is
+    * what lets Spark resolve a scan-reported `bucket(n, col)` transform to a
+    * concrete hash — the precondition for storage-partitioned joins between
+    * bucketed tables (and it doubles as SQL `cat.bucket(n, col)`). */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace.isEmpty && ident.name.equalsIgnoreCase("bucket"))
+      StrawBucket.BucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -174,11 +190,38 @@ class StrawCatalog extends TableCatalog with SupportsNamespaces {
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
     val dir = dirOf(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
-    val partitionBy = partitions.toSeq.map { t =>
+    // PARTITIONED BY accepts identity transforms (hive directories) plus at
+    // most one bucket(n, col) — the hash-bucket layout that buys
+    // storage-partitioned joins (see StrawBucket); persisted as write.*
+    // properties so every INSERT inherits it
+    val (bucketTs, identTs) = partitions.toSeq.partition(_.name == "bucket")
+    require(bucketTs.size <= 1,
+      s"strawboat: at most one bucket(n, col) transform, got ${bucketTs.size}")
+    val partitionBy = identTs.map { t =>
       require(t.name == "identity" && t.references.length == 1,
-        s"strawboat: only identity (hive-style) partitioning is supported, got $t")
+        s"strawboat: only identity (hive-style) and bucket(n, col) " +
+          s"partitioning are supported, got $t")
       t.references.head.fieldNames.mkString(".")
     }
+    val bucketProps: Map[String, String] = bucketTs.headOption.map { t =>
+      val n = t.arguments.collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value.asInstanceOf[Number].intValue
+      }.getOrElse(throw new IllegalArgumentException(
+        s"strawboat: bucket transform carries no bucket count: $t"))
+      require(t.references.length == 1,
+        s"strawboat: bucket takes exactly one column, got $t")
+      val col = t.references.head.fieldNames.mkString(".")
+      val fld = schema.fields.find(_.name.equalsIgnoreCase(col)).getOrElse(
+        throw new IllegalArgumentException(
+          s"strawboat: bucket column '$col' not in ${schema.fieldNames.mkString(",")}"))
+      require(graft.spark.StrawBucket.bucketable(fld.dataType),
+        s"strawboat: bucket column '$col' has unbucketable type ${fld.dataType}")
+      require(n >= 1 && n <= 65536,
+        s"strawboat: bucket count must be in [1, 65536], got $n")
+      Map(graft.spark.StrawBucket.PropBucketBy -> fld.name,
+        graft.spark.StrawBucket.PropBuckets -> n.toString)
+    }.getOrElse(Map.empty)
     partitionBy.foreach { c =>
       val fld = schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
@@ -194,8 +237,8 @@ class StrawCatalog extends TableCatalog with SupportsNamespaces {
     require(!props.contains(TableCatalog.PROP_LOCATION),
       "strawboat: LOCATION is not supported — tables live under the " +
         s"catalog warehouse; read external paths via spark.read.format(\"strawboat\")")
-    val keep = props -- Seq(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER,
-      TableCatalog.PROP_EXTERNAL, "option.path")
+    val keep = (props -- Seq(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER,
+      TableCatalog.PROP_EXTERNAL, "option.path")) ++ bucketProps
 
     // the sidecar doubles as the CREATE's atomic claim (create-if-absent):
     // two racing CREATE TABLEs serialize here — the loser sees the winner's
@@ -293,6 +336,11 @@ class StrawCatalog extends TableCatalog with SupportsNamespaces {
 
   private def guardAlterable(ident: Identifier, dir: String, col: String,
       what: String): Unit = {
+    // bucket first: the bucket transform also shows up in partitioning(),
+    // and the hive-directory message would mislead for a bucket key
+    require(!StrawBucket.specOf(dir).exists(_._1.equalsIgnoreCase(col)),
+      s"strawboat: cannot $what bucket column '$col' — the hash-bucket " +
+        "layout keys every data file on it (rewrite the table to rebucket)")
     require(!partitionColumns(ident).exists(_.equalsIgnoreCase(col)),
       s"strawboat: cannot $what partition column '$col' — the hive directory " +
         "layout spells it on disk")

@@ -759,10 +759,17 @@ object StrawCompaction {
     val rowCap = if (clusterBy.isEmpty) Long.MaxValue else maxClusterRows
     val bins = withSchema
       .groupBy { case (bf, schema, _) =>
-        (new Path(bf.meta.path).getParent.toString, schema.json)
+        // bucket-pure bins: a rewrite must never merge two hash buckets
+        // into one file, or the table's storage-partitioned joins die.
+        // (The output writer re-hashes rows to the same tag — see below.)
+        (new Path(bf.meta.path).getParent.toString, schema.json,
+          StrawBucket.parseTag(bf.meta.path))
       }
-      .toSeq.sortBy(_._1)
-      .flatMap { case ((parent, schemaJson), members) =>
+      .toSeq
+      .sortBy { case ((parent, schemaJson, tag), _) =>
+        (parent, schemaJson, tag.map(_._1).getOrElse(-1))
+      }
+      .flatMap { case ((parent, schemaJson, _), members) =>
         // first-fit in path order; only multi-file bins are worth a rewrite
         // — except a lone DV'd file, whose rewrite materializes the vector
         val out = Seq.newBuilder[Bin]
@@ -788,7 +795,10 @@ object StrawCompaction {
 
     val jobId = java.util.UUID.randomUUID().toString.take(8)
     val serConf = new org.apache.spark.util.SerializableConfiguration(StrawIO.conf)
-    val outOpts = opts.copy(targetFileBytes = targetFileBytes)
+    // a bucketed table's rewrites re-hash into the same tags, so routine
+    // maintenance never silently strips the co-location the layout bought
+    val outOpts = StrawBucket.withTableSpec(dir,
+      opts.copy(targetFileBytes = targetFileBytes))
 
     // one task per bin: stream the bin's rows through a fresh writer into
     // staged (invisible) files; executors return the staged names

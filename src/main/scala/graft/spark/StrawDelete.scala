@@ -63,6 +63,8 @@ object StrawDelete {
       useDeletionVectors: Boolean = true): DeleteResult = {
     require(condition.nonEmpty, "strawboat: delete needs a condition " +
       "(to remove every row, overwrite the table instead)")
+    // a bucketed table's copy-on-write rewrites keep its layout
+    val opts0 = StrawBucket.withTableSpec(dir, opts)
     // ONE listing snapshot drives both the table schema and the candidate
     // set: deriving the schema from a separate (earlier) resolution could
     // evaluate a concurrently-appended file in a stale schema
@@ -95,10 +97,10 @@ object StrawDelete {
     val dvCapable = useDeletionVectors &&
       candidates.forall(_.numRows <= Int.MaxValue.toLong)
     if (dvCapable)
-      deleteViaDv(spark, dir, jobId, schema, listed, candidates, filters, pruned, opts)
+      deleteViaDv(spark, dir, jobId, schema, listed, candidates, filters, pruned, opts0)
     else
       deleteCopyOnWrite(spark, dir, jobId, schema, listed, candidates, filters,
-        pruned, opts)
+        pruned, opts0)
   }
 
   /** Merge-on-read: match → union into sidecars → one log commit. No data

@@ -117,6 +117,8 @@ object StrawMerge {
     require(keys.nonEmpty, "strawboat: merge needs at least one key column")
     require(whenMatched != Keep || insertNotMatched || deleteNotMatchedBySource,
       "strawboat: merge with whenMatched=Keep and insertNotMatched=false is a no-op")
+    // a bucketed table's inserts keep its layout (sidecar-recorded spec)
+    val opts0 = StrawBucket.withTableSpec(dir, opts)
     val listed = StrawIO.listFilesMetaWithStats(dir)
     require(listed.nonEmpty, s"strawboat: no data files under $dir")
     // rename/drop history: keys and the merged schema speak the logical
@@ -183,10 +185,10 @@ object StrawMerge {
     icCol.foreach(c => srcMat.filter(c).queryExecution.assertAnalyzed())
     if (srcRows * perRowKeyBytes <= gateBytes)
       mergeBroadcast(spark, dir, srcMat, keys, keyIdx, whenMatched,
-        insertNotMatched, opts, listed, schema, deleteNotMatchedBySource, icCol)
+        insertNotMatched, opts0, listed, schema, deleteNotMatchedBySource, icCol)
     else
       mergeDistributed(spark, dir, srcMat, keys, keyIdx, whenMatched,
-        insertNotMatched, opts, listed, schema, deleteNotMatchedBySource, icCol)
+        insertNotMatched, opts0, listed, schema, deleteNotMatchedBySource, icCol)
   }
 
   private def mergeBroadcast(spark: SparkSession, dir: String,

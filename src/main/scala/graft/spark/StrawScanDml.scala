@@ -131,12 +131,14 @@ object StrawScanDml {
       case _ => Seq.empty
     }
     val schemaJson = mapping.toPhysical(schema).json
+    // a bucketed table's rewritten rows keep its layout (re-hash = same tag)
+    val opts0 = StrawBucket.withTableSpec(dir, opts)
     val staged: Seq[String] =
       newRows.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
         StrawIO.install(serConf.value)
         val s = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
           .asInstanceOf[StructType]
-        val writer = new StrawDataWriter(dir, s, pid, pid.toLong, opts, jobId,
+        val writer = new StrawDataWriter(dir, s, pid, pid.toLong, opts0, jobId,
           partitionCols, checker)
         var ok = false
         try {

@@ -206,6 +206,8 @@ object StrawUpdate {
       : UpdateResult = {
     require(condition.nonEmpty, "strawboat: update needs a condition")
     require(assignedCols.nonEmpty, "strawboat: update needs at least one assignment")
+    // a bucketed table's copy-on-write rewrites keep its layout
+    val opts0 = StrawBucket.withTableSpec(dir, opts)
     val listed = StrawIO.listFilesMetaWithStats(dir)
     require(listed.nonEmpty, s"strawboat: no data files under $dir")
     // rename/drop history: assignments, condition and the merged schema
@@ -248,10 +250,10 @@ object StrawUpdate {
       candidates.forall(_.numRows <= Int.MaxValue.toLong)
     if (dvCapable)
       updateViaDv(spark, dir, jobId, schema, candidates, filters, assigns,
-        pruned, opts, checker)
+        pruned, opts0, checker)
     else
       updateCopyOnWrite(spark, dir, jobId, schema, candidates, filters, assigns,
-        pruned, opts, checker)
+        pruned, opts0, checker)
   }
 
   /** Merge-on-read: old row versions die via the deletion vector, updated

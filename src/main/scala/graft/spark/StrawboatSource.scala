@@ -424,7 +424,11 @@ class StrawboatTable(path: String, val schemaArg: StructType,
       if (partitionByOpt.nonEmpty) partitionByOpt
       else StrawIO.listFiles(path).headOption
         .map(f => PartitionLayout.partitionsOf(f).map(_._1)).getOrElse(Seq.empty)
-    cols.map(c => Expressions.identity(c): Transform).toArray
+    // a declared bucket spec is part of the table's partitioning contract
+    // (what DESCRIBE shows and what CTAS round-trips)
+    val bucketT = StrawBucket.specFromProps(propertiesArg)
+      .map { case (c, n) => Expressions.bucket(n, c): Transform }
+    (cols.map(c => Expressions.identity(c): Transform) ++ bucketT).toArray
   }
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -439,7 +443,13 @@ class StrawboatTable(path: String, val schemaArg: StructType,
       Option(options.get("maxBytesPerTrigger")).map(_.toLong),
       // a catalog-pinned table (VERSION/TIMESTAMP AS OF) carries its version
       // in asOfOpt; per-read options may still override on path tables
-      TimeTravel.resolveAsOf(path, options).orElse(asOfOpt))
+      TimeTravel.resolveAsOf(path, options).orElse(asOfOpt),
+      // bucket spec: read options override, then catalog table properties,
+      // then the sidecar a bucketed path write recorded at commit
+      bucketSpec = Option(options.get("bucketBy")).map(_.trim).filter(_.nonEmpty)
+        .flatMap(c => Option(options.get("buckets")).map(n => (c, n.trim.toInt)))
+        .orElse(StrawBucket.specFromProps(propertiesArg))
+        .orElse(StrawBucket.specOf(path)))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOfOpt.isEmpty,
@@ -487,17 +497,33 @@ class StrawboatTable(path: String, val schemaArg: StructType,
       Option(options.get(opt)).toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     val sortBy = cols("sortBy")
+    val parsedOpts = StrawWriteOptions.parse(options)
+    // hash-bucket layout: the key must be a real, bucketable column and
+    // must not double as a hive partition column (a directory per value
+    // already co-locates it — bucketing it again would just tag files)
+    parsedOpts.bucketBy.foreach { c =>
+      val fld = info.schema().fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"strawboat: bucketBy column '$c' not in schema ${info.schema().fieldNames.mkString(",")}"))
+      require(StrawBucket.bucketable(fld.dataType),
+        s"strawboat: bucketBy column '$c' has unbucketable type ${fld.dataType} " +
+          "(supported: byte, short, int, long, string, boolean, date, timestamp)")
+      require(!partitionCols.exists(_.equalsIgnoreCase(c)),
+        s"strawboat: '$c' cannot be both a partition and a bucket column")
+    }
     val distribute = Option(options.get("distribute")).map(_.trim) match {
       case Some(v) if v.equalsIgnoreCase("none") => Seq.empty
       case Some(_) => cols("distribute")
-      case None => partitionCols
+      // clustering the bucket column bounds each task's open-bucket fan-out
+      // (equal keys land together; a task sees only its keys' buckets)
+      case None => partitionCols ++ parsedOpts.bucketBy.toSeq
     }
     (sortBy ++ distribute).foreach { c =>
       require(info.schema().fieldNames.contains(c),
         s"strawboat: sortBy/distribute column '$c' not in schema " +
           info.schema().fieldNames.mkString(","))
     }
-    new StrawWriteBuilder(path, info.schema(), StrawWriteOptions.parse(options),
+    new StrawWriteBuilder(path, info.schema(), parsedOpts,
       partitionCols, info.queryId(),
       Option(options.get("mergeSchema")).exists(_.toBoolean),
       sortBy, distribute)
@@ -577,6 +603,15 @@ object StrawWriteOptions {
       require(f > 0 && f < 1, s"strawboat: bloomFpp must be in (0, 1), got $f")
       o = o.copy(bloomFpp = f)
     }
+    // hash-bucket layout: bucketBy=<col> buckets=<n> (see StrawBucket)
+    Option(options.get("bucketBy")).map(_.trim).filter(_.nonEmpty).foreach { c =>
+      val n = Option(options.get("buckets")).map(_.trim.toInt).getOrElse(
+        throw new IllegalArgumentException(
+          "strawboat: bucketBy requires buckets=<n>"))
+      require(n >= 1 && n <= 65536,
+        s"strawboat: buckets must be in [1, 65536], got $n")
+      o = o.copy(bucketBy = Some(c), buckets = n)
+    }
     // float codec variant: auto (default, per-page trial) | ring | prev
     Option(options.get("patasVariant")).foreach { v =>
       o = o.copy(patasRing = v.toLowerCase match {
@@ -597,7 +632,8 @@ object StrawWriteOptions {
 
 class StrawScanBuilder(path: String, fullSchema: StructType,
     maxFilesPerTrigger: Option[Int] = None, keyGrouped: Boolean = false,
-    maxBytesPerTrigger: Option[Long] = None, asOf: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None, asOf: Option[Long] = None,
+    bucketSpec: Option[(String, Int)] = None)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters
@@ -755,7 +791,8 @@ class StrawScanBuilder(path: String, fullSchema: StructType,
     case None =>
       new StrawScan(path, fullSchema, requiredSchema, pushedFiltersArr, limit,
         maxFilesPerTrigger, keyGrouped, topN, exactFilters, maxBytesPerTrigger,
-        asOf, appendFile = wantsFileColumn, appendPos = wantsPosColumn)
+        asOf, appendFile = wantsFileColumn, appendPos = wantsPosColumn,
+        bucketSpec = bucketSpec)
   }
 }
 
@@ -802,6 +839,19 @@ case class StrawKeyedPartition(files: Seq[String], rawValue: Option[String],
         org.apache.spark.sql.types.DataType.fromJson(dtJson))))
 }
 
+/** All files of ONE hash bucket as a single input partition. The key is the
+  * bucket ordinal, matching the scan's reported `bucket(n, col)` transform —
+  * what lets Spark align bucket i of two tables in a storage-partitioned
+  * join. `files` carries each file's deletion-vector sidecar so the layout
+  * survives merge-on-read deletes. */
+case class StrawBucketPartition(bucket: Int, files: Seq[(String, String, Long)])
+  extends InputPartition
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucket))
+}
+
 object StrawKeyedPartition {
   import org.apache.spark.sql.types._
   def parse(raw: Option[String], dt: DataType): Any = raw match {
@@ -836,7 +886,8 @@ class StrawScan(
     maxBytesPerTrigger: Option[Long] = None,
     asOf: Option[Long] = None,
     appendFile: Boolean = false,
-    appendPos: Boolean = false)
+    appendPos: Boolean = false,
+    bucketSpec: Option[(String, Int)] = None)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
@@ -858,9 +909,9 @@ class StrawScan(
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
 
   override def filter(runtimeFilters: Array[Filter]): Unit = {
-    // key-grouped scans already reported a fixed partition count — dropping
-    // groups now would contradict the reported KeyGroupedPartitioning
-    if (keyedLayout.isDefined) return
+    // key/bucket-grouped scans already reported a fixed partition count —
+    // dropping groups now would contradict the reported KeyGroupedPartitioning
+    if (keyedLayout.isDefined || bucketLayout.isDefined) return
     // with a pushed Top-N, runtime filters must not narrow the scan: the
     // TopK buffers would see rows the (un-evaluated) runtime filter later
     // drops, which could evict true candidates. Runtime filters are an
@@ -938,8 +989,20 @@ class StrawScan(
       // — a file whose stats exclude every filter costs nothing at all).
       // DV'd files keep their full stats: zone maps over dead rows only
       // over-approximate, never exclude a live match.
-      val listed = PartitionLayout.pruneBy(
+      val listed0 = PartitionLayout.pruneBy(
         StrawIO.listFilesMetaWithStats(path, asOf), fullSchema, filters)(_.meta.path)
+      // bucket pruning: an equality filter on the bucket column keeps only
+      // the files of the matching bucket(s) — 1/n of the table excluded by
+      // file NAME alone, before any footer IO. Untagged files (markers,
+      // foreign data) always survive; zone maps still apply below.
+      val listed = bucketKeep match {
+        case Some((n, keep)) => listed0.filter(lf =>
+          StrawBucket.parseTag(lf.meta.path) match {
+            case Some((b, nn)) if nn == n => keep.contains(b)
+            case _ => true
+          })
+        case None => listed0
+      }
       val kept = listed.filter { lf =>
         lf.synth.forall(sf =>
           ZoneMapFilter.keptPages(mapping.toLogicalFooter(sf), filters)(0))
@@ -992,6 +1055,66 @@ class StrawScan(
       }
     }
 
+  /** Bucket set an equality filter on the bucket column narrows the scan
+    * to; recomputed per filter state (runtime filters narrow it further). */
+  private def bucketKeep: Option[(Int, Set[Int])] = bucketSpec.flatMap {
+    case (col, n) =>
+      fullSchema.fields.find(_.name.equalsIgnoreCase(col)).flatMap { fld =>
+        var sets = List.empty[Set[Int]]
+        filters.foreach {
+          case EqualTo(c, v) if c.equalsIgnoreCase(col) =>
+            StrawBucket.bucketOfExternal(v, fld.dataType, n)
+              .foreach(b => sets ::= Set(b))
+          case EqualNullSafe(c, v) if c.equalsIgnoreCase(col) && v != null =>
+            StrawBucket.bucketOfExternal(v, fld.dataType, n)
+              .foreach(b => sets ::= Set(b))
+          case In(c, vs) if c.equalsIgnoreCase(col) && vs != null =>
+            // nulls never satisfy IN; a value the hash can't see keeps all
+            val bs = vs.filter(_ != null)
+              .map(v => StrawBucket.bucketOfExternal(v, fld.dataType, n))
+            if (bs.forall(_.isDefined)) sets ::= bs.flatten.toSet
+          case _ =>
+        }
+        if (sets.isEmpty) None else Some((n, sets.reduce(_ intersect _)))
+      }
+  }
+
+  /** Bucket-grouped layout: one input partition per bucket ordinal, keyed so
+    * Spark's storage-partitioned execution joins/aggregates two same-bucketed
+    * tables with no shuffle. Engages only under
+    * `spark.sql.sources.v2.bucketing.enabled` (the same session opt-in the
+    * rest of the V2 ecosystem uses) and only when every live data file
+    * carries this spec's bucket tag — a table with foreign/compacted files
+    * silently falls back to ordinary split planning, never to wrong
+    * co-location. All `n` groups are emitted (empty ones read nothing) so
+    * both join sides align positionally without partition-value pushdown.
+    * Deletion vectors ride along per file. */
+  private lazy val bucketLayout: Option[(String, Int, Array[Seq[(String, String, Long)]])] =
+    bucketSpec.flatMap { case (col, n) =>
+      val enabled =
+        try org.apache.spark.sql.internal.SQLConf.get
+          .getConfString("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
+        catch { case _: Exception => false }
+      if (!enabled || topN.isDefined || limit != Long.MaxValue) None
+      else requiredSchema.fields.find(_.name.equalsIgnoreCase(col)) match {
+        case Some(fld) if StrawBucket.bucketable(fld.dataType) =>
+          val groups = Array.fill(n)(List.newBuilder[(String, String, Long)])
+          val ok = footers.forall { case (p, footer, _, dv) =>
+            StrawBucket.parseTag(p) match {
+              case Some((b, nn)) if nn == n && b < n =>
+                groups(b) += ((p,
+                  if (dv == null) null else dv.path,
+                  if (dv == null) 0L else dv.len))
+                true
+              case _ => footer.numRows == 0 // markers don't break the layout
+            }
+          }
+          if (ok) Some((col, n, groups.map(_.result(): Seq[(String, String, Long)])))
+          else None
+        case _ => None
+      }
+    }
+
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     keyedLayout match {
@@ -999,8 +1122,14 @@ class StrawScan(
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           Array(org.apache.spark.sql.connector.expressions.Expressions.identity(col)),
           groups.size)
-      case None =>
-        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+      case None => bucketLayout match {
+        case Some((col, n, _)) =>
+          new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+            Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, col)),
+            n)
+        case None =>
+          new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+      }
     }
 
   /** Driver-side plan: read each file's footer, drop zone-map-excluded
@@ -1014,6 +1143,12 @@ class StrawScan(
         return groups.map { case (v, fs) =>
           StrawKeyedPartition(fs, v, dt.json): InputPartition
         }.toArray
+      case None =>
+    }
+    bucketLayout match {
+      case Some((_, n, groups)) =>
+        return (0 until n).map(b =>
+          StrawBucketPartition(b, groups(b)): InputPartition).toArray
       case None =>
     }
     // split sizing mirrors the file-source heuristic: cap at 32 MiB, but
@@ -1239,6 +1374,28 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
           override def get(): InternalRow = cur.get()
           override def close(): Unit = if (cur != null) cur.close()
         }
+      case bp: StrawBucketPartition =>
+        // chain the bucket's files (deletion vectors threaded per file)
+        return new PartitionReader[InternalRow] {
+          private val fileIt = bp.files.iterator
+          private var cur: PartitionReader[InternalRow] = _
+          override def next(): Boolean = {
+            while (true) {
+              if (cur == null) {
+                if (!fileIt.hasNext) return false
+                val (f, dvPath, dvLen) = fileIt.next()
+                cur = createReader(
+                  StrawInputPartition(f, 0, Int.MaxValue, Long.MaxValue, dvPath, dvLen))
+              }
+              if (cur.next()) return true
+              cur.close()
+              cur = null
+            }
+            false
+          }
+          override def get(): InternalRow = cur.get()
+          override def close(): Unit = if (cur != null) cur.close()
+        }
       case _ =>
     }
     val p = partition.asInstanceOf[StrawInputPartition]
@@ -1448,7 +1605,8 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
   // consumed filters stay vectorized: the columnar reader evaluates them
   // in-reader (zero-copy for all-pass pages, survivor compaction for mixed)
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    !partition.isInstanceOf[StrawKeyedPartition] && topNActive.isEmpty &&
+    !partition.isInstanceOf[StrawKeyedPartition] &&
+      !partition.isInstanceOf[StrawBucketPartition] && topNActive.isEmpty &&
       !typeWidened &&
       readSchemaExt.fields.forall(f => ColumnarSupport.isVectorizable(f.dataType)) && {
         // survivor compaction (consumed filters / deletion vectors) copies
@@ -1711,9 +1869,29 @@ class StrawWriteBuilder(path: String, schema: StructType, opts: WriteOptions,
   // StrawSchemaResolver.validateAppend. Checked at build() on the driver,
   // before any task writes a byte.
   private def validated(): Unit =
-    if (!doTruncate)
+    if (!doTruncate) {
       StrawSchemaResolver.tableSchemaOf(path).foreach(table =>
         StrawSchemaResolver.validateAppend(path, table, schema, mergeSchema))
+      // bucket-layout consistency: an append must keep every data file
+      // single-bucket under ONE bucket count, or the co-location the layout
+      // promises silently breaks. Schema-only markers are exempt.
+      val existingNs = StrawIO.listFiles(path)
+        .filterNot(StrawBucket.isMarker)
+        .map(p => StrawBucket.parseTag(p).map(_._2).getOrElse(0))
+        .distinct
+      (opts.buckets, existingNs) match {
+        case (0, ns) if ns.exists(_ > 0) =>
+          throw new IllegalArgumentException(
+            s"strawboat: $path is bucketed (buckets=${ns.max}) — appends must " +
+              "set the same bucketBy/buckets (or overwrite to drop the layout)")
+        case (n, ns) if n > 0 && ns.exists(e => e != n) =>
+          val other = ns.find(_ != n).get
+          throw new IllegalArgumentException(
+            s"strawboat: $path holds ${if (other == 0) "unbucketed" else s"buckets=$other"} " +
+              s"data — an append with buckets=$n would mix layouts (overwrite to rebucket)")
+        case _ =>
+      }
+    }
 
   // partition columns first in the write-side ordering: rows then arrive
   // GROUPED by partition value, so a task holds one open file writer at a
@@ -1932,6 +2110,9 @@ class StrawBatchWrite(path: String, schema: StructType, truncate: Boolean,
       }
     }
     removes.foreach(old => f.delete(new Path(old), false))
+    // committed layout becomes self-describing: the sidecar spec is what
+    // later readers, mutations, and compaction resolve the buckets from
+    StrawBucket.recordSpec(path, opts, truncate)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -1976,8 +2157,19 @@ class StrawDataWriter(dir: String, schema: StructType, partitionId: Int, taskId:
   private val uuid = UUID.randomUUID().toString.take(8)
   private val partIdx: Array[Int] = partitionCols.map(schema.fieldIndex).toArray
   private val partDt = partIdx.map(schema.fields(_).dataType)
+  // hash-bucket routing: bucket id per row; -1 = unbucketed table. A spec
+  // naming a column this write lacks is a caller bug — failing here beats
+  // silently emitting untagged files that break the table's co-location.
+  private val bucketIdx: Int = opts.bucketBy.map { c =>
+    val i = schema.fields.indexWhere(_.name.equalsIgnoreCase(c))
+    require(i >= 0, s"strawboat: bucketBy column '$c' not in write schema " +
+      schema.fieldNames.mkString(","))
+    i
+  }.getOrElse(-1)
+  private val bucketDt: org.apache.spark.sql.types.DataType =
+    if (bucketIdx < 0) null else schema.fields(bucketIdx).dataType
 
-  private final class PartState {
+  private final class PartState(val subdir: String, val bucket: Int) {
     var writer = new StrawFileWriter(schema, opts)
     var fileIdx = 0
   }
@@ -2009,8 +2201,10 @@ class StrawDataWriter(dir: String, schema: StructType, partitionId: Int, taskId:
 
   private def roll(subdir: String, st: PartState): Unit = {
     if (st.writer.numRows > 0) {
+      val tag =
+        if (st.bucket < 0) "" else StrawBucket.fileTag(st.bucket, opts.buckets)
       val name =
-        f"part-$partitionId%05d-$taskId-$uuid-${st.fileIdx}%04d${StrawFormat.Extension}"
+        f"part-$partitionId%05d-$taskId-$uuid-${st.fileIdx}%04d$tag${StrawFormat.Extension}"
       val parent = if (subdir.isEmpty) new Path(dir) else new Path(dir, subdir)
       val staged = new Path(parent, name + StrawCommitProtocol.stageSuffix(jobId))
       val os = fsys.create(staged, true) // creates the partition dir as needed
@@ -2030,26 +2224,37 @@ class StrawDataWriter(dir: String, schema: StructType, partitionId: Int, taskId:
     if (checker != null) checker.validate(row)
     val subdir = subdirOf(row)
     // ordered mode: the plan sorts by the partition column, so values
-    // arrive grouped — a value change means the previous buffer is final;
-    // flush and drop it so memory stays one open writer regardless of how
+    // arrive grouped — a value change means the previous buffers are final;
+    // flush and drop them so memory stays one open SUBDIR regardless of how
     // many values the task holds. (If a row ever arrives out of order the
-    // value simply re-opens: extra file, same rows — never wrong.)
-    if (ordered && currentSubdir != null && subdir != currentSubdir)
-      parts.remove(currentSubdir).foreach(st => roll(currentSubdir, st))
+    // value simply re-opens: extra file, same rows — never wrong.) Buckets
+    // within a subdir interleave freely, so the flush keys on the subdir,
+    // not the full routing key — a bucketed subdir holds up to `buckets`
+    // open page buffers until its value change.
+    if (ordered && currentSubdir != null && subdir != currentSubdir) {
+      parts.foreach { case (_, st) => roll(st.subdir, st) }
+      parts.clear()
+    }
     currentSubdir = subdir
-    val st = parts.getOrElseUpdate(subdir, new PartState)
+    val bucket =
+      if (bucketIdx < 0) -1
+      else StrawBucket.bucketOf(
+        if (row.isNullAt(bucketIdx)) null else row.get(bucketIdx, bucketDt),
+        bucketDt, opts.buckets)
+    val key = if (bucket < 0) subdir else subdir + "\u0001" + bucket
+    val st = parts.getOrElseUpdate(key, new PartState(subdir, bucket))
     st.writer.write(row)
     rowsSinceCheck += 1
     if (rowsSinceCheck >= 4096) {
       rowsSinceCheck = 0
-      parts.foreach { case (sd, s) =>
-        if (s.writer.estimatedBytes > opts.targetFileBytes) roll(sd, s)
+      parts.foreach { case (_, s) =>
+        if (s.writer.estimatedBytes > opts.targetFileBytes) roll(s.subdir, s)
       }
     }
   }
 
   override def commit(): WriterCommitMessage = {
-    parts.foreach { case (sd, s) => roll(sd, s) }
+    parts.foreach { case (_, s) => roll(s.subdir, s) }
     StrawCommitMessage(files.toSeq)
   }
 

@@ -531,6 +531,7 @@ class StrawStreamingWrite(path: String, schema: StructType,
       val adds = StrawIO.mapParallel(fresh)(StrawManifest.entryFor)
       StrawLog.commit(path, adds, txn = txn, op = s"streaming epoch $epochId")
       if (txn.isEmpty) f.create(marker, true).close()
+      StrawBucket.recordSpec(path, opts, truncate = false)
     }
     // retire markers the engine can no longer replay (it only ever replays
     // the last uncommitted epoch) so the sink dir doesn't accumulate one

@@ -1,0 +1,312 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Hash-bucketed layout: tagged single-bucket files on write, bucket
+  * pruning on equality filters, storage-partitioned (shuffle-free) joins
+  * between co-bucketed catalog tables, DV survival, and the append
+  * consistency gate. */
+class StrawBucketSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var dir: String = _
+  private var warehouse: String = _
+
+  override def beforeAll(): Unit = {
+    dir = Files.createTempDirectory("strawbucket").toString
+    warehouse = Files.createTempDirectory("strawbucketcat").toString
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("straw-bucket-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .config("spark.sql.catalog.straw", classOf[StrawCatalog].getName)
+      .config("spark.sql.catalog.straw.warehouse", warehouse)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = {
+    if (spark != null) spark.stop()
+  }
+
+  private def orders: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+  private def customer: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+
+  private def dataFiles(out: String): Seq[java.io.File] =
+    new java.io.File(out).listFiles.toSeq
+      .filter(f => f.getName.endsWith(".strb") && !f.getName.startsWith("part-empty-"))
+
+  private def sameRows(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  test("bucketed write tags every file and preserves content") {
+    val out = s"$dir/o_bucketed"
+    orders.write.format("strawboat")
+      .option("bucketBy", "o_custkey").option("buckets", "8")
+      .mode("overwrite").save(out)
+    val files = dataFiles(out)
+    assert(files.nonEmpty)
+    val tags = files.map(f => StrawBucket.parseTag(f.getName))
+    assert(tags.forall(_.exists(_._2 == 8)), s"untagged files among $files")
+    // every file holds exactly its tag's bucket
+    for (f <- files; (b, n) <- StrawBucket.parseTag(f.getName)) {
+      val keys = spark.read.format("strawboat").load(f.getPath)
+        .select("o_custkey").collect().map(_.getLong(0))
+      assert(keys.forall(k => StrawBucket.bucketOf(k,
+        org.apache.spark.sql.types.LongType, n) == b),
+        s"file $f holds rows outside bucket $b")
+    }
+    assert(sameRows(spark.read.format("strawboat").load(out), orders))
+  }
+
+  test("equality filter on the bucket column prunes to one bucket's files") {
+    val out = s"$dir/o_prune"
+    orders.write.format("strawboat")
+      .option("bucketBy", "o_custkey").option("buckets", "8")
+      .option("maxPageSize", "512")
+      .mode("overwrite").save(out)
+    val key = orders.select("o_custkey").head.getLong(0)
+    // NO read options: the bucketed write recorded its spec in the sidecar
+    // at commit, so a plain path read self-discovers the layout
+    val df = spark.read.format("strawboat").load(out)
+      .filter(col("o_custkey") === key)
+    val expect = orders.filter(col("o_custkey") === key)
+    assert(sameRows(df, expect))
+    // planned partitions touch only the matching bucket's files
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.get
+    val planned = scan.toBatch.planInputPartitions().collect {
+      case p: StrawInputPartition => p.path
+    }.distinct
+    val wantBucket = StrawBucket.bucketOf(key,
+      org.apache.spark.sql.types.LongType, 8)
+    assert(planned.nonEmpty)
+    assert(planned.forall(p =>
+      StrawBucket.parseTag(p).exists { case (b, n) => n == 8 && b == wantBucket }),
+      s"planned files outside bucket $wantBucket: $planned")
+  }
+
+  test("co-bucketed catalog tables join with no shuffle (SPJ) and aggregate per key") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS straw.spj")
+    spark.sql("DROP TABLE IF EXISTS straw.spj.ord")
+    spark.sql("DROP TABLE IF EXISTS straw.spj.cust")
+    orders.createOrReplaceTempView("src_orders")
+    customer.createOrReplaceTempView("src_customer")
+    spark.sql(
+      """CREATE TABLE straw.spj.ord PARTITIONED BY (bucket(8, o_custkey))
+        |AS SELECT o_orderkey, o_custkey, o_totalprice FROM src_orders""".stripMargin)
+    spark.sql(
+      """CREATE TABLE straw.spj.cust PARTITIONED BY (bucket(8, c_custkey))
+        |AS SELECT c_custkey, c_name, c_acctbal FROM src_customer""".stripMargin)
+    // both tables' data files are tagged
+    for (t <- Seq("ord", "cust")) {
+      val files = dataFiles(s"$warehouse/spj/$t")
+      assert(files.nonEmpty && files.forall(f =>
+        StrawBucket.parseTag(f.getName).exists(_._2 == 8)), s"untagged files in $t")
+    }
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.sql(
+        """SELECT c.c_custkey, count(*) AS orders, sum(o.o_totalprice) AS total
+          |FROM straw.spj.ord o JOIN straw.spj.cust c ON o.o_custkey = c.c_custkey
+          |GROUP BY c.c_custkey""".stripMargin)
+      val expect = spark.sql(
+        """SELECT c.c_custkey, count(*) AS orders, sum(o.o_totalprice) AS total
+          |FROM src_orders o JOIN src_customer c ON o.o_custkey = c.c_custkey
+          |GROUP BY c.c_custkey""".stripMargin)
+      assert(sameRows(joined, expect))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join should be shuffle-free:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("bucket layout survives merge-on-read deletes (DVs threaded per file)") {
+    // SPJ needs the bucket transform resolved against a FunctionCatalog, so
+    // the co-location proof runs over CATALOG tables; the DV delete mutates
+    // the same directories in place
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS straw.dv")
+    spark.sql("DROP TABLE IF EXISTS straw.dv.ord")
+    spark.sql("DROP TABLE IF EXISTS straw.dv.cust")
+    orders.createOrReplaceTempView("src_orders")
+    customer.createOrReplaceTempView("src_customer")
+    spark.sql(
+      """CREATE TABLE straw.dv.ord PARTITIONED BY (bucket(4, o_custkey))
+        |AS SELECT o_orderkey, o_custkey, o_totalprice FROM src_orders""".stripMargin)
+    spark.sql(
+      """CREATE TABLE straw.dv.cust PARTITIONED BY (bucket(4, c_custkey))
+        |AS SELECT c_custkey, c_acctbal FROM src_customer""".stripMargin)
+    // delete via deletion vectors (merge-on-read: files stay, DVs appear)
+    val res = StrawDelete.delete(spark, s"$warehouse/dv/ord", Seq(
+      org.apache.spark.sql.sources.LessThan("o_totalprice", 50000.0)))
+    assert(res.dvFiles > 0, s"expected a merge-on-read delete, got $res")
+    val expectedA = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      .filter(col("o_totalprice") >= 50000.0)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.sql(
+        """SELECT o.o_orderkey, o.o_custkey, c.c_acctbal
+          |FROM straw.dv.ord o JOIN straw.dv.cust c
+          |ON o.o_custkey = c.c_custkey""".stripMargin)
+      val expect = expectedA.join(customer.select("c_custkey", "c_acctbal"),
+        expectedA("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_custkey", "c_acctbal")
+      assert(sameRows(joined, expect))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"DV'd co-bucketed join should stay shuffle-free:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("append consistency: layout mismatches are refused, matching appends compose") {
+    val out = s"$dir/o_gate"
+    val half = orders.limit(100).cache()
+    half.write.format("strawboat")
+      .option("bucketBy", "o_custkey").option("buckets", "4")
+      .mode("overwrite").save(out)
+    // different n refused
+    val e1 = intercept[Exception] {
+      half.write.format("strawboat")
+        .option("bucketBy", "o_custkey").option("buckets", "8")
+        .mode("append").save(out)
+    }
+    assert(e1.getMessage.contains("mix layouts"), e1.getMessage)
+    // unbucketed append refused
+    val e2 = intercept[Exception] {
+      half.write.format("strawboat").mode("append").save(out)
+    }
+    assert(e2.getMessage.contains("bucketed"), e2.getMessage)
+    // matching append composes; grouping still engages
+    half.write.format("strawboat")
+      .option("bucketBy", "o_custkey").option("buckets", "4")
+      .mode("append").save(out)
+    assert(spark.read.format("strawboat").load(out).count() == 200)
+    // bucketed append onto unbucketed data refused too
+    val out2 = s"$dir/o_gate2"
+    half.write.format("strawboat").mode("overwrite").save(out2)
+    val e3 = intercept[Exception] {
+      half.write.format("strawboat")
+        .option("bucketBy", "o_custkey").option("buckets", "4")
+        .mode("append").save(out2)
+    }
+    assert(e3.getMessage.contains("unbucketed"), e3.getMessage)
+    half.unpersist()
+  }
+
+  test("catalog INSERT inherits the bucket spec; DESCRIBE shows the transform") {
+    spark.sql("DROP TABLE IF EXISTS straw.spj.ins")
+    spark.sql(
+      """CREATE TABLE straw.spj.ins (k BIGINT, v STRING)
+        |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    spark.sql("INSERT INTO straw.spj.ins VALUES (1, 'a'), (2, 'b'), (17, 'c')")
+    val files = dataFiles(s"$warehouse/spj/ins")
+    assert(files.nonEmpty && files.forall(f =>
+      StrawBucket.parseTag(f.getName).exists(_._2 == 4)),
+      s"INSERT did not inherit the bucket layout: $files")
+    assert(spark.sql("SELECT v FROM straw.spj.ins WHERE k = 17")
+      .collect().map(_.getString(0)).toSeq == Seq("c"))
+    // the transform round-trips through the table's reported partitioning
+    val parts = spark.sessionState.catalogManager.catalog("straw")
+      .asInstanceOf[StrawCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("spj"), "ins")).partitioning().map(_.toString)
+    assert(parts.exists(_.contains("bucket(4, k)")), parts.mkString(","))
+  }
+
+  test("MERGE INTO keeps the layout; later INSERTs and SPJ still compose") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS straw.mrg")
+    spark.sql("DROP TABLE IF EXISTS straw.mrg.t")
+    spark.sql(
+      """CREATE TABLE straw.mrg.t (k BIGINT, v STRING)
+        |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    spark.sql("INSERT INTO straw.mrg.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql(
+      """MERGE INTO straw.mrg.t AS t
+        |USING (SELECT 2 AS k, 'B' AS v UNION ALL SELECT 9, 'i') AS s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // merge-inserted rows landed in tagged files; the append gate stays open
+    val dir0 = s"$warehouse/mrg/t"
+    assert(dataFiles(dir0).forall(f =>
+      StrawBucket.parseTag(f.getName).exists(_._2 == 4)),
+      s"MERGE wrote untagged files: ${dataFiles(dir0)}")
+    spark.sql("INSERT INTO straw.mrg.t VALUES (12, 'z')")
+    assert(spark.sql("SELECT k, v FROM straw.mrg.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "B"), (3L, "c"), (9L, "i"), (12L, "z")))
+  }
+
+  test("compaction preserves the layout (bucket-pure bins, re-tagged outputs)") {
+    val out = s"$dir/o_compact"
+    // several write tasks, clustering off -> several small files per
+    // bucket, all compaction candidates
+    orders.select("o_orderkey", "o_custkey", "o_totalprice").repartition(3)
+      .write.format("strawboat")
+      .option("bucketBy", "o_custkey").option("buckets", "4")
+      .option("distribute", "none")
+      .mode("overwrite").save(out)
+    val before = dataFiles(out).size
+    assert(before > 4, s"fixture too small to compact: $before files")
+    val res = StrawCompaction.compact(spark, out, targetFileBytes = 64L << 20)
+    assert(res.outputFiles > 0)
+    val after = dataFiles(out)
+    assert(after.size < before)
+    // every output file still carries a tag and holds only its bucket
+    for (f <- after) {
+      val tag = StrawBucket.parseTag(f.getName)
+      assert(tag.exists(_._2 == 4), s"compaction emitted untagged file $f")
+      val keys = spark.read.format("strawboat").load(f.getPath)
+        .select("o_custkey").collect().map(_.getLong(0))
+      assert(keys.forall(k => StrawBucket.bucketOf(k,
+        org.apache.spark.sql.types.LongType, 4) == tag.get._1))
+    }
+    assert(sameRows(spark.read.format("strawboat").load(out),
+      orders.select("o_orderkey", "o_custkey", "o_totalprice")))
+  }
+
+  test("renaming or dropping the bucket column is refused") {
+    spark.sql("DROP TABLE IF EXISTS straw.mrg.guard")
+    spark.sql(
+      """CREATE TABLE straw.mrg.guard (k BIGINT, v STRING)
+        |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE straw.mrg.guard RENAME COLUMN k TO kk")
+    }
+    assert(e1.getMessage.contains("bucket column"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE straw.mrg.guard DROP COLUMN k")
+    }
+    assert(e2.getMessage.contains("bucket column"), e2.getMessage)
+    spark.sql("ALTER TABLE straw.mrg.guard RENAME COLUMN v TO w") // others fine
+  }
+
+  test("SQL bucket function matches the writer's hash") {
+    val got = spark.sql("SELECT straw.bucket(8, CAST(42 AS BIGINT))")
+      .head.getInt(0)
+    assert(got == StrawBucket.bucketOf(42L, org.apache.spark.sql.types.LongType, 8))
+    val gotS = spark.sql("SELECT straw.bucket(16, 'hello')").head.getInt(0)
+    assert(gotS == StrawBucket.bucketOf(
+      org.apache.spark.unsafe.types.UTF8String.fromString("hello"),
+      org.apache.spark.sql.types.StringType, 16))
+  }
+}
