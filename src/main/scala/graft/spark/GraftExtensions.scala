@@ -278,7 +278,8 @@ object StrawSqlSurface {
       AttributeReference("dv_dead_rows", LongType, nullable = false)(),
       AttributeReference("constraints", LongType, nullable = false)(),
       AttributeReference("renamed_columns", LongType, nullable = false)(),
-      AttributeReference("dropped_spellings", LongType, nullable = false)()),
+      AttributeReference("dropped_spellings", LongType, nullable = false)(),
+      AttributeReference("bucket_spec", StringType, nullable = true)()),
       Seq(org.apache.spark.sql.catalyst.InternalRow(
         snap.version,
         snap.entries.size.toLong,
@@ -288,7 +289,10 @@ object StrawSqlSurface {
         deadRows,
         snap.constraints.size.toLong,
         snap.mapping.alias.size.toLong,
-        snap.mapping.dropped.size.toLong)))
+        snap.mapping.dropped.size.toLong,
+        StrawBucket.specOf(dir)
+          .map { case (c, n) => org.apache.spark.unsafe.types.UTF8String
+            .fromString(s"bucket($n, $c)") }.orNull)))
   }
 
   val IvfDetailName = "straw_ivf_detail"

@@ -194,6 +194,16 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d.getLong(3) == 45L) // live rows net of the DV
     assert(d.getLong(4) == 1L && d.getLong(5) == 5L) // dv files / dead rows
     assert(d.getLong(6) == 0L && d.getLong(7) == 0L && d.getLong(8) == 0L)
+    assert(d.isNullAt(9)) // unbucketed table: no bucket_spec
+
+    // a bucketed table reports its spec
+    val out2 = out + "_b"
+    (0L until 50L).map(i => (i, s"r$i")).toDF("id", "s")
+      .write.format("strawboat")
+      .option("bucketBy", "id").option("buckets", "4")
+      .mode("overwrite").save(out2)
+    val d2 = spark.sql(s"SELECT bucket_spec FROM straw_detail('$out2')").collect()(0)
+    assert(d2.getString(0) == "bucket(4, id)", d2.getString(0))
   }
 
   test("hyperplane buckets reject non-integer config args with a clear error") {

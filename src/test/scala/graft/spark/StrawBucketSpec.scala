@@ -300,6 +300,29 @@ class StrawBucketSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("ALTER TABLE straw.mrg.guard RENAME COLUMN v TO w") // others fine
   }
 
+  test("streaming sink routes to tagged buckets and records the spec") {
+    val src = s"$dir/stream_src"
+    val out = s"$dir/stream_out"
+    val ckpt = s"$dir/stream_ckpt"
+    orders.limit(200).select("o_orderkey", "o_custkey")
+      .write.format("strawboat").mode("overwrite").save(src)
+    val q = spark.readStream.format("strawboat").load(src)
+      .writeStream.format("strawboat")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .option("bucketBy", "o_custkey").option("buckets", "4")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val files = dataFiles(out)
+    assert(files.nonEmpty && files.forall(f =>
+      StrawBucket.parseTag(f.getName).exists(_._2 == 4)),
+      s"streaming sink wrote untagged files: $files")
+    assert(StrawBucket.specOf(out).contains(("o_custkey", 4)))
+    assert(sameRows(spark.read.format("strawboat").load(out),
+      spark.read.format("strawboat").load(src)))
+  }
+
   test("SQL bucket function matches the writer's hash") {
     val got = spark.sql("SELECT straw.bucket(8, CAST(42 AS BIGINT))")
       .head.getInt(0)
