@@ -1344,6 +1344,34 @@ object SparkEntry {
       s.sql("""SELECT doc_id, language, CAST(n_chars AS BIGINT) AS n_chars, source
                FROM strawmap.docs ORDER BY doc_id""")
     }),
+    "q_merge_conditional" -> ((s, d) => {
+      // the GENERAL MERGE surface (StrawMergeScan): conditional matched
+      // clauses with partial assignments (first-match-wins) plus a
+      // conditional NOT MATCHED BY SOURCE delete — shapes beyond the
+      // fast star-merge machinery, planned as one target⋈source scan
+      // with (_file,_pos) riding along. The oracle replays the clause
+      // algebra as a CASE expression in DuckDB.
+      val wh = Tables.strawDir(s, d, "documents") + "_cmrgwh"
+      s.conf.set("spark.sql.catalog.strawcmrg", "graft.spark.StrawCatalog")
+      s.conf.set("spark.sql.catalog.strawcmrg.warehouse", wh)
+      val marker = new java.io.File(wh, "_CMRG_OK")
+      if (!marker.exists()) {
+        t(s, d, "documents").createOrReplaceTempView("cmrg_docs_src")
+        s.sql("DROP TABLE IF EXISTS strawcmrg.docs")
+        s.sql("""CREATE TABLE strawcmrg.docs AS
+                 SELECT doc_id, lang, n_chars FROM cmrg_docs_src""")
+        s.sql("""MERGE INTO strawcmrg.docs AS t
+                 USING (SELECT doc_id, n_chars FROM cmrg_docs_src
+                        WHERE n_chars BETWEEN 100 AND 500) AS src
+                 ON t.doc_id = src.doc_id
+                 WHEN MATCHED AND src.n_chars > 300 THEN UPDATE SET lang = 'long'
+                 WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars + 1
+                 WHEN NOT MATCHED BY SOURCE AND t.n_chars < 50 THEN DELETE""")
+        marker.createNewFile()
+      }
+      s.sql("""SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+               FROM strawcmrg.docs ORDER BY doc_id""")
+    }),
     "q_join_bucketed" -> ((s, d) => {
       // hash-bucketed tables (PARTITIONED BY bucket(n, key)): every data
       // file holds one murmur3 bucket of the key, so two co-bucketed tables
@@ -2009,6 +2037,17 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id + 1000000, upper(lang), CAST(n_chars AS BIGINT), 'fresh'
         |FROM documents WHERE n_chars > 400
+        |ORDER BY doc_id""".stripMargin,
+    "q_merge_conditional" -> // clause algebra replayed: matched = n_chars in
+      // [100,500]; >300 -> lang='long', else n_chars+1; unmatched-by-source
+      // rows with n_chars<50 die
+      """SELECT doc_id,
+        |  CASE WHEN n_chars BETWEEN 100 AND 500 AND n_chars > 300
+        |       THEN 'long' ELSE lang END AS lang,
+        |  CAST(CASE WHEN n_chars BETWEEN 100 AND 500 AND n_chars <= 300
+        |       THEN n_chars + 1 ELSE n_chars END AS BIGINT) AS n_chars
+        |FROM documents
+        |WHERE n_chars BETWEEN 100 AND 500 OR n_chars >= 50
         |ORDER BY doc_id""".stripMargin,
     "q_join_bucketed" -> // same join/agg over the source parquet — bucketing
       // changes the physical plan (storage-partitioned join), never results

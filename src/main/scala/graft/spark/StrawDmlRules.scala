@@ -27,13 +27,17 @@ import org.apache.spark.sql.sources.Filter
   *   WHEN NOT MATCHED THEN INSERT *
   * }}}
   *
-  * Supported MERGE forms are exactly [[StrawMerge]]'s semantics: an
-  * equi-join condition on identically-named columns, `UPDATE SET *` /
-  * `DELETE` (unconditional) when matched, `INSERT *` (unconditional) when
-  * not matched. Richer forms fail with a message naming the limitation —
-  * never silently approximated. UPDATE conditions must translate to the
-  * v1 filter algebra AND compile exactly in [[RowFilterEval]], the same
-  * obligation every other mutation surface carries.
+  * MERGE routes by shape: the unconditional star forms (`UPDATE SET *` /
+  * `DELETE` / `INSERT *` over same-named equi-keys) take [[StrawMerge]]'s
+  * key-pruned broadcast/shuffle machinery; everything richer — conditional
+  * and multiple WHEN clauses, partial assignments, partial inserts,
+  * conditional NOT MATCHED BY SOURCE update/delete, renamed keys — takes
+  * the generalized scan-join path ([[StrawMergeScan]]). Still refused
+  * loudly (never approximated): non-equi join conditions, subqueries in
+  * clauses, nested assignment targets, WITH SCHEMA EVOLUTION. UPDATE
+  * conditions must translate to the v1 filter algebra AND compile exactly
+  * in [[RowFilterEval]], the same obligation every other mutation surface
+  * carries — or they route to the scan-based fallback.
   */
 class StrawDmlRules(session: SparkSession) extends Rule[LogicalPlan] {
 
@@ -41,14 +45,16 @@ class StrawDmlRules(session: SparkSession) extends Rule[LogicalPlan] {
     case u @ UpdateTable(StrawRelation(rel, table), assignments, condition)
         if u.resolved =>
       StrawDml.rewriteUpdate(table, rel, assignments, condition)
-    case m @ MergeIntoTable(StrawRelation(_, table), source, cond,
+    case m @ MergeIntoTable(StrawRelation(rel, table), source, cond,
         matched, notMatched, notMatchedBySource, withSchemaEvolution)
         if m.resolved =>
       require(!withSchemaEvolution,
         "strawboat: MERGE WITH SCHEMA EVOLUTION is not supported — evolve " +
           "the table first via a mergeSchema append")
-      StrawMergeCommand(table.tablePath, table.pinnedVersion, source,
-        m.targetTable.outputSet.toSeq, cond, matched, notMatched,
+      // target columns in TABLE-SCHEMA order (outputSet iteration order is
+      // arbitrary, and the general path writes rows in this order)
+      StrawMergeCommand(table.tablePath, table.pinnedVersion, rel, source,
+        rel.output, cond, matched, notMatched,
         notMatchedBySource)
     // DELETE whose condition translates to the v1 algebra rides Spark's own
     // SupportsDelete path (untouched — spec-pinned fast path); anything
@@ -262,6 +268,7 @@ case class StrawDeleteScanCommand(path: String, pinned: Option[Long],
 
 /** Eager `MERGE INTO` execution over [[StrawMerge.merge]]. */
 case class StrawMergeCommand(path: String, pinned: Option[Long],
+    relation: DataSourceV2Relation,
     source: LogicalPlan, targetOutput: Seq[Attribute], cond: Expression,
     matched: Seq[MergeAction], notMatched: Seq[MergeAction],
     notMatchedBySource: Seq[MergeAction])
@@ -271,51 +278,16 @@ case class StrawMergeCommand(path: String, pinned: Option[Long],
 
   override def run(spark: SparkSession): Seq[Row] = {
     StrawDml.requireWritable(path, pinned)
-    // the one supported BY SOURCE form: unconditional DELETE (the "sync"
-    // shape — target rows whose key the source no longer carries die)
-    val deleteNotMatchedBySource = notMatchedBySource match {
-      case Seq() => false
-      case Seq(DeleteAction(None)) => true
-      case other => throw new UnsupportedOperationException(
-        "strawboat: supported WHEN NOT MATCHED BY SOURCE form is exactly " +
-          "one unconditional `DELETE`, got: " + other.mkString(", "))
-    }
     val targetSet = org.apache.spark.sql.catalyst.expressions.AttributeSet(targetOutput)
 
-    // join condition: conjunction of target.k = source.k over same-named
-    // columns — StrawMerge's key contract
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
         conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
-    // unwrap analyzer-inserted implicit casts (an INT-typed source keyed
-    // against a BIGINT table column) so key detection sees the attributes;
-    // the type contract itself is enforced by StrawMerge's source
-    // alignment, whose message says what to cast
-    val keys = conjuncts(cond).map {
-      case EqualTo(l, r) => (StrawDml.uncast(l), StrawDml.uncast(r))
-      case other => throw new UnsupportedOperationException(
-        s"strawboat: MERGE condition must be a conjunction of column " +
-          s"equalities, got: ${other.sql}")
-    }.map {
-      case (a: AttributeReference, b: AttributeReference) =>
-        val (t, s) = if (targetSet.contains(a)) (a, b) else (b, a)
-        require(targetSet.contains(t) && !targetSet.contains(s),
-          s"strawboat: MERGE condition must compare a target column with a " +
-            s"source column: ${cond.sql}")
-        require(t.name == s.name,
-          s"strawboat: MERGE key columns must have the same name on both " +
-            s"sides (got ${t.name} = ${s.name}); alias the source first")
-        t.name
-      case (l, r) => throw new UnsupportedOperationException(
-        s"strawboat: MERGE condition must be a conjunction of column " +
-          s"equalities, got: ${l.sql} = ${r.sql}")
-    }
-
     // the analyzer expands `UPDATE SET *` / `INSERT *` into per-column
     // assignments from the source (possibly cast-wrapped when the source
-    // is narrower) — verify that is the shape we got
+    // is narrower) — the shape the FAST path recognizes
     def isStarAssignment(as: Seq[Assignment]): Boolean =
       as.forall { a =>
         (a.key, StrawDml.uncast(a.value)) match {
@@ -325,47 +297,78 @@ case class StrawMergeCommand(path: String, pinned: Option[Long],
         }
       }
 
-    val whenMatched = matched match {
-      case Seq() => StrawMerge.Keep
-      case Seq(UpdateAction(None, as, _)) if isStarAssignment(as) => StrawMerge.Replace
-      case Seq(DeleteAction(None)) => StrawMerge.Delete
-      case other => throw new UnsupportedOperationException(
-        "strawboat: supported WHEN MATCHED forms are exactly one " +
-          "unconditional `UPDATE SET *` or `DELETE`, got: " + other.mkString(", "))
+    // ---- FAST-path detection: [[StrawMerge]]'s key-pruned broadcast /
+    // shuffle machinery handles the unconditional star shapes; anything
+    // richer (conditional or partial clauses, renamed keys, exotic key
+    // types) routes to the generalized scan-based path below. Detection
+    // never throws — unsupported-for-fast just means "take the other road".
+    val fastKeys: Option[Seq[String]] = {
+      val pairs = conjuncts(cond).map {
+        case EqualTo(l, r) => (StrawDml.uncast(l), StrawDml.uncast(r)) match {
+          case (a: AttributeReference, b: AttributeReference) =>
+            val (t, s) = if (targetSet.contains(a)) (a, b) else (b, a)
+            if (targetSet.contains(t) && !targetSet.contains(s) &&
+              t.name == s.name && StrawMerge.keyType(t.dataType)) Some(t.name)
+            else None
+          case _ => None
+        }
+        case _ => None
+      }
+      if (pairs.forall(_.isDefined)) Some(pairs.flatten) else None
     }
-    val (insertNotMatched, insertCondition) = notMatched match {
-      case Seq() => (false, None)
-      case Seq(InsertAction(None, as)) if isStarAssignment(as) => (true, None)
-      case Seq(InsertAction(Some(c), as)) if isStarAssignment(as) =>
-        // condition over SOURCE columns only, re-analyzed over the aligned
-        // source by name (the same SQL-round-trip idiom UPDATE uses) —
-        // target references or subqueries cannot ride it
-        require(c.references.forall(a => !targetSet.contains(a)),
-          "strawboat: WHEN NOT MATCHED condition may reference only " +
-            s"SOURCE columns, got: ${c.sql}")
-        require(!c.exists(_.isInstanceOf[
-            org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]),
-          "strawboat: WHEN NOT MATCHED condition must not contain a subquery")
-        require(c.deterministic,
-          "strawboat: WHEN NOT MATCHED condition must be deterministic")
-        val sql = c.transform {
+    val fastMatched: Option[StrawMerge.MatchedAction] = matched match {
+      case Seq() => Some(StrawMerge.Keep)
+      case Seq(UpdateAction(None, as, _)) if isStarAssignment(as) =>
+        Some(StrawMerge.Replace)
+      case Seq(DeleteAction(None)) => Some(StrawMerge.Delete)
+      case _ => None
+    }
+    val fastNmbs: Option[Boolean] = notMatchedBySource match {
+      case Seq() => Some(false)
+      case Seq(DeleteAction(None)) => Some(true)
+      case _ => None
+    }
+    // (insert?, source-only condition SQL) — a condition referencing the
+    // target is not fast-expressible (the general path refuses it too)
+    val fastInsert: Option[(Boolean, Option[String])] = notMatched match {
+      case Seq() => Some((false, None))
+      case Seq(InsertAction(None, as)) if isStarAssignment(as) =>
+        Some((true, None))
+      case Seq(InsertAction(Some(c), as)) if isStarAssignment(as) &&
+          c.references.forall(a => !targetSet.contains(a)) &&
+          c.deterministic &&
+          !c.exists(_.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]) =>
+        Some((true, Some(c.transform {
           case a: AttributeReference => a.withQualifier(Seq.empty)
-        }.sql
-        (true, Some(sql))
-      case other => throw new UnsupportedOperationException(
-        "strawboat: supported WHEN NOT MATCHED forms are one `INSERT *`, " +
-          "optionally with an AND condition over source columns, got: " +
-          other.mkString(", "))
+        }.sql)))
+      case _ => None
     }
-    // align the source to the TABLE's exact column types (the SQL-side
-    // equivalent of the implicit casts the analyzer put in the assignments)
-    // so an INT-typed VALUES source merges into a BIGINT table directly
-    val sourceDf = org.apache.spark.sql.graft.GraftSqlShims.dataFrame(spark, source)
-      .select(targetOutput.map(a =>
-        org.apache.spark.sql.functions.col(a.name).cast(a.dataType).as(a.name)): _*)
-    StrawMerge.merge(spark, path, sourceDf, keys, whenMatched, insertNotMatched,
-      deleteNotMatchedBySource = deleteNotMatchedBySource,
-      insertCondition = insertCondition): Unit
+    // SET * / INSERT * need every table column in the source
+    val sourceCovers =
+      targetOutput.map(_.name).forall(n =>
+        source.output.exists(_.name == n))
+
+    (fastKeys, fastMatched, fastNmbs, fastInsert) match {
+      case (Some(keys), Some(whenMatched), Some(deleteNmbs),
+          Some((insertNotMatched, insertCondition))) if sourceCovers =>
+        // align the source to the TABLE's exact column types (the SQL-side
+        // equivalent of the implicit casts the analyzer put in the
+        // assignments) so an INT-typed VALUES source merges into a BIGINT
+        // table directly
+        val sourceDf = org.apache.spark.sql.graft.GraftSqlShims
+          .dataFrame(spark, source)
+          .select(targetOutput.map(a =>
+            org.apache.spark.sql.functions.col(a.name).cast(a.dataType)
+              .as(a.name)): _*)
+        StrawMerge.merge(spark, path, sourceDf, keys, whenMatched,
+          insertNotMatched,
+          deleteNotMatchedBySource = deleteNmbs,
+          insertCondition = insertCondition): Unit
+      case _ =>
+        StrawMergeScan.merge(spark, path, relation, source, targetOutput,
+          cond, matched, notMatched, notMatchedBySource)
+    }
     Seq.empty
   }
 }

@@ -93,7 +93,7 @@ object StrawMerge {
   /** Key types we can hash/compare value-exactly on the driver and prune
     * by zone maps — the flat orderable set minus floats (NaN equality) and
     * binary (reference equality). */
-  private def keyType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+  private[spark] def keyType(dt: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
     dt match {
       case BooleanType | ByteType | ShortType | IntegerType | DateType |

@@ -169,7 +169,7 @@ object StrawScanDml {
 
   // ---- shared internals ---------------------------------------------------
 
-  private def snapshot(dir: String)
+  private[spark] def snapshot(dir: String)
       : (Seq[StrawIO.Listed], ColumnMappingState, StructType) = {
     val listed = StrawIO.listFilesMetaWithStats(dir)
     require(listed.nonEmpty, s"strawboat: no data files under $dir")
@@ -186,7 +186,7 @@ object StrawScanDml {
   /** Every listed file as a DV candidate (the SCAN decides which produce
     * matches — candidates here are only the metadata lookup), plus the
     * path → index map the pair extraction keys on. */
-  private def allCandidates(dir: String, listed: Seq[StrawIO.Listed],
+  private[spark] def allCandidates(dir: String, listed: Seq[StrawIO.Listed],
       schema: StructType, mapping: ColumnMappingState)
       : (IndexedSeq[MaintenanceOps.Candidate], Map[String, Int]) = {
     val (candidates, _) =
@@ -217,7 +217,7 @@ object StrawScanDml {
   /** The frame's trailing (_file, _pos) columns as (candidate idx, ordinal)
     * pairs. An unknown file means the scan read a file appended after this
     * op's snapshot — fail loudly (retry reads a consistent state). */
-  private def pairRdd(df: DataFrame, candIdx: Map[String, Int])
+  private[spark] def pairRdd(df: DataFrame, candIdx: Map[String, Int])
       : org.apache.spark.rdd.RDD[(Int, Long)] =
     df.select(StrawboatTable.FileColumnName, StrawboatTable.PosColumnName)
       .rdd.map { r =>

@@ -108,12 +108,12 @@ class StrawSqlDmlSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("INSERT INTO straw.m3 VALUES (1, 'a')")
     spark.sql("CREATE TABLE straw.m3src (id BIGINT, v STRING)")
     spark.sql("INSERT INTO straw.m3src VALUES (1, 'A')")
-    // conditional matched action
-    val e = intercept[Exception](
-      spark.sql("""MERGE INTO straw.m3 t USING straw.m3src s ON t.id = s.id
-                   WHEN MATCHED AND s.v = 'A' THEN DELETE"""))
-    assert(e.getMessage.contains("strawboat"))
-    // non-equi condition
+    // conditional matched actions route to the GENERAL path and work
+    // (StrawMergeGeneralSpec covers the surface in depth)
+    spark.sql("""MERGE INTO straw.m3 t USING straw.m3src s ON t.id = s.id
+                 WHEN MATCHED AND s.v = 'A' THEN DELETE""")
+    assert(spark.sql("SELECT count(*) FROM straw.m3").head.getLong(0) == 0)
+    // non-equi condition stays refused (both paths are keyed equi-merges)
     val e2 = intercept[Exception](
       spark.sql("""MERGE INTO straw.m3 t USING straw.m3src s ON t.id > s.id
                    WHEN MATCHED THEN DELETE"""))
@@ -213,13 +213,19 @@ class StrawSqlDmlSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = spark.sql("SELECT id, v FROM straw.sync ORDER BY id").collect()
       .map(r => (r.getLong(0), r.getString(1)))
     assert(got.toSeq == (20L until 60L).map(i => (i, s"s$i")))
-    // conditional BY SOURCE forms refuse loudly
-    val e = intercept[Exception] {
-      spark.sql("""MERGE INTO straw.sync AS t USING straw.sync_src AS s
-        ON t.id = s.id
-        WHEN NOT MATCHED BY SOURCE AND t.id < 30 THEN DELETE""")
-    }
-    assert(e.getMessage.contains("NOT MATCHED BY SOURCE"), e.getMessage)
+    // conditional BY SOURCE forms route to the general path and work:
+    // post-sync the table is 20..59; none are < 30 AND unmatched, so this
+    // deletes nothing — then shrink the source and delete a real slice
+    spark.sql("""MERGE INTO straw.sync AS t USING straw.sync_src AS s
+      ON t.id = s.id
+      WHEN NOT MATCHED BY SOURCE AND t.id < 30 THEN DELETE""")
+    assert(spark.sql("SELECT count(*) FROM straw.sync").head.getLong(0) == 40)
+    spark.sql("DELETE FROM straw.sync_src WHERE id < 25")
+    spark.sql("""MERGE INTO straw.sync AS t USING straw.sync_src AS s
+      ON t.id = s.id
+      WHEN NOT MATCHED BY SOURCE AND t.id < 23 THEN DELETE""")
+    assert(spark.sql("SELECT min(id), count(*) FROM straw.sync").collect()(0)
+      .toSeq == Seq(23L, 37L))
     spark.sql("DROP TABLE straw.sync"); spark.sql("DROP TABLE straw.sync_src")
   }
 
