@@ -46,13 +46,15 @@ class StrawDmlRules(session: SparkSession) extends Rule[LogicalPlan] {
         if u.resolved =>
       StrawDml.rewriteUpdate(table, rel, assignments, condition)
     case m @ MergeIntoTable(StrawRelation(rel, table), source, cond,
-        matched, notMatched, notMatchedBySource, withSchemaEvolution)
+        matched, notMatched, notMatchedBySource, _)
         if m.resolved =>
-      require(!withSchemaEvolution,
-        "strawboat: MERGE WITH SCHEMA EVOLUTION is not supported — evolve " +
-          "the table first via a mergeSchema append")
-      // target columns in TABLE-SCHEMA order (outputSet iteration order is
-      // arbitrary, and the general path writes rows in this order)
+      // WITH SCHEMA EVOLUTION needs no handling here: by the time the plan
+      // resolves, ResolveMergeIntoSchemaEvolution has already applied the
+      // missing columns / widenings through the catalog's ALTER machinery
+      // (gated on the AUTOMATIC_SCHEMA_EVOLUTION capability) and `rel`
+      // carries the evolved schema.
+      // Target columns in TABLE-SCHEMA order (outputSet iteration order is
+      // arbitrary, and the general path writes rows in this order).
       StrawMergeCommand(table.tablePath, table.pinnedVersion, rel, source,
         rel.output, cond, matched, notMatched,
         notMatchedBySource)

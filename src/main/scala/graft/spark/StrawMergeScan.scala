@@ -194,6 +194,51 @@ object StrawMergeScan {
     val (candidates, candIdx) = StrawScanDml.allCandidates(dir, listed, schema, mapping)
     val jobId = java.util.UUID.randomUUID().toString.take(8)
 
+    // ---- key-range pruning for the MATCHED side: every matched target row
+    // carries a key inside the source's key range, so one cheap min/max
+    // pass over the source yields bounds that push into the target scan as
+    // ordinary filters — partition dirs, file stats, and page zone maps
+    // all engage, and a narrow upsert against a huge target reads the few
+    // files that can match instead of the table. (The BY-SOURCE anti-join
+    // must NOT take these bounds: unmatched rows live anywhere.)
+    val rangeFilter: Option[Expression] = {
+      import org.apache.spark.sql.types._
+      def orderable(dt: DataType): Boolean = dt match {
+        case ByteType | ShortType | IntegerType | LongType | StringType |
+            BooleanType | DateType | TimestampType | TimestampNTZType => true
+        case _: DecimalType => true
+        case _ => false
+      }
+      val rangeable = keyPairs.filter { case (t, _) =>
+        t.isInstanceOf[AttributeReference] && orderable(t.dataType) }
+      if (rangeable.isEmpty) None
+      else {
+        val aggs = rangeable.zipWithIndex.flatMap { case ((_, s), i) =>
+          Seq(
+            Alias(org.apache.spark.sql.catalyst.expressions.aggregate
+              .Min(s).toAggregateExpression(), s"_straw_min$i")(),
+            Alias(org.apache.spark.sql.catalyst.expressions.aggregate
+              .Max(s).toAggregateExpression(), s"_straw_max$i")())
+        }
+        val row = org.apache.spark.sql.graft.GraftSqlShims.dataFrame(spark,
+          org.apache.spark.sql.catalyst.plans.logical.Aggregate(
+            Nil, aggs.toIndexedSeq, source)).head()
+        val bounds = rangeable.zipWithIndex.flatMap { case ((t, _), i) =>
+          // an all-null (or empty) source key: no row can match on it —
+          // but other conjuncts may still bound, so just skip this one
+          if (row.isNullAt(2 * i)) Seq.empty
+          else Seq(
+            org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(t,
+              Literal.create(row.get(2 * i), t.dataType)),
+            org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(t,
+              Literal.create(row.get(2 * i + 1), t.dataType)))
+        }
+        if (bounds.isEmpty) None
+        else Some(bounds.reduce(
+          org.apache.spark.sql.catalyst.expressions.And))
+      }
+    }
+
     // ---- the one matched-frame scan: target ⋈ source with metadata
     val metaAttrs: Seq[AttributeReference] = Seq(
       StrawboatTable.FileColumnName, StrawboatTable.PosColumnName).map { n =>
@@ -202,32 +247,40 @@ object StrawMergeScan {
           s"strawboat: relation exposes no '$n' metadata column"))
     }
     val withMeta = relation.copy(output = relation.output ++ metaAttrs)
-    val joined = Join(withMeta, source, Inner, Some(cond), JoinHint.NONE)
-    val actionAlias = Alias(actionExpr(matchedClauses), ActionCol)()
-    val lower = Project((joined.output :+ actionAlias).toIndexedSeq, joined)
-    val actionAttr = actionAlias.toAttribute
-    val upper = Project(
-      (targetOutput.map(a =>
-        Alias(valueExpr(a, matchedClauses, actionAttr), a.name)()
-          : NamedExpression) ++ metaAttrs :+ actionAttr).toIndexedSeq, lower)
-
-    val matchedDf = org.apache.spark.sql.graft.GraftSqlShims
-      .dataFrame(spark, upper).localCheckpoint(true)
+    // an insert-only merge never builds the matched frame at all
+    val matchedDfOpt: Option[org.apache.spark.sql.DataFrame] =
+      if (matchedClauses.isEmpty) None
+      else {
+        val matchedTarget =
+          rangeFilter.map(f => LFilter(f, withMeta)).getOrElse(withMeta)
+        val joined = Join(matchedTarget, source, Inner, Some(cond), JoinHint.NONE)
+        val actionAlias = Alias(actionExpr(matchedClauses), ActionCol)()
+        val lower = Project((joined.output :+ actionAlias).toIndexedSeq, joined)
+        val actionAttr = actionAlias.toAttribute
+        val upper = Project(
+          (targetOutput.map(a =>
+            Alias(valueExpr(a, matchedClauses, actionAttr), a.name)()
+              : NamedExpression) ++ metaAttrs :+ actionAttr).toIndexedSeq, lower)
+        Some(org.apache.spark.sql.graft.GraftSqlShims
+          .dataFrame(spark, upper).localCheckpoint(true))
+      }
 
     // SQL declares a target row matched by multiple source rows
     // nondeterministic — reject exactly that (duplicate TARGET keys are
     // fine: each matched target row acts once)
-    val dup = matchedDf
-      .groupBy(col(StrawboatTable.FileColumnName), col(StrawboatTable.PosColumnName))
-      .count().filter(col("count") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      "strawboat: MERGE matched a target row with multiple source rows — " +
-        "SQL calls this nondeterministic; de-duplicate the source on the keys")
+    matchedDfOpt.foreach { matchedDf =>
+      val dup = matchedDf
+        .groupBy(col(StrawboatTable.FileColumnName), col(StrawboatTable.PosColumnName))
+        .count().filter(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        "strawboat: MERGE matched a target row with multiple source rows — " +
+          "SQL calls this nondeterministic; de-duplicate the source on the keys")
+    }
 
     val updateTags = matchedClauses.zipWithIndex.collect {
       case (Clause(_, Some(_)), i) => i + 1 }
-    val touchedPairs = matchedDf.filter(col(ActionCol) > 0)
-      .select(StrawboatTable.FileColumnName, StrawboatTable.PosColumnName)
+    val touchedPairs = matchedDfOpt.map(_.filter(col(ActionCol) > 0)
+      .select(StrawboatTable.FileColumnName, StrawboatTable.PosColumnName))
 
     // ---- NOT MATCHED BY SOURCE: anti-join the target against the source's
     // key columns, then the same clause algebra (target columns only)
@@ -260,7 +313,10 @@ object StrawMergeScan {
       else {
         val tKeyCols: Seq[NamedExpression] = keyPairs.map(_._1).zipWithIndex
           .map { case (e, i) => Alias(e, s"_straw_k$i")() }
-        val tKeys = Project(tKeyCols.toIndexedSeq, relation)
+        // target keys outside the source's key range can't match any
+        // source row, so the range bounds prune this side too
+        val tKeys = Project(tKeyCols.toIndexedSeq,
+          rangeFilter.map(f => LFilter(f, relation)).getOrElse(relation))
         val anti = Join(source, tKeys, LeftAnti,
           Some(keyPairs.map(_._2).zip(tKeys.output)
             .map { case (s, t) => EqualTo(s, t): Expression }
@@ -290,19 +346,20 @@ object StrawMergeScan {
 
     // ---- build DVs on executors from every touched ordinal
     StrawLog.markInflight(dir, jobId)
-    val allPairs = Seq(
-      Some(touchedPairs),
+    val pairFrames = Seq(
+      touchedPairs,
       nmbsDf.map(_.filter(col(ActionCol) > 0)
         .select(StrawboatTable.FileColumnName, StrawboatTable.PosColumnName))
-    ).flatten.reduce(_ union _)
-    val outs = MaintenanceOps.dvFromPairs(spark,
-      StrawScanDml.pairRdd(allPairs, candIdx), candidates)
+    ).flatten
+    val outs =
+      if (pairFrames.isEmpty) Array.empty[MaintenanceOps.DvOut]
+      else MaintenanceOps.dvFromPairs(spark,
+        StrawScanDml.pairRdd(pairFrames.reduce(_ union _), candIdx), candidates)
 
     // ---- stage new row versions + inserts (one distributed writer pass)
     val tableCols = targetOutput.map(_.name)
     val newRowFrames = Seq(
-      if (updateTags.isEmpty) None
-      else Some(matchedDf
+      matchedDfOpt.filter(_ => updateTags.nonEmpty).map(_
         .filter(col(ActionCol).isin(updateTags.map(Integer.valueOf): _*))
         .select(tableCols.map(col): _*)),
       nmbsDf.filter(_ => nmbsUpdateTags.nonEmpty).map(_

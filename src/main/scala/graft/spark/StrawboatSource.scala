@@ -434,7 +434,12 @@ class StrawboatTable(path: String, val schemaArg: StructType,
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.STREAMING_WRITE).asJava
+      TableCapability.STREAMING_WRITE,
+      // MERGE WITH SCHEMA EVOLUTION: the analyzer computes the missing
+      // columns / lossless widenings from the source and applies them via
+      // the catalog's ALTER machinery (metadata-only schema markers), then
+      // re-resolves the merge over the evolved table — catalog tables only
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new StrawScanBuilder(path, schemaArg,

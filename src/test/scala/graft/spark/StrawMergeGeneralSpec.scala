@@ -157,6 +157,82 @@ class StrawMergeGeneralSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sub.getMessage.contains("subquery"), sub.getMessage)
   }
 
+  /** Corrupt every data page of `f` (footer intact, .crc dropped): any
+    * later DECODE of the file throws — the proof its pages were pruned. */
+  private def corruptAllPages(f: java.io.File): Unit = {
+    import graft.format._
+    val footer = {
+      val in = new LocalFileInput(f.getPath)
+      try StrawFileReader.readFooter(in) finally in.close()
+    }
+    val raf = new java.io.RandomAccessFile(f, "rw")
+    try {
+      for (c <- footer.columns.indices) {
+        val offs = footer.columns(c).pageOffsets
+        for (p <- footer.columns(c).pages.indices) {
+          raf.seek(offs(p))
+          raf.write(Array.fill(
+            math.min(16, footer.columns(c).pages(p).compLen.toInt))(0x5A.toByte))
+        }
+      }
+    } finally raf.close()
+    new java.io.File(f.getParentFile, s".${f.getName}.crc").delete(): Unit
+  }
+
+  test("source key bounds prune target files the merge cannot touch") {
+    spark.sql("CREATE TABLE straw.g8 (id BIGINT, v BIGINT)")
+    for (b <- 0 until 4)
+      spark.sql(s"INSERT INTO straw.g8 SELECT id, id FROM range(${b * 100}, ${b * 100 + 100})")
+    val files = new java.io.File(s"$warehouse/g8").listFiles
+      .filter(f => f.getName.endsWith(".strb") && !f.getName.startsWith("part-empty-"))
+    // files provably outside the source's key range [10, 49] get their
+    // pages destroyed — the merge can only succeed if it never reads them
+    val outOfRange = files.filter { f =>
+      spark.read.format("strawboat").load(f.getPath)
+        .agg(org.apache.spark.sql.functions.min("id")).head.getLong(0) >= 100
+    }
+    assert(outOfRange.nonEmpty, "fixture wrote no out-of-range files")
+    outOfRange.foreach(corruptAllPages)
+    FooterCache.clear()
+    spark.sql(
+      """MERGE INTO straw.g8 t
+        |USING (SELECT id, id * 10 AS nv FROM range(10, 50)) s
+        |ON t.id = s.id
+        |WHEN MATCHED AND s.nv > 100 THEN UPDATE SET v = s.nv""".stripMargin)
+    val got = spark.sql(
+      "SELECT v FROM straw.g8 WHERE id BETWEEN 11 AND 49 ORDER BY id")
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == (11L until 50L).map(_ * 10))
+    assert(spark.sql("SELECT v FROM straw.g8 WHERE id = 10").head.getLong(0) == 10)
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION adds source columns metadata-only") {
+    spark.sql("CREATE TABLE straw.g9 (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO straw.g9 VALUES (1, 10), (2, 20)")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO straw.g9 AS t
+        |USING (SELECT CAST(2 AS BIGINT) AS id, CAST(99 AS BIGINT) AS v, 'fresh' AS note
+        |       UNION ALL SELECT 5, 55, 'new') AS s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // the new column exists; pre-evolution rows read NULL for it
+    assert(rows("SELECT id, v, note FROM straw.g9 ORDER BY id") ==
+      Seq(Seq(1L, 10L, null), Seq(2L, 99L, "fresh"), Seq(5L, 55L, "new")))
+    // without the keyword, extra source columns do NOT evolve the table
+    // (SET * expands over the TARGET's columns; the extra is ignored)
+    spark.sql(
+      """MERGE INTO straw.g9 AS t
+        |USING (SELECT CAST(1 AS BIGINT) AS id, CAST(2 AS BIGINT) AS v,
+        |              'x' AS note, 7 AS extra) AS s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    assert(!spark.sql("SELECT * FROM straw.g9").columns.contains("extra"),
+      "plain MERGE must not evolve the schema")
+    assert(rows("SELECT id, v, note FROM straw.g9 WHERE id = 1") ==
+      Seq(Seq(1L, 2L, "x")))
+  }
+
   test("general merge respects CHECK constraints on written rows") {
     spark.sql(
       "CREATE TABLE straw.g7 (id BIGINT, v BIGINT, CONSTRAINT nonneg CHECK (v >= 0))")
