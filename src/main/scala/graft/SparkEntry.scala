@@ -1309,7 +1309,7 @@ object SparkEntry {
       // of the dropped name (fresh physical spelling — no resurrection),
       // then an append under the evolved schema. Zero data rewrites; the
       // oracle replays the surviving projection in DuckDB.
-      val wh = Tables.strawDir(s, d, "documents") + "_mapwh"
+      val wh = Tables.strawDir(s, d, "documents") + "_mapwh2"
       s.conf.set("spark.sql.catalog.strawmap", "graft.spark.StrawCatalog")
       s.conf.set("spark.sql.catalog.strawmap.warehouse", wh)
       val marker = new java.io.File(wh, "_MAP_OK")
@@ -1318,19 +1318,22 @@ object SparkEntry {
         s.sql("DROP TABLE IF EXISTS strawmap.docs")
         s.sql("""CREATE TABLE strawmap.docs AS
                  SELECT doc_id, lang, source, n_chars FROM colmap_docs_src""")
-        // nested-field mapping is TOP-LEVEL only: a subfield rename must
-        // refuse loudly (never a silent non-metadata-only mutation)
+        // nested-field mapping: a subfield rename is metadata-only too —
+        // pre-rename files read through the spelling alias (probed here;
+        // the flat scenario below is what the oracle replays)
         s.sql("DROP TABLE IF EXISTS strawmap.nested_probe")
         s.sql("""CREATE TABLE strawmap.nested_probe
-                 (id BIGINT, meta STRUCT<lang: STRING>)""")
-        val nestedRefused =
-          try { s.sql(
-            "ALTER TABLE strawmap.nested_probe RENAME COLUMN meta.lang TO x")
-            false
-          } catch { case e: Exception =>
-            e.getMessage.contains("top-level columns only") }
-        require(nestedRefused,
-          "q_column_mapping: nested RENAME COLUMN must be refused loudly")
+                 (id BIGINT, meta STRUCT<lang: STRING, n: BIGINT>)""")
+        s.sql("""INSERT INTO strawmap.nested_probe
+                 VALUES (1, named_struct('lang', 'en', 'n', 5))""")
+        s.sql("ALTER TABLE strawmap.nested_probe RENAME COLUMN meta.lang TO language")
+        s.sql("""INSERT INTO strawmap.nested_probe
+                 VALUES (2, named_struct('language', 'de', 'n', 7))""")
+        val probe = s.sql(
+          """SELECT meta.language FROM strawmap.nested_probe ORDER BY id""")
+          .collect().map(_.getString(0)).toSeq
+        require(probe == Seq("en", "de"),
+          s"q_column_mapping: nested rename must alias old files, got $probe")
         s.sql("DROP TABLE strawmap.nested_probe")
         s.sql("ALTER TABLE strawmap.docs RENAME COLUMN lang TO language")
         s.sql("ALTER TABLE strawmap.docs DROP COLUMN source")

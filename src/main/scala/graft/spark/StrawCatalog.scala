@@ -357,9 +357,6 @@ class StrawCatalog extends TableCatalog with SupportsNamespaces
     * retiring aliases over time. */
   private def renameColumn(ident: Identifier, dir: String,
       rn: TableChange.RenameColumn): Unit = {
-    require(rn.fieldNames.length == 1,
-      s"strawboat: RENAME COLUMN supports top-level columns only, " +
-        s"got ${rn.fieldNames.mkString(".")}")
     val to = rn.newName
     require(!to.startsWith(ColumnMappingState.DroppedPrefix),
       s"strawboat: column name '$to' uses the reserved prefix " +
@@ -369,19 +366,20 @@ class StrawCatalog extends TableCatalog with SupportsNamespaces
     // check and commit cannot slip through
     val v0 = StrawLog.snapshot(dir).map(_.version).getOrElse(0L)
     val schema = loadTable(ident).schema()
-    // resolve the source spelling with the session's resolver (Spark's
-    // default is case-insensitive: RENAME COLUMN Lang must find lang) and
-    // use the RESOLVED spelling in the mapping algebra
-    val from = resolveColumn(schema, rn.fieldNames.head).getOrElse(
-      throw new IllegalArgumentException(
-        s"strawboat: no column '${rn.fieldNames.head}' to rename (table has " +
-          s"${schema.fieldNames.mkString(", ")})"))
-    require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
-      s"strawboat: column '$to' already exists")
+    // resolve the (possibly dotted) path with the session's resolver
+    // (case-insensitive under Spark's default) — the mapping algebra
+    // operates on the RESOLVED logical path
+    val (from, parentSt) = resolvePath(schema, rn.fieldNames.toSeq, "rename")
+    val toPath = {
+      val dot = from.lastIndexOf('.')
+      if (dot < 0) to else from.substring(0, dot + 1) + to
+    }
+    require(!parentSt.fieldNames.exists(_.equalsIgnoreCase(to)),
+      s"strawboat: column '$toPath' already exists")
     guardAlterable(ident, dir, from, "rename")
     val cur = StrawLog.mappingAt(dir)
-    val next = ColumnMappingState.rename(cur, from, to, s"@v${v0 + 1}")
-    StrawLog.commit(dir, Seq.empty, op = s"rename column $from -> $to",
+    val next = ColumnMappingState.rename(cur, from, toPath, s"@v${v0 + 1}")
+    StrawLog.commit(dir, Seq.empty, op = s"rename column $from -> $toPath",
       mappingUpdate = Some((cur, next)), expectVersion = Some(v0)): Unit
   }
 
@@ -391,19 +389,19 @@ class StrawCatalog extends TableCatalog with SupportsNamespaces
     * can never resurrect. */
   private def deleteColumn(ident: Identifier, dir: String,
       del: TableChange.DeleteColumn): Unit = {
-    require(del.fieldNames.length == 1,
-      s"strawboat: DROP COLUMN supports top-level columns only, " +
-        s"got ${del.fieldNames.mkString(".")}")
     val v0 = StrawLog.snapshot(dir).map(_.version).getOrElse(0L)
     val schema = loadTable(ident).schema()
-    val name = resolveColumn(schema, del.fieldNames.head).getOrElse {
-      if (del.ifExists()) return
-      throw new IllegalArgumentException(
-        s"strawboat: no column '${del.fieldNames.head}' to drop (table has " +
-          s"${schema.fieldNames.mkString(", ")})")
-    }
-    require(schema.fields.length > 1,
-      s"strawboat: cannot drop the table's only column '$name'")
+    val (name, parentSt) =
+      try resolvePath(schema, del.fieldNames.toSeq, "drop")
+      catch {
+        case e: IllegalArgumentException
+            if del.ifExists() && e.getMessage.contains("no column") => return
+      }
+    require(parentSt.fields.length > 1,
+      if (name.contains('.'))
+        s"strawboat: cannot drop '$name' — it is its struct's only field " +
+          "(drop the struct column instead)"
+      else s"strawboat: cannot drop the table's only column '$name'")
     guardAlterable(ident, dir, name, "drop")
     val cur = StrawLog.mappingAt(dir)
     val next = ColumnMappingState.drop(cur, name)
@@ -411,14 +409,39 @@ class StrawCatalog extends TableCatalog with SupportsNamespaces
       mappingUpdate = Some((cur, next)), expectVersion = Some(v0)): Unit
   }
 
-  /** Resolve `name` against `schema` with the session's resolver
-    * (case-insensitive under Spark's default), returning the STORED
-    * spelling — what the mapping algebra must operate on. */
-  private def resolveColumn(schema: org.apache.spark.sql.types.StructType,
-      name: String): Option[String] = {
+  /** Resolve a (possibly dotted) field path against `schema` with the
+    * session's resolver (case-insensitive under Spark's default), walking
+    * STRUCT levels only. Returns the RESOLVED full path — what the mapping
+    * algebra operates on — and the struct holding its leaf. Paths through
+    * arrays/maps (whose elements the leaf layout addresses with synthetic
+    * segments) are refused loudly. */
+  private def resolvePath(schema: org.apache.spark.sql.types.StructType,
+      fieldNames: Seq[String], what: String)
+      : (String, org.apache.spark.sql.types.StructType) = {
     val resolver = org.apache.spark.sql.SparkSession.active
       .sessionState.conf.resolver
-    schema.fieldNames.find(f => resolver(f, name))
+    var st = schema
+    val resolved = Seq.newBuilder[String]
+    var i = 0
+    while (i < fieldNames.length) {
+      val fld = st.fields.find(f => resolver(f.name, fieldNames(i))).getOrElse(
+        throw new IllegalArgumentException(
+          s"strawboat: no column '${fieldNames.mkString(".")}' to $what " +
+            s"(at segment '${fieldNames(i)}'; available: " +
+            s"${st.fieldNames.mkString(", ")})"))
+      resolved += fld.name
+      if (i < fieldNames.length - 1) {
+        st = fld.dataType match {
+          case s: org.apache.spark.sql.types.StructType => s
+          case other => throw new UnsupportedOperationException(
+            s"strawboat: cannot $what through '${fld.name}' of type " +
+              s"${other.catalogString} — only struct fields are addressable " +
+              "metadata-only (rewrite the table to restructure arrays/maps)")
+        }
+      }
+      i += 1
+    }
+    (resolved.result().mkString("."), st)
   }
 
   /** `ALTER TABLE … ADD COLUMN c T` — pure metadata, the same machinery as

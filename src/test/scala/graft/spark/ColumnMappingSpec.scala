@@ -181,28 +181,45 @@ class ColumnMappingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(feed.filter("_change_type = 'insert'").count() == 2)
   }
 
-  test("nested-field RENAME/DROP are refused loudly at the DDL boundary") {
-    // the mapping algebra is top-level-only (physical leaf paths inside a
-    // struct are not aliased) — a nested ALTER must fail with a clear
-    // message, never silently do a non-metadata-only thing
+  test("nested-field RENAME/DROP are metadata-only through the leaf layout") {
     spark.sql("CREATE TABLE straw.nst (id BIGINT, meta STRUCT<lang: STRING, n: BIGINT>)")
     spark.sql("INSERT INTO straw.nst VALUES (1, named_struct('lang', 'en', 'n', 5L))")
-    val er = intercept[Exception] {
-      spark.sql("ALTER TABLE straw.nst RENAME COLUMN meta.lang TO language")
-    }
-    assert(er.getMessage.contains("top-level columns only"), er.getMessage)
-    val ed = intercept[Exception] {
-      spark.sql("ALTER TABLE straw.nst DROP COLUMN meta.lang")
-    }
-    assert(ed.getMessage.contains("top-level columns only"), ed.getMessage)
-    // the table is untouched: schema and data read back exactly
-    val r = spark.sql("SELECT id, meta.lang, meta.n FROM straw.nst").collect()(0)
-    assert(r.getLong(0) == 1L && r.getString(1) == "en" && r.getLong(2) == 5L)
-    // renaming the top-level STRUCT column itself IS metadata-only and
-    // carries the nested fields along
+    // nested rename: old files read through the spelling alias
+    spark.sql("ALTER TABLE straw.nst RENAME COLUMN meta.lang TO language")
+    val r0 = spark.sql("SELECT id, meta.language, meta.n FROM straw.nst").collect()(0)
+    assert(r0.getLong(0) == 1L && r0.getString(1) == "en" && r0.getLong(2) == 5L)
+    // appends under the evolved schema interleave with pre-rename files
+    spark.sql("INSERT INTO straw.nst VALUES (2, named_struct('language', 'de', 'n', 7L))")
+    assert(spark.sql("SELECT meta.language FROM straw.nst ORDER BY id")
+      .collect().map(_.getString(0)).toSeq == Seq("en", "de"))
+    // filters on the renamed nested path still push/prune correctly
+    assert(spark.sql("SELECT id FROM straw.nst WHERE meta.language = 'de'")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // chained parent + child renames compose: meta -> info, then a second
+    // child rename under the NEW parent; all three file generations read
     spark.sql("ALTER TABLE straw.nst RENAME COLUMN meta TO info")
-    val r2 = spark.sql("SELECT info.lang FROM straw.nst").collect()(0)
-    assert(r2.getString(0) == "en")
+    spark.sql("ALTER TABLE straw.nst RENAME COLUMN info.language TO lng")
+    spark.sql("INSERT INTO straw.nst VALUES (3, named_struct('lng', 'fr', 'n', 9L))")
+    assert(spark.sql("SELECT info.lng FROM straw.nst ORDER BY id")
+      .collect().map(_.getString(0)).toSeq == Seq("en", "de", "fr"))
+    // nested drop: the field vanishes from every generation; its sibling
+    // survives; dropping the struct's LAST field is refused
+    spark.sql("ALTER TABLE straw.nst DROP COLUMN info.lng")
+    assert(spark.sql("SELECT info FROM straw.nst").schema
+      .fields(0).dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("n"))
+    assert(spark.sql("SELECT info.n FROM straw.nst ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(5L, 7L, 9L))
+    val eLast = intercept[Exception] {
+      spark.sql("ALTER TABLE straw.nst DROP COLUMN info.n")
+    }
+    assert(eLast.getMessage.contains("only field"), eLast.getMessage)
+    // paths through arrays/maps stay refused loudly
+    spark.sql("CREATE TABLE straw.nst2 (id BIGINT, xs ARRAY<STRUCT<a: STRING>>)")
+    val eArr = intercept[Exception] {
+      spark.sql("ALTER TABLE straw.nst2 RENAME COLUMN xs.element.a TO b")
+    }
+    assert(eArr.getMessage != null)
   }
 
   test("RENAME/DROP resolve case-insensitively under the default resolver") {
