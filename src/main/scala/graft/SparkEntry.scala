@@ -1381,7 +1381,7 @@ object SparkEntry {
       // join with a storage-partitioned plan — zero shuffle on either side
       // at any scale (see StrawBucket / StrawBucketSpec for the
       // no-Exchange plan proof). Decimal sums keep the oracle hash exact.
-      val wh = Tables.strawDir(s, d, "orders") + "_bktwh"
+      val wh = Tables.strawDir(s, d, "orders") + "_bktwh2"
       s.conf.set("spark.sql.catalog.strawbkt", "graft.spark.StrawCatalog")
       s.conf.set("spark.sql.catalog.strawbkt.warehouse", wh)
       val marker = new java.io.File(wh, "_BKT_OK")

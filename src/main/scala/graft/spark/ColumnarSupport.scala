@@ -256,6 +256,9 @@ object ColumnarSupport {
       } catch { case e: Throwable => input.close(); throw e }
     private val pageRows: Array[Int] =
       if (footer.columns.isEmpty) Array.empty else footer.columns(0).pages.map(_.numValues)
+    // whole-file chaining (bucket partitions) passes pageEnd=MaxValue —
+    // clamp to the real page count like the row reader does
+    private val pageEnd: Int = math.min(part.pageEnd, pageRows.length)
     // file-absolute ordinal of each page's first row (deletion vectors,
     // the `_pos` metadata column)
     private val pageStartOrd: Array[Long] =
@@ -341,7 +344,7 @@ object ColumnarSupport {
             zeroVecs.map(_.asInstanceOf[ColumnVector]), n.toInt)
         return true
       }
-      while (pageIdx < part.pageEnd && emitted < part.limit) {
+      while (pageIdx < pageEnd && emitted < part.limit) {
         val p = pageIdx
         pageIdx += 1
         val n0 = pageRows(p)

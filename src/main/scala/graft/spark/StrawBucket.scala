@@ -79,16 +79,40 @@ object StrawBucket {
 
   // ---- file-name tag ------------------------------------------------------
 
-  /** Inserted before the extension: `part-...-b00003of00016.strb`. */
-  def fileTag(bucket: Int, n: Int): String = f"-b$bucket%05dof$n%05d"
-
-  private val TagRe = raw"-b(\d{5})of(\d{5})\.".r
-
-  /** (bucket, numBuckets) from a data-file path, if tagged. */
-  def parseTag(path: String): Option[(Int, Int)] = {
-    val name = path.substring(path.lastIndexOf('/') + 1)
-    TagRe.findFirstMatchIn(name).map(m => (m.group(1).toInt, m.group(2).toInt))
+  /** 16-bit hash of the bucket COLUMN's (lowercased) name — baked into the
+    * tag so a file is self-describing about WHAT it was hashed on. Without
+    * it, a spec whose column diverged from the files' (a crashed rebucket,
+    * a mis-optioned read) would prune/group by the wrong hash and silently
+    * lose rows; with it, any divergence is detected per file and the
+    * layout safely declines. */
+  def colHash(col: String): Int = {
+    val b = col.toLowerCase(java.util.Locale.ROOT).getBytes("UTF-8")
+    Murmur3_x86_32.hashUnsafeBytes(b,
+      org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, Seed) & 0xffff
   }
+
+  /** Inserted before the extension: `part-...-b00003of00016hA1B2.strb`. */
+  def fileTag(bucket: Int, n: Int, col: String): String =
+    f"-b$bucket%05dof$n%05dh${colHash(col)}%04X"
+
+  /** One parsed tag: bucket ordinal, bucket count, and (absent only in
+    * files from the short-lived pre-hash format) the column-name hash. */
+  final case class Tag(bucket: Int, n: Int, colHash: Option[Int])
+
+  private val TagRe = raw"-b(\d{5})of(\d{5})(h[0-9A-F]{4})?\.".r
+
+  /** The bucket tag from a data-file path, if tagged. */
+  def parseTag(path: String): Option[Tag] = {
+    val name = path.substring(path.lastIndexOf('/') + 1)
+    TagRe.findFirstMatchIn(name).map(m => Tag(m.group(1).toInt, m.group(2).toInt,
+      Option(m.group(3)).map(h => Integer.parseInt(h.substring(1), 16))))
+  }
+
+  /** Does this file's tag certify it holds bucket-of-`spec` data? Requires
+    * the count AND the column hash to agree — an absent or foreign hash is
+    * a divergence and the caller must not prune or group by it. */
+  def tagMatches(tag: Tag, col: String, n: Int): Boolean =
+    tag.n == n && tag.colHash.contains(colHash(col))
 
   /** Schema-only marker files (`part-empty-*`) carry no bucket; they are
     * legal in a bucketed table and invisible to the layout. */
@@ -149,8 +173,13 @@ object StrawBucket {
           try StrawTableSidecar.claim(dir, StrawTableSidecar(Seq.empty, want))
           catch { case _: java.io.IOException => () } // racing writer recorded it
         case Some(s) if !specFromProps(s.properties).contains((col, opts.buckets)) =>
-          StrawTableSidecar.write(dir,
-            s.copy(properties = stripSpec(s.properties) ++ want))
+          // only a TRUNCATE may change an existing spec (it replaced every
+          // file); the append gate refuses mismatched appends up front, so
+          // reaching here on an append means a racing writer — leave the
+          // sidecar alone and let tag verification decline the layout
+          if (truncate)
+            StrawTableSidecar.write(dir,
+              s.copy(properties = stripSpec(s.properties) ++ want))
         case _ => ()
       }
     } else if (truncate && cur.exists(s => specFromProps(s.properties).isDefined)) {
@@ -194,6 +223,7 @@ object StrawBucket {
     override def isResultNullable: Boolean = false
     override def produceResult(input: InternalRow): Integer = {
       val n = input.getInt(0)
+      require(n >= 1, s"strawboat: bucket count must be positive, got $n")
       val v = if (input.isNullAt(1)) null else input.get(1, keyType)
       Integer.valueOf(bucketOf(v, keyType, n))
     }

@@ -767,7 +767,7 @@ object StrawCompaction {
       }
       .toSeq
       .sortBy { case ((parent, schemaJson, tag), _) =>
-        (parent, schemaJson, tag.map(_._1).getOrElse(-1))
+        (parent, schemaJson, tag.map(_.bucket).getOrElse(-1))
       }
       .flatMap { case ((parent, schemaJson, _), members) =>
         // first-fit in path order; only multi-file bins are worth a rewrite

@@ -87,6 +87,15 @@ class StrawDmlRules(session: SparkSession) extends Rule[LogicalPlan] {
 
 private[spark] object StrawDml {
 
+  /** Flatten an And-conjunction into its conjuncts — shared by the filter
+    * translation AND both merge paths' key extraction, which must agree
+    * for fast-vs-general routing to be sound. */
+  def conjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
   /** Does the condition fully translate to v1 filters the table's native
     * SupportsDelete path accepts? (The scan-based fallback handles the
     * rest.) */
@@ -155,10 +164,6 @@ private[spark] object StrawDml {
       case x if x.foldable && !x.isInstanceOf[Literal] =>
         Literal.create(x.eval(), x.dataType)
     }
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
     val translated = conjuncts(fold(cond))
       .map(org.apache.spark.sql.graft.GraftSqlShims.translateFilter)
     if (translated.forall(_.isDefined)) Some(translated.map(_.get)) else None
@@ -167,11 +172,6 @@ private[spark] object StrawDml {
   /** Split a condition into v1 filters, refusing anything that does not
     * translate (no silent approximation). */
   def toFilters(cond: Expression, what: String): Seq[Filter] = {
-    import org.apache.spark.sql.catalyst.expressions.{And => CAnd}
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
     conjuncts(cond).map { c =>
       org.apache.spark.sql.graft.GraftSqlShims.translateFilter(c)
         .getOrElse(throw new UnsupportedOperationException(
@@ -282,11 +282,6 @@ case class StrawMergeCommand(path: String, pinned: Option[Long],
     StrawDml.requireWritable(path, pinned)
     val targetSet = org.apache.spark.sql.catalyst.expressions.AttributeSet(targetOutput)
 
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-        conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
     // the analyzer expands `UPDATE SET *` / `INSERT *` into per-column
     // assignments from the source (possibly cast-wrapped when the source
     // is narrower) — the shape the FAST path recognizes
@@ -305,7 +300,7 @@ case class StrawMergeCommand(path: String, pinned: Option[Long],
     // types) routes to the generalized scan-based path below. Detection
     // never throws — unsupported-for-fast just means "take the other road".
     val fastKeys: Option[Seq[String]] = {
-      val pairs = conjuncts(cond).map {
+      val pairs = StrawDml.conjuncts(cond).map {
         case EqualTo(l, r) => (StrawDml.uncast(l), StrawDml.uncast(r)) match {
           case (a: AttributeReference, b: AttributeReference) =>
             val (t, s) = if (targetSet.contains(a)) (a, b) else (b, a)

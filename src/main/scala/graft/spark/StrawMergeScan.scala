@@ -156,6 +156,13 @@ object StrawMergeScan {
             require(as.value.references.subsetOf(sourceSet),
               "strawboat: INSERT values may reference only SOURCE columns, " +
                 s"got: ${as.value.sql}")
+            as.key match {
+              case k: AttributeReference =>
+                require(!as.value.nullable || k.nullable,
+                  s"strawboat: INSERT assigns a nullable expression to " +
+                    s"non-nullable column '${k.name}' — coalesce the value first")
+              case _ =>
+            }
           }
           targetOutput.foreach { a =>
             val assigned = assigns.exists(
@@ -171,12 +178,7 @@ object StrawMergeScan {
 
     // join keys as (target, source) attribute pairs — used by the
     // anti-joins; the matched join takes `cond` verbatim
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-        conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
-    val keyPairs: Seq[(Expression, Expression)] = conjuncts(cond).map {
+    val keyPairs: Seq[(Expression, Expression)] = StrawDml.conjuncts(cond).map {
       case EqualTo(l, r) =>
         if (l.references.subsetOf(targetSet) && r.references.subsetOf(sourceSet))
           (l, r)
@@ -189,6 +191,16 @@ object StrawMergeScan {
         "strawboat: MERGE condition must be a conjunction of equalities, " +
           s"got: ${other.sql}")
     }
+
+    // materialize the source ONCE (after validation — a refused statement
+    // must not execute it): the range agg, the matched join, and both
+    // anti-joins all read the same rows — a nondeterministic or expensive
+    // source neither diverges between passes (which could both insert and
+    // update the same key) nor re-executes per consumer. The checkpointed
+    // plan keeps the original output attributes, so every clause
+    // expression still resolves.
+    val src: LogicalPlan = org.apache.spark.sql.graft.GraftSqlShims
+      .dataFrame(spark, source).localCheckpoint(true).queryExecution.analyzed
 
     val (listed, mapping, schema) = StrawScanDml.snapshot(dir)
     val (candidates, candIdx) = StrawScanDml.allCandidates(dir, listed, schema, mapping)
@@ -222,7 +234,7 @@ object StrawMergeScan {
         }
         val row = org.apache.spark.sql.graft.GraftSqlShims.dataFrame(spark,
           org.apache.spark.sql.catalyst.plans.logical.Aggregate(
-            Nil, aggs.toIndexedSeq, source)).head()
+            Nil, aggs.toIndexedSeq, src)).head()
         val bounds = rangeable.zipWithIndex.flatMap { case ((t, _), i) =>
           // an all-null (or empty) source key: no row can match on it —
           // but other conjuncts may still bound, so just skip this one
@@ -253,7 +265,7 @@ object StrawMergeScan {
       else {
         val matchedTarget =
           rangeFilter.map(f => LFilter(f, withMeta)).getOrElse(withMeta)
-        val joined = Join(matchedTarget, source, Inner, Some(cond), JoinHint.NONE)
+        val joined = Join(matchedTarget, src, Inner, Some(cond), JoinHint.NONE)
         val actionAlias = Alias(actionExpr(matchedClauses), ActionCol)()
         val lower = Project((joined.output :+ actionAlias).toIndexedSeq, joined)
         val actionAttr = actionAlias.toAttribute
@@ -289,7 +301,7 @@ object StrawMergeScan {
       else {
         val srcKeyCols: Seq[NamedExpression] = keyPairs.map(_._2).zipWithIndex
           .map { case (e, i) => Alias(e, s"_straw_k$i")() }
-        val srcKeys = Project(srcKeyCols.toIndexedSeq, source)
+        val srcKeys = Project(srcKeyCols.toIndexedSeq, src)
         val anti = Join(withMeta, srcKeys, LeftAnti,
           Some(keyPairs.map(_._1).zip(srcKeys.output)
             .map { case (t, s) => EqualTo(t, s): Expression }
@@ -317,7 +329,7 @@ object StrawMergeScan {
         // source row, so the range bounds prune this side too
         val tKeys = Project(tKeyCols.toIndexedSeq,
           rangeFilter.map(f => LFilter(f, relation)).getOrElse(relation))
-        val anti = Join(source, tKeys, LeftAnti,
+        val anti = Join(src, tKeys, LeftAnti,
           Some(keyPairs.map(_._2).zip(tKeys.output)
             .map { case (s, t) => EqualTo(s, t): Expression }
             .reduce(org.apache.spark.sql.catalyst.expressions.And)),

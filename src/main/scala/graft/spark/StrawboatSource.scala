@@ -1001,9 +1001,11 @@ class StrawScan(
       // file NAME alone, before any footer IO. Untagged files (markers,
       // foreign data) always survive; zone maps still apply below.
       val listed = bucketKeep match {
-        case Some((n, keep)) => listed0.filter(lf =>
+        case Some((c, n, keep)) => listed0.filter(lf =>
           StrawBucket.parseTag(lf.meta.path) match {
-            case Some((b, nn)) if nn == n => keep.contains(b)
+            // only a tag certifying THIS (column, count) may exclude a
+            // file — a foreign or pre-hash tag means divergence, keep it
+            case Some(t) if StrawBucket.tagMatches(t, c, n) => keep.contains(t.bucket)
             case _ => true
           })
         case None => listed0
@@ -1062,7 +1064,7 @@ class StrawScan(
 
   /** Bucket set an equality filter on the bucket column narrows the scan
     * to; recomputed per filter state (runtime filters narrow it further). */
-  private def bucketKeep: Option[(Int, Set[Int])] = bucketSpec.flatMap {
+  private def bucketKeep: Option[(String, Int, Set[Int])] = bucketSpec.flatMap {
     case (col, n) =>
       fullSchema.fields.find(_.name.equalsIgnoreCase(col)).flatMap { fld =>
         var sets = List.empty[Set[Int]]
@@ -1080,7 +1082,7 @@ class StrawScan(
             if (bs.forall(_.isDefined)) sets ::= bs.flatten.toSet
           case _ =>
         }
-        if (sets.isEmpty) None else Some((n, sets.reduce(_ intersect _)))
+        if (sets.isEmpty) None else Some((col, n, sets.reduce(_ intersect _)))
       }
   }
 
@@ -1106,8 +1108,8 @@ class StrawScan(
           val groups = Array.fill(n)(List.newBuilder[(String, String, Long)])
           val ok = footers.forall { case (p, footer, _, dv) =>
             StrawBucket.parseTag(p) match {
-              case Some((b, nn)) if nn == n && b < n =>
-                groups(b) += ((p,
+              case Some(t) if StrawBucket.tagMatches(t, col, n) && t.bucket < n =>
+                groups(t.bucket) += ((p,
                   if (dv == null) null else dv.path,
                   if (dv == null) 0L else dv.len))
                 true
@@ -1610,8 +1612,7 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
   // consumed filters stay vectorized: the columnar reader evaluates them
   // in-reader (zero-copy for all-pass pages, survivor compaction for mixed)
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    !partition.isInstanceOf[StrawKeyedPartition] &&
-      !partition.isInstanceOf[StrawBucketPartition] && topNActive.isEmpty &&
+    !partition.isInstanceOf[StrawKeyedPartition] && topNActive.isEmpty &&
       !typeWidened &&
       readSchemaExt.fields.forall(f => ColumnarSupport.isVectorizable(f.dataType)) && {
         // survivor compaction (consumed filters / deletion vectors) copies
@@ -1619,6 +1620,9 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
         // to the row reader on filtering partitions only
         val filtering = exactFilters.nonEmpty || (partition match {
           case p: StrawInputPartition => p.dvPath != null
+          // a bucket partition chains whole files; any file's DV makes it
+          // a filtering read
+          case b: StrawBucketPartition => b.files.exists(_._2 != null)
           case _ => false
         })
         !filtering ||
@@ -1628,6 +1632,32 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     StrawIO.install(serConf.value)
+    partition match {
+      case bp: StrawBucketPartition =>
+        // chain the bucket's files through per-file VECTORIZED readers —
+        // the storage-partitioned layout keeps whole-stage columnar speed
+        return new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+          private val fileIt = bp.files.iterator
+          private var cur: PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = _
+          override def next(): Boolean = {
+            while (true) {
+              if (cur == null) {
+                if (!fileIt.hasNext) return false
+                val (f, dvPath, dvLen) = fileIt.next()
+                cur = createColumnarReader(
+                  StrawInputPartition(f, 0, Int.MaxValue, Long.MaxValue, dvPath, dvLen))
+              }
+              if (cur.next()) return true
+              cur.close()
+              cur = null
+            }
+            false
+          }
+          override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = cur.get()
+          override def close(): Unit = if (cur != null) cur.close()
+        }
+      case _ =>
+    }
     val p = partition.asInstanceOf[StrawInputPartition]
     val dead: org.roaringbitmap.RoaringBitmap =
       if (p.dvPath == null) null else DeletionVector.read(p.dvPath, p.dvLen)
@@ -1878,23 +1908,36 @@ class StrawWriteBuilder(path: String, schema: StructType, opts: WriteOptions,
       StrawSchemaResolver.tableSchemaOf(path).foreach(table =>
         StrawSchemaResolver.validateAppend(path, table, schema, mergeSchema))
       // bucket-layout consistency: an append must keep every data file
-      // single-bucket under ONE bucket count, or the co-location the layout
-      // promises silently breaks. Schema-only markers are exempt.
-      val existingNs = StrawIO.listFiles(path)
-        .filterNot(StrawBucket.isMarker)
-        .map(p => StrawBucket.parseTag(p).map(_._2).getOrElse(0))
-        .distinct
-      (opts.buckets, existingNs) match {
-        case (0, ns) if ns.exists(_ > 0) =>
-          throw new IllegalArgumentException(
-            s"strawboat: $path is bucketed (buckets=${ns.max}) — appends must " +
-              "set the same bucketBy/buckets (or overwrite to drop the layout)")
-        case (n, ns) if n > 0 && ns.exists(e => e != n) =>
-          val other = ns.find(_ != n).get
-          throw new IllegalArgumentException(
-            s"strawboat: $path holds ${if (other == 0) "unbucketed" else s"buckets=$other"} " +
-              s"data — an append with buckets=$n would mix layouts (overwrite to rebucket)")
-        case _ =>
+      // single-bucket under ONE (column, count) spec, or the co-location
+      // the layout promises silently breaks. The sidecar spec is
+      // authoritative when present; tag counts+column-hashes back it up
+      // for sidecar-less tables. Schema-only markers are exempt.
+      StrawBucket.specOf(path) match {
+        case Some((c, n)) =>
+          require(opts.buckets > 0,
+            s"strawboat: $path is bucketed by ($c, $n) — appends must set " +
+              "the same bucketBy/buckets (or overwrite to drop the layout)")
+          require(opts.buckets == n && opts.bucketBy.exists(_.equalsIgnoreCase(c)),
+            s"strawboat: $path is bucketed by ($c, $n) — an append with " +
+              s"(${opts.bucketBy.getOrElse("")}, ${opts.buckets}) would mix " +
+              "layouts (overwrite to rebucket)")
+        case None =>
+          val existing = StrawIO.listFiles(path)
+            .filterNot(StrawBucket.isMarker)
+            .map(p => StrawBucket.parseTag(p)
+              .map(t => (t.n, t.colHash.getOrElse(-1))).getOrElse((0, -1)))
+            .distinct
+          val incoming =
+            if (opts.buckets == 0) (0, -1)
+            else (opts.buckets, StrawBucket.colHash(opts.bucketBy.get))
+          existing.find(_ != incoming).foreach { other =>
+            throw new IllegalArgumentException(
+              s"strawboat: $path holds " +
+                (if (other._1 == 0) "unbucketed"
+                 else s"buckets=${other._1} differently-keyed") +
+                s" data — an append with buckets=${opts.buckets} would mix " +
+                "layouts (overwrite to rebucket)")
+          }
       }
     }
 
@@ -2207,7 +2250,8 @@ class StrawDataWriter(dir: String, schema: StructType, partitionId: Int, taskId:
   private def roll(subdir: String, st: PartState): Unit = {
     if (st.writer.numRows > 0) {
       val tag =
-        if (st.bucket < 0) "" else StrawBucket.fileTag(st.bucket, opts.buckets)
+        if (st.bucket < 0) ""
+        else StrawBucket.fileTag(st.bucket, opts.buckets, opts.bucketBy.get)
       val name =
         f"part-$partitionId%05d-$taskId-$uuid-${st.fileIdx}%04d$tag${StrawFormat.Extension}"
       val parent = if (subdir.isEmpty) new Path(dir) else new Path(dir, subdir)

@@ -67,9 +67,14 @@ class StrawBucketPropertySpec extends AnyFunSuite {
 
   test("file tags round-trip and never false-positive on plain names") {
     check(Prop.forAll(Gen.choose(0, 65535), Gen.choose(1, 65536)) { (b, n) =>
-      val name = s"/x/part-00001-2-abc-0003${StrawBucket.fileTag(b % n, n)}.strb"
-      StrawBucket.parseTag(name).contains((b % n, n))
+      val name = s"/x/part-00001-2-abc-0003${StrawBucket.fileTag(b % n, n, "k")}.strb"
+      StrawBucket.parseTag(name).contains(
+        StrawBucket.Tag(b % n, n, Some(StrawBucket.colHash("k"))))
     })
+    // the pre-hash tag format still parses (hash absent -> never certifies)
+    assert(StrawBucket.parseTag("/x/part-0-b00003of00016.strb")
+      .contains(StrawBucket.Tag(3, 16, None)))
+    assert(!StrawBucket.tagMatches(StrawBucket.Tag(3, 16, None), "k", 16))
     assert(StrawBucket.parseTag("/x/part-00001-2-abc-0003.strb").isEmpty)
     assert(StrawBucket.parseTag("/x/part-empty-deadbeef.strb").isEmpty)
     // a tag-shaped substring in a DIRECTORY must not read as a tag

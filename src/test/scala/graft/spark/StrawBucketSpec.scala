@@ -57,9 +57,11 @@ class StrawBucketSpec extends AnyFunSuite with BeforeAndAfterAll {
     val files = dataFiles(out)
     assert(files.nonEmpty)
     val tags = files.map(f => StrawBucket.parseTag(f.getName))
-    assert(tags.forall(_.exists(_._2 == 8)), s"untagged files among $files")
+    assert(tags.forall(_.exists(t => t.n == 8 &&
+      t.colHash.contains(StrawBucket.colHash("o_custkey")))),
+      s"untagged files among $files")
     // every file holds exactly its tag's bucket
-    for (f <- files; (b, n) <- StrawBucket.parseTag(f.getName)) {
+    for (f <- files; t <- StrawBucket.parseTag(f.getName); (b, n) = (t.bucket, t.n)) {
       val keys = spark.read.format("strawboat").load(f.getPath)
         .select("o_custkey").collect().map(_.getLong(0))
       assert(keys.forall(k => StrawBucket.bucketOf(k,
@@ -93,7 +95,7 @@ class StrawBucketSpec extends AnyFunSuite with BeforeAndAfterAll {
       org.apache.spark.sql.types.LongType, 8)
     assert(planned.nonEmpty)
     assert(planned.forall(p =>
-      StrawBucket.parseTag(p).exists { case (b, n) => n == 8 && b == wantBucket }),
+      StrawBucket.parseTag(p).exists(t => t.n == 8 && t.bucket == wantBucket)),
       s"planned files outside bucket $wantBucket: $planned")
   }
 
@@ -113,7 +115,7 @@ class StrawBucketSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (t <- Seq("ord", "cust")) {
       val files = dataFiles(s"$warehouse/spj/$t")
       assert(files.nonEmpty && files.forall(f =>
-        StrawBucket.parseTag(f.getName).exists(_._2 == 8)), s"untagged files in $t")
+        StrawBucket.parseTag(f.getName).exists(_.n == 8)), s"untagged files in $t")
     }
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -130,10 +132,46 @@ class StrawBucketSpec extends AnyFunSuite with BeforeAndAfterAll {
       val plan = joined.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
         s"co-bucketed join should be shuffle-free:\n$plan")
+      // and the bucket-grouped scans stay VECTORIZED (chained per-file
+      // columnar readers) — the layout must not forfeit batch speed
+      val finalPlan = joined.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val scans = finalPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      assert(scans.nonEmpty && scans.forall(_.supportsColumnar),
+        s"bucket-grouped scans should read columnar:\n$finalPlan")
     } finally {
       spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
+  }
+
+  test("append with the same count but a different bucket column is refused") {
+    val out = s"$dir/o_colgate"
+    orders.limit(50).write.format("strawboat")
+      .option("bucketBy", "o_custkey").option("buckets", "4")
+      .mode("overwrite").save(out)
+    val e = intercept[Exception] {
+      orders.limit(50).write.format("strawboat")
+        .option("bucketBy", "o_orderkey").option("buckets", "4")
+        .mode("append").save(out)
+    }
+    assert(e.getMessage.contains("mix layouts"), e.getMessage)
+    // and the sidecar spec survived untouched
+    assert(StrawBucket.specOf(out).contains(("o_custkey", 4)))
+  }
+
+  test("the SQL bucket function rejects a non-positive count") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT straw.bucket(0, CAST(1 AS BIGINT))").collect()
+    }
+    def chain(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ::: chain(t.getCause)
+    assert(chain(e).exists(_.contains("must be positive")), chain(e).mkString(" | "))
   }
 
   test("bucket layout survives merge-on-read deletes (DVs threaded per file)") {
@@ -220,7 +258,7 @@ class StrawBucketSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("INSERT INTO straw.spj.ins VALUES (1, 'a'), (2, 'b'), (17, 'c')")
     val files = dataFiles(s"$warehouse/spj/ins")
     assert(files.nonEmpty && files.forall(f =>
-      StrawBucket.parseTag(f.getName).exists(_._2 == 4)),
+      StrawBucket.parseTag(f.getName).exists(_.n == 4)),
       s"INSERT did not inherit the bucket layout: $files")
     assert(spark.sql("SELECT v FROM straw.spj.ins WHERE k = 17")
       .collect().map(_.getString(0)).toSeq == Seq("c"))
@@ -248,7 +286,7 @@ class StrawBucketSpec extends AnyFunSuite with BeforeAndAfterAll {
     // merge-inserted rows landed in tagged files; the append gate stays open
     val dir0 = s"$warehouse/mrg/t"
     assert(dataFiles(dir0).forall(f =>
-      StrawBucket.parseTag(f.getName).exists(_._2 == 4)),
+      StrawBucket.parseTag(f.getName).exists(_.n == 4)),
       s"MERGE wrote untagged files: ${dataFiles(dir0)}")
     spark.sql("INSERT INTO straw.mrg.t VALUES (12, 'z')")
     assert(spark.sql("SELECT k, v FROM straw.mrg.t ORDER BY k")
@@ -274,11 +312,13 @@ class StrawBucketSpec extends AnyFunSuite with BeforeAndAfterAll {
     // every output file still carries a tag and holds only its bucket
     for (f <- after) {
       val tag = StrawBucket.parseTag(f.getName)
-      assert(tag.exists(_._2 == 4), s"compaction emitted untagged file $f")
+      assert(tag.exists(t => t.n == 4 &&
+        t.colHash.contains(StrawBucket.colHash("o_custkey"))),
+        s"compaction emitted untagged file $f")
       val keys = spark.read.format("strawboat").load(f.getPath)
         .select("o_custkey").collect().map(_.getLong(0))
       assert(keys.forall(k => StrawBucket.bucketOf(k,
-        org.apache.spark.sql.types.LongType, 4) == tag.get._1))
+        org.apache.spark.sql.types.LongType, 4) == tag.get.bucket))
     }
     assert(sameRows(spark.read.format("strawboat").load(out),
       orders.select("o_orderkey", "o_custkey", "o_totalprice")))
@@ -316,7 +356,7 @@ class StrawBucketSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.awaitTermination(60000)
     val files = dataFiles(out)
     assert(files.nonEmpty && files.forall(f =>
-      StrawBucket.parseTag(f.getName).exists(_._2 == 4)),
+      StrawBucket.parseTag(f.getName).exists(_.n == 4)),
       s"streaming sink wrote untagged files: $files")
     assert(StrawBucket.specOf(out).contains(("o_custkey", 4)))
     assert(sameRows(spark.read.format("strawboat").load(out),

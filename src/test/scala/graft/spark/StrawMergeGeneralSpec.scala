@@ -155,6 +155,21 @@ class StrawMergeGeneralSpec extends AnyFunSuite with BeforeAndAfterAll {
           |WHEN MATCHED AND t.v IN (SELECT id FROM straw.g6) THEN DELETE""".stripMargin)
     }
     assert(sub.getMessage.contains("subquery"), sub.getMessage)
+
+    // a nullable INSERT value into a NOT NULL column is refused up front
+    spark.sql("DROP TABLE IF EXISTS straw.g6n")
+    spark.sql("CREATE TABLE straw.g6n (id BIGINT, v BIGINT NOT NULL)")
+    spark.sql("INSERT INTO straw.g6n VALUES (1, 1)")
+    val nn = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO straw.g6n AS t
+          |USING (SELECT CAST(9 AS BIGINT) AS id,
+          |              CAST(NULL AS BIGINT) AS maybe) AS s
+          |ON t.id = s.id
+          |WHEN NOT MATCHED AND s.maybe IS NULL
+          |  THEN INSERT (id, v) VALUES (s.id, s.maybe)""".stripMargin)
+    }
+    assert(nn.getMessage.contains("non-nullable"), nn.getMessage)
   }
 
   /** Corrupt every data page of `f` (footer intact, .crc dropped): any
