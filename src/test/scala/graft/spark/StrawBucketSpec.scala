@@ -165,6 +165,39 @@ class StrawBucketSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(StrawBucket.specOf(out).contains(("o_custkey", 4)))
   }
 
+  test("a stale sidecar spec (crashed rebucket) cannot cause wrong pruning") {
+    // files hashed on o_custkey; the sidecar then (wrongly) claims the
+    // spec is (o_orderkey, 8) — the crash window between a rebucketing
+    // truncate's log commit and its sidecar update. The tags' column
+    // hashes disagree with the claimed spec, so equality filters on
+    // o_orderkey must NOT bucket-prune (and results stay exact).
+    val out = s"$dir/o_stale"
+    orders.write.format("strawboat")
+      .option("bucketBy", "o_custkey").option("buckets", "8")
+      .mode("overwrite").save(out)
+    val side = StrawTableSidecar.read(out).get
+    StrawTableSidecar.write(out, side.copy(properties =
+      side.properties + (StrawBucket.PropBucketBy -> "o_orderkey")))
+    // a MID-RANGE key: every bucket file's o_orderkey [min,max] straddles
+    // it, so file-level range stats cannot prune — only (wrong) bucket
+    // pruning could, which is exactly what must not happen
+    val keys = orders.select("o_orderkey").orderBy(col("o_orderkey"))
+      .collect().map(_.getLong(0))
+    val key = keys(keys.length / 2)
+    val df = spark.read.format("strawboat").load(out)
+      .filter(col("o_orderkey") === key)
+    assert(sameRows(df, orders.filter(col("o_orderkey") === key)))
+    // planning kept files of EVERY bucket (no tag certifies the claim)
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.get
+    val plannedBuckets = scan.toBatch.planInputPartitions().collect {
+      case p: StrawInputPartition => StrawBucket.parseTag(p.path).map(_.bucket)
+    }.flatten.distinct
+    assert(plannedBuckets.size > 1,
+      s"divergent spec must not prune to one bucket, planned: $plannedBuckets")
+  }
+
   test("the SQL bucket function rejects a non-positive count") {
     val e = intercept[Exception] {
       spark.sql("SELECT straw.bucket(0, CAST(1 AS BIGINT))").collect()
