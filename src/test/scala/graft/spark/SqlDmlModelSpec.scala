@@ -55,7 +55,7 @@ class SqlDmlModelSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     val steps = 40
     for (i <- 0 until steps) {
-      rnd.nextInt(6) match {
+      rnd.nextInt(7) match {
         case 0 => // INSERT a small batch of fresh ids
           val rows = (0 until 1 + rnd.nextInt(4)).map { k =>
             val id = nextId + k; (id, rnd.nextInt(100).toLong, tag())
@@ -127,6 +127,42 @@ class SqlDmlModelSpec extends AnyFunSuite with BeforeAndAfterAll {
             spark.sql("TRUNCATE TABLE straw.model")
             model = Map.empty
             check(s"[$i] TRUNCATE")
+          }
+
+        case 6 => // GENERAL merge: conditional clauses (first-match-wins),
+          // partial assignments, conditional inserts, NOT MATCHED BY SOURCE
+          if (model.nonEmpty) {
+            val existing = rnd.shuffle(model.keys.toSeq)
+              .take(1 + rnd.nextInt(math.min(4, model.size)))
+            val fresh = (0 until rnd.nextInt(3)).map(k => nextId + k)
+            nextId += fresh.length
+            val src = (existing ++ fresh).map(id => (id, rnd.nextInt(100).toLong))
+            val cut = 20 + rnd.nextInt(60)
+            val values = src.map { case (id, sv) => s"($id, $sv)" }.mkString(", ")
+            spark.sql(
+              s"""MERGE INTO straw.model AS tgt
+                 |USING (SELECT col1 AS id, col2 AS sv FROM VALUES $values) AS src
+                 |ON tgt.id = src.id
+                 |WHEN MATCHED AND src.sv >= $cut THEN DELETE
+                 |WHEN MATCHED THEN UPDATE SET v = tgt.v + src.sv
+                 |WHEN NOT MATCHED AND src.sv < $cut
+                 |  THEN INSERT (id, v, tag) VALUES (src.id, src.sv, 'gen')
+                 |WHEN NOT MATCHED BY SOURCE AND tgt.v % 7 = 0
+                 |  THEN UPDATE SET tag = 'orph'""".stripMargin)
+            val srcMap = src.toMap
+            val pre = model
+            model = pre.flatMap { case (id, (v, tg)) =>
+              srcMap.get(id) match {
+                case Some(sv) if sv >= cut => None // matched clause 1: delete
+                case Some(sv) => Some(id -> (v + sv, tg)) // clause 2: partial
+                case None if v % 7 == 0 => Some(id -> (v, "orph")) // by source
+                case None => Some(id -> (v, tg))
+              }
+            }
+            model ++= src.collect {
+              case (id, sv) if !pre.contains(id) && sv < cut => id -> (sv, "gen")
+            }
+            check(s"[$i] GENERAL-MERGE cut=$cut $values")
           }
       }
     }
