@@ -56,6 +56,24 @@ object PartitionLayout {
     * is not a partition segment, so a partitioned table nested under a
     * `key=value`-looking data directory cannot capture foreign segments. */
   def partitionsOf(file: String): Seq[(String, Option[String])] = {
+    partitionsOfImpl(file)
+  }
+
+  /** The hive layout's column sequence derived from a file listing — what
+    * the mutation writers (merge inserts, DML rewrites) route new rows by.
+    * Schema-only markers (`part-empty-*`, written at the table ROOT by
+    * CREATE/truncate) carry no partition directories and must not defeat
+    * the derivation; genuinely mixed layouts still derive as unpartitioned
+    * (PartitionLayout tolerates mixed levels on read). */
+  def layoutColsOf(listed: Seq[StrawIO.Listed]): Seq[String] =
+    listed.filterNot(lf => StrawBucket.isMarker(lf.meta.path))
+      .map(lf => partitionsOf(lf.meta.path).map(_._1))
+      .distinct match {
+      case Seq(one) => one
+      case _ => Seq.empty
+    }
+
+  private def partitionsOfImpl(file: String): Seq[(String, Option[String])] = {
     var out = List.empty[(String, Option[String])]
     var dir = new org.apache.hadoop.fs.Path(file).getParent
     var seg = segmentOf(dir)

@@ -599,12 +599,7 @@ object StrawMerge {
     // hive-partitioned targets route inserted rows into their value
     // directories, preserving the (possibly multi-level) layout and its
     // pruning — every existing file must agree on the column sequence
-    val partitionCols: Seq[String] = listed
-      .map(lf => PartitionLayout.partitionsOf(lf.meta.path).map(_._1))
-      .distinct match {
-      case Seq(one) => one
-      case _ => Seq.empty
-    }
+    val partitionCols: Seq[String] = PartitionLayout.layoutColsOf(listed)
     // written files carry PHYSICAL spellings (fresh names for re-added
     // columns); rows bind positionally so only the field names differ
     val schemaJson = mapping.toPhysical(schema).json

@@ -381,12 +381,7 @@ object StrawMergeScan {
     ).flatten
     val checker = StrawConstraints.checkerFor(spark, dir, schema).orNull
     val serConf = new org.apache.spark.util.SerializableConfiguration(StrawIO.conf)
-    val partitionCols: Seq[String] = listed
-      .map(lf => PartitionLayout.partitionsOf(lf.meta.path).map(_._1))
-      .distinct match {
-      case Seq(one) => one
-      case _ => Seq.empty
-    }
+    val partitionCols: Seq[String] = PartitionLayout.layoutColsOf(listed)
     val schemaJson = mapping.toPhysical(schema).json
     val opts0 = StrawBucket.withTableSpec(dir, opts)
     val staged: Seq[String] =

@@ -248,6 +248,29 @@ class StrawMergeGeneralSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(Seq(1L, 2L, "x")))
   }
 
+  test("general merge moves updated rows across hive partitions") {
+    // assigning the hive partition column is legal HERE (unlike file-local
+    // UPDATE): the old row version dies via DV in its directory and the
+    // new version routes to the new one — directory pruning sees both
+    spark.sql("DROP TABLE IF EXISTS straw.gp")
+    spark.sql(
+      "CREATE TABLE straw.gp (id BIGINT, kind STRING, v BIGINT) PARTITIONED BY (kind)")
+    spark.sql("INSERT INTO straw.gp VALUES (1, 'a', 10), (2, 'a', 20), (3, 'b', 30)")
+    spark.sql(
+      """MERGE INTO straw.gp t USING (SELECT CAST(2 AS BIGINT) AS id) s
+        |ON t.id = s.id
+        |WHEN MATCHED AND t.kind = 'a' THEN UPDATE SET kind = 'b'""".stripMargin)
+    assert(rows("SELECT id, kind, v FROM straw.gp WHERE kind = 'b' ORDER BY id") ==
+      Seq(Seq(2L, "b", 20L), Seq(3L, "b", 30L)))
+    assert(rows("SELECT id FROM straw.gp WHERE kind = 'a'") == Seq(Seq(1L)))
+    // physically: the moved row's fresh file lives under kind=b/
+    val bFiles = new java.io.File(s"$warehouse/gp/kind=b").listFiles
+      .filter(_.getName.endsWith(".strb"))
+    val bIds = bFiles.flatMap(f => spark.read.format("strawboat")
+      .load(f.getPath).select("id").collect().map(_.getLong(0))).sorted
+    assert(bIds.toSeq == Seq(2L, 3L), s"kind=b holds $bIds")
+  }
+
   test("general merge respects CHECK constraints on written rows") {
     spark.sql(
       "CREATE TABLE straw.g7 (id BIGINT, v BIGINT, CONSTRAINT nonneg CHECK (v >= 0))")
