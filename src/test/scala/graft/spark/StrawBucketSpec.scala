@@ -373,6 +373,44 @@ class StrawBucketSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("ALTER TABLE straw.mrg.guard RENAME COLUMN v TO w") // others fine
   }
 
+  test("hive partitioning and bucketing compose in one layout") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS straw.hb")
+    spark.sql("DROP TABLE IF EXISTS straw.hb.t")
+    spark.sql(
+      """CREATE TABLE straw.hb.t (id BIGINT, kind STRING, v BIGINT)
+        |PARTITIONED BY (kind, bucket(4, id))""".stripMargin)
+    spark.sql(
+      """INSERT INTO straw.hb.t
+        |SELECT id, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END, id * 10
+        |FROM range(200)""".stripMargin)
+    // files live under kind=X/ AND carry bucket tags
+    for (k <- Seq("a", "b")) {
+      val files = new java.io.File(s"$warehouse/hb/t/kind=$k").listFiles
+        .filter(_.getName.endsWith(".strb"))
+      assert(files.nonEmpty && files.forall(f =>
+        StrawBucket.parseTag(f.getName).exists(_.n == 4)),
+        s"kind=$k: ${files.mkString(",")}")
+    }
+    // partition pruning and bucket-key equality compose
+    assert(spark.sql("SELECT v FROM straw.hb.t WHERE kind = 'a' AND id = 42")
+      .collect().map(_.getLong(0)).toSeq == Seq(420L))
+    assert(spark.sql("SELECT count(*) FROM straw.hb.t").head.getLong(0) == 200)
+    // SPJ on the bucket key still engages across hive partitions
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val self = spark.sql(
+        """SELECT a.id FROM straw.hb.t a JOIN straw.hb.t b ON a.id = b.id
+          |WHERE a.kind = 'a'""".stripMargin)
+      assert(self.count() == 100)
+      assert(!self.queryExecution.executedPlan.toString.contains("Exchange"),
+        "bucketed self-join across hive partitions should be shuffle-free")
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("streaming sink routes to tagged buckets and records the spec") {
     val src = s"$dir/stream_src"
     val out = s"$dir/stream_out"
