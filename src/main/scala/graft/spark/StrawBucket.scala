@@ -172,15 +172,17 @@ object StrawBucket {
         case None =>
           try StrawTableSidecar.claim(dir, StrawTableSidecar(Seq.empty, want))
           catch { case _: java.io.IOException => () } // racing writer recorded it
-        case Some(s) if !specFromProps(s.properties).contains((col, opts.buckets)) =>
-          // only a TRUNCATE may change an existing spec (it replaced every
-          // file); the append gate refuses mismatched appends up front, so
-          // reaching here on an append means a racing writer — leave the
-          // sidecar alone and let tag verification decline the layout
-          if (truncate)
+        case Some(s) =>
+          val curSpec = specFromProps(s.properties)
+          // a sidecar WITHOUT a spec (catalog metadata, stripped by an
+          // unbucketed truncate) takes this write's spec like a fresh
+          // claim; an existing DIFFERENT spec may only change on TRUNCATE
+          // (it replaced every file) — the append gate refuses mismatched
+          // appends up front, so reaching here on an append means a racing
+          // writer: leave the sidecar alone, tag verification declines
+          if (curSpec.isEmpty || (truncate && !curSpec.contains((col, opts.buckets))))
             StrawTableSidecar.write(dir,
               s.copy(properties = stripSpec(s.properties) ++ want))
-        case _ => ()
       }
     } else if (truncate && cur.exists(s => specFromProps(s.properties).isDefined)) {
       val s = cur.get

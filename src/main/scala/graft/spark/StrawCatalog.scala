@@ -169,7 +169,9 @@ class StrawCatalog extends TableCatalog with SupportsNamespaces
     val schema = new StrawboatDataSource()
       .inferSchema(new CaseInsensitiveStringMap(optMap.asJava))
     val partitionBy = sidecar.map(_.partitionBy).filter(_.nonEmpty).getOrElse(
-      StrawIO.listFiles(dir).headOption
+      // schema markers live at the table ROOT — deriving from one would
+      // misreport a partitioned table as unpartitioned
+      StrawIO.listFiles(dir).filterNot(graft.spark.StrawBucket.isMarker).headOption
         .map(f => PartitionLayout.partitionsOf(f).map(_._1)).getOrElse(Seq.empty))
     new StrawboatTable(dir, schema, partitionBy,
       asOfOpt = asOf,

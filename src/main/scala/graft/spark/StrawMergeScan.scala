@@ -198,10 +198,24 @@ object StrawMergeScan {
     // source neither diverges between passes (which could both insert and
     // update the same key) nor re-executes per consumer. The checkpointed
     // plan keeps the original output attributes, so every clause
-    // expression still resolves.
+    // expression still resolves. Released in the epilogue's finally —
+    // repeated large merges must not accumulate executor block storage.
     val src: LogicalPlan = org.apache.spark.sql.graft.GraftSqlShims
       .dataFrame(spark, source).localCheckpoint(true).queryExecution.analyzed
+    try mergeBody(spark, dir, relation, src, targetOutput, cond,
+      matchedClauses, nmbsClauses, insertClauses, keyPairs, opts)
+    finally src.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+    }
+  }
 
+  private def mergeBody(spark: SparkSession, dir: String,
+      relation: DataSourceV2Relation, src: LogicalPlan,
+      targetOutput: Seq[Attribute], cond: Expression,
+      matchedClauses: Seq[Clause], nmbsClauses: Seq[Clause],
+      insertClauses: Seq[(Option[Expression], Seq[Assignment])],
+      keyPairs: Seq[(Expression, Expression)],
+      opts: WriteOptions): Unit = {
     val (listed, mapping, schema) = StrawScanDml.snapshot(dir)
     val (candidates, candIdx) = StrawScanDml.allCandidates(dir, listed, schema, mapping)
     val jobId = java.util.UUID.randomUUID().toString.take(8)

@@ -422,7 +422,7 @@ class StrawboatTable(path: String, val schemaArg: StructType,
   override def partitioning(): Array[Transform] = {
     val cols =
       if (partitionByOpt.nonEmpty) partitionByOpt
-      else StrawIO.listFiles(path).headOption
+      else StrawIO.listFiles(path).filterNot(StrawBucket.isMarker).headOption
         .map(f => PartitionLayout.partitionsOf(f).map(_._1)).getOrElse(Seq.empty)
     // a declared bucket spec is part of the table's partitioning contract
     // (what DESCRIBE shows and what CTAS round-trips)
@@ -1001,13 +1001,16 @@ class StrawScan(
       // file NAME alone, before any footer IO. Untagged files (markers,
       // foreign data) always survive; zone maps still apply below.
       val listed = bucketKeep match {
-        case Some((c, n, keep)) => listed0.filter(lf =>
-          StrawBucket.parseTag(lf.meta.path) match {
-            // only a tag certifying THIS (column, count) may exclude a
-            // file — a foreign or pre-hash tag means divergence, keep it
-            case Some(t) if StrawBucket.tagMatches(t, c, n) => keep.contains(t.bucket)
-            case _ => true
-          })
+        case Some((c, n, keep)) =>
+          val want = StrawBucket.colHash(c) // once, not per file
+          listed0.filter(lf =>
+            StrawBucket.parseTag(lf.meta.path) match {
+              // only a tag certifying THIS (column, count) may exclude a
+              // file — a foreign or pre-hash tag means divergence, keep it
+              case Some(t) if t.n == n && t.colHash.contains(want) =>
+                keep.contains(t.bucket)
+              case _ => true
+            })
         case None => listed0
       }
       val kept = listed.filter { lf =>
@@ -1106,9 +1109,10 @@ class StrawScan(
       else requiredSchema.fields.find(_.name.equalsIgnoreCase(col)) match {
         case Some(fld) if StrawBucket.bucketable(fld.dataType) =>
           val groups = Array.fill(n)(List.newBuilder[(String, String, Long)])
+          val want = StrawBucket.colHash(col) // once, not per file
           val ok = footers.forall { case (p, footer, _, dv) =>
             StrawBucket.parseTag(p) match {
-              case Some(t) if StrawBucket.tagMatches(t, col, n) && t.bucket < n =>
+              case Some(t) if t.n == n && t.colHash.contains(want) && t.bucket < n =>
                 groups(t.bucket) += ((p,
                   if (dv == null) null else dv.path,
                   if (dv == null) 0L else dv.len))
@@ -1357,52 +1361,40 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
     if (appendPos) None
     else topN.filter(_.cols.forall(c => requiredSchema.fieldNames.contains(c.name)))
 
+  /** Chain per-file readers into one partition reader — shared by the
+    * key-grouped and bucket-grouped (row AND columnar) paths. */
+  private def chainReaders[T](files: Iterator[StrawInputPartition],
+      open: StrawInputPartition => PartitionReader[T]): PartitionReader[T] =
+    new PartitionReader[T] {
+      private var cur: PartitionReader[T] = _
+      override def next(): Boolean = {
+        while (true) {
+          if (cur == null) {
+            if (!files.hasNext) return false
+            cur = open(files.next())
+          }
+          if (cur.next()) return true
+          cur.close()
+          cur = null
+        }
+        false
+      }
+      override def get(): T = cur.get()
+      override def close(): Unit = if (cur != null) cur.close()
+    }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     StrawIO.install(serConf.value) // driver's session conf, shipped per task
     partition match {
       case kp: StrawKeyedPartition =>
         // chain the value's files through single-file readers
-        return new PartitionReader[InternalRow] {
-          private val fileIt = kp.files.iterator
-          private var cur: PartitionReader[InternalRow] = _
-          override def next(): Boolean = {
-            while (true) {
-              if (cur == null) {
-                if (!fileIt.hasNext) return false
-                cur = createReader(
-                  StrawInputPartition(fileIt.next(), 0, Int.MaxValue, Long.MaxValue))
-              }
-              if (cur.next()) return true
-              cur.close()
-              cur = null
-            }
-            false
-          }
-          override def get(): InternalRow = cur.get()
-          override def close(): Unit = if (cur != null) cur.close()
-        }
+        return chainReaders(kp.files.iterator.map(f =>
+          StrawInputPartition(f, 0, Int.MaxValue, Long.MaxValue)), createReader)
       case bp: StrawBucketPartition =>
         // chain the bucket's files (deletion vectors threaded per file)
-        return new PartitionReader[InternalRow] {
-          private val fileIt = bp.files.iterator
-          private var cur: PartitionReader[InternalRow] = _
-          override def next(): Boolean = {
-            while (true) {
-              if (cur == null) {
-                if (!fileIt.hasNext) return false
-                val (f, dvPath, dvLen) = fileIt.next()
-                cur = createReader(
-                  StrawInputPartition(f, 0, Int.MaxValue, Long.MaxValue, dvPath, dvLen))
-              }
-              if (cur.next()) return true
-              cur.close()
-              cur = null
-            }
-            false
-          }
-          override def get(): InternalRow = cur.get()
-          override def close(): Unit = if (cur != null) cur.close()
-        }
+        return chainReaders(bp.files.iterator.map { case (f, dvPath, dvLen) =>
+          StrawInputPartition(f, 0, Int.MaxValue, Long.MaxValue, dvPath, dvLen)
+        }, createReader)
       case _ =>
     }
     val p = partition.asInstanceOf[StrawInputPartition]
@@ -1611,23 +1603,14 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
 
   // consumed filters stay vectorized: the columnar reader evaluates them
   // in-reader (zero-copy for all-pass pages, survivor compaction for mixed)
+  // survivor compaction (consumed filters / deletion vectors) covers the
+  // FULL vectorizable surface (flat, struct trees, arrays — see
+  // ColumnarSupport.isCompactable), so filtering reads no longer force the
+  // row path anywhere
   override def supportColumnarReads(partition: InputPartition): Boolean =
     !partition.isInstanceOf[StrawKeyedPartition] && topNActive.isEmpty &&
       !typeWidened &&
-      readSchemaExt.fields.forall(f => ColumnarSupport.isVectorizable(f.dataType)) && {
-        // survivor compaction (consumed filters / deletion vectors) copies
-        // between vectors — not implemented for array columns, which route
-        // to the row reader on filtering partitions only
-        val filtering = exactFilters.nonEmpty || (partition match {
-          case p: StrawInputPartition => p.dvPath != null
-          // a bucket partition chains whole files; any file's DV makes it
-          // a filtering read
-          case b: StrawBucketPartition => b.files.exists(_._2 != null)
-          case _ => false
-        })
-        !filtering ||
-          readSchemaExt.fields.forall(f => ColumnarSupport.isCompactable(f.dataType))
-      }
+      readSchemaExt.fields.forall(f => ColumnarSupport.isVectorizable(f.dataType))
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
@@ -1636,26 +1619,9 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
       case bp: StrawBucketPartition =>
         // chain the bucket's files through per-file VECTORIZED readers —
         // the storage-partitioned layout keeps whole-stage columnar speed
-        return new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
-          private val fileIt = bp.files.iterator
-          private var cur: PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = _
-          override def next(): Boolean = {
-            while (true) {
-              if (cur == null) {
-                if (!fileIt.hasNext) return false
-                val (f, dvPath, dvLen) = fileIt.next()
-                cur = createColumnarReader(
-                  StrawInputPartition(f, 0, Int.MaxValue, Long.MaxValue, dvPath, dvLen))
-              }
-              if (cur.next()) return true
-              cur.close()
-              cur = null
-            }
-            false
-          }
-          override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = cur.get()
-          override def close(): Unit = if (cur != null) cur.close()
-        }
+        return chainReaders(bp.files.iterator.map { case (f, dvPath, dvLen) =>
+          StrawInputPartition(f, 0, Int.MaxValue, Long.MaxValue, dvPath, dvLen)
+        }, createColumnarReader)
       case _ =>
     }
     val p = partition.asInstanceOf[StrawInputPartition]
@@ -1930,13 +1896,18 @@ class StrawWriteBuilder(path: String, schema: StructType, opts: WriteOptions,
           val incoming =
             if (opts.buckets == 0) (0, -1)
             else (opts.buckets, StrawBucket.colHash(opts.bucketBy.get))
-          existing.find(_ != incoming).foreach { other =>
+          existing.find(_ != incoming).foreach { case (en, eh) =>
+            val held =
+              if (en == 0) "unbucketed"
+              else if (opts.buckets > 0 && en == opts.buckets && eh != incoming._2)
+                s"buckets=$en differently-keyed"
+              else s"buckets=$en"
+            val asked =
+              if (opts.buckets == 0) "no bucketing"
+              else s"(${opts.bucketBy.get}, ${opts.buckets})"
             throw new IllegalArgumentException(
-              s"strawboat: $path holds " +
-                (if (other._1 == 0) "unbucketed"
-                 else s"buckets=${other._1} differently-keyed") +
-                s" data — an append with buckets=${opts.buckets} would mix " +
-                "layouts (overwrite to rebucket)")
+              s"strawboat: $path holds $held data — an append with $asked " +
+                "would mix layouts (overwrite to rebucket)")
           }
       }
     }

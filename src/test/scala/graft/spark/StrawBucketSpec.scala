@@ -165,6 +165,24 @@ class StrawBucketSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(StrawBucket.specOf(out).contains(("o_custkey", 4)))
   }
 
+  test("bucketed append onto a spec-less sidecar records the spec") {
+    // a catalog CREATE leaves a sidecar with NO bucket properties; the
+    // first bucketed append must still record its spec there (it is a
+    // first claim, not a divergence) so later reads/INSERTs inherit it
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS straw.sl0")
+    spark.sql("DROP TABLE IF EXISTS straw.sl0.t")
+    spark.sql("CREATE TABLE straw.sl0.t (k BIGINT, v BIGINT)")
+    orders.limit(20).selectExpr("o_orderkey AS k", "o_custkey AS v")
+      .write.format("strawboat").option("bucketBy", "k").option("buckets", "4")
+      .mode("append").save(s"$warehouse/sl0/t")
+    assert(StrawBucket.specOf(s"$warehouse/sl0/t").contains(("k", 4)))
+    // a plain catalog INSERT now inherits the recorded spec
+    spark.sql("INSERT INTO straw.sl0.t VALUES (100, 1)")
+    val files = dataFiles(s"$warehouse/sl0/t")
+    assert(files.nonEmpty && files.forall(f =>
+      StrawBucket.parseTag(f.getName).exists(_.n == 4)), files.mkString(","))
+  }
+
   test("a stale sidecar spec (crashed rebucket) cannot cause wrong pruning") {
     // files hashed on o_custkey; the sidecar then (wrongly) claims the
     // spec is (o_orderkey, 8) — the crash window between a rebucketing
