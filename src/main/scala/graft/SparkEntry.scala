@@ -396,7 +396,10 @@ object SparkEntry {
       t(s, d, "embeddings").select(
         col("vec_id"),
         size(col("embedding")).as("emb_len"),
-        round(element_at(col("embedding"), 1).cast("double"), 4).as("emb0"),
+        // + 0.0 canonicalizes IEEE negative zero (round of a tiny
+        // negative yields -0.0 in DuckDB, +0.0 in Spark — same value,
+        // different hash text)
+        (round(element_at(col("embedding"), 1).cast("double"), 4) + lit(0.0)).as("emb0"),
         round(Ann.l2Norm(col("embedding")), 4).as("l2"),
         col("label"))
         .orderBy(col("vec_id"))
@@ -1659,7 +1662,7 @@ object SparkEntry {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_array_ops" ->
       """SELECT vec_id, len(embedding) AS emb_len,
-        |  round((embedding[1])::DOUBLE, 4) AS emb0,
+        |  round((embedding[1])::DOUBLE, 4) + 0.0 AS emb0,
         |  round(sqrt(list_sum(list_transform(embedding,
         |    x -> (x::DOUBLE) * (x::DOUBLE)))), 4) AS l2,
         |  label
