@@ -1249,6 +1249,15 @@ object SparkEntry {
         ("long", docs.filter(col("n_chars") >= 200), 400)), "doc_id")
         .orderBy(col("source_ds"), col("doc_id"))
     }),
+    "q_shard_shuffle" -> ((s, d) => {
+      // deterministic training shards + reproducible within-shard shuffle:
+      // md5(doc_id) is the whole randomness source, so the oracle (and any
+      // training loader) replays the identical global shuffle bit-for-bit
+      graft.ops.Packing.shardForTraining(
+        t(s, d, "documents").select(col("doc_id"), col("lang")), "doc_id", 16)
+        .select(col("doc_id"), col("lang"), col("shard"), col("shard_pos"))
+        .orderBy(col("shard"), col("shard_pos"))
+    }),
     // --- SQL catalog + DML: the pure-SQL user lifecycle -------------------
     "q_sql_dml" -> ((s, d) => {
       // CTAS through the TableCatalog, then DELETE / UPDATE / MERGE INTO as
@@ -2044,6 +2053,15 @@ object SparkEntry {
         |SELECT doc_id + 1000000, upper(lang), CAST(n_chars AS BIGINT), 'fresh'
         |FROM documents WHERE n_chars > 400
         |ORDER BY doc_id""".stripMargin,
+    "q_shard_shuffle" -> // the same md5-keyed shard + order, replayed
+      """WITH h AS (SELECT doc_id, lang,
+        |    md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents)
+        |SELECT doc_id, lang,
+        |  CAST(CAST(concat('0x', substr(hx, 1, 8)) AS BIGINT) % 16 AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY CAST(concat('0x', substr(hx, 1, 8)) AS BIGINT) % 16
+        |    ORDER BY hx, doc_id) AS BIGINT) AS shard_pos
+        |FROM h ORDER BY shard, shard_pos""".stripMargin,
     "q_merge_conditional" -> // clause algebra replayed: matched = n_chars in
       // [100,500]; >300 -> lang='long', else n_chars+1; unmatched-by-source
       // rows with n_chars<50 die

@@ -87,4 +87,28 @@ object Packing {
         .withColumn("source_ds", lit(name))
     }.reduce(_.unionByName(_))
   }
+
+  /** Deterministic training shards with a reproducible within-shard
+    * shuffle: `shard` = md5(key) mod n, `shard_pos` = the row's ordinal in
+    * md5 order inside its shard. The point is REPRODUCIBILITY across
+    * engines and runs — md5 of the key's decimal string is the whole
+    * randomness source, so any system (this engine, DuckDB, a Python
+    * loader) replays the identical global shuffle and split, and a re-run
+    * over the same corpus yields byte-identical shards.
+    *
+    * 100 TB shape: one hash-partition shuffle on `shard` plus a per-shard
+    * sort — the exact physical plan a shard-writer wants (`repartition(n,
+    * shard).sortWithinPartitions(...)` downstream); no global ordering,
+    * no driver state. Keys must be unique for `shard_pos` stability (ties
+    * break on the key itself, so equal-hash collisions stay
+    * deterministic). */
+  def shardForTraining(df: DataFrame, keyCol: String, numShards: Int): DataFrame = {
+    require(numShards >= 1, s"strawboat: numShards must be positive: $numShards")
+    val hx = md5(col(keyCol).cast("string"))
+    val shard = pmod(conv(substring(hx, 1, 8), 16, 10).cast("long"),
+      lit(numShards.toLong))
+    df.withColumn("shard", shard)
+      .withColumn("shard_pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(hx, col(keyCol))).cast("long"))
+  }
 }

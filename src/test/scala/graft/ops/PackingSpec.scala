@@ -63,4 +63,35 @@ class PackingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mixed.filter(col("source_ds") === "even").count() == 500)
     assert(mixed.filter(col("source_ds") === "odd").count() == 0)
   }
+
+  test("shardForTraining: complete, balanced-ish, reproducible shards") {
+    val sp = spark
+    import sp.implicits._
+    val df = (0L until 1000L).toDF("id")
+    val sharded = Packing.shardForTraining(df, "id", 8).cache()
+    // complete and disjoint: every row lands in exactly one shard
+    assert(sharded.count() == 1000)
+    assert(sharded.select("shard").distinct().count() == 8)
+    assert(sharded.agg(org.apache.spark.sql.functions.min("shard"),
+      org.apache.spark.sql.functions.max("shard")).head.toSeq == Seq(0L, 7L))
+    // within-shard positions are dense 1..size (a reproducible ordering,
+    // not just an arbitrary partition order)
+    val sizes = sharded.groupBy("shard").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val maxPos = sharded.groupBy("shard")
+      .agg(org.apache.spark.sql.functions.max("shard_pos").as("m")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes == maxPos, s"positions not dense: $sizes vs $maxPos")
+    // md5 is the whole randomness source: a second run replays exactly
+    val again = Packing.shardForTraining(df, "id", 8)
+    assert(sharded.select("id", "shard", "shard_pos").exceptAll(
+      again.select("id", "shard", "shard_pos")).isEmpty)
+    // and the shuffle actually shuffles: within a shard, id order and
+    // position order disagree somewhere
+    val firstShard = sharded.filter(col("shard") === 0)
+      .orderBy(col("shard_pos")).select("id").collect().map(_.getLong(0))
+    assert(firstShard.toSeq != firstShard.sorted.toSeq,
+      "md5 ordering should not coincide with key order")
+    sharded.unpersist()
+  }
 }
