@@ -107,8 +107,13 @@ object ColumnarSupport {
         }
         var f = 0
         while (f < st.fields.length) {
-          fill(v.getChild(f).asInstanceOf[OnHeapColumnVector],
-            st.fields(f).dataType, sp.fields(f))
+          // reserve() on a struct vector resizes only its own buffers, not
+          // its children's — a struct under an array (child count can exceed
+          // the allocation-time 4x-rows child capacity) needs each field
+          // vector grown explicitly before the bulk fill
+          val cv = v.getChild(f).asInstanceOf[OnHeapColumnVector]
+          cv.reserve(n)
+          fill(cv, st.fields(f).dataType, sp.fields(f))
           f += 1
         }
       case ap: ArrayPage =>
@@ -168,9 +173,13 @@ object ColumnarSupport {
       while (j < n) { if (src.isNullAt(positions(j))) dst.putNull(j); j += 1 }
       var f = 0
       while (f < st.fields.length) {
+        // reserve() does not propagate to struct children; under an array
+        // the survivor ELEMENT count can exceed the child vectors'
+        // allocation-time capacity — grow each field vector to n first
+        val dc = dst.getChild(f).asInstanceOf[OnHeapColumnVector]
+        dc.reserve(n)
         compactColumn(st.fields(f).dataType,
-          src.getChild(f).asInstanceOf[OnHeapColumnVector], positions, n,
-          dst.getChild(f).asInstanceOf[OnHeapColumnVector])
+          src.getChild(f).asInstanceOf[OnHeapColumnVector], positions, n, dc)
         f += 1
       }
     case at: ArrayType =>

@@ -166,6 +166,55 @@ class StructColumnarSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getSeq[String](2) == Seq("w1501", "x", "y"))
   }
 
+  test("array<struct> with long arrays survives DV compaction (child capacity)") {
+    // arrays average ~8 elements — past the 4x-rows child capacity that
+    // OnHeapColumnVector allocates for an array's element vector. Both the
+    // page fill and the survivor compaction must grow struct-field vectors
+    // explicitly (reserve() does not propagate to struct children).
+    val out = s"$dir/arrstruct"
+    spark.range(2000).select(
+      col("id"),
+      when(col("id") % 13 =!= 0,
+        expr("transform(sequence(0L, 6 + id % 4), " +
+          "e -> named_struct('a', e * 10 + id, 'b', concat('v', e)))"))
+        .as("items"))
+      .coalesce(1)
+      .write.format("strawboat").mode("overwrite")
+      .option("maxPageSize", "256").save(out)
+    val df = spark.read.format("strawboat").load(out)
+    val plan = df.select("id", "items").queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), plan)
+    def check(rows: Array[org.apache.spark.sql.Row]): Unit = rows.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 13 == 0) assert(r.isNullAt(1), s"id=$id")
+      else {
+        val items = r.getSeq[org.apache.spark.sql.Row](1)
+        assert(items.length == 7 + (id % 4).toInt, s"id=$id")
+        items.zipWithIndex.foreach { case (it, e) =>
+          assert(it.getLong(0) == e * 10 + id, s"id=$id e=$e")
+          assert(it.getString(1) == s"v$e", s"id=$id e=$e")
+        }
+      }
+    }
+    check(df.select("id", "items").collect().sortBy(_.getLong(0)))
+    // deletion vector → survivor compaction with >4x element survivors
+    val res = StrawDelete.delete(spark, out,
+      Seq(org.apache.spark.sql.sources.LessThan("id", 600L)))
+    assert(res.dvFiles > 0)
+    val after = spark.read.format("strawboat").load(out)
+    val planAfter = after.select("id", "items")
+      .queryExecution.executedPlan.toString
+    assert(planAfter.contains("ColumnarToRow"),
+      s"DV'd array<struct> partition left the columnar path:\n$planAfter")
+    val surv = after.select("id", "items").collect().sortBy(_.getLong(0))
+    assert(surv.length == 1400 && surv.head.getLong(0) == 600)
+    check(surv)
+    // consumed-filter compaction over the same shape
+    val filtered = after.filter(col("id") % 2 === 1).select("id", "items")
+    assert(filtered.count() == 700)
+    check(filtered.collect())
+  }
+
   test("columnar and row readers return identical struct results") {
     val out = s"$dir/t1"
     // force the row path via a type the vectorizer refuses (array column)
