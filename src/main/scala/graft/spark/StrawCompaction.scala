@@ -539,6 +539,17 @@ private[spark] object MaintenanceOps {
     }
   }
 
+  /** Mark the job in-flight, run `body`, and clear the marker on ANY
+    * failure before rethrowing — success paths retire the marker via
+    * [[commitSwitchAndVacuum]]'s finally (or explicitly on an empty-result
+    * return). Without this, a task failure mid-operation leaks the marker
+    * for the full [[StrawLog.InflightTtlMs]] window, blocking vacuum. */
+  def withInflight[T](dir: String, jobId: String)(body: => T): T = {
+    StrawLog.markInflight(dir, jobId)
+    try body
+    catch { case e: Throwable => StrawLog.clearInflight(dir, jobId); throw e }
+  }
+
   /** Rename staged outputs visible, each group stamped with its mtime
     * BEFORE the rename (a reader must never list a file under a wrong
     * mtime; maintenance stamps the inputs' max mtime so a file-stream

@@ -333,6 +333,10 @@ case class StrawMergeCommand(path: String, pinned: Option[Long],
         Some((true, None))
       case Seq(InsertAction(Some(c), as)) if isStarAssignment(as) &&
           c.references.forall(a => !targetSet.contains(a)) &&
+          // the fast path aligns the source to targetOutput's columns before
+          // re-analyzing the condition, so a source-only column absent from
+          // the target schema would be dropped — general path handles those
+          c.references.forall(a => targetOutput.exists(_.name == a.name)) &&
           c.deterministic &&
           !c.exists(_.isInstanceOf[
             org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]) =>

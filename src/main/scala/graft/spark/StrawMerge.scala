@@ -169,13 +169,25 @@ object StrawMerge {
     // the exact hazard again). Blocks are reclaimed by the context cleaner
     // once the frame is unreachable.
     val srcMat = srcAligned.localCheckpoint(true)
-    // path gate: estimated source KEY bytes (row count is exact — the
-    // frame is materialized — widths are schema estimates). Above the
-    // gate the driver-collect path would court an OOM; take the
-    // shuffle-join path instead.
+    // path gate: estimated source KEY bytes. Row count is exact (the frame
+    // is materialized); variable-width key columns (string/binary) use the
+    // MEASURED average byte width — defaultSize=20 undercounts URL/digest
+    // keys several-fold and would route an oversized source to the
+    // driver-collect path. One aggregate job computes count + widths.
     val keySchema = StructType(keyIdx.map(schema.fields(_)))
-    val srcRows = srcMat.count()
-    val perRowKeyBytes = keySchema.fields.map(_.dataType.defaultSize + 16).sum.toLong
+    val varWidth = keySchema.fields.filter(f =>
+      f.dataType == org.apache.spark.sql.types.StringType ||
+      f.dataType == org.apache.spark.sql.types.BinaryType)
+    val (srcRows, perRowKeyBytes) = {
+      import org.apache.spark.sql.functions._
+      val aggs = count(lit(1)) +: varWidth.toSeq.map(f =>
+        coalesce(avg(octet_length(col(f.name))), lit(0.0)))
+      val r = srcMat.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val fixed = keySchema.fields.filterNot(varWidth.contains)
+        .map(_.dataType.defaultSize + 16L).sum
+      val measured = varWidth.indices.map(i => r.getDouble(i + 1) + 16L).sum
+      (r.getLong(0), fixed + measured.toLong)
+    }
     val gateBytes = spark.conf.get(BroadcastKeyBytesConf,
       BroadcastKeyBytesDefault.toString).toLong
     // bind the insert condition up front: a typo'd column or analysis

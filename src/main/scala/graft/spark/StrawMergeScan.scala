@@ -371,7 +371,9 @@ object StrawMergeScan {
       }
 
     // ---- build DVs on executors from every touched ordinal
-    StrawLog.markInflight(dir, jobId)
+    // (inflight marker cleared on any failure — a crashed merge must not
+    // block vacuum for the full TTL window)
+    MaintenanceOps.withInflight(dir, jobId) {
     val pairFrames = Seq(
       touchedPairs,
       nmbsDf.map(_.filter(col(ActionCol) > 0)
@@ -442,5 +444,6 @@ object StrawMergeScan {
       alsoVacuum = full.flatMap(c => Option(c.oldDvPath)).toSeq,
       alsoRollback = partial.map(_.newDv.path).toSeq,
       expectDvOnRemove = full.map(c => q(c.input) -> Option(c.oldDvPath)).toMap)
+    }
   }
 }

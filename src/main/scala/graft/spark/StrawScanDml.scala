@@ -53,31 +53,34 @@ object StrawScanDml {
 
     val pairsDf = org.apache.spark.sql.graft.GraftSqlShims.dataFrame(spark, scanPlan)
     // inflight marker BEFORE sidecars exist: a concurrent vacuum must not
-    // reclaim the fresh (still-unreferenced) DVs mid-operation
-    StrawLog.markInflight(dir, jobId)
-    val outs = MaintenanceOps.dvFromPairs(spark,
-      pairRdd(pairsDf, candIdx), candidates)
-    if (outs.isEmpty) { StrawLog.clearInflight(dir, jobId); return 0L }
-
-    val f = StrawIO.fs(dir)
-    def q(p: String): String = f.makeQualified(new Path(p)).toString
-    val (full, partial) = outs.partition(_.fullDead)
-    val removes = full.map(c => q(c.input)).toSet
-    val dvUpdates = partial.map(c => StrawLog.DvUpdate(q(c.input), c.newDv,
-      Option(c.oldDvPath))).toSeq
-    // every row of every file deleted: leave one schema-only marker so the
-    // table stays self-describing (mirror of StrawDelete.deleteViaDv)
-    val adds =
-      if (dvUpdates.isEmpty && removes.size == listed.size)
-        Seq(StrawManifest.entryFor(StrawDelete.writeEmptyMarker(dir,
-          mapping.toPhysical(schema), opts)))
-      else Seq.empty
-    MaintenanceOps.commitSwitchAndVacuum(dir, jobId, adds, removes, op = "delete",
-      dvs = dvUpdates,
-      alsoVacuum = full.flatMap(c => Option(c.oldDvPath)).toSeq,
-      alsoRollback = partial.map(_.newDv.path).toSeq,
-      expectDvOnRemove = full.map(c => q(c.input) -> Option(c.oldDvPath)).toMap)
-    outs.map(_.matched).sum
+    // reclaim the fresh (still-unreferenced) DVs mid-operation; cleared on
+    // any failure so a crashed op never blocks vacuum for the full TTL
+    MaintenanceOps.withInflight(dir, jobId) {
+      val outs = MaintenanceOps.dvFromPairs(spark,
+        pairRdd(pairsDf, candIdx), candidates)
+      if (outs.isEmpty) { StrawLog.clearInflight(dir, jobId); 0L }
+      else {
+        val f = StrawIO.fs(dir)
+        def q(p: String): String = f.makeQualified(new Path(p)).toString
+        val (full, partial) = outs.partition(_.fullDead)
+        val removes = full.map(c => q(c.input)).toSet
+        val dvUpdates = partial.map(c => StrawLog.DvUpdate(q(c.input), c.newDv,
+          Option(c.oldDvPath))).toSeq
+        // every row of every file deleted: leave one schema-only marker so the
+        // table stays self-describing (mirror of StrawDelete.deleteViaDv)
+        val adds =
+          if (dvUpdates.isEmpty && removes.size == listed.size)
+            Seq(StrawManifest.entryFor(StrawDelete.writeEmptyMarker(dir,
+              mapping.toPhysical(schema), opts)))
+          else Seq.empty
+        MaintenanceOps.commitSwitchAndVacuum(dir, jobId, adds, removes, op = "delete",
+          dvs = dvUpdates,
+          alsoVacuum = full.flatMap(c => Option(c.oldDvPath)).toSeq,
+          alsoRollback = partial.map(_.newDv.path).toSeq,
+          expectDvOnRemove = full.map(c => q(c.input) -> Option(c.oldDvPath)).toMap)
+        outs.map(_.matched).sum
+      }
+    }
   }
 
   /** UPDATE t SET … WHERE <arbitrary analyzed condition>. `scanPlan`
@@ -115,51 +118,53 @@ object StrawScanDml {
     // matched ordinals — localCheckpoint cuts lineage so neither re-reads
     val df = org.apache.spark.sql.graft.GraftSqlShims.dataFrame(spark, scanPlan)
       .localCheckpoint(true)
-    StrawLog.markInflight(dir, jobId)
-    val outs = MaintenanceOps.dvFromPairs(spark, pairRdd(df, candIdx), candidates)
-    if (outs.isEmpty) { StrawLog.clearInflight(dir, jobId); return 0L }
+    MaintenanceOps.withInflight(dir, jobId) {
+      val outs = MaintenanceOps.dvFromPairs(spark, pairRdd(df, candIdx), candidates)
+      if (outs.isEmpty) { StrawLog.clearInflight(dir, jobId); 0L }
+      else {
+        // stage the new row versions (CHECK constraints bind here — an update
+        // may not move a row out of compliance), then the shared epilogue
+        val newRows = df.drop(StrawboatTable.FileColumnName, StrawboatTable.PosColumnName)
+        val checker = StrawConstraints.checkerFor(spark, dir, schema).orNull
+        val serConf = new org.apache.spark.util.SerializableConfiguration(StrawIO.conf)
+        val partitionCols: Seq[String] = PartitionLayout.layoutColsOf(listed)
+        val schemaJson = mapping.toPhysical(schema).json
+        // a bucketed table's rewritten rows keep its layout (re-hash = same tag)
+        val opts0 = StrawBucket.withTableSpec(dir, opts)
+        val staged: Seq[String] =
+          newRows.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
+            StrawIO.install(serConf.value)
+            val s = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+              .asInstanceOf[StructType]
+            val writer = new StrawDataWriter(dir, s, pid, pid.toLong, opts0, jobId,
+              partitionCols, checker)
+            var ok = false
+            try {
+              rows.foreach(writer.write)
+              val msg = writer.commit().asInstanceOf[StrawCommitMessage]
+              ok = true
+              Iterator(msg.files)
+            } finally if (!ok) writer.abort()
+          }.collect().flatten.toSeq
 
-    // stage the new row versions (CHECK constraints bind here — an update
-    // may not move a row out of compliance), then the shared epilogue
-    val newRows = df.drop(StrawboatTable.FileColumnName, StrawboatTable.PosColumnName)
-    val checker = StrawConstraints.checkerFor(spark, dir, schema).orNull
-    val serConf = new org.apache.spark.util.SerializableConfiguration(StrawIO.conf)
-    val partitionCols: Seq[String] = PartitionLayout.layoutColsOf(listed)
-    val schemaJson = mapping.toPhysical(schema).json
-    // a bucketed table's rewritten rows keep its layout (re-hash = same tag)
-    val opts0 = StrawBucket.withTableSpec(dir, opts)
-    val staged: Seq[String] =
-      newRows.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
-        StrawIO.install(serConf.value)
-        val s = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
-          .asInstanceOf[StructType]
-        val writer = new StrawDataWriter(dir, s, pid, pid.toLong, opts0, jobId,
-          partitionCols, checker)
-        var ok = false
-        try {
-          rows.foreach(writer.write)
-          val msg = writer.commit().asInstanceOf[StrawCommitMessage]
-          ok = true
-          Iterator(msg.files)
-        } finally if (!ok) writer.abort()
-      }.collect().flatten.toSeq
-
-    val f = StrawIO.fs(dir)
-    def q(p: String): String = f.makeQualified(new Path(p)).toString
-    // updated rows are NEW data: commit-time mtime (streams may see them)
-    val fresh = MaintenanceOps.renameVisibleStamped(dir, jobId,
-      Seq((System.currentTimeMillis(), staged)))
-    val (full, partial) = outs.partition(_.fullDead)
-    val removes = full.map(c => q(c.input)).toSet
-    val dvUpdates = partial.map(c => StrawLog.DvUpdate(q(c.input), c.newDv,
-      Option(c.oldDvPath))).toSeq
-    val adds = StrawIO.mapParallel(fresh)(StrawManifest.entryFor)
-    MaintenanceOps.commitSwitchAndVacuum(dir, jobId, adds, removes, op = "update",
-      dvs = dvUpdates,
-      alsoVacuum = full.flatMap(c => Option(c.oldDvPath)).toSeq,
-      alsoRollback = partial.map(_.newDv.path).toSeq,
-      expectDvOnRemove = full.map(c => q(c.input) -> Option(c.oldDvPath)).toMap)
-    outs.map(_.matched).sum
+        val f = StrawIO.fs(dir)
+        def q(p: String): String = f.makeQualified(new Path(p)).toString
+        // updated rows are NEW data: commit-time mtime (streams may see them)
+        val fresh = MaintenanceOps.renameVisibleStamped(dir, jobId,
+          Seq((System.currentTimeMillis(), staged)))
+        val (full, partial) = outs.partition(_.fullDead)
+        val removes = full.map(c => q(c.input)).toSet
+        val dvUpdates = partial.map(c => StrawLog.DvUpdate(q(c.input), c.newDv,
+          Option(c.oldDvPath))).toSeq
+        val adds = StrawIO.mapParallel(fresh)(StrawManifest.entryFor)
+        MaintenanceOps.commitSwitchAndVacuum(dir, jobId, adds, removes, op = "update",
+          dvs = dvUpdates,
+          alsoVacuum = full.flatMap(c => Option(c.oldDvPath)).toSeq,
+          alsoRollback = partial.map(_.newDv.path).toSeq,
+          expectDvOnRemove = full.map(c => q(c.input) -> Option(c.oldDvPath)).toMap)
+        outs.map(_.matched).sum
+      }
+    }
   }
 
   // ---- shared internals ---------------------------------------------------

@@ -271,6 +271,28 @@ class StrawMergeGeneralSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bIds.toSeq == Seq(2L, 3L), s"kind=b holds $bIds")
   }
 
+  test("INSERT * condition on a source-only column routes to the general path") {
+    // the fast path aligns the source to the target's columns, so an insert
+    // condition referencing a source column ABSENT from the target schema
+    // (s.keep) cannot ride it — it must fall through to the scan path and
+    // execute, not throw at re-analysis
+    spark.sql("CREATE TABLE straw.g10 (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO straw.g10 VALUES (1, 10)")
+    val gen0 = StrawMergeScan.invocations.get()
+    spark.sql(
+      """MERGE INTO straw.g10 AS t
+        |USING (SELECT CAST(1 AS BIGINT) AS id, CAST(11 AS BIGINT) AS v, true AS keep
+        |       UNION ALL SELECT 2, 20, true
+        |       UNION ALL SELECT 3, 30, false) AS s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED AND s.keep THEN INSERT *""".stripMargin)
+    assert(StrawMergeScan.invocations.get() == gen0 + 1,
+      "source-only insert condition must route to the general path")
+    assert(rows("SELECT id, v FROM straw.g10 ORDER BY id") ==
+      Seq(Seq(1L, 11L), Seq(2L, 20L)))
+  }
+
   test("general merge respects CHECK constraints on written rows") {
     spark.sql(
       "CREATE TABLE straw.g7 (id BIGINT, v BIGINT, CONSTRAINT nonneg CHECK (v >= 0))")
@@ -285,5 +307,10 @@ class StrawMergeGeneralSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage != null)
     assert(rows("SELECT v FROM straw.g7 WHERE id = 1") == Seq(Seq(10L)),
       "failed merge must not partially apply")
+    // the failure happened after markInflight — the marker must be cleared,
+    // or vacuum is blocked for the full 6h TTL
+    val markers = new java.io.File(s"$warehouse/g7/_straw_log").listFiles()
+      .filter(_.getName.startsWith(".inflight."))
+    assert(markers.isEmpty, s"leaked inflight markers: ${markers.mkString(",")}")
   }
 }
