@@ -1228,6 +1228,35 @@ object SparkEntry {
           col("meta.n_chars").as("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    "q_schema_evolution_nested" -> ((s, d) => {
+      // NESTED schema evolution end-to-end: generation 1 writes
+      // meta = struct<lang, n_chars:int>; generation 2 appends (declared
+      // via mergeSchema) with n_chars WIDENED to long and a new quality
+      // leaf. Old files null-fill meta.quality and decode meta.n_chars
+      // native-then-widen on read (missing-leaf synthesis through the
+      // leaf planner); the merged table schema carries the union shape.
+      // Oracle = the same per-generation values expressed over parquet.
+      val dir0 = Tables.strawDir(s, d, "documents") + "_nestev"
+      val marker = new java.io.File(dir0, "_OK")
+      if (!marker.exists()) {
+        val docs = t(s, d, "documents")
+        docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"),
+          struct(col("lang"),
+            col("n_chars").cast("int").as("n_chars")).as("meta"))
+          .write.format("strawboat").mode("overwrite").save(dir0)
+        docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"),
+          struct(col("lang"), col("n_chars").cast("long").as("n_chars"),
+            (col("n_chars").cast("double") / 100).as("quality")).as("meta"))
+          .write.format("strawboat").mode("append")
+          .option("mergeSchema", "true").save(dir0)
+        marker.createNewFile()
+      }
+      s.read.format("strawboat").load(dir0)
+        .select(col("doc_id"), col("meta.lang").as("lang"),
+          col("meta.n_chars").cast("long").as("n_chars"),
+          col("meta.quality").as("quality"))
+        .orderBy(col("doc_id"))
+    }),
     // --- streaming: STATEFUL windowed aggregation with watermark ----------
     // --- LLM-pipeline: sequence packing + sampling/mixing -----------------
     "q_pack_sequences" -> ((s, d) => {
@@ -2000,6 +2029,10 @@ object SparkEntry {
       """SELECT doc_id, source, CAST(n_chars AS INTEGER) AS n_chars
         |FROM documents WHERE lang = 'en' AND n_chars >= 200
         |ORDER BY doc_id""".stripMargin,
+    "q_schema_evolution_nested" ->
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+        |  CASE WHEN doc_id % 2 = 1 THEN CAST(n_chars AS DOUBLE) / 100 END AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_pack_sequences" ->
       """WITH seq AS (
         |    SELECT lang, doc_id, n_chars AS tokens,

@@ -452,52 +452,66 @@ class StrawCatalog extends TableCatalog with SupportsNamespaces
     * existing file null-fills the new column on read. No data is touched. */
   private def addColumn(ident: Identifier, dir: String,
       add: TableChange.AddColumn): Unit = {
-    require(add.fieldNames.length == 1,
-      s"strawboat: ADD COLUMN supports top-level columns only, " +
-        s"got ${add.fieldNames.mkString(".")}")
+    val parts = add.fieldNames.toSeq
+    val dotted = parts.mkString(".")
     require(add.isNullable,
-      s"strawboat: added column '${add.fieldNames.head}' must be nullable — " +
+      s"strawboat: added column '$dotted' must be nullable — " +
         "existing rows read it as NULL")
     require(add.position() == null,
       "strawboat: ADD COLUMN FIRST/AFTER is not supported — new columns " +
         "append at the end of the schema")
-    val name = add.fieldNames.head
-    require(!name.startsWith(ColumnMappingState.DroppedPrefix),
-      s"strawboat: column name '$name' uses the reserved prefix " +
+    val leaf = parts.last
+    require(!leaf.startsWith(ColumnMappingState.DroppedPrefix),
+      s"strawboat: column name '$leaf' uses the reserved prefix " +
         ColumnMappingState.DroppedPrefix)
+    val v0 = StrawLog.snapshot(dir).map(_.version).getOrElse(0L)
     val current = loadTable(ident).schema()
-    require(!current.fieldNames.exists(_.equalsIgnoreCase(name)),
-      s"strawboat: column '$name' already exists")
+    // a NESTED add resolves its parent path (struct levels only) and
+    // appends the field at the end of that struct: old files lack the
+    // leaf and null-fill it on read via the nested-evolution reader
+    val (parentPath: Seq[String], parentSt: StructType) =
+      if (parts.length == 1) (Seq.empty[String], current)
+      else {
+        val (pp, holder) = resolvePath(current, parts.init, "add a column under")
+        val parentLeaf = pp.split('.').last
+        holder.fields.find(_.name == parentLeaf).get.dataType match {
+          case s: StructType => (pp.split('.').toSeq, s)
+          case other => throw new UnsupportedOperationException(
+            s"strawboat: cannot add a field under '$pp' of type " +
+              s"${other.catalogString} — only struct parents are " +
+              "addressable metadata-only")
+        }
+      }
+    require(!parentSt.fieldNames.exists(_.equalsIgnoreCase(leaf)),
+      s"strawboat: column '$dotted' already exists")
+    val fullPath = (parentPath :+ leaf).mkString(".")
     // re-ADD of a dropped/renamed-away spelling gets a FRESH physical name
     // so old files' dead data can never resurrect under the new column
     val curMap = StrawLog.mappingAt(dir)
-    val v = StrawLog.snapshot(dir).map(_.version + 1).getOrElse(1L)
-    val spelling = ColumnMappingState.addSpelling(curMap, name, s"@v$v")
-    val nextMap = ColumnMappingState.add(curMap, name, spelling)
+    val spelling = ColumnMappingState.addSpelling(curMap, fullPath, s"@v${v0 + 1}")
+    val nextMap = ColumnMappingState.add(curMap, fullPath, spelling)
+    val newSchema = rebuildAt(current, parentPath, st =>
+      StructType(st.fields :+ org.apache.spark.sql.types.StructField(
+        leaf, add.dataType, nullable = true)))
     // the marker is a DATA FILE: its footer must carry physical spellings
-    val widened = nextMap.toPhysical(StructType(current.fields :+
-      org.apache.spark.sql.types.StructField(name, add.dataType, nullable = true)))
-    val f = StrawIO.fs(dir)
-    val fileName =
-      s"part-empty-${UUID.randomUUID().toString.take(8)}${graft.format.StrawFormat.Extension}"
-    val tmp = new Path(dir, s".$fileName.tmp")
-    val os = f.create(tmp, true)
-    var ok = false
-    try { new StrawFileWriter(widened, WriteOptions()).writeTo(os); ok = true }
-    finally {
-      os.close()
-      if (ok) {
-        if (!f.rename(tmp, new Path(dir, fileName)))
-          throw new java.io.IOException(s"strawboat: rename $tmp -> $fileName failed")
-      } else f.delete(tmp, false)
-    }
-    val st = f.getFileStatus(new Path(dir, fileName))
-    val meta = StrawIO.FileMeta(f.makeQualified(st.getPath).toString,
-      st.getModificationTime, st.getLen)
-    StrawLog.commit(dir, Seq(StrawManifest.entryFor(meta)), op = "add column",
+    val meta = writeSchemaMarker(dir, nextMap.toPhysical(newSchema))
+    StrawLog.commit(dir, Seq(StrawManifest.entryFor(meta)),
+      op = s"add column $fullPath", expectVersion = Some(v0),
       mappingUpdate =
         if (spelling.isDefined) Some((curMap, nextMap)) else None): Unit
   }
+
+  /** Rebuild `schema` with `f` applied to the struct at resolved struct
+    * path `parts` (empty = the top level). */
+  private def rebuildAt(schema: StructType, parts: Seq[String],
+      f: StructType => StructType): StructType =
+    if (parts.isEmpty) f(schema)
+    else StructType(schema.fields.map { fld =>
+      if (fld.name == parts.head)
+        fld.copy(dataType = rebuildAt(
+          fld.dataType.asInstanceOf[StructType], parts.tail, f))
+      else fld
+    })
 
   /** `ALTER TABLE … ALTER COLUMN c TYPE T` — metadata-only LOSSLESS type
     * widening (int→long, float→double, the read path's own ladder): one
@@ -507,19 +521,13 @@ class StrawCatalog extends TableCatalog with SupportsNamespaces
     * layout-changing conversions are refused — rewrite the table. */
   private def updateColumnType(ident: Identifier, dir: String,
       up: TableChange.UpdateColumnType): Unit = {
-    require(up.fieldNames.length == 1,
-      s"strawboat: ALTER COLUMN TYPE supports top-level columns only, " +
-        s"got ${up.fieldNames.mkString(".")}")
     // version pin BEFORE the schema check: any concurrent commit conflicts
     val v0 = StrawLog.snapshot(dir).map(_.version).getOrElse(0L)
     val current = loadTable(ident).schema()
-    val resolver = org.apache.spark.sql.SparkSession.active.sessionState.conf.resolver
-    val name = current.fieldNames.find(f => resolver(f, up.fieldNames.head))
-      .getOrElse(throw new IllegalArgumentException(
-        s"strawboat: no column '${up.fieldNames.head}' to alter (table has " +
-          s"${current.fieldNames.mkString(", ")})"))
-    val idx = current.fieldNames.indexOf(name)
-    val from = current.fields(idx).dataType
+    // resolves top-level AND nested struct paths (struct levels only)
+    val (name, holder) = resolvePath(current, up.fieldNames.toSeq, "alter")
+    val leaf = name.split('.').last
+    val from = holder.fields.find(_.name == leaf).get.dataType
     val to = up.newDataType()
     if (from == to) return // idempotent no-op
     require(StrawSchemaResolver.widenable(from, to),
@@ -529,9 +537,11 @@ class StrawCatalog extends TableCatalog with SupportsNamespaces
     require(!partitionColumns(ident).exists(_.equalsIgnoreCase(name)),
       s"strawboat: cannot alter type of partition column '$name' — the hive " +
         "directory layout spells its values on disk")
-    val widened = StrawLog.mappingAt(dir).toPhysical(StructType(
-      current.fields.updated(idx, current.fields(idx).copy(dataType = to))))
-    val meta = writeSchemaMarker(dir, widened)
+    val parentPath = name.split('.').toSeq.init
+    val widened = rebuildAt(current, parentPath, st =>
+      StructType(st.fields.map(f =>
+        if (f.name == leaf) f.copy(dataType = to) else f)))
+    val meta = writeSchemaMarker(dir, StrawLog.mappingAt(dir).toPhysical(widened))
     StrawLog.commit(dir, Seq(StrawManifest.entryFor(meta)),
       op = s"alter column $name type $to", expectVersion = Some(v0)): Unit
   }

@@ -250,7 +250,9 @@ private[spark] object MaintenanceOps {
       else {
         val from = footer.schema.fields(ci).dataType
         val to = sub.fields(c).dataType
-        if (from == to) identity[Any] _ else StrawSchemaResolver.widen(from, to)
+        // convert() covers flat widening AND nested evolution (struct
+        // fields added/widened/pruned since this file was written)
+        if (from == to) identity[Any] _ else StrawSchemaResolver.convert(from, to)
       }
     }
 

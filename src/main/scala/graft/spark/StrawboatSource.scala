@@ -1419,16 +1419,20 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
       } catch { case e: Throwable => input.close(); throw e }
     // the type each present column DECODES as: the file's own type when a
     // flat widening converts after decode; the (possibly struct-pruned)
-    // required type otherwise — the per-leaf reader materializes the pruned
-    // shape directly, no conversion step
+    // required type when the per-leaf reader materializes the pruned shape
+    // directly (no conversion step); the maximal decodable subset at file
+    // leaf types for a nested-evolved column (missing/widened struct
+    // fields — convert() maps values to the required shape after decode)
     val decodeDts: Array[org.apache.spark.sql.types.DataType] =
       resolved.indices.map { c =>
         if (resolved(c) < 0) null
         else {
           val fileDt = footer.schema.fields(resolved(c)).dataType
           val readDt = readSchemaExt.fields(c).dataType
-          if (fileDt != readDt && StrawSchemaResolver.widenable(fileDt, readDt)) fileDt
-          else readDt
+          if (fileDt == readDt) readDt
+          else if (StrawSchemaResolver.widenable(fileDt, readDt)) fileDt
+          else if (LeafLayout.pruneCompatible(fileDt, readDt)) readDt
+          else StrawSchemaResolver.decodeShape(fileDt, readDt)
         }
       }.toArray
     val projCols: Array[graft.format.ProjCol] =
@@ -1508,7 +1512,8 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
           else {
             val from = decodeDts(c)
             val to = readSchemaExt.fields(c).dataType
-            if (from == to) identity[Any] _ else StrawSchemaResolver.widen(from, to)
+            if (from == to) identity[Any] _
+            else StrawSchemaResolver.convert(from, to)
           }
         }.toArray
         private val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(resolved.length)
@@ -1672,15 +1677,10 @@ object StrawSchemaResolver {
       fields.get(fld.name) match {
         case None => fields(fld.name) = fld
         case Some(prev) =>
-          val merged =
-            if (prev.dataType == fld.dataType) prev.dataType
-            else unifyNullability(prev.dataType, fld.dataType).getOrElse {
-              if (widenable(prev.dataType, fld.dataType)) fld.dataType
-              else if (widenable(fld.dataType, prev.dataType)) prev.dataType
-              else throw new IllegalArgumentException(
-                s"strawboat: column '${fld.name}' is ${prev.dataType} in one file " +
-                  s"but ${fld.dataType} in $f")
-            }
+          val merged = mergeType(prev.dataType, fld.dataType).getOrElse(
+            throw new IllegalArgumentException(
+              s"strawboat: column '${fld.name}' is ${prev.dataType} in one file " +
+                s"but ${fld.dataType} in $f"))
           // copy from prev so first-seen field METADATA survives the merge
           fields(fld.name) = prev.copy(dataType = merged,
             nullable = prev.nullable || fld.nullable)
@@ -1693,33 +1693,159 @@ object StrawSchemaResolver {
     })
   }
 
-  /** Same type up to NESTED nullability (struct field nullable, array
-    * containsNull, map valueContainsNull) → the union-nullable form; None
-    * when genuinely different. A table whose declared struct is nullable
-    * must accept a file whose literal-valued INSERT wrote the inner fields
-    * non-nullable — the reader is already agnostic (leaf matching is by
-    * name/shape), only this merge compared strictly. */
-  private def unifyNullability(a: DataType, b: DataType): Option[DataType] =
-    (a, b) match {
-      case (x, y) if x == y => Some(x)
-      case (StructType(fa), StructType(fb))
-          if fa.length == fb.length &&
-            fa.zip(fb).forall { case (x, y) => x.name == y.name } =>
-        val merged = fa.zip(fb).map { case (x, y) =>
-          unifyNullability(x.dataType, y.dataType).map(dt =>
-            x.copy(dataType = dt, nullable = x.nullable || y.nullable))
+  /** Recursive merge of two evolved spellings of one column's type. Equal
+    * types unify; nested nullability unions (a literal-valued INSERT may
+    * have written inner fields non-nullable); flat lossless widenings take
+    * the wider side; and STRUCT fields union BY NAME — first-seen order,
+    * fields added by later schema evolution append, and a field present on
+    * one side only turns nullable (files lacking it read null there,
+    * mirroring top-level column addition). None when genuinely
+    * incompatible. */
+  def mergeType(a: DataType, b: DataType): Option[DataType] = (a, b) match {
+    case (x, y) if x == y => Some(x)
+    case (StructType(fa), StructType(fb)) =>
+      val out = Seq.newBuilder[StructField]
+      var ok = true
+      fa.foreach { x =>
+        fb.find(_.name == x.name) match {
+          case Some(y) => mergeType(x.dataType, y.dataType) match {
+            case Some(m) =>
+              out += x.copy(dataType = m, nullable = x.nullable || y.nullable)
+            case None => ok = false
+          }
+          case None => out += x.copy(nullable = true)
         }
-        if (merged.forall(_.isDefined)) Some(StructType(merged.map(_.get)))
-        else None
-      case (ArrayType(ea, na), ArrayType(eb, nb)) =>
-        unifyNullability(ea, eb).map(e => ArrayType(e, na || nb))
-      case (MapType(ka, va, na), MapType(kb, vb, nb)) =>
-        for {
-          k <- unifyNullability(ka, kb)
-          v <- unifyNullability(va, vb)
-        } yield MapType(k, v, na || nb)
-      case _ => None
-    }
+      }
+      fb.filterNot(y => fa.exists(_.name == y.name))
+        .foreach(y => out += y.copy(nullable = true))
+      if (ok) Some(StructType(out.result())) else None
+    case (ArrayType(ea, na), ArrayType(eb, nb)) =>
+      mergeType(ea, eb).map(e => ArrayType(e, na || nb))
+    case (MapType(ka, va, na), MapType(kb, vb, nb)) =>
+      for {
+        k <- mergeType(ka, kb)
+        v <- mergeType(va, vb)
+      } yield MapType(k, v, na || nb)
+    case (x, y) if widenable(x, y) => Some(y)
+    case (x, y) if widenable(y, x) => Some(x)
+    case _ => None
+  }
+
+  /** Can a column stored as `file` be read at the table's evolved type
+    * `req`? Covers exact match, flat lossless widening, struct-field
+    * pruning, MISSING struct fields (added after the file was written —
+    * read as null, so they must be nullable in `req`), and any recursive
+    * combination through struct/array/map. The reader decodes such a
+    * column at [[decodeShape]] and maps values through [[convert]]. */
+  def evolvable(file: DataType, req: DataType): Boolean = (file, req) match {
+    case (f, r) if f == r => true
+    case (f: StructType, r: StructType) =>
+      // an all-fields-dropped file struct (no leaf to carry row alignment)
+      // cannot be read — unreachable through the catalog, loud if forced
+      f.fields.nonEmpty && r.fields.forall { rf =>
+        f.fields.find(_.name == rf.name) match {
+          case Some(ff) => evolvable(ff.dataType, rf.dataType)
+          case None => rf.nullable
+        }
+      }
+    case (f: ArrayType, r: ArrayType) => evolvable(f.elementType, r.elementType)
+    case (f: MapType, r: MapType) =>
+      evolvable(f.keyType, r.keyType) && evolvable(f.valueType, r.valueType)
+    case (f, r) => widenable(f, r)
+  }
+
+  /** The shape to DECODE a nested-evolved column at: the maximal
+    * prune-subset of `file` that `req` still wants, at the FILE's own leaf
+    * types (widening converts after decode). When `req` keeps none of the
+    * file's struct fields, one minimal carrier leaf still decodes — the
+    * struct's own validity/row alignment lives in its leaves. */
+  def decodeShape(file: DataType, req: DataType): DataType = (file, req) match {
+    case (f, r) if f == r => r
+    case (f: StructType, r: StructType) =>
+      val present = r.fields.flatMap(rf =>
+        f.fields.find(_.name == rf.name).map(ff =>
+          StructField(rf.name, decodeShape(ff.dataType, rf.dataType),
+            nullable = true)))
+      if (present.nonEmpty) StructType(present)
+      else StructType(Seq(minimalField(f)))
+    case (f: ArrayType, r: ArrayType) =>
+      ArrayType(decodeShape(f.elementType, r.elementType), f.containsNull)
+    case (f: MapType, r: MapType) =>
+      MapType(decodeShape(f.keyType, r.keyType),
+        decodeShape(f.valueType, r.valueType), f.valueContainsNull)
+    case (f, _) => f
+  }
+
+  private def minimalShape(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(Seq(minimalField(s)))
+    case a: ArrayType => ArrayType(minimalShape(a.elementType), a.containsNull)
+    case m: MapType =>
+      MapType(minimalShape(m.keyType), minimalShape(m.valueType), m.valueContainsNull)
+    case flat => flat
+  }
+
+  private def minimalField(s: StructType): StructField = {
+    val f = s.fields.head
+    StructField(f.name, minimalShape(f.dataType), nullable = true)
+  }
+
+  /** Catalyst-value converter from a decoded shape to the table's evolved
+    * type: struct fields map BY NAME (missing → null, extra → dropped),
+    * arrays/maps convert element-wise, flat leaves widen. Boxed — only
+    * schema-evolved files pay, identical to the flat [[widen]] trade. */
+  def convert(from: DataType, to: DataType): Any => Any = (from, to) match {
+    case (f, t) if f == t => identity[Any] _
+    case (f: StructType, t: StructType) =>
+      val n = t.fields.length
+      val srcIdx = t.fields.map(tf => f.fields.indexWhere(_.name == tf.name))
+      val fromDts = srcIdx.map(i => if (i < 0) null else f.fields(i).dataType)
+      val convs = t.fields.zipWithIndex.map { case (tf, j) =>
+        if (srcIdx(j) < 0) null else convert(fromDts(j), tf.dataType)
+      }
+      v => {
+        val r = v.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+        val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(n)
+        var j = 0
+        while (j < n) {
+          val i = srcIdx(j)
+          if (i >= 0 && !r.isNullAt(i)) out.update(j, convs(j)(r.get(i, fromDts(j))))
+          j += 1
+        }
+        out
+      }
+    case (f: ArrayType, t: ArrayType) =>
+      val ec = convert(f.elementType, t.elementType)
+      val ed = f.elementType
+      v => {
+        val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val n = a.numElements()
+        val out = new Array[Any](n)
+        var i = 0
+        while (i < n) { if (!a.isNullAt(i)) out(i) = ec(a.get(i, ed)); i += 1 }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+      }
+    case (f: MapType, t: MapType) =>
+      val kc = convert(f.keyType, t.keyType)
+      val vc = convert(f.valueType, t.valueType)
+      v => {
+        val m = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+        val ks = m.keyArray()
+        val vs = m.valueArray()
+        val n = m.numElements()
+        val ko = new Array[Any](n)
+        val vo = new Array[Any](n)
+        var i = 0
+        while (i < n) {
+          ko(i) = kc(ks.get(i, f.keyType)) // map keys are never null
+          if (!vs.isNullAt(i)) vo(i) = vc(vs.get(i, f.valueType))
+          i += 1
+        }
+        new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(ko),
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(vo))
+      }
+    case (f, t) => widen(f, t)
+  }
 
   /** Lossless widenings a long-lived table accumulates: integral up-casts
     * and float→double. (Decimal re-precision changes the physical layout
@@ -1825,10 +1951,13 @@ object StrawSchemaResolver {
         case -1 => -1
         case i =>
           val fdt = fileSchema.fields(i).dataType
-          // equal, flat-widenable, or a struct-pruned subset the per-leaf
-          // reader materializes directly (nested pruning)
+          // equal, flat-widenable, a struct-pruned subset the per-leaf
+          // reader materializes directly (nested pruning), or a nested
+          // evolution (missing/widened struct fields) the reader decodes
+          // at decodeShape and converts
           require(fdt == f.dataType || widenable(fdt, f.dataType) ||
-            LeafLayout.pruneCompatible(fdt, f.dataType),
+            LeafLayout.pruneCompatible(fdt, f.dataType) ||
+            evolvable(fdt, f.dataType),
             s"strawboat: column '${f.name}' is $fdt in $path " +
               s"but ${f.dataType} in the table schema")
           i

@@ -159,7 +159,7 @@ class StrawCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getLong(0) == 5)
     // metadata-only: one schema marker joined, no data file rewritten
     assert(StrawIO.listFiles(s"$warehouse/ev").size == filesBefore + 1)
-    assert(StrawLog.history(s"$warehouse/ev").head.operation == "add column")
+    assert(StrawLog.history(s"$warehouse/ev").head.operation == "add column note")
     // new writes can fill it; old rows stay null
     spark.sql("INSERT INTO straw.ev VALUES (100, 'annotated')")
     assert(spark.sql("SELECT count(*) FROM straw.ev WHERE note = 'annotated'")
