@@ -48,6 +48,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.spark.GraftExtensions")
+      // cost-based join ordering from the footer-derived column statistics
+      // (ndv sketches + min/max + null counts) — multi-join entries measure
+      // the stats-steered plans
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -14,6 +14,11 @@ object Verify {
       // SQL UPDATE/MERGE route through injected resolution rules (the
       // function surface also registers at runtime, but rules cannot)
       .config("spark.sql.extensions", "graft.spark.GraftExtensions")
+      // cost-based optimization runs off the footer-derived column stats
+      // (ndv sketches, min/max, null counts) the source reports; the
+      // correctness gate thus exercises the CBO-reordered plans too
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -87,6 +87,12 @@ object StrawFormat {
     if (bits >= 0) bits else -(bits & Long.MaxValue) - 1
   }
 
+  /** Inverse of [[sortableDouble]] (statistics reporting recovers the
+    * stored zone-map bound as a real double). */
+  def fromSortableDouble(s: Long): Double =
+    java.lang.Double.longBitsToDouble(
+      if (s >= 0) s else (-(s + 1)) | Long.MinValue)
+
   /** Unsigned big-endian prefix long of up to the first 8 bytes. Prefix
     * order is consistent with full lexicographic (unsigned byte) order, so
     * both bounds are sound at prefix granularity. */
@@ -144,8 +150,12 @@ final case class ColumnMeta(offset: Long, pages: Array[PageMeta]) {
 }
 
 /** `columns` holds one [[ColumnMeta]] per LEAF ([[LeafLayout]] DFS order);
-  * for a flat top-level field the leaf IS the field. */
-final case class StrawFooter(schema: StructType, numRows: Long, columns: Array[ColumnMeta]) {
+  * for a flat top-level field the leaf IS the field. `ndv`, when present,
+  * is leaf-aligned with `columns`: each non-null entry is a 512-byte
+  * [[NdvSketch]] register array for that leaf (top-level flat leaves only;
+  * null entries and files from pre-extension writers carry none). */
+final case class StrawFooter(schema: StructType, numRows: Long,
+    columns: Array[ColumnMeta], ndv: Array[Array[Byte]] = null) {
   /** Starting leaf index per top-level field (+ total leaf count last). */
   lazy val leafStarts: Array[Int] = LeafLayout.starts(schema)
 
@@ -183,11 +193,29 @@ object MetaIO {
         if (p.bloom != null) { out.putInt(p.bloom.length); out.putBytes(p.bloom) }
       }
     }
+    // extension sections (each self-describing: id u8 + payload length u32)
+    // land AFTER the column metas: a reader that knows the id parses the
+    // payload, one that doesn't skips it wholesale — and pre-extension
+    // files simply have none (the column loop consumes the meta block
+    // exactly, so presence is detected by remaining bytes)
+    if (footer.ndv != null && footer.ndv.exists(_ != null)) {
+      val ext = new ByteBuf(1 << 12)
+      footer.ndv.foreach { r =>
+        if (r == null) ext.putInt(0)
+        else { ext.putInt(r.length); ext.putBytes(r) }
+      }
+      out.putByte(ExtNdv)
+      out.putInt(ext.len)
+      out.putBytes(ext.buf, 0, ext.len)
+    }
     val metaLen = out.len - metaStart
     out.putInt(schemaBytes.length)
     out.putInt(metaLen)
     out.putBytes(EofMagic)
   }
+
+  /** Footer extension ids. */
+  final val ExtNdv = 1
 
   /** Parse footer given the file tail (at least schema+meta+16 bytes) and
     * the absolute file length. `tail` must end exactly at file end. */
@@ -253,7 +281,27 @@ object MetaIO {
       cols(c) = ColumnMeta(offset, pages)
       c += 1
     }
-    StrawFooter(schema, numRows, cols)
+    // extension sections: parse the known ids, skip unknown ones (each is
+    // length-prefixed, so a future writer's section can't desync the parse)
+    var ndv: Array[Array[Byte]] = null
+    while (in.remaining() > 0) {
+      val id = in.get() & 0xff
+      val len = in.getInt()
+      require(len >= 0 && len <= in.remaining(),
+        s"corrupt strawboat footer extension: id=$id len=$len")
+      if (id == ExtNdv) {
+        ndv = new Array[Array[Byte]](numCols)
+        var c2 = 0
+        while (c2 < numCols) {
+          val rl = in.getInt()
+          require(rl == 0 || rl == NdvSketch.M,
+            s"corrupt strawboat ndv sketch: $rl registers")
+          if (rl > 0) { val r = new Array[Byte](rl); in.get(r); ndv(c2) = r }
+          c2 += 1
+        }
+      } else in.position(in.position() + len)
+    }
+    StrawFooter(schema, numRows, cols, ndv)
   }
 }
 
@@ -346,6 +394,10 @@ sealed abstract class ColumnWriter(val opts: WriteOptions) {
 
 /** A flat (leaf) column: owns exactly one page stream of validity + data. */
 sealed abstract class LeafColumnWriter(opts: WriteOptions) extends ColumnWriter(opts) {
+  /** File-lifetime distinct-count sketch, set by [[StrawFileWriter]] on
+    * top-level flat leaves only (nested leaves have no stats consumer).
+    * Survives [[clearBuffers]] — it spans every page of the file. */
+  private[format] var ndv: NdvSketch = null
   /** Encode validity + data of the buffered page. */
   def encodePage(out: ByteBuf): PageStats
   def clearBuffers(): Unit
@@ -389,6 +441,7 @@ final class LongColumnWriter(
     grow(); values(n) = v; n += 1
     lastValid = v
     scan.update(v)
+    if (ndv != null) ndv.addHash(PageBloom.hashLong(v))
     if (statsKind != StrawFormat.StatsNone) {
       val s = toSortable(v)
       if (s < min) min = s
@@ -459,6 +512,14 @@ final class BinaryColumnWriter(opts: WriteOptions, isString: Boolean,
     bytes.putBytes(b)
     offsets(n + 1) = offsets(n) + b.length
     n += 1
+    // distinct-count hash over a 256-byte prefix + the full length: exact
+    // for keys/ids/names (the values CBO joins on), and long text bodies —
+    // where prefix collisions could undercount — have ndv ≈ rowcount
+    // regardless; hashing megabyte cells whole would tax the write path
+    // for no estimate precision
+    if (ndv != null) ndv.addHash(
+      PageBloom.hashBytes(b, 0, math.min(b.length, 256)) ^
+        java.lang.Long.rotateLeft(b.length.toLong, 43))
     if (isString) {
       val p = StrawFormat.prefixLong(b)
       if (!hasStats) { minP = p; maxP = p; hasStats = true }
@@ -643,6 +704,7 @@ final class Decimal128ColumnWriter(opts: WriteOptions, precision: Int, scale: In
     val h = unscaled.shiftRight(64).longValue()
     lo(n) = l
     hi(n) = h
+    if (ndv != null) ndv.addHash(PageBloom.hashLong(PageBloom.hashLong(l) ^ h))
     if (!hasStats) {
       minHi = h; minLo = l; maxHi = h; maxLo = l; hasStats = true
     } else {
@@ -785,6 +847,20 @@ final class StrawFileWriter(schema: StructType, opts: WriteOptions) {
   // one page stream per LEAF column (LeafLayout DFS order), not per field
   private val leafStarts: Array[Int] = LeafLayout.starts(schema)
   private val totalLeaves: Int = leafStarts.last
+  // distinct-count sketches on TOP-LEVEL FLAT leaves (the only columns
+  // Catalyst attribute statistics can attach to); file-lifetime, fed from
+  // the append path, merged across files by the scan's estimateStatistics
+  private val ndvSketches: Array[NdvSketch] = {
+    val out = new Array[NdvSketch](totalLeaves)
+    writers.zipWithIndex.foreach {
+      case (l: LeafColumnWriter, c) if !l.isInstanceOf[NullColumnWriter] =>
+        val s = new NdvSketch
+        l.ndv = s
+        out(leafStarts(c)) = s
+      case _ =>
+    }
+    out
+  }
   private val colBufs: Array[ByteBuf] = Array.fill(totalLeaves)(new ByteBuf(1 << 16))
   private val pageMetas: Array[ArrayBuffer[PageMeta]] =
     Array.fill(totalLeaves)(new ArrayBuffer[PageMeta])
@@ -876,7 +952,8 @@ final class StrawFileWriter(schema: StructType, opts: WriteOptions) {
       c += 1
     }
     val tail = new ByteBuf(1 << 16)
-    MetaIO.writeFooter(StrawFooter(schema, totalRows, metas), tail)
+    MetaIO.writeFooter(StrawFooter(schema, totalRows, metas,
+      ndvSketches.map(s => if (s == null) null else s.registers)), tail)
     os.write(tail.buf, 0, tail.len)
     fileLen + tail.len
   }

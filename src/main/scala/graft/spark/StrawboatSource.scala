@@ -1277,11 +1277,40 @@ class StrawScan(
       }
     val r = math.max((rawRows * frac).toLong, if (rawRows > 0) 1L else 0L)
     val b = math.max((rawBytes * frac).toLong, 1L)
+    // column statistics feed ONLY cost-based optimization: skip the
+    // footer-page sweep entirely when CBO is off, and memoize per filter
+    // state — the optimizer asks for stats once per rule invocation, and
+    // recomputing the sweep each time taxed every short query's planning
+    val colStats = {
+      val cboOn =
+        try org.apache.spark.sql.internal.SQLConf.get.cboEnabled
+        catch { case _: Exception => false }
+      if (!cboOn) java.util.Collections.emptyMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      else {
+        val fs = footers
+        var cached = colStatsCache
+        if (cached == null || (cached._1 ne fs) || cached._2 != r) {
+          cached = (fs, r, StrawScan.columnStatistics(requiredSchema, fs, r))
+          colStatsCache = cached
+        }
+        cached._3
+      }
+    }
     new Statistics {
       override def sizeInBytes(): OptionalLong = OptionalLong.of(b)
       override def numRows(): OptionalLong = OptionalLong.of(r)
+      override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
     }
   }
+
+  @volatile private var colStatsCache: (Seq[(String, graft.format.StrawFooter,
+    Long, DeletionVector.DvInfo)], Long, java.util.Map[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]) = _
 }
 
 object StrawScan {
@@ -1300,6 +1329,104 @@ object StrawScan {
     }
     files.nonEmpty && files.forall(p =>
       PartitionLayout.partitionsOf(p).exists(_._1 == attr))
+  }
+
+  /** Per-column statistics for Catalyst's cost-based optimizer, assembled
+    * from metadata alone (no data IO): distinct counts from the footers'
+    * [[graft.format.NdvSketch]] registers (register-wise max merge across
+    * files — exact for HLL), null counts summed from page metas, min/max
+    * recovered from the zone-map planes of value-exact stats kinds.
+    * Only TOP-LEVEL FLAT columns report (Catalyst attribute statistics
+    * cannot attach to nested paths). A file predating the sketch extension
+    * withholds the distinct count (a partial NDV would understate a join
+    * key's cardinality and mis-order joins) but still contributes
+    * null/min/max. Estimates only steer plans — wrong is slow, never
+    * incorrect. */
+  def columnStatistics(requiredSchema: StructType,
+      footers: Seq[(String, graft.format.StrawFooter, Long, DeletionVector.DvInfo)],
+      rowCount: Long): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    import graft.format.{NdvSketch, StrawFormat}
+    val out = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    if (footers.isEmpty) return out
+    requiredSchema.fields.foreach { fld =>
+      if (ColumnarSupport.isFlat(fld.dataType)) {
+        var regs: Array[Byte] = null
+        var sketchOk = true // every row-carrying file must contribute
+        var nulls = 0L
+        var minS = Long.MaxValue
+        var maxS = Long.MinValue
+        var statsKind = -1 // uniform kind across pages or min/max withheld
+        var kindOk = true
+        footers.foreach { case (_, f, _, _) =>
+          val i = f.schema.fields.indexWhere(_.name == fld.name)
+          if (i < 0) nulls += f.numRows // absent column reads all-null
+          else if (f.numRows > 0) {
+            val leaf = f.leafStarts(i)
+            val sk = if (f.ndv == null) null else f.ndv(leaf)
+            if (sk == null) sketchOk = false
+            else if (regs == null) regs = sk.clone()
+            else NdvSketch.mergeInto(regs, sk)
+            f.columns(leaf).pages.foreach { p =>
+              nulls += p.nullCount
+              if (p.statsKind == StrawFormat.StatsSigned) {
+                if (statsKind == -1) statsKind = p.statsKind
+                if (p.min < minS) minS = p.min
+                if (p.max > maxS) maxS = p.max
+              } else if (p.statsKind != StrawFormat.StatsNone) kindOk = false
+            }
+          }
+        }
+        val ndvOpt =
+          if (!sketchOk || regs == null) java.util.OptionalLong.empty()
+          else java.util.OptionalLong.of(
+            math.max(1L, math.min(NdvSketch.estimate(regs), rowCount)))
+        // StatsSigned min/max are value-exact for the integer family and
+        // sortable-double-encoded for float/double; every other kind
+        // (string prefixes, approx decimals) is not a real value — withhold
+        val (minV, maxV): (Any, Any) =
+          if (!kindOk || statsKind != StrawFormat.StatsSigned || minS > maxS)
+            (null, null)
+          else fld.dataType match {
+            case org.apache.spark.sql.types.BooleanType => (minS != 0L, maxS != 0L)
+            case org.apache.spark.sql.types.ByteType => (minS.toByte, maxS.toByte)
+            case org.apache.spark.sql.types.ShortType => (minS.toShort, maxS.toShort)
+            case org.apache.spark.sql.types.IntegerType |
+                 org.apache.spark.sql.types.DateType => (minS.toInt, maxS.toInt)
+            case org.apache.spark.sql.types.LongType |
+                 org.apache.spark.sql.types.TimestampType |
+                 org.apache.spark.sql.types.TimestampNTZType => (minS, maxS)
+            case org.apache.spark.sql.types.FloatType =>
+              (StrawFormat.fromSortableDouble(minS).toFloat,
+                StrawFormat.fromSortableDouble(maxS).toFloat)
+            case org.apache.spark.sql.types.DoubleType =>
+              (StrawFormat.fromSortableDouble(minS),
+                StrawFormat.fromSortableDouble(maxS))
+            case d: org.apache.spark.sql.types.DecimalType if d.precision <= 18 =>
+              (org.apache.spark.sql.types.Decimal.createUnsafe(minS, d.precision, d.scale),
+                org.apache.spark.sql.types.Decimal.createUnsafe(maxS, d.precision, d.scale))
+            case _ => (null, null)
+          }
+        if (ndvOpt.isPresent || minV != null) {
+          val nullsCapped = math.min(nulls, rowCount)
+          out.put(
+            org.apache.spark.sql.connector.expressions.Expressions.column(fld.name),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount(): java.util.OptionalLong = ndvOpt
+              override def min(): java.util.Optional[Object] =
+                java.util.Optional.ofNullable(minV.asInstanceOf[Object])
+              override def max(): java.util.Optional[Object] =
+                java.util.Optional.ofNullable(maxV.asInstanceOf[Object])
+              override def nullCount(): java.util.OptionalLong =
+                java.util.OptionalLong.of(nullsCapped)
+            })
+        }
+      }
+    }
+    out
   }
 }
 
