@@ -328,12 +328,28 @@ final class IntStats(values: Array[Long], n: Int, countDistinct: Boolean = true,
   // min/max/sorted/run pass below runs
   var highCardinality: Boolean = !countDistinct
 
+  // membership structure. When the page's value RANGE is small (known
+  // up-front from the append path's PageScan), a bitmap replaces the hash
+  // map: one test-and-set per value instead of an open-addressing probe
+  // chain — the probe loop was the hottest write-path frame on every
+  // dict-viable column. Distinct values fall out of the bitmap already
+  // sorted, and dict ranks come from prefix popcounts (O(1) per value).
+  private var bmBase = 0L
+  private var bitmap: Array[Long] =
+    if (countDistinct && precomputed != null && n > 0 &&
+      precomputed.min <= precomputed.max && {
+        val r = precomputed.max - precomputed.min
+        r >= 0 && r < (1 << 16)
+      }) {
+      bmBase = precomputed.min
+      new Array[Long](((precomputed.max - bmBase).toInt >> 6) + 1)
+    } else null
   // growable open-addressing membership map (keys only — Freq's top value
   // comes from the Boyer–Moore vote below, so per-key counts are never
   // needed): the boxed-HashMap version dominated the whole write path
-  private var cap = if (countDistinct) 4096 else 0
-  private var keys = if (countDistinct) new Array[Long](cap) else null
-  private var present = if (countDistinct) new Array[Boolean](cap) else null
+  private var cap = if (countDistinct && bitmap == null) 4096 else 0
+  private var keys = if (cap > 0) new Array[Long](cap) else null
+  private var present = if (cap > 0) new Array[Boolean](cap) else null
   private var nDistinct = 0
   // Boyer–Moore majority vote: Freq needs a >=90% top value, which is in
   // particular a majority — the surviving candidate is the only possible
@@ -407,14 +423,24 @@ final class IntStats(values: Array[Long], n: Int, countDistinct: Boolean = true,
           else if (v == cand) candCnt += 1
           else candCnt -= 1
           if (!highCardinality) {
-            val slot = slotOf(v, cap, keys, present)
-            if (!present(slot)) {
-              if (nDistinct < capLimit) {
-                present(slot) = true; keys(slot) = v; nDistinct += 1
-                if (nDistinct * 4 > cap * 3) grow()
-              } else {
-                highCardinality = true
-                keys = null; present = null; cap = 0
+            if (bitmap != null) {
+              val off = (v - bmBase).toInt
+              val w = off >> 6
+              val m = 1L << (off & 63)
+              if ((bitmap(w) & m) == 0L) {
+                if (nDistinct < capLimit) { bitmap(w) |= m; nDistinct += 1 }
+                else { highCardinality = true; bitmap = null }
+              }
+            } else {
+              val slot = slotOf(v, cap, keys, present)
+              if (!present(slot)) {
+                if (nDistinct < capLimit) {
+                  present(slot) = true; keys(slot) = v; nDistinct += 1
+                  if (nDistinct * 4 > cap * 3) grow()
+                } else {
+                  highCardinality = true
+                  keys = null; present = null; cap = 0
+                }
               }
             }
           }
@@ -437,6 +463,22 @@ final class IntStats(values: Array[Long], n: Int, countDistinct: Boolean = true,
   def distinct: Int = nDistinct
   def distinctValues: Array[Long] = {
     val out = new Array[Long](nDistinct)
+    if (bitmap != null) {
+      // ascending bit scan — already sorted, no sort pass
+      var j = 0
+      var w = 0
+      while (w < bitmap.length) {
+        var bits = bitmap(w)
+        while (bits != 0L) {
+          val b = java.lang.Long.numberOfTrailingZeros(bits)
+          out(j) = bmBase + (w.toLong << 6) + b
+          j += 1
+          bits &= bits - 1
+        }
+        w += 1
+      }
+      return out
+    }
     var i = 0
     var j = 0
     while (i < cap) {
@@ -447,10 +489,23 @@ final class IntStats(values: Array[Long], n: Int, countDistinct: Boolean = true,
     out
   }
 
-  // value→sorted-dict-index lookup reusing the membership map (replaces a
-  // per-value binary search in the dict encoder with one O(1) probe)
+  // value→sorted-dict-index lookup reusing the membership structure
+  // (replaces a per-value binary search in the dict encoder): bitmap mode
+  // ranks by prefix popcount, hash mode by one O(1) probe
   private var dictIdx: Array[Int] = null
+  private var bmPrefix: Array[Int] = null
   def buildDictIndex(sortedVals: Array[Long]): Unit = {
+    if (bitmap != null) {
+      bmPrefix = new Array[Int](bitmap.length)
+      var acc = 0
+      var w = 0
+      while (w < bitmap.length) {
+        bmPrefix(w) = acc
+        acc += java.lang.Long.bitCount(bitmap(w))
+        w += 1
+      }
+      return
+    }
     dictIdx = new Array[Int](cap)
     var i = 0
     while (i < sortedVals.length) {
@@ -458,7 +513,12 @@ final class IntStats(values: Array[Long], n: Int, countDistinct: Boolean = true,
       i += 1
     }
   }
-  def dictIndexOf(v: Long): Int = dictIdx(slotOf(v, cap, keys, present))
+  def dictIndexOf(v: Long): Int =
+    if (bitmap != null) {
+      val off = (v - bmBase).toInt
+      val w = off >> 6
+      bmPrefix(w) + java.lang.Long.bitCount(bitmap(w) & ((1L << (off & 63)) - 1))
+    } else dictIdx(slotOf(v, cap, keys, present))
 }
 object IntStats {
   val DistinctCap = 65536
