@@ -32,9 +32,13 @@ object Tables {
         // input already has many row-groups so the write parallelizes
         // naturally; fragmenting small benchmarks into per-core files only
         // adds task overhead (measured: 32-file lineitem made shuffle joins
-        // 5× slower at sf0.1 than the single-file layout).
-        spark.read.parquet(s"$sfDir/$table.parquet")
-          .write.format("strawboat").mode("overwrite").save(dst)
+        // 5× slower at sf0.1 than the single-file layout; an 8-way
+        // order-preserving range split converted faster in isolation but
+        // regressed the whole bench under the 10-table concurrent
+        // conversion, so 1:1 stands). Columnar ingest: parquet batches feed
+        // the page builders directly — no ColumnarToRow, no UnsafeRow.
+        graft.spark.StrawBulkLoad.save(
+          spark.read.parquet(s"$sfDir/$table.parquet"), dst)
         Files.createFile(marker)
       }
     }

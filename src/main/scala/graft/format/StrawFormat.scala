@@ -398,6 +398,15 @@ sealed abstract class LeafColumnWriter(opts: WriteOptions) extends ColumnWriter(
     * top-level flat leaves only (nested leaves have no stats consumer).
     * Survives [[clearBuffers]] — it spans every page of the file. */
   private[format] var ndv: NdvSketch = null
+  /** True when [[appendVector]] is implemented — the columnar ingest path
+    * feeds ColumnarBatch vectors straight into the page buffers, skipping
+    * ColumnarToRow + UnsafeRow materialization entirely. */
+  def vectorCapable: Boolean = false
+  /** Append rows `[start, start+n)` of `vec` (nulls included). Only called
+    * when [[vectorCapable]]. */
+  def appendVector(vec: org.apache.spark.sql.vectorized.ColumnVector,
+      start: Int, n: Int): Unit =
+    throw new UnsupportedOperationException(s"$getClass: no vector append")
   /** Encode validity + data of the buffered page. */
   def encodePage(out: ByteBuf): PageStats
   def clearBuffers(): Unit
@@ -422,7 +431,10 @@ final class LongColumnWriter(
     bloomEnabled: Boolean = false,
     /** Accumulate an exact i128 page sum of the raw values (integer-family
       * and unscaled small-decimal leaves) — footer-only SUM. */
-    sumEnabled: Boolean = false)
+    sumEnabled: Boolean = false,
+    /** Vector-side twin of `get` — present for every flat type the factory
+      * builds, enabling the columnar ingest path. */
+    vecGet: (org.apache.spark.sql.vectorized.ColumnVector, Int) => Long = null)
   extends LeafColumnWriter(opts) {
   private var values = new Array[Long](1024)
   private var n = 0
@@ -436,8 +448,9 @@ final class LongColumnWriter(
   // chooser stats gathered inline (the page is hot in cache here) — the
   // encode step then needs no second scan outside dict-probe pages
   private val scan = new PageScan
-  def append(g: SpecializedGetters, ordinal: Int): Unit = {
-    val v = get(g, ordinal)
+  def append(g: SpecializedGetters, ordinal: Int): Unit =
+    appendValue(get(g, ordinal))
+  private def appendValue(v: Long): Unit = {
     grow(); values(n) = v; n += 1
     lastValid = v
     scan.update(v)
@@ -454,6 +467,16 @@ final class LongColumnWriter(
       sumLo = s._2
     }
     validity.append(true)
+  }
+  override def vectorCapable: Boolean = vecGet != null
+  override def appendVector(vec: org.apache.spark.sql.vectorized.ColumnVector,
+      start: Int, cnt: Int): Unit = {
+    var i = start
+    val end = start + cnt
+    while (i < end) {
+      if (vec.isNullAt(i)) appendNull() else appendValue(vecGet(vec, i))
+      i += 1
+    }
   }
   def appendNull(): Unit = {
     // null slots repeat the previous valid value: compresses well, never read
@@ -536,6 +559,18 @@ final class BinaryColumnWriter(opts: WriteOptions, isString: Boolean,
   def appendNull(): Unit = {
     grow(); offsets(n + 1) = offsets(n); n += 1
     validity.append(false)
+  }
+  override def vectorCapable: Boolean = true
+  override def appendVector(vec: org.apache.spark.sql.vectorized.ColumnVector,
+      start: Int, cnt: Int): Unit = {
+    var i = start
+    val end = start + cnt
+    while (i < end) {
+      if (vec.isNullAt(i)) appendNull()
+      else appendBytes(
+        if (isString) vec.getUTF8String(i).getBytes else vec.getBinary(i))
+      i += 1
+    }
   }
   def encodePage(out: ByteBuf): PageStats = {
     validity.encode(opts, out)
@@ -759,34 +794,42 @@ object ColumnWriter {
     dt match {
       case BooleanType =>
         new LongColumnWriter(opts, 1, (g, i) => if (g.getBoolean(i)) 1L else 0L, StatsSigned,
-          bloomEnabled = bloom)
+          bloomEnabled = bloom,
+          vecGet = (v, i) => if (v.getBoolean(i)) 1L else 0L)
       case ByteType => new LongColumnWriter(opts, 1, (g, i) => g.getByte(i).toLong, StatsSigned,
-        bloomEnabled = bloom, sumEnabled = topLevel)
+        bloomEnabled = bloom, sumEnabled = topLevel,
+        vecGet = (v, i) => v.getByte(i).toLong)
       case ShortType => new LongColumnWriter(opts, 2, (g, i) => g.getShort(i).toLong, StatsSigned,
-        bloomEnabled = bloom, sumEnabled = topLevel)
+        bloomEnabled = bloom, sumEnabled = topLevel,
+        vecGet = (v, i) => v.getShort(i).toLong)
       case IntegerType | DateType =>
         // SUM over dates is not SQL; don't spend the footer bytes there
         new LongColumnWriter(opts, 4, (g, i) => g.getInt(i).toLong, StatsSigned,
-          bloomEnabled = bloom, sumEnabled = topLevel && dt == IntegerType)
+          bloomEnabled = bloom, sumEnabled = topLevel && dt == IntegerType,
+          vecGet = (v, i) => v.getInt(i).toLong)
       case LongType | TimestampType | TimestampNTZType =>
         new LongColumnWriter(opts, 8, (g, i) => g.getLong(i), StatsSigned,
-          bloomEnabled = bloom, sumEnabled = topLevel && dt == LongType)
+          bloomEnabled = bloom, sumEnabled = topLevel && dt == LongType,
+          vecGet = (v, i) => v.getLong(i))
       case FloatType =>
         new LongColumnWriter(opts, 4,
           (g, i) => java.lang.Float.floatToIntBits(g.getFloat(i)).toLong & 0xffffffffL,
           StatsSigned,
           bits => sortableDouble(java.lang.Float.intBitsToFloat(bits.toInt).toDouble),
-          floatBits = true, bloomEnabled = bloom)
+          floatBits = true, bloomEnabled = bloom,
+          vecGet = (v, i) => java.lang.Float.floatToIntBits(v.getFloat(i)).toLong & 0xffffffffL)
       case DoubleType =>
         new LongColumnWriter(opts, 8,
           (g, i) => java.lang.Double.doubleToLongBits(g.getDouble(i)),
           StatsSigned,
           bits => sortableDouble(java.lang.Double.longBitsToDouble(bits)),
-          floatBits = true, bloomEnabled = bloom)
+          floatBits = true, bloomEnabled = bloom,
+          vecGet = (v, i) => java.lang.Double.doubleToLongBits(v.getDouble(i)))
       case d: DecimalType if d.precision <= 18 =>
         new LongColumnWriter(opts, 8,
           (g, i) => g.getDecimal(i, d.precision, d.scale).toUnscaledLong, StatsSigned,
-          bloomEnabled = bloom, sumEnabled = topLevel)
+          bloomEnabled = bloom, sumEnabled = topLevel,
+          vecGet = (v, i) => v.getDecimal(i, d.precision, d.scale).toUnscaledLong)
       case d: DecimalType if d.precision <= 38 =>
         new Decimal128ColumnWriter(opts, d.precision, d.scale)
       case StringType => new BinaryColumnWriter(opts, isString = true, bloomEnabled = bloom)
@@ -902,6 +945,39 @@ final class StrawFileWriter(schema: StructType, opts: WriteOptions) {
     if (rowsInPage >= opts.maxPageSize ||
       (if (approxUnknown) bufferedExact else approxBuffered) > (16L << 20))
       flushPages()
+  }
+
+  /** Columnar ingest: append up to `maxN` rows of `batch` starting at
+    * `start`, straight from its vectors — no ColumnarToRow stage, no
+    * UnsafeRow materialization. Chunked at page boundaries so page sizes
+    * (and with them the emitted file bytes) are IDENTICAL to the row
+    * path's. Vector-capable leaves consume the vector directly; nested
+    * columns fall back to the batch's row view for just that column.
+    * @return rows consumed (call again until the batch is drained) */
+  def writeColumnar(batch: org.apache.spark.sql.vectorized.ColumnarBatch,
+      start: Int, maxN: Int): Int = {
+    val n = math.min(maxN, math.max(1, opts.maxPageSize - rowsInPage))
+    var c = 0
+    while (c < writers.length) {
+      val vec = batch.column(c)
+      writers(c) match {
+        case l: LeafColumnWriter if l.vectorCapable => l.appendVector(vec, start, n)
+        case w =>
+          var i = start
+          val end = start + n
+          while (i < end) {
+            val row = batch.getRow(i) // shared mutable view, consumed here
+            if (row.isNullAt(c)) w.appendNull() else w.append(row, c)
+            i += 1
+          }
+      }
+      c += 1
+    }
+    rowsInPage += n
+    totalRows += n
+    if (rowsInPage >= opts.maxPageSize || bufferedExact > (16L << 20))
+      flushPages()
+    n
   }
 
   private def flushPages(): Unit = {

@@ -2304,6 +2304,10 @@ class StrawBatchWrite(path: String, schema: StructType, truncate: Boolean,
   private val preExisting: Seq[String] =
     if (truncate || dynamicOverwrite) StrawIO.listFiles(path) else Seq.empty
   private val jobId = UUID.randomUUID().toString.take(8)
+  /** The job-scoped staging id, for [[StrawBulkLoad]]'s columnar tasks —
+    * their staged files must carry THIS job's suffix so commit/abort/sweep
+    * see them. */
+  private[spark] def stagingJobId: String = jobId
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new StrawDataWriterFactory(path, schema, opts, jobId,
@@ -2526,6 +2530,22 @@ class StrawDataWriter(dir: String, schema: StructType, partitionId: Int, taskId:
       parts.foreach { case (_, s) =>
         if (s.writer.estimatedBytes > opts.targetFileBytes) roll(s.subdir, s)
       }
+    }
+  }
+
+  /** Columnar ingest entry ([[StrawBulkLoad]]): drain a ColumnarBatch
+    * straight into the page builders. Only the plain unpartitioned,
+    * unbucketed, unconstrained shape — the bulk loader falls back to the
+    * row path for everything else. */
+  private[spark] def writeBatch(batch: org.apache.spark.sql.vectorized.ColumnarBatch): Unit = {
+    require(partIdx.isEmpty && bucketIdx < 0 && checker == null,
+      "strawboat: columnar ingest supports plain appends only")
+    val st = parts.getOrElseUpdate("", new PartState("", -1))
+    var off = 0
+    val total = batch.numRows()
+    while (off < total) {
+      off += st.writer.writeColumnar(batch, off, total - off)
+      if (st.writer.estimatedBytes > opts.targetFileBytes) roll("", st)
     }
   }
 
