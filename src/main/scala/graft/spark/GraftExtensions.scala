@@ -171,6 +171,42 @@ object StrawSqlSurface {
       r.inputFiles, r.outputFiles, r.rewrittenBytes, r.skippedFiles)))
   }
 
+  val RebucketName = "straw_rebucket"
+
+  // one-shot guard like [[compacted]]: a rebucket is a distributed rewrite
+  private val rebucketed = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Option[String]), StrawCompaction.CompactionResult]()
+
+  /** `straw_rebucket('<path-or-table>', <n>[, '<col>'])`: evolve the
+    * table's hash-bucket layout to `n` buckets (on `col`, defaulting to
+    * the current spec's column) — full rewrite into the new layout, one
+    * atomic generation switch, storage-partitioned joins work again after
+    * the sidecar spec updates. See [[StrawCompaction.rebucket]]. */
+  def rebucketBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 2 && args.length <= 3 && args.forall(_.foldable) &&
+      args.head.dataType == StringType &&
+      Seq(org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(args(1).dataType) &&
+      args.drop(2).headOption.forall(_.dataType == StringType),
+      s"$RebucketName expects (table path string, bucket count int[, column string])")
+    val empty = org.apache.spark.sql.catalyst.InternalRow.empty
+    val path = args.head.eval(empty)
+    require(path != null, s"$RebucketName: path must not be null")
+    val n = args(1).eval(empty).asInstanceOf[Number].intValue()
+    val col = args.drop(2).headOption.map(_.eval(empty)) match {
+      case Some(null) | None => None
+      case Some(s) => Some(s.toString)
+    }
+    val r = rebucketed.computeIfAbsent((resolveDir(path.toString), n, col), { _ =>
+      StrawCompaction.rebucket(org.apache.spark.sql.SparkSession.active,
+        resolveDir(path.toString), n, col)
+    })
+    LocalRelation(compactSchema, Seq(org.apache.spark.sql.catalyst.InternalRow(
+      r.inputFiles, r.outputFiles, r.rewrittenBytes, r.skippedFiles)))
+  }
+
   val VacuumName = "straw_vacuum"
 
   /** `straw_vacuum('<path>'[, <older_than_hours>])`: reclaims unreferenced
@@ -403,6 +439,10 @@ object StrawSqlSurface {
       new ExpressionInfo(classOf[StrawCompaction.CompactionResult].getName, CompactName),
       compactBuilder _)
     spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier(RebucketName),
+      new ExpressionInfo(classOf[StrawCompaction.CompactionResult].getName, RebucketName),
+      rebucketBuilder _)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier(ConstraintsName),
       new ExpressionInfo(classOf[StrawConstraints.Constraint].getName, ConstraintsName),
       constraintsBuilder _)
@@ -477,6 +517,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[StrawCompaction.CompactionResult].getName,
         StrawSqlSurface.CompactName),
       StrawSqlSurface.compactBuilder _))
+    extensions.injectTableFunction((
+      FunctionIdentifier(StrawSqlSurface.RebucketName),
+      new ExpressionInfo(classOf[StrawCompaction.CompactionResult].getName,
+        StrawSqlSurface.RebucketName),
+      StrawSqlSurface.rebucketBuilder _))
     extensions.injectTableFunction((
       FunctionIdentifier(StrawSqlSurface.ChangesName),
       new ExpressionInfo(classOf[StrawChanges.ChangeTask].getName,

@@ -910,4 +910,137 @@ object StrawCompaction {
       skippedFiles = live.size - inputs.size,
       manifestSwapped = true)
   }
+
+  /** Re-bucket `dir` into `n` hash buckets on `col` — bucket-count (or
+    * bucket-column) EVOLUTION, the operation a forever-fixed bucket spec
+    * otherwise forces through a manual CTAS that loses the table's log
+    * history. Compaction-shaped: every row-carrying data file is rewritten
+    * through bucket-routing writers into staged files carrying the NEW
+    * layout's tags, the generations switch in one atomic log commit
+    * (deletion vectors materialize away; a concurrent DV swap on any input
+    * conflicts and rolls back, exactly like [[compact]]), and the sidecar
+    * spec records (col, n) once the commit holds. Readers are never wrong
+    * mid-transition: storage-partitioned planning engages only when EVERY
+    * live file's tag certifies the sidecar's spec, so a mixed state (a
+    * racing append under the old spec, a crash between commit and sidecar
+    * update) degrades to ordinary shuffle planning, never to false
+    * co-location. Each rewrite task holds up to `n` open page buffers —
+    * the same write-side memory shape as a first bucketed load.
+    *
+    * Schema-evolved tables re-bucket only if every file generation carries
+    * `col` (a generation that lacks the key cannot be routed); zero-row
+    * marker files keep the table self-describing and stay in place. */
+  def rebucket(spark: SparkSession, dir: String, n: Int,
+      colOpt: Option[String] = None,
+      opts: WriteOptions = WriteOptions()): CompactionResult = {
+    require(n > 0, s"strawboat: bucket count must be positive, got $n")
+    val col = colOpt.orElse(StrawBucket.specOf(dir).map(_._1)).getOrElse(
+      throw new IllegalArgumentException(
+        s"strawboat: $dir has no bucket spec to evolve — name the bucket " +
+          "column: straw_rebucket(table, n, col)"))
+    val mapping = StrawLog.mappingAt(dir)
+    val live = StrawIO.listFilesMetaWithStats(dir)
+    val withSchema = StrawIO.mapParallel(live) { lf =>
+      val m = lf.meta
+      val footer = FooterCache.get(m.path, m.mtime, m.len)
+      (BinFile(m, if (lf.dv == null) null else lf.dv.path,
+        if (lf.dv == null) 0L else lf.dv.len),
+        mapping.toLogical(footer.schema), footer.numRows)
+    }
+    val rowCarrying = withSchema.filter(_._3 > 0)
+    rowCarrying.foreach { case (bf, schema, _) =>
+      val f = schema.fields.find(_.name.equalsIgnoreCase(col)).getOrElse(
+        throw new IllegalArgumentException(
+          s"strawboat: bucket column '$col' missing from ${bf.meta.path} " +
+            s"(that generation has: ${schema.fieldNames.mkString(", ")})"))
+      require(StrawBucket.bucketable(f.dataType),
+        s"strawboat: type ${f.dataType.catalogString} of '$col' is not " +
+          "bucketable (integer-family, string, date, timestamp)")
+    }
+    if (rowCarrying.isEmpty) {
+      // nothing to route — just record the evolved spec
+      StrawBucket.recordSpec(dir,
+        opts.copy(bucketBy = Some(col), buckets = n), truncate = true)
+      return CompactionResult(0, 0, 0L, live.size)
+    }
+    // bin by (partition dir, schema generation) like compact, packed to the
+    // target so the rewrite parallelizes; every bin re-routes its rows into
+    // the new layout's tags
+    val bins = rowCarrying
+      .groupBy { case (bf, schema, _) =>
+        (new Path(bf.meta.path).getParent.toString, schema.json)
+      }
+      .toSeq.sortBy(_._1)
+      .flatMap { case ((parent, schemaJson), members) =>
+        val out = Seq.newBuilder[Bin]
+        var cur = Vector.empty[BinFile]
+        var bytes = 0L
+        for ((bf, _, _) <- members.sortBy(_._1.meta.path)) {
+          if (cur.nonEmpty && bytes + bf.meta.len > opts.targetFileBytes) {
+            out += Bin(parent, schemaJson, cur)
+            cur = Vector.empty; bytes = 0L
+          }
+          cur :+= bf; bytes += bf.meta.len
+        }
+        if (cur.nonEmpty) out += Bin(parent, schemaJson, cur)
+        out.result()
+      }
+    val jobId = java.util.UUID.randomUUID().toString.take(8)
+    val serConf = new org.apache.spark.util.SerializableConfiguration(StrawIO.conf)
+    val outOpts = opts.copy(bucketBy = Some(col), buckets = n)
+    val staged: Array[(Bin, Seq[String])] =
+      try {
+        spark.sparkContext.parallelize(bins, bins.size).map { bin =>
+          StrawIO.install(serConf.value)
+          val schema = DataType.fromJson(bin.schemaJson).asInstanceOf[StructType]
+          val factory = new StrawPartitionReaderFactory(schema, schema, serConf,
+            mapping = mapping)
+          val bloomLeaves = bin.files.flatMap(bf =>
+            MaintenanceOps.bloomLeavesOf(
+              FooterCache.get(bf.meta.path, bf.meta.mtime, bf.meta.len))).toSet
+            .flatMap(mapping.logicalLeafPath).map(mapping.writeLeafPath)
+          val writer = new StrawDataWriter(bin.parent, mapping.toPhysical(schema),
+            partitionId = 0, taskId = 0,
+            outOpts.copy(bloomColumns = outOpts.bloomColumns ++ bloomLeaves),
+            jobId)
+          var ok = false
+          try {
+            for (f <- bin.files) {
+              val reader = factory.createReader(
+                StrawInputPartition(f.meta.path, 0, Int.MaxValue, Long.MaxValue,
+                  f.dvPath, f.dvLen))
+              try { while (reader.next()) writer.write(reader.get()) }
+              finally reader.close()
+            }
+            val msg = writer.commit().asInstanceOf[StrawCommitMessage]
+            ok = true
+            (bin, msg.files)
+          } finally if (!ok) writer.abort()
+        }.collect()
+      } catch {
+        case e: Throwable =>
+          StrawCommitProtocol.sweepStaged(dir, jobId)
+          throw e
+      }
+    val fresh = MaintenanceOps.renameVisibleStamped(dir, jobId,
+      staged.toSeq.map { case (bin, names) => (bin.maxMtime, names) })
+    val inputs = bins.flatMap(_.files.map(_.meta.path)).toSet
+    val adds = StrawIO.mapParallel(fresh)(StrawManifest.entryFor)
+    MaintenanceOps.commitSwitchAndVacuum(dir, jobId, adds, inputs,
+      op = s"rebucket $col $n",
+      alsoVacuum = bins.flatMap(_.files.flatMap(bf => Option(bf.dvPath))),
+      expectDvOnRemove =
+        bins.flatMap(_.files).map(bf => bf.meta.path -> Option(bf.dvPath)).toMap)
+    // the commit holds — the evolved spec becomes the table's layout; a
+    // crash before this line leaves the old spec with new tags, which the
+    // tag-certification check reads as "no co-location" (safe), and a
+    // re-run completes the switch
+    StrawBucket.recordSpec(dir, outOpts, truncate = true)
+    CompactionResult(
+      inputFiles = inputs.size,
+      outputFiles = fresh.size,
+      rewrittenBytes = bins.foldLeft(0L)(_ + _.bytes),
+      skippedFiles = live.size - inputs.size,
+      manifestSwapped = true)
+  }
 }

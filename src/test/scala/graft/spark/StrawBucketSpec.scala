@@ -150,6 +150,71 @@ class StrawBucketSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("straw_rebucket evolves the bucket count; SPJ still no-Exchange after") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS straw.rb")
+    spark.sql("DROP TABLE IF EXISTS straw.rb.ord")
+    spark.sql("DROP TABLE IF EXISTS straw.rb.cust")
+    orders.createOrReplaceTempView("src_orders_rb")
+    customer.createOrReplaceTempView("src_customer_rb")
+    spark.sql(
+      """CREATE TABLE straw.rb.ord PARTITIONED BY (bucket(4, o_custkey))
+        |AS SELECT o_orderkey, o_custkey, o_totalprice FROM src_orders_rb""".stripMargin)
+    spark.sql(
+      """CREATE TABLE straw.rb.cust PARTITIONED BY (bucket(8, c_custkey))
+        |AS SELECT c_custkey, c_name, c_acctbal FROM src_customer_rb""".stripMargin)
+    // a merge-on-read delete before the rebucket: the rewrite must
+    // materialize the DV away, not resurrect the rows
+    spark.sql("DELETE FROM straw.rb.ord WHERE o_orderkey % 10 = 3")
+    val expectCnt = spark.sql(
+      "SELECT count(*) FROM src_orders_rb WHERE o_orderkey % 10 != 3")
+      .collect()(0).getLong(0)
+
+    // 4-bucket ord cannot storage-partition-join 8-bucket cust — evolve it
+    val res = spark.sql(s"SELECT * FROM straw_rebucket('straw.rb.ord', 8)").collect()(0)
+    assert(res.getInt(0) > 0, "rebucket should rewrite the data files")
+    assert(StrawBucket.specOf(s"$warehouse/rb/ord").contains(("o_custkey", 8)))
+    val files = dataFiles(s"$warehouse/rb/ord")
+    assert(files.nonEmpty && files.forall(f =>
+      StrawBucket.parseTag(f.getName).exists(_.n == 8)),
+      s"post-rebucket files must carry 8-bucket tags: ${files.map(_.getName)}")
+    // DVs materialized: no sidecar remains referenced, count is post-delete
+    assert(spark.sql("SELECT count(*) FROM straw.rb.ord").collect()(0).getLong(0)
+      == expectCnt)
+
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.sql(
+        """SELECT c.c_custkey, count(*) AS orders
+          |FROM straw.rb.ord o JOIN straw.rb.cust c ON o.o_custkey = c.c_custkey
+          |GROUP BY c.c_custkey""".stripMargin)
+      val expect = spark.sql(
+        """SELECT c.c_custkey, count(*) AS orders
+          |FROM src_orders_rb o JOIN src_customer_rb c
+          |ON o.o_custkey = c.c_custkey WHERE o.o_orderkey % 10 != 3
+          |GROUP BY c.c_custkey""".stripMargin)
+      assert(sameRows(joined, expect))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"rebucketed tables should storage-partition-join:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+
+    // refusals stay loud: no spec and no column named
+    val out = s"$dir/rb_nospec"
+    orders.limit(10).select(col("o_orderkey"))
+      .write.format("strawboat").mode("overwrite").save(out)
+    val e = intercept[Exception](
+      StrawCompaction.rebucket(spark, out, 4))
+    assert(e.getMessage.contains("no bucket spec"), e.getMessage)
+    // and an un-routable generation (column missing) is refused
+    val e2 = intercept[Exception](
+      StrawCompaction.rebucket(spark, out, 4, Some("nope")))
+    assert(e2.getMessage != null)
+  }
+
   test("append with the same count but a different bucket column is refused") {
     val out = s"$dir/o_colgate"
     orders.limit(50).write.format("strawboat")
