@@ -549,5 +549,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       StrawSqlSurface.detailBuilder _))
     // SQL UPDATE / MERGE INTO over the native mutation machinery
     extensions.injectPostHocResolutionRule(session => new StrawDmlRules(session))
+    // streaming filter pushdown: Spark never runs V2 pushdown on streaming
+    // scans, so this rule registers each micro-batch plan's filters on the
+    // stream as prune-only hints (see [[StreamFilterPruning]])
+    extensions.injectOptimizerRule(session => StreamFilterPruning(session))
   }
 }

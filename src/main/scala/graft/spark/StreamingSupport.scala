@@ -157,6 +157,33 @@ class StrawMicroBatchStream(path: String, fullSchema: StructType,
     * the mode is sticky per query regardless of this flag. */
   private val logMode: Boolean = StrawLog.latestVersion(path).isDefined
 
+  // ---- engine-side filter pruning (wired by [[StreamFilterPruning]]) ----
+  // Spark runs no V2 filter pushdown for streaming scans (the ScanBuilder
+  // is built once, before any Filter is visible), so an injected optimizer
+  // rule registers each consumer branch's conjunctive filters here per
+  // micro-batch plan. Registration is PRUNE-ONLY — Spark still evaluates
+  // its Filter nodes — and sets combine as OR-of-conjunctions: a
+  // file/page survives when ANY consumer's set keeps it, and a consumer
+  // with no (translatable) filters disables pruning outright, so a
+  // self-union with one unfiltered branch never loses rows. Offsets and
+  // admission ignore the sets entirely: what a batch has SEEN is a pure
+  // function of the offsets, pruning only shrinks what it reads.
+  @volatile private var consumerSets: List[Array[org.apache.spark.sql.sources.Filter]] = Nil
+  @volatile private var hasUnfilteredConsumer = false
+  private val seenSetKeys = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[spark] def registerConsumerFilters(
+      fs: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    if (fs.isEmpty) hasUnfilteredConsumer = true
+    else {
+      val key = fs.map(_.toString).sorted.mkString("&")
+      if (seenSetKeys.add(key)) consumerSets ::= fs
+    }
+  }
+  /** The active prune sets: empty = no pruning (no registration yet, or an
+    * unfiltered consumer exists). */
+  private def pruneSets: Seq[Array[org.apache.spark.sql.sources.Filter]] =
+    if (hasUnfilteredConsumer) Nil else consumerSets
+
   // Trigger.AvailableNow: pin the drain target once — the latest log
   // version (log mode) or the file-set snapshot (listing mode); subsequent
   // capped micro-batches drain exactly this backlog, then the query stops.
@@ -396,9 +423,21 @@ class StrawMicroBatchStream(path: String, fullSchema: StructType,
     // hive partition directories first (zero footer IO for excluded ones),
     // then pages by their zone maps/blooms. Admission already marked the
     // files seen, so skipping their data here never re-delivers later.
-    val freshKept =
+    // Two layers compose: constructor `skipFilters` apply conjunctively
+    // (batch-path plumbing), and the rule-registered consumer sets apply
+    // as OR-of-conjunctions (a file survives if ANY consumer keeps it).
+    val sets = pruneSets
+    val freshKept0 =
       if (skipFilters.isEmpty) fresh
       else PartitionLayout.pruneBy(fresh, fullSchema, skipFilters)(identity)
+    val freshKept =
+      if (sets.isEmpty) freshKept0
+      else {
+        val keep = sets.map(s =>
+          PartitionLayout.pruneBy(freshKept0, fullSchema, s)(identity).toSet)
+          .reduce(_ union _)
+        freshKept0.filter(keep)
+      }
     // deletion vectors: a file admitted after a merge-on-read DELETE must
     // not deliver the dead rows — resolve each file's CURRENT sidecar from
     // the snapshot. This reads the LATEST vector deliberately: a batch
@@ -433,7 +472,13 @@ class StrawMicroBatchStream(path: String, fullSchema: StructType,
         else Nil
       } else {
         val nPages = footer.columns(0).pages.length
-        val keep = ZoneMapFilter.keptPages(footer, skipFilters)
+        val keep0 = ZoneMapFilter.keptPages(footer, skipFilters)
+        val keep: Int => Boolean =
+          if (sets.isEmpty) keep0
+          else {
+            val perSet = sets.map(s => ZoneMapFilter.keptPages(footer, s))
+            p => keep0(p) && perSet.exists(_(p))
+          }
         // contiguous kept runs, like the batch planner (without the byte
         // targeting — admission already bounds per-batch volume)
         val runs = Seq.newBuilder[InputPartition]
@@ -548,5 +593,64 @@ class StrawStreamingWrite(path: String, schema: StructType,
       case _ =>
     }
     StrawCommitProtocol.sweepStaged(path, jobId)
+  }
+}
+
+/** Engine-side filter pushdown for streaming scans. Spark builds a
+  * streaming source's Scan once — before any Filter node is visible — and
+  * never runs V2 filter pushdown on it, so a filtered `readStream` over
+  * this source would read every admitted file in full. This optimizer
+  * rule closes the gap: on each micro-batch plan it finds the Filter
+  * conjunctions sitting on our stream's scan relation, translates them to
+  * source filters, and registers them on the [[StrawMicroBatchStream]] as
+  * PRUNE-ONLY hints (Spark keeps evaluating its Filter nodes — pruning
+  * can only skip files/pages the filters provably exclude, never change
+  * results). A consumer branch with no translatable filters registers an
+  * empty set, which disables pruning for the whole stream — the safe
+  * default for self-unions with an unfiltered branch. */
+case class StreamFilterPruning(spark: org.apache.spark.sql.SparkSession)
+  extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+  import org.apache.spark.sql.execution.datasources.v2.StreamingDataSourceV2ScanRelation
+
+  private def streamOf(r: StreamingDataSourceV2ScanRelation): Option[StrawMicroBatchStream] =
+    r.stream match {
+      case s: StrawMicroBatchStream => Some(s)
+      case _ => None
+    }
+
+  private def register(r: StreamingDataSourceV2ScanRelation,
+      cond: org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+    streamOf(r).foreach { s =>
+      val fs = splitConjuncts(cond).flatMap(c =>
+        org.apache.spark.sql.graft.GraftSqlShims.translateFilter(c))
+      s.registerConsumerFilters(fs.toArray)
+    }
+
+  private def splitConjuncts(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    visit(plan)
+    plan
+  }
+
+  private def visit(p: LogicalPlan): Unit = p match {
+    case Filter(cond, r: StreamingDataSourceV2ScanRelation) =>
+      register(r, cond)
+    case Filter(cond, Project(_, r: StreamingDataSourceV2ScanRelation)) =>
+      register(r, cond)
+    case r: StreamingDataSourceV2ScanRelation =>
+      // a consumer reading the stream with no filter above it: every row
+      // matters — disable pruning
+      streamOf(r).foreach(_.registerConsumerFilters(Array.empty))
+    case other => other.children.foreach(visit)
   }
 }
