@@ -12,7 +12,12 @@ object Bench {
   private val headline = Seq(
     "q_scan_filter_project", "q_scan_partitioned", "q_codec_sorted", "q_agg_groupby",
     "q_agg_distinct", "q_join_broadcast", "q_join_shuffle", "q_join_multi",
-    "q_tpch_q3", "q_tpch_q6", "q_window_rank", "q_window_running",
+    "q_tpch_q3", "q_tpch_q6",
+    // round-12: the reorder-sensitive 6-table Q5 shape — declared naive
+    // (fact-first, region filter last), no hints; plan quality rides on the
+    // footer stats + CBO NDV join reorder (a cbo-off A/B rides in "ab")
+    "q_tpch_q5",
+    "q_window_rank", "q_window_running",
     "q_events_sessions", "q_topk_orders", "q_topk_filtered",
     // bloom point lookup + read-after-compaction (their one-time table
     // derivations land in run 1 and are absorbed by the min-of-2)
@@ -97,6 +102,7 @@ object Bench {
     }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val medians = scala.collection.mutable.LinkedHashMap[String, Double]()
     val spreads = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
@@ -107,19 +113,21 @@ object Bench {
       def once(): Double = time {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       }
-      // steady-state: min of THREE runs — the first pays one-time
-      // whole-stage codegen compilation and JIT, which a session pays once,
-      // not per query. The per-query SPREAD (max − min over the two warm
-      // runs) is reported alongside, so a round-over-round delta can be
-      // told apart from scheduler noise: a real regression moves min well
-      // beyond the spread; sub-second jitter does not.
+      // steady-state: one warm-up (whole-stage codegen compilation + JIT,
+      // which a session pays once, not per query), then THREE timed runs.
+      // "queries" carries the min (best steady-state), "medians" the
+      // median, "spreads" max − min — so a round-over-round delta is
+      // self-adjudicating: a real regression moves min AND median together
+      // well beyond the spread; machine drift moves the median while min
+      // holds, and scheduler jitter shows up as spread alone.
       // A single failing query must not sink the whole suite: record it and
       // keep going so the driver still gets its JSON line.
       try {
-        once() // warm-up: codegen + JIT, excluded from min and spread
-        val warm = Seq(once(), once())
-        results(name) = r3(warm.min)
-        spreads(name) = r3(warm.max - warm.min)
+        once() // warm-up: codegen + JIT, excluded from the stats
+        val warm = Seq(once(), once(), once()).sorted
+        results(name) = r3(warm.head)
+        medians(name) = r3(warm(1))
+        spreads(name) = r3(warm.last - warm.head)
       } catch {
         case e: Throwable =>
           errors(name) = (e.getClass.getSimpleName + ": " +
@@ -128,16 +136,47 @@ object Bench {
           e.printStackTrace()
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val sp = spreads.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // config A/B rider (outside "queries"/total so round-over-round totals
+    // stay comparable): the reorder-sensitive Q5 under the two CBO knobs,
+    // same machine, same JVM. cbo_off = no footer stats at all; reorder_off
+    // = footer stats steer broadcasts/filter cardinality but the DP join
+    // reorder stays out. The in-suite q_tpch_q5 number runs both on (the
+    // r11 harness config). At sf0.1 the stats pay (reorder_off < cbo_off)
+    // while the DP's bushy reorder — region-filtered dims semi-reduce
+    // lineitem 5× BEFORE the fact-fact shuffle, the scale-correct shape —
+    // carries fixed overheads this scale can't amortize.
+    val ab = scala.collection.mutable.LinkedHashMap[String, Double]()
+    if (results.contains("q_tpch_q5")) {
+      def q5(): Double = time {
+        SparkEntry.queries("q_tpch_q5")(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      def variant(label: String, conf: Map[String, String]): Unit = {
+        conf.foreach { case (k, v) => spark.conf.set(k, v) }
+        try {
+          q5()
+          ab(label) = r3(Seq(q5(), q5(), q5()).min)
+        } catch { case e: Throwable => e.printStackTrace() }
+        finally conf.keys.foreach { k =>
+          spark.conf.set(k, "true") // bench session default: both on
+        }
+      }
+      variant("q_tpch_q5_cbo_off", Map("spark.sql.cbo.enabled" -> "false"))
+      variant("q_tpch_q5_reorder_off",
+        Map("spark.sql.cbo.joinReorder.enabled" -> "false"))
+    }
+    def obj(m: scala.collection.Map[String, Double]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = obj(results)
+    val md = obj(medians)
+    val sp = obj(spreads)
+    val abJson = if (ab.isEmpty) "" else ",\"ab\":" + obj(ab)
     val total = r3(results.values.sum)
     val errJson =
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
         .mkString(",\"errors\":{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spreads":$sp$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$md,"spreads":$sp$abJson$errJson,"sf":"$sfDir"}""")
     // exit 0 even when a query failed: the JSON line (with its "errors"
     // field) is the report, and a non-zero rc would make the driver drop it
     spark.stop()

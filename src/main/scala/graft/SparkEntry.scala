@@ -265,6 +265,27 @@ object SparkEntry {
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
         .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
     }),
+    "q_tpch_q5" -> ((s, d) => {
+      // declared in the classic naive FROM order (fact tables first, the
+      // selective region filter LAST) with no broadcast hints — the plan
+      // quality rides entirely on the footer statistics (decoded-size BHJ
+      // steering + CBO NDV join reorder); Q5's c_nationkey = s_nationkey
+      // side condition makes the join graph reorder-sensitive
+      t(s, d, "customer").as("c")
+        .join(t(s, d, "orders").as("o"), col("c.c_custkey") === col("o.o_custkey"))
+        .join(t(s, d, "lineitem").as("l"), col("l.l_orderkey") === col("o.o_orderkey"))
+        .join(t(s, d, "supplier").as("su"),
+          col("l.l_suppkey") === col("su.s_suppkey") &&
+            col("c.c_nationkey") === col("su.s_nationkey"))
+        .join(t(s, d, "nation").as("n"), col("su.s_nationkey") === col("n.n_nationkey"))
+        .join(t(s, d, "region").as("r"), col("n.n_regionkey") === col("r.r_regionkey"))
+        .filter(col("r.r_name") === "ASIA" &&
+          col("o.o_orderdate") >= lit(java.time.LocalDateTime.of(1996, 1, 1, 0, 0)) &&
+          col("o.o_orderdate") < lit(java.time.LocalDateTime.of(1997, 1, 1, 0, 0)))
+        .groupBy(col("n.n_name"))
+        .agg(round(sum(col("l.l_extendedprice") * (lit(1) - col("l.l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
     "q_join_multi" -> ((s, d) => {
       t(s, d, "customer").as("c")
         .join(t(s, d, "orders").as("o"), col("c.c_custkey") === col("o.o_custkey"))
@@ -1643,6 +1664,18 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
     "q_join_multi" ->
       """SELECT n_name,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

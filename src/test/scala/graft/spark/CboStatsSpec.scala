@@ -120,4 +120,28 @@ class CboStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(tiny.min.isPresent && tiny.max.isPresent)
     } finally in.close()
   }
+
+  test("TPC-H Q5 shape reorders: region filter joins first, not last") {
+    // q_tpch_q5 declares the classic naive order — customer ⋈ orders ⋈
+    // lineitem ⋈ supplier ⋈ nation ⋈ region, the selective region filter
+    // LAST and no hints. NDV-steered reorder must surface the filtered
+    // region ⋈ nation pair as the deepest join instead of appending
+    // region to the whole 5-table chain.
+    val df = graft.SparkEntry.queries("q_tpch_q5")(spark, "/root/testdata/sf0.001")
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size == 5, s"expected 5 joins, got ${joins.size}")
+    // collect is pre-order, so the LAST join whose leaves include region is
+    // the smallest subtree containing it — the pair region actually joins
+    val regionJoin = joins.filter(
+      _.collectLeaves().exists(_.toString.contains("/region"))).last
+    val leaves = regionJoin.collectLeaves().map(_.toString).mkString(" ")
+    assert(leaves.contains("/nation") && !leaves.contains("/lineitem") &&
+      !leaves.contains("/orders") && !leaves.contains("/customer"),
+      s"region should join the nation dimension directly, got: ${leaves.take(300)}")
+    // and the reordered plan still executes (group count varies by sf;
+    // exact values are the driver oracle's job)
+    assert(df.collect().nonEmpty)
+  }
 }
