@@ -16,12 +16,22 @@ import graft.format.WriteOptions
   * markers), so the two paths differ only in how bytes reach the page
   * buffers — and emit byte-identical files (spec-pinned).
   *
+  * Hive-partitioned loads ride the columnar path too: the writer
+  * dispatches maximal runs of rows sharing a partition key into that
+  * partition's page builders, so input clustered by the partition columns
+  * (the normal conversion shape) keeps full batch speed and unclustered
+  * input merely degrades to shorter runs.
+  *
   * Falls back to the ordinary `df.write.format("strawboat")` row path
   * whenever the plan's columnar output isn't directly reachable (adaptive
   * plans with exchanges, row-producing sources) or options demand row
-  * routing (hive partitioning, bucketing, CHECK constraints). Fallback is
-  * always correct — this is purely a CPU shortcut. */
+  * routing (bucketing, CHECK constraints). Fallback is always correct —
+  * this is purely a CPU shortcut. */
 object StrawBulkLoad {
+
+  /** Columnar-path engagements (driver-side), pinned by specs so a routing
+    * regression — a shape silently falling back to rows — is loud. */
+  private[graft] val columnarLoads = new java.util.concurrent.atomic.AtomicLong
 
   /** The batch-producing subtree feeding the plan's final ColumnarToRow
     * transition, if the whole plan IS just that transition (scan-shaped
@@ -39,25 +49,42 @@ object StrawBulkLoad {
     case _ => None
   }
 
-  /** Write `df` to `path` (overwrite), columnar when possible. */
+  /** Write `df` to `path` (overwrite), columnar when possible. With
+    * `partitionCols`, the output lands in hive `col=value/` directories —
+    * same layout, validation, and commit as the DSv2 `partitionBy` option. */
   def save(df: DataFrame, path: String,
-      opts: WriteOptions = WriteOptions()): Unit = {
+      opts: WriteOptions = WriteOptions(),
+      partitionCols: Seq[String] = Seq.empty): Unit = {
+    require(partitionCols.distinct.size == partitionCols.size,
+      s"strawboat: partitionBy lists a column twice: ${partitionCols.mkString(",")}")
+    partitionCols.foreach { c =>
+      val fld = df.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"strawboat: partitionBy column '$c' not in schema ${df.schema.fieldNames.mkString(",")}"))
+      require(StrawKeyedPartition.parseable(fld.dataType),
+        s"strawboat: partitionBy column '$c' has unsupported type ${fld.dataType} " +
+          "(supported: string, int, long, short, byte, boolean)")
+    }
     val needsRowPath = opts.bucketBy.isDefined
     val root = if (needsRowPath) None else columnarRoot(df.queryExecution.executedPlan)
     root match {
       case None =>
-        df.write.format("strawboat").mode("overwrite").save(path)
+        val w = df.write.format("strawboat").mode("overwrite")
+        (if (partitionCols.isEmpty) w
+         else w.option("partitionBy", partitionCols.mkString(","))).save(path)
       case Some(plan) =>
+        columnarLoads.incrementAndGet()
         val spark = df.sparkSession
         val schema = df.schema
-        val bw = new StrawBatchWrite(path, schema, truncate = true, opts)
+        val bw = new StrawBatchWrite(path, schema, truncate = true, opts, partitionCols)
         val jobId = bw.stagingJobId
         val serConf = new org.apache.spark.util.SerializableConfiguration(StrawIO.conf)
         val messages: Array[WriterCommitMessage] =
           try plan.executeColumnar().mapPartitionsWithIndex { (pid, it) =>
             StrawIO.install(serConf.value)
             val w = new StrawDataWriter(path, schema, pid,
-              org.apache.spark.TaskContext.get().taskAttemptId(), opts, jobId)
+              org.apache.spark.TaskContext.get().taskAttemptId(), opts, jobId,
+              partitionCols)
             var ok = false
             try {
               it.foreach(w.writeBatch)

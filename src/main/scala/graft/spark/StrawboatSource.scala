@@ -2534,18 +2534,44 @@ class StrawDataWriter(dir: String, schema: StructType, partitionId: Int, taskId:
   }
 
   /** Columnar ingest entry ([[StrawBulkLoad]]): drain a ColumnarBatch
-    * straight into the page builders. Only the plain unpartitioned,
-    * unbucketed, unconstrained shape — the bulk loader falls back to the
-    * row path for everything else. */
+    * straight into the page builders. Plain and hive-partitioned shapes;
+    * the bulk loader falls back to the row path for bucketed or
+    * constrained writes (per-row murmur3 routing / row validation gain
+    * nothing from batches). */
   private[spark] def writeBatch(batch: org.apache.spark.sql.vectorized.ColumnarBatch): Unit = {
-    require(partIdx.isEmpty && bucketIdx < 0 && checker == null,
-      "strawboat: columnar ingest supports plain appends only")
-    val st = parts.getOrElseUpdate("", new PartState("", -1))
-    var off = 0
+    require(bucketIdx < 0 && checker == null,
+      "strawboat: columnar ingest supports unbucketed, unconstrained writes only")
     val total = batch.numRows()
-    while (off < total) {
-      off += st.writer.writeColumnar(batch, off, total - off)
-      if (st.writer.estimatedBytes > opts.targetFileBytes) roll("", st)
+    if (total == 0) return
+    def drain(subdir: String, from: Int, until: Int): Unit = {
+      val st = parts.getOrElseUpdate(subdir, new PartState(subdir, -1))
+      var off = from
+      while (off < until) {
+        off += st.writer.writeColumnar(batch, off, until - off)
+        if (st.writer.estimatedBytes > opts.targetFileBytes) roll(subdir, st)
+      }
+    }
+    if (partIdx.isEmpty) drain("", 0, total)
+    else {
+      // hive-partitioned ingest: dispatch maximal runs of rows sharing a
+      // partition key into that partition's page builders — full columnar
+      // speed when the input is clustered by the partition columns (the
+      // normal conversion shape); unclustered input degrades to short runs
+      // but stays correct. Only the partition columns are touched per row;
+      // the batch row view is a shared mutable cursor, consumed in place.
+      var runStart = 0
+      var runSubdir = subdirOf(batch.getRow(0))
+      var i = 1
+      while (i < total) {
+        val sub = subdirOf(batch.getRow(i))
+        if (sub != runSubdir) {
+          drain(runSubdir, runStart, i)
+          runStart = i
+          runSubdir = sub
+        }
+        i += 1
+      }
+      drain(runSubdir, runStart, total)
     }
   }
 

@@ -88,4 +88,75 @@ class StrawBulkLoadSpec extends AnyFunSuite with BeforeAndAfterAll {
     StrawBulkLoad.save(df, out)
     assert(spark.read.format("strawboat").load(out).count() == 2)
   }
+
+  test("hive-partitioned bulk load: columnar path engages, byte-identical") {
+    // clustered input (sorted by the partition column at write) — the
+    // conversion shape the run-dispatch is built for
+    val src = s"$dir/psrc"
+    spark.range(60000).select(
+      (col("id") % 4).cast("int").as("part"),
+      col("id"),
+      (col("id").cast("double") / 7).as("v"),
+      concat(lit("s"), col("id") % 131).as("s"))
+      .sort("part").coalesce(1)
+      .write.parquet(src)
+
+    val rowOut = s"$dir/prow"
+    val colOut = s"$dir/pcol"
+    spark.read.parquet(src).write.format("strawboat")
+      .option("partitionBy", "part").mode("overwrite").save(rowOut)
+    val before = StrawBulkLoad.columnarLoads.get()
+    StrawBulkLoad.save(spark.read.parquet(src), colOut,
+      partitionCols = Seq("part"))
+    assert(StrawBulkLoad.columnarLoads.get() == before + 1,
+      "partitioned bulk load fell back to the row path")
+
+    // same partition directories, byte-identical data files per partition
+    def parts(d: String): Seq[String] =
+      StrawIO.listFiles(d).map(f => PartitionLayout.partitionsOf(f)
+        .map { case (k, v) => s"$k=${v.getOrElse("null")}" }.mkString("/")).sorted
+    assert(parts(colOut) == parts(rowOut))
+    assert(parts(colOut).distinct == Seq("part=0", "part=1", "part=2", "part=3"))
+    val a = dataBytes(rowOut)
+    val b = dataBytes(colOut)
+    assert(a.map(_._1) == b.map(_._1), s"file sizes ${a.map(_._1)} vs ${b.map(_._1)}")
+    a.zip(b).foreach { case ((_, ba), (_, bb)) =>
+      assert(java.util.Arrays.equals(ba, bb), "file bytes differ")
+    }
+
+    // partition pruning works on the bulk-loaded table
+    val got = spark.read.format("strawboat").load(colOut)
+    assert(got.filter(col("part") === 2).count() == 15000)
+    assert(got.exceptAll(spark.read.parquet(src)).isEmpty)
+    assert(spark.read.parquet(src).exceptAll(got).isEmpty)
+  }
+
+  test("unclustered partitioned input stays correct (short runs)") {
+    val src = s"$dir/usrc"
+    // id % 3 interleaves partition values row by row — worst-case run
+    // length 1 through the dispatch loop
+    spark.range(5000).select((col("id") % 3).cast("int").as("p"), col("id"))
+      .coalesce(1).write.parquet(src)
+    val out = s"$dir/ucol"
+    val before = StrawBulkLoad.columnarLoads.get()
+    StrawBulkLoad.save(spark.read.parquet(src), out, partitionCols = Seq("p"))
+    assert(StrawBulkLoad.columnarLoads.get() == before + 1)
+    val got = spark.read.format("strawboat").load(out)
+    assert(got.count() == 5000)
+    assert(got.exceptAll(spark.read.parquet(src)).isEmpty)
+    assert(got.filter(col("p") === 1).count() ==
+      spark.read.parquet(src).filter(col("p") === 1).count())
+  }
+
+  test("bucketed writes still fall back to the row path") {
+    val src = s"$dir/bsrc"
+    spark.range(1000).select(col("id"), (col("id") % 9).as("k"))
+      .coalesce(1).write.parquet(src)
+    val out = s"$dir/bcol"
+    val before = StrawBulkLoad.columnarLoads.get()
+    StrawBulkLoad.save(spark.read.parquet(src), out,
+      graft.format.WriteOptions(bucketBy = Some("k"), buckets = 4))
+    assert(StrawBulkLoad.columnarLoads.get() == before, "bucketed write must row-route")
+    assert(spark.read.format("strawboat").load(out).count() == 1000)
+  }
 }
