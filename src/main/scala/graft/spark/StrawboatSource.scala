@@ -832,6 +832,13 @@ case class StrawInputPartition(
     dvPath: String = null,
     dvLen: Long = 0L) extends InputPartition
 
+/** Several small page slices bin-packed into one unit of work. A table of
+  * many small files (streaming epochs, partitioned appends, 1000-executor
+  * outputs) must not plan one task per file — per-task overhead would
+  * dominate the scan; readers chain the slices sequentially. */
+case class StrawPackedPartition(slices: Seq[StrawInputPartition])
+  extends InputPartition
+
 /** All files of ONE hive-partition value as a single input partition, keyed
   * so Spark's storage-partitioned execution (KeyGroupedPartitioning) can
   * skip the shuffle for joins/aggregations on the partition column. */
@@ -981,11 +988,38 @@ class StrawScan(
     * version-keyed [[FooterCache]] (parallel IO on misses), so repeated
     * scans of an unchanged table pay one directory listing and zero footer
     * reads. Invalidated when a runtime filter narrows the file set. */
-  /** One planned file: path, real footer, byte length, deletion vector. */
-  @volatile private var footersCache: Seq[(String, graft.format.StrawFooter, Long,
-    DeletionVector.DvInfo)] = _
-  private def footers: Seq[(String, graft.format.StrawFooter, Long,
-      DeletionVector.DvInfo)] = {
+  /** One planned-over file. The REAL footer loads lazily — a full scan of
+    * small files whose snapshot carries stats plans from the log/manifest
+    * alone (zero footer IO at any file count); page-level needs (filter
+    * zone maps, top-n, limits, big-file splitting, CBO ndv sweeps) force
+    * the load, pre-warmed in parallel by [[warmFooters]]. */
+  private final class PlannedFile(val path: String, val mtime: Long,
+      val len: Long, val dv: DeletionVector.DvInfo,
+      val synth: Option[graft.format.StrawFooter]) {
+    @volatile private var real: graft.format.StrawFooter = _
+    def loaded: Boolean = real != null
+    def footer: graft.format.StrawFooter = {
+      var f = real
+      if (f == null) { // benign race: footers are immutable, last load wins
+        f = mapping.toLogicalFooter(FooterCache.get(path, mtime, len))
+        real = f
+      }
+      f
+    }
+    /** Best stats source without forcing real IO when synth stats exist. */
+    def statsFooter: graft.format.StrawFooter = synth.getOrElse(footer)
+  }
+
+  /** Force-load real footers in parallel (bounded IO pool) for the files
+    * that still need one — lazy loads from a sequential loop would
+    * serialize the very IO [[StrawIO.mapParallel]] exists to overlap. */
+  private def warmFooters(fs: Seq[PlannedFile]): Unit = {
+    val need = fs.filter(!_.loaded)
+    if (need.size > 1) StrawIO.mapParallel(need)(_.footer): Unit
+  }
+
+  @volatile private var footersCache: Seq[PlannedFile] = _
+  private def footers: Seq[PlannedFile] = {
     var c = footersCache
     if (c == null) {
       // three pruning tiers before any real footer IO: hive directory
@@ -1017,12 +1051,8 @@ class StrawScan(
         lf.synth.forall(sf =>
           ZoneMapFilter.keptPages(mapping.toLogicalFooter(sf), filters)(0))
       }
-      c = StrawIO.mapParallel(kept) { lf =>
-        (lf.meta.path,
-          mapping.toLogicalFooter(
-            FooterCache.get(lf.meta.path, lf.meta.mtime, lf.meta.len)),
-          lf.meta.len, lf.dv)
-      }
+      c = kept.map(lf => new PlannedFile(lf.meta.path, lf.meta.mtime,
+        lf.meta.len, lf.dv, lf.synth.map(mapping.toLogicalFooter)))
       footersCache = c
     }
     c
@@ -1110,14 +1140,16 @@ class StrawScan(
         case Some(fld) if StrawBucket.bucketable(fld.dataType) =>
           val groups = Array.fill(n)(List.newBuilder[(String, String, Long)])
           val want = StrawBucket.colHash(col) // once, not per file
-          val ok = footers.forall { case (p, footer, _, dv) =>
-            StrawBucket.parseTag(p) match {
+          val ok = footers.forall { pf =>
+            StrawBucket.parseTag(pf.path) match {
               case Some(t) if t.n == n && t.colHash.contains(want) && t.bucket < n =>
-                groups(t.bucket) += ((p,
-                  if (dv == null) null else dv.path,
-                  if (dv == null) 0L else dv.len))
+                groups(t.bucket) += ((pf.path,
+                  if (pf.dv == null) null else pf.dv.path,
+                  if (pf.dv == null) 0L else pf.dv.len))
                 true
-              case _ => footer.numRows == 0 // markers don't break the layout
+              // markers don't break the layout (synth stats carry the row
+              // count; an untagged stats-less file loads its footer once)
+              case _ => pf.statsFooter.numRows == 0
             }
           }
           if (ok) Some((col, n, groups.map(_.result(): Seq[(String, String, Long)])))
@@ -1167,7 +1199,7 @@ class StrawScan(
     // open cost) so a table smaller than cores×cap still fans out — a
     // 9 MB probe side must not scan single-threaded under a 32-way join
     val targetBytes = {
-      val totalBytes = footers.foldLeft(0L)((a, f) => a + f._3)
+      val totalBytes = footers.foldLeft(0L)((a, f) => a + f.len)
       val par = math.max(1,
         org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism)
       math.min(32L << 20, math.max(4L << 20, totalBytes / par))
@@ -1176,10 +1208,28 @@ class StrawScan(
     // the planner's page row counts are pre-filter, so planning must not
     // truncate on them (the readers stop after `limit` passing rows instead)
     val planLimit = if (exactFilters.nonEmpty) Long.MaxValue else limit
-    val parts = ArrayBuffer.empty[InputPartition]
+    // zero-footer-IO fast path: an unfiltered, unlimited scan needs no
+    // page-level data for a file the snapshot carries stats for, as long
+    // as the whole file fits one task — plan it as a whole-file slice and
+    // let the task reader parse the footer where the data IO happens
+    // anyway. At 100k+ files this is the difference between planning from
+    // the log alone and re-reading every footer on the driver.
+    val fastEligible =
+      filters.isEmpty && topN.isEmpty && planLimit == Long.MaxValue
+    def fastPath(pf: PlannedFile): Boolean = fastEligible &&
+      pf.len <= targetBytes &&
+      pf.synth.exists(s => s.schema.fields.nonEmpty && s.numRows > 0)
+    warmFooters(footers.filterNot(fastPath))
+    val slices = ArrayBuffer.empty[(StrawInputPartition, Long)]
     var rowsPlanned = 0L
-    for ((file, footer, _, dv) <- footers if rowsPlanned < planLimit) {
-      if (footer.columns.nonEmpty) {
+    for (pf <- footers if rowsPlanned < planLimit) {
+      val dvPath = if (pf.dv == null) null else pf.dv.path
+      val dvLen = if (pf.dv == null) 0L else pf.dv.len
+      if (fastPath(pf)) {
+        slices += ((StrawInputPartition(pf.path, 0, Int.MaxValue, limit,
+          dvPath, dvLen), pf.len))
+      } else if (pf.footer.columns.nonEmpty) {
+        val footer = pf.footer
         val keep = ZoneMapFilter.keptPages(footer, filters)
         val pages = footer.columns(0).pages
         val pageBytes: Int => Long =
@@ -1187,9 +1237,7 @@ class StrawScan(
         // limit-truncation budget must count LIVE rows: charge the file's
         // dead count against its earliest pages (as if the deletes were all
         // up front) — an under-count only plans MORE pages, never fewer
-        var deadLeft = if (dv == null) 0L else dv.cardinality
-        val dvPath = if (dv == null) null else dv.path
-        val dvLen = if (dv == null) 0L else dv.len
+        var deadLeft = if (pf.dv == null) 0L else pf.dv.cardinality
         var p = 0
         while (p < pages.length && rowsPlanned < planLimit) {
           if (!keep(p)) p += 1
@@ -1206,16 +1254,37 @@ class StrawScan(
               rowsPlanned += n - dead
               end += 1
             }
-            parts += StrawInputPartition(file, p, end, limit, dvPath, dvLen)
+            slices += ((StrawInputPartition(pf.path, p, end, limit, dvPath, dvLen),
+              bytes))
             p = end
           }
         }
-      } else if (footer.numRows > 0) {
+      } else if (pf.footer.numRows > 0) {
         // zero-column table: rows live only in the footer; DV still applies
-        parts += StrawInputPartition(file, 0, 0, limit,
-          if (dv == null) null else dv.path, if (dv == null) 0L else dv.len)
+        slices += ((StrawInputPartition(pf.path, 0, 0, limit, dvPath, dvLen), 0L))
       }
     }
+    // bin-pack small slices into shared tasks (the file-source behavior):
+    // a many-small-files table — streaming epochs, partitioned appends,
+    // wide-cluster outputs — must not pay one task per file. Consecutive
+    // slices group until the byte target; a slice at or above the target
+    // stays alone. File order is preserved, so page-ordinal semantics
+    // (_pos, DVs, top-n) are untouched — a packed task just chains the
+    // same readers the separate tasks would have run.
+    val parts = ArrayBuffer.empty[InputPartition]
+    val group = ArrayBuffer.empty[StrawInputPartition]
+    var groupBytes = 0L
+    def flush(): Unit = if (group.nonEmpty) {
+      parts += (if (group.size == 1) group.head else StrawPackedPartition(group.toSeq))
+      group.clear()
+      groupBytes = 0L
+    }
+    for ((slice, bytes) <- slices) {
+      if (group.nonEmpty && groupBytes + bytes > targetBytes) flush()
+      group += slice
+      groupBytes += bytes
+    }
+    flush()
     parts.toArray
   }
 
@@ -1226,8 +1295,9 @@ class StrawScan(
     // projection dropped must not cost the scan its vectorization)
     val readCols: Set[String] =
       requiredSchema.fieldNames.toSet ++ exactFilters.flatMap(_.references)
-    val typeWidened = footers.exists { case (_, f, _, _) =>
-      f.schema.fields.exists(fl => readCols.contains(fl.name) &&
+    val typeWidened = footers.exists { pf =>
+      // synth stats carry the file's exact schema — no footer IO needed
+      pf.statsFooter.schema.fields.exists(fl => readCols.contains(fl.name) &&
         fullSchema.fields.find(_.name == fl.name)
           .exists(tf => tf.dataType != fl.dataType))
     }
@@ -1241,8 +1311,12 @@ class StrawScan(
 
   override def estimateStatistics(): Statistics = {
     // live rows: footer counts net of each file's deletion-vector dead rows
-    val rawRows = footers.foldLeft(0L) { case (a, (_, f, _, dv)) =>
-      a + (if (dv == null) f.numRows else math.max(0L, f.numRows - dv.cardinality))
+    // (synth stats carry numRows, so a stats-carrying snapshot estimates
+    // with zero footer IO; stats-less files load once, in parallel)
+    warmFooters(footers.filter(_.synth.isEmpty))
+    val rawRows = footers.foldLeft(0L) { (a, pf) =>
+      val n = pf.statsFooter.numRows
+      a + (if (pf.dv == null) n else math.max(0L, n - pf.dv.cardinality))
     }
     // DECODED size, not on-disk bytes: the scan's output width (pruned
     // schema defaultSize + per-row overhead) times live rows. Join-strategy
@@ -1266,12 +1340,12 @@ class StrawScan(
     // filter fully — re-applying a flat equality estimate would understate
     // the build side ~20× and could green-light broadcasting a huge table.
     val allFilters = (filters ++ exactFilters).distinct
-      .filterNot(f => StrawScan.partitionApplied(f, footers.map(_._1)))
+      .filterNot(f => StrawScan.partitionApplied(f, footers.map(_.path)))
     val frac =
       if (allFilters.isEmpty) 1.0
       else {
         val f = ZoneMapFilter.estimatePassFraction(
-          fullSchema, footers.map(_._2), allFilters)
+          fullSchema, footers.map(_.statsFooter), allFilters)
         // never report zero: an empty estimate would make ANY plan legal
         math.max(f, 1e-4)
       }
@@ -1292,7 +1366,11 @@ class StrawScan(
         val fs = footers
         var cached = colStatsCache
         if (cached == null || (cached._1 ne fs) || cached._2 != r) {
-          cached = (fs, r, StrawScan.columnStatistics(requiredSchema, fs, r))
+          // the ndv sketches live only in real footers — CBO explicitly
+          // buys this sweep (parallel, once per table version)
+          warmFooters(fs)
+          cached = (fs, r, StrawScan.columnStatistics(requiredSchema,
+            fs.map(pf => (pf.path, pf.footer, pf.len, pf.dv)), r))
           colStatsCache = cached
         }
         cached._3
@@ -1307,8 +1385,7 @@ class StrawScan(
     }
   }
 
-  @volatile private var colStatsCache: (Seq[(String, graft.format.StrawFooter,
-    Long, DeletionVector.DvInfo)], Long, java.util.Map[
+  @volatile private var colStatsCache: (Seq[PlannedFile], Long, java.util.Map[
       org.apache.spark.sql.connector.expressions.NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics]) = _
 }
@@ -1522,6 +1599,9 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
         return chainReaders(bp.files.iterator.map { case (f, dvPath, dvLen) =>
           StrawInputPartition(f, 0, Int.MaxValue, Long.MaxValue, dvPath, dvLen)
         }, createReader)
+      case pp: StrawPackedPartition =>
+        // bin-packed small slices: chain the same per-slice readers
+        return chainReaders(pp.slices.iterator, createReader)
       case _ =>
     }
     val p = partition.asInstanceOf[StrawInputPartition]
@@ -1754,6 +1834,8 @@ class StrawPartitionReaderFactory(fullSchema: StructType, requiredSchema: Struct
         return chainReaders(bp.files.iterator.map { case (f, dvPath, dvLen) =>
           StrawInputPartition(f, 0, Int.MaxValue, Long.MaxValue, dvPath, dvLen)
         }, createColumnarReader)
+      case pp: StrawPackedPartition =>
+        return chainReaders(pp.slices.iterator, createColumnarReader)
       case _ =>
     }
     val p = partition.asInstanceOf[StrawInputPartition]

@@ -75,6 +75,32 @@ class ManifestStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(loads <= 2, s"expected <=2 footer loads, saw $loads")
   }
 
+  test("unfiltered scan PLANS with zero footer IO (task side loads instead)") {
+    val out = s"$dir/planfast"
+    writeRanged(out)
+    FooterCache.clear()
+    val loads0 = FooterCache.loads.get()
+    val df = spark.read.format("strawboat").load(out)
+    val parts = df.queryExecution.toRdd.getNumPartitions
+    assert(parts >= 1)
+    val planLoads = FooterCache.loads.get() - loads0
+    assert(planLoads == 0,
+      s"unfiltered planning over a stats-carrying snapshot read $planLoads footers")
+    // execution parses footers where the data IO happens — and is exact
+    // (count()/sum() would answer from the manifest; force a data read)
+    assert(df.select("id", "name").collect().length == 40000)
+    assert(FooterCache.loads.get() - loads0 > 0)
+    // a filter brings planning-side footer reads back (page zone pruning
+    // is worth the IO and read-time skipping doesn't evaluate filters)
+    FooterCache.clear()
+    val loads1 = FooterCache.loads.get()
+    val filtered = spark.read.format("strawboat").load(out)
+      .filter(col("id") === 123L)
+    filtered.queryExecution.toRdd.getNumPartitions
+    assert(FooterCache.loads.get() - loads1 > 0)
+    assert(filtered.count() == 1)
+  }
+
   test("full scan still reads everything (stats must not over-prune)") {
     val out = s"$dir/full"
     writeRanged(out)

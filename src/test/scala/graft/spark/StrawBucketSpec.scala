@@ -274,9 +274,11 @@ class StrawBucketSpec extends AnyFunSuite with BeforeAndAfterAll {
     val scan = df.queryExecution.executedPlan.collectFirst {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
     }.get
-    val plannedBuckets = scan.toBatch.planInputPartitions().collect {
-      case p: StrawInputPartition => StrawBucket.parseTag(p.path).map(_.bucket)
-    }.flatten.distinct
+    val plannedBuckets = scan.toBatch.planInputPartitions().flatMap {
+      case p: StrawInputPartition => Seq(p)
+      case p: StrawPackedPartition => p.slices // small files bin-pack
+      case _ => Seq.empty
+    }.flatMap(p => StrawBucket.parseTag(p.path).map(_.bucket)).distinct
     assert(plannedBuckets.size > 1,
       s"divergent spec must not prune to one bucket, planned: $plannedBuckets")
   }

@@ -241,11 +241,18 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val schema = spark.read.format("strawboat").load(out).schema
     val sb = new StrawScanBuilder(out, schema)
     val scan = sb.build().asInstanceOf[StrawScan]
-    val before = scan.planInputPartitions().length
+    // count underlying file slices — small files bin-pack into shared
+    // tasks, so the TASK count alone can't show the pruning
+    def slices(ps: Array[org.apache.spark.sql.connector.read.InputPartition]): Int =
+      ps.map {
+        case p: StrawPackedPartition => p.slices.size
+        case _ => 1
+      }.sum
+    val before = slices(scan.planInputPartitions())
     assert(before >= 3) // at least one split per partition value
     // simulate the DPP-injected filter from a selective build side
     scan.filter(Array[org.apache.spark.sql.sources.Filter](EqualTo("l_returnflag", "A")))
-    val after = scan.planInputPartitions().length
+    val after = slices(scan.planInputPartitions())
     assert(after < before, s"runtime filter should drop partitions: $before -> $after")
     // and a real join on the partition column still returns exact results
     val ss = spark
@@ -1045,6 +1052,36 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val all = spark.read.format("strawboat").load(out).collect()
     assert(all.length == 4000)
   }
+  test("many small files bin-pack into shared tasks") {
+    val sp = spark; import sp.implicits._
+    val out = s"$dir/packed"
+    // 200 tiny files (a streaming-epoch / wide-cluster-append shape): the
+    // scan must not plan one task per file
+    spark.range(100000).select(col("id"), (col("id") % 97).as("k"),
+      concat(lit("v"), col("id") % 1000).as("s"))
+      .repartition(200)
+      .write.format("strawboat").mode("overwrite").save(out)
+    assert(StrawIO.listFiles(out).size >= 200)
+    val df = spark.read.format("strawboat").load(out)
+    val parts = df.rdd.getNumPartitions
+    assert(parts < 40, s"200 small files planned $parts tasks (no packing?)")
+    // packed reads stay columnar and exact
+    val plan = df.queryExecution.executedPlan
+    assert(plan.exists(_.supportsColumnar), plan.treeString)
+    assert(df.count() == 100000)
+    assert(df.agg(sum("id")).as[Long].head() == 100000L * 99999 / 2)
+    // filters still evaluate exactly through chained packed readers
+    assert(df.filter(col("k") === 13).count() ==
+      (0L until 100000L).count(_ % 97 == 13))
+    // and a merge-on-read delete's DVs thread through packed slices
+    val res = StrawDelete.delete(spark, out,
+      Seq(org.apache.spark.sql.sources.LessThan("id", 500L)))
+    assert(res.deletedRows == 500 && res.rewrittenFiles == 0)
+    val after = spark.read.format("strawboat").load(out)
+    assert(after.count() == 99500)
+    assert(after.filter(col("id") < 500).count() == 0)
+  }
+
   test("scan splits scale to parallelism: small tables still fan out") {
     val sp = spark; import sp.implicits._
     val out = s"$dir/fanout"

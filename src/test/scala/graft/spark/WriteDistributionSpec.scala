@@ -209,7 +209,12 @@ class WriteDistributionSpec extends AnyFunSuite with BeforeAndAfterAll {
     def planned(filters: Array[Filter]): Int = {
       val sb = new StrawScanBuilder(out, schema)
       sb.pushFilters(filters)
-      sb.build().asInstanceOf[StrawScan].planInputPartitions().length
+      // count file slices — small files bin-pack into shared tasks, so the
+      // task count alone cannot show directory pruning
+      sb.build().asInstanceOf[StrawScan].planInputPartitions().map {
+        case p: StrawPackedPartition => p.slices.size
+        case _ => 1
+      }.sum
     }
     val all = planned(Array.empty)
     assert(all >= 6)
