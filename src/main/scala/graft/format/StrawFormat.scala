@@ -154,8 +154,19 @@ final case class ColumnMeta(offset: Long, pages: Array[PageMeta]) {
   * is leaf-aligned with `columns`: each non-null entry is a 512-byte
   * [[NdvSketch]] register array for that leaf (top-level flat leaves only;
   * null entries and files from pre-extension writers carry none). */
+/** File-level value-length stats for one string/binary leaf: total decoded
+  * bytes and the longest value. Feeds Catalyst CBO's avgLen/maxLen (row
+  * width of intermediate plans — join strategy inputs); exact string
+  * min/max is deliberately NOT collected: Spark's filter estimation builds
+  * value intervals for numeric/date types only, so string bounds would
+  * cost write-path cycles and footer bytes that nothing consumes. */
+final class LenStat(var sum: Long = 0L, var max: Int = 0) {
+  def add(n: Int): Unit = { sum += n; if (n > max) max = n }
+}
+
 final case class StrawFooter(schema: StructType, numRows: Long,
-    columns: Array[ColumnMeta], ndv: Array[Array[Byte]] = null) {
+    columns: Array[ColumnMeta], ndv: Array[Array[Byte]] = null,
+    lens: Array[LenStat] = null) {
   /** Starting leaf index per top-level field (+ total leaf count last). */
   lazy val leafStarts: Array[Int] = LeafLayout.starts(schema)
 
@@ -208,6 +219,16 @@ object MetaIO {
       out.putInt(ext.len)
       out.putBytes(ext.buf, 0, ext.len)
     }
+    if (footer.lens != null && footer.lens.exists(_ != null)) {
+      val ext = new ByteBuf(256)
+      footer.lens.foreach { l =>
+        if (l == null) ext.putByte(0)
+        else { ext.putByte(1); ext.putLong(l.sum); ext.putInt(l.max) }
+      }
+      out.putByte(ExtLen)
+      out.putInt(ext.len)
+      out.putBytes(ext.buf, 0, ext.len)
+    }
     val metaLen = out.len - metaStart
     out.putInt(schemaBytes.length)
     out.putInt(metaLen)
@@ -216,6 +237,7 @@ object MetaIO {
 
   /** Footer extension ids. */
   final val ExtNdv = 1
+  final val ExtLen = 2
 
   /** Parse footer given the file tail (at least schema+meta+16 bytes) and
     * the absolute file length. `tail` must end exactly at file end. */
@@ -284,6 +306,7 @@ object MetaIO {
     // extension sections: parse the known ids, skip unknown ones (each is
     // length-prefixed, so a future writer's section can't desync the parse)
     var ndv: Array[Array[Byte]] = null
+    var lens: Array[LenStat] = null
     while (in.remaining() > 0) {
       val id = in.get() & 0xff
       val len = in.getInt()
@@ -299,9 +322,16 @@ object MetaIO {
           if (rl > 0) { val r = new Array[Byte](rl); in.get(r); ndv(c2) = r }
           c2 += 1
         }
+      } else if (id == ExtLen) {
+        lens = new Array[LenStat](numCols)
+        var c2 = 0
+        while (c2 < numCols) {
+          if ((in.get() & 0xff) == 1) lens(c2) = new LenStat(in.getLong(), in.getInt())
+          c2 += 1
+        }
       } else in.position(in.position() + len)
     }
-    StrawFooter(schema, numRows, cols, ndv)
+    StrawFooter(schema, numRows, cols, ndv, lens)
   }
 }
 
@@ -398,6 +428,9 @@ sealed abstract class LeafColumnWriter(opts: WriteOptions) extends ColumnWriter(
     * top-level flat leaves only (nested leaves have no stats consumer).
     * Survives [[clearBuffers]] — it spans every page of the file. */
   private[format] var ndv: NdvSketch = null
+  /** File-lifetime value-length stats, set like [[ndv]] on top-level
+    * string/binary leaves (CBO avgLen/maxLen row-width inputs). */
+  private[format] var lenStat: LenStat = null
   /** True when [[appendVector]] is implemented — the columnar ingest path
     * feeds ColumnarBatch vectors straight into the page buffers, skipping
     * ColumnarToRow + UnsafeRow materialization entirely. */
@@ -543,6 +576,7 @@ final class BinaryColumnWriter(opts: WriteOptions, isString: Boolean,
     if (ndv != null) ndv.addHash(
       PageBloom.hashBytes(b, 0, math.min(b.length, 256)) ^
         java.lang.Long.rotateLeft(b.length.toLong, 43))
+    if (lenStat != null) lenStat.add(b.length)
     if (isString) {
       val p = StrawFormat.prefixLong(b)
       if (!hasStats) { minP = p; maxP = p; hasStats = true }
@@ -904,6 +938,20 @@ final class StrawFileWriter(schema: StructType, opts: WriteOptions) {
     }
     out
   }
+  // value-length stats on top-level string/binary leaves (same placement
+  // rule as the ndv sketches; fed from the shared appendBytes funnel so the
+  // row and columnar ingest paths stay byte-identical)
+  private val lenStats: Array[LenStat] = {
+    val out = new Array[LenStat](totalLeaves)
+    writers.zipWithIndex.foreach {
+      case (b: BinaryColumnWriter, c) =>
+        val s = new LenStat
+        b.lenStat = s
+        out(leafStarts(c)) = s
+      case _ =>
+    }
+    out
+  }
   private val colBufs: Array[ByteBuf] = Array.fill(totalLeaves)(new ByteBuf(1 << 16))
   private val pageMetas: Array[ArrayBuffer[PageMeta]] =
     Array.fill(totalLeaves)(new ArrayBuffer[PageMeta])
@@ -1029,7 +1077,8 @@ final class StrawFileWriter(schema: StructType, opts: WriteOptions) {
     }
     val tail = new ByteBuf(1 << 16)
     MetaIO.writeFooter(StrawFooter(schema, totalRows, metas,
-      ndvSketches.map(s => if (s == null) null else s.registers)), tail)
+      ndvSketches.map(s => if (s == null) null else s.registers),
+      lenStats), tail)
     os.write(tail.buf, 0, tail.len)
     fileLen + tail.len
   }

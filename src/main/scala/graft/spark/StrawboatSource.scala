@@ -1438,6 +1438,12 @@ object StrawScan {
         var maxS = Long.MinValue
         var statsKind = -1 // uniform kind across pages or min/max withheld
         var kindOk = true
+        // value-length stats (string/binary): every row-carrying file with
+        // the column present must contribute, else withhold
+        var lenSum = 0L
+        var lenMax = 0
+        var lenOk = true
+        var lenRows = 0L // non-null values behind lenSum
         footers.foreach { case (_, f, _, _) =>
           val i = f.schema.fields.indexWhere(_.name == fld.name)
           if (i < 0) nulls += f.numRows // absent column reads all-null
@@ -1447,14 +1453,23 @@ object StrawScan {
             if (sk == null) sketchOk = false
             else if (regs == null) regs = sk.clone()
             else NdvSketch.mergeInto(regs, sk)
+            val ls = if (f.lens == null) null else f.lens(leaf)
+            if (ls == null) lenOk = false
+            else {
+              lenSum += ls.sum
+              if (ls.max > lenMax) lenMax = ls.max
+            }
+            var fileNulls = 0L
             f.columns(leaf).pages.foreach { p =>
               nulls += p.nullCount
+              fileNulls += p.nullCount
               if (p.statsKind == StrawFormat.StatsSigned) {
                 if (statsKind == -1) statsKind = p.statsKind
                 if (p.min < minS) minS = p.min
                 if (p.max > maxS) maxS = p.max
               } else if (p.statsKind != StrawFormat.StatsNone) kindOk = false
             }
+            lenRows += math.max(0L, f.numRows - fileNulls)
           }
         }
         val ndvOpt =
@@ -1487,7 +1502,17 @@ object StrawScan {
                 org.apache.spark.sql.types.Decimal.createUnsafe(maxS, d.precision, d.scale))
             case _ => (null, null)
           }
-        if (ndvOpt.isPresent || minV != null) {
+        // avgLen/maxLen for variable-width columns: CBO's row-width input
+        // (intermediate plan sizes → join strategy). Exact from the footer
+        // length stats; withheld when any contributing file predates them.
+        val isVarWidth = fld.dataType == org.apache.spark.sql.types.StringType ||
+          fld.dataType == org.apache.spark.sql.types.BinaryType
+        val (avgLenOpt, maxLenOpt) =
+          if (!isVarWidth || !lenOk || lenRows <= 0)
+            (java.util.OptionalLong.empty(), java.util.OptionalLong.empty())
+          else (java.util.OptionalLong.of(math.max(1L, lenSum / lenRows)),
+            java.util.OptionalLong.of(lenMax.toLong))
+        if (ndvOpt.isPresent || minV != null || avgLenOpt.isPresent) {
           val nullsCapped = math.min(nulls, rowCount)
           out.put(
             org.apache.spark.sql.connector.expressions.Expressions.column(fld.name),
@@ -1499,6 +1524,8 @@ object StrawScan {
                 java.util.Optional.ofNullable(maxV.asInstanceOf[Object])
               override def nullCount(): java.util.OptionalLong =
                 java.util.OptionalLong.of(nullsCapped)
+              override def avgLen(): java.util.OptionalLong = avgLenOpt
+              override def maxLen(): java.util.OptionalLong = maxLenOpt
             })
         }
       }

@@ -66,6 +66,16 @@ class CboStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // distinct = 900 (residues ≡0 mod 10 only ever appear under the null)
     val ndvTag = byName("tag").distinctCount.get.toLong
     assert(ndvTag >= 810 && ndvTag <= 990, s"tag ndv=$ndvTag")
+    // exact value-length stats (footer ExtLen): tags are "u"+(id%1000) with
+    // non-multiples-of-10 residues → lengths 2..4, so avgLen lands in
+    // [2,4] and maxLen is exactly 4. These feed CBO's row-width estimates
+    // (string min/max stays withheld — Spark's filter estimation only
+    // builds value intervals for numeric/date types).
+    val avgLen = byName("tag").avgLen.get.toLong
+    val maxLen = byName("tag").maxLen.get.toLong
+    assert(avgLen >= 2 && avgLen <= 4, s"tag avgLen=$avgLen")
+    assert(maxLen == 4, s"tag maxLen=$maxLen")
+    assert(byName("tag").min.isEmpty && byName("tag").max.isEmpty)
   }
 
   test("filter cardinality estimates use min/max") {
