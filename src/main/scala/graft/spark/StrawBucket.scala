@@ -39,17 +39,24 @@ object StrawBucket {
     case _ => false
   }
 
+  /** The spec's column list: a comma-joined spelling ("a" or "a,b") split
+    * into trimmed names. The SPELLING is canonical — tags hash it whole, so
+    * every producer must join with bare commas in declared order. */
+  def colsOf(spec: String): Seq[String] =
+    spec.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+
   /** Murmur3 of an INTERNAL value (UTF8String for strings, micros for
-    * timestamps). Null hashes are never taken — [[bucketOf]] pins nulls. */
-  private def hash(value: Any, dt: DataType): Int = dt match {
-    case ByteType => Murmur3_x86_32.hashLong(value.asInstanceOf[Byte].toLong, Seed)
-    case ShortType => Murmur3_x86_32.hashLong(value.asInstanceOf[Short].toLong, Seed)
-    case IntegerType | DateType => Murmur3_x86_32.hashLong(value.asInstanceOf[Int].toLong, Seed)
-    case LongType | TimestampType => Murmur3_x86_32.hashLong(value.asInstanceOf[Long], Seed)
-    case BooleanType => Murmur3_x86_32.hashLong(if (value.asInstanceOf[Boolean]) 1L else 0L, Seed)
+    * timestamps) under `seed`. Null hashes are never taken — [[bucketOf]]
+    * pins nulls. */
+  private def hash(value: Any, dt: DataType, seed: Int): Int = dt match {
+    case ByteType => Murmur3_x86_32.hashLong(value.asInstanceOf[Byte].toLong, seed)
+    case ShortType => Murmur3_x86_32.hashLong(value.asInstanceOf[Short].toLong, seed)
+    case IntegerType | DateType => Murmur3_x86_32.hashLong(value.asInstanceOf[Int].toLong, seed)
+    case LongType | TimestampType => Murmur3_x86_32.hashLong(value.asInstanceOf[Long], seed)
+    case BooleanType => Murmur3_x86_32.hashLong(if (value.asInstanceOf[Boolean]) 1L else 0L, seed)
     case StringType =>
       val s = value.asInstanceOf[UTF8String]
-      Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, Seed)
+      Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
     case other =>
       throw new IllegalArgumentException(s"strawboat: unbucketable type $other")
   }
@@ -59,23 +66,68 @@ object StrawBucket {
   def bucketOf(value: Any, dt: DataType, n: Int): Int =
     if (value == null) 0
     else {
-      val h = hash(value, dt) % n
+      val h = hash(value, dt, Seed) % n
       if (h < 0) h + n else h
     }
+
+  /** Bucket of a MULTI-column internal key in [0, n): per-value murmur3
+    * chained through the seed (hash of value i seeds value i+1), the
+    * HashExpression idiom. Nulls mix a fixed sentinel so (null, x) and
+    * (x, null) differ; an all-null key pins to bucket 0, and a one-column
+    * key reduces exactly to [[bucketOf]] — existing single-key tables'
+    * layouts are untouched. */
+  def bucketOfMulti(values: Array[Any], dts: Array[DataType], n: Int): Int = {
+    var h = Seed
+    var anyNonNull = false
+    var i = 0
+    while (i < values.length) {
+      if (values(i) == null) h = Murmur3_x86_32.hashLong(-1L, h)
+      else { h = hash(values(i), dts(i), h); anyNonNull = true }
+      i += 1
+    }
+    if (!anyNonNull) 0
+    else { val m = h % n; if (m < 0) m + n else m }
+  }
+
+  /** EXTERNAL (v1 Filter API) value to the internal shape [[hash]] takes;
+    * None = unhashable value shape (dates/timestamps arrive as
+    * java.sql/java.time — skip). */
+  def internalOf(value: Any, dt: DataType): Option[Any] = (dt, value) match {
+    case (_, null) => None
+    case (StringType, s: String) => Some(UTF8String.fromString(s))
+    case (ByteType, v: Byte) => Some(v)
+    case (ShortType, v: Short) => Some(v)
+    case (IntegerType, v: Int) => Some(v)
+    case (LongType, v: Long) => Some(v)
+    case (BooleanType, v: Boolean) => Some(v)
+    case _ => None
+  }
 
   /** Bucket of a filter-side (EXTERNAL) value: Scala/Java types as the
     * v1 Filter API carries them. None = unprunable value shape. */
   def bucketOfExternal(value: Any, dt: DataType, n: Int): Option[Int] =
-    (dt, value) match {
-      case (_, null) => None
-      case (StringType, s: String) => Some(bucketOf(UTF8String.fromString(s), dt, n))
-      case (ByteType, v: Byte) => Some(bucketOf(v, dt, n))
-      case (ShortType, v: Short) => Some(bucketOf(v, dt, n))
-      case (IntegerType, v: Int) => Some(bucketOf(v, dt, n))
-      case (LongType, v: Long) => Some(bucketOf(v, dt, n))
-      case (BooleanType, v: Boolean) => Some(bucketOf(v, dt, n))
-      case _ => None // dates/timestamps arrive as java.sql/java.time — skip
-    }
+    internalOf(value, dt).map(bucketOf(_, dt, n))
+
+  /** Can this Spark's storage-partitioned execution use a MULTI-reference
+    * bucket transform? Probed once against the running Catalyst instead of
+    * hard-coding a version: Spark 4.1.2's
+    * `KeyGroupedPartitioning.supportsExpressions` requires every transform
+    * to have exactly one child (`isSupportedTransform`: children.size == 1,
+    * verified against the 4.1.2 bytecode), so `bucket(n, a, b)` resolves
+    * through V2ExpressionUtils but the scan's reported partitioning
+    * downgrades to Unknown and no shuffle is saved. On a Spark that lifts
+    * the limit this probe flips to true and the bucket-grouped layout
+    * engages for multi-column keys with zero code change here. */
+  lazy val spjSupportsMultiRef: Boolean =
+    try {
+      import org.apache.spark.sql.catalyst.expressions.AttributeReference
+      val expr = org.apache.spark.sql.catalyst.expressions.TransformExpression(
+        new BoundBucket(Array(LongType, LongType)),
+        Seq(AttributeReference("a", LongType)(), AttributeReference("b", LongType)()),
+        Some(8))
+      org.apache.spark.sql.catalyst.plans.physical.KeyGroupedPartitioning
+        .supportsExpressions(Seq(expr))
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   // ---- file-name tag ------------------------------------------------------
 
@@ -201,33 +253,39 @@ object StrawBucket {
   object BucketFunction extends UnboundFunction {
     override def name(): String = "bucket"
     override def description(): String =
-      "bucket(n, col) - murmur3 hash-bucket of col in [0, n)"
+      "bucket(n, col[, col2…]) - murmur3 hash-bucket of the key in [0, n)"
     override def bind(inputType: StructType): BoundFunction = {
-      require(inputType.fields.length == 2,
-        s"strawboat: bucket takes (numBuckets, col), got ${inputType.catalogString}")
+      require(inputType.fields.length >= 2,
+        s"strawboat: bucket takes (numBuckets, col[, col2…]), got ${inputType.catalogString}")
       require(inputType.fields(0).dataType == IntegerType,
         s"strawboat: bucket's first argument is the int bucket count, got " +
           inputType.fields(0).dataType.catalogString)
-      val keyType = inputType.fields(1).dataType
-      require(bucketable(keyType),
-        s"strawboat: unbucketable key type ${keyType.catalogString}")
-      new BoundBucket(keyType)
+      val keyTypes = inputType.fields.drop(1).map(_.dataType)
+      keyTypes.foreach(kt => require(bucketable(kt),
+        s"strawboat: unbucketable key type ${kt.catalogString}"))
+      new BoundBucket(keyTypes)
     }
   }
 
-  final class BoundBucket(keyType: DataType) extends ScalarFunction[Integer] {
-    override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
+  final class BoundBucket(keyTypes: Array[DataType]) extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = IntegerType +: keyTypes
     override def resultType(): DataType = IntegerType
     override def name(): String = "bucket"
-    // keyed by the INPUT TYPE: co-partitioning requires the same hash of the
+    // keyed by the INPUT TYPES: co-partitioning requires the same hash of the
     // same physical values, which int vs string keys do not share
-    override def canonicalName(): String = s"strawboat.bucket(${keyType.catalogString})"
+    override def canonicalName(): String =
+      s"strawboat.bucket(${keyTypes.map(_.catalogString).mkString(",")})"
     override def isResultNullable: Boolean = false
     override def produceResult(input: InternalRow): Integer = {
       val n = input.getInt(0)
       require(n >= 1, s"strawboat: bucket count must be positive, got $n")
-      val v = if (input.isNullAt(1)) null else input.get(1, keyType)
-      Integer.valueOf(bucketOf(v, keyType, n))
+      val vs = new Array[Any](keyTypes.length)
+      var i = 0
+      while (i < keyTypes.length) {
+        vs(i) = if (input.isNullAt(i + 1)) null else input.get(i + 1, keyTypes(i))
+        i += 1
+      }
+      Integer.valueOf(bucketOfMulti(vs, keyTypes, n))
     }
   }
 }

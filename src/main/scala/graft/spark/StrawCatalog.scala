@@ -211,17 +211,24 @@ class StrawCatalog extends TableCatalog with SupportsNamespaces
           l.value.asInstanceOf[Number].intValue
       }.getOrElse(throw new IllegalArgumentException(
         s"strawboat: bucket transform carries no bucket count: $t"))
-      require(t.references.length == 1,
-        s"strawboat: bucket takes exactly one column, got $t")
-      val col = t.references.head.fieldNames.mkString(".")
-      val fld = schema.fields.find(_.name.equalsIgnoreCase(col)).getOrElse(
-        throw new IllegalArgumentException(
-          s"strawboat: bucket column '$col' not in ${schema.fieldNames.mkString(",")}"))
-      require(graft.spark.StrawBucket.bucketable(fld.dataType),
-        s"strawboat: bucket column '$col' has unbucketable type ${fld.dataType}")
+      require(t.references.length >= 1,
+        s"strawboat: bucket takes at least one column, got $t")
+      // declared order is load-bearing: the multi-column hash chains
+      // per-column hashes, so bucket(n, a, b) != bucket(n, b, a)
+      val cols = t.references.toSeq.map(_.fieldNames.mkString("."))
+      require(cols.distinct.size == cols.size,
+        s"strawboat: bucket lists a column twice: $t")
+      val flds = cols.map { col =>
+        val fld = schema.fields.find(_.name.equalsIgnoreCase(col)).getOrElse(
+          throw new IllegalArgumentException(
+            s"strawboat: bucket column '$col' not in ${schema.fieldNames.mkString(",")}"))
+        require(graft.spark.StrawBucket.bucketable(fld.dataType),
+          s"strawboat: bucket column '$col' has unbucketable type ${fld.dataType}")
+        fld
+      }
       require(n >= 1 && n <= 65536,
         s"strawboat: bucket count must be in [1, 65536], got $n")
-      Map(graft.spark.StrawBucket.PropBucketBy -> fld.name,
+      Map(graft.spark.StrawBucket.PropBucketBy -> flds.map(_.name).mkString(","),
         graft.spark.StrawBucket.PropBuckets -> n.toString)
     }.getOrElse(Map.empty)
     partitionBy.foreach { c =>
@@ -340,7 +347,8 @@ class StrawCatalog extends TableCatalog with SupportsNamespaces
       what: String): Unit = {
     // bucket first: the bucket transform also shows up in partitioning(),
     // and the hive-directory message would mislead for a bucket key
-    require(!StrawBucket.specOf(dir).exists(_._1.equalsIgnoreCase(col)),
+    require(!StrawBucket.specOf(dir).exists(s =>
+      StrawBucket.colsOf(s._1).exists(_.equalsIgnoreCase(col))),
       s"strawboat: cannot $what bucket column '$col' — the hash-bucket " +
         "layout keys every data file on it (rewrite the table to rebucket)")
     require(!partitionColumns(ident).exists(_.equalsIgnoreCase(col)),
@@ -416,7 +424,10 @@ class StrawCatalog extends TableCatalog with SupportsNamespaces
     * STRUCT levels only. Returns the RESOLVED full path — what the mapping
     * algebra operates on — and the struct holding its leaf. Paths through
     * arrays/maps (whose elements the leaf layout addresses with synthetic
-    * segments) are refused loudly. */
+    * segments) are refused loudly. This is a FORMAT-design constraint —
+    * the column-mapping keys are struct-path strings, and repeated levels
+    * would need per-element identity the leaf layout does not carry — not
+    * a Spark-version gate; no upstream change unlocks it. */
   private def resolvePath(schema: org.apache.spark.sql.types.StructType,
       fieldNames: Seq[String], what: String)
       : (String, org.apache.spark.sql.types.StructType) = {

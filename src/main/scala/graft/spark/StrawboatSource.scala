@@ -427,7 +427,8 @@ class StrawboatTable(path: String, val schemaArg: StructType,
     // a declared bucket spec is part of the table's partitioning contract
     // (what DESCRIBE shows and what CTAS round-trips)
     val bucketT = StrawBucket.specFromProps(propertiesArg)
-      .map { case (c, n) => Expressions.bucket(n, c): Transform }
+      .map { case (c, n) =>
+        Expressions.bucket(n, StrawBucket.colsOf(c): _*): Transform }
     (cols.map(c => Expressions.identity(c): Transform) ++ bucketT).toArray
   }
   override def capabilities(): java.util.Set[TableCapability] =
@@ -506,7 +507,7 @@ class StrawboatTable(path: String, val schemaArg: StructType,
     // hash-bucket layout: the key must be a real, bucketable column and
     // must not double as a hive partition column (a directory per value
     // already co-locates it — bucketing it again would just tag files)
-    parsedOpts.bucketBy.foreach { c =>
+    parsedOpts.bucketBy.toSeq.flatMap(StrawBucket.colsOf).foreach { c =>
       val fld = info.schema().fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalArgumentException(
           s"strawboat: bucketBy column '$c' not in schema ${info.schema().fieldNames.mkString(",")}"))
@@ -519,9 +520,9 @@ class StrawboatTable(path: String, val schemaArg: StructType,
     val distribute = Option(options.get("distribute")).map(_.trim) match {
       case Some(v) if v.equalsIgnoreCase("none") => Seq.empty
       case Some(_) => cols("distribute")
-      // clustering the bucket column bounds each task's open-bucket fan-out
-      // (equal keys land together; a task sees only its keys' buckets)
-      case None => partitionCols ++ parsedOpts.bucketBy.toSeq
+      // clustering the bucket column(s) bounds each task's open-bucket
+      // fan-out (equal keys land together; a task sees only its buckets)
+      case None => partitionCols ++ parsedOpts.bucketBy.toSeq.flatMap(StrawBucket.colsOf)
     }
     (sortBy ++ distribute).foreach { c =>
       require(info.schema().fieldNames.contains(c),
@@ -608,14 +609,20 @@ object StrawWriteOptions {
       require(f > 0 && f < 1, s"strawboat: bloomFpp must be in (0, 1), got $f")
       o = o.copy(bloomFpp = f)
     }
-    // hash-bucket layout: bucketBy=<col> buckets=<n> (see StrawBucket)
+    // hash-bucket layout: bucketBy=<col>[,<col2>…] buckets=<n> (see
+    // StrawBucket). The spelling canonicalizes to bare-comma joins in the
+    // declared order — tags hash the whole spelling, so "a, b" and "a,b"
+    // must collapse to one form.
     Option(options.get("bucketBy")).map(_.trim).filter(_.nonEmpty).foreach { c =>
       val n = Option(options.get("buckets")).map(_.trim.toInt).getOrElse(
         throw new IllegalArgumentException(
           "strawboat: bucketBy requires buckets=<n>"))
       require(n >= 1 && n <= 65536,
         s"strawboat: buckets must be in [1, 65536], got $n")
-      o = o.copy(bucketBy = Some(c), buckets = n)
+      val cols = StrawBucket.colsOf(c)
+      require(cols.nonEmpty && cols.distinct.size == cols.size,
+        s"strawboat: bucketBy lists a column twice or is empty: '$c'")
+      o = o.copy(bucketBy = Some(cols.mkString(",")), buckets = n)
     }
     // float codec variant: auto (default, per-page trial) | ring | prev
     Option(options.get("patasVariant")).foreach { v =>
@@ -1095,27 +1102,51 @@ class StrawScan(
       }
     }
 
-  /** Bucket set an equality filter on the bucket column narrows the scan
-    * to; recomputed per filter state (runtime filters narrow it further). */
+  /** Bucket set equality filters on the bucket key narrow the scan to;
+    * recomputed per filter state (runtime filters narrow it further). For a
+    * single-column key, EqualTo/In filters prune directly; a multi-column
+    * key prunes only when EVERY key column has one equality value (the
+    * chained hash needs the whole key). */
   private def bucketKeep: Option[(String, Int, Set[Int])] = bucketSpec.flatMap {
-    case (col, n) =>
-      fullSchema.fields.find(_.name.equalsIgnoreCase(col)).flatMap { fld =>
-        var sets = List.empty[Set[Int]]
-        filters.foreach {
-          case EqualTo(c, v) if c.equalsIgnoreCase(col) =>
-            StrawBucket.bucketOfExternal(v, fld.dataType, n)
-              .foreach(b => sets ::= Set(b))
-          case EqualNullSafe(c, v) if c.equalsIgnoreCase(col) && v != null =>
-            StrawBucket.bucketOfExternal(v, fld.dataType, n)
-              .foreach(b => sets ::= Set(b))
-          case In(c, vs) if c.equalsIgnoreCase(col) && vs != null =>
-            // nulls never satisfy IN; a value the hash can't see keeps all
-            val bs = vs.filter(_ != null)
-              .map(v => StrawBucket.bucketOfExternal(v, fld.dataType, n))
-            if (bs.forall(_.isDefined)) sets ::= bs.flatten.toSet
-          case _ =>
+    case (spec, n) =>
+      val cols = StrawBucket.colsOf(spec)
+      if (cols.size == 1) {
+        val col = cols.head
+        fullSchema.fields.find(_.name.equalsIgnoreCase(col)).flatMap { fld =>
+          var sets = List.empty[Set[Int]]
+          filters.foreach {
+            case EqualTo(c, v) if c.equalsIgnoreCase(col) =>
+              StrawBucket.bucketOfExternal(v, fld.dataType, n)
+                .foreach(b => sets ::= Set(b))
+            case EqualNullSafe(c, v) if c.equalsIgnoreCase(col) && v != null =>
+              StrawBucket.bucketOfExternal(v, fld.dataType, n)
+                .foreach(b => sets ::= Set(b))
+            case In(c, vs) if c.equalsIgnoreCase(col) && vs != null =>
+              // nulls never satisfy IN; a value the hash can't see keeps all
+              val bs = vs.filter(_ != null)
+                .map(v => StrawBucket.bucketOfExternal(v, fld.dataType, n))
+              if (bs.forall(_.isDefined)) sets ::= bs.flatten.toSet
+            case _ =>
+          }
+          if (sets.isEmpty) None else Some((spec, n, sets.reduce(_ intersect _)))
         }
-        if (sets.isEmpty) None else Some((col, n, sets.reduce(_ intersect _)))
+      } else {
+        val flds = cols.map(c => fullSchema.fields.find(_.name.equalsIgnoreCase(c)))
+        if (flds.exists(_.isEmpty)) None
+        else {
+          val dts = flds.map(_.get.dataType)
+          val values: Seq[Option[Any]] = cols.zip(dts).map { case (col, dt) =>
+            filters.collectFirst {
+              case EqualTo(c, v) if c.equalsIgnoreCase(col) && v != null =>
+                StrawBucket.internalOf(v, dt)
+              case EqualNullSafe(c, v) if c.equalsIgnoreCase(col) && v != null =>
+                StrawBucket.internalOf(v, dt)
+            }.flatten
+          }
+          if (values.exists(_.isEmpty)) None
+          else Some((spec, n, Set(StrawBucket.bucketOfMulti(
+            values.map(_.get).toArray, dts.toArray, n))))
+        }
       }
   }
 
@@ -1136,8 +1167,18 @@ class StrawScan(
           .getConfString("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
         catch { case _: Exception => false }
       if (!enabled || topN.isDefined || limit != Long.MaxValue) None
-      else requiredSchema.fields.find(_.name.equalsIgnoreCase(col)) match {
-        case Some(fld) if StrawBucket.bucketable(fld.dataType) =>
+      else if (!StrawBucket.colsOf(col).forall(c =>
+        requiredSchema.fields.find(_.name.equalsIgnoreCase(c))
+          .exists(f => StrawBucket.bucketable(f.dataType)))) None
+      // a multi-column key only trades split parallelism for one-task-per-
+      // bucket grouping when this Spark's SPJ can actually consume the
+      // multi-reference transform (probed; Spark 4.1.2 cannot — see
+      // StrawBucket.spjSupportsMultiRef). Equality pruning via bucketKeep
+      // is independent and stays on either way.
+      else if (StrawBucket.colsOf(col).size > 1 && !StrawBucket.spjSupportsMultiRef)
+        None
+      else {
+        {
           val groups = Array.fill(n)(List.newBuilder[(String, String, Long)])
           val want = StrawBucket.colHash(col) // once, not per file
           val ok = footers.forall { pf =>
@@ -1154,7 +1195,7 @@ class StrawScan(
           }
           if (ok) Some((col, n, groups.map(_.result(): Seq[(String, String, Long)])))
           else None
-        case _ => None
+        }
       }
     }
 
@@ -1168,7 +1209,8 @@ class StrawScan(
       case None => bucketLayout match {
         case Some((col, n, _)) =>
           new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-            Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, col)),
+            Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
+              n, StrawBucket.colsOf(col): _*)),
             n)
         case None =>
           new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
@@ -2545,17 +2587,19 @@ class StrawDataWriter(dir: String, schema: StructType, partitionId: Int, taskId:
   private val uuid = UUID.randomUUID().toString.take(8)
   private val partIdx: Array[Int] = partitionCols.map(schema.fieldIndex).toArray
   private val partDt = partIdx.map(schema.fields(_).dataType)
-  // hash-bucket routing: bucket id per row; -1 = unbucketed table. A spec
-  // naming a column this write lacks is a caller bug — failing here beats
-  // silently emitting untagged files that break the table's co-location.
-  private val bucketIdx: Int = opts.bucketBy.map { c =>
-    val i = schema.fields.indexWhere(_.name.equalsIgnoreCase(c))
-    require(i >= 0, s"strawboat: bucketBy column '$c' not in write schema " +
-      schema.fieldNames.mkString(","))
-    i
-  }.getOrElse(-1)
-  private val bucketDt: org.apache.spark.sql.types.DataType =
-    if (bucketIdx < 0) null else schema.fields(bucketIdx).dataType
+  // hash-bucket routing: bucket id per row; empty = unbucketed table. The
+  // spec may name several comma-joined key columns; a spec naming a column
+  // this write lacks is a caller bug — failing here beats silently emitting
+  // untagged files that break the table's co-location.
+  private val bucketIdx: Array[Int] = opts.bucketBy.toSeq
+    .flatMap(StrawBucket.colsOf).map { c =>
+      val i = schema.fields.indexWhere(_.name.equalsIgnoreCase(c))
+      require(i >= 0, s"strawboat: bucketBy column '$c' not in write schema " +
+        schema.fieldNames.mkString(","))
+      i
+    }.toArray
+  private val bucketDt: Array[org.apache.spark.sql.types.DataType] =
+    bucketIdx.map(schema.fields(_).dataType)
 
   private final class PartState(val subdir: String, val bucket: Int) {
     var writer = new StrawFileWriter(schema, opts)
@@ -2626,10 +2670,20 @@ class StrawDataWriter(dir: String, schema: StructType, partitionId: Int, taskId:
     }
     currentSubdir = subdir
     val bucket =
-      if (bucketIdx < 0) -1
-      else StrawBucket.bucketOf(
-        if (row.isNullAt(bucketIdx)) null else row.get(bucketIdx, bucketDt),
-        bucketDt, opts.buckets)
+      if (bucketIdx.isEmpty) -1
+      else if (bucketIdx.length == 1) StrawBucket.bucketOf(
+        if (row.isNullAt(bucketIdx(0))) null else row.get(bucketIdx(0), bucketDt(0)),
+        bucketDt(0), opts.buckets)
+      else {
+        val vs = new Array[Any](bucketIdx.length)
+        var k = 0
+        while (k < bucketIdx.length) {
+          vs(k) = if (row.isNullAt(bucketIdx(k))) null
+            else row.get(bucketIdx(k), bucketDt(k))
+          k += 1
+        }
+        StrawBucket.bucketOfMulti(vs, bucketDt, opts.buckets)
+      }
     val key = if (bucket < 0) subdir else subdir + "\u0001" + bucket
     val st = parts.getOrElseUpdate(key, new PartState(subdir, bucket))
     st.writer.write(row)
@@ -2648,7 +2702,7 @@ class StrawDataWriter(dir: String, schema: StructType, partitionId: Int, taskId:
     * constrained writes (per-row murmur3 routing / row validation gain
     * nothing from batches). */
   private[spark] def writeBatch(batch: org.apache.spark.sql.vectorized.ColumnarBatch): Unit = {
-    require(bucketIdx < 0 && checker == null,
+    require(bucketIdx.isEmpty && checker == null,
       "strawboat: columnar ingest supports unbucketed, unconstrained writes only")
     val total = batch.numRows()
     if (total == 0) return

@@ -528,4 +528,83 @@ class StrawBucketSpec extends AnyFunSuite with BeforeAndAfterAll {
       org.apache.spark.unsafe.types.UTF8String.fromString("hello"),
       org.apache.spark.sql.types.StringType, 16))
   }
+
+  test("multi-column bucket key: tagged layout, full-key pruning, gated SPJ") {
+    val sp = spark; import sp.implicits._
+    spark.sql("DROP TABLE IF EXISTS straw.mb.t1")
+    spark.sql("DROP TABLE IF EXISTS straw.mb.t2")
+    spark.sql("CREATE TABLE straw.mb.t1 (a BIGINT, b STRING, v DOUBLE) " +
+      "PARTITIONED BY (bucket(8, a, b))")
+    spark.sql("CREATE TABLE straw.mb.t2 (a BIGINT, b STRING, w DOUBLE) " +
+      "PARTITIONED BY (bucket(8, a, b))")
+    spark.range(4000)
+      .selectExpr("id AS a", "concat('k', id % 97) AS b", "cast(id AS double) AS v")
+      .writeTo("straw.mb.t1").append()
+    spark.range(4000)
+      .selectExpr("id AS a", "concat('k', id % 97) AS b", "cast(id/2 AS double) AS w")
+      .writeTo("straw.mb.t2").append()
+    // every file single-bucket-tagged under the joined-spelling column hash
+    val t1dir = s"$warehouse/mb/t1"
+    val files = dataFiles(t1dir)
+    assert(files.nonEmpty)
+    assert(files.forall(f => StrawBucket.parseTag(f.getName)
+      .exists(t => StrawBucket.tagMatches(t, "a,b", 8))))
+    // full-key equality prunes to ONE bucket's files before footer IO
+    val schema = spark.table("straw.mb.t1").schema
+    def plannedFiles(fs: Array[org.apache.spark.sql.sources.Filter]): Int = {
+      val sb = new StrawScanBuilder(t1dir, schema,
+        bucketSpec = StrawBucket.specOf(t1dir))
+      sb.pushFilters(fs)
+      sb.build().asInstanceOf[StrawScan].planInputPartitions().map {
+        case p: StrawPackedPartition => p.slices.size
+        case _ => 1
+      }.sum
+    }
+    import org.apache.spark.sql.sources.EqualTo
+    val all = plannedFiles(Array.empty)
+    val full = plannedFiles(Array(EqualTo("a", 7L), EqualTo("b", "k7")))
+    assert(full < all, s"full-key equality should bucket-prune: $all -> $full")
+    // a PARTIAL key cannot compute the chained hash — only zone maps may
+    // prune, so strictly more files survive than under the full key
+    val partial = plannedFiles(Array(EqualTo("a", 7L)))
+    assert(partial > full,
+      s"partial key must not bucket-prune: full=$full partial=$partial all=$all")
+    // and the pruned read is exact
+    assert(spark.sql("SELECT * FROM straw.mb.t1 WHERE a = 7 AND b = 'k7'")
+      .count() == 1)
+
+    // storage-partitioned join: version-pinned expectation. Spark 4.1.2's
+    // KeyGroupedPartitioning.supportsExpressions requires single-child
+    // transforms (isSupportedTransform, verified against the bytecode), so
+    // the multi-ref bucket transform resolves but SPJ must NOT engage —
+    // the scan degrades to ordinary packed splits and the join shuffles.
+    // On a Spark that lifts the limit the probe flips and this test
+    // asserts the shuffle-free plan instead, so the unlock is verified,
+    // not just hoped for.
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.sql("SELECT mb1.a, mb1.b, v, w FROM straw.mb.t1 mb1 " +
+        "JOIN straw.mb.t2 mb2 ON mb1.a = mb2.a AND mb1.b = mb2.b")
+      val plan = j.queryExecution.executedPlan.toString
+      if (StrawBucket.spjSupportsMultiRef)
+        assert(!plan.contains("Exchange"),
+          s"this Spark supports multi-ref SPJ — expected shuffle-free:\n$plan")
+      else
+        assert(plan.contains("Exchange"),
+          "probe says SPJ can't consume multi-ref transforms, yet no shuffle planned")
+      assert(j.count() == 4000)
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+    // append gate: a single-column spec over the same table is refused
+    val e = intercept[Exception] {
+      spark.range(10).selectExpr("id AS a", "'x' AS b", "1.0d AS v")
+        .write.format("strawboat")
+        .option("bucketBy", "a").option("buckets", "8")
+        .mode("append").save(t1dir)
+    }
+    assert(e.getMessage.contains("would mix layouts"), e.getMessage)
+  }
 }
