@@ -86,13 +86,18 @@ object ColumnarSupport {
         }
       case bp: BinaryPage =>
         val valid = bp.valid
-        // reserve the child byte vector once (putByteArray would otherwise
-        // grow it repeatedly through doubling)
-        v.arrayData().reserve(bp.offsets(n))
+        // the decoded page is already the vector's wire shape — one
+        // contiguous byte run + offsets — so copy the bytes ONCE and
+        // record per-row (offset, length) views; putByteArray would pay a
+        // memcpy and an append-bookkeeping call per value
+        val child = v.arrayData()
+        val total = bp.offsets(n)
+        child.reserve(total)
+        child.putBytes(0, total, bp.bytes, 0)
         var i = 0
         while (i < n) {
           if (valid != null && !valid(i)) v.putNull(i)
-          else v.putByteArray(i, bp.bytes, bp.offsets(i), bp.offsets(i + 1) - bp.offsets(i))
+          else v.putArray(i, bp.offsets(i), bp.offsets(i + 1) - bp.offsets(i))
           i += 1
         }
       case _: NullPage =>

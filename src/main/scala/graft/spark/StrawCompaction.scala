@@ -934,10 +934,14 @@ object StrawCompaction {
       colOpt: Option[String] = None,
       opts: WriteOptions = WriteOptions()): CompactionResult = {
     require(n > 0, s"strawboat: bucket count must be positive, got $n")
-    val col = colOpt.orElse(StrawBucket.specOf(dir).map(_._1)).getOrElse(
-      throw new IllegalArgumentException(
-        s"strawboat: $dir has no bucket spec to evolve — name the bucket " +
-          "column: straw_rebucket(table, n, col)"))
+    // the key may be multi-column ("a,b"); canonicalize the spelling the
+    // same way the write-option parser does (tags hash it whole)
+    val col = colOpt.orElse(StrawBucket.specOf(dir).map(_._1))
+      .map(c => StrawBucket.colsOf(c).mkString(","))
+      .filter(_.nonEmpty).getOrElse(
+        throw new IllegalArgumentException(
+          s"strawboat: $dir has no bucket spec to evolve — name the bucket " +
+            "column: straw_rebucket(table, n, col)"))
     val mapping = StrawLog.mappingAt(dir)
     val live = StrawIO.listFilesMetaWithStats(dir)
     val withSchema = StrawIO.mapParallel(live) { lf =>
@@ -949,13 +953,15 @@ object StrawCompaction {
     }
     val rowCarrying = withSchema.filter(_._3 > 0)
     rowCarrying.foreach { case (bf, schema, _) =>
-      val f = schema.fields.find(_.name.equalsIgnoreCase(col)).getOrElse(
-        throw new IllegalArgumentException(
-          s"strawboat: bucket column '$col' missing from ${bf.meta.path} " +
-            s"(that generation has: ${schema.fieldNames.mkString(", ")})"))
-      require(StrawBucket.bucketable(f.dataType),
-        s"strawboat: type ${f.dataType.catalogString} of '$col' is not " +
-          "bucketable (integer-family, string, date, timestamp)")
+      StrawBucket.colsOf(col).foreach { c =>
+        val f = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(
+            s"strawboat: bucket column '$c' missing from ${bf.meta.path} " +
+              s"(that generation has: ${schema.fieldNames.mkString(", ")})"))
+        require(StrawBucket.bucketable(f.dataType),
+          s"strawboat: type ${f.dataType.catalogString} of '$c' is not " +
+            "bucketable (integer-family, string, date, timestamp)")
+      }
     }
     if (rowCarrying.isEmpty) {
       // nothing to route — just record the evolved spec

@@ -1284,21 +1284,34 @@ class StrawScan(
         while (p < pages.length && rowsPlanned < planLimit) {
           if (!keep(p)) p += 1
           else {
-            // extend a contiguous kept run until the byte target is reached
-            var end = p
-            var bytes = 0L
-            while (end < pages.length && keep(end) && bytes < targetBytes &&
-              rowsPlanned < planLimit) {
-              bytes += pageBytes(end)
-              val n = pages(end).numValues.toLong
-              val dead = math.min(deadLeft, n)
-              deadLeft -= dead
-              rowsPlanned += n - dead
-              end += 1
+            // measure the full contiguous kept run, then ceil-divide it so
+            // slices come out near-EQUAL — a 9 MB run under a 4 MiB target
+            // must yield three ~3 MB slices, not two lopsided ones (the
+            // FilePartition.maxSplitBytes division; greedy-to-target loses
+            // a split and with it a core on every mid-size file)
+            var runEnd = p
+            var runBytes = 0L
+            while (runEnd < pages.length && keep(runEnd)) {
+              runBytes += pageBytes(runEnd)
+              runEnd += 1
             }
-            slices += ((StrawInputPartition(pf.path, p, end, limit, dvPath, dvLen),
-              bytes))
-            p = end
+            val nSlices = math.max(1L, (runBytes + targetBytes - 1) / targetBytes)
+            val eq = math.max(1L, runBytes / nSlices)
+            while (p < runEnd && rowsPlanned < planLimit) {
+              var end = p
+              var bytes = 0L
+              while (end < runEnd && bytes < eq && rowsPlanned < planLimit) {
+                bytes += pageBytes(end)
+                val n = pages(end).numValues.toLong
+                val dead = math.min(deadLeft, n)
+                deadLeft -= dead
+                rowsPlanned += n - dead
+                end += 1
+              }
+              slices += ((StrawInputPartition(pf.path, p, end, limit, dvPath, dvLen),
+                bytes))
+              p = end
+            }
           }
         }
       } else if (pf.footer.numRows > 0) {

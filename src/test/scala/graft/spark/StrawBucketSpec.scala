@@ -606,5 +606,16 @@ class StrawBucketSpec extends AnyFunSuite with BeforeAndAfterAll {
         .mode("append").save(t1dir)
     }
     assert(e.getMessage.contains("would mix layouts"), e.getMessage)
+
+    // bucket-count evolution keeps the multi-column key
+    val before = spark.table("straw.mb.t1").collect().toSet
+    val res = StrawCompaction.rebucket(spark, t1dir, 4)
+    assert(res.outputFiles > 0)
+    assert(StrawBucket.specOf(t1dir).contains(("a,b", 4)))
+    assert(dataFiles(t1dir).forall(f => StrawBucket.parseTag(f.getName)
+      .exists(t => StrawBucket.tagMatches(t, "a,b", 4))))
+    assert(spark.table("straw.mb.t1").collect().toSet == before)
+    assert(spark.sql("SELECT * FROM straw.mb.t1 WHERE a = 7 AND b = 'k7'")
+      .count() == 1)
   }
 }
