@@ -85,4 +85,41 @@ class StrawBucketPropertySpec extends AnyFunSuite {
     assert(StrawBucket.bucketOf(null, LongType, 16) == 0)
     assert(StrawBucket.bucketOf(null, StringType, 7) == 0)
   }
+
+  test("multi-column hash: single-key identity, order sensitivity, null rules") {
+    // a one-column key reduces EXACTLY to bucketOf — existing single-key
+    // tables' layouts must not move under the chained hash
+    check(Prop.forAll(Gen.long, genN) { (v, n) =>
+      StrawBucket.bucketOfMulti(Array[Any](v), Array[DataType](LongType), n) ==
+        StrawBucket.bucketOf(v, LongType, n)
+    })
+    check(Prop.forAll(Gen.asciiPrintableStr, genN) { (s, n) =>
+      val u = UTF8String.fromString(s)
+      StrawBucket.bucketOfMulti(Array[Any](u), Array[DataType](StringType), n) ==
+        StrawBucket.bucketOf(u, StringType, n)
+    })
+    // range + determinism over two-column keys
+    check(Prop.forAll(Gen.long, Gen.asciiPrintableStr, genN) { (a, s, n) =>
+      val dts = Array[DataType](LongType, StringType)
+      val b = StrawBucket.bucketOfMulti(
+        Array[Any](a, UTF8String.fromString(s)), dts, n)
+      b >= 0 && b < n &&
+        b == StrawBucket.bucketOfMulti(
+          Array[Any](a, UTF8String.fromString(s)), dts, n)
+    })
+    // the chain is order-sensitive: bucket(a, b) and bucket(b, a) must be
+    // allowed to differ (they do for almost all pairs at n=4096)
+    val dts2 = Array[DataType](LongType, LongType)
+    val diff = (0L until 200L).count(i =>
+      StrawBucket.bucketOfMulti(Array[Any](i, i + 1), dts2, 4096) !=
+        StrawBucket.bucketOfMulti(Array[Any](i + 1, i), dts2, 4096))
+    assert(diff > 150, s"order barely matters? only $diff/200 pairs differ")
+    // null rules: all-null pins to 0; (null, x) and (x, null) differ from
+    // each other and from (x) alone for typical x
+    assert(StrawBucket.bucketOfMulti(
+      Array[Any](null, null), dts2, 16) == 0)
+    val nx = StrawBucket.bucketOfMulti(Array[Any](null, 7L), dts2, 4096)
+    val xn = StrawBucket.bucketOfMulti(Array[Any](7L, null), dts2, 4096)
+    assert(nx >= 0 && nx < 4096 && xn >= 0 && xn < 4096 && nx != xn)
+  }
 }
