@@ -15,7 +15,9 @@ object Bench {
     "q_tpch_q3", "q_tpch_q6",
     // round-12: the reorder-sensitive 6-table Q5 shape — declared naive
     // (fact-first, region filter last), no hints; plan quality rides on the
-    // footer stats + CBO NDV join reorder (a cbo-off A/B rides in "ab")
+    // footer stats + CBO NDV join reorder (a cbo-off A/B rides in "ab").
+    // NOTE for round-over-round totals: this entry is NEW in round 12
+    // (~1.2 s at sf0.1) — compare totals net of it against earlier rounds.
     "q_tpch_q5",
     "q_window_rank", "q_window_running",
     "q_events_sessions", "q_topk_orders", "q_topk_filtered",
