@@ -46,6 +46,22 @@ object SparkEntry {
     * construction). */
   private def tsNs(): Column = col("ts")
 
+  /** The hive-partitioned events fixture (q_scan_partitioned /
+    * q_agg_partition_meta): events re-written under `event_type=X/`
+    * directories THROUGH the partitioned columnar bulk loader
+    * (run-dispatched batch ingest) so the driver's oracles gate that path.
+    * Built once per sf, marker-cached. */
+  private def byTypeTable(s: SparkSession, d: String): String = {
+    val pdir = Tables.strawDir(s, d, "events") + "_bytype"
+    val marker = new java.io.File(pdir, "_PARTITIONED")
+    if (!marker.exists()) {
+      graft.spark.StrawBulkLoad.save(t(s, d, "events"), pdir,
+        partitionCols = Seq("event_type"))
+      marker.createNewFile()
+    }
+    pdir
+  }
+
   /** The deleted-documents fixture (q_delete / q_delete_count): a copy of
     * documents with short docs (n_chars < 200) removed via the
     * merge-on-read DELETE — the data files stay, deletion-vector sidecars
@@ -720,14 +736,7 @@ object SparkEntry {
       // events re-written hive-partitioned by event_type; the equality
       // filter eliminates the four other event_type directories before any
       // footer IO (PartitionLayout.prune)
-      val pdir = Tables.strawDir(s, d, "events") + "_bytype"
-      val marker = new java.io.File(pdir, "_PARTITIONED")
-      if (!marker.exists()) {
-        t(s, d, "events").write.format("strawboat")
-          .option("partitionBy", "event_type").mode("overwrite").save(pdir)
-        marker.createNewFile()
-      }
-      s.read.format("strawboat").load(pdir)
+      s.read.format("strawboat").load(byTypeTable(s, d))
         .filter(col("event_type") === "purchase")
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("cnt"), round(min(col("value")), 2).as("mn"))
@@ -759,14 +768,7 @@ object SparkEntry {
       // GROUP BY the partition column + count/min/max: answered ENTIRELY
       // from footers (one row per partition directory, zero data pages) —
       // the grouped form of aggregate pushdown
-      val pdir = Tables.strawDir(s, d, "events") + "_bytype"
-      val marker = new java.io.File(pdir, "_PARTITIONED")
-      if (!marker.exists()) {
-        t(s, d, "events").write.format("strawboat")
-          .option("partitionBy", "event_type").mode("overwrite").save(pdir)
-        marker.createNewFile()
-      }
-      s.read.format("strawboat").load(pdir)
+      s.read.format("strawboat").load(byTypeTable(s, d))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("cnt"), min(col("value")).as("mn0"),
           max(col("event_id")).as("mx"))
