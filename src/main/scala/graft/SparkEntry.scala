@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Ann, Decontaminate, Dedup, Multimodal, Privacy, TextOps}
+import graft.ops.{Ann, Decontaminate, Dedup, Multimodal, Privacy, Search, TextOps}
 
 /** Driver contract: every operator surfaced as a named query over
   * strawboat-format data (converted once from the parquet testdata by
@@ -542,6 +542,11 @@ object SparkEntry {
       Decontaminate.contaminatedIds(docs,
         docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", "text", 4)
         .orderBy(col("doc_id"))
+    }),
+    "q_bm25" -> ((s, d) => {
+      // lexical retrieval: rare + mid + common term exercise the idf range
+      Search.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+        Seq("dup", "vector", "join"), 20)
     }),
     // --- LLM-pipeline: similarity search ----------------------------------
     "q_ann_brute" -> ((s, d) => {
@@ -1885,6 +1890,35 @@ object SparkEntry {
         |  FROM words, LATERAL (SELECT unnest(range(1, len(ws) - 2)) AS i) i)
         |SELECT DISTINCT doc_id FROM dg JOIN pg USING (gram)
         |ORDER BY doc_id""".stripMargin,
+    "q_bm25" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> ''))::BIGINT AS dl,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> x = 'dup'))::BIGINT AS tf0,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> x = 'vector'))::BIGINT AS tf1,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> x = 'join'))::BIGINT AS tf2
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sumdl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::BIGINT AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::BIGINT AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::BIGINT AS df2
+        |  FROM base),
+        |scored AS (
+        |  SELECT doc_id, round(
+        |      ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * tf0 * 2.2
+        |        / (tf0 + 1.2 * (0.25 + 0.75 * dl / (sumdl * 1.0 / n)))
+        |    + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * tf1 * 2.2
+        |        / (tf1 + 1.2 * (0.25 + 0.75 * dl / (sumdl * 1.0 / n)))
+        |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * tf2 * 2.2
+        |        / (tf2 + 1.2 * (0.25 + 0.75 * dl / (sumdl * 1.0 / n))), 6) AS score
+        |  FROM base, stats)
+        |SELECT doc_id, score FROM scored WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id,
         |  sum(ascii(substr(text, i::INT, 1)) * ((i - 1) % 64 + 1))::BIGINT AS fingerprint

@@ -440,6 +440,13 @@ sealed abstract class LeafColumnWriter(opts: WriteOptions) extends ColumnWriter(
   def appendVector(vec: org.apache.spark.sql.vectorized.ColumnVector,
       start: Int, n: Int): Unit =
     throw new UnsupportedOperationException(s"$getClass: no vector append")
+  /** Gather-append the vector positions `sel(from until from+n)` (nulls
+    * included) — the bucketed columnar ingest shape, where a batch's rows
+    * scatter across per-bucket page builders. Only called when
+    * [[vectorCapable]]. */
+  def appendVectorSelected(vec: org.apache.spark.sql.vectorized.ColumnVector,
+      sel: Array[Int], from: Int, n: Int): Unit =
+    throw new UnsupportedOperationException(s"$getClass: no selected vector append")
   /** Encode validity + data of the buffered page. */
   def encodePage(out: ByteBuf): PageStats
   def clearBuffers(): Unit
@@ -509,6 +516,16 @@ final class LongColumnWriter(
     while (i < end) {
       if (vec.isNullAt(i)) appendNull() else appendValue(vecGet(vec, i))
       i += 1
+    }
+  }
+  override def appendVectorSelected(vec: org.apache.spark.sql.vectorized.ColumnVector,
+      sel: Array[Int], from: Int, cnt: Int): Unit = {
+    var k = from
+    val end = from + cnt
+    while (k < end) {
+      val i = sel(k)
+      if (vec.isNullAt(i)) appendNull() else appendValue(vecGet(vec, i))
+      k += 1
     }
   }
   def appendNull(): Unit = {
@@ -604,6 +621,18 @@ final class BinaryColumnWriter(opts: WriteOptions, isString: Boolean,
       else appendBytes(
         if (isString) vec.getUTF8String(i).getBytes else vec.getBinary(i))
       i += 1
+    }
+  }
+  override def appendVectorSelected(vec: org.apache.spark.sql.vectorized.ColumnVector,
+      sel: Array[Int], from: Int, cnt: Int): Unit = {
+    var k = from
+    val end = from + cnt
+    while (k < end) {
+      val i = sel(k)
+      if (vec.isNullAt(i)) appendNull()
+      else appendBytes(
+        if (isString) vec.getUTF8String(i).getBytes else vec.getBinary(i))
+      k += 1
     }
   }
   def encodePage(out: ByteBuf): PageStats = {
@@ -1017,6 +1046,39 @@ final class StrawFileWriter(schema: StructType, opts: WriteOptions) {
             val row = batch.getRow(i) // shared mutable view, consumed here
             if (row.isNullAt(c)) w.appendNull() else w.append(row, c)
             i += 1
+          }
+      }
+      c += 1
+    }
+    rowsInPage += n
+    totalRows += n
+    if (rowsInPage >= opts.maxPageSize || bufferedExact > (16L << 20))
+      flushPages()
+    n
+  }
+
+  /** Columnar ingest with a selection vector: append up to `maxN` of the
+    * batch positions `sel(from until from+maxN)` — the bucketed write
+    * shape, where one batch's rows scatter across per-bucket page
+    * builders. Same page-boundary chunking as [[writeColumnar]], so page
+    * sizes stay identical to the row path's.
+    * @return selection entries consumed (call again until drained) */
+  def writeColumnarSelected(batch: org.apache.spark.sql.vectorized.ColumnarBatch,
+      sel: Array[Int], from: Int, maxN: Int): Int = {
+    val n = math.min(maxN, math.max(1, opts.maxPageSize - rowsInPage))
+    var c = 0
+    while (c < writers.length) {
+      val vec = batch.column(c)
+      writers(c) match {
+        case l: LeafColumnWriter if l.vectorCapable =>
+          l.appendVectorSelected(vec, sel, from, n)
+        case w =>
+          var k = from
+          val end = from + n
+          while (k < end) {
+            val row = batch.getRow(sel(k)) // shared mutable view, consumed here
+            if (row.isNullAt(c)) w.appendNull() else w.append(row, c)
+            k += 1
           }
       }
       c += 1

@@ -22,11 +22,18 @@ import graft.format.WriteOptions
   * (the normal conversion shape) keeps full batch speed and unclustered
   * input merely degrades to shorter runs.
   *
+  * Hash-bucketed loads route each batch by ONE pass over its row cursor
+  * (only the key columns are touched) into per-bucket selection vectors;
+  * each bucket's positions then gather-append columnar into its page
+  * builders. A task holds up to `buckets` open page-buffer sets per live
+  * partition value — the same fan-out the unordered row path carries.
+  *
   * Falls back to the ordinary `df.write.format("strawboat")` row path
   * whenever the plan's columnar output isn't directly reachable (adaptive
-  * plans with exchanges, row-producing sources) or options demand row
-  * routing (bucketing, CHECK constraints). Fallback is always correct —
-  * this is purely a CPU shortcut. */
+  * plans with exchanges, row-producing sources); the fallback carries the
+  * full WriteOptions through [[StrawWriteOptions.unparse]], so both paths
+  * write the same layout. Fallback is always correct — the columnar route
+  * is purely a CPU shortcut. */
 object StrawBulkLoad {
 
   /** Columnar-path engagements (driver-side), pinned by specs so a routing
@@ -65,11 +72,20 @@ object StrawBulkLoad {
         s"strawboat: partitionBy column '$c' has unsupported type ${fld.dataType} " +
           "(supported: string, int, long, short, byte, boolean)")
     }
-    val needsRowPath = opts.bucketBy.isDefined
-    val root = if (needsRowPath) None else columnarRoot(df.queryExecution.executedPlan)
+    opts.bucketBy.toSeq.flatMap(StrawBucket.colsOf).foreach { c =>
+      val fld = df.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"strawboat: bucketBy column '$c' not in schema ${df.schema.fieldNames.mkString(",")}"))
+      require(StrawBucket.bucketable(fld.dataType),
+        s"strawboat: bucketBy column '$c' has unbucketable type ${fld.dataType}")
+      require(!partitionCols.exists(_.equalsIgnoreCase(c)),
+        s"strawboat: '$c' cannot be both a partition and a bucket column")
+    }
+    val root = columnarRoot(df.queryExecution.executedPlan)
     root match {
       case None =>
         val w = df.write.format("strawboat").mode("overwrite")
+          .options(StrawWriteOptions.unparse(opts))
         (if (partitionCols.isEmpty) w
          else w.option("partitionBy", partitionCols.mkString(","))).save(path)
       case Some(plan) =>

@@ -636,6 +636,41 @@ object StrawWriteOptions {
     }
     o
   }
+
+  /** Inverse of [[parse]], for [[StrawBulkLoad]]'s row-path fallback: a
+    * programmatically built WriteOptions round-trips through the DataFrame
+    * option surface without loss, so the fallback writes the SAME layout
+    * (codec, paging, blooms, buckets) the columnar path would have.
+    * Fields with no option key ([[WriteOptions.forced]],
+    * [[WriteOptions.ratio]] — test-only knobs) must be at their defaults. */
+  def unparse(o: WriteOptions): Map[String, String] = {
+    val d = WriteOptions()
+    require(o.forced == d.forced && o.ratio == d.ratio,
+      "strawboat: forced/ratio have no writer-option spelling")
+    val m = Map.newBuilder[String, String]
+    if (o.base != d.base) m += "compression" -> (o.base match {
+      case Codec.Plain => "none"
+      case Codec.Lz4 => "lz4"
+      case Codec.Zstd => "zstd"
+      case Codec.Snappy => "snappy"
+      case other => throw new IllegalArgumentException(
+        s"strawboat: unknown base codec id $other")
+    })
+    if (o.zstdLevel != d.zstdLevel) m += "zstdLevel" -> o.zstdLevel.toString
+    if (o.maxPageSize != d.maxPageSize) m += "maxPageSize" -> o.maxPageSize.toString
+    if (o.targetFileBytes != d.targetFileBytes)
+      m += "targetFileBytes" -> o.targetFileBytes.toString
+    if (o.adaptive != d.adaptive) m += "adaptive" -> o.adaptive.toString
+    if (o.bloomColumns.nonEmpty)
+      m += "bloomColumns" -> o.bloomColumns.mkString(",")
+    if (o.bloomFpp != d.bloomFpp) m += "bloomFpp" -> o.bloomFpp.toString
+    o.bucketBy.foreach { c =>
+      m += "bucketBy" -> c
+      m += "buckets" -> o.buckets.toString
+    }
+    o.patasRing.foreach(r => m += "patasVariant" -> (if (r) "ring" else "prev"))
+    m.result()
+  }
 }
 
 // ---------------------------------------------------------------------------
@@ -2644,6 +2679,24 @@ class StrawDataWriter(dir: String, schema: StructType, partitionId: Int, taskId:
       sb.toString
     }
 
+  /** Hash-bucket ordinal of one row (the batch path reads rows through the
+    * batch's shared row cursor); -1 for unbucketed tables. */
+  private def bucketOfRow(row: InternalRow): Int =
+    if (bucketIdx.isEmpty) -1
+    else if (bucketIdx.length == 1) StrawBucket.bucketOf(
+      if (row.isNullAt(bucketIdx(0))) null else row.get(bucketIdx(0), bucketDt(0)),
+      bucketDt(0), opts.buckets)
+    else {
+      val vs = new Array[Any](bucketIdx.length)
+      var k = 0
+      while (k < bucketIdx.length) {
+        vs(k) = if (row.isNullAt(bucketIdx(k))) null
+          else row.get(bucketIdx(k), bucketDt(k))
+        k += 1
+      }
+      StrawBucket.bucketOfMulti(vs, bucketDt, opts.buckets)
+    }
+
   private def roll(subdir: String, st: PartState): Unit = {
     if (st.writer.numRows > 0) {
       val tag =
@@ -2682,21 +2735,7 @@ class StrawDataWriter(dir: String, schema: StructType, partitionId: Int, taskId:
       parts.clear()
     }
     currentSubdir = subdir
-    val bucket =
-      if (bucketIdx.isEmpty) -1
-      else if (bucketIdx.length == 1) StrawBucket.bucketOf(
-        if (row.isNullAt(bucketIdx(0))) null else row.get(bucketIdx(0), bucketDt(0)),
-        bucketDt(0), opts.buckets)
-      else {
-        val vs = new Array[Any](bucketIdx.length)
-        var k = 0
-        while (k < bucketIdx.length) {
-          vs(k) = if (row.isNullAt(bucketIdx(k))) null
-            else row.get(bucketIdx(k), bucketDt(k))
-          k += 1
-        }
-        StrawBucket.bucketOfMulti(vs, bucketDt, opts.buckets)
-      }
+    val bucket = bucketOfRow(row)
     val key = if (bucket < 0) subdir else subdir + "\u0001" + bucket
     val st = parts.getOrElseUpdate(key, new PartState(subdir, bucket))
     st.writer.write(row)
@@ -2710,13 +2749,16 @@ class StrawDataWriter(dir: String, schema: StructType, partitionId: Int, taskId:
   }
 
   /** Columnar ingest entry ([[StrawBulkLoad]]): drain a ColumnarBatch
-    * straight into the page builders. Plain and hive-partitioned shapes;
-    * the bulk loader falls back to the row path for bucketed or
-    * constrained writes (per-row murmur3 routing / row validation gain
-    * nothing from batches). */
+    * straight into the page builders. Plain, hive-partitioned, and
+    * hash-bucketed shapes; the bulk loader falls back to the row path only
+    * for constrained writes (CHECK validation is row-at-a-time anyway).
+    * Bucketed batches route by one pass over the batch's row cursor (only
+    * the key columns are touched) into per-bucket selection vectors, then
+    * each bucket's positions gather-append into its page builders — the
+    * batch's value columns never materialize as rows. */
   private[spark] def writeBatch(batch: org.apache.spark.sql.vectorized.ColumnarBatch): Unit = {
-    require(bucketIdx.isEmpty && checker == null,
-      "strawboat: columnar ingest supports unbucketed, unconstrained writes only")
+    require(checker == null,
+      "strawboat: columnar ingest supports unconstrained writes only")
     val total = batch.numRows()
     if (total == 0) return
     def drain(subdir: String, from: Int, until: Int): Unit = {
@@ -2727,7 +2769,33 @@ class StrawDataWriter(dir: String, schema: StructType, partitionId: Int, taskId:
         if (st.writer.estimatedBytes > opts.targetFileBytes) roll(subdir, st)
       }
     }
-    if (partIdx.isEmpty) drain("", 0, total)
+    if (bucketIdx.nonEmpty) {
+      // (subdir, bucket) per row, grouped into per-key selection vectors.
+      // A task sees at most `buckets` open page-buffer sets per live
+      // subdir — the same fan-out the unordered row path carries.
+      val groups = scala.collection.mutable.LinkedHashMap
+        .empty[String, (String, Int, ArrayBuffer[Int])]
+      var i = 0
+      while (i < total) {
+        val row = batch.getRow(i) // shared mutable view, consumed here
+        val subdir = subdirOf(row)
+        val bucket = bucketOfRow(row)
+        val key = subdir + "\u0001" + bucket
+        groups.getOrElseUpdate(key, (subdir, bucket, ArrayBuffer.empty[Int]))
+          ._3 += i
+        i += 1
+      }
+      groups.foreach { case (key, (subdir, bucket, positions)) =>
+        val st = parts.getOrElseUpdate(key, new PartState(subdir, bucket))
+        val sel = positions.toArray
+        var off = 0
+        while (off < sel.length) {
+          off += st.writer.writeColumnarSelected(batch, sel, off, sel.length - off)
+          if (st.writer.estimatedBytes > opts.targetFileBytes) roll(subdir, st)
+        }
+      }
+    }
+    else if (partIdx.isEmpty) drain("", 0, total)
     else {
       // hive-partitioned ingest: dispatch maximal runs of rows sharing a
       // partition key into that partition's page builders — full columnar

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** BM25 lexical retrieval: scores match a plain-Scala reference
+  * implementation bit-for-bit (same formula, same association order),
+  * ranking and determinism hold, and the plan shape stays scale-safe
+  * (no corpus-sized shuffle, broadcast stats). */
+class SearchSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("search-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = { if (spark != null) spark.stop() }
+
+  private def corpus = Seq(
+    (1L, "spark shuffle join performance tuning guide"),
+    (2L, "join join join strategies in distributed systems"),
+    (3L, "gardening tips for tomato growers"),
+    (4L, "spark streaming watermark semantics"),
+    (5L, "the quick brown fox, jumps over the lazy dog!"),
+    (6L, "shuffle service configuration and spark executor sizing"))
+
+  /** Plain-Scala BM25 with the operator's exact association order. */
+  private def reference(docs: Seq[(Long, String)], terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): Map[Long, Double] = {
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    val tokenized = docs.map { case (id, t) => (id, toks(t)) }
+    val n = tokenized.size.toDouble
+    val sumdl = tokenized.map(_._2.size.toLong).sum
+    val avgdl = sumdl.toDouble / n
+    val dfs = terms.map(t => tokenized.count(_._2.contains(t)).toDouble)
+    tokenized.map { case (id, tk) =>
+      val dl = tk.size.toDouble
+      val norm = k1 * ((1.0 - b) + b * dl / avgdl)
+      val score = terms.zipWithIndex.map { case (t, i) =>
+        val tf = tk.count(_ == t).toDouble
+        val idf = math.log((n - dfs(i) + 0.5) / (dfs(i) + 0.5) + 1.0)
+        idf * tf * (k1 + 1.0) / (tf + norm)
+      }.reduce(_ + _)
+      id -> BigDecimal(score).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+  }
+
+  test("scores match the plain-Scala reference bit-for-bit") {
+    val df = spark.createDataFrame(corpus).toDF("doc_id", "text")
+    val got = Search.bm25TopK(df, "doc_id", "text", Seq("spark", "join"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val want = reference(corpus, Seq("spark", "join"))
+      .filter(_._2 > 0).toSeq.sortBy { case (id, s) => (-s, id) }
+    assert(got.toSeq == want, s"got ${got.toSeq} want $want")
+  }
+
+  test("ranking: rare-term doc beats common-term doc; unrelated docs drop out") {
+    val df = spark.createDataFrame(corpus).toDF("doc_id", "text")
+    val got = Search.bm25TopK(df, "doc_id", "text", Seq("watermark"), 10).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(4L))
+    // doc 2's triple 'join' saturates: still ranked, but scores stay finite
+    val joins = Search.bm25TopK(df, "doc_id", "text", Seq("join"), 10).collect()
+    assert(joins.head.getLong(0) == 2L)
+    assert(joins.forall(r => r.getDouble(1) > 0 && !r.getDouble(1).isInfinite))
+  }
+
+  test("k bounds the result; order is (score desc, id)") {
+    val df = spark.createDataFrame(corpus).toDF("doc_id", "text")
+    val got = Search.bm25TopK(df, "doc_id", "text", Seq("spark", "shuffle"), 2)
+      .collect()
+    assert(got.length == 2)
+    assert(got(0).getDouble(1) >= got(1).getDouble(1))
+  }
+
+  test("guards: empty query, duplicate terms, non-lowercase refuse loudly") {
+    val df = spark.createDataFrame(corpus).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      Search.bm25TopK(df, "doc_id", "text", Seq.empty, 5))
+    intercept[IllegalArgumentException](
+      Search.bm25TopK(df, "doc_id", "text", Seq("a", "a"), 5))
+    intercept[IllegalArgumentException](
+      Search.bm25TopK(df, "doc_id", "text", Seq("Spark"), 5))
+    intercept[IllegalArgumentException](
+      Search.bm25TopK(df, "doc_id", "text", Seq("spark"), 0))
+  }
+
+  test("plan is scale-safe: stats broadcast, top-k via TakeOrdered, no sort-shuffle") {
+    val df = spark.createDataFrame(corpus).toDF("doc_id", "text")
+    val plan = Search.bm25TopK(df, "doc_id", "text", Seq("spark"), 3)
+      .queryExecution.executedPlan
+    val s = plan.toString
+    assert(s.contains("TakeOrderedAndProject"), s)
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"), s)
+  }
+}

@@ -148,15 +148,62 @@ class StrawBulkLoadSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.read.parquet(src).filter(col("p") === 1).count())
   }
 
-  test("bucketed writes still fall back to the row path") {
+  test("bucketed bulk load: columnar path engages, byte-identical") {
     val src = s"$dir/bsrc"
-    spark.range(1000).select(col("id"), (col("id") % 9).as("k"))
+    spark.range(40000).select(
+      col("id"),
+      (col("id") % 97).as("k"),
+      concat(lit("v"), col("id") % 53).as("s"),
+      (col("id").cast("double") / 11).as("d"))
       .coalesce(1).write.parquet(src)
-    val out = s"$dir/bcol"
+
+    // row-path reference: same single task, clustering suppressed so both
+    // paths see the identical row sequence (the bulk loader never shuffles)
+    val rowOut = s"$dir/brow"
+    spark.read.parquet(src).write.format("strawboat")
+      .option("bucketBy", "k").option("buckets", "8")
+      .option("distribute", "none")
+      .mode("overwrite").save(rowOut)
+
+    val colOut = s"$dir/bcol"
     val before = StrawBulkLoad.columnarLoads.get()
-    StrawBulkLoad.save(spark.read.parquet(src), out,
+    StrawBulkLoad.save(spark.read.parquet(src), colOut,
+      graft.format.WriteOptions(bucketBy = Some("k"), buckets = 8))
+    assert(StrawBulkLoad.columnarLoads.get() == before + 1,
+      "bucketed bulk load fell back to the row path")
+
+    // same bucket-tagged file names modulo task ids, byte-identical data
+    def tags(d: String): Seq[Int] =
+      StrawIO.listFiles(d).map(f => StrawBucket.parseTag(f).get.bucket).sorted
+    assert(tags(colOut) == tags(rowOut))
+    val a = dataBytes(rowOut)
+    val b = dataBytes(colOut)
+    assert(a.map(_._1) == b.map(_._1), s"file sizes ${a.map(_._1)} vs ${b.map(_._1)}")
+    a.zip(b).foreach { case ((_, ba), (_, bb)) =>
+      assert(java.util.Arrays.equals(ba, bb), "file bytes differ")
+    }
+
+    // layout is live: the sidecar spec records buckets, key-equality
+    // pruning engages, and the data round-trips
+    val got = spark.read.format("strawboat").load(colOut)
+    assert(got.count() == 40000)
+    assert(got.exceptAll(spark.read.parquet(src)).isEmpty)
+    assert(got.filter(col("k") === 13).count() ==
+      spark.read.parquet(src).filter(col("k") === 13).count())
+    assert(StrawBucket.specOf(colOut).exists(_._2 == 8),
+      "bucket spec sidecar missing after bulk load")
+  }
+
+  test("row-path fallback carries the full WriteOptions (bucketed local relation)") {
+    val out = s"$dir/bfall"
+    val df = spark.createDataFrame((1 to 200).map(i => (i.toLong, i % 7)))
+      .toDF("id", "k")
+    val before = StrawBulkLoad.columnarLoads.get()
+    StrawBulkLoad.save(df, out,
       graft.format.WriteOptions(bucketBy = Some("k"), buckets = 4))
-    assert(StrawBulkLoad.columnarLoads.get() == before, "bucketed write must row-route")
-    assert(spark.read.format("strawboat").load(out).count() == 1000)
+    assert(StrawBulkLoad.columnarLoads.get() == before, "local relation must row-route")
+    assert(StrawBucket.specOf(out).exists(_._2 == 4),
+      "fallback dropped the bucket layout")
+    assert(spark.read.format("strawboat").load(out).count() == 200)
   }
 }
