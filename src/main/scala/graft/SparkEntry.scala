@@ -41,6 +41,21 @@ object SparkEntry {
     ttDir
   }
 
+  /** The persisted lexical index fixture (q_bm25_indexed): documents
+    * inverted into a term-bucketed postings table + one-row meta through
+    * [[graft.ops.Search.buildLexicalIndex]]. Built once per sf,
+    * marker-cached like the conversions. */
+  private def lexIndex(s: SparkSession, d: String): String = {
+    val idxDir = Tables.strawDir(s, d, "documents") + "_lexidx"
+    val marker = new java.io.File(idxDir, "_INDEXED")
+    if (!marker.exists()) {
+      Search.buildLexicalIndex(t(s, d, "documents"), "doc_id", "text",
+        idxDir, buckets = 16)
+      marker.createNewFile()
+    }
+    idxDir
+  }
+
   /** events.ts is TIMESTAMP(µs); calendar fields come straight off the
     * column (DuckDB's day()/hour() on the same parquet column agree by
     * construction). */
@@ -546,6 +561,12 @@ object SparkEntry {
     "q_bm25" -> ((s, d) => {
       // lexical retrieval: rare + mid + common term exercise the idf range
       Search.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+        Seq("dup", "vector", "join"), 20)
+    }),
+    "q_bm25_indexed" -> ((s, d) => {
+      // same query against the persisted term-bucketed inverted index —
+      // scores provably identical to q_bm25, so it shares that oracle
+      Search.bm25TopKIndexed(s, lexIndex(s, d),
         Seq("dup", "vector", "join"), 20)
     }),
     // --- LLM-pipeline: similarity search ----------------------------------
@@ -1891,6 +1912,37 @@ object SparkEntry {
         |SELECT DISTINCT doc_id FROM dg JOIN pg USING (gram)
         |ORDER BY doc_id""".stripMargin,
     "q_bm25" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> ''))::BIGINT AS dl,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> x = 'dup'))::BIGINT AS tf0,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> x = 'vector'))::BIGINT AS tf1,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> x = 'join'))::BIGINT AS tf2
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sumdl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::BIGINT AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::BIGINT AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::BIGINT AS df2
+        |  FROM base),
+        |scored AS (
+        |  SELECT doc_id, round(
+        |      ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * tf0 * 2.2
+        |        / (tf0 + 1.2 * (0.25 + 0.75 * dl / (sumdl * 1.0 / n)))
+        |    + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * tf1 * 2.2
+        |        / (tf1 + 1.2 * (0.25 + 0.75 * dl / (sumdl * 1.0 / n)))
+        |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * tf2 * 2.2
+        |        / (tf2 + 1.2 * (0.25 + 0.75 * dl / (sumdl * 1.0 / n))), 6) AS score
+        |  FROM base, stats)
+        |SELECT doc_id, score FROM scored WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // identical semantics to q_bm25 (the indexed path is provably
+    // score-identical), so the oracle is the same SQL
+    "q_bm25_indexed" ->
       """WITH base AS (
         |  SELECT doc_id,
         |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -81,6 +82,77 @@ object Search {
     scored.select(col(idCol), round(score, 6).as("score"))
       .filter(col("score") > 0)
       .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Persisted inverted index — the repeated-query path. [[bm25TopK]]
+    * re-scans the corpus per query; a standing index amortizes that at
+    * 100 TB: postings `(term, doc_id, tf, dl)` land in a strawboat table
+    * hash-bucketed by TERM with per-page term blooms, so a query's terms
+    * prune to their buckets by file NAME (the other `1 - |terms|/buckets`
+    * of the index is excluded before any IO) and blooms/prefix zone maps
+    * skip the surviving files' non-matching pages. Each posting is
+    * denormalized with its document's token count, and a one-row meta
+    * table carries the corpus constants — scoring never touches the
+    * corpus. */
+  def buildLexicalIndex(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, buckets: Int = 64): Unit = {
+    require(buckets >= 1, "buildLexicalIndex: buckets must be positive")
+    val toks = tokens(col(textCol))
+    // (term, doc, tf) in one explode + agg; dl = per-doc tf total rides a
+    // window over the doc key (one shuffle, no second tokenize pass)
+    val postings = docs
+      .select(col(idCol).as("doc_id"), explode(toks).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+    postings.select("term", "doc_id", "tf", "dl")
+      .write.format("strawboat")
+      .option("bucketBy", "term").option("buckets", buckets.toString)
+      .option("bloomColumns", "term")
+      .mode("overwrite").save(s"$dir/postings")
+    // corpus constants over ALL documents (token-less docs count toward N
+    // and the average length, exactly as in the direct scorer)
+    docs.select(size(toks).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sumdl"))
+      .write.format("strawboat").mode("overwrite").save(s"$dir/meta")
+  }
+
+  /** BM25 top-k against a [[buildLexicalIndex]] directory. Scores are
+    * IDENTICAL to [[bm25TopK]]'s — per-term contributions pivot to fixed
+    * columns (each document holds at most one posting per term, so the
+    * pivot sums add exact zeros) and the final score adds in the declared
+    * term order. Only the probed terms' buckets are read. */
+  def bm25TopKIndexed(spark: SparkSession, dir: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopKIndexed: empty query")
+    require(queryTerms.distinct.size == queryTerms.size,
+      s"bm25TopKIndexed: duplicate query terms in ${queryTerms.mkString(",")}")
+    require(queryTerms.forall(t => t.nonEmpty && t == t.toLowerCase),
+      "bm25TopKIndexed: terms must be non-empty lowercase")
+    require(k > 0, "bm25TopKIndexed: k must be positive")
+
+    val meta = spark.read.format("strawboat").load(s"$dir/meta")
+    val post = spark.read.format("strawboat").load(s"$dir/postings")
+      .filter(col("term").isin(queryTerms: _*)) // bucket + bloom + zone-map pruned
+    val dfs = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = post.join(broadcast(dfs), "term").crossJoin(broadcast(meta))
+
+    val n = col("n").cast("double")
+    val avgdl = col("sumdl").cast("double") / n
+    val norm = lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl)
+    val tf = col("tf").cast("double")
+    val idf = log((n - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val contrib = idf * tf * lit(k1 + 1.0) / (tf + norm)
+
+    val pivots = queryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === lit(t), contrib).otherwise(lit(0.0))).as(s"_c$i")
+    }
+    val pivoted = scored.groupBy(col("doc_id")).agg(pivots.head, pivots.tail: _*)
+    val score = queryTerms.indices.map(i => col(s"_c$i")).reduce(_ + _)
+    pivoted.select(col("doc_id"), round(score, 6).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
 }

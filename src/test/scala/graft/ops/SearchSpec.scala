@@ -93,6 +93,40 @@ class SearchSpec extends AnyFunSuite with BeforeAndAfterAll {
       Search.bm25TopK(df, "doc_id", "text", Seq("spark"), 0))
   }
 
+  test("indexed BM25 equals the direct scorer exactly; term buckets prune") {
+    val docs = spark.createDataFrame(corpus).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("lexidx").toString
+    Search.buildLexicalIndex(docs, "doc_id", "text", dir, buckets = 4)
+
+    for (terms <- Seq(Seq("spark", "join"), Seq("join"), Seq("watermark"),
+        Seq("shuffle", "spark", "the"))) {
+      val direct = Search.bm25TopK(docs, "doc_id", "text", terms, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val indexed = Search.bm25TopKIndexed(spark, dir, terms, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(indexed == direct, s"terms=$terms indexed=$indexed direct=$direct")
+    }
+
+    // the postings scan plans only the probed terms' buckets
+    val probe = spark.read.format("strawboat").load(s"$dir/postings")
+      .filter(org.apache.spark.sql.functions.col("term").isin("spark"))
+    val scan = probe.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.get
+    val planned = scan.toBatch.planInputPartitions().flatMap {
+      case p: graft.spark.StrawInputPartition => Seq(p.path)
+      case p: graft.spark.StrawPackedPartition => p.slices.map(_.path)
+      case _ => Seq.empty
+    }.distinct
+    val want = graft.spark.StrawBucket.bucketOf(
+      org.apache.spark.unsafe.types.UTF8String.fromString("spark"),
+      org.apache.spark.sql.types.StringType, 4)
+    assert(planned.nonEmpty)
+    assert(planned.forall(p =>
+      graft.spark.StrawBucket.parseTag(p).exists(t => t.n == 4 && t.bucket == want)),
+      s"planned files outside bucket $want: ${planned.toSeq}")
+  }
+
   test("plan is scale-safe: stats broadcast, top-k via TakeOrdered, no sort-shuffle") {
     val df = spark.createDataFrame(corpus).toDF("doc_id", "text")
     val plan = Search.bm25TopK(df, "doc_id", "text", Seq("spark"), 3)
