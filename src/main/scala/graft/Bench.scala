@@ -45,7 +45,13 @@ object Bench {
     "q_struct_filter",
     // round-9 pipeline ops: broadcast n-gram decontamination join and the
     // map-only regex redaction pass
-    "q_decontaminate", "q_pii_redact")
+    "q_decontaminate", "q_pii_redact",
+    // round-12: BM25 lexical retrieval — the corpus-scan scorer and the
+    // term-bucketed inverted-index path (index build lands in the warm-up
+    // via the fixture marker; steady state times the bucket-pruned probe).
+    // NOTE for round-over-round totals: both entries are NEW in round 12 —
+    // compare totals net of them against earlier rounds.
+    "q_bm25", "q_bm25_indexed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -533,6 +533,31 @@ object SparkEntry {
       TextOps.repetitionStats(t(s, d, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    "q_quality_threshold" -> ((s, d) => {
+      // keep the top quarter of the corpus by mean token length — the
+      // exact (interpolated-percentile) audit tier
+      val score = TextOps.qualityColumns(col("text"))
+        .find(_._1 == "mean_token_len").get._2
+      val scored = t(s, d, "documents").select(col("doc_id"), score.as("score"))
+      TextOps.keepAboveQuantile(scored, "score", 0.75, exact = true)
+        .orderBy(col("doc_id"))
+    }),
+    "q_quality_threshold_gate" -> ((s, d) => {
+      // sketch-tier gate: the approx_percentile threshold must keep a
+      // population within 5% of the corpus of the exact tier's. n_exact is
+      // independently computable by the oracle; approx_ok carries the claim.
+      val score = TextOps.qualityColumns(col("text"))
+        .find(_._1 == "mean_token_len").get._2
+      val scored = t(s, d, "documents").select(col("doc_id"), score.as("score"))
+      val ex = TextOps.keepAboveQuantile(scored, "score", 0.75, exact = true)
+        .agg(count(lit(1)).as("n_exact"))
+      val ap = TextOps.keepAboveQuantile(scored, "score", 0.75)
+        .agg(count(lit(1)).as("n_approx"))
+      val tot = scored.agg(count(lit(1)).as("n_total"))
+      ex.crossJoin(ap).crossJoin(tot).select(col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")) <= col("n_total") * 0.05)
+          .as("approx_ok"))
+    }),
     "q_pii_redact" -> ((s, d) => {
       // the corpus carries no natural PII, so the query plants deterministic
       // specimens (same expression in the oracle) and then strips them —
@@ -1880,6 +1905,24 @@ object SparkEntry {
         |    0.0) AS dup_bigram_frac
         |FROM wstats ws LEFT JOIN bstats b ON ws.doc_id = b.doc_id
         |ORDER BY ws.doc_id""".stripMargin,
+    "q_quality_threshold" ->
+      """WITH scored AS (SELECT doc_id,
+        |    round(length(regexp_replace(text, '\s', '', 'g')) * 1.0
+        |      / greatest(len(list_filter(string_split_regex(text, '\s+'),
+        |        x -> x <> '')), 1), 4) AS score
+        |  FROM documents),
+        |thr AS (SELECT round(quantile_cont(score, 0.75), 6) AS t FROM scored)
+        |SELECT doc_id, score FROM scored, thr WHERE score >= t
+        |ORDER BY doc_id""".stripMargin,
+    "q_quality_threshold_gate" -> // n_exact independently derived; gate true
+      """WITH scored AS (SELECT doc_id,
+        |    round(length(regexp_replace(text, '\s', '', 'g')) * 1.0
+        |      / greatest(len(list_filter(string_split_regex(text, '\s+'),
+        |        x -> x <> '')), 1), 4) AS score
+        |  FROM documents),
+        |thr AS (SELECT round(quantile_cont(score, 0.75), 6) AS t FROM scored)
+        |SELECT (SELECT count(*) FROM scored, thr WHERE score >= t)::BIGINT AS n_exact,
+        |  true AS approx_ok""".stripMargin,
     "q_pii_redact" ->
       """WITH aug AS (SELECT doc_id, text ||
         |    CASE doc_id % 5

@@ -91,4 +91,30 @@ object TextOps {
       when(greatest(scores: _*).getField("score") > 0,
         greatest(scores: _*).getField("lang")).otherwise(lit("und")))
   }
+
+  /** Corpus-quantile thresholding — "keep the top (1−q) of the corpus by
+    * this score", the standard quality-filter shape in pretraining
+    * pipelines. The threshold is ONE aggregated row broadcast back; the
+    * corpus itself is never shuffled, so the filter is map-only at any
+    * scale.
+    *
+    * `exact = true` computes the interpolated percentile (a sort-based
+    * aggregate — the oracle-checkable audit tier). The default uses
+    * Spark's mergeable `approx_percentile` sketch: one
+    * map-side-combinable pass, bounded memory per partition — the 100 TB
+    * tier, gated against the exact tier by q_quality_threshold_gate.
+    * The threshold is rounded to 6 decimals so a last-ulp difference in
+    * interpolation arithmetic cannot flip boundary membership across
+    * engines. */
+  def keepAboveQuantile(df: DataFrame, scoreCol: String, q: Double,
+      exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    require(q > 0 && q < 1, s"keepAboveQuantile: q must be in (0,1), got $q")
+    val agg =
+      if (exact) expr(s"percentile($scoreCol, $q)")
+      else expr(s"approx_percentile($scoreCol, $q, $accuracy)")
+    val thr = df.agg(round(agg, 6).as("_thr"))
+    df.crossJoin(broadcast(thr))
+      .filter(col(scoreCol) >= col("_thr"))
+      .drop("_thr")
+  }
 }

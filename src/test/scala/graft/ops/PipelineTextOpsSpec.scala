@@ -83,4 +83,24 @@ class PipelineTextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"expected broadcast join in:\n$plan")
   }
+
+  test("TextOps.keepAboveQuantile: exact tier matches manual percentile; approx close") {
+    val sp = spark; import sp.implicits._
+    // 0..99 shuffled across partitions; p75 of 0..99 = 74.25 interpolated
+    val df = spark.range(100).select(col("id"),
+      ((col("id") * 37) % 100).cast("double").as("score")).repartition(4)
+    val exact = TextOps.keepAboveQuantile(df, "score", 0.75, exact = true)
+    // kept = scores >= round(74.25, 6) → 75..99, 25 rows
+    assert(exact.count() == 25)
+    assert(exact.agg(min(col("score"))).head.getDouble(0) == 75.0)
+    val approx = TextOps.keepAboveQuantile(df, "score", 0.75)
+    val nA = approx.count()
+    assert(math.abs(nA - 25L) <= 5, s"approx kept $nA, exact 25")
+    // threshold is one broadcast row: the data side never shuffles
+    val plan = exact.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast threshold join in:\n$plan")
+    intercept[IllegalArgumentException](
+      TextOps.keepAboveQuantile(df, "score", 1.0))
+  }
 }
