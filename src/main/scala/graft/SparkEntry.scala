@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Ann, Decontaminate, Dedup, Multimodal, Privacy, Search, TextOps}
+import graft.ops.{Ann, Decontaminate, Dedup, Multimodal, Privacy, Search,
+  Sessionize, TextOps}
 
 /** Driver contract: every operator surfaced as a named query over
   * strawboat-format data (converted once from the parquet testdata by
@@ -1586,6 +1587,61 @@ object SparkEntry {
         .select(unix_micros(col("window.start")).as("wstart"),
           col("event_type"), col("cnt"), col("mn"), col("mx"))
         .orderBy(col("wstart"), col("event_type"))
+    }),
+    "q_stream_sessions" -> ((s, d) => {
+      // custom-state streaming: 12-hour gap sessionization through
+      // flatMapGroupsWithState (one open session per user in the state
+      // store, closed by a later-than-gap event or by the watermark via
+      // EventTimeTimeout). Same fixture shape as q_stream_windowed: the
+      // source is range-partitioned by event time (batches arrive in
+      // event-time order) and a far-future sentinel advances the watermark
+      // so every real session times out before the AvailableNow drain
+      // ends; the sentinel's own session never closes and its user_id is
+      // excluded on both sides. The oracle is the batch gaps-and-islands
+      // window — identical rule, so the stream replay must match exactly.
+      val src = Tables.strawDir(s, d, "events")
+      val augDir = src + "_sessrc"
+      val outDir = src + "_sesssink"
+      val ckpt = src + "_sessckpt"
+      val marker = new java.io.File(outDir, "_STREAMED")
+      if (!marker.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) { val c = f.listFiles; if (c != null) c.foreach(rm) }
+          f.delete(): Unit
+        }
+        rm(new java.io.File(augDir)); rm(new java.io.File(outDir)); rm(new java.io.File(ckpt))
+        val events = s.read.format("strawboat").load(src)
+        events.repartitionByRange(4, col("ts"))
+          .write.format("strawboat").mode("overwrite").save(augDir)
+        val maxMicros = events
+          .agg(max(unix_micros(col("ts").cast("timestamp"))))
+          .collect()(0).getLong(0)
+        val sentinelMicros = maxMicros + 40L * 86400L * 1000000L
+        s.range(1).select(
+          lit(-1L).as("event_id"),
+          expr(s"cast(timestamp_micros(${sentinelMicros}L) as timestamp_ntz)").as("ts"),
+          lit(-1L).as("user_id"), lit("__sentinel__").as("event_type"),
+          lit(0.0).as("value"), lit("").as("props"))
+          .write.format("strawboat").mode("append").save(augDir)
+        val stream = s.readStream.format("strawboat")
+          .option("maxFilesPerTrigger", 1).load(augDir)
+        val q = Sessionize.streamingSessions(stream,
+            "ts", "user_id", "event_id", "value", 12L * 3600 * 1000000L)
+          .writeStream.format("strawboat")
+          .option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000),
+          "q_stream_sessions: AvailableNow drain timed out — not marking the sink complete")
+        marker.createNewFile()
+      }
+      s.read.format("strawboat").load(outDir)
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), round(col("total_value"), 2).as("total_value"))
+        .orderBy(col("user_id"), col("session_start"))
     })
   )
 
@@ -2283,6 +2339,21 @@ object SparkEntry {
         |  event_type, count(*) AS cnt, round(min(value), 2) AS mn,
         |  round(max(value), 2) AS mx
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_stream_sessions" -> // batch gaps-and-islands replay of the
+      // flatMapGroupsWithState drain (12-hour gap, ties broken by event_id)
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tu, value
+        |  FROM events),
+        |x AS (SELECT *, CASE WHEN lag(tu) OVER (PARTITION BY user_id
+        |      ORDER BY tu, event_id) IS NULL
+        |    OR tu - lag(tu) OVER (PARTITION BY user_id
+        |      ORDER BY tu, event_id) > 43200000000
+        |    THEN 1 ELSE 0 END AS brk FROM e),
+        |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY tu, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+        |SELECT user_id, min(tu) AS session_start, max(tu) AS session_end,
+        |  count(*)::BIGINT AS n_events, round(sum(value), 2) AS total_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "q_scan_partitioned" ->
       """SELECT user_id, count(*) AS cnt, round(min(value), 2) AS mn
         |FROM events WHERE event_type = 'purchase'

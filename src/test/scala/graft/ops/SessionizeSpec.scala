@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Streaming gap-sessionization (flatMapGroupsWithState +
+  * EventTimeTimeout): the stream replay must equal the batch
+  * gaps-and-islands window exactly, including sessions that SPAN
+  * micro-batches (open state carried across triggers) and final sessions
+  * emitted by watermark timeout rather than by a closing event. */
+class SessionizeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var dir: String = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .appName("sessionize-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    dir = java.nio.file.Files.createTempDirectory("sessionize").toString
+  }
+
+  override def afterAll(): Unit = { if (spark != null) spark.stop() }
+
+  test("stream replay equals batch sessionization; state spans micro-batches") {
+    val sp = spark; import sp.implicits._
+    val gapMicros = 10L * 60 * 1000000 // 10 minutes
+    val base = 1704067200000000L // 2024-01-01T00:00Z in micros
+    def ev(id: Long, user: Long, offsetMin: Double, v: Double) =
+      (id, new java.sql.Timestamp(base / 1000 + (offsetMin * 60000).toLong),
+        user, v)
+    // user 1: burst at 0-5 min, burst at 30-32 (2 sessions); the first
+    // burst CROSSES the file boundary below. user 2: one long session
+    // (every 8 min — never gapped). user 3: single event.
+    val batch1 = Seq(
+      ev(1, 1, 0, 1.0), ev(2, 1, 4, 2.0),
+      ev(3, 2, 0, 5.0), ev(4, 2, 8, 5.0),
+      ev(5, 3, 2, 9.0))
+    val batch2 = Seq(
+      ev(6, 1, 5, 3.0), // continues user 1's open session from batch 1
+      ev(7, 1, 30, 4.0), ev(8, 1, 32, 4.5), // new session (gap 25 min)
+      ev(9, 2, 16, 5.0), ev(10, 2, 24, 5.0)) // still one session
+    // sentinel far in the future: advances the watermark so every real
+    // session times out before the AvailableNow drain ends
+    val sentinel = Seq(ev(99, -1, 24 * 60, 0.0))
+
+    val data = s"$dir/events"
+    for (b <- Seq(batch1, batch2, sentinel))
+      b.toDF("event_id", "ts", "user_id", "value")
+        .coalesce(1).write.format("strawboat").mode("append").save(data)
+
+    val stream = spark.readStream.format("strawboat")
+      .option("maxFilesPerTrigger", 1).load(data)
+    val q = Sessionize.streamingSessions(stream,
+        "ts", "user_id", "event_id", "value", gapMicros)
+      .writeStream.format("memory").queryName("sess_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream drain timed out")
+
+    val got = spark.sql(
+      """SELECT user_id, session_start, session_end, n_events, total_value
+        |FROM sess_out WHERE user_id >= 0
+        |ORDER BY user_id, session_start""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+
+    def m(min: Double) = base + (min * 60000000L).toLong
+    val want = Seq(
+      (1L, m(0), m(5), 3L, 6.0),    // spans batch 1 → 2
+      (1L, m(30), m(32), 2L, 8.5),  // closed by watermark timeout
+      (2L, m(0), m(24), 4L, 20.0),  // spans batches, never gapped
+      (3L, m(2), m(2), 1L, 9.0))
+    assert(got == want, s"got $got")
+  }
+
+  test("guards: non-positive gap refuses") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((1L, new java.sql.Timestamp(0L), 1L, 1.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    intercept[IllegalArgumentException](
+      Sessionize.streamingSessions(df, "ts", "user_id", "event_id", "value", 0L))
+  }
+}
