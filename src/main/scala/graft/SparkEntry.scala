@@ -595,6 +595,22 @@ object SparkEntry {
       Search.bm25TopKIndexed(s, lexIndex(s, d),
         Seq("dup", "vector", "join"), 20)
     }),
+    "q_bm25_appended" -> ((s, d) => {
+      // incremental maintenance: index built over the even doc_ids, odd
+      // half APPENDED — must score identically to the full rebuild, so it
+      // shares q_bm25's oracle too
+      val idxDir = Tables.strawDir(s, d, "documents") + "_lexidx_app"
+      val marker = new java.io.File(idxDir, "_INDEXED")
+      if (!marker.exists()) {
+        val docs = t(s, d, "documents")
+        Search.buildLexicalIndex(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", idxDir, buckets = 16)
+        Search.appendToLexicalIndex(docs.filter(col("doc_id") % 2 =!= 0),
+          "doc_id", "text", idxDir)
+        marker.createNewFile()
+      }
+      Search.bm25TopKIndexed(s, idxDir, Seq("dup", "vector", "join"), 20)
+    }),
     // --- LLM-pipeline: similarity search ----------------------------------
     "q_ann_brute" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -2039,8 +2055,37 @@ object SparkEntry {
         |  FROM base, stats)
         |SELECT doc_id, score FROM scored WHERE score > 0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
-    // identical semantics to q_bm25 (the indexed path is provably
-    // score-identical), so the oracle is the same SQL
+    // identical semantics to q_bm25 (the indexed and append-maintained
+    // paths are provably score-identical), so the oracle is the same SQL
+    "q_bm25_appended" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> ''))::BIGINT AS dl,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> x = 'dup'))::BIGINT AS tf0,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> x = 'vector'))::BIGINT AS tf1,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> x = 'join'))::BIGINT AS tf2
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sumdl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::BIGINT AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::BIGINT AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::BIGINT AS df2
+        |  FROM base),
+        |scored AS (
+        |  SELECT doc_id, round(
+        |      ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * tf0 * 2.2
+        |        / (tf0 + 1.2 * (0.25 + 0.75 * dl / (sumdl * 1.0 / n)))
+        |    + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * tf1 * 2.2
+        |        / (tf1 + 1.2 * (0.25 + 0.75 * dl / (sumdl * 1.0 / n)))
+        |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * tf2 * 2.2
+        |        / (tf2 + 1.2 * (0.25 + 0.75 * dl / (sumdl * 1.0 / n))), 6) AS score
+        |  FROM base, stats)
+        |SELECT doc_id, score FROM scored WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "q_bm25_indexed" ->
       """WITH base AS (
         |  SELECT doc_id,

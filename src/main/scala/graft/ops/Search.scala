@@ -117,6 +117,47 @@ object Search {
       .write.format("strawboat").mode("overwrite").save(s"$dir/meta")
   }
 
+  /** Incrementally index new documents into a [[buildLexicalIndex]]
+    * directory: their postings APPEND into the term-bucketed layout (the
+    * sidecar spec gates the bucket count/key, so the co-location survives
+    * by construction) and the one-row meta table advances by the new
+    * documents' exact (count, token-total) delta. Because document
+    * frequency is derived from the postings at query time and the meta
+    * row adds exactly, an appended index scores IDENTICALLY to a full
+    * rebuild over the union (spec-pinned). The caller must not re-append
+    * documents already indexed — postings are per-document rows, so a
+    * duplicate id would double-count (same contract as the IVF append).
+    * The postings commit lands before the meta swap; a crash between them
+    * leaves scores on the stale corpus constants (slightly off, never
+    * structurally wrong) until the append is retried. */
+  def appendToLexicalIndex(newDocs: DataFrame, idCol: String,
+      textCol: String, dir: String): Unit = {
+    val spark = newDocs.sparkSession
+    val buckets = graft.spark.StrawBucket.specOf(s"$dir/postings").getOrElse(
+      throw new IllegalArgumentException(
+        s"appendToLexicalIndex: $dir/postings carries no bucket spec — " +
+          "not a buildLexicalIndex directory"))._2
+    val toks = tokens(col(textCol))
+    val postings = newDocs
+      .select(col(idCol).as("doc_id"), explode(toks).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+    postings.select("term", "doc_id", "tf", "dl")
+      .write.format("strawboat")
+      .option("bucketBy", "term").option("buckets", buckets.toString)
+      .option("bloomColumns", "term")
+      .mode("append").save(s"$dir/postings")
+    val old = spark.read.format("strawboat").load(s"$dir/meta")
+      .select(col("n"), col("sumdl")).head()
+    val delta = newDocs.select(size(toks).cast("long").as("dl"))
+      .agg(count(lit(1)).as("dn"),
+        coalesce(sum(col("dl")), lit(0L)).as("dsum")).head()
+    spark.range(1).select(
+        lit(old.getLong(0) + delta.getLong(0)).as("n"),
+        lit(old.getLong(1) + delta.getLong(1)).as("sumdl"))
+      .write.format("strawboat").mode("overwrite").save(s"$dir/meta")
+  }
+
   /** BM25 top-k against a [[buildLexicalIndex]] directory. Scores are
     * IDENTICAL to [[bm25TopK]]'s — per-term contributions pivot to fixed
     * columns (each document holds at most one posting per term, so the

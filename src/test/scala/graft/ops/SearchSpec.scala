@@ -127,6 +127,28 @@ class SearchSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"planned files outside bucket $want: ${planned.toSeq}")
   }
 
+  test("appended index scores identically to a full rebuild and the direct scorer") {
+    val docs = spark.createDataFrame(corpus).toDF("doc_id", "text")
+    val half1 = docs.filter(org.apache.spark.sql.functions.col("doc_id") <= 3)
+    val half2 = docs.filter(org.apache.spark.sql.functions.col("doc_id") > 3)
+    val dir = java.nio.file.Files.createTempDirectory("lexappend").toString
+    Search.buildLexicalIndex(half1, "doc_id", "text", dir, buckets = 4)
+    Search.appendToLexicalIndex(half2, "doc_id", "text", dir)
+
+    for (terms <- Seq(Seq("spark", "join"), Seq("shuffle"))) {
+      val direct = Search.bm25TopK(docs, "doc_id", "text", terms, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val appended = Search.bm25TopKIndexed(spark, dir, terms, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(appended == direct, s"terms=$terms appended=$appended direct=$direct")
+    }
+    // a non-index directory refuses loudly
+    val plain = java.nio.file.Files.createTempDirectory("notidx").toString
+    docs.write.format("strawboat").mode("overwrite").save(s"$plain/postings")
+    intercept[IllegalArgumentException](
+      Search.appendToLexicalIndex(half2, "doc_id", "text", plain))
+  }
+
   test("plan is scale-safe: stats broadcast, top-k via TakeOrdered, no sort-shuffle") {
     val df = spark.createDataFrame(corpus).toDF("doc_id", "text")
     val plan = Search.bm25TopK(df, "doc_id", "text", Seq("spark"), 3)
