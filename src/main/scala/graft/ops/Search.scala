@@ -107,6 +107,7 @@ object Search {
       .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
     postings.select("term", "doc_id", "tf", "dl")
       .write.format("strawboat")
+      .option("sortBy", "term,doc_id") // term-clustered pages -> zone maps
       .option("bucketBy", "term").option("buckets", buckets.toString)
       .option("bloomColumns", "term")
       .mode("overwrite").save(s"$dir/postings")
@@ -144,6 +145,7 @@ object Search {
       .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
     postings.select("term", "doc_id", "tf", "dl")
       .write.format("strawboat")
+      .option("sortBy", "term,doc_id") // term-clustered pages -> zone maps
       .option("bucketBy", "term").option("buckets", buckets.toString)
       .option("bloomColumns", "term")
       .mode("append").save(s"$dir/postings")
@@ -176,8 +178,11 @@ object Search {
     val meta = spark.read.format("strawboat").load(s"$dir/meta")
     val post = spark.read.format("strawboat").load(s"$dir/postings")
       .filter(col("term").isin(queryTerms: _*)) // bucket + bloom + zone-map pruned
-    val dfs = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = post.join(broadcast(dfs), "term").crossJoin(broadcast(meta))
+    // per-term document frequency as a window over the pruned postings —
+    // ONE scan of the index (a groupBy+self-join would read it twice)
+    val withDf = post.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("term"))))
+    val scored = withDf.crossJoin(broadcast(meta))
 
     val n = col("n").cast("double")
     val avgdl = col("sumdl").cast("double") / n
