@@ -595,6 +595,23 @@ object SparkEntry {
       Search.bm25TopKIndexed(s, lexIndex(s, d),
         Seq("dup", "vector", "join"), 20)
     }),
+    "q_phrase_search" -> ((s, d) => {
+      // positional index: exact 2- and 3-token phrase lookups, no corpus
+      // access — the oracle replays them as token-string containment
+      val idxDir = Tables.strawDir(s, d, "documents") + "_lexidx_pos"
+      val marker = new java.io.File(idxDir, "_INDEXED")
+      if (!marker.exists()) {
+        Search.buildLexicalIndex(t(s, d, "documents"), "doc_id", "text",
+          idxDir, buckets = 16, positions = true)
+        marker.createNewFile()
+      }
+      Search.phraseSearch(s, idxDir, Seq("hash", "join"))
+        .withColumn("phrase", lit("hash join"))
+        .unionAll(
+          Search.phraseSearch(s, idxDir, Seq("merge", "sort", "group"))
+            .withColumn("phrase", lit("merge sort group")))
+        .orderBy(col("phrase"), col("doc_id"))
+    }),
     "q_bm25_appended" -> ((s, d) => {
       // incremental maintenance: index built over the even doc_ids, odd
       // half APPENDED — must score identically to the full rebuild, so it
@@ -2055,6 +2072,19 @@ object SparkEntry {
         |  FROM base, stats)
         |SELECT doc_id, score FROM scored WHERE score > 0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q_phrase_search" -> // phrase = consecutive tokens, replayed as
+      // containment in the space-joined token string
+      """WITH s AS (SELECT doc_id,
+        |    ' ' || array_to_string(list_filter(
+        |      regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> ''), ' ') || ' ' AS t
+        |  FROM documents)
+        |SELECT doc_id, 'hash join' AS phrase FROM s
+        |WHERE t LIKE '% hash join %'
+        |UNION ALL
+        |SELECT doc_id, 'merge sort group' AS phrase FROM s
+        |WHERE t LIKE '% merge sort group %'
+        |ORDER BY phrase, doc_id""".stripMargin,
     // identical semantics to q_bm25 (the indexed and append-maintained
     // paths are provably score-identical), so the oracle is the same SQL
     "q_bm25_appended" ->

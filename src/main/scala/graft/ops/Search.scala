@@ -96,16 +96,28 @@ object Search {
     * table carries the corpus constants — scoring never touches the
     * corpus. */
   def buildLexicalIndex(docs: DataFrame, idCol: String, textCol: String,
-      dir: String, buckets: Int = 64): Unit = {
+      dir: String, buckets: Int = 64, positions: Boolean = false): Unit = {
     require(buckets >= 1, "buildLexicalIndex: buckets must be positive")
     val toks = tokens(col(textCol))
     // (term, doc, tf) in one explode + agg; dl = per-doc tf total rides a
-    // window over the doc key (one shuffle, no second tokenize pass)
-    val postings = docs
-      .select(col(idCol).as("doc_id"), explode(toks).as("term"))
-      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    // window over the doc key (one shuffle, no second tokenize pass).
+    // With `positions`, each posting also carries the term's sorted token
+    // ordinals — what [[phraseSearch]] checks adjacency against.
+    val exploded =
+      if (positions)
+        docs.select(col(idCol).as("doc_id"),
+            posexplode(toks).as(Seq("pos", "term")))
+          .groupBy(col("term"), col("doc_id"))
+          .agg(count(lit(1)).as("tf"),
+            sort_array(collect_list(col("pos"))).as("positions"))
+      else
+        docs.select(col(idCol).as("doc_id"), explode(toks).as("term"))
+          .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val postings = exploded
       .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
-    postings.select("term", "doc_id", "tf", "dl")
+    val cols = Seq("term", "doc_id", "tf", "dl") ++
+      (if (positions) Seq("positions") else Nil)
+    postings.select(cols.map(col): _*)
       .write.format("strawboat")
       .option("sortBy", "term,doc_id") // term-clustered pages -> zone maps
       .option("bucketBy", "term").option("buckets", buckets.toString)
@@ -139,11 +151,24 @@ object Search {
         s"appendToLexicalIndex: $dir/postings carries no bucket spec — " +
           "not a buildLexicalIndex directory"))._2
     val toks = tokens(col(textCol))
-    val postings = newDocs
-      .select(col(idCol).as("doc_id"), explode(toks).as("term"))
-      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    // match the existing schema: a positional index appends positions too
+    val positional = spark.read.format("strawboat").load(s"$dir/postings")
+      .schema.fieldNames.contains("positions")
+    val exploded =
+      if (positional)
+        newDocs.select(col(idCol).as("doc_id"),
+            posexplode(toks).as(Seq("pos", "term")))
+          .groupBy(col("term"), col("doc_id"))
+          .agg(count(lit(1)).as("tf"),
+            sort_array(collect_list(col("pos"))).as("positions"))
+      else
+        newDocs.select(col(idCol).as("doc_id"), explode(toks).as("term"))
+          .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val postings = exploded
       .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
-    postings.select("term", "doc_id", "tf", "dl")
+    val cols = Seq("term", "doc_id", "tf", "dl") ++
+      (if (positional) Seq("positions") else Nil)
+    postings.select(cols.map(col): _*)
       .write.format("strawboat")
       .option("sortBy", "term,doc_id") // term-clustered pages -> zone maps
       .option("bucketBy", "term").option("buckets", buckets.toString)
@@ -158,6 +183,37 @@ object Search {
         lit(old.getLong(0) + delta.getLong(0)).as("n"),
         lit(old.getLong(1) + delta.getLong(1)).as("sumdl"))
       .write.format("strawboat").mode("overwrite").save(s"$dir/meta")
+  }
+
+  /** Exact-phrase search against a POSITIONAL index
+    * (`buildLexicalIndex(..., positions = true)`): documents containing
+    * the phrase's tokens consecutively, in order. Each term's postings
+    * prune to their bucket (and, term-sorted, to their pages); the
+    * per-term (doc, positions) lists then inner-join on the document and
+    * a codegen'd `exists` checks adjacency — `p` in term 0's list with
+    * `p+i` in term i's for all i. No corpus access, no driver-side state;
+    * the joins carry only the phrase terms' postings. */
+  def phraseSearch(spark: SparkSession, dir: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch: empty phrase")
+    require(phrase.forall(t => t.nonEmpty && t == t.toLowerCase),
+      "phraseSearch: terms must be non-empty lowercase")
+    val post = spark.read.format("strawboat").load(s"$dir/postings")
+    require(post.schema.fieldNames.contains("positions"),
+      s"phraseSearch: $dir/postings carries no positions — rebuild the " +
+        "index with buildLexicalIndex(..., positions = true)")
+    // one pruned scan per DISTINCT term (a repeated term reuses its frame)
+    val frames: Map[String, DataFrame] = phrase.distinct.map { t =>
+      t -> post.filter(col("term") === t).select(col("doc_id"), col("positions"))
+    }.toMap
+    val joined = phrase.zipWithIndex.map { case (t, i) =>
+      frames(t).select(col("doc_id"), col("positions").as(s"_p$i"))
+    }.reduce((a, b) => a.join(b, "doc_id"))
+    val adjacent = exists(col("_p0"), p =>
+      phrase.indices.tail
+        .map(i => array_contains(col(s"_p$i"), p + lit(i)))
+        .foldLeft(lit(true))(_ && _))
+    joined.filter(adjacent).select(col("doc_id")).orderBy(col("doc_id"))
   }
 
   /** BM25 top-k against a [[buildLexicalIndex]] directory. Scores are

@@ -149,6 +149,38 @@ class SearchSpec extends AnyFunSuite with BeforeAndAfterAll {
       Search.appendToLexicalIndex(half2, "doc_id", "text", plain))
   }
 
+  test("positional index: phrase search is exact, ordered, and append-safe") {
+    val docs = spark.createDataFrame(corpus).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("lexpos").toString
+    Search.buildLexicalIndex(docs.filter(
+        org.apache.spark.sql.functions.col("doc_id") <= 4),
+      "doc_id", "text", dir, buckets = 4, positions = true)
+    Search.appendToLexicalIndex(docs.filter(
+        org.apache.spark.sql.functions.col("doc_id") > 4),
+      "doc_id", "text", dir)
+
+    def hits(phrase: String*): Seq[Long] =
+      Search.phraseSearch(spark, dir, phrase).collect().map(_.getLong(0)).toSeq
+    assert(hits("shuffle", "join") == Seq(1L)) // "spark shuffle join ..."
+    assert(hits("join", "shuffle") == Seq.empty) // order matters
+    assert(hits("spark", "shuffle", "join") == Seq(1L)) // 3-term
+    assert(hits("join", "join") == Seq(2L)) // repeated term, adjacency real
+    assert(hits("the", "lazy", "dog") == Seq(5L)) // punctuation-split tokens
+    assert(hits("spark") == Seq(1L, 4L, 6L)) // single term degenerates to lookup
+    assert(hits("nonexistent", "phrase") == Seq.empty)
+
+    // BM25 still works on a positional index (extra leaf is pruned away)
+    val bm = Search.bm25TopKIndexed(spark, dir, Seq("spark"), 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(bm.toSet == Set(1L, 4L, 6L))
+
+    // a positions-less index refuses phrase search loudly
+    val flat = java.nio.file.Files.createTempDirectory("lexflat").toString
+    Search.buildLexicalIndex(docs, "doc_id", "text", flat, buckets = 4)
+    intercept[IllegalArgumentException](
+      Search.phraseSearch(spark, flat, Seq("spark", "shuffle")))
+  }
+
   test("plan is scale-safe: stats broadcast, top-k via TakeOrdered, no sort-shuffle") {
     val df = spark.createDataFrame(corpus).toDF("doc_id", "text")
     val plan = Search.bm25TopK(df, "doc_id", "text", Seq("spark"), 3)
