@@ -1675,6 +1675,47 @@ object SparkEntry {
         .select(col("user_id"), col("session_start"), col("session_end"),
           col("n_events"), round(col("total_value"), 2).as("total_value"))
         .orderBy(col("user_id"), col("session_start"))
+    }),
+    "q_stream_dedup" -> ((s, d) => {
+      // streaming exact dedup, first-writer-wins: originals stream first
+      // (range-partitioned by doc_id), then id-shifted COPIES of every
+      // text land in later micro-batches — the state store must swallow
+      // them all, so every kept id is the original. One emission per
+      // digest ever (exactly-once pinned by the oracle's row count).
+      val src = Tables.strawDir(s, d, "documents")
+      val augDir = src + "_ddsrc"
+      val outDir = src + "_ddsink"
+      val ckpt = src + "_ddckpt"
+      val marker = new java.io.File(outDir, "_STREAMED")
+      if (!marker.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) { val c = f.listFiles; if (c != null) c.foreach(rm) }
+          f.delete(): Unit
+        }
+        rm(new java.io.File(augDir)); rm(new java.io.File(outDir)); rm(new java.io.File(ckpt))
+        val docs = s.read.format("strawboat").load(src)
+          .select(col("doc_id"), col("text"))
+        docs.repartitionByRange(4, col("doc_id"))
+          .write.format("strawboat").mode("overwrite").save(augDir)
+        docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+          .coalesce(2)
+          .write.format("strawboat").mode("append").save(augDir)
+        val stream = s.readStream.format("strawboat")
+          .option("maxFilesPerTrigger", 1).load(augDir)
+        val q = Dedup.streamingFirstSeen(stream, "doc_id", "text")
+          .toDF("digest", "keep_id")
+          .writeStream.format("strawboat")
+          .option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000),
+          "q_stream_dedup: AvailableNow drain timed out — not marking the sink complete")
+        marker.createNewFile()
+      }
+      s.read.format("strawboat").load(outDir)
+        .orderBy(col("digest"))
     })
   )
 
@@ -2429,6 +2470,11 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_events, round(sum(value), 2) AS total_value
         |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "q_stream_dedup" -> // the streamed union is originals + id-shifted
+      // copies, so min(doc_id) per digest over it IS the original id; the
+      // row count pins exactly-once emission
+      """SELECT md5(text) AS digest, doc_id AS keep_id
+        |FROM documents ORDER BY digest""".stripMargin,
     "q_scan_partitioned" ->
       """SELECT user_id, count(*) AS cnt, round(min(value), 2) AS mn
         |FROM events WHERE event_type = 'purchase'

@@ -21,6 +21,37 @@ object Dedup {
         min(org.apache.spark.sql.functions.col(idCol)).as("keep_id"),
         count(lit(1)).as("dup_count"))
 
+  /** STREAMING exact dedup, first-writer-wins: one row per distinct
+    * content digest, emitted exactly once — in the first micro-batch that
+    * carries it — with the smallest id of that batch's group. State is one
+    * marker per distinct digest (flatMapGroupsWithState, no timeout): the
+    * inherent cost of exact dedup over an unbounded stream; bound it by
+    * keying on time-windowed digests or switch to
+    * `dropDuplicatesWithinWatermark` when the duplicate horizon is
+    * time-limited. If the stream admits batches in ascending-id order (the
+    * replay/backfill shape), the kept id is the GLOBAL minimum per digest —
+    * what a batch `groupBy(digest).min(id)` oracle replays. */
+  def streamingFirstSeen(stream: DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.Dataset[(String, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(
+        md5(org.apache.spark.sql.functions.col(textCol)).as("digest"),
+        org.apache.spark.sql.functions.col(idCol).cast("long").as("keep_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (digest, rows, state) =>
+          if (state.exists) Iterator.empty // emitted in an earlier batch
+          else {
+            state.update(true)
+            Iterator.single((digest, rows.map(_._2).min))
+          }
+      }
+  }
+
   /** Distinct k-character shingles of `text` as 64-bit hashes, one row per
     * (id, shingle) — the codegen'd [[graft.functions.ShingleHashes]] kernel
     * (one pass over the UTF-8 bytes per row; the SQL sequence/transform/

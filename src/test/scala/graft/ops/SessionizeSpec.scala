@@ -81,6 +81,29 @@ class SessionizeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want, s"got $got")
   }
 
+  test("streaming first-seen dedup: one emission per digest, earliest batch wins") {
+    val sp = spark; import sp.implicits._
+    val data = s"$dir/dedup"
+    // batch 1: ids 1-3, texts a/b/a; batch 2: ids 4-6 re-sending a/b/c
+    Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("doc_id", "text")
+      .coalesce(1).write.format("strawboat").mode("append").save(data)
+    Seq((4L, "a"), (5L, "b"), (6L, "c")).toDF("doc_id", "text")
+      .coalesce(1).write.format("strawboat").mode("append").save(data)
+    val stream = spark.readStream.format("strawboat")
+      .option("maxFilesPerTrigger", 1).load(data)
+    val q = Dedup.streamingFirstSeen(stream, "doc_id", "text")
+      .toDF("digest", "keep_id")
+      .writeStream.format("memory").queryName("dd_out")
+      .option("checkpointLocation", s"$dir/ddckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream drain timed out")
+    val got = spark.sql("SELECT keep_id FROM dd_out ORDER BY keep_id")
+      .collect().map(_.getLong(0)).toSeq
+    // 'a' kept once with batch-1 min id 1; 'b' id 2; 'c' first seen batch 2
+    assert(got == Seq(1L, 2L, 6L), s"got $got")
+  }
+
   test("guards: non-positive gap refuses") {
     val sp = spark; import sp.implicits._
     val df = Seq((1L, new java.sql.Timestamp(0L), 1L, 1.0))
