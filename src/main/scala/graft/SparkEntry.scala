@@ -595,6 +595,14 @@ object SparkEntry {
       Search.bm25TopKIndexed(s, lexIndex(s, d),
         Seq("dup", "vector", "join"), 20)
     }),
+    "q_hybrid_search" -> ((s, d) => {
+      // reciprocal-rank fusion of the BM25 ranking (documents) and the
+      // cosine ranking against doc 0's embedding — both pools top-100
+      Search.hybridTopK(t(s, d, "documents"), "doc_id", "text",
+        Seq("dup", "vector", "join"),
+        t(s, d, "embeddings"),
+        t(s, d, "embeddings").filter(col("vec_id") === 0), 20)
+    }),
     "q_phrase_search" -> ((s, d) => {
       // positional index: exact 2- and 3-token phrase lookups, no corpus
       // access — the oracle replays them as token-string containment
@@ -2113,6 +2121,54 @@ object SparkEntry {
         |  FROM base, stats)
         |SELECT doc_id, score FROM scored WHERE score > 0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q_hybrid_search" -> // RRF over the replayed BM25 pool and the
+      // cosine ranking vs doc 0's embedding (same poolSize/rrfK/tiebreaks)
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> ''))::BIGINT AS dl,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> x = 'dup'))::BIGINT AS tf0,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> x = 'vector'))::BIGINT AS tf1,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> x = 'join'))::BIGINT AS tf2
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sumdl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::BIGINT AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::BIGINT AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::BIGINT AS df2
+        |  FROM base),
+        |lexscored AS (
+        |  SELECT doc_id, round(
+        |      ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * tf0 * 2.2
+        |        / (tf0 + 1.2 * (0.25 + 0.75 * dl / (sumdl * 1.0 / n)))
+        |    + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * tf1 * 2.2
+        |        / (tf1 + 1.2 * (0.25 + 0.75 * dl / (sumdl * 1.0 / n)))
+        |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * tf2 * 2.2
+        |        / (tf2 + 1.2 * (0.25 + 0.75 * dl / (sumdl * 1.0 / n))), 6) AS score
+        |  FROM base, stats),
+        |lexpool AS (
+        |  SELECT doc_id, score FROM lexscored WHERE score > 0
+        |  ORDER BY score DESC, doc_id LIMIT 100),
+        |lex AS (
+        |  SELECT doc_id AS id,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+        |  FROM lexpool),
+        |vec AS (
+        |  SELECT id, vec_rank FROM (
+        |    SELECT c.vec_id AS id, row_number() OVER (
+        |        ORDER BY round(list_cosine_similarity(q.embedding, c.embedding), 4) DESC,
+        |          c.vec_id) AS vec_rank
+        |    FROM embeddings c, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |    WHERE c.vec_id <> 0)
+        |  WHERE vec_rank <= 100)
+        |SELECT coalesce(l.id, v.id) AS id,
+        |  round(coalesce(1.0 / (60 + lex_rank), 0.0)
+        |      + coalesce(1.0 / (60 + vec_rank), 0.0), 6) AS rrf
+        |FROM lex l FULL OUTER JOIN vec v ON l.id = v.id
+        |ORDER BY rrf DESC, id LIMIT 20""".stripMargin,
     "q_phrase_search" -> // phrase = consecutive tokens, replayed as
       // containment in the space-joined token string
       """WITH s AS (SELECT doc_id,

@@ -85,6 +85,37 @@ object Search {
       .limit(k)
   }
 
+  /** Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25) and
+    * vector (cosine) rankings — fused score = Σ 1/(rrfK + rank) over the
+    * lists a document appears in, the standard zero-tuning fusion in
+    * modern retrieval stacks. Both pools are top-`poolSize` with
+    * deterministic score-then-id tiebreaks, the vector side rides
+    * [[Ann.bruteForceTopK]] (swap in the IVF/LSH tiers at scale — any
+    * ranked (neighbor_id, rank) frame fuses the same way), the fused
+    * score rounds to 6 decimals, and final ties break on the id — so the
+    * result is engine-reproducible. Pools are k-bounded, so the fusion
+    * join moves `2 · poolSize` rows regardless of corpus size. */
+  def hybridTopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], emb: DataFrame, queries: DataFrame, k: Int,
+      poolSize: Int = 100, rrfK: Int = 60,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(k > 0 && poolSize >= k,
+      s"hybridTopK: need poolSize >= k > 0, got k=$k poolSize=$poolSize")
+    val spark = docs.sparkSession
+    val lex = bm25TopK(docs, idCol, textCol, queryTerms, poolSize)
+      .select(col(idCol).as("id"), row_number()
+        .over(Window.orderBy(col("score").desc, col(idCol))).as("lex_rank"))
+    val vec = Ann.bruteForceTopK(spark, emb, queries, poolSize, excludeSelf)
+      .select(col("neighbor_id").as("id"), col("rank").as("vec_rank"))
+    lex.join(vec, Seq("id"), "full_outer")
+      .select(col("id"), round(
+          coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0)),
+          6).as("rrf"))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(k)
+  }
+
   /** Persisted inverted index — the repeated-query path. [[bm25TopK]]
     * re-scans the corpus per query; a standing index amortizes that at
     * 100 TB: postings `(term, doc_id, tf, dl)` land in a strawboat table

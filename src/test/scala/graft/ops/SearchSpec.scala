@@ -181,6 +181,28 @@ class SearchSpec extends AnyFunSuite with BeforeAndAfterAll {
       Search.phraseSearch(spark, flat, Seq("spark", "shuffle")))
   }
 
+  test("hybrid RRF: both-list docs outrank single-list docs; pools bound the join") {
+    val sp = spark; import sp.implicits._
+    val docs = spark.createDataFrame(corpus).toDF("doc_id", "text")
+    // embeddings: doc 1 near the query (doc 6's vector), doc 3 far
+    val emb = Seq(
+      (1L, Array(1.0f, 0.1f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f)), (4L, Array(0.9f, 0.2f)),
+      (5L, Array(0.1f, 0.9f)), (6L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Search.hybridTopK(docs, "doc_id", "text", Seq("spark"),
+      emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") === 6), 6)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // doc 1: lexical hit ('spark') AND nearest vector -> fused top
+    assert(got.head._1 == 1L, s"got ${got.toSeq}")
+    // docs on one list only still appear, with a single reciprocal term
+    assert(got.map(_._1).contains(3L))
+    assert(got.map(_._2).forall(v => v > 0))
+    intercept[IllegalArgumentException](
+      Search.hybridTopK(docs, "doc_id", "text", Seq("spark"),
+        emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") === 6), 10, poolSize = 5))
+  }
+
   test("plan is scale-safe: stats broadcast, top-k via TakeOrdered, no sort-shuffle") {
     val df = spark.createDataFrame(corpus).toDF("doc_id", "text")
     val plan = Search.bm25TopK(df, "doc_id", "text", Seq("spark"), 3)
