@@ -26,10 +26,8 @@ object SparkEntry {
   /** The two-commit time-travel fixture (q_timetravel / q_history): even
     * doc_ids as log version 1 (truncate of a fresh dir), odd as version 2
     * (append). Built once per sf, marker-cached like the conversions. */
-  private def ttTable(s: SparkSession, d: String): String = {
-    val ttDir = Tables.strawDir(s, d, "documents") + "_tt"
-    val marker = new java.io.File(ttDir, "_OK")
-    if (!marker.exists()) {
+  private def ttTable(s: SparkSession, d: String): String =
+    cachedFixture(Tables.strawDir(s, d, "documents") + "_tt", "_OK") { ttDir =>
       val docs = t(s, d, "documents")
       docs.filter(col("doc_id") % 2 === 0)
         .write.format("strawboat").mode("overwrite").save(ttDir)
@@ -37,24 +35,84 @@ object SparkEntry {
         .write.format("strawboat").mode("append").save(ttDir)
       require(graft.spark.StrawLog.latestVersion(ttDir).exists(_ >= 2L),
         "timetravel fixture: expected at least two log versions")
+    }
+
+  /** Marker-cached fixture: `build(dir)` runs once per (dir, marker) —
+    * the sf-scoped one-time table derivations (indexes, streamed sinks)
+    * all cache this way, like the conversions. */
+  private def cachedFixture(dir: String, markerName: String)
+      (build: String => Unit): String = {
+    val marker = new java.io.File(dir, markerName)
+    if (!marker.exists()) {
+      build(dir)
       marker.createNewFile()
     }
-    ttDir
+    dir
   }
 
-  /** The persisted lexical index fixture (q_bm25_indexed): documents
-    * inverted into a term-bucketed postings table + one-row meta through
-    * [[graft.ops.Search.buildLexicalIndex]]. Built once per sf,
-    * marker-cached like the conversions. */
-  private def lexIndex(s: SparkSession, d: String): String = {
-    val idxDir = Tables.strawDir(s, d, "documents") + "_lexidx"
-    val marker = new java.io.File(idxDir, "_INDEXED")
-    if (!marker.exists()) {
-      Search.buildLexicalIndex(t(s, d, "documents"), "doc_id", "text",
-        idxDir, buckets = 16)
-      marker.createNewFile()
+  /** The persisted lexical index fixtures (q_bm25_indexed /
+    * q_bm25_appended / q_phrase_search): documents inverted into a
+    * term-bucketed postings table + one-row meta through
+    * [[graft.ops.Search.buildLexicalIndex]]. Built once per sf. */
+  private def lexIndex(s: SparkSession, d: String): String =
+    cachedFixture(Tables.strawDir(s, d, "documents") + "_lexidx", "_INDEXED") {
+      dir => Search.buildLexicalIndex(t(s, d, "documents"), "doc_id", "text",
+        dir, buckets = 16)
     }
-    idxDir
+
+  /** Shared streaming-fixture scaffold (q_stream_windowed / _sessions /
+    * _dedup): wipes (source, sink, checkpoint), writes the source
+    * RANGE-PARTITIONED by `orderCol` into 4 files so micro-batches arrive
+    * in event order — files admit in (mtime, path) order and part file
+    * names follow partition ids; a time-arbitrary split would let batch 1
+    * advance the watermark past the whole history and every later batch
+    * would drop as late data, the standard replayed-backlog pitfall —
+    * then appends the `extras` frames (sentinels, duplicate replays) as
+    * LATER batches, drains `transform` of the one-file-per-trigger stream
+    * into a strawboat sink with AvailableNow, and marker-caches the sink.
+    * @return the sink directory */
+  private def streamedSink(s: SparkSession, base: String, suffix: String,
+      source: => DataFrame, orderCol: String, extras: DataFrame => Seq[DataFrame])(
+      transform: DataFrame => DataFrame): String =
+    cachedFixture(base + s"_${suffix}sink", "_STREAMED") { outDir =>
+      val augDir = base + s"_${suffix}src"
+      val ckpt = base + s"_${suffix}ckpt"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) { val c = f.listFiles; if (c != null) c.foreach(rm) }
+        f.delete(): Unit
+      }
+      rm(new java.io.File(augDir)); rm(new java.io.File(outDir)); rm(new java.io.File(ckpt))
+      val src = source
+      src.repartitionByRange(4, col(orderCol))
+        .write.format("strawboat").mode("overwrite").save(augDir)
+      extras(src).foreach(
+        _.write.format("strawboat").mode("append").save(augDir))
+      val q = transform(s.readStream.format("strawboat")
+          .option("maxFilesPerTrigger", 1).load(augDir))
+        .writeStream.format("strawboat")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000),
+        s"q_stream_$suffix: AvailableNow drain timed out — not marking the sink complete")
+    }
+
+  /** A far-future sentinel row in the events schema: advances the
+    * watermark so every real window/session closes before the
+    * AvailableNow drain terminates; its own (never-closed) state stays in
+    * the store and its ids are excluded on both sides. */
+  private def eventsSentinel(s: SparkSession, events: DataFrame): DataFrame = {
+    val maxMicros = events
+      .agg(max(unix_micros(col("ts").cast("timestamp"))))
+      .collect()(0).getLong(0)
+    val sentinelMicros = maxMicros + 40L * 86400L * 1000000L
+    s.range(1).select(
+      lit(-1L).as("event_id"),
+      expr(s"cast(timestamp_micros(${sentinelMicros}L) as timestamp_ntz)").as("ts"),
+      lit(-1L).as("user_id"), lit("__sentinel__").as("event_type"),
+      lit(0.0).as("value"), lit("").as("props"))
   }
 
   /** events.ts is TIMESTAMP(µs); calendar fields come straight off the
@@ -67,16 +125,11 @@ object SparkEntry {
     * directories THROUGH the partitioned columnar bulk loader
     * (run-dispatched batch ingest) so the driver's oracles gate that path.
     * Built once per sf, marker-cached. */
-  private def byTypeTable(s: SparkSession, d: String): String = {
-    val pdir = Tables.strawDir(s, d, "events") + "_bytype"
-    val marker = new java.io.File(pdir, "_PARTITIONED")
-    if (!marker.exists()) {
-      graft.spark.StrawBulkLoad.save(t(s, d, "events"), pdir,
+  private def byTypeTable(s: SparkSession, d: String): String =
+    cachedFixture(Tables.strawDir(s, d, "events") + "_bytype", "_PARTITIONED") {
+      pdir => graft.spark.StrawBulkLoad.save(t(s, d, "events"), pdir,
         partitionCols = Seq("event_type"))
-      marker.createNewFile()
     }
-    pdir
-  }
 
   /** The deleted-documents fixture (q_delete / q_delete_count): a copy of
     * documents with short docs (n_chars < 200) removed via the
@@ -549,7 +602,10 @@ object SparkEntry {
       // independently computable by the oracle; approx_ok carries the claim.
       val score = TextOps.qualityColumns(col("text"))
         .find(_._1 == "mean_token_len").get._2
+      // persisted: the gate evaluates this frame five times (two threshold
+      // aggregates, two filters, the total) — score the regexes once
       val scored = t(s, d, "documents").select(col("doc_id"), score.as("score"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ex = TextOps.keepAboveQuantile(scored, "score", 0.75, exact = true)
         .agg(count(lit(1)).as("n_exact"))
       val ap = TextOps.keepAboveQuantile(scored, "score", 0.75)
@@ -606,12 +662,10 @@ object SparkEntry {
     "q_phrase_search" -> ((s, d) => {
       // positional index: exact 2- and 3-token phrase lookups, no corpus
       // access — the oracle replays them as token-string containment
-      val idxDir = Tables.strawDir(s, d, "documents") + "_lexidx_pos"
-      val marker = new java.io.File(idxDir, "_INDEXED")
-      if (!marker.exists()) {
-        Search.buildLexicalIndex(t(s, d, "documents"), "doc_id", "text",
-          idxDir, buckets = 16, positions = true)
-        marker.createNewFile()
+      val idxDir = cachedFixture(
+        Tables.strawDir(s, d, "documents") + "_lexidx_pos", "_INDEXED") {
+        dir => Search.buildLexicalIndex(t(s, d, "documents"), "doc_id", "text",
+          dir, buckets = 16, positions = true)
       }
       Search.phraseSearch(s, idxDir, Seq("hash", "join"))
         .withColumn("phrase", lit("hash join"))
@@ -624,15 +678,13 @@ object SparkEntry {
       // incremental maintenance: index built over the even doc_ids, odd
       // half APPENDED — must score identically to the full rebuild, so it
       // shares q_bm25's oracle too
-      val idxDir = Tables.strawDir(s, d, "documents") + "_lexidx_app"
-      val marker = new java.io.File(idxDir, "_INDEXED")
-      if (!marker.exists()) {
+      val idxDir = cachedFixture(
+        Tables.strawDir(s, d, "documents") + "_lexidx_app", "_INDEXED") { dir =>
         val docs = t(s, d, "documents")
         Search.buildLexicalIndex(docs.filter(col("doc_id") % 2 === 0),
-          "doc_id", "text", idxDir, buckets = 16)
+          "doc_id", "text", dir, buckets = 16)
         Search.appendToLexicalIndex(docs.filter(col("doc_id") % 2 =!= 0),
-          "doc_id", "text", idxDir)
-        marker.createNewFile()
+          "doc_id", "text", dir)
       }
       Search.bm25TopKIndexed(s, idxDir, Seq("dup", "vector", "join"), 20)
     }),
@@ -1570,58 +1622,21 @@ object SparkEntry {
       // advances the watermark so every real window closes before the
       // AvailableNow drain terminates; the sentinel's own (never-closed)
       // window stays in state and is excluded on both sides.
-      val src = Tables.strawDir(s, d, "events")
-      val augDir = src + "_wmsrc"
-      val outDir = src + "_wmsink"
-      val ckpt = src + "_wmckpt"
-      val marker = new java.io.File(outDir, "_STREAMED")
-      if (!marker.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) { val c = f.listFiles; if (c != null) c.foreach(rm) }
-          f.delete(): Unit
-        }
-        rm(new java.io.File(augDir)); rm(new java.io.File(outDir)); rm(new java.io.File(ckpt))
-        val events = s.read.format("strawboat").load(src)
-        // several source files -> several micro-batches, RANGE-partitioned
-        // by event time so batches arrive in event-time order (files admit
-        // in (mtime, path) order and part file names follow partition ids):
-        // a time-arbitrary split would let batch 1 advance the watermark
-        // past the whole month and every later batch would be dropped as
-        // late data — the standard replayed-backlog pitfall
-        events.repartitionByRange(4, col("ts"))
-          .write.format("strawboat").mode("overwrite").save(augDir)
-        val maxMicros = events
-          .agg(max(unix_micros(col("ts").cast("timestamp"))))
-          .collect()(0).getLong(0)
-        val sentinelMicros = maxMicros + 40L * 86400L * 1000000L
-        s.range(1).select(
-          lit(-1L).as("event_id"),
-          expr(s"cast(timestamp_micros(${sentinelMicros}L) as timestamp_ntz)").as("ts"),
-          lit(-1L).as("user_id"), lit("__sentinel__").as("event_type"),
-          lit(0.0).as("value"), lit("").as("props"))
-          .write.format("strawboat").mode("append").save(augDir)
-        // the sentinel is NOT filtered pre-aggregation: a deterministic
-        // filter would be pushed below the EventTimeWatermark node and the
-        // sentinel would never advance the watermark. It needs no filter —
-        // its own window can never close (nothing later advances the mark),
-        // so append mode never emits it; the read-back guard is defensive.
-        val q = s.readStream.format("strawboat")
-          .option("maxFilesPerTrigger", 1).load(augDir)
+      // the sentinel is NOT filtered pre-aggregation: a deterministic
+      // filter would be pushed below the EventTimeWatermark node and the
+      // sentinel would never advance the watermark. It needs no filter —
+      // its own window can never close (nothing later advances the mark),
+      // so append mode never emits it; the read-back guard is defensive.
+      val outDir = streamedSink(s, Tables.strawDir(s, d, "events"), "wm",
+        s.read.format("strawboat").load(Tables.strawDir(s, d, "events")),
+        "ts", ev => Seq(eventsSentinel(s, ev))) { stream =>
+        stream
           .withColumn("ets", col("ts").cast("timestamp"))
           .withWatermark("ets", "1 second")
           .groupBy(window(col("ets"), "1 day"), col("event_type"))
           .agg(count(lit(1)).as("cnt"),
             round(min(col("value")), 2).as("mn"),
             round(max(col("value")), 2).as("mx"))
-          .writeStream.format("strawboat")
-          .option("path", outDir)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        require(q.awaitTermination(300000),
-          "q_stream_windowed: AvailableNow drain timed out — not marking the sink complete")
-        marker.createNewFile()
       }
       s.read.format("strawboat").load(outDir)
         .filter(col("event_type") =!= "__sentinel__")
@@ -1640,43 +1655,11 @@ object SparkEntry {
       // ends; the sentinel's own session never closes and its user_id is
       // excluded on both sides. The oracle is the batch gaps-and-islands
       // window — identical rule, so the stream replay must match exactly.
-      val src = Tables.strawDir(s, d, "events")
-      val augDir = src + "_sessrc"
-      val outDir = src + "_sesssink"
-      val ckpt = src + "_sessckpt"
-      val marker = new java.io.File(outDir, "_STREAMED")
-      if (!marker.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) { val c = f.listFiles; if (c != null) c.foreach(rm) }
-          f.delete(): Unit
-        }
-        rm(new java.io.File(augDir)); rm(new java.io.File(outDir)); rm(new java.io.File(ckpt))
-        val events = s.read.format("strawboat").load(src)
-        events.repartitionByRange(4, col("ts"))
-          .write.format("strawboat").mode("overwrite").save(augDir)
-        val maxMicros = events
-          .agg(max(unix_micros(col("ts").cast("timestamp"))))
-          .collect()(0).getLong(0)
-        val sentinelMicros = maxMicros + 40L * 86400L * 1000000L
-        s.range(1).select(
-          lit(-1L).as("event_id"),
-          expr(s"cast(timestamp_micros(${sentinelMicros}L) as timestamp_ntz)").as("ts"),
-          lit(-1L).as("user_id"), lit("__sentinel__").as("event_type"),
-          lit(0.0).as("value"), lit("").as("props"))
-          .write.format("strawboat").mode("append").save(augDir)
-        val stream = s.readStream.format("strawboat")
-          .option("maxFilesPerTrigger", 1).load(augDir)
-        val q = Sessionize.streamingSessions(stream,
-            "ts", "user_id", "event_id", "value", 12L * 3600 * 1000000L)
-          .writeStream.format("strawboat")
-          .option("path", outDir)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        require(q.awaitTermination(300000),
-          "q_stream_sessions: AvailableNow drain timed out — not marking the sink complete")
-        marker.createNewFile()
+      val outDir = streamedSink(s, Tables.strawDir(s, d, "events"), "sess",
+        s.read.format("strawboat").load(Tables.strawDir(s, d, "events")),
+        "ts", ev => Seq(eventsSentinel(s, ev))) { stream =>
+        Sessionize.streamingSessions(stream,
+          "ts", "user_id", "event_id", "value", 12L * 3600 * 1000000L).toDF()
       }
       s.read.format("strawboat").load(outDir)
         .filter(col("user_id") >= 0)
@@ -1690,37 +1673,14 @@ object SparkEntry {
       // text land in later micro-batches — the state store must swallow
       // them all, so every kept id is the original. One emission per
       // digest ever (exactly-once pinned by the oracle's row count).
-      val src = Tables.strawDir(s, d, "documents")
-      val augDir = src + "_ddsrc"
-      val outDir = src + "_ddsink"
-      val ckpt = src + "_ddckpt"
-      val marker = new java.io.File(outDir, "_STREAMED")
-      if (!marker.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) { val c = f.listFiles; if (c != null) c.foreach(rm) }
-          f.delete(): Unit
-        }
-        rm(new java.io.File(augDir)); rm(new java.io.File(outDir)); rm(new java.io.File(ckpt))
-        val docs = s.read.format("strawboat").load(src)
-          .select(col("doc_id"), col("text"))
-        docs.repartitionByRange(4, col("doc_id"))
-          .write.format("strawboat").mode("overwrite").save(augDir)
-        docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-          .coalesce(2)
-          .write.format("strawboat").mode("append").save(augDir)
-        val stream = s.readStream.format("strawboat")
-          .option("maxFilesPerTrigger", 1).load(augDir)
-        val q = Dedup.streamingFirstSeen(stream, "doc_id", "text")
+      val outDir = streamedSink(s, Tables.strawDir(s, d, "documents"), "dd",
+        s.read.format("strawboat").load(Tables.strawDir(s, d, "documents"))
+          .select(col("doc_id"), col("text")),
+        "doc_id", docs => Seq(
+          docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+            .coalesce(2))) { stream =>
+        Dedup.streamingFirstSeen(stream, "doc_id", "text")
           .toDF("digest", "keep_id")
-          .writeStream.format("strawboat")
-          .option("path", outDir)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        require(q.awaitTermination(300000),
-          "q_stream_dedup: AvailableNow drain timed out — not marking the sink complete")
-        marker.createNewFile()
       }
       s.read.format("strawboat").load(outDir)
         .orderBy(col("digest"))
@@ -2527,10 +2487,12 @@ object SparkEntry {
         |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
     "q_stream_dedup" -> // the streamed union is originals + id-shifted
-      // copies, so min(doc_id) per digest over it IS the original id; the
-      // row count pins exactly-once emission
-      """SELECT md5(text) AS digest, doc_id AS keep_id
-        |FROM documents ORDER BY digest""".stripMargin,
+      // copies admitted in ascending-id order, so min(doc_id) per digest
+      // over the originals IS the kept id (duplicate texts WITHIN the
+      // originals — sf0.1 has 8 pairs — resolve to the smaller id on both
+      // sides); the row count pins exactly-once emission
+      """SELECT md5(text) AS digest, min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,
     "q_scan_partitioned" ->
       """SELECT user_id, count(*) AS cnt, round(min(value), 2) AS mn
         |FROM events WHERE event_type = 'purchase'

@@ -101,6 +101,12 @@ object Search {
       excludeSelf: Boolean = true): DataFrame = {
     require(k > 0 && poolSize >= k,
       s"hybridTopK: need poolSize >= k > 0, got k=$k poolSize=$poolSize")
+    // one query per call: the lexical side scores ONE term bag, so a
+    // multi-row vector side would silently fan the fusion join out and
+    // mix unrelated rankings under the same ids
+    val nQueries = queries.count()
+    require(nQueries == 1,
+      s"hybridTopK: exactly one query vector expected, got $nQueries")
     val spark = docs.sparkSession
     val lex = bm25TopK(docs, idCol, textCol, queryTerms, poolSize)
       .select(col(idCol).as("id"), row_number()
@@ -126,14 +132,14 @@ object Search {
     * denormalized with its document's token count, and a one-row meta
     * table carries the corpus constants — scoring never touches the
     * corpus. */
-  def buildLexicalIndex(docs: DataFrame, idCol: String, textCol: String,
-      dir: String, buckets: Int = 64, positions: Boolean = false): Unit = {
-    require(buckets >= 1, "buildLexicalIndex: buckets must be positive")
+  /** The postings frame `(term, doc_id, tf, dl[, positions])` for one
+    * document set — one explode + agg, dl as a window over the doc key (no
+    * second tokenize pass) — and its bucketed, term-sorted, bloom'd write.
+    * Shared verbatim by [[buildLexicalIndex]] and [[appendToLexicalIndex]]
+    * so the two paths cannot drift (append == rebuild is spec-pinned). */
+  private def writePostings(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, buckets: Int, positions: Boolean, mode: String): Unit = {
     val toks = tokens(col(textCol))
-    // (term, doc, tf) in one explode + agg; dl = per-doc tf total rides a
-    // window over the doc key (one shuffle, no second tokenize pass).
-    // With `positions`, each posting also carries the term's sorted token
-    // ordinals — what [[phraseSearch]] checks adjacency against.
     val exploded =
       if (positions)
         docs.select(col(idCol).as("doc_id"),
@@ -153,7 +159,14 @@ object Search {
       .option("sortBy", "term,doc_id") // term-clustered pages -> zone maps
       .option("bucketBy", "term").option("buckets", buckets.toString)
       .option("bloomColumns", "term")
-      .mode("overwrite").save(s"$dir/postings")
+      .mode(mode).save(s"$dir/postings")
+  }
+
+  def buildLexicalIndex(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, buckets: Int = 64, positions: Boolean = false): Unit = {
+    require(buckets >= 1, "buildLexicalIndex: buckets must be positive")
+    val toks = tokens(col(textCol))
+    writePostings(docs, idCol, textCol, dir, buckets, positions, "overwrite")
     // corpus constants over ALL documents (token-less docs count toward N
     // and the average length, exactly as in the direct scorer)
     docs.select(size(toks).cast("long").as("dl"))
@@ -185,26 +198,7 @@ object Search {
     // match the existing schema: a positional index appends positions too
     val positional = spark.read.format("strawboat").load(s"$dir/postings")
       .schema.fieldNames.contains("positions")
-    val exploded =
-      if (positional)
-        newDocs.select(col(idCol).as("doc_id"),
-            posexplode(toks).as(Seq("pos", "term")))
-          .groupBy(col("term"), col("doc_id"))
-          .agg(count(lit(1)).as("tf"),
-            sort_array(collect_list(col("pos"))).as("positions"))
-      else
-        newDocs.select(col(idCol).as("doc_id"), explode(toks).as("term"))
-          .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
-    val postings = exploded
-      .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
-    val cols = Seq("term", "doc_id", "tf", "dl") ++
-      (if (positional) Seq("positions") else Nil)
-    postings.select(cols.map(col): _*)
-      .write.format("strawboat")
-      .option("sortBy", "term,doc_id") // term-clustered pages -> zone maps
-      .option("bucketBy", "term").option("buckets", buckets.toString)
-      .option("bloomColumns", "term")
-      .mode("append").save(s"$dir/postings")
+    writePostings(newDocs, idCol, textCol, dir, buckets, positional, "append")
     val old = spark.read.format("strawboat").load(s"$dir/meta")
       .select(col("n"), col("sumdl")).head()
     val delta = newDocs.select(size(toks).cast("long").as("dl"))

@@ -81,6 +81,51 @@ class SessionizeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want, s"got $got")
   }
 
+  test("out-of-order events extend sessions backward and bridge intervals") {
+    val sp = spark; import sp.implicits._
+    val gapMicros = 10L * 60 * 1000000 // 10 minutes
+    val base = 1704067200000000L
+    def ev(id: Long, user: Long, offsetMin: Double, v: Double) =
+      (id, new java.sql.Timestamp(base / 1000 + (offsetMin * 60000).toLong),
+        user, v)
+    // batch 1: user 7 at 60min; user 8 at 0 and 25min (two intervals).
+    // batch 2 (watermark now 20min): user 7's 35/45/52min arrive LATE but
+    // admissible — 45 extends 35 forward, 52 BRIDGES [35,45] with [60,60],
+    // so the emitted session starts BEFORE the first-seen event. User 8 is
+    // silent, so its sealed [0,0] must emit via the event-time timeout.
+    val batch1 = Seq(ev(1, 7, 60, 1.0), ev(2, 8, 0, 1.0), ev(3, 8, 25, 2.0))
+    val batch2 = Seq(ev(4, 7, 35, 2.0), ev(5, 7, 45, 3.0), ev(6, 7, 52, 4.0))
+    val sentinel = Seq(ev(99, -1, 24 * 60, 0.0))
+    val data = s"$dir/disorder"
+    for (b <- Seq(batch1, batch2, sentinel))
+      b.toDF("event_id", "ts", "user_id", "value")
+        .coalesce(1).write.format("strawboat").mode("append").save(data)
+
+    val stream = spark.readStream.format("strawboat")
+      .option("maxFilesPerTrigger", 1).load(data)
+    val q = Sessionize.streamingSessions(stream,
+        "ts", "user_id", "event_id", "value", gapMicros,
+        watermarkDelay = "40 minutes")
+      .writeStream.format("memory").queryName("sess_disorder")
+      .option("checkpointLocation", s"$dir/ckptDisorder")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream drain timed out")
+
+    val got = spark.sql(
+      """SELECT user_id, session_start, session_end, n_events, total_value
+        |FROM sess_disorder WHERE user_id >= 0
+        |ORDER BY user_id, session_start""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    def m(min: Double) = base + (min * 60000000L).toLong
+    val want = Seq(
+      (7L, m(35), m(60), 4L, 10.0), // late events moved start 60 -> 35
+      (8L, m(0), m(0), 1L, 1.0),    // sealed + emitted by timeout alone
+      (8L, m(25), m(25), 1L, 2.0))
+    assert(got == want, s"got $got")
+  }
+
   test("streaming first-seen dedup: one emission per digest, earliest batch wins") {
     val sp = spark; import sp.implicits._
     val data = s"$dir/dedup"
