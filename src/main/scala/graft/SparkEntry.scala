@@ -1455,6 +1455,14 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("shard"), col("shard_pos"))
         .orderBy(col("shard"), col("shard_pos"))
     }),
+    "q_split_assign" -> ((s, d) => {
+      // deterministic train/val/test split: a pure function of the key, so
+      // the held-out set stays held out across engines and re-runs
+      graft.ops.Packing.assignSplit(
+        t(s, d, "documents").select(col("doc_id")), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy(col("doc_id"))
+    }),
     // --- SQL catalog + DML: the pure-SQL user lifecycle -------------------
     "q_sql_dml" -> ((s, d) => {
       // CTAS through the TableCatalog, then DELETE / UPDATE / MERGE INTO as
@@ -2447,6 +2455,16 @@ object SparkEntry {
         |    PARTITION BY CAST(concat('0x', substr(hx, 1, 8)) AS BIGINT) % 16
         |    ORDER BY hx, doc_id) AS BIGINT) AS shard_pos
         |FROM h ORDER BY shard, shard_pos""".stripMargin,
+    "q_split_assign" -> // the same md5-point intervals, replayed
+      """SELECT doc_id,
+        |  CASE WHEN pt < 0.8 THEN 'train'
+        |       WHEN pt < 0.9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      / 4294967296.0 AS pt
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "q_merge_conditional" -> // clause algebra replayed: matched = n_chars in
       // [100,500]; >300 -> lang='long', else n_chars+1; unmatched-by-source
       // rows with n_chars<50 die

@@ -111,4 +111,32 @@ object Packing {
       .withColumn("shard_pos", row_number().over(
         Window.partitionBy(col("shard")).orderBy(hx, col(keyCol))).cast("long"))
   }
+
+  /** Deterministic train/val/test assignment: each row lands in the split
+    * whose cumulative-weight interval contains its key-hash point —
+    * `point = md5(key) first 8 hex digits / 2^32`, so the split is a pure
+    * function of the key and ANY engine or later run reproduces it
+    * row-for-row (the property that keeps a held-out set held out across
+    * pipeline re-runs). Map-only: no shuffle, no state, no sampling
+    * variance beyond the hash itself. Weights are normalized; interval
+    * edges follow the declared order. */
+  def assignSplit(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "assignSplit: no splits given")
+    require(splits.forall(_._2 > 0), s"assignSplit: weights must be positive")
+    require(splits.map(_._1).distinct.size == splits.size,
+      "assignSplit: duplicate split names")
+    val total = splits.map(_._2).sum
+    // point in [0, 1): first 8 md5 hex digits as a 32-bit uniform
+    val point = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val cuts = splits.map(_._2 / total).scanLeft(0.0)(_ + _).tail
+    // declared order, last interval closed at 1.0 (hash can't reach it,
+    // but guard anyway)
+    val assigned = splits.map(_._1).zip(cuts).reverse
+      .foldLeft(lit(splits.last._1)) { case (acc, (name, hi)) =>
+        when(point < lit(hi), lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", assigned)
+  }
 }

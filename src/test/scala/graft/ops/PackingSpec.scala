@@ -94,4 +94,33 @@ class PackingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "md5 ordering should not coincide with key order")
     sharded.unpersist()
   }
+
+  test("assignSplit: complete, proportional, reproducible, declared-order intervals") {
+    val sp = spark
+    import sp.implicits._
+    val df = (0L until 2000L).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val assigned = Packing.assignSplit(df, "id", splits).cache()
+    assert(assigned.count() == 2000)
+    val counts = assigned.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 2000)
+    // hash-uniform: each split within ±4 sigma of its expectation
+    assert(math.abs(counts("train") - 1600L) < 72, counts.toString)
+    assert(math.abs(counts("val") - 200L) < 54, counts.toString)
+    // a second run replays the identical assignment
+    val again = Packing.assignSplit(df, "id", splits)
+    assert(assigned.exceptAll(again).isEmpty)
+    // unnormalized weights land identically (4:1:... scaled)
+    val scaled = Packing.assignSplit(df, "id",
+      Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0))
+    assert(assigned.exceptAll(scaled).isEmpty)
+    intercept[IllegalArgumentException](Packing.assignSplit(df, "id", Seq.empty))
+    intercept[IllegalArgumentException](
+      Packing.assignSplit(df, "id", Seq("a" -> 1.0, "a" -> 1.0)))
+    intercept[IllegalArgumentException](
+      Packing.assignSplit(df, "id", Seq("a" -> -1.0)))
+    assigned.unpersist()
+  }
 }
