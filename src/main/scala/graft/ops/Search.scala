@@ -186,7 +186,11 @@ object Search {
     * duplicate id would double-count (same contract as the IVF append).
     * The postings commit lands before the meta swap; a crash between them
     * leaves scores on the stale corpus constants (slightly off, never
-    * structurally wrong) until the append is retried. */
+    * structurally wrong) until the append is retried. Appends are
+    * CALLER-SERIALIZED: two concurrent appends could both base the meta
+    * advance on the same old row (lost update) — and concurrent appends
+    * of overlapping documents would double-count postings anyway, so the
+    * single-logical-writer contract is inherent, not incidental. */
   def appendToLexicalIndex(newDocs: DataFrame, idCol: String,
       textCol: String, dir: String): Unit = {
     val spark = newDocs.sparkSession
