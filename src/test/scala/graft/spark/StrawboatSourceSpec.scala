@@ -1097,6 +1097,25 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bytes > (8L << 20), s"fixture too small/compressible: $bytes B")
     val parts = spark.read.format("strawboat").load(out).rdd.getNumPartitions
     assert(parts >= 2, s"small-table scan planned $parts partition(s)")
+
+    // the floor is Spark's own openCostInBytes conf — lowering it splits a
+    // compression-dense table toward page granularity (this format packs
+    // 3-7x tighter than parquet, so the same conf value means more decode
+    // work per task; the knob restores parity). The fixture must be small
+    // enough that the FLOOR binds (bytes/cores under 4 MiB), so use a ~6 MB
+    // slice where default plans bytes/4MiB tasks and 256k plans bytes/core.
+    val small = s"$dir/fanout_small"
+    spark.range(200000)
+      .selectExpr("id", "concat(md5(cast(id as string)), md5(cast(id+1 as string))) AS s")
+      .coalesce(1)
+      .write.format("strawboat").mode("overwrite")
+      .option("maxPageSize", "16384").save(small)
+    val coarse = spark.read.format("strawboat").load(small).rdd.getNumPartitions
+    spark.conf.set("spark.sql.files.openCostInBytes", (256 * 1024).toString)
+    try {
+      val fine = spark.read.format("strawboat").load(small).rdd.getNumPartitions
+      assert(fine > coarse, s"openCostInBytes=256k planned $fine <= $coarse partitions")
+    } finally spark.conf.unset("spark.sql.files.openCostInBytes")
   }
 
 }
