@@ -369,6 +369,38 @@ object StrawSqlSurface {
       AttributeReference("dead_rows", LongType, nullable = false)()), rows)
   }
 
+  val Bm25Name = "straw_bm25"
+
+  /** `straw_bm25('<index dir>', '<terms, space-separated>', k)`: BM25
+    * top-k over a [[graft.ops.Search.buildLexicalIndex]] directory as a
+    * pure-SQL table function — (doc_id, score) rows. Runs the same
+    * bucket-pruned probe as the DataFrame API; only the k result rows
+    * reach the driver. */
+  def bm25Builder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 3 && args.take(2).forall(a =>
+        a.foldable && a.dataType == StringType) &&
+      args(2).foldable && args(2).dataType == IntegerType,
+      s"$Bm25Name expects (index path string, terms string, k int)")
+    val empty = org.apache.spark.sql.catalyst.InternalRow.empty
+    val path = args(0).eval(empty)
+    val termsArg = args(1).eval(empty)
+    val k = args(2).eval(empty)
+    require(path != null && termsArg != null && k != null,
+      s"$Bm25Name: arguments must not be null")
+    val terms = termsArg.toString.toLowerCase.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    val rows = graft.ops.Search.bm25TopKIndexed(
+        org.apache.spark.sql.SparkSession.active, resolveDir(path.toString),
+        terms, k.asInstanceOf[Int])
+      .selectExpr("cast(doc_id as long) doc_id", "score")
+      .collect()
+      .map(r => org.apache.spark.sql.catalyst.InternalRow(
+        r.getLong(0), r.getDouble(1)))
+    LocalRelation(Seq(
+      AttributeReference("doc_id", LongType, nullable = false)(),
+      AttributeReference("score", DoubleType, nullable = false)()), rows)
+  }
+
   val AddConstraintName = "straw_add_constraint"
   val DropConstraintName = "straw_drop_constraint"
 
@@ -454,6 +486,10 @@ object StrawSqlSurface {
       FunctionIdentifier(IvfDetailName),
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName, IvfDetailName),
       ivfDetailBuilder _)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier(Bm25Name),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName, Bm25Name),
+      bm25Builder _)
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier(AddConstraintName),
       new ExpressionInfo(classOf[StrawConstraints.Constraint].getName, AddConstraintName),
@@ -542,6 +578,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[StrawConstraints.Constraint].getName,
         StrawSqlSurface.DropConstraintName),
       StrawSqlSurface.dropConstraintBuilder _))
+    extensions.injectTableFunction((
+      FunctionIdentifier(StrawSqlSurface.Bm25Name),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName,
+        StrawSqlSurface.Bm25Name),
+      StrawSqlSurface.bm25Builder _))
     extensions.injectTableFunction((
       FunctionIdentifier(StrawSqlSurface.DetailName),
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName,

@@ -203,6 +203,37 @@ class SearchSpec extends AnyFunSuite with BeforeAndAfterAll {
         emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") === 6), 10, poolSize = 5))
   }
 
+  test("index maintenance: compaction of many-appended postings preserves results") {
+    val docs = spark.createDataFrame(corpus).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("lexcompact").toString
+    // build one doc at a time: five appends -> many small bucket files
+    Search.buildLexicalIndex(docs.filter(
+        org.apache.spark.sql.functions.col("doc_id") === 1),
+      "doc_id", "text", dir, buckets = 4)
+    (2L to 6L).foreach { id =>
+      Search.appendToLexicalIndex(docs.filter(
+          org.apache.spark.sql.functions.col("doc_id") === id),
+        "doc_id", "text", dir)
+    }
+    val before = Search.bm25TopKIndexed(spark, dir, Seq("spark", "join"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val filesBefore = graft.spark.StrawIO.listFiles(s"$dir/postings").size
+
+    val res = graft.spark.StrawCompaction.compact(spark, s"$dir/postings")
+    assert(res.inputFiles > 0, s"nothing compacted of $filesBefore files")
+    val filesAfter = graft.spark.StrawIO.listFiles(s"$dir/postings").size
+    assert(filesAfter < filesBefore, s"$filesBefore -> $filesAfter files")
+    // bucket layout survived (every file still tagged) and scores identical
+    assert(graft.spark.StrawIO.listFiles(s"$dir/postings")
+      .forall(f => graft.spark.StrawBucket.parseTag(f).isDefined))
+    val after = Search.bm25TopKIndexed(spark, dir, Seq("spark", "join"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after == before, s"compaction changed results: $after vs $before")
+    val direct = Search.bm25TopK(docs, "doc_id", "text", Seq("spark", "join"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after == direct)
+  }
+
   test("plan is scale-safe: stats broadcast, top-k via TakeOrdered, no sort-shuffle") {
     val df = spark.createDataFrame(corpus).toDF("doc_id", "text")
     val plan = Search.bm25TopK(df, "doc_id", "text", Seq("spark"), 3)

@@ -206,6 +206,28 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d2.getString(0) == "bucket(4, id)", d2.getString(0))
   }
 
+  test("straw_bm25 probes a lexical index from plain SQL") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      (1L, "spark shuffle join tuning"),
+      (2L, "gardening tips"),
+      (3L, "spark streaming state")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("ext_bm25").toString
+    graft.ops.Search.buildLexicalIndex(docs, "doc_id", "text", dir, buckets = 4)
+    val got = spark.sql(s"SELECT * FROM straw_bm25('$dir', 'spark', 10)")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = graft.ops.Search.bm25TopKIndexed(spark, dir, Seq("spark"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want, s"got $got want $want")
+    assert(got.map(_._1).toSet == Set(1L, 3L))
+    // arg validation is loud
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM straw_bm25('$dir', 'spark', 'x')").collect())
+    assert(e.getMessage.contains("straw_bm25") ||
+      (e.getCause != null && e.getCause.getMessage.contains("straw_bm25")))
+  }
+
   test("hyperplane buckets reject non-integer config args with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT hyperplane_buckets(array(1.0D), 'abc', 4, 2, 42L)")
