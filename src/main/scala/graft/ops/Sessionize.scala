@@ -35,7 +35,7 @@ object Sessionize {
   /** Fold one event into the interval set: every interval within `gap` of
     * the event merges with it (an event between two near intervals bridges
     * them), the rest stay. */
-  private def insert(intervals: Seq[Interval], tsu: Long, value: Double,
+  private[ops] def insert(intervals: Seq[Interval], tsu: Long, value: Double,
       gapMicros: Long): Seq[Interval] = {
     val (near, far) = intervals.partition(s =>
       tsu >= s.start - gapMicros && tsu <= s.last + gapMicros)
