@@ -72,7 +72,8 @@ object SparkEntry {
     * into a strawboat sink with AvailableNow, and marker-caches the sink.
     * @return the sink directory */
   private def streamedSink(s: SparkSession, base: String, suffix: String,
-      source: => DataFrame, orderCol: String, extras: DataFrame => Seq[DataFrame])(
+      queryName: String, source: => DataFrame, orderCol: String,
+      extras: DataFrame => Seq[DataFrame])(
       transform: DataFrame => DataFrame): String =
     cachedFixture(base + s"_${suffix}sink", "_STREAMED") { outDir =>
       val augDir = base + s"_${suffix}src"
@@ -96,7 +97,7 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       require(q.awaitTermination(300000),
-        s"q_stream_$suffix: AvailableNow drain timed out — not marking the sink complete")
+        s"$queryName: AvailableNow drain timed out — not marking the sink complete")
     }
 
   /** A far-future sentinel row in the events schema: advances the
@@ -600,20 +601,23 @@ object SparkEntry {
       // sketch-tier gate: the approx_percentile threshold must keep a
       // population within 5% of the corpus of the exact tier's. n_exact is
       // independently computable by the oracle; approx_ok carries the claim.
+      // two passes, no session-lifetime cache: pass 1 computes BOTH
+      // thresholds in one aggregate (the same percentile/approx_percentile
+      // expressions keepAboveQuantile uses — q_quality_threshold exercises
+      // the op itself); pass 2 counts all three populations at once
       val score = TextOps.qualityColumns(col("text"))
         .find(_._1 == "mean_token_len").get._2
-      // persisted: the gate evaluates this frame five times (two threshold
-      // aggregates, two filters, the total) — score the regexes once
       val scored = t(s, d, "documents").select(col("doc_id"), score.as("score"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val ex = TextOps.keepAboveQuantile(scored, "score", 0.75, exact = true)
-        .agg(count(lit(1)).as("n_exact"))
-      val ap = TextOps.keepAboveQuantile(scored, "score", 0.75)
-        .agg(count(lit(1)).as("n_approx"))
-      val tot = scored.agg(count(lit(1)).as("n_total"))
-      ex.crossJoin(ap).crossJoin(tot).select(col("n_exact"),
-        (abs(col("n_approx") - col("n_exact")) <= col("n_total") * 0.05)
-          .as("approx_ok"))
+      val thrs = scored.agg(
+        round(expr("percentile(score, 0.75)"), 6).as("_te"),
+        round(expr("approx_percentile(score, 0.75, 10000)"), 6).as("_ta"))
+      scored.crossJoin(broadcast(thrs)).agg(
+          sum((col("score") >= col("_te")).cast("long")).as("n_exact"),
+          sum((col("score") >= col("_ta")).cast("long")).as("_n_approx"),
+          count(lit(1)).as("_n_total"))
+        .select(col("n_exact"),
+          (abs(col("_n_approx") - col("n_exact")) <= col("_n_total") * 0.05)
+            .as("approx_ok"))
     }),
     "q_pii_redact" -> ((s, d) => {
       // the corpus carries no natural PII, so the query plants deterministic
@@ -1636,6 +1640,7 @@ object SparkEntry {
       // its own window can never close (nothing later advances the mark),
       // so append mode never emits it; the read-back guard is defensive.
       val outDir = streamedSink(s, Tables.strawDir(s, d, "events"), "wm",
+        "q_stream_windowed",
         s.read.format("strawboat").load(Tables.strawDir(s, d, "events")),
         "ts", ev => Seq(eventsSentinel(s, ev))) { stream =>
         stream
@@ -1664,6 +1669,7 @@ object SparkEntry {
       // excluded on both sides. The oracle is the batch gaps-and-islands
       // window — identical rule, so the stream replay must match exactly.
       val outDir = streamedSink(s, Tables.strawDir(s, d, "events"), "sess",
+        "q_stream_sessions",
         s.read.format("strawboat").load(Tables.strawDir(s, d, "events")),
         "ts", ev => Seq(eventsSentinel(s, ev))) { stream =>
         Sessionize.streamingSessions(stream,
@@ -1682,6 +1688,7 @@ object SparkEntry {
       // them all, so every kept id is the original. One emission per
       // digest ever (exactly-once pinned by the oracle's row count).
       val outDir = streamedSink(s, Tables.strawDir(s, d, "documents"), "dd",
+        "q_stream_dedup",
         s.read.format("strawboat").load(Tables.strawDir(s, d, "documents"))
           .select(col("doc_id"), col("text")),
         "doc_id", docs => Seq(

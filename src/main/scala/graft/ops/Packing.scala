@@ -127,8 +127,14 @@ object Packing {
     require(splits.map(_._1).distinct.size == splits.size,
       "assignSplit: duplicate split names")
     val total = splits.map(_._2).sum
+    // a NULL key has no hash point — fail loudly instead of silently
+    // dumping every null row into the last split (which would corrupt the
+    // held-out set's proportions)
+    val key = when(col(keyCol).isNull,
+        raise_error(lit(s"assignSplit: null value in key column '$keyCol'")))
+      .otherwise(col(keyCol))
     // point in [0, 1): first 8 md5 hex digits as a 32-bit uniform
-    val point = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+    val point = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
       .cast("double") / lit(4294967296.0)
     val cuts = splits.map(_._2 / total).scanLeft(0.0)(_ + _).tail
     // declared order, last interval closed at 1.0 (hash can't reach it,

@@ -103,10 +103,12 @@ object Search {
       s"hybridTopK: need poolSize >= k > 0, got k=$k poolSize=$poolSize")
     // one query per call: the lexical side scores ONE term bag, so a
     // multi-row vector side would silently fan the fusion join out and
-    // mix unrelated rankings under the same ids
-    val nQueries = queries.count()
+    // mix unrelated rankings under the same ids. limit(2) bounds the
+    // guard's cost — it proves ==1 without counting the whole frame.
+    val nQueries = queries.limit(2).count()
     require(nQueries == 1,
-      s"hybridTopK: exactly one query vector expected, got $nQueries")
+      s"hybridTopK: exactly one query vector expected, got ${
+        if (nQueries == 0) "none" else "several"}")
     val spark = docs.sparkSession
     val lex = bm25TopK(docs, idCol, textCol, queryTerms, poolSize)
       .select(col(idCol).as("id"), row_number()

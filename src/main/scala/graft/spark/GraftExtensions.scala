@@ -375,7 +375,10 @@ object StrawSqlSurface {
     * top-k over a [[graft.ops.Search.buildLexicalIndex]] directory as a
     * pure-SQL table function — (doc_id, score) rows. Runs the same
     * bucket-pruned probe as the DataFrame API; only the k result rows
-    * reach the driver. */
+    * reach the driver. Like every `straw_*` table function, the body runs
+    * at ANALYSIS time (EXPLAIN or view re-analysis re-executes the probe)
+    * — read-only and k-bounded, so re-resolution costs a probe, never a
+    * wrong result; use the DataFrame API for composition-heavy plans. */
   def bm25Builder(args: Seq[Expression]): LogicalPlan = {
     require(args.length == 3 && args.take(2).forall(a =>
         a.foldable && a.dataType == StringType) &&

@@ -116,6 +116,15 @@ class PackingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val scaled = Packing.assignSplit(df, "id",
       Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0))
     assert(assigned.exceptAll(scaled).isEmpty)
+    // a null key has no hash point: loud failure, not a silent dump into
+    // the last split
+    val withNull = spark.sql("SELECT CAST(null AS BIGINT) AS id")
+      .union(df.limit(3))
+    val err = intercept[Exception](
+      Packing.assignSplit(withNull, "id", splits).collect())
+    assert(err.getMessage.contains("assignSplit") ||
+      (err.getCause != null && err.getCause.getMessage.contains("assignSplit")),
+      s"unexpected error: ${err.getMessage}")
     intercept[IllegalArgumentException](Packing.assignSplit(df, "id", Seq.empty))
     intercept[IllegalArgumentException](
       Packing.assignSplit(df, "id", Seq("a" -> 1.0, "a" -> 1.0)))
