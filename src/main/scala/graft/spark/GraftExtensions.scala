@@ -369,6 +369,38 @@ object StrawSqlSurface {
       AttributeReference("dead_rows", LongType, nullable = false)()), rows)
   }
 
+  val LexDetailName = "straw_lex_detail"
+
+  /** `straw_lex_detail('<index dir>')`: one row per postings BUCKET —
+    * (bucket, files, size_bytes, rows) from the log snapshot's file tags
+    * and stats blobs (zero data IO), plus the corpus constants from the
+    * meta table. What makes term skew and append fragmentation visible:
+    * a compaction is due when files/bucket grows, and a hot bucket
+    * (rows ≫ total/buckets) means one term dominates its probes. */
+  def lexDetailBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 1 && args.head.foldable &&
+      args.head.dataType == StringType,
+      s"$LexDetailName expects one string literal: the index path")
+    val path = args.head.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    require(path != null, s"$LexDetailName: path must not be null")
+    val dir = resolveDir(path.toString) + "/postings"
+    val snap = StrawLog.snapshot(dir).getOrElse(throw new IllegalArgumentException(
+      s"$LexDetailName: no postings log under $dir — not a buildLexicalIndex directory"))
+    val byBucket = snap.entries.groupBy(e =>
+      StrawBucket.parseTag(e.meta.path).map(_.bucket).getOrElse(-1))
+    val rows = byBucket.toSeq.sortBy(_._1).map { case (bucket, entries) =>
+      val counts = entries.map(_.synthetic.map(_.numRows))
+      val n: Any = if (counts.exists(_.isEmpty)) null else counts.flatten.sum
+      org.apache.spark.sql.catalyst.InternalRow(
+        bucket, entries.size.toLong, entries.map(_.meta.len).sum, n)
+    }
+    LocalRelation(Seq(
+      AttributeReference("bucket", IntegerType, nullable = false)(),
+      AttributeReference("files", LongType, nullable = false)(),
+      AttributeReference("size_bytes", LongType, nullable = false)(),
+      AttributeReference("rows", LongType, nullable = true)()), rows)
+  }
+
   val Bm25Name = "straw_bm25"
 
   /** `straw_bm25('<index dir>', '<terms, space-separated>', k)`: BM25
@@ -494,6 +526,10 @@ object StrawSqlSurface {
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName, Bm25Name),
       bm25Builder _)
     spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier(LexDetailName),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName, LexDetailName),
+      lexDetailBuilder _)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier(AddConstraintName),
       new ExpressionInfo(classOf[StrawConstraints.Constraint].getName, AddConstraintName),
       addConstraintBuilder _)
@@ -586,6 +622,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName,
         StrawSqlSurface.Bm25Name),
       StrawSqlSurface.bm25Builder _))
+    extensions.injectTableFunction((
+      FunctionIdentifier(StrawSqlSurface.LexDetailName),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName,
+        StrawSqlSurface.LexDetailName),
+      StrawSqlSurface.lexDetailBuilder _))
     extensions.injectTableFunction((
       FunctionIdentifier(StrawSqlSurface.DetailName),
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName,

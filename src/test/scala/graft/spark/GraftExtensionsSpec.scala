@@ -226,6 +226,17 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.sql(s"SELECT * FROM straw_bm25('$dir', 'spark', 'x')").collect())
     assert(e.getMessage.contains("straw_bm25") ||
       (e.getCause != null && e.getCause.getMessage.contains("straw_bm25")))
+
+    // straw_lex_detail reports the bucket layout from the log alone
+    val d = spark.sql(s"SELECT * FROM straw_lex_detail('$dir')").collect()
+    assert(d.nonEmpty)
+    assert(d.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 4)) // tagged buckets
+    assert(d.map(_.getLong(1)).sum >= d.length.toLong) // files per bucket
+    assert(d.map(_.getLong(3)).sum > 0L) // postings rows from stats blobs
+    val e2 = intercept[Exception](spark.sql(
+      s"SELECT * FROM straw_lex_detail('${dir}_nope')").collect())
+    assert(e2.getMessage.contains("straw_lex_detail") ||
+      (e2.getCause != null && e2.getCause.getMessage.contains("straw_lex_detail")))
   }
 
   test("hyperplane buckets reject non-integer config args with a clear error") {
