@@ -436,6 +436,33 @@ object StrawSqlSurface {
       AttributeReference("score", DoubleType, nullable = false)()), rows)
   }
 
+  val PhraseName = "straw_phrase"
+
+  /** `straw_phrase('<index dir>', '<exact phrase>')`: documents containing
+    * the phrase's tokens consecutively, from a POSITIONAL index
+    * (`buildLexicalIndex(..., positions = true)`) — (doc_id) rows, plain
+    * SQL. Same analysis-time execution note as [[bm25Builder]]. */
+  def phraseBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 2 && args.forall(a =>
+        a.foldable && a.dataType == StringType),
+      s"$PhraseName expects (index path string, phrase string)")
+    val empty = org.apache.spark.sql.catalyst.InternalRow.empty
+    val path = args(0).eval(empty)
+    val phraseArg = args(1).eval(empty)
+    require(path != null && phraseArg != null,
+      s"$PhraseName: arguments must not be null")
+    val phrase = phraseArg.toString.toLowerCase.split("[^a-z0-9]+")
+      .filter(_.nonEmpty).toSeq
+    val rows = graft.ops.Search.phraseSearch(
+        org.apache.spark.sql.SparkSession.active, resolveDir(path.toString),
+        phrase)
+      .selectExpr("cast(doc_id as long) doc_id")
+      .collect()
+      .map(r => org.apache.spark.sql.catalyst.InternalRow(r.getLong(0)))
+    LocalRelation(Seq(
+      AttributeReference("doc_id", LongType, nullable = false)()), rows)
+  }
+
   val AddConstraintName = "straw_add_constraint"
   val DropConstraintName = "straw_drop_constraint"
 
@@ -529,6 +556,10 @@ object StrawSqlSurface {
       FunctionIdentifier(LexDetailName),
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName, LexDetailName),
       lexDetailBuilder _)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier(PhraseName),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName, PhraseName),
+      phraseBuilder _)
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier(AddConstraintName),
       new ExpressionInfo(classOf[StrawConstraints.Constraint].getName, AddConstraintName),
@@ -627,6 +658,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName,
         StrawSqlSurface.LexDetailName),
       StrawSqlSurface.lexDetailBuilder _))
+    extensions.injectTableFunction((
+      FunctionIdentifier(StrawSqlSurface.PhraseName),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName,
+        StrawSqlSurface.PhraseName),
+      StrawSqlSurface.phraseBuilder _))
     extensions.injectTableFunction((
       FunctionIdentifier(StrawSqlSurface.DetailName),
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName,

@@ -237,6 +237,21 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"SELECT * FROM straw_lex_detail('${dir}_nope')").collect())
     assert(e2.getMessage.contains("straw_lex_detail") ||
       (e2.getCause != null && e2.getCause.getMessage.contains("straw_lex_detail")))
+
+    // straw_phrase needs a positional index: build one, probe from SQL
+    val pdir = java.nio.file.Files.createTempDirectory("ext_phrase").toString
+    graft.ops.Search.buildLexicalIndex(docs, "doc_id", "text", pdir,
+      buckets = 4, positions = true)
+    val ph = spark.sql(s"SELECT * FROM straw_phrase('$pdir', 'spark shuffle')")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ph == Seq(1L), s"got $ph")
+    assert(spark.sql(s"SELECT * FROM straw_phrase('$pdir', 'shuffle spark')")
+      .collect().isEmpty) // order matters
+    // a positions-less index refuses through the SQL surface too
+    val e3 = intercept[Exception](spark.sql(
+      s"SELECT * FROM straw_phrase('$dir', 'spark shuffle')").collect())
+    assert(e3.getMessage.contains("positions") ||
+      (e3.getCause != null && e3.getCause.getMessage.contains("positions")))
   }
 
   test("hyperplane buckets reject non-integer config args with a clear error") {
