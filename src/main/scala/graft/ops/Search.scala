@@ -45,6 +45,28 @@ object Search {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // one pass over the text: doc length + one tf column per query term.
+    // Persisted so the corpus-stats aggregate and the scoring join read
+    // these few longs, not the text column, a second time. Both actions run
+    // HERE — the k result rows come back as a LocalRelation — so the cache
+    // releases before returning instead of leaking for the session's
+    // lifetime (one leaked MEMORY_AND_DISK frame per query otherwise).
+    // k-bounded, so the collect is driver-safe at any corpus size.
+    val (base, topk) = bm25TopKPlan(docs, idCol, textCol, queryTerms, k, k1, b)
+    try {
+      val spark = docs.sparkSession
+      spark.createDataFrame(
+        java.util.Arrays.asList(topk.collect(): _*), topk.schema)
+    } finally base.unpersist()
+  }
+
+  /** The lazy (cached per-doc frame, top-k plan) pair behind [[bm25TopK]] —
+    * exposed to the spec suite so the physical plan (TakeOrdered, broadcast
+    * stats) stays assertable after the public API went eager. Callers own
+    * the persist: unpersist `_1` once `_2` is materialized. */
+  private[ops] def bm25TopKPlan(docs: DataFrame, idCol: String,
+      textCol: String, queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): (DataFrame, DataFrame) = {
     require(queryTerms.nonEmpty, "bm25TopK: empty query")
     require(queryTerms.distinct.size == queryTerms.size,
       s"bm25TopK: duplicate query terms in ${queryTerms.mkString(",")}")
@@ -52,9 +74,6 @@ object Search {
       "bm25TopK: terms must be non-empty lowercase")
     require(k > 0, "bm25TopK: k must be positive")
 
-    // one pass over the text: doc length + one tf column per query term.
-    // Persisted so the corpus-stats aggregate and the scoring join read
-    // these few longs, not the text column, a second time.
     val toks = tokens(col(textCol))
     val base = docs.select(
       col(idCol) +: size(toks).cast("long").as("_dl") +:
@@ -62,7 +81,6 @@ object Search {
           size(filter(toks, x => x === lit(t))).cast("long").as(s"_tf$i")
         }: _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
-
     // corpus statistics: one tree-aggregated row (exact integer sums)
     val aggCols = sum(col("_dl")).as("_sumdl") +:
       queryTerms.indices.map(i =>
@@ -79,10 +97,11 @@ object Search {
       idf * tf * lit(k1 + 1.0) / (tf + norm)
     }.reduce(_ + _)
 
-    scored.select(col(idCol), round(score, 6).as("score"))
+    val topk = scored.select(col(idCol), round(score, 6).as("score"))
       .filter(col("score") > 0)
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
+    (base, topk)
   }
 
   /** Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25) and

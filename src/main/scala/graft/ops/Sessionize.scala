@@ -24,13 +24,30 @@ object Sessionize {
   /** One input event (ets carries the watermark; tsu the exact micros). */
   case class In(user_id: Long, ets: java.sql.Timestamp, tsu: Long,
       event_id: Long, value: Double)
-  /** One session interval, open (in state) or closed (emitted). */
-  case class Interval(start: Long, last: Long, n: Long, sum: Double)
+  /** One session interval, open (in state) or closed (emitted). `sumCents`
+    * holds the running value total scaled to integer cents: a double sum
+    * would fold in stream interval-merge order while a batch replay (the
+    * oracle) sums in group order, and round(x, 2) equality across the two
+    * can flip on a half-ulp boundary. Integer cents make the total
+    * order-independent and exact (inputs are validated to be 2-decimal on
+    * entry). */
+  case class Interval(start: Long, last: Long, n: Long, sumCents: Long)
   /** Per-user state: gap-separated intervals, sorted by start. */
   case class SessState(sessions: Seq[Interval])
   /** One closed session (timestamps in epoch micros). */
   case class Out(user_id: Long, session_start: Long, session_end: Long,
       n_events: Long, total_value: Double)
+
+  /** `value` as exact integer cents — loud on inputs the fixed-point state
+    * cannot represent (this operator totals 2-decimal monetary-style
+    * values; silently truncating a 3-decimal input would corrupt sums). */
+  private[ops] def toCents(value: Double): Long = {
+    val cents = math.rint(value * 100.0)
+    require(math.abs(value * 100.0 - cents) < 1e-6,
+      s"streamingSessions: value $value is not representable in cents — " +
+        "total_value accumulates in exact fixed-point (2 decimals)")
+    cents.toLong
+  }
 
   /** Fold one event into the interval set: every interval within `gap` of
     * the event merges with it (an event between two near intervals bridges
@@ -39,9 +56,9 @@ object Sessionize {
       gapMicros: Long): Seq[Interval] = {
     val (near, far) = intervals.partition(s =>
       tsu >= s.start - gapMicros && tsu <= s.last + gapMicros)
-    val merged = near.foldLeft(Interval(tsu, tsu, 1L, value)) { (a, s) =>
+    val merged = near.foldLeft(Interval(tsu, tsu, 1L, toCents(value))) { (a, s) =>
       Interval(math.min(a.start, s.start), math.max(a.last, s.last),
-        a.n + s.n, a.sum + s.sum)
+        a.n + s.n, a.sumCents + s.sumCents)
     }
     (far :+ merged).sortBy(_.start)
   }
@@ -96,7 +113,7 @@ object Sessionize {
               open.map(s => s.last / 1000 + gapMillis).min + 1)
           }
           closed.sortBy(_.start).iterator
-            .map(s => Out(uid, s.start, s.last, s.n, s.sum))
+            .map(s => Out(uid, s.start, s.last, s.n, s.sumCents / 100.0))
       }
   }
 }

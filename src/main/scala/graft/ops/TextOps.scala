@@ -109,9 +109,13 @@ object TextOps {
   def keepAboveQuantile(df: DataFrame, scoreCol: String, q: Double,
       exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
     require(q > 0 && q < 1, s"keepAboveQuantile: q must be in (0,1), got $q")
+    // backtick-quote the identifier (with embedded backticks doubled) so a
+    // column name needing quoting — spaces, dots, keywords — parses as one
+    // identifier instead of breaking or resolving to a nested field
+    val ident = "`" + scoreCol.replace("`", "``") + "`"
     val agg =
-      if (exact) expr(s"percentile($scoreCol, $q)")
-      else expr(s"approx_percentile($scoreCol, $q, $accuracy)")
+      if (exact) expr(s"percentile($ident, $q)")
+      else expr(s"approx_percentile($ident, $q, $accuracy)")
     val thr = df.agg(round(agg, 6).as("_thr"))
     df.crossJoin(broadcast(thr))
       .filter(col(scoreCol) >= col("_thr"))

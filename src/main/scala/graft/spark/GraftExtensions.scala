@@ -422,7 +422,10 @@ object StrawSqlSurface {
     val k = args(2).eval(empty)
     require(path != null && termsArg != null && k != null,
       s"$Bm25Name: arguments must not be null")
-    val terms = termsArg.toString.toLowerCase.split("\\s+")
+    // split exactly like the index tokenizer ([[graft.ops.Search.tokens]],
+    // "[^a-z0-9]+") — a "\\s+" split would keep e.g. 'hash-join' as one
+    // token that matches no indexed term and silently contributes nothing
+    val terms = termsArg.toString.toLowerCase.split("[^a-z0-9]+")
       .filter(_.nonEmpty).distinct.toSeq
     val rows = graft.ops.Search.bm25TopKIndexed(
         org.apache.spark.sql.SparkSession.active, resolveDir(path.toString),
@@ -438,25 +441,35 @@ object StrawSqlSurface {
 
   val PhraseName = "straw_phrase"
 
-  /** `straw_phrase('<index dir>', '<exact phrase>')`: documents containing
-    * the phrase's tokens consecutively, from a POSITIONAL index
+  /** `straw_phrase('<index dir>', '<exact phrase>', k)`: up to `k`
+    * documents (lowest doc_id first) containing the phrase's tokens
+    * consecutively, from a POSITIONAL index
     * (`buildLexicalIndex(..., positions = true)`) — (doc_id) rows, plain
-    * SQL. Same analysis-time execution note as [[bm25Builder]]. */
+    * SQL. The limit is REQUIRED: this surface materializes through the
+    * driver (like every `straw_*` table function), so an unbounded match
+    * set for a common phrase over a large corpus must be impossible to
+    * express here — the DataFrame API ([[graft.ops.Search.phraseSearch]])
+    * is the unbounded path and never touches the driver. Same
+    * analysis-time execution note as [[bm25Builder]]. */
   def phraseBuilder(args: Seq[Expression]): LogicalPlan = {
-    require(args.length == 2 && args.forall(a =>
-        a.foldable && a.dataType == StringType),
-      s"$PhraseName expects (index path string, phrase string)")
+    require(args.length == 3 && args.take(2).forall(a =>
+        a.foldable && a.dataType == StringType) &&
+      args(2).foldable && args(2).dataType == IntegerType,
+      s"$PhraseName expects (index path string, phrase string, k int)")
     val empty = org.apache.spark.sql.catalyst.InternalRow.empty
     val path = args(0).eval(empty)
     val phraseArg = args(1).eval(empty)
-    require(path != null && phraseArg != null,
+    val k = args(2).eval(empty)
+    require(path != null && phraseArg != null && k != null,
       s"$PhraseName: arguments must not be null")
+    require(k.asInstanceOf[Int] > 0, s"$PhraseName: k must be positive")
     val phrase = phraseArg.toString.toLowerCase.split("[^a-z0-9]+")
       .filter(_.nonEmpty).toSeq
     val rows = graft.ops.Search.phraseSearch(
         org.apache.spark.sql.SparkSession.active, resolveDir(path.toString),
         phrase)
       .selectExpr("cast(doc_id as long) doc_id")
+      .limit(k.asInstanceOf[Int])
       .collect()
       .map(r => org.apache.spark.sql.catalyst.InternalRow(r.getLong(0)))
     LocalRelation(Seq(

@@ -102,5 +102,10 @@ class PipelineTextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected broadcast threshold join in:\n$plan")
     intercept[IllegalArgumentException](
       TextOps.keepAboveQuantile(df, "score", 1.0))
+    // a column name needing quoting (space, keyword-ish) resolves as ONE
+    // identifier — the threshold expression backtick-quotes it
+    val odd = df.withColumnRenamed("score", "quality score")
+    assert(TextOps.keepAboveQuantile(odd, "quality score", 0.75,
+      exact = true).count() == 25)
   }
 }

@@ -236,10 +236,22 @@ class SearchSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("plan is scale-safe: stats broadcast, top-k via TakeOrdered, no sort-shuffle") {
     val df = spark.createDataFrame(corpus).toDF("doc_id", "text")
-    val plan = Search.bm25TopK(df, "doc_id", "text", Seq("spark"), 3)
-      .queryExecution.executedPlan
-    val s = plan.toString
-    assert(s.contains("TakeOrderedAndProject"), s)
-    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"), s)
+    val (base, topk) = Search.bm25TopKPlan(df, "doc_id", "text", Seq("spark"), 3)
+    try {
+      val s = topk.queryExecution.executedPlan.toString
+      assert(s.contains("TakeOrderedAndProject"), s)
+      assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"), s)
+    } finally base.unpersist()
+  }
+
+  test("repeated bm25TopK calls leave no cached frames behind") {
+    val df = spark.createDataFrame(corpus).toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    (1 to 3).foreach { _ =>
+      Search.bm25TopK(df, "doc_id", "text", Seq("spark", "join"), 5).collect()
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "bm25TopK leaked persisted frames: " +
+        spark.sparkContext.getPersistentRDDs.values.map(_.name).mkString(", "))
   }
 }

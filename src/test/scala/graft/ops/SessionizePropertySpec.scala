@@ -50,9 +50,10 @@ class SessionizePropertySpec extends AnyFunSuite {
       val got = folded.map(s => (s.start, s.last, s.n))
       val want = model(ts, gap)
       assert(got == want, s"gap=$gap ts=$ts order=$order got=$got want=$want")
-      // event counts and value mass conserved (each event carries 1.0)
+      // event counts and value mass conserved (each event carries 1.0 =
+      // 100 cents in the exact fixed-point state)
       assert(folded.map(_.n).sum == ts.size)
-      assert(folded.map(_.sum).sum == ts.size.toDouble)
+      assert(folded.map(_.sumCents).sum == ts.size.toLong * 100L)
       // intervals sorted and strictly gap-separated
       folded.sliding(2).foreach {
         case Seq(a, b) => assert(b.start - a.last > gap, s"$a / $b not separated")

@@ -242,14 +242,22 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val pdir = java.nio.file.Files.createTempDirectory("ext_phrase").toString
     graft.ops.Search.buildLexicalIndex(docs, "doc_id", "text", pdir,
       buckets = 4, positions = true)
-    val ph = spark.sql(s"SELECT * FROM straw_phrase('$pdir', 'spark shuffle')")
+    val ph = spark.sql(s"SELECT * FROM straw_phrase('$pdir', 'spark shuffle', 10)")
       .collect().map(_.getLong(0)).toSeq
     assert(ph == Seq(1L), s"got $ph")
-    assert(spark.sql(s"SELECT * FROM straw_phrase('$pdir', 'shuffle spark')")
+    assert(spark.sql(s"SELECT * FROM straw_phrase('$pdir', 'shuffle spark', 10)")
       .collect().isEmpty) // order matters
+    // the k bound is REQUIRED (this surface goes through the driver) and
+    // enforced: a 2-arg call refuses loudly, k caps the match set
+    val eK = intercept[Exception](spark.sql(
+      s"SELECT * FROM straw_phrase('$pdir', 'spark shuffle')").collect())
+    assert(eK.getMessage.contains("k int") ||
+      (eK.getCause != null && eK.getCause.getMessage.contains("k int")))
+    assert(spark.sql(s"SELECT * FROM straw_phrase('$pdir', 'spark shuffle', 1)")
+      .collect().length <= 1)
     // a positions-less index refuses through the SQL surface too
     val e3 = intercept[Exception](spark.sql(
-      s"SELECT * FROM straw_phrase('$dir', 'spark shuffle')").collect())
+      s"SELECT * FROM straw_phrase('$dir', 'spark shuffle', 10)").collect())
     assert(e3.getMessage.contains("positions") ||
       (e3.getCause != null && e3.getCause.getMessage.contains("positions")))
   }
