@@ -60,6 +60,17 @@ object SparkEntry {
         dir, buckets = 16)
     }
 
+  /** The persisted IVF index fixture (q_ann_ivf_indexed /
+    * q_hybrid_indexed): embeddings assigned to 16 cells, written
+    * hive-partitioned by cent_id with the centroid sidecar. Built once per
+    * sf; a full probe (nProbe = 16) makes probes exactly brute-force, so
+    * oracle SQL can replay them. */
+  private def ivfIndex(s: SparkSession, d: String): String =
+    cachedFixture(Tables.strawDir(s, d, "embeddings") + "_ivfidx", "_OK") {
+      dir => Ann.buildIvfIndex(s, t(s, d, "embeddings"), dir, 64,
+        nCentroids = 16, seed = 7): Unit
+    }
+
   /** Shared streaming-fixture scaffold (q_stream_windowed / _sessions /
     * _dedup): wipes (source, sink, checkpoint), writes the source
     * RANGE-PARTITIONED by `orderCol` into 4 files so micro-batches arrive
@@ -663,6 +674,18 @@ object SparkEntry {
         t(s, d, "embeddings"),
         t(s, d, "embeddings").filter(col("vec_id") === 0), 20)
     }),
+    "q_hybrid_indexed" -> ((s, d) => {
+      // hybrid fusion over the PERSISTED tiers, TWO queries in one batch:
+      // both lexical pools come out of ONE bucket-pruned probe of the
+      // term-bucketed index, both vector pools out of the hive-partitioned
+      // IVF index probed in full (nProbe = nCentroids -> exactly brute
+      // force) — so the DuckDB oracle replays both sides exactly.
+      Search.hybridTopKIndexed(s, lexIndex(s, d), ivfIndex(s, d),
+        Seq(0L -> Seq("dup", "vector", "join"),
+            1L -> Seq("hash", "merge", "sort")),
+        t(s, d, "embeddings").filter(col("vec_id") < 2), 20, nProbe = 16)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q_phrase_search" -> ((s, d) => {
       // positional index: exact 2- and 3-token phrase lookups, no corpus
       // access — the oracle replays them as token-string containment
@@ -783,14 +806,7 @@ object SparkEntry {
       // written hive-partitioned by cent_id + centroid sidecar; probes are
       // directory-pruned scans. Full probe == brute force, so the same
       // DuckDB SQL is the oracle.
-      val idxDir = Tables.strawDir(s, d, "embeddings") + "_ivfidx"
-      val marker = new java.io.File(idxDir, "_OK")
-      if (!marker.exists()) {
-        Ann.buildIvfIndex(s, t(s, d, "embeddings"), idxDir, 64,
-          nCentroids = 16, seed = 7)
-        marker.createNewFile()
-      }
-      Ann.ivfTopKIndexed(s, idxDir, t(s, d, "embeddings").filter(col("vec_id") < 5),
+      Ann.ivfTopKIndexed(s, ivfIndex(s, d), t(s, d, "embeddings").filter(col("vec_id") < 5),
           3, nProbe = 16)
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
         .orderBy(col("query_id"), col("rank"))

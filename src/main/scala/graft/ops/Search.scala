@@ -143,6 +143,113 @@ object Search {
       .limit(k)
   }
 
+  /** BM25 top-k for a BATCH of queries against a [[buildLexicalIndex]]
+    * directory, in ONE index probe. The postings scan prunes to the UNION
+    * of all queries' terms (bucket + bloom + zone-map, exactly like the
+    * single-query path), per-(term, doc) contributions pivot to one column
+    * per distinct term, and a single projection computes every query's
+    * score — each adding its own terms' columns in its declared order, so
+    * every score is IDENTICAL to [[bm25TopKIndexed]] run per query (pivot
+    * columns for a query's unmatched terms hold exact 0.0, and adding 0.0
+    * is exact in IEEE754). `stack` then unpivots to (query_id, score) rows
+    * and a per-query_id window keeps each query's top `k` — the only
+    * per-query cost is one projection column, not one index scan.
+    *
+    * @param queries (query_id, distinct lowercase terms) — ids distinct
+    * @return (query_id, doc_id, score, rank), rank 1-based per query
+    */
+  def bm25TopKIndexedBatch(spark: SparkSession, dir: String,
+      queries: Seq[(Long, Seq[String])], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "bm25TopKIndexedBatch: no queries")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "bm25TopKIndexedBatch: duplicate query ids")
+    queries.foreach { case (qid, terms) =>
+      require(terms.nonEmpty, s"bm25TopKIndexedBatch: empty query $qid")
+      require(terms.distinct.size == terms.size,
+        s"bm25TopKIndexedBatch: duplicate terms in query $qid")
+      require(terms.forall(t => t.nonEmpty && t == t.toLowerCase),
+        s"bm25TopKIndexedBatch: query $qid terms must be non-empty lowercase")
+    }
+    require(k > 0, "bm25TopKIndexedBatch: k must be positive")
+
+    val allTerms = queries.flatMap(_._2).distinct
+    val meta = spark.read.format("strawboat").load(s"$dir/meta")
+    val post = spark.read.format("strawboat").load(s"$dir/postings")
+      .filter(col("term").isin(allTerms: _*)) // union of buckets, pruned by name
+    // per-term df over the pruned postings — identical per term whatever
+    // other queries' terms ride along in the same scan
+    val withDf = post.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("term"))))
+    val scored = withDf.crossJoin(broadcast(meta))
+
+    val n = col("n").cast("double")
+    val avgdl = col("sumdl").cast("double") / n
+    val norm = lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl)
+    val tf = col("tf").cast("double")
+    val idf = log((n - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val contrib = idf * tf * lit(k1 + 1.0) / (tf + norm)
+
+    val pivots = allTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === lit(t), contrib).otherwise(lit(0.0))).as(s"_c$i")
+    }
+    val pivoted = scored.groupBy(col("doc_id")).agg(pivots.head, pivots.tail: _*)
+    val termIdx = allTerms.zipWithIndex.toMap
+    val scoreCols = queries.zipWithIndex.map { case ((_, terms), i) =>
+      round(terms.map(t => col(s"_c${termIdx(t)}")).reduce(_ + _), 6).as(s"_s$i")
+    }
+    val proj = pivoted.select(col("doc_id") +: scoreCols: _*)
+    val stackArgs = queries.zipWithIndex
+      .map { case ((qid, _), i) => s"${qid}L, _s$i" }.mkString(", ")
+    proj.selectExpr("doc_id",
+        s"stack(${queries.size}, $stackArgs) AS (query_id, score)")
+      .filter(col("score") > 0)
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+  }
+
+  /** Hybrid retrieval over the PERSISTED tiers, for a batch of queries:
+    * reciprocal-rank fusion of [[bm25TopKIndexedBatch]] (one bucket-pruned
+    * probe of the lexical index for all queries) and
+    * [[Ann.ivfTopKIndexed]] (directory-pruned probe of the persisted IVF
+    * index; `nProbe = nCentroids` makes the vector pool exact). Same
+    * fusion rule, rounding, and tiebreaks as [[hybridTopK]], applied per
+    * query_id — the fusion join moves `2 · poolSize` rows PER QUERY
+    * regardless of corpus size. The two sides pair by id: `termQueries`'
+    * query ids must equal `queryVecs`' vec_ids (validated — the collect is
+    * bounded by the number of queries, a handful of rows by contract).
+    *
+    * @param termQueries (query_id, lowercase term bag) per query
+    * @param queryVecs (vec_id, embedding) rows, one per query_id
+    * @return (query_id, id, rrf, rank) — rank 1-based per query, k rows each
+    */
+  def hybridTopKIndexed(spark: SparkSession, lexDir: String, ivfDir: String,
+      termQueries: Seq[(Long, Seq[String])], queryVecs: DataFrame, k: Int,
+      poolSize: Int = 100, rrfK: Int = 60, nProbe: Int = 4): DataFrame = {
+    require(k > 0 && poolSize >= k,
+      s"hybridTopKIndexed: need poolSize >= k > 0, got k=$k poolSize=$poolSize")
+    val vecIds = queryVecs.select(col("vec_id").cast("long"))
+      .limit(termQueries.size + 1).collect().map(_.getLong(0)).toSet
+    require(vecIds == termQueries.map(_._1).toSet,
+      s"hybridTopKIndexed: query ids differ between the term bags " +
+        s"(${termQueries.map(_._1).sorted.mkString(",")}) and the vector " +
+        s"frame (${vecIds.toSeq.sorted.mkString(",")})")
+    val lex = bm25TopKIndexedBatch(spark, lexDir, termQueries, poolSize)
+      .select(col("query_id"), col("doc_id").as("id"), col("rank").as("lex_rank"))
+    val vec = Ann.ivfTopKIndexed(spark, ivfDir, queryVecs, poolSize, nProbe)
+      .select(col("query_id"), col("neighbor_id").as("id"), col("rank").as("vec_rank"))
+    lex.join(vec, Seq("query_id", "id"), "full_outer")
+      .select(col("query_id"), col("id"), round(
+          coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0)),
+          6).as("rrf"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf").desc, col("id"))))
+      .filter(col("rank") <= k)
+  }
+
   /** Persisted inverted index — the repeated-query path. [[bm25TopK]]
     * re-scans the corpus per query; a standing index amortizes that at
     * 100 TB: postings `(term, doc_id, tf, dl)` land in a strawboat table
