@@ -51,7 +51,20 @@ object Bench {
     // via the fixture marker; steady state times the bucket-pruned probe).
     // NOTE for round-over-round totals: both entries are NEW in round 12 —
     // compare totals net of them against earlier rounds.
-    "q_bm25", "q_bm25_indexed")
+    // NOTE on q_bm25's r12→r13 step (~1.85×): r12's number was an ARTIFACT —
+    // the per-doc frame was never unpersisted, so Spark's CacheManager let
+    // timed runs 2-3 reuse it and skip the corpus scan. r13 fixed the leak
+    // (bm25TopK releases its cache before returning); the higher number is
+    // the honest per-query cost. Do NOT "fix" it back by re-introducing a
+    // leaked persist.
+    "q_bm25", "q_bm25_indexed",
+    // round-14: the rest of the retrieval surface — append-maintained index
+    // probe, positional phrase lookup, and both hybrid fusion tiers (brute
+    // and persisted-index batch). Index builds land in the warm-up via the
+    // fixture markers; steady state times the probes + fusion.
+    // NOTE for round-over-round totals: these four entries are NEW in
+    // round 14 — compare totals net of them against earlier rounds.
+    "q_bm25_appended", "q_phrase_search", "q_hybrid_search", "q_hybrid_indexed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2204,6 +2204,81 @@ object SparkEntry {
         |  FROM base, stats)
         |SELECT doc_id, score FROM scored WHERE score > 0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // both tiers replay exactly: batch indexed BM25 == per-query BM25
+    // (pivot zeros add exactly; spec-pinned), and the nProbe=16 full probe
+    // of the 16-cell IVF index == brute force — so the fusion is plain SQL
+    "q_hybrid_indexed" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> ''))::BIGINT AS dl,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> x = 'dup'))::BIGINT AS tf0,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> x = 'vector'))::BIGINT AS tf1,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> x = 'join'))::BIGINT AS tf2,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> x = 'hash'))::BIGINT AS tf3,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> x = 'merge'))::BIGINT AS tf4,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> x = 'sort'))::BIGINT AS tf5
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sumdl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::BIGINT AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::BIGINT AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::BIGINT AS df2,
+        |    sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END)::BIGINT AS df3,
+        |    sum(CASE WHEN tf4 > 0 THEN 1 ELSE 0 END)::BIGINT AS df4,
+        |    sum(CASE WHEN tf5 > 0 THEN 1 ELSE 0 END)::BIGINT AS df5
+        |  FROM base),
+        |lexscored AS (
+        |  SELECT 0::BIGINT AS query_id, doc_id, round(
+        |      ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * tf0 * 2.2
+        |        / (tf0 + 1.2 * (0.25 + 0.75 * dl / (sumdl * 1.0 / n)))
+        |    + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * tf1 * 2.2
+        |        / (tf1 + 1.2 * (0.25 + 0.75 * dl / (sumdl * 1.0 / n)))
+        |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * tf2 * 2.2
+        |        / (tf2 + 1.2 * (0.25 + 0.75 * dl / (sumdl * 1.0 / n))), 6) AS score
+        |  FROM base, stats
+        |  UNION ALL
+        |  SELECT 1::BIGINT AS query_id, doc_id, round(
+        |      ln((n - df3 + 0.5) / (df3 + 0.5) + 1.0) * tf3 * 2.2
+        |        / (tf3 + 1.2 * (0.25 + 0.75 * dl / (sumdl * 1.0 / n)))
+        |    + ln((n - df4 + 0.5) / (df4 + 0.5) + 1.0) * tf4 * 2.2
+        |        / (tf4 + 1.2 * (0.25 + 0.75 * dl / (sumdl * 1.0 / n)))
+        |    + ln((n - df5 + 0.5) / (df5 + 0.5) + 1.0) * tf5 * 2.2
+        |        / (tf5 + 1.2 * (0.25 + 0.75 * dl / (sumdl * 1.0 / n))), 6) AS score
+        |  FROM base, stats),
+        |lex AS (
+        |  SELECT query_id, doc_id AS id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS lex_rank
+        |  FROM lexscored WHERE score > 0
+        |  QUALIFY lex_rank <= 100),
+        |vec AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(q.embedding, c.embedding), 4) DESC,
+        |        c.vec_id) AS vec_rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 2 AND c.vec_id <> q.vec_id
+        |  QUALIFY vec_rank <= 100)
+        |SELECT query_id, id, rrf, rank FROM (
+        |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+        |    coalesce(l.id, v.id) AS id,
+        |    round(coalesce(1.0 / (60 + lex_rank), 0.0)
+        |        + coalesce(1.0 / (60 + vec_rank), 0.0), 6) AS rrf,
+        |    row_number() OVER (
+        |      PARTITION BY coalesce(l.query_id, v.query_id)
+        |      ORDER BY round(coalesce(1.0 / (60 + lex_rank), 0.0)
+        |          + coalesce(1.0 / (60 + vec_rank), 0.0), 6) DESC,
+        |        coalesce(l.id, v.id)) AS rank
+        |  FROM lex l FULL OUTER JOIN vec v
+        |    ON l.query_id = v.query_id AND l.id = v.id)
+        |WHERE rank <= 20 ORDER BY query_id, rank""".stripMargin,
     "q_bm25_indexed" ->
       """WITH base AS (
         |  SELECT doc_id,

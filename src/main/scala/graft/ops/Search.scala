@@ -230,12 +230,19 @@ object Search {
       poolSize: Int = 100, rrfK: Int = 60, nProbe: Int = 4): DataFrame = {
     require(k > 0 && poolSize >= k,
       s"hybridTopKIndexed: need poolSize >= k > 0, got k=$k poolSize=$poolSize")
-    val vecIds = queryVecs.select(col("vec_id").cast("long"))
-      .limit(termQueries.size + 1).collect().map(_.getLong(0)).toSet
-    require(vecIds == termQueries.map(_._1).toSet,
-      s"hybridTopKIndexed: query ids differ between the term bags " +
-        s"(${termQueries.map(_._1).sorted.mkString(",")}) and the vector " +
-        s"frame (${vecIds.toSeq.sorted.mkString(",")})")
+    // limit(n+1) bounds the collect AND catches both failure shapes: a
+    // set-only comparison would accept duplicate query rows (ids [0,1,0]
+    // vs bags {0,1}), which then fan out and corrupt per-query ranks in
+    // the fusion join — so row COUNT must equal the bag count too
+    val vecIdRows = queryVecs.select(col("vec_id").cast("long"))
+      .limit(termQueries.size + 1).collect().map(_.getLong(0)).toSeq
+    require(vecIdRows.size == termQueries.size &&
+        vecIdRows.toSet == termQueries.map(_._1).toSet,
+      s"hybridTopKIndexed: vector frame must carry exactly one row per " +
+        s"term-bag query id — term bags (${
+          termQueries.map(_._1).sorted.mkString(",")}) vs vector rows (${
+          vecIdRows.sorted.mkString(",")}${
+          if (vecIdRows.size > termQueries.size) ",..." else ""})")
     val lex = bm25TopKIndexedBatch(spark, lexDir, termQueries, poolSize)
       .select(col("query_id"), col("doc_id").as("id"), col("rank").as("lex_rank"))
     val vec = Ann.ivfTopKIndexed(spark, ivfDir, queryVecs, poolSize, nProbe)

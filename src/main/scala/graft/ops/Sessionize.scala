@@ -25,12 +25,16 @@ object Sessionize {
   case class In(user_id: Long, ets: java.sql.Timestamp, tsu: Long,
       event_id: Long, value: Double)
   /** One session interval, open (in state) or closed (emitted). `sumCents`
-    * holds the running value total scaled to integer cents: a double sum
-    * would fold in stream interval-merge order while a batch replay (the
-    * oracle) sums in group order, and round(x, 2) equality across the two
-    * can flip on a half-ulp boundary. Integer cents make the total
-    * order-independent and exact (inputs are validated to be 2-decimal on
-    * entry). */
+    * holds the running value total as ONE Long whose meaning the
+    * [[ValueMode]] fixes: fixed-point integer units at 10^valueScale
+    * (exact and order-independent — a double sum would fold in stream
+    * interval-merge order while the batch oracle sums in group order, and
+    * round(x, 2) equality across the two can flip on a half-ulp boundary),
+    * or the raw IEEE754 bits of a running double in unrounded mode. Both
+    * modes share this field so the flatMapGroupsWithState STATE SCHEMA is
+    * one case class — NOTE the schema already changed in round 13
+    * (Double sum → Long sumCents): a streaming query resuming a
+    * pre-round-13 checkpoint must discard it and rebuild. */
   case class Interval(start: Long, last: Long, n: Long, sumCents: Long)
   /** Per-user state: gap-separated intervals, sorted by start. */
   case class SessState(sessions: Seq[Interval])
@@ -38,27 +42,54 @@ object Sessionize {
   case class Out(user_id: Long, session_start: Long, session_end: Long,
       n_events: Long, total_value: Double)
 
-  /** `value` as exact integer cents — loud on inputs the fixed-point state
-    * cannot represent (this operator totals 2-decimal monetary-style
-    * values; silently truncating a 3-decimal input would corrupt sums). */
-  private[ops] def toCents(value: Double): Long = {
-    val cents = math.rint(value * 100.0)
-    require(math.abs(value * 100.0 - cents) < 1e-6,
-      s"streamingSessions: value $value is not representable in cents — " +
-        "total_value accumulates in exact fixed-point (2 decimals)")
-    cents.toLong
+  /** How session totals accumulate inside the Long state field. */
+  private[ops] sealed trait ValueMode extends Serializable {
+    def encode(value: Double): Long
+    def add(a: Long, b: Long): Long
+    def emit(acc: Long): Double
   }
+  /** Exact fixed-point at 10^scale units — loud on inputs the fixed point
+    * cannot represent (silently truncating a 3-decimal value into cents
+    * would corrupt sums). The representability test is RELATIVE: above
+    * ~1e8 the ulp of value·10^scale exceeds any absolute epsilon, so an
+    * absolute test would reject legitimately scale-decimal values. */
+  private[ops] final case class FixedPoint(scale: Int) extends ValueMode {
+    private val factor = math.pow(10.0, scale)
+    def encode(value: Double): Long = {
+      val units = math.rint(value * factor)
+      require(math.abs(value * factor - units) <=
+          1e-6 * math.max(1.0, math.abs(value * factor)),
+        s"streamingSessions: value $value is not representable at " +
+          s"$scale decimal places — total_value accumulates in exact " +
+          s"fixed-point (valueScale = $scale); widen valueScale or pass " +
+          "valueScale < 0 for unrounded double totals")
+      units.toLong
+    }
+    def add(a: Long, b: Long): Long = a + b
+    def emit(units: Long): Double = units / factor
+  }
+  /** Unrounded double totals carried as raw bits — accepts ANY double
+    * (durations, scores) but the total folds in stream interval-merge
+    * order, so an exact-equality batch oracle needs a tolerance. */
+  private[ops] case object Unrounded extends ValueMode {
+    def encode(value: Double): Long = java.lang.Double.doubleToLongBits(value)
+    def add(a: Long, b: Long): Long = java.lang.Double.doubleToLongBits(
+      java.lang.Double.longBitsToDouble(a) + java.lang.Double.longBitsToDouble(b))
+    def emit(acc: Long): Double = java.lang.Double.longBitsToDouble(acc)
+  }
+  private[ops] def modeFor(valueScale: Int): ValueMode =
+    if (valueScale < 0) Unrounded else FixedPoint(valueScale)
 
   /** Fold one event into the interval set: every interval within `gap` of
     * the event merges with it (an event between two near intervals bridges
     * them), the rest stay. */
   private[ops] def insert(intervals: Seq[Interval], tsu: Long, value: Double,
-      gapMicros: Long): Seq[Interval] = {
+      gapMicros: Long, mode: ValueMode = FixedPoint(2)): Seq[Interval] = {
     val (near, far) = intervals.partition(s =>
       tsu >= s.start - gapMicros && tsu <= s.last + gapMicros)
-    val merged = near.foldLeft(Interval(tsu, tsu, 1L, toCents(value))) { (a, s) =>
+    val merged = near.foldLeft(Interval(tsu, tsu, 1L, mode.encode(value))) { (a, s) =>
       Interval(math.min(a.start, s.start), math.max(a.last, s.last),
-        a.n + s.n, a.sumCents + s.sumCents)
+        a.n + s.n, mode.add(a.sumCents, s.sumCents))
     }
     (far :+ merged).sortBy(_.start)
   }
@@ -70,11 +101,21 @@ object Sessionize {
     * first) — any event the watermark still admits merges correctly, in
     * any order. Sessions whose close the watermark never passes stay in
     * state; drain with a sentinel event far in the future, as the driver
-    * query does. `watermarkDelay` must cover the source's disorder. */
+    * query does. `watermarkDelay` must cover the source's disorder.
+    *
+    * `valueScale` picks how `total_value` accumulates: `>= 0` is exact
+    * fixed-point at that many decimal places (default 2 — monetary cents;
+    * inputs with more decimals FAIL LOUDLY, and the total is
+    * order-independent so a batch replay matches bit-for-bit), `< 0` is
+    * unrounded double accumulation (accepts any value — durations,
+    * scores — but the sum folds in stream merge order, so compare against
+    * a batch oracle with a tolerance, not exact equality). */
   def streamingSessions(events: DataFrame, tsCol: String, userCol: String,
       idCol: String, valueCol: String, gapMicros: Long,
-      watermarkDelay: String = "1 second"): Dataset[Out] = {
+      watermarkDelay: String = "1 second",
+      valueScale: Int = 2): Dataset[Out] = {
     require(gapMicros > 0, "streamingSessions: gap must be positive")
+    val mode = modeFor(valueScale)
     val spark = events.sparkSession
     import spark.implicits._
     val gapMillis = gapMicros / 1000
@@ -96,7 +137,7 @@ object Sessionize {
           // deterministic; cross-batch order is whatever the watermark let
           // through — the interval algebra absorbs it
           it.toArray.sortBy(e => (e.tsu, e.event_id)).foreach { e =>
-            intervals = insert(intervals, e.tsu, e.value, gapMicros)
+            intervals = insert(intervals, e.tsu, e.value, gapMicros, mode)
           }
           // seal everything the watermark has passed: any future admitted
           // event has tsu >= wm*1000, so an interval with last + gap below
@@ -113,7 +154,7 @@ object Sessionize {
               open.map(s => s.last / 1000 + gapMillis).min + 1)
           }
           closed.sortBy(_.start).iterator
-            .map(s => Out(uid, s.start, s.last, s.n, s.sumCents / 100.0))
+            .map(s => Out(uid, s.start, s.last, s.n, mode.emit(s.sumCents)))
       }
   }
 }

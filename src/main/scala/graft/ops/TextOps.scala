@@ -117,8 +117,10 @@ object TextOps {
       if (exact) expr(s"percentile($ident, $q)")
       else expr(s"approx_percentile($ident, $q, $accuracy)")
     val thr = df.agg(round(agg, 6).as("_thr"))
+    // col() parses its argument too: the same quoted identifier keeps a
+    // dotted score column a top-level reference, not nested-field access
     df.crossJoin(broadcast(thr))
-      .filter(col(scoreCol) >= col("_thr"))
+      .filter(col(ident) >= col("_thr"))
       .drop("_thr")
   }
 }

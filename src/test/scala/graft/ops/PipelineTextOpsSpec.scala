@@ -107,5 +107,10 @@ class PipelineTextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val odd = df.withColumnRenamed("score", "quality score")
     assert(TextOps.keepAboveQuantile(odd, "quality score", 0.75,
       exact = true).count() == 25)
+    // a DOTTED name is the sharper case: unquoted it parses as
+    // nested-field access — both the aggregate AND the filter must quote
+    val dotted = df.withColumnRenamed("score", "quality.score")
+    assert(TextOps.keepAboveQuantile(dotted, "quality.score", 0.75,
+      exact = true).count() == 25)
   }
 }

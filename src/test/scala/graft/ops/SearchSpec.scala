@@ -254,4 +254,82 @@ class SearchSpec extends AnyFunSuite with BeforeAndAfterAll {
       "bm25TopK leaked persisted frames: " +
         spark.sparkContext.getPersistentRDDs.values.map(_.name).mkString(", "))
   }
+
+  test("batch indexed BM25 equals the per-query scorer exactly, shared terms and all") {
+    val docs = spark.createDataFrame(corpus).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("lexbatch").toString
+    Search.buildLexicalIndex(docs, "doc_id", "text", dir, buckets = 4)
+    // 'join' is SHARED between queries (one pivot column feeds two scores),
+    // 'the' is a stopword-common term, 'zebra' matches nothing — the empty
+    // query result must stay empty, not surface 0-score rows
+    val queries = Seq(
+      0L -> Seq("spark", "join"),
+      1L -> Seq("join", "shuffle", "the"),
+      2L -> Seq("zebra"))
+    val batch = Search.bm25TopKIndexedBatch(spark, dir, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq.sortBy(x => (x._1, x._4))
+    val perQuery = queries.flatMap { case (qid, terms) =>
+      val rows = Search.bm25TopKIndexed(spark, dir, terms, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      rows.zipWithIndex.map { case ((doc, score), i) => (qid, doc, score, i + 1) }
+    }
+    assert(batch == perQuery, s"batch=$batch perQuery=$perQuery")
+    assert(batch.count(_._1 == 2L) == 0, "no-match query leaked rows")
+    // guards: empty batch, duplicate query ids, per-query term hygiene
+    intercept[IllegalArgumentException](
+      Search.bm25TopKIndexedBatch(spark, dir, Seq.empty, 5))
+    intercept[IllegalArgumentException](Search.bm25TopKIndexedBatch(spark, dir,
+      Seq(0L -> Seq("spark"), 0L -> Seq("join")), 5))
+    intercept[IllegalArgumentException](Search.bm25TopKIndexedBatch(spark, dir,
+      Seq(0L -> Seq("spark", "spark")), 5))
+    intercept[IllegalArgumentException](Search.bm25TopKIndexedBatch(spark, dir,
+      Seq(0L -> Seq("Spark")), 5))
+  }
+
+  test("hybrid over persisted tiers equals per-query brute-force hybrid on a full probe") {
+    val sp = spark; import sp.implicits._
+    val docs = spark.createDataFrame(corpus).toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Array(1.0f, 0.1f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f)), (4L, Array(0.9f, 0.2f)),
+      (5L, Array(0.1f, 0.9f)), (6L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val lexDir = java.nio.file.Files.createTempDirectory("hyblex").toString
+    Search.buildLexicalIndex(docs, "doc_id", "text", lexDir, buckets = 4)
+    val ivfDir = java.nio.file.Files.createTempDirectory("hybivf").toString + "/index"
+    Ann.buildIvfIndex(spark, emb, ivfDir, 2, nCentroids = 2, seed = 7)
+
+    val termQueries = Seq(1L -> Seq("spark", "join"), 5L -> Seq("fox", "dog"))
+    val queryVecs = emb.filter(
+      org.apache.spark.sql.functions.col("vec_id").isin(1L, 5L))
+    val got = Search.hybridTopKIndexed(spark, lexDir, ivfDir,
+        termQueries, queryVecs, 6, poolSize = 10, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq.sortBy(x => (x._1, x._4))
+    // the full probe makes the vector pool exactly brute force, so each
+    // query's slice must equal the direct (non-indexed) hybrid verbatim
+    val want = termQueries.flatMap { case (qid, terms) =>
+      Search.hybridTopK(docs, "doc_id", "text", terms, emb,
+          emb.filter(org.apache.spark.sql.functions.col("vec_id") === qid),
+          6, poolSize = 10)
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, r.getLong(0), r.getDouble(1), i + 1) }
+    }
+    assert(got == want, s"got=$got want=$want")
+
+    // id pairing guards: a DUPLICATE query row must refuse (a set-only
+    // check would pass it and fan the fusion join out), as must extra
+    // rows and plain id mismatches
+    val dup = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 1L)
+      .unionAll(queryVecs)
+    intercept[IllegalArgumentException](Search.hybridTopKIndexed(
+      spark, lexDir, ivfDir, termQueries, dup, 3, nProbe = 2))
+    intercept[IllegalArgumentException](Search.hybridTopKIndexed(
+      spark, lexDir, ivfDir, termQueries, emb, 3, nProbe = 2))
+    intercept[IllegalArgumentException](Search.hybridTopKIndexed(
+      spark, lexDir, ivfDir, termQueries,
+      emb.filter(org.apache.spark.sql.functions.col("vec_id").isin(1L, 6L)),
+      3, nProbe = 2))
+  }
 }

@@ -156,4 +156,56 @@ class SessionizeSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](
       Sessionize.streamingSessions(df, "ts", "user_id", "event_id", "value", 0L))
   }
+
+  test("value modes: fixed-point is loud, relative-tolerant, and widenable; unrounded is total") {
+    // default cents: a 3-decimal value refuses with the remediation hint
+    val e = intercept[IllegalArgumentException](Sessionize.FixedPoint(2).encode(1.005))
+    assert(e.getMessage.contains("not representable at 2 decimal places"))
+    assert(e.getMessage.contains("valueScale"))
+    // the representability test is RELATIVE: a legitimately 2-decimal value
+    // above 1e8 has ulp(value*100) > 1e-6, so an absolute epsilon would
+    // reject it — this one must encode exactly
+    assert(Sessionize.FixedPoint(2).encode(123456789.25) == 12345678925L)
+    assert(Sessionize.FixedPoint(2).encode(19.99) == 1999L)
+    // widening the scale admits what cents refused
+    assert(Sessionize.FixedPoint(3).encode(1.005) == 1005L)
+    // unrounded mode: ANY double round-trips through the Long state field
+    for (v <- Seq(0.1 + 0.2, math.Pi, -3.7e-11, 0.0))
+      assert(Sessionize.Unrounded.emit(Sessionize.Unrounded.encode(v)) == v)
+    assert(Sessionize.Unrounded.emit(Sessionize.Unrounded.add(
+      Sessionize.Unrounded.encode(0.1), Sessionize.Unrounded.encode(0.2)))
+      == 0.1 + 0.2)
+    assert(Sessionize.modeFor(-1) == Sessionize.Unrounded)
+    assert(Sessionize.modeFor(2) == Sessionize.FixedPoint(2))
+  }
+
+  test("valueScale < 0 sessionizes non-monetary doubles end-to-end") {
+    val sp = spark; import sp.implicits._
+    val gapMicros = 10L * 60 * 1000000
+    val base = 1704067200000000L
+    def ev(id: Long, user: Long, offsetMin: Double, v: Double) =
+      (id, new java.sql.Timestamp(base / 1000 + (offsetMin * 60000).toLong),
+        user, v)
+    // 3+-decimal durations: the default cents mode would refuse these
+    val batch = Seq(ev(1, 1, 0, 0.125), ev(2, 1, 4, 0.375), ev(3, 2, 1, math.Pi))
+    val sentinel = Seq(ev(99, -1, 24 * 60, 0.0))
+    val data = s"$dir/unrounded"
+    for (b <- Seq(batch, sentinel))
+      b.toDF("event_id", "ts", "user_id", "value")
+        .coalesce(1).write.format("strawboat").mode("append").save(data)
+    val stream = spark.readStream.format("strawboat")
+      .option("maxFilesPerTrigger", 1).load(data)
+    val q = Sessionize.streamingSessions(stream,
+        "ts", "user_id", "event_id", "value", gapMicros, valueScale = -1)
+      .writeStream.format("memory").queryName("sess_unrounded")
+      .option("checkpointLocation", s"$dir/ckptUnrounded")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream drain timed out")
+    val got = spark.sql(
+      """SELECT user_id, n_events, total_value FROM sess_unrounded
+        |WHERE user_id >= 0 ORDER BY user_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 2L, 0.125 + 0.375), (2L, 1L, math.Pi)), s"got $got")
+  }
 }
