@@ -1117,7 +1117,8 @@ object SparkEntry {
             .withColumn("doc_id", col("doc_id") + 1000000L)
             .withColumn("lang", lit("inserted")))
         val res = graft.spark.StrawMerge.merge(s, mDir, src, keys = Seq("doc_id"))
-        require(res.matchedRows > 0 && res.insertedRows > res.matchedRows,
+        require(res.matchedRows > 0 && res.insertedRows > 0 &&
+            res.replacedRows == res.matchedRows, // unique-key target
           s"q_merge: expected updates and inserts ($res)")
         marker.createNewFile()
       }
@@ -1148,7 +1149,8 @@ object SparkEntry {
           finally s.conf.unset(graft.spark.StrawMerge.BroadcastKeyBytesConf)
         require(res.distributedSource,
           s"q_merge_large: expected the distributed match path ($res)")
-        require(res.matchedRows > 0 && res.insertedRows > res.matchedRows,
+        require(res.matchedRows > 0 && res.insertedRows > 0 &&
+            res.replacedRows == res.matchedRows, // unique-key target
           s"q_merge_large: expected updates and inserts ($res)")
         marker.createNewFile()
       }

@@ -72,6 +72,11 @@ object StrawMerge {
 
   final case class MergeResult(
       matchedRows: Long,
+      /** source rows written because their key matched NO target row —
+        * true WHEN NOT MATCHED inserts only. (Until round 14 this field
+        * counted every freshly written row, replacement versions
+        * included; a re-merge of an already-applied source then reported
+        * thousands of "inserts" while the table row count stood still.) */
       insertedRows: Long,
       removedFiles: Int,
       dvFiles: Int,
@@ -82,7 +87,10 @@ object StrawMerge {
       distributedSource: Boolean = false,
       /** target rows deleted because their key had NO source match
         * (WHEN NOT MATCHED BY SOURCE THEN DELETE). */
-      notMatchedBySourceDeleted: Long = 0L)
+      notMatchedBySourceDeleted: Long = 0L,
+      /** matched source rows written as replacement versions (Replace
+        * action). insertedRows + replacedRows = rows this merge wrote. */
+      replacedRows: Long = 0L)
 
   /** One candidate file's match outcome, driver-bound (O(files), never
     * O(keys)): matched live-row count, the DV switch, full-death. */
@@ -391,9 +399,12 @@ object StrawMerge {
     val mutated: Array[MatchOut] = outs
       .filter(o => o.newDv != null || o.fullDead)
       .map(o => MatchOut(o.input, o.matched, o.oldDvPath, o.newDv, o.fullDead))
+    // source keys are verified-unique, so distinct matched target keys
+    // count exactly the source rows the Replace action writes back
     commitMerge(spark, dir, jobId, toWrite, schema, mapping, opts, listed,
       serConf, mutated, matchedRows = outs.map(_.matched).sum, pruned,
-      unmatchedDeleted = outs.map(_.unmatchedDeleted).sum)
+      unmatchedDeleted = outs.map(_.unmatchedDeleted).sum,
+      replacedSrcRows = if (keepMatchedSrc) allMatchedKeys.size.toLong else 0L)
   }
 
   /** The shuffle-join match path: nothing proportional to the source's
@@ -576,8 +587,16 @@ object StrawMerge {
           }
         matchedPart.unionAll(unmatchedPart)
       }
+    // distinct matched target keys == matched source rows (source keys
+    // verified-unique); one bounded aggregation over the checkpointed
+    // matched pairs, only when Replace actually writes them back
+    val replacedSrcRows =
+      if (keepMatchedSrc && matchedRows > 0)
+        matchedPairs.select(keyCols: _*).distinct().count()
+      else 0L
     commitMerge(spark, dir, jobId, toWrite, schema, mapping, opts, listed,
-      serConf, outs, matchedRows, pruned, unmatchedDeleted = unmatchedDeleted)
+      serConf, outs, matchedRows, pruned, unmatchedDeleted = unmatchedDeleted,
+      replacedSrcRows = replacedSrcRows)
       .copy(distributedSource = true)
   }
 
@@ -605,7 +624,7 @@ object StrawMerge {
       opts: WriteOptions, listed: Seq[StrawIO.Listed],
       serConf: org.apache.spark.util.SerializableConfiguration,
       mutated: Array[MatchOut], matchedRows: Long, pruned: Int,
-      unmatchedDeleted: Long = 0L): MergeResult = {
+      unmatchedDeleted: Long = 0L, replacedSrcRows: Long = 0L): MergeResult = {
     val f = StrawIO.fs(dir)
     def q(p: String): String = f.makeQualified(new Path(p)).toString
     // hive-partitioned targets route inserted rows into their value
@@ -646,8 +665,12 @@ object StrawMerge {
 
     val fresh = MaintenanceOps.renameVisibleStamped(dir, jobId,
       Seq((System.currentTimeMillis(), staged)))
-    val insertedRows = fresh.map(fm =>
+    // fresh rows = replacement versions + true inserts; report them apart
+    val writtenRows = fresh.map(fm =>
       FooterCache.get(fm.path, fm.mtime, fm.len).numRows).sum
+    val insertedRows = writtenRows - replacedSrcRows
+    assert(insertedRows >= 0,
+      s"merge accounting: wrote $writtenRows rows but $replacedSrcRows replacements")
     val (full, partial) = mutated.partition(_.fullDead)
     val removes = full.map(c => q(c.input)).toSet
     val dvUpdates = partial.map(c => StrawLog.DvUpdate(q(c.input), c.newDv,
@@ -669,6 +692,7 @@ object StrawMerge {
       dvFiles = dvUpdates.size,
       newFiles = fresh.size,
       prunedFiles = pruned,
-      notMatchedBySourceDeleted = unmatchedDeleted)
+      notMatchedBySourceDeleted = unmatchedDeleted,
+      replacedRows = replacedSrcRows)
   }
 }

@@ -135,31 +135,34 @@ object DevMutScale {
     // of the same lineitem, so the source dedups to ONE row per key (SQL
     // MERGE refuses duplicate-source keys as nondeterministic); prior-run
     // inserts (shifted keys) are excluded so a resume stays well-formed.
+    // updates marked in l_tax (a sentinel value no generator row carries),
+    // inserts recognizable by their shifted keys
     val baseRows = freshRead.filter(col("l_orderkey") < 1000000000L)
     val mergeSrc = baseRows
       .filter(col("l_orderkey") % 50 === 0 && col("l_linenumber") === 1)
       .dropDuplicates("l_orderkey", "l_linenumber")
-      .withColumn("l_comment", lit("devmut-updated"))
+      .withColumn("l_tax", lit(9.99))
       .unionByName(baseRows
         .filter(col("l_orderkey") % 200 === 0 && col("l_linenumber") === 1)
         .dropDuplicates("l_orderkey", "l_linenumber")
         .withColumn("l_orderkey", col("l_orderkey") + 1000000000L)
-        .withColumn("l_comment", lit("devmut-inserted")))
+        .withColumn("l_tax", lit(9.99)))
     spark.conf.set(graft.spark.StrawMerge.BroadcastKeyBytesConf, "0")
-    var mergeInserted = 0L
+    var mergeRes: graft.spark.StrawMerge.MergeResult = null
     val tMerge = time {
       val res =
         try graft.spark.StrawMerge.merge(spark, dir, mergeSrc,
           keys = Seq("l_orderkey", "l_linenumber"))
         finally spark.conf.unset(graft.spark.StrawMerge.BroadcastKeyBytesConf)
       require(res.distributedSource, s"expected distributed path: $res")
-      mergeInserted = res.insertedRows
+      mergeRes = res
       println(s"MUT merge result=$res")
     }
     println(f"MUT merge sec=$tMerge%.1f")
-    val updated = freshRead.filter(col("l_comment") === "devmut-updated").count()
-    val inserted = freshRead.filter(col("l_comment") === "devmut-inserted").count()
-    println(s"MUT merge verify updated=$updated inserted=$inserted (this run: $mergeInserted)")
+    val updated = freshRead.filter(
+      col("l_tax") === 9.99 && col("l_orderkey") < 1000000000L).count()
+    val inserted = freshRead.filter(col("l_orderkey") >= 1000000000L).count()
+    println(s"MUT merge verify updated=$updated inserted=$inserted (this run: $mergeRes)")
     q6("q6_post_merge")
 
     // ---- compaction of the fragmented, DV-carrying table -----------------
@@ -171,14 +174,40 @@ object DevMutScale {
     val nFilesAfter = graft.spark.StrawIO.listFiles(dir).size
     val nLogAfter = if (logDir.exists()) logDir.listFiles().length else 0
     println(s"MUT post-compact files=$nFilesAfter logEntries=$nLogAfter")
+    // conservation: Replace collapses the drill table's 64 duplicate
+    // copies per matched key into ONE replacement row, so
+    // rows' = rows − matchedTargetRows + replacedSrcRows + trueInserts
     val rowsAfterCompact = freshRead.count()
-    require(rowsAfterCompact == rowsAfterDelete + mergeInserted,
-      s"row count drifted: $rowsAfterCompact vs ${rowsAfterDelete + mergeInserted}")
+    val expect = rowsAfterDelete - mergeRes.matchedRows +
+      mergeRes.replacedRows + mergeRes.insertedRows
+    require(rowsAfterCompact == expect,
+      s"row count drifted: $rowsAfterCompact vs $expect ($mergeRes)")
     graft.spark.FooterCache.clear()
     val tInferPost = time(freshRead.schema)
     val tSplitPost = time(freshRead.queryExecution.toRdd.getNumPartitions)
     println(f"MUT post-compact infer=$tInferPost%.3f split=$tSplitPost%.3f")
     q6("q6_post_compact")
+
+    // ---- what drives per-commit append cost? ------------------------------
+    // compaction collapsed the ENTRY count (6k files -> ~35) but the log
+    // DIRECTORY still holds 3k+ commit files; vacuumLog then collapses the
+    // directory too. Timing 200 tiny appends after each isolates snapshot/
+    // checkpoint/manifest O(entries) cost from log-listing O(log files)
+    // cost — the two levers a 100 TB deployment tunes (compact + vacuum).
+    val tiny2 = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      .limit(10).coalesce(1)
+    tiny2.persist(); tiny2.count()
+    def appendBurst(label: String): Unit = {
+      val t = time { (0 until 200).foreach { _ =>
+        tiny2.write.format("strawboat").mode("append").save(dir) } }
+      println(f"MUT $label%-26s 200_appends_s=$t%.1f (${t / 200 * 1000}%.0f ms/commit)")
+    }
+    appendBurst("append_post_compact")
+    val dropped = graft.spark.StrawLog.vacuumLog(dir, keepVersions = 100)
+    println(s"MUT vacuumLog dropped=$dropped logEntries=${
+      if (logDir.exists()) logDir.listFiles().length else 0}")
+    appendBurst("append_post_vacuum")
+    tiny2.unpersist()
     spark.stop()
   }
 }

@@ -236,7 +236,7 @@ class StrawConstraintsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val good = Seq((5L, "upd-5"), (20L, "ins-20")).toDF("id", "s")
     val r = StrawMerge.merge(spark, out, good, keys = Seq("id"),
       whenMatched = StrawMerge.Replace, insertNotMatched = true)
-    assert(r.matchedRows == 1L && r.insertedRows == 2L) // replaced version + insert
+    assert(r.matchedRows == 1L && r.insertedRows == 1L && r.replacedRows == 1L)
     assert(read(out).filter(col("s") === "upd-5").count() == 1)
   }
 

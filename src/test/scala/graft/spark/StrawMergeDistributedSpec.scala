@@ -63,8 +63,12 @@ class StrawMergeDistributedSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!resB.distributedSource, resB.toString)
     assert(resD.matchedRows == 1200 && resB.matchedRows == 1200,
       s"$resD vs $resB")
-    assert(resD.insertedRows == source.count() && resD.insertedRows == resB.insertedRows,
-      s"$resD vs $resB")
+    // 600 new keys + the null-keyed row insert; the 1200 matched source
+    // rows are replacement versions, reported apart
+    assert(resD.insertedRows == 601 && resD.replacedRows == 1200,
+      resD.toString)
+    assert(resD.insertedRows == resB.insertedRows &&
+      resD.replacedRows == resB.replacedRows, s"$resD vs $resB")
     val backD = read(outD); val backB = read(outB)
     assert(backD.count() == backB.count())
     assert(backD.exceptAll(backB).isEmpty && backB.exceptAll(backD).isEmpty)
@@ -139,7 +143,7 @@ class StrawMergeDistributedSpec extends AnyFunSuite with BeforeAndAfterAll {
     val res = StrawMerge.merge(spark, out,
       Seq((1L, "x"), (200L, "y")).toDF("k", "s"), Seq("k"))
     assert(!res.distributedSource, res.toString)
-    assert(res.matchedRows == 1 && res.insertedRows == 2)
+    assert(res.matchedRows == 1 && res.insertedRows == 1 && res.replacedRows == 1)
   }
   test("WHEN NOT MATCHED BY SOURCE THEN DELETE: sync semantics, both paths") {
     val sp = spark; import sp.implicits._
@@ -209,6 +213,35 @@ class StrawMergeDistributedSpec extends AnyFunSuite with BeforeAndAfterAll {
       (900L until 1000L by 2).map(i => (i, s"s$i")).toSet
     assert(run(dist = false) == want)
     assert(run(dist = true) == want)
+  }
+
+  test("re-merging an applied source reports zero inserts, both paths") {
+    // found by the round-14 mutation drill: insertedRows used to count
+    // every freshly written row (replacement versions included), so an
+    // idempotent re-merge claimed thousands of inserts while the table
+    // row count stood still
+    val sp = spark; import sp.implicits._
+    for (dist <- Seq(false, true)) {
+      val out = s"$dir/remerge_$dist"
+      (0L until 500L).map(i => (i, s"old$i")).toDF("k", "s")
+        .write.format("strawboat").mode("overwrite").save(out)
+      val source = ((100L until 200L) ++ (900L until 950L))
+        .map(i => (i, s"new$i")).toDF("k", "s")
+      def merge() =
+        if (dist) forcedDistributed(StrawMerge.merge(spark, out, source, Seq("k")))
+        else StrawMerge.merge(spark, out, source, Seq("k"))
+      val first = merge()
+      assert(first.distributedSource == dist, first.toString)
+      assert(first.matchedRows == 100 && first.replacedRows == 100 &&
+        first.insertedRows == 50, first.toString)
+      val n = read(out).count()
+      val again = merge()
+      // every source key now matches (the prior inserts included):
+      // replacements only, NO inserts, row count unchanged
+      assert(again.matchedRows == 150 && again.replacedRows == 150 &&
+        again.insertedRows == 0, again.toString)
+      assert(read(out).count() == n)
+    }
   }
 
 }

@@ -41,7 +41,7 @@ class StrawMergeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(i => (i, s"new$i", i * 100)).toDF("k", "s", "v")
     val res = StrawMerge.merge(spark, out, source, keys = Seq("k"))
     assert(res.matchedRows == 100, res.toString)
-    assert(res.insertedRows == 150, res.toString) // updates + inserts both append
+    assert(res.insertedRows == 50 && res.replacedRows == 100, res.toString)
     assert(res.dvFiles >= 1 && res.newFiles >= 1, res.toString)
     // merge-on-read: original files untouched
     before.keys.foreach(p => assert(
@@ -119,7 +119,8 @@ class StrawMergeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .mode("overwrite").save(out)
     val src = Seq((7L, "g1", 777L), (1000L, "g2", 1000L)).toDF("k", "g", "v")
     val res = StrawMerge.merge(spark, out, src, Seq("k"))
-    assert(res.matchedRows == 1 && res.insertedRows == 2, res.toString)
+    assert(res.matchedRows == 1 && res.insertedRows == 1 &&
+      res.replacedRows == 1, res.toString)
     val back = read(out)
     assert(back.count() == 301)
     assert(back.filter(col("k") === 7L).select("v").as[Long].head() == 777L)
