@@ -405,12 +405,12 @@ object StrawSqlSurface {
 
   /** `straw_bm25('<index dir>', '<terms, space-separated>', k)`: BM25
     * top-k over a [[graft.ops.Search.buildLexicalIndex]] directory as a
-    * pure-SQL table function — (doc_id, score) rows. Runs the same
-    * bucket-pruned probe as the DataFrame API; only the k result rows
-    * reach the driver. Like every `straw_*` table function, the body runs
-    * at ANALYSIS time (EXPLAIN or view re-analysis re-executes the probe)
-    * — read-only and k-bounded, so re-resolution costs a probe, never a
-    * wrong result; use the DataFrame API for composition-heavy plans. */
+    * pure-SQL table function — (doc_id, score) rows. LAZY: the builder
+    * returns the same bucket-pruned probe plan the DataFrame API builds
+    * (arguments still validate at analysis time), so EXPLAIN costs
+    * nothing, the probe runs once per execution, and the result composes
+    * — join it, aggregate over it, feed it to a CTE — without anything
+    * passing through the driver. */
   def bm25Builder(args: Seq[Expression]): LogicalPlan = {
     require(args.length == 3 && args.take(2).forall(a =>
         a.foldable && a.dataType == StringType) &&
@@ -427,16 +427,14 @@ object StrawSqlSurface {
     // token that matches no indexed term and silently contributes nothing
     val terms = termsArg.toString.toLowerCase.split("[^a-z0-9]+")
       .filter(_.nonEmpty).distinct.toSeq
-    val rows = graft.ops.Search.bm25TopKIndexed(
+    // hand the analyzer the probe's own (already analyzed) plan; each
+    // invocation builds a fresh Dataset, so two probes in one query carry
+    // distinct expression ids and self-joins stay well-formed
+    graft.ops.Search.bm25TopKIndexed(
         org.apache.spark.sql.SparkSession.active, resolveDir(path.toString),
         terms, k.asInstanceOf[Int])
       .selectExpr("cast(doc_id as long) doc_id", "score")
-      .collect()
-      .map(r => org.apache.spark.sql.catalyst.InternalRow(
-        r.getLong(0), r.getDouble(1)))
-    LocalRelation(Seq(
-      AttributeReference("doc_id", LongType, nullable = false)(),
-      AttributeReference("score", DoubleType, nullable = false)()), rows)
+      .queryExecution.analyzed
   }
 
   val PhraseName = "straw_phrase"
@@ -445,12 +443,11 @@ object StrawSqlSurface {
     * documents (lowest doc_id first) containing the phrase's tokens
     * consecutively, from a POSITIONAL index
     * (`buildLexicalIndex(..., positions = true)`) — (doc_id) rows, plain
-    * SQL. The limit is REQUIRED: this surface materializes through the
-    * driver (like every `straw_*` table function), so an unbounded match
-    * set for a common phrase over a large corpus must be impossible to
-    * express here — the DataFrame API ([[graft.ops.Search.phraseSearch]])
-    * is the unbounded path and never touches the driver. Same
-    * analysis-time execution note as [[bm25Builder]]. */
+    * SQL. LAZY like [[bm25Builder]]: the plan is the DataFrame probe plus
+    * `ORDER BY doc_id LIMIT k` (rides TakeOrdered — no full sort
+    * materializes). The limit is REQUIRED: a bare SQL call must state how
+    * many of a possibly-huge match set it wants; the DataFrame API
+    * ([[graft.ops.Search.phraseSearch]]) is the unbounded path. */
   def phraseBuilder(args: Seq[Expression]): LogicalPlan = {
     require(args.length == 3 && args.take(2).forall(a =>
         a.foldable && a.dataType == StringType) &&
@@ -465,15 +462,12 @@ object StrawSqlSurface {
     require(k.asInstanceOf[Int] > 0, s"$PhraseName: k must be positive")
     val phrase = phraseArg.toString.toLowerCase.split("[^a-z0-9]+")
       .filter(_.nonEmpty).toSeq
-    val rows = graft.ops.Search.phraseSearch(
+    graft.ops.Search.phraseSearch(
         org.apache.spark.sql.SparkSession.active, resolveDir(path.toString),
         phrase)
       .selectExpr("cast(doc_id as long) doc_id")
       .limit(k.asInstanceOf[Int])
-      .collect()
-      .map(r => org.apache.spark.sql.catalyst.InternalRow(r.getLong(0)))
-    LocalRelation(Seq(
-      AttributeReference("doc_id", LongType, nullable = false)()), rows)
+      .queryExecution.analyzed
   }
 
   val AddConstraintName = "straw_add_constraint"

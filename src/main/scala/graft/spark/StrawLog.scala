@@ -111,10 +111,32 @@ object StrawLog {
   // serve the previous incarnation's snapshot for a colliding version
   // number — same version-keying discipline as [[FooterCache]].
   private val cache =
-    new java.util.LinkedHashMap[(String, Long, Long, Long), Snapshot](64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long, Long, Long), Snapshot]): Boolean =
-        size() > 256
+    new java.util.LinkedHashMap[(String, Long, Long, Long), Snapshot](64, 0.75f, true)
+
+  // Eviction is bounded by snapshot COUNT and by retained ENTRY count: a
+  // cold-replayed snapshot owns its whole entry vector, so 256 of them over
+  // a 100k-file table would pin ~25M Entry objects (stats strings included)
+  // and turn commit latency into GC time. Monotonic commits are exempt from
+  // the weight pressure in practice: [[afterCommit]] derives each new
+  // snapshot from the previous one, SHARING unchanged Entry objects, so the
+  // weight metric (which counts shared entries once per snapshot) merely
+  // evicts old versions early — replay restores them on demand, never
+  // wrongly.
+  private val MaxCachedSnapshots = 256
+  private val MaxCachedEntries = 1000000L
+
+  private def cachePut(key: (String, Long, Long, Long), snap: Snapshot): Unit =
+    cache.synchronized {
+      cache.put(key, snap)
+      var total = 0L
+      cache.values.forEach(s => total += s.entries.size)
+      val it = cache.entrySet().iterator()
+      while (it.hasNext &&
+          (cache.size > MaxCachedSnapshots || total > MaxCachedEntries) &&
+          cache.size > 1) {
+        val e = it.next()
+        if (e.getValue ne snap) { total -= e.getValue.entries.size; it.remove() }
+      }
     }
 
   private val writeLocks =
@@ -328,7 +350,7 @@ object StrawLog {
     val snap =
       Snapshot(target, entries.values.toVector.sortBy(_.meta.path), txns,
         constraints, mapping)
-    cache.synchronized(cache.put(key, snap))
+    cachePut(key, snap)
     hits.incrementAndGet()
     Some(snap)
   }
@@ -786,7 +808,7 @@ object StrawLog {
         finally { os.close(); if (!ok) f.delete(tmp, false): Unit }
         if (claim(f, tmp, commitPath(ld, next), body.takeWhile(_ != '\n'))) {
           if (cur.isEmpty) StrawManifest.invalidate(table) // retire legacy snapshot
-          afterCommit(table, f, ld, qdir, next)
+          afterCommit(table, f, ld, qdir, next, cur, body)
           return next
         }
         attempt += 1
@@ -800,11 +822,25 @@ object StrawLog {
 
   /** Post-commit maintenance: materialize the new snapshot into the cache
     * and write a checkpoint every [[CheckpointInterval]] versions. Failures
-    * here never fail the commit — the version file IS the commit. */
+    * here never fail the commit — the version file IS the commit.
+    *
+    * The snapshot is derived INCREMENTALLY: the just-written body (the
+    * exact bytes replay will read) is parsed and applied on top of the
+    * previous snapshot — O(this commit), not an O(table) checkpoint
+    * replay per commit. Unchanged [[StrawManifest.Entry]] objects (stats
+    * strings, memoized synthetic footers included) are shared with the
+    * previous version, so a long run of small commits costs O(deltas) of
+    * cache memory, not versions x table-size. Replay-from-disk stays the
+    * canonical path for cold resolves; the induction base is a replayed
+    * snapshot, and the body roundtrips through the same parse/apply code,
+    * so the derived state is exactly what a cold replay of `version`
+    * produces. Any surprise (gap, unparseable body, DV on an unknown path)
+    * falls back to that full replay. */
   private def afterCommit(table: String, f: FileSystem, ld: Path, qdir: String,
-      version: Long): Unit = {
+      version: Long, prev: Option[Snapshot], body: String): Unit = {
     try {
-      val snap = snapshot(table).getOrElse(return)
+      val snap = incrementalSnapshot(f, ld, qdir, version, prev, body)
+        .orElse(snapshot(table)).getOrElse(return)
       if (snap.version == version && version % CheckpointInterval == 0) {
         // A lines never carry DVs — the checkpoint re-attaches them as D
         // lines after the adds, same replay order as a commit
@@ -820,6 +856,46 @@ object StrawLog {
         if (ok) claim(f, tmp, checkpointPath(ld, version), body.takeWhile(_ != '\n')): Unit
       }
     } catch { case scala.util.control.NonFatal(_) => }
+  }
+
+  /** Apply one just-committed body to the previous snapshot and cache the
+    * result (see [[afterCommit]]). None on any shape the fast path cannot
+    * prove equivalent to replay — the caller falls back to a full resolve. */
+  private def incrementalSnapshot(f: FileSystem, ld: Path, qdir: String,
+      version: Long, prev: Option[Snapshot], body: String): Option[Snapshot] = {
+    if (prev.map(_.version + 1).getOrElse(1L) != version) return None
+    val acts = parseActions(body.split('\n'), qdir).getOrElse(return None)
+    val entries = scala.collection.mutable.LinkedHashMap.empty[String, Entry]
+    prev.foreach(_.entries.foreach(e => entries(e.meta.path) = e))
+    var txns = prev.map(_.txns).getOrElse(Map.empty[String, Long])
+    var constraints = prev.map(_.constraints).getOrElse(Map.empty[String, String])
+    var mapping = prev.map(_.mapping).getOrElse(ColumnMappingState.Empty)
+    var consistent = true
+    acts.actions.foreach {
+      case AddAction(e) => entries(e.meta.path) = e
+      case RemoveAction(removed) => entries.remove(removed): Unit
+      case DvAction(dataPath, dv) => entries.get(dataPath) match {
+        case Some(e) => entries(dataPath) = e.copy(dv = dv)
+        case None => consistent = false // replay would refuse; let it decide
+      }
+    }
+    if (!consistent) return None
+    txns ++= acts.txns
+    acts.constraintOps.foreach {
+      case (name, Some(expr)) => constraints += (name -> expr)
+      case (name, None) => constraints -= name
+    }
+    acts.mapping.foreach(mapping = _)
+    // the cache key carries the commit FILE's identity, same as resolve
+    val st =
+      try f.getFileStatus(commitPath(ld, version))
+      catch { case _: java.io.FileNotFoundException => return None }
+    val key = (f.makeQualified(ld).toString, version,
+      st.getModificationTime, st.getLen)
+    val snap = Snapshot(version,
+      entries.values.toVector.sortBy(_.meta.path), txns, constraints, mapping)
+    cachePut(key, snap)
+    Some(snap)
   }
 
   // parsed per-version add lists for incremental (streaming) consumers,

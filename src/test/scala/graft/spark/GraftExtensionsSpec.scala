@@ -260,6 +260,26 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"SELECT * FROM straw_phrase('$dir', 'spark shuffle', 10)").collect())
     assert(e3.getMessage.contains("positions") ||
       (e3.getCause != null && e3.getCause.getMessage.contains("positions")))
+
+    // LAZY: the table function resolves to the index-probe PLAN, not an
+    // analysis-time materialization — the analyzed tree bottoms out in
+    // real index scans (a LocalRelation-only tree would mean the probe
+    // already ran on the driver)
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    for (sql <- Seq(s"SELECT * FROM straw_bm25('$dir', 'spark', 10)",
+        s"SELECT * FROM straw_phrase('$pdir', 'spark shuffle', 10)")) {
+      val leaves = spark.sql(sql).queryExecution.analyzed.collectLeaves()
+      assert(leaves.nonEmpty && leaves.forall(!_.isInstanceOf[LocalRelation]),
+        s"expected lazy scan leaves for $sql, got:\n${leaves.mkString("\n")}")
+    }
+    // ...and therefore COMPOSES: join the probe back to the corpus in SQL
+    docs.createOrReplaceTempView("ext_bm25_docs")
+    val joined = spark.sql(
+      s"""SELECT d.text, s.score FROM straw_bm25('$dir', 'spark', 10) s
+         |JOIN ext_bm25_docs d ON d.doc_id = s.doc_id
+         |ORDER BY s.score DESC, d.doc_id""".stripMargin).collect()
+    assert(joined.length == 2 && joined.forall(_.getString(0).contains("spark")))
+    spark.catalog.dropTempView("ext_bm25_docs")
   }
 
   test("hyperplane buckets reject non-integer config args with a clear error") {

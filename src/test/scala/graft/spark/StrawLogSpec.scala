@@ -211,6 +211,42 @@ class StrawLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(StrawIO.listFilesMeta(out, Some(21L)).size == 21)
   }
 
+  test("incrementally maintained snapshots equal a cold replay and share entries") {
+    val out = s"$dir/incr"
+    // a mixed workload: appends, a DV-attaching delete, a constraint, and
+    // enough commits to cross a checkpoint boundary
+    (0 until 12).foreach(g => write(out, g * 10L, 10))
+    StrawDelete.delete(spark, out,
+      Seq(org.apache.spark.sql.sources.LessThan("id", 3L)))
+    StrawConstraints.add(spark, out, "id_nonneg", "id >= 0")
+    write(out, 200, 10)
+
+    // each commit cached its snapshot INCREMENTALLY (afterCommit applies
+    // the just-written body to the previous snapshot): consecutive
+    // versions share the untouched Entry objects — a replay-built pair
+    // would hold two fresh copies
+    val sA = StrawLog.snapshot(out).get
+    write(out, 300, 10)
+    val sB = StrawLog.snapshot(out).get
+    assert(sB.version == sA.version + 1)
+    val common = sA.entries.head.meta.path
+    val eA = sA.entries.find(_.meta.path == common).get
+    val eB = sB.entries.find(_.meta.path == common).get
+    assert(eA eq eB,
+      "consecutive snapshots re-allocated an untouched entry — the " +
+        "incremental fast path fell back to full replay")
+
+    // ...and the derived state is EXACTLY what replay-from-disk produces
+    StrawLog.clearCache()
+    val cold = StrawLog.snapshot(out).get
+    assert(cold.version == sB.version)
+    assert(cold.entries == sB.entries)
+    assert(cold.txns == sB.txns)
+    assert(cold.constraints == sB.constraints)
+    assert(cold.mapping == sB.mapping)
+    assert(read(out).count() == 137) // 140 written - 3 deleted (id < 3)
+  }
+
   test("commit over an unreadable log refuses instead of forking version 1") {
     val out = s"$dir/nofork"
     write(out, 0, 100)
