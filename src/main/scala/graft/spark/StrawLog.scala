@@ -125,8 +125,29 @@ object StrawLog {
   private val MaxCachedSnapshots = 256
   private val MaxCachedEntries = 1000000L
 
+  // Highest version ever cached per log dir, with its commit file's
+  // (mtime, len). Lets [[resolveOnce]] answer "what is the latest
+  // snapshot?" with TWO getFileStatus probes (is version+1 absent? is
+  // version's file unchanged?) instead of a full log-directory listing —
+  // the listing is O(retained log files) PER PLANNING PASS and per commit,
+  // which the 3,000-commit mutation drill measured at ~0.16 ms/file/commit
+  // locally (~540 ms/commit at 3.4k log files; on an object store it is
+  // paged LIST requests). The probe is only a shortcut for "nothing new":
+  // any surprise (a successor version exists — foreign committers land
+  // here —, the hinted file changed or vanished, no cached snapshot) falls
+  // back to the listing. Point-in-time semantics are unchanged — a
+  // snapshot may always be one commit stale under concurrency; writers
+  // re-resolve after a lost claim race, which drops the hint first.
+  private val latestHint =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long)]()
+
   private def cachePut(key: (String, Long, Long, Long), snap: Snapshot): Unit =
     cache.synchronized {
+      // >= : on an equal version number the newest observation wins, so a
+      // deleted-and-recreated version file (new mtime/len) refreshes the
+      // hint instead of pinning a permanently stale probe target
+      latestHint.merge(key._1, (key._2, key._3, key._4),
+        (a, b) => if (b._1 >= a._1) b else a)
       cache.put(key, snap)
       var total = 0L
       cache.values.forEach(s => total += s.entries.size)
@@ -161,8 +182,14 @@ object StrawLog {
 
   /** (commit version → file (mtime, len), checkpoint versions) present —
     * ONE shallow listing of the log directory (not a recursive data walk). */
+  /** Log-directory listings performed — observability: steady-state
+    * planning over an unchanged table should resolve via [[latestHint]]
+    * probes and not move this counter. */
+  val listings = new java.util.concurrent.atomic.AtomicLong()
+
   private def listVersions(f: FileSystem, ld: Path)
       : (scala.collection.SortedMap[Long, (Long, Long)], Seq[Long]) = {
+    listings.incrementAndGet()
     val sts =
       try f.listStatus(ld)
       catch { case _: java.io.FileNotFoundException =>
@@ -291,6 +318,33 @@ object StrawLog {
   private def resolveOnce(table: String, asOf: Option[Long]): Option[Snapshot] = {
     val f = rawFs(table)
     val ld = logDir(table)
+    // latest-snapshot fast path: serve the hinted cached snapshot when no
+    // successor version exists and the hinted commit file is unchanged —
+    // two stat probes instead of an O(log files) directory listing (see
+    // [[latestHint]]). Probe ORDER matters: successor-absence is checked
+    // first, so a commit landing between the probes merely serves the
+    // (valid) previous point-in-time snapshot, never a torn state.
+    if (asOf.isEmpty) {
+      val ldq = f.makeQualified(ld).toString
+      val h = latestHint.get(ldq)
+      if (h != null) {
+        val (hv, hm, hl) = h
+        val cached = cache.synchronized(Option(cache.get((ldq, hv, hm, hl))))
+        if (cached.isDefined) {
+          val successor =
+            try { f.getFileStatus(commitPath(ld, hv + 1)); true }
+            catch { case _: java.io.FileNotFoundException => false }
+          if (!successor) {
+            val unchanged =
+              try {
+                val st = f.getFileStatus(commitPath(ld, hv))
+                st.getModificationTime == hm && st.getLen == hl
+              } catch { case _: java.io.FileNotFoundException => false }
+            if (unchanged) { hits.incrementAndGet(); return cached }
+          }
+        }
+      }
+    }
     val (commits, checkpoints) = listVersions(f, ld)
     if (commits.isEmpty) return None
     val target = asOf match {
@@ -814,7 +868,12 @@ object StrawLog {
         attempt += 1
         require(attempt < 50,
           s"strawboat: log commit on $table lost ${attempt} version races — aborting")
-        // lost the race: invalidate nothing (cache is version-keyed), retry
+        // lost the race: a foreign committer holds `next`. Drop the latest
+        // hint so the retry's snapshot() takes the listing path and SEES
+        // the foreign version — the fast path alone would keep serving the
+        // stale snapshot and spin all 50 attempts on the same claim.
+        latestHint.remove(f.makeQualified(ld).toString): Unit
+        // (cache stays: it is version-keyed, nothing in it is wrong)
       }
       -1L // unreachable
     }
@@ -1069,6 +1128,7 @@ object StrawLog {
 
   def clearCache(): Unit = {
     cache.synchronized(cache.clear())
+    latestHint.clear()
     TimeTravel.clearAll()
     StrawChanges.clearCache()
   }

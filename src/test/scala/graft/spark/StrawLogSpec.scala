@@ -247,6 +247,24 @@ class StrawLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(read(out).count() == 137) // 140 written - 3 deleted (id < 3)
   }
 
+  test("repeat latest-snapshot resolution probes instead of re-listing the log") {
+    val out = s"$dir/probe"
+    (0 until 5).foreach(g => write(out, g * 10L, 10))
+    assert(read(out).count() == 50) // prime the hint
+    val before = StrawLog.listings.get()
+    (0 until 3).foreach(_ => assert(read(out).count() == 50))
+    assert(StrawLog.snapshot(out).get.version == 5L)
+    assert(StrawLog.listings.get() == before,
+      s"steady-state planning re-listed the log dir " +
+        s"${StrawLog.listings.get() - before} time(s); expected successor " +
+        "probes only")
+    // a new commit is still discovered: the probe sees the successor file
+    // and falls back to the listing
+    write(out, 100, 10)
+    assert(read(out).count() == 60)
+    assert(StrawLog.snapshot(out).get.version == 6L)
+  }
+
   test("commit over an unreadable log refuses instead of forking version 1") {
     val out = s"$dir/nofork"
     write(out, 0, 100)
