@@ -250,8 +250,37 @@ object StrawLog {
     } catch { case _: java.io.FileNotFoundException => Seq.empty }
 
   def latestVersion(table: String): Option[Long] = {
-    val (commits, _) = listVersions(rawFs(table), logDir(table))
-    commits.keySet.lastOption
+    val f = rawFs(table)
+    val ld = logDir(table)
+    // streaming sources poll this per micro-batch: answer from the probe
+    // (two stats) when the hint provably still names the latest commit
+    probeLatest(f, ld) match {
+      case Some((v, _, _)) => Some(v)
+      case None =>
+        val (commits, _) = listVersions(f, ld)
+        commits.keySet.lastOption
+    }
+  }
+
+  /** The hinted (version, mtime, len) when it PROVABLY still names the
+    * latest commit — successor file absent (committed versions are gapless,
+    * so `hint+1` is where any newer commit, foreign ones included, must
+    * land) and the hinted file's identity unchanged (guards the
+    * delete-and-recreate-log escape hatch). None → the caller must list. */
+  private def probeLatest(f: FileSystem, ld: Path): Option[(Long, Long, Long)] = {
+    val h = latestHint.get(f.makeQualified(ld).toString)
+    if (h == null) return None
+    val (hv, hm, hl) = h
+    val successor =
+      try { f.getFileStatus(commitPath(ld, hv + 1)); true }
+      catch { case _: java.io.FileNotFoundException => false }
+    if (successor) return None
+    val unchanged =
+      try {
+        val st = f.getFileStatus(commitPath(ld, hv))
+        st.getModificationTime == hm && st.getLen == hl
+      } catch { case _: java.io.FileNotFoundException => false }
+    if (unchanged) Some(h) else None
   }
 
   /** The latest snapshot, or None when the table has no (readable) log —
@@ -328,20 +357,9 @@ object StrawLog {
       val ldq = f.makeQualified(ld).toString
       val h = latestHint.get(ldq)
       if (h != null) {
-        val (hv, hm, hl) = h
-        val cached = cache.synchronized(Option(cache.get((ldq, hv, hm, hl))))
-        if (cached.isDefined) {
-          val successor =
-            try { f.getFileStatus(commitPath(ld, hv + 1)); true }
-            catch { case _: java.io.FileNotFoundException => false }
-          if (!successor) {
-            val unchanged =
-              try {
-                val st = f.getFileStatus(commitPath(ld, hv))
-                st.getModificationTime == hm && st.getLen == hl
-              } catch { case _: java.io.FileNotFoundException => false }
-            if (unchanged) { hits.incrementAndGet(); return cached }
-          }
+        val cached = cache.synchronized(Option(cache.get((ldq, h._1, h._2, h._3))))
+        if (cached.isDefined && probeLatest(f, ld).contains(h)) {
+          hits.incrementAndGet(); return cached
         }
       }
     }
