@@ -85,8 +85,29 @@ object StrawLog {
   private val CommitExt = ".commit"
   private val CheckpointExt = ".checkpoint"
 
-  /** Write a checkpoint every this many versions (replay cost bound). */
+  /** Write a checkpoint every this many versions (replay cost bound) —
+    * the default; see [[checkpointInterval]] for the deployment knob. */
   val CheckpointInterval = 10
+
+  /** Session conf overriding [[CheckpointInterval]]. A checkpoint
+    * serializes the WHOLE table state (O(files) stats strings), so its
+    * cadence is the commit-throughput vs cold-replay-length trade a
+    * deployment tunes: a 100k-file table under a high-rate micro-batch
+    * sink wants this larger (pay O(table) less often), an analyst-facing
+    * table with rare writes can keep the default's short replay tail. */
+  val CheckpointIntervalConf = "spark.straw.log.checkpointInterval"
+
+  private def checkpointInterval: Int = {
+    val v =
+      try org.apache.spark.sql.internal.SQLConf.get
+        .getConfString(CheckpointIntervalConf, CheckpointInterval.toString)
+      catch { case scala.util.control.NonFatal(_) => CheckpointInterval.toString }
+    val n = try v.toInt catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(
+        s"strawboat: $CheckpointIntervalConf must be a positive int, got '$v'") }
+    require(n > 0, s"strawboat: $CheckpointIntervalConf must be positive, got $n")
+    n
+  }
 
   /** One resolved table state: `entries` keyed by path (sorted), `txns` the
     * latest committed version per streaming query id, `constraints` the
@@ -729,6 +750,11 @@ object StrawLog {
       !adds.exists(_.meta.path == d.dataPath) || d.expectedOld.isEmpty),
       "strawboat: a DV update on a path this commit adds must expect no " +
         "prior sidecar")
+    // read (and VALIDATE) the checkpoint cadence before any side effect:
+    // afterCommit swallows failures by contract (the version file IS the
+    // commit), so a malformed conf evaluated there would silently stop
+    // checkpointing instead of refusing
+    val ckptEvery = checkpointInterval
     val lock = writeLocks.computeIfAbsent(table, _ => new Object)
     lock.synchronized {
       val f = rawFs(table)
@@ -880,7 +906,7 @@ object StrawLog {
         finally { os.close(); if (!ok) f.delete(tmp, false): Unit }
         if (claim(f, tmp, commitPath(ld, next), body.takeWhile(_ != '\n'))) {
           if (cur.isEmpty) StrawManifest.invalidate(table) // retire legacy snapshot
-          afterCommit(table, f, ld, qdir, next, cur, body)
+          afterCommit(table, f, ld, qdir, next, cur, body, ckptEvery)
           return next
         }
         attempt += 1
@@ -914,11 +940,12 @@ object StrawLog {
     * produces. Any surprise (gap, unparseable body, DV on an unknown path)
     * falls back to that full replay. */
   private def afterCommit(table: String, f: FileSystem, ld: Path, qdir: String,
-      version: Long, prev: Option[Snapshot], body: String): Unit = {
+      version: Long, prev: Option[Snapshot], body: String,
+      ckptEvery: Int = CheckpointInterval): Unit = {
     try {
       val snap = incrementalSnapshot(f, ld, qdir, version, prev, body)
         .orElse(snapshot(table)).getOrElse(return)
-      if (snap.version == version && version % CheckpointInterval == 0) {
+      if (snap.version == version && version % ckptEvery == 0) {
         // A lines never carry DVs — the checkpoint re-attaches them as D
         // lines after the adds, same replay order as a commit
         val body = serialize(snap.entries, Seq.empty, snap.txns, qdir, "checkpoint",

@@ -265,6 +265,31 @@ class StrawLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(StrawLog.snapshot(out).get.version == 6L)
   }
 
+  test("checkpoint cadence is a session conf; malformed values refuse at commit") {
+    val out = s"$dir/ckptconf"
+    spark.conf.set(StrawLog.CheckpointIntervalConf, "3")
+    try {
+      (0 until 7).foreach(g => write(out, g * 10L, 10))
+      val ckpts = logFiles(out).count(_.endsWith(".checkpoint"))
+      assert(ckpts == 2, s"expected checkpoints at v3 and v6, got $ckpts")
+    } finally spark.conf.unset(StrawLog.CheckpointIntervalConf)
+    // a malformed cadence refuses LOUDLY before any side effect — a value
+    // evaluated inside post-commit maintenance would be swallowed and
+    // silently stop checkpointing instead
+    for (bad <- Seq("ten", "0", "-5")) {
+      spark.conf.set(StrawLog.CheckpointIntervalConf, bad)
+      try {
+        val e = intercept[Exception](write(out, 100, 10))
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Seq.empty
+          else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+        assert(msgs(e).exists(_.contains(StrawLog.CheckpointIntervalConf)),
+          s"for '$bad' got: $e")
+      } finally spark.conf.unset(StrawLog.CheckpointIntervalConf)
+    }
+    assert(read(out).count() == 70) // the refused writes committed nothing
+  }
+
   test("commit over an unreadable log refuses instead of forking version 1") {
     val out = s"$dir/nofork"
     write(out, 0, 100)
