@@ -206,6 +206,38 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d2.getString(0) == "bucket(4, id)", d2.getString(0))
   }
 
+  test("straw_vacuum_log drops replay-unneeded log files from plain SQL") {
+    val sp = spark; import sp.implicits._
+    val out = java.nio.file.Files.createTempDirectory("extsvaclog").toString
+    (0 until 25).foreach { i =>
+      (i * 10 until i * 10 + 10).map(j => (j.toLong, s"r$j")).toDF("id", "s")
+        .coalesce(1).write.format("strawboat")
+        .mode(if (i == 0) "overwrite" else "append").save(out)
+    }
+    val logDir = new java.io.File(out, StrawLog.DirName)
+    val before = logDir.listFiles().count(!_.getName.startsWith("."))
+    val dropped = spark.sql(
+      s"SELECT * FROM straw_vacuum_log('$out', 3)").collect()(0).getInt(0)
+    assert(dropped > 0 && logDir.listFiles()
+      .count(!_.getName.startsWith(".")) == before - dropped)
+    // the retained window still serves reads and recent time travel
+    assert(spark.read.format("strawboat").load(out).count() == 250L)
+    assert(spark.read.format("strawboat").option("versionAsOf", "24")
+      .load(out).count() == 240L)
+    // pre-window time travel now refuses (that is the deal)
+    intercept[Exception](spark.read.format("strawboat")
+      .option("versionAsOf", "2").load(out).count())
+    // idempotent: a second call drops nothing further
+    assert(spark.sql(s"SELECT * FROM straw_vacuum_log('$out', 3)")
+      .collect()(0).getInt(0) == 0)
+    // arg validation is loud
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM straw_vacuum_log('$out', -1)").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("straw_vacuum_log")))
+  }
+
   test("straw_bm25 probes a lexical index from plain SQL") {
     val ss = spark
     import ss.implicits._
