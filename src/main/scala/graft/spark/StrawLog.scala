@@ -201,13 +201,13 @@ object StrawLog {
   private def commitPath(ld: Path, v: Long) = new Path(ld, f"$v%020d$CommitExt")
   private def checkpointPath(ld: Path, v: Long) = new Path(ld, f"$v%020d$CheckpointExt")
 
-  /** (commit version → file (mtime, len), checkpoint versions) present —
-    * ONE shallow listing of the log directory (not a recursive data walk). */
   /** Log-directory listings performed — observability: steady-state
     * planning over an unchanged table should resolve via [[latestHint]]
     * probes and not move this counter. */
   val listings = new java.util.concurrent.atomic.AtomicLong()
 
+  /** (commit version → file (mtime, len), checkpoint versions) present —
+    * ONE shallow listing of the log directory (not a recursive data walk). */
   private def listVersions(f: FileSystem, ld: Path)
       : (scala.collection.SortedMap[Long, (Long, Long)], Seq[Long]) = {
     listings.incrementAndGet()
