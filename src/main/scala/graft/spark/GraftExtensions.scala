@@ -94,20 +94,21 @@ object StrawSqlSurface {
     AttributeReference("dv_changes", IntegerType, nullable = false)())
 
   // (path, version) pairs this process has already restored through the
-  // SQL surface: re-RESOLVING the same call (a temp view re-analyzed, an
-  // EXPLAIN, a retried query) must not re-execute the restore — between
-  // resolutions a racing append would land in the new diff and be silently
-  // undone by what reads as a query. First execution's metrics are replayed.
+  // SQL surface: re-EXECUTING the same call (the same query collected
+  // twice, a cached Dataset re-actioned) must not re-execute the restore —
+  // between executions a racing append would land in the new diff and be
+  // silently undone by what reads as a query. First execution's metrics
+  // are replayed.
   private val restored =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), StrawRestore.RestoreResult]()
 
   /** `straw_restore('<path>', <version>)`: performs the restore and returns
-    * its metrics as one row (Delta's RESTORE TABLE shape). The restore
-    * executes when the call first RESOLVES in this process; later
-    * resolutions of the same (path, version) — view re-analysis, EXPLAIN,
-    * retries — replay the recorded metrics without touching the table. To
-    * deliberately restore the same target again after new commits, use the
-    * programmatic [[StrawRestore.restore]]. */
+    * its metrics as one row (Delta's RESTORE TABLE shape). The restore runs
+    * at EXECUTION time — EXPLAIN and view re-analysis never touch the table
+    * ([[DeferredOpPlan]]) — when the call first EXECUTES in this process;
+    * later executions of the same (path, version) replay the recorded
+    * metrics. To deliberately restore the same target again after new
+    * commits, use the programmatic [[StrawRestore.restore]]. */
   def restoreBuilder(args: Seq[Expression]): LogicalPlan = {
     require(args.length == 2 && args.forall(_.foldable) &&
       args.head.dataType == StringType &&
@@ -118,11 +119,14 @@ object StrawSqlSurface {
     val path = args.head.eval(empty)
     val v = args(1).eval(empty)
     require(path != null && v != null, s"$RestoreName: arguments must not be null")
-    val r = restored.computeIfAbsent(
-      (resolveDir(path.toString), v.asInstanceOf[Number].longValue()),
-      { case (p, ver) => StrawRestore.restore(p, ver) })
-    LocalRelation(restoreSchema, Seq(org.apache.spark.sql.catalyst.InternalRow(
-      r.version, r.restoredTo, r.addedFiles, r.removedFiles, r.dvChanges)))
+    val dir = resolveDir(path.toString)
+    val ver = v.asInstanceOf[Number].longValue()
+    DeferredOpPlan(RestoreName, restoreSchema, () => {
+      val r = restored.computeIfAbsent((dir, ver),
+        { case (p, w) => StrawRestore.restore(p, w) })
+      Seq(org.apache.spark.sql.catalyst.InternalRow(
+        r.version, r.restoredTo, r.addedFiles, r.removedFiles, r.dvChanges))
+    })
   }
 
   val CompactName = "straw_compact"
@@ -133,8 +137,8 @@ object StrawSqlSurface {
     AttributeReference("rewritten_bytes", LongType, nullable = false)(),
     AttributeReference("skipped_files", IntegerType, nullable = false)())
 
-  // same re-resolution guard as [[restored]]: a compaction is a distributed
-  // rewrite job — view re-analysis or EXPLAIN must not run it twice
+  // same re-execution guard as [[restored]]: a compaction is a distributed
+  // rewrite job — re-actioning the same query must not run it twice
   private val compacted = new java.util.concurrent.ConcurrentHashMap[
     (String, Seq[String], Boolean), StrawCompaction.CompactionResult]()
 
@@ -142,9 +146,10 @@ object StrawSqlSurface {
     * table's small files (Delta's OPTIMIZE shape), optionally clustering by
     * the named columns — lexicographic by default, multi-column Z-ORDER when
     * the third argument is true — and returns the rewrite metrics as one
-    * row. Executes when the call first resolves in this process; later
-    * resolutions of the same (path, columns, zorder) replay the metrics. To
-    * deliberately compact again, use [[StrawCompaction.compact]]. */
+    * row. Runs at EXECUTION time (EXPLAIN/re-analysis rewrite nothing,
+    * [[DeferredOpPlan]]), when the call first executes in this process;
+    * later executions of the same (path, columns, zorder) replay the
+    * metrics. To deliberately compact again, use [[StrawCompaction.compact]]. */
   def compactBuilder(args: Seq[Expression]): LogicalPlan = {
     require(args.nonEmpty && args.length <= 3 && args.forall(_.foldable) &&
       args.head.dataType == StringType &&
@@ -163,12 +168,15 @@ object StrawSqlSurface {
       require(v != null, s"$CompactName: zorder must not be null")
       v.asInstanceOf[Boolean]
     }
-    val r = compacted.computeIfAbsent((resolveDir(path.toString), cols, zorder), { _ =>
-      StrawCompaction.compact(org.apache.spark.sql.SparkSession.active,
-        resolveDir(path.toString), clusterBy = cols, zOrder = zorder)
+    val dir = resolveDir(path.toString)
+    DeferredOpPlan(CompactName, compactSchema, () => {
+      val r = compacted.computeIfAbsent((dir, cols, zorder), { _ =>
+        StrawCompaction.compact(org.apache.spark.sql.SparkSession.active,
+          dir, clusterBy = cols, zOrder = zorder)
+      })
+      Seq(org.apache.spark.sql.catalyst.InternalRow(
+        r.inputFiles, r.outputFiles, r.rewrittenBytes, r.skippedFiles))
     })
-    LocalRelation(compactSchema, Seq(org.apache.spark.sql.catalyst.InternalRow(
-      r.inputFiles, r.outputFiles, r.rewrittenBytes, r.skippedFiles)))
   }
 
   val RebucketName = "straw_rebucket"
@@ -181,7 +189,8 @@ object StrawSqlSurface {
     * table's hash-bucket layout to `n` buckets (on `col`, defaulting to
     * the current spec's column) — full rewrite into the new layout, one
     * atomic generation switch, storage-partitioned joins work again after
-    * the sidecar spec updates. See [[StrawCompaction.rebucket]]. */
+    * the sidecar spec updates. Runs at EXECUTION time with the one-shot
+    * replay guard of [[compactBuilder]]. See [[StrawCompaction.rebucket]]. */
   def rebucketBuilder(args: Seq[Expression]): LogicalPlan = {
     require(args.length >= 2 && args.length <= 3 && args.forall(_.foldable) &&
       args.head.dataType == StringType &&
@@ -199,12 +208,15 @@ object StrawSqlSurface {
       case Some(null) | None => None
       case Some(s) => Some(s.toString)
     }
-    val r = rebucketed.computeIfAbsent((resolveDir(path.toString), n, col), { _ =>
-      StrawCompaction.rebucket(org.apache.spark.sql.SparkSession.active,
-        resolveDir(path.toString), n, col)
+    val dir = resolveDir(path.toString)
+    DeferredOpPlan(RebucketName, compactSchema, () => {
+      val r = rebucketed.computeIfAbsent((dir, n, col), { _ =>
+        StrawCompaction.rebucket(org.apache.spark.sql.SparkSession.active,
+          dir, n, col)
+      })
+      Seq(org.apache.spark.sql.catalyst.InternalRow(
+        r.inputFiles, r.outputFiles, r.rewrittenBytes, r.skippedFiles))
     })
-    LocalRelation(compactSchema, Seq(org.apache.spark.sql.catalyst.InternalRow(
-      r.inputFiles, r.outputFiles, r.rewrittenBytes, r.skippedFiles)))
   }
 
   val VacuumName = "straw_vacuum"
@@ -212,11 +224,16 @@ object StrawSqlSurface {
   /** `straw_vacuum('<path>'[, <older_than_hours>])`: reclaims unreferenced
     * debris (crashed-op leftovers, aged-out superseded sidecars, files a
     * restore retired) older than the cutoff — default 24h, the
-    * restore/change-feed retention window. Age-based and idempotent, so
-    * re-resolution (views, EXPLAIN) is harmless; returns the count. */
+    * restore/change-feed retention window. Age-based and idempotent, and it
+    * runs at EXECUTION time ([[DeferredOpPlan]]): EXPLAIN and view
+    * re-analysis delete nothing; each actual execution sweeps once and
+    * returns the count. */
   def vacuumBuilder(args: Seq[Expression]): LogicalPlan = {
     require(args.nonEmpty && args.length <= 2 && args.forall(_.foldable) &&
-      args.head.dataType == StringType,
+      args.head.dataType == StringType &&
+      args.drop(1).headOption.forall(a =>
+        Seq[org.apache.spark.sql.types.DataType](ByteType, ShortType,
+          IntegerType, LongType).contains(a.dataType)),
       s"$VacuumName expects (table path string[, older-than hours integer])")
     val empty = org.apache.spark.sql.catalyst.InternalRow.empty
     val path = args.head.eval(empty)
@@ -226,10 +243,11 @@ object StrawSqlSurface {
       require(h != null, s"$VacuumName: hours must not be null")
       h.asInstanceOf[Number].longValue()
     }
-    val n = StrawLog.vacuumUnreferenced(resolveDir(path.toString), hours * 3600 * 1000L)
-    LocalRelation(
+    val dir = resolveDir(path.toString)
+    DeferredOpPlan(VacuumName,
       Seq(AttributeReference("removed_files", IntegerType, nullable = false)()),
-      Seq(org.apache.spark.sql.catalyst.InternalRow(n)))
+      () => Seq(org.apache.spark.sql.catalyst.InternalRow(
+        StrawLog.vacuumUnreferenced(dir, hours * 3600 * 1000L))))
   }
 
   val VacuumLogName = "straw_vacuum_log"
@@ -243,10 +261,17 @@ object StrawSqlSurface {
     * writes and cold resolutions still touch the directory even with
     * probe-based planning). Time travel BEFORE the retained window stops
     * resolving — that is the deal, same as straw_vacuum's data-file side.
-    * Idempotent; returns the dropped-file count. */
+    * Idempotent per call, and it runs at EXECUTION time
+    * ([[DeferredOpPlan]]): EXPLAIN and view re-analysis trim nothing —
+    * which matters here more than for the age-based straw_vacuum, because
+    * after new commits a re-run advances the horizon and irreversibly
+    * drops more time-travel history. Returns the dropped-file count. */
   def vacuumLogBuilder(args: Seq[Expression]): LogicalPlan = {
     require(args.nonEmpty && args.length <= 2 && args.forall(_.foldable) &&
-      args.head.dataType == StringType,
+      args.head.dataType == StringType &&
+      args.drop(1).headOption.forall(a =>
+        Seq[org.apache.spark.sql.types.DataType](ByteType, ShortType,
+          IntegerType, LongType).contains(a.dataType)),
       s"$VacuumLogName expects (table path string[, keep-versions integer])")
     val empty = org.apache.spark.sql.catalyst.InternalRow.empty
     val path = args.head.eval(empty)
@@ -254,14 +279,16 @@ object StrawSqlSurface {
     val keep = if (args.length < 2) 100 else {
       val k = args(1).eval(empty)
       require(k != null, s"$VacuumLogName: keep-versions must not be null")
-      val n = k.asInstanceOf[Number].intValue()
-      require(n >= 0, s"$VacuumLogName: keep-versions must be >= 0, got $n")
-      n
+      val n = k.asInstanceOf[Number].longValue()
+      require(n >= 0 && n <= Int.MaxValue,
+        s"$VacuumLogName: keep-versions must be in [0, ${Int.MaxValue}], got $n")
+      n.toInt
     }
-    val n = StrawLog.vacuumLog(resolveDir(path.toString), keep)
-    LocalRelation(
+    val dir = resolveDir(path.toString)
+    DeferredOpPlan(VacuumLogName,
       Seq(AttributeReference("removed_log_files", IntegerType, nullable = false)()),
-      Seq(org.apache.spark.sql.catalyst.InternalRow(n)))
+      () => Seq(org.apache.spark.sql.catalyst.InternalRow(
+        StrawLog.vacuumLog(dir, keep))))
   }
 
   val ChangesName = "straw_changes"
@@ -510,15 +537,17 @@ object StrawSqlSurface {
     AttributeReference("name", StringType, nullable = false)(),
     AttributeReference("expression", StringType, nullable = true)())
 
-  // same re-resolution guard as [[restored]]: the add validates the whole
-  // table (a scan) and the drop fails on a missing name — view re-analysis,
-  // EXPLAIN, and retries must replay the first execution instead
+  // same re-execution guard as [[restored]]: the add validates the whole
+  // table (a scan) and the drop fails on a missing name — re-actioning the
+  // same query must replay the first execution instead
   private val constraintOps =
     new java.util.concurrent.ConcurrentHashMap[(String, String, Option[String]), Long]()
 
   /** `straw_add_constraint('<path>', '<name>', '<expr>')`: validates every
     * existing row against the CHECK expression, then commits it to the log
-    * ([[StrawConstraints.add]]); returns (version, name, expression). */
+    * ([[StrawConstraints.add]]); returns (version, name, expression). Runs
+    * at EXECUTION time ([[DeferredOpPlan]]) with a first-execution replay
+    * guard. */
   def addConstraintBuilder(args: Seq[Expression]): LogicalPlan = {
     require(args.length == 3 && args.forall(a =>
       a.foldable && a.dataType == StringType),
@@ -527,16 +556,21 @@ object StrawSqlSurface {
     val Seq(path, name, expr) = args.map(_.eval(empty))
     require(path != null && name != null && expr != null,
       s"$AddConstraintName: arguments must not be null")
-    val v = constraintOps.computeIfAbsent(
-      (resolveDir(path.toString), name.toString, Some(expr.toString)),
-      _ => StrawConstraints.add(org.apache.spark.sql.SparkSession.active,
-        resolveDir(path.toString), name.toString, expr.toString))
-    LocalRelation(constraintOpSchema, Seq(org.apache.spark.sql.catalyst.InternalRow(
-      v, UTF8String.fromString(name.toString), UTF8String.fromString(expr.toString))))
+    val dir = resolveDir(path.toString)
+    DeferredOpPlan(AddConstraintName, constraintOpSchema, () => {
+      val v = constraintOps.computeIfAbsent(
+        (dir, name.toString, Some(expr.toString)),
+        _ => StrawConstraints.add(org.apache.spark.sql.SparkSession.active,
+          dir, name.toString, expr.toString))
+      Seq(org.apache.spark.sql.catalyst.InternalRow(
+        v, UTF8String.fromString(name.toString), UTF8String.fromString(expr.toString)))
+    })
   }
 
   /** `straw_drop_constraint('<path>', '<name>')`: removes the named
-    * constraint ([[StrawConstraints.drop]]); returns (version, name, null). */
+    * constraint ([[StrawConstraints.drop]]); returns (version, name, null).
+    * Runs at EXECUTION time ([[DeferredOpPlan]]) with a first-execution
+    * replay guard. */
   def dropConstraintBuilder(args: Seq[Expression]): LogicalPlan = {
     require(args.length == 2 && args.forall(a =>
       a.foldable && a.dataType == StringType),
@@ -545,16 +579,24 @@ object StrawSqlSurface {
     val Seq(path, name) = args.map(_.eval(empty))
     require(path != null && name != null,
       s"$DropConstraintName: arguments must not be null")
-    val v = constraintOps.computeIfAbsent(
-      (resolveDir(path.toString), name.toString, None),
-      _ => StrawConstraints.drop(resolveDir(path.toString), name.toString))
-    LocalRelation(constraintOpSchema, Seq(org.apache.spark.sql.catalyst.InternalRow(
-      v, UTF8String.fromString(name.toString), null)))
+    val dir = resolveDir(path.toString)
+    DeferredOpPlan(DropConstraintName, constraintOpSchema, () => {
+      val v = constraintOps.computeIfAbsent((dir, name.toString, None),
+        _ => StrawConstraints.drop(dir, name.toString))
+      Seq(org.apache.spark.sql.catalyst.InternalRow(
+        v, UTF8String.fromString(name.toString), null))
+    })
   }
 
   /** Session-scoped registration (code-driven use; [[GraftExtensions]]
     * injects the same builders config-only). Idempotent. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    // the mutating TVFs plan to [[DeferredOpPlan]]; the planner needs its
+    // strategy (GraftExtensions injects it config-side)
+    if (!spark.experimental.extraStrategies.contains(DeferredOpStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ DeferredOpStrategy
+    }
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier(HistoryName),
       new ExpressionInfo(classOf[StrawLog.HistoryRow].getName, HistoryName),
@@ -716,6 +758,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName,
         StrawSqlSurface.DetailName),
       StrawSqlSurface.detailBuilder _))
+    // the mutating TVFs above defer their side effect to execution time
+    // through [[DeferredOpPlan]] — plan it
+    extensions.injectPlannerStrategy(_ => DeferredOpStrategy)
     // SQL UPDATE / MERGE INTO over the native mutation machinery
     extensions.injectPostHocResolutionRule(session => new StrawDmlRules(session))
     // streaming filter pushdown: Spark never runs V2 pushdown on streaming

@@ -1165,8 +1165,16 @@ object StrawLog {
     * rows (legacy epoch markers, where still present, are a best-effort
     * secondary guard). */
   def invalidate(table: String): Unit = {
-    try { rawFs(table).delete(logDir(table), true): Unit }
+    val f = rawFs(table)
+    val ld = logDir(table)
+    try { f.delete(ld, true): Unit }
     catch { case scala.util.control.NonFatal(_) => }
+    // drop the probe hint too: a recreated log restarts version numbering,
+    // and cachePut's newest-version-wins merge would otherwise pin the OLD
+    // incarnation's higher version — correctness survives (identity probes
+    // fail, resolution lists) but every resolution pays two dead probes
+    // until the new log passes the old version number
+    latestHint.remove(f.makeQualified(ld).toString): Unit
     TimeTravel.invalidate(table)
     StrawChanges.invalidate(table)
   }

@@ -230,12 +230,64 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // idempotent: a second call drops nothing further
     assert(spark.sql(s"SELECT * FROM straw_vacuum_log('$out', 3)")
       .collect()(0).getInt(0) == 0)
-    // arg validation is loud
-    val e = intercept[Exception](spark.sql(
-      s"SELECT * FROM straw_vacuum_log('$out', -1)").collect())
+    // arg validation is loud — including TYPE errors (a string or
+    // fractional keep-versions must hit the function's own message at
+    // analysis, not a ClassCastException or a silent intValue truncation)
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e).exists(_.contains("straw_vacuum_log")))
+    Seq(s"SELECT * FROM straw_vacuum_log('$out', -1)",
+        s"SELECT * FROM straw_vacuum_log('$out', 'three')",
+        s"SELECT * FROM straw_vacuum_log('$out', 1.5)").foreach { q =>
+      val e = intercept[Exception](spark.sql(q).collect())
+      assert(msgs(e).exists(_.contains("straw_vacuum_log")), q)
+    }
+    val ev = intercept[Exception](spark.sql(
+      s"SELECT * FROM straw_vacuum('$out', 'soon')").collect())
+    assert(msgs(ev).exists(_.contains("straw_vacuum ")), ev.getMessage)
+  }
+
+  test("mutating straw_* functions run at EXECUTION time: EXPLAIN changes nothing") {
+    val sp = spark; import sp.implicits._
+    val out = java.nio.file.Files.createTempDirectory("extsdeferred").toString
+    (0 until 25).foreach { i =>
+      (i * 10 until i * 10 + 10).map(j => (j.toLong, s"r$j")).toDF("id", "s")
+        .coalesce(1).write.format("strawboat")
+        .mode(if (i == 0) "overwrite" else "append").save(out)
+    }
+    val logDir = new java.io.File(out, StrawLog.DirName)
+    def logFiles(): Set[(String, Long)] = logDir.listFiles()
+      .filter(!_.getName.startsWith(".")).map(f => (f.getName, f.lastModified)).toSet
+    def dataFiles(): Set[(String, Long)] =
+      StrawLog.snapshot(out).get.entries.map(e => (e.meta.path, e.meta.mtime)).toSet
+
+    // EXPLAIN plans each call to the deferred node and mutates NOTHING —
+    // not the log (vacuum_log), not the file set (compact), not the data
+    // (restore); re-analysis (a second EXPLAIN) is equally inert
+    val logBefore = logFiles()
+    val dataBefore = dataFiles()
+    (1 to 2).foreach { _ =>
+      val planVac = spark.sql(
+        s"EXPLAIN SELECT * FROM straw_vacuum_log('$out', 3)")
+        .collect()(0).getString(0)
+      assert(planVac.contains("DeferredOpExec straw_vacuum_log"), planVac)
+      spark.sql(s"EXPLAIN SELECT * FROM straw_compact('$out')").collect()
+      spark.sql(s"EXPLAIN SELECT * FROM straw_restore('$out', 1)").collect()
+      spark.sql(s"EXPLAIN SELECT * FROM straw_vacuum('$out', 0)").collect()
+    }
+    assert(logFiles() == logBefore, "EXPLAIN must not vacuum the log")
+    assert(dataFiles() == dataBefore, "EXPLAIN must not compact or restore")
+    assert(spark.read.format("strawboat").load(out).count() == 250L)
+
+    // actually EXECUTING still performs the operation and returns its rows
+    val dropped = spark.sql(s"SELECT * FROM straw_vacuum_log('$out', 3)")
+      .collect()(0).getInt(0)
+    assert(dropped > 0 && logFiles().size == logBefore.size - dropped)
+    // restore within the retained window (the vacuum kept >= the anchor
+    // checkpoint's version, 20)
+    val restored = spark.sql(s"SELECT * FROM straw_restore('$out', 22)")
+      .collect()(0)
+    assert(restored.getLong(1) == 22L)
+    assert(spark.read.format("strawboat").load(out).count() == 220L)
   }
 
   test("straw_bm25 probes a lexical index from plain SQL") {
