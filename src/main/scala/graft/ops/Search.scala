@@ -155,6 +155,17 @@ object Search {
     * and a per-query_id window keeps each query's top `k` — the only
     * per-query cost is one projection column, not one index scan.
     *
+    * Large batches CHUNK into probes of at most [[MaxChunkQueries]] queries
+    * / [[MaxChunkTerms]] distinct terms each (a single query with more
+    * terms still probes alone), unioned — per-query scores are independent
+    * (df is per TERM over its own postings, identical whatever other terms
+    * share a scan), so union-of-chunks is exact, and the bound keeps every
+    * chunk's pivot aggregate and score projection under Spark's
+    * whole-stage-codegen field limit (`spark.sql.codegen.maxFields`, 100)
+    * and its `isin` list within pushdown-friendly width. Without it, a
+    * realistic reranking batch (hundreds of queries) would silently fall
+    * out of codegen with one O(queries × terms)-wide plan.
+    *
     * @param queries (query_id, distinct lowercase terms) — ids distinct
     * @return (query_id, doc_id, score, rank), rank 1-based per query
     */
@@ -172,7 +183,40 @@ object Search {
         s"bm25TopKIndexedBatch: query $qid terms must be non-empty lowercase")
     }
     require(k > 0, "bm25TopKIndexedBatch: k must be positive")
+    chunkQueries(queries)
+      .map(chunk => bm25BatchChunk(spark, dir, chunk, k, k1, b))
+      .reduce(_.union(_))
+  }
 
+  /** Per-chunk caps for [[bm25TopKIndexedBatch]]: chunk output schemas stay
+    * `queries + 1` / `terms + 1` columns wide, both under the codegen field
+    * limit (100) with headroom. */
+  private[ops] val MaxChunkQueries = 64
+  private[ops] val MaxChunkTerms = 64
+
+  /** Order-preserving greedy partition of the batch under the chunk caps.
+    * A chunk always takes at least one query, so a single query with more
+    * than [[MaxChunkTerms]] terms probes alone rather than failing. */
+  private[ops] def chunkQueries(queries: Seq[(Long, Seq[String])])
+      : Seq[Seq[(Long, Seq[String])]] = {
+    val out = Seq.newBuilder[Seq[(Long, Seq[String])]]
+    var cur = Vector.empty[(Long, Seq[String])]
+    var terms = Set.empty[String]
+    queries.foreach { q =>
+      val merged = terms ++ q._2
+      if (cur.nonEmpty &&
+          (cur.size >= MaxChunkQueries || merged.size > MaxChunkTerms)) {
+        out += cur; cur = Vector(q); terms = q._2.toSet
+      } else { cur = cur :+ q; terms = merged }
+    }
+    if (cur.nonEmpty) out += cur
+    out.result()
+  }
+
+  /** One bounded probe of the index for one chunk of the batch. */
+  private def bm25BatchChunk(spark: SparkSession, dir: String,
+      queries: Seq[(Long, Seq[String])], k: Int,
+      k1: Double, b: Double): DataFrame = {
     val allTerms = queries.flatMap(_._2).distinct
     val meta = spark.read.format("strawboat").load(s"$dir/meta")
     val post = spark.read.format("strawboat").load(s"$dir/postings")

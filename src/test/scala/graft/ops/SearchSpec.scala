@@ -287,6 +287,58 @@ class SearchSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(0L -> Seq("Spark")), 5))
   }
 
+  test("100-query batch chunks under the codegen field limit and stays exact") {
+    // the chunker itself: caps respected, order/partition preserved, an
+    // oversized single query still probes alone instead of failing
+    val wide = 0L -> (0 until 200).map(i => s"t$i")
+    val mixed = wide +: (1L to 9L).map(q => q -> Seq(s"a$q", s"b$q"))
+    val chunks = Search.chunkQueries(mixed)
+    assert(chunks.flatten == mixed, "chunking must preserve order and partition")
+    assert(chunks.head == Seq(wide), "oversized query probes alone")
+    chunks.tail.foreach { c =>
+      assert(c.size <= Search.MaxChunkQueries &&
+        c.flatMap(_._2).distinct.size <= Search.MaxChunkTerms)
+    }
+
+    val docs = spark.createDataFrame(corpus).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("lexbatch100").toString
+    Search.buildLexicalIndex(docs, "doc_id", "text", dir, buckets = 4)
+    val vocab = corpus.flatMap(_._2.toLowerCase.split("[^a-z0-9]+"))
+      .filter(_.nonEmpty).distinct
+    val queries = (0 until 100).map { i =>
+      i.toLong -> Seq(vocab(i % vocab.size), vocab((i + 7) % vocab.size),
+        vocab((i + 13) % vocab.size)).distinct
+    }
+    assert(Search.chunkQueries(queries).size > 1, "100 queries must chunk")
+
+    // the wide-batch cliff this guards against: every chunk's aggregate
+    // stays inside whole-stage codegen (AQE off so the pre-execution plan
+    // shows the codegen spans deterministically)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Search.bm25TopKIndexedBatch(spark, dir, queries, 5)
+      val plan = df.queryExecution.executedPlan.toString
+      val bareAggs = plan.linesIterator
+        .filter(l => l.contains("HashAggregate") && !l.contains("*(")).toSeq
+      assert(bareAggs.isEmpty,
+        s"pivot aggregate fell out of codegen:\n${bareAggs.mkString("\n")}")
+      assert(!plan.contains("CodegenFallback"), plan)
+
+      // exactness across chunk boundaries: sampled queries (including ones
+      // from different chunks) equal the per-query scorer
+      val got = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .groupBy(_._1)
+      Seq(0L, 1L, 31L, 63L, 64L, 65L, 99L).foreach { qid =>
+        val expect = Search.bm25TopKIndexed(spark, dir, queries(qid.toInt)._2, 5)
+          .collect().zipWithIndex
+          .map { case (r, i) => (qid, r.getLong(0), r.getDouble(1), i + 1) }.toSeq
+        val actual = got.getOrElse(qid, Array.empty).sortBy(_._4).toSeq
+        assert(actual == expect, s"query $qid: $actual vs $expect")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("hybrid over persisted tiers equals per-query brute-force hybrid on a full probe") {
     val sp = spark; import sp.implicits._
     val docs = spark.createDataFrame(corpus).toDF("doc_id", "text")
