@@ -42,6 +42,42 @@ class SessionizePropertySpec extends AnyFunSuite {
     seed <- Gen.choose(0L, Long.MaxValue)
   } yield (gap, ts, new scala.util.Random(seed).shuffle(ts))
 
+  private val genValued = for {
+    gap <- Gen.choose(1L, 50L)
+    n <- Gen.choose(1, 60)
+    events <- Gen.listOfN(n, for {
+      t <- Gen.choose(0L, 400L)
+      // magnitudes spanning ten orders so cancellation/rounding differ by
+      // order; the property characterizes the DRIFT BOUND, not exactness
+      v <- Gen.oneOf(Gen.choose(-1e6, 1e6), Gen.choose(-1e-4, 1e-4))
+    } yield (t, v))
+    seed <- Gen.choose(0L, Long.MaxValue)
+  } yield (gap, events, new scala.util.Random(seed).shuffle(events))
+
+  test("Unrounded totals: any insertion order agrees within n·ulp drift") {
+    check(Prop.forAllNoShrink(genValued) { case (gap, events, order) =>
+      def fold(evs: Seq[(Long, Double)]): Seq[Sessionize.Interval] =
+        evs.foldLeft(Seq.empty[Sessionize.Interval]) { case (acc, (t, v)) =>
+          Sessionize.insert(acc, t, v, gap, Sessionize.Unrounded)
+        }
+      val a = fold(events)
+      val b = fold(order)
+      // interval STRUCTURE is order-independent (first property); only the
+      // floating sum may drift, bounded by n additions of magnitude <= Σ|v|
+      assert(a.map(s => (s.start, s.last, s.n)) ==
+        b.map(s => (s.start, s.last, s.n)))
+      val sumAbs = events.map(x => math.abs(x._2)).sum
+      val tol = 2.0 * events.size * Math.ulp(sumAbs + 1.0)
+      a.zip(b).foreach { case (x, y) =>
+        val (dx, dy) = (java.lang.Double.longBitsToDouble(x.sumCents),
+          java.lang.Double.longBitsToDouble(y.sumCents))
+        assert(math.abs(dx - dy) <= tol,
+          s"order drift ${math.abs(dx - dy)} beyond $tol for $x vs $y")
+      }
+      true
+    })
+  }
+
   test("insert-fold equals the gaps-and-islands model under any insertion order") {
     check(Prop.forAllNoShrink(genCase) { case (gap, ts, order) =>
       val folded = order.foldLeft(Seq.empty[Sessionize.Interval]) {
