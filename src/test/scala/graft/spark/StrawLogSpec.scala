@@ -437,6 +437,50 @@ class StrawLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(StrawLog.history(out).map(_.version) == Seq(4L, 3L, 2L, 1L))
   }
 
+  test("a second JVM's commit is discovered by a first JVM holding a hint") {
+    val out = s"$dir/xjvm"
+    (0 until 3).foreach(g => write(out, g * 10L, 10))
+    // prime the latest-hint fast path and PROVE it is active: steady-state
+    // resolution must not list the log directory
+    assert(read(out).count() == 30)
+    val before = StrawLog.listings.get()
+    assert(StrawLog.snapshot(out).get.version == 3L)
+    assert(StrawLog.listings.get() == before, "hint not primed — probe inactive")
+
+    // a real second JVM commits version 4 (re-adds v2's files — replay
+    // idempotent), using the same classpath and JDK as this fork
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val opens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(javaBin) ++ opens ++ Seq(
+      "-cp", System.getProperty("java.class.path"),
+      "graft.spark.CrossJvmCommitter", out, "2")
+    val sbuf = new StringBuilder
+    val code = scala.sys.process.Process(cmd).!(
+      scala.sys.process.ProcessLogger(l => sbuf.append(l).append('\n'), _ => ()))
+    assert(code == 0, s"foreign committer failed:\n$sbuf")
+    assert(sbuf.toString.contains("COMMITTED 4"), sbuf.toString)
+
+    // this JVM still holds the v3 hint and cached snapshot — the successor
+    // probe must see the foreign 00000000000000000004.commit and fall back
+    // to the listing, with NO cache clearing
+    val snap = StrawLog.snapshot(out).get
+    assert(snap.version == 4L,
+      s"hinted JVM failed to discover the foreign commit, saw v${snap.version}")
+    assert(read(out).count() == 30) // same paths re-added: entry set stable
+    // and this JVM's next commit serializes AFTER the foreign version
+    write(out, 100, 10)
+    assert(StrawLog.snapshot(out).get.version == 5L)
+    assert(read(out).count() == 40)
+  }
+
   test("claim is create-if-absent: the loser's content never lands") {
     val out = s"$dir/claim"
     val f = StrawIO.fs(out) match {
