@@ -24,12 +24,21 @@ object Codec {
   val BitPack = 14 // frame-of-reference + bit packing
   val DeltaBitPack = 15 // sorted columns: first value + bit-packed deltas
   val Patas = 16 // float XOR-chain, byte-aligned (DuckDB "patas" family)
+  // any-direction small deltas: first value + bit-packed zigzag(deltas).
+  // The shape DeltaBitPack's sorted-only guard misses: PIECEWISE-ascending
+  // leaves — array ordinals that reset per row (a positional index's
+  // `positions.element`: ascending within each document, dropping back to
+  // ~0 at every document boundary), per-group sequence numbers, sawtooth
+  // ids. Values span the full domain (wide FOR window) but successive
+  // deltas stay tiny, so zigzag+bitpack beats FOR by the ratio of
+  // bits(max-min) to bits(2·|maxDelta|).
+  val DeltaZigZag = 17
 
   def name(id: Int): String = id match {
     case 0 => "plain"; case 1 => "lz4"; case 2 => "zstd"; case 3 => "snappy"
     case 10 => "rle"; case 11 => "dict"; case 12 => "one_value"
     case 13 => "freq"; case 14 => "bitpack"; case 15 => "delta_bitpack"
-    case 16 => "patas"; case x => s"unknown($x)"
+    case 16 => "patas"; case 17 => "delta_zigzag"; case x => s"unknown($x)"
   }
 }
 
@@ -291,6 +300,12 @@ final class PageScan {
   var runCount: Int = 0
   var sorted: Boolean = true
   var maxDelta: Long = 0L
+  // zigzag-delta viability: max zigzag(v - prev) over ALL deltas, any sign.
+  // Disqualified (zzOk=false) when a delta overflows the subtraction or its
+  // zigzag image exceeds 2^63-1 — bitsNeeded treats magnitudes as
+  // non-negative, and such pages never benefit from delta coding anyway.
+  var zzOk: Boolean = true
+  var maxZzDelta: Long = 0L
   private var prev: Long = 0L
   def update(v: Long): Unit = {
     if (v < min) min = v
@@ -304,12 +319,22 @@ final class PageScan {
         if (d < 0) sorted = false // delta overflows Long: not delta-packable
         else if (d > maxDelta) maxDelta = d
       }
+      if (zzOk) {
+        val d = v - prev
+        if (((v ^ prev) & (v ^ d)) < 0) zzOk = false // subtraction overflow
+        else {
+          val zz = (d << 1) ^ (d >> 63)
+          if (zz < 0) zzOk = false // |delta| >= 2^62: zigzag leaves the domain
+          else if (zz > maxZzDelta) maxZzDelta = zz
+        }
+      }
     }
     prev = v
   }
   def reset(): Unit = {
     min = Long.MaxValue; max = Long.MinValue
-    runCount = 0; sorted = true; maxDelta = 0L; prev = 0L
+    runCount = 0; sorted = true; maxDelta = 0L
+    zzOk = true; maxZzDelta = 0L; prev = 0L
   }
 }
 
@@ -322,6 +347,8 @@ final class IntStats(values: Array[Long], n: Int, countDistinct: Boolean = true,
   var runCount: Int = if (n == 0) 0 else 1
   var sorted: Boolean = true
   var maxDelta: Long = 0L
+  var zzOk: Boolean = true
+  var maxZz: Long = 0L
   // countDistinct=false skips the distinct map entirely (the caller has
   // ruled out the dict-family codecs, e.g. a column writer whose previous
   // pages all came back high-cardinality) — only the sequential
@@ -398,6 +425,7 @@ final class IntStats(values: Array[Long], n: Int, countDistinct: Boolean = true,
       min = precomputed.min; max = precomputed.max
       runCount = precomputed.runCount; sorted = precomputed.sorted
       maxDelta = precomputed.maxDelta
+      zzOk = precomputed.zzOk; maxZz = precomputed.maxZzDelta
     }
     if (precomputed == null || countDistinct) {
       val scanSequential = precomputed == null
@@ -415,6 +443,15 @@ final class IntStats(values: Array[Long], n: Int, countDistinct: Boolean = true,
               val d = v - prev
               if (d < 0) sorted = false // delta overflows Long: not delta-packable
               else if (d > maxDelta) maxDelta = d
+            }
+            if (zzOk) {
+              val d = v - prev
+              if (((v ^ prev) & (v ^ d)) < 0) zzOk = false
+              else {
+                val zz = (d << 1) ^ (d >> 63)
+                if (zz < 0) zzOk = false
+                else if (zz > maxZz) maxZz = zz
+              }
             }
           }
         }
@@ -662,6 +699,26 @@ object IntCodec {
     }
   }
 
+  /** Same layout as [[encodeDeltaBp]] but the packed words are
+    * zigzag(delta) — deltas of either sign stay small non-negative codes
+    * (0→0, -1→1, 1→2, …), so piecewise-ascending sequences pack at the
+    * width of their LOCAL step, not their global range. */
+  private def encodeDeltaZz(values: Array[Long], n: Int, maxZz: Long, out: ByteBuf): Unit = {
+    out.putLong(if (n > 0) values(0) else 0L)
+    val bits = BitPacking.bitsNeeded(maxZz)
+    out.putByte(bits)
+    if (n > 1) {
+      val zz = new Array[Long](n - 1)
+      var i = 1
+      while (i < n) {
+        val d = values(i) - values(i - 1)
+        zz(i - 1) = (d << 1) ^ (d >> 63)
+        i += 1
+      }
+      BitPacking.pack(zz, n - 1, bits, out)
+    }
+  }
+
   /** Byte-aligned XOR-chain float codec (patas/chimp family, original
     * byte-granularity variant). Control byte 0 = same as previous;
     * else bits 3-6 = significant byte count (1..8), bits 0-2 = trailing
@@ -893,6 +950,15 @@ object IntCodec {
       val bits = BitPacking.bitsNeeded(stats.maxDelta)
       consider(Codec.DeltaBitPack, 9L + BitPacking.packedSize(n - 1, bits))
     }
+    // DeltaZigZag: any-direction deltas; exact. On a sorted page its codes
+    // cost one more bit than DeltaBitPack's, so the strictly-smaller
+    // `consider` keeps the sorted fast path on DeltaBitPack; it wins on
+    // piecewise-ascending leaves (positions arrays, per-group ordinals)
+    // where `sorted` is false but steps stay local.
+    if (stats.zzOk && n > 1 && stats.maxZz >= 0) {
+      val bits = BitPacking.bitsNeeded(stats.maxZz)
+      consider(Codec.DeltaZigZag, 9L + BitPacking.packedSize(n - 1, bits))
+    }
     if (!stats.highCardinality) {
       // Dict: estimate (indices assumed bit-packed)
       if ((forbidden & ForbidDict) == 0 && stats.distinct > 1 && stats.distinct <= n / 2) {
@@ -1000,6 +1066,28 @@ object IntCodec {
           out.putBytes(raw)
           Codec.Plain
         } else { encodeDeltaBp(values, n, maxDelta, out); Codec.DeltaBitPack }
+      case Codec.DeltaZigZag =>
+        // re-verify viability (forced-mode misuse, chooser-stats drift):
+        // every delta must survive the subtraction and its zigzag must stay
+        // in [0, 2^63) — else fall back to raw
+        var ok = true
+        var maxZz = 0L
+        var i = 1
+        while (ok && i < n) {
+          val v = values(i); val p = values(i - 1)
+          val d = v - p
+          if (((v ^ p) & (v ^ d)) < 0) ok = false
+          else {
+            val zz = (d << 1) ^ (d >> 63)
+            if (zz < 0) ok = false else if (zz > maxZz) maxZz = zz
+          }
+          i += 1
+        }
+        if (!ok) {
+          out.len = payloadStart
+          out.putBytes(rawBytes(values, n, width))
+          Codec.Plain
+        } else { encodeDeltaZz(values, n, maxZz, out); Codec.DeltaZigZag }
       case Codec.Dict =>
         if (stats.highCardinality) { out.putBytes(rawBytes(values, n, width)); Codec.Plain }
         else { encodeDict(values, n, width, stats, opts, out); Codec.Dict }
@@ -1076,6 +1164,26 @@ object IntCodec {
             BitPacking.unpack(arr, pos, n - 1, bits, deltas, 0)
             var i = 1
             while (i < n) { out(i) = out(i - 1) + deltas(i - 1); i += 1 }
+          }
+        }
+        out
+      case Codec.DeltaZigZag =>
+        val first = in.getLong()
+        val bits = in.get() & 0xff
+        val out = new Array[Long](n)
+        if (n > 0) {
+          out(0) = first
+          if (n > 1) {
+            val zz = new Array[Long](n - 1)
+            val arr = in.array()
+            val pos = in.arrayOffset() + in.position()
+            BitPacking.unpack(arr, pos, n - 1, bits, zz, 0)
+            var i = 1
+            while (i < n) {
+              val z = zz(i - 1)
+              out(i) = out(i - 1) + ((z >>> 1) ^ -(z & 1L))
+              i += 1
+            }
           }
         }
         out

@@ -35,7 +35,8 @@ class CodecPropertySpec extends AnyFunSuite {
     base <- Gen.oneOf(Codec.Plain, Codec.Lz4, Codec.Zstd, Codec.Snappy)
     pageSize <- Gen.oneOf(64, 257, 1024)
     forced <- Gen.option(Gen.oneOf(Codec.Rle, Codec.Dict, Codec.Freq,
-      Codec.BitPack, Codec.DeltaBitPack, Codec.OneValue, Codec.Patas))
+      Codec.BitPack, Codec.DeltaBitPack, Codec.DeltaZigZag,
+      Codec.OneValue, Codec.Patas))
     patasRing <- Gen.oneOf(None, Some(true), Some(false))
   } yield WriteOptions(base = base, maxPageSize = pageSize, forced = forced,
     patasRing = patasRing)

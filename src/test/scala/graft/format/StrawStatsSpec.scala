@@ -60,4 +60,31 @@ class StrawStatsSpec extends AnyFunSuite {
     val c = stats.filter(_.column == "const").head
     assert((c.min, c.max) == (42L, 42L))
   }
+
+  test("adaptive chooser: near-sorted picks delta_zigzag, wide random stays bitpack") {
+    val schema = StructType(Seq(
+      StructField("jittered", LongType), StructField("random", LongType)))
+    val rnd = new scala.util.Random(7)
+    // jittered: monotone trend + small disorder (event timestamps with
+    // clock jitter, a near-sorted merge). `sorted` is false so DeltaBitPack
+    // never fires; the FOR window spans the whole page (~4M) but every
+    // DELTA stays local, so zigzag packs at bits(2·|step|) ≪ bits(range).
+    // random: deltas as wide as the range — zigzag codes are ~2x the FOR
+    // window, so plain bitpack must stay the winner there.
+    val rows = (0 until 4000).map { i =>
+      Array[Any](Long.box(i.toLong * 100 + rnd.nextInt(1001) - 500),
+        Long.box(rnd.nextInt(1000000).toLong))
+    }
+    val path = writeFile(schema, WriteOptions(), rows)
+    val stats = StrawStats.fileStats(path)
+    assert(stats.filter(_.column == "jittered").forall(_.codec == "delta_zigzag"),
+      stats.filter(_.column == "jittered").map(_.codec))
+    assert(stats.filter(_.column == "random").forall(_.codec == "bitpack"),
+      stats.filter(_.column == "random").map(_.codec))
+    // the chooser's win is real, not a tie: zigzag pages land well under
+    // what FOR would pay for the same column (bits(range) ≈ 22 per value)
+    val zzB = stats.filter(_.column == "jittered").map(_.compBytes).sum
+    val bpB = stats.filter(_.column == "random").map(_.compBytes).sum
+    assert(zzB * 3 < bpB * 2, s"zigzag $zzB vs bitpack $bpB")
+  }
 }
