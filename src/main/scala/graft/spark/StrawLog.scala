@@ -1124,7 +1124,10 @@ object StrawLog {
       // DV sidecars superseded (or orphaned by a crashed delete) are debris
       // the same way — only the snapshot's referenced sidecars are live
       val deadDv = p.endsWith(DeletionVector.Extension) && !liveDvs(p)
-      if ((deadData || deadDv) && st.getModificationTime < cutoff) {
+      // staged leftovers of uncleanly-died tasks (the hot commit paths no
+      // longer sweep per commit; invisible to readers — no .strb suffix)
+      val deadStage = p.endsWith(".stage")
+      if ((deadData || deadDv || deadStage) && st.getModificationTime < cutoff) {
         if (f.delete(st.getPath, false)) n += 1
       }
     }

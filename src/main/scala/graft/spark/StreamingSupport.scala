@@ -582,7 +582,11 @@ class StrawStreamingWrite(path: String, schema: StructType,
     // the last uncommitted epoch) so the sink dir doesn't accumulate one
     // hidden file per epoch forever
     if (epochId >= 3) f.delete(epochMarker(epochId - 3), false): Unit
-    StrawCommitProtocol.sweepStaged(path, jobId)
+    // no per-epoch staged sweep: success-path staged files are all
+    // reported-and-renamed or task-abort-deleted; a whole-table walk per
+    // MICRO-BATCH is the worst place to pay O(files) listings (see
+    // StrawBatchWrite.commit). Unclean-death debris is invisible and
+    // reclaimed by vacuumStaged/straw_vacuum.
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
