@@ -223,10 +223,19 @@ object StrawIO {
 
   /** Depth-first walk via listStatus — NOT FileSystem.listFiles, whose
     * LocatedFileStatus eagerly loads permissions on the local FS (a shell
-    * exec per file: slow, and interruptible mid-stream at query stop). */
-  def walkFiles(f: FileSystem, p: Path)(visit: org.apache.hadoop.fs.FileStatus => Unit): Unit =
+    * exec per file: slow, and interruptible mid-stream at query stop).
+    * Every top-level walk moves [[listings]]: the counter the zero-walk
+    * specs watch covers maintenance sweeps too, not just planning — a
+    * per-commit O(table) walk sneaking back into a hot path fails a spec
+    * instead of resurfacing as a drill regression. */
+  def walkFiles(f: FileSystem, p: Path)(visit: org.apache.hadoop.fs.FileStatus => Unit): Unit = {
+    listings.incrementAndGet()
+    walk0(f, p)(visit)
+  }
+
+  private def walk0(f: FileSystem, p: Path)(visit: org.apache.hadoop.fs.FileStatus => Unit): Unit =
     f.listStatus(p).foreach { st =>
-      if (st.isDirectory) walkFiles(f, st.getPath)(visit) else visit(st)
+      if (st.isDirectory) walk0(f, st.getPath)(visit) else visit(st)
     }
 
   /** Path + the version key ([[FooterCache]]) of one data file, captured
@@ -234,7 +243,8 @@ object StrawIO {
   final case class FileMeta(path: String, mtime: Long, len: Long)
 
   /** Count of actual recursive directory walks performed — the observable
-    * for "a repeat query performs zero directory listings" (manifest). */
+    * for "a repeat query performs zero directory listings" (manifest) and
+    * "a hot-path commit performs zero table walks". */
   val listings = new java.util.concurrent.atomic.AtomicLong()
 
   /** All data files under `dir` by RECURSIVE WALK (no manifest), sorted. */
@@ -243,7 +253,6 @@ object StrawIO {
     val f = fs(dir)
     if (!f.exists(p)) Seq.empty
     else {
-      listings.incrementAndGet()
       val out = ArrayBuffer.empty[FileMeta]
       walkFiles(f, p) { st =>
         if (st.getPath.getName.endsWith(StrawFormat.Extension))

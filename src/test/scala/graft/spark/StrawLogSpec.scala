@@ -638,4 +638,41 @@ class StrawLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(StrawIO.listings.get() == walksBefore,
       "a repeat query over an unchanged log table must not walk directories")
   }
+
+  test("append commits and streaming epochs perform zero table-directory walks") {
+    val out = s"$dir/zerowalkcommit"
+    write(out, 0, 100)
+    write(out, 100, 100)
+    val walksBefore = StrawIO.listings.get()
+    val logListBefore = StrawLog.listings.get()
+    // batch appends: the success path must not pay an O(table files) walk
+    // (the staged sweep used to — the dominant per-commit growth term at
+    // scale) nor an O(log files) listing (the probe serves resolution)
+    write(out, 200, 100)
+    write(out, 300, 100)
+    assert(StrawIO.listings.get() == walksBefore,
+      s"append commits walked the table ${StrawIO.listings.get() - walksBefore} time(s)")
+    assert(StrawLog.listings.get() == logListBefore,
+      "append commits re-listed the log directory")
+
+    // streaming epochs: same property per micro-batch
+    val src = s"$dir/zerowalkstream_src"
+    val ckpt = s"$dir/zerowalkstream_ckpt"
+    val sink = s"$dir/zerowalkstream_sink"
+    write(src, 0, 50, mode = "overwrite")
+    // prime the sink (epoch 0 bootstraps the log — walks allowed there)
+    val q0 = spark.readStream.format("strawboat").load(src)
+      .writeStream.format("strawboat").option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start(sink)
+    q0.awaitTermination()
+    val walksStream = StrawIO.listings.get()
+    write(src, 50, 50)
+    val q1 = spark.readStream.format("strawboat").load(src)
+      .writeStream.format("strawboat").option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start(sink)
+    q1.awaitTermination()
+    assert(read(sink).count() == 100)
+    assert(StrawIO.listings.get() == walksStream,
+      s"epoch commit walked the table ${StrawIO.listings.get() - walksStream} time(s)")
+  }
 }
