@@ -529,6 +529,66 @@ object StrawSqlSurface {
       .queryExecution.analyzed
   }
 
+  val HybridName = "straw_hybrid"
+
+  /** `straw_hybrid('<lex dir>', '<ivf dir>', '<terms>', array(<vec...>),
+    * k[, nProbe])`: reciprocal-rank fusion of the persisted lexical and IVF
+    * tiers ([[graft.ops.Search.hybridTopKIndexed]]) as plain SQL —
+    * (id, rrf, rank) rows for ONE query. The terms string tokenizes
+    * exactly like [[bm25Builder]]; the vector is any numeric SQL array
+    * (`array(0.1D, ...)`) cast to float. `nProbe` defaults to the Scala
+    * API's 4 (pruned probe — approximate vector pool; pass the index's
+    * centroid count for the exact brute-equal pool). LAZY like
+    * [[bm25Builder]]: the builder returns the fusion's own logical plan,
+    * so EXPLAIN probes nothing and the result composes in joins/CTEs. */
+  def hybridBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 5 && args.length <= 6 && args.forall(_.foldable) &&
+      args.take(3).forall(_.dataType == StringType) &&
+      (args(3).dataType match {
+        case ArrayType(et, _) => Seq[org.apache.spark.sql.types.DataType](
+          FloatType, DoubleType).contains(et) ||
+          et.isInstanceOf[org.apache.spark.sql.types.DecimalType]
+        case _ => false
+      }) &&
+      args(4).dataType == IntegerType &&
+      args.drop(5).headOption.forall(_.dataType == IntegerType),
+      s"$HybridName expects (lex index path, ivf index path, terms string, " +
+        "numeric array vector, k int[, nProbe int]) literals")
+    val empty = org.apache.spark.sql.catalyst.InternalRow.empty
+    val Seq(lexArg, ivfArg, termsArg) = args.take(3).map(_.eval(empty))
+    val vecArg = args(3).eval(empty)
+    val k = args(4).eval(empty)
+    require(lexArg != null && ivfArg != null && termsArg != null &&
+      vecArg != null && k != null, s"$HybridName: arguments must not be null")
+    val nProbe = args.drop(5).headOption.map { e =>
+      val v = e.eval(empty)
+      require(v != null, s"$HybridName: nProbe must not be null")
+      v.asInstanceOf[Int]
+    }.getOrElse(4)
+    val terms = termsArg.toString.toLowerCase.split("[^a-z0-9]+")
+      .filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, s"$HybridName: terms must tokenize to at least one term")
+    val arr = vecArg.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val et = args(3).dataType.asInstanceOf[ArrayType].elementType
+    val vec: Array[Float] = (0 until arr.numElements()).map { i =>
+      require(!arr.isNullAt(i), s"$HybridName: vector must not contain nulls")
+      et match {
+        case FloatType => arr.getFloat(i)
+        case DoubleType => arr.getDouble(i).toFloat
+        case d: org.apache.spark.sql.types.DecimalType =>
+          arr.getDecimal(i, d.precision, d.scale).toFloat
+      }
+    }.toArray
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val vecs = Seq((0L, vec)).toDF("vec_id", "embedding")
+    graft.ops.Search.hybridTopKIndexed(spark,
+        resolveDir(lexArg.toString), resolveDir(ivfArg.toString),
+        Seq(0L -> terms), vecs, k.asInstanceOf[Int], nProbe = nProbe)
+      .selectExpr("cast(id as long) id", "rrf", "rank")
+      .queryExecution.analyzed
+  }
+
   val AddConstraintName = "straw_add_constraint"
   val DropConstraintName = "straw_drop_constraint"
 
@@ -646,6 +706,10 @@ object StrawSqlSurface {
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName, PhraseName),
       phraseBuilder _)
     spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier(HybridName),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName, HybridName),
+      hybridBuilder _)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier(AddConstraintName),
       new ExpressionInfo(classOf[StrawConstraints.Constraint].getName, AddConstraintName),
       addConstraintBuilder _)
@@ -753,6 +817,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName,
         StrawSqlSurface.PhraseName),
       StrawSqlSurface.phraseBuilder _))
+    extensions.injectTableFunction((
+      FunctionIdentifier(StrawSqlSurface.HybridName),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName,
+        StrawSqlSurface.HybridName),
+      StrawSqlSurface.hybridBuilder _))
     extensions.injectTableFunction((
       FunctionIdentifier(StrawSqlSurface.DetailName),
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName,

@@ -366,6 +366,54 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.dropTempView("ext_bm25_docs")
   }
 
+  test("straw_hybrid fuses the persisted tiers from plain SQL") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      (1L, "spark shuffle join tuning"),
+      (2L, "gardening tips for tomatoes"),
+      (3L, "spark streaming state store"),
+      (4L, "join strategies in databases")).toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Array(1.0f, 0.1f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.9f, 0.3f)), (4L, Array(-0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val base = java.nio.file.Files.createTempDirectory("ext_hybrid").toString
+    graft.ops.Search.buildLexicalIndex(docs, "doc_id", "text", s"$base/lex", buckets = 4)
+    graft.ops.Ann.buildIvfIndex(spark, emb, s"$base/ivf", 2, nCentroids = 2, seed = 7)
+
+    // lazy: EXPLAIN shows the live index probes (BatchScan leaves), not a
+    // LocalRelation of pre-materialized result rows (the one-row query
+    // VECTOR is legitimately local)
+    val plan = spark.sql(
+      s"""EXPLAIN SELECT * FROM straw_hybrid('$base/lex', '$base/ivf',
+         |'spark join', array(1.0D, 0.2D), 3, 2)""".stripMargin)
+      .collect()(0).getString(0)
+    assert(plan.contains("BatchScan"), plan)
+
+    val got = spark.sql(
+      s"""SELECT id, rrf, rank FROM straw_hybrid('$base/lex', '$base/ivf',
+         |'spark join', array(1.0D, 0.2D), 3, 2) ORDER BY rank""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    val want = graft.ops.Search.hybridTopKIndexed(spark, s"$base/lex", s"$base/ivf",
+        Seq(0L -> Seq("spark", "join")),
+        Seq((0L, Array(1.0f, 0.2f))).toDF("vec_id", "embedding"), 3, nProbe = 2)
+      .orderBy(org.apache.spark.sql.functions.col("rank"))
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(got == want, s"sql=$got scala=$want")
+    assert(got.nonEmpty && got.map(_._3) == (1 to got.size))
+
+    // arg hygiene: wrong vector type and empty terms refuse with the
+    // function's own message
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e1 = intercept[Exception](spark.sql(
+      s"SELECT * FROM straw_hybrid('$base/lex', '$base/ivf', 'spark', 'notavec', 3)"))
+    assert(msgs(e1).exists(_.contains("straw_hybrid")))
+    val e2 = intercept[Exception](spark.sql(
+      s"SELECT * FROM straw_hybrid('$base/lex', '$base/ivf', '!!', array(1.0D), 3)"))
+    assert(msgs(e2).exists(_.contains("at least one term")))
+  }
+
   test("hyperplane buckets reject non-integer config args with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT hyperplane_buckets(array(1.0D), 'abc', 4, 2, 42L)")
