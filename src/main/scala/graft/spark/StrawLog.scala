@@ -939,6 +939,31 @@ object StrawLog {
     * so the derived state is exactly what a cold replay of `version`
     * produces. Any surprise (gap, unparseable body, DV on an unknown path)
     * falls back to that full replay. */
+  // single daemon thread for post-commit maintenance: the every-Nth
+  // checkpoint serializes O(table entries) — the ONE remaining per-commit
+  // cost term that grows with table size (the cadence drill measured it at
+  // ~5 ms/commit amortized at 7k entries; ~70 at 100k). Writing it here
+  // takes it off the commit LATENCY path entirely: the committer returns
+  // after the O(commit) incremental snapshot, and the checkpoint lands
+  // moments later. Safe because a checkpoint is only a replay ANCHOR — any
+  // version's checkpoint is valid whenever it appears, `claim`
+  // (create-if-absent) already dedups racing writers, and a JVM exit with
+  // a pending write merely leaves the older anchor (longer replay tail,
+  // never wrong). In-JVM readers of checkpoint FILES synchronize through
+  // [[awaitLogMaintenance]] (vacuumLog's anchor choice, invalidate's
+  // delete — a pending write must not resurrect a deleted log).
+  private val maintenancePool =
+    java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "straw-log-maintenance")
+      t.setDaemon(true)
+      t
+    })
+
+  /** Barrier: wait for every queued post-commit maintenance task (async
+    * checkpoint writes) to complete. Cheap when the queue is empty. */
+  def awaitLogMaintenance(): Unit =
+    maintenancePool.submit(new Runnable { def run(): Unit = () }).get(): Unit
+
   private def afterCommit(table: String, f: FileSystem, ld: Path, qdir: String,
       version: Long, prev: Option[Snapshot], body: String,
       ckptEvery: Int = CheckpointInterval): Unit = {
@@ -946,18 +971,23 @@ object StrawLog {
       val snap = incrementalSnapshot(f, ld, qdir, version, prev, body)
         .orElse(snapshot(table)).getOrElse(return)
       if (snap.version == version && version % ckptEvery == 0) {
-        // A lines never carry DVs — the checkpoint re-attaches them as D
-        // lines after the adds, same replay order as a commit
-        val body = serialize(snap.entries, Seq.empty, snap.txns, qdir, "checkpoint",
-          snap.entries.collect { case e if e.dv != null => (e.meta.path, e.dv) },
-          snap.constraints.toSeq.sortBy(_._1).map { case (n, e) => (n, Some(e)) },
-          if (snap.mapping.isEmpty) None else Some(snap.mapping))
-        val tmp = new Path(ld, s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
-        val os = f.create(tmp, true)
-        var ok = false
-        try { os.write(body.getBytes("UTF-8")); ok = true }
-        finally { os.close(); if (!ok) f.delete(tmp, false): Unit }
-        if (ok) claim(f, tmp, checkpointPath(ld, version), body.takeWhile(_ != '\n')): Unit
+        maintenancePool.submit(new Runnable {
+          def run(): Unit = try {
+            // A lines never carry DVs — the checkpoint re-attaches them as
+            // D lines after the adds, same replay order as a commit
+            val body = serialize(snap.entries, Seq.empty, snap.txns, qdir,
+              "checkpoint",
+              snap.entries.collect { case e if e.dv != null => (e.meta.path, e.dv) },
+              snap.constraints.toSeq.sortBy(_._1).map { case (n, e) => (n, Some(e)) },
+              if (snap.mapping.isEmpty) None else Some(snap.mapping))
+            val tmp = new Path(ld, s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
+            val os = f.create(tmp, true)
+            var ok = false
+            try { os.write(body.getBytes("UTF-8")); ok = true }
+            finally { os.close(); if (!ok) f.delete(tmp, false): Unit }
+            if (ok) claim(f, tmp, checkpointPath(ld, version), body.takeWhile(_ != '\n')): Unit
+          } catch { case scala.util.control.NonFatal(_) => } // maintenance contract
+        }): Unit
       }
     } catch { case scala.util.control.NonFatal(_) => }
   }
@@ -1139,6 +1169,9 @@ object StrawLog {
     * streaming sinks at the cost of time travel past the horizon. Never
     * removes the basis of the CURRENT snapshot. */
   def vacuumLog(table: String, keepVersions: Int = 100): Int = {
+    // the anchor choice below reads checkpoint FILES — drain any async
+    // checkpoint writes first so a just-committed anchor is visible
+    awaitLogMaintenance()
     val f = rawFs(table)
     val ld = logDir(table)
     val (commits, checkpoints) = listVersions(f, ld)
@@ -1168,6 +1201,11 @@ object StrawLog {
     * rows (legacy epoch markers, where still present, are a best-effort
     * secondary guard). */
   def invalidate(table: String): Unit = {
+    // a pending async checkpoint write racing the delete below would
+    // recreate the log directory with an orphan checkpoint from the OLD
+    // incarnation — drain first (in-JVM; cross-process committers racing
+    // invalidate were always the escape hatch's documented hazard)
+    awaitLogMaintenance()
     val f = rawFs(table)
     val ld = logDir(table)
     try { f.delete(ld, true): Unit }
@@ -1183,6 +1221,7 @@ object StrawLog {
   }
 
   def clearCache(): Unit = {
+    awaitLogMaintenance() // tests clear-then-assert: make file state settled
     cache.synchronized(cache.clear())
     latestHint.clear()
     TimeTravel.clearAll()

@@ -215,6 +215,7 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .mode(if (i == 0) "overwrite" else "append").save(out)
     }
     val logDir = new java.io.File(out, StrawLog.DirName)
+    StrawLog.awaitLogMaintenance() // checkpoints write async
     val before = logDir.listFiles().count(!_.getName.startsWith("."))
     val dropped = spark.sql(
       s"SELECT * FROM straw_vacuum_log('$out', 3)").collect()(0).getInt(0)
@@ -255,6 +256,7 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .mode(if (i == 0) "overwrite" else "append").save(out)
     }
     val logDir = new java.io.File(out, StrawLog.DirName)
+    StrawLog.awaitLogMaintenance() // checkpoints write async
     def logFiles(): Set[(String, Long)] = logDir.listFiles()
       .filter(!_.getName.startsWith(".")).map(f => (f.getName, f.lastModified)).toSet
     def dataFiles(): Set[(String, Long)] =

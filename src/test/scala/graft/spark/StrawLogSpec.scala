@@ -194,6 +194,7 @@ class StrawLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = s"$dir/ckpt"
     (0 until 23).foreach(g => write(out, g * 10L, 10))
     assert(StrawLog.latestVersion(out).contains(23L))
+    StrawLog.awaitLogMaintenance() // checkpoints write async
     val names = logFiles(out)
     assert(names.count(_.endsWith(".checkpoint")) == 2, s"got $names") // v10, v20
     assert(read(out).count() == 230)
@@ -270,6 +271,7 @@ class StrawLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.conf.set(StrawLog.CheckpointIntervalConf, "3")
     try {
       (0 until 7).foreach(g => write(out, g * 10L, 10))
+      StrawLog.awaitLogMaintenance() // checkpoints write async
       val ckpts = logFiles(out).count(_.endsWith(".checkpoint"))
       assert(ckpts == 2, s"expected checkpoints at v3 and v6, got $ckpts")
     } finally spark.conf.unset(StrawLog.CheckpointIntervalConf)
