@@ -71,6 +71,16 @@ object SparkEntry {
         nCentroids = 16, seed = 7): Unit
     }
 
+  /** The synthetic PNG table fixture (q_multimodal_images / _decode /
+    * _resize): one valid PNG per document, dimensions derived from doc_id
+    * (the formula the oracles replay), stored through strawboat binary
+    * pages. Built once per sf. */
+  private def imgTable(s: SparkSession, d: String): String =
+    cachedFixture(Tables.strawDir(s, d, "documents") + "_img", "_OK") { dir =>
+      Multimodal.asImages(t(s, d, "documents"))
+        .write.format("strawboat").mode("overwrite").save(dir)
+    }
+
   /** Shared streaming-fixture scaffold (q_stream_windowed / _sessions /
     * _dedup): wipes (source, sink, checkpoint), writes the source
     * RANGE-PARTITIONED by `orderCol` into 4 files so micro-batches arrive
@@ -873,14 +883,28 @@ object SparkEntry {
       // "decode headers, not pixels" step of a multimodal pipeline. The
       // oracle re-derives the dimensions from doc_id, so a green row proves
       // the synthesize→store→scan→parse loop end-to-end.
-      val imgDir = Tables.strawDir(s, d, "documents") + "_img"
-      val marker = new java.io.File(imgDir, "_OK")
-      if (!marker.exists()) {
-        Multimodal.asImages(t(s, d, "documents"))
-          .write.format("strawboat").mode("overwrite").save(imgDir)
-        marker.createNewFile()
-      }
-      Multimodal.imageMeta(s, s.read.format("strawboat").load(imgDir))
+      Multimodal.imageMeta(s, s.read.format("strawboat").load(imgTable(s, d)))
+        .orderBy(col("doc_id"))
+    }),
+    "q_multimodal_decode" -> ((s, d) => {
+      // REAL pixel decode (pure-JDK imageio, mapPartitions over the stored
+      // binary pages): width/height come from decoding each payload, so the
+      // formula oracle proves the store→scan→decode loop — no stub anywhere
+      val imgDir = imgTable(s, d)
+      Multimodal.decodeImageFeatures(s.read.format("strawboat").load(imgDir))
+        .select(col("doc_id"), col("width"), col("height"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_multimodal_resize" -> ((s, d) => {
+      // decode → aspect-preserving 12-px thumbnail (bilinear) → PNG
+      // re-encode → header re-parse by the codegen'd image_meta: the
+      // re-parsed dimensions must equal the shared resize rule the oracle
+      // replays ([[Multimodal.resizedDims]]), proving the whole
+      // decode→resample→re-encode→re-parse loop
+      val imgDir = imgTable(s, d)
+      Multimodal.imageMeta(s,
+          Multimodal.resizeImages(s.read.format("strawboat").load(imgDir), 12))
+        .select(col("doc_id"), col("width"), col("height"))
         .orderBy(col("doc_id"))
     }),
     "q_multimodal_audio" -> ((s, d) => {
@@ -2630,6 +2654,18 @@ object SparkEntry {
     "q_multimodal_images" -> // dims re-derived from doc_id (see query comment)
       """SELECT doc_id, 'png' AS format, (16 + doc_id % 32)::INT AS width,
         |  (8 + doc_id % 16)::INT AS height, 8 AS bit_depth
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_decode" -> // dims from REAL pixel decode == generator formula
+      """SELECT doc_id, (16 + doc_id % 32)::INT AS width,
+        |  (8 + doc_id % 16)::INT AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_resize" -> // Multimodal.resizedDims replayed in SQL; the
+      // generator guarantees w >= h, so the long side is always width and
+      // lands exactly on maxDim = 12 (no halfway roundings in the dim space
+      // — enumerated)
+      """SELECT doc_id, 12 AS width,
+        |  greatest(1, round((8 + doc_id % 16) * 12.0 /
+        |                    (16 + doc_id % 32))::INT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_multimodal_audio" -> // params re-derived from doc_id
       """SELECT doc_id, 'wav' AS format, (1 + doc_id % 2)::INT AS channels,

@@ -7,11 +7,16 @@ import org.apache.spark.sql.functions._
   * columns next to a typed metadata struct, stored and scanned through the
   * strawboat format (BinaryType pages + StructType pages).
   *
-  * The decode/feature-extraction step for real image/audio bytes would be a
-  * vectorized Pandas UDF over `mapInPandas` on a cluster with codec
-  * libraries; this container has none, so [[stubFeatures]] is a clearly
-  * marked deterministic stand-in — the Spark-side plumbing (schema, binary
-  * paging, partitioning, batch shape) is the real, tested part.
+  * The IMAGE path is real end-to-end with no external codec: the JDK ships
+  * PNG/JPEG/GIF/BMP decoders (`javax.imageio`), so
+  * [[decodeImageFeatures]] (pixel decode + luma stats) and [[resizeImages]]
+  * (aspect-preserving thumbnail + PNG re-encode) run as `mapPartitions`
+  * over the stored binary column. WAV audio parses through the codegen'd
+  * header kernel ([[audioMeta]]); compressed audio/video feature extraction
+  * would need external codecs this container lacks, so [[stubFeatures]]
+  * remains the clearly marked deterministic stand-in for those — the
+  * Spark-side plumbing (schema, binary paging, partitioning, batch shape)
+  * is identical either way.
   */
 object Multimodal {
 
@@ -125,6 +130,100 @@ object Multimodal {
         (100 + id % 400).toInt, id))
     docs.select(col("doc_id"), gen(col("doc_id")).as("payload"))
   }
+
+  /** REAL pixel decode over the stored binary column — pure JDK
+    * (`javax.imageio`: PNG/JPEG/GIF/BMP ship with the JRE, no external
+    * codec), as `mapPartitions` so each task amortizes decoder setup over
+    * its batch and the driver never sees a pixel. Undecodable payloads
+    * (corrupt media — routine in web-scale corpora) yield NULL features
+    * rather than failing the job; filter `width IS NULL` to quarantine.
+    * Columns: (doc_id, width, height, mean_luma) with mean_luma the
+    * ITU-R 601 luma average over all pixels, rounded to 4 decimals. */
+  def decodeImageFeatures(mm: DataFrame): DataFrame = {
+    val spark = mm.sparkSession
+    import spark.implicits._
+    mm.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeOne(bytes) match {
+            case Some((w, h, luma)) => (id, Some(w), Some(h),
+              Some(BigDecimal(luma).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+            case None => (id, None, None, None)
+          }
+        }
+      }
+      .toDF("doc_id", "width", "height", "mean_luma")
+  }
+
+  private def decodeOne(bytes: Array[Byte]): Option[(Int, Int, Double)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, sum / (w.toLong * h)))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** REAL image resize over the stored binary column: decode (JDK
+    * imageio), scale the longest side to `maxDim` preserving aspect
+    * (bilinear; `round` half-up on the short side, floor at 1 px), and
+    * re-encode as PNG. The exact dimension rule is part of the contract —
+    * the driver oracle replays it from the generator's dimension formula,
+    * so a hash match proves the decode→resample→re-encode→re-parse loop
+    * end-to-end. Undecodable payloads pass through as NULL. */
+  def resizeImages(mm: DataFrame, maxDim: Int): DataFrame = {
+    require(maxDim > 0, s"resizeImages: maxDim must be positive, got $maxDim")
+    val spark = mm.sparkSession
+    import spark.implicits._
+    mm.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) => (id, resizeOne(bytes, maxDim).orNull) }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** The resize dimension rule, shared with specs/oracles:
+    * scale = maxDim / max(w, h); each side = max(1, round(side · scale)). */
+  def resizedDims(w: Int, h: Int, maxDim: Int): (Int, Int) = {
+    val scale = maxDim.toDouble / math.max(w, h)
+    (math.max(1, math.round(w * scale).toInt),
+      math.max(1, math.round(h * scale).toInt))
+  }
+
+  private def resizeOne(bytes: Array[Byte], maxDim: Int): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val (nw, nh) = resizedDims(img.getWidth, img.getHeight, maxDim)
+        val out = new java.awt.image.BufferedImage(nw, nh,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, nw, nh, null): Unit
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream(nw * nh + 128)
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Parse WAV container metadata from stored payloads — flattened. */
   def audioMeta(spark: SparkSession, mm: DataFrame): DataFrame = {

@@ -76,6 +76,58 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(meta("RIFFxxxxNOPE".getBytes).isEmpty)
   }
 
+  test("decodeImageFeatures: real pixel decode equals a plain-JDK reference") {
+    val sp = spark; import sp.implicits._
+    val rows = Seq(1L, 2L, 3L, 4L).map(id =>
+      (id, Multimodal.pngBytes((10 + id).toInt, (6 + id).toInt, id)))
+    val df = rows.toDF("doc_id", "payload")
+    val got = Multimodal.decodeImageFeatures(df).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3))))
+      .toMap
+    rows.foreach { case (id, bytes) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      var sum = 0.0
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+      }
+      val want = BigDecimal(sum / (img.getWidth * img.getHeight))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (gw, gh, gl) = (got(id)._1, got(id)._2, got(id)._3)
+      assert((gw, gh) == (img.getWidth, img.getHeight))
+      assert(gl == want, s"doc $id luma $gl vs $want")
+    }
+    // undecodable payloads yield NULL features, never fail the job
+    val junk = Seq((9L, "not an image".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val nr = Multimodal.decodeImageFeatures(junk).collect()(0)
+    assert(nr.getLong(0) == 9L && nr.isNullAt(1) && nr.isNullAt(2) && nr.isNullAt(3))
+  }
+
+  test("resizeImages: thumbnail dims follow the shared rule; pixels survive") {
+    val sp = spark; import sp.implicits._
+    val rows = Seq((1L, Multimodal.pngBytes(40, 24, 1)),
+      (2L, Multimodal.pngBytes(9, 30, 2)), // portrait: height is the long side
+      (3L, Multimodal.pngBytes(5, 3, 3))) // already smaller: scales UP to 12
+    val out = Multimodal.resizeImages(rows.toDF("doc_id", "payload"), 12)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toMap
+    rows.foreach { case (id, orig) =>
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(orig))
+      val (ew, eh) = Multimodal.resizedDims(src.getWidth, src.getHeight, 12)
+      val thumb = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(out(id)))
+      assert(thumb != null, s"doc $id thumbnail did not re-decode")
+      assert((thumb.getWidth, thumb.getHeight) == (ew, eh),
+        s"doc $id dims (${thumb.getWidth},${thumb.getHeight}) vs ($ew,$eh)")
+    }
+    assert(Multimodal.resizedDims(40, 24, 12) == ((12, 7)))
+    assert(Multimodal.resizedDims(9, 30, 12) == ((4, 12)))
+    assert(Multimodal.resizedDims(5, 3, 12) == ((12, 7)))
+    // garbage passes through as NULL payload
+    val junk = Seq((9L, "nope".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    assert(Multimodal.resizeImages(junk, 12).collect()(0).isNullAt(1))
+  }
+
   test("image table round-trips through strawboat and parses via the expression") {
     val ss = spark
     import ss.implicits._
