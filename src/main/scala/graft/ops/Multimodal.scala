@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   * PNG/JPEG/GIF/BMP decoders (`javax.imageio`), so
   * [[decodeImageFeatures]] (pixel decode + luma stats) and [[resizeImages]]
   * (aspect-preserving thumbnail + PNG re-encode) run as `mapPartitions`
-  * over the stored binary column. WAV audio parses through the codegen'd
-  * header kernel ([[audioMeta]]); compressed audio/video feature extraction
-  * would need external codecs this container lacks, so [[stubFeatures]]
+  * over the stored binary column. The AUDIO path is likewise real: WAV
+  * headers parse through the codegen'd kernel ([[audioMeta]]) and the PCM
+  * sample stream decodes through `javax.sound.sampled`
+  * ([[decodeAudioFeatures]]: frames, duration, RMS). Compressed
+  * audio/video feature extraction would need external codecs this
+  * container lacks, so [[stubFeatures]]
   * remains the clearly marked deterministic stand-in for those — the
   * Spark-side plumbing (schema, binary paging, partitioning, batch shape)
   * is identical either way.
@@ -223,6 +226,60 @@ object Multimodal {
         javax.imageio.ImageIO.write(out, "png", bos)
         Some(bos.toByteArray)
       }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** REAL PCM decode over the stored binary column — pure JDK
+    * (`javax.sound.sampled` ships a WAV reader with the JRE). Runs as
+    * `mapPartitions` like [[decodeImageFeatures]]; each payload's channel
+    * count, sample rate, frame count, duration, and RMS amplitude come from
+    * decoding the actual sample stream, not the header fields. Only 16-bit
+    * signed PCM is sampled for the RMS math (the generator's shape);
+    * anything undecodable — or a non-16-bit stream — yields NULL features.
+    * Columns: (doc_id, channels, sample_rate, frames, duration_ms, rms)
+    * with duration_ms = frames·1000/rate and rms the root-mean-square over
+    * all interleaved samples, rounded to 4 decimals. */
+  def decodeAudioFeatures(mm: DataFrame): DataFrame = {
+    val spark = mm.sparkSession
+    import spark.implicits._
+    mm.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeAudioOne(bytes) match {
+            case Some((ch, rate, frames, rms)) => (id, Some(ch), Some(rate),
+              Some(frames), Some(frames * 1000.0 / rate),
+              Some(BigDecimal(rms).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+            case None => (id, None, None, None, None, None)
+          }
+        }
+      }
+      .toDF("doc_id", "channels", "sample_rate", "frames", "duration_ms", "rms")
+  }
+
+  private def decodeAudioOne(bytes: Array[Byte]): Option[(Int, Int, Long, Double)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) None
+        else {
+          val pcm = ais.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(pcm).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          var sumSq = 0.0
+          var n = 0L
+          while (bb.remaining >= 2) {
+            val s = bb.getShort.toDouble
+            sumSq += s * s
+            n += 1
+          }
+          Some((fmt.getChannels, fmt.getSampleRate.toInt, n / fmt.getChannels,
+            math.sqrt(sumSq / math.max(1L, n))))
+        }
+      } finally ais.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Parse WAV container metadata from stored payloads — flattened. */

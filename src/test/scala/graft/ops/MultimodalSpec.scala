@@ -128,6 +128,41 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.resizeImages(junk, 12).collect()(0).isNullAt(1))
   }
 
+  test("decodeAudioFeatures: real PCM decode equals a plain-JDK reference") {
+    val sp = spark; import sp.implicits._
+    val rows = Seq(1L, 2L, 3L, 6L).map { id =>
+      (id, Multimodal.wavBytes((1 + id % 2).toInt,
+        if (id % 3 == 0) 16000 else 44100, (100 + id % 400).toInt, id))
+    }
+    val got = Multimodal.decodeAudioFeatures(rows.toDF("doc_id", "payload"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    rows.foreach { case (id, bytes) =>
+      // independent reference: re-derive channels/rate from the generator
+      // formula and RMS straight off the PCM block of the container
+      val ch = (1 + id % 2).toInt
+      val rate = if (id % 3 == 0) 16000 else 44100
+      val n = (100 + id % 400).toInt
+      val bb = java.nio.ByteBuffer.wrap(bytes, 44, bytes.length - 44)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var sumSq = 0.0
+      var cnt = 0
+      while (bb.remaining >= 2) { val s = bb.getShort.toDouble; sumSq += s * s; cnt += 1 }
+      assert(cnt == n * ch)
+      val wantRms = BigDecimal(math.sqrt(sumSq / cnt))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (gc, gr, gf, gd, grms) = got(id)
+      assert((gc, gr, gf) == ((ch, rate, n.toLong)), s"doc $id meta")
+      assert(gd == n * 1000.0 / rate, s"doc $id duration")
+      assert(grms == wantRms, s"doc $id rms $grms vs $wantRms")
+    }
+    // undecodable payloads yield NULL features, never fail the job
+    val junk = Seq((9L, "RIFFnope".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val nr = Multimodal.decodeAudioFeatures(junk).collect()(0)
+    assert(nr.getLong(0) == 9L && (1 to 5).forall(nr.isNullAt))
+  }
+
   test("image table round-trips through strawboat and parses via the expression") {
     val ss = spark
     import ss.implicits._
