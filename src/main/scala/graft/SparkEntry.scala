@@ -81,6 +81,17 @@ object SparkEntry {
         .write.format("strawboat").mode("overwrite").save(dir)
     }
 
+  /** The synthetic WAV table fixture (q_multimodal_audio / _audio_decode /
+    * _audio_gate): one valid 16-bit PCM WAV per document, parameters
+    * derived from doc_id (the formula the oracles replay), samples from a
+    * doc_id-seeded uniform generator (deterministic, so the RMS band gate
+    * is exact, not statistical-flaky). Built once per sf. */
+  private def audTable(s: SparkSession, d: String): String =
+    cachedFixture(Tables.strawDir(s, d, "documents") + "_aud", "_OK") { dir =>
+      Multimodal.asAudio(t(s, d, "documents"))
+        .write.format("strawboat").mode("overwrite").save(dir)
+    }
+
   /** Shared streaming-fixture scaffold (q_stream_windowed / _sessions /
     * _dedup): wipes (source, sink, checkpoint), writes the source
     * RANGE-PARTITIONED by `orderCol` into 4 files so micro-batches arrive
@@ -609,6 +620,13 @@ object SparkEntry {
       TextOps.repetitionStats(t(s, d, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    "q_quality_lm" -> ((s, d) => {
+      // CCNet-style perplexity filter: bigram LM with Laplace smoothing
+      // trained ON the corpus, each doc scored by mean bigram log-prob —
+      // the full train-then-score loop replayed relationally by the oracle
+      TextOps.lmScore(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
     "q_quality_threshold" -> ((s, d) => {
       // keep the top quarter of the corpus by mean token length — the
       // exact (interpolated-percentile) audit tier
@@ -910,15 +928,30 @@ object SparkEntry {
     "q_multimodal_audio" -> ((s, d) => {
       // same loop for audio: valid PCM WAVs synthesized per doc, stored as
       // binary pages, header-parsed back by the codegen'd audio_meta
-      val audDir = Tables.strawDir(s, d, "documents") + "_aud"
-      val marker = new java.io.File(audDir, "_OK")
-      if (!marker.exists()) {
-        Multimodal.asAudio(t(s, d, "documents"))
-          .write.format("strawboat").mode("overwrite").save(audDir)
-        marker.createNewFile()
-      }
-      Multimodal.audioMeta(s, s.read.format("strawboat").load(audDir))
+      Multimodal.audioMeta(s, s.read.format("strawboat").load(audTable(s, d)))
         .orderBy(col("doc_id"))
+    }),
+    "q_multimodal_audio_decode" -> ((s, d) => {
+      // REAL PCM decode (pure-JDK javax.sound, mapPartitions over the
+      // stored binary pages): channels/rate/frames come from decoding each
+      // sample stream, so the formula oracle proves store→scan→decode with
+      // no header shortcut
+      Multimodal.decodeAudioFeatures(
+          s.read.format("strawboat").load(audTable(s, d)))
+        .select(col("doc_id"), col("channels"), col("sample_rate"),
+          col("frames"), col("duration_ms"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_multimodal_audio_gate" -> ((s, d) => {
+      // RMS over the decoded samples: uniform int16 noise concentrates at
+      // 32768/√3 ≈ 18919, and the generator is doc_id-seeded so the band
+      // membership is DETERMINISTIC per doc — the gate (all docs decode,
+      // all land in a generous ±4σ-at-minimum-length band) is exact
+      val f = Multimodal.decodeAudioFeatures(
+        s.read.format("strawboat").load(audTable(s, d)))
+      f.agg(count(lit(1)).as("docs"),
+        count(col("frames")).as("decoded"),
+        count(when(col("rms").between(15500.0, 22300.0), 1)).as("rms_in_band"))
     }),
     // --- hive-style partitioned table: directory pruning -------------------
     "q_scan_partitioned" -> ((s, d) => {
@@ -2060,6 +2093,23 @@ object SparkEntry {
         |    0.0) AS dup_bigram_frac
         |FROM wstats ws LEFT JOIN bstats b ON ws.doc_id = b.doc_id
         |ORDER BY ws.doc_id""".stripMargin,
+    "q_quality_lm" -> // the bigram LM trained and scored in SQL
+      """WITH toks AS (SELECT doc_id, unnest(l) AS tok,
+        |    unnest(range(1, len(l) + 1)) AS pos
+        |  FROM (SELECT doc_id,
+        |      list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l
+        |    FROM documents)),
+        |bg AS (SELECT a.doc_id, a.tok AS prev, b.tok
+        |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |c1 AS (SELECT tok AS prev, count(*)::DOUBLE AS c1 FROM toks GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok)::DOUBLE AS v FROM toks),
+        |c2 AS (SELECT prev, tok, count(*)::DOUBLE AS c2 FROM bg GROUP BY 1, 2)
+        |SELECT bg.doc_id,
+        |  round(avg(ln((c2.c2 + 1.0::DOUBLE) / (c1.c1 + 1.0::DOUBLE * v.v))), 4)
+        |    AS lm_score,
+        |  count(*)::BIGINT AS n_bigrams
+        |FROM bg JOIN c2 USING (prev, tok) JOIN c1 USING (prev), v
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_quality_threshold" ->
       """WITH scored AS (SELECT doc_id,
         |    round(length(regexp_replace(text, '\s', '', 'g')) * 1.0
@@ -2671,7 +2721,20 @@ object SparkEntry {
       """SELECT doc_id, 'wav' AS format, (1 + doc_id % 2)::INT AS channels,
         |  (CASE WHEN doc_id % 3 = 0 THEN 16000 ELSE 44100 END)::INT AS sample_rate,
         |  16 AS bits, (100 + doc_id % 400)::BIGINT AS n_samples
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_audio_decode" -> // params from REAL sample decode ==
+      // generator formula; duration = frames·1000/rate in the same IEEE
+      // double op order both sides
+      """SELECT doc_id, (1 + doc_id % 2)::INT AS channels,
+        |  (CASE WHEN doc_id % 3 = 0 THEN 16000 ELSE 44100 END)::INT AS sample_rate,
+        |  (100 + doc_id % 400)::BIGINT AS frames,
+        |  ((100 + doc_id % 400)::BIGINT * 1000.0::DOUBLE) /
+        |    (CASE WHEN doc_id % 3 = 0 THEN 16000 ELSE 44100 END) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_audio_gate" -> // every doc decodes and its RMS lands in
+      // the band (deterministic: seeded samples)
+      """SELECT count(*)::BIGINT AS docs, count(*)::BIGINT AS decoded,
+        |  count(*)::BIGINT AS rms_in_band FROM documents""".stripMargin
     // Rows-only (no SQL-expressible oracle): q_dedup_simhash (seeded token
     // hashing, not reproducible in SQL — gated by the oracle-checked
     // q_dedup_simhash_gate above plus OpsSpec), q_ann_lsh / q_ann_ivf /

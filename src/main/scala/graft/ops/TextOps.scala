@@ -92,6 +92,54 @@ object TextOps {
         greatest(scores: _*).getField("lang")).otherwise(lit("und")))
   }
 
+  /** CCNet-style LM quality score: a bigram language model with Laplace
+    * smoothing trained on the corpus itself, scoring each document by its
+    * mean token-level log-probability — the classic perplexity filter of
+    * pretraining pipelines (Wenzek et al. 2020), re-expressed relationally
+    * so the "train the LM" step is two hash aggregations and the "score"
+    * step is two joins. Low (very negative) scores flag gibberish /
+    * boilerplate; combine with [[keepAboveQuantile]] for the usual
+    * keep-top-fraction filter.
+    *
+    * score(doc) = mean over its token bigrams of
+    * ln((c(prev,tok) + α) / (c(prev) + α·V)), with c(·) corpus occurrence
+    * counts and V the vocabulary size — rounded to 4 decimals so
+    * summation-order float drift cannot flip a comparison across engines.
+    * Documents with fewer than two tokens have no bigrams and drop out.
+    *
+    * Scale shape: tokenization is map-only; the model is two groupBy
+    * aggregations (map-side combined); scoring joins PER-DOCUMENT bigram
+    * counts (not per-occurrence rows) against the model on term keys —
+    * common words are hot keys, which AQE's skew-join handles, and both
+    * model sides broadcast when small. No driver materialization at any
+    * step. */
+  def lmScore(df: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"lmScore: smoothing alpha must be positive, got $alpha")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("_doc"),
+      posexplode(filter(split(col(textCol), "\\s+"), w => w =!= lit("")))
+        .as(Seq("_pos", "_tok")))
+    val w = Window.partitionBy("_doc").orderBy("_pos")
+    val bigrams = toks
+      .select(col("_doc"), lag("_tok", 1).over(w).as("_prev"), col("_tok"))
+      .filter(col("_prev").isNotNull)
+    val c1 = toks.groupBy(col("_tok").as("_prev")).agg(count(lit(1)).as("_c1"))
+    val vocab = toks.agg(countDistinct(col("_tok")).as("_v"))
+    val c2 = bigrams.groupBy("_prev", "_tok").agg(count(lit(1)).as("_c2"))
+    val docBg = bigrams.groupBy("_doc", "_prev", "_tok").agg(count(lit(1)).as("_n"))
+    docBg
+      .join(c2, Seq("_prev", "_tok"))
+      .join(c1, Seq("_prev"))
+      .crossJoin(broadcast(vocab))
+      .select(col("_doc"), col("_n"),
+        log((col("_c2") + lit(alpha)) / (col("_c1") + lit(alpha) * col("_v")))
+          .as("_lp"))
+      .groupBy(col("_doc").as(idCol))
+      .agg(round(sum(col("_lp") * col("_n")) / sum(col("_n")), 4).as("lm_score"),
+        sum(col("_n")).as("n_bigrams"))
+  }
+
   /** Corpus-quantile thresholding — "keep the top (1−q) of the corpus by
     * this score", the standard quality-filter shape in pretraining
     * pipelines. The threshold is ONE aggregated row broadcast back; the

@@ -113,4 +113,42 @@ class PipelineTextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TextOps.keepAboveQuantile(dotted, "quality.score", 0.75,
       exact = true).count() == 25)
   }
+
+  test("TextOps.lmScore: bigram LM matches a plain-Scala model; ranks sanely") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the hat"),
+      (3L, "mat hat zzz the"), // scrambled: should score lower than 1-2
+      (4L, "single"), // one token: no bigrams, drops out
+      (5L, "the cat sat on the mat the cat sat on the mat"))
+    val df = docs.toDF("doc_id", "text").repartition(3)
+    val got = TextOps.lmScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+
+    // plain-Scala reference model over the same corpus
+    val toks = docs.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty).toSeq
+    }
+    val c1 = toks.flatMap(_._2).groupBy(identity).map { case (k, v) => k -> v.size }
+    val vocab = c1.size
+    val bgs = toks.flatMap { case (id, ws) =>
+      ws.sliding(2).filter(_.size == 2).map(p => (p(0), p(1)))
+    }
+    val c2 = bgs.groupBy(identity).map { case (k, v) => k -> v.size }
+    toks.filter(_._2.size >= 2).foreach { case (id, ws) =>
+      val lps = ws.sliding(2).filter(_.size == 2).map { p =>
+        math.log((c2((p(0), p(1))) + 1.0) / (c1(p(0)) + 1.0 * vocab))
+      }.toSeq
+      val want = BigDecimal(lps.sum / lps.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(id)._2 == lps.size.toLong, s"doc $id bigram count")
+      assert(math.abs(got(id)._1 - want) <= 1e-4,
+        s"doc $id score ${got(id)._1} vs $want")
+    }
+    assert(!got.contains(4L)) // no bigrams
+    // common phrasing outranks the scrambled doc
+    assert(got(1L)._1 > got(3L)._1 && got(2L)._1 > got(3L)._1)
+    intercept[IllegalArgumentException](TextOps.lmScore(df, "doc_id", "text", 0.0))
+  }
 }
