@@ -159,6 +159,48 @@ final class NullPage(val n: Int) extends DecodedPage {
   def value(i: Int): Any = null
 }
 
+/** A whole-column view over eagerly decoded pages ([[BatchRead]]'s unit):
+  * one index space `0..numValues-1` across page boundaries. A
+  * forward-moving cursor makes sequential access O(1); random access
+  * falls back to binary search. NOT thread-safe (neither are the
+  * underlying pages). Lives here because [[DecodedPage]] is sealed. */
+final class ConcatPage(pages: Array[DecodedPage]) extends DecodedPage {
+  private val starts: Array[Int] = {
+    val a = new Array[Int](pages.length + 1)
+    var p = 0
+    while (p < pages.length) { a(p + 1) = a(p) + pages(p).numValues; p += 1 }
+    a
+  }
+  val numValues: Int = starts(pages.length)
+  private var cursor = 0
+
+  private def locate(i: Int): Int = {
+    if (i >= starts(cursor) && i < starts(cursor + 1)) return cursor
+    if (cursor + 1 < pages.length &&
+        i >= starts(cursor + 1) && i < starts(cursor + 2)) {
+      cursor += 1
+      return cursor
+    }
+    var lo = 0
+    var hi = pages.length - 1
+    while (lo < hi) {
+      val mid = (lo + hi + 1) >>> 1
+      if (starts(mid) <= i) lo = mid else hi = mid - 1
+    }
+    cursor = lo
+    lo
+  }
+
+  def isNullAt(i: Int): Boolean = {
+    val p = locate(i)
+    pages(p).isNullAt(i - starts(p))
+  }
+  def value(i: Int): Any = {
+    val p = locate(i)
+    pages(p).value(i - starts(p))
+  }
+}
+
 object PageDecoder {
   /** Natural storage byte width per flat type (mirrors ColumnWriter). */
   def widthOf(dt: DataType): Int = dt match {
@@ -416,6 +458,33 @@ object StrawFileReader {
     * are file-absolute, so page skipping (zone maps, fully-dead pages)
     * never desynchronizes them.
     */
+  /** Decode page group `p` of one projected column: the single-flat fast
+    * path reads one leaf page; a nested/pruned column decodes each leaf
+    * and reassembles. Shared by the streaming iterator and the eager
+    * [[BatchRead]] tier. `leafOffsets(l)(p)` is leaf `l`'s byte offset for
+    * page `p` (from the footer's `pageOffsets`). */
+  private[format] def decodeColumnPage(
+      input: RandomInput,
+      footer: StrawFooter,
+      pc: ProjCol,
+      leafOffsets: Array[Array[Long]],
+      p: Int): DecodedPage =
+    if (pc.isSingleFlat) {
+      val pm = footer.columns(pc.globalLeaves(0)).pages(p)
+      val bytes = input.readFully(leafOffsets(0)(p), pm.compLen.toInt)
+      PageDecoder.decode(pc.leafDts(0), ByteIO.reader(bytes))
+    } else {
+      val decoded = new Array[(Array[LevelHeader], DecodedPage)](pc.globalLeaves.length)
+      var l = 0
+      while (l < pc.globalLeaves.length) {
+        val pm = footer.columns(pc.globalLeaves(l)).pages(p)
+        val bytes = input.readFully(leafOffsets(l)(p), pm.compLen.toInt)
+        decoded(l) = LeafDecoder.decode(pc.levelKinds(l), pc.leafDts(l), ByteIO.reader(bytes))
+        l += 1
+      }
+      LeafDecoder.assemble(pc.readDt, decoded)
+    }
+
   def rows(
       input: RandomInput,
       footer: StrawFooter,
@@ -468,24 +537,9 @@ object StrawFileReader {
       private var pageOrd = 0L // current page's first-row ordinal
       private var pageHasDead = false // any dead ordinal in current page?
 
-      private def decodeColumn(c: Int, p: Int): DecodedPage = {
-        val pc = projection(c)
-        if (pc.isSingleFlat) {
-          val pm = footer.columns(pc.globalLeaves(0)).pages(p)
-          val bytes = input.readFully(pageOffsets(c)(0)(p), pm.compLen.toInt)
-          PageDecoder.decode(pc.leafDts(0), ByteIO.reader(bytes))
-        } else {
-          val decoded = new Array[(Array[LevelHeader], DecodedPage)](pc.globalLeaves.length)
-          var l = 0
-          while (l < pc.globalLeaves.length) {
-            val pm = footer.columns(pc.globalLeaves(l)).pages(p)
-            val bytes = input.readFully(pageOffsets(c)(l)(p), pm.compLen.toInt)
-            decoded(l) = LeafDecoder.decode(pc.levelKinds(l), pc.leafDts(l), ByteIO.reader(bytes))
-            l += 1
-          }
-          LeafDecoder.assemble(pc.readDt, decoded)
-        }
-      }
+      private def decodeColumn(c: Int, p: Int): DecodedPage =
+        StrawFileReader.decodeColumnPage(input, footer, projection(c),
+          pageOffsets(c), p)
 
       private def loadNextPage(): Boolean = {
         while (pageIdx < numPages) {
