@@ -1525,6 +1525,17 @@ object SparkEntry {
         ("long", docs.filter(col("n_chars") >= 200), 400)), "doc_id")
         .orderBy(col("source_ds"), col("doc_id"))
     }),
+    "q_mix_temperature" -> ((s, d) => {
+      // temperature-scaled language balancing (mT5-style): τ=0.5 flattens
+      // the skewed lang mix (en 44% of the corpus) toward the rare
+      // languages at half the corpus budget; the oracle replays rates and
+      // md5 points exactly
+      graft.ops.Packing.temperatureSample(
+          t(s, d, "documents").select(col("doc_id"), col("lang")),
+          "doc_id", "lang", tau = 0.5, targetFraction = 0.5)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
     "q_shard_shuffle" -> ((s, d) => {
       // deterministic training shards + reproducible within-shard shuffle:
       // md5(doc_id) is the whole randomness source, so the oracle (and any
@@ -2586,6 +2597,17 @@ object SparkEntry {
         |SELECT doc_id, lang, n_chars, 'long' AS source_ds FROM documents
         |  WHERE n_chars >= 200 AND doc_id % 1000 < 400
         |ORDER BY source_ds, doc_id""".stripMargin,
+    "q_mix_temperature" -> // the τ-scaled rates and md5 points replayed
+      """WITH c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY 1),
+        |t AS (SELECT sum(pow(n, 0.5)) AS z, sum(n) AS total FROM c),
+        |r AS (SELECT lang,
+        |    round(least(1.0::DOUBLE, pow(n, 0.5) / t.z * t.total * 0.5 / n), 6)
+        |      AS rate
+        |  FROM c, t)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+        |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) / 4294967296.0 < r.rate
+        |ORDER BY d.doc_id""".stripMargin,
     "q_delete_subquery" -> // subquery-conditioned DELETE + UPDATE replay
       """SELECT doc_id,
         |  CASE WHEN n_chars > 450 THEN 'long' ELSE lang END AS lang,

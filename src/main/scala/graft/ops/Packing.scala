@@ -145,4 +145,41 @@ object Packing {
       }
     df.withColumn("split", assigned)
   }
+
+  /** Temperature-scaled mixture sampling — the multilingual-corpus
+    * balancing rule (mT5 / XLM-R style): stratum s is targeted with
+    * probability p_s ∝ count_s^τ, so τ < 1 flattens the mix toward rare
+    * strata (languages, sources) and τ = 1 keeps natural proportions.
+    * Downsampling-only: the per-stratum keep rate is
+    * min(1, targetFraction · N · p_s / count_s), rounded to 6 decimals so
+    * a last-ulp `pow` difference between engines cannot flip boundary
+    * membership, and a row keeps iff its md5 key point (the same 32-bit
+    * uniform [[assignSplit]] uses) falls below its stratum's rate —
+    * deterministic, engine-replayable, re-run-stable.
+    *
+    * Scale shape: stratum counts are one map-side-combined aggregation
+    * (output = #strata rows); rates derive from two tiny aggregates and
+    * broadcast-join back; the keep decision is map-only. No driver step,
+    * no shuffle of the corpus itself. */
+  def temperatureSample(df: DataFrame, keyCol: String, stratumCol: String,
+      tau: Double, targetFraction: Double): DataFrame = {
+    require(tau > 0, s"temperatureSample: tau must be positive, got $tau")
+    require(targetFraction > 0 && targetFraction <= 1,
+      s"temperatureSample: targetFraction must be in (0,1], got $targetFraction")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).cast("double").as("_n"))
+    // corpus totals as a window over the counts table (#strata rows in one
+    // partition — trivially small by contract), so the corpus itself is
+    // scanned exactly once
+    val w = Window.partitionBy()
+    val rates = counts.select(col(stratumCol),
+      round(least(lit(1.0),
+        pow(col("_n"), tau) / sum(pow(col("_n"), tau)).over(w) *
+          sum(col("_n")).over(w) * lit(targetFraction) / col("_n")),
+        6).as("_rate"))
+    val point = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    df.join(broadcast(rates), stratumCol)
+      .filter(point < col("_rate"))
+      .drop("_rate")
+  }
 }

@@ -132,4 +132,47 @@ class PackingSpec extends AnyFunSuite with BeforeAndAfterAll {
       Packing.assignSplit(df, "id", Seq("a" -> -1.0)))
     assigned.unpersist()
   }
+
+  test("temperatureSample: flattens skew toward rare strata; deterministic") {
+    val sp = spark; import sp.implicits._
+    // skewed strata: a=4000, b=1000, c=250
+    val df = spark.range(5250).select(col("id"),
+      when(col("id") < 4000, "a").when(col("id") < 5000, "b")
+        .otherwise("c").as("src")).repartition(4)
+    val kept = Packing.temperatureSample(df, "id", "src", tau = 0.5,
+      targetFraction = 0.5).persist()
+    val counts = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // expected rates from the model: p_s ∝ √count_s, kept_s = min(n, rate·n)
+    val n = Map("a" -> 4000.0, "b" -> 1000.0, "c" -> 250.0)
+    val z = n.values.map(math.sqrt).sum
+    val total = n.values.sum
+    val exp = n.map { case (s, c) =>
+      s -> math.min(c, BigDecimal(math.min(1.0, math.sqrt(c) / z * total * 0.5 / c))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * c)
+    }
+    exp.foreach { case (s, e) =>
+      val sd = 4 * math.sqrt(e) + 8 // generous hash-uniformity band
+      assert(math.abs(counts(s) - e) < sd, s"stratum $s: ${counts(s)} vs $e")
+    }
+    // τ=0.5 flattens: the rare stratum keeps a LARGER fraction than the big
+    assert(counts("c").toDouble / 250 > counts("a").toDouble / 4000)
+    // τ=1 is proportional sampling: every stratum keeps ≈ targetFraction
+    val nat = Packing.temperatureSample(df, "id", "src", tau = 1.0,
+      targetFraction = 0.5).groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    n.foreach { case (s, c) =>
+      assert(math.abs(nat(s) - 0.5 * c) < 4 * math.sqrt(0.5 * c) + 8,
+        s"tau=1 stratum $s: ${nat(s)}")
+    }
+    // deterministic: a second run keeps the identical rows
+    val again = Packing.temperatureSample(df, "id", "src", 0.5, 0.5)
+    assert(kept.exceptAll(again).isEmpty && again.exceptAll(kept).isEmpty)
+    intercept[IllegalArgumentException](
+      Packing.temperatureSample(df, "id", "src", 0.0, 0.5))
+    intercept[IllegalArgumentException](
+      Packing.temperatureSample(df, "id", "src", 0.5, 0.0))
+    kept.unpersist()
+  }
 }
