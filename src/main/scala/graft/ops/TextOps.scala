@@ -124,14 +124,19 @@ object TextOps {
     val bigrams = toks
       .select(col("_doc"), lag("_tok", 1).over(w).as("_prev"), col("_tok"))
       .filter(col("_prev").isNotNull)
-    val c1 = toks.groupBy(col("_tok").as("_prev")).agg(count(lit(1)).as("_c1"))
-    val vocab = toks.agg(countDistinct(col("_tok")).as("_v"))
-    val c2 = bigrams.groupBy("_prev", "_tok").agg(count(lit(1)).as("_c2"))
+    // unigram counts with the vocabulary size attached by a window over
+    // the counts table itself (vocab-sized, one partition) — V costs no
+    // extra corpus pass
+    val c1v = toks.groupBy(col("_tok").as("_prev")).agg(count(lit(1)).as("_c1"))
+      .withColumn("_v", count(lit(1)).over(Window.partitionBy()))
     val docBg = bigrams.groupBy("_doc", "_prev", "_tok").agg(count(lit(1)).as("_n"))
+    // corpus bigram counts roll up from the per-doc counts: strictly less
+    // aggregation input, and the shared lineage lets AQE reuse docBg's
+    // exchange instead of re-tokenizing the corpus
+    val c2 = docBg.groupBy("_prev", "_tok").agg(sum(col("_n")).as("_c2"))
     docBg
       .join(c2, Seq("_prev", "_tok"))
-      .join(c1, Seq("_prev"))
-      .crossJoin(broadcast(vocab))
+      .join(c1v, Seq("_prev"))
       .select(col("_doc"), col("_n"),
         log((col("_c2") + lit(alpha)) / (col("_c1") + lit(alpha) * col("_v")))
           .as("_lp"))
