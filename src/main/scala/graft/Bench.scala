@@ -64,7 +64,11 @@ object Bench {
     // fixture markers; steady state times the probes + fusion.
     // NOTE for round-over-round totals: these four entries are NEW in
     // round 14 — compare totals net of them against earlier rounds.
-    "q_bm25_appended", "q_phrase_search", "q_hybrid_search", "q_hybrid_indexed")
+    "q_bm25_appended", "q_phrase_search", "q_hybrid_search", "q_hybrid_indexed",
+    // round 15: LM perplexity quality filter (corpus-trained bigram model:
+    // tokenize→window→aggs→joins) and the real-pixel multimodal decode
+    // (mapPartitions imageio over stored binary pages)
+    "q_quality_lm", "q_multimodal_decode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
