@@ -161,6 +161,24 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val junk = Seq((9L, "RIFFnope".getBytes("UTF-8"))).toDF("doc_id", "payload")
     val nr = Multimodal.decodeAudioFeatures(junk).collect()(0)
     assert(nr.getLong(0) == 9L && (1 to 5).forall(nr.isNullAt))
+
+    // a NON-WAV container (AIFF, big-endian PCM) exercises the javax.sound
+    // fallback behind the RIFF fast path: same frames and RMS as the WAV
+    // carrying identical samples
+    val wav = Multimodal.wavBytes(2, 44100, 150, 42L)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+    val aiff = bos.toByteArray
+    assert(!(aiff(0) == 'R' && aiff(1) == 'I')) // really not RIFF
+    val pair = Multimodal.decodeAudioFeatures(
+      Seq((1L, wav), (2L, aiff)).toDF("doc_id", "payload"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getDouble(5)))).toMap
+    assert(pair(1L) == pair(2L),
+      s"AIFF fallback ${pair(2L)} != WAV fast path ${pair(1L)}")
   }
 
   test("image table round-trips through strawboat and parses via the expression") {
