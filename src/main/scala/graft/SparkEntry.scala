@@ -620,6 +620,13 @@ object SparkEntry {
       TextOps.repetitionStats(t(s, d, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    "q_chunk_docs" -> ((s, d) => {
+      // RAG-ingestion chunking: 20-token windows every 15 tokens (overlap
+      // 5), last window short, windows past n−overlap suppressed — the
+      // start/slice algebra replayed exactly by the oracle
+      TextOps.chunkDocs(t(s, d, "documents"), "doc_id", "text", 20, 5)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
     "q_quality_lm" -> ((s, d) => {
       // CCNet-style perplexity filter: bigram LM with Laplace smoothing
       // trained ON the corpus, each doc scored by mean bigram log-prob —
@@ -2104,6 +2111,17 @@ object SparkEntry {
         |    0.0) AS dup_bigram_frac
         |FROM wstats ws LEFT JOIN bstats b ON ws.doc_id = b.doc_id
         |ORDER BY ws.doc_id""".stripMargin,
+    "q_chunk_docs" -> // the window starts and slices replayed
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l
+        |  FROM documents),
+        |s AS (SELECT doc_id, l,
+        |    unnest(range(0, greatest(len(l) - 5 - 1, 0) + 1, 15)) AS st
+        |  FROM d WHERE len(l) > 0)
+        |SELECT doc_id, (st // 15)::BIGINT AS chunk_id,
+        |  array_to_string(l[st + 1 : st + 20], ' ') AS chunk_text,
+        |  least(len(l) - st, 20)::BIGINT AS n_tokens
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
     "q_quality_lm" -> // the bigram LM trained and scored in SQL
       """WITH toks AS (SELECT doc_id, unnest(l) AS tok,
         |    unnest(range(1, len(l) + 1)) AS pos

@@ -145,6 +145,36 @@ object TextOps {
         sum(col("_n")).as("n_bigrams"))
   }
 
+  /** Overlapping token-window chunking — the RAG/embedding-ingestion
+    * shape: each document splits into windows of `chunkTokens` whitespace
+    * tokens starting every `chunkTokens − overlap` tokens, the last window
+    * possibly short, a document shorter than one window yielding exactly
+    * one chunk. Pure codegen'd array functions (split → slice → explode),
+    * map-only at any corpus size; `chunk_id` is the 0-based window ordinal
+    * so (doc_id, chunk_id) is a stable chunk key for downstream embedding
+    * or dedup joins. Empty/whitespace-only documents yield no chunks. */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens > 0, s"chunkDocs: chunkTokens must be positive, got $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"chunkDocs: overlap must be in [0, chunkTokens), got $overlap")
+    val step = chunkTokens - overlap
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= lit(""))
+    // window starts: 0, step, 2·step, … while the window still contributes
+    // tokens beyond the previous one's overlap (start < n − overlap; a
+    // doc shorter than one window gets exactly start 0). sequence() needs
+    // start <= stop, so guard the empty case.
+    val starts = when(size(toks) > 0,
+      sequence(lit(0), greatest(size(toks) - overlap - 1, lit(0)), lit(step)))
+      .otherwise(array().cast("array<int>"))
+    df.select(col(idCol), toks.as("_toks"), posexplode(starts).as(Seq("chunk_id", "_s")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        array_join(slice(col("_toks"), col("_s") + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        least(size(col("_toks")) - col("_s"), lit(chunkTokens)).cast("long")
+          .as("n_tokens"))
+  }
+
   /** Corpus-quantile thresholding — "keep the top (1−q) of the corpus by
     * this score", the standard quality-filter shape in pretraining
     * pipelines. The threshold is ONE aggregated row broadcast back; the

@@ -114,6 +114,42 @@ class PipelineTextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       exact = true).count() == 25)
   }
 
+  test("TextOps.chunkDocs: window algebra, coverage, edges") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, (1 to 35).map(i => s"t$i").mkString(" ")), // 0,15: tail suppressed
+      (2L, (1 to 25).map(i => s"t$i").mkString(" ")), // 0,15: short last
+      (3L, (1 to 20).map(i => s"t$i").mkString(" ")), // exactly one window
+      (4L, "a b c"), // shorter than one window: one chunk
+      (5L, "   "), // whitespace-only: no chunks
+      (6L, (1 to 31).map(i => s"t$i").mkString(" "))) // start 30 ≥ 31−5? no: 30<26 false → suppressed
+    val got = TextOps.chunkDocs(docs.toDF("doc_id", "text"), "doc_id", "text", 20, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3)))).toMap
+
+    // plain-Scala reference of the same contract
+    docs.foreach { case (id, text) =>
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      val starts = Iterator.from(0, 15)
+        .takeWhile(s => s == 0 || s < toks.length - 5)
+        .takeWhile(_ => toks.nonEmpty).toSeq
+      starts.zipWithIndex.foreach { case (s, k) =>
+        val w = toks.slice(s, s + 20)
+        assert(got((id, k.toLong)) == ((w.mkString(" "), w.length.toLong)),
+          s"doc $id chunk $k")
+      }
+      assert(got.keys.count(_._1 == id) == (if (toks.isEmpty) 0 else starts.size),
+        s"doc $id chunk count")
+    }
+    // every token of every doc appears in at least one chunk (coverage)
+    assert(got((1L, 1L))._1.endsWith("t35"))
+    assert(got((6L, 1L))._1.endsWith("t31"))
+    intercept[IllegalArgumentException](
+      TextOps.chunkDocs(docs.toDF("doc_id", "text"), "doc_id", "text", 0, 0))
+    intercept[IllegalArgumentException](
+      TextOps.chunkDocs(docs.toDF("doc_id", "text"), "doc_id", "text", 20, 20))
+  }
+
   test("TextOps.lmScore: bigram LM matches a plain-Scala model; ranks sanely") {
     val sp = spark; import sp.implicits._
     val docs = Seq(
