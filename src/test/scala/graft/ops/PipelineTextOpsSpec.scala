@@ -150,6 +150,60 @@ class PipelineTextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       TextOps.chunkDocs(docs.toDF("doc_id", "text"), "doc_id", "text", 20, 20))
   }
 
+  test("pipeline composition: chunk → LM score → quality filter → dedup → shard") {
+    val sp = spark; import sp.implicits._
+    // a small corpus with structure: natural docs share Markov bigram
+    // pairs (every odd token is its predecessor's fixed successor — the
+    // signal the LM learns), one gibberish doc of one-off tokens, one
+    // exact duplicate of doc 1. The quadratic position term makes chunks
+    // collision-free across docs AND window offsets (a shifted window
+    // alignment would need 2j'(s1−s2) ≡ const mod 97 for every j').
+    def natText(i: Long): String = (0 until 40).map { j =>
+      val r = if (j % 2 == 0) (i * 5 + j * j) % 97 else (i * 5 + (j - 1) * (j - 1)) % 97
+      if (j % 2 == 0) s"w$r" else s"w${r}x"
+    }.mkString(" ")
+    val docs = ((1L to 20L).map(i => (i, natText(i))) :+
+      (31L, (0 until 40).map(j => s"z$j-unique-${j * 31}").mkString(" ")) :+ // gibberish
+      (32L, natText(1L))) // doc 32 duplicates doc 1 exactly
+      .toDF("doc_id", "text").repartition(4)
+
+    // 1. chunk
+    val chunks = TextOps.chunkDocs(docs, "doc_id", "text", 16, 4)
+      .withColumn("chunk_key",
+        concat(col("doc_id"), lit("#"), col("chunk_id")))
+    val nChunks = chunks.count()
+    assert(nChunks == 22 * 3, s"expected 3 chunks per doc, got $nChunks")
+
+    // 2. LM-score the chunks (model trained on the chunk corpus itself)
+    val scored = TextOps.lmScore(chunks, "chunk_key", "chunk_text")
+      .join(chunks, "chunk_key")
+    assert(scored.count() == nChunks) // every chunk has ≥2 tokens here
+
+    // 3. keep the top 75% by LM score: the gibberish doc's chunks die first
+    val kept = TextOps.keepAboveQuantile(scored, "lm_score", 0.25)
+    val keptN = kept.count()
+    assert(keptN < nChunks && keptN >= nChunks * 6 / 10)
+    assert(kept.filter(col("chunk_key").startsWith("31#")).count() == 0,
+      "gibberish chunks must fall below the quantile")
+
+    // 4. exact dedup on chunk text: doc 32's surviving chunks collapse
+    //    into doc 1's digests (keep_id = the doc-1 chunk key)
+    val deduped = Dedup.exact(kept, "chunk_key", "chunk_text")
+    val dups = deduped.filter(col("dup_count") > 1).collect()
+    assert(dups.nonEmpty, "the planted duplicate must survive to dedup")
+    dups.foreach(r => assert(r.getString(1).startsWith("1#"),
+      s"keep_id must prefer the smaller doc: ${r.getString(1)}"))
+
+    // 5. shard the kept unique chunks for training: complete and stable
+    val shards = Packing.shardForTraining(
+      deduped.select(col("keep_id")), "keep_id", 4)
+    assert(shards.count() == deduped.count())
+    assert(shards.select("shard").distinct().count() == 4)
+    val again = Packing.shardForTraining(
+      deduped.select(col("keep_id")), "keep_id", 4)
+    assert(shards.exceptAll(again).isEmpty, "sharding must be reproducible")
+  }
+
   test("TextOps.lmScore: bigram LM matches a plain-Scala model; ranks sanely") {
     val sp = spark; import sp.implicits._
     val docs = Seq(
