@@ -589,6 +589,92 @@ object StrawSqlSurface {
       .queryExecution.analyzed
   }
 
+  val ChunkName = "straw_chunk"
+
+  private def numericLit(e: Expression, what: String): Double = {
+    require(e.foldable && (e.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]),
+      s"$what must be a numeric literal, got ${e.dataType}")
+    val v = e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    require(v != null, s"$what must not be null")
+    v match {
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case n: Number => n.doubleValue
+      case other => throw new IllegalArgumentException(
+        s"$what: unexpected literal $other")
+    }
+  }
+
+  /** `straw_chunk('<table path>', '<id col>', '<text col>', chunkTokens,
+    * overlap)`: RAG token-window chunking ([[graft.ops.TextOps.chunkDocs]])
+    * over a strawboat table as plain SQL — (id, chunk_id, chunk_text,
+    * n_tokens) rows. LAZY like [[bm25Builder]]: the builder returns the
+    * map-only chunking plan, so EXPLAIN costs nothing and the result
+    * composes in joins/CTEs. */
+  def chunkBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 5 && args.take(3).forall(a =>
+        a.foldable && a.dataType == StringType),
+      s"$ChunkName expects (table path, id col, text col, chunkTokens, overlap)")
+    val empty = org.apache.spark.sql.catalyst.InternalRow.empty
+    val Seq(path, idCol, textCol) = args.take(3).map(_.eval(empty))
+    require(path != null && idCol != null && textCol != null,
+      s"$ChunkName: arguments must not be null")
+    val chunkTokens = numericLit(args(3), s"$ChunkName: chunkTokens")
+    val overlap = numericLit(args(4), s"$ChunkName: overlap")
+    require(chunkTokens == chunkTokens.toInt && overlap == overlap.toInt,
+      s"$ChunkName: chunkTokens/overlap must be integers")
+    val spark = org.apache.spark.sql.SparkSession.active
+    graft.ops.TextOps.chunkDocs(
+        spark.read.format("strawboat").load(resolveDir(path.toString)),
+        idCol.toString, textCol.toString, chunkTokens.toInt, overlap.toInt)
+      .queryExecution.analyzed
+  }
+
+  val LmScoreName = "straw_lm_score"
+
+  /** `straw_lm_score('<table path>', '<id col>', '<text col>')`: the
+    * corpus-trained bigram-LM perplexity score
+    * ([[graft.ops.TextOps.lmScore]], α = 1) over a strawboat table as
+    * plain SQL — (id, lm_score, n_bigrams) rows. LAZY: returns the
+    * train+score plan itself. */
+  def lmScoreBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 3 && args.forall(a =>
+        a.foldable && a.dataType == StringType),
+      s"$LmScoreName expects (table path, id col, text col) string literals")
+    val empty = org.apache.spark.sql.catalyst.InternalRow.empty
+    val Seq(path, idCol, textCol) = args.map(_.eval(empty))
+    require(path != null && idCol != null && textCol != null,
+      s"$LmScoreName: arguments must not be null")
+    val spark = org.apache.spark.sql.SparkSession.active
+    graft.ops.TextOps.lmScore(
+        spark.read.format("strawboat").load(resolveDir(path.toString)),
+        idCol.toString, textCol.toString)
+      .queryExecution.analyzed
+  }
+
+  val TemperatureName = "straw_temperature"
+
+  /** `straw_temperature('<table path>', '<key col>', '<stratum col>', tau,
+    * fraction)`: temperature-scaled mixture sampling
+    * ([[graft.ops.Packing.temperatureSample]]) over a strawboat table as
+    * plain SQL — the kept rows, stratum column first. LAZY: returns the
+    * map-only keep plan. */
+  def temperatureBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 5 && args.take(3).forall(a =>
+        a.foldable && a.dataType == StringType),
+      s"$TemperatureName expects (table path, key col, stratum col, tau, fraction)")
+    val empty = org.apache.spark.sql.catalyst.InternalRow.empty
+    val Seq(path, keyCol, stratumCol) = args.take(3).map(_.eval(empty))
+    require(path != null && keyCol != null && stratumCol != null,
+      s"$TemperatureName: arguments must not be null")
+    val tau = numericLit(args(3), s"$TemperatureName: tau")
+    val fraction = numericLit(args(4), s"$TemperatureName: fraction")
+    val spark = org.apache.spark.sql.SparkSession.active
+    graft.ops.Packing.temperatureSample(
+        spark.read.format("strawboat").load(resolveDir(path.toString)),
+        keyCol.toString, stratumCol.toString, tau, fraction)
+      .queryExecution.analyzed
+  }
+
   val AddConstraintName = "straw_add_constraint"
   val DropConstraintName = "straw_drop_constraint"
 
@@ -710,6 +796,18 @@ object StrawSqlSurface {
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName, HybridName),
       hybridBuilder _)
     spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier(ChunkName),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName, ChunkName),
+      chunkBuilder _)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier(LmScoreName),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName, LmScoreName),
+      lmScoreBuilder _)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier(TemperatureName),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName, TemperatureName),
+      temperatureBuilder _)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier(AddConstraintName),
       new ExpressionInfo(classOf[StrawConstraints.Constraint].getName, AddConstraintName),
       addConstraintBuilder _)
@@ -827,6 +925,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName,
         StrawSqlSurface.DetailName),
       StrawSqlSurface.detailBuilder _))
+    extensions.injectTableFunction((
+      FunctionIdentifier(StrawSqlSurface.ChunkName),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName,
+        StrawSqlSurface.ChunkName),
+      StrawSqlSurface.chunkBuilder _))
+    extensions.injectTableFunction((
+      FunctionIdentifier(StrawSqlSurface.LmScoreName),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName,
+        StrawSqlSurface.LmScoreName),
+      StrawSqlSurface.lmScoreBuilder _))
+    extensions.injectTableFunction((
+      FunctionIdentifier(StrawSqlSurface.TemperatureName),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName,
+        StrawSqlSurface.TemperatureName),
+      StrawSqlSurface.temperatureBuilder _))
     // the mutating TVFs above defer their side effect to execution time
     // through [[DeferredOpPlan]] — plan it
     extensions.injectPlannerStrategy(_ => DeferredOpStrategy)

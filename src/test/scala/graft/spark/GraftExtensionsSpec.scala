@@ -416,6 +416,66 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(msgs(e2).exists(_.contains("at least one term")))
   }
 
+  test("straw_chunk / straw_lm_score / straw_temperature run from plain SQL") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the cat sat again near the mat today", "en"),
+      (2L, "the cat sat on the hat and the dog sat again near the rug today", "en"),
+      (3L, "uno dos tres quatro cinco seis siete ocho nueve diez once doce", "es"),
+      (4L, "the dog sat on the mat and the cat ran again near the hat today", "en"))
+      .toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("ext_textops").toString + "/t"
+    docs.write.format("strawboat").mode("overwrite").save(dir)
+
+    // SQL == Scala, row for row, for all three
+    val chunkSql = spark.sql(
+      s"SELECT * FROM straw_chunk('$dir', 'doc_id', 'text', 8, 2) ORDER BY doc_id, chunk_id")
+      .collect().toSeq
+    val chunkApi = graft.ops.TextOps.chunkDocs(
+        spark.read.format("strawboat").load(dir), "doc_id", "text", 8, 2)
+      .orderBy("doc_id", "chunk_id").collect().toSeq
+    assert(chunkSql == chunkApi && chunkSql.nonEmpty)
+
+    val lmSql = spark.sql(
+      s"SELECT * FROM straw_lm_score('$dir', 'doc_id', 'text') ORDER BY doc_id")
+      .collect().toSeq
+    val lmApi = graft.ops.TextOps.lmScore(
+        spark.read.format("strawboat").load(dir), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(lmSql == lmApi && lmSql.size == 4)
+
+    val tSql = spark.sql(
+      s"SELECT doc_id FROM straw_temperature('$dir', 'doc_id', 'lang', 0.5, 1.0) ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val tApi = graft.ops.Packing.temperatureSample(
+        spark.read.format("strawboat").load(dir), "doc_id", "lang", 0.5, 1.0)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(tSql == tApi)
+
+    // lazy: EXPLAIN shows the probe plan, composition in a CTE works
+    val plan = spark.sql(
+      s"EXPLAIN SELECT count(*) FROM straw_chunk('$dir', 'doc_id', 'text', 8, 2)")
+      .collect()(0).getString(0)
+    assert(plan.contains("BatchScan") || plan.contains("strawboat"), plan)
+    val joined = spark.sql(
+      s"""WITH c AS (SELECT * FROM straw_chunk('$dir', 'doc_id', 'text', 8, 2)),
+         |s AS (SELECT * FROM straw_lm_score('$dir', 'doc_id', 'text'))
+         |SELECT count(*) FROM c JOIN s USING (doc_id)""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(joined == chunkApi.size.toLong)
+
+    // loud validation
+    val e1 = intercept[Exception](spark.sql(
+      s"SELECT * FROM straw_chunk('$dir', 'doc_id', 'text', 'x', 2)").collect())
+    assert(e1.getMessage.contains("straw_chunk") ||
+      (e1.getCause != null && e1.getCause.getMessage.contains("straw_chunk")))
+    val e2 = intercept[Exception](spark.sql(
+      s"SELECT * FROM straw_temperature('$dir', 'doc_id', 'lang', 0.5, 2.0)").collect())
+    assert(e2.getMessage.contains("targetFraction") ||
+      (e2.getCause != null && e2.getCause.getMessage.contains("targetFraction")))
+  }
+
   test("hyperplane buckets reject non-integer config args with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT hyperplane_buckets(array(1.0D), 'abc', 4, 2, 42L)")
