@@ -773,6 +773,32 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_ann_pq" -> ((s, d) => {
+      // product-quantization tier (16 sub-codebooks × 64 codes: 16 bytes
+      // per vector, 16× less than float32) with the production two-stage
+      // shape — m-lookup ADC scoring shortlists 4·k candidates, exact
+      // cosine re-ranks only those floats. Approximate set membership →
+      // rows-only, adjudicated by the paired recall gate below
+      val emb = t(s, d, "embeddings")
+      Ann.pqTopKReranked(s, emb, emb.filter(col("vec_id") < 5), 64, 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q_ann_pq_recall" -> ((s, d) => {
+      // quality gate: the PQ+rerank top-3 recalls >= 0.8 of the exact
+      // float top-3 (deterministic codebooks + fixed data; measured
+      // 13-15/15 across sf0.001-0.1). n_exact independently computable by
+      // the oracle, recall_ok hash-checked
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      val exact = Ann.bruteForceTopK(s, emb, queries, 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val pq = Ann.pqTopKReranked(s, emb, queries, 64, 3)
+        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
+      exact.join(pq, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          (sum(coalesce(col("hit"), lit(0))) >= count(lit(1)) * 0.8).as("recall_ok"))
+    }),
     "q_ann_quantized" -> ((s, d) => {
       // int8-quantized tier (integer codegen'd kernel; quarter the vector
       // bytes) — approximate like the LSH tier, adjudicated by the paired
@@ -2057,6 +2083,16 @@ object SparkEntry {
         |  FROM embeddings q, embeddings c
         |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
         |WHERE rank <= 3""".stripMargin,
+    "q_ann_pq_recall" -> // same independently-derived n_exact shape as the
+      // other recall gates
+      """SELECT count(*)::BIGINT AS n_exact, true AS recall_ok FROM (
+        |  SELECT q.vec_id, c.vec_id AS n_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(q.embedding, c.embedding), 4) DESC,
+        |        c.vec_id) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        |WHERE rank <= 3""".stripMargin,
     "q_ann_quantized_recall" -> // same independently-derived n_exact shape
       """SELECT count(*)::BIGINT AS n_exact, true AS recall_ok FROM (
         |  SELECT q.vec_id, c.vec_id AS n_id,
@@ -2778,7 +2814,7 @@ object SparkEntry {
     // Rows-only (no SQL-expressible oracle): q_dedup_simhash (seeded token
     // hashing, not reproducible in SQL — gated by the oracle-checked
     // q_dedup_simhash_gate above plus OpsSpec), q_ann_lsh / q_ann_ivf /
-    // q_dedup_embedding_lsh (approximate tiers; their quality is
-    // oracle-checked via the paired *_recall / _full queries above).
+    // q_ann_pq / q_dedup_embedding_lsh (approximate tiers; their quality
+    // is oracle-checked via the paired *_recall / _full queries above).
   )
 }

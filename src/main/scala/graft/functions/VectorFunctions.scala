@@ -428,6 +428,190 @@ case class VectorNorm(child: Expression)
     copy(child = newChild)
 }
 
+/** Per-block query↔sub-centroid dot-product table for product-quantized
+  * (PQ) asymmetric scoring: output[b·codes + c] = dot(query_block_b,
+  * codebook[b][c]). Computed ONCE per query row (m·codes·subDim = one
+  * full-matrix pass), then every corpus code scores with m lookups
+  * ([[PqAdcCosine]]) instead of a dim-length dot — the ADC trick of
+  * Jégou et al. 2011 (public PQ paper), re-expressed as a codegen'd
+  * expression. `codebooks` is flat [b][c][i] → (b·codes + c)·subDim + i. */
+case class PqDotTable(child: Expression, codebooks: Array[Double],
+    m: Int, codes: Int, subDim: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(m >= 1 && codes >= 2 && codes <= 256 && subDim >= 1,
+    s"pq_dot_table: need m>=1, 2<=codes<=256, subDim>=1; got m=$m codes=$codes subDim=$subDim")
+  require(codebooks.length == m * codes * subDim,
+    s"pq_dot_table: codebook length ${codebooks.length} != m*codes*subDim")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_dot_table expects array<float|double>, got $other")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val fx = isFloat
+    val out = new Array[Double](m * codes)
+    var b = 0
+    while (b < m) {
+      var c = 0
+      while (c < codes) {
+        val base = (b * codes + c) * subDim
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val qi = b * subDim + i
+          val qv =
+            if (qi >= x.numElements()) 0.0
+            else if (fx) x.getFloat(qi).toDouble else x.getDouble(qi)
+          d += qv * codebooks(base + i)
+          i += 1
+        }
+        out(b * codes + c) = d
+        c += 1
+      }
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebooks", codebooks, "double[]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    val out = ctx.freshName("out")
+    val b = ctx.freshName("b")
+    val c = ctx.freshName("c")
+    val i = ctx.freshName("i")
+    val d = ctx.freshName("d")
+    val base = ctx.freshName("base")
+    val qi = ctx.freshName("qi")
+    val qv = ctx.freshName("qv")
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |double[] $out = new double[$m * $codes];
+         |for (int $b = 0; $b < $m; $b++) {
+         |  for (int $c = 0; $c < $codes; $c++) {
+         |    int $base = ($b * $codes + $c) * $subDim;
+         |    double $d = 0.0;
+         |    for (int $i = 0; $i < $subDim; $i++) {
+         |      int $qi = $b * $subDim + $i;
+         |      double $qv = $qi >= $a.numElements() ? 0.0 : (double) $a.$get($qi);
+         |      $d += $qv * $cbRef[$base + $i];
+         |    }
+         |    $out[$b * $codes + $c] = $d;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** PQ asymmetric-distance cosine: given a corpus vector's code
+  * (`array<tinyint>`, m entries), the query's [[PqDotTable]] and the
+  * query's L2 norm, returns cosine(query, reconstructed corpus vector) =
+  * Σ_b table[b·codes + code_b] / (qnorm · ‖x̃‖), with ‖x̃‖² summed from
+  * the code-independent per-sub-centroid norm table (a literal). m
+  * lookups + adds per scored pair — the 100 TB scoring shape for
+  * product-quantized corpora. */
+case class PqAdcCosine(first: Expression, second: Expression,
+    third: Expression, normSq: Array[Double], m: Int, codes: Int)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  require(normSq.length == m * codes,
+    s"pq_adc_cosine: normSq length ${normSq.length} != m*codes")
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val codeOk = first.dataType match {
+      case ArrayType(ByteType, _) | BinaryType => true
+      case _ => false
+    }
+    val tableOk = second.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val normOk = third.dataType == DoubleType || third.dataType == FloatType
+    if (codeOk && tableOk && normOk)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"pq_adc_cosine expects (array<tinyint>|binary, array<double>, double), got " +
+        s"${first.dataType} / ${second.dataType} / ${third.dataType}")
+  }
+
+  private def codeIsBinary: Boolean = first.dataType == BinaryType
+
+  override def nullSafeEval(a: Any, b: Any, cArg: Any): Any = {
+    val table = b.asInstanceOf[ArrayData]
+    val qnorm = cArg match {
+      case f: java.lang.Float => f.toDouble
+      case d: java.lang.Double => d.doubleValue
+      case x => x.asInstanceOf[Double]
+    }
+    def codeAt(i: Int): Int =
+      if (codeIsBinary) a.asInstanceOf[Array[Byte]](i) & 0xff
+      else a.asInstanceOf[ArrayData].getByte(i) & 0xff
+    val n = math.min(m,
+      if (codeIsBinary) a.asInstanceOf[Array[Byte]].length
+      else a.asInstanceOf[ArrayData].numElements())
+    var dot = 0.0
+    var ns = 0.0
+    var bi = 0
+    while (bi < n) {
+      val idx = bi * codes + codeAt(bi)
+      dot += table.getDouble(idx)
+      ns += normSq(idx)
+      bi += 1
+    }
+    if (ns == 0.0 || qnorm == 0.0) 0.0 else dot / (qnorm * math.sqrt(ns))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val nsRef = ctx.addReferenceObj("pqNormSq", normSq, "double[]")
+    val codeLen = if (codeIsBinary) "length" else "numElements()"
+    val codeGet = (v: String, i: String) =>
+      if (codeIsBinary) s"($v[$i] & 0xff)" else s"($v.getByte($i) & 0xff)"
+    val n = ctx.freshName("n")
+    val dot = ctx.freshName("dot")
+    val ns = ctx.freshName("ns")
+    val bi = ctx.freshName("bi")
+    val idx = ctx.freshName("idx")
+    val qn = ctx.freshName("qn")
+    nullSafeCodeGen(ctx, ev, (a, b, cArg) => {
+      s"""
+         |int $n = java.lang.Math.min($m, $a.$codeLen);
+         |double $dot = 0.0, $ns = 0.0;
+         |double $qn = (double) $cArg;
+         |for (int $bi = 0; $bi < $n; $bi++) {
+         |  int $idx = $bi * $codes + ${codeGet(a, bi)};
+         |  $dot += $b.getDouble($idx);
+         |  $ns += $nsRef[$idx];
+         |}
+         |${ev.value} = ($ns == 0.0 || $qn == 0.0) ? 0.0 : $dot / ($qn * java.lang.Math.sqrt($ns));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object VectorFunctions {
   private def intOf(what: String)(e: Expression): Int = e.eval() match {
     case n: java.lang.Number => n.intValue()
@@ -470,6 +654,30 @@ object VectorFunctions {
         r += 1
       }
       NearestCells(c(0), flat, rows, dim, intOf("nearest_cells")(c(2)))
+    }),
+    ("pq_dot_table", classOf[PqDotTable], (c: Seq[Expression]) => {
+      val mtx = c(1).eval().asInstanceOf[ArrayData]
+      val m = intOf("pq_dot_table")(c(2))
+      val codes = intOf("pq_dot_table")(c(3))
+      val rows = mtx.numElements()
+      require(rows == m * codes,
+        s"pq_dot_table: codebook matrix has $rows rows, expected m*codes = ${m * codes}")
+      val subDim = mtx.getArray(0).numElements()
+      val flat = new Array[Double](rows * subDim)
+      var r = 0
+      while (r < rows) {
+        val row = mtx.getArray(r)
+        require(row.numElements() == subDim, "pq_dot_table: ragged codebook matrix")
+        var i = 0
+        while (i < subDim) { flat(r * subDim + i) = row.getDouble(i); i += 1 }
+        r += 1
+      }
+      PqDotTable(c(0), flat, m, codes, subDim)
+    }),
+    ("pq_adc_cosine", classOf[PqAdcCosine], (c: Seq[Expression]) => {
+      val ns = c(3).eval().asInstanceOf[ArrayData].toDoubleArray()
+      PqAdcCosine(c(0), c(1), c(2), ns,
+        intOf("pq_adc_cosine")(c(4)), intOf("pq_adc_cosine")(c(5)))
     }))
 
   /** Register every vector function with the session so `expr(...)`/SQL can
@@ -521,5 +729,31 @@ object VectorFunctions {
   def norm(spark: SparkSession, emb: Column): Column = {
     registerNorm(spark)
     org.apache.spark.sql.functions.call_function("vector_norm", emb)
+  }
+
+  /** PQ query dot-table over `codebooks(b)(c)(i)` (codegen'd). */
+  def pqDotTable(spark: SparkSession, emb: Column,
+      codebooks: Array[Array[Array[Float]]]): Column = {
+    register(spark)
+    import org.apache.spark.sql.functions.{array, call_function, lit}
+    val m = codebooks.length
+    val codes = codebooks(0).length
+    val matrix = array(codebooks.flatten.map(row =>
+      array(row.map(v => lit(v.toDouble)): _*)): _*)
+    call_function("pq_dot_table", emb, matrix, lit(m), lit(codes))
+  }
+
+  /** PQ ADC cosine of (corpus code, query dot-table, query norm)
+    * (codegen'd); the per-sub-centroid squared norms derive from the same
+    * codebooks. */
+  def pqAdcCosine(spark: SparkSession, code: Column, table: Column,
+      qnorm: Column, codebooks: Array[Array[Array[Float]]]): Column = {
+    register(spark)
+    import org.apache.spark.sql.functions.{array, call_function, lit}
+    val m = codebooks.length
+    val codes = codebooks(0).length
+    val normSq = array(codebooks.flatten.map(row =>
+      lit(row.map(v => v.toDouble * v).sum)): _*)
+    call_function("pq_adc_cosine", code, table, qnorm, normSq, lit(m), lit(codes))
   }
 }

@@ -362,6 +362,138 @@ object Ann {
           round(x / col("qscale")).cast("byte")))
   }
 
+  // -------------------------------------------------------------------------
+  // Product quantization (PQ): m sub-codebooks, one byte per block
+  // -------------------------------------------------------------------------
+
+  /** Fit PQ sub-codebooks: the embedding splits into `m` contiguous blocks
+    * of dim/m; each block gets its own `nCodes`-centroid k-means
+    * (Jégou et al. 2011), trained over the SAME seeded hash-order sample
+    * [[fitQuantizer]] uses, on L2-NORMALIZED vectors — unit vectors make
+    * L2-nearest sub-centroid assignment the right encoding for cosine
+    * ranking. Returns codebooks(b)(c) of length dim/m. */
+  def fitPq(corpus: DataFrame, dim: Int, m: Int, nCodes: Int = 16,
+      seed: Long = 7, sampleSize: Int = 1024): Array[Array[Array[Float]]] = {
+    require(m >= 1 && dim % m == 0,
+      s"fitPq: m must divide dim, got dim=$dim m=$m")
+    require(nCodes >= 2 && nCodes <= 256, s"fitPq: need 2 <= nCodes <= 256")
+    val subDim = dim / m
+    val sample: Array[Array[Float]] = corpus
+      .select(col("embedding"), xxhash64(lit(seed), col("vec_id")).as("__sh"))
+      .orderBy(col("__sh")).limit(sampleSize)
+      .select(col("embedding")).collect()
+      .map { r =>
+        val v = r.getSeq[Float](0).toArray
+        val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+        if (n == 0.0) v else v.map(x => (x / n).toFloat)
+      }
+    Array.tabulate(m) { b =>
+      val block = sample.map(_.slice(b * subDim, (b + 1) * subDim))
+      val rnd = new scala.util.Random(seed + b)
+      var cents: Array[Array[Float]] =
+        rnd.shuffle(block.indices.toList).take(nCodes).map(block(_)).toArray
+      for (_ <- 0 until 5) {
+        val sums = Array.fill(cents.length)(new Array[Double](subDim))
+        val counts = new Array[Int](cents.length)
+        block.foreach { v =>
+          val c = nearest(v, cents)
+          counts(c) += 1
+          var i = 0
+          while (i < subDim) { sums(c)(i) += v(i); i += 1 }
+        }
+        cents = cents.zipWithIndex.map { case (old, c) =>
+          if (counts(c) == 0) old
+          else Array.tabulate(subDim)(i => (sums(c)(i) / counts(c)).toFloat)
+        }
+      }
+      cents
+    }
+  }
+
+  /** Encode an embedding column as PQ codes: normalize, then per block the
+    * L2-nearest sub-centroid's index as one byte — `pqcode:
+    * array<tinyint>`, m bytes per vector (dim/m·4 → 1 bytes/block, 32× at
+    * the classic dim-256/m-8 shape). Composed ENTIRELY from the existing
+    * codegen'd [[graft.functions.NearestCells]] kernel over vector slices:
+    * no new scan-side machinery, stays inside whole-stage codegen. */
+  def pqEncode(spark: SparkSession, df: DataFrame, embCol: String,
+      codebooks: Array[Array[Array[Float]]]): DataFrame = {
+    val m = codebooks.length
+    val subDim = codebooks(0)(0).length
+    val nrm = VectorFunctions.norm(spark, col(embCol))
+    val unit = transform(col(embCol),
+      x => when(nrm === 0.0, x).otherwise((x / nrm).cast("float")))
+    val codeCols = (0 until m).map { b =>
+      val idx = element_at(VectorFunctions.nearestCells(spark,
+        slice(unit, b * subDim + 1, subDim), codebooks(b), 1), 1)
+      // wrap 0..255 into the signed byte (192 → -64): a plain cast
+      // OVERFLOWS under ANSI for codes > 127; readers mask with & 0xff
+      (((idx + lit(128)) % lit(256)) - lit(128)).cast("byte")
+    }
+    df.withColumn("pqcode", array(codeCols: _*))
+  }
+
+  /** Approximate cosine top-k over PQ-ENCODED vectors via asymmetric
+    * distance computation: the corpus carries only its m-byte codes; each
+    * query computes its per-block dot table once (codegen'd
+    * [[graft.functions.PqDotTable]]) and every candidate scores with m
+    * table lookups ([[graft.functions.PqAdcCosine]]) instead of a
+    * dim-length dot. The 100 TB shape: corpus bytes shrink 4·dim/m×
+    * (dim 64 / m 8 → 32×), scoring cost dim/m×, ranking quality gated
+    * against exact brute force in the driver suite. */
+  def pqTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+      dim: Int, k: Int, m: Int = 8, nCodes: Int = 16, seed: Long = 7,
+      excludeSelf: Boolean = true, sampleSize: Int = 1024): DataFrame = {
+    val codebooks = fitPq(corpus, dim, m, nCodes, seed, sampleSize)
+    val coded = pqEncode(spark, corpus, "embedding", codebooks)
+      .select(col("vec_id"), col("pqcode"))
+    val qprep = queries.select(col("vec_id"),
+      VectorFunctions.pqDotTable(spark, col("embedding"), codebooks).as("_tab"),
+      VectorFunctions.norm(spark, col("embedding")).as("_qn"))
+    val scored = coded.as("c")
+      .join(broadcast(qprep.as("q")),
+        if (excludeSelf) col("c.vec_id") =!= col("q.vec_id") else lit(true))
+      .select(
+        col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        round(VectorFunctions.pqAdcCosine(spark, col("c.pqcode"), col("_tab"),
+          col("_qn"), codebooks), 4).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** PQ shortlist → EXACT re-rank: the production two-stage shape. Stage 1
+    * scores the whole corpus from its m-byte codes ([[pqTopK]]) and keeps
+    * a `shortlist`-sized candidate set per query (default 4·k); stage 2
+    * fetches ONLY the shortlist's float vectors and re-ranks them with the
+    * exact cosine. At 100 TB the codes fit where the floats never could
+    * (the 32× story), the full corpus is touched only through m-lookup ADC
+    * scoring, and the expensive float read is k-bounded per query — final
+    * ranking quality is the shortlist's recall, which the coarse
+    * quantization no longer has to deliver alone (gated in the driver
+    * suite). Output matches [[bruteForceTopK]]'s shape. */
+  def pqTopKReranked(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+      dim: Int, k: Int, m: Int = 16, nCodes: Int = 64, shortlist: Int = 0,
+      seed: Long = 7, sampleSize: Int = 1024): DataFrame = {
+    val short = if (shortlist <= 0) 4 * k else shortlist
+    require(short >= k, s"pqTopKReranked: shortlist $short < k $k")
+    val candidates = pqTopK(spark, corpus, queries, dim, short, m, nCodes,
+        seed, excludeSelf = true, sampleSize = sampleSize)
+      .select(col("query_id"), col("neighbor_id"))
+    val rescored = candidates
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("_nemb")), "neighbor_id")
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("_qemb"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(VectorFunctions.cosine(spark, col("_qemb"), col("_nemb")), 4)
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Exact cosine top-k over INT8-QUANTIZED vectors via the codegen'd
     * integer kernel [[graft.functions.CosineInt8]] — same plan shape as
     * [[bruteForceTopK]] at a quarter of the vector bytes. Ranking quality

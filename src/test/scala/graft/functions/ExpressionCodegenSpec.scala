@@ -81,6 +81,64 @@ class ExpressionCodegenSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"float=${both.getDouble(0)} int8=${both.getDouble(1)}")
   }
 
+  test("PQ kernels compile under strict codegen; ADC equals the closed form") {
+    val ss = spark
+    import ss.implicits._
+    // dim 8, m 2, codes 4: hand-buildable codebooks
+    val codebooks: Array[Array[Array[Float]]] = Array.tabulate(2, 4, 4) {
+      (b, c, i) => (b + 1) * 0.1f * (c + 1) * (if (i % 2 == 0) 1f else -1f)
+    }
+    val vecs = Seq(
+      (1L, Array.tabulate(8)(i => 0.3f * (i + 1))),
+      (2L, Array.tabulate(8)(i => -0.2f * (8 - i))))
+      .toDF("vec_id", "embedding")
+    // encode + score through the kernels (codegen fallback disabled → any
+    // janino failure is fatal)
+    val coded = graft.ops.Ann.pqEncode(spark, vecs, "embedding", codebooks)
+    val rows = coded.select(col("vec_id"),
+        VectorFunctions.pqDotTable(spark, col("embedding"), codebooks).as("tab"),
+        VectorFunctions.norm(spark, col("embedding")).as("qn"),
+        col("pqcode"))
+      .select(col("vec_id"), col("pqcode"), col("tab"), col("qn"),
+        VectorFunctions.pqAdcCosine(spark, col("pqcode"), col("tab"),
+          col("qn"), codebooks).as("adc"))
+      .collect()
+    rows.foreach { r =>
+      val code = r.getSeq[Byte](1)
+      val tab = r.getSeq[Double](2)
+      val qn = r.getDouble(3)
+      // closed form: Σ_b tab[b·4 + code_b] / (qn · sqrt(Σ ‖cb‖²))
+      var dot = 0.0
+      var ns = 0.0
+      code.zipWithIndex.foreach { case (cb, b) =>
+        dot += tab(b * 4 + (cb & 0xff))
+        ns += codebooks(b)(cb & 0xff).map(x => x.toDouble * x).sum
+      }
+      val want = dot / (qn * math.sqrt(ns))
+      assert(math.abs(r.getDouble(4) - want) < 1e-9,
+        s"vec ${r.getLong(0)}: adc ${r.getDouble(4)} vs $want")
+    }
+    // the dot table matches a hand dot product per (block, code) for vec 1
+    val vraw = Array.tabulate(8)(i => 0.3 * (i + 1))
+    val tab1 = rows.find(_.getLong(0) == 1L).get.getSeq[Double](2)
+    for (b <- 0 until 2; c <- 0 until 4) {
+      val want = (0 until 4).map(i => vraw(b * 4 + i) * codebooks(b)(c)(i)).sum
+      assert(math.abs(tab1(b * 4 + c) - want) < 1e-6, s"table[$b][$c]")
+    }
+    // encoding picks the ACTUAL nearest sub-centroid of the unit vector
+    val v = Array.tabulate(8)(i => 0.3f * (i + 1))
+    val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+    val unit = v.map(x => (x / n).toFloat)
+    val code0 = rows.find(_.getLong(0) == 1L).get.getSeq[Byte](1)
+    for (b <- 0 until 2) {
+      val block = unit.slice(b * 4, b * 4 + 4)
+      val dists = codebooks(b).map(cb =>
+        cb.zip(block).map { case (x, y) => (x - y) * (x - y) }.sum)
+      assert(code0(b) == dists.zipWithIndex.minBy(p => (p._1, p._2))._2.toByte,
+        s"block $b encoded ${code0(b)}, nearest ${dists.indexOf(dists.min)}")
+    }
+  }
+
   test("vector_norm plan holds no interpreted higher-order function") {
     val ss = spark
     import ss.implicits._

@@ -36,6 +36,53 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.2, s"IVF recall too low: $recall")
   }
 
+  test("PQ: encode/ADC on clustered data; rerank recovers exact top-k; 256-code wrap") {
+    val sp = spark; import sp.implicits._
+    // 4 well-separated clusters: PQ ALONE must rank within-cluster
+    // neighbors above cross-cluster ones (margins far exceed quantization
+    // noise), unlike the near-random driver embeddings where only the
+    // reranked tier is gated
+    val rnd = new scala.util.Random(11)
+    val centers = Array.tabulate(4, 16)((c, i) =>
+      if (i / 4 == c) 1.0f else 0.0f)
+    val vecs = (0L until 200L).map { id =>
+      val c = (id % 4).toInt
+      (id, centers(c).map(x => x + (rnd.nextFloat() - 0.5f) * 0.2f))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 4)
+    val pq = Ann.pqTopK(spark, vecs, queries, 16, 5, m = 4, nCodes = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // every PQ neighbor is from the query's own cluster
+    pq.foreach { case (q, n) =>
+      assert(n % 4 == q % 4, s"query $q got cross-cluster neighbor $n")
+    }
+    // rerank equals exact brute force when the shortlist covers the whole
+    // cluster with margin (every true top-5 lives within-cluster; ADC
+    // scores across these far-apart clusters sit near 0 vs ~0.95 within)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] =
+      df.select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exact = rows(Ann.bruteForceTopK(spark, vecs, queries, 5))
+    val rer = rows(Ann.pqTopKReranked(spark, vecs, queries, 16, 5, m = 4,
+      nCodes = 16, shortlist = 60))
+    assert(rer === exact, "PQ+rerank must equal brute force on clustered data")
+    // determinism: same seed, same codes
+    val c1 = Ann.pqEncode(spark, vecs, "embedding", Ann.fitPq(vecs, 16, 4, 16))
+      .select("vec_id", "pqcode").collect().map(r =>
+        r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    val c2 = Ann.pqEncode(spark, vecs, "embedding", Ann.fitPq(vecs, 16, 4, 16))
+      .select("vec_id", "pqcode").collect().map(r =>
+        r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    assert(c1 == c2)
+    // 256-code books wrap code indexes through the signed byte without
+    // ANSI overflow, and ADC still ranks within-cluster first
+    val big = Ann.pqTopK(spark, vecs, queries, 16, 5, m = 4, nCodes = 256,
+        sampleSize = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    big.foreach { case (q, n) => assert(n % 4 == q % 4, s"wrap: $q -> $n") }
+    intercept[IllegalArgumentException](Ann.fitPq(vecs, 16, 5)) // m ∤ dim
+  }
+
   test("IVF with nProbe = nCentroids equals brute force exactly") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 10)
