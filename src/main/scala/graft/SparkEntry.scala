@@ -81,6 +81,15 @@ object SparkEntry {
         .write.format("strawboat").mode("overwrite").save(dir)
     }
 
+  /** The persisted PQ index fixture (q_ann_pq / _pq_recall): embeddings
+    * encoded once as (vec_id, pqcode, embedding) sorted by vec_id, with
+    * the codebook sidecar — the build lands here, the queries time the
+    * ADC probe + point-read rerank. */
+  private def pqTable(s: SparkSession, d: String): String =
+    cachedFixture(Tables.strawDir(s, d, "embeddings") + "_pqidx", "_OK") { dir =>
+      graft.ops.Ann.buildPqIndex(s, t(s, d, "embeddings"), dir, 64): Unit
+    }
+
   /** The synthetic WAV table fixture (q_multimodal_audio / _audio_decode /
     * _audio_gate): one valid 16-bit PCM WAV per document, parameters
     * derived from doc_id (the formula the oracles replay), samples from a
@@ -775,12 +784,14 @@ object SparkEntry {
     }),
     "q_ann_pq" -> ((s, d) => {
       // product-quantization tier (16 sub-codebooks × 64 codes: 16 bytes
-      // per vector, 16× less than float32) with the production two-stage
-      // shape — m-lookup ADC scoring shortlists 4·k candidates, exact
-      // cosine re-ranks only those floats. Approximate set membership →
-      // rows-only, adjudicated by the paired recall gate below
+      // per vector, 16× less than float32), probed from the PERSISTED
+      // index: the ADC scan reads only (vec_id, pqcode) — the float column
+      // never decodes — then the 4·k shortlist's floats point-read back
+      // through a pushed IN filter on the vec_id-sorted table and re-rank
+      // exactly. Approximate set membership → rows-only, adjudicated by
+      // the paired recall gate below
       val emb = t(s, d, "embeddings")
-      Ann.pqTopKReranked(s, emb, emb.filter(col("vec_id") < 5), 64, 3)
+      Ann.pqTopKIndexed(s, pqTable(s, d), emb.filter(col("vec_id") < 5), 3)
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -793,7 +804,7 @@ object SparkEntry {
       val queries = emb.filter(col("vec_id") < 5)
       val exact = Ann.bruteForceTopK(s, emb, queries, 3)
         .select(col("query_id"), col("neighbor_id"))
-      val pq = Ann.pqTopKReranked(s, emb, queries, 64, 3)
+      val pq = Ann.pqTopKIndexed(s, pqTable(s, d), queries, 3)
         .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
       exact.join(pq, Seq("query_id", "neighbor_id"), "left")
         .agg(count(lit(1)).as("n_exact"),

@@ -494,6 +494,117 @@ object Ann {
     rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Build a PERSISTED PQ index at `dir`: fit the sub-codebooks, encode
+    * every corpus vector, and write (vec_id, pqcode, embedding) as a
+    * strawboat table SORTED BY vec_id — so the rerank stage's candidate
+    * fetch (a pushed `vec_id IN (...)` filter) prunes to the handful of
+    * pages holding the shortlist via zone maps, the "point read" tier.
+    * The codebooks land as a sidecar next to the data (same pattern as the
+    * IVF centroid sidecar). ADC probes read ONLY (vec_id, pqcode) — the
+    * float column never decodes for scoring, which at 100 TB is the whole
+    * point: m bytes/vector scanned instead of 4·dim. */
+  def buildPqIndex(spark: SparkSession, corpus: DataFrame, dir: String,
+      dim: Int, m: Int = 16, nCodes: Int = 64, seed: Long = 7,
+      sampleSize: Int = 1024): Array[Array[Array[Float]]] = {
+    val codebooks = fitPq(corpus, dim, m, nCodes, seed, sampleSize)
+    pqEncode(spark, corpus, "embedding", codebooks)
+      .select(col("vec_id"), col("pqcode"), col("embedding"))
+      .orderBy(col("vec_id"))
+      .write.format("strawboat").mode("overwrite").save(dir)
+    writePqCodebooks(dir, codebooks)
+    codebooks
+  }
+
+  private val PqCodebooksFile = "_pq_codebooks"
+
+  /** Codebook sidecar: `m codes subDim` header, one row of floats per
+    * (block, code) in block-major order. No data extension → scans never
+    * list it (the IVF centroid sidecar's convention). */
+  private def writePqCodebooks(dir: String,
+      cbs: Array[Array[Array[Float]]]): Unit = {
+    val fs = graft.spark.StrawIO.fs(dir)
+    val p = new org.apache.hadoop.fs.Path(dir, PqCodebooksFile)
+    val os = fs.create(p, true)
+    try {
+      val sb = new StringBuilder
+      sb.append(cbs.length).append(' ').append(cbs(0).length).append(' ')
+        .append(cbs(0)(0).length).append('\n')
+      cbs.foreach(_.foreach(row => sb.append(row.mkString(" ")).append('\n')))
+      os.write(sb.toString.getBytes("UTF-8"))
+    } finally os.close()
+  }
+
+  def loadPqCodebooks(dir: String): Array[Array[Array[Float]]] = {
+    val fs = graft.spark.StrawIO.fs(dir)
+    val p = new org.apache.hadoop.fs.Path(dir, PqCodebooksFile)
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.split('\n').filter(_.nonEmpty)
+    val Array(m, codes, subDim) = lines(0).trim.split(' ').map(_.toInt)
+    val flat = lines.slice(1, 1 + m * codes).map(_.trim.split(' ').map(_.toFloat))
+    require(flat.length == m * codes && flat.forall(_.length == subDim),
+      s"corrupt PQ codebook sidecar at $p")
+    Array.tabulate(m, codes)((b, c) => flat(b * codes + c))
+  }
+
+  /** Probe a persisted PQ index: ADC-score the code column (the float
+    * column stays undecoded — column pruning), shortlist `shortlist`
+    * candidates per query, then fetch ONLY the shortlist's float vectors —
+    * a pushed `vec_id IN (...)` point read against the vec_id-sorted index
+    * (zone maps prune to the pages actually holding candidates) — and
+    * re-rank exactly. The candidate-id collect is bounded by
+    * queries × shortlist (query-scale, never data-scale — the same
+    * contract as [[ivfTopKIndexed]]'s probed-cell collect). Equals
+    * [[pqTopKReranked]] exactly for the same build parameters. */
+  def pqTopKIndexed(spark: SparkSession, indexDir: String, queries: DataFrame,
+      k: Int, shortlist: Int = 0): DataFrame = {
+    val codebooks = loadPqCodebooks(indexDir)
+    val short = if (shortlist <= 0) 4 * k else shortlist
+    require(short >= k, s"pqTopKIndexed: shortlist $short < k $k")
+    val index = spark.read.format("strawboat")
+      .option("mergeSchema", "false").load(indexDir)
+    val qprep = queries.select(col("vec_id"),
+      VectorFunctions.pqDotTable(spark, col("embedding"), codebooks).as("_tab"),
+      VectorFunctions.norm(spark, col("embedding")).as("_qn"))
+    val adc = index.select(col("vec_id"), col("pqcode")) // floats pruned
+      .as("c")
+      .join(broadcast(qprep.as("q")), col("c.vec_id") =!= col("q.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        VectorFunctions.pqAdcCosine(spark, col("c.pqcode"), col("_tab"),
+          col("_qn"), codebooks).as("_adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_adc").desc, col("neighbor_id").asc)
+    // ONE execution of the ADC scan: the shortlist is queries × shortlist
+    // rows by construction (query-scale, never data-scale — the same
+    // bounded-collect contract as [[ivfTopKIndexed]]'s probed cells), so
+    // it materializes once and drives both the pushed point-read filter
+    // and the rerank join as a local relation
+    val candPairs = adc.withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= short)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val candidates = {
+      import spark.implicits._
+      candPairs.toSeq.toDF("query_id", "neighbor_id")
+    }
+    val candidateIds = candPairs.map(_._2).distinct
+    val floats = index
+      .filter(col("vec_id").isin(candidateIds.map(_.asInstanceOf[Any]): _*))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("_nemb"))
+    val rescored = broadcast(candidates)
+      .join(floats, "neighbor_id")
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("_qemb"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(VectorFunctions.cosine(spark, col("_qemb"), col("_nemb")), 4)
+          .as("cosine"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    rescored.withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+  }
+
   /** Exact cosine top-k over INT8-QUANTIZED vectors via the codegen'd
     * integer kernel [[graft.functions.CosineInt8]] — same plan shape as
     * [[bruteForceTopK]] at a quarter of the vector bytes. Ranking quality

@@ -81,6 +81,17 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     big.foreach { case (q, n) => assert(n % 4 == q % 4, s"wrap: $q -> $n") }
     intercept[IllegalArgumentException](Ann.fitPq(vecs, 16, 5)) // m ∤ dim
+
+    // persisted PQ index: probe equals the inline reranked path exactly
+    // (same seed → same codebooks → same shortlist → same exact re-rank),
+    // and the ADC scan's plan never reads the float column
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString + "/index"
+    Ann.buildPqIndex(spark, vecs, dir, 16, m = 4, nCodes = 16)
+    assert(new java.io.File(dir, "_pq_codebooks").exists())
+    val idx = rows(Ann.pqTopKIndexed(spark, dir, queries, 5, shortlist = 60))
+    assert(idx === exact, "indexed PQ probe must equal the inline rerank")
+    val cbs = Ann.loadPqCodebooks(dir)
+    assert(cbs.length == 4 && cbs(0).length == 16 && cbs(0)(0).length == 4)
   }
 
   test("IVF with nProbe = nCentroids equals brute force exactly") {
