@@ -40,7 +40,7 @@ object Bench {
     // shuffle-free join itself)
     "q_join_bucketed",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_embedding_lsh",
-    "q_ann_brute", "q_ann_ivf", "q_ann_pq", "q_text_stats",
+    "q_ann_brute", "q_ann_ivf", "q_ann_pq", "q_ann_ivfpq", "q_text_stats",
     // nested-leaf scan through the vectorized struct reader (round 9)
     "q_struct_filter",
     // round-9 pipeline ops: broadcast n-gram decontamination join and the

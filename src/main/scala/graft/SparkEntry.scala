@@ -90,6 +90,14 @@ object SparkEntry {
       graft.ops.Ann.buildPqIndex(s, t(s, d, "embeddings"), dir, 64): Unit
     }
 
+  /** The persisted IVF-PQ index fixture (q_ann_ivfpq / _ivfpq_recall):
+    * hive-partitioned by coarse cell, PQ codes per vector, both sidecars. */
+  private def ivfPqTable(s: SparkSession, d: String): String =
+    cachedFixture(Tables.strawDir(s, d, "embeddings") + "_ivfpqidx", "_OK") { dir =>
+      graft.ops.Ann.buildIvfPqIndex(s, t(s, d, "embeddings"), dir, 64,
+        nCentroids = 16)
+    }
+
   /** The synthetic WAV table fixture (q_multimodal_audio / _audio_decode /
     * _audio_gate): one valid 16-bit PCM WAV per document, parameters
     * derived from doc_id (the formula the oracles replay), samples from a
@@ -807,6 +815,31 @@ object SparkEntry {
       val pq = Ann.pqTopKIndexed(s, pqTable(s, d), queries, 3)
         .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
       exact.join(pq, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          (sum(coalesce(col("hit"), lit(0))) >= count(lit(1)) * 0.8).as("recall_ok"))
+    }),
+    "q_ann_ivfpq" -> ((s, d) => {
+      // IVF-PQ — the production 100 TB ANN composition: directory-pruned
+      // cell probes (4 of 16), ADC over the probed cells' 16-byte codes
+      // (float column pruned), point-read exact rerank. Rows-only like the
+      // other pruned tiers, adjudicated by the paired full-probe gate
+      val emb = t(s, d, "embeddings")
+      Ann.ivfPqTopK(s, ivfPqTable(s, d), emb.filter(col("vec_id") < 5), 3,
+          nProbe = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q_ann_ivfpq_recall" -> ((s, d) => {
+      // gate on the FULL probe (nProbe = nCentroids): the coarse-quantizer
+      // error vanishes, leaving exactly the PQ+rerank approximation the
+      // q_ann_pq gate already characterizes — recall >= 0.8, deterministic
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      val exact = Ann.bruteForceTopK(s, emb, queries, 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val got = Ann.ivfPqTopK(s, ivfPqTable(s, d), queries, 3, nProbe = 16)
+        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
+      exact.join(got, Seq("query_id", "neighbor_id"), "left")
         .agg(count(lit(1)).as("n_exact"),
           (sum(coalesce(col("hit"), lit(0))) >= count(lit(1)) * 0.8).as("recall_ok"))
     }),
@@ -2094,6 +2127,15 @@ object SparkEntry {
         |  FROM embeddings q, embeddings c
         |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
         |WHERE rank <= 3""".stripMargin,
+    "q_ann_ivfpq_recall" -> // same independently-derived n_exact shape
+      """SELECT count(*)::BIGINT AS n_exact, true AS recall_ok FROM (
+        |  SELECT q.vec_id, c.vec_id AS n_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(q.embedding, c.embedding), 4) DESC,
+        |        c.vec_id) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        |WHERE rank <= 3""".stripMargin,
     "q_ann_pq_recall" -> // same independently-derived n_exact shape as the
       // other recall gates
       """SELECT count(*)::BIGINT AS n_exact, true AS recall_ok FROM (
@@ -2825,7 +2867,8 @@ object SparkEntry {
     // Rows-only (no SQL-expressible oracle): q_dedup_simhash (seeded token
     // hashing, not reproducible in SQL — gated by the oracle-checked
     // q_dedup_simhash_gate above plus OpsSpec), q_ann_lsh / q_ann_ivf /
-    // q_ann_pq / q_dedup_embedding_lsh (approximate tiers; their quality
-    // is oracle-checked via the paired *_recall / _full queries above).
+    // q_ann_pq / q_ann_ivfpq / q_dedup_embedding_lsh (approximate tiers;
+    // their quality is oracle-checked via the paired *_recall / _full
+    // queries above).
   )
 }

@@ -605,6 +605,89 @@ object Ann {
     rescored.withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
   }
 
+  /** Build a PERSISTED IVF-PQ index — the production 100 TB ANN
+    * architecture (FAISS's default shape, composed from this module's two
+    * persisted tiers): the corpus hive-partitions by nearest coarse cell
+    * (directory pruning per probe, as [[buildIvfIndex]]) AND each vector
+    * carries its m-byte PQ code (ADC scoring inside the probed cells, as
+    * [[buildPqIndex]]). Rows sort by vec_id inside each cell so the
+    * rerank's point read zone-maps to candidate pages. Both sidecars land
+    * next to the data. */
+  def buildIvfPqIndex(spark: SparkSession, corpus: DataFrame, dir: String,
+      dim: Int, nCentroids: Int = 16, m: Int = 16, nCodes: Int = 64,
+      seed: Long = 7, sampleSize: Int = 1024): Unit = {
+    val centroids = fitQuantizer(corpus, dim, nCentroids, seed, sampleSize)
+    val codebooks = fitPq(corpus, dim, m, nCodes, seed, sampleSize)
+    pqEncode(spark, assignCells(spark, corpus, centroids, 1), "embedding", codebooks)
+      .select(col("vec_id"), col("cent_id"), col("pqcode"), col("embedding"))
+      .orderBy(col("cent_id"), col("vec_id"))
+      .write.format("strawboat").option("partitionBy", "cent_id")
+      .mode("overwrite").save(dir)
+    writeCentroidsTo(graft.spark.StrawIO.fs(dir),
+      new org.apache.hadoop.fs.Path(dir, CentroidsFile), centroids)
+    writePqCodebooks(dir, codebooks)
+  }
+
+  /** Probe a persisted IVF-PQ index: queries assign to their `nProbe`
+    * nearest cells (codegen'd, no Exchange), the scan restricts to those
+    * cells' DIRECTORIES (zero footer/page IO elsewhere), ADC scores the
+    * m-byte codes of only the probed cells (float column pruned), the
+    * bounded shortlist point-reads its floats back (pushed `vec_id IN` +
+    * zone maps), exact cosine re-ranks. Per-query cost = probed cells ×
+    * m-byte codes + k-bounded float reads — neither term touches the
+    * corpus size. `nProbe = nCentroids` eliminates the coarse-quantizer
+    * error entirely (the PQ shortlist remains the only approximation). */
+  def ivfPqTopK(spark: SparkSession, indexDir: String, queries: DataFrame,
+      k: Int, nProbe: Int = 4, shortlist: Int = 0): DataFrame = {
+    val centroids = loadIvfCentroids(indexDir)
+    val codebooks = loadPqCodebooks(indexDir)
+    val short = if (shortlist <= 0) 4 * k else shortlist
+    require(short >= k, s"ivfPqTopK: shortlist $short < k $k")
+    val queryCells = assignCells(spark, queries, centroids,
+      math.min(nProbe, centroids.length))
+    val probed: Array[Int] = queryCells.select(col("cent_id")).distinct()
+      .collect().map(_.getInt(0)) // bounded by nCentroids
+    val index = spark.read.format("strawboat")
+      .option("mergeSchema", "false").load(indexDir)
+    val cells = index.filter(col("cent_id").isin(probed.map(_.asInstanceOf[Any]): _*))
+    val qprep = queryCells.select(col("vec_id"), col("cent_id"),
+      VectorFunctions.pqDotTable(spark, col("embedding"), codebooks).as("_tab"),
+      VectorFunctions.norm(spark, col("embedding")).as("_qn"))
+    val adc = cells.select(col("vec_id"), col("cent_id"), col("pqcode")).as("c")
+      .join(broadcast(qprep.as("q")),
+        col("c.cent_id") === col("q.cent_id") && col("c.vec_id") =!= col("q.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        VectorFunctions.pqAdcCosine(spark, col("c.pqcode"), col("_tab"),
+          col("_qn"), codebooks).as("_adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_adc").desc, col("neighbor_id").asc)
+    // one execution of the cell-pruned ADC scan; bounded queries×shortlist
+    // (a corpus vector lives in exactly ONE cell — probes=1 at build — so
+    // each (query, vector) pair meets at most once)
+    val candPairs = adc.withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= short)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val candidates = {
+      import spark.implicits._
+      candPairs.toSeq.toDF("query_id", "neighbor_id")
+    }
+    val candidateIds = candPairs.map(_._2).distinct
+    val floats = index
+      .filter(col("vec_id").isin(candidateIds.map(_.asInstanceOf[Any]): _*))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("_nemb"))
+    val rescored = broadcast(candidates)
+      .join(floats, "neighbor_id")
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("_qemb"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(VectorFunctions.cosine(spark, col("_qemb"), col("_nemb")), 4)
+          .as("cosine"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    rescored.withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+  }
+
   /** Exact cosine top-k over INT8-QUANTIZED vectors via the codegen'd
     * integer kernel [[graft.functions.CosineInt8]] — same plan shape as
     * [[bruteForceTopK]] at a quarter of the vector bytes. Ranking quality

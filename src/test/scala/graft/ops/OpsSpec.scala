@@ -92,6 +92,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(idx === exact, "indexed PQ probe must equal the inline rerank")
     val cbs = Ann.loadPqCodebooks(dir)
     assert(cbs.length == 4 && cbs(0).length == 16 && cbs(0)(0).length == 4)
+
+    // IVF-PQ composition: hive layout by cell + both sidecars; a FULL
+    // probe (nProbe = nCentroids) eliminates the coarse error, so with the
+    // cluster-covering shortlist the result again equals brute force; a
+    // pruned probe (nProbe=1 on 4 clean clusters) must too — each query's
+    // own cluster is its nearest cell here
+    val dir2 = java.nio.file.Files.createTempDirectory("ivfpq").toString + "/index"
+    Ann.buildIvfPqIndex(spark, vecs, dir2, 16, nCentroids = 4, m = 4, nCodes = 16)
+    val top2 = new java.io.File(dir2).listFiles
+    assert(top2.exists(f => f.isDirectory && f.getName.startsWith("cent_id=")))
+    assert(top2.exists(_.getName == "_ivf_centroids"))
+    assert(top2.exists(_.getName == "_pq_codebooks"))
+    val full = rows(Ann.ivfPqTopK(spark, dir2, queries, 5, nProbe = 4, shortlist = 60))
+    assert(full === exact, "full-probe IVF-PQ must equal brute force here")
+    val pruned = rows(Ann.ivfPqTopK(spark, dir2, queries, 5, nProbe = 1, shortlist = 60))
+    assert(pruned === exact, "1-probe IVF-PQ on clean clusters must equal brute force")
   }
 
   test("IVF with nProbe = nCentroids equals brute force exactly") {
