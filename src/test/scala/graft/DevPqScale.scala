@@ -78,6 +78,25 @@ object DevPqScale {
     println(f"PQ     ADC+rerank top-10 in $tPq%.1f s (${tBrute / tPq}%.2fx vs " +
       f"brute) recall=$recall%.3f")
 
+    // IVF-PQ: the composed index — directory-pruned cells mean the ADC
+    // probe never touches most of the corpus, which is where the
+    // wall-clock win lives (the flat-PQ probe above scans every code)
+    val ivfpqDir = s"$tmp/ivfpqindex"
+    val tBuild2 = time {
+      graft.ops.Ann.buildIvfPqIndex(spark, corpus, ivfpqDir, dim,
+        nCentroids = 64, m = 16, nCodes = 64, sampleSize = 4096)
+    }
+    println(f"BUILD2 IVF-PQ index (64 cells) in $tBuild2%.1f s")
+    var ivfpq: Array[(Long, Long)] = null
+    val tIvfPq = time {
+      ivfpq = graft.ops.Ann.ivfPqTopK(spark, ivfpqDir, queries, 10, nProbe = 8)
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    }
+    val recall2 = ivfpq.toSet.intersect(brute.toSet).size.toDouble / brute.length
+    println(f"IVFPQ  8-of-64-cell ADC+rerank top-10 in $tIvfPq%.1f s " +
+      f"(${tBrute / tIvfPq}%.2fx vs brute) recall=$recall2%.3f")
+
     // scan-level head-to-head WITHOUT the rank window (which dominates
     // both paths above at this scale and hides the scan economics): one
     // full-corpus scoring pass, aggregate-max only. This is the number
