@@ -589,6 +589,61 @@ object StrawSqlSurface {
       .queryExecution.analyzed
   }
 
+  val KnnName = "straw_knn"
+
+  /** `straw_knn('<ivf index dir>', array(<vec...>), k[, nProbe])`: cosine
+    * top-k over a persisted IVF index ([[graft.ops.Ann.ivfTopKIndexed]])
+    * as plain SQL — (id, cosine, rank) rows for ONE query vector (any
+    * numeric SQL array). `nProbe` defaults to the Scala API's 4 (pruned
+    * probe; pass the index's centroid count for the exact brute-equal
+    * result). LAZY like [[bm25Builder]]: the directory-pruned probe plan
+    * itself returns — the only analysis-time work is the nCentroids-
+    * bounded cell assignment, mirroring the Scala API. */
+  def knnBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 3 && args.length <= 4 && args.forall(_.foldable) &&
+      args(0).dataType == StringType &&
+      (args(1).dataType match {
+        case ArrayType(et, _) => Seq[org.apache.spark.sql.types.DataType](
+          FloatType, DoubleType).contains(et) ||
+          et.isInstanceOf[org.apache.spark.sql.types.DecimalType]
+        case _ => false
+      }) &&
+      args(2).dataType == IntegerType &&
+      args.drop(3).headOption.forall(_.dataType == IntegerType),
+      s"$KnnName expects (ivf index path, numeric array vector, k int" +
+        "[, nProbe int]) literals")
+    val empty = org.apache.spark.sql.catalyst.InternalRow.empty
+    val path = args(0).eval(empty)
+    val vecArg = args(1).eval(empty)
+    val k = args(2).eval(empty)
+    require(path != null && vecArg != null && k != null,
+      s"$KnnName: arguments must not be null")
+    val nProbe = args.drop(3).headOption.map { e =>
+      val v = e.eval(empty)
+      require(v != null, s"$KnnName: nProbe must not be null")
+      v.asInstanceOf[Int]
+    }.getOrElse(4)
+    val arr = vecArg.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val et = args(1).dataType.asInstanceOf[ArrayType].elementType
+    val vec: Array[Float] = (0 until arr.numElements()).map { i =>
+      require(!arr.isNullAt(i), s"$KnnName: vector must not contain nulls")
+      et match {
+        case FloatType => arr.getFloat(i)
+        case DoubleType => arr.getDouble(i).toFloat
+        case d: org.apache.spark.sql.types.DecimalType =>
+          arr.getDecimal(i, d.precision, d.scale).toFloat
+      }
+    }.toArray
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    // the query id is never a corpus id: self-exclusion can't misfire
+    val vecs = Seq((Long.MinValue, vec)).toDF("vec_id", "embedding")
+    graft.ops.Ann.ivfTopKIndexed(spark, resolveDir(path.toString), vecs,
+        k.asInstanceOf[Int], nProbe = nProbe)
+      .selectExpr("cast(neighbor_id as long) id", "cosine", "rank")
+      .queryExecution.analyzed
+  }
+
   val ChunkName = "straw_chunk"
 
   private def numericLit(e: Expression, what: String): Double = {
@@ -796,6 +851,10 @@ object StrawSqlSurface {
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName, HybridName),
       hybridBuilder _)
     spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier(KnnName),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName, KnnName),
+      knnBuilder _)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier(ChunkName),
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName, ChunkName),
       chunkBuilder _)
@@ -925,6 +984,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName,
         StrawSqlSurface.DetailName),
       StrawSqlSurface.detailBuilder _))
+    extensions.injectTableFunction((
+      FunctionIdentifier(StrawSqlSurface.KnnName),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName,
+        StrawSqlSurface.KnnName),
+      StrawSqlSurface.knnBuilder _))
     extensions.injectTableFunction((
       FunctionIdentifier(StrawSqlSurface.ChunkName),
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName,

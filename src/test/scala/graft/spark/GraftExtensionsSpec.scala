@@ -476,6 +476,40 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (e2.getCause != null && e2.getCause.getMessage.contains("targetFraction")))
   }
 
+  test("straw_knn probes a persisted IVF index from plain SQL") {
+    val ss = spark
+    import ss.implicits._
+    val rnd = new scala.util.Random(5)
+    val centers = Array.tabulate(4, 16)((c, i) => if (i / 4 == c) 8.0f else 0.0f)
+    val vecs = (0L until 400L).map { id =>
+      (id, centers((id % 4).toInt).map(x => x + (rnd.nextFloat() - 0.5f) * 0.4f))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ext_knn").toString + "/ivf"
+    graft.ops.Ann.buildIvfIndex(spark, vecs, dir, 16, nCentroids = 4)
+    val qvec = (0 until 16).map(i => if (i < 4) 8.0 else 0.0)
+    val vecSql = s"array(${qvec.mkString("D, ")}D)"
+    val got = spark.sql(
+      s"SELECT * FROM straw_knn('$dir', $vecSql, 5, 4) ORDER BY rank")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    // equals the Scala API with the same full probe
+    val qdf = Seq((Long.MinValue, qvec.map(_.toFloat).toArray)).toDF("vec_id", "embedding")
+    val want = graft.ops.Ann.ivfTopKIndexed(spark, dir, qdf, 5, nProbe = 4)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(got == want && got.size == 5, s"got $got want $want")
+    // all neighbors from cluster 0 (the query sits on its center)
+    assert(got.forall(_._1 % 4 == 0))
+    // lazy: EXPLAIN shows the probe scan, no execution needed
+    val plan = spark.sql(
+      s"EXPLAIN SELECT * FROM straw_knn('$dir', $vecSql, 5)").collect()(0).getString(0)
+    assert(plan.contains("BatchScan") || plan.contains("strawboat"), plan)
+    // loud validation
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM straw_knn('$dir', 'nope', 5)").collect())
+    assert(e.getMessage.contains("straw_knn") ||
+      (e.getCause != null && e.getCause.getMessage.contains("straw_knn")))
+  }
+
   test("hyperplane buckets reject non-integer config args with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT hyperplane_buckets(array(1.0D), 'abc', 4, 2, 42L)")
