@@ -549,6 +549,21 @@ object Ann {
     Array.tabulate(m, codes)((b, c) => flat(b * codes + c))
   }
 
+  /** Append new vectors to a persisted PQ index: encode with the EXISTING
+    * sidecar codebooks (frozen — the [[appendToIvfIndex]] contract) and
+    * append. Codebooks fit the original distribution; heavy drift degrades
+    * shortlist recall the same way frozen IVF centroids degrade probes —
+    * rebuild via [[buildPqIndex]] when the recall gate says so. Sorted by
+    * vec_id within the appended files, so point-read pruning holds. */
+  def appendToPqIndex(spark: SparkSession, newVectors: DataFrame,
+      dir: String): Unit = {
+    val codebooks = loadPqCodebooks(dir)
+    pqEncode(spark, newVectors, "embedding", codebooks)
+      .select(col("vec_id"), col("pqcode"), col("embedding"))
+      .orderBy(col("vec_id"))
+      .write.format("strawboat").mode("append").save(dir)
+  }
+
   /** Probe a persisted PQ index: ADC-score the code column (the float
     * column stays undecoded — column pruning), shortlist `shortlist`
     * candidates per query, then fetch ONLY the shortlist's float vectors —

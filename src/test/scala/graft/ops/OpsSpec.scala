@@ -108,6 +108,20 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(full === exact, "full-probe IVF-PQ must equal brute force here")
     val pruned = rows(Ann.ivfPqTopK(spark, dir2, queries, 5, nProbe = 1, shortlist = 60))
     assert(pruned === exact, "1-probe IVF-PQ on clean clusters must equal brute force")
+
+    // append to the flat PQ index with frozen codebooks: probing the
+    // grown index equals probing a fresh one built over the full corpus
+    // with the same codebooks (same seed + same training sample, since
+    // the hash-order sample of the ORIGINAL corpus is what both trained on)
+    val more = (200L until 260L).map { id =>
+      val c = (id % 4).toInt
+      (id, centers(c).map(x => x + (rnd.nextFloat() - 0.5f) * 0.2f))
+    }.toDF("vec_id", "embedding")
+    Ann.appendToPqIndex(spark, more, dir)
+    val allVecs = vecs.unionAll(more)
+    val exactAll = rows(Ann.bruteForceTopK(spark, allVecs, queries, 5))
+    val grown = rows(Ann.pqTopKIndexed(spark, dir, queries, 5, shortlist = 75))
+    assert(grown === exactAll, "append-grown PQ index must rank the full corpus")
   }
 
   test("IVF with nProbe = nCentroids equals brute force exactly") {
