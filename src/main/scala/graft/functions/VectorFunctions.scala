@@ -612,6 +612,111 @@ case class PqAdcCosine(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Residual-PQ ADC cosine (the IVF-PQ refinement: codes quantize
+  * x − centroid[cell], so reconstruction is x̃ = c_cell + r̃):
+  * cosine(q, x̃) = (dot(q, c_cell) + Σ_b qtab[b·codes + code_b]) /
+  * (‖q‖ · ‖x̃‖), with ‖x̃‖² summed per block from the code- AND
+  * cell-dependent literal `resNorm2[cell·m·codes + b·codes + j]` =
+  * ‖c_cell_b‖² + 2·dot(c_cell_b, cb_b_j) + ‖cb_b_j‖². Five children
+  * (code, query dot-table, qnorm, dot(q, c_cell), cell id); still m
+  * lookups + adds per scored pair. */
+case class PqResidualCosine(code: Expression, qtab: Expression,
+    qnorm: Expression, qdotc: Expression, cell: Expression,
+    resNorm2: Array[Double], m: Int, codes: Int)
+  extends Expression {
+
+  override def children: Seq[Expression] = Seq(code, qtab, qnorm, qdotc, cell)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override lazy val deterministic: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = (code.dataType match {
+      case ArrayType(ByteType, _) => true
+      case _ => false
+    }) && (qtab.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }) && Seq(qnorm, qdotc).forall(e =>
+      e.dataType == DoubleType || e.dataType == FloatType) &&
+      cell.dataType == IntegerType
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"pq_residual_cosine expects (array<tinyint>, array<double>, double, " +
+        s"double, int), got ${children.map(_.dataType).mkString(" / ")}")
+  }
+
+  private def asD(v: Any): Double = v match {
+    case f: java.lang.Float => f.toDouble
+    case d: java.lang.Double => d.doubleValue
+    case x => x.asInstanceOf[Double]
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) return null
+    val cd = vs(0).asInstanceOf[ArrayData]
+    val tab = vs(1).asInstanceOf[ArrayData]
+    val qn = asD(vs(2))
+    val qc = asD(vs(3))
+    val cl = vs(4).asInstanceOf[Int]
+    val base = cl * m * codes
+    var dot = qc
+    var ns = 0.0
+    val n = math.min(m, cd.numElements())
+    var b = 0
+    while (b < n) {
+      val j = cd.getByte(b) & 0xff
+      dot += tab.getDouble(b * codes + j)
+      ns += resNorm2(base + b * codes + j)
+      b += 1
+    }
+    if (ns <= 0.0 || qn == 0.0) 0.0 else dot / (qn * math.sqrt(ns))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val nsRef = ctx.addReferenceObj("pqResNorm2", resNorm2, "double[]")
+    val Seq(e0, e1, e2, e3, e4) = children.map(_.genCode(ctx))
+    val dot = ctx.freshName("dot")
+    val ns = ctx.freshName("ns")
+    val b = ctx.freshName("b")
+    val j = ctx.freshName("j")
+    val base = ctx.freshName("base")
+    val n = ctx.freshName("n")
+    ev.copy(code =
+      code"""
+        ${e0.code}
+        ${e1.code}
+        ${e2.code}
+        ${e3.code}
+        ${e4.code}
+        boolean ${ev.isNull} = ${e0.isNull} || ${e1.isNull} || ${e2.isNull} ||
+          ${e3.isNull} || ${e4.isNull};
+        double ${ev.value} = 0.0;
+        if (!${ev.isNull}) {
+          int $base = ((int) ${e4.value}) * $m * $codes;
+          double $dot = (double) ${e3.value};
+          double $ns = 0.0;
+          int $n = java.lang.Math.min($m, ${e0.value}.numElements());
+          for (int $b = 0; $b < $n; $b++) {
+            int $j = ${e0.value}.getByte($b) & 0xff;
+            $dot += ${e1.value}.getDouble($b * $codes + $j);
+            $ns += $nsRef[$base + $b * $codes + $j];
+          }
+          ${ev.value} = ($ns <= 0.0 || (double) ${e2.value} == 0.0)
+            ? 0.0 : $dot / ((double) ${e2.value} * java.lang.Math.sqrt($ns));
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(code = newChildren(0), qtab = newChildren(1), qnorm = newChildren(2),
+      qdotc = newChildren(3), cell = newChildren(4))
+}
+
 object VectorFunctions {
   private def intOf(what: String)(e: Expression): Int = e.eval() match {
     case n: java.lang.Number => n.intValue()
@@ -678,6 +783,11 @@ object VectorFunctions {
       val ns = c(3).eval().asInstanceOf[ArrayData].toDoubleArray()
       PqAdcCosine(c(0), c(1), c(2), ns,
         intOf("pq_adc_cosine")(c(4)), intOf("pq_adc_cosine")(c(5)))
+    }),
+    ("pq_residual_cosine", classOf[PqResidualCosine], (c: Seq[Expression]) => {
+      val t = c(5).eval().asInstanceOf[ArrayData].toDoubleArray()
+      PqResidualCosine(c(0), c(1), c(2), c(3), c(4), t,
+        intOf("pq_residual_cosine")(c(6)), intOf("pq_residual_cosine")(c(7)))
     }))
 
   /** Register every vector function with the session so `expr(...)`/SQL can
@@ -741,6 +851,47 @@ object VectorFunctions {
     val matrix = array(codebooks.flatten.map(row =>
       array(row.map(v => lit(v.toDouble)): _*)): _*)
     call_function("pq_dot_table", emb, matrix, lit(m), lit(codes))
+  }
+
+  /** Residual-PQ ADC cosine (codegen'd): codes quantize x − centroid[cell],
+    * so the reconstruction-norm table is per (cell, block, code) — derived
+    * here from the same centroids + codebooks the caller probes with. */
+  def pqResidualCosine(spark: SparkSession, code: Column, qtab: Column,
+      qnorm: Column, qdotc: Column, cell: Column,
+      centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]]): Column = {
+    register(spark)
+    import org.apache.spark.sql.functions.{array, call_function, lit}
+    val m = codebooks.length
+    val codes = codebooks(0).length
+    val subDim = codebooks(0)(0).length
+    val resNorm2 = new Array[Double](centroids.length * m * codes)
+    var cl = 0
+    while (cl < centroids.length) {
+      var b = 0
+      while (b < m) {
+        val cb = centroids(cl).slice(b * subDim, (b + 1) * subDim)
+        val cn = cb.map(x => x.toDouble * x).sum
+        var j = 0
+        while (j < codes) {
+          val r = codebooks(b)(j)
+          var dot = 0.0
+          var rn = 0.0
+          var i = 0
+          while (i < subDim) {
+            dot += cb(i).toDouble * r(i)
+            rn += r(i).toDouble * r(i)
+            i += 1
+          }
+          resNorm2(cl * m * codes + b * codes + j) = cn + 2.0 * dot + rn
+          j += 1
+        }
+        b += 1
+      }
+      cl += 1
+    }
+    call_function("pq_residual_cosine", code, qtab, qnorm, qdotc, cell,
+      array(resNorm2.map(lit): _*), lit(m), lit(codes))
   }
 
   /** PQ ADC cosine of (corpus code, query dot-table, query norm)

@@ -620,20 +620,82 @@ object Ann {
     rescored.withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
   }
 
+  /** Seeded Lloyd iterations over a driver-side sample (shared by the IVF
+    * coarse quantizer and the PQ sub-codebooks). */
+  private def lloyd(sample: Array[Array[Float]], dim: Int, k: Int,
+      seed: Long, iters: Int = 5): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    var cents: Array[Array[Float]] =
+      rnd.shuffle(sample.indices.toList).take(k).map(sample(_)).toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Int](cents.length)
+      sample.foreach { v =>
+        val c = nearest(v, cents)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else Array.tabulate(dim)(i => (sums(c)(i) / counts(c)).toFloat)
+      }
+    }
+    cents
+  }
+
   /** Build a PERSISTED IVF-PQ index — the production 100 TB ANN
-    * architecture (FAISS's default shape, composed from this module's two
-    * persisted tiers): the corpus hive-partitions by nearest coarse cell
-    * (directory pruning per probe, as [[buildIvfIndex]]) AND each vector
-    * carries its m-byte PQ code (ADC scoring inside the probed cells, as
-    * [[buildPqIndex]]). Rows sort by vec_id inside each cell so the
-    * rerank's point read zone-maps to candidate pages. Both sidecars land
-    * next to the data. */
+    * architecture (FAISS's default shape): the corpus hive-partitions by
+    * nearest coarse cell (directory pruning per probe, as
+    * [[buildIvfIndex]]) AND each vector carries an m-byte PQ code of its
+    * RESIDUAL against the cell centroid (x̂ − c_cell — residuals are small,
+    * so the sub-codebooks resolve fine detail the raw-vector PQ of
+    * [[buildPqIndex]] spends on coarse position). Everything trains and
+    * encodes in the UNIT-vector space (cosine metric). Rows sort by vec_id
+    * inside each cell so the rerank's point read zone-maps to candidate
+    * pages; both sidecars land next to the data. */
   def buildIvfPqIndex(spark: SparkSession, corpus: DataFrame, dir: String,
       dim: Int, nCentroids: Int = 16, m: Int = 16, nCodes: Int = 64,
       seed: Long = 7, sampleSize: Int = 1024): Unit = {
-    val centroids = fitQuantizer(corpus, dim, nCentroids, seed, sampleSize)
-    val codebooks = fitPq(corpus, dim, m, nCodes, seed, sampleSize)
-    pqEncode(spark, assignCells(spark, corpus, centroids, 1), "embedding", codebooks)
+    require(m >= 1 && dim % m == 0,
+      s"buildIvfPqIndex: m must divide dim, got dim=$dim m=$m")
+    // one seeded hash-order sample, normalized, drives BOTH fits
+    val unitSample: Array[Array[Float]] = corpus
+      .select(col("embedding"), xxhash64(lit(seed), col("vec_id")).as("__sh"))
+      .orderBy(col("__sh")).limit(sampleSize)
+      .select(col("embedding")).collect()
+      .map { r =>
+        val v = r.getSeq[Float](0).toArray
+        val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+        if (n == 0.0) v else v.map(x => (x / n).toFloat)
+      }
+    val centroids = lloyd(unitSample, dim, nCentroids, seed)
+    val residuals = unitSample.map { v =>
+      val c = centroids(nearest(v, centroids))
+      Array.tabulate(dim)(i => v(i) - c(i))
+    }
+    val subDim = dim / m
+    val codebooks = Array.tabulate(m) { b =>
+      lloyd(residuals.map(_.slice(b * subDim, (b + 1) * subDim)),
+        subDim, nCodes, seed + b)
+    }
+    val nrm = VectorFunctions.norm(spark, col("embedding"))
+    val unit = transform(col("embedding"),
+      x => when(nrm === 0.0, x).otherwise((x / nrm).cast("float")))
+    val centMatrix = typedLit(centroids.map(_.toSeq).toSeq)
+    // residual = unit − centroid[cent_id] (build-time-only HOF; the probe
+    // path stays codegen'd)
+    val residual = zip_with(unit,
+      element_at(centMatrix, col("cent_id") + 1),
+      (a, b) => (a - b).cast("float"))
+    val assigned = corpus.withColumn("cent_id",
+      element_at(VectorFunctions.nearestCells(spark, unit, centroids, 1), 1))
+    val codeCols = (0 until m).map { b =>
+      val idx = element_at(VectorFunctions.nearestCells(spark,
+        slice(residual, b * subDim + 1, subDim), codebooks(b), 1), 1)
+      (((idx + lit(128)) % lit(256)) - lit(128)).cast("byte")
+    }
+    assigned.withColumn("pqcode", array(codeCols: _*))
       .select(col("vec_id"), col("cent_id"), col("pqcode"), col("embedding"))
       .orderBy(col("cent_id"), col("vec_id"))
       .write.format("strawboat").option("partitionBy", "cent_id")
@@ -644,36 +706,54 @@ object Ann {
   }
 
   /** Probe a persisted IVF-PQ index: queries assign to their `nProbe`
-    * nearest cells (codegen'd, no Exchange), the scan restricts to those
-    * cells' DIRECTORIES (zero footer/page IO elsewhere), ADC scores the
-    * m-byte codes of only the probed cells (float column pruned), the
-    * bounded shortlist point-reads its floats back (pushed `vec_id IN` +
-    * zone maps), exact cosine re-ranks. Per-query cost = probed cells ×
-    * m-byte codes + k-bounded float reads — neither term touches the
-    * corpus size. `nProbe = nCentroids` eliminates the coarse-quantizer
-    * error entirely (the PQ shortlist remains the only approximation). */
+    * nearest cells (codegen'd, unit space — matching the build), the scan
+    * restricts to those cells' DIRECTORIES (zero footer/page IO
+    * elsewhere), RESIDUAL ADC scores the m-byte codes of only the probed
+    * cells (float column pruned; reconstruction x̃ = c_cell + r̃ via the
+    * codegen'd [[graft.functions.PqResidualCosine]] — still m lookups per
+    * pair), the bounded shortlist point-reads its floats back (pushed
+    * `vec_id IN` + zone maps), exact cosine re-ranks. Per-query cost =
+    * probed cells × m-byte codes + k-bounded float reads — neither term
+    * touches the corpus size. `nProbe = nCentroids` eliminates the
+    * coarse-quantizer error entirely (the PQ shortlist remains the only
+    * approximation). */
   def ivfPqTopK(spark: SparkSession, indexDir: String, queries: DataFrame,
       k: Int, nProbe: Int = 4, shortlist: Int = 0): DataFrame = {
     val centroids = loadIvfCentroids(indexDir)
     val codebooks = loadPqCodebooks(indexDir)
     val short = if (shortlist <= 0) 4 * k else shortlist
     require(short >= k, s"ivfPqTopK: shortlist $short < k $k")
-    val queryCells = assignCells(spark, queries, centroids,
-      math.min(nProbe, centroids.length))
+    // cell assignment happens in the same UNIT space the index trained in
+    val qnrm = VectorFunctions.norm(spark, col("embedding"))
+    val qunit = transform(col("embedding"),
+      x => when(qnrm === 0.0, x).otherwise((x / qnrm).cast("float")))
+    val queryCells = queries.withColumn("cent_id",
+      explode(VectorFunctions.nearestCells(spark, qunit, centroids,
+        math.min(nProbe, centroids.length))))
     val probed: Array[Int] = queryCells.select(col("cent_id")).distinct()
       .collect().map(_.getInt(0)) // bounded by nCentroids
     val index = spark.read.format("strawboat")
       .option("mergeSchema", "false").load(indexDir)
     val cells = index.filter(col("cent_id").isin(probed.map(_.asInstanceOf[Any]): _*))
+    // per (query, probed cell): the residual dot table (cell-independent),
+    // ‖q‖, and dot(q, c_cell) — the last via a tiny interpreted HOF over
+    // queries × nProbe rows only; the per-pair scoring stays codegen'd
+    val centMatrix = typedLit(centroids.map(_.toSeq).toSeq)
+    val qdotc = aggregate(
+      zip_with(col("embedding"), element_at(centMatrix, col("cent_id") + 1),
+        (a, b) => a.cast("double") * b.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
     val qprep = queryCells.select(col("vec_id"), col("cent_id"),
       VectorFunctions.pqDotTable(spark, col("embedding"), codebooks).as("_tab"),
-      VectorFunctions.norm(spark, col("embedding")).as("_qn"))
+      VectorFunctions.norm(spark, col("embedding")).as("_qn"),
+      qdotc.as("_qdotc"))
     val adc = cells.select(col("vec_id"), col("cent_id"), col("pqcode")).as("c")
       .join(broadcast(qprep.as("q")),
         col("c.cent_id") === col("q.cent_id") && col("c.vec_id") =!= col("q.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
-        VectorFunctions.pqAdcCosine(spark, col("c.pqcode"), col("_tab"),
-          col("_qn"), codebooks).as("_adc"))
+        VectorFunctions.pqResidualCosine(spark, col("c.pqcode"), col("_tab"),
+          col("_qn"), col("_qdotc"), col("c.cent_id"), centroids, codebooks)
+          .as("_adc"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("_adc").desc, col("neighbor_id").asc)
     // one execution of the cell-pruned ADC scan; bounded queries×shortlist
