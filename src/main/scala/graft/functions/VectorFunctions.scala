@@ -633,7 +633,7 @@ case class PqResidualCosine(code: Expression, qtab: Expression,
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = (code.dataType match {
-      case ArrayType(ByteType, _) => true
+      case ArrayType(ByteType, _) | BinaryType => true
       case _ => false
     }) && (qtab.dataType match {
       case ArrayType(DoubleType, _) => true
@@ -653,21 +653,28 @@ case class PqResidualCosine(code: Expression, qtab: Expression,
     case x => x.asInstanceOf[Double]
   }
 
+  private def codeIsBinary: Boolean = code.dataType == BinaryType
+
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val vs = children.map(_.eval(input))
     if (vs.contains(null)) return null
-    val cd = vs(0).asInstanceOf[ArrayData]
     val tab = vs(1).asInstanceOf[ArrayData]
     val qn = asD(vs(2))
     val qc = asD(vs(3))
     val cl = vs(4).asInstanceOf[Int]
+    def codeAt(i: Int): Int =
+      if (codeIsBinary) vs(0).asInstanceOf[Array[Byte]](i) & 0xff
+      else vs(0).asInstanceOf[ArrayData].getByte(i) & 0xff
+    val len =
+      if (codeIsBinary) vs(0).asInstanceOf[Array[Byte]].length
+      else vs(0).asInstanceOf[ArrayData].numElements()
     val base = cl * m * codes
     var dot = qc
     var ns = 0.0
-    val n = math.min(m, cd.numElements())
+    val n = math.min(m, len)
     var b = 0
     while (b < n) {
-      val j = cd.getByte(b) & 0xff
+      val j = codeAt(b)
       dot += tab.getDouble(b * codes + j)
       ns += resNorm2(base + b * codes + j)
       b += 1
@@ -685,6 +692,11 @@ case class PqResidualCosine(code: Expression, qtab: Expression,
     val j = ctx.freshName("j")
     val base = ctx.freshName("base")
     val n = ctx.freshName("n")
+    val lenExpr =
+      if (codeIsBinary) s"${e0.value}.length" else s"${e0.value}.numElements()"
+    val getExpr =
+      if (codeIsBinary) s"${e0.value}[$b] & 0xff"
+      else s"${e0.value}.getByte($b) & 0xff"
     ev.copy(code =
       code"""
         ${e0.code}
@@ -699,9 +711,9 @@ case class PqResidualCosine(code: Expression, qtab: Expression,
           int $base = ((int) ${e4.value}) * $m * $codes;
           double $dot = (double) ${e3.value};
           double $ns = 0.0;
-          int $n = java.lang.Math.min($m, ${e0.value}.numElements());
+          int $n = java.lang.Math.min($m, $lenExpr);
           for (int $b = 0; $b < $n; $b++) {
-            int $j = ${e0.value}.getByte($b) & 0xff;
+            int $j = $getExpr;
             $dot += ${e1.value}.getDouble($b * $codes + $j);
             $ns += $nsRef[$base + $b * $codes + $j];
           }

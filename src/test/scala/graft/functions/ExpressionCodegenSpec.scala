@@ -139,6 +139,50 @@ class ExpressionCodegenSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pq_residual_cosine compiles under strict codegen; equals closed form") {
+    val ss = spark
+    import ss.implicits._
+    // dim 8, m 2, codes 4, 3 cells — every table small enough to hand-check
+    val codebooks: Array[Array[Array[Float]]] = Array.tabulate(2, 4, 4) {
+      (b, c, i) => 0.05f * (b + 1) * (c + 1) * (if (i % 3 == 0) -1f else 1f)
+    }
+    val centroids: Array[Array[Float]] = Array.tabulate(3, 8) {
+      (c, i) => 0.2f * (c + 1) * (if (i % 2 == 0) 1f else 0.5f)
+    }
+    val rows = Seq(
+      (Array[Byte](0, 3), 1, Array.tabulate(8)(i => 0.4f * (i + 1))),
+      (Array[Byte](2, 1), 0, Array.tabulate(8)(i => -0.3f * (8 - i))),
+      (Array[Byte](3, 2), 2, Array.tabulate(8)(i => 0.1f * (i % 3))))
+      .toDF("code", "cell", "q")
+    val got = rows.select(col("code"), col("cell"), col("q"),
+        VectorFunctions.pqDotTable(spark, col("q"), codebooks).as("tab"),
+        VectorFunctions.norm(spark, col("q")).as("qn"))
+      .withColumn("qdotc",
+        aggregate(zip_with(col("q"),
+          element_at(typedLit(centroids.map(_.toSeq).toSeq), col("cell") + 1),
+          (a, b) => a.cast("double") * b.cast("double")),
+          lit(0.0), (acc, x) => acc + x))
+      .select(col("code"), col("cell"), col("q"), col("qn"), col("qdotc"),
+        VectorFunctions.pqResidualCosine(spark, col("code"), col("tab"),
+          col("qn"), col("qdotc"), col("cell"), centroids, codebooks).as("res"))
+      .collect()
+    got.foreach { r =>
+      val code = r.getAs[Array[Byte]](0)
+      val cell = r.getInt(1)
+      val q = r.getSeq[Float](2).map(_.toDouble)
+      val qn = r.getDouble(3)
+      // closed form straight from the definition: x̃ = c_cell + r̃
+      val recon = Array.tabulate(8) { i =>
+        centroids(cell)(i).toDouble + codebooks(i / 4)(code(i / 4) & 0xff)(i % 4)
+      }
+      val dot = q.zip(recon).map { case (a, b) => a * b }.sum
+      val rn = math.sqrt(recon.map(x => x * x).sum)
+      val want = dot / (qn * rn)
+      assert(math.abs(r.getDouble(5) - want) < 1e-9,
+        s"cell $cell: got ${r.getDouble(5)} want $want")
+    }
+  }
+
   test("vector_norm plan holds no interpreted higher-order function") {
     val ss = spark
     import ss.implicits._
