@@ -566,9 +566,15 @@ case class PqAdcCosine(first: Expression, second: Expression,
     def codeAt(i: Int): Int =
       if (codeIsBinary) a.asInstanceOf[Array[Byte]](i) & 0xff
       else a.asInstanceOf[ArrayData].getByte(i) & 0xff
-    val n = math.min(m,
+    val n =
       if (codeIsBinary) a.asInstanceOf[Array[Byte]].length
-      else a.asInstanceOf[ArrayData].numElements())
+      else a.asInstanceOf[ArrayData].numElements()
+    // a wrong-width code means the column and the codebook sidecar come
+    // from different builds (different m) — scoring a prefix would return
+    // plausible-but-wrong cosines, so fail loudly instead
+    if (n != m) throw new IllegalArgumentException(
+      s"pq_adc_cosine: code width $n != codebook m=$m — pqcode column and " +
+        "codebook sidecar are from different index builds")
     var dot = 0.0
     var ns = 0.0
     var bi = 0
@@ -594,7 +600,10 @@ case class PqAdcCosine(first: Expression, second: Expression,
     val qn = ctx.freshName("qn")
     nullSafeCodeGen(ctx, ev, (a, b, cArg) => {
       s"""
-         |int $n = java.lang.Math.min($m, $a.$codeLen);
+         |int $n = $a.$codeLen;
+         |if ($n != $m) throw new IllegalArgumentException(
+         |  "pq_adc_cosine: code width " + $n + " != codebook m=" + $m +
+         |  " — pqcode column and codebook sidecar are from different index builds");
          |double $dot = 0.0, $ns = 0.0;
          |double $qn = (double) $cArg;
          |for (int $bi = 0; $bi < $n; $bi++) {
@@ -671,7 +680,11 @@ case class PqResidualCosine(code: Expression, qtab: Expression,
     val base = cl * m * codes
     var dot = qc
     var ns = 0.0
-    val n = math.min(m, len)
+    // wrong-width code = column/sidecar from different builds — fail loud
+    if (len != m) throw new IllegalArgumentException(
+      s"pq_residual_cosine: code width $len != codebook m=$m — pqcode " +
+        "column and codebook sidecar are from different index builds")
+    val n = len
     var b = 0
     while (b < n) {
       val j = codeAt(b)
@@ -711,7 +724,10 @@ case class PqResidualCosine(code: Expression, qtab: Expression,
           int $base = ((int) ${e4.value}) * $m * $codes;
           double $dot = (double) ${e3.value};
           double $ns = 0.0;
-          int $n = java.lang.Math.min($m, $lenExpr);
+          int $n = $lenExpr;
+          if ($n != $m) throw new IllegalArgumentException(
+            "pq_residual_cosine: code width " + $n + " != codebook m=" + $m +
+            " — pqcode column and codebook sidecar are from different index builds");
           for (int $b = 0; $b < $n; $b++) {
             int $j = $getExpr;
             $dot += ${e1.value}.getDouble($b * $codes + $j);

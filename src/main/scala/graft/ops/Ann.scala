@@ -421,16 +421,22 @@ object Ann {
     val m = codebooks.length
     val subDim = codebooks(0)(0).length
     val nrm = VectorFunctions.norm(spark, col(embCol))
+    // the unit vector MATERIALIZES once per row in its own projection
+    // (HOFs are non-cheap, so CollapseProject keeps the boundary) — the m
+    // code expressions below slice the materialized column instead of
+    // re-running norm + transform per block, which would cost
+    // O(m·dim²)-ish interpreted work per row at index-build time
     val unit = transform(col(embCol),
       x => when(nrm === 0.0, x).otherwise((x / nrm).cast("float")))
+    val withUnit = df.withColumn("_unit", unit)
     val codeCols = (0 until m).map { b =>
       val idx = element_at(VectorFunctions.nearestCells(spark,
-        slice(unit, b * subDim + 1, subDim), codebooks(b), 1), 1)
+        slice(col("_unit"), b * subDim + 1, subDim), codebooks(b), 1), 1)
       // wrap 0..255 into the signed byte (192 → -64): a plain cast
       // OVERFLOWS under ANSI for codes > 127; readers mask with & 0xff
       (((idx + lit(128)) % lit(256)) - lit(128)).cast("byte")
     }
-    df.withColumn("pqcode", array(codeCols: _*))
+    withUnit.withColumn("pqcode", array(codeCols: _*)).drop("_unit")
   }
 
   /** Approximate cosine top-k over PQ-ENCODED vectors via asymmetric
@@ -606,7 +612,7 @@ object Ann {
     }
     val candidateIds = candPairs.map(_._2).distinct
     val floats = index
-      .filter(col("vec_id").isin(candidateIds.map(_.asInstanceOf[Any]): _*))
+      .filter(candidatePointFilter(candidateIds))
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("_nemb"))
     val rescored = broadcast(candidates)
       .join(floats, "neighbor_id")
@@ -619,6 +625,20 @@ object Ann {
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     rescored.withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
   }
+
+  /** The rerank float fetch's pushed point-read filter. A ≤1000-value `In`
+    * prunes to exactly the pages holding candidates via zone maps; a WIDER
+    * batch (many queries × large shortlist) would push an `In` past the
+    * practical enumeration cap (the same 1000-value ladder
+    * [[graft.spark.StrawMerge]] uses for candidate pruning), so it falls
+    * back to the candidate id RANGE — still pushed, files wholly outside
+    * [min, max] never open — with EXACTNESS restored by the rerank's inner
+    * join against the candidate set (extra in-range rows simply don't
+    * match). */
+  private def candidatePointFilter(ids: Array[Long]): Column =
+    if (ids.isEmpty) lit(false)
+    else if (ids.length <= 1000) col("vec_id").isin(ids.map(_.asInstanceOf[Any]): _*)
+    else col("vec_id") >= ids.min && col("vec_id") <= ids.max
 
   /** Seeded Lloyd iterations over a driver-side sample (shared by the IVF
     * coarse quantizer and the PQ sub-codebooks). */
@@ -683,16 +703,20 @@ object Ann {
     val unit = transform(col("embedding"),
       x => when(nrm === 0.0, x).otherwise((x / nrm).cast("float")))
     val centMatrix = typedLit(centroids.map(_.toSeq).toSeq)
-    // residual = unit − centroid[cent_id] (build-time-only HOF; the probe
-    // path stays codegen'd)
-    val residual = zip_with(unit,
-      element_at(centMatrix, col("cent_id") + 1),
-      (a, b) => (a - b).cast("float"))
-    val assigned = corpus.withColumn("cent_id",
-      element_at(VectorFunctions.nearestCells(spark, unit, centroids, 1), 1))
+    // unit and residual each MATERIALIZE once per row in their own
+    // projections (HOFs are non-cheap — CollapseProject keeps the
+    // boundaries); the m code expressions slice the materialized residual
+    // instead of re-running norm + transform + zip_with per block
+    val assigned = corpus.withColumn("_unit", unit)
+      .withColumn("cent_id",
+        element_at(VectorFunctions.nearestCells(spark, col("_unit"),
+          centroids, 1), 1))
+      .withColumn("_residual", zip_with(col("_unit"),
+        element_at(centMatrix, col("cent_id") + 1),
+        (a, b) => (a - b).cast("float")))
     val codeCols = (0 until m).map { b =>
       val idx = element_at(VectorFunctions.nearestCells(spark,
-        slice(residual, b * subDim + 1, subDim), codebooks(b), 1), 1)
+        slice(col("_residual"), b * subDim + 1, subDim), codebooks(b), 1), 1)
       (((idx + lit(128)) % lit(256)) - lit(128)).cast("byte")
     }
     assigned.withColumn("pqcode", array(codeCols: _*))
@@ -769,7 +793,7 @@ object Ann {
     }
     val candidateIds = candPairs.map(_._2).distinct
     val floats = index
-      .filter(col("vec_id").isin(candidateIds.map(_.asInstanceOf[Any]): _*))
+      .filter(candidatePointFilter(candidateIds))
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("_nemb"))
     val rescored = broadcast(candidates)
       .join(floats, "neighbor_id")

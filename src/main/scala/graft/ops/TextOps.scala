@@ -107,7 +107,9 @@ object TextOps {
     * summation-order float drift cannot flip a comparison across engines.
     * Documents with fewer than two tokens have no bigrams and drop out.
     *
-    * Scale shape: tokenization is map-only; the model is two groupBy
+    * Scale shape: tokenization AND bigram construction are map-only (the
+    * bigram pairs derive from each row's token array — no window, no
+    * shuffle of the token stream); the model is two groupBy
     * aggregations (map-side combined); scoring joins PER-DOCUMENT bigram
     * counts (not per-occurrence rows) against the model on term keys —
     * common words are hot keys, which AQE's skew-join handles, and both
@@ -117,13 +119,20 @@ object TextOps {
       alpha: Double = 1.0): DataFrame = {
     require(alpha > 0, s"lmScore: smoothing alpha must be positive, got $alpha")
     import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol).as("_doc"),
-      posexplode(filter(split(col(textCol), "\\s+"), w => w =!= lit("")))
-        .as(Seq("_pos", "_tok")))
-    val w = Window.partitionBy("_doc").orderBy("_pos")
-    val bigrams = toks
-      .select(col("_doc"), lag("_tok", 1).over(w).as("_prev"), col("_tok"))
-      .filter(col("_prev").isNotNull)
+    val tokArr = filter(split(col(textCol), "\\s+"), w => w =!= lit(""))
+    val toks = df.select(col(idCol).as("_doc"), explode(tokArr).as("_tok"))
+    // bigrams derive per row from the token ARRAY — zip each token with
+    // its successor (zip_with pads the shorter side with null; the last
+    // pair's null successor is the filter below). Map-only: the corpus's
+    // token stream never shuffles before the first aggregation, unlike a
+    // lag()-over-(doc,pos) window, whose Exchange+sort of every token row
+    // is the textbook avoidable shuffle at 100 TB.
+    val pairs = zip_with(tokArr, slice(tokArr, lit(2), greatest(size(tokArr) - 1, lit(0))),
+      (a, b) => struct(a.as("_prev"), b.as("_tok")))
+    val bigrams = df
+      .select(col(idCol).as("_doc"), explode(pairs).as("_bg"))
+      .filter(col("_bg._tok").isNotNull)
+      .select(col("_doc"), col("_bg._prev").as("_prev"), col("_bg._tok").as("_tok"))
     // unigram counts with the vocabulary size attached by a window over
     // the counts table itself (vocab-sized, one partition) — V costs no
     // extra corpus pass

@@ -539,8 +539,10 @@ object StrawSqlSurface {
     * (`array(0.1D, ...)`) cast to float. `nProbe` defaults to the Scala
     * API's 4 (pruned probe — approximate vector pool; pass the index's
     * centroid count for the exact brute-equal pool). LAZY like
-    * [[bm25Builder]]: the builder returns the fusion's own logical plan,
-    * so EXPLAIN probes nothing and the result composes in joins/CTEs. */
+    * [[bm25Builder]]: the builder returns the fusion's own logical plan —
+    * the only analysis-time work is the nCentroids-bounded cell-assignment
+    * job (same as [[knnBuilder]]); EXPLAIN never touches corpus-scale
+    * data, and the result composes in joins/CTEs. */
   def hybridBuilder(args: Seq[Expression]): LogicalPlan = {
     require(args.length >= 5 && args.length <= 6 && args.forall(_.foldable) &&
       args.take(3).forall(_.dataType == StringType) &&
@@ -581,10 +583,15 @@ object StrawSqlSurface {
     }.toArray
     val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
-    val vecs = Seq((0L, vec)).toDF("vec_id", "embedding")
+    // the synthetic query id is never a corpus id (matching knnBuilder):
+    // 0L would collide with a real vec_id 0 and the vector tier's
+    // self-exclusion join would silently drop that vector from the pool,
+    // losing its vec_rank contribution to RRF. The term-side id only
+    // needs to MATCH the vector-side id for the fusion join.
+    val vecs = Seq((Long.MinValue, vec)).toDF("vec_id", "embedding")
     graft.ops.Search.hybridTopKIndexed(spark,
         resolveDir(lexArg.toString), resolveDir(ivfArg.toString),
-        Seq(0L -> terms), vecs, k.asInstanceOf[Int], nProbe = nProbe)
+        Seq(Long.MinValue -> terms), vecs, k.asInstanceOf[Int], nProbe = nProbe)
       .selectExpr("cast(id as long) id", "rrf", "rank")
       .queryExecution.analyzed
   }

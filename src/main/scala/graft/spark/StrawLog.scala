@@ -1155,9 +1155,14 @@ object StrawLog {
       // the same way — only the snapshot's referenced sidecars are live
       val deadDv = p.endsWith(DeletionVector.Extension) && !liveDvs(p)
       // staged leftovers of uncleanly-died tasks (the hot commit paths no
-      // longer sweep per commit; invisible to readers — no .strb suffix)
-      val deadStage = p.endsWith(".stage")
-      if ((deadData || deadDv || deadStage) && st.getModificationTime < cutoff) {
+      // longer sweep per commit; invisible to readers — no .strb suffix).
+      // Staged files reclaim on their OWN floor — never younger than
+      // InflightTtlMs regardless of olderThanMs: a live write job owns its
+      // .stage files until commit, and an aggressive horizon must not eat
+      // them mid-flight (finalizeFiles' rename would fail). A job running
+      // LONGER than InflightTtlMs must not overlap a concurrent vacuum.
+      val deadStage = p.endsWith(".stage") && st.getModificationTime < markerCutoff
+      if ((deadData || deadDv) && st.getModificationTime < cutoff || deadStage) {
         if (f.delete(st.getPath, false)) n += 1
       }
     }

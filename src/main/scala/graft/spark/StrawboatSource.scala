@@ -2496,12 +2496,17 @@ object StrawCommitProtocol {
   /** Table maintenance: delete staged debris of OTHER (crashed) jobs once
     * it is old enough that no in-flight job can still own it. Orphaned
     * staged files are invisible to readers — this reclaims storage only.
+    * The horizon is floored at [[StrawLog.InflightTtlMs]]: a live write
+    * job owns its .stage files until commit, so even an aggressive
+    * `olderThanMs` never reclaims a file younger than the in-flight TTL
+    * (a job running LONGER than the TTL must not overlap a vacuum).
     * @return deleted file count */
   def vacuumStaged(path: String, olderThanMs: Long = 24 * 3600 * 1000L): Int = {
     val f = StrawIO.fs(path)
     val p = new Path(path)
     if (!f.exists(p)) return 0
-    val cutoff = System.currentTimeMillis() - olderThanMs
+    val cutoff = System.currentTimeMillis() -
+      math.max(olderThanMs, StrawLog.InflightTtlMs)
     var n = 0
     StrawIO.walkFiles(f, p) { st =>
       if (st.getPath.getName.endsWith(".stage") && st.getModificationTime < cutoff) {

@@ -231,4 +231,54 @@ class ExpressionCodegenSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(j - expect) < 1e-12, s"$j vs $expect")
     }
   }
+
+  test("ADC kernels REJECT wrong-width codes (column vs sidecar mismatch)") {
+    val ss = spark
+    import ss.implicits._
+    val codebooks: Array[Array[Array[Float]]] = Array.tabulate(2, 4, 4) {
+      (b, c, i) => 0.1f * (b + c + i + 1)
+    }
+    val centroids: Array[Array[Float]] = Array.tabulate(3, 8)((c, i) => 0.1f * (c + i))
+    // a 3-byte code against m=2 codebooks: an index built with different m.
+    // Scoring a prefix would return a plausible-but-wrong cosine — both
+    // kernels must fail loudly instead (truncated codes the same way).
+    val bad = Seq((Array[Byte](0, 1, 2), 1, Array.tabulate(8)(i => 0.2f * (i + 1))))
+      .toDF("code", "cell", "q")
+      .select(col("code"), col("cell"), col("q"),
+        VectorFunctions.pqDotTable(spark, col("q"), codebooks).as("tab"),
+        VectorFunctions.norm(spark, col("q")).as("qn"))
+    val eAdc = intercept[Exception] {
+      bad.select(VectorFunctions.pqAdcCosine(spark, col("code"), col("tab"),
+        col("qn"), codebooks)).collect()
+    }
+    assert(exceptionChain(eAdc).exists(_.getMessage != null) &&
+      exceptionChain(eAdc).exists(m => m.getMessage != null &&
+        m.getMessage.contains("code width 3 != codebook m=2")), eAdc.toString)
+    val eRes = intercept[Exception] {
+      bad.withColumn("qdotc", lit(0.5))
+        .select(VectorFunctions.pqResidualCosine(spark, col("code"), col("tab"),
+          col("qn"), col("qdotc"), col("cell"), centroids, codebooks)).collect()
+    }
+    assert(exceptionChain(eRes).exists(m => m.getMessage != null &&
+      m.getMessage.contains("code width 3 != codebook m=2")), eRes.toString)
+    // exact width still scores (and the short/truncated case also throws)
+    val ok = Seq((Array[Byte](0, 1), Array.tabulate(8)(i => 0.2f * (i + 1))))
+      .toDF("code", "q")
+      .select(VectorFunctions.pqAdcCosine(spark, col("code"),
+        VectorFunctions.pqDotTable(spark, col("q"), codebooks),
+        VectorFunctions.norm(spark, col("q")), codebooks)).collect()
+    assert(ok.length == 1 && !ok(0).isNullAt(0))
+    val eShort = intercept[Exception] {
+      Seq((Array[Byte](0), Array.tabulate(8)(i => 0.2f * (i + 1))))
+        .toDF("code", "q")
+        .select(VectorFunctions.pqAdcCosine(spark, col("code"),
+          VectorFunctions.pqDotTable(spark, col("q"), codebooks),
+          VectorFunctions.norm(spark, col("q")), codebooks)).collect()
+    }
+    assert(exceptionChain(eShort).exists(m => m.getMessage != null &&
+      m.getMessage.contains("code width 1 != codebook m=2")), eShort.toString)
+  }
+
+  private def exceptionChain(e: Throwable): Seq[Throwable] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
 }

@@ -241,4 +241,41 @@ class PipelineTextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1L)._1 > got(3L)._1 && got(2L)._1 > got(3L)._1)
     intercept[IllegalArgumentException](TextOps.lmScore(df, "doc_id", "text", 0.0))
   }
+
+  test("TextOps.lmScore: bigram construction is map-only — no shuffle or " +
+      "window below the first aggregate") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((1L, "a b c"), (2L, "b c d e")).toDF("doc_id", "text")
+    val qe = TextOps.lmScore(df, "doc_id", "text").queryExecution
+
+    // logical: the only Window left is the vocab-size count OVER the
+    // unigram-counts aggregate (vocab-sized input) — every Window node
+    // must have an Aggregate somewhere beneath it, i.e. no window ever
+    // touches raw token rows
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    qe.optimizedPlan.foreach {
+      case w: LWindow =>
+        assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+          s"window over un-aggregated (token-scale) input:\n$w")
+      case _ =>
+    }
+
+    // physical: every shuffle exchange must sit ABOVE a partial aggregate —
+    // the corpus token stream reaches its first groupBy with map-side
+    // combine on unshuffled input (the old lag()-over-window plan had an
+    // Exchange+Sort of every token row directly over the scan)
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val phys = qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val shuffles = phys.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.nonEmpty, "expected the aggregation shuffles to exist")
+    shuffles.foreach { s =>
+      assert(s.collectFirst { case a: BaseAggregateExec => a }.nonEmpty,
+        s"shuffle of un-aggregated (token-scale) rows:\n$s")
+    }
+  }
 }

@@ -74,8 +74,14 @@ class StrawboatSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.format("strawboat").load(out).count() == 50)
     val after = new java.io.File(out).listFiles.map(_.getName)
     assert(!after.exists(n => n.contains(".stage") && !n.contains("deadbeef")))
-    // vacuum reclaims the foreign-job orphan once it ages past the cutoff
+    // vacuum reclaims the foreign-job orphan once it ages past the cutoff —
+    // and NEVER before the in-flight TTL, however aggressive the horizon:
+    // a live job's staged files must survive a concurrent short-horizon run
     assert(StrawCommitProtocol.vacuumStaged(out, olderThanMs = 365L * 24 * 3600 * 1000) == 0)
+    assert(StrawCommitProtocol.vacuumStaged(out, olderThanMs = -1000) == 0,
+      "fresh .stage file must survive vacuum inside the in-flight TTL")
+    assert(orphan.setLastModified(
+      System.currentTimeMillis() - StrawLog.InflightTtlMs - 60000))
     assert(StrawCommitProtocol.vacuumStaged(out, olderThanMs = -1000) == 1)
     assert(!new java.io.File(out).listFiles.map(_.getName).exists(_.contains(".stage")))
     assert(spark.read.format("strawboat").load(out).count() == 50)
