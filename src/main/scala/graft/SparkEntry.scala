@@ -98,6 +98,15 @@ object SparkEntry {
         nCentroids = 16)
     }
 
+  /** The OPQ-rotated PQ index fixture (q_ann_opq / _opq_recall): same as
+    * the flat PQ index plus the learned orthogonal pre-rotation (Ge et
+    * al.) — the `_opq_rotation` sidecar, codes in the rotated basis. */
+  private def opqTable(s: SparkSession, d: String): String =
+    cachedFixture(Tables.strawDir(s, d, "embeddings") + "_opqidx", "_OK") { dir =>
+      graft.ops.Ann.buildPqIndex(s, t(s, d, "embeddings"), dir, 64,
+        opq = true): Unit
+    }
+
   /** The synthetic WAV table fixture (q_multimodal_audio / _audio_decode /
     * _audio_gate): one valid 16-bit PCM WAV per document, parameters
     * derived from doc_id (the formula the oracles replay), samples from a
@@ -842,6 +851,33 @@ object SparkEntry {
       val exact = Ann.bruteForceTopK(s, emb, queries, 3)
         .select(col("query_id"), col("neighbor_id"))
       val got = Ann.ivfPqTopK(s, ivfPqTable(s, d), queries, 3, nProbe = 16)
+        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
+      exact.join(got, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          (sum(coalesce(col("hit"), lit(0))) >= count(lit(1)) * 0.75).as("recall_ok"))
+    }),
+    "q_ann_opq" -> ((s, d) => {
+      // OPQ tier: the flat PQ probe through the learned pre-rotation (only
+      // the query-side dot table rotates — one matvec per query; corpus
+      // cost identical to q_ann_pq). Approximate → rows-only, adjudicated
+      // by the paired recall gate below
+      val emb = t(s, d, "embeddings")
+      Ann.pqTopKIndexed(s, opqTable(s, d), emb.filter(col("vec_id") < 5), 3,
+          shortlist = 24)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q_ann_opq_recall" -> ((s, d) => {
+      // quality gate: OPQ+rerank top-3 recalls >= 0.75 of the exact float
+      // top-3 at shortlist 24 (measured 15/15, 15/15, 12/15 at
+      // sf0.001/0.01/0.1 — the near-random driver embeddings are PCA's
+      // WORST case, no variance structure to learn; on off-axis clustered
+      // corpora the dial is 2.2x recall over raw blocks, DevPqScale)
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      val exact = Ann.bruteForceTopK(s, emb, queries, 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val got = Ann.pqTopKIndexed(s, opqTable(s, d), queries, 3, shortlist = 24)
         .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
       exact.join(got, Seq("query_id", "neighbor_id"), "left")
         .agg(count(lit(1)).as("n_exact"),
@@ -2150,6 +2186,15 @@ object SparkEntry {
         |  FROM embeddings q, embeddings c
         |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
         |WHERE rank <= 3""".stripMargin,
+    "q_ann_opq_recall" -> // same independently-derived n_exact shape
+      """SELECT count(*)::BIGINT AS n_exact, true AS recall_ok FROM (
+        |  SELECT q.vec_id, c.vec_id AS n_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(q.embedding, c.embedding), 4) DESC,
+        |        c.vec_id) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        |WHERE rank <= 3""".stripMargin,
     "q_ann_quantized_recall" -> // same independently-derived n_exact shape
       """SELECT count(*)::BIGINT AS n_exact, true AS recall_ok FROM (
         |  SELECT q.vec_id, c.vec_id AS n_id,
@@ -2871,8 +2916,8 @@ object SparkEntry {
     // Rows-only (no SQL-expressible oracle): q_dedup_simhash (seeded token
     // hashing, not reproducible in SQL — gated by the oracle-checked
     // q_dedup_simhash_gate above plus OpsSpec), q_ann_lsh / q_ann_ivf /
-    // q_ann_pq / q_ann_ivfpq / q_dedup_embedding_lsh (approximate tiers;
-    // their quality is oracle-checked via the paired *_recall / _full
-    // queries above).
+    // q_ann_pq / q_ann_opq / q_ann_ivfpq / q_dedup_embedding_lsh
+    // (approximate tiers; their quality is oracle-checked via the paired
+    // *_recall / _full queries above).
   )
 }

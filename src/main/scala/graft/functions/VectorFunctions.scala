@@ -520,6 +520,80 @@ case class PqDotTable(child: Expression, codebooks: Array[Double],
     copy(child = newChild)
 }
 
+/** Dense matrix × vector product (codegen'd): out[r] = Σ_i M[r·dim+i]·x[i],
+  * emitted as `array<float>`. The OPQ pre-rotation of the PQ family
+  * applies an ORTHOGONAL `rows = dim` matrix to every vector before
+  * block-splitting (Ge et al. 2013, public OPQ paper) — a per-row matvec
+  * that must stay inside whole-stage codegen at index-build scale. Also
+  * usable as a general projection (`rows < dim`). */
+case class MatVecFloat(child: Expression, matrix: Array[Double],
+    rows: Int, dim: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(rows >= 1 && dim >= 1 && matrix.length == rows * dim,
+    s"mat_vec: matrix length ${matrix.length} != rows*dim = ${rows * dim}")
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"mat_vec expects array<float|double>, got $other")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val fx = isFloat
+    val n = math.min(dim, x.numElements())
+    val out = new Array[Float](rows)
+    var r = 0
+    while (r < rows) {
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        d += matrix(r * dim + i) * (if (fx) x.getFloat(i).toDouble else x.getDouble(i))
+        i += 1
+      }
+      out(r) = d.toFloat
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("matVec", matrix, "double[]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    val out = ctx.freshName("out")
+    val r = ctx.freshName("r")
+    val i = ctx.freshName("i")
+    val d = ctx.freshName("d")
+    val n = ctx.freshName("n")
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |int $n = java.lang.Math.min($dim, $a.numElements());
+         |float[] $out = new float[$rows];
+         |for (int $r = 0; $r < $rows; $r++) {
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $d += $mRef[$r * $dim + $i] * (double) $a.$get($i);
+         |  }
+         |  $out[$r] = (float) $d;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** PQ asymmetric-distance cosine: given a corpus vector's code
   * (`array<tinyint>`, m entries), the query's [[PqDotTable]] and the
   * query's L2 norm, returns cosine(query, reconstructed corpus vector) =
@@ -807,6 +881,22 @@ object VectorFunctions {
       }
       PqDotTable(c(0), flat, m, codes, subDim)
     }),
+    ("mat_vec", classOf[MatVecFloat], (c: Seq[Expression]) => {
+      val mtx = c(1).eval().asInstanceOf[ArrayData]
+      val rows = mtx.numElements()
+      require(rows > 0, "mat_vec: empty matrix")
+      val dim = mtx.getArray(0).numElements()
+      val flat = new Array[Double](rows * dim)
+      var r = 0
+      while (r < rows) {
+        val row = mtx.getArray(r)
+        require(row.numElements() == dim, "mat_vec: ragged matrix")
+        var i = 0
+        while (i < dim) { flat(r * dim + i) = row.getDouble(i); i += 1 }
+        r += 1
+      }
+      MatVecFloat(c(0), flat, rows, dim)
+    }),
     ("pq_adc_cosine", classOf[PqAdcCosine], (c: Seq[Expression]) => {
       val ns = c(3).eval().asInstanceOf[ArrayData].toDoubleArray()
       PqAdcCosine(c(0), c(1), c(2), ns,
@@ -867,6 +957,16 @@ object VectorFunctions {
   def norm(spark: SparkSession, emb: Column): Column = {
     registerNorm(spark)
     org.apache.spark.sql.functions.call_function("vector_norm", emb)
+  }
+
+  /** Dense matrix × vector product (codegen'd) — `matrix(r)(i)` rows, out
+    * length = rows, emitted as array<float>. The OPQ rotation hook. */
+  def matVec(spark: SparkSession, emb: Column,
+      matrix: Array[Array[Float]]): Column = {
+    register(spark)
+    import org.apache.spark.sql.functions.{array, call_function, lit}
+    val mtx = array(matrix.map(r => array(r.map(v => lit(v.toDouble)): _*)): _*)
+    call_function("mat_vec", emb, mtx)
   }
 
   /** PQ query dot-table over `codebooks(b)(c)(i)` (codegen'd). */

@@ -373,12 +373,13 @@ object Ann {
     * L2-nearest sub-centroid assignment the right encoding for cosine
     * ranking. Returns codebooks(b)(c) of length dim/m. */
   def fitPq(corpus: DataFrame, dim: Int, m: Int, nCodes: Int = 16,
-      seed: Long = 7, sampleSize: Int = 1024): Array[Array[Array[Float]]] = {
+      seed: Long = 7, sampleSize: Int = 1024,
+      rotation: Array[Array[Float]] = null): Array[Array[Array[Float]]] = {
     require(m >= 1 && dim % m == 0,
       s"fitPq: m must divide dim, got dim=$dim m=$m")
     require(nCodes >= 2 && nCodes <= 256, s"fitPq: need 2 <= nCodes <= 256")
     val subDim = dim / m
-    val sample: Array[Array[Float]] = corpus
+    val raw: Array[Array[Float]] = corpus
       .select(col("embedding"), xxhash64(lit(seed), col("vec_id")).as("__sh"))
       .orderBy(col("__sh")).limit(sampleSize)
       .select(col("embedding")).collect()
@@ -387,6 +388,8 @@ object Ann {
         val n = math.sqrt(v.map(x => x.toDouble * x).sum)
         if (n == 0.0) v else v.map(x => (x / n).toFloat)
       }
+    // OPQ: codebooks train in the ROTATED space the encoder will slice
+    val sample = if (rotation == null) raw else raw.map(rotate(rotation, _))
     Array.tabulate(m) { b =>
       val block = sample.map(_.slice(b * subDim, (b + 1) * subDim))
       val rnd = new scala.util.Random(seed + b)
@@ -410,6 +413,166 @@ object Ann {
     }
   }
 
+  /** Driver-side matrix × vector (the OPQ rotation applied to a sample
+    * row; the distributed encode path uses the codegen'd
+    * [[graft.functions.MatVecFloat]] instead). */
+  private def rotate(r: Array[Array[Float]], x: Array[Float]): Array[Float] =
+    Array.tabulate(r.length) { i =>
+      var d = 0.0
+      var j = 0
+      val row = r(i)
+      val n = math.min(row.length, x.length)
+      while (j < n) { d += row(j).toDouble * x(j); j += 1 }
+      d.toFloat
+    }
+
+  /** Fit the OPQ pre-rotation (parametric OPQ of Ge et al. 2013, public
+    * paper): eigendecompose the covariance of the normalized sample, then
+    * allocate eigenvectors to the m sub-blocks balancing each block's
+    * VARIANCE PRODUCT (greedy on log-eigenvalues) — so no block is left
+    * quantizing a high-variance direction with the same code budget
+    * another block spends on noise. Returns the orthogonal rotation as
+    * rows (x' = R·x); rows are orthonormal eigenvectors, so cosine is
+    * preserved exactly and only the block STRUCTURE changes. Driver-side
+    * over the same seeded hash-order sample [[fitPq]] uses — O(dim³ +
+    * sample·dim²), fine for dim up to a few hundred. */
+  def fitOpqRotation(corpus: DataFrame, dim: Int, m: Int, seed: Long = 7,
+      sampleSize: Int = 1024): Array[Array[Float]] = {
+    require(m >= 1 && dim % m == 0,
+      s"fitOpqRotation: m must divide dim, got dim=$dim m=$m")
+    val sample: Array[Array[Float]] = corpus
+      .select(col("embedding"), xxhash64(lit(seed), col("vec_id")).as("__sh"))
+      .orderBy(col("__sh")).limit(sampleSize)
+      .select(col("embedding")).collect()
+      .map { r =>
+        val v = r.getSeq[Float](0).toArray
+        val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+        if (n == 0.0) v else v.map(x => (x / n).toFloat)
+      }
+    require(sample.nonEmpty, "fitOpqRotation: empty corpus")
+    // covariance (uncentered — unit vectors, cosine metric: second moment
+    // is what the sub-quantizers see)
+    val cov = Array.ofDim[Double](dim, dim)
+    sample.foreach { v =>
+      var i = 0
+      while (i < dim) {
+        val vi = if (i < v.length) v(i).toDouble else 0.0
+        var j = i
+        while (j < dim) {
+          cov(i)(j) += vi * (if (j < v.length) v(j).toDouble else 0.0)
+          j += 1
+        }
+        i += 1
+      }
+    }
+    for (i <- 0 until dim; j <- i until dim) {
+      cov(i)(j) /= sample.length
+      cov(j)(i) = cov(i)(j)
+    }
+    val (eig, vecs) = jacobiEigen(cov, dim)
+    // greedy balanced allocation: biggest eigenvalue first, always into the
+    // open block with the smallest log-variance product
+    val subDim = dim / m
+    val order = eig.zipWithIndex.sortBy { case (e, i) => (-e, i) }.map(_._2)
+    val logSum = new Array[Double](m)
+    val used = new Array[Int](m)
+    val blocks = Array.fill(m)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    order.foreach { e =>
+      val b = (0 until m).filter(used(_) < subDim)
+        .minBy(bb => (logSum(bb), bb))
+      blocks(b) += e
+      logSum(b) += math.log(math.max(eig(e), 1e-30))
+      used(b) += 1
+    }
+    // R's rows are the chosen eigenvectors in block order: slicing R·x at
+    // block b reads exactly block b's allocated principal directions
+    blocks.flatten.map(c => Array.tabulate(dim)(i => vecs(i)(c).toFloat)).toArray
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix (driver-side):
+    * returns (eigenvalues, eigenvectors as COLUMNS of the second array). */
+  private def jacobiEigen(a0: Array[Array[Double]],
+      dim: Int): (Array[Double], Array[Array[Double]]) = {
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var converged = false
+    while (sweep < 64 && !converged) {
+      var off = 0.0
+      for (p <- 0 until dim; q <- p + 1 until dim) off += a(p)(q) * a(p)(q)
+      if (off < 1e-20) converged = true
+      else {
+        for (p <- 0 until dim; q <- p + 1 until dim)
+          if (math.abs(a(p)(q)) > 1e-18) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            val t =
+              if (theta == 0.0) 1.0
+              else math.signum(theta) /
+                (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < dim) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < dim) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              i += 1
+            }
+            i = 0
+            while (i < dim) {
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+        sweep += 1
+      }
+    }
+    (Array.tabulate(dim)(i => a(i)(i)), v)
+  }
+
+  private val OpqRotationFile = "_opq_rotation"
+
+  /** OPQ rotation sidecar: `dim` header, one row of floats per output row.
+    * No data extension → scans never list it (the codebook sidecar's
+    * convention). Optional: a PQ index without it probes unrotated. */
+  private def writeOpqRotation(dir: String, r: Array[Array[Float]]): Unit = {
+    val fs = graft.spark.StrawIO.fs(dir)
+    val p = new org.apache.hadoop.fs.Path(dir, OpqRotationFile)
+    val os = fs.create(p, true)
+    try {
+      val sb = new StringBuilder
+      sb.append(r.length).append('\n')
+      r.foreach(row => sb.append(row.mkString(" ")).append('\n'))
+      os.write(sb.toString.getBytes("UTF-8"))
+    } finally os.close()
+  }
+
+  /** Load the OPQ rotation sidecar if the index has one. */
+  def loadOpqRotation(dir: String): Option[Array[Array[Float]]] = {
+    val fs = graft.spark.StrawIO.fs(dir)
+    val p = new org.apache.hadoop.fs.Path(dir, OpqRotationFile)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.split('\n').filter(_.nonEmpty)
+    val dim = lines(0).trim.toInt
+    val rows = lines.slice(1, 1 + dim).map(_.trim.split(' ').map(_.toFloat))
+    require(rows.length == dim && rows.forall(_.length == dim),
+      s"corrupt OPQ rotation sidecar at $p")
+    Some(rows)
+  }
+
   /** Encode an embedding column as PQ codes: normalize, then per block the
     * L2-nearest sub-centroid's index as one byte — `pqcode:
     * array<tinyint>`, m bytes per vector (dim/m·4 → 1 bytes/block, 32× at
@@ -417,26 +580,35 @@ object Ann {
     * codegen'd [[graft.functions.NearestCells]] kernel over vector slices:
     * no new scan-side machinery, stays inside whole-stage codegen. */
   def pqEncode(spark: SparkSession, df: DataFrame, embCol: String,
-      codebooks: Array[Array[Array[Float]]]): DataFrame = {
+      codebooks: Array[Array[Array[Float]]],
+      rotation: Array[Array[Float]] = null): DataFrame = {
     val m = codebooks.length
     val subDim = codebooks(0)(0).length
-    val nrm = VectorFunctions.norm(spark, col(embCol))
-    // the unit vector MATERIALIZES once per row in its own projection
-    // (HOFs are non-cheap, so CollapseProject keeps the boundary) — the m
-    // code expressions below slice the materialized column instead of
-    // re-running norm + transform per block, which would cost
-    // O(m·dim²)-ish interpreted work per row at index-build time
+    // the NORM materializes as its own scalar column: embedded in the
+    // transform lambda it re-evaluates per ELEMENT — O(dim²) per row. The
+    // unit ARRAY stays an inline expression: materializing it as a column
+    // was measured 25× SLOWER (the array-valued projection boundary
+    // defeats codegen + subexpression elimination; DriveEnc A/B at 200k
+    // rows: 0.8 s for nrm-column + inline unit vs ~50 s for a _unit
+    // column) — the m slices below share one evaluation via CSE instead.
     val unit = transform(col(embCol),
-      x => when(nrm === 0.0, x).otherwise((x / nrm).cast("float")))
-    val withUnit = df.withColumn("_unit", unit)
+      x => when(col("_nrm") === 0.0, x)
+        .otherwise((x / col("_nrm")).cast("float")))
+    // OPQ: rotate the unit vector (codegen'd matvec) so the block slices
+    // read the variance-balanced coordinates the codebooks trained on
+    val enc =
+      if (rotation == null) unit
+      else VectorFunctions.matVec(spark, unit, rotation)
     val codeCols = (0 until m).map { b =>
       val idx = element_at(VectorFunctions.nearestCells(spark,
-        slice(col("_unit"), b * subDim + 1, subDim), codebooks(b), 1), 1)
+        slice(enc, b * subDim + 1, subDim), codebooks(b), 1), 1)
       // wrap 0..255 into the signed byte (192 → -64): a plain cast
       // OVERFLOWS under ANSI for codes > 127; readers mask with & 0xff
       (((idx + lit(128)) % lit(256)) - lit(128)).cast("byte")
     }
-    withUnit.withColumn("pqcode", array(codeCols: _*)).drop("_unit")
+    df.withColumn("_nrm", VectorFunctions.norm(spark, col(embCol)))
+      .withColumn("pqcode", array(codeCols: _*))
+      .drop("_nrm")
   }
 
   /** Approximate cosine top-k over PQ-ENCODED vectors via asymmetric
@@ -511,13 +683,15 @@ object Ann {
     * point: m bytes/vector scanned instead of 4·dim. */
   def buildPqIndex(spark: SparkSession, corpus: DataFrame, dir: String,
       dim: Int, m: Int = 16, nCodes: Int = 64, seed: Long = 7,
-      sampleSize: Int = 1024): Array[Array[Array[Float]]] = {
-    val codebooks = fitPq(corpus, dim, m, nCodes, seed, sampleSize)
-    pqEncode(spark, corpus, "embedding", codebooks)
+      sampleSize: Int = 1024, opq: Boolean = false): Array[Array[Array[Float]]] = {
+    val rot = if (opq) fitOpqRotation(corpus, dim, m, seed, sampleSize) else null
+    val codebooks = fitPq(corpus, dim, m, nCodes, seed, sampleSize, rot)
+    pqEncode(spark, corpus, "embedding", codebooks, rot)
       .select(col("vec_id"), col("pqcode"), col("embedding"))
       .orderBy(col("vec_id"))
       .write.format("strawboat").mode("overwrite").save(dir)
     writePqCodebooks(dir, codebooks)
+    if (rot != null) writeOpqRotation(dir, rot)
     codebooks
   }
 
@@ -564,7 +738,8 @@ object Ann {
   def appendToPqIndex(spark: SparkSession, newVectors: DataFrame,
       dir: String): Unit = {
     val codebooks = loadPqCodebooks(dir)
-    pqEncode(spark, newVectors, "embedding", codebooks)
+    pqEncode(spark, newVectors, "embedding", codebooks,
+        loadOpqRotation(dir).orNull)
       .select(col("vec_id"), col("pqcode"), col("embedding"))
       .orderBy(col("vec_id"))
       .write.format("strawboat").mode("append").save(dir)
@@ -586,8 +761,14 @@ object Ann {
     require(short >= k, s"pqTopKIndexed: shortlist $short < k $k")
     val index = spark.read.format("strawboat")
       .option("mergeSchema", "false").load(indexDir)
+    // an OPQ-built index scores in the rotated space: dot(q, x) =
+    // dot(Rq, Rx) (R orthogonal), so only the query-side dot table needs
+    // the rotation; qnorm and the exact float rerank are rotation-free
+    val qemb = loadOpqRotation(indexDir)
+      .map(r => VectorFunctions.matVec(spark, col("embedding"), r))
+      .getOrElse(col("embedding"))
     val qprep = queries.select(col("vec_id"),
-      VectorFunctions.pqDotTable(spark, col("embedding"), codebooks).as("_tab"),
+      VectorFunctions.pqDotTable(spark, qemb, codebooks).as("_tab"),
       VectorFunctions.norm(spark, col("embedding")).as("_qn"))
     val adc = index.select(col("vec_id"), col("pqcode")) // floats pruned
       .as("c")
@@ -676,11 +857,11 @@ object Ann {
     * pages; both sidecars land next to the data. */
   def buildIvfPqIndex(spark: SparkSession, corpus: DataFrame, dir: String,
       dim: Int, nCentroids: Int = 16, m: Int = 16, nCodes: Int = 64,
-      seed: Long = 7, sampleSize: Int = 1024): Unit = {
+      seed: Long = 7, sampleSize: Int = 1024, opq: Boolean = false): Unit = {
     require(m >= 1 && dim % m == 0,
       s"buildIvfPqIndex: m must divide dim, got dim=$dim m=$m")
     // one seeded hash-order sample, normalized, drives BOTH fits
-    val unitSample: Array[Array[Float]] = corpus
+    val rawSample: Array[Array[Float]] = corpus
       .select(col("embedding"), xxhash64(lit(seed), col("vec_id")).as("__sh"))
       .orderBy(col("__sh")).limit(sampleSize)
       .select(col("embedding")).collect()
@@ -689,6 +870,11 @@ object Ann {
         val n = math.sqrt(v.map(x => x.toDouble * x).sum)
         if (n == 0.0) v else v.map(x => (x / n).toFloat)
       }
+    // OPQ: the WHOLE chain (coarse centroids, residuals, sub-codebooks)
+    // lives in the rotated space — FAISS's OPQ pre-transform composition
+    val rot = if (opq) fitOpqRotation(corpus, dim, m, seed, sampleSize) else null
+    val unitSample =
+      if (rot == null) rawSample else rawSample.map(rotate(rot, _))
     val centroids = lloyd(unitSample, dim, nCentroids, seed)
     val residuals = unitSample.map { v =>
       val c = centroids(nearest(v, centroids))
@@ -699,24 +885,29 @@ object Ann {
       lloyd(residuals.map(_.slice(b * subDim, (b + 1) * subDim)),
         subDim, nCodes, seed + b)
     }
-    val nrm = VectorFunctions.norm(spark, col("embedding"))
+    // the norm materializes as a SCALAR column (inside the lambda it would
+    // re-evaluate per element — O(dim²)/row); the unit and residual ARRAYS
+    // stay inline expressions shared via codegen subexpression elimination
+    // — materializing an array column between projections was measured 25×
+    // slower (see [[pqEncode]]). cent_id does materialize: it's a scalar,
+    // and the hive-partitioned write needs it as a column anyway.
     val unit = transform(col("embedding"),
-      x => when(nrm === 0.0, x).otherwise((x / nrm).cast("float")))
+      x => when(col("_nrm") === 0.0, x)
+        .otherwise((x / col("_nrm")).cast("float")))
     val centMatrix = typedLit(centroids.map(_.toSeq).toSeq)
-    // unit and residual each MATERIALIZE once per row in their own
-    // projections (HOFs are non-cheap — CollapseProject keeps the
-    // boundaries); the m code expressions slice the materialized residual
-    // instead of re-running norm + transform + zip_with per block
-    val assigned = corpus.withColumn("_unit", unit)
+    val unitMaybeRot =
+      if (rot == null) unit else VectorFunctions.matVec(spark, unit, rot)
+    val residual = zip_with(unitMaybeRot,
+      element_at(centMatrix, col("cent_id") + 1),
+      (a, b) => (a - b).cast("float"))
+    val assigned = corpus
+      .withColumn("_nrm", VectorFunctions.norm(spark, col("embedding")))
       .withColumn("cent_id",
-        element_at(VectorFunctions.nearestCells(spark, col("_unit"),
+        element_at(VectorFunctions.nearestCells(spark, unitMaybeRot,
           centroids, 1), 1))
-      .withColumn("_residual", zip_with(col("_unit"),
-        element_at(centMatrix, col("cent_id") + 1),
-        (a, b) => (a - b).cast("float")))
     val codeCols = (0 until m).map { b =>
       val idx = element_at(VectorFunctions.nearestCells(spark,
-        slice(col("_residual"), b * subDim + 1, subDim), codebooks(b), 1), 1)
+        slice(residual, b * subDim + 1, subDim), codebooks(b), 1), 1)
       (((idx + lit(128)) % lit(256)) - lit(128)).cast("byte")
     }
     assigned.withColumn("pqcode", array(codeCols: _*))
@@ -727,6 +918,7 @@ object Ann {
     writeCentroidsTo(graft.spark.StrawIO.fs(dir),
       new org.apache.hadoop.fs.Path(dir, CentroidsFile), centroids)
     writePqCodebooks(dir, codebooks)
+    if (rot != null) writeOpqRotation(dir, rot)
   }
 
   /** Probe a persisted IVF-PQ index: queries assign to their `nProbe`
@@ -747,11 +939,18 @@ object Ann {
     val codebooks = loadPqCodebooks(indexDir)
     val short = if (shortlist <= 0) 4 * k else shortlist
     require(short >= k, s"ivfPqTopK: shortlist $short < k $k")
-    // cell assignment happens in the same UNIT space the index trained in
-    val qnrm = VectorFunctions.norm(spark, col("embedding"))
-    val qunit = transform(col("embedding"),
+    // cell assignment happens in the same UNIT space the index trained in;
+    // an OPQ-built index trained its WHOLE chain (centroids, residuals,
+    // codebooks) in the rotated space, so the query rotates first — on the
+    // query frame only (bounded rows), the corpus side stays code-only
+    val qIn = loadOpqRotation(indexDir)
+      .map(r => VectorFunctions.matVec(spark, col("embedding"), r))
+      .getOrElse(col("embedding"))
+    val queriesR = queries.select(col("vec_id"), qIn.as("_qemb"))
+    val qnrm = VectorFunctions.norm(spark, col("_qemb"))
+    val qunit = transform(col("_qemb"),
       x => when(qnrm === 0.0, x).otherwise((x / qnrm).cast("float")))
-    val queryCells = queries.withColumn("cent_id",
+    val queryCells = queriesR.withColumn("cent_id",
       explode(VectorFunctions.nearestCells(spark, qunit, centroids,
         math.min(nProbe, centroids.length))))
     val probed: Array[Int] = queryCells.select(col("cent_id")).distinct()
@@ -764,12 +963,12 @@ object Ann {
     // queries × nProbe rows only; the per-pair scoring stays codegen'd
     val centMatrix = typedLit(centroids.map(_.toSeq).toSeq)
     val qdotc = aggregate(
-      zip_with(col("embedding"), element_at(centMatrix, col("cent_id") + 1),
+      zip_with(col("_qemb"), element_at(centMatrix, col("cent_id") + 1),
         (a, b) => a.cast("double") * b.cast("double")),
       lit(0.0), (acc, x) => acc + x)
     val qprep = queryCells.select(col("vec_id"), col("cent_id"),
-      VectorFunctions.pqDotTable(spark, col("embedding"), codebooks).as("_tab"),
-      VectorFunctions.norm(spark, col("embedding")).as("_qn"),
+      VectorFunctions.pqDotTable(spark, col("_qemb"), codebooks).as("_tab"),
+      VectorFunctions.norm(spark, col("_qemb")).as("_qn"),
       qdotc.as("_qdotc"))
     val adc = cells.select(col("vec_id"), col("cent_id"), col("pqcode")).as("c")
       .join(broadcast(qprep.as("q")),
@@ -792,8 +991,13 @@ object Ann {
       candPairs.toSeq.toDF("query_id", "neighbor_id")
     }
     val candidateIds = candPairs.map(_._2).distinct
+    // every candidate lives in a PROBED cell by construction, so the float
+    // point-read restricts to those cells' directories first — partition
+    // pruning fires before any footer IO, and only then do the vec_id zone
+    // maps prune pages within the probed cells
     val floats = index
-      .filter(candidatePointFilter(candidateIds))
+      .filter(col("cent_id").isin(probed.map(_.asInstanceOf[Any]): _*) &&
+        candidatePointFilter(candidateIds))
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("_nemb"))
     val rescored = broadcast(candidates)
       .join(floats, "neighbor_id")

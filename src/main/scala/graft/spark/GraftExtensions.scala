@@ -598,14 +598,26 @@ object StrawSqlSurface {
 
   val KnnName = "straw_knn"
 
-  /** `straw_knn('<ivf index dir>', array(<vec...>), k[, nProbe])`: cosine
-    * top-k over a persisted IVF index ([[graft.ops.Ann.ivfTopKIndexed]])
-    * as plain SQL — (id, cosine, rank) rows for ONE query vector (any
-    * numeric SQL array). `nProbe` defaults to the Scala API's 4 (pruned
-    * probe; pass the index's centroid count for the exact brute-equal
-    * result). LAZY like [[bm25Builder]]: the directory-pruned probe plan
-    * itself returns — the only analysis-time work is the nCentroids-
-    * bounded cell assignment, mirroring the Scala API. */
+  /** `straw_knn('<index dir>', array(<vec...>), k[, nProbe])`: cosine
+    * top-k over a persisted vector index as plain SQL — (id, cosine, rank)
+    * rows for ONE query vector (any numeric SQL array). Serves ALL the
+    * persisted tiers, dispatching on the index's sidecars:
+    *
+    *  - IVF (`_ivf_centroids`): [[graft.ops.Ann.ivfTopKIndexed]], LAZY
+    *    like [[bm25Builder]] — the directory-pruned probe plan itself
+    *    returns; the only analysis-time work is the nCentroids-bounded
+    *    cell assignment. The 4th argument is `nProbe` (default 4; pass
+    *    the centroid count for the exact brute-equal result).
+    *  - IVF-PQ (`_ivf_centroids` + `_pq_codebooks`):
+    *    [[graft.ops.Ann.ivfPqTopK]]. The 4th argument is `nProbe`.
+    *  - flat PQ (`_pq_codebooks` only): [[graft.ops.Ann.pqTopKIndexed]].
+    *    The 4th argument is the rerank SHORTLIST (default 4·k).
+    *
+    * The PQ tiers materialize a bounded (k- and shortlist-scale)
+    * candidate set mid-probe, so they cannot return one lazy plan; they
+    * run at EXECUTION time instead ([[DeferredOpPlan]], the mutating
+    * TVFs' lifecycle) — EXPLAIN probes nothing, and each action re-probes
+    * (read-only, so re-execution is safe). */
   def knnBuilder(args: Seq[Expression]): LogicalPlan = {
     require(args.length >= 3 && args.length <= 4 && args.forall(_.foldable) &&
       args(0).dataType == StringType &&
@@ -625,11 +637,11 @@ object StrawSqlSurface {
     val k = args(2).eval(empty)
     require(path != null && vecArg != null && k != null,
       s"$KnnName: arguments must not be null")
-    val nProbe = args.drop(3).headOption.map { e =>
+    val fourth: Option[Int] = args.drop(3).headOption.map { e =>
       val v = e.eval(empty)
-      require(v != null, s"$KnnName: nProbe must not be null")
+      require(v != null, s"$KnnName: nProbe/shortlist must not be null")
       v.asInstanceOf[Int]
-    }.getOrElse(4)
+    }
     val arr = vecArg.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val et = args(1).dataType.asInstanceOf[ArrayType].elementType
     val vec: Array[Float] = (0 until arr.numElements()).map { i =>
@@ -643,12 +655,42 @@ object StrawSqlSurface {
     }.toArray
     val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
+    val dir = resolveDir(path.toString)
+    val kk = k.asInstanceOf[Int]
+    // sidecar dispatch (two bounded metadata probes at analysis time)
+    val fs = StrawIO.fs(dir)
+    val hasPq = fs.exists(new org.apache.hadoop.fs.Path(dir, "_pq_codebooks"))
+    val hasIvf = fs.exists(new org.apache.hadoop.fs.Path(dir, "_ivf_centroids"))
     // the query id is never a corpus id: self-exclusion can't misfire
-    val vecs = Seq((Long.MinValue, vec)).toDF("vec_id", "embedding")
-    graft.ops.Ann.ivfTopKIndexed(spark, resolveDir(path.toString), vecs,
-        k.asInstanceOf[Int], nProbe = nProbe)
-      .selectExpr("cast(neighbor_id as long) id", "cosine", "rank")
-      .queryExecution.analyzed
+    def queryDf = Seq((Long.MinValue, vec)).toDF("vec_id", "embedding")
+    if (hasPq) {
+      // PQ tiers: the probe collects a bounded shortlist mid-flight, so it
+      // runs at EXECUTION time as a whole (EXPLAIN probes nothing)
+      val out = Seq(
+        AttributeReference("id", LongType, nullable = false)(),
+        AttributeReference("cosine", DoubleType, nullable = false)(),
+        AttributeReference("rank", IntegerType, nullable = false)())
+      DeferredOpPlan(KnnName, out, () => {
+        val s = org.apache.spark.sql.SparkSession.active
+        import s.implicits._
+        val q = Seq((Long.MinValue, vec)).toDF("vec_id", "embedding")
+        val res =
+          if (hasIvf)
+            graft.ops.Ann.ivfPqTopK(s, dir, q, kk, nProbe = fourth.getOrElse(4))
+          else
+            graft.ops.Ann.pqTopKIndexed(s, dir, q, kk,
+              shortlist = fourth.getOrElse(0))
+        res.selectExpr("cast(neighbor_id as long) id", "cosine", "rank")
+          .collect()
+          .map(r => org.apache.spark.sql.catalyst.InternalRow(
+            r.getLong(0), r.getDouble(1), r.getInt(2)))
+          .toSeq
+      })
+    } else
+      graft.ops.Ann.ivfTopKIndexed(spark, dir, queryDf, kk,
+          nProbe = fourth.getOrElse(4))
+        .selectExpr("cast(neighbor_id as long) id", "cosine", "rank")
+        .queryExecution.analyzed
   }
 
   val ChunkName = "straw_chunk"

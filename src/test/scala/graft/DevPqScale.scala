@@ -97,6 +97,105 @@ object DevPqScale {
     println(f"IVFPQ  8-of-64-cell ADC+rerank top-10 in $tIvfPq%.1f s " +
       f"(${tBrute / tIvfPq}%.2fx vs brute) recall=$recall2%.3f")
 
+    // OPQ arms: the SAME corpus through the learned pre-rotation — the
+    // recall delta vs the raw-block indexes above is the dial's value on
+    // clustered data (Ge et al.: balanced per-block variance products)
+    val opqDir = s"$tmp/opqindex"
+    val tBuildO = time {
+      graft.ops.Ann.buildPqIndex(spark, corpus, opqDir, dim,
+        m = 16, nCodes = 64, sampleSize = 4096, opq = true): Unit
+    }
+    var opq: Array[(Long, Long)] = null
+    val tOpq = time {
+      opq = graft.ops.Ann.pqTopKIndexed(spark, opqDir, queries, 10)
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    }
+    val recallO = opq.toSet.intersect(brute.toSet).size.toDouble / brute.length
+    println(f"OPQ    rotated ADC+rerank top-10 in $tOpq%.1f s (build " +
+      f"$tBuildO%.1f s) recall=$recallO%.3f (vs raw-block $recall%.3f)")
+    val opqIvfDir = s"$tmp/opqivfindex"
+    val tBuildO2 = time {
+      graft.ops.Ann.buildIvfPqIndex(spark, corpus, opqIvfDir, dim,
+        nCentroids = 64, m = 16, nCodes = 64, sampleSize = 4096, opq = true)
+    }
+    var opqIvf: Array[(Long, Long)] = null
+    val tOpqIvf = time {
+      opqIvf = graft.ops.Ann.ivfPqTopK(spark, opqIvfDir, queries, 10, nProbe = 8)
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    }
+    val recallO2 = opqIvf.toSet.intersect(brute.toSet).size.toDouble / brute.length
+    println(f"OPQIVF rotated 8-of-64-cell top-10 in $tOpqIvf%.1f s (build " +
+      f"$tBuildO2%.1f s) recall=$recallO2%.3f (vs raw-block $recall2%.3f)")
+
+    // off-axis control: rotate the WHOLE corpus by a fixed random rotation
+    // — the spike structure is axis-aligned (raw-block PQ's best case,
+    // each block contains its cluster's spike coordinate); after rotation
+    // the spikes smear across every block, raw PQ degrades, and the
+    // LEARNED rotation should recover it (OPQ's actual use case — real
+    // embedding models don't emit axis-aligned variance)
+    val rnd0 = new scala.util.Random(99)
+    val g = Array.fill(dim, dim)(rnd0.nextGaussian())
+    for (i <- 0 until dim) {
+      for (j <- 0 until i) {
+        val d = (0 until dim).map(k => g(i)(k) * g(j)(k)).sum
+        for (k <- 0 until dim) g(i)(k) -= d * g(j)(k)
+      }
+      val nn = math.sqrt((0 until dim).map(k => g(i)(k) * g(i)(k)).sum)
+      for (k <- 0 until dim) g(i)(k) /= nn
+    }
+    val r0 = g.map(_.map(_.toFloat))
+    val corpus2Dir = s"$tmp/corpus_rot"
+    corpus.select(col("vec_id"),
+        graft.functions.VectorFunctions.matVec(spark, col("embedding"), r0)
+          .as("embedding"))
+      .write.format("strawboat").mode("overwrite").save(corpus2Dir)
+    val corpus2 = spark.read.format("strawboat").load(corpus2Dir)
+    val queries2 = corpus2.filter(col("vec_id") < nQ)
+    val brute2 = graft.ops.Ann.bruteForceTopK(spark, corpus2, queries2, 10)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(dirX: String, label: String): Unit = {
+      val got = graft.ops.Ann.pqTopKIndexed(spark, dirX, queries2, 10)
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(f"$label recall=${got.intersect(brute2).size.toDouble / brute2.size}%.3f")
+    }
+    graft.ops.Ann.buildPqIndex(spark, corpus2, s"$tmp/rotraw", dim,
+      m = 16, nCodes = 64, sampleSize = 4096)
+    recallOf(s"$tmp/rotraw", "ROTRAW off-axis corpus, raw-block PQ: ")
+    graft.ops.Ann.buildPqIndex(spark, corpus2, s"$tmp/rotopq", dim,
+      m = 16, nCodes = 64, sampleSize = 4096, opq = true)
+    recallOf(s"$tmp/rotopq", "ROTOPQ off-axis corpus, OPQ PQ:      ")
+
+    // COLD-IO arm (reproducible): evict the page cache, then re-run the
+    // float brute force and the PQ probe — the regime where the 16x
+    // on-disk code shrink becomes wall clock (disks re-read 256 B/vec of
+    // floats vs 16 B of codes). Root-only knob; skipped loudly otherwise.
+    def dropCaches(): Boolean =
+      try new ProcessBuilder("sh", "-c",
+          "sync && echo 1 > /proc/sys/vm/drop_caches")
+        .start().waitFor() == 0
+      catch { case _: Exception => false }
+    if (dropCaches()) {
+      val tBruteCold = time {
+        graft.ops.Ann.bruteForceTopK(spark, corpus, queries, 10).collect(): Unit
+      }
+      dropCaches()
+      val tPqCold = time {
+        graft.ops.Ann.pqTopKIndexed(spark, idxDir, queries, 10).collect(): Unit
+      }
+      dropCaches()
+      val tIvfPqCold = time {
+        graft.ops.Ann.ivfPqTopK(spark, ivfpqDir, queries, 10, nProbe = 8)
+          .collect(): Unit
+      }
+      println(f"COLD   floats-evicted: brute $tBruteCold%.1f s vs PQ " +
+        f"$tPqCold%.1f s (${tBruteCold / tPqCold}%.1fx) vs IVF-PQ " +
+        f"$tIvfPqCold%.1f s (${tBruteCold / tIvfPqCold}%.1fx)")
+    } else println("COLD   skipped: /proc/sys/vm/drop_caches not writable here")
+
     // scan-level head-to-head WITHOUT the rank window (which dominates
     // both paths above at this scale and hides the scan economics): one
     // full-corpus scoring pass, aggregate-max only. This is the number

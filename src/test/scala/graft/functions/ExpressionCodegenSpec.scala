@@ -232,6 +232,28 @@ class ExpressionCodegenSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("mat_vec compiles under strict codegen; equals the hand matmul") {
+    val ss = spark
+    import ss.implicits._
+    val mtx = Array.tabulate(3, 4)((r, i) => 0.25f * (r + 1) * (i - 1))
+    val out = Seq(
+      (1L, Array.tabulate(4)(i => 0.5f * (i + 1))),
+      (2L, Array.fill(4)(0.0f)))
+      .toDF("id", "v")
+      .select(col("id"), col("v"),
+        VectorFunctions.matVec(spark, col("v"), mtx).as("mv"))
+      .collect()
+    out.foreach { row =>
+      val v = row.getSeq[Float](1)
+      val mv = row.getSeq[Float](2)
+      assert(mv.length == 3)
+      for (r <- 0 until 3) {
+        val want = (0 until 4).map(i => mtx(r)(i).toDouble * v(i)).sum.toFloat
+        assert(math.abs(mv(r) - want) < 1e-6, s"row $r: ${mv(r)} vs $want")
+      }
+    }
+  }
+
   test("ADC kernels REJECT wrong-width codes (column vs sidecar mismatch)") {
     val ss = spark
     import ss.implicits._

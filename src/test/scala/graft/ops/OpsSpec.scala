@@ -124,6 +124,145 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(grown === exactAll, "append-grown PQ index must rank the full corpus")
   }
 
+  test("PQ index maintenance: clustered compaction of an appended index " +
+      "preserves probe results, sidecars, and point-read page pruning") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(17)
+    // wide separation (the proven 4-cell shape of the persisted-IVF spec):
+    // lloyd reliably lands one coarse cell per cluster, so the pruning
+    // assertion below has real margin
+    val centers = Array.tabulate(4, 16)((c, i) => if (i / 4 == c) 10.0f else 0.0f)
+    def batch(ids: Range) = ids.map { id =>
+      (id.toLong, centers(id % 4).map(x => x + (rnd.nextFloat() - 0.5f) * 0.3f))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("pqcompact").toString + "/index"
+    Ann.buildPqIndex(spark, batch(0 until 200), dir, 16, m = 4, nCodes = 16)
+    // three appends -> fragmented index, overlapping per-file vec_id ranges
+    Ann.appendToPqIndex(spark, batch(200 until 240), dir)
+    Ann.appendToPqIndex(spark, batch(240 until 280), dir)
+    Ann.appendToPqIndex(spark, batch(280 until 320), dir)
+    val queries = batch(0 until 4)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long, Double)] =
+      df.select("query_id", "rank", "neighbor_id", "cosine").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.sorted
+    val before = rows(Ann.pqTopKIndexed(spark, dir, queries, 5, shortlist = 80))
+    val filesBefore = graft.spark.StrawIO.listFiles(dir).size
+    assert(filesBefore >= 4, s"expected a fragmented index, got $filesBefore files")
+
+    // clustered compaction: vec_id-sorted rewrite keeps the point-read
+    // zone maps PRUNABLE (arrival-order merges would overlap every page)
+    val res = graft.spark.StrawCompaction.compact(spark, dir,
+      clusterBy = Seq("vec_id"))
+    assert(res.inputFiles > 0, "nothing compacted")
+    val filesAfter = graft.spark.StrawIO.listFiles(dir).size
+    assert(filesAfter < filesBefore, s"$filesBefore -> $filesAfter files")
+    assert(new java.io.File(dir, "_pq_codebooks").exists(),
+      "compaction must not touch the codebook sidecar")
+    val after = rows(Ann.pqTopKIndexed(spark, dir, queries, 5, shortlist = 80))
+    assert(after == before, s"compaction changed probe results")
+
+    // the rewritten files are vec_id-sorted WITHIN: every page's zone map
+    // is disjoint-ascending, so a pushed point read keeps pruning
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".strb")).foreach { f =>
+      val in = new graft.format.LocalFileInput(f.getAbsolutePath)
+      try {
+        val ftr = graft.format.StrawFileReader.readFooter(in)
+        val leaves = graft.format.LeafLayout.starts(ftr.schema)
+        val vi = ftr.schema.fieldIndex("vec_id")
+        val pages = ftr.columns(leaves(vi)).pages
+        pages.toSeq.sliding(2).foreach {
+          case Seq(a, b) =>
+            assert(a.max <= b.min,
+              s"${f.getName}: vec_id pages overlap after clustered compaction " +
+                s"(${a.min}..${a.max} then ${b.min}..${b.max})")
+          case _ =>
+        }
+      } finally in.close()
+    }
+
+    // IVF-PQ: a fresh index (one file per cell, nothing small enough to
+    // merge across cells — rewrites never cross partition directories) is
+    // a no-op, and the pruned probe still skips unprobed cells' footers
+    val dir2 = java.nio.file.Files.createTempDirectory("ivfpqcompact").toString + "/index"
+    Ann.buildIvfPqIndex(spark, batch(0 until 1200), dir2, 16, nCentroids = 4,
+      m = 4, nCodes = 16)
+    val b2 = rows(Ann.ivfPqTopK(spark, dir2, queries, 5, nProbe = 4, shortlist = 80))
+    graft.spark.StrawCompaction.compact(spark, dir2, clusterBy = Seq("vec_id"))
+    assert(new java.io.File(dir2, "_pq_codebooks").exists())
+    assert(new java.io.File(dir2, "_ivf_centroids").exists())
+    val a2 = rows(Ann.ivfPqTopK(spark, dir2, queries, 5, nProbe = 4, shortlist = 80))
+    assert(a2 == b2, "IVF-PQ results changed across compaction")
+    val totalFiles = graft.spark.StrawIO.listFiles(dir2).size
+    assert(totalFiles >= 4, s"expected one file per cell, got $totalFiles")
+    graft.spark.FooterCache.clear()
+    val c0 = graft.spark.FooterCache.loads.get()
+    Ann.ivfPqTopK(spark, dir2, queries.limit(1), 3, nProbe = 1).collect()
+    val loads = graft.spark.FooterCache.loads.get() - c0
+    assert(loads < totalFiles,
+      s"pruned probe loaded $loads footers of $totalFiles files")
+  }
+
+  test("OPQ: rotation is orthogonal, preserves cosine; rotated indexes " +
+      "stay exact with covering shortlists; appends inherit the rotation") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(13)
+    val centers = Array.tabulate(4, 16)((c, i) => if (i / 4 == c) 1.0f else 0.0f)
+    val vecs = (0L until 200L).map { id =>
+      val c = (id % 4).toInt
+      (id, centers(c).map(x => x + (rnd.nextFloat() - 0.5f) * 0.2f))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 4)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] =
+      df.select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exact = rows(Ann.bruteForceTopK(spark, vecs, queries, 5))
+
+    // the learned rotation is orthogonal: R·Rᵀ = I (its rows are the
+    // covariance eigenvectors), so cosine is preserved exactly
+    val r = Ann.fitOpqRotation(vecs, 16, 4, sampleSize = 200)
+    assert(r.length == 16 && r.forall(_.length == 16))
+    for (i <- 0 until 16; j <- 0 until 16) {
+      val dot = (0 until 16).map(k => r(i)(k).toDouble * r(j)(k)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-4, s"RRt[$i][$j] = $dot")
+    }
+
+    // OPQ-built flat PQ index: sidecar lands, probe stays EXACT with the
+    // cluster-covering shortlist (rotation changes the block structure,
+    // never the metric), and determinism holds
+    val dir = java.nio.file.Files.createTempDirectory("opqidx").toString + "/index"
+    Ann.buildPqIndex(spark, vecs, dir, 16, m = 4, nCodes = 16, opq = true)
+    assert(new java.io.File(dir, "_opq_rotation").exists())
+    val rBack = Ann.loadOpqRotation(dir).get
+    assert(rBack.map(_.toSeq).toSeq == r.map(_.toSeq).toSeq,
+      "rotation sidecar must round-trip exactly")
+    val idx = rows(Ann.pqTopKIndexed(spark, dir, queries, 5, shortlist = 60))
+    assert(idx === exact, "OPQ-indexed probe must equal brute force here")
+
+    // appends encode through the PERSISTED rotation: the grown index
+    // ranks the full corpus exactly (a rotation-less append would score
+    // garbage — codes in one basis, queries in another)
+    val more = (200L until 260L).map { id =>
+      val c = (id % 4).toInt
+      (id, centers(c).map(x => x + (rnd.nextFloat() - 0.5f) * 0.2f))
+    }.toDF("vec_id", "embedding")
+    Ann.appendToPqIndex(spark, more, dir)
+    val allVecs = vecs.unionAll(more)
+    val exactAll = rows(Ann.bruteForceTopK(spark, allVecs, queries, 5))
+    val grown = rows(Ann.pqTopKIndexed(spark, dir, queries, 5, shortlist = 75))
+    assert(grown === exactAll, "OPQ append-grown index must rank the full corpus")
+
+    // OPQ IVF-PQ: the whole chain (centroids, residuals, codebooks) lives
+    // in the rotated space; full probe + covering shortlist stays exact
+    val dir2 = java.nio.file.Files.createTempDirectory("opqivf").toString + "/index"
+    Ann.buildIvfPqIndex(spark, vecs, dir2, 16, nCentroids = 4, m = 4,
+      nCodes = 16, opq = true)
+    assert(new java.io.File(dir2, "_opq_rotation").exists())
+    val full = rows(Ann.ivfPqTopK(spark, dir2, queries, 5, nProbe = 4, shortlist = 60))
+    assert(full === exact, "full-probe OPQ IVF-PQ must equal brute force here")
+  }
+
   test("IVF with nProbe = nCentroids equals brute force exactly") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 10)

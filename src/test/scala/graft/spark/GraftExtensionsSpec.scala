@@ -510,6 +510,50 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (e.getCause != null && e.getCause.getMessage.contains("straw_knn")))
   }
 
+  test("straw_knn serves the PQ and IVF-PQ tiers (deferred execution)") {
+    val ss = spark
+    import ss.implicits._
+    val rnd = new scala.util.Random(6)
+    val centers = Array.tabulate(4, 16)((c, i) => if (i / 4 == c) 8.0f else 0.0f)
+    val vecs = (0L until 400L).map { id =>
+      (id, centers((id % 4).toInt).map(x => x + (rnd.nextFloat() - 0.5f) * 0.4f))
+    }.toDF("vec_id", "embedding")
+    val base = java.nio.file.Files.createTempDirectory("ext_knnpq").toString
+    graft.ops.Ann.buildPqIndex(spark, vecs, s"$base/pq", 16, m = 4, nCodes = 16)
+    graft.ops.Ann.buildIvfPqIndex(spark, vecs, s"$base/ivfpq", 16,
+      nCentroids = 4, m = 4, nCodes = 16)
+    val qvec = (0 until 16).map(i => if (i < 4) 8.0 else 0.0)
+    val vecSql = s"array(${qvec.mkString("D, ")}D)"
+    val qdf = Seq((Long.MinValue, qvec.map(_.toFloat).toArray))
+      .toDF("vec_id", "embedding")
+
+    // flat PQ: SQL == Scala (4th arg = shortlist here)
+    val gotPq = spark.sql(
+      s"SELECT * FROM straw_knn('$base/pq', $vecSql, 5, 40) ORDER BY rank")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    val wantPq = graft.ops.Ann.pqTopKIndexed(spark, s"$base/pq", qdf, 5,
+        shortlist = 40).orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(gotPq == wantPq && gotPq.size == 5, s"got $gotPq want $wantPq")
+
+    // IVF-PQ: SQL == Scala (4th arg = nProbe here)
+    val gotIvf = spark.sql(
+      s"SELECT * FROM straw_knn('$base/ivfpq', $vecSql, 5, 4) ORDER BY rank")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    val wantIvf = graft.ops.Ann.ivfPqTopK(spark, s"$base/ivfpq", qdf, 5,
+        nProbe = 4).orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(gotIvf == wantIvf && gotIvf.size == 5, s"got $gotIvf want $wantIvf")
+
+    // deferred: EXPLAIN shows the DeferredOp node, probes nothing — the
+    // PQ probe's bounded mid-flight collect must not run at analysis
+    val plan = spark.sql(
+      s"EXPLAIN SELECT * FROM straw_knn('$base/pq', $vecSql, 5)")
+      .collect()(0).getString(0)
+    assert(plan.contains("DeferredOp"), plan)
+    assert(!plan.contains("BatchScan"), plan)
+  }
+
   test("hyperplane buckets reject non-integer config args with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT hyperplane_buckets(array(1.0D), 'abc', 4, 2, 42L)")
