@@ -203,6 +203,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"pruned probe loaded $loads footers of $totalFiles files")
   }
 
+  test("PQ rerank wide-batch path: >1000 candidate ids fall back to the " +
+      "pushed range filter and stay exact") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(23)
+    val centers = Array.tabulate(4, 16)((c, i) => if (i / 4 == c) 10.0f else 0.0f)
+    val vecs = (0L until 1600L).map { id =>
+      (id, centers((id % 4).toInt).map(x => x + (rnd.nextFloat() - 0.5f) * 0.3f))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("pqwide").toString + "/index"
+    Ann.buildPqIndex(spark, vecs, dir, 16, m = 4, nCodes = 16)
+    // 8 queries x shortlist 420 -> up to 3,360 candidate ids, far past the
+    // 1000-value In enumeration cap: the float fetch pushes the [min,max]
+    // range instead, and the rerank join restores exactness — covering
+    // shortlists (each cluster is 400 vectors) mean the result must equal
+    // brute force EXACTLY, which a prefix-truncated or broken wide fetch
+    // could not produce
+    val queries = vecs.filter(col("vec_id") < 8)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] =
+      df.select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exact = rows(Ann.bruteForceTopK(spark, vecs, queries, 5))
+    val wide = rows(Ann.pqTopKIndexed(spark, dir, queries, 5, shortlist = 420))
+    assert(wide === exact, "wide-batch rerank must equal brute force")
+  }
+
   test("OPQ: rotation is orthogonal, preserves cosine; rotated indexes " +
       "stay exact with covering shortlists; appends inherit the rotation") {
     val sp = spark; import sp.implicits._
