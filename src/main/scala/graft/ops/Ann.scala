@@ -885,12 +885,28 @@ object Ann {
       lloyd(residuals.map(_.slice(b * subDim, (b + 1) * subDim)),
         subDim, nCodes, seed + b)
     }
-    // the norm materializes as a SCALAR column (inside the lambda it would
-    // re-evaluate per element — O(dim²)/row); the unit and residual ARRAYS
-    // stay inline expressions shared via codegen subexpression elimination
-    // — materializing an array column between projections was measured 25×
-    // slower (see [[pqEncode]]). cent_id does materialize: it's a scalar,
-    // and the hive-partitioned write needs it as a column anyway.
+    encodeIvfPq(spark, corpus, centroids, codebooks, rot)
+      .write.format("strawboat").option("partitionBy", "cent_id")
+      .mode("overwrite").save(dir)
+    writeCentroidsTo(graft.spark.StrawIO.fs(dir),
+      new org.apache.hadoop.fs.Path(dir, CentroidsFile), centroids)
+    writePqCodebooks(dir, codebooks)
+    if (rot != null) writeOpqRotation(dir, rot)
+  }
+
+  /** The IVF-PQ encode plan: (vec_id, cent_id, pqcode, embedding) sorted
+    * (cent_id, vec_id). The norm materializes as a SCALAR column (inside
+    * the lambda it would re-evaluate per element — O(dim²)/row); the unit
+    * and residual ARRAYS stay inline expressions shared via codegen
+    * subexpression elimination — materializing an array column between
+    * projections was measured 25× slower (see [[pqEncode]]). cent_id does
+    * materialize: it's a scalar, and the hive-partitioned write needs it
+    * as a column anyway. */
+  private def encodeIvfPq(spark: SparkSession, df: DataFrame,
+      centroids: Array[Array[Float]], codebooks: Array[Array[Array[Float]]],
+      rot: Array[Array[Float]]): DataFrame = {
+    val m = codebooks.length
+    val subDim = codebooks(0)(0).length
     val unit = transform(col("embedding"),
       x => when(col("_nrm") === 0.0, x)
         .otherwise((x / col("_nrm")).cast("float")))
@@ -900,7 +916,7 @@ object Ann {
     val residual = zip_with(unitMaybeRot,
       element_at(centMatrix, col("cent_id") + 1),
       (a, b) => (a - b).cast("float"))
-    val assigned = corpus
+    val assigned = df
       .withColumn("_nrm", VectorFunctions.norm(spark, col("embedding")))
       .withColumn("cent_id",
         element_at(VectorFunctions.nearestCells(spark, unitMaybeRot,
@@ -913,12 +929,24 @@ object Ann {
     assigned.withColumn("pqcode", array(codeCols: _*))
       .select(col("vec_id"), col("cent_id"), col("pqcode"), col("embedding"))
       .orderBy(col("cent_id"), col("vec_id"))
+  }
+
+  /** Append new vectors to a persisted IVF-PQ index: assign to the FROZEN
+    * coarse cells, encode residuals with the FROZEN sidecar codebooks
+    * (and rotation, if the index is OPQ-built) and append into the hive
+    * cell layout, sorted by vec_id within the appended files so point-read
+    * pruning holds. Same frozen-fit contract as [[appendToIvfIndex]] /
+    * [[appendToPqIndex]]: heavy drift degrades probe recall — rebuild via
+    * [[buildIvfPqIndex]] when the recall gate says so, and compact
+    * (`clusterBy vec_id`) when appends fragment the cells. */
+  def appendToIvfPqIndex(spark: SparkSession, newVectors: DataFrame,
+      dir: String): Unit = {
+    val centroids = loadIvfCentroids(dir)
+    val codebooks = loadPqCodebooks(dir)
+    encodeIvfPq(spark, newVectors, centroids, codebooks,
+        loadOpqRotation(dir).orNull)
       .write.format("strawboat").option("partitionBy", "cent_id")
-      .mode("overwrite").save(dir)
-    writeCentroidsTo(graft.spark.StrawIO.fs(dir),
-      new org.apache.hadoop.fs.Path(dir, CentroidsFile), centroids)
-    writePqCodebooks(dir, codebooks)
-    if (rot != null) writeOpqRotation(dir, rot)
+      .mode("append").save(dir)
   }
 
   /** Probe a persisted IVF-PQ index: queries assign to their `nProbe`

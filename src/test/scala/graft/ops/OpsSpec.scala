@@ -185,7 +185,10 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // merge across cells — rewrites never cross partition directories) is
     // a no-op, and the pruned probe still skips unprobed cells' footers
     val dir2 = java.nio.file.Files.createTempDirectory("ivfpqcompact").toString + "/index"
-    Ann.buildIvfPqIndex(spark, batch(0 until 1200), dir2, 16, nCentroids = 4,
+    val base2 = batch(0 until 1200) // batch() consumes the shared rnd:
+    // materialize each frame ONCE and reuse (re-calling with the same
+    // range would yield different jitter)
+    Ann.buildIvfPqIndex(spark, base2, dir2, 16, nCentroids = 4,
       m = 4, nCodes = 16)
     val b2 = rows(Ann.ivfPqTopK(spark, dir2, queries, 5, nProbe = 4, shortlist = 80))
     graft.spark.StrawCompaction.compact(spark, dir2, clusterBy = Seq("vec_id"))
@@ -201,6 +204,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val loads = graft.spark.FooterCache.loads.get() - c0
     assert(loads < totalFiles,
       s"pruned probe loaded $loads footers of $totalFiles files")
+
+    // IVF-PQ append with FROZEN centroids + codebooks: the grown index
+    // ranks the full corpus exactly with a covering shortlist (frozen-fit
+    // contract of appendToIvfIndex/appendToPqIndex), cells stay hive-laid
+    val extra2 = batch(1200 until 1360)
+    Ann.appendToIvfPqIndex(spark, extra2, dir2)
+    val exactAll = rows(Ann.bruteForceTopK(spark, base2.unionAll(extra2), queries, 5))
+    val grown = rows(Ann.ivfPqTopK(spark, dir2, queries, 5, nProbe = 4,
+      shortlist = 400))
+    assert(grown == exactAll, "append-grown IVF-PQ must rank the full corpus")
+    assert(new java.io.File(dir2).listFiles
+      .count(f => f.isDirectory && f.getName.startsWith("cent_id=")) >= 4)
+    // and a clustered compaction of the now-fragmented cells preserves it
+    val res2 = graft.spark.StrawCompaction.compact(spark, dir2,
+      clusterBy = Seq("vec_id"))
+    assert(res2.inputFiles > 0, "append should have fragmented the cells")
+    val grown2 = rows(Ann.ivfPqTopK(spark, dir2, queries, 5, nProbe = 4,
+      shortlist = 400))
+    assert(grown2 == grown, "compaction changed the grown index's results")
   }
 
   test("PQ rerank wide-batch path: >1000 candidate ids fall back to the " +
