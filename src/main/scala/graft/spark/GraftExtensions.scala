@@ -779,6 +779,171 @@ object StrawSqlSurface {
       .queryExecution.analyzed
   }
 
+  val IndexName = "straw_index"
+  val IndexAppendName = "straw_index_append"
+
+  private def indexSchema: Seq[AttributeReference] = Seq(
+    AttributeReference("kind", StringType, nullable = false)(),
+    AttributeReference("rows_indexed", LongType, nullable = false)(),
+    AttributeReference("index_dir", StringType, nullable = false)())
+
+  // one-shot guard like [[compacted]]: an index build is a distributed
+  // rewrite — re-actioning the same query must not rebuild
+  private val indexed = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String, String), Long]()
+
+  private def parseOpts(s: String, what: String): Map[String, String] =
+    s.split(',').map(_.trim).filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      require(i > 0, s"$what: options are 'k=v,k=v', got '$kv'")
+      kv.take(i).trim.toLowerCase -> kv.drop(i + 1).trim
+    }.toMap
+
+  /** `straw_index('<source table>', '<index dir>', '<kind>'[, '<options>'])`:
+    * build a persisted retrieval index over a strawboat table from plain
+    * SQL — the missing write half of the straw_bm25/straw_knn query
+    * surface. `kind` ∈ `ivf` | `pq` | `ivfpq` | `lexical`; options are
+    * `k=v,k=v`:
+    *
+    *  - vector kinds read (vec_id, embedding); `dim` is REQUIRED;
+    *    `ncentroids` (ivf/ivfpq), `m`, `ncodes` (pq/ivfpq),
+    *    `opq=true` (pq/ivfpq), `seed`, `samplesize` are optional.
+    *  - `lexical` reads (`id`, `text`) columns named by the `id`/`text`
+    *    options (defaults `doc_id`/`text`); `buckets` and
+    *    `positions=true` (phrase support) are optional.
+    *
+    * Runs at EXECUTION time ([[DeferredOpPlan]], the mutating TVFs'
+    * lifecycle) with [[compactBuilder]]'s one-shot replay guard; returns
+    * (kind, rows_indexed, index_dir). Probe the result with `straw_bm25`
+    * / `straw_phrase` / `straw_knn` / `straw_hybrid`. */
+  def indexBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 3 && args.length <= 4 && args.forall(a =>
+        a.foldable && a.dataType == StringType),
+      s"$IndexName expects (source table, index dir, kind[, options]) strings")
+    val empty = org.apache.spark.sql.catalyst.InternalRow.empty
+    val Seq(srcArg, dirArg, kindArg) = args.take(3).map(_.eval(empty))
+    require(srcArg != null && dirArg != null && kindArg != null,
+      s"$IndexName: arguments must not be null")
+    val optStr = args.drop(3).headOption.map { e =>
+      val v = e.eval(empty)
+      require(v != null, s"$IndexName: options must not be null")
+      v.toString
+    }.getOrElse("")
+    val opts = parseOpts(optStr, IndexName)
+    val kind = kindArg.toString.toLowerCase
+    require(Seq("ivf", "pq", "ivfpq", "lexical").contains(kind),
+      s"$IndexName: kind must be ivf | pq | ivfpq | lexical, got '$kind'")
+    val knownKeys = kind match {
+      case "lexical" => Set("id", "text", "buckets", "positions")
+      case "ivf" => Set("dim", "ncentroids", "seed", "samplesize")
+      case "pq" => Set("dim", "m", "ncodes", "opq", "seed", "samplesize")
+      case _ => Set("dim", "ncentroids", "m", "ncodes", "opq", "seed", "samplesize")
+    }
+    val unknown = opts.keySet -- knownKeys
+    require(unknown.isEmpty,
+      s"$IndexName($kind): unknown option(s) ${unknown.mkString(", ")} — " +
+        s"supported: ${knownKeys.toSeq.sorted.mkString(", ")}")
+    def intOpt(k: String, dflt: Int): Int = opts.get(k).map(_.toInt).getOrElse(dflt)
+    require(kind == "lexical" || opts.contains("dim"),
+      s"$IndexName($kind): option dim=<embedding length> is required")
+    val src = resolveDir(srcArg.toString)
+    val dir = resolveDir(dirArg.toString)
+    DeferredOpPlan(IndexName, indexSchema, () => {
+      val n = indexed.computeIfAbsent((src, dir, kind, optStr), { _ =>
+        val s = org.apache.spark.sql.SparkSession.active
+        val source = s.read.format("strawboat").load(src)
+        kind match {
+          case "lexical" =>
+            graft.ops.Search.buildLexicalIndex(source,
+              opts.getOrElse("id", "doc_id"), opts.getOrElse("text", "text"),
+              dir, buckets = intOpt("buckets", 64),
+              positions = opts.get("positions").exists(_.toBoolean))
+          case "ivf" =>
+            graft.ops.Ann.buildIvfIndex(s, source, dir, opts("dim").toInt,
+              nCentroids = intOpt("ncentroids", 16),
+              seed = intOpt("seed", 7).toLong,
+              sampleSize = intOpt("samplesize", 1024)): Unit
+          case "pq" =>
+            graft.ops.Ann.buildPqIndex(s, source, dir, opts("dim").toInt,
+              m = intOpt("m", 16), nCodes = intOpt("ncodes", 64),
+              seed = intOpt("seed", 7).toLong,
+              sampleSize = intOpt("samplesize", 1024),
+              opq = opts.get("opq").exists(_.toBoolean)): Unit
+          case _ =>
+            graft.ops.Ann.buildIvfPqIndex(s, source, dir, opts("dim").toInt,
+              nCentroids = intOpt("ncentroids", 16), m = intOpt("m", 16),
+              nCodes = intOpt("ncodes", 64), seed = intOpt("seed", 7).toLong,
+              sampleSize = intOpt("samplesize", 1024),
+              opq = opts.get("opq").exists(_.toBoolean))
+        }
+        source.count()
+      })
+      Seq(org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(kind), n,
+        org.apache.spark.unsafe.types.UTF8String.fromString(dir)))
+    })
+  }
+
+  /** `straw_index_append('<source table>', '<index dir>'[, '<options>'])`:
+    * incrementally index new rows into an EXISTING [[indexBuilder]]
+    * directory, dispatching on its sidecars (`_ivf_centroids` +
+    * `_pq_codebooks` → ivfpq; `_pq_codebooks` → pq; `_ivf_centroids` →
+    * ivf; a `postings/` subdirectory → lexical, with the same `id`/`text`
+    * options). The frozen-fit contract of the Scala appends applies:
+    * quantizers/codebooks/rotation stay as built — rebuild via
+    * [[indexBuilder]] when the recall gates say so. Deferred + replay-
+    * guarded like [[indexBuilder]]. */
+  def indexAppendBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 2 && args.length <= 3 && args.forall(a =>
+        a.foldable && a.dataType == StringType),
+      s"$IndexAppendName expects (source table, index dir[, options]) strings")
+    val empty = org.apache.spark.sql.catalyst.InternalRow.empty
+    val Seq(srcArg, dirArg) = args.take(2).map(_.eval(empty))
+    require(srcArg != null && dirArg != null,
+      s"$IndexAppendName: arguments must not be null")
+    val optStr = args.drop(2).headOption.map { e =>
+      val v = e.eval(empty)
+      require(v != null, s"$IndexAppendName: options must not be null")
+      v.toString
+    }.getOrElse("")
+    val opts = parseOpts(optStr, IndexAppendName)
+    val unknown = opts.keySet -- Set("id", "text")
+    require(unknown.isEmpty,
+      s"$IndexAppendName: unknown option(s) ${unknown.mkString(", ")} — " +
+        "supported: id, text (lexical only)")
+    val src = resolveDir(srcArg.toString)
+    val dir = resolveDir(dirArg.toString)
+    // sidecar dispatch at analysis time (bounded metadata probes)
+    val fs = StrawIO.fs(dir)
+    def at(n: String) = fs.exists(new org.apache.hadoop.fs.Path(dir, n))
+    val kind =
+      if (at("_pq_codebooks") && at("_ivf_centroids")) "ivfpq"
+      else if (at("_pq_codebooks")) "pq"
+      else if (at("_ivf_centroids")) "ivf"
+      else if (at("postings")) "lexical"
+      else throw new IllegalArgumentException(
+        s"$IndexAppendName: $dir carries no index sidecars — not a " +
+          s"$IndexName directory")
+    DeferredOpPlan(IndexAppendName, indexSchema, () => {
+      val n = indexed.computeIfAbsent((src, dir, s"append-$kind", optStr), { _ =>
+        val s = org.apache.spark.sql.SparkSession.active
+        val source = s.read.format("strawboat").load(src)
+        kind match {
+          case "lexical" =>
+            graft.ops.Search.appendToLexicalIndex(source,
+              opts.getOrElse("id", "doc_id"), opts.getOrElse("text", "text"), dir)
+          case "ivf" => graft.ops.Ann.appendToIvfIndex(s, source, dir)
+          case "pq" => graft.ops.Ann.appendToPqIndex(s, source, dir)
+          case _ => graft.ops.Ann.appendToIvfPqIndex(s, source, dir)
+        }
+        source.count()
+      })
+      Seq(org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(kind), n,
+        org.apache.spark.unsafe.types.UTF8String.fromString(dir)))
+    })
+  }
+
   val AddConstraintName = "straw_add_constraint"
   val DropConstraintName = "straw_drop_constraint"
 
@@ -915,6 +1080,14 @@ object StrawSqlSurface {
       FunctionIdentifier(TemperatureName),
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName, TemperatureName),
       temperatureBuilder _)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier(IndexName),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName, IndexName),
+      indexBuilder _)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier(IndexAppendName),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName, IndexAppendName),
+      indexAppendBuilder _)
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier(AddConstraintName),
       new ExpressionInfo(classOf[StrawConstraints.Constraint].getName, AddConstraintName),
@@ -1053,6 +1226,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName,
         StrawSqlSurface.TemperatureName),
       StrawSqlSurface.temperatureBuilder _))
+    extensions.injectTableFunction((
+      FunctionIdentifier(StrawSqlSurface.IndexName),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName,
+        StrawSqlSurface.IndexName),
+      StrawSqlSurface.indexBuilder _))
+    extensions.injectTableFunction((
+      FunctionIdentifier(StrawSqlSurface.IndexAppendName),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName,
+        StrawSqlSurface.IndexAppendName),
+      StrawSqlSurface.indexAppendBuilder _))
     // the mutating TVFs above defer their side effect to execution time
     // through [[DeferredOpPlan]] — plan it
     extensions.injectPlannerStrategy(_ => DeferredOpStrategy)

@@ -510,6 +510,79 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (e.getCause != null && e.getCause.getMessage.contains("straw_knn")))
   }
 
+  test("straw_index builds and appends every index kind from plain SQL") {
+    val ss = spark
+    import ss.implicits._
+    def msgs(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .flatMap(x => Option(x.getMessage)).toSeq
+    val base = java.nio.file.Files.createTempDirectory("ext_index").toString
+    // corpora as strawboat tables (the TVF reads strawboat sources)
+    val docs = Seq(
+      (1L, "spark joins shuffle data"), (2L, "spark broadcast joins are fast"),
+      (3L, "lexical retrieval with bm25"), (4L, "vectors use cosine"))
+      .toDF("doc_id", "text")
+    docs.write.format("strawboat").mode("append").save(s"$base/docs")
+    val rnd = new scala.util.Random(9)
+    val centers = Array.tabulate(4, 16)((c, i) => if (i / 4 == c) 8.0f else 0.0f)
+    def vecs(ids: Range) = ids.map { id =>
+      (id.toLong, centers(id % 4).map(x => x + (rnd.nextFloat() - 0.5f) * 0.4f))
+    }.toDF("vec_id", "embedding")
+    vecs(0 until 400).write.format("strawboat").mode("append").save(s"$base/vecs")
+    vecs(400 until 460).write.format("strawboat").mode("append").save(s"$base/vecs2")
+
+    // lexical: build via SQL, probe via straw_bm25
+    val lexRow = spark.sql(
+      s"SELECT * FROM straw_index('$base/docs', '$base/lex', 'lexical')")
+      .collect()(0)
+    assert(lexRow.getString(0) == "lexical" && lexRow.getLong(1) == 4)
+    val hits = spark.sql(
+      s"SELECT * FROM straw_bm25('$base/lex', 'spark joins', 2)").collect()
+    assert(hits.length == 2 && hits.map(_.getLong(0)).toSet == Set(1L, 2L))
+
+    // ivf: build + probe + SQL append; the grown index serves the new ids
+    spark.sql(s"""SELECT * FROM straw_index('$base/vecs', '$base/ivf', 'ivf',
+      'dim=16,ncentroids=4')""").collect()
+    val qvec = s"array(${(0 until 16).map(i => if (i < 4) "8.0D" else "0.0D").mkString(", ")})"
+    val knn = spark.sql(
+      s"SELECT * FROM straw_knn('$base/ivf', $qvec, 5, 4)").collect()
+    assert(knn.length == 5 && knn.forall(_.getLong(0) % 4 == 0))
+    val app = spark.sql(
+      s"SELECT * FROM straw_index_append('$base/vecs2', '$base/ivf')").collect()(0)
+    assert(app.getString(0) == "ivf" && app.getLong(1) == 60)
+    val knn2 = spark.sql(
+      s"SELECT * FROM straw_knn('$base/ivf', $qvec, 100, 4)").collect()
+    assert(knn2.exists(_.getLong(0) >= 400L), "appended vectors must be probeable")
+
+    // ivfpq with OPQ: build via SQL, probe via the deferred straw_knn tier
+    spark.sql(s"""SELECT * FROM straw_index('$base/vecs', '$base/ivfpq',
+      'ivfpq', 'dim=16,ncentroids=4,m=4,ncodes=16,opq=true')""").collect()
+    assert(new java.io.File(s"$base/ivfpq", "_opq_rotation").exists())
+    val pqknn = spark.sql(
+      s"SELECT * FROM straw_knn('$base/ivfpq', $qvec, 5, 4)").collect()
+    assert(pqknn.length == 5 && pqknn.forall(_.getLong(0) % 4 == 0))
+
+    // deferred: EXPLAIN builds nothing
+    val probe = s"$base/never"
+    spark.sql(s"EXPLAIN SELECT * FROM straw_index('$base/vecs', '$probe', " +
+      "'ivf', 'dim=16')").collect()
+    assert(!new java.io.File(probe).exists(), "EXPLAIN must not build")
+
+    // loud validation: bad kind, missing dim, unknown option, non-index append
+    val e1 = intercept[Exception](spark.sql(
+      s"SELECT * FROM straw_index('$base/vecs', '$base/x', 'hnsw')").collect())
+    assert(msgs(e1).exists(_.contains("kind must be")))
+    val e2 = intercept[Exception](spark.sql(
+      s"SELECT * FROM straw_index('$base/vecs', '$base/x', 'pq')").collect())
+    assert(msgs(e2).exists(_.contains("dim=")))
+    val e3 = intercept[Exception](spark.sql(
+      s"SELECT * FROM straw_index('$base/vecs', '$base/x', 'ivf', 'dim=16,bogus=1')").collect())
+    assert(msgs(e3).exists(_.contains("unknown option")))
+    val e4 = intercept[Exception](spark.sql(
+      s"SELECT * FROM straw_index_append('$base/vecs2', '$base/docs')").collect())
+    assert(msgs(e4).exists(_.contains("no index sidecars")))
+  }
+
   test("straw_knn serves the PQ and IVF-PQ tiers (deferred execution)") {
     val ss = spark
     import ss.implicits._
