@@ -68,7 +68,12 @@ object Bench {
     // round 15: LM perplexity quality filter (corpus-trained bigram model:
     // tokenize→window→aggs→joins) and the real-pixel multimodal decode
     // (mapPartitions imageio over stored binary pages)
-    "q_quality_lm", "q_multimodal_decode")
+    "q_quality_lm", "q_multimodal_decode",
+    // round 16: temporal joins — the join-free as-of sweep (one key
+    // shuffle + window) and the bin-bucketed interval join (equi-join on
+    // bin ids, no cartesian). NOTE for round-over-round totals: both
+    // entries are NEW in round 16.
+    "q_asof_join", "q_range_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -439,6 +439,63 @@ object SparkEntry {
         .agg(round(sum(col("l.l_extendedprice") * (lit(1) - col("l.l_discount"))), 2).as("revenue"))
         .orderBy(col("n_name"))
     }),
+    // --- temporal joins: as-of + interval (join-free rewrites) ------------
+    // attribution: each purchase joined to the user's latest prior click —
+    // pandas merge_asof / DuckDB ASOF JOIN semantics, planned as one
+    // key-shuffle + window sweep (no inequality join, no row blow-up)
+    "q_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("click_id"), col("value").as("c_value"))
+      graft.ops.TemporalJoin.asofJoin(purchases, clicks,
+          leftKey = "user_id", rightKey = "c_user",
+          leftTime = "ts", rightTime = "c_ts",
+          rightValues = Seq("click_id", "c_value"), rightTieBreak = "click_id")
+        .select(col("purchase_id"), col("user_id"), col("click_id"),
+          round(col("c_value"), 2).as("click_value"))
+        .orderBy(col("purchase_id"))
+    }),
+    // conversion: each click joined to the user's NEXT purchase within 3
+    // days (forward direction + tolerance)
+    "q_asof_forward" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"), col("value").as("p_value"))
+      graft.ops.TemporalJoin.asofJoin(clicks, purchases,
+          leftKey = "user_id", rightKey = "p_user",
+          leftTime = "ts", rightTime = "p_ts",
+          rightValues = Seq("purchase_id", "p_value"),
+          rightTieBreak = "purchase_id", direction = "forward",
+          tolerance = Some(expr("INTERVAL '3' DAY")))
+        .select(col("click_id"), col("user_id"), col("purchase_id"),
+          round(col("p_value"), 2).as("purchase_value"))
+        .orderBy(col("click_id"))
+    }),
+    // incident blast-radius: events within ±90min of each high-value error,
+    // joined WITHOUT an equality key via time-bin bucketing (equi-join on
+    // the bin id — no cartesian / broadcast-nested-loop)
+    "q_range_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val incidents = ev
+        .filter(col("event_type") === "error" && col("value") > 200)
+        .select(col("event_id").as("incident_id"),
+          (col("ts") - expr("INTERVAL '90' MINUTE")).as("lo"),
+          (col("ts") + expr("INTERVAL '90' MINUTE")).as("hi"))
+      val pts = ev.select(col("event_id").as("e_id"), col("ts").as("e_ts"),
+        col("value").as("e_value"))
+      graft.ops.TemporalJoin.rangeJoin(incidents, "lo", "hi", pts, "e_ts",
+          binWidth = 90L * 60 * 1000000)
+        .groupBy(col("incident_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("e_value")), 2).as("sum_value"))
+        .orderBy(col("incident_id"))
+    }),
     // --- window functions (§2.9) -----------------------------------------
     "q_window_rank" -> ((s, d) => {
       val w = Window.partitionBy(col("o_orderstatus"))
@@ -2051,6 +2108,38 @@ object SparkEntry {
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
         |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // as-of backward: latest prior click per purchase; ties at equal ts
+    // resolve to the greatest event_id (the operator's tie-break column)
+    "q_asof_join" ->
+      """SELECT purchase_id, user_id, click_id, click_value FROM (
+        |  SELECT p.event_id AS purchase_id, p.user_id,
+        |    c.event_id AS click_id, round(c.value, 2) AS click_value,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM events p JOIN events c
+        |    ON c.user_id = p.user_id AND c.ts <= p.ts
+        |  WHERE p.event_type = 'purchase' AND c.event_type = 'click')
+        |WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+    // as-of forward + tolerance: next purchase within 3 days of each click
+    "q_asof_forward" ->
+      """SELECT click_id, user_id, purchase_id, purchase_value FROM (
+        |  SELECT c.event_id AS click_id, c.user_id,
+        |    p.event_id AS purchase_id, round(p.value, 2) AS purchase_value,
+        |    row_number() OVER (PARTITION BY c.event_id
+        |      ORDER BY p.ts ASC, p.event_id DESC) AS rn
+        |  FROM events c JOIN events p
+        |    ON p.user_id = c.user_id AND p.ts >= c.ts
+        |      AND p.ts <= c.ts + INTERVAL 3 DAY
+        |  WHERE c.event_type = 'click' AND p.event_type = 'purchase')
+        |WHERE rn = 1 ORDER BY click_id""".stripMargin,
+    "q_range_join" ->
+      """SELECT i.event_id AS incident_id, count(*) AS n_events,
+        |  round(sum(e.value), 2) AS sum_value
+        |FROM events i JOIN events e
+        |  ON e.ts >= i.ts - INTERVAL 90 MINUTE
+        |  AND e.ts <= i.ts + INTERVAL 90 MINUTE
+        |WHERE i.event_type = 'error' AND i.value > 200
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_window_rank" ->
       """SELECT o_orderstatus, rn, o_orderkey, price FROM (

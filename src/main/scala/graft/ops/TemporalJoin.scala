@@ -1,0 +1,194 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+
+/** Time-series joins Spark's built-in operators can't express without an
+  * inequality (theta) join — which Catalyst plans as a per-key cartesian:
+  * O(n·m) comparisons per key and a broadcast-nested-loop fallback when no
+  * equality key exists at all. Both operators here are join-free rewrites
+  * whose cost stays linear in the input:
+  *
+  *  - [[asofJoin]]: the point-in-time "latest reference row at or before
+  *    each probe row" join (pandas `merge_asof`, DuckDB/QuestDB `ASOF
+  *    JOIN`). Implemented as union → one hash shuffle on the key → sorted
+  *    window sweep, so the plan contains NO join node: each row is
+  *    shuffled once and touched once, exactly the lower bound any
+  *    key-partitioned join already pays. Skewed keys split under AQE like
+  *    any other window.
+  *  - [[rangeJoin]]: interval containment WITHOUT an equality key
+  *    (point-in-range). Implemented by bucketing time into fixed bins:
+  *    each interval replicates to the bins it covers, each point lands in
+  *    exactly one bin, and the match becomes an equi-join on the bin id
+  *    that Catalyst shuffles hash-partitioned — no cartesian, no
+  *    broadcast-nested-loop. Each qualifying pair is emitted exactly once.
+  *
+  * Neither has a reference analog (the reference is a storage format;
+  * its query surface has no temporal joins) — these are the Spark-first
+  * designs for the two classic time-series shapes.
+  */
+object TemporalJoin {
+
+  /** As-of join: for every row of `left`, attach the single `right` row
+    * with the same key whose time is the nearest at-or-before
+    * (`direction = "backward"`, the default), at-or-after (`"forward"`),
+    * or closest on either side (`"nearest"`, ties prefer backward).
+    *
+    * Output: every `left` column, plus `rightTime` and `rightValues`
+    * (prefixed with `rightPrefix`) from the matched row — null when no
+    * match and `joinType = "left"`; unmatched rows are dropped under
+    * `"inner"` (the default).
+    *
+    * @param rightTieBreak right column ordering duplicates at the same
+    *   (key, time) — the row with the GREATEST tie-break wins; pass a
+    *   unique column for deterministic results.
+    * @param allowExactMatches when false, a right row at exactly the
+    *   probe time does not match (strictly-before / strictly-after).
+    * @param tolerance max separation between the probe and the matched
+    *   row: an interval literal (e.g. `expr("INTERVAL '90' MINUTE")`)
+    *   for timestamp time columns, a numeric for numeric ones. Matches
+    *   farther away are treated as no-match.
+    *
+    * Scale shape: one Exchange on the key (what any join on that key
+    * costs), a per-partition sort, zero join nodes, zero row
+    * amplification. `"nearest"` adds a second sort (opposite direction)
+    * over the same shuffle, not a second shuffle.
+    */
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightValues: Seq[String],
+      rightTieBreak: String,
+      direction: String = "backward",
+      allowExactMatches: Boolean = true,
+      tolerance: Option[Column] = None,
+      joinType: String = "inner",
+      rightPrefix: String = ""): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got $direction")
+    require(Set("inner", "left")(joinType),
+      s"joinType must be inner|left, got $joinType")
+    val refNames = (rightTime +: rightValues).distinct
+    val outRefNames = refNames.map(rightPrefix + _)
+    val clash = left.columns.toSet.intersect(outRefNames.toSet)
+    require(clash.isEmpty,
+      s"right columns collide with left after prefixing: ${clash.mkString(",")}; " +
+        "pass rightPrefix or rename")
+
+    // Traversal order is by time (asc for backward, desc for forward); the
+    // side tag decides whether a right row at the probe's exact time is
+    // already visible when the probe is reached.
+    val (leftSide, rightSide) = if (allowExactMatches) (1, 0) else (0, 1)
+    val refType = right.select(refNames.map(col): _*).schema
+    val leftType = left.schema
+    val tbType = right.schema(rightTieBreak).dataType
+
+    val lTagged = left.select(
+      left(leftKey).as("__k"), left(leftTime).as("__t"),
+      lit(leftSide).as("__side"), lit(null).cast(tbType).as("__tb"),
+      struct(left.columns.map(left(_)): _*).as("__l"),
+      lit(null).cast(refType).as("__r"))
+    val rTagged = right.select(
+      right(rightKey).as("__k"), right(rightTime).as("__t"),
+      lit(rightSide).as("__side"), right(rightTieBreak).as("__tb"),
+      lit(null).cast(leftType).as("__l"),
+      struct(refNames.map(n => right(n).as(n)): _*).as("__r"))
+    val all = lTagged.unionByName(rTagged)
+
+    def sweep(forward: Boolean): Column = {
+      val t = if (forward) col("__t").desc else col("__t").asc
+      val w = Window.partitionBy(col("__k"))
+        .orderBy(t, col("__side").asc, col("__tb").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      last(col("__r"), ignoreNulls = true).over(w)
+    }
+    // gap is non-negative by construction; timestamp subtraction yields a
+    // day-time interval, numeric subtraction a numeric — both compare
+    // against the caller's tolerance directly.
+    def gap(ref: Column, forward: Boolean): Column =
+      if (forward) ref.getField(rightTime) - col("__t")
+      else col("__t") - ref.getField(rightTime)
+
+    val picked = direction match {
+      case "backward" => all.withColumn("__ref", sweep(forward = false))
+        .withColumn("__gap", gap(col("__ref"), forward = false))
+      case "forward" => all.withColumn("__ref", sweep(forward = true))
+        .withColumn("__gap", gap(col("__ref"), forward = true))
+      case "nearest" =>
+        val both = all
+          .withColumn("__rb", sweep(forward = false))
+          .withColumn("__rf", sweep(forward = true))
+          .withColumn("__gb", gap(col("__rb"), forward = false))
+          .withColumn("__gf", gap(col("__rf"), forward = true))
+        both.withColumn("__ref",
+            when(col("__rb").isNull, col("__rf"))
+              .when(col("__rf").isNull, col("__rb"))
+              .when(col("__gf") < col("__gb"), col("__rf"))
+              .otherwise(col("__rb")))
+          .withColumn("__gap",
+            when(col("__ref").isNull, lit(null))
+              .when(col("__gf") < col("__gb"), col("__gf"))
+              .otherwise(coalesce(col("__gb"), col("__gf"))))
+          .drop("__rb", "__rf", "__gb", "__gf")
+    }
+
+    val within = tolerance.map(tol => col("__gap") <= tol).getOrElse(lit(true))
+    val gated = picked.withColumn("__ref",
+      when(col("__ref").isNotNull && within, col("__ref")))
+    val probes = gated.filter(col("__side") === leftSide)
+    val matched =
+      if (joinType == "inner") probes.filter(col("__ref").isNotNull) else probes
+    matched.select(
+      left.columns.map(n => col("__l").getField(n).as(n)) ++
+        refNames.map(n => col("__ref").getField(n).as(rightPrefix + n)): _*)
+  }
+
+  /** Interval-containment join with no equality key: every (interval,
+    * point) pair with `low <= point <= high`, each emitted exactly once.
+    * `intervals` and `points` column names must be disjoint (rename
+    * first); rows with a null bound or point never match.
+    *
+    * @param binWidth bucket size in the time column's own units —
+    *   MICROSECONDS for timestamp columns, plain units for numerics.
+    *   Each interval replicates to `span/binWidth + 1` bins (each point
+    *   to exactly one), so pick it near the typical interval span: the
+    *   replication stays a small constant and the equi-join on the bin
+    *   id carries all the pruning.
+    * @param extraKeys optional (intervalCol, pointCol) equality pairs
+    *   folded into the join key.
+    */
+  def rangeJoin(
+      intervals: DataFrame, low: String, high: String,
+      points: DataFrame, point: String,
+      binWidth: Long,
+      extraKeys: Seq[(String, String)] = Nil): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val clash = intervals.columns.toSet.intersect(points.columns.toSet)
+    require(clash.isEmpty,
+      s"interval/point column names must be disjoint, got: ${clash.mkString(",")}")
+
+    def bin(df: DataFrame, name: String): Column = {
+      val c = df(name)
+      val num = df.schema(name).dataType match {
+        // NTZ → TZ interprets in the session zone; both sides convert
+        // identically and the exact filter compares the ORIGINAL columns,
+        // so the zone choice can't change results
+        case TimestampType | TimestampNTZType => unix_micros(c.cast(TimestampType))
+        case _ => c
+      }
+      floor(num / binWidth).cast("long")
+    }
+    val iv = intervals.withColumn("__bin",
+      explode(sequence(bin(intervals, low), bin(intervals, high))))
+    val pt = points.withColumn("__bin", bin(points, point))
+    val cond = extraKeys.foldLeft(iv("__bin") === pt("__bin")) {
+      case (acc, (ik, pk)) => acc && iv(ik) === pt(pk)
+    }
+    iv.join(pt, cond)
+      .filter(points(point) >= intervals(low) && points(point) <= intervals(high))
+      .drop("__bin")
+  }
+}

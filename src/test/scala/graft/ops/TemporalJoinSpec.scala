@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** As-of / range join semantics vs plain-Scala brute force, plus the plan
+  * shapes the operators exist for (no join node / no cartesian).
+  */
+class TemporalJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // deterministic pseudo-random fixtures (no Random: reproducible)
+  private def probes: Seq[(Long, Long, Long)] = // (id, key, t)
+    (0L until 200L).map(i => (i, i % 7, (i * 37 + 11) % 500))
+  private def refs: Seq[(Long, Long, Long, Double)] = // (rid, key, t, v)
+    (0L until 300L).map(i => (i, i % 9, (i * 53 + 3) % 500, i * 0.5))
+
+  private def probeDf: DataFrame = {
+    val sp = spark; import sp.implicits._
+    probes.toDF("id", "k", "t")
+  }
+  private def refDf: DataFrame = {
+    val sp = spark; import sp.implicits._
+    refs.toDF("rid", "rk", "rt", "rv")
+  }
+
+  /** Brute-force as-of: nearest by |Δ| with the direction filter, greatest
+    * rid on (t, direction-rank) ties, None when nothing qualifies. */
+  private def expect(direction: String, allowExact: Boolean,
+      tol: Option[Long]): Map[Long, Option[Long]] =
+    probes.map { case (id, k, t) =>
+      val cands = refs.filter(_._2 == k).filter { case (_, _, rt, _) =>
+        direction match {
+          case "backward" => if (allowExact) rt <= t else rt < t
+          case "forward" => if (allowExact) rt >= t else rt > t
+          case "nearest" => if (allowExact) true else rt != t
+        }
+      }.filter { case (_, _, rt, _) => tol.forall(x => math.abs(rt - t) <= x) }
+      val best = direction match {
+        case "backward" => cands.sortBy { case (rid, _, rt, _) => (-rt, -rid) }.headOption
+        case "forward" => cands.sortBy { case (rid, _, rt, _) => (rt, -rid) }.headOption
+        case "nearest" => cands.sortBy { case (rid, _, rt, _) =>
+          // min |Δ|; backward preferred on cross-direction ties; greatest rid
+          (math.abs(rt - t), if (rt <= t) 0L else 1L, -rid)
+        }.headOption
+      }
+      id -> best.map(_._1)
+    }.toMap
+
+  private def run(direction: String, allowExact: Boolean = true,
+      tol: Option[Long] = None, joinType: String = "inner"): Map[Long, Option[Long]] =
+    TemporalJoin.asofJoin(probeDf, refDf, "k", "rk", "t", "rt",
+        rightValues = Seq("rid", "rv"), rightTieBreak = "rid",
+        direction = direction, allowExactMatches = allowExact,
+        tolerance = tol.map(lit(_)), joinType = joinType)
+      .select("id", "rid").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+
+  test("backward == brute force (inner drops unmatched)") {
+    val exp = expect("backward", allowExact = true, None)
+    val got = run("backward")
+    assert(got == exp.collect { case (id, Some(r)) => id -> Option(r) })
+    assert(exp.values.exists(_.isEmpty), "fixture should have unmatched probes")
+  }
+
+  test("left join keeps unmatched probes with null refs") {
+    val exp = expect("backward", allowExact = true, None)
+    val got = run("backward", joinType = "left")
+    assert(got == exp)
+  }
+
+  test("forward and nearest, with and without exact matches") {
+    for (dir <- Seq("forward", "nearest"); exact <- Seq(true, false)) {
+      val exp = expect(dir, exact, None).collect { case (id, Some(r)) => id -> Option(r) }
+      assert(run(dir, allowExact = exact) == exp, s"dir=$dir exact=$exact")
+    }
+    // the fixtures contain exact-time collisions, so allowExact matters
+    assert(expect("backward", allowExact = true, None) !=
+      expect("backward", allowExact = false, None))
+  }
+
+  test("tolerance gates far matches; nearest respects it") {
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val exp = expect(dir, allowExact = true, Some(5L))
+        .collect { case (id, Some(r)) => id -> Option(r) }
+      assert(run(dir, tol = Some(5L)) == exp, s"dir=$dir")
+      assert(exp.size < expect(dir, allowExact = true, None)
+        .count(_._2.isDefined), s"tolerance should drop some matches, dir=$dir")
+    }
+  }
+
+  test("duplicate (key, time) reference rows pick the greatest tie-break") {
+    val sp = spark; import sp.implicits._
+    val l = Seq((1L, 1L, 100L)).toDF("id", "k", "t")
+    val r = Seq((10L, 1L, 90L, 1.0), (11L, 1L, 90L, 2.0), (9L, 1L, 90L, 3.0))
+      .toDF("rid", "rk", "rt", "rv")
+    val got = TemporalJoin.asofJoin(l, r, "k", "rk", "t", "rt",
+      Seq("rid"), rightTieBreak = "rid").select("rid").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(11L))
+  }
+
+  test("asof plan has no join node and exactly one shuffle") {
+    val plan = TemporalJoin.asofJoin(probeDf, refDf, "k", "rk", "t", "rt",
+      Seq("rid"), rightTieBreak = "rid", direction = "nearest")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"expected join-free plan:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"expected exactly one Exchange:\n$plan")
+  }
+
+  test("timestamp time columns: gap/tolerance via interval arithmetic") {
+    val sp = spark; import sp.implicits._
+    val l = Seq((1L, 1L, "2024-01-01 10:00:00"), (2L, 1L, "2024-01-01 12:00:00"))
+      .toDF("id", "k", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    val r = Seq((10L, 1L, "2024-01-01 09:30:00"), (20L, 1L, "2024-01-01 08:00:00"))
+      .toDF("rid", "rk", "rts").withColumn("rts", col("rts").cast("timestamp"))
+    val got = TemporalJoin.asofJoin(l, r, "k", "rk", "ts", "rts",
+        Seq("rid"), rightTieBreak = "rid",
+        tolerance = Some(expr("INTERVAL '1' HOUR")), joinType = "left")
+      .select("id", "rid").collect().map(x => (x.getLong(0), Option(x.get(1)))).toMap
+    // probe 1: 09:30 is 30min back (within 1h); probe 2: nearest back is
+    // 09:30, 2.5h away -> out of tolerance -> null
+    assert(got == Map(1L -> Some(10L), 2L -> None))
+  }
+
+  // ---- rangeJoin -------------------------------------------------------
+
+  test("rangeJoin == brute force, each pair exactly once, bin edges included") {
+    val sp = spark; import sp.implicits._
+    val ivs = (0L until 60L).map { i =>
+      val lo = (i * 71 + 5) % 400; (i, lo, lo + (i % 5) * 25)
+    }
+    val pts = (0L until 500L).map(p => (p, (p * 13 + 2) % 450))
+    val ivDf = ivs.toDF("iid", "lo", "hi")
+    val ptDf = pts.toDF("pid", "pt")
+    val expected = (for {
+      (iid, lo, hi) <- ivs; (pid, pt) <- pts if pt >= lo && pt <= hi
+    } yield (iid, pid)).sorted
+    for (width <- Seq(10L, 25L, 100L)) {
+      val got = TemporalJoin.rangeJoin(ivDf, "lo", "hi", ptDf, "pt", width)
+        .select("iid", "pid").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq.sorted
+      assert(got == expected, s"width=$width")
+    }
+    assert(expected.nonEmpty)
+    // multiplicity: exactly once even when an interval spans many bins
+    val once = TemporalJoin.rangeJoin(ivDf, "lo", "hi", ptDf, "pt", 7L)
+      .groupBy("iid", "pid").count().filter(col("count") > 1).count()
+    assert(once == 0L)
+  }
+
+  test("rangeJoin honors extra equality keys and plans a hash join (no cartesian)") {
+    val sp = spark; import sp.implicits._
+    val ivDf = Seq((1L, 0L, 100L, "a"), (2L, 0L, 100L, "b")).toDF("iid", "lo", "hi", "ig")
+    val ptDf = Seq((10L, 50L, "a"), (11L, 50L, "b"), (12L, 50L, "c")).toDF("pid", "pt", "pg")
+    val joined = TemporalJoin.rangeJoin(ivDf, "lo", "hi", ptDf, "pt", 50L,
+      extraKeys = Seq(("ig", "pg")))
+    val got = joined.select("iid", "pid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, 11L)))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+      s"range join must not plan a cartesian:\n$plan")
+  }
+
+  test("rangeJoin rejects colliding names and non-positive widths") {
+    val sp = spark; import sp.implicits._
+    val a = Seq((1L, 2L, 3L)).toDF("x", "lo", "hi")
+    val b = Seq((1L, 2L)).toDF("x", "pt")
+    intercept[IllegalArgumentException] {
+      TemporalJoin.rangeJoin(a, "lo", "hi", b, "pt", 10L)
+    }
+    intercept[IllegalArgumentException] {
+      TemporalJoin.rangeJoin(a.withColumnRenamed("x", "y"), "lo", "hi", b, "pt", 0L)
+    }
+  }
+}
