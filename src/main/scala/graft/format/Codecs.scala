@@ -33,12 +33,21 @@ object Codec {
   // deltas stay tiny, so zigzag+bitpack beats FOR by the ratio of
   // bits(max-min) to bits(2·|maxDelta|).
   val DeltaZigZag = 17
+  // decimal-real floats (ALP, Afroozeh & Boncz 2023): x encoded as the
+  // integer round(x·10^e·10⁻ᶠ) when that digit decodes back bit-exactly;
+  // the digit stream re-enters the integer codec family (FOR/Dict/RLE win
+  // on prices, discounts, rates), non-conforming values (NaN, ±Inf, -0.0,
+  // true reals) are patched from a positional exception list. The shape
+  // Patas misses: decimal-looking doubles have dense mantissas (XOR chains
+  // stay wide) but tiny digit ranges.
+  val Alp = 18
 
   def name(id: Int): String = id match {
     case 0 => "plain"; case 1 => "lz4"; case 2 => "zstd"; case 3 => "snappy"
     case 10 => "rle"; case 11 => "dict"; case 12 => "one_value"
     case 13 => "freq"; case 14 => "bitpack"; case 15 => "delta_bitpack"
-    case 16 => "patas"; case 17 => "delta_zigzag"; case x => s"unknown($x)"
+    case 16 => "patas"; case 17 => "delta_zigzag"; case 18 => "alp"
+    case x => s"unknown($x)"
   }
 }
 
@@ -874,6 +883,189 @@ object IntCodec {
     out
   }
 
+  // ---- ALP (decimal-real floats; Afroozeh & Boncz, "ALP: Adaptive
+  // Lossless floating-Point compression", 2023 — re-derived, original
+  // implementation) -------------------------------------------------------
+
+  // 10^i lookup table. Decode divides by 10^e instead of multiplying by
+  // 10^-e: IEEE division is correctly rounded, so digit/100.0 lands back
+  // on the original decimal's nearest double, where digit·0.01 misses by
+  // an ulp ~13% of the time (measured on cents data) — and every miss
+  // would be an exception. Decode MUST evaluate the exact chain the
+  // encoder's verification did: (digit · 10^f) / 10^e.
+  private val F10: Array[Double] = (0 to 18).map(i => math.pow(10.0, i)).toArray
+  // |x·10^e·10⁻ᶠ| must stay in the range where a double still represents
+  // every integer exactly, else round() is meaningless
+  private val AlpMaxDigit = 1L << 51
+
+  /** The digit for (value, e, f), or Long.MinValue when the value doesn't
+    * survive the round trip bit-exactly (exception). `width` 4 = float
+    * bits in the low 32, 8 = double bits — matching the column writers. */
+  private def alpDigit(bits: Long, e: Int, f: Int, width: Int): Long = {
+    if (width == 4) {
+      val v = java.lang.Float.intBitsToFloat(bits.toInt)
+      val tmp = v.toDouble * F10(e) / F10(f)
+      if (tmp != tmp || tmp >= AlpMaxDigit || tmp <= -AlpMaxDigit) return Long.MinValue
+      val d = Math.round(tmp)
+      val back = (d.toDouble * F10(f) / F10(e)).toFloat
+      if ((java.lang.Float.floatToIntBits(back).toLong & 0xffffffffL) == bits) d
+      else Long.MinValue
+    } else {
+      val v = java.lang.Double.longBitsToDouble(bits)
+      val tmp = v * F10(e) / F10(f)
+      if (tmp != tmp || tmp >= AlpMaxDigit || tmp <= -AlpMaxDigit) return Long.MinValue
+      val d = Math.round(tmp)
+      val back = d.toDouble * F10(f) / F10(e)
+      if (java.lang.Double.doubleToLongBits(back) == bits) d
+      else Long.MinValue
+    }
+  }
+
+  /** Sample indices: four CONTIGUOUS runs of eight spread across the page
+    * (the paper's vector sampling). A strided sample correlates with
+    * arithmetic value patterns — e.g. an even stride over `i/4` data only
+    * ever sees halves and under-selects e — where consecutive runs always
+    * mix residues. */
+  private def alpSampleIdx(n: Int): Array[Int] = {
+    val sampleN = math.min(n, 32)
+    val idx = new Array[Int](sampleN)
+    if (sampleN == n) {
+      var i = 0; while (i < n) { idx(i) = i; i += 1 }
+    } else {
+      val runs = 4; val runLen = sampleN / runs
+      var r = 0; var k = 0
+      while (r < runs) {
+        val base = (n - runLen).toLong * r / (runs - 1)
+        var j = 0
+        while (j < runLen) { idx(k) = base.toInt + j; k += 1; j += 1 }
+        r += 1
+      }
+    }
+    idx
+  }
+
+  /** Pick (e, f) minimizing estimated bits on the mini-run sample: FOR
+    * width of the conforming digits + flat exception cost. Returns
+    * (e, f), or (-1, -1) when nothing conforms. */
+  private def alpSelect(values: Array[Long], n: Int, width: Int): (Int, Int) = {
+    val idx = alpSampleIdx(n)
+    var bestE = -1; var bestF = -1
+    var bestCost = Long.MaxValue
+    var e = 0
+    while (e <= 18) {
+      var f = 0
+      while (f <= e) {
+        var exc = 0; var minD = Long.MaxValue; var maxD = Long.MinValue
+        var k = 0
+        while (k < idx.length) {
+          val d = alpDigit(values(idx(k)), e, f, width)
+          if (d == Long.MinValue) exc += 1
+          else { if (d < minD) minD = d; if (d > maxD) maxD = d }
+          k += 1
+        }
+        val conf = idx.length - exc
+        if (conf > 0 && maxD - minD >= 0) {
+          val bits = BitPacking.bitsNeeded(maxD - minD)
+          val cost = conf.toLong * bits + exc.toLong * (width + 4) * 8
+          // strictly-less keeps the smallest (e, f) on ties: fewer digits,
+          // same size
+          if (cost < bestCost) { bestCost = cost; bestE = e; bestF = f }
+        }
+        f += 1
+      }
+      e += 1
+    }
+    (bestE, bestF)
+  }
+
+  /** Payload: [e:1][f:1][excCount:4][positions:4·exc][rawBits:width·exc]
+    * [digits as a nested integer block]. Exception slots in the digit
+    * stream carry the previous conforming digit so they cost ~nothing. */
+  private def encodeAlp(values: Array[Long], n: Int, width: Int,
+      opts: WriteOptions, out: ByteBuf): Boolean = {
+    var (e, f) = alpSelect(values, n, width)
+    if (e < 0) return false
+    val digits = new Array[Long](n)
+    var excCount = 0
+    var retry = true
+    while (retry) {
+      excCount = 0
+      var i = 0
+      while (i < n) {
+        val d = alpDigit(values(i), e, f, width)
+        if (d == Long.MinValue) excCount += 1
+        digits(i) = d
+        i += 1
+      }
+      // a sample can still under-select precision on mixed-granularity
+      // pages: escalate e (one more decimal digit, exceptions only ever
+      // shrink) until the page conforms or the exponent range runs out
+      retry = excCount.toLong * 2 > n && e < 18
+      if (retry) e += 1
+    }
+    if (excCount.toLong * 2 > n) return false // not a decimal column
+    out.putByte(e); out.putByte(f)
+    out.putInt(excCount)
+    // find the first conforming digit as the filler for leading exceptions
+    var lastGood = 0L
+    var i = 0
+    while (i < n && digits(i) == Long.MinValue) i += 1
+    if (i < n) lastGood = digits(i)
+    // positions (ascending), patching exception slots to the previous
+    // conforming digit so they cost ~nothing in the nested block
+    val excBits = new Array[Long](excCount)
+    var k = 0
+    i = 0
+    while (i < n) {
+      if (digits(i) == Long.MinValue) {
+        out.putInt(i)
+        excBits(k) = values(i); k += 1
+        digits(i) = lastGood
+      } else lastGood = digits(i)
+      i += 1
+    }
+    // raw bits for each exception, in the same position order
+    k = 0
+    while (k < excCount) { putWidth(out, excBits(k), width); k += 1 }
+    // the digit stream re-enters the integer family un-forced (FOR/Dict/
+    // RLE/delta all legal; float-only codecs can't re-fire: floatBits=false)
+    encode(digits, n, 8, opts.copy(forced = None, patasRing = None), 0, out)
+    true
+  }
+
+  private def decodeAlp(in: ByteBuffer, n: Int, width: Int): Array[Long] = {
+    val e = in.get() & 0xff
+    val f = in.get() & 0xff
+    val excCount = in.getInt()
+    val positions = new Array[Int](excCount)
+    var i = 0
+    while (i < excCount) { positions(i) = in.getInt(); i += 1 }
+    val rawBits = new Array[Long](excCount)
+    i = 0
+    while (i < excCount) { rawBits(i) = getWidth(in, width); i += 1 }
+    val digits = decode(in, n, 8)
+    val out = new Array[Long](n)
+    if (width == 4) {
+      i = 0
+      while (i < n) {
+        val back = (digits(i).toDouble * F10(f) / F10(e)).toFloat
+        out(i) = java.lang.Float.floatToIntBits(back).toLong & 0xffffffffL
+        i += 1
+      }
+    } else {
+      val mul = F10(f); val div = F10(e)
+      i = 0
+      while (i < n) {
+        val back = digits(i).toDouble * mul / div
+        out(i) = java.lang.Double.doubleToLongBits(back)
+        i += 1
+      }
+    }
+    i = 0
+    while (i < excCount) { out(positions(i)) = rawBits(i); i += 1 }
+    out
+  }
+
   private def encodeDict(values: Array[Long], n: Int, width: Int, stats: IntStats,
       opts: WriteOptions, out: ByteBuf): Unit = {
     val dictVals = stats.distinctValues
@@ -984,6 +1176,33 @@ object IntCodec {
       encodePatas(values, sampleN, tmp, opts)
       val est = tmp.len.toLong * n / sampleN
       consider(Codec.Patas, est)
+    }
+    // ALP: floats only; (e,f) picked on a 32-value stride sample, then the
+    // exception rate and digit range measured on a wider stride sample.
+    // The nested digit block is estimated at its FOR size — conservative,
+    // since Dict/RLE may beat it on low-cardinality digits.
+    if (floatBits && n >= 64) {
+      val (e, f) = alpSelect(values, n, width)
+      if (e >= 0) {
+        val sampleN = math.min(n, 1024)
+        val step = math.max(1, n / sampleN)
+        var exc = 0; var minD = Long.MaxValue; var maxD = Long.MinValue
+        var i = 0; var seen = 0
+        while (seen < sampleN) {
+          val d = alpDigit(values(i), e, f, width)
+          if (d == Long.MinValue) exc += 1
+          else { if (d < minD) minD = d; if (d > maxD) maxD = d }
+          i += step; seen += 1
+        }
+        val conf = sampleN - exc
+        if (conf > 0 && exc.toLong * 2 <= sampleN && maxD - minD >= 0) {
+          val bits = BitPacking.bitsNeeded(maxD - minD)
+          val excTotal = exc.toLong * n / sampleN
+          val est = 6L + excTotal * (4 + width) + 9L + 9L +
+            BitPacking.packedSize(n, bits)
+          consider(Codec.Alp, est)
+        }
+      }
     }
     if (best >= 0 && rawSize.toDouble / bestSize >= opts.ratio) best else opts.base
   }
@@ -1101,6 +1320,11 @@ object IntCodec {
         else { encodeFreq(values, n, width, stats, opts, out); Codec.Freq }
       case Codec.Patas =>
         encodePatas(values, n, out, effOpts); Codec.Patas
+      case Codec.Alp =>
+        // encodeAlp declines (writing nothing) when no (e,f) conforms or
+        // exceptions would dominate — forced-mode misuse falls back to raw
+        if (floatBits && encodeAlp(values, n, width, effOpts, out)) Codec.Alp
+        else { out.putBytes(rawBytes(values, n, width)); Codec.Plain }
       case common =>
         val raw = rawBytes(values, n, width)
         val comp = CommonCompression.compress(
@@ -1187,6 +1411,8 @@ object IntCodec {
           }
         }
         out
+      case Codec.Alp =>
+        decodeAlp(in, n, width)
       case Codec.Dict =>
         val dictSize = in.getInt()
         val dict = new Array[Long](dictSize)

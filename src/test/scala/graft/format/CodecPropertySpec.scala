@@ -36,7 +36,7 @@ class CodecPropertySpec extends AnyFunSuite {
     pageSize <- Gen.oneOf(64, 257, 1024)
     forced <- Gen.option(Gen.oneOf(Codec.Rle, Codec.Dict, Codec.Freq,
       Codec.BitPack, Codec.DeltaBitPack, Codec.DeltaZigZag,
-      Codec.OneValue, Codec.Patas))
+      Codec.OneValue, Codec.Patas, Codec.Alp))
     patasRing <- Gen.oneOf(None, Some(true), Some(false))
   } yield WriteOptions(base = base, maxPageSize = pageSize, forced = forced,
     patasRing = patasRing)
@@ -63,6 +63,49 @@ class CodecPropertySpec extends AnyFunSuite {
         if (r.isNullAt(0)) None
         else Some(java.lang.Double.doubleToRawLongBits(r.getDouble(0))))
       assert(gotBits == vals.map(_.map(java.lang.Double.doubleToRawLongBits)))
+    }
+  }
+
+  test("decimal-real doubles (ALP's target shape) round trip bit-exactly") {
+    // prices/rates: ints scaled by 10^-k, plus trailing-zero magnitudes and
+    // the non-conforming specials that must travel the exception path
+    val decimal = for {
+      unscaled <- Gen.chooseNum(-2000000L, 2000000L)
+      k <- Gen.oneOf(0, 1, 2, 4)
+    } yield unscaled.toDouble / F10k(k)
+    val special = Gen.oneOf(Double.NaN, -0.0, Double.PositiveInfinity,
+      Double.NegativeInfinity, math.Pi, 1e300, Double.MinPositiveValue)
+    val genD = Gen.frequency(9 -> decimal, 1 -> special)
+    val alpOpts = Gen.oneOf(
+      WriteOptions(forced = Some(Codec.Alp)),
+      WriteOptions(forced = Some(Codec.Alp), maxPageSize = 257),
+      WriteOptions())
+    forAll(Gen.listOf(Gen.option(genD)), alpOpts) { (vals, opts) =>
+      val schema = StructType(Seq(StructField("v", DoubleType)))
+      val rows = vals.map(v => new GenericInternalRow(Array[Any](v.orNull)))
+      val got = roundTrip(schema, rows, opts)
+      val gotBits = got.map(r =>
+        if (r.isNullAt(0)) None
+        else Some(java.lang.Double.doubleToRawLongBits(r.getDouble(0))))
+      assert(gotBits == vals.map(_.map(java.lang.Double.doubleToRawLongBits)))
+    }
+  }
+
+  private def F10k(k: Int): Double = math.pow(10.0, k)
+
+  test("decimal-real floats round trip bit-exactly under forced ALP") {
+    val genF = Gen.frequency(
+      9 -> Gen.chooseNum(-100000, 100000).map(_.toFloat / 100f),
+      1 -> Gen.oneOf(Float.NaN, -0.0f, Float.PositiveInfinity, math.Pi.toFloat))
+    forAll(Gen.listOf(Gen.option(genF)), Gen.oneOf(64, 1024)) { (vals, page) =>
+      val schema = StructType(Seq(StructField("v", FloatType)))
+      val rows = vals.map(v => new GenericInternalRow(Array[Any](v.orNull)))
+      val got = roundTrip(schema, rows,
+        WriteOptions(forced = Some(Codec.Alp), maxPageSize = page))
+      val gotBits = got.map(r =>
+        if (r.isNullAt(0)) None
+        else Some(java.lang.Float.floatToRawIntBits(r.getFloat(0))))
+      assert(gotBits == vals.map(_.map(java.lang.Float.floatToRawIntBits)))
     }
   }
 

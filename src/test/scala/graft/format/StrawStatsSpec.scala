@@ -87,4 +87,39 @@ class StrawStatsSpec extends AnyFunSuite {
     val bpB = stats.filter(_.column == "random").map(_.compBytes).sum
     assert(zzB * 3 < bpB * 2, s"zigzag $zzB vs bitpack $bpB")
   }
+
+  test("adaptive chooser: decimal doubles pick alp, true reals don't") {
+    val schema = StructType(Seq(
+      StructField("price", DoubleType), StructField("real", DoubleType)))
+    val rnd = new scala.util.Random(11)
+    // price: cents-valued (two decimal digits) over a wide range — dense
+    // mantissas defeat Patas's XOR chains, but the ALP digits bit-pack at
+    // bits(range of cents). real: full-mantissa uniforms — ALP can't round
+    // trip them, the chooser must leave the column to the byte codecs.
+    val rows = (0 until 4000).map { _ =>
+      Array[Any](Double.box((rnd.nextInt(90000000) + 100).toDouble / 100.0),
+        Double.box(rnd.nextDouble()))
+    }
+    val path = writeFile(schema, WriteOptions(), rows)
+    val stats = StrawStats.fileStats(path)
+    assert(stats.filter(_.column == "price").forall(_.codec == "alp"),
+      stats.filter(_.column == "price").map(_.codec))
+    assert(stats.filter(_.column == "real").forall(_.codec != "alp"),
+      stats.filter(_.column == "real").map(_.codec))
+    // the win is structural: cents of <9e7 need ~27 bits/value vs 64 raw
+    val alpB = stats.filter(_.column == "price").map(_.compBytes).sum
+    assert(alpB.toDouble < 4000.0 * 8 / 2.2, s"alp pages too large: $alpB")
+    // exceptions survive among conforming values: spike some specials in
+    val schema2 = StructType(Seq(StructField("px", DoubleType)))
+    val rows2 = (0 until 2000).map { i =>
+      Array[Any](Double.box(
+        if (i % 97 == 0) Double.NaN
+        else if (i % 61 == 0) math.Pi
+        else (i * 25).toDouble / 100.0))
+    }
+    val path2 = writeFile(schema2, WriteOptions(), rows2)
+    val stats2 = StrawStats.fileStats(path2)
+    assert(stats2.filter(_.column == "px").forall(_.codec == "alp"),
+      stats2.filter(_.column == "px").map(_.codec))
+  }
 }
