@@ -685,6 +685,25 @@ object SparkEntry {
           quality.map { case (n, c) => c.as(n) }): _*)
         .orderBy(col("doc_id"))
     }),
+    // heavy hitters, sketch→verify: pass 1 aggregates a fixed-size
+    // Misra–Gries summary per task (map-side partial merge — the full
+    // token keyspace never shuffles), pass 2 exact-counts only the ≤256
+    // candidates. Exact top-k whenever the k-th item's share clears
+    // n/(capacity+1) — the sketch's membership guarantee.
+    "q_heavy_hitters" -> ((s, d) => {
+      graft.functions.SketchFunctions.register(s)
+      val toks = t(s, d, "documents")
+        .select(explode(filter(split(lower(col("text")), "\\s+"),
+          w => w =!= lit(""))).as("w"))
+      val cands = toks
+        .agg(graft.functions.SketchFunctions.mgTopK(col("w"), 256).as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.item").as("w"))
+      toks.join(broadcast(cands), "w")
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w")).limit(20)
+        .select(col("w"), col("cnt"))
+    }),
     "q_lang_profile" -> ((s, d) => {
       t(s, d, "documents").groupBy(col("lang"))
         .agg(count(lit(1)).as("cnt"), round(avg(col("n_chars")), 2).as("avg_chars"))
@@ -2317,6 +2336,13 @@ object SparkEntry {
         |    / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 1),
         |    4) AS mean_token_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_heavy_hitters" ->
+      """SELECT w, cnt FROM (
+        |  SELECT w, count(*) AS cnt FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '')) AS w
+        |    FROM documents) GROUP BY w)
+        |ORDER BY cnt DESC, w LIMIT 20""".stripMargin,
     "q_lang_profile" ->
       """SELECT lang, count(*) AS cnt, round(avg(n_chars), 2) AS avg_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -1,0 +1,176 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo,
+  GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass mergeable sketch aggregates. At 100 TB the difference between
+  * these and the plain `groupBy(key).count` formulations is the shuffle:
+  * a full groupBy moves the ENTIRE distinct-key space between executors
+  * (billions of token keys), where a sketch aggregate ships one
+  * fixed-size summary per map task and merges them associatively — the
+  * same partial/final split Catalyst gives every built-in aggregate, with
+  * state bounded by the capacity regardless of input size.
+  */
+object SketchFunctions {
+
+  /** Misra–Gries heavy-hitters buffer: item → lower-bound count. */
+  final class MgBuffer(val capacity: Int) {
+    val map = new mutable.HashMap[UTF8String, Long]()
+    var processed = 0L
+  }
+
+  val descriptions: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("mg_topk", classOf[MisraGriesTopK],
+      (c: Seq[Expression]) => MisraGriesTopK(c(0),
+        TextHashFunctions.intLit(c(1), "mg_topk"))))
+
+  def register(spark: SparkSession): Unit =
+    FunctionRegistration.register(spark, descriptions)
+
+  import org.apache.spark.sql.functions.{call_function, lit}
+  import org.apache.spark.sql.Column
+
+  /** DataFrame-side helper (requires [[register]] or the extensions). */
+  def mgTopK(item: Column, capacity: Int): Column =
+    call_function("mg_topk", item, lit(capacity))
+}
+
+/** Misra–Gries heavy-hitters sketch (Misra & Gries 1982; merge rule from
+  * Agarwal et al., "Mergeable Summaries", PODS 2012): at most `capacity`
+  * (item, count) pairs where count is a LOWER bound underestimating the
+  * true frequency by at most n/(capacity+1). Every item with true count
+  * > n/(capacity+1) is guaranteed present — so a second cheap pass that
+  * exact-counts only the returned candidates recovers the EXACT top-k
+  * whenever the k-th item clears that share, without ever shuffling the
+  * full key space.
+  *
+  * Returns array<struct<item string, count_lo bigint, processed bigint>>
+  * sorted by (count_lo desc, item asc); `processed` (the aggregate's
+  * total input size, same in every element) lets callers compute the
+  * error bound n/(capacity+1) without a second aggregate.
+  */
+case class MisraGriesTopK(
+    child: Expression,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SketchFunctions.MgBuffer]
+  with UnaryLike[Expression] {
+
+  require(capacity > 0 && capacity <= (1 << 20),
+    s"mg_topk capacity must be in (0, 2^20], got $capacity")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"mg_topk requires a string column, got ${child.dataType.simpleString}")
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("count_lo", LongType, nullable = false),
+    StructField("processed", LongType, nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): SketchFunctions.MgBuffer =
+    new SketchFunctions.MgBuffer(capacity)
+
+  override def update(buf: SketchFunctions.MgBuffer,
+      input: InternalRow): SketchFunctions.MgBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      buf.processed += 1
+      val k = v.asInstanceOf[UTF8String]
+      val cur = buf.map.getOrElse(k, -1L)
+      if (cur >= 0) buf.map.update(k, cur + 1)
+      else if (buf.map.size < capacity) {
+        // the incoming UTF8String may point into a reused scan buffer —
+        // copy before it becomes a map key
+        buf.map.update(k.clone(), 1L)
+      } else {
+        // decrement-all: amortized O(1) per input (each decrement cancels
+        // one prior increment); zeros evict
+        buf.map.filterInPlace((_, c) => c > 1)
+          .mapValuesInPlace((_, c) => c - 1)
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: SketchFunctions.MgBuffer,
+      other: SketchFunctions.MgBuffer): SketchFunctions.MgBuffer = {
+    other.map.foreach { case (k, c) =>
+      buf.map.updateWith(k) { case prev => Some(prev.getOrElse(0L) + c) }
+    }
+    buf.processed += other.processed
+    if (buf.map.size > capacity) {
+      // subtract the (capacity+1)-th largest count from everything and
+      // evict the non-positives: ≤ capacity survivors, error bound adds
+      val counts = buf.map.values.toArray
+      java.util.Arrays.sort(counts)
+      val sub = counts(counts.length - capacity - 1)
+      buf.map.filterInPlace((_, c) => c > sub)
+        .mapValuesInPlace((_, c) => c - sub)
+    }
+    buf
+  }
+
+  override def eval(buf: SketchFunctions.MgBuffer): Any = {
+    val entries = buf.map.toArray
+    // (count desc, item asc): deterministic regardless of hash-map order
+    java.util.Arrays.sort(entries, (a: (UTF8String, Long), b: (UTF8String, Long)) => {
+      val byCount = java.lang.Long.compare(b._2, a._2)
+      if (byCount != 0) byCount else a._1.compareTo(b._1)
+    })
+    new GenericArrayData(entries.map { case (k, c) =>
+      new GenericInternalRow(Array[Any](k, c, buf.processed))
+    })
+  }
+
+  override def serialize(buf: SketchFunctions.MgBuffer): Array[Byte] = {
+    var size = 4 + 8
+    buf.map.foreach { case (k, _) => size += 4 + k.numBytes() + 8 }
+    val bb = ByteBuffer.allocate(size)
+    bb.putInt(buf.map.size)
+    bb.putLong(buf.processed)
+    buf.map.foreach { case (k, c) =>
+      val bytes = k.getBytes
+      bb.putInt(bytes.length); bb.put(bytes); bb.putLong(c)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): SketchFunctions.MgBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new SketchFunctions.MgBuffer(capacity)
+    val n = bb.getInt
+    buf.processed = bb.getLong
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt
+      val arr = new Array[Byte](len)
+      bb.get(arr)
+      buf.map.update(UTF8String.fromBytes(arr), bb.getLong)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesTopK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGriesTopK =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MisraGriesTopK =
+    copy(child = newChild)
+  override def prettyName: String = "mg_topk"
+}

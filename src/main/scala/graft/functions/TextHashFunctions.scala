@@ -385,7 +385,7 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
 }
 
 object TextHashFunctions {
-  private def intLit(e: Expression, what: String): Int = e.eval() match {
+  private[functions] def intLit(e: Expression, what: String): Int = e.eval() match {
     case n: java.lang.Number => n.intValue()
     case other => throw new IllegalArgumentException(s"$what: expected integer literal, got $other")
   }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ImageMetaFunctions, TextHashFunctions, VectorFunctions}
+import graft.functions.{ImageMetaFunctions, SketchFunctions, TextHashFunctions, VectorFunctions}
 
 /** SQL access to table metadata that is otherwise a Scala API.
   *
@@ -1124,7 +1124,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     val all = VectorFunctions.descriptions ++
       TextHashFunctions.descriptions ++
-      ImageMetaFunctions.descriptions
+      ImageMetaFunctions.descriptions ++
+      SketchFunctions.descriptions
     all.foreach { case (name, clazz, builder) =>
       extensions.injectFunction(
         (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder))

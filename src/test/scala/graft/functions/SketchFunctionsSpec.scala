@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Misra–Gries heavy-hitters aggregate: the membership/lower-bound
+  * guarantees on skewed data, the distributed merge path, and the
+  * sketch→verify exact-top-k composition. */
+class SketchFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SketchFunctions.register(spark)
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // zipf-ish: item i appears ~4000/i times; interleaved deterministically
+  // (sorted by a hash) so heavy items spread across all partitions
+  private val items: Seq[String] =
+    (1 to 200).flatMap(i => Seq.fill(4000 / i)(s"w$i"))
+      .sortBy(s => (s.hashCode * 2654435761L) ^ s.length)
+  private val exact: Map[String, Long] =
+    items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+  private val n = items.size.toLong
+
+  private def itemsDf(parts: Int): DataFrame = {
+    val sp = spark; import sp.implicits._
+    items.toDF("w").repartition(parts)
+  }
+
+  private def sketch(df: DataFrame, capacity: Int): Seq[(String, Long, Long)] =
+    df.agg(SketchFunctions.mgTopK(col("w"), capacity).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select("e.item", "e.count_lo", "e.processed").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("membership + lower-bound guarantees hold across distributed merges") {
+    for (parts <- Seq(1, 8)) {
+      val got = sketch(itemsDf(parts), capacity = 64)
+      assert(got.size <= 64)
+      assert(got.forall(_._3 == n), s"processed must be the total input size")
+      val bound = n / 65 // error ≤ n/(capacity+1)
+      val gotMap = got.map(e => e._1 -> e._2).toMap
+      // every item with true count above the bound is present
+      exact.filter(_._2 > bound).keys.foreach { k =>
+        assert(gotMap.contains(k), s"heavy item $k missing (parts=$parts)")
+      }
+      // every reported count is a lower bound within the error budget
+      got.foreach { case (k, lo, _) =>
+        assert(lo <= exact(k), s"$k overcounted: $lo > ${exact(k)}")
+        assert(exact(k) - lo <= bound, s"$k undercounted past the bound")
+      }
+    }
+  }
+
+  test("sketch->verify recovers the exact top-k; capacity forces evictions") {
+    val toks = itemsDf(8)
+    // 200 distinct >> capacity 64: the update path must evict constantly
+    val cands = toks.agg(SketchFunctions.mgTopK(col("w"), 64).as("sk"))
+      .select(explode(col("sk")).as("e")).select(col("e.item").as("w"))
+    val topk = toks.join(broadcast(cands), "w")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expected = exact.toSeq.sortBy { case (k, c) => (-c, k) }.take(10)
+    assert(topk == expected)
+  }
+
+  test("SQL route and null handling") {
+    val sp = spark; import sp.implicits._
+    (items.map(Option(_)) ++ Seq(None, None)).toDF("w")
+      .createOrReplaceTempView("mg_in")
+    val viaSql = spark.sql(
+      "SELECT mg_topk(w, 64) AS sk FROM mg_in")
+      .select(explode(col("sk")).as("e")).select("e.item", "e.processed")
+      .collect()
+    assert(viaSql.forall(_.getLong(1) == n), "nulls must not count as input")
+    assert(viaSql.map(_.getString(0)).contains("w1"))
+  }
+
+  test("capacity is validated") {
+    val sp = spark; import sp.implicits._
+    val df = Seq("a").toDF("w")
+    intercept[Exception] {
+      df.agg(SketchFunctions.mgTopK(col("w"), 0)).collect()
+    }
+  }
+
+  test("uniform narrow vocabulary (the driver-table regime) is exact") {
+    val sp = spark; import sp.implicits._
+    // 30 items, capacity 256: no evictions can fire, counts are exact
+    val uni = (0 until 3000).map(i => s"u${i % 30}").toDF("w").repartition(8)
+    val got = sketch(uni, capacity = 256)
+    assert(got.size == 30 && got.forall(_._2 == 100L))
+  }
+}
