@@ -704,6 +704,19 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("w")).limit(20)
         .select(col("w"), col("cnt"))
     }),
+    // per-group deterministic sampling: bottom-k by md5 digest — a
+    // bounded, mergeable aggregate (tasks ship ≤k entries, not rows) whose
+    // winners are a pure function of the ids, so the oracle replays them
+    "q_sample_per_group" -> ((s, d) => {
+      graft.functions.SketchFunctions.register(s)
+      t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(graft.functions.SketchFunctions
+          .bottomKSample(col("doc_id").cast("string"), 5).as("ids"))
+        .select(col("lang"), explode(col("ids")).as("doc_id"))
+        .select(col("lang"), col("doc_id").cast("long").as("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
     "q_lang_profile" -> ((s, d) => {
       t(s, d, "documents").groupBy(col("lang"))
         .agg(count(lit(1)).as("cnt"), round(avg(col("n_chars")), 2).as("avg_chars"))
@@ -2343,6 +2356,12 @@ object SparkEntry {
         |      x -> x <> '')) AS w
         |    FROM documents) GROUP BY w)
         |ORDER BY cnt DESC, w LIMIT 20""".stripMargin,
+    "q_sample_per_group" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+        |  FROM documents) WHERE rn <= 5
+        |ORDER BY lang, doc_id""".stripMargin,
     "q_lang_profile" ->
       """SELECT lang, count(*) AS cnt, round(avg(n_chars), 2) AS avg_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -31,10 +31,18 @@ object SketchFunctions {
     var processed = 0L
   }
 
+  /** Bottom-k sample buffer: md5-hex priority → item, trimmed to k. */
+  final class BkBuffer(val k: Int) {
+    val map = new java.util.TreeMap[String, UTF8String]()
+  }
+
   val descriptions: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("mg_topk", classOf[MisraGriesTopK],
       (c: Seq[Expression]) => MisraGriesTopK(c(0),
-        TextHashFunctions.intLit(c(1), "mg_topk"))))
+        TextHashFunctions.intLit(c(1), "mg_topk"))),
+    ("bottomk_sample", classOf[BottomKSample],
+      (c: Seq[Expression]) => BottomKSample(c(0),
+        TextHashFunctions.intLit(c(1), "bottomk_sample"))))
 
   def register(spark: SparkSession): Unit =
     FunctionRegistration.register(spark, descriptions)
@@ -45,6 +53,10 @@ object SketchFunctions {
   /** DataFrame-side helper (requires [[register]] or the extensions). */
   def mgTopK(item: Column, capacity: Int): Column =
     call_function("mg_topk", item, lit(capacity))
+
+  /** DataFrame-side helper (requires [[register]] or the extensions). */
+  def bottomKSample(item: Column, k: Int): Column =
+    call_function("bottomk_sample", item, lit(k))
 }
 
 /** Misra–Gries heavy-hitters sketch (Misra & Gries 1982; merge rule from
@@ -173,4 +185,131 @@ case class MisraGriesTopK(
   override protected def withNewChildInternal(newChild: Expression): MisraGriesTopK =
     copy(child = newChild)
   override def prettyName: String = "mg_topk"
+}
+
+/** Deterministic bottom-k (KMV-family) sample: keeps the k DISTINCT items
+  * whose md5 hex digest sorts smallest — a uniform without-replacement
+  * sample when md5 spreads the items, with three properties a
+  * rand()-based sample lacks at pipeline scale:
+  *
+  *  - REPLAYABLE: the winners are a pure function of the item values, so
+  *    any engine (the DuckDB oracle replays it as `ORDER BY md5(item)
+  *    LIMIT k`), any re-run, and any partitioning produce the SAME sample
+  *    — the property the packing/split family already builds on
+  *    (`Packing.assignSplit`'s md5 point).
+  *  - BOUNDED + MERGEABLE: one ≤k-entry summary per map task, merged by
+  *    union-and-trim; the shuffle carries tasks·k entries, not the group's
+  *    rows — where the `row_number() OVER (ORDER BY md5(..))` formulation
+  *    sorts every row of every group.
+  *  - STABLE under appends: new items only enter the sample by beating
+  *    the current k-th digest, so a grown corpus re-samples consistently
+  *    (KMV's defining property).
+  *
+  * Duplicate item values collapse (set semantics — the digest is the
+  * identity); returns array<string> of the winners sorted by digest, i.e.
+  * in sample order.
+  */
+case class BottomKSample(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SketchFunctions.BkBuffer]
+  with UnaryLike[Expression] {
+
+  require(k > 0 && k <= (1 << 20),
+    s"bottomk_sample k must be in (0, 2^20], got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bottomk_sample requires a string column (cast the id), got " +
+        child.dataType.simpleString)
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  private def hex(item: UTF8String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(item.getBytes)
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
+  override def createAggregationBuffer(): SketchFunctions.BkBuffer =
+    new SketchFunctions.BkBuffer(k)
+
+  override def update(buf: SketchFunctions.BkBuffer,
+      input: InternalRow): SketchFunctions.BkBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val item = v.asInstanceOf[UTF8String]
+      val h = hex(item)
+      // skip the digest insert when it can't win: the common case on big
+      // groups (k-th smallest stabilizes fast), keeps updates allocation-light
+      if (buf.map.size < k || h.compareTo(buf.map.lastKey()) < 0) {
+        buf.map.put(h, item.clone())
+        if (buf.map.size > k) buf.map.remove(buf.map.lastKey())
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: SketchFunctions.BkBuffer,
+      other: SketchFunctions.BkBuffer): SketchFunctions.BkBuffer = {
+    buf.map.putAll(other.map)
+    while (buf.map.size > k) buf.map.remove(buf.map.lastKey())
+    buf
+  }
+
+  override def eval(buf: SketchFunctions.BkBuffer): Any = {
+    val out = new Array[Any](buf.map.size)
+    val it = buf.map.values().iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: SketchFunctions.BkBuffer): Array[Byte] = {
+    var size = 4
+    buf.map.forEach((h, v) => size += 4 + h.length + 4 + v.numBytes())
+    val bb = ByteBuffer.allocate(size)
+    bb.putInt(buf.map.size)
+    buf.map.forEach { (h, v) =>
+      val hb = h.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      bb.putInt(hb.length); bb.put(hb)
+      val vb = v.getBytes
+      bb.putInt(vb.length); bb.put(vb)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): SketchFunctions.BkBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new SketchFunctions.BkBuffer(k)
+    val n = bb.getInt
+    var i = 0
+    while (i < n) {
+      val hb = new Array[Byte](bb.getInt); bb.get(hb)
+      val vb = new Array[Byte](bb.getInt); bb.get(vb)
+      buf.map.put(new String(hb, java.nio.charset.StandardCharsets.US_ASCII),
+        UTF8String.fromBytes(vb))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BottomKSample =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BottomKSample =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BottomKSample =
+    copy(child = newChild)
+  override def prettyName: String = "bottomk_sample"
 }

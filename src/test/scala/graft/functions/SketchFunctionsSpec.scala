@@ -93,6 +93,37 @@ class SketchFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bottomk_sample: deterministic across partitionings, equals the sort formulation") {
+    val sp = spark; import sp.implicits._
+    val ids = (0 until 5000).map(i => s"id$i")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = ids.sortBy(md5hex).take(25)
+    for (parts <- Seq(1, 8)) {
+      val got = ids.toDF("w").repartition(parts)
+        .agg(SketchFunctions.bottomKSample(col("w"), 25).as("s"))
+        .select(explode(col("s"))).collect().map(_.getString(0)).toSeq
+      assert(got == expected, s"parts=$parts")
+    }
+    // stability under appends (KMV): the grown corpus's sample agrees with
+    // the old one wherever the old digests still win
+    val grown = (ids ++ (5000 until 6000).map(i => s"id$i")).sortBy(md5hex).take(25)
+    val stillIn = expected.toSet.intersect(grown.toSet)
+    assert(grown.filter(stillIn).toSeq == expected.filter(stillIn).toSeq)
+  }
+
+  test("bottomk_sample: duplicates collapse; nulls skipped; per-group via groupBy") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(("a", Some("x")), ("a", Some("x")), ("a", Some("y")),
+      ("a", None), ("b", Some("z"))).toDF("g", "w")
+    val got = df.groupBy("g")
+      .agg(SketchFunctions.bottomKSample(col("w"), 10).as("s"))
+      .select(col("g"), size(col("s")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("a" -> 2, "b" -> 1))
+  }
+
   test("uniform narrow vocabulary (the driver-table regime) is exact") {
     val sp = spark; import sp.implicits._
     // 30 items, capacity 256: no evictions can fire, counts are exact
