@@ -12,7 +12,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Tables {
   // bump when the on-disk format OR the commit metadata it produces changes
   // (v4: transaction-log commits with operation lines)
-  private val FormatVersion = "v6" // v6: ALP codec live for float/double pages
+  private val FormatVersion = "v7" // v7: ALP (decimal reals) + ALP_RD (true reals) live for float/double pages
 
   private def strawRoot = s"/root/repo/target/strawdata/$FormatVersion"
 

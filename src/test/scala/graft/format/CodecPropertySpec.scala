@@ -36,7 +36,7 @@ class CodecPropertySpec extends AnyFunSuite {
     pageSize <- Gen.oneOf(64, 257, 1024)
     forced <- Gen.option(Gen.oneOf(Codec.Rle, Codec.Dict, Codec.Freq,
       Codec.BitPack, Codec.DeltaBitPack, Codec.DeltaZigZag,
-      Codec.OneValue, Codec.Patas, Codec.Alp))
+      Codec.OneValue, Codec.Patas, Codec.Alp, Codec.AlpRd))
     patasRing <- Gen.oneOf(None, Some(true), Some(false))
   } yield WriteOptions(base = base, maxPageSize = pageSize, forced = forced,
     patasRing = patasRing)
@@ -92,6 +92,39 @@ class CodecPropertySpec extends AnyFunSuite {
   }
 
   private def F10k(k: Int): Double = math.pow(10.0, k)
+
+  test("true-real doubles and floats round trip bit-exactly under forced ALP_RD") {
+    // full-mantissa reals (ALP_RD's target: left bits cluster, right bits
+    // are noise) plus specials; uniform AND exponential magnitudes so the
+    // left dictionary sees both few and many distinct exponents
+    val genD = Gen.frequency(
+      5 -> Gen.chooseNum(-1.0, 1.0),
+      4 -> Gen.chooseNum(-300, 300).map(e => math.exp(e * 0.1)),
+      1 -> Gen.oneOf(Double.NaN, -0.0, Double.PositiveInfinity,
+        Double.MinPositiveValue, math.Pi))
+    forAll(Gen.listOf(Gen.option(genD)), Gen.oneOf(64, 257)) { (vals, page) =>
+      val schema = StructType(Seq(StructField("v", DoubleType)))
+      val rows = vals.map(v => new GenericInternalRow(Array[Any](v.orNull)))
+      val got = roundTrip(schema, rows,
+        WriteOptions(forced = Some(Codec.AlpRd), maxPageSize = page))
+      val gotBits = got.map(r =>
+        if (r.isNullAt(0)) None
+        else Some(java.lang.Double.doubleToRawLongBits(r.getDouble(0))))
+      assert(gotBits == vals.map(_.map(java.lang.Double.doubleToRawLongBits)))
+    }
+    val genF = Gen.frequency(9 -> Gen.chooseNum(-1.0f, 1.0f),
+      1 -> Gen.oneOf(Float.NaN, -0.0f, Float.PositiveInfinity))
+    forAll(Gen.listOf(Gen.option(genF)), Gen.oneOf(64, 1024)) { (vals, page) =>
+      val schema = StructType(Seq(StructField("v", FloatType)))
+      val rows = vals.map(v => new GenericInternalRow(Array[Any](v.orNull)))
+      val got = roundTrip(schema, rows,
+        WriteOptions(forced = Some(Codec.AlpRd), maxPageSize = page))
+      val gotBits = got.map(r =>
+        if (r.isNullAt(0)) None
+        else Some(java.lang.Float.floatToRawIntBits(r.getFloat(0))))
+      assert(gotBits == vals.map(_.map(java.lang.Float.floatToRawIntBits)))
+    }
+  }
 
   test("decimal-real floats round trip bit-exactly under forced ALP") {
     val genF = Gen.frequency(

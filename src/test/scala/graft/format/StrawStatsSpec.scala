@@ -104,11 +104,18 @@ class StrawStatsSpec extends AnyFunSuite {
     val stats = StrawStats.fileStats(path)
     assert(stats.filter(_.column == "price").forall(_.codec == "alp"),
       stats.filter(_.column == "price").map(_.codec))
-    assert(stats.filter(_.column == "real").forall(_.codec != "alp"),
+    // true reals can't decimal-encode; ALP_RD takes them instead (left-bit
+    // dictionary + raw mantissa), which lz4 passes through untouched
+    assert(stats.filter(_.column == "real").forall(_.codec == "alp_rd"),
       stats.filter(_.column == "real").map(_.codec))
     // the win is structural: cents of <9e7 need ~27 bits/value vs 64 raw
     val alpB = stats.filter(_.column == "price").map(_.compBytes).sum
     assert(alpB.toDouble < 4000.0 * 8 / 2.2, s"alp pages too large: $alpB")
+    // RD's ceiling on UNIFORM [0,1) doubles is (3+52)/64 ≈ 0.86 (12 left
+    // bits dictionary-coded to 3) — assert it clears the chooser's own
+    // ≥10%-under-base margin; clustered real data does better
+    val rdB = stats.filter(_.column == "real").map(_.compBytes).sum
+    assert(rdB.toDouble < 4000.0 * 8 * 0.9, s"alp_rd pages too large: $rdB")
     // exceptions survive among conforming values: spike some specials in
     val schema2 = StructType(Seq(StructField("px", DoubleType)))
     val rows2 = (0 until 2000).map { i =>
