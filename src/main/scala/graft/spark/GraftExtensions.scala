@@ -529,6 +529,42 @@ object StrawSqlSurface {
       .queryExecution.analyzed
   }
 
+  val AsofName = "straw_asof"
+
+  /** `straw_asof('<left path>', '<right path>', '<leftKey[=rightKey]>',
+    * '<leftTime[=rightTime]>', '<right tie-break col>'[, '<direction>'])`:
+    * point-in-time join of two strawboat tables as plain SQL — every left
+    * row with the matched right row's columns attached under an `r_`
+    * prefix (inner semantics: unmatched left rows drop). Direction is
+    * `backward` (default) / `forward` / `nearest`. LAZY like
+    * [[bm25Builder]]: the builder returns the join-free sweep plan
+    * ([[graft.ops.TemporalJoin.asofJoin]] — one key shuffle, no join
+    * node), so EXPLAIN probes nothing and the result composes in CTEs. */
+  def asofBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 5 && args.length <= 6 &&
+      args.forall(a => a.foldable && a.dataType == StringType),
+      s"$AsofName expects (left path, right path, 'leftKey[=rightKey]', " +
+        "'leftTime[=rightTime]', tieBreak[, direction]) — all strings")
+    val empty = org.apache.spark.sql.catalyst.InternalRow.empty
+    val vals = args.map(_.eval(empty))
+    require(vals.forall(_ != null), s"$AsofName: arguments must not be null")
+    def pair(s: String): (String, String) = s.split("=", 2) match {
+      case Array(a) => (a.trim, a.trim)
+      case Array(a, b) => (a.trim, b.trim)
+    }
+    val (lk, rk) = pair(vals(2).toString)
+    val (lt, rt) = pair(vals(3).toString)
+    val tieBreak = vals(4).toString.trim
+    val direction = if (args.length == 6) vals(5).toString.trim else "backward"
+    val spark = org.apache.spark.sql.SparkSession.active
+    val left = spark.read.format("strawboat").load(resolveDir(vals(0).toString))
+    val right = spark.read.format("strawboat").load(resolveDir(vals(1).toString))
+    graft.ops.TemporalJoin.asofJoin(left, right, lk, rk, lt, rt,
+        rightValues = right.columns.filterNot(_ == rk).toSeq,
+        rightTieBreak = tieBreak, direction = direction, rightPrefix = "r_")
+      .queryExecution.analyzed
+  }
+
   val HybridName = "straw_hybrid"
 
   /** `straw_hybrid('<lex dir>', '<ivf dir>', '<terms>', array(<vec...>),
@@ -1061,6 +1097,10 @@ object StrawSqlSurface {
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName, PhraseName),
       phraseBuilder _)
     spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier(AsofName),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName, AsofName),
+      asofBuilder _)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier(HybridName),
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName, HybridName),
       hybridBuilder _)
@@ -1197,6 +1237,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName,
         StrawSqlSurface.PhraseName),
       StrawSqlSurface.phraseBuilder _))
+    extensions.injectTableFunction((
+      FunctionIdentifier(StrawSqlSurface.AsofName),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName,
+        StrawSqlSurface.AsofName),
+      StrawSqlSurface.asofBuilder _))
     extensions.injectTableFunction((
       FunctionIdentifier(StrawSqlSurface.HybridName),
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName,

@@ -301,10 +301,15 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, "spark streaming state")).toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("ext_bm25").toString
     graft.ops.Search.buildLexicalIndex(docs, "doc_id", "text", dir, buckets = 4)
-    val got = spark.sql(s"SELECT * FROM straw_bm25('$dir', 'spark', 10)")
+    // SQL gives no row order through a table function without an outer
+    // ORDER BY (observed reordering under concurrent load) — state one
+    val got = spark.sql(
+      s"""SELECT * FROM straw_bm25('$dir', 'spark', 10)
+         |ORDER BY score DESC, doc_id""".stripMargin)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     val want = graft.ops.Search.bm25TopKIndexed(spark, dir, Seq("spark"), 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      .sortBy { case (id, s) => (-s, id) }
     assert(got == want, s"got $got want $want")
     assert(got.map(_._1).toSet == Set(1L, 3L))
     // arg validation is loud
@@ -625,6 +630,51 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getString(0)
     assert(plan.contains("DeferredOp"), plan)
     assert(!plan.contains("BatchScan"), plan)
+  }
+
+  test("straw_asof joins two tables point-in-time from plain SQL, SQL == Scala") {
+    val sp = spark; import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("asof_sql").toString
+    val probes = Seq((1L, 10L, 100L), (2L, 10L, 250L), (3L, 20L, 50L))
+      .toDF("id", "k", "t")
+    val refs = Seq((7L, 10L, 90L, 1.5), (8L, 10L, 240L, 2.5), (9L, 30L, 10L, 9.9))
+      .toDF("rid", "rk", "rt", "rv")
+    probes.write.format("strawboat").mode("overwrite").save(s"$base/probes")
+    refs.write.format("strawboat").mode("overwrite").save(s"$base/refs")
+    val got = spark.sql(
+      s"""SELECT id, r_rid, r_rv FROM
+         |  straw_asof('$base/probes', '$base/refs', 'k=rk', 't=rt', 'rid')
+         |ORDER BY id""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // probe 1 at t=100: latest rk=10 ref at rt<=100 is rid 7; probe 2 at
+    // 250 -> rid 8; probe 3 has no k=20 refs -> dropped (inner)
+    assert(got == Seq((1L, 7L, 1.5), (2L, 8L, 2.5)))
+    val scala = graft.ops.TemporalJoin.asofJoin(
+        spark.read.format("strawboat").load(s"$base/probes"),
+        spark.read.format("strawboat").load(s"$base/refs"),
+        "k", "rk", "t", "rt", Seq("rid", "rv"), rightTieBreak = "rid")
+      .selectExpr("id", "rid AS r_rid", "rv AS r_rv").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(scala == got)
+    // forward direction via the optional 6th arg
+    val fwd = spark.sql(
+      s"""SELECT id, r_rid FROM straw_asof('$base/probes', '$base/refs',
+         |  'k=rk', 't=rt', 'rid', 'forward') ORDER BY id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // probe 1 (t=100) -> next rk=10 ref is rid 8 at rt=240; probe 2
+    // (t=250) has nothing later; probe 3 has no k=20 refs at all
+    assert(fwd == Seq((1L, 8L)))
+    // EXPLAIN is lazy: a join-free sweep plan, no job, no join node
+    val plan = spark.sql(
+      s"""EXPLAIN SELECT * FROM straw_asof('$base/probes', '$base/refs',
+         |  'k=rk', 't=rt', 'rid')""".stripMargin).collect()(0).getString(0)
+    assert(!plan.contains("Join"), plan)
+    // bad args fail loudly at analysis
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM straw_asof('$base/probes', '$base/refs', 'k=rk', 't=rt', 'rid', 'sideways')").collect()
+    }
+    assert(e.getMessage.contains("backward|forward|nearest") ||
+      (e.getCause != null && e.getCause.getMessage.contains("backward|forward|nearest")))
   }
 
   test("hyperplane buckets reject non-integer config args with a clear error") {
