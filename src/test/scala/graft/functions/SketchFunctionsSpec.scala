@@ -85,6 +85,32 @@ class SketchFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSql.map(_.getString(0)).contains("w1"))
   }
 
+  test("mg_topk runs in streaming aggregation: state carries across micro-batches") {
+    val sp = spark; import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mg_stream").toString
+    (1 to 300).map(i => s"h${i % 3}").toDF("w")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = spark.readStream.schema("w string").parquet(dir)
+      .agg(SketchFunctions.mgTopK(col("w"), 8).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.item"), col("e.count_lo"), col("e.processed"))
+      .writeStream.format("memory").queryName("mg_mem")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val r1 = spark.sql("SELECT * FROM mg_mem").collect()
+      assert(r1.length == 3 && r1.forall(_.getLong(2) == 300L))
+      // a late file: the sketch state must accumulate, not reset
+      (1 to 150).map(_ => "hot").toDF("w")
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val r2 = spark.sql("SELECT * FROM mg_mem").collect()
+      assert(r2.forall(_.getLong(2) == 450L),
+        s"processed must accumulate: ${r2.mkString(",")}")
+      assert(r2.find(_.getString(0) == "hot").exists(_.getLong(1) == 150L))
+    } finally q.stop()
+  }
+
   test("capacity is validated") {
     val sp = spark; import sp.implicits._
     val df = Seq("a").toDF("w")

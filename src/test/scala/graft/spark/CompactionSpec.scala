@@ -406,4 +406,30 @@ class CompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     drained.awaitTermination(60000)
     assert(spark.table("compactDrain").count() == cnt)
   }
+
+  test("compaction upgrades old pages to codecs that did not exist at write time") {
+    // the storage-upgrade path: data written before a codec existed (here
+    // simulated with the chooser disabled) re-enters the adaptive chooser
+    // on rewrite, so an OPTIMIZE pass rolls ALP/ALP_RD out to old tables
+    // without a migration tool
+    val out = s"$dir/upgrade"
+    val df = spark.range(0, 4000).select(col("id"),
+      (round(col("id") % 90000, 0) / 100.0).as("price"),
+      // deterministic full-mantissa uniforms in [0,1): RD's shape
+      (pmod(xxhash64(col("id")), lit(1000000007L)) / 1000000007.0).as("real"))
+    df.repartition(4).write.format("strawboat").mode("overwrite")
+      .option("targetFileBytes", "2048")
+      .option("adaptive", "false")
+      .save(out)
+    def codecs(col: String): Set[String] = strbFiles(out)
+      .flatMap(f => graft.format.StrawStats.fileStats(f.getPath))
+      .filter(_.column == col).map(_.codec).toSet
+    assert(codecs("price") == Set("lz4"), codecs("price"))
+    StrawCompaction.compact(spark, out, targetFileBytes = 64L << 20): Unit
+    assert(codecs("price") == Set("alp"), codecs("price"))
+    assert(codecs("real") == Set("alp_rd"), codecs("real"))
+    val back = spark.read.format("strawboat").load(out)
+    assert(back.count() == 4000)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
 }
