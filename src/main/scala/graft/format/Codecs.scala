@@ -1201,9 +1201,12 @@ object IntCodec {
     pos += BitPacking.packedSize(n, r).toInt
     in.position(pos - in.arrayOffset())
     val out = new Array[Long](n)
+    val shifted = new Array[Long](dictN)
+    i = 0
+    while (i < dictN) { shifted(i) = dict(i) << r; i += 1 }
     i = 0
     while (i < n) {
-      out(i) = (dict(codes(i).toInt) << r) | rights(i)
+      out(i) = shifted(codes(i).toInt) | rights(i)
       i += 1
     }
     i = 0

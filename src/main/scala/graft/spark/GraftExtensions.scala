@@ -565,6 +565,43 @@ object StrawSqlSurface {
       .queryExecution.analyzed
   }
 
+  val RangeJoinName = "straw_range"
+
+  /** `straw_range('<intervals path>', '<points path>', '<low col>',
+    * '<high col>', '<point col>', <binWidth long>)`: keyless interval-
+    * containment join of two strawboat tables from plain SQL — every
+    * (interval row, point row) pair with low ≤ point ≤ high, point
+    * columns under a `p_` prefix. binWidth is in the point column's own
+    * units (MICROSECONDS for timestamps). LAZY like [[bm25Builder]]: the
+    * plan is [[graft.ops.TemporalJoin.rangeJoin]]'s bin-bucketed
+    * equi-join — no cartesian, no broadcast-nested-loop. */
+  def rangeJoinBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 6 &&
+      args.take(5).forall(a => a.foldable && a.dataType == StringType) &&
+      args(5).foldable && (args(5).dataType == LongType ||
+        args(5).dataType == IntegerType),
+      s"$RangeJoinName expects (intervals path, points path, low col, " +
+        "high col, point col, binWidth int/long)")
+    val empty = org.apache.spark.sql.catalyst.InternalRow.empty
+    val vals = args.map(_.eval(empty))
+    require(vals.forall(_ != null), s"$RangeJoinName: arguments must not be null")
+    val binWidth = vals(5) match {
+      case i: java.lang.Integer => i.longValue()
+      case l: java.lang.Long => l.longValue()
+    }
+    val spark = org.apache.spark.sql.SparkSession.active
+    val intervals = spark.read.format("strawboat")
+      .load(resolveDir(vals(0).toString))
+    val points0 = spark.read.format("strawboat")
+      .load(resolveDir(vals(1).toString))
+    val points = points0.select(
+      points0.columns.map(c => points0(c).as("p_" + c)): _*)
+    graft.ops.TemporalJoin.rangeJoin(intervals,
+        vals(2).toString.trim, vals(3).toString.trim,
+        points, "p_" + vals(4).toString.trim, binWidth)
+      .queryExecution.analyzed
+  }
+
   val HybridName = "straw_hybrid"
 
   /** `straw_hybrid('<lex dir>', '<ivf dir>', '<terms>', array(<vec...>),
@@ -1101,6 +1138,10 @@ object StrawSqlSurface {
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName, AsofName),
       asofBuilder _)
     spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier(RangeJoinName),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName, RangeJoinName),
+      rangeJoinBuilder _)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier(HybridName),
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName, HybridName),
       hybridBuilder _)
@@ -1242,6 +1283,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName,
         StrawSqlSurface.AsofName),
       StrawSqlSurface.asofBuilder _))
+    extensions.injectTableFunction((
+      FunctionIdentifier(StrawSqlSurface.RangeJoinName),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName,
+        StrawSqlSurface.RangeJoinName),
+      StrawSqlSurface.rangeJoinBuilder _))
     extensions.injectTableFunction((
       FunctionIdentifier(StrawSqlSurface.HybridName),
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName,

@@ -677,6 +677,26 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (e.getCause != null && e.getCause.getMessage.contains("backward|forward|nearest")))
   }
 
+  test("straw_range joins intervals to points from plain SQL, no nested loop") {
+    val sp = spark; import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("range_sql").toString
+    Seq((1L, 100L, 200L), (2L, 150L, 160L), (3L, 900L, 950L))
+      .toDF("iid", "lo", "hi")
+      .write.format("strawboat").mode("overwrite").save(s"$base/ivs")
+    Seq((10L, 155L), (11L, 199L), (12L, 500L))
+      .toDF("pid", "pt")
+      .write.format("strawboat").mode("overwrite").save(s"$base/pts")
+    val df = spark.sql(
+      s"""SELECT iid, p_pid FROM
+         |  straw_range('$base/ivs', '$base/pts', 'lo', 'hi', 'pt', 50L)
+         |ORDER BY iid, p_pid""".stripMargin)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 10L), (1L, 11L), (2L, 10L)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+      s"must plan an equi-join on bins:\n$plan")
+  }
+
   test("hyperplane buckets reject non-integer config args with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT hyperplane_buckets(array(1.0D), 'abc', 4, 2, 42L)")
