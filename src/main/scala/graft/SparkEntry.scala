@@ -805,6 +805,16 @@ object SparkEntry {
         docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", "text", 4)
         .orderBy(col("doc_id"))
     }),
+    // semantic decontamination: the tier n-gram overlap misses —
+    // benchmark probes broadcast, corpus streams once through the
+    // codegen'd cosine, per-row max with map-side combine
+    "q_decontaminate_semantic" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Decontaminate.semanticContaminatedIds(
+          emb.filter(col("vec_id") >= 8), emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", "vec_id", "embedding", 0.25)
+        .orderBy(col("vec_id"))
+    }),
     "q_bm25" -> ((s, d) => {
       // lexical retrieval: rare + mid + common term exercise the idf range
       Search.bm25TopK(t(s, d, "documents"), "doc_id", "text",
@@ -2460,6 +2470,17 @@ object SparkEntry {
         |  FROM words, LATERAL (SELECT unnest(range(1, len(ws) - 2)) AS i) i)
         |SELECT DISTINCT doc_id FROM dg JOIN pg USING (gram)
         |ORDER BY doc_id""".stripMargin,
+    "q_decontaminate_semantic" ->
+      """SELECT vec_id, probe_id, sim FROM (
+        |  SELECT c.vec_id, q.vec_id AS probe_id,
+        |    round(list_cosine_similarity(c.embedding, q.embedding), 4) AS sim,
+        |    row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |      round(list_cosine_similarity(c.embedding, q.embedding), 4) DESC,
+        |      q.vec_id DESC) AS rn
+        |  FROM embeddings c, embeddings q
+        |  WHERE c.vec_id >= 8 AND q.vec_id < 8
+        |    AND round(list_cosine_similarity(c.embedding, q.embedding), 4) >= 0.25)
+        |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "q_bm25" ->
       """WITH base AS (
         |  SELECT doc_id,

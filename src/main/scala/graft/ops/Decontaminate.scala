@@ -41,4 +41,40 @@ object Decontaminate {
       textCol: String, probeTextCol: String, n: Int): DataFrame =
     docs.join(contaminatedIds(docs, probes, idCol, textCol, probeTextCol, n),
       Seq(idCol), "left_anti")
+
+  /** Semantic (embedding-space) contamination: corpus rows whose cosine
+    * against ANY probe embedding reaches `threshold`, with the best
+    * probe's id and similarity attached — the tier n-gram overlap misses
+    * (paraphrased or translated benchmark leakage has no shared grams but
+    * sits next to the probe in embedding space).
+    *
+    * Scale shape: the probe set (benchmark suites — thousands of rows)
+    * BROADCASTS; the corpus streams once through the codegen'd cosine
+    * kernel and reduces per-row by max(struct(sim, probe)) with map-side
+    * combine — no corpus shuffle, no driver collect. Cost is
+    * corpus × probes kernel evaluations, the irreducible brute-force
+    * term (pre-filter the probes, not the corpus, to cut it).
+    *
+    * Similarities round to 4 decimals BEFORE thresholding (the repo-wide
+    * cross-engine convention — a last-ulp engine difference at the
+    * boundary must not flip membership). Ties on rounded sim pick the
+    * greater probe id. */
+  def semanticContaminatedIds(corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, probeIdCol: String,
+      probeVecCol: String, threshold: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    val p = probes.select(col(probeIdCol).as("__pid"),
+      col(probeVecCol).as("__pv"))
+    corpus.select(col(idCol), col(vecCol).as("__cv"))
+      .join(broadcast(p))
+      .withColumn("__sim",
+        round(graft.functions.VectorFunctions.cosine(spark,
+          col("__cv"), col("__pv")), 4))
+      .filter(col("__sim") >= threshold)
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__sim").as("sim"), col("__pid").as("probe_id")))
+        .as("__m"))
+      .select(col(idCol), col("__m.probe_id").as("probe_id"),
+        col("__m.sim").as("sim"))
+  }
 }

@@ -84,6 +84,29 @@ class PipelineTextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected broadcast join in:\n$plan")
   }
 
+  test("Decontaminate.semanticContaminatedIds: threshold, argmax probe, broadcast") {
+    val sp = spark; import sp.implicits._
+    // unit-ish vectors with known cosines: c1 ~ p10 (cos 1), c2 at 45° to
+    // p10 and p11 (cos ~.707 each — argmax tie → greater probe id),
+    // c3 orthogonal to both (below any positive threshold)
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 1.0f)), (3L, Array(0.0f, 0.0f))
+    ).toDF("id", "v")
+    val probes = Seq((10L, Array(1.0f, 0.0f)), (11L, Array(0.0f, 1.0f)))
+      .toDF("pid", "pv")
+    val got = Decontaminate.semanticContaminatedIds(
+        corpus, probes, "id", "v", "pid", "pv", 0.5)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 10L, 1.0), (2L, 11L, 0.7071)))
+    // the probe side broadcasts; the corpus never shuffles before the agg
+    val plan = Decontaminate.semanticContaminatedIds(
+        corpus, probes, "id", "v", "pid", "pv", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), s"expected broadcast in:\n$plan")
+  }
+
   test("TextOps.keepAboveQuantile: exact tier matches manual percentile; approx close") {
     val sp = spark; import sp.implicits._
     // 0..99 shuffled across partitions; p75 of 0..99 = 74.25 interpolated
