@@ -86,16 +86,22 @@ object TemporalJoin {
     val leftType = left.schema
     val tbType = right.schema(rightTieBreak).dataType
 
+    // null keys/times never match (merge_asof semantics): reference rows
+    // with one drop entirely; probe rows with one keep their left-join
+    // null ref (they'd otherwise co-partition with null-key refs and
+    // "match" them through the window)
     val lTagged = left.select(
       left(leftKey).as("__k"), left(leftTime).as("__t"),
       lit(leftSide).as("__side"), lit(null).cast(tbType).as("__tb"),
       struct(left.columns.map(left(_)): _*).as("__l"),
       lit(null).cast(refType).as("__r"))
-    val rTagged = right.select(
-      right(rightKey).as("__k"), right(rightTime).as("__t"),
-      lit(rightSide).as("__side"), right(rightTieBreak).as("__tb"),
-      lit(null).cast(leftType).as("__l"),
-      struct(refNames.map(n => right(n).as(n)): _*).as("__r"))
+    val rTagged = right
+      .filter(right(rightKey).isNotNull && right(rightTime).isNotNull)
+      .select(
+        right(rightKey).as("__k"), right(rightTime).as("__t"),
+        lit(rightSide).as("__side"), right(rightTieBreak).as("__tb"),
+        lit(null).cast(leftType).as("__l"),
+        struct(refNames.map(n => right(n).as(n)): _*).as("__r"))
     val all = lTagged.unionByName(rTagged)
 
     def sweep(forward: Boolean): Column = {
@@ -137,7 +143,8 @@ object TemporalJoin {
 
     val within = tolerance.map(tol => col("__gap") <= tol).getOrElse(lit(true))
     val gated = picked.withColumn("__ref",
-      when(col("__ref").isNotNull && within, col("__ref")))
+      when(col("__k").isNotNull && col("__t").isNotNull &&
+        col("__ref").isNotNull && within, col("__ref")))
     val probes = gated.filter(col("__side") === leftSide)
     val matched =
       if (joinType == "inner") probes.filter(col("__ref").isNotNull) else probes

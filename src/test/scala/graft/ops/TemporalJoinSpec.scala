@@ -134,6 +134,31 @@ class TemporalJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(1L -> Some(10L), 2L -> None))
   }
 
+  test("null keys and times never match (merge_asof semantics)") {
+    val sp = spark; import sp.implicits._
+    val l = Seq((1L, Option(1L), Option(100L)), (2L, None, Option(100L)),
+      (3L, Option(1L), None)).toDF("id", "k", "t")
+    val r = Seq((10L, Option(1L), Option(90L), 1.0),
+      (11L, Option.empty[Long], Option(90L), 2.0), // null-key ref: invisible
+      (12L, Option(1L), Option.empty[Long], 3.0))  // null-time ref: invisible
+      .toDF("rid", "rk", "rt", "rv")
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val got = TemporalJoin.asofJoin(l, r, "k", "rk", "t", "rt",
+          Seq("rid"), rightTieBreak = "rid", direction = dir,
+          joinType = "left")
+        .select("id", "rid").collect()
+        .map(x => x.getLong(0) -> Option(x.get(1))).toMap
+      // probe 1 matches rid 10 (backward/nearest) or nothing (forward);
+      // probes 2 and 3 (null key / null time) never match anything
+      assert(got(2L).isEmpty && got(3L).isEmpty, s"dir=$dir: $got")
+      if (dir != "forward") assert(got(1L).contains(10L), s"dir=$dir: $got")
+      val inner = TemporalJoin.asofJoin(l, r, "k", "rk", "t", "rt",
+          Seq("rid"), rightTieBreak = "rid", direction = dir)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(!inner.contains(2L) && !inner.contains(3L), s"dir=$dir")
+    }
+  }
+
   // ---- rangeJoin -------------------------------------------------------
 
   test("rangeJoin == brute force, each pair exactly once, bin edges included") {
