@@ -717,6 +717,20 @@ object SparkEntry {
         .select(col("lang"), col("doc_id").cast("long").as("doc_id"))
         .orderBy(col("lang"), col("doc_id"))
     }),
+    // weighted variant (Efraimidis–Spirakis A-ES): inclusion ∝ n_chars,
+    // winners still a pure function of the values — the oracle replays
+    // the -ln(u)/w priorities exactly
+    "q_sample_weighted" -> ((s, d) => {
+      graft.functions.SketchFunctions.register(s)
+      t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(graft.functions.SketchFunctions
+          .weightedBottomK(col("doc_id").cast("string"), col("n_chars"), 5)
+          .as("ids"))
+        .select(col("lang"), explode(col("ids")).as("doc_id"))
+        .select(col("lang"), col("doc_id").cast("long").as("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
     "q_lang_profile" -> ((s, d) => {
       t(s, d, "documents").groupBy(col("lang"))
         .agg(count(lit(1)).as("cnt"), round(avg(col("n_chars")), 2).as("avg_chars"))
@@ -2370,6 +2384,14 @@ object SparkEntry {
       """SELECT lang, doc_id FROM (
         |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
         |    ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+        |  FROM documents) WHERE rn <= 5
+        |ORDER BY lang, doc_id""".stripMargin,
+    "q_sample_weighted" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang ORDER BY
+        |    -ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |          AS BIGINT) + 0.5) / 4294967296.0) / n_chars ASC,
+        |    doc_id) AS rn
         |  FROM documents) WHERE rn <= 5
         |ORDER BY lang, doc_id""".stripMargin,
     "q_lang_profile" ->

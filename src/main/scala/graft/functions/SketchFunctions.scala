@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo,
   GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -36,13 +36,21 @@ object SketchFunctions {
     val map = new java.util.TreeMap[String, UTF8String]()
   }
 
+  /** Weighted sample buffer: (priority, item-string) → item, trimmed to k. */
+  final class WbkBuffer(val k: Int) {
+    val map = new mutable.TreeMap[(Double, String), UTF8String]()
+  }
+
   val descriptions: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("mg_topk", classOf[MisraGriesTopK],
       (c: Seq[Expression]) => MisraGriesTopK(c(0),
         TextHashFunctions.intLit(c(1), "mg_topk"))),
     ("bottomk_sample", classOf[BottomKSample],
       (c: Seq[Expression]) => BottomKSample(c(0),
-        TextHashFunctions.intLit(c(1), "bottomk_sample"))))
+        TextHashFunctions.intLit(c(1), "bottomk_sample"))),
+    ("weighted_bottomk", classOf[WeightedBottomK],
+      (c: Seq[Expression]) => WeightedBottomK(c(0), c(1),
+        TextHashFunctions.intLit(c(2), "weighted_bottomk"))))
 
   def register(spark: SparkSession): Unit =
     FunctionRegistration.register(spark, descriptions)
@@ -57,6 +65,10 @@ object SketchFunctions {
   /** DataFrame-side helper (requires [[register]] or the extensions). */
   def bottomKSample(item: Column, k: Int): Column =
     call_function("bottomk_sample", item, lit(k))
+
+  /** DataFrame-side helper (requires [[register]] or the extensions). */
+  def weightedBottomK(item: Column, weight: Column, k: Int): Column =
+    call_function("weighted_bottomk", item, weight, lit(k))
 }
 
 /** Misra–Gries heavy-hitters sketch (Misra & Gries 1982; merge rule from
@@ -312,4 +324,140 @@ case class BottomKSample(
   override protected def withNewChildInternal(newChild: Expression): BottomKSample =
     copy(child = newChild)
   override def prettyName: String = "bottomk_sample"
+}
+
+/** Deterministic WEIGHTED k-sample without replacement (Efraimidis &
+  * Spirakis 2006, A-ES): keep the k items with the smallest priority
+  * `-ln(u)/w`, where u is the md5-derived uniform the packing/split
+  * family already standardizes on (first 8 digest hex digits, +0.5, over
+  * 2^32) and w the item's weight. Inclusion probability is proportional
+  * to weight (quality-weighted corpus subsampling: heavier documents
+  * draw in more often), yet the winners stay a pure function of the
+  * (item, weight) values — replayable by any engine as `row_number()
+  * OVER (ORDER BY -ln(u)/w, item)`, partitioning-independent, mergeable
+  * (union-and-trim, ≤k entries per map task), and append-stable.
+  *
+  * The weight must be a function of the item (duplicates collapse on the
+  * (priority, item) key); weights must be positive — null/non-positive
+  * weights skip the row. Returns array<string> in priority order.
+  */
+case class WeightedBottomK(
+    child: Expression,
+    weight: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SketchFunctions.WbkBuffer]
+  with BinaryLike[Expression] {
+
+  require(k > 0 && k <= (1 << 20),
+    s"weighted_bottomk k must be in (0, 2^20], got $k")
+
+  override def left: Expression = child
+  override def right: Expression = weight
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"weighted_bottomk requires a string item (cast the id), got " +
+          child.dataType.simpleString)
+    else if (!weight.dataType.isInstanceOf[NumericType])
+      TypeCheckResult.TypeCheckFailure(
+        s"weighted_bottomk requires a numeric weight, got " +
+          weight.dataType.simpleString)
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  private def weightAsDouble(w: Any): Double = w match {
+    case d: java.lang.Double => d
+    case f: java.lang.Float => f.toDouble
+    case i: java.lang.Integer => i.toDouble
+    case l: java.lang.Long => l.toDouble
+    case s: java.lang.Short => s.toDouble
+    case b: java.lang.Byte => b.toDouble
+    case d: Decimal => d.toDouble
+  }
+
+  /** u in (0, 1): first 8 md5 hex digits as u32, +0.5, over 2^32 — the
+    * exact point `Packing.assignSplit`'s oracle replays; the +0.5 keeps
+    * ln() finite on the all-zero digest. */
+  private def point(item: UTF8String): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(item.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 4) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v + 0.5) / 4294967296.0
+  }
+
+  override def createAggregationBuffer(): SketchFunctions.WbkBuffer =
+    new SketchFunctions.WbkBuffer(k)
+
+  override def update(buf: SketchFunctions.WbkBuffer,
+      input: InternalRow): SketchFunctions.WbkBuffer = {
+    val v = child.eval(input)
+    val w = weight.eval(input)
+    if (v != null && w != null) {
+      val wd = weightAsDouble(w)
+      if (wd > 0 && !wd.isNaN) {
+        val item = v.asInstanceOf[UTF8String]
+        val p = -math.log(point(item)) / wd
+        val key = (p, item.toString)
+        if (buf.map.size < k || Ordering[(Double, String)].lt(key, buf.map.lastKey)) {
+          buf.map.update(key, item.clone())
+          if (buf.map.size > k) buf.map.remove(buf.map.lastKey): Unit
+        }
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: SketchFunctions.WbkBuffer,
+      other: SketchFunctions.WbkBuffer): SketchFunctions.WbkBuffer = {
+    other.map.foreach { case (key, item) => buf.map.update(key, item) }
+    while (buf.map.size > k) buf.map.remove(buf.map.lastKey): Unit
+    buf
+  }
+
+  override def eval(buf: SketchFunctions.WbkBuffer): Any =
+    new GenericArrayData(buf.map.values.toArray[Any])
+
+  override def serialize(buf: SketchFunctions.WbkBuffer): Array[Byte] = {
+    var size = 4
+    buf.map.foreach { case (_, v) => size += 8 + 4 + v.numBytes() }
+    val bb = ByteBuffer.allocate(size)
+    bb.putInt(buf.map.size)
+    buf.map.foreach { case ((p, _), v) =>
+      bb.putDouble(p)
+      val vb = v.getBytes
+      bb.putInt(vb.length); bb.put(vb)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): SketchFunctions.WbkBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new SketchFunctions.WbkBuffer(k)
+    val n = bb.getInt
+    var i = 0
+    while (i < n) {
+      val p = bb.getDouble
+      val vb = new Array[Byte](bb.getInt); bb.get(vb)
+      val item = UTF8String.fromBytes(vb)
+      buf.map.update((p, item.toString), item)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): WeightedBottomK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): WeightedBottomK =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): WeightedBottomK =
+    copy(child = newLeft, weight = newRight)
+  override def prettyName: String = "weighted_bottomk"
 }

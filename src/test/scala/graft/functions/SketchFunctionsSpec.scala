@@ -150,6 +150,36 @@ class SketchFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map("a" -> 2, "b" -> 1))
   }
 
+  test("weighted_bottomk: A-ES priorities, partitioning-independent, weight skew") {
+    val sp = spark; import sp.implicits._
+    val rows = (0 until 3000).map(i => (s"id$i", 1.0 + (i % 10)))
+    def md5u(s: String): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val v = d.take(4).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+      (v + 0.5) / 4294967296.0
+    }
+    val expected = rows
+      .map { case (id, w) => (-math.log(md5u(id)) / w, id) }
+      .sorted.take(50).map(_._2)
+    for (parts <- Seq(1, 8)) {
+      val got = rows.toDF("id", "w").repartition(parts)
+        .agg(SketchFunctions.weightedBottomK(col("id"), col("w"), 50).as("s"))
+        .select(explode(col("s"))).collect().map(_.getString(0)).toSeq
+      assert(got == expected, s"parts=$parts")
+    }
+    // weight skew: items weighted 10 should dominate items weighted 1
+    val winners = expected.map(id => rows.find(_._1 == id).get._2)
+    assert(winners.count(_ >= 9.0) > winners.count(_ <= 2.0),
+      s"heavy weights should win more slots: ${winners.mkString(",")}")
+    // null / non-positive weights are skipped, not sampled
+    val mixed = Seq(("a", Some(5.0)), ("b", None), ("c", Some(0.0)),
+      ("d", Some(-1.0)), ("e", Some(2.0))).toDF("id", "w")
+    val kept = mixed.agg(SketchFunctions.weightedBottomK(col("id"), col("w"), 10).as("s"))
+      .select(explode(col("s"))).collect().map(_.getString(0)).toSet
+    assert(kept == Set("a", "e"))
+  }
+
   test("uniform narrow vocabulary (the driver-table regime) is exact") {
     val sp = spark; import sp.implicits._
     // 30 items, capacity 256: no evictions can fire, counts are exact
