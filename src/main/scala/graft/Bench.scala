@@ -71,9 +71,12 @@ object Bench {
     "q_quality_lm", "q_multimodal_decode",
     // round 16: temporal joins — the join-free as-of sweep (one key
     // shuffle + window) and the bin-bucketed interval join (equi-join on
-    // bin ids, no cartesian). NOTE for round-over-round totals: both
+    // bin ids, no cartesian); the sketch aggregates (mg_topk
+    // sketch→verify heavy hitters) and the broadcast semantic
+    // decontamination pass. NOTE for round-over-round totals: all four
     // entries are NEW in round 16.
-    "q_asof_join", "q_range_join")
+    "q_asof_join", "q_range_join", "q_heavy_hitters",
+    "q_decontaminate_semantic")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
