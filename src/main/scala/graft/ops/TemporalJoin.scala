@@ -95,10 +95,22 @@ object TemporalJoin {
       lit(leftSide).as("__side"), lit(null).cast(tbType).as("__tb"),
       struct(left.columns.map(left(_)): _*).as("__l"),
       lit(null).cast(refType).as("__r"))
+    // composite (struct) keys: the union matches struct fields by NAME,
+    // so a right key struct with the same shape but different field names
+    // (struct(rsym, rvenue) vs struct(sym, venue)) casts positionally to
+    // the left's type; true shape mismatches still fail loudly
+    val lKeyType = left.schema(leftKey).dataType
+    val rKey0 = right(rightKey)
+    val rKey =
+      if (right.schema(rightKey).dataType == lKeyType) rKey0
+      else if (org.apache.spark.sql.types.DataType.equalsStructurally(
+        right.schema(rightKey).dataType, lKeyType, ignoreNullability = true))
+        rKey0.cast(lKeyType)
+      else rKey0
     val rTagged = right
-      .filter(right(rightKey).isNotNull && right(rightTime).isNotNull)
+      .filter(rKey0.isNotNull && right(rightTime).isNotNull)
       .select(
-        right(rightKey).as("__k"), right(rightTime).as("__t"),
+        rKey.as("__k"), right(rightTime).as("__t"),
         lit(rightSide).as("__side"), right(rightTieBreak).as("__tb"),
         lit(null).cast(leftType).as("__l"),
         struct(refNames.map(n => right(n).as(n)): _*).as("__r"))

@@ -134,6 +134,22 @@ class TemporalJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(1L -> Some(10L), 2L -> None))
   }
 
+  test("composite keys work as a struct column (the multi-key recipe)") {
+    val sp = spark; import sp.implicits._
+    val l = Seq((1L, "A", 1L, 100L), (2L, "A", 2L, 100L), (3L, "B", 1L, 100L))
+      .toDF("id", "sym", "venue", "t")
+      .withColumn("k", struct(col("sym"), col("venue")))
+    val r = Seq((10L, "A", 1L, 90L), (11L, "A", 2L, 95L), (12L, "B", 9L, 80L))
+      .toDF("rid", "rsym", "rvenue", "rt")
+      .withColumn("rk", struct(col("rsym"), col("rvenue")))
+    val got = TemporalJoin.asofJoin(l, r, "k", "rk", "t", "rt",
+        Seq("rid"), rightTieBreak = "rid")
+      .select("id", "rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    // (A,1)->10, (A,2)->11; (B,1) has no ref — (B,9) must NOT leak in
+    assert(got == Map(1L -> 10L, 2L -> 11L))
+  }
+
   test("null keys and times never match (merge_asof semantics)") {
     val sp = spark; import sp.implicits._
     val l = Seq((1L, Option(1L), Option(100L)), (2L, None, Option(100L)),
