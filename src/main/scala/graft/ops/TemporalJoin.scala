@@ -54,7 +54,13 @@ object TemporalJoin {
     * Scale shape: one Exchange on the key (what any join on that key
     * costs), a per-partition sort, zero join nodes, zero row
     * amplification. `"nearest"` adds a second sort (opposite direction)
-    * over the same shuffle, not a second shuffle.
+    * over the same shuffle, not a second shuffle. Skew ceiling: the
+    * sweep needs each key's full time order, so a hot key cannot split
+    * across tasks (unlike AQE skew-JOIN splitting) — its cost is the
+    * sort of that key's rows, measured flat at one-key-holds-half
+    * (DevTemporalScale's skew arm: 6.6 s vs 6.6 s uniform at 2M×2M),
+    * where the join formulation pays the hot key's probes×refs
+    * cartesian.
     */
   def asofJoin(
       left: DataFrame, right: DataFrame,

@@ -94,6 +94,24 @@ object DevTemporalScale {
     }
     require(binned == bnl, s"range mismatch: $binned vs $bnl")
     println("  range identity: OK")
+
+    // --- as-of skew arm: one key carries half of both sides --------------
+    // The window sweep is per-key SEQUENTIAL: a hot key lands on one task
+    // and cannot split (unlike AQE skew-join splitting — the sweep needs
+    // the key's full time order). Measure the ceiling: it is the sort of
+    // the hot key's rows, still far cheaper than the naive join's
+    // hot-key CARTESIAN (probes × refs within the key).
+    val skewP = probes.withColumn("k",
+      when(pmod(col("id"), lit(2)) === 0, lit(0L)).otherwise(col("k")))
+    val skewR = refs.withColumn("rk",
+      when(pmod(col("rid"), lit(2)) === 0, lit(0L)).otherwise(col("rk")))
+    val skew = time(s"asof sweep, one key holding half of both sides") {
+      graft.ops.TemporalJoin.asofJoin(skewP, skewR,
+          "k", "rk", "t", "rt", Seq("rid", "rv"), rightTieBreak = "rid")
+        .agg(count(lit(1)), sum(hash(col("id"), col("rid")).cast("long")))
+        .collect()(0)
+    }
+    println(s"  skew rows/checksum: $skew")
     spark.stop()
   }
 }
