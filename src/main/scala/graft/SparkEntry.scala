@@ -1264,6 +1264,55 @@ object SparkEntry {
           round(max(col("value")), 2).as("mx"))
         .orderBy(col("user_id"))
     }),
+    // stream-stream watermarked interval join through the connector: the
+    // purchase stream joins the click stream on user within a 24h look-
+    // back — Spark's native stateful stream-stream join, watermarks
+    // bounding the buffered state on BOTH sides (the 100 TB shape: state
+    // holds one day of clicks, not the stream's history). AvailableNow
+    // drains both sides fully, so the inner-join output is exactly the
+    // batch join and the DuckDB oracle replays it.
+    "q_stream_join" -> ((s, d) => {
+      val src = Tables.strawDir(s, d, "events")
+      val outDir = src + "_ssjoin"
+      val ckpt = src + "_ssjoinckpt"
+      val marker = new java.io.File(outDir, "_STREAMED")
+      if (!marker.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) { val c = f.listFiles; if (c != null) c.foreach(rm) }
+          f.delete(): Unit
+        }
+        rm(new java.io.File(outDir)); rm(new java.io.File(ckpt))
+        // watermarks need zoned timestamps; the cast is UTC-pinned in the
+        // driver session and both sides cast identically, so the interval
+        // arithmetic is unchanged
+        val purchases = s.readStream.format("strawboat").load(src)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts").cast("timestamp").as("ts"))
+          .withWatermark("ts", "1 hour")
+        val clicks = s.readStream.format("strawboat").load(src)
+          .filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+            col("ts").cast("timestamp").as("c_ts"))
+          .withWatermark("c_ts", "25 hours")
+        val joined = purchases.join(clicks,
+          col("user_id") === col("c_user") &&
+            col("c_ts") >= col("ts") - expr("INTERVAL '24' HOUR") &&
+            col("c_ts") <= col("ts"))
+          .select(col("purchase_id"), col("user_id"), col("click_id"))
+        val q = joined.writeStream.format("strawboat")
+          .option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000),
+          "q_stream_join: AvailableNow drain timed out — not marking the sink complete")
+        marker.createNewFile()
+      }
+      s.read.format("strawboat").load(outDir)
+        .select(col("purchase_id"), col("user_id"), col("click_id"))
+        .orderBy(col("purchase_id"), col("click_id"))
+    }),
     // --- table maintenance: small-file compaction --------------------------
     "q_compact_roundtrip" -> ((s, d) => {
       // fragment the documents table into many tiny files (the shape a
@@ -2810,6 +2859,12 @@ object SparkEntry {
       """SELECT doc_id, strlen(text) AS byte_len, md5(text) AS digest, lang,
         |  'text/plain' AS mime
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_stream_join" -> // batch replay of the stream-stream interval join
+      """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id
+        |FROM events p JOIN events c ON c.user_id = p.user_id
+        |  AND c.ts >= p.ts - INTERVAL 24 HOUR AND c.ts <= p.ts
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |ORDER BY purchase_id, click_id""".stripMargin,
     "q_stream_roundtrip" -> // batch equivalent of the streamed drain
       """SELECT user_id, count(*) AS cnt, round(min(value), 2) AS mn,
         |  round(max(value), 2) AS mx
