@@ -1062,6 +1062,15 @@ object IntCodec {
         out(i) = java.lang.Float.floatToIntBits(back).toLong & 0xffffffffL
         i += 1
       }
+    } else if (f == 0) {
+      // the common shape (cents, rates: digits scaled straight down) —
+      // one division per value
+      val div = F10(e)
+      i = 0
+      while (i < n) {
+        out(i) = java.lang.Double.doubleToLongBits(digits(i).toDouble / div)
+        i += 1
+      }
     } else {
       val mul = F10(f); val div = F10(e)
       i = 0
