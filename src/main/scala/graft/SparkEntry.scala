@@ -496,6 +496,23 @@ object SparkEntry {
           round(sum(col("e_value")), 2).as("sum_value"))
         .orderBy(col("incident_id"))
     }),
+    // interval-overlap join (no key): error windows × purchase windows
+    // that overlap — both sides bin-replicated, each pair emitted exactly
+    // once via the overlap-start-bin rule
+    "q_overlap_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      def win(kind: String, idName: String) = ev
+        .filter(col("event_type") === kind && col("value") > 150)
+        .select(col("event_id").as(idName),
+          (col("ts") - expr("INTERVAL '3' HOUR")).as(idName + "_lo"),
+          (col("ts") + expr("INTERVAL '3' HOUR")).as(idName + "_hi"))
+      graft.ops.TemporalJoin.rangeOverlapJoin(
+          win("error", "aid"), "aid_lo", "aid_hi",
+          win("purchase", "bid"), "bid_lo", "bid_hi",
+          binWidth = 6L * 3600 * 1000000)
+        .select(col("aid"), col("bid"))
+        .orderBy(col("aid"), col("bid"))
+    }),
     // --- window functions (§2.9) -----------------------------------------
     "q_window_rank" -> ((s, d) => {
       val w = Window.partitionBy(col("o_orderstatus"))
@@ -2238,6 +2255,16 @@ object SparkEntry {
         |      AND p.ts <= c.ts + INTERVAL 3 DAY
         |  WHERE c.event_type = 'click' AND p.event_type = 'purchase')
         |WHERE rn = 1 ORDER BY click_id""".stripMargin,
+    "q_overlap_join" ->
+      """WITH a AS (SELECT event_id AS aid,
+        |    ts - INTERVAL 3 HOUR AS lo, ts + INTERVAL 3 HOUR AS hi
+        |  FROM events WHERE event_type = 'error' AND value > 150),
+        |b AS (SELECT event_id AS bid,
+        |    ts - INTERVAL 3 HOUR AS lo, ts + INTERVAL 3 HOUR AS hi
+        |  FROM events WHERE event_type = 'purchase' AND value > 150)
+        |SELECT aid, bid FROM a, b
+        |WHERE a.lo <= b.hi AND b.lo <= a.hi
+        |ORDER BY aid, bid""".stripMargin,
     "q_range_join" ->
       """SELECT i.event_id AS incident_id, count(*) AS n_events,
         |  round(sum(e.value), 2) AS sum_value

@@ -185,6 +185,42 @@ object TemporalJoin {
     * @param extraKeys optional (intervalCol, pointCol) equality pairs
     *   folded into the join key.
     */
+  /** Interval-OVERLAP join with no equality key: every (left interval,
+    * right interval) pair with `aLo <= bHi && bLo <= aHi`, each emitted
+    * EXACTLY once. Both sides replicate to their covering bins, the
+    * match becomes a bin-id equi-join — and because an overlapping pair
+    * shares every bin their intersection covers, the join keeps only the
+    * bin containing the overlap's START (`max(aLo, bLo)`), which each
+    * pair has exactly one of. Same no-cartesian plan shape as
+    * [[rangeJoin]]; column names must be disjoint. */
+  def rangeOverlapJoin(
+      left: DataFrame, leftLow: String, leftHigh: String,
+      right: DataFrame, rightLow: String, rightHigh: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val clash = left.columns.toSet.intersect(right.columns.toSet)
+    require(clash.isEmpty,
+      s"left/right column names must be disjoint, got: ${clash.mkString(",")}")
+    def num(df: DataFrame, name: String): Column =
+      df.schema(name).dataType match {
+        case TimestampType | TimestampNTZType =>
+          unix_micros(df(name).cast(TimestampType))
+        case _ => df(name)
+      }
+    def bin(df: DataFrame, name: String): Column =
+      floor(num(df, name) / binWidth).cast("long")
+    val a = left.withColumn("__bin",
+      explode(sequence(bin(left, leftLow), bin(left, leftHigh))))
+    val b = right.withColumn("__bin",
+      explode(sequence(bin(right, rightLow), bin(right, rightHigh))))
+    a.join(b, a("__bin") === b("__bin") &&
+        a(leftLow) <= b(rightHigh) && b(rightLow) <= a(leftHigh) &&
+        // exactly-once: only the bin holding the overlap's start emits
+        floor(greatest(num(a, leftLow), num(b, rightLow)) / binWidth)
+          .cast("long") === a("__bin"))
+      .drop("__bin")
+  }
+
   def rangeJoin(
       intervals: DataFrame, low: String, high: String,
       points: DataFrame, point: String,

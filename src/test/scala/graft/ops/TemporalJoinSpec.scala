@@ -201,6 +201,32 @@ class TemporalJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(once == 0L)
   }
 
+  test("rangeOverlapJoin == brute force, exactly once, across bin widths") {
+    val sp = spark; import sp.implicits._
+    val as = (0L until 50L).map { i =>
+      val lo = (i * 83 + 11) % 400; (i, lo, lo + (i % 7) * 20)
+    }
+    val bs = (0L until 70L).map { j =>
+      val lo = (j * 59 + 3) % 420; (j, lo, lo + (j % 5) * 25)
+    }
+    val aDf = as.toDF("aid", "alo", "ahi")
+    val bDf = bs.toDF("bid", "blo", "bhi")
+    val expected = (for {
+      (aid, alo, ahi) <- as; (bid, blo, bhi) <- bs
+      if alo <= bhi && blo <= ahi
+    } yield (aid, bid)).sorted
+    assert(expected.nonEmpty)
+    for (width <- Seq(7L, 25L, 120L)) {
+      val got = TemporalJoin.rangeOverlapJoin(aDf, "alo", "ahi", bDf, "blo", "bhi", width)
+        .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq.sorted
+      assert(got == expected, s"width=$width")
+    }
+    val dupes = TemporalJoin.rangeOverlapJoin(aDf, "alo", "ahi", bDf, "blo", "bhi", 10L)
+      .groupBy("aid", "bid").count().filter(col("count") > 1).count()
+    assert(dupes == 0L, "each overlapping pair must emit exactly once")
+  }
+
   test("rangeJoin honors extra equality keys and plans a hash join (no cartesian)") {
     val sp = spark; import sp.implicits._
     val ivDf = Seq((1L, 0L, 100L, "a"), (2L, 0L, 100L, "b")).toDF("iid", "lo", "hi", "ig")
