@@ -75,7 +75,7 @@ object Bench {
     // sketch→verify heavy hitters) and the broadcast semantic
     // decontamination pass. NOTE for round-over-round totals: all four
     // entries are NEW in round 16.
-    "q_asof_join", "q_range_join", "q_heavy_hitters",
+    "q_asof_join", "q_range_join", "q_overlap_join", "q_heavy_hitters",
     "q_decontaminate_semantic")
 
   def main(args: Array[String]): Unit = {
