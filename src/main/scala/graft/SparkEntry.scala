@@ -477,6 +477,30 @@ object SparkEntry {
           round(col("p_value"), 2).as("purchase_value"))
         .orderBy(col("click_id"))
     }),
+    // both-neighbor as-of + linear interpolation: each purchase gets the
+    // click VALUE lerped at the purchase instant between the surrounding
+    // clicks — the time-series resample/interpolate shape, one shuffle
+    "q_asof_lerp" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("value").as("c_value"), col("event_id").as("c_id"))
+      val both = graft.ops.TemporalJoin.asofBothJoin(purchases, clicks,
+        "user_id", "c_user", "ts", "c_ts", Seq("c_value", "c_id"),
+        rightTieBreak = "c_id")
+      val tq = unix_micros(col("ts").cast("timestamp"))
+      val tb = unix_micros(col("bwd_c_ts").cast("timestamp"))
+      val tf = unix_micros(col("fwd_c_ts").cast("timestamp"))
+      val frac = (tq - tb).cast("double") / (tf - tb).cast("double")
+      both.select(col("purchase_id"), col("user_id"),
+          round(when(tf === tb, col("bwd_c_value"))
+            .otherwise(col("bwd_c_value") +
+              (col("fwd_c_value") - col("bwd_c_value")) * frac), 4)
+            .as("lerped"))
+        .orderBy(col("purchase_id"))
+    }),
     // incident blast-radius: events within ±90min of each high-value error,
     // joined WITHOUT an equality key via time-bin bucketing (equi-join on
     // the bin id — no cartesian / broadcast-nested-loop)
@@ -2255,6 +2279,27 @@ object SparkEntry {
         |      AND p.ts <= c.ts + INTERVAL 3 DAY
         |  WHERE c.event_type = 'click' AND p.event_type = 'purchase')
         |WHERE rn = 1 ORDER BY click_id""".stripMargin,
+    "q_asof_lerp" -> // both neighbors replayed, same lerp association
+      """WITH p AS (SELECT event_id AS pid, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS cu, ts AS cts, value AS cv, event_id AS cid
+        |  FROM events WHERE event_type = 'click'),
+        |b AS (SELECT pid, cts, cv FROM (
+        |  SELECT p.pid, c.cts, c.cv, row_number() OVER (PARTITION BY p.pid
+        |    ORDER BY c.cts DESC, c.cid DESC) AS rn
+        |  FROM p JOIN c ON c.cu = p.user_id AND c.cts <= p.ts) WHERE rn = 1),
+        |f AS (SELECT pid, cts, cv FROM (
+        |  SELECT p.pid, c.cts, c.cv, row_number() OVER (PARTITION BY p.pid
+        |    ORDER BY c.cts ASC, c.cid DESC) AS rn
+        |  FROM p JOIN c ON c.cu = p.user_id AND c.cts >= p.ts) WHERE rn = 1)
+        |SELECT p.pid AS purchase_id, p.user_id,
+        |  round(CASE WHEN f.cts = b.cts THEN b.cv
+        |    ELSE b.cv + (f.cv - b.cv) *
+        |      (CAST(epoch_us(p.ts) - epoch_us(b.cts) AS DOUBLE)
+        |        / CAST(epoch_us(f.cts) - epoch_us(b.cts) AS DOUBLE)) END, 4)
+        |    AS lerped
+        |FROM p JOIN b ON b.pid = p.pid JOIN f ON f.pid = p.pid
+        |ORDER BY purchase_id""".stripMargin,
     "q_overlap_join" ->
       """WITH a AS (SELECT event_id AS aid,
         |    ts - INTERVAL 3 HOUR AS lo, ts + INTERVAL 3 HOUR AS hi

@@ -83,44 +83,8 @@ object TemporalJoin {
     require(clash.isEmpty,
       s"right columns collide with left after prefixing: ${clash.mkString(",")}; " +
         "pass rightPrefix or rename")
-
-    // Traversal order is by time (asc for backward, desc for forward); the
-    // side tag decides whether a right row at the probe's exact time is
-    // already visible when the probe is reached.
-    val (leftSide, rightSide) = if (allowExactMatches) (1, 0) else (0, 1)
-    val refType = right.select(refNames.map(col): _*).schema
-    val leftType = left.schema
-    val tbType = right.schema(rightTieBreak).dataType
-
-    // null keys/times never match (merge_asof semantics): reference rows
-    // with one drop entirely; probe rows with one keep their left-join
-    // null ref (they'd otherwise co-partition with null-key refs and
-    // "match" them through the window)
-    val lTagged = left.select(
-      left(leftKey).as("__k"), left(leftTime).as("__t"),
-      lit(leftSide).as("__side"), lit(null).cast(tbType).as("__tb"),
-      struct(left.columns.map(left(_)): _*).as("__l"),
-      lit(null).cast(refType).as("__r"))
-    // composite (struct) keys: the union matches struct fields by NAME,
-    // so a right key struct with the same shape but different field names
-    // (struct(rsym, rvenue) vs struct(sym, venue)) casts positionally to
-    // the left's type; true shape mismatches still fail loudly
-    val lKeyType = left.schema(leftKey).dataType
-    val rKey0 = right(rightKey)
-    val rKey =
-      if (right.schema(rightKey).dataType == lKeyType) rKey0
-      else if (org.apache.spark.sql.types.DataType.equalsStructurally(
-        right.schema(rightKey).dataType, lKeyType, ignoreNullability = true))
-        rKey0.cast(lKeyType)
-      else rKey0
-    val rTagged = right
-      .filter(rKey0.isNotNull && right(rightTime).isNotNull)
-      .select(
-        rKey.as("__k"), right(rightTime).as("__t"),
-        lit(rightSide).as("__side"), right(rightTieBreak).as("__tb"),
-        lit(null).cast(leftType).as("__l"),
-        struct(refNames.map(n => right(n).as(n)): _*).as("__r"))
-    val all = lTagged.unionByName(rTagged)
+    val (all, leftSide) = taggedUnion(left, right, leftKey, rightKey,
+      leftTime, rightTime, refNames, rightTieBreak, allowExactMatches)
 
     def sweep(forward: Boolean): Column = {
       val t = if (forward) col("__t").desc else col("__t").asc
@@ -169,6 +133,91 @@ object TemporalJoin {
     matched.select(
       left.columns.map(n => col("__l").getField(n).as(n)) ++
         refNames.map(n => col("__ref").getField(n).as(rightPrefix + n)): _*)
+  }
+
+  /** The tagged probe/reference union both as-of variants sweep over.
+    * Traversal order is by time (asc for backward, desc for forward); the
+    * side tag decides whether a right row at the probe's exact time is
+    * already visible when the probe is reached. Null reference keys/times
+    * drop entirely (merge_asof: they never match); composite struct keys
+    * with different FIELD NAMES cast positionally to the left's type.
+    * Returns (union, leftSideTag). */
+  private def taggedUnion(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTime: String, rightTime: String,
+      refNames: Seq[String], rightTieBreak: String,
+      allowExactMatches: Boolean): (DataFrame, Int) = {
+    val (leftSide, rightSide) = if (allowExactMatches) (1, 0) else (0, 1)
+    val refType = right.select(refNames.map(col): _*).schema
+    val leftType = left.schema
+    val tbType = right.schema(rightTieBreak).dataType
+    val lTagged = left.select(
+      left(leftKey).as("__k"), left(leftTime).as("__t"),
+      lit(leftSide).as("__side"), lit(null).cast(tbType).as("__tb"),
+      struct(left.columns.map(left(_)): _*).as("__l"),
+      lit(null).cast(refType).as("__r"))
+    val lKeyType = left.schema(leftKey).dataType
+    val rKey0 = right(rightKey)
+    val rKey =
+      if (right.schema(rightKey).dataType == lKeyType) rKey0
+      else if (org.apache.spark.sql.types.DataType.equalsStructurally(
+        right.schema(rightKey).dataType, lKeyType, ignoreNullability = true))
+        rKey0.cast(lKeyType)
+      else rKey0
+    val rTagged = right
+      .filter(rKey0.isNotNull && right(rightTime).isNotNull)
+      .select(
+        rKey.as("__k"), right(rightTime).as("__t"),
+        lit(rightSide).as("__side"), right(rightTieBreak).as("__tb"),
+        lit(null).cast(leftType).as("__l"),
+        struct(refNames.map(n => right(n).as(n)): _*).as("__r"))
+    (lTagged.unionByName(rTagged), leftSide)
+  }
+
+  /** Both-neighbor as-of: every `left` row with BOTH the latest
+    * at-or-before AND the earliest at-or-after `right` row attached
+    * (prefixes `bwd_`/`fwd_`) — the building block for time
+    * INTERPOLATION (lerp between the neighbors), gap measurement, and
+    * sandwich validation. `joinType = "inner"` keeps only probes with
+    * both neighbors; `"left"` keeps all probes, missing sides null.
+    * One shuffle, two sorts, no join node — the same plan family as
+    * [[asofJoin]]'s "nearest". */
+  def asofBothJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightValues: Seq[String],
+      rightTieBreak: String,
+      allowExactMatches: Boolean = true,
+      joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left")(joinType),
+      s"joinType must be inner|left, got $joinType")
+    val refNames = (rightTime +: rightValues).distinct
+    val outNames = refNames.flatMap(n => Seq("bwd_" + n, "fwd_" + n))
+    val clash = left.columns.toSet.intersect(outNames.toSet)
+    require(clash.isEmpty,
+      s"right columns collide with left after prefixing: ${clash.mkString(",")}")
+    val (all, leftSide) = taggedUnion(left, right, leftKey, rightKey,
+      leftTime, rightTime, refNames, rightTieBreak, allowExactMatches)
+    def sweep(forward: Boolean): Column = {
+      val t = if (forward) col("__t").desc else col("__t").asc
+      val w = Window.partitionBy(col("__k"))
+        .orderBy(t, col("__side").asc, col("__tb").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      last(col("__r"), ignoreNulls = true).over(w)
+    }
+    val valid = col("__k").isNotNull && col("__t").isNotNull
+    val both = all
+      .withColumn("__rb", when(valid, sweep(forward = false)))
+      .withColumn("__rf", when(valid, sweep(forward = true)))
+      .filter(col("__side") === leftSide)
+    val matched =
+      if (joinType == "inner")
+        both.filter(col("__rb").isNotNull && col("__rf").isNotNull)
+      else both
+    matched.select(
+      left.columns.map(n => col("__l").getField(n).as(n)) ++
+        refNames.map(n => col("__rb").getField(n).as("bwd_" + n)) ++
+        refNames.map(n => col("__rf").getField(n).as("fwd_" + n)): _*)
   }
 
   /** Interval-containment join with no equality key: every (interval,

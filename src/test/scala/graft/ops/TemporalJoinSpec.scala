@@ -150,6 +150,31 @@ class TemporalJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(1L -> 10L, 2L -> 11L))
   }
 
+  test("asofBothJoin: both neighbors match the directional brute forces") {
+    val expB = expect("backward", allowExact = true, None)
+    val expF = expect("forward", allowExact = true, None)
+    val got = TemporalJoin.asofBothJoin(probeDf, refDf, "k", "rk", "t", "rt",
+        Seq("rid"), rightTieBreak = "rid", joinType = "left")
+      .select("id", "bwd_rid", "fwd_rid").collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    probes.foreach { case (id, _, _) =>
+      assert(got(id) == ((expB(id), expF(id))), s"probe $id")
+    }
+    // inner requires BOTH neighbors
+    val inner = TemporalJoin.asofBothJoin(probeDf, refDf, "k", "rk", "t", "rt",
+        Seq("rid"), rightTieBreak = "rid")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(inner == probes.map(_._1)
+      .filter(id => expB(id).isDefined && expF(id).isDefined).toSet)
+    // still one exchange, no join node
+    val plan = TemporalJoin.asofBothJoin(probeDf, refDf, "k", "rk", "t", "rt",
+        Seq("rid"), rightTieBreak = "rid")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && "Exchange".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("null keys and times never match (merge_asof semantics)") {
     val sp = spark; import sp.implicits._
     val l = Seq((1L, Option(1L), Option(100L)), (2L, None, Option(100L)),
