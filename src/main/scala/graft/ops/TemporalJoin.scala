@@ -106,11 +106,23 @@ object TemporalJoin {
       case "forward" => all.withColumn("__ref", sweep(forward = true))
         .withColumn("__gap", gap(col("__ref"), forward = true))
       case "nearest" =>
-        val both = all
+        val raw = all
           .withColumn("__rb", sweep(forward = false))
           .withColumn("__rf", sweep(forward = true))
           .withColumn("__gb", gap(col("__rb"), forward = false))
           .withColumn("__gf", gap(col("__rf"), forward = true))
+        // tolerance gates EACH side's gap BEFORE the nearer-side choice
+        // (pandas merge_asof nearest semantics): a probe whose nearest
+        // neighbor is out of tolerance still matches the other side when
+        // that one is within — gating only the winner would drop it.
+        val both = tolerance match {
+          case Some(tol) => raw
+            .withColumn("__rb", when(col("__gb") <= tol, col("__rb")))
+            .withColumn("__gb", when(col("__gb") <= tol, col("__gb")))
+            .withColumn("__rf", when(col("__gf") <= tol, col("__rf")))
+            .withColumn("__gf", when(col("__gf") <= tol, col("__gf")))
+          case None => raw
+        }
         both.withColumn("__ref",
             when(col("__rb").isNull, col("__rf"))
               .when(col("__rf").isNull, col("__rb"))
@@ -245,8 +257,11 @@ object TemporalJoin {
   def rangeOverlapJoin(
       left: DataFrame, leftLow: String, leftHigh: String,
       right: DataFrame, rightLow: String, rightHigh: String,
-      binWidth: Long): DataFrame = {
+      binWidth: Long,
+      maxBinsPerInterval: Int = DefaultMaxBinsPerInterval): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(maxBinsPerInterval > 0,
+      s"maxBinsPerInterval must be positive, got $maxBinsPerInterval")
     val clash = left.columns.toSet.intersect(right.columns.toSet)
     require(clash.isEmpty,
       s"left/right column names must be disjoint, got: ${clash.mkString(",")}")
@@ -256,12 +271,15 @@ object TemporalJoin {
           unix_micros(df(name).cast(TimestampType))
         case _ => df(name)
       }
-    def bin(df: DataFrame, name: String): Column =
-      floor(num(df, name) / binWidth).cast("long")
-    val a = left.withColumn("__bin",
-      explode(sequence(bin(left, leftLow), bin(left, leftHigh))))
-    val b = right.withColumn("__bin",
-      explode(sequence(bin(right, rightLow), bin(right, rightHigh))))
+    // inverted (lo > hi) intervals never match — the same contract as
+    // null bounds. Without the filter, sequence() auto-steps -1 and a
+    // malformed row could still satisfy aLo<=bHi && bLo<=aHi.
+    val a = left.filter(left(leftLow) <= left(leftHigh)).withColumn("__bin",
+      explode(binsGuarded(num(left, leftLow), num(left, leftHigh),
+        binWidth, maxBinsPerInterval, "rangeOverlapJoin")))
+    val b = right.filter(right(rightLow) <= right(rightHigh)).withColumn("__bin",
+      explode(binsGuarded(num(right, rightLow), num(right, rightHigh),
+        binWidth, maxBinsPerInterval, "rangeOverlapJoin")))
     a.join(b, a("__bin") === b("__bin") &&
         a(leftLow) <= b(rightHigh) && b(rightLow) <= a(leftHigh) &&
         // exactly-once: only the bin holding the overlap's start emits
@@ -274,31 +292,86 @@ object TemporalJoin {
       intervals: DataFrame, low: String, high: String,
       points: DataFrame, point: String,
       binWidth: Long,
-      extraKeys: Seq[(String, String)] = Nil): DataFrame = {
+      extraKeys: Seq[(String, String)] = Nil,
+      maxBinsPerInterval: Int = DefaultMaxBinsPerInterval): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(maxBinsPerInterval > 0,
+      s"maxBinsPerInterval must be positive, got $maxBinsPerInterval")
     val clash = intervals.columns.toSet.intersect(points.columns.toSet)
     require(clash.isEmpty,
       s"interval/point column names must be disjoint, got: ${clash.mkString(",")}")
 
-    def bin(df: DataFrame, name: String): Column = {
-      val c = df(name)
-      val num = df.schema(name).dataType match {
+    def num(df: DataFrame, name: String): Column =
+      df.schema(name).dataType match {
         // NTZ → TZ interprets in the session zone; both sides convert
         // identically and the exact filter compares the ORIGINAL columns,
         // so the zone choice can't change results
-        case TimestampType | TimestampNTZType => unix_micros(c.cast(TimestampType))
-        case _ => c
+        case TimestampType | TimestampNTZType =>
+          unix_micros(df(name).cast(TimestampType))
+        case _ => df(name)
       }
-      floor(num / binWidth).cast("long")
-    }
-    val iv = intervals.withColumn("__bin",
-      explode(sequence(bin(intervals, low), bin(intervals, high))))
-    val pt = points.withColumn("__bin", bin(points, point))
+    // inverted intervals can't contain any point (the exact filter would
+    // drop them anyway) — filtering them BEFORE the explode also stops
+    // sequence()'s auto-step -1 from replicating malformed rows for free
+    val iv = intervals.filter(intervals(low) <= intervals(high))
+      .withColumn("__bin", explode(binsGuarded(num(intervals, low),
+        num(intervals, high), binWidth, maxBinsPerInterval, "rangeJoin")))
+    val pt = points.withColumn("__bin",
+      floor(num(points, point) / binWidth).cast("long"))
     val cond = extraKeys.foldLeft(iv("__bin") === pt("__bin")) {
       case (acc, (ik, pk)) => acc && iv(ik) === pt(pk)
     }
     iv.join(pt, cond)
       .filter(points(point) >= intervals(low) && points(point) <= intervals(high))
       .drop("__bin")
+  }
+
+  /** Default ceiling on bins-per-interval for the bin-join family. One
+    * long-tail interval at a too-fine binWidth (a year-long span at
+    * minute bins is 525k copies) silently amplifies rows with no
+    * feedback; past this bound the job fails loudly instead. */
+  val DefaultMaxBinsPerInterval: Int = 65536
+
+  /** The guarded covering-bin list for one interval: `sequence(binLo,
+    * binHi)` with a loud per-row replication cap — an interval spanning
+    * more than `cap` bins raises (executor-side, via `assert_true`)
+    * instead of silently exploding the row count. The caller filters
+    * inverted intervals first, so binLo <= binHi here. */
+  private def binsGuarded(lo: Column, hi: Column, binWidth: Long, cap: Int,
+      op: String): Column = {
+    val binLo = floor(lo / binWidth).cast("long")
+    val binHi = floor(hi / binWidth).cast("long")
+    val nBins = binHi - binLo + lit(1L)
+    val msg = concat(
+      lit(s"$op: interval replicates to "), nBins.cast("string"),
+      lit(s" bins at binWidth=$binWidth (cap $cap) - raise binWidth " +
+        "(see suggestBinWidth) or maxBinsPerInterval"))
+    // assert_true returns NULL when the predicate holds and raises
+    // otherwise; chaining via when(...isNull) keeps it un-prunable
+    when(assert_true(nBins <= cap, msg).isNull, sequence(binLo, binHi))
+  }
+
+  /** Derive a binWidth for [[rangeJoin]]/[[rangeOverlapJoin]] from the
+    * data: the `quantile` (default 0.95) of the interval spans, so the
+    * typical interval replicates to ~1-2 bins and only the long tail
+    * past the quantile replicates more. One distributed
+    * `approx_percentile` aggregate over the interval table (a single
+    * action, no driver-side row materialization); inverted/null
+    * intervals are ignored; returns at least 1. Units follow the bound
+    * columns' own units — MICROSECONDS for timestamps. */
+  def suggestBinWidth(intervals: DataFrame, low: String, high: String,
+      quantile: Double = 0.95): Long = {
+    require(quantile > 0 && quantile <= 1,
+      s"quantile must be in (0,1], got $quantile")
+    def num(name: String): Column = intervals.schema(name).dataType match {
+      case TimestampType | TimestampNTZType =>
+        unix_micros(intervals(name).cast(TimestampType))
+      case _ => intervals(name)
+    }
+    val row = intervals.filter(intervals(low) <= intervals(high))
+      .select((num(high) - num(low)).cast("double").as("__span"))
+      .agg(expr(s"approx_percentile(__span, $quantile)"))
+      .head()
+    if (row.isNullAt(0)) 1L else math.max(1L, math.round(row.getDouble(0)))
   }
 }

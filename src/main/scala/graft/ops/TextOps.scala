@@ -118,7 +118,6 @@ object TextOps {
   def lmScore(df: DataFrame, idCol: String, textCol: String,
       alpha: Double = 1.0): DataFrame = {
     require(alpha > 0, s"lmScore: smoothing alpha must be positive, got $alpha")
-    import org.apache.spark.sql.expressions.Window
     val tokArr = filter(split(col(textCol), "\\s+"), w => w =!= lit(""))
     val toks = df.select(col(idCol).as("_doc"), explode(tokArr).as("_tok"))
     // bigrams derive per row from the token ARRAY — zip each token with
@@ -133,11 +132,16 @@ object TextOps {
       .select(col(idCol).as("_doc"), explode(pairs).as("_bg"))
       .filter(col("_bg._tok").isNotNull)
       .select(col("_doc"), col("_bg._prev").as("_prev"), col("_bg._tok").as("_tok"))
-    // unigram counts with the vocabulary size attached by a window over
-    // the counts table itself (vocab-sized, one partition) — V costs no
-    // extra corpus pass
-    val c1v = toks.groupBy(col("_tok").as("_prev")).agg(count(lit(1)).as("_c1"))
-      .withColumn("_v", count(lit(1)).over(Window.partitionBy()))
+    // unigram counts, with the vocabulary size attached as a broadcast
+    // one-row aggregate cross-joined back on (the keepAboveQuantile
+    // idiom). A count(*) OVER () window would funnel the whole counts
+    // table through ONE task — "vocab-sized" is still O(10^8-10^9)
+    // distinct tokens on a web corpus, so the scalar must come from a
+    // distributed aggregate, not a single-partition sort. ReuseExchange
+    // dedupes the shared unigram aggregation between the two branches.
+    val c1 = toks.groupBy(col("_tok").as("_prev")).agg(count(lit(1)).as("_c1"))
+    val vocab = c1.agg(count(lit(1)).as("_v"))
+    val c1v = c1.crossJoin(broadcast(vocab))
     val docBg = bigrams.groupBy("_doc", "_prev", "_tok").agg(count(lit(1)).as("_n"))
     // corpus bigram counts roll up from the per-doc counts: strictly less
     // aggregation input, and the shared lineage lets AQE reuse docBg's

@@ -271,15 +271,14 @@ class PipelineTextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = Seq((1L, "a b c"), (2L, "b c d e")).toDF("doc_id", "text")
     val qe = TextOps.lmScore(df, "doc_id", "text").queryExecution
 
-    // logical: the only Window left is the vocab-size count OVER the
-    // unigram-counts aggregate (vocab-sized input) — every Window node
-    // must have an Aggregate somewhere beneath it, i.e. no window ever
-    // touches raw token rows
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // logical: NO Window node anywhere — the vocabulary size now arrives
+    // as a broadcast one-row aggregate cross-joined onto the counts table,
+    // so nothing (not even the vocab-sized counts table, which is still
+    // O(distinct tokens) ~ 10^8-10^9 rows on a web corpus) funnels through
+    // a single-partition window sort
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     qe.optimizedPlan.foreach {
-      case w: LWindow =>
-        assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
-          s"window over un-aggregated (token-scale) input:\n$w")
+      case w: LWindow => fail(s"lmScore plan must contain no Window node:\n$w")
       case _ =>
     }
 

@@ -266,6 +266,93 @@ class TemporalJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"range join must not plan a cartesian:\n$plan")
   }
 
+  test("nearest + tolerance: per-side gating pinned (merge_asof semantics)") {
+    val sp = spark; import sp.implicits._
+    // tolerance filters EACH side's candidate before the nearer-side
+    // choice — structurally the merge_asof filter-then-pick order. (For a
+    // symmetric tolerance the two orders agree — if the nearer gap is out
+    // the farther one is too — but this pins the contract.)
+    val l = Seq((1L, 1L, 100L), (2L, 1L, 200L), (3L, 1L, 300L),
+      (4L, 1L, 400L), (5L, 1L, 500L)).toDF("id", "k", "t")
+    val r = Seq(
+      (10L, 1L, 97L, 0.0), (11L, 1L, 101L, 0.0), // probe 1: fwd gap 1 wins
+      (12L, 1L, 196L, 0.0), (13L, 1L, 205L, 0.0), // probe 2: both out of tol
+      (14L, 1L, 299L, 0.0), // probe 3: backward-only, gap 1, in
+      (15L, 1L, 403L, 0.0), // probe 4: forward-only, gap 3, out
+      (16L, 1L, 500L, 0.0), (17L, 1L, 501L, 0.0)) // probe 5: exact excluded
+      .toDF("rid", "rk", "rt", "rv")
+    def run(allowExact: Boolean): Map[Long, Option[Long]] =
+      TemporalJoin.asofJoin(l, r, "k", "rk", "t", "rt", Seq("rid"),
+        rightTieBreak = "rid", direction = "nearest", joinType = "left",
+        allowExactMatches = allowExact, tolerance = Some(lit(2L)))
+        .select("id", "rid").collect()
+        .map(x => x.getLong(0) -> Option(x.get(1)).map(_.asInstanceOf[Long]))
+        .toMap
+    assert(run(allowExact = true) == Map(1L -> Some(11L), 2L -> None,
+      3L -> Some(14L), 4L -> None, 5L -> Some(16L)))
+    // exact match excluded: probe 5 falls to rid 17 (gap 1, within tol)
+    assert(run(allowExact = false)(5L) == Some(17L))
+  }
+
+  test("bin joins fail loudly past the replication cap; sane widths pass") {
+    val sp = spark; import sp.implicits._
+    val iv = Seq((1L, 0L, 500L)).toDF("iid", "lo", "hi")
+    val pt = Seq((10L, 250L)).toDF("pid", "pt")
+    // 501 bins at width 1 > cap 100 -> executor-side assert_true raises
+    val err = intercept[Exception] {
+      TemporalJoin.rangeJoin(iv, "lo", "hi", pt, "pt", 1L,
+        maxBinsPerInterval = 100).count()
+    }
+    assert(err.getMessage != null && err.getMessage.contains("replicates"),
+      s"expected the replication-cap message, got: ${err.getMessage}")
+    // same data passes at the same cap with a sane width
+    assert(TemporalJoin.rangeJoin(iv, "lo", "hi", pt, "pt", 100L,
+      maxBinsPerInterval = 100).count() == 1L)
+    // overlap join carries the same guard
+    val b = Seq((2L, 400L, 600L)).toDF("bid", "blo", "bhi")
+    intercept[Exception] {
+      TemporalJoin.rangeOverlapJoin(iv, "lo", "hi", b, "blo", "bhi", 1L,
+        maxBinsPerInterval = 100).count()
+    }
+    assert(TemporalJoin.rangeOverlapJoin(iv, "lo", "hi", b, "blo", "bhi",
+      500L, maxBinsPerInterval = 100).count() == 1L)
+  }
+
+  test("inverted (lo > hi) intervals never match, either family") {
+    val sp = spark; import sp.implicits._
+    val iv = Seq((1L, 10L, 5L)).toDF("iid", "lo", "hi") // malformed
+    val pt = Seq((10L, 7L)).toDF("pid", "pt")
+    assert(TemporalJoin.rangeJoin(iv, "lo", "hi", pt, "pt", 2L).count() == 0L)
+    // before the guard, [10,5] x [3,20] satisfied aLo<=bHi && bLo<=aHi
+    // through sequence()'s auto-step -1 — now the row drops pre-explode
+    val b = Seq((2L, 3L, 20L)).toDF("bid", "blo", "bhi")
+    assert(TemporalJoin.rangeOverlapJoin(iv, "lo", "hi", b, "blo", "bhi", 5L)
+      .count() == 0L)
+    // and an inverted long span cannot trip the replication cap either
+    val ivBig = Seq((1L, 1000000L, 0L)).toDF("iid", "lo", "hi")
+    assert(TemporalJoin.rangeJoin(ivBig, "lo", "hi", pt, "pt", 1L,
+      maxBinsPerInterval = 10).count() == 0L)
+  }
+
+  test("suggestBinWidth: span quantile, timestamp units, empty-safe") {
+    val sp = spark; import sp.implicits._
+    val iv = Seq((1L, 0L, 10L), (2L, 5L, 15L), (3L, 20L, 30L),
+      (4L, 0L, 100L), (5L, 9L, 2L)) // last row inverted: ignored
+      .toDF("iid", "lo", "hi")
+    assert(TemporalJoin.suggestBinWidth(iv, "lo", "hi", 0.5) == 10L)
+    assert(TemporalJoin.suggestBinWidth(iv, "lo", "hi") == 100L) // p95 tail
+    // timestamps: micros — a 1-hour span suggests 3.6e9 at q=1
+    val ts = Seq(("2024-01-01 10:00:00", "2024-01-01 11:00:00"))
+      .toDF("lo", "hi")
+      .select(col("lo").cast("timestamp").as("lo"),
+        col("hi").cast("timestamp").as("hi"))
+    assert(TemporalJoin.suggestBinWidth(ts, "lo", "hi", 1.0) == 3600000000L)
+    assert(TemporalJoin.suggestBinWidth(iv.filter(lit(false)), "lo", "hi") == 1L)
+    intercept[IllegalArgumentException] {
+      TemporalJoin.suggestBinWidth(iv, "lo", "hi", 0.0)
+    }
+  }
+
   test("rangeJoin rejects colliding names and non-positive widths") {
     val sp = spark; import sp.implicits._
     val a = Seq((1L, 2L, 3L)).toDF("x", "lo", "hi")
