@@ -532,21 +532,28 @@ object StrawSqlSurface {
   val AsofName = "straw_asof"
 
   /** `straw_asof('<left path>', '<right path>', '<leftKey[=rightKey]>',
-    * '<leftTime[=rightTime]>', '<right tie-break col>'[, '<direction>'])`:
-    * point-in-time join of two strawboat tables as plain SQL — every left
-    * row with the matched right row's columns attached under an `r_`
-    * prefix (inner semantics: unmatched left rows drop). Direction is
-    * `backward` (default) / `forward` / `nearest`. LAZY like
-    * [[bm25Builder]]: the builder returns the join-free sweep plan
+    * '<leftTime[=rightTime]>', '<right tie-break col>'[, '<direction>'[,
+    * <tolerance>[, <allowExactMatches>]]])`: point-in-time join of two
+    * strawboat tables as plain SQL — every left row with the matched right
+    * row's columns attached under an `r_` prefix (inner semantics:
+    * unmatched left rows drop). Direction is `backward` (default) /
+    * `forward` / `nearest`; `tolerance` is a numeric literal (numeric time
+    * columns) or an interval-expression STRING like `'INTERVAL ''90''
+    * MINUTE'` (timestamp columns) bounding the match distance;
+    * `allowExactMatches` (boolean, default true) excludes same-instant
+    * matches when false — the full pandas `merge_asof` control set. LAZY
+    * like [[bm25Builder]]: the builder returns the join-free sweep plan
     * ([[graft.ops.TemporalJoin.asofJoin]] — one key shuffle, no join
     * node), so EXPLAIN probes nothing and the result composes in CTEs. */
   def asofBuilder(args: Seq[Expression]): LogicalPlan = {
-    require(args.length >= 5 && args.length <= 6 &&
-      args.forall(a => a.foldable && a.dataType == StringType),
+    require(args.length >= 5 && args.length <= 8 &&
+      args.take(5).forall(a => a.foldable && a.dataType == StringType) &&
+      args.lift(5).forall(a => a.foldable && a.dataType == StringType),
       s"$AsofName expects (left path, right path, 'leftKey[=rightKey]', " +
-        "'leftTime[=rightTime]', tieBreak[, direction]) — all strings")
+        "'leftTime[=rightTime]', tieBreak[, direction[, tolerance[, " +
+        "allowExactMatches]]])")
     val empty = org.apache.spark.sql.catalyst.InternalRow.empty
-    val vals = args.map(_.eval(empty))
+    val vals = args.take(6).map(_.eval(empty))
     require(vals.forall(_ != null), s"$AsofName: arguments must not be null")
     def pair(s: String): (String, String) = s.split("=", 2) match {
       case Array(a) => (a.trim, a.trim)
@@ -555,13 +562,126 @@ object StrawSqlSurface {
     val (lk, rk) = pair(vals(2).toString)
     val (lt, rt) = pair(vals(3).toString)
     val tieBreak = vals(4).toString.trim
-    val direction = if (args.length == 6) vals(5).toString.trim else "backward"
+    val direction = if (args.length >= 6) vals(5).toString.trim else "backward"
+    // tolerance: a numeric literal passes through as-is; a string parses
+    // as a SQL expression (the interval-literal route — SQL has no
+    // interval ARGUMENT type a TVF literal can carry)
+    val tolerance: Option[org.apache.spark.sql.Column] = args.lift(6).map { a =>
+      require(a.foldable, s"$AsofName: tolerance must be a literal")
+      val v = a.eval(empty)
+      require(v != null, s"$AsofName: tolerance must not be null")
+      a.dataType match {
+        case StringType => org.apache.spark.sql.functions.expr(v.toString)
+        case _: org.apache.spark.sql.types.NumericType =>
+          org.apache.spark.sql.functions.lit(v)
+        case other => throw new IllegalArgumentException(
+          s"$AsofName: tolerance must be numeric or an interval-expression " +
+            s"string, got $other")
+      }
+    }
+    val allowExact = args.lift(7).map { a =>
+      require(a.foldable && a.dataType ==
+        org.apache.spark.sql.types.BooleanType,
+        s"$AsofName: allowExactMatches must be a boolean literal")
+      val v = a.eval(empty)
+      require(v != null, s"$AsofName: allowExactMatches must not be null")
+      v.asInstanceOf[Boolean]
+    }.getOrElse(true)
     val spark = org.apache.spark.sql.SparkSession.active
     val left = spark.read.format("strawboat").load(resolveDir(vals(0).toString))
     val right = spark.read.format("strawboat").load(resolveDir(vals(1).toString))
     graft.ops.TemporalJoin.asofJoin(left, right, lk, rk, lt, rt,
         rightValues = right.columns.filterNot(_ == rk).toSeq,
-        rightTieBreak = tieBreak, direction = direction, rightPrefix = "r_")
+        rightTieBreak = tieBreak, direction = direction,
+        allowExactMatches = allowExact, tolerance = tolerance,
+        rightPrefix = "r_")
+      .queryExecution.analyzed
+  }
+
+  val AsofBothName = "straw_asof_both"
+
+  /** `straw_asof_both('<left path>', '<right path>', '<leftKey[=rightKey]>',
+    * '<leftTime[=rightTime]>', '<tie-break col>'[, <allowExactMatches>])`:
+    * both-neighbor as-of join as plain SQL — every left row with BOTH the
+    * latest at-or-before and earliest at-or-after right rows attached
+    * under `r_bwd_` / `r_fwd_` prefixes (inner semantics: probes missing
+    * either neighbor drop) — the SQL route to time interpolation: lerp
+    * between the neighbors in the SELECT. LAZY; same one-shuffle
+    * join-free plan as [[asofBuilder]]. */
+  def asofBothBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 5 && args.length <= 6 &&
+      args.take(5).forall(a => a.foldable && a.dataType == StringType),
+      s"$AsofBothName expects (left path, right path, 'leftKey[=rightKey]', " +
+        "'leftTime[=rightTime]', tieBreak[, allowExactMatches])")
+    val empty = org.apache.spark.sql.catalyst.InternalRow.empty
+    val vals = args.take(5).map(_.eval(empty))
+    require(vals.forall(_ != null), s"$AsofBothName: arguments must not be null")
+    def pair(s: String): (String, String) = s.split("=", 2) match {
+      case Array(a) => (a.trim, a.trim)
+      case Array(a, b) => (a.trim, b.trim)
+    }
+    val (lk, rk) = pair(vals(2).toString)
+    val (lt, rt) = pair(vals(3).toString)
+    val tieBreak = vals(4).toString.trim
+    val allowExact = args.lift(5).map { a =>
+      require(a.foldable && a.dataType ==
+        org.apache.spark.sql.types.BooleanType,
+        s"$AsofBothName: allowExactMatches must be a boolean literal")
+      val v = a.eval(empty)
+      require(v != null, s"$AsofBothName: allowExactMatches must not be null")
+      v.asInstanceOf[Boolean]
+    }.getOrElse(true)
+    val spark = org.apache.spark.sql.SparkSession.active
+    val left = spark.read.format("strawboat").load(resolveDir(vals(0).toString))
+    val right = spark.read.format("strawboat").load(resolveDir(vals(1).toString))
+    val joined = graft.ops.TemporalJoin.asofBothJoin(left, right, lk, rk,
+      lt, rt, rightValues = right.columns.filterNot(_ == rk).toSeq,
+      rightTieBreak = tieBreak, allowExactMatches = allowExact)
+    // asofBothJoin prefixes bwd_/fwd_; re-prefix to the TVF's r_ family so
+    // the SQL surface is uniform with straw_asof and can't clash with left
+    // columns that happen to be named bwd_*
+    joined.select(joined.columns.map { c =>
+      if (c.startsWith("bwd_")) joined(c).as("r_" + c)
+      else if (c.startsWith("fwd_")) joined(c).as("r_" + c)
+      else joined(c)
+    }: _*).queryExecution.analyzed
+  }
+
+  val OverlapName = "straw_overlap"
+
+  /** `straw_overlap('<left path>', '<right path>', '<left low>',
+    * '<left high>', '<right low>', '<right high>', <binWidth long>)`:
+    * keyless interval-OVERLAP join of two strawboat tables from plain SQL
+    * — every (left, right) row pair whose intervals intersect, exactly
+    * once, right columns under an `r_` prefix. binWidth is in the bound
+    * columns' own units (MICROSECONDS for timestamps; see
+    * [[graft.ops.TemporalJoin.suggestBinWidth]]). LAZY; the plan is
+    * [[graft.ops.TemporalJoin.rangeOverlapJoin]]'s bin-bucketed equi-join
+    * — no cartesian, no broadcast-nested-loop, and the
+    * bins-per-interval cap fails loudly on degenerate widths. */
+  def overlapBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 7 &&
+      args.take(6).forall(a => a.foldable && a.dataType == StringType) &&
+      args(6).foldable && (args(6).dataType == LongType ||
+        args(6).dataType == IntegerType),
+      s"$OverlapName expects (left path, right path, left low col, " +
+        "left high col, right low col, right high col, binWidth int/long)")
+    val empty = org.apache.spark.sql.catalyst.InternalRow.empty
+    val vals = args.map(_.eval(empty))
+    require(vals.forall(_ != null), s"$OverlapName: arguments must not be null")
+    val binWidth = vals(6) match {
+      case i: java.lang.Integer => i.longValue()
+      case l: java.lang.Long => l.longValue()
+    }
+    val spark = org.apache.spark.sql.SparkSession.active
+    val left = spark.read.format("strawboat").load(resolveDir(vals(0).toString))
+    val right0 = spark.read.format("strawboat").load(resolveDir(vals(1).toString))
+    val right = right0.select(
+      right0.columns.map(c => right0(c).as("r_" + c)): _*)
+    graft.ops.TemporalJoin.rangeOverlapJoin(left,
+        vals(2).toString.trim, vals(3).toString.trim,
+        right, "r_" + vals(4).toString.trim, "r_" + vals(5).toString.trim,
+        binWidth)
       .queryExecution.analyzed
   }
 
@@ -1142,6 +1262,14 @@ object StrawSqlSurface {
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName, RangeJoinName),
       rangeJoinBuilder _)
     spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier(AsofBothName),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName, AsofBothName),
+      asofBothBuilder _)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier(OverlapName),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName, OverlapName),
+      overlapBuilder _)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier(HybridName),
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName, HybridName),
       hybridBuilder _)
@@ -1288,6 +1416,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName,
         StrawSqlSurface.RangeJoinName),
       StrawSqlSurface.rangeJoinBuilder _))
+    extensions.injectTableFunction((
+      FunctionIdentifier(StrawSqlSurface.AsofBothName),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName,
+        StrawSqlSurface.AsofBothName),
+      StrawSqlSurface.asofBothBuilder _))
+    extensions.injectTableFunction((
+      FunctionIdentifier(StrawSqlSurface.OverlapName),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName,
+        StrawSqlSurface.OverlapName),
+      StrawSqlSurface.overlapBuilder _))
     extensions.injectTableFunction((
       FunctionIdentifier(StrawSqlSurface.HybridName),
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName,

@@ -697,6 +697,113 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"must plan an equi-join on bins:\n$plan")
   }
 
+  test("straw_asof tolerance + allowExactMatches controls from SQL") {
+    val sp = spark; import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("asof_tol").toString
+    Seq((1L, 10L, 100L), (2L, 10L, 250L)).toDF("id", "k", "t")
+      .write.format("strawboat").mode("overwrite").save(s"$base/probes")
+    Seq((7L, 10L, 90L, 1.5), (8L, 10L, 100L, 2.5))
+      .toDF("rid", "rk", "rt", "rv")
+      .write.format("strawboat").mode("overwrite").save(s"$base/refs")
+    // numeric tolerance 20: probe 1 matches rid 8 (exact, gap 0); probe 2's
+    // nearest back is 150 away -> dropped
+    val tol = spark.sql(
+      s"""SELECT id, r_rid FROM straw_asof('$base/probes', '$base/refs',
+         |  'k=rk', 't=rt', 'rid', 'backward', 20L) ORDER BY id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(tol == Seq((1L, 8L)))
+    // allowExactMatches=false: probe 1's exact-time rid 8 is excluded,
+    // falls to rid 7 at 90 (gap 10, within 20)
+    val strict = spark.sql(
+      s"""SELECT id, r_rid FROM straw_asof('$base/probes', '$base/refs',
+         |  'k=rk', 't=rt', 'rid', 'backward', 20L, false)
+         |ORDER BY id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(strict == Seq((1L, 7L)))
+    // timestamp columns take an interval-expression string
+    Seq((1L, 1L, "2024-01-01 10:00:00"), (2L, 1L, "2024-01-01 12:00:00"))
+      .toDF("id", "k", "ts").withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      .write.format("strawboat").mode("overwrite").save(s"$base/tsp")
+    Seq((10L, 1L, "2024-01-01 09:30:00")).toDF("rid", "rk", "rts")
+      .withColumn("rts", org.apache.spark.sql.functions.col("rts").cast("timestamp"))
+      .write.format("strawboat").mode("overwrite").save(s"$base/tsr")
+    val iv = spark.sql(
+      s"""SELECT id, r_rid FROM straw_asof('$base/tsp', '$base/tsr',
+         |  'k=rk', 'ts=rts', 'rid', 'backward', 'INTERVAL ''1'' HOUR')
+         |ORDER BY id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(iv == Seq((1L, 10L))) // probe 2 is 2.5h past the ref: out
+    // non-literal tolerance types fail loudly
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM straw_asof('$base/probes', '$base/refs', " +
+        "'k=rk', 't=rt', 'rid', 'backward', 20L, 'yes')").collect()
+    }
+    assert(e.getMessage.contains("boolean literal") ||
+      (e.getCause != null && e.getCause.getMessage.contains("boolean literal")))
+  }
+
+  test("straw_asof_both attaches both neighbors from SQL, SQL == Scala") {
+    val sp = spark; import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("asof_both").toString
+    Seq((1L, 10L, 100L), (2L, 10L, 250L), (3L, 10L, 10L))
+      .toDF("id", "k", "t")
+      .write.format("strawboat").mode("overwrite").save(s"$base/probes")
+    Seq((7L, 10L, 90L, 1.0), (8L, 10L, 240L, 3.0))
+      .toDF("rid", "rk", "rt", "rv")
+      .write.format("strawboat").mode("overwrite").save(s"$base/refs")
+    val df = spark.sql(
+      s"""SELECT id, r_bwd_rid, r_fwd_rid,
+         |  r_bwd_rv + (r_fwd_rv - r_bwd_rv) * (t - r_bwd_rt)
+         |    / (r_fwd_rt - r_bwd_rt) AS lerp
+         |FROM straw_asof_both('$base/probes', '$base/refs', 'k=rk', 't=rt',
+         |  'rid') ORDER BY id""".stripMargin)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // probe 1 sandwiches between rid 7 (t=90,v=1) and rid 8 (t=240,v=3):
+    // lerp at 100 = 1 + 2*(10/150); probes 2 and 3 miss a side -> drop
+    assert(got.map(x => (x._1, x._2, x._3)) == Seq((1L, 7L, 8L)))
+    assert(math.abs(got.head._4 - (1.0 + 2.0 * 10 / 150)) < 1e-9)
+    val scala = graft.ops.TemporalJoin.asofBothJoin(
+        spark.read.format("strawboat").load(s"$base/probes"),
+        spark.read.format("strawboat").load(s"$base/refs"),
+        "k", "rk", "t", "rt", Seq("rid", "rv"), rightTieBreak = "rid")
+      .selectExpr("id", "bwd_rid", "fwd_rid").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(scala == got.map(x => (x._1, x._2, x._3)))
+    // lazy + join-free
+    val plan = spark.sql(
+      s"""EXPLAIN SELECT * FROM straw_asof_both('$base/probes', '$base/refs',
+         |  'k=rk', 't=rt', 'rid')""".stripMargin).collect()(0).getString(0)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("straw_overlap joins overlapping intervals from SQL, no nested loop") {
+    val sp = spark; import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("overlap_sql").toString
+    Seq((1L, 100L, 200L), (2L, 300L, 400L)).toDF("aid", "alo", "ahi")
+      .write.format("strawboat").mode("overwrite").save(s"$base/a")
+    Seq((10L, 150L, 350L), (11L, 500L, 600L)).toDF("bid", "blo", "bhi")
+      .write.format("strawboat").mode("overwrite").save(s"$base/b")
+    val df = spark.sql(
+      s"""SELECT aid, r_bid FROM straw_overlap('$base/a', '$base/b',
+         |  'alo', 'ahi', 'blo', 'bhi', 100L) ORDER BY aid""".stripMargin)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // b10 [150,350] overlaps both a1 [100,200] and a2 [300,400]; b11 none
+    assert(got == Seq((1L, 10L), (2L, 10L)))
+    val scala = graft.ops.TemporalJoin.rangeOverlapJoin(
+        spark.read.format("strawboat").load(s"$base/a"), "alo", "ahi",
+        spark.read.format("strawboat").load(s"$base/b")
+          .withColumnRenamed("bid", "r_bid")
+          .withColumnRenamed("blo", "r_blo")
+          .withColumnRenamed("bhi", "r_bhi"), "r_blo", "r_bhi", 100L)
+      .selectExpr("aid", "r_bid").orderBy("aid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(scala == got)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+      s"must plan an equi-join on bins:\n$plan")
+  }
+
   test("hyperplane buckets reject non-integer config args with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT hyperplane_buckets(array(1.0D), 'abc', 4, 2, 42L)")
