@@ -196,6 +196,76 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.map(_.getLong(1)).sum == 600L)
   }
 
+  test("stream-stream join across micro-batches: state carries, stragglers drop") {
+    // q_stream_join's shape proven beyond the single AvailableNow drain:
+    // three ordered drains against one checkpoint. The watermark advances
+    // between drains (persisted in the commit log), an on-time click from
+    // drain 2 still joins a purchase arriving in drain 3 (state carries),
+    // and a straggler click older than the watermark is DROPPED — its
+    // would-be partner purchase emits nothing and the progress counters
+    // record the drop. State stays bounded across all drains.
+    val ss = spark; import ss.implicits._
+    val data = s"$dir/ssj_in"
+    val sink = s"$dir/ssj_sink"
+    val ckpt = s"$dir/ssj_ckpt"
+    def t(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    def write(rows: (String, Long, Long, java.sql.Timestamp)*): Unit =
+      rows.toSeq.toDF("side", "id", "user", "ts")
+        .coalesce(1).write.format("strawboat").mode("append").save(data)
+
+    def drain(): Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = {
+      val purchases = spark.readStream.format("strawboat").load(data)
+        .filter(col("side") === "p")
+        .select(col("id").as("purchase_id"), col("user"), col("ts"))
+        .withWatermark("ts", "10 minutes")
+      val clicks = spark.readStream.format("strawboat").load(data)
+        .filter(col("side") === "c")
+        .select(col("id").as("click_id"), col("user").as("c_user"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+      val joined = purchases.join(clicks,
+        col("user") === col("c_user") &&
+          col("c_ts") >= col("ts") - expr("INTERVAL '20' MINUTE") &&
+          col("c_ts") <= col("ts"))
+        .select(col("purchase_id"), col("click_id"))
+      val q = joined.writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "drain timed out")
+      q.recentProgress.toSeq
+    }
+    def joinedPairs(): Set[(Long, Long)] =
+      spark.read.parquet(sink).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // drain 1: a click and its purchase 5 minutes later join immediately
+    write(("c", 1L, 1L, t("00:10")), ("p", 101L, 1L, t("00:15")))
+    drain()
+    assert(joinedPairs() == Set((101L, 1L)))
+
+    // drain 2: rows at ~03:00 advance both watermarks to 02:50; click 3
+    // (user 3, 02:55) enters state with no partner yet
+    write(("c", 2L, 9L, t("03:00")), ("p", 102L, 9L, t("03:00")),
+      ("c", 3L, 3L, t("02:55")))
+    drain()
+    assert(joinedPairs() == Set((101L, 1L), (102L, 2L)))
+
+    // drain 3: the straggler click (02:45 < watermark 02:50) must drop —
+    // purchase 103 (user 1, 03:00, in-window gap 15m) finds nothing;
+    // purchase 104 (user 3) still joins drain 2's buffered click 3
+    write(("c", 4L, 1L, t("02:45")), ("p", 103L, 1L, t("03:00")),
+      ("p", 104L, 3L, t("03:00")))
+    val progress = drain()
+    assert(joinedPairs() == Set((101L, 1L), (102L, 2L), (104L, 3L)),
+      "the late click must not join; the buffered on-time click must")
+    val stateOps = progress.flatMap(_.stateOperators)
+    assert(stateOps.map(_.numRowsDroppedByWatermark).sum >= 1,
+      s"expected the straggler recorded as dropped:\n${progress.mkString("\n")}")
+    // watermarks bound the buffered state: a handful of rows, not history
+    assert(stateOps.map(_.numRowsTotal).max <= 16,
+      s"state must stay bounded by the watermark:\n${stateOps.mkString("\n")}")
+  }
+
   test("custom stateful sessionization with flatMapGroupsWithState") {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val data = s"$dir/sessions"
