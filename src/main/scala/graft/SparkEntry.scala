@@ -730,19 +730,38 @@ object SparkEntry {
     // Misra–Gries summary per task (map-side partial merge — the full
     // token keyspace never shuffles), pass 2 exact-counts only the ≤256
     // candidates. Exact top-k whenever the k-th item's share clears
-    // n/(capacity+1) — the sketch's membership guarantee.
+    // n/(capacity+1) — the sketch's membership guarantee — and that
+    // precondition is ASSERTED per returned row (cnt·257 > n, executor
+    // -side assert_true): on a flatter distribution the query fails
+    // loudly instead of silently returning a maybe-incomplete top-20.
     "q_heavy_hitters" -> ((s, d) => {
       graft.functions.SketchFunctions.register(s)
+      import s.implicits._
       val toks = t(s, d, "documents")
         .select(explode(filter(split(lower(col("text")), "\\s+"),
           w => w =!= lit(""))).as("w"))
-      val cands = toks
+      // the sketch collects ONCE (≤256 entries — the same bounded-collect
+      // contract as the ANN probes), yielding both the candidate list and
+      // the processed total n; carrying n through the corpus-scale recount
+      // instead (a max() agg column over every matched token row) measures
+      // ~10% slower for the same answer
+      val entries = toks
         .agg(graft.functions.SketchFunctions.mgTopK(col("w"), 256).as("sk"))
         .select(explode(col("sk")).as("e"))
-        .select(col("e.item").as("w"))
+        .select(col("e.item"), col("e.processed"))
+        .collect()
+      val nTotal = if (entries.isEmpty) 0L else entries.head.getLong(1)
+      val cands = entries.map(_.getString(0)).toSeq.toDF("w")
       toks.join(broadcast(cands), "w")
         .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("w")).limit(20)
+        // every returned count must clear the n/257 membership bound; the
+        // 20th row is the binding one. Filter sits ABOVE the limit (not
+        // pushable through it) and passes every row when the bound holds.
+        .filter(assert_true(col("cnt") * lit(257L) > lit(nTotal),
+          concat(lit("q_heavy_hitters: top-20 not guaranteed exact - count "),
+            col("cnt"), lit(s" <= n/257 of $nTotal; raise mgTopK capacity")))
+          .isNull)
         .select(col("w"), col("cnt"))
     }),
     // per-group deterministic sampling: bottom-k by md5 digest — a

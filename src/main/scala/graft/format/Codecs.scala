@@ -1374,8 +1374,15 @@ object IntCodec {
     if (floatBits && n >= 64 &&
         (best < 0 || rawSize.toDouble / bestSize < opts.ratio)) {
       val (l, rdEst) = alpRdSelect(values, n, width)
-      if (l > 0 && rdEst < rawSize) {
-        val sampleN = math.min(n, 1024)
+      // baseEst can never exceed rawSize (the writer stores min(raw,
+      // compressed)), so rdEst >= 0.9*rawSize already loses the ≥10%
+      // margin against ANY base outcome — skip the real compression
+      // trial on those pages. This is the short-circuit that keeps the
+      // trial off pages where ALP_RD can't win regardless of how the
+      // base codec fares; when it does run, a 256-value sample (2 KB of
+      // float bytes) prices lz4/zstd closely enough for a 10% margin.
+      if (l > 0 && rdEst.toDouble < rawSize * 0.9) {
+        val sampleN = math.min(n, 256)
         val raw = rawBytes(values, sampleN, width)
         val baseEst =
           if (opts.base == Codec.Plain) rawSize
