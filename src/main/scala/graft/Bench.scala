@@ -76,7 +76,11 @@ object Bench {
     // decontamination pass. NOTE for round-over-round totals: all four
     // entries are NEW in round 16.
     "q_asof_join", "q_range_join", "q_overlap_join", "q_heavy_hitters",
-    "q_decontaminate_semantic")
+    "q_decontaminate_semantic",
+    // round 17: the second sketch-family perf anchor — bounded-mergeable
+    // per-group bottom-k sampling (tasks ship <=k entries per group, not
+    // rows). NOTE for round-over-round totals: NEW in round 17.
+    "q_sample_per_group")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -722,6 +722,108 @@ object StrawSqlSurface {
       .queryExecution.analyzed
   }
 
+  val TopkName = "straw_topk"
+
+  /** `straw_topk('<table path>', '<column>', k[, capacity])`: EXACT top-k
+    * heavy hitters of a strawboat table column from plain SQL — (item,
+    * cnt) rows via the mg_topk sketch→verify composition: pass 1
+    * aggregates a capacity-bounded (default 256) Misra–Gries summary
+    * (map-side merged — the column's key space never shuffles), pass 2
+    * exact-counts only the ≤capacity candidates, and the n/(capacity+1)
+    * membership bound is ASSERTED on every returned row, so a
+    * distribution too flat for guaranteed exactness fails loudly instead
+    * of returning a silently-lossy top-k. DEFERRED like [[knnBuilder]]'s
+    * PQ tiers: the sketch job and its bounded (≤capacity) collect run at
+    * execution time — EXPLAIN probes nothing. */
+  def topkBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 3 && args.length <= 4 &&
+      args.take(2).forall(a => a.foldable && a.dataType == StringType) &&
+      args(2).foldable && args(2).dataType == IntegerType &&
+      args.drop(3).headOption.forall(a =>
+        a.foldable && a.dataType == IntegerType),
+      s"$TopkName expects (table path, column, k int[, capacity int]) literals")
+    val empty = org.apache.spark.sql.catalyst.InternalRow.empty
+    val pathArg = args(0).eval(empty)
+    val colArg = args(1).eval(empty)
+    val kArg = args(2).eval(empty)
+    require(pathArg != null && colArg != null && kArg != null,
+      s"$TopkName: arguments must not be null")
+    val k = kArg.asInstanceOf[Int]
+    val capacity = args.drop(3).headOption.map { e =>
+      val v = e.eval(empty)
+      require(v != null, s"$TopkName: capacity must not be null")
+      v.asInstanceOf[Int]
+    }.getOrElse(256)
+    require(k > 0, s"$TopkName: k must be positive, got $k")
+    require(capacity >= k,
+      s"$TopkName: capacity ($capacity) must be >= k ($k)")
+    val colName = colArg.toString.trim
+    val dir = resolveDir(pathArg.toString)
+    // column existence validates at analysis (loud, early); the schema
+    // read is one cached footer, not a data scan
+    val probe = org.apache.spark.sql.SparkSession.active
+      .read.format("strawboat").load(dir)
+    require(probe.columns.contains(colName),
+      s"$TopkName: no column '$colName' in $dir " +
+        s"(have: ${probe.columns.mkString(", ")})")
+    val out = Seq(
+      AttributeReference("item", StringType, nullable = true)(),
+      AttributeReference("cnt", LongType, nullable = false)())
+    DeferredOpPlan(TopkName, out, () => {
+      import org.apache.spark.sql.functions._
+      val s = org.apache.spark.sql.SparkSession.active
+      import s.implicits._
+      graft.functions.SketchFunctions.register(s)
+      val items = s.read.format("strawboat").load(dir)
+        .select(col(colName).cast("string").as("_item"))
+        .filter(col("_item").isNotNull)
+      val entries = items
+        .agg(graft.functions.SketchFunctions.mgTopK(col("_item"), capacity)
+          .as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.item"), col("e.processed"))
+        .collect()
+      if (entries.isEmpty) {
+        // a flat-enough distribution can evict EVERYTHING from the MG
+        // buffer (the summary is then empty and carries no n either) —
+        // over a non-empty table that must be loud, not an empty result
+        require(items.isEmpty,
+          s"$TopkName: the sketch retained no candidates over a non-empty " +
+            s"table — distribution too flat for capacity $capacity; raise it")
+        Seq.empty
+      } else {
+        val n = entries.head.getLong(1)
+        val cands = entries.map(_.getString(0)).toSeq.toDF("_item")
+        // exact-recount ALL candidates (≤capacity rows — bounded): the
+        // sum of their counts vs n tells whether the candidate set covers
+        // the whole table (fewer-than-k distinct values is then exact)
+        val recount = items.join(broadcast(cands), "_item")
+          .groupBy(col("_item")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("_item"))
+          .collect()
+        val covered = recount.map(_.getLong(1)).sum
+        val topk = recount.take(k)
+        // guarantee check 1: a short result is only exact when the
+        // candidates cover EVERY occurrence (i.e. the table has < k
+        // distinct values) — a thinned-out sketch on a flat distribution
+        // must fail loudly, not return few rows
+        require(topk.length == k || covered == n,
+          s"$TopkName: top-$k not guaranteed exact — the sketch retained " +
+            s"only ${topk.length} candidates covering $covered of $n rows; " +
+            "raise capacity")
+        // guarantee check 2: every returned count must clear the
+        // n/(capacity+1) membership bound (the k-th row is the binding one)
+        topk.foreach { r =>
+          require(r.getLong(1) * (capacity + 1L) > n || covered == n,
+            s"$TopkName: top-$k not guaranteed exact — count ${r.getLong(1)}" +
+              s" <= n/${capacity + 1} of $n; raise capacity")
+        }
+        topk.map(r => org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromString(r.getString(0)), r.getLong(1))).toSeq
+      }
+    })
+  }
+
   val HybridName = "straw_hybrid"
 
   /** `straw_hybrid('<lex dir>', '<ivf dir>', '<terms>', array(<vec...>),
@@ -1270,6 +1372,10 @@ object StrawSqlSurface {
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName, OverlapName),
       overlapBuilder _)
     spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier(TopkName),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName, TopkName),
+      topkBuilder _)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier(HybridName),
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName, HybridName),
       hybridBuilder _)
@@ -1426,6 +1532,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName,
         StrawSqlSurface.OverlapName),
       StrawSqlSurface.overlapBuilder _))
+    extensions.injectTableFunction((
+      FunctionIdentifier(StrawSqlSurface.TopkName),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName,
+        StrawSqlSurface.TopkName),
+      StrawSqlSurface.topkBuilder _))
     extensions.injectTableFunction((
       FunctionIdentifier(StrawSqlSurface.HybridName),
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName,

@@ -804,6 +804,45 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"must plan an equi-join on bins:\n$plan")
   }
 
+  test("straw_topk: exact sketch-verified heavy hitters from SQL, deferred") {
+    val sp = spark; import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("topk_sql").toString
+    // zipf-ish: token i appears 200/i times — top counts well clear n/257
+    val rows = (1 to 40).flatMap(i => Seq.fill(200 / i)(s"tok$i"))
+    rows.map(Tuple1(_)).toDF("w").write.format("strawboat")
+      .mode("overwrite").save(base)
+    val got = spark.sql(
+      s"SELECT item, cnt FROM straw_topk('$base', 'w', 5) ORDER BY cnt DESC")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("tok1", 200L), ("tok2", 100L), ("tok3", 66L),
+      ("tok4", 50L), ("tok5", 40L)))
+    // deferred: EXPLAIN shows the DeferredOp node, runs no sketch job
+    val plan = spark.sql(s"EXPLAIN SELECT * FROM straw_topk('$base', 'w', 5)")
+      .collect()(0).getString(0)
+    assert(plan.contains("DeferredOp"), plan)
+    // a too-flat distribution fails loudly: capacity 4 over 40-ish evenly
+    // matched tokens cannot guarantee an exact top-4
+    val flat = (1 to 500).map(i => s"t${i % 100}")
+    flat.map(Tuple1(_)).toDF("w").write.format("strawboat")
+      .mode("overwrite").save(s"$base/flat")
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM straw_topk('$base/flat', 'w', 4, 4)").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("not guaranteed exact") ||
+      m.contains("retained no candidates")), msgs(e).mkString)
+    // bad args are loud at analysis: unknown column, capacity < k
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM straw_topk('$base', 'nope', 5)").collect()
+    }
+    assert(msgs(e2).exists(_.contains("no column")), msgs(e2).mkString)
+    val e3 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM straw_topk('$base', 'w', 10, 5)").collect()
+    }
+    assert(msgs(e3).exists(_.contains("must be >= k")), msgs(e3).mkString)
+  }
+
   test("hyperplane buckets reject non-integer config args with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT hyperplane_buckets(array(1.0D), 'abc', 4, 2, 42L)")
