@@ -79,8 +79,10 @@ object Bench {
     "q_decontaminate_semantic",
     // round 17: the second sketch-family perf anchor — bounded-mergeable
     // per-group bottom-k sampling (tasks ship <=k entries per group, not
-    // rows). NOTE for round-over-round totals: NEW in round 17.
-    "q_sample_per_group")
+    // rows) — and the binary-quantization ANN tier (sign-bit codes,
+    // codegen'd popcount Hamming shortlist, point-read exact rerank).
+    // NOTE for round-over-round totals: both NEW in round 17.
+    "q_sample_per_group", "q_ann_bq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

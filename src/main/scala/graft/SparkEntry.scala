@@ -98,6 +98,13 @@ object SparkEntry {
         nCentroids = 16)
     }
 
+  /** The persisted BQ index fixture (q_ann_bq / _bq_recall): sign-bit
+    * codes + floats sorted by vec_id, `_bq_meta` sidecar. */
+  private def bqTable(s: SparkSession, d: String): String =
+    cachedFixture(Tables.strawDir(s, d, "embeddings") + "_bqidx", "_OK") { dir =>
+      graft.ops.Ann.buildBqIndex(s, t(s, d, "embeddings"), dir, 64)
+    }
+
   /** The OPQ-rotated PQ index fixture (q_ann_opq / _opq_recall): same as
     * the flat PQ index plus the learned orthogonal pre-rotation (Ge et
     * al.) — the `_opq_rotation` sidecar, codes in the rotated basis. */
@@ -1078,6 +1085,42 @@ object SparkEntry {
       exact.join(quant, Seq("query_id", "neighbor_id"), "left")
         .agg(count(lit(1)).as("n_exact"),
           (sum(coalesce(col("hit"), lit(0))) >= count(lit(1)) * 0.9).as("recall_ok"))
+    }),
+    "q_ann_bq" -> ((s, d) => {
+      // binary-quantization tier (sign-bit codes: dim/8 bytes per vector,
+      // 32× less than float32 — the cheapest vector tier: no training, no
+      // codebooks, appends freeze nothing): Hamming shortlist over the
+      // code column via the codegen'd popcount kernel (floats never
+      // decode for scoring), then pushed point-read exact rerank.
+      // Rows-only like the other approximate tiers, adjudicated by the
+      // paired recall gate below
+      val emb = t(s, d, "embeddings")
+      Ann.bqTopKIndexed(s, bqTable(s, d), emb.filter(col("vec_id") < 5), 3,
+          shortlist = 48)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q_ann_bq_recall" -> ((s, d) => {
+      // gate: BQ shortlist+rerank recalls >= 0.8 of the exact float top-3
+      // at shortlist = max(48, corpus/5). Sign codes of NEAR-RANDOM
+      // vectors (the driver embeddings — angles concentrate near 90°) are
+      // the WORST case for 1-bit Hamming resolution, so the shortlist must
+      // scale with the corpus; measured 13/15, 14/15, 15/15 at
+      // sf0.001/0.01/0.1. Real clustered embeddings separate at
+      // cluster-sized shortlists (OpsSpec's sign-separable fixture is
+      // exact); n_exact independently computable by the oracle,
+      // recall_ok hash-checked
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      val short = math.max(48L, emb.count() / 5).toInt
+      val exact = Ann.bruteForceTopK(s, emb, queries, 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val bq = Ann.bqTopKIndexed(s, bqTable(s, d), queries, 3,
+          shortlist = short)
+        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
+      exact.join(bq, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          (sum(coalesce(col("hit"), lit(0))) >= count(lit(1)) * 0.8).as("recall_ok"))
     }),
     "q_ann_lsh_recall" -> ((s, d) => {
       // oracle-checkable LSH quality gate: recall of the banded LSH tier
@@ -2481,6 +2524,15 @@ object SparkEntry {
         |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
         |WHERE rank <= 3""".stripMargin,
     "q_ann_quantized_recall" -> // same independently-derived n_exact shape
+      """SELECT count(*)::BIGINT AS n_exact, true AS recall_ok FROM (
+        |  SELECT q.vec_id, c.vec_id AS n_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(q.embedding, c.embedding), 4) DESC,
+        |        c.vec_id) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        |WHERE rank <= 3""".stripMargin,
+    "q_ann_bq_recall" -> // same independently-derived n_exact shape
       """SELECT count(*)::BIGINT AS n_exact, true AS recall_ok FROM (
         |  SELECT q.vec_id, c.vec_id AS n_id,
         |    row_number() OVER (PARTITION BY q.vec_id

@@ -819,6 +819,119 @@ case class PqResidualCosine(code: Expression, qtab: Expression,
       qdotc = newChildren(3), cell = newChildren(4))
 }
 
+/** Sign-bit binary quantization of a float/double vector: bit j of byte
+  * j/8 is set when x_j > 0, output is `binary` of ceil(dim/8) bytes —
+  * 32× fewer bytes than float32. For centered embeddings the Hamming
+  * distance between sign codes estimates the angle (the hyperplane-LSH
+  * bound with axis-aligned planes), which is enough to SHORTLIST;
+  * ranking quality comes from the exact float rerank
+  * ([[graft.ops.Ann.bqTopKIndexed]]). Codegen'd tight loop. */
+case class SignPack(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sign_pack expects array<float|double>, got $other")
+    }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Byte]((n + 7) / 8)
+    val f = isFloat
+    var i = 0
+    while (i < n) {
+      val v: Double = if (f) x.getFloat(i).toDouble else x.getDouble(i)
+      if (v > 0.0) out(i >> 3) = (out(i >> 3) | (1 << (i & 7))).toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (isFloat) "getFloat" else "getDouble"
+    val n = ctx.freshName("n")
+    val out = ctx.freshName("out")
+    val i = ctx.freshName("i")
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |int $n = $a.numElements();
+         |byte[] $out = new byte[($n + 7) / 8];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.$get($i) > 0.0) {
+         |    $out[$i >> 3] = (byte) ($out[$i >> 3] | (1 << ($i & 7)));
+         |  }
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Hamming distance between two equal-length binary codes (popcount of
+  * the XOR) — the [[SignPack]] shortlist metric. Mismatched widths mean
+  * the code column and the probe come from different dims/builds, so the
+  * kernel fails loudly (the pq_adc_cosine width-guard convention) rather
+  * than scoring a prefix. Codegen'd. */
+case class HammingDist(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"hamming_dist expects (binary, binary), got ${left.dataType} / ${right.dataType}")
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    if (x.length != y.length) throw new IllegalArgumentException(
+      s"hamming_dist: code widths differ (${x.length} vs ${y.length} bytes)" +
+        " — codes are from different dims/builds")
+    var d = 0
+    var i = 0
+    while (i < x.length) {
+      d += java.lang.Integer.bitCount((x(i) ^ y(i)) & 0xff)
+      i += 1
+    }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val d = ctx.freshName("d")
+    val i = ctx.freshName("i")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |if ($a.length != $b.length) throw new IllegalArgumentException(
+         |  "hamming_dist: code widths differ (" + $a.length + " vs " +
+         |  $b.length + " bytes) — codes are from different dims/builds");
+         |int $d = 0;
+         |for (int $i = 0; $i < $a.length; $i++) {
+         |  $d += java.lang.Integer.bitCount(($a[$i] ^ $b[$i]) & 0xff);
+         |}
+         |${ev.value} = $d;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   private def intOf(what: String)(e: Expression): Int = e.eval() match {
     case n: java.lang.Number => n.intValue()
@@ -906,7 +1019,11 @@ object VectorFunctions {
       val t = c(5).eval().asInstanceOf[ArrayData].toDoubleArray()
       PqResidualCosine(c(0), c(1), c(2), c(3), c(4), t,
         intOf("pq_residual_cosine")(c(6)), intOf("pq_residual_cosine")(c(7)))
-    }))
+    }),
+    ("sign_pack", classOf[SignPack],
+      (c: Seq[Expression]) => SignPack(c(0))),
+    ("hamming_dist", classOf[HammingDist],
+      (c: Seq[Expression]) => HammingDist(c(0), c(1))))
 
   /** Register every vector function with the session so `expr(...)`/SQL can
     * use them. Idempotent. */
@@ -922,6 +1039,19 @@ object VectorFunctions {
   def cosineInt8(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("cosine_int8", a, b)
+  }
+
+  /** Sign-bit binary code of a vector column (codegen'd): `binary` of
+    * ceil(dim/8) bytes — the BQ tier's 32× compression. */
+  def signPack(spark: SparkSession, emb: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("sign_pack", emb)
+  }
+
+  /** Hamming distance between two binary codes (codegen'd popcount). */
+  def hammingDist(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("hamming_dist", a, b)
   }
 
   /** Kept for API stability — registration is all-or-nothing now. */

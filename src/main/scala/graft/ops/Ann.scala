@@ -1059,4 +1059,169 @@ object Ann {
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  // -------------------------------------------------------------------------
+  // Binary quantization (BQ): sign-bit codes, Hamming shortlist, exact rerank
+  // -------------------------------------------------------------------------
+
+  /** Sign-bit binary quantization of the embedding column: `bqcode` is a
+    * `binary` of ceil(dim/8) bytes (bit j set when x_j > 0) — 32× fewer
+    * bytes than float32, the cheapest vector tier (no training, no
+    * codebooks, append needs no frozen state). For centered embeddings
+    * the Hamming distance between codes estimates the angle (each
+    * dimension is an axis-aligned hyperplane: P[bit differs] grows with
+    * θ), which is enough to SHORTLIST candidates; exact ranking comes
+    * from the float rerank in [[bqTopK]]/[[bqTopKIndexed]]. */
+  def bqEncode(spark: SparkSession, df: DataFrame,
+      embCol: String = "embedding"): DataFrame =
+    df.withColumn("bqcode", VectorFunctions.signPack(spark, col(embCol)))
+
+  /** BQ shortlist → EXACT rerank over in-memory frames: Hamming-score the
+    * whole corpus from its dim/8-byte codes (codegen'd popcount), keep a
+    * `shortlist`-sized candidate set per query (default 8·k — BQ is
+    * coarser than PQ, so the default shortlist is wider), fetch only the
+    * shortlist's floats and re-rank exactly. Output matches
+    * [[bruteForceTopK]]'s shape; recall is gated in the driver suite. */
+  def bqTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+      k: Int, shortlist: Int = 0, excludeSelf: Boolean = true): DataFrame = {
+    val short = if (shortlist <= 0) 8 * k else shortlist
+    require(short >= k, s"bqTopK: shortlist $short < k $k")
+    val coded = bqEncode(spark, corpus).select(col("vec_id"), col("bqcode"))
+    val qprep = bqEncode(spark, queries)
+      .select(col("vec_id"), col("bqcode").as("_qcode"))
+    val scored = coded.as("c")
+      .join(broadcast(qprep.as("q")),
+        if (excludeSelf) col("c.vec_id") =!= col("q.vec_id") else lit(true))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        VectorFunctions.hammingDist(spark, col("c.bqcode"), col("_qcode"))
+          .as("_ham"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_ham").asc, col("neighbor_id").asc)
+    val candidates = scored.withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= short)
+      .select(col("query_id"), col("neighbor_id"))
+    val rescored = candidates
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("_nemb")), "neighbor_id")
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("_qemb"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(VectorFunctions.cosine(spark, col("_qemb"), col("_nemb")), 4)
+          .as("cosine"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    rescored.withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+  }
+
+  private val BqMetaFile = "_bq_meta"
+
+  /** Build a PERSISTED BQ index at `dir`: encode every corpus vector and
+    * write (vec_id, bqcode, embedding) as a strawboat table SORTED BY
+    * vec_id (the point-read convention of [[buildPqIndex]]), plus a tiny
+    * `_bq_meta` sidecar carrying the dim (the probe validates its query
+    * width against it, and [[graft.spark.GraftExtensions]]' `straw_knn`
+    * dispatches on its presence). No training state — append is just
+    * encode + append, nothing freezes. Hamming probes read ONLY
+    * (vec_id, bqcode): dim/8 bytes per vector instead of 4·dim — at
+    * 100 TB of float32 the code scan is ~3 TB. */
+  def buildBqIndex(spark: SparkSession, corpus: DataFrame, dir: String,
+      dim: Int): Unit = {
+    bqEncode(spark, corpus)
+      .select(col("vec_id"), col("bqcode"), col("embedding"))
+      .orderBy(col("vec_id"))
+      .write.format("strawboat").mode("overwrite").save(dir)
+    val fs = graft.spark.StrawIO.fs(dir)
+    val os = fs.create(new org.apache.hadoop.fs.Path(dir, BqMetaFile), true)
+    try os.write(s"$dim\n".getBytes("UTF-8")) finally os.close()
+  }
+
+  /** The dim recorded in a BQ index's sidecar; None when `dir` is not a
+    * [[buildBqIndex]] directory (the `straw_knn` dispatch probe). */
+  def loadBqDim(dir: String): Option[Int] = {
+    val fs = graft.spark.StrawIO.fs(dir)
+    val p = new org.apache.hadoop.fs.Path(dir, BqMetaFile)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some(text.trim.toInt)
+    }
+  }
+
+  /** Append new vectors to a persisted BQ index: encode and append —
+    * BQ has no trained state to freeze, so unlike the IVF/PQ appends
+    * there is no drift contract at all. Sorted by vec_id within the
+    * appended files, so point-read pruning holds. */
+  def appendToBqIndex(spark: SparkSession, newVectors: DataFrame,
+      dir: String): Unit = {
+    val dim = loadBqDim(dir).getOrElse(throw new IllegalArgumentException(
+      s"appendToBqIndex: no $BqMetaFile sidecar under $dir"))
+    require(newVectors.limit(1).select(size(col("embedding"))).collect()
+        .forall(_.getInt(0) == dim),
+      s"appendToBqIndex: embedding dim != indexed dim $dim")
+    bqEncode(spark, newVectors)
+      .select(col("vec_id"), col("bqcode"), col("embedding"))
+      .orderBy(col("vec_id"))
+      .write.format("strawboat").mode("append").save(dir)
+  }
+
+  /** Probe a persisted BQ index: Hamming-score the code column (the
+    * float column stays undecoded — dim/8 bytes per vector scanned),
+    * shortlist `shortlist` candidates per query (default 8·k), then
+    * fetch ONLY the shortlist's float vectors — the same pushed
+    * point-read as [[pqTopKIndexed]] against the vec_id-sorted table —
+    * and re-rank exactly. The candidate collect is bounded by
+    * queries × shortlist (query-scale, never data-scale). Equals
+    * [[bqTopK]] exactly for the same shortlist. */
+  def bqTopKIndexed(spark: SparkSession, indexDir: String, queries: DataFrame,
+      k: Int, shortlist: Int = 0): DataFrame = {
+    val dim = loadBqDim(indexDir).getOrElse(throw new IllegalArgumentException(
+      s"bqTopKIndexed: no $BqMetaFile sidecar under $indexDir — " +
+        "not a buildBqIndex directory"))
+    val short = if (shortlist <= 0) 8 * k else shortlist
+    require(short >= k, s"bqTopKIndexed: shortlist $short < k $k")
+    val index = spark.read.format("strawboat")
+      .option("mergeSchema", "false").load(indexDir)
+    val qprep = bqEncode(spark, queries)
+      .select(col("vec_id"), col("bqcode").as("_qcode"))
+    val scored = index.select(col("vec_id"), col("bqcode")) // floats pruned
+      .as("c")
+      .join(broadcast(qprep.as("q")), col("c.vec_id") =!= col("q.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        VectorFunctions.hammingDist(spark, col("c.bqcode"), col("_qcode"))
+          .as("_ham"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_ham").asc, col("neighbor_id").asc)
+    val candPairs = scored.withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= short)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val candidates = {
+      import spark.implicits._
+      candPairs.toSeq.toDF("query_id", "neighbor_id")
+    }
+    val candidateIds = candPairs.map(_._2).distinct
+    val floats = index
+      .filter(candidatePointFilter(candidateIds))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("_nemb"))
+    // exact-width guard: byte-padded Hamming codes can't distinguish dims
+    // within the same ceil(dim/8) byte count, so the float stage checks
+    // the true dim loudly (assert_true returns null when the check holds)
+    val qFloats = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("_qemb"))
+      .filter(assert_true(size(col("_qemb")) === dim,
+        concat(lit("bqTopKIndexed: query dim "), size(col("_qemb")),
+          lit(s" != indexed dim $dim"))).isNull)
+    val rescored = broadcast(candidates)
+      .join(floats, "neighbor_id")
+      .join(broadcast(qFloats), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(VectorFunctions.cosine(spark, col("_qemb"), col("_nemb")), 4)
+          .as("cosine"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    rescored.withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+  }
 }

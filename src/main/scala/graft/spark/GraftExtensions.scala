@@ -952,13 +952,34 @@ object StrawSqlSurface {
     import spark.implicits._
     val dir = resolveDir(path.toString)
     val kk = k.asInstanceOf[Int]
-    // sidecar dispatch (two bounded metadata probes at analysis time)
+    // sidecar dispatch (three bounded metadata probes at analysis time)
     val fs = StrawIO.fs(dir)
     val hasPq = fs.exists(new org.apache.hadoop.fs.Path(dir, "_pq_codebooks"))
     val hasIvf = fs.exists(new org.apache.hadoop.fs.Path(dir, "_ivf_centroids"))
+    val hasBq = fs.exists(new org.apache.hadoop.fs.Path(dir, "_bq_meta"))
     // the query id is never a corpus id: self-exclusion can't misfire
     def queryDf = Seq((Long.MinValue, vec)).toDF("vec_id", "embedding")
-    if (hasPq) {
+    if (hasBq) {
+      // BQ tier: Hamming shortlist + bounded mid-flight collect + exact
+      // rerank — deferred like the PQ tiers (EXPLAIN probes nothing);
+      // 4th arg = shortlist here
+      val out = Seq(
+        AttributeReference("id", LongType, nullable = false)(),
+        AttributeReference("cosine", DoubleType, nullable = false)(),
+        AttributeReference("rank", IntegerType, nullable = false)())
+      DeferredOpPlan(KnnName, out, () => {
+        val s = org.apache.spark.sql.SparkSession.active
+        import s.implicits._
+        val q = Seq((Long.MinValue, vec)).toDF("vec_id", "embedding")
+        graft.ops.Ann.bqTopKIndexed(s, dir, q, kk,
+            shortlist = fourth.getOrElse(0))
+          .selectExpr("cast(neighbor_id as long) id", "cosine", "rank")
+          .collect()
+          .map(r => org.apache.spark.sql.catalyst.InternalRow(
+            r.getLong(0), r.getDouble(1), r.getInt(2)))
+          .toSeq
+      })
+    } else if (hasPq) {
       // PQ tiers: the probe collects a bounded shortlist mid-flight, so it
       // runs at EXECUTION time as a whole (EXPLAIN probes nothing)
       val out = Seq(

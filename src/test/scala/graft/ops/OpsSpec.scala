@@ -310,6 +310,97 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(full === exact, "full-probe OPQ IVF-PQ must equal brute force here")
   }
 
+  test("BQ: sign codes match plain-Scala packing; Hamming kernel; width guard") {
+    val sp = spark; import sp.implicits._
+    // odd dim (10 -> 2 bytes), mixed signs, exact zero (bit stays 0)
+    val vecs = Seq(
+      (1L, Array(1.0f, -2.0f, 0.0f, 3.5f, -0.1f, 0.2f, -7f, 8f, 9f, -1f)),
+      (2L, Array(-1.0f, 2.0f, 1.0f, -3.5f, 0.1f, 0.2f, 7f, -8f, 9f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Ann.bqEncode(spark, vecs).select("vec_id", "bqcode").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    def pack(xs: Array[Float]): Array[Byte] = {
+      val out = new Array[Byte]((xs.length + 7) / 8)
+      xs.zipWithIndex.foreach { case (x, i) =>
+        if (x > 0) out(i >> 3) = (out(i >> 3) | (1 << (i & 7))).toByte
+      }
+      out
+    }
+    val v1 = Array(1.0f, -2.0f, 0.0f, 3.5f, -0.1f, 0.2f, -7f, 8f, 9f, -1f)
+    val v2 = Array(-1.0f, 2.0f, 1.0f, -3.5f, 0.1f, 0.2f, 7f, -8f, 9f, 1f)
+    assert(got(1L).toSeq == pack(v1).toSeq && got(2L).toSeq == pack(v2).toSeq)
+    // Hamming == plain popcount of the packed codes
+    val ham = vecs.as("a").join(vecs.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(graft.functions.VectorFunctions.hammingDist(spark,
+        graft.functions.VectorFunctions.signPack(spark, col("a.embedding")),
+        graft.functions.VectorFunctions.signPack(spark, col("b.embedding"))))
+      .collect()(0).getInt(0)
+    val want = pack(v1).zip(pack(v2))
+      .map { case (x, y) => java.lang.Integer.bitCount((x ^ y) & 0xff) }.sum
+    assert(ham == want && ham == 8) // dims 0,1,2,3,6,7,9 flip + dim 4; dim 2: 0->1 flips
+    // doubles work through the same kernel
+    val d = Seq((1L, Array(1.0, -1.0))).toDF("vec_id", "embedding")
+    assert(Ann.bqEncode(spark, d).select("bqcode").collect()(0)
+      .getAs[Array[Byte]](0).toSeq == Seq(1.toByte))
+    // mismatched widths fail loudly, never score a prefix
+    val e = intercept[Exception] {
+      Seq((Array[Byte](1, 2), Array[Byte](1))).toDF("a", "b")
+        .select(graft.functions.VectorFunctions.hammingDist(spark,
+          col("a"), col("b"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("code widths differ")), msgs(e).mkString)
+  }
+
+  test("BQ shortlist + exact rerank equals brute force; persisted/appended/knn") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(23)
+    // BQ-friendly clusters: +1 in the cluster's block, -1 elsewhere, so
+    // sign codes separate clusters exactly (|x|=1 >> noise 0.2: no flips)
+    // — within-cluster Hamming 0, cross-cluster 8
+    val centers = Array.tabulate(4, 16)((c, i) => if (i / 4 == c) 1.0f else -1.0f)
+    def batch(ids: Range) = ids.map { id =>
+      (id.toLong, centers(id % 4).map(x => x + (rnd.nextFloat() - 0.5f) * 0.4f))
+    }.toDF("vec_id", "embedding")
+    val vecs = batch(0 until 200)
+    val queries = vecs.filter(col("vec_id") < 4)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] =
+      df.select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exact = rows(Ann.bruteForceTopK(spark, vecs, queries, 5))
+    // the cluster holds 50 vectors; a 50-wide shortlist covers it
+    val direct = rows(Ann.bqTopK(spark, vecs, queries, 5, shortlist = 50))
+    assert(direct === exact, "BQ+rerank must equal brute force on sign-separable clusters")
+
+    // persisted index: sidecar, equality with the direct path
+    val dir = java.nio.file.Files.createTempDirectory("bqidx").toString + "/index"
+    Ann.buildBqIndex(spark, vecs, dir, 16)
+    assert(new java.io.File(dir, "_bq_meta").exists())
+    assert(Ann.loadBqDim(dir).contains(16))
+    val idx = rows(Ann.bqTopKIndexed(spark, dir, queries, 5, shortlist = 50))
+    assert(idx === exact, "indexed BQ probe must equal the direct path")
+
+    // append (no frozen state): grown index ranks the full corpus
+    val more = batch(200 until 260)
+    Ann.appendToBqIndex(spark, more, dir)
+    val exactAll = rows(Ann.bruteForceTopK(spark, vecs.unionAll(more), queries, 5))
+    val grown = rows(Ann.bqTopKIndexed(spark, dir, queries, 5, shortlist = 65))
+    assert(grown === exactAll, "append-grown BQ index must rank the full corpus")
+
+    // wrong-dim query fails loudly at the float stage (byte-padded codes
+    // alone cannot distinguish dims within one byte)
+    val bad = Seq((999L, Array.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    intercept[Exception] {
+      Ann.bqTopKIndexed(spark, dir, bad, 3).collect()
+    }
+    // not-an-index dirs refuse
+    intercept[IllegalArgumentException] {
+      Ann.bqTopKIndexed(spark, dir + "/nope", queries, 3)
+    }
+  }
+
   test("IVF with nProbe = nCentroids equals brute force exactly") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 10)

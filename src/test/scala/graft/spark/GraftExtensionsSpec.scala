@@ -632,6 +632,35 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("BatchScan"), plan)
   }
 
+  test("straw_knn serves the BQ tier (deferred execution)") {
+    val ss = spark
+    import ss.implicits._
+    val rnd = new scala.util.Random(9)
+    // sign-separable clusters (the BQ OpsSpec fixture)
+    val centers = Array.tabulate(4, 16)((c, i) => if (i / 4 == c) 1.0f else -1.0f)
+    val vecs = (0L until 400L).map { id =>
+      (id, centers((id % 4).toInt).map(x => x + (rnd.nextFloat() - 0.5f) * 0.4f))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ext_knnbq").toString + "/bq"
+    graft.ops.Ann.buildBqIndex(spark, vecs, dir, 16)
+    val qvec = (0 until 16).map(i => if (i < 4) 1.0 else -1.0)
+    val vecSql = s"array(${qvec.mkString("D, ")}D)"
+    val got = spark.sql(
+      s"SELECT * FROM straw_knn('$dir', $vecSql, 5, 100) ORDER BY rank")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    val qdf = Seq((Long.MinValue, qvec.map(_.toFloat).toArray))
+      .toDF("vec_id", "embedding")
+    val want = graft.ops.Ann.bqTopKIndexed(spark, dir, qdf, 5, shortlist = 100)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(got == want && got.size == 5, s"got $got want $want")
+    // deferred: EXPLAIN shows DeferredOp and runs no probe job
+    val plan = spark.sql(
+      s"EXPLAIN SELECT * FROM straw_knn('$dir', $vecSql, 5)")
+      .collect()(0).getString(0)
+    assert(plan.contains("DeferredOp"), plan)
+  }
+
   test("straw_asof joins two tables point-in-time from plain SQL, SQL == Scala") {
     val sp = spark; import sp.implicits._
     val base = java.nio.file.Files.createTempDirectory("asof_sql").toString
