@@ -41,6 +41,52 @@ object SketchFunctions {
     val map = new mutable.TreeMap[(Double, String), UTF8String]()
   }
 
+  /** Bounded top-k buffer: a binary heap over parallel (score, id) arrays
+    * whose ROOT is the worst retained entry, so an insert against a full
+    * buffer is one compare (reject) or one sift-down (evict the worst).
+    * `asc = false` keeps the highest scores (cosine), `asc = true` the
+    * lowest (Hamming); ties always prefer the smaller id. */
+  final class TopKBuffer(val k: Int, val asc: Boolean) {
+    val scores = new Array[Double](k)
+    val ids = new Array[Long](k)
+    var size = 0
+    // "a is worse than b" in the retained order (the heap is worst-at-root)
+    private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
+      if (sa != sb) { if (asc) sa > sb else sa < sb } else ia > ib
+    def insert(s: Double, id: Long): Unit = {
+      if (size < k) {
+        var i = size
+        scores(i) = s; ids(i) = id; size += 1
+        // sift up: a child worse than its parent swaps toward the root
+        while (i > 0 && worse(scores(i), ids(i), scores((i - 1) / 2), ids((i - 1) / 2))) {
+          val p = (i - 1) / 2
+          val ts = scores(i); val ti = ids(i)
+          scores(i) = scores(p); ids(i) = ids(p)
+          scores(p) = ts; ids(p) = ti
+          i = p
+        }
+      } else if (size > 0 && worse(scores(0), ids(0), s, id)) {
+        scores(0) = s; ids(0) = id
+        // sift down toward the worse child
+        var i = 0
+        var done = false
+        while (!done) {
+          val l = 2 * i + 1; val r = l + 1
+          var w = i
+          if (l < size && worse(scores(l), ids(l), scores(w), ids(w))) w = l
+          if (r < size && worse(scores(r), ids(r), scores(w), ids(w))) w = r
+          if (w == i) done = true
+          else {
+            val ts = scores(i); val ti = ids(i)
+            scores(i) = scores(w); ids(i) = ids(w)
+            scores(w) = ts; ids(w) = ti
+            i = w
+          }
+        }
+      }
+    }
+  }
+
   val descriptions: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("mg_topk", classOf[MisraGriesTopK],
       (c: Seq[Expression]) => MisraGriesTopK(c(0),
@@ -50,7 +96,15 @@ object SketchFunctions {
         TextHashFunctions.intLit(c(1), "bottomk_sample"))),
     ("weighted_bottomk", classOf[WeightedBottomK],
       (c: Seq[Expression]) => WeightedBottomK(c(0), c(1),
-        TextHashFunctions.intLit(c(2), "weighted_bottomk"))))
+        TextHashFunctions.intLit(c(2), "weighted_bottomk"))),
+    ("topk_by", classOf[TopKByScore],
+      (c: Seq[Expression]) => TopKByScore(c(0), c(1),
+        TextHashFunctions.intLit(c(2), "topk_by"),
+        c.lift(3).exists(_.eval() match {
+          case b: java.lang.Boolean => b.booleanValue()
+          case other => throw new IllegalArgumentException(
+            s"topk_by: ascending must be a boolean literal, got $other")
+        }))))
 
   def register(spark: SparkSession): Unit =
     FunctionRegistration.register(spark, descriptions)
@@ -69,6 +123,12 @@ object SketchFunctions {
   /** DataFrame-side helper (requires [[register]] or the extensions). */
   def weightedBottomK(item: Column, weight: Column, k: Int): Column =
     call_function("weighted_bottomk", item, weight, lit(k))
+
+  /** DataFrame-side helper (requires [[register]] or the extensions):
+    * bounded mergeable per-group top-k by score — see [[TopKByScore]]. */
+  def topKBy(score: Column, id: Column, k: Int,
+      ascending: Boolean = false): Column =
+    call_function("topk_by", score, id, lit(k), lit(ascending))
 }
 
 /** Misra–Gries heavy-hitters sketch (Misra & Gries 1982; merge rule from
@@ -197,6 +257,110 @@ case class MisraGriesTopK(
   override protected def withNewChildInternal(newChild: Expression): MisraGriesTopK =
     copy(child = newChild)
   override def prettyName: String = "mg_topk"
+}
+
+/** Bounded per-group top-k by score — the shortlist/ranking stage of the
+  * ANN tiers as a MERGEABLE aggregate. The window formulation
+  * (`row_number() OVER (PARTITION BY query ORDER BY score)`) pushes the
+  * ENTIRE scored frame — corpus × queries rows — through one Exchange
+  * into as many partitions as there are queries, then sorts each: the
+  * textbook scale-killer at corpus scale, and a parallelism ceiling of
+  * #queries. This aggregate keeps a k-bounded heap per (task, group), so
+  * map tasks ship ≤k entries per group and the cross product never
+  * shuffles; the final merge is associative (Exchange carries
+  * tasks × groups × k entries, not rows).
+  *
+  * Returns `array<struct<score double, id bigint>>` sorted best-first —
+  * (score desc, id asc) when `ascending = false` (cosine), (score asc,
+  * id asc) when true (Hamming) — so `posexplode` ordinal + 1 equals the
+  * window's row_number exactly, ties included. Null score/id rows are
+  * skipped (the never-match convention). Any numeric score casts to
+  * double (exact for the int/float ranges the tiers produce). */
+case class TopKByScore(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    ascending: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SketchFunctions.TopKBuffer]
+  with BinaryLike[Expression] {
+
+  require(k > 0 && k <= (1 << 22),
+    s"topk_by k must be in (0, 2^22], got $k")
+
+  override def left: Expression = score
+  override def right: Expression = id
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (score.dataType.isInstanceOf[NumericType] && id.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"topk_by requires (numeric score, bigint id), got " +
+        s"${score.dataType.simpleString} / ${id.dataType.simpleString}")
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("id", LongType, nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): SketchFunctions.TopKBuffer =
+    new SketchFunctions.TopKBuffer(k, ascending)
+
+  override def update(buf: SketchFunctions.TopKBuffer,
+      input: InternalRow): SketchFunctions.TopKBuffer = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null)
+      buf.insert(s.asInstanceOf[Number].doubleValue(), i.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: SketchFunctions.TopKBuffer,
+      other: SketchFunctions.TopKBuffer): SketchFunctions.TopKBuffer = {
+    var i = 0
+    while (i < other.size) { buf.insert(other.scores(i), other.ids(i)); i += 1 }
+    buf
+  }
+
+  override def eval(buf: SketchFunctions.TopKBuffer): Any = {
+    val idx = Array.range(0, buf.size)
+    val boxed = idx.map(Integer.valueOf)
+    java.util.Arrays.sort(boxed, (a: Integer, b: Integer) => {
+      val byScore =
+        if (ascending) java.lang.Double.compare(buf.scores(a), buf.scores(b))
+        else java.lang.Double.compare(buf.scores(b), buf.scores(a))
+      if (byScore != 0) byScore
+      else java.lang.Long.compare(buf.ids(a), buf.ids(b))
+    })
+    new GenericArrayData(boxed.map(i =>
+      new GenericInternalRow(Array[Any](buf.scores(i), buf.ids(i)))))
+  }
+
+  override def serialize(buf: SketchFunctions.TopKBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 16)
+    bb.putInt(buf.size)
+    var i = 0
+    while (i < buf.size) {
+      bb.putDouble(buf.scores(i)); bb.putLong(buf.ids(i)); i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): SketchFunctions.TopKBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new SketchFunctions.TopKBuffer(k, ascending)
+    val n = bb.getInt
+    var i = 0
+    while (i < n) { buf.insert(bb.getDouble, bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): TopKByScore = copy(score = newLeft, id = newRight)
+  override def prettyName: String = "topk_by"
 }
 
 /** Deterministic bottom-k (KMV-family) sample: keeps the k DISTINCT items

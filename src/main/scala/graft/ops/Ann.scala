@@ -22,6 +22,32 @@ import graft.functions.VectorFunctions
   */
 object Ann {
 
+  /** Bounded per-query top-k over a scored (query_id, neighbor_id,
+    * scoreCol) frame — the ranking stage every ANN tier shares, as the
+    * MERGEABLE [[graft.functions.SketchFunctions.topKBy]] aggregate
+    * instead of a window. The window formulation (`row_number() OVER
+    * (PARTITION BY query_id ORDER BY score)`) shuffles the ENTIRE scored
+    * frame — corpus × queries rows — through one Exchange into as many
+    * partitions as there are queries, then sorts each: both a
+    * scale-killer (at 1B × 100 queries that Exchange carries 100B rows)
+    * and a parallelism ceiling of #queries. The aggregate keeps a
+    * k-bounded heap per (task, query): map tasks ship ≤k entries per
+    * query and the cross product never shuffles. Output (query_id,
+    * neighbor_id, <scoreCol>, rank) equals the window's row_number
+    * result exactly, ties included — best-first is (score desc, id asc)
+    * for cosine, (score asc, id asc) with `ascending` for Hamming. */
+  private def topKPerQuery(spark: SparkSession, scored: DataFrame,
+      scoreCol: String, k: Int, ascending: Boolean = false): DataFrame = {
+    graft.functions.SketchFunctions.register(spark)
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.SketchFunctions.topKBy(
+        col(scoreCol).cast("double"), col("neighbor_id"), k, ascending)
+        .as("_top"))
+      .select(col("query_id"), posexplode(col("_top")).as(Seq("_r", "_e")))
+      .select(col("query_id"), col("_e.id").as("neighbor_id"),
+        col("_e.score").as(scoreCol), (col("_r") + 1).cast("int").as("rank"))
+  }
+
   /** Exact cosine top-k of `queries` (small, broadcast) against `corpus`.
     * Uses the codegen'd [[graft.functions.CosineSimilarity]] expression.
     * `excludeSelf` assumes queries share the corpus id space (queries ⊆
@@ -37,9 +63,7 @@ object Ann {
         col("c.vec_id").as("neighbor_id"),
         round(VectorFunctions.cosine(spark, col("q.embedding"), col("c.embedding")), 4)
           .as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerQuery(spark, scored, "cosine", k)
   }
 
   /** Banded buckets via the codegen'd [[graft.functions.HyperplaneBuckets]]
@@ -73,9 +97,7 @@ object Ann {
         round(VectorFunctions.cosine(spark, col("q.embedding"), col("c.embedding")), 4)
           .as("cosine"))
       .distinct() // a pair may collide in several bands
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerQuery(spark, scored, "cosine", k)
   }
 
   /** Embedding-cosine near-duplicate pairs, exact tier: all (a < b) pairs
@@ -140,9 +162,7 @@ object Ann {
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
         round(VectorFunctions.cosine(spark, col("q.embedding"), col("c.embedding")), 4)
           .as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerQuery(spark, scored, "cosine", k)
   }
 
   /** Fit the coarse quantizer: seeded k-means over a bounded driver-side
@@ -636,9 +656,7 @@ object Ann {
         col("c.vec_id").as("neighbor_id"),
         round(VectorFunctions.pqAdcCosine(spark, col("c.pqcode"), col("_tab"),
           col("_qn"), codebooks), 4).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerQuery(spark, scored, "cosine", k)
   }
 
   /** PQ shortlist → EXACT re-rank: the production two-stage shape. Stage 1
@@ -667,9 +685,7 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"),
         round(VectorFunctions.cosine(spark, col("_qemb"), col("_nemb")), 4)
           .as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerQuery(spark, rescored, "cosine", k)
   }
 
   /** Build a PERSISTED PQ index at `dir`: fit the sub-codebooks, encode
@@ -776,15 +792,12 @@ object Ann {
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
         VectorFunctions.pqAdcCosine(spark, col("c.pqcode"), col("_tab"),
           col("_qn"), codebooks).as("_adc"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("_adc").desc, col("neighbor_id").asc)
     // ONE execution of the ADC scan: the shortlist is queries × shortlist
     // rows by construction (query-scale, never data-scale — the same
     // bounded-collect contract as [[ivfTopKIndexed]]'s probed cells), so
     // it materializes once and drives both the pushed point-read filter
     // and the rerank join as a local relation
-    val candPairs = adc.withColumn("_r", row_number().over(w))
-      .filter(col("_r") <= short)
+    val candPairs = topKPerQuery(spark, adc, "_adc", short)
       .select(col("query_id"), col("neighbor_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val candidates = {
@@ -802,9 +815,7 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"),
         round(VectorFunctions.cosine(spark, col("_qemb"), col("_nemb")), 4)
           .as("cosine"))
-    val w2 = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    rescored.withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+    topKPerQuery(spark, rescored, "cosine", k)
   }
 
   /** The rerank float fetch's pushed point-read filter. A ≤1000-value `In`
@@ -1005,13 +1016,10 @@ object Ann {
         VectorFunctions.pqResidualCosine(spark, col("c.pqcode"), col("_tab"),
           col("_qn"), col("_qdotc"), col("c.cent_id"), centroids, codebooks)
           .as("_adc"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("_adc").desc, col("neighbor_id").asc)
     // one execution of the cell-pruned ADC scan; bounded queries×shortlist
     // (a corpus vector lives in exactly ONE cell — probes=1 at build — so
     // each (query, vector) pair meets at most once)
-    val candPairs = adc.withColumn("_r", row_number().over(w))
-      .filter(col("_r") <= short)
+    val candPairs = topKPerQuery(spark, adc, "_adc", short)
       .select(col("query_id"), col("neighbor_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val candidates = {
@@ -1034,9 +1042,7 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"),
         round(VectorFunctions.cosine(spark, col("_qemb"), col("_nemb")), 4)
           .as("cosine"))
-    val w2 = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    rescored.withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+    topKPerQuery(spark, rescored, "cosine", k)
   }
 
   /** Exact cosine top-k over INT8-QUANTIZED vectors via the codegen'd
@@ -1055,9 +1061,7 @@ object Ann {
         col("c.vec_id").as("neighbor_id"),
         round(VectorFunctions.cosineInt8(spark, col("q.qvec"), col("c.qvec")), 4)
           .as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerQuery(spark, scored, "cosine", k)
   }
 
   // -------------------------------------------------------------------------
@@ -1095,10 +1099,7 @@ object Ann {
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
         VectorFunctions.hammingDist(spark, col("c.bqcode"), col("_qcode"))
           .as("_ham"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("_ham").asc, col("neighbor_id").asc)
-    val candidates = scored.withColumn("_r", row_number().over(w))
-      .filter(col("_r") <= short)
+    val candidates = topKPerQuery(spark, scored, "_ham", short, ascending = true)
       .select(col("query_id"), col("neighbor_id"))
     val rescored = candidates
       .join(corpus.select(col("vec_id").as("neighbor_id"),
@@ -1108,9 +1109,7 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"),
         round(VectorFunctions.cosine(spark, col("_qemb"), col("_nemb")), 4)
           .as("cosine"))
-    val w2 = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    rescored.withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+    topKPerQuery(spark, rescored, "cosine", k)
   }
 
   private val BqMetaFile = "_bq_meta"
@@ -1192,10 +1191,7 @@ object Ann {
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
         VectorFunctions.hammingDist(spark, col("c.bqcode"), col("_qcode"))
           .as("_ham"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("_ham").asc, col("neighbor_id").asc)
-    val candPairs = scored.withColumn("_r", row_number().over(w))
-      .filter(col("_r") <= short)
+    val candPairs = topKPerQuery(spark, scored, "_ham", short, ascending = true)
       .select(col("query_id"), col("neighbor_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val candidates = {
@@ -1220,8 +1216,6 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"),
         round(VectorFunctions.cosine(spark, col("_qemb"), col("_nemb")), 4)
           .as("cosine"))
-    val w2 = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    rescored.withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+    topKPerQuery(spark, rescored, "cosine", k)
   }
 }

@@ -187,4 +187,64 @@ class SketchFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = sketch(uni, capacity = 256)
     assert(got.size == 30 && got.forall(_._2 == 100L))
   }
+
+  test("topk_by equals the window row_number formulation exactly, both " +
+      "directions, ties included, across partitionings") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // deterministic scores with PLANTED TIES (score quantized to 20
+    // levels) across 5 groups; ids interleaved so groups span partitions
+    val rows = (0L until 2000L).map { id =>
+      (id % 5, id, ((id * 2654435761L) % 20L).toDouble / 10.0)
+    }
+    for (parts <- Seq(1, 4, 13); asc <- Seq(false, true); k <- Seq(1, 7, 50)) {
+      val df = rows.toDF("query_id", "neighbor_id", "score").repartition(parts)
+      val ord = if (asc) col("score").asc else col("score").desc
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(ord, col("neighbor_id").asc)
+      val want = df.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+      val got = df.groupBy(col("query_id"))
+        .agg(SketchFunctions.topKBy(col("score"), col("neighbor_id"), k,
+          ascending = asc).as("_top"))
+        .select(col("query_id"), posexplode(col("_top")).as(Seq("_r", "_e")))
+        .select(col("query_id"), col("_e.id"), col("_e.score"),
+          (col("_r") + 1).cast("int"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+      assert(got == want, s"parts=$parts asc=$asc k=$k")
+    }
+    // null scores and ids skip (never-match convention)
+    val withNulls = Seq((1L, Some(10L), Some(1.0)), (1L, None, Some(9.0)),
+      (1L, Some(11L), None), (1L, Some(12L), Some(0.5)))
+      .toDF("query_id", "neighbor_id", "score")
+    val kept = withNulls.groupBy(col("query_id"))
+      .agg(SketchFunctions.topKBy(col("score"), col("neighbor_id"), 10).as("t"))
+      .select(explode(col("t")).as("e")).select(col("e.id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L, 12L))
+    // k validates
+    intercept[Exception] {
+      withNulls.groupBy(col("query_id"))
+        .agg(SketchFunctions.topKBy(col("score"), col("neighbor_id"), 0).as("t"))
+        .collect()
+    }
+  }
+
+  test("topk_by partial-merges under the Exchange: map tasks ship k entries") {
+    val sp = spark; import sp.implicits._
+    val df = (0L until 1000L).map(id => (id % 3, id, id.toDouble))
+      .toDF("query_id", "neighbor_id", "score").repartition(4)
+    val agg = df.groupBy(col("query_id"))
+      .agg(SketchFunctions.topKBy(col("score"), col("neighbor_id"), 5).as("t"))
+    val plan = agg.queryExecution.executedPlan.toString
+    // a partial topk_by below the shuffle proves map-side combining —
+    // the scored rows themselves never cross the Exchange
+    assert(plan.contains("partial_topk_by"),
+      s"expected a map-side partial aggregate:\n$plan")
+  }
 }
