@@ -245,13 +245,21 @@ object Search {
     val proj = pivoted.select(col("doc_id") +: scoreCols: _*)
     val stackArgs = queries.zipWithIndex
       .map { case ((qid, _), i) => s"${qid}L, _s$i" }.mkString(", ")
+    // per-query top-k as the bounded mergeable topk_by aggregate (the
+    // ANN-tier conversion): the candidate frame is every doc matching any
+    // query term — common terms make that corpus-scale — and the window
+    // formulation would shuffle all of it into #queries partitions. Map
+    // tasks ship ≤k entries per query instead.
+    graft.functions.SketchFunctions.register(spark)
     proj.selectExpr("doc_id",
         s"stack(${queries.size}, $stackArgs) AS (query_id, score)")
       .filter(col("score") > 0)
-      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
-        .orderBy(col("score").desc, col("doc_id"))))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.SketchFunctions.topKBy(
+        col("score"), col("doc_id").cast("long"), k).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")).as(Seq("_r", "_e")))
+      .select(col("query_id"), col("_e.id").as("doc_id"),
+        col("_e.score").as("score"), (col("_r") + 1).cast("int").as("rank"))
   }
 
   /** Hybrid retrieval over the PERSISTED tiers, for a batch of queries:

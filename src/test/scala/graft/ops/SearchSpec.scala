@@ -318,8 +318,14 @@ class SearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     try {
       val df = Search.bm25TopKIndexedBatch(spark, dir, queries, 5)
       val plan = df.queryExecution.executedPlan.toString
+      // the guard targets the wide PIVOT aggregate (sum-when columns) —
+      // the bounded topk_by ranking is a TypedImperativeAggregate, which
+      // Spark always plans as ObjectHashAggregate (no codegen form
+      // exists); it aggregates the k-bounded candidates, not the pivot's
+      // wide row, so it is exempt here
       val bareAggs = plan.linesIterator
-        .filter(l => l.contains("HashAggregate") && !l.contains("*(")).toSeq
+        .filter(l => l.contains("HashAggregate") && !l.contains("*(") &&
+          !l.contains("topk_by")).toSeq
       assert(bareAggs.isEmpty,
         s"pivot aggregate fell out of codegen:\n${bareAggs.mkString("\n")}")
       assert(!plan.contains("CodegenFallback"), plan)
