@@ -1147,12 +1147,13 @@ object StrawSqlSurface {
     }.getOrElse("")
     val opts = parseOpts(optStr, IndexName)
     val kind = kindArg.toString.toLowerCase
-    require(Seq("ivf", "pq", "ivfpq", "lexical").contains(kind),
-      s"$IndexName: kind must be ivf | pq | ivfpq | lexical, got '$kind'")
+    require(Seq("ivf", "pq", "ivfpq", "bq", "lexical").contains(kind),
+      s"$IndexName: kind must be ivf | pq | ivfpq | bq | lexical, got '$kind'")
     val knownKeys = kind match {
       case "lexical" => Set("id", "text", "buckets", "positions")
       case "ivf" => Set("dim", "ncentroids", "seed", "samplesize")
       case "pq" => Set("dim", "m", "ncodes", "opq", "seed", "samplesize")
+      case "bq" => Set("dim")
       case _ => Set("dim", "ncentroids", "m", "ncodes", "opq", "seed", "samplesize")
     }
     val unknown = opts.keySet -- knownKeys
@@ -1185,6 +1186,8 @@ object StrawSqlSurface {
               seed = intOpt("seed", 7).toLong,
               sampleSize = intOpt("samplesize", 1024),
               opq = opts.get("opq").exists(_.toBoolean)): Unit
+          case "bq" =>
+            graft.ops.Ann.buildBqIndex(s, source, dir, opts("dim").toInt)
           case _ =>
             graft.ops.Ann.buildIvfPqIndex(s, source, dir, opts("dim").toInt,
               nCentroids = intOpt("ncentroids", 16), m = intOpt("m", 16),
@@ -1204,7 +1207,7 @@ object StrawSqlSurface {
     * incrementally index new rows into an EXISTING [[indexBuilder]]
     * directory, dispatching on its sidecars (`_ivf_centroids` +
     * `_pq_codebooks` → ivfpq; `_pq_codebooks` → pq; `_ivf_centroids` →
-    * ivf; a `postings/` subdirectory → lexical, with the same `id`/`text`
+    * ivf; `_bq_meta` → bq; a `postings/` subdirectory → lexical, with the same `id`/`text`
     * options). The frozen-fit contract of the Scala appends applies:
     * quantizers/codebooks/rotation stay as built — rebuild via
     * [[indexBuilder]] when the recall gates say so. Deferred + replay-
@@ -1236,6 +1239,7 @@ object StrawSqlSurface {
       if (at("_pq_codebooks") && at("_ivf_centroids")) "ivfpq"
       else if (at("_pq_codebooks")) "pq"
       else if (at("_ivf_centroids")) "ivf"
+      else if (at("_bq_meta")) "bq"
       else if (at("postings")) "lexical"
       else throw new IllegalArgumentException(
         s"$IndexAppendName: $dir carries no index sidecars — not a " +
@@ -1250,6 +1254,7 @@ object StrawSqlSurface {
               opts.getOrElse("id", "doc_id"), opts.getOrElse("text", "text"), dir)
           case "ivf" => graft.ops.Ann.appendToIvfIndex(s, source, dir)
           case "pq" => graft.ops.Ann.appendToPqIndex(s, source, dir)
+          case "bq" => graft.ops.Ann.appendToBqIndex(s, source, dir)
           case _ => graft.ops.Ann.appendToIvfPqIndex(s, source, dir)
         }
         source.count()

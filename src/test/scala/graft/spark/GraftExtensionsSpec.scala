@@ -567,6 +567,20 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"SELECT * FROM straw_knn('$base/ivfpq', $qvec, 5, 4)").collect()
     assert(pqknn.length == 5 && pqknn.forall(_.getLong(0) % 4 == 0))
 
+    // bq: build + probe + SQL append — the whole lifecycle without Scala
+    spark.sql(s"""SELECT * FROM straw_index('$base/vecs', '$base/bq', 'bq',
+      'dim=16')""").collect()
+    assert(new java.io.File(s"$base/bq", "_bq_meta").exists())
+    val bqknn = spark.sql(
+      s"SELECT * FROM straw_knn('$base/bq', $qvec, 5, 120)").collect()
+    assert(bqknn.length == 5 && bqknn.forall(_.getLong(0) % 4 == 0))
+    val bqApp = spark.sql(
+      s"SELECT * FROM straw_index_append('$base/vecs2', '$base/bq')").collect()(0)
+    assert(bqApp.getString(0) == "bq" && bqApp.getLong(1) == 60)
+    val bqknn2 = spark.sql(
+      s"SELECT * FROM straw_knn('$base/bq', $qvec, 100, 460)").collect()
+    assert(bqknn2.exists(_.getLong(0) >= 400L), "appended BQ vectors must be probeable")
+
     // deferred: EXPLAIN builds nothing
     val probe = s"$base/never"
     spark.sql(s"EXPLAIN SELECT * FROM straw_index('$base/vecs', '$probe', " +
