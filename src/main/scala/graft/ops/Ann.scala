@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions

@@ -235,6 +235,39 @@ class SketchFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("topk_by runs in streaming aggregation: state carries across micro-batches") {
+    val sp = spark; import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("topk_stream").toString
+    (0L until 100L).map(id => (id % 2, id, (id % 10).toDouble))
+      .toDF("g", "id", "s").coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = spark.readStream.schema("g long, id long, s double").parquet(dir)
+      .groupBy(col("g"))
+      .agg(SketchFunctions.topKBy(col("s"), col("id"), 2).as("t"))
+      .select(col("g"), explode(col("t")).as("e"))
+      .select(col("g"), col("e.score"), col("e.id"))
+      .writeStream.format("memory").queryName("topk_mem")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      // per group: best scores are 9.0; smallest ids with s=9 are 9,29 (g=1)
+      // and 19,39... wait g = id%2: s=9 when id%10==9 -> ids 9,19,29,...
+      // g=1 ids 9,19(g=1? 19%2=1),29(1),39(1)... all odd -> g=1 gets 9,19;
+      // g=0 best s=8 at ids 8,18,28 -> top2 = 8,18
+      val r1 = spark.sql("SELECT * FROM topk_mem ORDER BY g, id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+      assert(r1 == Seq((0L, 8.0, 8L), (0L, 8.0, 18L),
+        (1L, 9.0, 9L), (1L, 9.0, 19L)), r1.mkString(","))
+      // a late file with a new global best: state accumulates, not resets
+      Seq((0L, 1000L, 99.0)).toDF("g", "id", "s")
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val r2 = spark.sql("SELECT * FROM topk_mem ORDER BY g, id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+      assert(r2 == Seq((0L, 8.0, 8L), (0L, 99.0, 1000L),
+        (1L, 9.0, 9L), (1L, 9.0, 19L)), r2.mkString(","))
+    } finally q.stop()
+  }
+
   test("topk_by partial-merges under the Exchange: map tasks ship k entries") {
     val sp = spark; import sp.implicits._
     val df = (0L until 1000L).map(id => (id % 3, id, id.toDouble))
