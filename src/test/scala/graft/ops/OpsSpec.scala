@@ -124,6 +124,37 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(grown === exactAll, "append-grown PQ index must rank the full corpus")
   }
 
+  test("BQ index maintenance: clustered compaction of an appended index " +
+      "preserves probe results and the sidecar") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(31)
+    val centers = Array.tabulate(4, 16)((c, i) => if (i / 4 == c) 1.0f else -1.0f)
+    def batch(ids: Range) = ids.map { id =>
+      (id.toLong, centers(id % 4).map(x => x + (rnd.nextFloat() - 0.5f) * 0.4f))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("bqcompact").toString + "/index"
+    Ann.buildBqIndex(spark, batch(0 until 200), dir, 16)
+    Ann.appendToBqIndex(spark, batch(200 until 240), dir)
+    Ann.appendToBqIndex(spark, batch(240 until 280), dir)
+    val queries = batch(0 until 4)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long, Double)] =
+      df.select("query_id", "rank", "neighbor_id", "cosine").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.sorted
+    val before = rows(Ann.bqTopKIndexed(spark, dir, queries, 5, shortlist = 70))
+    val filesBefore = graft.spark.StrawIO.listFiles(dir).size
+    assert(filesBefore >= 3, s"expected a fragmented index, got $filesBefore files")
+    val res = graft.spark.StrawCompaction.compact(spark, dir,
+      clusterBy = Seq("vec_id"))
+    assert(res.inputFiles > 0, "nothing compacted")
+    assert(graft.spark.StrawIO.listFiles(dir).size < filesBefore)
+    assert(new java.io.File(dir, "_bq_meta").exists(),
+      "compaction must not touch the _bq_meta sidecar")
+    assert(Ann.loadBqDim(dir).contains(16))
+    val after = rows(Ann.bqTopKIndexed(spark, dir, queries, 5, shortlist = 70))
+    assert(after == before, "compaction changed BQ probe results")
+  }
+
   test("PQ index maintenance: clustered compaction of an appended index " +
       "preserves probe results, sidecars, and point-read page pruning") {
     val sp = spark; import sp.implicits._
