@@ -82,7 +82,11 @@ object Bench {
     // rows) — and the binary-quantization ANN tier (sign-bit codes,
     // codegen'd popcount Hamming shortlist, point-read exact rerank).
     // NOTE for round-over-round totals: both NEW in round 17.
-    "q_sample_per_group", "q_ann_bq")
+    "q_sample_per_group", "q_ann_bq",
+    // round 17: full-corpus distributed k-means (3 Lloyd passes + assign
+    // per run — the honest per-invocation cost of the clustering op).
+    // NOTE: NEW in round 17.
+    "q_cluster_assign")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1122,6 +1122,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_exact"),
           (sum(coalesce(col("hit"), lit(0))) >= count(lit(1)) * 0.8).as("recall_ok"))
     }),
+    "q_cluster_assign" -> ((s, d) => {
+      // full-corpus distributed k-means (Lloyd over every vector, not a
+      // sample) + map-only assignment: the clustering hook for
+      // per-cluster data mixing/bucketing. Output is the cluster
+      // histogram — deterministic because each round's centroids round
+      // to 4 decimals (reorder float drift cannot flip an assignment),
+      // but not DuckDB-replayable (the oracle cannot run Lloyd), so
+      // rows-only, adjudicated by the paired gate below
+      val emb = t(s, d, "embeddings")
+      val (cents, _) = Ann.kmeansFit(s, emb, 64, 8, iters = 3)
+      Ann.kmeansAssign(s, emb, cents)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+        .orderBy(col("cluster"))
+    }),
+    "q_cluster_gate" -> ((s, d) => {
+      // gate: Lloyd's SSE sequence is non-increasing (the algorithm's
+      // defining invariant — a wrong assignment or mean recompute breaks
+      // it) and the assignment covers every vector exactly once.
+      // n_vectors independently computable by the oracle; both booleans
+      // hash-checked
+      val emb = t(s, d, "embeddings")
+      val (cents, sses) = Ann.kmeansFit(s, emb, 64, 8, iters = 3)
+      val monotone = sses.toSeq.sliding(2).forall(w => w(1) <= w(0) + 1e-6)
+      Ann.kmeansAssign(s, emb, cents)
+        .agg(count(lit(1)).as("n_vectors"),
+          lit(monotone).as("sse_monotone_ok"),
+          (count(lit(1)) === countDistinct(col("vec_id"))).as("cover_ok"))
+    }),
     "q_ann_lsh_recall" -> ((s, d) => {
       // oracle-checkable LSH quality gate: recall of the banded LSH tier
       // against exact brute force must be >= 0.9 (seeded planes + fixed
@@ -2532,6 +2560,9 @@ object SparkEntry {
         |  FROM embeddings q, embeddings c
         |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
         |WHERE rank <= 3""".stripMargin,
+    "q_cluster_gate" ->
+      """SELECT count(*)::BIGINT AS n_vectors, true AS sse_monotone_ok,
+        |  true AS cover_ok FROM embeddings""".stripMargin,
     "q_ann_bq_recall" -> // same independently-derived n_exact shape
       """SELECT count(*)::BIGINT AS n_exact, true AS recall_ok FROM (
         |  SELECT q.vec_id, c.vec_id AS n_id,

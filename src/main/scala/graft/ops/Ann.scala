@@ -200,6 +200,85 @@ object Ann {
     centroids
   }
 
+  /** Distributed Lloyd k-means over the FULL corpus — the clustering op a
+    * mixing/bucketing pipeline needs ([[fitQuantizer]] trains on a bounded
+    * sample; this refines its centroids against every vector). Each
+    * iteration is one corpus pass: assignment is the broadcast codegen'd
+    * nearest-centroid kernel (map-only), and the recompute is a
+    * posexplode → groupBy(cell, dim) aggregation whose map-side combine
+    * reduces each task's contribution to k·dim partial sums BEFORE the
+    * shuffle — the Exchange carries tasks × k × dim doubles, never rows —
+    * followed by a k·dim-bounded driver collect. Scale shape: per
+    * iteration, one scan + one combined shuffle of k·dim·tasks entries.
+    *
+    * Determinism: new centroids round to 4 decimals each round, so the
+    * last-ulp reordering drift of distributed float sums cannot flip an
+    * assignment across runs or partitionings (spec-pinned). Empty cells
+    * keep their previous centroid (the [[fitQuantizer]] convention).
+    *
+    * Returns (centroids, ssePerIteration) where sse(i) is the total
+    * within-cluster squared distance measured against iteration i's NEW
+    * means — Lloyd guarantees the sequence is non-increasing, which the
+    * driver gate asserts. */
+  def kmeansFit(spark: SparkSession, corpus: DataFrame, dim: Int, k: Int,
+      iters: Int = 5, seed: Long = 7, sampleSize: Int = 1024,
+      embCol: String = "embedding"): (Array[Array[Float]], Array[Double]) = {
+    require(k > 0, s"kmeansFit: k must be positive, got $k")
+    require(iters >= 1, s"kmeansFit: iters must be >= 1, got $iters")
+    var cents = fitQuantizer(corpus, dim, k, seed, sampleSize)
+    val sses = new Array[Double](iters)
+    for (it <- 0 until iters) {
+      val assigned = corpus.select(
+        element_at(VectorFunctions.nearestCells(spark, col(embCol), cents, 1),
+          1).as("_cell"),
+        col(embCol).as("_emb"))
+      // one pass: per-(cell, dim) sum + sum-of-squares + count. norm² per
+      // cell needs no extra agg — it is the Σ over dims of the squared
+      // sums already collected here.
+      val stats = assigned
+        .select(col("_cell"), posexplode(col("_emb")).as(Seq("_pos", "_v")))
+        .groupBy(col("_cell"), col("_pos"))
+        .agg(sum(col("_v").cast("double")).as("_s"),
+          sum((col("_v") * col("_v")).cast("double")).as("_s2"),
+          count(lit(1)).as("_n"))
+        .collect() // k·dim rows — bounded by construction
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val sq = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      stats.foreach { r =>
+        val c = r.getInt(0); val p = r.getInt(1)
+        sums(c)(p) = r.getDouble(2)
+        sq(c)(p) = r.getDouble(3)
+        if (p == 0) counts(c) = r.getLong(4)
+      }
+      var sse = 0.0
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0L) old
+        else {
+          var d = 0
+          while (d < dim) {
+            // SSE against the new mean: Σv² − (Σv)²/n per dimension
+            sse += sq(c)(d) - sums(c)(d) * sums(c)(d) / counts(c)
+            d += 1
+          }
+          Array.tabulate(dim)(i =>
+            (math.rint(sums(c)(i) / counts(c) * 1e4) / 1e4).toFloat)
+        }
+      }
+      sses(it) = sse
+    }
+    (cents, sses)
+  }
+
+  /** Assign every row to its [[kmeansFit]] cluster: map-only, broadcast
+    * centroids through the codegen'd kernel — the downstream hook for
+    * per-cluster mixing/sampling/packing. */
+  def kmeansAssign(spark: SparkSession, df: DataFrame,
+      centroids: Array[Array[Float]], embCol: String = "embedding",
+      outCol: String = "cluster"): DataFrame =
+    df.withColumn(outCol, element_at(
+      VectorFunctions.nearestCells(spark, col(embCol), centroids, 1), 1))
+
   // -------------------------------------------------------------------------
   // Persisted IVF index: build once, probe many
   // -------------------------------------------------------------------------

@@ -124,6 +124,53 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(grown === exactAll, "append-grown PQ index must rank the full corpus")
   }
 
+  test("kmeansFit: full-corpus Lloyd recovers planted clusters; SSE " +
+      "monotone; deterministic across partitionings; empty cells keep init") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(41)
+    val centers = Array.tabulate(4, 16)((c, i) => if (i / 4 == c) 10.0f else 0.0f)
+    // ONE materialized dataset: the partitioning arms below must see the
+    // same rows, not fresh draws from the shared generator
+    val rows = (0L until 400L).map { id =>
+      (id, centers((id % 4).toInt).map(x => x + (rnd.nextFloat() - 0.5f) * 0.5f))
+    }
+    def data(parts: Int) = rows.toDF("vec_id", "embedding").repartition(parts)
+    val corpus = data(4)
+    val (cents, sses) = Ann.kmeansFit(spark, corpus, 16, 4, iters = 4)
+    // SSE non-increasing (Lloyd's invariant)
+    sses.toSeq.sliding(2).foreach { w =>
+      assert(w(1) <= w(0) + 1e-6, s"SSE must not increase: ${sses.mkString(",")}")
+    }
+    // each learned centroid sits on one planted center (blocks of ~10)
+    val matched = centers.indices.map { c =>
+      cents.exists { ct =>
+        (0 until 16).forall { i =>
+          val want = if (i / 4 == c) 10.0 else 0.0
+          math.abs(ct(i) - want) < 1.0
+        }
+      }
+    }
+    assert(matched.forall(identity), s"centroids missed a planted center")
+    // assignment groups exactly by planted cluster
+    val assigns = Ann.kmeansAssign(spark, corpus, cents)
+      .select("vec_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val byPlanted = assigns.groupBy(_._1 % 4).values.toSeq
+    assert(byPlanted.forall(g => g.map(_._2).distinct.size == 1),
+      "every planted cluster must map to one learned cluster")
+    assert(assigns.map(_._2).distinct.length == 4)
+    // determinism: the per-round 4-decimal rounding absorbs reorder drift
+    val (cents1, _) = Ann.kmeansFit(spark, data(1), 16, 4, iters = 4)
+    val (cents7, _) = Ann.kmeansFit(spark, data(7), 16, 4, iters = 4)
+    assert(cents1.map(_.toSeq).toSeq == cents7.map(_.toSeq).toSeq,
+      "centroids must be identical across partitionings")
+    // k > distinct clusters: the empty cells keep their init centroid and
+    // nothing crashes; the 4 real clusters still separate
+    val (cents8, sses8) = Ann.kmeansFit(spark, corpus, 16, 8, iters = 3)
+    assert(cents8.length == 8 && sses8.forall(_ >= 0))
+    intercept[IllegalArgumentException](Ann.kmeansFit(spark, corpus, 16, 0))
+  }
+
   test("BQ index maintenance: clustered compaction of an appended index " +
       "preserves probe results and the sidecar") {
     val sp = spark; import sp.implicits._
