@@ -84,9 +84,9 @@ object Bench {
     // NOTE for round-over-round totals: both NEW in round 17.
     "q_sample_per_group", "q_ann_bq",
     // round 17: full-corpus distributed k-means (3 Lloyd passes + assign
-    // per run — the honest per-invocation cost of the clustering op).
-    // NOTE: NEW in round 17.
-    "q_cluster_assign")
+    // per run — the honest per-invocation cost of the clustering op) and
+    // the cell-pruned IVF-BQ probe. NOTE: both NEW in round 17.
+    "q_cluster_assign", "q_ann_ivfbq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

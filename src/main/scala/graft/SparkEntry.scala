@@ -105,6 +105,14 @@ object SparkEntry {
       graft.ops.Ann.buildBqIndex(s, t(s, d, "embeddings"), dir, 64)
     }
 
+  /** The persisted IVF-BQ index fixture (q_ann_ivfbq / _ivfbq_gate):
+    * hive-partitioned by coarse cell, sign-bit codes, both sidecars. */
+  private def ivfBqTable(s: SparkSession, d: String): String =
+    cachedFixture(Tables.strawDir(s, d, "embeddings") + "_ivfbqidx", "_OK") { dir =>
+      graft.ops.Ann.buildIvfBqIndex(s, t(s, d, "embeddings"), dir, 64,
+        nCentroids = 16)
+    }
+
   /** The OPQ-rotated PQ index fixture (q_ann_opq / _opq_recall): same as
     * the flat PQ index plus the learned orthogonal pre-rotation (Ge et
     * al.) — the `_opq_rotation` sidecar, codes in the rotated basis. */
@@ -1121,6 +1129,44 @@ object SparkEntry {
       exact.join(bq, Seq("query_id", "neighbor_id"), "left")
         .agg(count(lit(1)).as("n_exact"),
           (sum(coalesce(col("hit"), lit(0))) >= count(lit(1)) * 0.8).as("recall_ok"))
+    }),
+    "q_ann_ivfbq" -> ((s, d) => {
+      // the BQ tier's scale path: directory-pruned cell probes (4 of 16),
+      // Hamming over the probed cells' sign codes (floats pruned),
+      // cell-restricted point-read exact rerank. Rows-only like the other
+      // pruned tiers, adjudicated by the paired gate below
+      val emb = t(s, d, "embeddings")
+      Ann.ivfBqTopK(s, ivfBqTable(s, d), emb.filter(col("vec_id") < 5), 3,
+          nProbe = 4, shortlist = 48)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q_ann_ivfbq_gate" -> ((s, d) => {
+      // gate on the FULL probe (nProbe = nCentroids): the coarse pruning
+      // error vanishes, leaving exactly the flat-BQ approximation — so
+      // (a) recall vs the exact float top-3 clears the same >=0.8 bound
+      // as q_ann_bq_recall at the corpus-scaled shortlist, AND (b) the
+      // full probe must equal the flat BQ index probe row-for-row (same
+      // codes, same floats, same ranking — structural equality, also
+      // spec-pinned on clusters). n_exact independently derivable
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      val short = math.max(48L, emb.count() / 5).toInt
+      val exact = Ann.bruteForceTopK(s, emb, queries, 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val full = Ann.ivfBqTopK(s, ivfBqTable(s, d), queries, 3,
+        nProbe = 16, shortlist = short)
+      val flat = Ann.bqTopKIndexed(s, bqTable(s, d), queries, 3,
+        shortlist = short)
+      val sameAsFlat = full.select("query_id", "rank", "neighbor_id")
+        .exceptAll(flat.select("query_id", "rank", "neighbor_id"))
+        .isEmpty
+      val hits = full.select(col("query_id"), col("neighbor_id"))
+        .withColumn("hit", lit(1))
+      exact.join(hits, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          (sum(coalesce(col("hit"), lit(0))) >= count(lit(1)) * 0.8).as("recall_ok"),
+          lit(sameAsFlat).as("full_equals_flat_ok"))
     }),
     "q_cluster_assign" -> ((s, d) => {
       // full-corpus distributed k-means (Lloyd over every vector, not a
@@ -2563,6 +2609,16 @@ object SparkEntry {
     "q_cluster_gate" ->
       """SELECT count(*)::BIGINT AS n_vectors, true AS sse_monotone_ok,
         |  true AS cover_ok FROM embeddings""".stripMargin,
+    "q_ann_ivfbq_gate" -> // n_exact shape + both gate booleans
+      """SELECT count(*)::BIGINT AS n_exact, true AS recall_ok,
+        |  true AS full_equals_flat_ok FROM (
+        |  SELECT q.vec_id, c.vec_id AS n_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(q.embedding, c.embedding), 4) DESC,
+        |        c.vec_id) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        |WHERE rank <= 3""".stripMargin,
     "q_ann_bq_recall" -> // same independently-derived n_exact shape
       """SELECT count(*)::BIGINT AS n_exact, true AS recall_ok FROM (
         |  SELECT q.vec_id, c.vec_id AS n_id,

@@ -1245,6 +1245,108 @@ object Ann {
       .write.format("strawboat").mode("append").save(dir)
   }
 
+  /** Build a PERSISTED IVF-BQ index at `dir` — the BQ tier's scale path:
+    * the flat BQ probe still scans EVERY vector's code; here the coarse
+    * quantizer (the [[buildIvfIndex]] fit) assigns each vector to a cell,
+    * the table hive-partitions by `cent_id` sorted (cent_id, vec_id), and
+    * a probe touches only `nProbe` cells' DIRECTORIES — dim/8 bytes per
+    * vector within the probed fraction, zero IO for the rest. Codes
+    * sign-pack the RAW vector, not the IVF residual: sign bits are
+    * scale-free and a residual's signs carry no angular meaning (unlike
+    * PQ, whose residual codebooks shrink quantization error). Sidecars:
+    * `_ivf_centroids` + `_bq_meta` — `straw_knn` dispatches on the pair. */
+  def buildIvfBqIndex(spark: SparkSession, corpus: DataFrame, dir: String,
+      dim: Int, nCentroids: Int = 16, seed: Long = 7,
+      sampleSize: Int = 1024): Unit = {
+    val centroids = fitQuantizer(corpus, dim, nCentroids, seed, sampleSize)
+    bqEncode(spark, assignCells(spark, corpus, centroids, 1))
+      .select(col("vec_id"), col("cent_id"), col("bqcode"), col("embedding"))
+      .orderBy(col("cent_id"), col("vec_id"))
+      .write.format("strawboat").option("partitionBy", "cent_id")
+      .mode("overwrite").save(dir)
+    writeCentroidsTo(graft.spark.StrawIO.fs(dir),
+      new org.apache.hadoop.fs.Path(dir, CentroidsFile), centroids)
+    val os = graft.spark.StrawIO.fs(dir)
+      .create(new org.apache.hadoop.fs.Path(dir, BqMetaFile), true)
+    try os.write(s"$dim\n".getBytes("UTF-8")) finally os.close()
+  }
+
+  /** Append into a persisted IVF-BQ index: assign to the FROZEN coarse
+    * cells (the [[appendToIvfIndex]] contract — rebuild when drift
+    * degrades the probes) and sign-pack; the codes themselves have no
+    * trained state. */
+  def appendToIvfBqIndex(spark: SparkSession, newVectors: DataFrame,
+      dir: String): Unit = {
+    val centroids = loadIvfCentroids(dir)
+    require(loadBqDim(dir).isDefined,
+      s"appendToIvfBqIndex: no $BqMetaFile sidecar under $dir")
+    bqEncode(spark, assignCells(spark, newVectors, centroids, 1))
+      .select(col("vec_id"), col("cent_id"), col("bqcode"), col("embedding"))
+      .orderBy(col("cent_id"), col("vec_id"))
+      .write.format("strawboat").option("partitionBy", "cent_id")
+      .mode("append").save(dir)
+  }
+
+  /** Probe a persisted IVF-BQ index: directory-pruned `nProbe` cells →
+    * Hamming shortlist over the probed codes (codegen'd popcount, floats
+    * undecoded) → cell-restricted point-read exact rerank. With
+    * nProbe = nCentroids this equals [[bqTopKIndexed]] on the same data
+    * and shortlist (the coarse pruning error vanishes) — the driver gate
+    * pins that. Bounded collects: probed cells (≤ nCentroids) and the
+    * queries × shortlist candidate set. */
+  def ivfBqTopK(spark: SparkSession, indexDir: String, queries: DataFrame,
+      k: Int, nProbe: Int = 4, shortlist: Int = 0): DataFrame = {
+    val centroids = loadIvfCentroids(indexDir)
+    val dim = loadBqDim(indexDir).getOrElse(throw new IllegalArgumentException(
+      s"ivfBqTopK: no $BqMetaFile sidecar under $indexDir — " +
+        "not a buildIvfBqIndex directory"))
+    val short = if (shortlist <= 0) 8 * k else shortlist
+    require(short >= k, s"ivfBqTopK: shortlist $short < k $k")
+    val queryCells = queries.withColumn("cent_id",
+      explode(VectorFunctions.nearestCells(spark, col("embedding"), centroids,
+        math.min(nProbe, centroids.length))))
+    val probed: Array[Int] = queryCells.select(col("cent_id")).distinct()
+      .collect().map(_.getInt(0)) // bounded by nCentroids
+    val index = spark.read.format("strawboat")
+      .option("mergeSchema", "false").load(indexDir)
+    val cells = index.filter(col("cent_id").isin(probed.map(_.asInstanceOf[Any]): _*))
+    val qprep = queryCells.select(col("vec_id"), col("cent_id"),
+      VectorFunctions.signPack(spark, col("embedding")).as("_qcode"))
+    val scored = cells.select(col("vec_id"), col("cent_id"), col("bqcode"))
+      .as("c")
+      .join(broadcast(qprep.as("q")),
+        col("c.cent_id") === col("q.cent_id") && col("c.vec_id") =!= col("q.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        VectorFunctions.hammingDist(spark, col("c.bqcode"), col("_qcode"))
+          .as("_ham"))
+    val candPairs = topKPerQuery(spark, scored, "_ham", short, ascending = true)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val candidates = {
+      import spark.implicits._
+      candPairs.toSeq.toDF("query_id", "neighbor_id")
+    }
+    val candidateIds = candPairs.map(_._2).distinct
+    // candidates live in probed cells by construction: directory pruning
+    // first, then vec_id zone maps within the probed cells
+    val floats = index
+      .filter(col("cent_id").isin(probed.map(_.asInstanceOf[Any]): _*) &&
+        candidatePointFilter(candidateIds))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("_nemb"))
+    val qFloats = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("_qemb"))
+      .filter(assert_true(size(col("_qemb")) === dim,
+        concat(lit("ivfBqTopK: query dim "), size(col("_qemb")),
+          lit(s" != indexed dim $dim"))).isNull)
+    val rescored = broadcast(candidates)
+      .join(floats, "neighbor_id")
+      .join(broadcast(qFloats), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(VectorFunctions.cosine(spark, col("_qemb"), col("_nemb")), 4)
+          .as("cosine"))
+    topKPerQuery(spark, rescored, "cosine", k)
+  }
+
   /** Probe a persisted BQ index: Hamming-score the code column (the
     * float column stays undecoded — dim/8 bytes per vector scanned),
     * shortlist `shortlist` candidates per query (default 8·k), then

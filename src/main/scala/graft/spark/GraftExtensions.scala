@@ -960,9 +960,10 @@ object StrawSqlSurface {
     // the query id is never a corpus id: self-exclusion can't misfire
     def queryDf = Seq((Long.MinValue, vec)).toDF("vec_id", "embedding")
     if (hasBq) {
-      // BQ tier: Hamming shortlist + bounded mid-flight collect + exact
-      // rerank — deferred like the PQ tiers (EXPLAIN probes nothing);
-      // 4th arg = shortlist here
+      // BQ tiers: Hamming shortlist + bounded mid-flight collect + exact
+      // rerank — deferred like the PQ tiers (EXPLAIN probes nothing).
+      // With the IVF sidecar too, the probe is cell-pruned (4th arg =
+      // nProbe); flat BQ takes the 4th arg as shortlist.
       val out = Seq(
         AttributeReference("id", LongType, nullable = false)(),
         AttributeReference("cosine", DoubleType, nullable = false)(),
@@ -971,9 +972,14 @@ object StrawSqlSurface {
         val s = org.apache.spark.sql.SparkSession.active
         import s.implicits._
         val q = Seq((Long.MinValue, vec)).toDF("vec_id", "embedding")
-        graft.ops.Ann.bqTopKIndexed(s, dir, q, kk,
-            shortlist = fourth.getOrElse(0))
-          .selectExpr("cast(neighbor_id as long) id", "cosine", "rank")
+        val res =
+          if (hasIvf)
+            graft.ops.Ann.ivfBqTopK(s, dir, q, kk,
+              nProbe = fourth.getOrElse(4))
+          else
+            graft.ops.Ann.bqTopKIndexed(s, dir, q, kk,
+              shortlist = fourth.getOrElse(0))
+        res.selectExpr("cast(neighbor_id as long) id", "cosine", "rank")
           .collect()
           .map(r => org.apache.spark.sql.catalyst.InternalRow(
             r.getLong(0), r.getDouble(1), r.getInt(2)))
@@ -1147,13 +1153,14 @@ object StrawSqlSurface {
     }.getOrElse("")
     val opts = parseOpts(optStr, IndexName)
     val kind = kindArg.toString.toLowerCase
-    require(Seq("ivf", "pq", "ivfpq", "bq", "lexical").contains(kind),
-      s"$IndexName: kind must be ivf | pq | ivfpq | bq | lexical, got '$kind'")
+    require(Seq("ivf", "pq", "ivfpq", "bq", "ivfbq", "lexical").contains(kind),
+      s"$IndexName: kind must be ivf | pq | ivfpq | bq | ivfbq | lexical, got '$kind'")
     val knownKeys = kind match {
       case "lexical" => Set("id", "text", "buckets", "positions")
       case "ivf" => Set("dim", "ncentroids", "seed", "samplesize")
       case "pq" => Set("dim", "m", "ncodes", "opq", "seed", "samplesize")
       case "bq" => Set("dim")
+      case "ivfbq" => Set("dim", "ncentroids", "seed", "samplesize")
       case _ => Set("dim", "ncentroids", "m", "ncodes", "opq", "seed", "samplesize")
     }
     val unknown = opts.keySet -- knownKeys
@@ -1188,6 +1195,11 @@ object StrawSqlSurface {
               opq = opts.get("opq").exists(_.toBoolean)): Unit
           case "bq" =>
             graft.ops.Ann.buildBqIndex(s, source, dir, opts("dim").toInt)
+          case "ivfbq" =>
+            graft.ops.Ann.buildIvfBqIndex(s, source, dir, opts("dim").toInt,
+              nCentroids = intOpt("ncentroids", 16),
+              seed = intOpt("seed", 7).toLong,
+              sampleSize = intOpt("samplesize", 1024))
           case _ =>
             graft.ops.Ann.buildIvfPqIndex(s, source, dir, opts("dim").toInt,
               nCentroids = intOpt("ncentroids", 16), m = intOpt("m", 16),
@@ -1237,6 +1249,7 @@ object StrawSqlSurface {
     def at(n: String) = fs.exists(new org.apache.hadoop.fs.Path(dir, n))
     val kind =
       if (at("_pq_codebooks") && at("_ivf_centroids")) "ivfpq"
+      else if (at("_bq_meta") && at("_ivf_centroids")) "ivfbq"
       else if (at("_pq_codebooks")) "pq"
       else if (at("_ivf_centroids")) "ivf"
       else if (at("_bq_meta")) "bq"
@@ -1255,6 +1268,7 @@ object StrawSqlSurface {
           case "ivf" => graft.ops.Ann.appendToIvfIndex(s, source, dir)
           case "pq" => graft.ops.Ann.appendToPqIndex(s, source, dir)
           case "bq" => graft.ops.Ann.appendToBqIndex(s, source, dir)
+          case "ivfbq" => graft.ops.Ann.appendToIvfBqIndex(s, source, dir)
           case _ => graft.ops.Ann.appendToIvfPqIndex(s, source, dir)
         }
         source.count()

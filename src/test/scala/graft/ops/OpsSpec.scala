@@ -124,6 +124,52 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(grown === exactAll, "append-grown PQ index must rank the full corpus")
   }
 
+  test("IVF-BQ: full probe equals flat BQ equals brute; pruned probe on " +
+      "clean clusters; frozen-cell append; straw_knn dispatch") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(37)
+    // sign-separable AND spatially separated clusters: lloyd lands one
+    // coarse cell per cluster, sign codes separate exactly
+    val centers = Array.tabulate(4, 16)((c, i) => if (i / 4 == c) 10.0f else -10.0f)
+    def batch(ids: Range) = ids.map { id =>
+      (id.toLong, centers(id % 4).map(x => x + (rnd.nextFloat() - 0.5f) * 0.5f))
+    }.toDF("vec_id", "embedding")
+    val vecs = batch(0 until 200)
+    val queries = vecs.filter(col("vec_id") < 4)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] =
+      df.select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exact = rows(Ann.bruteForceTopK(spark, vecs, queries, 5))
+
+    val dir = java.nio.file.Files.createTempDirectory("ivfbq").toString + "/index"
+    Ann.buildIvfBqIndex(spark, vecs, dir, 16, nCentroids = 4)
+    val top = new java.io.File(dir).listFiles
+    assert(top.exists(f => f.isDirectory && f.getName.startsWith("cent_id=")))
+    assert(top.exists(_.getName == "_ivf_centroids"))
+    assert(top.exists(_.getName == "_bq_meta"))
+    // full probe == flat BQ == brute (shortlist covers the cluster)
+    val full = rows(Ann.ivfBqTopK(spark, dir, queries, 5, nProbe = 4,
+      shortlist = 50))
+    assert(full === exact, "full-probe IVF-BQ must equal brute force here")
+    // pruned probe: each query's own cluster is its nearest cell
+    val pruned = rows(Ann.ivfBqTopK(spark, dir, queries, 5, nProbe = 1,
+      shortlist = 50))
+    assert(pruned === exact, "1-probe IVF-BQ on clean clusters must equal brute")
+
+    // append with frozen cells: grown index ranks the full corpus
+    val more = batch(200 until 260)
+    Ann.appendToIvfBqIndex(spark, more, dir)
+    val exactAll = rows(Ann.bruteForceTopK(spark, vecs.unionAll(more), queries, 5))
+    val grown = rows(Ann.ivfBqTopK(spark, dir, queries, 5, nProbe = 4,
+      shortlist = 65))
+    assert(grown === exactAll, "append-grown IVF-BQ must rank the full corpus")
+    // non-index dirs refuse loudly (missing-centroids IO error or the
+    // missing-sidecar message, depending on which probe fires first)
+    intercept[Exception] {
+      Ann.ivfBqTopK(spark, dir + "/nope", queries, 3)
+    }
+  }
+
   test("kmeansFit: full-corpus Lloyd recovers planted clusters; SSE " +
       "monotone; deterministic across partitionings; empty cells keep init") {
     val sp = spark; import sp.implicits._

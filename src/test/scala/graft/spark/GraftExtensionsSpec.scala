@@ -581,6 +581,33 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"SELECT * FROM straw_knn('$base/bq', $qvec, 100, 460)").collect()
     assert(bqknn2.exists(_.getLong(0) >= 400L), "appended BQ vectors must be probeable")
 
+    // ivfbq: cell-pruned BQ — build + probe (4th straw_knn arg = nProbe)
+    // + append, all from SQL; sign-separable AND spatially separated
+    // clusters so the pruned probe lands on the right cell
+    val bqCenters = Array.tabulate(4, 16)((c, i) => if (i / 4 == c) 10.0f else -10.0f)
+    def bqVecs(ids: Range) = ids.map { id =>
+      (id.toLong, bqCenters(id % 4).map(x => x + (rnd.nextFloat() - 0.5f) * 0.5f))
+    }.toDF("vec_id", "embedding")
+    bqVecs(0 until 400).write.format("strawboat").mode("append").save(s"$base/bvecs")
+    bqVecs(400 until 460).write.format("strawboat").mode("append").save(s"$base/bvecs2")
+    spark.sql(s"""SELECT * FROM straw_index('$base/bvecs', '$base/ivfbq',
+      'ivfbq', 'dim=16,ncentroids=4')""").collect()
+    assert(new java.io.File(s"$base/ivfbq", "_bq_meta").exists())
+    assert(new java.io.File(s"$base/ivfbq", "_ivf_centroids").exists())
+    val bqQ = s"array(${(0 until 16).map(i => if (i < 4) "10.0D" else "-10.0D").mkString(", ")})"
+    val ivfbqKnn = spark.sql(
+      s"SELECT * FROM straw_knn('$base/ivfbq', $bqQ, 5, 1)").collect()
+    assert(ivfbqKnn.length == 5 && ivfbqKnn.forall(_.getLong(0) % 4 == 0),
+      ivfbqKnn.mkString(","))
+    val ivfbqApp = spark.sql(
+      s"SELECT * FROM straw_index_append('$base/bvecs2', '$base/ivfbq')").collect()(0)
+    assert(ivfbqApp.getString(0) == "ivfbq" && ivfbqApp.getLong(1) == 60)
+    // k exceeds the query's cluster size (115 incl. 15 appended): rounded
+    // cosines tie near 1.0 and break by id asc, so only a k that covers
+    // the whole cluster must surface appended ids
+    assert(spark.sql(s"SELECT * FROM straw_knn('$base/ivfbq', $bqQ, 120, 4)")
+      .collect().exists(_.getLong(0) >= 400L))
+
     // deferred: EXPLAIN builds nothing
     val probe = s"$base/never"
     spark.sql(s"EXPLAIN SELECT * FROM straw_index('$base/vecs', '$probe', " +
