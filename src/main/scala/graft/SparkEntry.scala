@@ -133,6 +133,16 @@ object SparkEntry {
         .write.format("strawboat").mode("overwrite").save(dir)
     }
 
+  /** The synthetic raw-video table fixture (q_multimodal_video /
+    * _video_frames): one GRV1 container per document, parameters derived
+    * from doc_id (the formula the oracles replay), frame bytes from a
+    * doc_id-seeded generator. Built once per sf. */
+  private def vidTable(s: SparkSession, d: String): String =
+    cachedFixture(Tables.strawDir(s, d, "documents") + "_vid", "_OK") { dir =>
+      Multimodal.asVideo(t(s, d, "documents"))
+        .write.format("strawboat").mode("overwrite").save(dir)
+    }
+
   /** Shared streaming-fixture scaffold (q_stream_windowed / _sessions /
     * _dedup): wipes (source, sink, checkpoint), writes the source
     * RANGE-PARTITIONED by `orderCol` into 4 files so micro-batches arrive
@@ -1331,6 +1341,28 @@ object SparkEntry {
           Multimodal.resizeImages(s.read.format("strawboat").load(imgDir), 12))
         .select(col("doc_id"), col("width"), col("height"))
         .orderBy(col("doc_id"))
+    }),
+    "q_multimodal_video" -> ((s, d) => {
+      // video metadata over the stored raw containers — PURE built-in
+      // column expressions (fixed-offset header: substring + hex→int
+      // inside whole-stage codegen, no custom kernel); the oracle
+      // re-derives every field from the doc_id formula
+      Multimodal.videoMeta(s.read.format("strawboat").load(vidTable(s, d)))
+        .orderBy(col("doc_id"))
+    }),
+    "q_multimodal_video_frames" -> ((s, d) => {
+      // REAL frame sampling: every 4th frame decodes from the raw
+      // container, re-encodes as PNG (JDK imageio — real pixels), and the
+      // sampled (doc_id, frame_idx, ts_s, width, height) grid is
+      // formula-derived, so the oracle replays it exactly via a lateral
+      // generate_series — store→scan→sample→decode with no shortcut.
+      // mean_luma/payload are per-frame generator bytes DuckDB cannot
+      // replay; the luma band + PNG re-parse are pinned in MultimodalSpec
+      Multimodal.sampleFrames(
+          s.read.format("strawboat").load(vidTable(s, d)), everyN = 4)
+        .select(col("doc_id"), col("frame_idx"), col("ts_s"),
+          col("width"), col("height"))
+        .orderBy(col("doc_id"), col("frame_idx"))
     }),
     "q_multimodal_audio" -> ((s, d) => {
       // same loop for audio: valid PCM WAVs synthesized per doc, stored as
@@ -3357,6 +3389,22 @@ object SparkEntry {
         |  greatest(1, round((8 + doc_id % 16) * 12.0 /
         |                    (16 + doc_id % 32))::INT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_video" -> // params re-derived from doc_id
+      """SELECT doc_id, 'grv1' AS format,
+        |  (8 + (doc_id % 3) * 4)::INT AS width,
+        |  (8 + (doc_id % 2) * 4)::INT AS height,
+        |  (4 + doc_id % 4)::INT AS fps,
+        |  (6 + doc_id % 10)::INT AS n_frames,
+        |  round((6 + doc_id % 10)::DOUBLE / (4 + doc_id % 4), 4) AS duration_s
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_video_frames" -> // the sampled grid replays laterally
+      """SELECT d.doc_id, u.idx::INT AS frame_idx,
+        |  round(u.idx::DOUBLE / (4 + d.doc_id % 4), 4) AS ts_s,
+        |  (8 + (d.doc_id % 3) * 4)::INT AS width,
+        |  (8 + (d.doc_id % 2) * 4)::INT AS height
+        |FROM documents d, LATERAL (SELECT unnest(generate_series(0,
+        |  (6 + d.doc_id % 10 - 1)::BIGINT, 4)) AS idx) u
+        |ORDER BY d.doc_id, frame_idx""".stripMargin,
     "q_multimodal_audio" -> // params re-derived from doc_id
       """SELECT doc_id, 'wav' AS format, (1 + doc_id % 2)::INT AS channels,
         |  (CASE WHEN doc_id % 3 = 0 THEN 16000 ELSE 44100 END)::INT AS sample_rate,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column pattern: media payloads ride as opaque `binary`
@@ -366,4 +366,117 @@ object Multimodal {
       meta.getField("height").as("height"),
       meta.getField("bit_depth").as("bit_depth"))
   }
+
+  // ---------------------------------------------------------------------
+  // Video: raw uncompressed container. Compressed codecs (H.264/VP9/AV1)
+  // need external libraries this container does not ship — the SAME
+  // documented stub boundary as compressed audio — so the fixture format
+  // is trivially decodable and every Spark-side concern (binary pages,
+  // schema, per-frame explode shape, mapPartitions batching, PNG
+  // re-encode of sampled frames) is REAL and tested.
+  // ---------------------------------------------------------------------
+
+  /** Synthesize a raw video: "GRV1" + u16 width + u16 height + u16 fps +
+    * u32 nFrames (big-endian), then nFrames frames of width·height·3 RGB
+    * bytes from a seeded generator. */
+  def rawVideoBytes(width: Int, height: Int, fps: Int, nFrames: Int,
+      seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0 && fps > 0 && nFrames >= 0)
+    val frameLen = width * height * 3
+    val bb = java.nio.ByteBuffer.allocate(14 + nFrames * frameLen)
+    bb.put("GRV1".getBytes("US-ASCII"))
+      .putShort(width.toShort).putShort(height.toShort).putShort(fps.toShort)
+      .putInt(nFrames)
+    val rnd = new java.util.Random(seed)
+    var i = 0
+    while (i < nFrames * frameLen) { bb.put((rnd.nextInt(256) - 128).toByte); i += 1 }
+    bb.array()
+  }
+
+  /** Documents → synthetic video table (fixture UDF; parameters derive
+    * from doc_id so the oracle replays them). */
+  def asVideo(docs: DataFrame): DataFrame = {
+    val gen = udf((id: Long) =>
+      rawVideoBytes((8 + (id % 3) * 4).toInt, (8 + (id % 2) * 4).toInt,
+        (4 + id % 4).toInt, (6 + id % 10).toInt, id))
+    docs.select(col("doc_id"), gen(col("doc_id")).as("payload"))
+  }
+
+  /** Video container metadata from the stored payloads — PURE built-in
+    * column expressions (the header fields sit at fixed offsets, so
+    * substring + hex→int conversion stays inside whole-stage codegen; no
+    * custom kernel needed). Non-GRV1 payloads yield NULL fields. */
+  def videoMeta(mm: DataFrame): DataFrame = {
+    def beInt(from: Int, len: Int): Column =
+      conv(hex(substring(col("payload"), from, len)), 16, 10).cast("int")
+    val isGrv = substring(col("payload"), 1, 4) === lit("GRV1".getBytes("US-ASCII"))
+    def f(c: Column): Column = when(isGrv, c)
+    mm.select(
+      col("doc_id"),
+      when(isGrv, lit("grv1")).as("format"),
+      f(beInt(5, 2)).as("width"),
+      f(beInt(7, 2)).as("height"),
+      f(beInt(9, 2)).as("fps"),
+      f(beInt(11, 4)).as("n_frames"),
+      f(round(beInt(11, 4).cast("double") / beInt(9, 2), 4)).as("duration_s"))
+  }
+
+  /** REAL frame sampling over the stored binary column: every `everyN`-th
+    * frame decodes from the raw container and RE-ENCODES as PNG (JDK
+    * imageio — real pixels downstream tools can read), with the ITU-R 601
+    * mean luma per sampled frame. `mapPartitions` like the image/audio
+    * decoders: decoder state amortizes per task, the driver never sees a
+    * pixel. Corrupt/foreign payloads yield ZERO frames — quarantine by
+    * anti-joining doc ids against [[videoMeta]]. Output: (doc_id,
+    * frame_idx, ts_s, width, height, mean_luma, payload). */
+  def sampleFrames(mm: DataFrame, everyN: Int): DataFrame = {
+    require(everyN > 0, s"sampleFrames: everyN must be positive, got $everyN")
+    val spark = mm.sparkSession
+    import spark.implicits._
+    mm.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) => sampleOne(id, bytes, everyN) }
+      }
+      .toDF("doc_id", "frame_idx", "ts_s", "width", "height", "mean_luma",
+        "payload")
+  }
+
+  private def sampleOne(id: Long, bytes: Array[Byte], everyN: Int)
+      : Iterator[(Long, Int, Double, Int, Int, Double, Array[Byte])] =
+    try {
+      if (bytes.length < 14 ||
+          new String(bytes, 0, 4, "US-ASCII") != "GRV1") Iterator.empty
+      else {
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+        val w = bb.getShort(4) & 0xffff
+        val h = bb.getShort(6) & 0xffff
+        val fps = bb.getShort(8) & 0xffff
+        val n = bb.getInt(10)
+        val frameLen = w * h * 3
+        if (fps <= 0 || bytes.length < 14 + n.toLong * frameLen) Iterator.empty
+        else Iterator.range(0, n, everyN).map { idx =>
+          val off = 14 + idx * frameLen
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var sum = 0.0
+          var p = 0
+          while (p < w * h) {
+            val r = bytes(off + p * 3) & 0xff
+            val g = bytes(off + p * 3 + 1) & 0xff
+            val b = bytes(off + p * 3 + 2) & 0xff
+            img.setRGB(p % w, p / w, (r << 16) | (g << 8) | b)
+            sum += 0.299 * r + 0.587 * g + 0.114 * b
+            p += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream(frameLen + 128)
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val ts = BigDecimal(idx.toDouble / fps)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          val luma = BigDecimal(sum / (w * h))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (id, idx, ts, w, h, luma, bos.toByteArray)
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
 }

@@ -194,4 +194,65 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(fmt == "png" && w == (16 + id % 32).toInt && h == (8 + id % 16).toInt, s"doc $id")
     }
   }
+
+  test("video: raw container meta parses via built-in expressions; frame " +
+      "sampling decodes real pixels, re-encodes real PNGs, quarantines garbage") {
+    val sp = spark; import sp.implicits._
+    val docs = (0L until 24L).map(id => (id, s"doc $id")).toDF("doc_id", "text")
+    val vids = Multimodal.asVideo(docs)
+    // meta: every field equals the generator formula
+    val meta = Multimodal.videoMeta(vids).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getDouble(6))).toSeq
+    meta.foreach { case (id, fmt, w, h, fps, n, dur) =>
+      assert(fmt == "grv1" && w == (8 + (id % 3) * 4).toInt &&
+        h == (8 + (id % 2) * 4).toInt && fps == (4 + id % 4).toInt &&
+        n == (6 + id % 10).toInt, s"doc $id")
+      assert(math.abs(dur - BigDecimal(n.toDouble / fps)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+    // sampling: grid matches the formula; ts = idx/fps; dims carried
+    val frames = Multimodal.sampleFrames(vids, everyN = 4).collect()
+    val byDoc = frames.groupBy(_.getLong(0))
+    (0L until 24L).foreach { id =>
+      val n = (6 + id % 10).toInt
+      val want = (0 until n by 4).toSeq
+      val got = byDoc(id).map(_.getInt(1)).toSeq.sorted
+      assert(got == want, s"doc $id sampled $got want $want")
+    }
+    // real pixels both ways: the PNG payload re-parses with the frame's
+    // dims, and its DECODED mean luma equals the reported one (uniform
+    // random bytes also keep luma in a wide central band)
+    frames.take(20).foreach { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](6)))
+      assert(img != null && img.getWidth == r.getInt(3) &&
+        img.getHeight == r.getInt(4))
+      var sum = 0.0
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+      }
+      val luma = sum / (img.getWidth * img.getHeight)
+      assert(math.abs(luma - r.getDouble(5)) < 1e-3,
+        s"png luma $luma vs reported ${r.getDouble(5)}")
+      assert(r.getDouble(5) > 60 && r.getDouble(5) < 195,
+        s"uniform-byte luma out of band: ${r.getDouble(5)}")
+    }
+    // garbage and truncated payloads yield zero frames, never a crash
+    val junk = Seq(
+      (100L, "not a video".getBytes("UTF-8")),
+      (101L, Multimodal.rawVideoBytes(4, 4, 2, 3, 7).take(20).toArray))
+      .toDF("doc_id", "payload")
+    assert(Multimodal.sampleFrames(junk, 2).count() == 0L)
+    // the header parser reads what's THERE: garbage yields null format,
+    // while a truncated-but-intact header still reports its metadata (the
+    // image_meta contract) — the frame SAMPLER is what refuses short data
+    val metaJunk = Multimodal.videoMeta(junk).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getString(1))))
+      .toMap
+    assert(metaJunk(100L).isEmpty && metaJunk(101L).contains("grv1"))
+    intercept[IllegalArgumentException](Multimodal.sampleFrames(vids, 0))
+  }
 }
