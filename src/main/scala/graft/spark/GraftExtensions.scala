@@ -824,6 +824,57 @@ object StrawSqlSurface {
     })
   }
 
+  val KmeansName = "straw_kmeans"
+
+  /** `straw_kmeans('<table path>', dim, k[, iters])`: full-corpus
+    * distributed Lloyd k-means ([[graft.ops.Ann.kmeansFit]]) from plain
+    * SQL — (cluster, n, sse_first, sse_last) rows: the assignment
+    * histogram plus the first/last-iteration SSE (non-increasing by
+    * Lloyd's invariant; the driver gate asserts it, here it surfaces so
+    * a SQL user can see convergence). DEFERRED like [[topkBuilder]]: the
+    * Lloyd passes and their k·dim-bounded collects run at execution,
+    * EXPLAIN probes nothing. The table needs `vec_id` and `embedding`
+    * columns (validated at analysis from the cached footer schema). */
+  def kmeansBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 3 && args.length <= 4 &&
+      args.head.foldable && args.head.dataType == StringType &&
+      args.tail.forall(a => a.foldable && a.dataType == IntegerType),
+      s"$KmeansName expects (table path, dim int, k int[, iters int]) literals")
+    val empty = org.apache.spark.sql.catalyst.InternalRow.empty
+    val vals = args.map(_.eval(empty))
+    require(vals.forall(_ != null), s"$KmeansName: arguments must not be null")
+    val dir = resolveDir(vals(0).toString)
+    val dim = vals(1).asInstanceOf[Int]
+    val k = vals(2).asInstanceOf[Int]
+    val iters = if (args.length == 4) vals(3).asInstanceOf[Int] else 3
+    require(dim > 0 && k > 0 && iters >= 1,
+      s"$KmeansName: dim, k, iters must be positive")
+    val probe = org.apache.spark.sql.SparkSession.active
+      .read.format("strawboat").load(dir)
+    Seq("vec_id", "embedding").foreach(c => require(probe.columns.contains(c),
+      s"$KmeansName: table must carry a '$c' column " +
+        s"(have: ${probe.columns.mkString(", ")})"))
+    val out = Seq(
+      AttributeReference("cluster", IntegerType, nullable = false)(),
+      AttributeReference("n", LongType, nullable = false)(),
+      AttributeReference("sse_first", DoubleType, nullable = false)(),
+      AttributeReference("sse_last", DoubleType, nullable = false)())
+    DeferredOpPlan(KmeansName, out, () => {
+      val s = org.apache.spark.sql.SparkSession.active
+      val corpus = s.read.format("strawboat").load(dir)
+      val (cents, sses) = graft.ops.Ann.kmeansFit(s, corpus, dim, k, iters)
+      graft.ops.Ann.kmeansAssign(s, corpus, cents)
+        .groupBy(org.apache.spark.sql.functions.col("cluster"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .orderBy(org.apache.spark.sql.functions.col("cluster"))
+        .collect() // ≤k rows
+        .map(r => org.apache.spark.sql.catalyst.InternalRow(
+          r.getInt(0), r.getLong(1), sses.head, sses.last))
+        .toSeq
+    })
+  }
+
   val HybridName = "straw_hybrid"
 
   /** `straw_hybrid('<lex dir>', '<ivf dir>', '<terms>', array(<vec...>),
@@ -1416,6 +1467,10 @@ object StrawSqlSurface {
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName, TopkName),
       topkBuilder _)
     spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier(KmeansName),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName, KmeansName),
+      kmeansBuilder _)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier(HybridName),
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName, HybridName),
       hybridBuilder _)
@@ -1577,6 +1632,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName,
         StrawSqlSurface.TopkName),
       StrawSqlSurface.topkBuilder _))
+    extensions.injectTableFunction((
+      FunctionIdentifier(StrawSqlSurface.KmeansName),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName,
+        StrawSqlSurface.KmeansName),
+      StrawSqlSurface.kmeansBuilder _))
     extensions.injectTableFunction((
       FunctionIdentifier(StrawSqlSurface.HybridName),
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName,

@@ -913,6 +913,38 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(msgs(e3).exists(_.contains("must be >= k")), msgs(e3).mkString)
   }
 
+  test("straw_kmeans clusters a vector table from SQL, deferred, loud args") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(13)
+    val centers = Array.tabulate(4, 16)((c, i) => if (i / 4 == c) 10.0f else 0.0f)
+    val vecs = (0L until 200L).map { id =>
+      (id, centers((id % 4).toInt).map(x => x + (rnd.nextFloat() - 0.5f) * 0.5f))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ext_kmeans").toString
+    vecs.write.format("strawboat").mode("overwrite").save(dir)
+    val rows = spark.sql(
+      s"SELECT * FROM straw_kmeans('$dir', 16, 4, 3) ORDER BY cluster")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    // 4 clean clusters of 50; SSE non-increasing
+    assert(rows.length == 4 && rows.forall(_._2 == 50L), rows.mkString(","))
+    assert(rows.forall(r => r._4 <= r._3 + 1e-6), rows.mkString(","))
+    // deferred: EXPLAIN runs no Lloyd pass
+    val plan = spark.sql(s"EXPLAIN SELECT * FROM straw_kmeans('$dir', 16, 4)")
+      .collect()(0).getString(0)
+    assert(plan.contains("DeferredOp"), plan)
+    // loud: missing columns, bad arity
+    def msgs(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .flatMap(x => Option(x.getMessage)).toSeq
+    val noCols = java.nio.file.Files.createTempDirectory("ext_kmeans2").toString
+    Seq((1L, "x")).toDF("id", "s").write.format("strawboat")
+      .mode("overwrite").save(noCols)
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM straw_kmeans('$noCols', 16, 4)").collect())
+    assert(msgs(e).exists(_.contains("must carry")), msgs(e).mkString)
+  }
+
   test("hyperplane buckets reject non-integer config args with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT hyperplane_buckets(array(1.0D), 'abc', 4, 2, 42L)")
