@@ -137,9 +137,15 @@ object TextOps {
     // idiom). A count(*) OVER () window would funnel the whole counts
     // table through ONE task — "vocab-sized" is still O(10^8-10^9)
     // distinct tokens on a web corpus, so the scalar must come from a
-    // distributed aggregate, not a single-partition sort. ReuseExchange
-    // dedupes the shared unigram aggregation between the two branches.
+    // distributed aggregate, not a single-partition sort. The counts
+    // table feeds TWO branches (the scoring join and the V scalar); the
+    // lazy localCheckpoint (the q_dedup_simhash_gate idiom) materializes
+    // the vocab-sized aggregate ONCE so neither branch re-tokenizes the
+    // corpus — relying on AQE exchange reuse instead measured 48.5 vs
+    // 42.4 s warm (and 128 vs 49 s cold) at 1M docs: the reuse does not
+    // reliably fire across the aggregate branches.
     val c1 = toks.groupBy(col("_tok").as("_prev")).agg(count(lit(1)).as("_c1"))
+      .localCheckpoint(false)
     val vocab = c1.agg(count(lit(1)).as("_v"))
     val c1v = c1.crossJoin(broadcast(vocab))
     val docBg = bigrams.groupBy("_doc", "_prev", "_tok").agg(count(lit(1)).as("_n"))
