@@ -147,6 +147,115 @@ object TemporalJoin {
         refNames.map(n => col("__ref").getField(n).as(rightPrefix + n)): _*)
   }
 
+  /** [[asofJoin]] with the hot-key ceiling removed — the OPT-IN skew
+    * path. The plain sweep needs each key's full time order, so one hot
+    * key (half the rows on one symbol) sorts in ONE task. Here time
+    * splits into `bucketWidth`-sized buckets and the sweep partitions by
+    * (key, bucket): a hot key's rows spread across its buckets' tasks.
+    * Exactness is restored by a CARRY-IN pre-pass — per (key, bucket),
+    * the best reference from any EARLIER bucket, computed as a
+    * per-(key, bucket) `max_by` aggregate (map-side combined; the
+    * reference rows never sort globally) followed by a per-key running
+    * window over the BUCKET AXIS (O(distinct buckets) rows per key, not
+    * O(rows)) — injected into each bucket's sweep as an extra reference
+    * row, where its older time orders it naturally before everything.
+    *
+    * Semantics are IDENTICAL to [[asofJoin]] for `backward`/`forward`
+    * (spec-pinned across directions × exact-match × tolerance × join
+    * type); `nearest` is not offered — compose [[asofBothJoin]] or use
+    * the unbucketed path. `bucketWidth` is in the time column's own
+    * units (MICROSECONDS for timestamps); any width is CORRECT — it only
+    * tunes the parallelism/carry-pass balance (≈ the hot key's span
+    * divided by the cluster's task count is a good start). */
+  def asofJoinBucketed(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightValues: Seq[String],
+      rightTieBreak: String,
+      bucketWidth: Long,
+      direction: String = "backward",
+      allowExactMatches: Boolean = true,
+      tolerance: Option[Column] = None,
+      joinType: String = "inner",
+      rightPrefix: String = ""): DataFrame = {
+    require(Set("backward", "forward")(direction),
+      s"asofJoinBucketed: direction must be backward|forward (nearest " +
+        s"needs both sweeps — use asofJoin or asofBothJoin), got $direction")
+    require(Set("inner", "left")(joinType),
+      s"joinType must be inner|left, got $joinType")
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val refNames = (rightTime +: rightValues).distinct
+    val outRefNames = refNames.map(rightPrefix + _)
+    val clash = left.columns.toSet.intersect(outRefNames.toSet)
+    require(clash.isEmpty,
+      s"right columns collide with left after prefixing: ${clash.mkString(",")}; " +
+        "pass rightPrefix or rename")
+    val (all0, leftSide) = taggedUnion(left, right, leftKey, rightKey,
+      leftTime, rightTime, refNames, rightTieBreak, allowExactMatches)
+    val forward = direction == "forward"
+    // one monotone sweep AXIS folds the direction in: ascending axis ==
+    // ascending time for backward, descending time for forward — the
+    // winner at any position is then always the max (axis, side, tb)
+    val tNum = all0.schema("__t").dataType match {
+      case TimestampType | TimestampNTZType =>
+        unix_micros(col("__t").cast(TimestampType))
+      // integral times keep exact ordering on the axis; only fractional
+      // numerics ride a double
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+        col("__t").cast("long")
+      case _ => col("__t").cast("double")
+    }
+    val axis = if (forward) -tNum else tNum
+    val all = all0
+      .withColumn("__ax", axis)
+      .withColumn("__bkt", floor(col("__ax") / bucketWidth).cast("long"))
+
+    // carry-in pre-pass: best reference per (key, bucket) — a bounded
+    // aggregate, not a sort — then the running best over each key's
+    // bucket axis, shifted one bucket late (strictly-earlier buckets)
+    val refs = all.filter(col("__side") =!= leftSide && col("__ax").isNotNull)
+    val bestPerBucket = refs.groupBy(col("__k"), col("__bkt"))
+      .agg(max_by(struct(col("__ax"), col("__side"), col("__tb"), col("__r")),
+        struct(col("__ax"), col("__tb"))).as("__best"))
+    val bucketAxis = all.select(col("__k"), col("__bkt")).distinct()
+      .join(bestPerBucket, Seq("__k", "__bkt"), "left")
+    val wCarry = Window.partitionBy(col("__k")).orderBy(col("__bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = bucketAxis
+      .withColumn("__carry", last(col("__best"), ignoreNulls = true).over(wCarry))
+      .filter(col("__carry").isNotNull)
+      .select(col("__k"), col("__bkt"),
+        col("__carry.__ax").as("__ax"), col("__carry.__side").as("__side"),
+        col("__carry.__tb").as("__tb"), col("__carry.__r").as("__r"))
+      .withColumn("__l", lit(null).cast(all.schema("__l").dataType))
+      .withColumn("__t", lit(null).cast(all.schema("__t").dataType))
+      .select(all.columns.map(col): _*)
+
+    // the per-(key, bucket) sweep — the plain asofJoin sweep with the
+    // bucket folded into the partition key; the carried reference's
+    // smaller axis orders it before everything in the bucket
+    val w = Window.partitionBy(col("__k"), col("__bkt"))
+      .orderBy(col("__ax").asc, col("__side").asc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val swept = all.unionByName(carries)
+      .withColumn("__ref", last(col("__r"), ignoreNulls = true).over(w))
+    val gap =
+      if (forward) col("__ref").getField(rightTime) - col("__t")
+      else col("__t") - col("__ref").getField(rightTime)
+    val within = tolerance.map(tol => gap <= tol).getOrElse(lit(true))
+    val gated = swept.withColumn("__ref",
+      when(col("__k").isNotNull && col("__t").isNotNull &&
+        col("__ref").isNotNull && within, col("__ref")))
+    val probes = gated.filter(col("__side") === leftSide && col("__l").isNotNull)
+    val matched =
+      if (joinType == "inner") probes.filter(col("__ref").isNotNull) else probes
+    matched.select(
+      left.columns.map(n => col("__l").getField(n).as(n)) ++
+        refNames.map(n => col("__ref").getField(n).as(rightPrefix + n)): _*)
+  }
+
   /** The tagged probe/reference union both as-of variants sweep over.
     * Traversal order is by time (asc for backward, desc for forward); the
     * side tag decides whether a right row at the probe's exact time is

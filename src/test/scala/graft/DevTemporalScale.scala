@@ -112,6 +112,21 @@ object DevTemporalScale {
         .collect()(0)
     }
     println(s"  skew rows/checksum: $skew")
+
+    // --- bucketed skew arm: the same hot key split across time buckets ---
+    // asofJoinBucketed partitions the sweep by (key, bucket) with a
+    // carry-in pre-pass, so the hot key's rows spread over its buckets'
+    // tasks. Same result checksum required.
+    val width = 1000000L / 64 // ~64 buckets over the time range
+    val skewB = time(s"asof BUCKETED sweep, same hot key, width=$width") {
+      graft.ops.TemporalJoin.asofJoinBucketed(skewP, skewR,
+          "k", "rk", "t", "rt", Seq("rid", "rv"), rightTieBreak = "rid",
+          bucketWidth = width)
+        .agg(count(lit(1)), sum(hash(col("id"), col("rid")).cast("long")))
+        .collect()(0)
+    }
+    println(s"  bucketed skew rows/checksum: $skewB")
+    require(skew == skewB, s"bucketed result drifted: $skew vs $skewB")
     spark.stop()
   }
 }

@@ -353,6 +353,78 @@ class TemporalJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("asofJoinBucketed == asofJoin across directions, exact-match, " +
+      "tolerance, join type, and bucket widths (incl. degenerate)") {
+    val l = probeDf
+    val r = refDf
+    def run(dir: String, allowExact: Boolean, tol: Option[Long],
+        jt: String, width: Long): Seq[(Long, Option[Long])] =
+      TemporalJoin.asofJoinBucketed(l, r, "k", "rk", "t", "rt", Seq("rid"),
+          rightTieBreak = "rid", bucketWidth = width, direction = dir,
+          allowExactMatches = allowExact,
+          tolerance = tol.map(x => lit(x)), joinType = jt)
+        .select("id", "rid").collect()
+        .map(x => (x.getLong(0), Option(x.get(1)).map(_.asInstanceOf[Long])))
+        .toSeq.sortBy(_._1)
+    def runPlain(dir: String, allowExact: Boolean, tol: Option[Long],
+        jt: String): Seq[(Long, Option[Long])] =
+      TemporalJoin.asofJoin(l, r, "k", "rk", "t", "rt", Seq("rid"),
+          rightTieBreak = "rid", direction = dir,
+          allowExactMatches = allowExact,
+          tolerance = tol.map(x => lit(x)), joinType = jt)
+        .select("id", "rid").collect()
+        .map(x => (x.getLong(0), Option(x.get(1)).map(_.asInstanceOf[Long])))
+        .toSeq.sortBy(_._1)
+    for (dir <- Seq("backward", "forward");
+         ae <- Seq(true, false);
+         tol <- Seq(None, Some(5L));
+         jt <- Seq("inner", "left");
+         // width 1 = one bucket per tick (all carry), 37 = odd split,
+         // 10000 = one bucket (degenerates to the plain sweep)
+         width <- Seq(1L, 37L, 10000L)) {
+      assert(run(dir, ae, tol, jt, width) == runPlain(dir, ae, tol, jt),
+        s"dir=$dir ae=$ae tol=$tol jt=$jt width=$width")
+    }
+    // timestamps ride the micros axis: a quick timestamp-typed case
+    val sp = spark; import sp.implicits._
+    val lts = Seq((1L, 1L, "2024-01-01 10:00:00"), (2L, 1L, "2024-01-01 12:00:00"))
+      .toDF("id", "k", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val rts = Seq((10L, 1L, "2024-01-01 09:30:00", 1.0),
+      (20L, 1L, "2024-01-01 11:45:00", 2.0))
+      .toDF("rid", "rk", "rts", "rv")
+      .withColumn("rts", col("rts").cast("timestamp"))
+    val got = TemporalJoin.asofJoinBucketed(lts, rts, "k", "rk", "ts", "rts",
+        Seq("rid"), rightTieBreak = "rid", bucketWidth = 3600000000L)
+      .select("id", "rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(got == Map(1L -> 10L, 2L -> 20L))
+    // nearest is refused loudly
+    intercept[IllegalArgumentException] {
+      TemporalJoin.asofJoinBucketed(l, r, "k", "rk", "t", "rt", Seq("rid"),
+        "rid", 10L, direction = "nearest")
+    }
+  }
+
+  test("asofJoinBucketed splits a hot key across (key, bucket) partitions") {
+    // structural proof the skew ceiling is gone: the sweep window's
+    // partition key carries the bucket, so one key's rows cannot all
+    // land in one window partition
+    val plan = TemporalJoin.asofJoinBucketed(probeDf, refDf, "k", "rk",
+        "t", "rt", Seq("rid"), rightTieBreak = "rid", bucketWidth = 50L)
+      .queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val sweepWindows = plan.collect {
+      case w: LWindow if w.windowExpressions.exists(
+        _.toString.contains("__ref")) => w
+    }
+    assert(sweepWindows.nonEmpty, "expected the sweep window")
+    sweepWindows.foreach { w =>
+      assert(w.partitionSpec.size == 2,
+        s"sweep must partition by (key, bucket): ${w.partitionSpec}")
+    }
+  }
+
   test("rangeJoin rejects colliding names and non-positive widths") {
     val sp = spark; import sp.implicits._
     val a = Seq((1L, 2L, 3L)).toDF("x", "lo", "hi")
