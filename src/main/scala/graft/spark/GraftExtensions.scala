@@ -546,12 +546,12 @@ object StrawSqlSurface {
     * ([[graft.ops.TemporalJoin.asofJoin]] — one key shuffle, no join
     * node), so EXPLAIN probes nothing and the result composes in CTEs. */
   def asofBuilder(args: Seq[Expression]): LogicalPlan = {
-    require(args.length >= 5 && args.length <= 8 &&
+    require(args.length >= 5 && args.length <= 9 &&
       args.take(5).forall(a => a.foldable && a.dataType == StringType) &&
       args.lift(5).forall(a => a.foldable && a.dataType == StringType),
       s"$AsofName expects (left path, right path, 'leftKey[=rightKey]', " +
         "'leftTime[=rightTime]', tieBreak[, direction[, tolerance[, " +
-        "allowExactMatches]]])")
+        "allowExactMatches[, bucketWidth]]]])")
     val empty = org.apache.spark.sql.catalyst.InternalRow.empty
     val vals = args.take(6).map(_.eval(empty))
     require(vals.forall(_ != null), s"$AsofName: arguments must not be null")
@@ -587,15 +587,32 @@ object StrawSqlSurface {
       require(v != null, s"$AsofName: allowExactMatches must not be null")
       v.asInstanceOf[Boolean]
     }.getOrElse(true)
+    // optional 9th arg: a bucket width routes backward/forward through
+    // the skew-splitting asofJoinBucketed (the hot-key escape hatch)
+    val bucketWidth: Option[Long] = args.lift(8).map { a =>
+      require(a.foldable && (a.dataType == LongType ||
+        a.dataType == IntegerType),
+        s"$AsofName: bucketWidth must be an int/long literal")
+      val v = a.eval(empty)
+      require(v != null, s"$AsofName: bucketWidth must not be null")
+      v.asInstanceOf[Number].longValue()
+    }
     val spark = org.apache.spark.sql.SparkSession.active
     val left = spark.read.format("strawboat").load(resolveDir(vals(0).toString))
     val right = spark.read.format("strawboat").load(resolveDir(vals(1).toString))
-    graft.ops.TemporalJoin.asofJoin(left, right, lk, rk, lt, rt,
+    val joined = bucketWidth match {
+      case Some(w) => graft.ops.TemporalJoin.asofJoinBucketed(left, right,
+        lk, rk, lt, rt, rightValues = right.columns.filterNot(_ == rk).toSeq,
+        rightTieBreak = tieBreak, bucketWidth = w, direction = direction,
+        allowExactMatches = allowExact, tolerance = tolerance,
+        rightPrefix = "r_")
+      case None => graft.ops.TemporalJoin.asofJoin(left, right, lk, rk, lt, rt,
         rightValues = right.columns.filterNot(_ == rk).toSeq,
         rightTieBreak = tieBreak, direction = direction,
         allowExactMatches = allowExact, tolerance = tolerance,
         rightPrefix = "r_")
-      .queryExecution.analyzed
+    }
+    joined.queryExecution.analyzed
   }
 
   val AsofBothName = "straw_asof_both"

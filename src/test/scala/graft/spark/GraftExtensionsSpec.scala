@@ -810,6 +810,14 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e.getMessage.contains("boolean literal") ||
       (e.getCause != null && e.getCause.getMessage.contains("boolean literal")))
+    // 9th arg = bucketWidth routes through the skew-splitting path, with
+    // identical results (the spec-pinned equality, here through SQL)
+    val bucketed = spark.sql(
+      s"""SELECT id, r_rid FROM straw_asof('$base/probes', '$base/refs',
+         |  'k=rk', 't=rt', 'rid', 'backward', 20L, false, 7L)
+         |ORDER BY id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(bucketed == strict, s"bucketed SQL route drifted: $bucketed")
   }
 
   test("straw_asof_both attaches both neighbors from SQL, SQL == Scala") {
