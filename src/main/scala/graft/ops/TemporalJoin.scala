@@ -368,7 +368,12 @@ object TemporalJoin {
       right: DataFrame, rightLow: String, rightHigh: String,
       binWidth: Long,
       maxBinsPerInterval: Int = DefaultMaxBinsPerInterval): DataFrame = {
-    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    // binWidth <= 0 opts into auto-derivation: the p95 span quantile of
+    // the LEFT intervals ([[suggestBinWidth]] — one aggregate at
+    // plan-build time, trading the lazy-builder convention for a width
+    // that cannot be degenerately wrong)
+    val width =
+      if (binWidth > 0) binWidth else suggestBinWidth(left, leftLow, leftHigh)
     require(maxBinsPerInterval > 0,
       s"maxBinsPerInterval must be positive, got $maxBinsPerInterval")
     val clash = left.columns.toSet.intersect(right.columns.toSet)
@@ -385,14 +390,14 @@ object TemporalJoin {
     // malformed row could still satisfy aLo<=bHi && bLo<=aHi.
     val a = left.filter(left(leftLow) <= left(leftHigh)).withColumn("__bin",
       explode(binsGuarded(num(left, leftLow), num(left, leftHigh),
-        binWidth, maxBinsPerInterval, "rangeOverlapJoin")))
+        width, maxBinsPerInterval, "rangeOverlapJoin")))
     val b = right.filter(right(rightLow) <= right(rightHigh)).withColumn("__bin",
       explode(binsGuarded(num(right, rightLow), num(right, rightHigh),
-        binWidth, maxBinsPerInterval, "rangeOverlapJoin")))
+        width, maxBinsPerInterval, "rangeOverlapJoin")))
     a.join(b, a("__bin") === b("__bin") &&
         a(leftLow) <= b(rightHigh) && b(rightLow) <= a(leftHigh) &&
         // exactly-once: only the bin holding the overlap's start emits
-        floor(greatest(num(a, leftLow), num(b, rightLow)) / binWidth)
+        floor(greatest(num(a, leftLow), num(b, rightLow)) / width)
           .cast("long") === a("__bin"))
       .drop("__bin")
   }
@@ -403,7 +408,9 @@ object TemporalJoin {
       binWidth: Long,
       extraKeys: Seq[(String, String)] = Nil,
       maxBinsPerInterval: Int = DefaultMaxBinsPerInterval): DataFrame = {
-    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    // binWidth <= 0 opts into auto-derivation (see [[rangeOverlapJoin]])
+    val width =
+      if (binWidth > 0) binWidth else suggestBinWidth(intervals, low, high)
     require(maxBinsPerInterval > 0,
       s"maxBinsPerInterval must be positive, got $maxBinsPerInterval")
     val clash = intervals.columns.toSet.intersect(points.columns.toSet)
@@ -424,9 +431,9 @@ object TemporalJoin {
     // sequence()'s auto-step -1 from replicating malformed rows for free
     val iv = intervals.filter(intervals(low) <= intervals(high))
       .withColumn("__bin", explode(binsGuarded(num(intervals, low),
-        num(intervals, high), binWidth, maxBinsPerInterval, "rangeJoin")))
+        num(intervals, high), width, maxBinsPerInterval, "rangeJoin")))
     val pt = points.withColumn("__bin",
-      floor(num(points, point) / binWidth).cast("long"))
+      floor(num(points, point) / width).cast("long"))
     val cond = extraKeys.foldLeft(iv("__bin") === pt("__bin")) {
       case (acc, (ik, pk)) => acc && iv(ik) === pt(pk)
     }

@@ -254,6 +254,55 @@ class ExpressionCodegenSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sign_pack / hamming_dist compile under strict codegen; specials " +
+      "pinned (NaN/-0.0/Inf); eval == codegen") {
+    val ss = spark
+    import ss.implicits._
+    VectorFunctions.register(spark)
+    // specials: bit j = (x_j > 0.0) — NaN > 0 is FALSE (bit 0), -0.0 and
+    // +0.0 are 0, +Inf is 1, -Inf is 0; subnormals follow their sign
+    val specials = Array(Float.NaN, -0.0f, 0.0f, Float.PositiveInfinity,
+      Float.NegativeInfinity, java.lang.Float.MIN_VALUE,
+      -java.lang.Float.MIN_VALUE, 1.0f, -1.0f)
+    val df = Seq((1L, specials)).toDF("id", "emb")
+    // strict codegen (fallback disabled in this session): the select
+    // compiles or the test dies
+    val code = df.select(VectorFunctions.signPack(spark, col("emb")))
+      .collect()(0).getAs[Array[Byte]](0)
+    def model(xs: Array[Float]): Array[Byte] = {
+      val out = new Array[Byte]((xs.length + 7) / 8)
+      xs.zipWithIndex.foreach { case (x, i) =>
+        if (x > 0) out(i >> 3) = (out(i >> 3) | (1 << (i & 7))).toByte
+      }
+      out
+    }
+    assert(code.toSeq == model(specials).toSeq,
+      s"specials pack drifted: ${code.toSeq} vs ${model(specials).toSeq}")
+    // eval (interpreted) == codegen: route the same input through a
+    // non-codegen context (a literal fold via the expression's eval)
+    val expr = SignPack(org.apache.spark.sql.catalyst.expressions.Literal(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(specials),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+    assert(expr.eval(null).asInstanceOf[Array[Byte]].toSeq == code.toSeq)
+    // hamming over random packed codes equals the model, and the strict
+    // codegen session compiled it
+    val rnd = new scala.util.Random(3)
+    val pairs = (0 until 50).map { i =>
+      (i.toLong, Array.fill(19)(rnd.nextFloat() - 0.5f),
+        Array.fill(19)(rnd.nextFloat() - 0.5f))
+    }
+    val got = pairs.toDF("id", "a", "b")
+      .select(col("id"), VectorFunctions.hammingDist(spark,
+        VectorFunctions.signPack(spark, col("a")),
+        VectorFunctions.signPack(spark, col("b"))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    pairs.foreach { case (id, a, b) =>
+      val want = model(a).zip(model(b))
+        .map { case (x, y) => java.lang.Integer.bitCount((x ^ y) & 0xff) }.sum
+      assert(got(id) == want, s"row $id")
+    }
+  }
+
   test("ADC kernels REJECT wrong-width codes (column vs sidecar mismatch)") {
     val ss = spark
     import ss.implicits._

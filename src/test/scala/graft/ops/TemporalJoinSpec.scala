@@ -425,15 +425,30 @@ class TemporalJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("rangeJoin rejects colliding names and non-positive widths") {
+  test("rangeJoin rejects colliding names; binWidth <= 0 auto-derives") {
     val sp = spark; import sp.implicits._
     val a = Seq((1L, 2L, 3L)).toDF("x", "lo", "hi")
     val b = Seq((1L, 2L)).toDF("x", "pt")
     intercept[IllegalArgumentException] {
       TemporalJoin.rangeJoin(a, "lo", "hi", b, "pt", 10L)
     }
-    intercept[IllegalArgumentException] {
-      TemporalJoin.rangeJoin(a.withColumnRenamed("x", "y"), "lo", "hi", b, "pt", 0L)
-    }
+    // binWidth <= 0 = derive from the p95 span instead of failing
+    val iv = Seq((1L, 100L, 200L), (2L, 150L, 160L), (3L, 900L, 950L))
+      .toDF("iid", "lo", "hi")
+    val pts = Seq((10L, 155L), (11L, 199L), (12L, 500L)).toDF("pid", "pt")
+    val auto = TemporalJoin.rangeJoin(iv, "lo", "hi", pts, "pt", 0L)
+      .select("iid", "pid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val explicit = TemporalJoin.rangeJoin(iv, "lo", "hi", pts, "pt",
+        TemporalJoin.suggestBinWidth(iv, "lo", "hi"))
+      .select("iid", "pid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == explicit && auto == Set((1L, 10L), (1L, 11L), (2L, 10L)))
+    // overlap join too
+    val bIv = Seq((20L, 120L, 180L)).toDF("bid", "blo", "bhi")
+    assert(TemporalJoin.rangeOverlapJoin(iv, "lo", "hi", bIv, "blo", "bhi", 0L)
+      .select("iid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 20L), (2L, 20L)))
   }
 }
