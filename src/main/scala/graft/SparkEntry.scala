@@ -777,15 +777,27 @@ object SparkEntry {
         .collect()
       val nTotal = if (entries.isEmpty) 0L else entries.head.getLong(1)
       val cands = entries.map(_.getString(0)).toSeq.toDF("w")
-      toks.join(broadcast(cands), "w")
+      val counted = toks.join(broadcast(cands), "w")
         .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      counted
+        // covered = Σ recounted candidate counts — a window over the
+        // ≤capacity candidate rows, NOT the corpus. When covered == n the
+        // candidates account for every occurrence (fewer-than-capacity
+        // distinct tokens, or a tail that never evicted anything the
+        // candidates missed) and the recounted top-20 is provably exact
+        // even where a count misses the n/257 bound — mirrors
+        // straw_topk's topkBuilder exactness layers.
+        .withColumn("covered", sum(col("cnt")).over(Window.partitionBy()))
         .orderBy(col("cnt").desc, col("w")).limit(20)
-        // every returned count must clear the n/257 membership bound; the
-        // 20th row is the binding one. Filter sits ABOVE the limit (not
-        // pushable through it) and passes every row when the bound holds.
-        .filter(assert_true(col("cnt") * lit(257L) > lit(nTotal),
+        // every returned count must clear the n/257 membership bound
+        // (the 20th row is the binding one), unless the coverage escape
+        // proves exactness outright. Filter sits ABOVE the limit (not
+        // pushable through it) and passes every row when either holds.
+        .filter(assert_true(col("cnt") * lit(257L) > lit(nTotal) ||
+            col("covered") === lit(nTotal),
           concat(lit("q_heavy_hitters: top-20 not guaranteed exact - count "),
-            col("cnt"), lit(s" <= n/257 of $nTotal; raise mgTopK capacity")))
+            col("cnt"), lit(s" <= n/257 of $nTotal and candidates do not " +
+              "cover n; raise mgTopK capacity")))
           .isNull)
         .select(col("w"), col("cnt"))
     }),
@@ -1200,7 +1212,14 @@ object SparkEntry {
       // hash-checked
       val emb = t(s, d, "embeddings")
       val (cents, sses) = Ann.kmeansFit(s, emb, 64, 8, iters = 3)
-      val monotone = sses.toSeq.sliding(2).forall(w => w(1) <= w(0) + 1e-6)
+      // relative slack: kmeansFit rounds centroids to 4 decimals while SSE
+      // is measured against the unrounded means, so near convergence the
+      // rounding inflation scales with n·dim — an absolute 1e-6 would go
+      // flaky at larger SFs. Rounding error per point is ≤ dim·(5e-5)²
+      // ≈ 1.6e-7 vs a per-point SSE of O(1), so 1e-6 relative covers it
+      // with two orders of margin at any n.
+      val monotone = sses.toSeq.sliding(2)
+        .forall(w => w(1) <= w(0) * (1 + 1e-6) + 1e-9)
       Ann.kmeansAssign(s, emb, cents)
         .agg(count(lit(1)).as("n_vectors"),
           lit(monotone).as("sse_monotone_ok"),

@@ -305,12 +305,22 @@ case class TopKByScore(
   override def createAggregationBuffer(): SketchFunctions.TopKBuffer =
     new SketchFunctions.TopKBuffer(k, ascending)
 
+  // Spark's Decimal is not a java.lang.Number — a blanket Number cast
+  // would pass analysis (DecimalType IS NumericType) then ClassCast at
+  // execution; dispatch on the declared type once instead
+  @transient private lazy val scoreToDouble: Any => Double =
+    score.dataType match {
+      case _: DecimalType =>
+        v => v.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble
+      case _ => v => v.asInstanceOf[Number].doubleValue()
+    }
+
   override def update(buf: SketchFunctions.TopKBuffer,
       input: InternalRow): SketchFunctions.TopKBuffer = {
     val s = score.eval(input)
     val i = id.eval(input)
     if (s != null && i != null)
-      buf.insert(s.asInstanceOf[Number].doubleValue(), i.asInstanceOf[Long])
+      buf.insert(scoreToDouble(s), i.asInstanceOf[Long])
     buf
   }
 

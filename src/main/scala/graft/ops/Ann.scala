@@ -1236,10 +1236,14 @@ object Ann {
       dir: String): Unit = {
     val dim = loadBqDim(dir).getOrElse(throw new IllegalArgumentException(
       s"appendToBqIndex: no $BqMetaFile sidecar under $dir"))
-    require(newVectors.limit(1).select(size(col("embedding"))).collect()
-        .forall(_.getInt(0) == dim),
-      s"appendToBqIndex: embedding dim != indexed dim $dim")
-    bqEncode(spark, newVectors)
+    // validated executor-side over EVERY row (a first-row-only check lets
+    // a mixed-dim batch that shares ceil(dim/8) bytes append silently and
+    // the min-length rerank then truncates — wrong scores, not a failure)
+    val validated = newVectors.filter(assert_true(
+      size(col("embedding")) === lit(dim),
+      concat(lit("appendToBqIndex: embedding dim "), size(col("embedding")),
+        lit(s" != indexed dim $dim"))).isNull)
+    bqEncode(spark, validated)
       .select(col("vec_id"), col("bqcode"), col("embedding"))
       .orderBy(col("vec_id"))
       .write.format("strawboat").mode("append").save(dir)

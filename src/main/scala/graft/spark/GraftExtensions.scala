@@ -651,16 +651,20 @@ object StrawSqlSurface {
     val spark = org.apache.spark.sql.SparkSession.active
     val left = spark.read.format("strawboat").load(resolveDir(vals(0).toString))
     val right = spark.read.format("strawboat").load(resolveDir(vals(1).toString))
+    val rightVals = right.columns.filterNot(_ == rk).toSeq
     val joined = graft.ops.TemporalJoin.asofBothJoin(left, right, lk, rk,
-      lt, rt, rightValues = right.columns.filterNot(_ == rk).toSeq,
+      lt, rt, rightValues = rightVals,
       rightTieBreak = tieBreak, allowExactMatches = allowExact)
-    // asofBothJoin prefixes bwd_/fwd_; re-prefix to the TVF's r_ family so
-    // the SQL surface is uniform with straw_asof and can't clash with left
-    // columns that happen to be named bwd_*
+    // asofBothJoin prefixes bwd_/fwd_; re-prefix exactly the KNOWN
+    // right-side output names to the TVF's r_ family so the SQL surface
+    // is uniform with straw_asof. Matching by name set, not string
+    // prefix: a LEFT column that happens to be named bwd_*/fwd_* (but is
+    // not one of these outputs) must pass through untouched, or the
+    // rename manufactures the r_bwd_* clash it exists to prevent.
+    val rightOut = (rt +: rightVals).distinct
+      .flatMap(n => Seq("bwd_" + n, "fwd_" + n)).toSet
     joined.select(joined.columns.map { c =>
-      if (c.startsWith("bwd_")) joined(c).as("r_" + c)
-      else if (c.startsWith("fwd_")) joined(c).as("r_" + c)
-      else joined(c)
+      if (rightOut(c)) joined(c).as("r_" + c) else joined(c)
     }: _*).queryExecution.analyzed
   }
 
@@ -690,6 +694,16 @@ object StrawSqlSurface {
       case i: java.lang.Integer => i.longValue()
       case l: java.lang.Long => l.longValue()
     }
+    // the Scala API's binWidth <= 0 auto-derivation is an EAGER
+    // distributed job (suggestBinWidth's percentile scan) — a documented
+    // opt-in there, but a lazy-TVF contract violation here: EXPLAIN of a
+    // TVF must run zero jobs. The SQL route therefore requires an
+    // explicit positive width.
+    require(binWidth > 0,
+      s"$OverlapName: binWidth must be a positive literal (in the bound " +
+        "columns' own units); derive one with the Scala API's " +
+        "TemporalJoin.suggestBinWidth, which runs a percentile scan " +
+        "the lazy SQL route must not")
     val spark = org.apache.spark.sql.SparkSession.active
     val left = spark.read.format("strawboat").load(resolveDir(vals(0).toString))
     val right0 = spark.read.format("strawboat").load(resolveDir(vals(1).toString))
@@ -726,6 +740,13 @@ object StrawSqlSurface {
       case i: java.lang.Integer => i.longValue()
       case l: java.lang.Long => l.longValue()
     }
+    // see overlapBuilder: auto-derivation (binWidth <= 0) is eager and
+    // stays Scala-only; the lazy SQL route refuses at analysis
+    require(binWidth > 0,
+      s"$RangeJoinName: binWidth must be a positive literal (in the point " +
+        "column's own units); derive one with the Scala API's " +
+        "TemporalJoin.suggestBinWidth, which runs a percentile scan " +
+        "the lazy SQL route must not")
     val spark = org.apache.spark.sql.SparkSession.active
     val intervals = spark.read.format("strawboat")
       .load(resolveDir(vals(0).toString))

@@ -767,6 +767,51 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"must plan an equi-join on bins:\n$plan")
   }
 
+  test("straw_range/straw_overlap refuse binWidth <= 0: no analysis-time job") {
+    val sp = spark; import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("range_auto").toString
+    Seq((1L, 100L, 200L)).toDF("iid", "lo", "hi")
+      .write.format("strawboat").mode("overwrite").save(s"$base/ivs")
+    Seq((10L, 155L)).toDF("pid", "pt")
+      .write.format("strawboat").mode("overwrite").save(s"$base/pts")
+    // the Scala API's binWidth<=0 auto-derivation runs an eager percentile
+    // job — acceptable there (documented opt-in), a contract violation on
+    // the lazy TVF route where EXPLAIN must probe nothing. The TVF refuses
+    // at analysis, and crucially refuses WITHOUT running any Spark job.
+    // statusTracker is synchronous driver state — no listener-bus race
+    def jobsSeen: Int =
+      spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val before = jobsSeen
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    for (from <- Seq(
+        s"straw_range('$base/ivs', '$base/pts', 'lo', 'hi', 'pt', 0L)",
+        s"straw_overlap('$base/ivs', '$base/ivs', " +
+          "'lo', 'hi', 'lo', 'hi', 0L)")) {
+      // analysis of the bare SELECT throws (loudly, pointing at the
+      // Scala-side derivation) ...
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT * FROM $from").collect()
+      }
+      assert(msgs(e).exists(_.contains("suggestBinWidth")),
+        s"refusal must point at the Scala derivation: ${msgs(e)}")
+      // ... and EXPLAIN folds the refusal into its output (Spark 4 prints
+      // a generic planning-error line) rather than producing a plan —
+      // the zero-jobs assertion below is the contract being pinned
+      val plan = spark.sql(s"EXPLAIN SELECT * FROM $from")
+        .collect()(0).getString(0)
+      assert(plan.toLowerCase.contains("error"), plan)
+    }
+    assert(jobsSeen == before,
+      s"binWidth=0 TVF refusal must run zero jobs, ran ${jobsSeen - before}")
+    // the positive-literal route is unaffected
+    val ok = spark.sql(
+      s"""SELECT iid, p_pid FROM
+         |  straw_range('$base/ivs', '$base/pts', 'lo', 'hi', 'pt', 50L)
+         |""".stripMargin).collect()
+    assert(ok.length == 1)
+  }
+
   test("straw_asof tolerance + allowExactMatches controls from SQL") {
     val sp = spark; import sp.implicits._
     val base = java.nio.file.Files.createTempDirectory("asof_tol").toString
