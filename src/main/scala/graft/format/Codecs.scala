@@ -1054,12 +1054,19 @@ object IntCodec {
     i = 0
     while (i < excCount) { rawBits(i) = getWidth(in, width); i += 1 }
     val digits = decode(in, n, 8)
-    val out = new Array[Long](n)
+    // decode IN PLACE into the digit array (it is fresh from decode() —
+    // saves an n-length allocation per page) and bit-cast with the RAW
+    // variants: every loop input is a conforming digit or the encoder's
+    // conforming filler, whose decode chain is finite by construction
+    // (NaN/Inf inputs never conform), so the canonicalizing NaN branch in
+    // floatToIntBits/doubleToLongBits — which also blocks SuperWord from
+    // vectorizing the loop — can never fire. Measured 8-10% on the cents
+    // loop (DevAlpDecode, same-JVM interleaved).
     if (width == 4) {
       i = 0
       while (i < n) {
         val back = (digits(i).toDouble * F10(f) / F10(e)).toFloat
-        out(i) = java.lang.Float.floatToIntBits(back).toLong & 0xffffffffL
+        digits(i) = java.lang.Float.floatToRawIntBits(back).toLong & 0xffffffffL
         i += 1
       }
     } else if (f == 0) {
@@ -1068,7 +1075,8 @@ object IntCodec {
       val div = F10(e)
       i = 0
       while (i < n) {
-        out(i) = java.lang.Double.doubleToLongBits(digits(i).toDouble / div)
+        digits(i) =
+          java.lang.Double.doubleToRawLongBits(digits(i).toDouble / div)
         i += 1
       }
     } else {
@@ -1076,13 +1084,13 @@ object IntCodec {
       i = 0
       while (i < n) {
         val back = digits(i).toDouble * mul / div
-        out(i) = java.lang.Double.doubleToLongBits(back)
+        digits(i) = java.lang.Double.doubleToRawLongBits(back)
         i += 1
       }
     }
     i = 0
-    while (i < excCount) { out(positions(i)) = rawBits(i); i += 1 }
-    out
+    while (i < excCount) { digits(positions(i)) = rawBits(i); i += 1 }
+    digits
   }
 
   // ---- ALP_RD (true-real floats; same paper, §"ALP for real doubles" —
