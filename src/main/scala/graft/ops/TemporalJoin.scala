@@ -160,10 +160,11 @@ object TemporalJoin {
     * O(rows)) — injected into each bucket's sweep as an extra reference
     * row, where its older time orders it naturally before everything.
     *
-    * Semantics are IDENTICAL to [[asofJoin]] for `backward`/`forward`
+    * Semantics are IDENTICAL to [[asofJoin]] for every direction
     * (spec-pinned across directions × exact-match × tolerance × join
-    * type); `nearest` is not offered — compose [[asofBothJoin]] or use
-    * the unbucketed path. `bucketWidth` is in the time column's own
+    * type); `nearest` rides [[bucketedBothSweep]] — both neighbors from
+    * one Exchange, then the per-side-tolerance-gated nearer-side pick.
+    * `bucketWidth` is in the time column's own
     * units (MICROSECONDS for timestamps); any width is CORRECT — it only
     * tunes the parallelism/carry-pass balance (≈ the hot key's span
     * divided by the cluster's task count is a good start). */
@@ -179,9 +180,8 @@ object TemporalJoin {
       tolerance: Option[Column] = None,
       joinType: String = "inner",
       rightPrefix: String = ""): DataFrame = {
-    require(Set("backward", "forward")(direction),
-      s"asofJoinBucketed: direction must be backward|forward (nearest " +
-        s"needs both sweeps — use asofJoin or asofBothJoin), got $direction")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got $direction")
     require(Set("inner", "left")(joinType),
       s"joinType must be inner|left, got $joinType")
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
@@ -191,6 +191,51 @@ object TemporalJoin {
     require(clash.isEmpty,
       s"right columns collide with left after prefixing: ${clash.mkString(",")}; " +
         "pass rightPrefix or rename")
+    if (direction == "nearest") {
+      // nearest needs both sweeps — ride [[bucketedBothSweep]] and apply
+      // [[asofJoin]]'s exact nearest pick: tolerance gates EACH side's
+      // gap BEFORE the nearer-side choice (merge_asof semantics), ties
+      // prefer backward
+      val (swept, ls) = bucketedBothSweep(left, right, leftKey, rightKey,
+        leftTime, rightTime, refNames, rightTieBreak, allowExactMatches,
+        bucketWidth)
+      def gap(ref: Column, forward: Boolean): Column =
+        if (forward) ref.getField(rightTime) - col("__t")
+        else col("__t") - ref.getField(rightTime)
+      val raw = swept
+        .withColumn("__gb", gap(col("__rb"), forward = false))
+        .withColumn("__gf", gap(col("__rf"), forward = true))
+      val both = tolerance match {
+        case Some(tol) => raw
+          .withColumn("__rb", when(col("__gb") <= tol, col("__rb")))
+          .withColumn("__gb", when(col("__gb") <= tol, col("__gb")))
+          .withColumn("__rf", when(col("__gf") <= tol, col("__rf")))
+          .withColumn("__gf", when(col("__gf") <= tol, col("__gf")))
+        case None => raw
+      }
+      val picked = both.withColumn("__ref",
+          when(col("__rb").isNull, col("__rf"))
+            .when(col("__rf").isNull, col("__rb"))
+            .when(col("__gf") < col("__gb"), col("__rf"))
+            .otherwise(col("__rb")))
+        .withColumn("__gap",
+          when(col("__ref").isNull, lit(null))
+            .when(col("__gf") < col("__gb"), col("__gf"))
+            .otherwise(coalesce(col("__gb"), col("__gf"))))
+      val within =
+        tolerance.map(tol => col("__gap") <= tol).getOrElse(lit(true))
+      val gated = picked.withColumn("__ref",
+        when(col("__k").isNotNull && col("__t").isNotNull &&
+          col("__ref").isNotNull && within, col("__ref")))
+      val probes =
+        gated.filter(col("__side") === ls && col("__l").isNotNull)
+      val matched =
+        if (joinType == "inner") probes.filter(col("__ref").isNotNull)
+        else probes
+      return matched.select(
+        left.columns.map(n => col("__l").getField(n).as(n)) ++
+          refNames.map(n => col("__ref").getField(n).as(rightPrefix + n)): _*)
+    }
     val (all0, leftSide) = taggedUnion(left, right, leftKey, rightKey,
       leftTime, rightTime, refNames, rightTieBreak, allowExactMatches)
     val forward = direction == "forward"
@@ -254,6 +299,133 @@ object TemporalJoin {
     matched.select(
       left.columns.map(n => col("__l").getField(n).as(n)) ++
         refNames.map(n => col("__ref").getField(n).as(rightPrefix + n)): _*)
+  }
+
+  /** The shared bucketed two-direction sweep: tagged union on the NATURAL
+    * time axis, bucket = floor(axis / bucketWidth), then one backward and
+    * one forward window sweep both partitioned by (key, bucket) — ONE
+    * Exchange, two sorts, the same plan family as [[asofBothJoin]] with
+    * the hot-key ceiling removed. Exactness across bucket borders comes
+    * from two carry rows per (key, bucket), computed in one bounded
+    * aggregate pass (O(distinct buckets) rows per key, never row-sorted
+    * globally):
+    *
+    *  - CARRY-IN: the backward-best reference (max (axis, tieBreak)) of
+    *    the latest earlier non-empty bucket — its axis is strictly BELOW
+    *    the bucket's range, so it sorts first in the backward sweep
+    *    (visible to every probe) and last in the forward sweep
+    *    (visible to nothing).
+    *  - CARRY-OUT: the forward-best reference (min axis, max tieBreak on
+    *    ties — the sweep's last-wins tie rule) of the nearest later
+    *    non-empty bucket — strictly ABOVE the range: first in the forward
+    *    sweep, inert in the backward one.
+    *
+    * Domination makes "nearest non-empty bucket" sufficient: every
+    * reference in a closer bucket beats every reference in a farther one
+    * on the axis, so the running `last` over the bucket axis is the
+    * correct carry in both directions.
+    *
+    * Returns (swept frame with `__rb`/`__rf` both-neighbor refs,
+    * leftSideTag). Callers gate null keys/times and filter probes. */
+  private def bucketedBothSweep(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      refNames: Seq[String], rightTieBreak: String,
+      allowExactMatches: Boolean, bucketWidth: Long): (DataFrame, Int) = {
+    val (all0, leftSide) = taggedUnion(left, right, leftKey, rightKey,
+      leftTime, rightTime, refNames, rightTieBreak, allowExactMatches)
+    val tNum = all0.schema("__t").dataType match {
+      case TimestampType | TimestampNTZType =>
+        unix_micros(col("__t").cast(TimestampType))
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+        col("__t").cast("long")
+      case _ => col("__t").cast("double")
+    }
+    val all = all0
+      .withColumn("__ax", tNum)
+      .withColumn("__bkt", floor(col("__ax") / bucketWidth).cast("long"))
+    val refs = all.filter(col("__side") =!= leftSide && col("__ax").isNotNull)
+    // one bounded pass: both per-(key, bucket) bests. Backward best =
+    // max (axis, tb); forward best = min axis with max tb on axis ties
+    // (the traversal's last-wins rule) = max (-axis, tb).
+    val bests = refs.groupBy(col("__k"), col("__bkt"))
+      .agg(
+        max_by(struct(col("__ax"), col("__side"), col("__tb"), col("__r")),
+          struct(col("__ax"), col("__tb"))).as("__bestB"),
+        max_by(struct(col("__ax"), col("__side"), col("__tb"), col("__r")),
+          struct((-col("__ax")).as("__nax"), col("__tb"))).as("__bestF"))
+    val bucketAxis = all.select(col("__k"), col("__bkt")).distinct()
+      .join(bests, Seq("__k", "__bkt"), "left")
+    val wIn = Window.partitionBy(col("__k")).orderBy(col("__bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOut = Window.partitionBy(col("__k")).orderBy(col("__bkt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carried = bucketAxis
+      .withColumn("__cin", last(col("__bestB"), ignoreNulls = true).over(wIn))
+      .withColumn("__cout", last(col("__bestF"), ignoreNulls = true).over(wOut))
+    def carryRows(c: String): DataFrame = carried.filter(col(c).isNotNull)
+      .select(col("__k"), col("__bkt"),
+        col(s"$c.__ax").as("__ax"), col(s"$c.__side").as("__side"),
+        col(s"$c.__tb").as("__tb"), col(s"$c.__r").as("__r"))
+      .withColumn("__l", lit(null).cast(all.schema("__l").dataType))
+      .withColumn("__t", lit(null).cast(all.schema("__t").dataType))
+      .select(all.columns.map(col): _*)
+    val wB = Window.partitionBy(col("__k"), col("__bkt"))
+      .orderBy(col("__ax").asc, col("__side").asc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col("__k"), col("__bkt"))
+      .orderBy(col("__ax").desc, col("__side").asc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val swept = all
+      .unionByName(carryRows("__cin")).unionByName(carryRows("__cout"))
+      .withColumn("__rb", last(col("__r"), ignoreNulls = true).over(wB))
+      .withColumn("__rf", last(col("__r"), ignoreNulls = true).over(wF))
+    (swept, leftSide)
+  }
+
+  /** [[asofBothJoin]] with the hot-key ceiling removed — the OPT-IN skew
+    * path for the interpolation building block, completing the family
+    * [[asofJoinBucketed]] opened for backward/forward. Semantics are
+    * IDENTICAL to [[asofBothJoin]] (spec-pinned across exact-match ×
+    * join type × bucket widths incl. degenerates); `bucketWidth` is in
+    * the time column's own units (MICROSECONDS for timestamps) and any
+    * positive width is CORRECT — it only tunes the parallelism/
+    * carry-pass balance. */
+  def asofBothJoinBucketed(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightValues: Seq[String],
+      rightTieBreak: String,
+      bucketWidth: Long,
+      allowExactMatches: Boolean = true,
+      joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left")(joinType),
+      s"joinType must be inner|left, got $joinType")
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val refNames = (rightTime +: rightValues).distinct
+    val outNames = refNames.flatMap(n => Seq("bwd_" + n, "fwd_" + n))
+    val clash = left.columns.toSet.intersect(outNames.toSet)
+    require(clash.isEmpty,
+      s"right columns collide with left after prefixing: ${clash.mkString(",")}")
+    val (swept, leftSide) = bucketedBothSweep(left, right, leftKey, rightKey,
+      leftTime, rightTime, refNames, rightTieBreak, allowExactMatches,
+      bucketWidth)
+    val valid = col("__k").isNotNull && col("__t").isNotNull
+    val gated = swept
+      .withColumn("__rb", when(valid, col("__rb")))
+      .withColumn("__rf", when(valid, col("__rf")))
+    val probes = gated.filter(col("__side") === leftSide && col("__l").isNotNull)
+    val matched =
+      if (joinType == "inner")
+        probes.filter(col("__rb").isNotNull && col("__rf").isNotNull)
+      else probes
+    matched.select(
+      left.columns.map(n => col("__l").getField(n).as(n)) ++
+        refNames.map(n => col("__rb").getField(n).as("bwd_" + n)) ++
+        refNames.map(n => col("__rf").getField(n).as("fwd_" + n)): _*)
   }
 
   /** The tagged probe/reference union both as-of variants sweep over.

@@ -626,10 +626,10 @@ object StrawSqlSurface {
     * between the neighbors in the SELECT. LAZY; same one-shuffle
     * join-free plan as [[asofBuilder]]. */
   def asofBothBuilder(args: Seq[Expression]): LogicalPlan = {
-    require(args.length >= 5 && args.length <= 6 &&
+    require(args.length >= 5 && args.length <= 7 &&
       args.take(5).forall(a => a.foldable && a.dataType == StringType),
       s"$AsofBothName expects (left path, right path, 'leftKey[=rightKey]', " +
-        "'leftTime[=rightTime]', tieBreak[, allowExactMatches])")
+        "'leftTime[=rightTime]', tieBreak[, allowExactMatches[, bucketWidth]])")
     val empty = org.apache.spark.sql.catalyst.InternalRow.empty
     val vals = args.take(5).map(_.eval(empty))
     require(vals.forall(_ != null), s"$AsofBothName: arguments must not be null")
@@ -648,13 +648,29 @@ object StrawSqlSurface {
       require(v != null, s"$AsofBothName: allowExactMatches must not be null")
       v.asInstanceOf[Boolean]
     }.getOrElse(true)
+    // optional 7th arg: a bucket width routes through the skew-splitting
+    // asofBothJoinBucketed (the hot-key escape hatch, straw_asof parity)
+    val bucketWidth: Option[Long] = args.lift(6).map { a =>
+      require(a.foldable && (a.dataType == LongType ||
+        a.dataType == IntegerType),
+        s"$AsofBothName: bucketWidth must be an int/long literal")
+      val v = a.eval(empty)
+      require(v != null, s"$AsofBothName: bucketWidth must not be null")
+      v.asInstanceOf[Number].longValue()
+    }
     val spark = org.apache.spark.sql.SparkSession.active
     val left = spark.read.format("strawboat").load(resolveDir(vals(0).toString))
     val right = spark.read.format("strawboat").load(resolveDir(vals(1).toString))
     val rightVals = right.columns.filterNot(_ == rk).toSeq
-    val joined = graft.ops.TemporalJoin.asofBothJoin(left, right, lk, rk,
-      lt, rt, rightValues = rightVals,
-      rightTieBreak = tieBreak, allowExactMatches = allowExact)
+    val joined = bucketWidth match {
+      case Some(w) => graft.ops.TemporalJoin.asofBothJoinBucketed(left, right,
+        lk, rk, lt, rt, rightValues = rightVals,
+        rightTieBreak = tieBreak, bucketWidth = w,
+        allowExactMatches = allowExact)
+      case None => graft.ops.TemporalJoin.asofBothJoin(left, right, lk, rk,
+        lt, rt, rightValues = rightVals,
+        rightTieBreak = tieBreak, allowExactMatches = allowExact)
+    }
     // asofBothJoin prefixes bwd_/fwd_; re-prefix exactly the KNOWN
     // right-side output names to the TVF's r_ family so the SQL surface
     // is uniform with straw_asof. Matching by name set, not string

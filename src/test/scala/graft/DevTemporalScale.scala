@@ -44,6 +44,8 @@ object DevTemporalScale {
     }
 
     // --- as-of: sweep vs naive theta-join ---------------------------------
+    val skipBaselines = args.length > 2 && args(2) == "extreme"
+    if (!skipBaselines) {
     val sweep = time(s"asof sweep ($nProbes probes x $nRefs refs)") {
       val out = graft.ops.TemporalJoin.asofJoin(probes, refs,
         "k", "rk", "t", "rt", Seq("rid", "rv"), rightTieBreak = "rid")
@@ -94,6 +96,7 @@ object DevTemporalScale {
     }
     require(binned == bnl, s"range mismatch: $binned vs $bnl")
     println("  range identity: OK")
+    } // !skipBaselines
 
     // --- as-of skew arm: one key carries half of both sides --------------
     // The window sweep is per-key SEQUENTIAL: a hot key lands on one task
@@ -101,10 +104,17 @@ object DevTemporalScale {
     // the key's full time order). Measure the ceiling: it is the sort of
     // the hot key's rows, still far cheaper than the naive join's
     // hot-key CARTESIAN (probes × refs within the key).
-    val skewP = probes.withColumn("k",
-      when(pmod(col("id"), lit(2)) === 0, lit(0L)).otherwise(col("k")))
-    val skewR = refs.withColumn("rk",
-      when(pmod(col("rid"), lit(2)) === 0, lit(0L)).otherwise(col("rk")))
+    // third arg "extreme": ONE key holds everything — the shape where the
+    // per-key-sequential ceiling binds outright and bucketing must win
+    val extreme = args.length > 2 && args(2) == "extreme"
+    val skewP =
+      if (extreme) probes.withColumn("k", lit(0L))
+      else probes.withColumn("k",
+        when(pmod(col("id"), lit(2)) === 0, lit(0L)).otherwise(col("k")))
+    val skewR =
+      if (extreme) refs.withColumn("rk", lit(0L))
+      else refs.withColumn("rk",
+        when(pmod(col("rid"), lit(2)) === 0, lit(0L)).otherwise(col("rk")))
     val skew = time(s"asof sweep, one key holding half of both sides") {
       graft.ops.TemporalJoin.asofJoin(skewP, skewR,
           "k", "rk", "t", "rt", Seq("rid", "rv"), rightTieBreak = "rid")
@@ -127,6 +137,30 @@ object DevTemporalScale {
     }
     println(s"  bucketed skew rows/checksum: $skewB")
     require(skew == skewB, s"bucketed result drifted: $skew vs $skewB")
+
+    // --- both-neighbor skew arm: the interpolation building block --------
+    // asofBothJoin sweeps each direction per key (two sequential sorts of
+    // the hot key); asofBothJoinBucketed spreads both sweeps across
+    // (key, bucket) with carry-in AND carry-out rows. Checksum identity.
+    val both = time("asof BOTH sweep, same hot key (plain)") {
+      graft.ops.TemporalJoin.asofBothJoin(skewP, skewR,
+          "k", "rk", "t", "rt", Seq("rid", "rv"), rightTieBreak = "rid",
+          joinType = "left")
+        .agg(count(lit(1)),
+          sum(hash(col("id"), col("bwd_rid"), col("fwd_rid")).cast("long")))
+        .collect()(0)
+    }
+    println(s"  both rows/checksum: $both")
+    val bothB = time(s"asof BOTH bucketed sweep, same hot key, width=$width") {
+      graft.ops.TemporalJoin.asofBothJoinBucketed(skewP, skewR,
+          "k", "rk", "t", "rt", Seq("rid", "rv"), rightTieBreak = "rid",
+          bucketWidth = width, joinType = "left")
+        .agg(count(lit(1)),
+          sum(hash(col("id"), col("bwd_rid"), col("fwd_rid")).cast("long")))
+        .collect()(0)
+    }
+    println(s"  bucketed both rows/checksum: $bothB")
+    require(both == bothB, s"bucketed both drifted: $both vs $bothB")
     spark.stop()
   }
 }

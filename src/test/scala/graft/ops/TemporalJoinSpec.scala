@@ -375,7 +375,7 @@ class TemporalJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
         .select("id", "rid").collect()
         .map(x => (x.getLong(0), Option(x.get(1)).map(_.asInstanceOf[Long])))
         .toSeq.sortBy(_._1)
-    for (dir <- Seq("backward", "forward");
+    for (dir <- Seq("backward", "forward", "nearest");
          ae <- Seq(true, false);
          tol <- Seq(None, Some(5L));
          jt <- Seq("inner", "left");
@@ -399,10 +399,48 @@ class TemporalJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("id", "rid").collect()
       .map(x => (x.getLong(0), x.getLong(1))).toMap
     assert(got == Map(1L -> 10L, 2L -> 20L))
-    // nearest is refused loudly
-    intercept[IllegalArgumentException] {
-      TemporalJoin.asofJoinBucketed(l, r, "k", "rk", "t", "rt", Seq("rid"),
-        "rid", 10L, direction = "nearest")
+  }
+
+  test("asofBothJoinBucketed == asofBothJoin across exact-match, join " +
+      "type, and bucket widths (incl. degenerate)") {
+    val l = probeDf
+    val r = refDf
+    def run(ae: Boolean, jt: String,
+        width: Option[Long]): Seq[(Long, Option[Long], Option[Long])] = {
+      val df = width match {
+        case Some(w) => TemporalJoin.asofBothJoinBucketed(l, r, "k", "rk",
+          "t", "rt", Seq("rid"), rightTieBreak = "rid", bucketWidth = w,
+          allowExactMatches = ae, joinType = jt)
+        case None => TemporalJoin.asofBothJoin(l, r, "k", "rk", "t", "rt",
+          Seq("rid"), rightTieBreak = "rid", allowExactMatches = ae,
+          joinType = jt)
+      }
+      df.select("id", "bwd_rid", "fwd_rid").collect()
+        .map(x => (x.getLong(0),
+          Option(x.get(1)).map(_.asInstanceOf[Long]),
+          Option(x.get(2)).map(_.asInstanceOf[Long])))
+        .toSeq.sortBy(_._1)
+    }
+    for (ae <- Seq(true, false);
+         jt <- Seq("inner", "left");
+         width <- Seq(1L, 37L, 10000L)) {
+      assert(run(ae, jt, Some(width)) == run(ae, jt, None),
+        s"ae=$ae jt=$jt width=$width")
+    }
+    // structural: both sweeps partition by (key, bucket) — the hot-key
+    // ceiling is gone in BOTH directions
+    val plan = TemporalJoin.asofBothJoinBucketed(l, r, "k", "rk", "t", "rt",
+        Seq("rid"), rightTieBreak = "rid", bucketWidth = 50L)
+      .queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val sweeps = plan.collect {
+      case w: LWindow if w.windowExpressions.exists(e =>
+        e.toString.contains("__rb") || e.toString.contains("__rf")) => w
+    }
+    assert(sweeps.nonEmpty, "expected the both-direction sweep windows")
+    sweeps.foreach { w =>
+      assert(w.partitionSpec.size == 2,
+        s"sweep must partition by (key, bucket): ${w.partitionSpec}")
     }
   }
 

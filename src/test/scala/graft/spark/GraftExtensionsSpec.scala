@@ -898,6 +898,13 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"""EXPLAIN SELECT * FROM straw_asof_both('$base/probes', '$base/refs',
          |  'k=rk', 't=rt', 'rid')""".stripMargin).collect()(0).getString(0)
     assert(!plan.contains("Join"), plan)
+    // optional bucketWidth routes through asofBothJoinBucketed — same rows
+    val bucketed = spark.sql(
+      s"""SELECT id, r_bwd_rid, r_fwd_rid
+         |FROM straw_asof_both('$base/probes', '$base/refs', 'k=rk', 't=rt',
+         |  'rid', true, 37L) ORDER BY id""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(bucketed == got.map(x => (x._1, x._2, x._3)))
   }
 
   test("straw_overlap joins overlapping intervals from SQL, no nested loop") {
