@@ -1492,6 +1492,74 @@ object SparkEntry {
           round(max(col("value")), 2).as("mx"))
         .orderBy(col("user_id"))
     }),
+    // streaming appends into a persisted ANN index + probe between drains:
+    // the retrieval-family / streaming-family closure. The BQ index seeds
+    // from the even vec_ids (batch build), the odd half streams in over
+    // TWO AvailableNow drains against ONE checkpoint (first drain = the
+    // lower odd ids, probe the half-grown index between drains, second
+    // drain appends only the NEW file — offset tracking), each micro-batch
+    // appended via Ann.appendToBqIndex (the straw_index_append machinery;
+    // maxFilesPerTrigger=1 forces multiple batches per drain). The final
+    // gate is EXACT: with the shortlist covering the corpus the BQ rerank
+    // degenerates to brute force (same round-4 cosine, same id tie), so
+    // equality proves the streamed index holds exactly seeded+streamed
+    // vectors — a content invariant, not a recall estimate.
+    "q_stream_knn" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val base = Tables.strawDir(s, d, "embeddings")
+      val idx = base + "_streamknn_idx"
+      val staging = base + "_streamknn_src"
+      val ckpt = base + "_streamknn_ckpt"
+      val marker = new java.io.File(idx, "_STREAMED")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding"))
+      val kNn = 3
+      val nTotal = emb.count()
+      if (!marker.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) { val c = f.listFiles; if (c != null) c.foreach(rm) }
+          f.delete(): Unit
+        }
+        rm(new java.io.File(idx)); rm(new java.io.File(staging))
+        rm(new java.io.File(ckpt))
+        Ann.buildBqIndex(s, emb.filter(col("vec_id") % 2 === 0), idx, 64)
+        val odds = emb.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id"), col("embedding"))
+        def drain(): Unit = {
+          val q = s.readStream.format("strawboat")
+            .option("maxFilesPerTrigger", 1).load(staging)
+            .writeStream
+            .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+              Ann.appendToBqIndex(s, b.select("vec_id", "embedding"), idx)
+            })
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          require(q.awaitTermination(300000), "q_stream_knn: drain timed out")
+        }
+        odds.filter(col("vec_id") < lit(nTotal / 2))
+          .write.format("strawboat").mode("append").save(staging)
+        drain()
+        // probe BETWEEN drains: the half-grown index must serve k results
+        // per query (loud here; the final equality gate is the output)
+        val midRows = Ann.bqTopKIndexed(s, idx, queries, kNn,
+          shortlist = nTotal.toInt).count()
+        require(midRows == queries.count() * kNn,
+          s"q_stream_knn: mid-stream probe returned $midRows rows")
+        odds.filter(col("vec_id") >= lit(nTotal / 2))
+          .write.format("strawboat").mode("append").save(staging)
+        drain()
+        marker.createNewFile(): Unit
+      }
+      val exact = Ann.bruteForceTopK(s, emb, queries, kNn)
+        .select(col("query_id"), col("neighbor_id"))
+      val got = Ann.bqTopKIndexed(s, idx, queries, kNn,
+          shortlist = nTotal.toInt)
+        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
+      exact.join(got, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          (sum(coalesce(col("hit"), lit(0))) === count(lit(1))).as("exact_ok"))
+    }),
     // stream-stream watermarked interval join through the connector: the
     // purchase stream joins the click stream on user within a 24h look-
     // back — Spark's native stateful stream-stream join, watermarks
@@ -2577,9 +2645,33 @@ object SparkEntry {
         |FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
         |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
-    "q_dedup_clusters" -> // transitive closure via recursive CTE
-      """WITH RECURSIVE pairs AS (
-        |  WITH g AS (SELECT DISTINCT doc_id, substr(text, i::INT, 3) AS gram
+    "q_dedup_clusters" -> {
+      // connected components WITHOUT the recursive-CTE transitive closure:
+      // `reach` is O(component²) rows and exhausted DuckDB's temp disk at
+      // sf0.1 (documented since r10). Replaced by UNROLLED label
+      // propagation + pointer jumping over MATERIALIZED per-round states
+      // (one n-row table per round — bounded). Each round takes the min
+      // label across direct neighbors, then jumps lab <- lab(lab); the
+      // reach radius grows r -> 2r+1 per round, so 5 rounds cover
+      // components of diameter <= 63 — far past any 0.8-Jaccard near-dup
+      // cluster this corpus produces. Validated row-identical against the
+      // engine at sf0.01 AND sf0.1 (round 18). MATERIALIZED is load-
+      // bearing: DuckDB 1.0 inlines multi-referenced CTEs otherwise,
+      // re-evaluating the gram self-join per round.
+      val rounds = 5
+      val prop = (1 to rounds).map { i =>
+        val prev = s"l${i - 1}"
+        s"""p$i AS MATERIALIZED (
+           |  SELECT n.id, least(n.lab, coalesce(min(lb.lab), n.lab)) AS lab
+           |  FROM $prev n LEFT JOIN edges e ON e.a = n.id
+           |  LEFT JOIN $prev lb ON lb.id = e.b
+           |  GROUP BY n.id, n.lab),
+           |l$i AS MATERIALIZED (
+           |  SELECT x.id, l.lab FROM p$i x JOIN p$i l ON l.id = x.lab)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS MATERIALIZED (
+        |  WITH g AS MATERIALIZED (
+        |      SELECT DISTINCT doc_id, substr(text, i::INT, 3) AS gram
         |      FROM documents, range(1, 100001) t(i) WHERE i <= length(text) - 2),
         |    cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
         |    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
@@ -2587,16 +2679,14 @@ object SparkEntry {
         |  SELECT id_a, id_b FROM inter
         |  JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
         |  WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8),
-        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
         |  UNION SELECT id_b, id_a FROM pairs),
-        |reach(a, b) AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
-        |nodes AS (SELECT DISTINCT a AS id FROM edges)
-        |SELECT n.id AS doc_id,
-        |  least(n.id, (SELECT min(b) FROM reach WHERE a = n.id)) AS cluster_id
-        |FROM nodes n ORDER BY doc_id""".stripMargin,
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |l0 AS MATERIALIZED (SELECT id, id AS lab FROM nodes),
+        |$prop
+        |SELECT id AS doc_id, lab AS cluster_id FROM l$rounds
+        |ORDER BY doc_id""".stripMargin
+    },
     // minhash+LSH verified pairs equal the exact k=5 shingle Jaccard pairs
     // on this corpus (LSH only prunes candidates; verification is exact on
     // 64-bit shingle hashes, collision odds ~2^-64) — so the exact SQL IS
@@ -2663,6 +2753,16 @@ object SparkEntry {
     "q_ann_ivfbq_gate" -> // n_exact shape + both gate booleans
       """SELECT count(*)::BIGINT AS n_exact, true AS recall_ok,
         |  true AS full_equals_flat_ok FROM (
+        |  SELECT q.vec_id, c.vec_id AS n_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(q.embedding, c.embedding), 4) DESC,
+        |        c.vec_id) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        |WHERE rank <= 3""".stripMargin,
+    "q_stream_knn" -> // n_exact independently derived; the equality gate
+      // bit is the claim (streamed index == full corpus content)
+      """SELECT count(*)::BIGINT AS n_exact, true AS exact_ok FROM (
         |  SELECT q.vec_id, c.vec_id AS n_id,
         |    row_number() OVER (PARTITION BY q.vec_id
         |      ORDER BY round(list_cosine_similarity(q.embedding, c.embedding), 4) DESC,
