@@ -293,8 +293,16 @@ object Ann {
     * needs (the per-query cost is the probed cells, not the corpus). */
   def buildIvfIndex(spark: SparkSession, corpus: DataFrame, dir: String,
       dim: Int, nCentroids: Int = 16, seed: Long = 7,
-      sampleSize: Int = 1024): Array[Array[Float]] = {
-    val centroids = fitQuantizer(corpus, dim, nCentroids, seed, sampleSize)
+      sampleSize: Int = 1024, refineIters: Int = 0): Array[Array[Float]] = {
+    // refineIters > 0 refines the sampled quantizer against the FULL
+    // corpus via [[kmeansFit]] (which seeds from the same sample): strictly
+    // better-fitting cells for one corpus pass per iteration — the opt-in
+    // for recall-sensitive builds where the 1024-row sample under-fits
+    val centroids =
+      if (refineIters > 0)
+        kmeansFit(spark, corpus, dim, nCentroids, refineIters, seed,
+          sampleSize)._1
+      else fitQuantizer(corpus, dim, nCentroids, seed, sampleSize)
     assignCells(spark, corpus, centroids, 1)
       .write.format("strawboat").option("partitionBy", "cent_id")
       .mode("overwrite").save(dir)
@@ -334,14 +342,21 @@ object Ann {
     * Returns the new centroids. */
   def reindexIvf(spark: SparkSession, dir: String, dim: Int,
       nCentroids: Int = 16, seed: Long = 7,
-      sampleSize: Int = 1024): Array[Array[Float]] = {
+      sampleSize: Int = 1024, refineIters: Int = 0): Array[Array[Float]] = {
     val current = spark.read.format("strawboat").load(dir).drop("cent_id")
     // the rewrite reads the PRE-overwrite snapshot while the overwrite
     // commits new files: sever the read from the directory listing first
     // (the overwrite's remove+add is atomic in the log, but the scan must
     // not plan over the post-commit state mid-job)
     val frozen = current.localCheckpoint(true)
-    val centroids = fitQuantizer(frozen, dim, nCentroids, seed, sampleSize)
+    // refineIters > 0: full-corpus Lloyd refinement of the sampled
+    // quantizer (see [[buildIvfIndex]]) — maintenance reindexes are
+    // exactly where drifted appends make the sample least representative
+    val centroids =
+      if (refineIters > 0)
+        kmeansFit(spark, frozen, dim, nCentroids, refineIters, seed,
+          sampleSize)._1
+      else fitQuantizer(frozen, dim, nCentroids, seed, sampleSize)
     val fs = graft.spark.StrawIO.fs(dir)
     val staged = new org.apache.hadoop.fs.Path(dir,
       CentroidsFile + ".reindex-" + java.util.UUID.randomUUID().toString.take(8))
