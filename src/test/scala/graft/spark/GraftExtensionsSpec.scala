@@ -863,6 +863,14 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
          |ORDER BY id""".stripMargin)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(bucketed == strict, s"bucketed SQL route drifted: $bucketed")
+    // nearest now rides the bucketed path too (both-sweep + nearer pick)
+    def nearest(extra: String): Seq[(Long, Long)] = spark.sql(
+      s"""SELECT id, r_rid FROM straw_asof('$base/probes', '$base/refs',
+         |  'k=rk', 't=rt', 'rid', 'nearest', 200L, true$extra)
+         |ORDER BY id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(nearest(", 7L") == nearest(""),
+      "bucketed nearest SQL route drifted")
   }
 
   test("straw_asof_both attaches both neighbors from SQL, SQL == Scala") {
