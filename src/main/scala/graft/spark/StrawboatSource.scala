@@ -1475,11 +1475,41 @@ class StrawScan(
         val fs = footers
         var cached = colStatsCache
         if (cached == null || (cached._1 ne fs) || cached._2 != r) {
-          // the ndv sketches live only in real footers — CBO explicitly
-          // buys this sweep (parallel, once per table version)
-          warmFooters(fs)
-          cached = (fs, r, StrawScan.columnStatistics(requiredSchema,
-            fs.map(pf => (pf.path, pf.footer, pf.len, pf.dv)), r))
+          // the ndv sketches live only in real footers — but the MERGED
+          // per-column state is snapshot-keyed in the global
+          // ColStatsCache, so the footer warm + merge sweep runs at most
+          // once per (snapshot, mapping, column) ACROSS queries and scan
+          // instances: repeat queries over a table bigger than the
+          // FooterCache capacity no longer re-read evicted footers
+          val key = ColStatsCache.tableKey(
+            fs.map(pf => (pf.path, pf.mtime, pf.len)), mapping.hashCode)
+          val tbl = ColStatsCache.forTable(key)
+          val flat = requiredSchema.fields
+            .filter(f => ColumnarSupport.isFlat(f.dataType))
+          val missing =
+            if (tbl == null) flat
+            else flat.filterNot(f => tbl.containsKey(f.name))
+          val local = new java.util.HashMap[String, ColStatsCache.Merged]()
+          if (missing.nonEmpty && fs.nonEmpty) {
+            warmFooters(fs)
+            val reals = fs.map(_.footer)
+            missing.foreach { f =>
+              val m = StrawScan.mergeColumn(reals, f.name)
+              if (tbl != null) tbl.put(f.name, m): Unit else local.put(f.name, m): Unit
+            }
+          }
+          val outMap = new java.util.HashMap[
+            org.apache.spark.sql.connector.expressions.NamedReference,
+            org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+          if (fs.nonEmpty) flat.foreach { f =>
+            val m = if (tbl != null) tbl.get(f.name) else local.get(f.name)
+            val cs = if (m == null) null
+              else StrawScan.assembleColumnStat(f, m, r)
+            if (cs != null)
+              outMap.put(org.apache.spark.sql.connector.expressions
+                .Expressions.column(f.name), cs)
+          }
+          cached = (fs, r, outMap)
           colStatsCache = cached
         }
         cached._3
@@ -1528,63 +1558,93 @@ object StrawScan {
     * key's cardinality and mis-order joins) but still contributes
     * null/min/max. Estimates only steer plans — wrong is slow, never
     * incorrect. */
+  /** The accumulation half of the CBO stats sweep: one logical column's
+    * stats merged across every footer of a snapshot. Pure function of
+    * (footer set, column name) — which makes it cacheable per snapshot in
+    * [[ColStatsCache]]; type decoding and rowCount clamps stay in
+    * [[assembleColumnStat]], per query. */
+  def mergeColumn(footers: Seq[graft.format.StrawFooter],
+      name: String): ColStatsCache.Merged = {
+    import graft.format.{NdvSketch, StrawFormat}
+    ColStatsCache.merges.incrementAndGet()
+    var regs: Array[Byte] = null
+    var sketchOk = true // every row-carrying file must contribute
+    var nulls = 0L
+    var minS = Long.MaxValue
+    var maxS = Long.MinValue
+    var statsKind = -1 // uniform kind across pages or min/max withheld
+    var kindOk = true
+    // value-length stats (string/binary): every row-carrying file with
+    // the column present must contribute, else withhold
+    var lenSum = 0L
+    var lenMax = 0
+    var lenOk = true
+    var lenRows = 0L // non-null values behind lenSum
+    footers.foreach { f =>
+      val i = f.schema.fields.indexWhere(_.name == name)
+      if (i < 0) nulls += f.numRows // absent column reads all-null
+      else if (f.numRows > 0) {
+        val leaf = f.leafStarts(i)
+        val sk = if (f.ndv == null) null else f.ndv(leaf)
+        if (sk == null) sketchOk = false
+        else if (regs == null) regs = sk.clone()
+        else NdvSketch.mergeInto(regs, sk)
+        val ls = if (f.lens == null) null else f.lens(leaf)
+        if (ls == null) lenOk = false
+        else {
+          lenSum += ls.sum
+          if (ls.max > lenMax) lenMax = ls.max
+        }
+        var fileNulls = 0L
+        f.columns(leaf).pages.foreach { p =>
+          nulls += p.nullCount
+          fileNulls += p.nullCount
+          if (p.statsKind == StrawFormat.StatsSigned) {
+            if (statsKind == -1) statsKind = p.statsKind
+            if (p.min < minS) minS = p.min
+            if (p.max > maxS) maxS = p.max
+          } else if (p.statsKind != StrawFormat.StatsNone) kindOk = false
+        }
+        lenRows += math.max(0L, f.numRows - fileNulls)
+      }
+    }
+    ColStatsCache.Merged(regs, sketchOk, nulls, minS, maxS, statsKind,
+      kindOk, lenSum, lenMax, lenOk, lenRows)
+  }
+
   def columnStatistics(requiredSchema: StructType,
       footers: Seq[(String, graft.format.StrawFooter, Long, DeletionVector.DvInfo)],
       rowCount: Long): java.util.Map[
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
-    import graft.format.{NdvSketch, StrawFormat}
     val out = new java.util.HashMap[
       org.apache.spark.sql.connector.expressions.NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
     if (footers.isEmpty) return out
+    val fs = footers.map(_._2)
     requiredSchema.fields.foreach { fld =>
       if (ColumnarSupport.isFlat(fld.dataType)) {
-        var regs: Array[Byte] = null
-        var sketchOk = true // every row-carrying file must contribute
-        var nulls = 0L
-        var minS = Long.MaxValue
-        var maxS = Long.MinValue
-        var statsKind = -1 // uniform kind across pages or min/max withheld
-        var kindOk = true
-        // value-length stats (string/binary): every row-carrying file with
-        // the column present must contribute, else withhold
-        var lenSum = 0L
-        var lenMax = 0
-        var lenOk = true
-        var lenRows = 0L // non-null values behind lenSum
-        footers.foreach { case (_, f, _, _) =>
-          val i = f.schema.fields.indexWhere(_.name == fld.name)
-          if (i < 0) nulls += f.numRows // absent column reads all-null
-          else if (f.numRows > 0) {
-            val leaf = f.leafStarts(i)
-            val sk = if (f.ndv == null) null else f.ndv(leaf)
-            if (sk == null) sketchOk = false
-            else if (regs == null) regs = sk.clone()
-            else NdvSketch.mergeInto(regs, sk)
-            val ls = if (f.lens == null) null else f.lens(leaf)
-            if (ls == null) lenOk = false
-            else {
-              lenSum += ls.sum
-              if (ls.max > lenMax) lenMax = ls.max
-            }
-            var fileNulls = 0L
-            f.columns(leaf).pages.foreach { p =>
-              nulls += p.nullCount
-              fileNulls += p.nullCount
-              if (p.statsKind == StrawFormat.StatsSigned) {
-                if (statsKind == -1) statsKind = p.statsKind
-                if (p.min < minS) minS = p.min
-                if (p.max > maxS) maxS = p.max
-              } else if (p.statsKind != StrawFormat.StatsNone) kindOk = false
-            }
-            lenRows += math.max(0L, f.numRows - fileNulls)
-          }
-        }
-        val ndvOpt =
-          if (!sketchOk || regs == null) java.util.OptionalLong.empty()
-          else java.util.OptionalLong.of(
-            math.max(1L, math.min(NdvSketch.estimate(regs), rowCount)))
+        val cs = assembleColumnStat(fld, mergeColumn(fs, fld.name), rowCount)
+        if (cs != null)
+          out.put(org.apache.spark.sql.connector.expressions.Expressions
+            .column(fld.name), cs)
+      }
+    }
+    out
+  }
+
+  /** The per-query half: decode the merged numbers into Catalyst column
+    * statistics for `fld`'s logical type, clamping against the (filtered)
+    * row-count estimate. Returns null when nothing is reportable. */
+  def assembleColumnStat(fld: org.apache.spark.sql.types.StructField,
+      m: ColStatsCache.Merged, rowCount: Long):
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics = {
+    import graft.format.{NdvSketch, StrawFormat}
+    import m._
+    val ndvOpt =
+      if (!sketchOk || regs == null) java.util.OptionalLong.empty()
+      else java.util.OptionalLong.of(
+        math.max(1L, math.min(NdvSketch.estimate(regs), rowCount)))
         // StatsSigned min/max are value-exact for the integer family and
         // sortable-double-encoded for float/double; every other kind
         // (string prefixes, approx decimals) is not a real value — withhold
@@ -1621,25 +1681,20 @@ object StrawScan {
             (java.util.OptionalLong.empty(), java.util.OptionalLong.empty())
           else (java.util.OptionalLong.of(math.max(1L, lenSum / lenRows)),
             java.util.OptionalLong.of(lenMax.toLong))
-        if (ndvOpt.isPresent || minV != null || avgLenOpt.isPresent) {
-          val nullsCapped = math.min(nulls, rowCount)
-          out.put(
-            org.apache.spark.sql.connector.expressions.Expressions.column(fld.name),
-            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
-              override def distinctCount(): java.util.OptionalLong = ndvOpt
-              override def min(): java.util.Optional[Object] =
-                java.util.Optional.ofNullable(minV.asInstanceOf[Object])
-              override def max(): java.util.Optional[Object] =
-                java.util.Optional.ofNullable(maxV.asInstanceOf[Object])
-              override def nullCount(): java.util.OptionalLong =
-                java.util.OptionalLong.of(nullsCapped)
-              override def avgLen(): java.util.OptionalLong = avgLenOpt
-              override def maxLen(): java.util.OptionalLong = maxLenOpt
-            })
-        }
+    if (ndvOpt.isPresent || minV != null || avgLenOpt.isPresent) {
+      val nullsCapped = math.min(nulls, rowCount)
+      new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+        override def distinctCount(): java.util.OptionalLong = ndvOpt
+        override def min(): java.util.Optional[Object] =
+          java.util.Optional.ofNullable(minV.asInstanceOf[Object])
+        override def max(): java.util.Optional[Object] =
+          java.util.Optional.ofNullable(maxV.asInstanceOf[Object])
+        override def nullCount(): java.util.OptionalLong =
+          java.util.OptionalLong.of(nullsCapped)
+        override def avgLen(): java.util.OptionalLong = avgLenOpt
+        override def maxLen(): java.util.OptionalLong = maxLenOpt
       }
-    }
-    out
+    } else null
   }
 }
 

@@ -154,4 +154,74 @@ class CboStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // exact values are the driver oracle's job)
     assert(df.collect().nonEmpty)
   }
+
+  test("column-stats cache: repeat CBO planning over a footer-evicted " +
+      "table reads zero footers") {
+    // the 100 TB planning shape: a table with more files than the
+    // FooterCache capacity evicts itself, and before the snapshot-keyed
+    // ColStatsCache every CBO-enabled query re-read the whole footer set
+    // for the stats sweep. Shrink the footer cache below the file count
+    // instead of writing 17k files.
+    val d = s"$dir/manyfiles"
+    spark.range(40000).repartition(40)
+      .select(col("id").as("k"), (col("id") % 97).as("v"))
+      .write.format("strawboat").mode("overwrite").save(d)
+    val nFiles = graft.spark.StrawIO.listFiles(d).size
+    assert(nFiles >= 40, s"expected >= 40 data files, got $nFiles")
+    val savedMax = FooterCache.maxEntries
+    try {
+      FooterCache.maxEntries = 8 // << nFiles: the cache can never hold them
+      FooterCache.clear()
+      ColStatsCache.clear()
+      def planStats(): java.util.OptionalLong = {
+        val plan = spark.read.format("strawboat").load(d)
+          .filter(col("v") < 50).groupBy(col("v")).count()
+          .queryExecution.optimizedPlan
+        var ndv = java.util.OptionalLong.empty()
+        plan.foreach {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            plan.stats // force the whole-tree computation
+            val cs = r.stats.attributeStats.find(_._1.name == "v").map(_._2)
+            ndv = cs.flatMap(_.distinctCount)
+              .map(d => java.util.OptionalLong.of(d.toLong))
+              .getOrElse(java.util.OptionalLong.empty())
+          case _ =>
+        }
+        ndv
+      }
+      val ndv1 = planStats()
+      assert(ndv1.isPresent && ndv1.getAsLong >= 90 && ndv1.getAsLong <= 105,
+        s"ndv(v) should estimate ~97, got $ndv1")
+      val loadsAfterFirst = FooterCache.loads.get()
+      val mergesAfterFirst = ColStatsCache.merges.get()
+      assert(mergesAfterFirst >= 2) // k and v both merged
+      // second, independent query over the same snapshot: the merged
+      // column stats are served from the snapshot-keyed cache — ZERO
+      // footer loads even though every footer has been evicted
+      val ndv2 = planStats()
+      assert(ndv2 == ndv1, s"cached stats drifted: $ndv2 vs $ndv1")
+      assert(ColStatsCache.merges.get() == mergesAfterFirst,
+        "second query must not re-merge")
+      assert(FooterCache.loads.get() == loadsAfterFirst,
+        s"second query must read zero footers, read " +
+          s"${FooterCache.loads.get() - loadsAfterFirst}")
+      // a new snapshot (append) mints a new key and re-merges
+      spark.range(5).select(col("id").as("k"), (col("id") % 97).as("v"))
+        .write.format("strawboat").mode("append").save(d)
+      planStats()
+      assert(ColStatsCache.merges.get() > mergesAfterFirst,
+        "a new snapshot must re-merge")
+      // mapping state participates in the key: a drop/re-add must not
+      // serve the dropped column's numbers
+      val files = Seq(("/t/a", 1L, 2L), ("/t/b", 3L, 4L))
+      assert(ColStatsCache.tableKey(files, 1) != ColStatsCache.tableKey(files, 2))
+      // and the key is listing-order independent
+      assert(ColStatsCache.tableKey(files, 1) ==
+        ColStatsCache.tableKey(files.reverse, 1))
+    } finally {
+      FooterCache.maxEntries = savedMax
+      FooterCache.clear()
+      ColStatsCache.clear()
+    }
+  }
 }
