@@ -40,10 +40,19 @@ object SparkEntry {
   /** Marker-cached fixture: `build(dir)` runs once per (dir, marker) —
     * the sf-scoped one-time table derivations (indexes, streamed sinks)
     * all cache this way, like the conversions. */
-  private def cachedFixture(dir: String, markerName: String)
-      (build: String => Unit): String = {
+  private def cachedFixture(dir: String, markerName: String,
+      cleanDirs: Seq[String] = Nil)(build: String => Unit): String = {
     val marker = new java.io.File(dir, markerName)
     if (!marker.exists()) {
+      // fixtures that APPEND during the build (streamed indexes) list
+      // their dirs here so a crashed partial build can't leak rows or
+      // stream offsets into the rebuild; overwrite-mode builders need no
+      // cleanup and pass nothing
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) { val c = f.listFiles; if (c != null) c.foreach(rm) }
+        f.delete(): Unit
+      }
+      cleanDirs.foreach(p => rm(new java.io.File(p)))
       build(dir)
       marker.createNewFile()
     }
@@ -1510,18 +1519,12 @@ object SparkEntry {
       val idx = base + "_streamknn_idx"
       val staging = base + "_streamknn_src"
       val ckpt = base + "_streamknn_ckpt"
-      val marker = new java.io.File(idx, "_STREAMED")
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id"), col("embedding"))
       val kNn = 3
       val nTotal = emb.count()
-      if (!marker.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) { val c = f.listFiles; if (c != null) c.foreach(rm) }
-          f.delete(): Unit
-        }
-        rm(new java.io.File(idx)); rm(new java.io.File(staging))
-        rm(new java.io.File(ckpt))
+      cachedFixture(idx, "_STREAMED",
+          cleanDirs = Seq(idx, staging, ckpt)) { _ =>
         Ann.buildBqIndex(s, emb.filter(col("vec_id") % 2 === 0), idx, 64)
         val odds = emb.filter(col("vec_id") % 2 === 1)
           .select(col("vec_id"), col("embedding"))
@@ -1549,7 +1552,6 @@ object SparkEntry {
         odds.filter(col("vec_id") >= lit(nTotal / 2))
           .write.format("strawboat").mode("append").save(staging)
         drain()
-        marker.createNewFile(): Unit
       }
       val exact = Ann.bruteForceTopK(s, emb, queries, kNn)
         .select(col("query_id"), col("neighbor_id"))
@@ -2652,13 +2654,21 @@ object SparkEntry {
       // propagation + pointer jumping over MATERIALIZED per-round states
       // (one n-row table per round — bounded). Each round takes the min
       // label across direct neighbors, then jumps lab <- lab(lab); the
-      // reach radius grows r -> 2r+1 per round, so 5 rounds cover
-      // components of diameter <= 63 — far past any 0.8-Jaccard near-dup
-      // cluster this corpus produces. Validated row-identical against the
-      // engine at sf0.01 AND sf0.1 (round 18). MATERIALIZED is load-
-      // bearing: DuckDB 1.0 inlines multi-referenced CTEs otherwise,
-      // re-evaluating the gram self-join per round.
-      val rounds = 5
+      // reach radius grows r -> 2r+1 per round, so 4 rounds cover
+      // components of diameter <= 15 — far past any 0.8-Jaccard near-dup
+      // cluster this corpus produces. The cap is LOUD, not silent: one
+      // final PROPAGATE-ONLY level acts as a fixpoint check (propagate-
+      // stability implies labels are constant per component, and that
+      // constant can only be the component min, so no jump is needed in
+      // the check), and any label still moving raises error() instead of
+      // emitting a mislabeled row a parity failure would misattribute to
+      // the engine. Validated row-identical against the engine at sf0.01
+      // AND sf0.1 (round 18). Two DuckDB 1.0 limits are load-bearing:
+      // multi-referenced CTEs INLINE (re-evaluating the gram self-join
+      // per round) unless AS MATERIALIZED, and the planner blows the temp
+      // disk somewhere between 14 and 16 chained CTE levels — keep the
+      // unroll short; the loud check is what makes the short unroll safe.
+      val rounds = 4
       val prop = (1 to rounds).map { i =>
         val prev = s"l${i - 1}"
         s"""p$i AS MATERIALIZED (
@@ -2683,8 +2693,19 @@ object SparkEntry {
         |  UNION SELECT id_b, id_a FROM pairs),
         |nodes AS (SELECT DISTINCT a AS id FROM edges),
         |l0 AS MATERIALIZED (SELECT id, id AS lab FROM nodes),
-        |$prop
-        |SELECT id AS doc_id, lab AS cluster_id FROM l$rounds
+        |$prop,
+        |chk AS MATERIALIZED (
+        |  SELECT n.id, least(n.lab, coalesce(min(lb.lab), n.lab)) AS lab
+        |  FROM l$rounds n LEFT JOIN edges e ON e.a = n.id
+        |  LEFT JOIN l$rounds lb ON lb.id = e.b
+        |  GROUP BY n.id, n.lab)
+        |SELECT id AS doc_id,
+        |  CASE WHEN (SELECT count(*) FROM l$rounds x
+        |      JOIN chk y ON y.id = x.id AND y.lab <> x.lab) > 0
+        |    THEN error('q_dedup_clusters oracle: label propagation not ' ||
+        |      'converged after $rounds rounds - raise the unroll')
+        |    ELSE lab END AS cluster_id
+        |FROM l$rounds
         |ORDER BY doc_id""".stripMargin
     },
     // minhash+LSH verified pairs equal the exact k=5 shingle Jaccard pairs

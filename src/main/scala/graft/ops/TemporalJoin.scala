@@ -106,33 +106,9 @@ object TemporalJoin {
       case "forward" => all.withColumn("__ref", sweep(forward = true))
         .withColumn("__gap", gap(col("__ref"), forward = true))
       case "nearest" =>
-        val raw = all
+        nearestPick(all
           .withColumn("__rb", sweep(forward = false))
-          .withColumn("__rf", sweep(forward = true))
-          .withColumn("__gb", gap(col("__rb"), forward = false))
-          .withColumn("__gf", gap(col("__rf"), forward = true))
-        // tolerance gates EACH side's gap BEFORE the nearer-side choice
-        // (pandas merge_asof nearest semantics): a probe whose nearest
-        // neighbor is out of tolerance still matches the other side when
-        // that one is within — gating only the winner would drop it.
-        val both = tolerance match {
-          case Some(tol) => raw
-            .withColumn("__rb", when(col("__gb") <= tol, col("__rb")))
-            .withColumn("__gb", when(col("__gb") <= tol, col("__gb")))
-            .withColumn("__rf", when(col("__gf") <= tol, col("__rf")))
-            .withColumn("__gf", when(col("__gf") <= tol, col("__gf")))
-          case None => raw
-        }
-        both.withColumn("__ref",
-            when(col("__rb").isNull, col("__rf"))
-              .when(col("__rf").isNull, col("__rb"))
-              .when(col("__gf") < col("__gb"), col("__rf"))
-              .otherwise(col("__rb")))
-          .withColumn("__gap",
-            when(col("__ref").isNull, lit(null))
-              .when(col("__gf") < col("__gb"), col("__gf"))
-              .otherwise(coalesce(col("__gb"), col("__gf"))))
-          .drop("__rb", "__rf", "__gb", "__gf")
+          .withColumn("__rf", sweep(forward = true)), rightTime, tolerance)
     }
 
     val within = tolerance.map(tol => col("__gap") <= tol).getOrElse(lit(true))
@@ -146,6 +122,55 @@ object TemporalJoin {
       left.columns.map(n => col("__l").getField(n).as(n)) ++
         refNames.map(n => col("__ref").getField(n).as(rightPrefix + n)): _*)
   }
+
+  /** The shared merge_asof NEAREST pick over a frame carrying both-neighbor
+    * refs `__rb`/`__rf`: derive per-side gaps, gate EACH side's gap against
+    * the tolerance BEFORE the nearer-side choice (pandas merge_asof
+    * semantics — a probe whose nearest neighbor is out of tolerance still
+    * matches the other side when that one is within; gating only the
+    * winner would drop it), pick the nearer side (ties prefer backward),
+    * emit `__ref`/`__gap`. One implementation serves both the plain
+    * [[asofJoin]] sweep and the bucketed route, so the spec-pinned
+    * semantics cannot diverge. */
+  private def nearestPick(withBoth: DataFrame, rightTime: String,
+      tolerance: Option[Column]): DataFrame = {
+    val raw = withBoth
+      .withColumn("__gb", col("__t") - col("__rb").getField(rightTime))
+      .withColumn("__gf", col("__rf").getField(rightTime) - col("__t"))
+    val both = tolerance match {
+      case Some(tol) => raw
+        .withColumn("__rb", when(col("__gb") <= tol, col("__rb")))
+        .withColumn("__gb", when(col("__gb") <= tol, col("__gb")))
+        .withColumn("__rf", when(col("__gf") <= tol, col("__rf")))
+        .withColumn("__gf", when(col("__gf") <= tol, col("__gf")))
+      case None => raw
+    }
+    both.withColumn("__ref",
+        when(col("__rb").isNull, col("__rf"))
+          .when(col("__rf").isNull, col("__rb"))
+          .when(col("__gf") < col("__gb"), col("__rf"))
+          .otherwise(col("__rb")))
+      .withColumn("__gap",
+        when(col("__ref").isNull, lit(null))
+          .when(col("__gf") < col("__gb"), col("__gf"))
+          .otherwise(coalesce(col("__gb"), col("__gf"))))
+      .drop("__rb", "__rf", "__gb", "__gf")
+  }
+
+  /** Monotone numeric sweep axis for the tagged union's `__t`: micros for
+    * timestamps (NTZ → TZ in the session zone; both sides convert
+    * identically, so the zone choice cancels), exact long for integral
+    * times, double for fractional numerics. One implementation serves both
+    * bucketed routes. */
+  private def timeAxis(dt: org.apache.spark.sql.types.DataType): Column =
+    dt match {
+      case TimestampType | TimestampNTZType =>
+        unix_micros(col("__t").cast(TimestampType))
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+        col("__t").cast("long")
+      case _ => col("__t").cast("double")
+    }
 
   /** [[asofJoin]] with the hot-key ceiling removed — the OPT-IN skew
     * path. The plain sweep needs each key's full time order, so one hot
@@ -199,29 +224,7 @@ object TemporalJoin {
       val (swept, ls) = bucketedBothSweep(left, right, leftKey, rightKey,
         leftTime, rightTime, refNames, rightTieBreak, allowExactMatches,
         bucketWidth)
-      def gap(ref: Column, forward: Boolean): Column =
-        if (forward) ref.getField(rightTime) - col("__t")
-        else col("__t") - ref.getField(rightTime)
-      val raw = swept
-        .withColumn("__gb", gap(col("__rb"), forward = false))
-        .withColumn("__gf", gap(col("__rf"), forward = true))
-      val both = tolerance match {
-        case Some(tol) => raw
-          .withColumn("__rb", when(col("__gb") <= tol, col("__rb")))
-          .withColumn("__gb", when(col("__gb") <= tol, col("__gb")))
-          .withColumn("__rf", when(col("__gf") <= tol, col("__rf")))
-          .withColumn("__gf", when(col("__gf") <= tol, col("__gf")))
-        case None => raw
-      }
-      val picked = both.withColumn("__ref",
-          when(col("__rb").isNull, col("__rf"))
-            .when(col("__rf").isNull, col("__rb"))
-            .when(col("__gf") < col("__gb"), col("__rf"))
-            .otherwise(col("__rb")))
-        .withColumn("__gap",
-          when(col("__ref").isNull, lit(null))
-            .when(col("__gf") < col("__gb"), col("__gf"))
-            .otherwise(coalesce(col("__gb"), col("__gf"))))
+      val picked = nearestPick(swept, rightTime, tolerance)
       val within =
         tolerance.map(tol => col("__gap") <= tol).getOrElse(lit(true))
       val gated = picked.withColumn("__ref",
@@ -242,16 +245,7 @@ object TemporalJoin {
     // one monotone sweep AXIS folds the direction in: ascending axis ==
     // ascending time for backward, descending time for forward — the
     // winner at any position is then always the max (axis, side, tb)
-    val tNum = all0.schema("__t").dataType match {
-      case TimestampType | TimestampNTZType =>
-        unix_micros(col("__t").cast(TimestampType))
-      // integral times keep exact ordering on the axis; only fractional
-      // numerics ride a double
-      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
-        col("__t").cast("long")
-      case _ => col("__t").cast("double")
-    }
+    val tNum = timeAxis(all0.schema("__t").dataType)
     val axis = if (forward) -tNum else tNum
     val all = all0
       .withColumn("__ax", axis)
@@ -335,16 +329,8 @@ object TemporalJoin {
       allowExactMatches: Boolean, bucketWidth: Long): (DataFrame, Int) = {
     val (all0, leftSide) = taggedUnion(left, right, leftKey, rightKey,
       leftTime, rightTime, refNames, rightTieBreak, allowExactMatches)
-    val tNum = all0.schema("__t").dataType match {
-      case TimestampType | TimestampNTZType =>
-        unix_micros(col("__t").cast(TimestampType))
-      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
-        col("__t").cast("long")
-      case _ => col("__t").cast("double")
-    }
     val all = all0
-      .withColumn("__ax", tNum)
+      .withColumn("__ax", timeAxis(all0.schema("__t").dataType))
       .withColumn("__bkt", floor(col("__ax") / bucketWidth).cast("long"))
     val refs = all.filter(col("__side") =!= leftSide && col("__ax").isNotNull)
     // one bounded pass: both per-(key, bucket) bests. Backward best =

@@ -14,14 +14,23 @@ package graft.spark
   * regardless of file count, so repeat queries serve column stats with
   * ZERO footer IO and zero merge CPU at ANY table size.
   *
-  * Keying: an order-independent digest of the snapshot's (path, mtime,
-  * len) triples plus the column-mapping state's value hash — a rename or
-  * drop/re-add changes the logical view without touching files, and must
-  * not hit the old column's numbers. A new snapshot (append, compaction,
-  * DML) mints a new key; old entries age out of the table-level LRU.
-  * Column stats only steer plans (wrong is slow, never incorrect), so a
-  * 64-bit digest collision is in the same benign class as any estimate
-  * error — and is made vanishingly unlikely by folding the file count in.
+  * Keying: an order-independent digest of the scan's SURVIVING file set's
+  * (path, mtime, len) triples plus the column-mapping state's value hash
+  * — a rename or drop/re-add changes the logical view without touching
+  * files, and must not hit the old column's numbers. "Surviving" is
+  * deliberate, not an approximation of "snapshot": the merged stats must
+  * reflect the files left after directory/manifest pruning (a
+  * region-partitioned query should see the pruned region's NDV and
+  * min/max, not the table's), so two queries whose filters prune
+  * DIFFERENT file subsets rightly occupy different entries and each pays
+  * its own first sweep. The repeat-query win therefore engages per
+  * (pruned set, mapping) — the dashboard/ETL shape of re-running the
+  * same or same-partition queries — while a new snapshot (append,
+  * compaction, DML) always mints new keys and old entries age out of
+  * the table-level LRU. Column stats only steer plans (wrong is slow,
+  * never incorrect), so a 64-bit digest collision is in the same benign
+  * class as any estimate error — and is made vanishingly unlikely by
+  * folding the file count in.
   */
 object ColStatsCache {
 

@@ -104,9 +104,10 @@ object DevTemporalScale {
     // the key's full time order). Measure the ceiling: it is the sort of
     // the hot key's rows, still far cheaper than the naive join's
     // hot-key CARTESIAN (probes × refs within the key).
-    // third arg "extreme": ONE key holds everything — the shape where the
-    // per-key-sequential ceiling binds outright and bucketing must win
-    val extreme = args.length > 2 && args(2) == "extreme"
+    // third arg "extreme" (== skipBaselines above): ONE key holds
+    // everything — the shape where the per-key-sequential ceiling binds
+    // outright and bucketing must win
+    val extreme = skipBaselines
     val skewP =
       if (extreme) probes.withColumn("k", lit(0L))
       else probes.withColumn("k",
