@@ -731,6 +731,31 @@ object SparkEntry {
         Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", 3, 0.8))
         .orderBy(col("doc_id"))
     }),
+    // exact SUBSTRING dedup (Lee et al. 2022): maximal runs of >= 8
+    // whitespace tokens appearing in >= 2 documents — the cross-document
+    // boilerplate pass doc-level Jaccard can't express. The only shuffled
+    // relation carries (md5(gram), doc, start); span merging is a per-DOC
+    // gaps-and-islands window. The oracle replays tokens, md5 grams,
+    // document frequency, and the island merge in SQL.
+    "q_dedup_spans" -> ((s, d) => {
+      Dedup.duplicateSpans(t(s, d, "documents"), "doc_id", "text", 8)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+    // the strip half, verified by token arithmetic: merged islands are
+    // disjoint, so tokens_after == tokens_before - sum(span lengths) —
+    // an identity the oracle computes WITHOUT replaying the rewrite
+    "q_dedup_spans_clean" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val spans = Dedup.duplicateSpans(docs, "doc_id", "text", 8)
+      val cleaned = Dedup.stripSpans(docs, "doc_id", "text", spans)
+      cleaned.select(col("doc_id"),
+          size(filter(split(col("text"), "\\s+"), x => x =!= lit("")))
+            .cast("long").as("n_tokens_after"))
+        .join(spans.groupBy(col("doc_id"))
+          .agg(sum(col("span_end") - col("span_start")).as("n_removed")),
+          Seq("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
     "q_dedup_simhash" -> ((s, d) => {
       Dedup.simHashCandidates(
         Dedup.simHash(t(s, d, "documents"), "doc_id", "text"))
@@ -2647,6 +2672,58 @@ object SparkEntry {
         |FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
         |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+    // substring-span dedup: the full pipeline replayed in SQL — tokens,
+    // md5 8-gram keys, document frequency >= 2, and the gaps-and-islands
+    // merge (two n-gram spans chain iff the later start is <= earlier + n)
+    "q_dedup_spans" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x <> '') AS toks FROM documents),
+        |g AS (SELECT doc_id, i - 1 AS span_start,
+        |    md5(array_to_string(toks[i:i+7], ' ')) AS gg
+        |  FROM t, range(1, 100001) r(i) WHERE i <= len(toks) - 7),
+        |dup AS (SELECT gg FROM (SELECT DISTINCT gg, doc_id FROM g)
+        |  GROUP BY gg HAVING count(*) >= 2),
+        |hits AS (SELECT doc_id, span_start FROM g JOIN dup USING (gg)),
+        |marks AS (SELECT doc_id, span_start,
+        |  CASE WHEN span_start <= coalesce(lag(span_start) OVER
+        |      (PARTITION BY doc_id ORDER BY span_start), -1000000) + 8
+        |    THEN 0 ELSE 1 END AS new_isl FROM hits),
+        |isl AS (SELECT doc_id, span_start,
+        |  sum(new_isl) OVER (PARTITION BY doc_id ORDER BY span_start
+        |    ROWS UNBOUNDED PRECEDING) AS island FROM marks)
+        |SELECT doc_id, min(span_start)::BIGINT AS span_start,
+        |  (max(span_start) + 8)::BIGINT AS span_end
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
+    // strip arithmetic: merged islands are disjoint, so the oracle derives
+    // tokens_after = tokens_before - sum(span lengths) WITHOUT replaying
+    // the rewrite — the Spark side recounts the actually-stripped text
+    "q_dedup_spans_clean" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x <> '') AS toks FROM documents),
+        |g AS (SELECT doc_id, i - 1 AS span_start,
+        |    md5(array_to_string(toks[i:i+7], ' ')) AS gg
+        |  FROM t, range(1, 100001) r(i) WHERE i <= len(toks) - 7),
+        |dup AS (SELECT gg FROM (SELECT DISTINCT gg, doc_id FROM g)
+        |  GROUP BY gg HAVING count(*) >= 2),
+        |hits AS (SELECT doc_id, span_start FROM g JOIN dup USING (gg)),
+        |marks AS (SELECT doc_id, span_start,
+        |  CASE WHEN span_start <= coalesce(lag(span_start) OVER
+        |      (PARTITION BY doc_id ORDER BY span_start), -1000000) + 8
+        |    THEN 0 ELSE 1 END AS new_isl FROM hits),
+        |isl AS (SELECT doc_id, span_start,
+        |  sum(new_isl) OVER (PARTITION BY doc_id ORDER BY span_start
+        |    ROWS UNBOUNDED PRECEDING) AS island FROM marks),
+        |spans AS (SELECT doc_id, min(span_start) AS a,
+        |    max(span_start) + 8 AS b FROM isl GROUP BY doc_id, island),
+        |agg AS (SELECT doc_id, sum(b - a) AS n_removed FROM spans
+        |  GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  (len(t.toks) - agg.n_removed)::BIGINT AS n_tokens_after,
+        |  agg.n_removed::BIGINT AS n_removed
+        |FROM t JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q_dedup_clusters" -> {
       // connected components WITHOUT the recursive-CTE transitive closure:
       // `reach` is O(component²) rows and exhausted DuckDB's temp disk at

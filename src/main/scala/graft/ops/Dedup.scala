@@ -361,6 +361,86 @@ object Dedup {
   // Connected components, alternating-star variant
   // -------------------------------------------------------------------------
 
+  /** Exact SUBSTRING (span) dedup — Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": any run of `n`
+    * consecutive whitespace tokens occurring in at least `minDf`
+    * DOCUMENTS is a duplicated span. Returns (doc_id, span_start,
+    * span_end) in token coordinates (start inclusive, end exclusive),
+    * overlapping/touching duplicated n-grams merged into MAXIMAL spans.
+    * This is the cross-document repeated-boilerplate pass the doc-level
+    * family (exact/minhash/simhash) cannot express: two documents that
+    * share one paragraph but nothing else never clear a Jaccard
+    * threshold, yet the paragraph still memorizes.
+    *
+    * Spark-first shape (the distributed reformulation of the paper's
+    * single-node suffix array): a span of length >= n duplicates iff each
+    * of its n-grams duplicates, so n-gram DOCUMENT frequency is exact for
+    * spans. The only corpus-scale shuffles carry (md5(gram), doc, start)
+    * tuples — md5 keys are fixed-width on the wire AND replayable by the
+    * SQL oracle; the gram text itself never shuffles. Span merging is
+    * classic gaps-and-islands over each doc's duplicated starts — a
+    * per-DOC window bounded by that document's own token count, never a
+    * corpus sort. Self-repeats inside one document do not count toward
+    * `minDf` (document frequency, not occurrence count). */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 20, minDf: Int = 2): DataFrame = {
+    require(n >= 1, s"duplicateSpans: n must be >= 1, got $n")
+    require(minDf >= 2, s"duplicateSpans: minDf must be >= 2, got $minDf")
+    val toks = df.select(col(idCol).as("doc_id"),
+      filter(split(lower(col(textCol)), "\\s+"), t => t =!= lit("")).as("__t"))
+    val grams = toks
+      .filter(size(col("__t")) >= n)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("__t")) - n),
+        i => md5(concat_ws(" ", slice(col("__t"), i + 1, lit(n))))))
+        .as(Seq("span_start", "__g")))
+    val dup = grams.select(col("__g"), col("doc_id")).distinct()
+      .groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("__g"))
+    val hits = grams.join(dup, "__g").select(col("doc_id"), col("span_start"))
+    // gaps-and-islands: two n-gram spans chain iff the later start is at
+    // most n past the earlier (overlap or exact adjacency); island extent
+    // is [min start, max start + n)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("span_start"))
+    hits
+      .withColumn("__new",
+        when(col("span_start") <=
+          coalesce(lag(col("span_start"), 1).over(w), lit(Long.MinValue / 2))
+            + n, lit(0)).otherwise(lit(1)))
+      .withColumn("__island", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__island"))
+      .agg(min(col("span_start")).cast("long").as("span_start"),
+        (max(col("span_start")) + n).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
+  /** Rewrite `textCol` dropping the whitespace tokens covered by `spans`
+    * ((doc_id, span_start, span_end) in [[duplicateSpans]]' token
+    * coordinates) — the mechanical half of substring dedup; the caller
+    * picks the retention policy by filtering `spans` first (e.g. keep the
+    * lowest-id document's copy). MAP-ONLY over the corpus: spans group
+    * into one bounded array per affected doc (merged islands are
+    * disjoint, so a doc carries at most tokens/n entries), broadcast-or-
+    * shuffle joined once, and the rewrite is a codegen'd
+    * filter-with-index over the ORIGINAL tokens (case preserved — the
+    * lowercase in [[duplicateSpans]] is match-only). Documents with no
+    * spans pass through untouched. */
+  def stripSpans(df: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame): DataFrame = {
+    val sp = spans.groupBy(col("doc_id").as("__sid"))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("__spans"))
+    df.join(sp, df(idCol) === sp("__sid"), "left")
+      .withColumn(textCol, when(col("__spans").isNull, col(textCol))
+        .otherwise(concat_ws(" ", filter(
+          filter(split(col(textCol), "\\s+"), t => t =!= lit("")),
+          (t, i) => !exists(col("__spans"),
+            s => i >= s.getField("s") && i < s.getField("e"))))))
+      .drop("__sid", "__spans")
+  }
+
   private def symmetrize(e: DataFrame): DataFrame =
     e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
 

@@ -690,6 +690,76 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.9, s"LSH recall too low: $recall (${lsh.size}/${exact.size})")
   }
 
+  test("duplicateSpans == plain-Scala brute force; stripSpans drops exactly " +
+      "the span tokens, case preserved") {
+    val ss = spark
+    import ss.implicits._
+    // shared 4-token boilerplate inside otherwise-unrelated docs; doc 4
+    // self-repeats a phrase (must NOT count toward document frequency);
+    // docs 5/6 share an ADJACENT pair of 3-grams (island must merge)
+    val docs = Seq(
+      (1L, "Alpha beta THE QUICK brown fox gamma delta"),
+      (2L, "omega THE quick BROWN fox epsilon zeta eta"),
+      (3L, "totally unrelated words here nothing shared at all"),
+      (4L, "ping pong ping pong ping pong ping pong solo"),
+      (5L, "xx one two three four five six yy"),
+      (6L, "zz one two three four five six qq")
+    ).toDF("doc_id", "text")
+    val n = 3
+    def brute(minDf: Int): Set[(Long, Long, Long)] = {
+      val toks = docs.collect().map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq).toMap
+      val gramDocs = toks.toSeq.flatMap { case (id, ts) =>
+        ts.sliding(n).filter(_.size == n).map(g => (g.mkString(" "), id))
+      }.distinct.groupBy(_._1).map { case (g, xs) => g -> xs.size }
+      toks.toSeq.flatMap { case (id, ts) =>
+        val starts = ts.sliding(n).zipWithIndex
+          .filter { case (g, _) => g.size == n && gramDocs(g.mkString(" ")) >= minDf }
+          .map(_._2.toLong).toSeq.sorted
+        // merge starts into maximal islands (chain while <= prev + n)
+        val spans = starts.foldLeft(List.empty[(Long, Long)]) {
+          case (acc, s) => acc match {
+            case (a, b) :: rest if s <= b => (a, math.max(b, s + n)) :: rest
+            case _ => (s, s + n) :: acc
+          }
+        }.reverse
+        spans.map { case (a, b) => (id, a, b) }
+      }.toSet
+    }
+    val got = Dedup.duplicateSpans(docs, "doc_id", "text", n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute(2), s"got $got\nexp ${brute(2)}")
+    // the known fixture facts, asserted directly: docs 1/2 share
+    // "the quick brown fox" -> two overlapping 3-grams merge into one
+    // 4-token span per doc; doc 4's self-repeat produces NOTHING; docs
+    // 5/6's shared 6-token run merges 4 overlapping grams
+    assert(got.exists { case (d, a, b) => d == 1L && b - a == 4 })
+    assert(got.exists { case (d, a, b) => d == 2L && b - a == 4 })
+    assert(!got.exists(_._1 == 4L), "self-repeats must not clear minDf")
+    assert(got.count(t => t._1 == 5L || t._1 == 6L) == 2 &&
+      got.filter(t => t._1 == 5L).forall(t => t._3 - t._2 == 6))
+    // strip: doc 3 untouched (no spans row at all), span tokens removed,
+    // surviving tokens keep ORIGINAL case and order
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text", n)
+    val cleaned = Dedup.stripSpans(docs, "doc_id", "text", spans)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned(3L) == "totally unrelated words here nothing shared at all")
+    assert(cleaned(4L) == "ping pong ping pong ping pong ping pong solo")
+    assert(cleaned(1L) == "Alpha beta gamma delta", cleaned(1L))
+    assert(cleaned(2L) == "omega epsilon zeta eta", cleaned(2L))
+    assert(cleaned(5L) == "xx yy" && cleaned(6L) == "zz qq")
+    // token-count identity: after == before - sum(span lengths) (merged
+    // islands are disjoint by construction)
+    val before = docs.collect().map(r => r.getLong(0) ->
+      r.getString(1).split("\\s+").count(_.nonEmpty)).toMap
+    val lens = spans.collect().groupBy(_.getLong(0))
+      .map { case (d, rs) => d -> rs.map(r => r.getLong(2) - r.getLong(1)).sum }
+    cleaned.foreach { case (d, txt) =>
+      val after = txt.split("\\s+").count(_.nonEmpty)
+      assert(after == before(d) - lens.getOrElse(d, 0L), s"doc $d")
+    }
+  }
+
   test("ngram stop-gram cutoff: identity when unreached, prunes ubiquitous grams when hit") {
     val ss = spark
     import ss.implicits._
