@@ -1160,6 +1160,37 @@ object StrawSqlSurface {
       .queryExecution.analyzed
   }
 
+  val DupSpansName = "straw_dup_spans"
+
+  /** `straw_dup_spans('<table path>', '<id col>', '<text col>', n[,
+    * minDf])`: exact substring (span) dedup
+    * ([[graft.ops.Dedup.duplicateSpans]], Lee et al. 2022) over a
+    * strawboat table as plain SQL — (doc_id, span_start, span_end) rows
+    * in token coordinates, maximal cross-document runs of >= n tokens
+    * occurring in >= minDf (default 2) documents. The dedup family's
+    * first SQL entry point. LAZY like [[chunkBuilder]]: the builder
+    * returns the md5-gram + gaps-and-islands plan, EXPLAIN costs
+    * nothing, and the output composes (e.g. anti-join a cleaning pass). */
+  def dupSpansBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 4 && args.length <= 5 && args.take(3).forall(a =>
+        a.foldable && a.dataType == StringType),
+      s"$DupSpansName expects (table path, id col, text col, n[, minDf])")
+    val empty = org.apache.spark.sql.catalyst.InternalRow.empty
+    val Seq(path, idCol, textCol) = args.take(3).map(_.eval(empty))
+    require(path != null && idCol != null && textCol != null,
+      s"$DupSpansName: arguments must not be null")
+    val n = numericLit(args(3), s"$DupSpansName: n")
+    require(n == n.toInt, s"$DupSpansName: n must be an integer")
+    val minDf = args.lift(4).map(numericLit(_, s"$DupSpansName: minDf"))
+      .getOrElse(2.0)
+    require(minDf == minDf.toInt, s"$DupSpansName: minDf must be an integer")
+    val spark = org.apache.spark.sql.SparkSession.active
+    graft.ops.Dedup.duplicateSpans(
+        spark.read.format("strawboat").load(resolveDir(path.toString)),
+        idCol.toString, textCol.toString, n.toInt, minDf.toInt)
+      .queryExecution.analyzed
+  }
+
   val LmScoreName = "straw_lm_score"
 
   /** `straw_lm_score('<table path>', '<id col>', '<text col>')`: the
@@ -1537,6 +1568,10 @@ object StrawSqlSurface {
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName, ChunkName),
       chunkBuilder _)
     spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier(DupSpansName),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName, DupSpansName),
+      dupSpansBuilder _)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier(LmScoreName),
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName, LmScoreName),
       lmScoreBuilder _)
@@ -1711,6 +1746,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName,
         StrawSqlSurface.ChunkName),
       StrawSqlSurface.chunkBuilder _))
+    extensions.injectTableFunction((
+      FunctionIdentifier(StrawSqlSurface.DupSpansName),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName,
+        StrawSqlSurface.DupSpansName),
+      StrawSqlSurface.dupSpansBuilder _))
     extensions.injectTableFunction((
       FunctionIdentifier(StrawSqlSurface.LmScoreName),
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName,

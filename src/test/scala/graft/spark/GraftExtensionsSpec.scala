@@ -458,6 +458,24 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
     assert(tSql == tApi)
 
+    // straw_dup_spans: SQL == Scala (docs 1/2/4 share token runs), lazy,
+    // minDf literal accepted, loud on a non-numeric n
+    val spansSql = spark.sql(
+      s"""SELECT * FROM straw_dup_spans('$dir', 'doc_id', 'text', 4)
+         |ORDER BY doc_id, span_start""".stripMargin).collect().toSeq
+    val spansApi = graft.ops.Dedup.duplicateSpans(
+        spark.read.format("strawboat").load(dir), "doc_id", "text", 4)
+      .orderBy("doc_id", "span_start").collect().toSeq
+    assert(spansSql == spansApi && spansSql.nonEmpty)
+    assert(spark.sql(
+      s"SELECT * FROM straw_dup_spans('$dir', 'doc_id', 'text', 4, 3)")
+      .collect().length <= spansSql.length) // stricter df never adds spans
+    val eSpan = intercept[Exception](spark.sql(
+      s"SELECT * FROM straw_dup_spans('$dir', 'doc_id', 'text', 'x')").collect())
+    assert(eSpan.getMessage.contains("straw_dup_spans") ||
+      (eSpan.getCause != null &&
+        eSpan.getCause.getMessage.contains("straw_dup_spans")))
+
     // lazy: EXPLAIN shows the probe plan, composition in a CTE works
     val plan = spark.sql(
       s"EXPLAIN SELECT count(*) FROM straw_chunk('$dir', 'doc_id', 'text', 8, 2)")
