@@ -86,7 +86,11 @@ object Bench {
     // round 17: full-corpus distributed k-means (3 Lloyd passes + assign
     // per run — the honest per-invocation cost of the clustering op) and
     // the cell-pruned IVF-BQ probe. NOTE: both NEW in round 17.
-    "q_cluster_assign", "q_ann_ivfbq")
+    "q_cluster_assign", "q_ann_ivfbq",
+    // round 18: exact substring (span) dedup — md5 n-gram document
+    // frequency + per-doc gaps-and-islands merge (Lee et al. 2022).
+    // NOTE for round-over-round totals: NEW in round 18.
+    "q_dedup_spans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
