@@ -381,7 +381,16 @@ object Dedup {
     * classic gaps-and-islands over each doc's duplicated starts — a
     * per-DOC window bounded by that document's own token count, never a
     * corpus sort. Self-repeats inside one document do not count toward
-    * `minDf` (document frequency, not occurrence count). */
+    * `minDf` (document frequency, not occurrence count).
+    *
+    * The gram relation feeds two branches (the document-frequency
+    * aggregate and the hit join), so the tokenize+md5 projection runs
+    * twice — a deliberate 2×-scan trade: both passes are map-only with
+    * one hash shuffle each, and the alternative (materializing the gram
+    * relation, or collecting per-gram occurrence lists in one aggregate)
+    * either breaks the lazy-TVF contract or puts a corpus-sized group in
+    * one task when a gram appears in every document — exactly the
+    * boilerplate this op exists to find. */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int = 20, minDf: Int = 2): DataFrame = {
     require(n >= 1, s"duplicateSpans: n must be >= 1, got $n")
