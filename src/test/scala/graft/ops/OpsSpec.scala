@@ -758,6 +758,19 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val after = txt.split("\\s+").count(_.nonEmpty)
       assert(after == before(d) - lens.getOrElse(d, 0L), s"doc $d")
     }
+    // null/empty/short texts: no grams, no spans, strip passes them
+    // through untouched (incl. null)
+    val edge = Seq((10L, null.asInstanceOf[String]), (11L, ""),
+      (12L, "one two"), (13L, "shared run here zz"),
+      (14L, "shared run here qq")).toDF("doc_id", "text")
+    val eSpans = Dedup.duplicateSpans(edge, "doc_id", "text", n)
+    val eRows = eSpans.collect().map(_.getLong(0)).toSet
+    assert(eRows == Set(13L, 14L), s"edge spans: $eRows")
+    val eClean = Dedup.stripSpans(edge, "doc_id", "text", eSpans)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(eClean(10L).isEmpty && eClean(11L).contains("") &&
+      eClean(12L).contains("one two"))
+    assert(eClean(13L).contains("zz") && eClean(14L).contains("qq"))
   }
 
   test("ngram stop-gram cutoff: identity when unreached, prunes ubiquitous grams when hit") {
