@@ -2387,6 +2387,39 @@ object SparkEntry {
       }
       s.read.format("strawboat").load(outDir)
         .orderBy(col("digest"))
+    }),
+    "q_stream_neardup" -> ((s, d) => {
+      // streaming MinHash near-dup, first-writer-wins: originals stream
+      // first (ascending doc_id), then id-shifted EXACT copies of every
+      // text land in later micro-batches — each copy's signature agrees
+      // 32/32 with its original's, whose LSH buckets the state store
+      // already holds, so every copy must drop. The gate asserts (a) the
+      // streamed kept set equals nearDupFirstSeenBatch on the same union
+      // EXACTLY (the ascending-admission contract — exemplars, estimator
+      // verdicts, greedy chain and all), and (b) zero copies survive;
+      // n_docs is independently oracle-derivable
+      val docsDir = Tables.strawDir(s, d, "documents")
+      val docs = s.read.format("strawboat").load(docsDir)
+        .select(col("doc_id"), col("text"))
+      val outDir = streamedSink(s, docsDir, "nd", "q_stream_neardup",
+        docs, "doc_id", ds => Seq(
+          ds.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+            .coalesce(2))) { stream =>
+        Dedup.streamingNearDupFirstSeen(stream, "doc_id", "text",
+          threshold = 0.9).toDF("doc_id")
+      }
+      val streamKept = s.read.format("strawboat").load(outDir)
+        .select(col("doc_id"))
+      val union = docs.unionAll(docs.select(
+        (col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val batchKept = Dedup.nearDupFirstSeenBatch(union, "doc_id", "text",
+        threshold = 0.9).select(col("sid").as("doc_id"))
+      val same = streamKept.exceptAll(batchKept).isEmpty &&
+        batchKept.exceptAll(streamKept).isEmpty
+      val noCopies = streamKept.filter(col("doc_id") >= 1000000L).isEmpty
+      docs.agg(count(lit(1)).as("n_docs"))
+        .select(col("n_docs"), lit(same).as("stream_equals_batch_ok"),
+          lit(noCopies).as("copies_dropped_ok"))
     })
   )
 
@@ -3574,6 +3607,13 @@ object SparkEntry {
       // sides); the row count pins exactly-once emission
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,
+    // the seeded minhash state isn't SQL-derivable, but stream == batch
+    // replay and copies-all-drop are structural claims — the oracle pins
+    // the corpus size and the expected-true gate bits
+    "q_stream_neardup" ->
+      """SELECT count(*)::BIGINT AS n_docs, true AS stream_equals_batch_ok,
+        |  true AS copies_dropped_ok
+        |FROM documents""".stripMargin,
     "q_scan_partitioned" ->
       """SELECT user_id, count(*) AS cnt, round(min(value), 2) AS mn
         |FROM events WHERE event_type = 'purchase'

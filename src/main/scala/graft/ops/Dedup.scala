@@ -52,6 +52,130 @@ object Dedup {
       }
   }
 
+  /** STREAMING MinHash near-dup, first-writer-wins: emits the ids of docs
+    * that are NOT near-duplicates of any earlier-arriving doc — the
+    * unbounded-stream counterpart of [[minHashNearDup]], the way
+    * [[streamingFirstSeen]] is [[exact]]'s.
+    *
+    * Two chained stateful stages (both Append — Spark admits multiple
+    * flatMapGroupsWithState in append mode):
+    *
+    *  1. keyed by LSH (band, bucket): state is ONE exemplar per bucket —
+    *     the first-arriving doc's (id, signature). Later docs in the
+    *     bucket verify their signature against the exemplar's
+    *     (agreement fraction >= threshold — the MinHash Jaccard
+    *     estimator, Binomial(numHashes, j)/numHashes). Within a batch,
+    *     rows process in ascending-id order.
+    *  2. keyed by doc id, STATELESS (state never written — the group pass
+    *     is per-batch): a doc survives iff NO band called it a dup. All
+    *     of a doc's band rows are emitted in its own micro-batch, so
+    *     nothing waits across batches.
+    *
+    * Approximation contract (all deliberate, all bounded-state):
+    * verification is against the estimator, not an exact re-shingle (the
+    * same class as [[minHashNearDup]]'s signaturePrefilter); each bucket
+    * keeps only its FIRST exemplar, so a dup of a NON-exemplar neighbor
+    * is caught only via one of its other `bands` buckets (the banding
+    * OR-construction that carries LSH recall anyway); dropped docs still
+    * serve as exemplars — the same greedy chain every first-writer-wins
+    * dedup has. State: one (id, signature) per DISTINCT occupied bucket —
+    * `bands` rows per distinct doc at worst, fixed-width longs.
+    *
+    * Doc ids are assumed UNIQUE (the contract everywhere in this
+    * module): a re-sent id verdicts against its own stored exemplar
+    * signature (agreement 1.0) and drops — re-sends never re-emit.
+    *
+    * If batches admit in ascending-id order (the replay/backfill shape),
+    * the kept set equals [[nearDupFirstSeenBatch]] exactly — the gate
+    * hook. */
+  def streamingNearDupFirstSeen(stream: DataFrame, idCol: String,
+      textCol: String, k: Int = 5, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.8): org.apache.spark.sql.Dataset[Long] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(numHashes % bands == 0,
+      s"streamingNearDupFirstSeen: bands ($bands) must divide numHashes ($numHashes)")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"streamingNearDupFirstSeen: threshold must be in (0, 1], got $threshold")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    // signature AND band buckets in one map-only projection (the batch
+    // path's lshBuckets join would be a stream-stream join here)
+    val sigRows = stream.select(
+        col(idCol).cast("long").as("sid"),
+        graft.functions.TextHashFunctions.minHashSignature(
+          spark, col(textCol), k, numHashes).as("sig"))
+    val rows = numHashes / bands
+    val bandHashes = (0 until bands).map { b =>
+      xxhash64((b * rows until (b + 1) * rows)
+        .map(i => element_at(col("sig"), i + 1)): _*)
+    }
+    val bucketRows = sigRows.select(col("sid"), col("sig"),
+        posexplode(array(bandHashes: _*)).as(Seq("band", "bucket")))
+      .select(col("band"), col("bucket"), col("sid"), col("sig"))
+      .as[(Int, Long, Long, Seq[Long])]
+    val verdicts = bucketRows
+      .groupByKey { case (band, bucket, _, _) => (band, bucket) }
+      .flatMapGroupsWithState[(Long, Seq[Long]), (Long, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, it, state) =>
+          val batch = it.toSeq.sortBy(_._3)
+          val out = Seq.newBuilder[(Long, Boolean)]
+          var exemplar = state.getOption
+          batch.foreach { case (_, _, sid, sig) =>
+            exemplar match {
+              case None =>
+                exemplar = Some((sid, sig))
+                state.update((sid, sig))
+                out += ((sid, false))
+              case Some((_, esig)) =>
+                val agree = sig.iterator.zip(esig.iterator)
+                  .count { case (a, b) => a == b }
+                out += ((sid, agree.toDouble / numHashes >= threshold))
+            }
+          }
+          out.result().iterator
+      }
+    verdicts
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, Long](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sid, it, _) => // state never written: a per-batch group pass
+          if (it.exists(_._2)) Iterator.empty else Iterator.single(sid)
+      }
+  }
+
+  /** The batch replay of [[streamingNearDupFirstSeen]] under ascending-id
+    * admission: the exemplar of each (band, bucket) is its MINIMUM doc id,
+    * and a doc survives iff no band's exemplar (other than itself)
+    * estimates >= threshold against it. Returns the kept ids. The only
+    * shuffles are the bucket aggregation and the bucket-keyed verdict
+    * join — work proportional to bucket population, never corpus². */
+  def nearDupFirstSeenBatch(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0,
+      s"nearDupFirstSeenBatch: bands ($bands) must divide numHashes ($numHashes)")
+    val spark = df.sparkSession
+    val sigs = minHashSignatures(df, idCol, textCol, k, numHashes)
+    val buckets = lshBuckets(sigs, bands, numHashes / bands)
+      .join(sigs, "sid")
+    val exemplars = buckets
+      .groupBy(col("band"), col("bucket"))
+      .agg(min_by(struct(col("sid").as("eid"), col("sig").as("esig")),
+        col("sid")).as("e"))
+      .select(col("band"), col("bucket"),
+        col("e.eid").as("eid"), col("e.esig").as("esig"))
+    buckets.join(exemplars, Seq("band", "bucket"))
+      .withColumn("est",
+        size(filter(zip_with(col("sig"), col("esig"),
+          (x, y) => x === y), e => e)).cast("double") / numHashes)
+      .groupBy(col("sid"))
+      .agg(max(when(col("eid") =!= col("sid") && col("est") >= threshold,
+        1).otherwise(0)).as("dup"))
+      .filter(col("dup") === 0)
+      .select(col("sid"))
+  }
+
   /** Distinct k-character shingles of `text` as 64-bit hashes, one row per
     * (id, shingle) — the codegen'd [[graft.functions.ShingleHashes]] kernel
     * (one pass over the UTF-8 bytes per row; the SQL sequence/transform/

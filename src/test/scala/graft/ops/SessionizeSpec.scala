@@ -149,6 +149,49 @@ class SessionizeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq(1L, 2L, 6L), s"got $got")
   }
 
+  test("streaming near-dup first-seen: stream == batch replay under " +
+      "ascending admission; same-batch and cross-batch dups drop") {
+    val sp = spark; import sp.implicits._
+    val data = s"$dir/neardup"
+    val textA = "the quick brown fox jumps over the lazy dog by the river today"
+    val textA2 = "the quick brown fox jumps over the lazy dog by the river now"
+    val textA3 = "a quick brown fox jumps over the lazy dog by the river today"
+    val textB = "uno dos tres quatro cinco seis siete ocho nueve diez once doce"
+    val textC = "completely different content with no shared shingles at all here"
+    // batch 1: 1 (base), 2 (near-dup of 1, SAME batch), 3 (distinct)
+    Seq((1L, textA), (2L, textA2), (3L, textB)).toDF("doc_id", "text")
+      .coalesce(1).write.format("strawboat").mode("append").save(data)
+    // batch 2: 4 (near-dup of 1, CROSS batch), 5 (distinct), 6 (copy of 5)
+    Seq((4L, textA3), (5L, textC), (6L, textC)).toDF("doc_id", "text")
+      .coalesce(1).write.format("strawboat").mode("append").save(data)
+    val stream = spark.readStream.format("strawboat")
+      .option("maxFilesPerTrigger", 1).load(data)
+    val q = Dedup.streamingNearDupFirstSeen(stream, "doc_id", "text",
+        threshold = 0.5)
+      .toDF("doc_id")
+      .writeStream.format("memory").queryName("nd_out")
+      .option("checkpointLocation", s"$dir/ndckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream drain timed out")
+    val got = spark.sql("SELECT doc_id FROM nd_out ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    // the batch replay is the contract under ascending-id admission
+    val batch = Dedup.nearDupFirstSeenBatch(
+        spark.read.format("strawboat").load(data), "doc_id", "text",
+        threshold = 0.5)
+      .orderBy("sid").collect().map(_.getLong(0)).toSeq
+    assert(got == batch, s"stream $got != batch replay $batch")
+    // and the planted structure holds: bases/distincts kept, dups dropped
+    assert(got.contains(1L) && got.contains(3L) && got.contains(5L), s"got $got")
+    assert(!got.contains(2L) && !got.contains(6L), s"got $got")
+    // guards
+    intercept[IllegalArgumentException](Dedup.streamingNearDupFirstSeen(
+      stream, "doc_id", "text", bands = 7))
+    intercept[IllegalArgumentException](Dedup.streamingNearDupFirstSeen(
+      stream, "doc_id", "text", threshold = 0.0))
+  }
+
   test("guards: non-positive gap refuses") {
     val sp = spark; import sp.implicits._
     val df = Seq((1L, new java.sql.Timestamp(0L), 1L, 1.0))
