@@ -90,6 +90,13 @@ object SparkEntry {
         .write.format("strawboat").mode("overwrite").save(dir)
     }
 
+  /** `k` one-hot centroids over `dim` dims (centroid c = e_c): the fixed
+    * SemDeDup quantizer whose L2-nearest assignment reduces to an argmax
+    * over the first `k` embedding dims — exactly replayable in the SQL
+    * oracle (q_dedup_semantic / _clean). */
+  private def oneHotCents(k: Int, dim: Int): Array[Array[Float]] =
+    Array.tabulate(k, dim)((c, i) => if (i == c) 1f else 0f)
+
   /** The persisted PQ index fixture (q_ann_pq / _pq_recall): embeddings
     * encoded once as (vec_id, pqcode, embedding) sorted by vec_id, with
     * the codebook sidecar — the build lands here, the queries time the
@@ -1282,6 +1289,51 @@ object SparkEntry {
       exact.join(lsh, Seq("id_a", "id_b"), "left")
         .agg(count(lit(1)).as("n_exact"),
           (sum(coalesce(col("hit"), lit(0))) >= count(lit(1)) * 0.9).as("recall_ok"))
+    }),
+    "q_dedup_semantic" -> ((s, d) => {
+      // SemDeDup over FIXED one-hot centroids (axis c of the first 4
+      // dims): the L2-nearest one-hot centroid is the argmax over those
+      // dims (d_c = |x|² − 2·x_c + 1, ties to the lowest cell like the
+      // kernel), so the oracle replays assignment + cluster-bounded pair
+      // + keep-earliest EXACTLY; the fitted-centroid tier is gated by
+      // q_dedup_semantic_recall
+      Dedup.semanticDupIds(s, t(s, d, "embeddings"), oneHotCents(4, 64), 0.45)
+        .orderBy(col("vec_id"))
+    }),
+    "q_dedup_semantic_clean" -> ((s, d) => {
+      // the kept corpus (anti-join on the dup ids)
+      Dedup.semanticDedup(s, t(s, d, "embeddings"), oneHotCents(4, 64), 0.45)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    }),
+    "q_dedup_semantic_recall" -> ((s, d) => {
+      // gate for the FITTED tier on the premise SemDeDup actually claims
+      // — TRUE semantic duplicates (cos ≈ 1) co-locate in k-means cells.
+      // One EXACT copy of every corpus row is planted (ids +100000); at
+      // tau = 0.95 the droppable set is exactly the copies (the
+      // strongest ORIGINAL pair on this near-random corpus sits at
+      // ~0.51 — the oracle derives the same set independently), each
+      // copy shares its source's cell by assignment determinism, so the
+      // fitted tier must recover the set EXACTLY; subset is the
+      // construction invariant (cell-bounded pairs ⊆ all pairs). A gate
+      // at the 0.45 tier instead would measure noise: those "pairs" are
+      // angular coincidences of a near-random corpus (their label pairs
+      // cross freely) and carry no cluster signal for ANY k > 1 —
+      // SemDeDup's contract is duplicate removal, not low-threshold
+      // pair mining (that is lshNearDupPairs / exactNearDupPairs)
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val corpus = emb.unionAll(emb.select(
+        (col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      val exact = Ann.exactNearDupPairs(s, corpus, 0.95)
+        .select(col("id_b").as("vec_id")).distinct()
+        .withColumn("ex", lit(1))
+      val (fitted, _) =
+        Dedup.semanticDupIdsFit(s, corpus, 64, 8, 0.95, iters = 2)
+      exact.join(fitted.withColumn("hit", lit(1)), Seq("vec_id"), "full")
+        .agg(sum(coalesce(col("ex"), lit(0))).cast("long").as("n_exact"),
+          (sum(when(col("ex").isNull, 1).otherwise(0)) === 0).as("subset_ok"),
+          (sum(when(col("ex") === 1 && col("hit") === 1, 1).otherwise(0)) ===
+            sum(coalesce(col("ex"), lit(0)))).as("recall_ok"))
     }),
     "q_ann_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -2915,6 +2967,47 @@ object SparkEntry {
         |FROM embeddings a, embeddings b
         |WHERE a.vec_id < b.vec_id
         |  AND round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.45""".stripMargin,
+    // SemDeDup over one-hot centroids: L2-nearest one-hot == argmax over
+    // the first 4 dims (ties to the lowest cell, matching the kernel)
+    "q_dedup_semantic" ->
+      """WITH a AS (
+        |  SELECT vec_id, embedding,
+        |    CASE WHEN embedding[1] >= embedding[2] AND embedding[1] >= embedding[3]
+        |              AND embedding[1] >= embedding[4] THEN 0
+        |         WHEN embedding[2] >= embedding[3] AND embedding[2] >= embedding[4] THEN 1
+        |         WHEN embedding[3] >= embedding[4] THEN 2 ELSE 3 END AS cell
+        |  FROM embeddings)
+        |SELECT DISTINCT b.vec_id AS vec_id
+        |FROM a x JOIN a b ON x.cell = b.cell AND x.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(x.embedding, b.embedding), 4) >= 0.45
+        |ORDER BY vec_id""".stripMargin,
+    "q_dedup_semantic_clean" ->
+      """WITH a AS (
+        |  SELECT vec_id, embedding,
+        |    CASE WHEN embedding[1] >= embedding[2] AND embedding[1] >= embedding[3]
+        |              AND embedding[1] >= embedding[4] THEN 0
+        |         WHEN embedding[2] >= embedding[3] AND embedding[2] >= embedding[4] THEN 1
+        |         WHEN embedding[3] >= embedding[4] THEN 2 ELSE 3 END AS cell
+        |  FROM embeddings),
+        |dups AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM a x JOIN a b ON x.cell = b.cell AND x.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(x.embedding, b.embedding), 4) >= 0.45)
+        |SELECT e.vec_id, e.label FROM embeddings e
+        |WHERE e.vec_id NOT IN (SELECT vec_id FROM dups)
+        |ORDER BY vec_id""".stripMargin,
+    // fitted-tier gate: n_exact independently derivable (the droppable
+    // set over the copy-planted union); subset + exact-recovery bits
+    // pinned true
+    "q_dedup_semantic_recall" ->
+      """WITH u AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings)
+        |SELECT count(DISTINCT b.vec_id)::BIGINT AS n_exact,
+        |  true AS subset_ok, true AS recall_ok
+        |FROM u a, u b
+        |WHERE a.vec_id < b.vec_id
+        |  AND round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.95""".stripMargin,
     // the seeded fingerprints aren't SQL-derivable, but the COVERAGE claim
     // is a construction invariant (pigeonhole over 4 bands) — the oracle
     // pins the corpus size and the expected-true gate bit

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale drill for SemDeDup (not part of `sbt test`): `n` vectors around
+  * `k` deterministic pseudo-random centers (noise large enough that
+  * same-cluster strangers sit near cos ~0.8 with a tail that dies before
+  * the 0.995 cut), with one planted near-exact copy per `dupEvery` base
+  * rows. The quantizer is FIXED to the planted
+  * centers, so the drill times exactly the operator's own scale shape —
+  * broadcast-kernel assignment + the cluster-bounded pair scan (cells of
+  * ~n/k rows; never all-pairs). Checks: the dup set is exactly the planted
+  * copies (copies land in their base's cell; strangers stay under tau).
+  * Usage: sbt "Test/runMain graft.DevSemScale [n] [k] [dupEvery]" */
+object DevSemScale {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(200000)
+    val k = args.lift(1).map(_.toInt).getOrElse(256)
+    val dupEvery = args.lift(2).map(_.toInt).getOrElse(100)
+    val dim = 16
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // center c, dim j ∈ ±10; per-row noise ±5 — both deterministic hashes
+    def center(cCol: org.apache.spark.sql.Column, j: Int) =
+      pmod(xxhash64(cCol, lit(j + 1000000)), lit(2000L)) / 100.0 - 10.0
+    def emb(idCol: org.apache.spark.sql.Column) = {
+      val c = pmod(idCol, lit(k.toLong))
+      array((0 until dim).map(j =>
+        (center(c, j) +
+          pmod(xxhash64(idCol, lit(j)), lit(10000L)) / 1000.0 - 5.0)
+          .cast("float")): _*)
+    }
+    val nCopies = n / dupEvery
+    val base = spark.range(n.toLong)
+      .select(col("id").as("vec_id"), emb(col("id")).as("embedding"))
+    val copies = spark.range(nCopies.toLong)
+      .select((col("id") + n).as("vec_id"),
+        transform(emb(col("id") * dupEvery), x => x + lit(0.001f))
+          .as("embedding"))
+    val corpus = base.union(copies).repartition(32)
+    val frozen = corpus.localCheckpoint(true) // freeze gen out of the timing
+
+    // the centroid matrix from the SAME center expressions (a k·dim probe
+    // — no driver-side reimplementation of the seed-chained hash)
+    val cents = Array.ofDim[Float](k, dim)
+    spark.range(k.toLong)
+      .select(col("id"),
+        array((0 until dim).map(j => center(col("id"), j).cast("float")): _*)
+          .as("c"))
+      .collect()
+      .foreach { r =>
+        val a = r.getSeq[Float](1)
+        (0 until dim).foreach(j => cents(r.getLong(0).toInt)(j) = a(j))
+      }
+
+    val t0 = System.nanoTime()
+    // tau 0.995: planted copies score ~1.0; same-cluster strangers sit
+    // near cos ~0.8 with a tail that dies out well before 0.99 (both
+    // noises would have to vanish simultaneously)
+    val dups = graft.ops.Dedup.semanticDupIds(spark, frozen, cents, 0.995)
+      .collect().map(_.getLong(0)).toSet
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"SEMDEDUP $n%,d + $nCopies%,d copies, k=$k: " +
+      f"${dups.size}%,d dups in $secs%.1f s")
+    val want = (0 until nCopies).map(i => (n + i).toLong).toSet
+    val missed = want -- dups
+    val extra = dups -- want
+    require(missed.isEmpty, s"missed ${missed.size} planted copies, " +
+      s"e.g. ${missed.take(5)}")
+    require(extra.isEmpty, s"${extra.size} false dups, e.g. ${extra.take(5)}")
+    println("SEMDEDUP planted-copy recovery exact: OK")
+    spark.stop()
+  }
+}

@@ -979,4 +979,84 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mh.subsetOf(exact))
     if (exact.nonEmpty) assert(mh.nonEmpty)
   }
+
+  test("semanticDupIds == plain-Scala reference on planted clusters; " +
+      "cross-cell pairs survive; fitted tier subsets the exact set") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(43)
+    val dim = 8
+    def axis(c: Int, amp: Float = 1.0f) =
+      Array.tabulate(dim)(i => if (i == c) amp else 0.0f)
+    // 3 jittered groups + near-exact copies of rows 0/1/2 + one pair that
+    // is similar ACROSS the fixed cell boundary (argmax dims 0 vs 1): the
+    // cluster bound must keep BOTH halves of that pair
+    val base = (0L until 90L).map { id =>
+      val c = (id % 3).toInt
+      (id, axis(c).map(x => x + (rnd.nextFloat() - 0.5f) * 0.8f))
+    }
+    val copies = Seq(0L, 1L, 2L).map { src =>
+      (90L + src, base(src.toInt)._2.map(x => x + 0.001f))
+    }
+    val crossPair = Seq(
+      (200L, Array(0.9f, 0.8f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (201L, Array(0.8f, 0.9f, 0f, 0f, 0f, 0f, 0f, 0f)))
+    val rows = base ++ copies ++ crossPair
+    val corpus = rows.toDF("vec_id", "embedding").repartition(5)
+    val cents = Array.tabulate(3, dim)((c, i) => if (i == c) 1.0f else 0.0f)
+    val tau = 0.98
+
+    // plain-Scala reference: same assignment (L2 argmin, lowest-cell tie),
+    // same round-4 cosine, same keep-earliest rule
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    def cell(v: Array[Float]): Int =
+      cents.zipWithIndex.minBy { case (c, i) => (l2(c, v), i) }._2
+    def cos4(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < dim) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      math.rint(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e4) / 1e4
+    }
+    val expected = rows.filter { case (id, v) =>
+      rows.exists { case (id2, v2) =>
+        id2 < id && cell(v2) == cell(v) && cos4(v2, v) >= tau
+      }
+    }.map(_._1).toSet
+    assert(expected.intersect(Set(90L, 91L, 92L)) == Set(90L, 91L, 92L),
+      "planted copies must be droppable in the reference")
+
+    val got = Dedup.semanticDupIds(spark, corpus, cents, tau)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected, s"got ${got.toSeq.sorted}, want ${expected.toSeq.sorted}")
+    // the cross-cell similar pair is NOT deduped (cells differ: argmax
+    // dim 0 vs dim 1) even though its cosine clears tau
+    assert(cos4(crossPair(0)._2, crossPair(1)._2) >= tau)
+    assert(!got.contains(201L))
+
+    // kept corpus == corpus minus dups
+    val kept = Dedup.semanticDedup(spark, corpus, cents, tau)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == rows.map(_._1).toSet -- expected)
+
+    // fitted tier: cluster-bounded dups are always a SUBSET of the
+    // unbounded exact droppable set; the near-exact planted copies land
+    // with their originals (identical assignment) so they are recovered
+    val exactDroppable = rows.filter { case (id, v) =>
+      rows.exists { case (id2, v2) => id2 < id && cos4(v2, v) >= tau }
+    }.map(_._1).toSet
+    val (fitted, fittedCents) =
+      Dedup.semanticDupIdsFit(spark, corpus, dim, 3, tau, iters = 2)
+    val fittedIds = fitted.collect().map(_.getLong(0)).toSet
+    assert(fittedCents.length == 3)
+    assert(fittedIds.subsetOf(exactDroppable))
+    assert(Set(90L, 91L, 92L).subsetOf(fittedIds))
+
+    intercept[IllegalArgumentException](
+      Dedup.semanticDupIds(spark, corpus, cents, 0.0))
+    intercept[IllegalArgumentException](
+      Dedup.semanticDupIds(spark, corpus, Array.empty[Array[Float]], 0.5))
+  }
 }
