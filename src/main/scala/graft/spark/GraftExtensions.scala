@@ -1191,6 +1191,129 @@ object StrawSqlSurface {
       .queryExecution.analyzed
   }
 
+  val DedupName = "straw_dedup"
+
+  /** `straw_dedup('<table path>', '<id col>', '<content col>')`: exact
+    * dedup by content digest ([[graft.ops.Dedup.exact]]) — one (digest,
+    * keep_id, dup_count) row per distinct content value, keeping the
+    * smallest id. LAZY like [[dupSpansBuilder]]: one hash-partitioned
+    * aggregation, EXPLAIN costs nothing, composes in CTEs (e.g. semi-join
+    * keep_id back for the kept corpus). */
+  def dedupBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 3 && args.forall(a =>
+        a.foldable && a.dataType == StringType),
+      s"$DedupName expects (table path, id col, content col) string literals")
+    val empty = org.apache.spark.sql.catalyst.InternalRow.empty
+    val Seq(path, idCol, contentCol) = args.map(_.eval(empty))
+    require(path != null && idCol != null && contentCol != null,
+      s"$DedupName: arguments must not be null")
+    val spark = org.apache.spark.sql.SparkSession.active
+    graft.ops.Dedup.exact(
+        spark.read.format("strawboat").load(resolveDir(path.toString)),
+        idCol.toString, contentCol.toString)
+      .queryExecution.analyzed
+  }
+
+  val NearDupName = "straw_neardup"
+
+  /** `straw_neardup('<table path>', '<id col>', '<text col>'[, threshold[,
+    * shingle k]])`: MinHash+LSH near-duplicate pairs
+    * ([[graft.ops.Dedup.minHashNearDup]]) — (id_a, id_b, jaccard) rows,
+    * id_a < id_b, exact-verified at >= threshold (default 0.8; shingle
+    * size default 5). LAZY: the signature → band → bucket-join →
+    * row-local-verify plan itself — the only shuffled data is signatures,
+    * buckets, and candidate pairs, never an all-pairs product. */
+  def nearDupBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 3 && args.length <= 5 && args.take(3).forall(a =>
+        a.foldable && a.dataType == StringType),
+      s"$NearDupName expects (table path, id col, text col[, threshold[, k]])")
+    val empty = org.apache.spark.sql.catalyst.InternalRow.empty
+    val Seq(path, idCol, textCol) = args.take(3).map(_.eval(empty))
+    require(path != null && idCol != null && textCol != null,
+      s"$NearDupName: arguments must not be null")
+    val threshold = args.lift(3)
+      .map(numericLit(_, s"$NearDupName: threshold")).getOrElse(0.8)
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"$NearDupName: threshold must be in (0, 1], got $threshold")
+    val k = args.lift(4).map(numericLit(_, s"$NearDupName: k")).getOrElse(5.0)
+    require(k == k.toInt && k >= 1,
+      s"$NearDupName: k must be a positive integer, got $k")
+    val spark = org.apache.spark.sql.SparkSession.active
+    graft.ops.Dedup.minHashNearDup(
+        spark.read.format("strawboat").load(resolveDir(path.toString)),
+        idCol.toString, textCol.toString, k = k.toInt, threshold = threshold)
+      .queryExecution.analyzed
+  }
+
+  val SemDedupName = "straw_semdedup"
+
+  private def semDedupSchema: Seq[AttributeReference] = Seq(
+    AttributeReference("n_in", LongType, nullable = false)(),
+    AttributeReference("n_dropped", LongType, nullable = false)(),
+    AttributeReference("n_kept", LongType, nullable = false)(),
+    AttributeReference("dest_dir", StringType, nullable = false)())
+
+  // one-shot guard like [[compacted]]: the dedup is a fit + distributed
+  // rewrite — re-actioning the same query must not run it twice
+  private val semDeduped = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Int, Int, Double, Int), (Long, Long)]()
+
+  /** `straw_semdedup('<source table>', '<dest dir>', dim, k, tau[,
+    * iters])`: SemDeDup ([[graft.ops.Dedup.semanticDupIdsFit]], Abbas et
+    * al. 2023) from plain SQL — fits full-corpus k-means over the source's
+    * (vec_id, embedding), drops every row with an earlier-id neighbor at
+    * round(cosine, 4) >= tau in the SAME cluster, and writes the kept
+    * corpus as a strawboat table at dest. Returns one (n_in, n_dropped,
+    * n_kept, dest_dir) row. Runs at EXECUTION time ([[DeferredOpPlan]],
+    * the mutating TVFs' lifecycle — the Lloyd fit collects only k·dim
+    * centroids and the rewrite is distributed, so nothing corpus-sized
+    * touches the driver) with [[compactBuilder]]'s one-shot replay
+    * guard. */
+  def semDedupBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 5 && args.length <= 6 &&
+      args.take(2).forall(a => a.foldable && a.dataType == StringType),
+      s"$SemDedupName expects (source table, dest dir, dim, k, tau[, iters])")
+    val empty = org.apache.spark.sql.catalyst.InternalRow.empty
+    val Seq(srcArg, destArg) = args.take(2).map(_.eval(empty))
+    require(srcArg != null && destArg != null,
+      s"$SemDedupName: arguments must not be null")
+    val dimD = numericLit(args(2), s"$SemDedupName: dim")
+    val kD = numericLit(args(3), s"$SemDedupName: k")
+    require(dimD == dimD.toInt && kD == kD.toInt && dimD > 0 && kD > 0,
+      s"$SemDedupName: dim and k must be positive integers")
+    val tau = numericLit(args(4), s"$SemDedupName: tau")
+    require(tau > 0.0 && tau <= 1.0,
+      s"$SemDedupName: tau must be in (0, 1], got $tau")
+    val itersD = args.lift(5).map(numericLit(_, s"$SemDedupName: iters"))
+      .getOrElse(3.0)
+    require(itersD == itersD.toInt && itersD >= 1,
+      s"$SemDedupName: iters must be a positive integer")
+    val src = resolveDir(srcArg.toString)
+    val dest = resolveDir(destArg.toString)
+    require(src != dest, s"$SemDedupName: dest must differ from source")
+    // column presence validates at analysis from the cached footer schema
+    val probe = org.apache.spark.sql.SparkSession.active
+      .read.format("strawboat").load(src)
+    Seq("vec_id", "embedding").foreach(c => require(probe.columns.contains(c),
+      s"$SemDedupName: source must carry a '$c' column " +
+        s"(have: ${probe.columns.mkString(", ")})"))
+    val (dim, k, iters) = (dimD.toInt, kD.toInt, itersD.toInt)
+    DeferredOpPlan(SemDedupName, semDedupSchema, () => {
+      val (nIn, nKept) = semDeduped.computeIfAbsent(
+        (src, dest, dim, k, tau, iters), { _ =>
+          val s = org.apache.spark.sql.SparkSession.active
+          val corpus = s.read.format("strawboat").load(src)
+          val (dups, _) = graft.ops.Dedup.semanticDupIdsFit(
+            s, corpus, dim, k, tau, iters)
+          corpus.join(dups, Seq("vec_id"), "left_anti")
+            .write.format("strawboat").mode("overwrite").save(dest)
+          (corpus.count(), s.read.format("strawboat").load(dest).count())
+        })
+      Seq(org.apache.spark.sql.catalyst.InternalRow(
+        nIn, nIn - nKept, nKept, UTF8String.fromString(dest)))
+    })
+  }
+
   val LmScoreName = "straw_lm_score"
 
   /** `straw_lm_score('<table path>', '<id col>', '<text col>')`: the
@@ -1572,6 +1695,18 @@ object StrawSqlSurface {
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName, DupSpansName),
       dupSpansBuilder _)
     spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier(SemDedupName),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName, SemDedupName),
+      semDedupBuilder _)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier(DedupName),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName, DedupName),
+      dedupBuilder _)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier(NearDupName),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName, NearDupName),
+      nearDupBuilder _)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier(LmScoreName),
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName, LmScoreName),
       lmScoreBuilder _)
@@ -1751,6 +1886,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName,
         StrawSqlSurface.DupSpansName),
       StrawSqlSurface.dupSpansBuilder _))
+    extensions.injectTableFunction((
+      FunctionIdentifier(StrawSqlSurface.SemDedupName),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName,
+        StrawSqlSurface.SemDedupName),
+      StrawSqlSurface.semDedupBuilder _))
+    extensions.injectTableFunction((
+      FunctionIdentifier(StrawSqlSurface.DedupName),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName,
+        StrawSqlSurface.DedupName),
+      StrawSqlSurface.dedupBuilder _))
+    extensions.injectTableFunction((
+      FunctionIdentifier(StrawSqlSurface.NearDupName),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName,
+        StrawSqlSurface.NearDupName),
+      StrawSqlSurface.nearDupBuilder _))
     extensions.injectTableFunction((
       FunctionIdentifier(StrawSqlSurface.LmScoreName),
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName,

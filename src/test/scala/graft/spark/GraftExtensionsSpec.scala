@@ -499,6 +499,67 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (e2.getCause != null && e2.getCause.getMessage.contains("targetFraction")))
   }
 
+  test("straw_dedup / straw_neardup serve the doc-dedup family from SQL, " +
+      "lazy, SQL == Scala") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the cat sat again near the mat today"),
+      (2L, "the cat sat on the mat and the cat sat again near the mat today"),
+      (3L, "uno dos tres quatro cinco seis siete ocho nueve diez once doce"),
+      (4L, "the cat sat on the mat and the cat sat again near the rug today"),
+      (5L, "completely different words entirely here nothing shared at all"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("ext_dedup").toString + "/t"
+    docs.write.format("strawboat").mode("overwrite").save(dir)
+
+    // exact dedup: docs 1/2 collapse (keep 1); SQL == Scala
+    val exSql = spark.sql(
+      s"SELECT * FROM straw_dedup('$dir', 'doc_id', 'text') ORDER BY keep_id")
+      .collect().toSeq
+    val exApi = graft.ops.Dedup.exact(
+        spark.read.format("strawboat").load(dir), "doc_id", "text")
+      .orderBy("keep_id").collect().toSeq
+    assert(exSql == exApi && exSql.size == 4)
+    assert(exSql.map(r => (r.getLong(1), r.getLong(2))).toSet ==
+      Set((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
+
+    // minhash near-dup: 1-2 are identical (j=1.0), 1-4 / 2-4 near; 3 and
+    // 5 pair with nothing; SQL == Scala incl. the optional literals
+    val ndSql = spark.sql(
+      s"SELECT * FROM straw_neardup('$dir', 'doc_id', 'text') ORDER BY id_a, id_b")
+      .collect().toSeq
+    val ndApi = graft.ops.Dedup.minHashNearDup(
+        spark.read.format("strawboat").load(dir), "doc_id", "text")
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(ndSql == ndApi)
+    assert(ndSql.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
+    assert(!ndSql.exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L))
+    val loose = spark.sql(
+      s"SELECT * FROM straw_neardup('$dir', 'doc_id', 'text', 0.5, 4)")
+      .collect()
+    assert(loose.length >= ndSql.length) // looser threshold never shrinks
+
+    // lazy: EXPLAIN is a plan over the scan, no jobs
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val plan = spark.sql(
+      s"EXPLAIN SELECT * FROM straw_neardup('$dir', 'doc_id', 'text')")
+      .collect()(0).getString(0)
+    assert(plan.contains("BatchScan") || plan.contains("strawboat"), plan)
+    assert(spark.sparkContext.statusTracker.getJobIdsForGroup(null).length ==
+      before, "EXPLAIN must run no jobs")
+
+    // loud validation
+    val e1 = intercept[Exception](spark.sql(
+      s"SELECT * FROM straw_neardup('$dir', 'doc_id', 'text', 1.5)").collect())
+    assert(e1.getMessage.contains("threshold") ||
+      (e1.getCause != null && e1.getCause.getMessage.contains("threshold")))
+    val e2 = intercept[Exception](spark.sql(
+      s"SELECT * FROM straw_dedup('$dir', 'doc_id')").collect())
+    assert(e2.getMessage.contains("straw_dedup") ||
+      (e2.getCause != null && e2.getCause.getMessage.contains("straw_dedup")))
+  }
+
   test("straw_knn probes a persisted IVF index from plain SQL") {
     val ss = spark
     import ss.implicits._
@@ -1029,6 +1090,69 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = intercept[Exception](spark.sql(
       s"SELECT * FROM straw_kmeans('$noCols', 16, 4)").collect())
     assert(msgs(e).exists(_.contains("must carry")), msgs(e).mkString)
+  }
+
+  test("straw_semdedup fits, drops, and writes the kept corpus from SQL, " +
+      "deferred, SQL == Scala, loud args") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(17)
+    val centers = Array.tabulate(4, 16)((c, i) => if (i / 4 == c) 10.0f else 0.0f)
+    val base = (0L until 200L).map { id =>
+      (id, centers((id % 4).toInt).map(x => x + (rnd.nextFloat() - 0.5f) * 0.5f))
+    }
+    // near-exact copies of rows 0 and 1 — must be dropped at any sane tau
+    val copies = Seq(0L, 1L).map { src =>
+      (200L + src, base(src.toInt)._2.map(x => x + 0.0001f))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("ext_semdedup").toString
+    val dest = dir + "_clean"
+    (base ++ copies).toDF("vec_id", "embedding")
+      .write.format("strawboat").mode("overwrite").save(dir)
+    // deferred: EXPLAIN fits and writes NOTHING
+    val plan = spark.sql(
+      s"EXPLAIN SELECT * FROM straw_semdedup('$dir', '$dest', 16, 4, 0.9999)")
+      .collect()(0).getString(0)
+    assert(plan.contains("DeferredOp"), plan)
+    assert(!new java.io.File(dest).exists, "EXPLAIN must not write the dest")
+    val row = spark.sql(
+      s"SELECT * FROM straw_semdedup('$dir', '$dest', 16, 4, 0.9999)")
+      .collect()(0)
+    assert(row.getLong(0) == 202L, row.toString)
+    assert(row.getLong(1) >= 2L && row.getLong(1) == 202L - row.getLong(2))
+    assert(row.getString(3).nonEmpty)
+    // SQL route == the Scala route (same seed, same fit, same rule)
+    val corpus = spark.read.format("strawboat").load(dir)
+    val (dups, _) = graft.ops.Dedup.semanticDupIdsFit(
+      spark, corpus, 16, 4, 0.9999)
+    val wantKept = corpus.join(dups, Seq("vec_id"), "left_anti")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val gotKept = spark.read.format("strawboat").load(dest)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(gotKept == wantKept)
+    assert(!gotKept.contains(200L) && !gotKept.contains(201L),
+      "planted near-exact copies must be dropped")
+    // one-shot replay guard: the same call replays the metrics
+    val again = spark.sql(
+      s"SELECT * FROM straw_semdedup('$dir', '$dest', 16, 4, 0.9999)")
+      .collect()(0)
+    assert(again.getLong(2) == row.getLong(2))
+    // loud: tau out of range, dest == source, missing columns
+    def msgs(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .flatMap(x => Option(x.getMessage)).toSeq
+    val e1 = intercept[Exception](spark.sql(
+      s"SELECT * FROM straw_semdedup('$dir', '$dest', 16, 4, 1.5)").collect())
+    assert(msgs(e1).exists(_.contains("tau")), msgs(e1).mkString)
+    val e2 = intercept[Exception](spark.sql(
+      s"SELECT * FROM straw_semdedup('$dir', '$dir', 16, 4, 0.9)").collect())
+    assert(msgs(e2).exists(_.contains("differ")), msgs(e2).mkString)
+    val noCols = java.nio.file.Files.createTempDirectory("ext_semdedup2").toString
+    Seq((1L, "x")).toDF("id", "s").write.format("strawboat")
+      .mode("overwrite").save(noCols)
+    val e3 = intercept[Exception](spark.sql(
+      s"SELECT * FROM straw_semdedup('$noCols', '${noCols}_c', 16, 4, 0.9)")
+      .collect())
+    assert(msgs(e3).exists(_.contains("must carry")), msgs(e3).mkString)
   }
 
   test("hyperplane buckets reject non-integer config args with a clear error") {
