@@ -1335,6 +1335,25 @@ object SparkEntry {
           (sum(when(col("ex") === 1 && col("hit") === 1, 1).otherwise(0)) ===
             sum(coalesce(col("ex"), lit(0)))).as("recall_ok"))
     }),
+    "q_dedup_semantic_indexed" -> ((s, d) => {
+      // SemDeDup over the persisted IVF index: the on-disk cent_id IS the
+      // cell assignment (same kernel, frozen quantizer), so the dup scan
+      // pays zero assignment cost and the same-cell self-join is
+      // storage-partitioned. The gate pins the operator's contract —
+      // indexed == the direct path over the sidecar centroids, exactly —
+      // plus the corpus size the oracle derives independently
+      val idx = ivfIndex(s, d)
+      val tau = 0.45
+      val direct = Dedup.semanticDupIds(s, t(s, d, "embeddings"),
+        Ann.loadIvfCentroids(idx), tau).withColumn("dk", lit(1))
+      val indexed = Dedup.semanticDupIdsIndexed(s, idx, tau)
+        .withColumn("ik", lit(1))
+      direct.join(indexed, Seq("vec_id"), "full")
+        .agg((coalesce(sum(when(col("dk").isNull || col("ik").isNull, 1)
+            .otherwise(0)), lit(0)) === 0).as("indexed_equals_direct_ok"))
+        .join(t(s, d, "embeddings").agg(count(lit(1)).as("n_vectors")))
+        .select(col("n_vectors"), col("indexed_equals_direct_ok"))
+    }),
     "q_ann_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Ann.ivfTopK(s, emb, emb.filter(col("vec_id") < 5), 64, 3)
@@ -2999,6 +3018,14 @@ object SparkEntry {
     // fitted-tier gate: n_exact independently derivable (the droppable
     // set over the copy-planted union); subset + exact-recovery bits
     // pinned true
+    // indexed tier: the fitted quantizer isn't SQL-derivable, but
+    // indexed == direct is the operator's structural contract (the
+    // stored cent_id was written by the same kernel) — the oracle pins
+    // the corpus size and the expected-true gate bit
+    "q_dedup_semantic_indexed" ->
+      """SELECT count(*)::BIGINT AS n_vectors,
+        |  true AS indexed_equals_direct_ok
+        |FROM embeddings""".stripMargin,
     "q_dedup_semantic_recall" ->
       """WITH u AS (
         |  SELECT vec_id, embedding FROM embeddings

@@ -645,6 +645,48 @@ object Dedup {
     (semanticDupIds(spark, corpus, cents, tau, idCol, embCol), cents)
   }
 
+  /** SemDeDup over a PERSISTED IVF index ([[graft.ops.Ann.buildIvfIndex]])
+    * — the amortized form of [[semanticDupIds]] for a corpus that is
+    * already an ANN serving table. The cell assignment is ON DISK as the
+    * index's `cent_id` hive-partition column, written by the same
+    * nearest-centroid kernel [[semanticDupIds]] would run (frozen-
+    * quantizer appends included), so the dup scan pays ZERO assignment
+    * cost: at SemDeDup's k (thousands — it grows with n) assignment is
+    * O(k·dim) per row and dominates the scan (the 1M-vector drill spends
+    * ~95% of its time there); here that cost was paid once at index-build
+    * time. Both self-join sides read `keyGrouped`
+    * (`KeyGroupedPartitioning` over the hive layout), so with
+    * `spark.sql.sources.v2.bucketing.enabled` the same-cell join plans as
+    * a storage-partitioned join — NO Exchange on either side; the pair
+    * scan runs cell-local. Result == [[semanticDupIds]] over
+    * [[graft.ops.Ann.loadIvfCentroids]] by construction (spec-pinned). */
+  def semanticDupIdsIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, tau: Double,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0,
+      s"semanticDupIdsIndexed: tau must be in (0, 1], got $tau")
+    def side = spark.read.format("strawboat").option("keyGrouped", "true")
+      .load(indexDir).select(col("cent_id"), col(idCol), col(embCol))
+    side.as("a")
+      .join(side.as("b"),
+        col("a.cent_id") === col("b.cent_id") &&
+        col("a." + idCol) < col("b." + idCol))
+      .filter(round(graft.functions.VectorFunctions.cosine(spark,
+        col("a." + embCol), col("b." + embCol)), 4) >= tau)
+      .select(col("b." + idCol).as(idCol))
+      .distinct()
+  }
+
+  /** The kept corpus of [[semanticDupIdsIndexed]]: the index's rows
+    * (cell column included — the survivors are still a valid probe
+    * target) anti-joined on the dup ids. */
+  def semanticDedupIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, tau: Double, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame =
+    spark.read.format("strawboat").load(indexDir)
+      .join(semanticDupIdsIndexed(spark, indexDir, tau, idCol, embCol),
+        Seq(idCol), "left_anti")
+
   private def symmetrize(e: DataFrame): DataFrame =
     e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
 

@@ -1245,6 +1245,32 @@ object StrawSqlSurface {
       .queryExecution.analyzed
   }
 
+  val SemDedupIndexedName = "straw_semdedup_indexed"
+
+  /** `straw_semdedup_indexed('<IVF index dir>', tau)`: the dup vec_ids of
+    * [[graft.ops.Dedup.semanticDupIdsIndexed]] — SemDeDup over a
+    * persisted IVF index's stored cell assignments (zero assignment
+    * cost; the same-cell self-join is storage-partitioned under SPJ).
+    * LAZY, unlike its fitting sibling [[semDedupBuilder]]: the cells are
+    * already on disk, so this is a pure read plan — EXPLAIN costs
+    * nothing, and the ids compose (anti-join them for the kept corpus,
+    * the same CTE shape as [[dedupBuilder]]). */
+  def semDedupIndexedBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 2 && args.head.foldable &&
+        args.head.dataType == StringType,
+      s"$SemDedupIndexedName expects (IVF index dir, tau)")
+    val empty = org.apache.spark.sql.catalyst.InternalRow.empty
+    val path = args.head.eval(empty)
+    require(path != null, s"$SemDedupIndexedName: index dir must not be null")
+    val tau = numericLit(args(1), s"$SemDedupIndexedName: tau")
+    require(tau > 0.0 && tau <= 1.0,
+      s"$SemDedupIndexedName: tau must be in (0, 1], got $tau")
+    val spark = org.apache.spark.sql.SparkSession.active
+    graft.ops.Dedup.semanticDupIdsIndexed(
+        spark, resolveDir(path.toString), tau)
+      .queryExecution.analyzed
+  }
+
   val SemDedupName = "straw_semdedup"
 
   private def semDedupSchema: Seq[AttributeReference] = Seq(
@@ -1699,6 +1725,11 @@ object StrawSqlSurface {
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName, SemDedupName),
       semDedupBuilder _)
     spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier(SemDedupIndexedName),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName,
+        SemDedupIndexedName),
+      semDedupIndexedBuilder _)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier(DedupName),
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName, DedupName),
       dedupBuilder _)
@@ -1891,6 +1922,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName,
         StrawSqlSurface.SemDedupName),
       StrawSqlSurface.semDedupBuilder _))
+    extensions.injectTableFunction((
+      FunctionIdentifier(StrawSqlSurface.SemDedupIndexedName),
+      new ExpressionInfo(classOf[StrawLog.Snapshot].getName,
+        StrawSqlSurface.SemDedupIndexedName),
+      StrawSqlSurface.semDedupIndexedBuilder _))
     extensions.injectTableFunction((
       FunctionIdentifier(StrawSqlSurface.DedupName),
       new ExpressionInfo(classOf[StrawLog.Snapshot].getName,

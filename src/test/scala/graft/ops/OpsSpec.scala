@@ -1059,4 +1059,59 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](
       Dedup.semanticDupIds(spark, corpus, Array.empty[Array[Float]], 0.5))
   }
+
+  test("semanticDupIdsIndexed == semanticDupIds over the sidecar centroids; " +
+      "the same-cell self-join is exchange-free under SPJ") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(19)
+    val dim = 8
+    val base = (0L until 300L).map { id =>
+      val c = (id % 4).toInt
+      (id, Array.tabulate(dim)(i =>
+        (if (i == c) 5.0f else 0.0f) + (rnd.nextFloat() - 0.5f) * 0.6f))
+    }
+    val copies = Seq(3L, 7L, 11L).map { src =>
+      (300L + src, base(src.toInt)._2.map(x => x + 0.0005f))
+    }
+    val corpus = (base ++ copies).toDF("vec_id", "embedding").repartition(3)
+    val idxDir = java.nio.file.Files.createTempDirectory("semidx").toString
+    Ann.buildIvfIndex(spark, corpus, idxDir, dim, nCentroids = 4, seed = 7)
+
+    val tau = 0.999
+    val direct = Dedup.semanticDupIds(spark, corpus,
+        Ann.loadIvfCentroids(idxDir), tau)
+      .collect().map(_.getLong(0)).toSet
+    val indexed = Dedup.semanticDupIdsIndexed(spark, idxDir, tau)
+    val got = indexed.collect().map(_.getLong(0)).toSet
+    assert(got == direct, s"indexed ${got.toSeq.sorted} != direct ${direct.toSeq.sorted}")
+    assert(Set(303L, 307L, 311L).subsetOf(got),
+      "planted near-exact copies must be dropped")
+
+    // kept corpus: index rows minus dups, cell column preserved
+    val kept = Dedup.semanticDedupIndexed(spark, idxDir, tau)
+    assert(kept.columns.contains("cent_id"))
+    assert(kept.select("vec_id").collect().map(_.getLong(0)).toSet ==
+      (base ++ copies).map(_._1).toSet -- got)
+
+    // scale shape: under SPJ the cell-keyed self-join shuffles NEITHER
+    // side — the stored hive layout satisfies the join's distribution
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Dedup.semanticDupIdsIndexed(spark, idxDir, tau)
+        .queryExecution.executedPlan.toString
+      val joinIdx = plan.indexOf("Join")
+      assert(joinIdx > 0, plan)
+      // no Exchange below the join (the trailing distinct() may shuffle —
+      // that frame is the dup candidates, not the corpus)
+      assert(!plan.substring(joinIdx).contains("Exchange"),
+        s"same-cell self-join must be storage-partitioned:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+
+    intercept[IllegalArgumentException](
+      Dedup.semanticDupIdsIndexed(spark, idxDir, 1.5))
+  }
 }

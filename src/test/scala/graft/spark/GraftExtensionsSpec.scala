@@ -1155,6 +1155,47 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(msgs(e3).exists(_.contains("must carry")), msgs(e3).mkString)
   }
 
+  test("straw_semdedup_indexed reads the stored cells: lazy, SQL == Scala") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(23)
+    val base = (0L until 150L).map { id =>
+      val c = (id % 3).toInt
+      (id, Array.tabulate(9)(i =>
+        (if (i / 3 == c) 4.0f else 0.0f) + (rnd.nextFloat() - 0.5f) * 0.4f))
+    }
+    val copies = Seq(2L, 5L).map { src =>
+      (150L + src, base(src.toInt)._2.map(x => x + 0.0002f))
+    }
+    val idxDir = java.nio.file.Files.createTempDirectory("ext_semidx").toString
+    graft.ops.Ann.buildIvfIndex(spark,
+      (base ++ copies).toDF("vec_id", "embedding"), idxDir, 9,
+      nCentroids = 3, seed = 7)
+
+    // lazy: EXPLAIN is a plan over the index scan, zero jobs
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val plan = spark.sql(
+      s"EXPLAIN SELECT * FROM straw_semdedup_indexed('$idxDir', 0.999)")
+      .collect()(0).getString(0)
+    assert(plan.contains("BatchScan") || plan.contains("strawboat"), plan)
+    assert(spark.sparkContext.statusTracker.getJobIdsForGroup(null).length ==
+      before, "EXPLAIN must run no jobs")
+
+    val sql = spark.sql(
+      s"SELECT * FROM straw_semdedup_indexed('$idxDir', 0.999) ORDER BY vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    val api = graft.ops.Dedup.semanticDupIdsIndexed(spark, idxDir, 0.999)
+      .orderBy("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(sql == api)
+    assert(Seq(152L, 155L).forall(sql.contains), s"got $sql")
+
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM straw_semdedup_indexed('$idxDir', 0.0)").collect())
+    def msgs(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .flatMap(x => Option(x.getMessage)).toSeq
+    assert(msgs(e).exists(_.contains("tau")), msgs(e).mkString)
+  }
+
   test("hyperplane buckets reject non-integer config args with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT hyperplane_buckets(array(1.0D), 'abc', 4, 2, 42L)")
