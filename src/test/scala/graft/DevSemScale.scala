@@ -67,13 +67,53 @@ object DevSemScale {
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"SEMDEDUP $n%,d + $nCopies%,d copies, k=$k: " +
       f"${dups.size}%,d dups in $secs%.1f s")
-    val want = (0 until nCopies).map(i => (n + i).toLong).toSet
+    // the exact expected set is CELL-AWARE: a copy whose +0.001 jitter
+    // flips it across a cell boundary is INVISIBLE to the operator by
+    // its documented semantics (the cluster bound is the contract — the
+    // spec's cross-cell-survivor case pins it). At k <= 1024 no copy
+    // crosses; at k = 4096, ~1 in 10k does — the paper's own recall
+    // limit, surfaced by the drill rather than averaged away.
+    val cellOf = graft.ops.Ann.kmeansAssign(spark, frozen, cents,
+        "embedding", "cell")
+      .select(col("vec_id"), col("cell"))
+    val crossers = cellOf.filter(col("vec_id") >= n.toLong).as("c")
+      .join(cellOf.filter(col("vec_id") < n.toLong).as("s"),
+        (col("c.vec_id") - n.toLong) * dupEvery.toLong === col("s.vec_id"))
+      .filter(col("c.cell") =!= col("s.cell"))
+      .select(col("c.vec_id")).collect().map(_.getLong(0)).toSet
+    if (crossers.nonEmpty)
+      println(s"SEMDEDUP ${crossers.size} copies crossed a cell boundary " +
+        "(invisible by the cluster-bound contract)")
+    val want = (0 until nCopies).map(i => (n + i).toLong).toSet -- crossers
     val missed = want -- dups
     val extra = dups -- want
-    require(missed.isEmpty, s"missed ${missed.size} planted copies, " +
+    require(missed.isEmpty, s"missed ${missed.size} recoverable copies, " +
       s"e.g. ${missed.take(5)}")
     require(extra.isEmpty, s"${extra.size} false dups, e.g. ${extra.take(5)}")
-    println("SEMDEDUP planted-copy recovery exact: OK")
+    println("SEMDEDUP recoverable-copy recovery exact: OK")
+
+    // indexed arm: the assignment (the direct tier's dominant cost at
+    // large k) is paid once at index-build time; the dup scan itself
+    // reads the stored cells. Build time printed separately — the honest
+    // comparison is scan-vs-scan (a serving corpus is ALREADY indexed).
+    val idxDir = java.nio.file.Files.createTempDirectory("semidx").toString
+    val tb0 = System.nanoTime()
+    // the quantizer cells must match the fixed drill centers for the
+    // planted-copy check to carry over; buildIvfIndex fits its own
+    // sample-based quantizer, so assign + write the layout directly
+    graft.ops.Ann.assignCells(spark, frozen, cents, 1)
+      .write.format("strawboat").option("partitionBy", "cent_id")
+      .mode("overwrite").save(idxDir)
+    val buildSecs = (System.nanoTime() - tb0) / 1e9
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val t1 = System.nanoTime()
+    val dupsIdx = graft.ops.Dedup.semanticDupIdsIndexed(spark, idxDir, 0.995)
+      .collect().map(_.getLong(0)).toSet
+    val idxSecs = (System.nanoTime() - t1) / 1e9
+    println(f"SEMDEDUP-INDEXED scan $idxSecs%.1f s (index build " +
+      f"$buildSecs%.1f s; direct $secs%.1f s) — ${dupsIdx.size}%,d dups")
+    require(dupsIdx == dups, "indexed dup set != direct dup set")
+    println("SEMDEDUP indexed == direct: OK")
     spark.stop()
   }
 }
