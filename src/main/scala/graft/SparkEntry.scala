@@ -2459,6 +2459,29 @@ object SparkEntry {
       s.read.format("strawboat").load(outDir)
         .orderBy(col("digest"))
     }),
+    "q_stream_semdedup" -> ((s, d) => {
+      // streaming SemDeDup first-writer-wins over the FIXED one-hot
+      // quantizer: originals stream in ascending-id range files, then
+      // id-shifted exact copies (also range-partitioned — admission must
+      // stay ascending: original near-pairs at tau 0.45 replicate among
+      // the copies, and a non-ascending copy batch would flip which side
+      // of such a pair survives vs the batch rule). Under ascending
+      // admission the kept set equals corpus minus semanticDupIds, which
+      // over one-hot cells the oracle replays EXACTLY — a streaming
+      // stateful query whose full output is hash-checked row-for-row
+      val embDir = Tables.strawDir(s, d, "embeddings")
+      val emb = s.read.format("strawboat").load(embDir)
+        .select(col("vec_id"), col("embedding"))
+      val outDir = streamedSink(s, embDir, "sem", "q_stream_semdedup",
+        emb, "vec_id", ds => Seq(
+          ds.select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+            .repartitionByRange(2, col("vec_id")))) { stream =>
+        Dedup.streamingSemanticFirstSeen(stream, oneHotCents(4, 64), 0.45)
+          .toDF("vec_id")
+      }
+      s.read.format("strawboat").load(outDir)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
     "q_stream_neardup" -> ((s, d) => {
       // streaming MinHash near-dup, first-writer-wins: originals stream
       // first (ascending doc_id), then id-shifted EXACT copies of every
@@ -3734,6 +3757,28 @@ object SparkEntry {
       """SELECT count(*)::BIGINT AS n_docs, true AS stream_equals_batch_ok,
         |  true AS copies_dropped_ok
         |FROM documents""".stripMargin,
+    // the streaming kept set replayed in FULL: ascending admission makes
+    // it the batch complement, and the one-hot quantizer makes THAT pure
+    // SQL (argmax cells, round-4 cosine, keep-earliest) — every row of a
+    // stateful streaming query's output hash-checked
+    "q_stream_semdedup" ->
+      """WITH u AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
+        |a AS (
+        |  SELECT vec_id, embedding,
+        |    CASE WHEN embedding[1] >= embedding[2] AND embedding[1] >= embedding[3]
+        |              AND embedding[1] >= embedding[4] THEN 0
+        |         WHEN embedding[2] >= embedding[3] AND embedding[2] >= embedding[4] THEN 1
+        |         WHEN embedding[3] >= embedding[4] THEN 2 ELSE 3 END AS cell
+        |  FROM u),
+        |dups AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM a x JOIN a b ON x.cell = b.cell AND x.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(x.embedding, b.embedding), 4) >= 0.45)
+        |SELECT vec_id FROM u
+        |WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+        |ORDER BY vec_id""".stripMargin,
     "q_scan_partitioned" ->
       """SELECT user_id, count(*) AS cnt, round(min(value), 2) AS mn
         |FROM events WHERE event_type = 'purchase'

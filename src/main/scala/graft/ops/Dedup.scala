@@ -678,6 +678,84 @@ object Dedup {
       .distinct()
   }
 
+  /** STREAMING SemDeDup, first-writer-wins — the semantic member of the
+    * streaming dedup family ([[streamingFirstSeen]] is [[exact]]'s,
+    * [[streamingNearDupFirstSeen]] is [[minHashNearDup]]'s): emits the
+    * ids of docs that are NOT semantic near-duplicates of any
+    * earlier-arriving doc, under the same cluster-bounded rule as
+    * [[semanticDupIds]].
+    *
+    * One stateful stage keyed by the k-means cell (assignment is the
+    * same broadcast codegen'd kernel, applied map-side before the
+    * shuffle): state holds EVERY (id, embedding) the cell has seen —
+    * kept AND dropped, because [[semanticDupIds]]'s keep-earliest rule
+    * compares against any earlier row, dropped ones included (the greedy
+    * chain: b dropped for resembling a, c dropped for resembling b even
+    * when c !~ a). A batch's rows verdict in ascending-id order against
+    * the stored exemplars plus earlier in-batch rows; the cosine and its
+    * round-to-4 match the batch kernel's arithmetic exactly (same
+    * accumulation order, same HALF_UP rounding), so under ascending-id
+    * admission the kept set EQUALS the batch complement — corpus minus
+    * [[semanticDupIds]] — exactly (spec- and driver-gated).
+    *
+    * State is one embedding per doc per cell — the corpus, spread across
+    * cells. That is the inherent cost of exact-replay semantic dedup
+    * over an unbounded stream (the same class as
+    * [[streamingFirstSeen]]'s per-digest marker, dim floats heavier);
+    * bound it by windowing the key or restarting from a compacted
+    * checkpoint when the duplicate horizon is finite. */
+  def streamingSemanticFirstSeen(stream: DataFrame,
+      centroids: Array[Array[Float]], tau: Double,
+      idCol: String = "vec_id", embCol: String = "embedding")
+      : org.apache.spark.sql.Dataset[Long] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(tau > 0.0 && tau <= 1.0,
+      s"streamingSemanticFirstSeen: tau must be in (0, 1], got $tau")
+    require(centroids.nonEmpty,
+      "streamingSemanticFirstSeen: centroids must be non-empty")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val assigned = Ann.kmeansAssign(spark,
+        stream.select(col(idCol).cast("long").as("sid"),
+          col(embCol).cast("array<float>").as("emb")),
+        centroids, "emb", "__cell")
+      .select(col("__cell"), col("sid"), col("emb"))
+      .as[(Int, Long, Array[Float])]
+    assigned.groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Array[Float])], Long](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, it, state) =>
+          var seen = state.getOption.getOrElse(Nil) // newest-first
+          val out = Seq.newBuilder[Long]
+          it.toSeq.sortBy(_._2).foreach { case (_, sid, emb) =>
+            if (!seen.exists { case (_, e) => cosineRound4(e, emb) >= tau })
+              out += sid
+            seen = (sid, emb) :: seen
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+  }
+
+  /** Row-local cosine rounded to 4 decimals, mirroring
+    * [[graft.functions.CosineSimilarity]]'s accumulation order and
+    * Spark `round`'s HALF_UP exactly — the stream == batch equality
+    * depends on bit-identical arithmetic. */
+  private def cosineRound4(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; nx += x * x; ny += y * y
+      i += 1
+    }
+    val c = if (nx == 0.0 || ny == 0.0) 0.0
+      else dot / (math.sqrt(nx) * math.sqrt(ny))
+    if (c.isNaN || c.isInfinite) c
+    else BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
   /** The kept corpus of [[semanticDupIdsIndexed]]: the index's rows
     * (cell column included — the survivors are still a valid probe
     * target) anti-joined on the dup ids. */

@@ -192,6 +192,63 @@ class SessionizeSpec extends AnyFunSuite with BeforeAndAfterAll {
       stream, "doc_id", "text", threshold = 0.0))
   }
 
+  test("streaming semantic first-seen: kept set == corpus minus " +
+      "semanticDupIds; the greedy chain carries across batches") {
+    val sp = spark; import sp.implicits._
+    val data = s"$dir/semstream"
+    val dim = 6
+    def v(xs: Double*): Array[Float] = xs.toArray.map(_.toFloat)
+    // cell 0 (axis 0) and cell 1 (axis 1); tau 0.98 ~ an 11.5-degree cap.
+    // Angles in the (x0, x1) plane: 1 at 0deg, 2 at 10deg (cos 0.9848 —
+    // same-batch drop), 5 = cell-1 base
+    val b1 = Seq(
+      (1L, v(1.0, 0.0, 0, 0, 0, 0)),
+      (2L, v(0.98480775, 0.17364818, 0, 0, 0, 0)),
+      (5L, v(0.0, 1.0, 0, 0, 0, 0)))
+    // batch 2: 6 at 20deg — cos vs the DROPPED 2 is 0.9848 (>= tau) but
+    // vs the KEPT 1 only 0.9397 (< tau): drops ONLY because the greedy
+    // chain compares against dropped rows too, across a batch boundary;
+    // 7 at 40deg = distinct in cell 0 (kept; <= 0.9397 vs all),
+    // 8 at 5deg off axis 1 = near-copy of 5 (plain cross-batch drop)
+    val b2 = Seq(
+      (6L, v(0.93969262, 0.34202014, 0, 0, 0, 0)),
+      (7L, v(0.76604444, 0.64278761, 0, 0, 0, 0)),
+      (8L, v(0.08715574, 0.99619470, 0, 0, 0, 0)))
+    b1.toDF("vec_id", "embedding").coalesce(1)
+      .write.format("strawboat").mode("append").save(data)
+    b2.toDF("vec_id", "embedding").coalesce(1)
+      .write.format("strawboat").mode("append").save(data)
+    val cents = Array(
+      Array(1f, 0f, 0f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f, 0f, 0f))
+    val tau = 0.98
+    val stream = spark.readStream.format("strawboat")
+      .option("maxFilesPerTrigger", 1).load(data)
+    val q = Dedup.streamingSemanticFirstSeen(stream, cents, tau)
+      .toDF("vec_id")
+      .writeStream.format("memory").queryName("sem_out")
+      .option("checkpointLocation", s"$dir/semckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream drain timed out")
+    val got = spark.sql("SELECT vec_id FROM sem_out ORDER BY vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    // the batch complement is the contract under ascending-id admission
+    val corpus = spark.read.format("strawboat").load(data)
+    val dups = Dedup.semanticDupIds(spark, corpus, cents, tau)
+      .collect().map(_.getLong(0)).toSet
+    val want = (b1 ++ b2).map(_._1).filterNot(dups).sorted
+    assert(got == want, s"stream $got != batch complement $want")
+    // planted structure: bases + the distinct kept; copies AND the
+    // chained copy-of-a-dropped-copy dropped
+    assert(got == Seq(1L, 5L, 7L), s"got $got")
+    // guards
+    intercept[IllegalArgumentException](
+      Dedup.streamingSemanticFirstSeen(stream, cents, 0.0))
+    intercept[IllegalArgumentException](
+      Dedup.streamingSemanticFirstSeen(stream,
+        Array.empty[Array[Float]], 0.5))
+  }
+
   test("guards: non-positive gap refuses") {
     val sp = spark; import sp.implicits._
     val df = Seq((1L, new java.sql.Timestamp(0L), 1L, 1.0))
