@@ -1335,6 +1335,15 @@ object SparkEntry {
           (sum(when(col("ex") === 1 && col("hit") === 1, 1).otherwise(0)) ===
             sum(coalesce(col("ex"), lit(0)))).as("recall_ok"))
     }),
+    "q_dedup_semantic_policy" -> ((s, d) => {
+      // the paper's keep policy (farthest-from-centroid survives its
+      // neighborhood) over the same fixed one-hot quantizer: the key —
+      // round-4 cosine to the row's own centroid — and the
+      // smaller-(key, id) pair rule replay exactly in SQL
+      Dedup.semanticDupIdsKeepFarthest(s, t(s, d, "embeddings"),
+          oneHotCents(4, 64), 0.45)
+        .orderBy(col("vec_id"))
+    }),
     "q_dedup_semantic_indexed" -> ((s, d) => {
       // SemDeDup over the persisted IVF index: the on-disk cent_id IS the
       // cell assignment (same kernel, frozen quantizer), so the dup scan
@@ -3041,6 +3050,28 @@ object SparkEntry {
     // fitted-tier gate: n_exact independently derivable (the droppable
     // set over the copy-planted union); subset + exact-recovery bits
     // pinned true
+    // keep-farthest: same one-hot cells; the key is the round-4 cosine
+    // to the row's own centroid (a one-hot list built in place), the
+    // rule is strictly-smaller (key, id)
+    "q_dedup_semantic_policy" ->
+      """WITH a AS (
+        |  SELECT vec_id, embedding,
+        |    CASE WHEN embedding[1] >= embedding[2] AND embedding[1] >= embedding[3]
+        |              AND embedding[1] >= embedding[4] THEN 0
+        |         WHEN embedding[2] >= embedding[3] AND embedding[2] >= embedding[4] THEN 1
+        |         WHEN embedding[3] >= embedding[4] THEN 2 ELSE 3 END AS cell
+        |  FROM embeddings),
+        |k AS (
+        |  SELECT vec_id, embedding, cell,
+        |    round(list_cosine_similarity(embedding,
+        |      list_transform(range(1, 65),
+        |        i -> CASE WHEN i = cell + 1 THEN 1.0 ELSE 0.0 END)), 4) AS ckey
+        |  FROM a)
+        |SELECT DISTINCT b.vec_id AS vec_id
+        |FROM k x JOIN k b ON x.cell = b.cell
+        |  AND (x.ckey < b.ckey OR (x.ckey = b.ckey AND x.vec_id < b.vec_id))
+        |WHERE round(list_cosine_similarity(x.embedding, b.embedding), 4) >= 0.45
+        |ORDER BY vec_id""".stripMargin,
     // indexed tier: the fitted quantizer isn't SQL-derivable, but
     // indexed == direct is the operator's structural contract (the
     // stored cent_id was written by the same kernel) — the oracle pins

@@ -596,8 +596,9 @@ object Dedup {
     * SQL-replayable given the centroids (note the chain subtlety it
     * shares with every greedy dedup: b can be dropped for resembling a
     * row that was itself dropped). The paper's keep-farthest-from-
-    * centroid policy is a `tieCol` away; earliest-id is the replayable
-    * default.
+    * centroid policy is [[semanticDupIdsKeepFarthest]] (the general
+    * ordering form is [[semanticDupIdsBy]]); earliest-id is the
+    * replayable default.
     *
     * Scale shape: assignment is the broadcast codegen'd nearest-centroid
     * kernel (map-only); the ONLY shuffle is the equi-join on cell id, and
@@ -620,6 +621,59 @@ object Dedup {
         col("a." + embCol), col("b." + embCol)), 4) >= tau)
       .select(col("b." + idCol).as(idCol))
       .distinct()
+  }
+
+  /** [[semanticDupIds]] under an explicit keep ORDERING: a row is a
+    * duplicate iff some same-cell row with a strictly smaller
+    * (orderKey, id) pair scores round(cosine, 4) >= tau — the LOWEST
+    * (orderKey, id) in a duplicate neighborhood survives. With
+    * `orderKey = lit(0)` this IS keep-earliest (spec-pinned); with the
+    * round-4 cosine-to-centroid it is the paper's keep-farthest policy
+    * ([[semanticDupIdsKeepFarthest]]). The key must be deterministic for
+    * the result to be (round yours like the kernel rounds the cosine).
+    * Same scale shape as [[semanticDupIds]]: the key is computed map-side
+    * before the one cell-keyed shuffle. */
+  def semanticDupIdsBy(spark: org.apache.spark.sql.SparkSession,
+      corpus: DataFrame, centroids: Array[Array[Float]], tau: Double,
+      orderKey: Column, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0,
+      s"semanticDupIdsBy: tau must be in (0, 1], got $tau")
+    require(centroids.nonEmpty, "semanticDupIdsBy: centroids must be non-empty")
+    val a = Ann.kmeansAssign(spark,
+      corpus.select(col(idCol), col(embCol), orderKey.as("__sd_key")),
+      centroids, embCol, "__sd_cell")
+    a.as("a")
+      .join(a.as("b"),
+        col("a.__sd_cell") === col("b.__sd_cell") &&
+        (col("a.__sd_key") < col("b.__sd_key") ||
+          (col("a.__sd_key") === col("b.__sd_key") &&
+            col("a." + idCol) < col("b." + idCol))))
+      .filter(round(graft.functions.VectorFunctions.cosine(spark,
+        col("a." + embCol), col("b." + embCol)), 4) >= tau)
+      .select(col("b." + idCol).as(idCol))
+      .distinct()
+  }
+
+  /** SemDeDup's own keep policy (Abbas et al. 2023 §2: within a
+    * duplicate neighborhood, keep the example with the LOWEST cosine
+    * similarity to its cluster centroid — the farthest-out, most
+    * "extreme" representative; keep-earliest keeps an arbitrary-but-
+    * replayable one instead). The key is the round-4 cosine to the row's
+    * own nearest centroid, id-tiebroken — deterministic and
+    * SQL-replayable given the centroids. */
+  def semanticDupIdsKeepFarthest(spark: org.apache.spark.sql.SparkSession,
+      corpus: DataFrame, centroids: Array[Array[Float]], tau: Double,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty,
+      "semanticDupIdsKeepFarthest: centroids must be non-empty")
+    val centsArr = array(centroids.map(c =>
+      array(c.map(v => lit(v)): _*)): _*)
+    val cell = element_at(graft.functions.VectorFunctions.nearestCells(
+      spark, col(embCol), centroids, 1), 1)
+    val key = round(graft.functions.VectorFunctions.cosine(spark,
+      col(embCol), element_at(centsArr, cell + 1)), 4)
+    semanticDupIdsBy(spark, corpus, centroids, tau, key, idCol, embCol)
   }
 
   /** The kept corpus: [[semanticDupIds]] anti-joined back — one extra

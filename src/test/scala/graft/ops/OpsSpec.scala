@@ -1060,6 +1060,65 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Dedup.semanticDupIds(spark, corpus, Array.empty[Array[Float]], 0.5))
   }
 
+  test("semanticDupIdsBy: keep-farthest matches a plain-Scala reference; " +
+      "orderKey = 0 degenerates to keep-earliest") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(47)
+    val dim = 6
+    val rows = (0L until 120L).map { id =>
+      val c = (id % 2).toInt
+      (id, Array.tabulate(dim)(i =>
+        (if (i == c) 3.0f else 0.0f) + (rnd.nextFloat() - 0.5f) * 2.2f))
+    }
+    val corpus = rows.toDF("vec_id", "embedding").repartition(4)
+    val cents = Array.tabulate(2, dim)((c, i) => if (i == c) 1.0f else 0.0f)
+    val tau = 0.9
+
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    def cell(v: Array[Float]): Int =
+      cents.zipWithIndex.minBy { case (c, i) => (l2(c, v), i) }._2
+    def cos4(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < dim) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // reference: drop b iff a same-cell row with smaller (cosToCent, id)
+    // clears tau — the paper's keep-farthest (lowest centroid similarity
+    // survives its neighborhood)
+    def key(v: Array[Float]): Double = cos4(v, cents(cell(v)))
+    val expected = rows.filter { case (id, v) =>
+      rows.exists { case (id2, v2) =>
+        cell(v2) == cell(v) &&
+        (key(v2) < key(v) || (key(v2) == key(v) && id2 < id)) &&
+        cos4(v2, v) >= tau
+      }
+    }.map(_._1).toSet
+    assert(expected.nonEmpty, "fixture must produce at least one dup")
+
+    val got = Dedup.semanticDupIdsKeepFarthest(spark, corpus, cents, tau)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"got ${got.toSeq.sorted}, want ${expected.toSeq.sorted}")
+    // the policies agree on WHAT is a duplicate neighborhood, not on the
+    // survivor: same total count whenever neighborhoods are cliques is
+    // NOT guaranteed in general, so only the degenerate equivalence is
+    // pinned — orderKey = lit(0) IS keep-earliest
+    val earliest = Dedup.semanticDupIds(spark, corpus, cents, tau)
+      .collect().map(_.getLong(0)).toSet
+    val degenerate = Dedup.semanticDupIdsBy(spark, corpus, cents, tau, lit(0))
+      .collect().map(_.getLong(0)).toSet
+    assert(degenerate == earliest)
+
+    intercept[IllegalArgumentException](
+      Dedup.semanticDupIdsBy(spark, corpus, cents, 0.0, lit(0)))
+  }
+
   test("semanticDupIdsIndexed == semanticDupIds over the sidecar centroids; " +
       "the same-cell self-join is exchange-free under SPJ") {
     val sp = spark; import sp.implicits._
