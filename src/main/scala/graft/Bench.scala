@@ -88,9 +88,11 @@ object Bench {
     // the cell-pruned IVF-BQ probe. NOTE: both NEW in round 17.
     "q_cluster_assign", "q_ann_ivfbq",
     // round 18: exact substring (span) dedup — md5 n-gram document
-    // frequency + per-doc gaps-and-islands merge (Lee et al. 2022).
-    // NOTE for round-over-round totals: NEW in round 18.
-    "q_dedup_spans")
+    // frequency + per-doc gaps-and-islands merge (Lee et al. 2022) — and
+    // SemDeDup's cluster-bounded pair scan (fixed quantizer — the
+    // operator's own cost shape; the fit is benched by q_cluster_assign).
+    // NOTE for round-over-round totals: BOTH NEW in round 18.
+    "q_dedup_spans", "q_dedup_semantic")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
