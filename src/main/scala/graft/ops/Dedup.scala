@@ -183,7 +183,7 @@ object Dedup {
     * Every downstream shuffle/join moves fixed-width longs, never k-char
     * strings; set semantics are preserved modulo ~2^-64 collisions. */
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    df.select(
+    Par.fanOut(df.select(col(idCol), col(textCol)), idCol).select(
       col(idCol).as("sid"),
       explode(graft.functions.TextHashFunctions.shingleHashes(
         df.sparkSession, col(textCol), k)).as("shingle"))
@@ -193,9 +193,10 @@ object Dedup {
     * shingle relation is materialized or shuffled for signatures at all. */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
       k: Int, numHashes: Int): DataFrame =
-    df.select(col(idCol).as("sid"),
-      graft.functions.TextHashFunctions.minHashSignature(
-        df.sparkSession, col(textCol), k, numHashes).as("sig"))
+    Par.fanOut(df.select(col(idCol), col(textCol)), idCol)
+      .select(col(idCol).as("sid"),
+        graft.functions.TextHashFunctions.minHashSignature(
+          df.sparkSession, col(textCol), k, numHashes).as("sig"))
 
   /** LSH band buckets from signature arrays: `bands` bands of `rows` hashes
     * each; docs sharing any band bucket are candidate near-duplicates.
@@ -508,25 +509,40 @@ object Dedup {
     * `minDf` (document frequency, not occurrence count).
     *
     * The gram relation feeds two branches (the document-frequency
-    * aggregate and the hit join), so the tokenize+md5 projection runs
-    * twice — a deliberate 2×-scan trade: both passes are map-only with
-    * one hash shuffle each, and the alternative (materializing the gram
-    * relation, or collecting per-gram occurrence lists in one aggregate)
-    * either breaks the lazy-TVF contract or puts a corpus-sized group in
-    * one task when a gram appears in every document — exactly the
-    * boilerplate this op exists to find. */
+    * aggregate and the hit join), so the gram projection runs twice — a
+    * deliberate 2×-scan trade: both passes are map-only with one hash
+    * shuffle each, and the alternative (materializing the gram relation,
+    * or collecting per-gram occurrence lists in one aggregate) either
+    * breaks the lazy-TVF contract or puts a corpus-sized group in one
+    * task when a gram appears in every document — exactly the boilerplate
+    * this op exists to find. The tokenize projection itself runs ONCE:
+    * both branches hang off the same [[Par.fanOut]] exchange (by doc id),
+    * which Spark's exchange reuse materializes a single time — and which
+    * also pre-clusters the hit rows by doc, so the island-merge window
+    * needs no exchange of its own.
+    *
+    * Gram identity is a 128-bit key (two independent xxhash64 lanes over
+    * the gram text) — same collision contract as the previous md5 key at
+    * a fraction of the hash cost, and the shuffled key is 16 bytes, not a
+    * 32-char hex string. The key never reaches the output (spans are
+    * (doc, start, end)), so the oracle's own md5 replay is unaffected. */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int = 20, minDf: Int = 2): DataFrame = {
     require(n >= 1, s"duplicateSpans: n must be >= 1, got $n")
     require(minDf >= 2, s"duplicateSpans: minDf must be >= 2, got $minDf")
-    val toks = df.select(col(idCol).as("doc_id"),
-      filter(split(lower(col(textCol)), "\\s+"), t => t =!= lit("")).as("__t"))
+    val toks = Par.fanOut(df.select(col(idCol).as("doc_id"),
+        col(textCol).as("__txt")), "doc_id")
+      .select(col("doc_id"),
+        filter(split(lower(col("__txt")), "\\s+"), t => t =!= lit("")).as("__t"))
     val grams = toks
       .filter(size(col("__t")) >= n)
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0), size(col("__t")) - n),
-        i => md5(concat_ws(" ", slice(col("__t"), i + 1, lit(n))))))
-        .as(Seq("span_start", "__g")))
+        i => concat_ws(" ", slice(col("__t"), i + 1, lit(n)))))
+        .as(Seq("span_start", "__s")))
+      .select(col("doc_id"), col("span_start"),
+        struct(xxhash64(col("__s")).as("h1"),
+          xxhash64(col("__s"), lit(1)).as("h2")).as("__g"))
     val dup = grams.select(col("__g"), col("doc_id")).distinct()
       .groupBy(col("__g")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDf)
@@ -613,7 +629,16 @@ object Dedup {
     require(centroids.nonEmpty, "semanticDupIds: centroids must be non-empty")
     val a = Ann.kmeansAssign(spark,
       corpus.select(col(idCol), col(embCol)), centroids, embCol, "__sd_cell")
-    a.as("a")
+    // the pair scan's work is O(Σ cell²) FLOPs over O(rows) bytes, so a
+    // byte-driven layout under-parallelizes it: on a small corpus the
+    // stream side is one scan task (and AQE would coalesce a tiny
+    // exchange to one partition), putting every pairwise cosine on one
+    // core. Pin the stream side to an explicit cell-keyed repartition at
+    // the session's shuffle width — the same exchange a sort-merge plan
+    // needs anyway, so at scale this changes nothing but the pinning.
+    val aw = a.repartition(math.max(1,
+      spark.sessionState.conf.numShufflePartitions), col("__sd_cell"))
+    aw.as("a")
       .join(a.as("b"),
         col("a.__sd_cell") === col("b.__sd_cell") &&
         col("a." + idCol) < col("b." + idCol))
@@ -643,7 +668,10 @@ object Dedup {
     val a = Ann.kmeansAssign(spark,
       corpus.select(col(idCol), col(embCol), orderKey.as("__sd_key")),
       centroids, embCol, "__sd_cell")
-    a.as("a")
+    // pair-scan parallelism pinned — see semanticDupIds
+    val aw = a.repartition(math.max(1,
+      spark.sessionState.conf.numShufflePartitions), col("__sd_cell"))
+    aw.as("a")
       .join(a.as("b"),
         col("a.__sd_cell") === col("b.__sd_cell") &&
         (col("a.__sd_key") < col("b.__sd_key") ||

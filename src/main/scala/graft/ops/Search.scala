@@ -75,11 +75,14 @@ object Search {
     require(k > 0, "bm25TopK: k must be positive")
 
     val toks = tokens(col(textCol))
-    val base = docs.select(
-      col(idCol) +: size(toks).cast("long").as("_dl") +:
-        queryTerms.zipWithIndex.map { case (t, i) =>
-          size(filter(toks, x => x === lit(t))).cast("long").as(s"_tf$i")
-        }: _*)
+    // the tokenize+tf projection is the corpus pass — fan a narrow input
+    // out first so it uses every core (no-op at scale, see Par.fanOut)
+    val base = Par.fanOut(docs.select(col(idCol), col(textCol)), idCol)
+      .select(
+        col(idCol) +: size(toks).cast("long").as("_dl") +:
+          queryTerms.zipWithIndex.map { case (t, i) =>
+            size(filter(toks, x => x === lit(t))).cast("long").as(s"_tf$i")
+          }: _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // corpus statistics: one tree-aggregated row (exact integer sums)
     val aggCols = sum(col("_dl")).as("_sumdl") +:

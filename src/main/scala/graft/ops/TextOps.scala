@@ -118,8 +118,13 @@ object TextOps {
   def lmScore(df: DataFrame, idCol: String, textCol: String,
       alpha: Double = 1.0): DataFrame = {
     require(alpha > 0, s"lmScore: smoothing alpha must be positive, got $alpha")
+    // tokenize/bigram explode is the op's CPU center; on a small corpus the
+    // scan is one task, so fan the bare (id, text) projection out first
+    // (no-op at scale — see Par.fanOut). Both Generate branches hang off
+    // the same exchange, so the shuffle happens once under exchange reuse.
+    val base = Par.fanOut(df.select(col(idCol), col(textCol)), idCol)
     val tokArr = filter(split(col(textCol), "\\s+"), w => w =!= lit(""))
-    val toks = df.select(col(idCol).as("_doc"), explode(tokArr).as("_tok"))
+    val toks = base.select(col(idCol).as("_doc"), explode(tokArr).as("_tok"))
     // bigrams derive per row from the token ARRAY — zip each token with
     // its successor (zip_with pads the shorter side with null; the last
     // pair's null successor is the filter below). Map-only: the corpus's
@@ -128,7 +133,7 @@ object TextOps {
     // is the textbook avoidable shuffle at 100 TB.
     val pairs = zip_with(tokArr, slice(tokArr, lit(2), greatest(size(tokArr) - 1, lit(0))),
       (a, b) => struct(a.as("_prev"), b.as("_tok")))
-    val bigrams = df
+    val bigrams = base
       .select(col(idCol).as("_doc"), explode(pairs).as("_bg"))
       .filter(col("_bg._tok").isNotNull)
       .select(col("_doc"), col("_bg._prev").as("_prev"), col("_bg._tok").as("_tok"))
