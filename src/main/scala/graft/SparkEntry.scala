@@ -785,7 +785,10 @@ object SparkEntry {
     }),
     // --- LLM-pipeline: text analysis --------------------------------------
     "q_text_stats" -> ((s, d) => {
-      val docs = t(s, d, "documents")
+      // quality metrics re-tokenize the text several times per row — fan a
+      // narrow input out first (no-op at scale, see Par.fanOut)
+      val docs = graft.ops.Par.fanOut(
+        t(s, d, "documents").select(col("doc_id"), col("text")), "doc_id")
       val quality = TextOps.qualityColumns(col("text"))
       docs.select(
         (col("doc_id") +: TextOps.tokenCount(col("text")).as("n_tokens") +:
@@ -936,7 +939,11 @@ object SparkEntry {
       // the corpus carries no natural PII, so the query plants deterministic
       // specimens (same expression in the oracle) and then strips them —
       // counts are over the pre-redaction text
-      val aug = t(s, d, "documents").select(col("doc_id"),
+      // regex detect+redact is per-row CPU-dense — fan out first (no-op at
+      // scale, see Par.fanOut)
+      val aug = graft.ops.Par.fanOut(
+        t(s, d, "documents").select(col("doc_id"), col("text")), "doc_id")
+        .select(col("doc_id"),
         concat(col("text"), when(col("doc_id") % 5 === 0,
             concat(lit(" contact user"), col("doc_id").cast("string"),
               lit("@example.com now")))

@@ -422,8 +422,10 @@ object Ann {
     // sample): clamp so "probe everything" callers can't over-ask
     val queryCells = assignCells(spark, queries, centroids,
       math.min(nProbe, centroids.length))
-    val probed: Array[Int] = queryCells.select(col("cent_id")).distinct()
-      .collect().map(_.getInt(0)) // bounded by nCentroids
+    // collect is queries x nProbe rows (bounded); dedupe on the driver —
+    // a distributed distinct would add a whole shuffle stage for it
+    val probed: Array[Int] = queryCells.select(col("cent_id"))
+      .collect().map(_.getInt(0)).distinct // bounded by nCentroids
     // the index is written in one overwrite, so it is schema-uniform:
     // resolve the schema from one footer instead of all of them
     val corpusCells = spark.read.format("strawboat")
@@ -1086,8 +1088,10 @@ object Ann {
     val queryCells = queriesR.withColumn("cent_id",
       explode(VectorFunctions.nearestCells(spark, qunit, centroids,
         math.min(nProbe, centroids.length))))
-    val probed: Array[Int] = queryCells.select(col("cent_id")).distinct()
-      .collect().map(_.getInt(0)) // bounded by nCentroids
+    // collect is queries x nProbe rows (bounded); dedupe on the driver —
+    // a distributed distinct would add a whole shuffle stage for it
+    val probed: Array[Int] = queryCells.select(col("cent_id"))
+      .collect().map(_.getInt(0)).distinct // bounded by nCentroids
     val index = spark.read.format("strawboat")
       .option("mergeSchema", "false").load(indexDir)
     val cells = index.filter(col("cent_id").isin(probed.map(_.asInstanceOf[Any]): _*))
@@ -1324,8 +1328,10 @@ object Ann {
     val queryCells = queries.withColumn("cent_id",
       explode(VectorFunctions.nearestCells(spark, col("embedding"), centroids,
         math.min(nProbe, centroids.length))))
-    val probed: Array[Int] = queryCells.select(col("cent_id")).distinct()
-      .collect().map(_.getInt(0)) // bounded by nCentroids
+    // collect is queries x nProbe rows (bounded); dedupe on the driver —
+    // a distributed distinct would add a whole shuffle stage for it
+    val probed: Array[Int] = queryCells.select(col("cent_id"))
+      .collect().map(_.getInt(0)).distinct // bounded by nCentroids
     val index = spark.read.format("strawboat")
       .option("mergeSchema", "false").load(indexDir)
     val cells = index.filter(col("cent_id").isin(probed.map(_.asInstanceOf[Any]): _*))

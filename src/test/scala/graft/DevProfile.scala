@@ -34,6 +34,8 @@ object DevProfile {
       .config("spark.sql.extensions", "graft.spark.GraftExtensions")
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.cbo.joinReorder.enabled", "true")
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("DEV_CODEGEN_CACHE", "100"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -69,8 +71,14 @@ object DevProfile {
       val fn = SparkEntry.queries(name)
       def once(): Double = {
         val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val df = fn(spark, sfDir)
+        val t1 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val t2 = System.nanoTime()
+        if (sys.env.contains("DEV_SPLIT_TIMING"))
+          println(f"[split] $name cons=${(t1 - t0) / 1e9}%.3f " +
+            f"write=${(t2 - t1) / 1e9}%.3f")
+        (t2 - t0) / 1e9
       }
       try {
         // plan dump from a fresh construction (includes any eager sub-jobs)
