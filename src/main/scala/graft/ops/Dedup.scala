@@ -289,18 +289,42 @@ object Dedup {
         threshold - 3.0 * math.sqrt(threshold * (1 - threshold) / numHashes))
     val spark = df.sparkSession
     val sigs = minHashSignatures(df, idCol, textCol, k, numHashes)
-    val rawCands = candidatePairs(
-      lshBuckets(sigs, bands, numHashes / bands))
     val cands =
-      if (effectivePrefilter <= 0.0) rawCands
-      else rawCands
-        .join(sigs.as("ga"), col("id_a") === col("ga.sid"))
-        .join(sigs.as("gb"), col("id_b") === col("gb.sid"))
-        .withColumn("est",
-          size(filter(zip_with(col("ga.sig"), col("gb.sig"),
-            (x, y) => x === y), e => e)).cast("double") / numHashes)
-        .filter(col("est") >= effectivePrefilter)
-        .select(col("id_a"), col("id_b"))
+      if (effectivePrefilter <= 0.0)
+        candidatePairs(lshBuckets(sigs, bands, numHashes / bands))
+      else {
+        // prefilter path: CARRY the signature through the bucket relation
+        // instead of joining sigs back onto the pair set — the old shape
+        // evaluated the signature kernel over the corpus four times (the
+        // bucket self-join twice, the ga/gb prefilter joins twice); this
+        // one evaluates it twice (once under exchange reuse), trading
+        // bands x |sig| bytes per doc of extra shuffle for two fewer
+        // corpus scans + kernel passes. Output identical: the estimator
+        // reads the same per-doc signatures, dedup by (id_a, id_b) is the
+        // same set, and first() over identical per-sid sig copies is
+        // deterministic in value.
+        val rows = numHashes / bands
+        val bandHashes = (0 until bands).map { b =>
+          xxhash64((b * rows until (b + 1) * rows)
+            .map(i => element_at(col("sig"), i + 1)): _*)
+        }
+        val buckets = sigs.select(col("sid"), col("sig"),
+          posexplode(array(bandHashes: _*)).as(Seq("band", "bucket")))
+        buckets.as("a")
+          .join(buckets.as("b"),
+            col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.sid") < col("b.sid"))
+          .select(col("a.sid").as("id_a"), col("b.sid").as("id_b"),
+            col("a.sig").as("_siga"), col("b.sig").as("_sigb"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(first(col("_siga")).as("_siga"), first(col("_sigb")).as("_sigb"))
+          .withColumn("est",
+            size(filter(zip_with(col("_siga"), col("_sigb"),
+              (x, y) => x === y), e => e)).cast("double") / numHashes)
+          .filter(col("est") >= effectivePrefilter)
+          .select(col("id_a"), col("id_b"))
+      }
     if (reuseShingleHashes) {
       val hashed = df.select(col(idCol).as("tid"),
         graft.functions.TextHashFunctions.shingleHashes(

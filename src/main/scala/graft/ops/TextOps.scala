@@ -118,11 +118,12 @@ object TextOps {
   def lmScore(df: DataFrame, idCol: String, textCol: String,
       alpha: Double = 1.0): DataFrame = {
     require(alpha > 0, s"lmScore: smoothing alpha must be positive, got $alpha")
-    // tokenize/bigram explode is the op's CPU center; on a small corpus the
-    // scan is one task, so fan the bare (id, text) projection out first
-    // (no-op at scale — see Par.fanOut). Both Generate branches hang off
-    // the same exchange, so the shuffle happens once under exchange reuse.
-    val base = Par.fanOut(df.select(col(idCol), col(textCol)), idCol)
+    // NOT fanned out (Par.fanOut): measured at sf0.1, repartitioning the
+    // doc frame before the two Generate branches cost more in added
+    // exchanges than the 32-way tokenize saved — this op's time lives in
+    // its aggregation shuffles and the model joins, not the tokenize
+    // (bench median 2.46 -> 2.71 s with the fan-out; reverted)
+    val base = df.select(col(idCol), col(textCol))
     val tokArr = filter(split(col(textCol), "\\s+"), w => w =!= lit(""))
     val toks = base.select(col(idCol).as("_doc"), explode(tokArr).as("_tok"))
     // bigrams derive per row from the token ARRAY — zip each token with
