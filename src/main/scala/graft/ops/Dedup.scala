@@ -558,11 +558,16 @@ object Dedup {
         col(textCol).as("__txt")), "doc_id")
       .select(col("doc_id"),
         filter(split(lower(col("__txt")), "\\s+"), t => t =!= lit("")).as("__t"))
+    // the too-short guard lives INSIDE the explode (empty array -> row
+    // dropped by Generate) rather than as a filter(size >= n): a filter
+    // gets pushed below the fan-out exchange, where evaluating it
+    // re-tokenizes the corpus on the narrow pre-shuffle side
     val grams = toks
-      .filter(size(col("__t")) >= n)
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(0), size(col("__t")) - n),
-        i => concat_ws(" ", slice(col("__t"), i + 1, lit(n)))))
+      .select(col("doc_id"), posexplode(when(size(col("__t")) >= n,
+        transform(
+          sequence(lit(0), size(col("__t")) - n),
+          i => concat_ws(" ", slice(col("__t"), i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>")))
         .as(Seq("span_start", "__s")))
       .select(col("doc_id"), col("span_start"),
         struct(xxhash64(col("__s")).as("h1"),
