@@ -1013,6 +1013,28 @@ class StrawScan(
     if (fields eq requiredSchema.fields) requiredSchema else StructType(fields)
   }
   override def toBatch: Batch = this
+
+  /** Value equality over the full scan state — what Spark's exchange/
+    * subquery REUSE machinery compares (via BatchScanExec's canonicalized
+    * equality, which delegates to the Scan). Without it, two independently
+    * planned scans of the same table are never equal, so a self-join's two
+    * branches (span dedup's gram exchange, MinHash's bucket relation,
+    * n-gram decontamination) each materialize their own exchange and the
+    * whole subtree below it runs TWICE. Spark's own FileScan implements
+    * the same contract. `filters` is the CURRENT state (static + any
+    * injected runtime filters) — BatchScanExec additionally compares its
+    * runtime filter expressions, so two scans that would diverge after
+    * DPP injection are never merged. */
+  private def stateKey: Product =
+    (path, fullSchema, requiredSchema, filters.toSeq, limit,
+      maxFilesPerTrigger, keyGrouped, topN, exactFilters.toSeq,
+      maxBytesPerTrigger, asOf, appendFile, appendPos, bucketSpec)
+  override def equals(other: Any): Boolean = other match {
+    case o: StrawScan => stateKey == o.stateKey
+    case _ => false
+  }
+  override def hashCode(): Int = stateKey.hashCode()
+
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     // a stream tails the LIVE table; pinning it to a historical version
