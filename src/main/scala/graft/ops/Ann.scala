@@ -48,6 +48,67 @@ object Ann {
         col("_e.score").as(scoreCol), (col("_r") + 1).cast("int").as("rank"))
   }
 
+  /** One driver-side materialization of a probe's bounded query frame.
+    *
+    * Every persisted-index probe needs its (derived) query frame several
+    * times — the probed-cell set, the broadcast build of the prepared
+    * query side (codes / dot tables), and the rerank's broadcast of the
+    * original query floats — and each use of a SOURCE-backed frame pays
+    * its own Spark job (scan + kernel evaluation): r18 profiling put the
+    * IVF-PQ/IVF-BQ probes at 10-11 jobs for ≤0.2 s of task time, i.e.
+    * job-latency-bound. The frame is query-scale by contract (every probe
+    * already broadcasts it), so collect it ONCE and reuse: the returned
+    * local relation broadcasts with NO job (LocalTableScan collects
+    * driver-side), and bounded driver-side sets (probed cells, candidate
+    * ids) read the same rows. The collected values are whatever the
+    * codegen'd kernels produced — the driver re-implements no math, so
+    * results are byte-identical. */
+  /** Driver-held rows as a ONE-slice DataFrame. A plain local relation
+    * (`createDataFrame(list, schema)`) plans as LocalTableScan, whose RDD
+    * spreads the rows over up to `leafNodeDefaultParallelism` (= cores)
+    * slices — so every broadcast build over it pays a cores-wide wave of
+    * near-empty tasks (measured: the 60-row PQ candidate relation built
+    * its broadcast with a 32-task job). These relations are query-scale
+    * bounded by contract, so one slice is right at ANY scale. */
+  private def localDF(spark: SparkSession,
+      rows: Seq[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+  private def localize(spark: SparkSession, df: DataFrame)
+      : (Array[org.apache.spark.sql.Row], DataFrame) = {
+    val rows = df.collect()
+    (rows, localDF(spark, rows.toIndexedSeq, df.schema))
+  }
+
+  /** Selected columns of already-collected rows as a one-slice local
+    * frame — the broadcast sides of the probe joins. Purely positional row
+    * surgery — values are reused exactly as the kernels produced them. */
+  private def localCols(spark: SparkSession,
+      rows: Array[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType,
+      cols: (String, String)*): DataFrame = {
+    val idx = cols.map { case (src, _) => schema.fieldIndex(src) }
+    val out = rows.toIndexedSeq.map(r =>
+      org.apache.spark.sql.Row.fromSeq(idx.map(r.get)))
+    val newSchema = org.apache.spark.sql.types.StructType(
+      cols.map { case (src, dst) => schema(src).copy(name = dst) })
+    localDF(spark, out, newSchema)
+  }
+
+  /** The collected (query_id, neighbor_id) shortlist as a one-slice local
+    * frame (the broadcast side of every rerank join). */
+  private def localPairs(spark: SparkSession,
+      pairs: Array[(Long, Long)]): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("neighbor_id",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    localDF(spark, pairs.toIndexedSeq.map(p =>
+      org.apache.spark.sql.Row(p._1, p._2)), schema)
+  }
+
   /** Exact cosine top-k of `queries` (small, broadcast) against `corpus`.
     * Uses the codegen'd [[graft.functions.CosineSimilarity]] expression.
     * `excludeSelf` assumes queries share the corpus id space (queries ⊆
@@ -412,26 +473,28 @@ object Ann {
     * cells, restrict the index scan to the probed cells with a STATIC
     * `cent_id IN (...)` filter — which [[graft.spark.PartitionLayout]]
     * turns into directory pruning before any footer IO — and score only
-    * inside shared cells. The probed-cell collect is bounded by
-    * `nCentroids` (the quantizer is tiny by construction), not by data
-    * size. With `nProbe = nCentroids` this equals brute force exactly. */
+    * inside shared cells. The query frame is collected ONCE ([[localize]];
+    * bounded by queries × nProbe rows — acceptable since this API already
+    * broadcasts the query frame): the probed-cell set derives from the
+    * collected rows and the scoring join's query side is the local
+    * relation, so neither pays a further scan job. With
+    * `nProbe = nCentroids` this equals brute force exactly. */
   def ivfTopKIndexed(spark: SparkSession, indexDir: String, queries: DataFrame,
       k: Int, nProbe: Int = 4): DataFrame = {
     val centroids = loadIvfCentroids(indexDir)
     // the quantizer may hold fewer centroids than requested (tiny corpus
     // sample): clamp so "probe everything" callers can't over-ask
-    val queryCells = assignCells(spark, queries, centroids,
-      math.min(nProbe, centroids.length))
-    // collect is queries x nProbe rows (bounded); dedupe on the driver —
-    // a distributed distinct would add a whole shuffle stage for it
-    val probed: Array[Int] = queryCells.select(col("cent_id"))
-      .collect().map(_.getInt(0)).distinct // bounded by nCentroids
+    val (qRows, queryCells) = localize(spark,
+      assignCells(spark, queries, centroids,
+        math.min(nProbe, centroids.length)))
+    val probed: Array[Int] =
+      qRows.map(_.getAs[Int]("cent_id")).distinct // bounded by nCentroids
     // the index is written in one overwrite, so it is schema-uniform:
     // resolve the schema from one footer instead of all of them
     val corpusCells = spark.read.format("strawboat")
       .option("mergeSchema", "false").load(indexDir)
       .filter(col("cent_id").isin(probed.map(_.asInstanceOf[Any]): _*))
-    cellTopK(spark, corpusCells, queryCells, k)
+    cellTopK(spark, corpusCells, broadcast(queryCells), k)
   }
 
   /** Nearest-`probes` centroid ids per row as a PURE expression — the
@@ -863,9 +926,11 @@ object Ann {
     * a pushed `vec_id IN (...)` point read against the vec_id-sorted index
     * (zone maps prune to the pages actually holding candidates) — and
     * re-rank exactly. The candidate-id collect is bounded by
-    * queries × shortlist (query-scale, never data-scale — the same
-    * contract as [[ivfTopKIndexed]]'s probed-cell collect). Equals
-    * [[pqTopKReranked]] exactly for the same build parameters. */
+    * queries × shortlist (query-scale, never data-scale); the query frame
+    * itself is collected ONCE ([[localize]]) so the ADC broadcast and the
+    * rerank's query-float broadcast build from a local relation instead of
+    * paying a scan job each. Equals [[pqTopKReranked]] exactly for the
+    * same build parameters. */
   def pqTopKIndexed(spark: SparkSession, indexDir: String, queries: DataFrame,
       k: Int, shortlist: Int = 0): DataFrame = {
     val codebooks = loadPqCodebooks(indexDir)
@@ -879,9 +944,13 @@ object Ann {
     val qemb = loadOpqRotation(indexDir)
       .map(r => VectorFunctions.matVec(spark, col("embedding"), r))
       .getOrElse(col("embedding"))
-    val qprep = queries.select(col("vec_id"),
+    val qFrame = queries.select(col("vec_id"),
       VectorFunctions.pqDotTable(spark, qemb, codebooks).as("_tab"),
-      VectorFunctions.norm(spark, col("embedding")).as("_qn"))
+      VectorFunctions.norm(spark, col("embedding")).as("_qn"),
+      col("embedding").as("_qemb"))
+    val (qRows, _) = localize(spark, qFrame)
+    val qprep = localCols(spark, qRows, qFrame.schema,
+      "vec_id" -> "vec_id", "_tab" -> "_tab", "_qn" -> "_qn")
     val adc = index.select(col("vec_id"), col("pqcode")) // floats pruned
       .as("c")
       .join(broadcast(qprep.as("q")), col("c.vec_id") =!= col("q.vec_id"))
@@ -896,18 +965,15 @@ object Ann {
     val candPairs = topKPerQuery(spark, adc, "_adc", short)
       .select(col("query_id"), col("neighbor_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val candidates = {
-      import spark.implicits._
-      candPairs.toSeq.toDF("query_id", "neighbor_id")
-    }
+    val candidates = localPairs(spark, candPairs)
     val candidateIds = candPairs.map(_._2).distinct
     val floats = index
       .filter(candidatePointFilter(candidateIds))
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("_nemb"))
     val rescored = broadcast(candidates)
       .join(floats, "neighbor_id")
-      .join(broadcast(queries.select(col("vec_id").as("query_id"),
-        col("embedding").as("_qemb"))), "query_id")
+      .join(broadcast(localCols(spark, qRows, qFrame.schema,
+        "vec_id" -> "query_id", "_qemb" -> "_qemb")), "query_id")
       .select(col("query_id"), col("neighbor_id"),
         round(VectorFunctions.cosine(spark, col("_qemb"), col("_nemb")), 4)
           .as("cosine"))
@@ -1081,20 +1147,14 @@ object Ann {
     val qIn = loadOpqRotation(indexDir)
       .map(r => VectorFunctions.matVec(spark, col("embedding"), r))
       .getOrElse(col("embedding"))
-    val queriesR = queries.select(col("vec_id"), qIn.as("_qemb"))
+    val queriesR = queries.select(col("vec_id"), col("embedding"),
+      qIn.as("_qemb"))
     val qnrm = VectorFunctions.norm(spark, col("_qemb"))
     val qunit = transform(col("_qemb"),
       x => when(qnrm === 0.0, x).otherwise((x / qnrm).cast("float")))
     val queryCells = queriesR.withColumn("cent_id",
       explode(VectorFunctions.nearestCells(spark, qunit, centroids,
         math.min(nProbe, centroids.length))))
-    // collect is queries x nProbe rows (bounded); dedupe on the driver —
-    // a distributed distinct would add a whole shuffle stage for it
-    val probed: Array[Int] = queryCells.select(col("cent_id"))
-      .collect().map(_.getInt(0)).distinct // bounded by nCentroids
-    val index = spark.read.format("strawboat")
-      .option("mergeSchema", "false").load(indexDir)
-    val cells = index.filter(col("cent_id").isin(probed.map(_.asInstanceOf[Any]): _*))
     // per (query, probed cell): the residual dot table (cell-independent),
     // ‖q‖, and dot(q, c_cell) — the last via a tiny interpreted HOF over
     // queries × nProbe rows only; the per-pair scoring stays codegen'd
@@ -1103,10 +1163,23 @@ object Ann {
       zip_with(col("_qemb"), element_at(centMatrix, col("cent_id") + 1),
         (a, b) => a.cast("double") * b.cast("double")),
       lit(0.0), (acc, x) => acc + x)
-    val qprep = queryCells.select(col("vec_id"), col("cent_id"),
+    // ONE collect of the derived query frame (queries × nProbe rows,
+    // bounded — this API already broadcasts the query frame): the probed
+    // cells, the ADC broadcast, and the rerank's query floats all come out
+    // of the collected rows — no per-use scan job ([[localize]])
+    val qFrame = queryCells.select(col("vec_id"), col("cent_id"),
       VectorFunctions.pqDotTable(spark, col("_qemb"), codebooks).as("_tab"),
       VectorFunctions.norm(spark, col("_qemb")).as("_qn"),
-      qdotc.as("_qdotc"))
+      qdotc.as("_qdotc"), col("embedding"))
+    val (qRows, _) = localize(spark, qFrame)
+    val probed: Array[Int] =
+      qRows.map(_.getAs[Int]("cent_id")).distinct // bounded by nCentroids
+    val index = spark.read.format("strawboat")
+      .option("mergeSchema", "false").load(indexDir)
+    val cells = index.filter(col("cent_id").isin(probed.map(_.asInstanceOf[Any]): _*))
+    val qprep = localCols(spark, qRows, qFrame.schema,
+      "vec_id" -> "vec_id", "cent_id" -> "cent_id",
+      "_tab" -> "_tab", "_qn" -> "_qn", "_qdotc" -> "_qdotc")
     val adc = cells.select(col("vec_id"), col("cent_id"), col("pqcode")).as("c")
       .join(broadcast(qprep.as("q")),
         col("c.cent_id") === col("q.cent_id") && col("c.vec_id") =!= col("q.vec_id"))
@@ -1120,10 +1193,7 @@ object Ann {
     val candPairs = topKPerQuery(spark, adc, "_adc", short)
       .select(col("query_id"), col("neighbor_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val candidates = {
-      import spark.implicits._
-      candPairs.toSeq.toDF("query_id", "neighbor_id")
-    }
+    val candidates = localPairs(spark, candPairs)
     val candidateIds = candPairs.map(_._2).distinct
     // every candidate lives in a PROBED cell by construction, so the float
     // point-read restricts to those cells' directories first — partition
@@ -1133,14 +1203,37 @@ object Ann {
       .filter(col("cent_id").isin(probed.map(_.asInstanceOf[Any]): _*) &&
         candidatePointFilter(candidateIds))
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("_nemb"))
+    // rerank query floats from the SAME collected rows — exact-id dedupe
+    // of the explode (a query's nProbe rows carry the identical source
+    // embedding), no re-scan, no math on the driver
+    val qFloats = dedupeByFirstField(spark, qRows, qFrame, "query_id", "_qemb")
     val rescored = broadcast(candidates)
       .join(floats, "neighbor_id")
-      .join(broadcast(queries.select(col("vec_id").as("query_id"),
-        col("embedding").as("_qemb"))), "query_id")
+      .join(broadcast(qFloats), "query_id")
       .select(col("query_id"), col("neighbor_id"),
         round(VectorFunctions.cosine(spark, col("_qemb"), col("_nemb")), 4)
           .as("cosine"))
     topKPerQuery(spark, rescored, "cosine", k)
+  }
+
+  /** (vec_id, embedding) rows deduped by vec_id on the driver (keep-first;
+    * the duplicates are an explode's copies of one source row, so every
+    * copy is identical) → a renamed two-column local relation. Shared by
+    * the IVF-PQ/IVF-BQ reranks. */
+  private def dedupeByFirstField(spark: SparkSession,
+      rows: Array[org.apache.spark.sql.Row], frame: DataFrame,
+      idName: String, embName: String): DataFrame = {
+    val seen = scala.collection.mutable.HashSet[Any]()
+    val out = rows.flatMap { r =>
+      val id = r.getAs[Any]("vec_id")
+      if (seen.add(id))
+        Some(org.apache.spark.sql.Row(id, r.getAs[Any]("embedding")))
+      else None
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      frame.schema("vec_id").copy(name = idName),
+      frame.schema("embedding").copy(name = embName)))
+    localDF(spark, out.toIndexedSeq, schema)
   }
 
   /** Exact cosine top-k over INT8-QUANTIZED vectors via the codegen'd
@@ -1315,8 +1408,9 @@ object Ann {
     * undecoded) → cell-restricted point-read exact rerank. With
     * nProbe = nCentroids this equals [[bqTopKIndexed]] on the same data
     * and shortlist (the coarse pruning error vanishes) — the driver gate
-    * pins that. Bounded collects: probed cells (≤ nCentroids) and the
-    * queries × shortlist candidate set. */
+    * pins that. Bounded collects: the query frame (queries × nProbe rows —
+    * [[localize]], acceptable since the probe already broadcasts it) and
+    * the queries × shortlist candidate set. */
   def ivfBqTopK(spark: SparkSession, indexDir: String, queries: DataFrame,
       k: Int, nProbe: Int = 4, shortlist: Int = 0): DataFrame = {
     val centroids = loadIvfCentroids(indexDir)
@@ -1328,15 +1422,20 @@ object Ann {
     val queryCells = queries.withColumn("cent_id",
       explode(VectorFunctions.nearestCells(spark, col("embedding"), centroids,
         math.min(nProbe, centroids.length))))
-    // collect is queries x nProbe rows (bounded); dedupe on the driver —
-    // a distributed distinct would add a whole shuffle stage for it
-    val probed: Array[Int] = queryCells.select(col("cent_id"))
-      .collect().map(_.getInt(0)).distinct // bounded by nCentroids
+    // ONE collect of the derived query frame: probed cells, the Hamming
+    // broadcast, and the rerank's query floats all come out of the
+    // collected rows — no per-use scan job
+    val qFrame = queryCells.select(col("vec_id"), col("cent_id"),
+      VectorFunctions.signPack(spark, col("embedding")).as("_qcode"),
+      col("embedding"))
+    val (qRows, _) = localize(spark, qFrame)
+    val probed: Array[Int] =
+      qRows.map(_.getAs[Int]("cent_id")).distinct // bounded by nCentroids
     val index = spark.read.format("strawboat")
       .option("mergeSchema", "false").load(indexDir)
     val cells = index.filter(col("cent_id").isin(probed.map(_.asInstanceOf[Any]): _*))
-    val qprep = queryCells.select(col("vec_id"), col("cent_id"),
-      VectorFunctions.signPack(spark, col("embedding")).as("_qcode"))
+    val qprep = localCols(spark, qRows, qFrame.schema,
+      "vec_id" -> "vec_id", "cent_id" -> "cent_id", "_qcode" -> "_qcode")
     val scored = cells.select(col("vec_id"), col("cent_id"), col("bqcode"))
       .as("c")
       .join(broadcast(qprep.as("q")),
@@ -1347,10 +1446,7 @@ object Ann {
     val candPairs = topKPerQuery(spark, scored, "_ham", short, ascending = true)
       .select(col("query_id"), col("neighbor_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val candidates = {
-      import spark.implicits._
-      candPairs.toSeq.toDF("query_id", "neighbor_id")
-    }
+    val candidates = localPairs(spark, candPairs)
     val candidateIds = candPairs.map(_._2).distinct
     // candidates live in probed cells by construction: directory pruning
     // first, then vec_id zone maps within the probed cells
@@ -1358,8 +1454,9 @@ object Ann {
       .filter(col("cent_id").isin(probed.map(_.asInstanceOf[Any]): _*) &&
         candidatePointFilter(candidateIds))
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("_nemb"))
-    val qFloats = queries.select(col("vec_id").as("query_id"),
-        col("embedding").as("_qemb"))
+    // rerank query floats from the SAME collected rows (exact-id dedupe of
+    // the explode's copies); the dim guard stays an expression over them
+    val qFloats = dedupeByFirstField(spark, qRows, qFrame, "query_id", "_qemb")
       .filter(assert_true(size(col("_qemb")) === dim,
         concat(lit("ivfBqTopK: query dim "), size(col("_qemb")),
           lit(s" != indexed dim $dim"))).isNull)
@@ -1389,8 +1486,13 @@ object Ann {
     require(short >= k, s"bqTopKIndexed: shortlist $short < k $k")
     val index = spark.read.format("strawboat")
       .option("mergeSchema", "false").load(indexDir)
-    val qprep = bqEncode(spark, queries)
-      .select(col("vec_id"), col("bqcode").as("_qcode"))
+    // ONE collect of the encoded query frame ([[localize]]): the Hamming
+    // broadcast and the rerank's query floats reuse the collected rows
+    val qFrame = bqEncode(spark, queries)
+      .select(col("vec_id"), col("bqcode").as("_qcode"), col("embedding"))
+    val (qRows, _) = localize(spark, qFrame)
+    val qprep = localCols(spark, qRows, qFrame.schema,
+      "vec_id" -> "vec_id", "_qcode" -> "_qcode")
     val scored = index.select(col("vec_id"), col("bqcode")) // floats pruned
       .as("c")
       .join(broadcast(qprep.as("q")), col("c.vec_id") =!= col("q.vec_id"))
@@ -1400,10 +1502,7 @@ object Ann {
     val candPairs = topKPerQuery(spark, scored, "_ham", short, ascending = true)
       .select(col("query_id"), col("neighbor_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val candidates = {
-      import spark.implicits._
-      candPairs.toSeq.toDF("query_id", "neighbor_id")
-    }
+    val candidates = localPairs(spark, candPairs)
     val candidateIds = candPairs.map(_._2).distinct
     val floats = index
       .filter(candidatePointFilter(candidateIds))
@@ -1411,8 +1510,8 @@ object Ann {
     // exact-width guard: byte-padded Hamming codes can't distinguish dims
     // within the same ceil(dim/8) byte count, so the float stage checks
     // the true dim loudly (assert_true returns null when the check holds)
-    val qFloats = queries.select(col("vec_id").as("query_id"),
-        col("embedding").as("_qemb"))
+    val qFloats = localCols(spark, qRows, qFrame.schema,
+        "vec_id" -> "query_id", "embedding" -> "_qemb")
       .filter(assert_true(size(col("_qemb")) === dim,
         concat(lit("bqTopKIndexed: query dim "), size(col("_qemb")),
           lit(s" != indexed dim $dim"))).isNull)
