@@ -532,24 +532,33 @@ object Dedup {
     * corpus sort. Self-repeats inside one document do not count toward
     * `minDf` (document frequency, not occurrence count).
     *
-    * The gram relation feeds two branches (the document-frequency
-    * aggregate and the hit join), so the gram projection runs twice — a
-    * deliberate 2×-scan trade: both passes are map-only with one hash
-    * shuffle each, and the alternative (materializing the gram relation,
-    * or collecting per-gram occurrence lists in one aggregate) either
-    * breaks the lazy-TVF contract or puts a corpus-sized group in one
-    * task when a gram appears in every document — exactly the boilerplate
-    * this op exists to find. The tokenize projection itself runs ONCE:
-    * both branches hang off the same [[Par.fanOut]] exchange (by doc id),
-    * which Spark's exchange reuse materializes a single time — and which
-    * also pre-clusters the hit rows by doc, so the island-merge window
-    * needs no exchange of its own.
+    * The gram relation materializes ONCE: an explicit repartition by the
+    * gram key sits directly above the explode, and both consumers — the
+    * document-frequency aggregate and the hit semi-join — hang off that
+    * SAME exchange (Spark exchange reuse), so the expensive gram
+    * construction (tokenize rides the fan-out exchange below; slice +
+    * concat + two hashes per gram) runs a single time. hash(__g)
+    * partitioning satisfies every downstream clustering requirement —
+    * countDistinct's (gram, doc) partial, the per-gram count, and both
+    * sides of the hit join (the dup side derives from the same exchange)
+    * — so the only other shuffle is the island window's doc_id exchange
+    * over the HIT rows (duplicated grams only). Both consumers reference
+    * the identical (doc_id, span_start, __g) column set so column pruning
+    * cannot specialize one side's projection below the exchange and split
+    * it in two (reuse additionally requires the strawboat Scan's value
+    * equality — see StrawScan.equals).
+    * Per-gram work stays aggregate-shaped (partial + final count), never
+    * a per-gram occurrence list — a boilerplate gram present in every
+    * document still reduces through map-side combine, not one task.
     *
-    * Gram identity is a 128-bit key (two independent xxhash64 lanes over
-    * the gram text) — same collision contract as the previous md5 key at
-    * a fraction of the hash cost, and the shuffled key is 16 bytes, not a
-    * 32-char hex string. The key never reaches the output (spans are
-    * (doc, start, end)), so the oracle's own md5 replay is unaffected. */
+    * Gram identity is a 128-bit key (two xxhash64 lanes over the gram
+    * text with independent effective seeds: the second lane hashes a
+    * constant 1L FIRST, so it is xxhash64 of the gram under a different
+    * seed rather than a function of the first lane) — same collision
+    * contract as the previous md5 key at a fraction of the hash cost, and
+    * the shuffled key is 16 bytes, not a 32-char hex string. The key
+    * never reaches the output (spans are (doc, start, end)), so the
+    * oracle's own md5 replay is unaffected. */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int = 20, minDf: Int = 2): DataFrame = {
     require(n >= 1, s"duplicateSpans: n must be >= 1, got $n")
@@ -571,12 +580,22 @@ object Dedup {
         .as(Seq("span_start", "__s")))
       .select(col("doc_id"), col("span_start"),
         struct(xxhash64(col("__s")).as("h1"),
-          xxhash64(col("__s"), lit(1)).as("h2")).as("__g"))
-    val dup = grams.select(col("__g"), col("doc_id")).distinct()
-      .groupBy(col("__g")).agg(count(lit(1)).as("__df"))
-      .filter(col("__df") >= minDf)
+          xxhash64(lit(1), col("__s")).as("h2")).as("__g"))
+    val gramsX = grams.repartition(math.max(1,
+      df.sparkSession.sessionState.conf.numShufflePartitions), col("__g"))
+    val dup = gramsX
+      .groupBy(col("__g")).agg(countDistinct(col("doc_id")).as("__df"),
+        // semantically inert (posexplode ordinals are >= 0, so the filter
+        // arm below never drops a group) — it exists so BOTH consumers of
+        // the gram exchange keep the identical (doc_id, span_start, __g)
+        // projection: a column set specialized to one side would sit below
+        // the repartition and split the shared exchange in two, running
+        // the gram Generate once per branch
+        max(col("span_start")).as("__maxs"))
+      .filter(col("__df") >= minDf && col("__maxs") >= 0)
       .select(col("__g"))
-    val hits = grams.join(dup, "__g").select(col("doc_id"), col("span_start"))
+    val hits = gramsX.join(dup, "__g")
+      .select(col("doc_id"), col("span_start"))
     // gaps-and-islands: two n-gram spans chain iff the later start is at
     // most n past the earlier (overlap or exact adjacency); island extent
     // is [min start, max start + n)
