@@ -1094,11 +1094,29 @@ final class StrawFileWriter(schema: StructType, opts: WriteOptions) {
     if (rowsInPage > 0) {
       val stats = new Array[PageStats](totalLeaves)
       val before: Array[Int] = colBufs.map(_.len)
-      var c = 0
-      while (c < writers.length) {
-        writers(c).encodeLeaves(Array.emptyByteArray, colBufs, stats, leafStarts(c))
-        writers(c).clearPage()
-        c += 1
+      // column encodes are independent — field c writes only its own leaf
+      // slots [leafStarts(c), leafStarts(c+1)) of colBufs/stats, and the
+      // codec state is per-writer — so a full page group encodes across the
+      // JVM common pool. This is the single-file writer's intra-task
+      // parallelism: a one-row-group input plans as ONE conversion task
+      // however large the table, and without this every column of that
+      // table encodes serially on one core while the rest idle. The pool
+      // is the shared ForkJoinPool, so ten concurrent table conversions
+      // self-balance instead of oversubscribing cores x tables threads.
+      // Output bytes are IDENTICAL: each column's bytes land in its own
+      // buffer; assembly order below is unchanged.
+      if (writers.length > 1 && rowsInPage >= 1024)
+        java.util.stream.IntStream.range(0, writers.length).parallel().forEach { c =>
+          writers(c).encodeLeaves(Array.emptyByteArray, colBufs, stats, leafStarts(c))
+          writers(c).clearPage()
+        }
+      else {
+        var c = 0
+        while (c < writers.length) {
+          writers(c).encodeLeaves(Array.emptyByteArray, colBufs, stats, leafStarts(c))
+          writers(c).clearPage()
+          c += 1
+        }
       }
       var l = 0
       while (l < totalLeaves) {
