@@ -34,14 +34,29 @@ private[graft] object Par {
   def fanOut(df: DataFrame, key: String = null): DataFrame = {
     val spark = df.sparkSession
     val par = math.max(1, spark.sparkContext.defaultParallelism)
+    // both catch arms DISABLE the fan-out (estBytes = MaxValue) — log when
+    // they fire so a plan shape that silently stops fanning out is visible
+    // in dev profiling runs instead of reading as a perf regression
     val floor =
       try org.apache.spark.sql.internal.SQLConf.get.filesOpenCostInBytes
-      catch { case _: Exception => 4L << 20 }
+      catch {
+        case e: Exception =>
+          log.warn(s"Par.fanOut: filesOpenCostInBytes unreadable ($e); " +
+            "using the 4 MiB default")
+          4L << 20
+      }
     val estBytes =
       try df.queryExecution.optimizedPlan.stats.sizeInBytes
-      catch { case _: Exception => BigInt(Long.MaxValue) }
+      catch {
+        case e: Exception =>
+          log.warn(s"Par.fanOut: stats estimation failed ($e); " +
+            "fan-out DISABLED for this plan")
+          BigInt(Long.MaxValue)
+      }
     if (estBytes >= BigInt(par) * floor) df
     else if (key == null) df.repartition(par)
     else df.repartition(par, col(key))
   }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 }

@@ -298,13 +298,22 @@ class PipelineTextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     shuffles.foreach { s =>
       // allowed shuffles: (a) an aggregation exchange above a partial
       // aggregate, or (b) the Par.fanOut repartition of the bare
-      // (id, text) projection — DOC-scale rows BELOW the explode (no
-      // Generate in its subtree), which only fires on inputs too small to
-      // fan out at the scan; the token stream itself must never shuffle
+      // (id, text) projection — DOC-scale rows BELOW the explode, which
+      // only fires on inputs too small to fan out at the scan; the token
+      // stream itself must never shuffle. The fan-out escape hatch is
+      // SHAPE-CHECKED: no Generate/Join/Window anywhere in the exchange's
+      // subtree AND a narrow (<= 2 column) output — an un-aggregated
+      // doc-scale join or sort exchange added later must fail here, not
+      // slip through as a "fan-out"
       import org.apache.spark.sql.execution.GenerateExec
+      import org.apache.spark.sql.execution.joins.BaseJoinExec
+      import org.apache.spark.sql.execution.window.WindowExec
       val aggregated = s.collectFirst { case a: BaseAggregateExec => a }.nonEmpty
       val docScaleFanOut =
-        s.collectFirst { case g: GenerateExec => g }.isEmpty
+        s.collectFirst { case g: GenerateExec => g }.isEmpty &&
+        s.collectFirst { case j: BaseJoinExec => j }.isEmpty &&
+        s.collectFirst { case w: WindowExec => w }.isEmpty &&
+        s.output.size <= 2
       assert(aggregated || docScaleFanOut,
         s"shuffle of un-aggregated (token-scale) rows:\n$s")
     }
