@@ -995,6 +995,19 @@ final class StrawFileWriter(schema: StructType, opts: WriteOptions) {
   private var approxBuffered = 0L
   private var approxUnknown = false
 
+  /** DEV_WRITER_TIMING: per-column append/encode nanos, dumped to stderr at
+    * [[writeTo]]. Dev-only instrumentation (null ⇒ zero overhead). */
+  private final class DevTiming {
+    val appendNs = new java.util.concurrent.atomic.AtomicLongArray(writers.length)
+    val encodeNs = new java.util.concurrent.atomic.AtomicLongArray(writers.length)
+  }
+  private val devTiming: DevTiming =
+    if (sys.env.contains("DEV_WRITER_TIMING")) new DevTiming else null
+  /** Dev A/B escape hatch: DEV_WRITER_SERIAL forces the pre-r19 serial
+    * append/encode paths (also makes DEV_WRITER_TIMING per-column numbers
+    * true CPU rather than wall-inside-a-parallel-region). */
+  private val parallelWriter = !sys.env.contains("DEV_WRITER_SERIAL")
+
   private def bufferedExact: Long = {
     var total = 0L
     var c = 0
@@ -1034,21 +1047,42 @@ final class StrawFileWriter(schema: StructType, opts: WriteOptions) {
   def writeColumnar(batch: org.apache.spark.sql.vectorized.ColumnarBatch,
       start: Int, maxN: Int): Int = {
     val n = math.min(maxN, math.max(1, opts.maxPageSize - rowsInPage))
-    var c = 0
-    while (c < writers.length) {
-      val vec = batch.column(c)
-      writers(c) match {
-        case l: LeafColumnWriter if l.vectorCapable => l.appendVector(vec, start, n)
-        case w =>
-          var i = start
-          val end = start + n
-          while (i < end) {
-            val row = batch.getRow(i) // shared mutable view, consumed here
-            if (row.isNullAt(c)) w.appendNull() else w.append(row, c)
-            i += 1
-          }
+    // vector-capable columns append independently (per-writer state only;
+    // source vectors are read-only here), so a large chunk appends across
+    // the common pool — same intra-task parallelism rationale as
+    // [[flushPages]]: a one-row-group table is ONE task, and the per-value
+    // append work (chooser stats, ndv hashing, validity) otherwise runs
+    // serially column after column on that task's core. The row-view
+    // fallback columns share the batch's ONE mutable row cursor and must
+    // stay serial; they run after the parallel wave.
+    val rowFallback = writers.indices.filter(c => writers(c) match {
+      case l: LeafColumnWriter => !l.vectorCapable
+      case _ => true
+    })
+    val vectored = writers.indices.filterNot(rowFallback.contains)
+    if (parallelWriter && vectored.size > 1 && n >= 1024)
+      java.util.stream.IntStream.range(0, vectored.size).parallel().forEach { k =>
+        val c = vectored(k)
+        val t0 = if (devTiming == null) 0L else System.nanoTime()
+        writers(c).asInstanceOf[LeafColumnWriter]
+          .appendVector(batch.column(c), start, n)
+        if (devTiming != null) devTiming.appendNs.addAndGet(c, System.nanoTime() - t0): Unit
       }
-      c += 1
+    else vectored.foreach { c =>
+      val t0 = if (devTiming == null) 0L else System.nanoTime()
+      writers(c).asInstanceOf[LeafColumnWriter]
+        .appendVector(batch.column(c), start, n)
+      if (devTiming != null) devTiming.appendNs.addAndGet(c, System.nanoTime() - t0): Unit
+    }
+    rowFallback.foreach { c =>
+      val w = writers(c)
+      var i = start
+      val end = start + n
+      while (i < end) {
+        val row = batch.getRow(i) // shared mutable view, consumed here
+        if (row.isNullAt(c)) w.appendNull() else w.append(row, c)
+        i += 1
+      }
     }
     rowsInPage += n
     totalRows += n
@@ -1105,16 +1139,20 @@ final class StrawFileWriter(schema: StructType, opts: WriteOptions) {
       // self-balance instead of oversubscribing cores x tables threads.
       // Output bytes are IDENTICAL: each column's bytes land in its own
       // buffer; assembly order below is unchanged.
-      if (writers.length > 1 && rowsInPage >= 1024)
+      if (parallelWriter && writers.length > 1 && rowsInPage >= 1024)
         java.util.stream.IntStream.range(0, writers.length).parallel().forEach { c =>
+          val t0 = if (devTiming == null) 0L else System.nanoTime()
           writers(c).encodeLeaves(Array.emptyByteArray, colBufs, stats, leafStarts(c))
           writers(c).clearPage()
+          if (devTiming != null) devTiming.encodeNs.addAndGet(c, System.nanoTime() - t0): Unit
         }
       else {
         var c = 0
         while (c < writers.length) {
+          val t0 = if (devTiming == null) 0L else System.nanoTime()
           writers(c).encodeLeaves(Array.emptyByteArray, colBufs, stats, leafStarts(c))
           writers(c).clearPage()
+          if (devTiming != null) devTiming.encodeNs.addAndGet(c, System.nanoTime() - t0): Unit
           c += 1
         }
       }
@@ -1145,6 +1183,11 @@ final class StrawFileWriter(schema: StructType, opts: WriteOptions) {
     * group), not the 3× of a concat-then-copy approach. */
   def writeTo(os: java.io.OutputStream): Long = {
     flushPages()
+    if (devTiming != null && totalRows > 0)
+      System.err.println("WRITER_TIMING rows=" + totalRows + " " +
+        schema.fields.indices.map(c => schema.fields(c).name + ":a=" +
+          (devTiming.appendNs.get(c) / 1000000) + "ms,e=" +
+          (devTiming.encodeNs.get(c) / 1000000) + "ms").mkString(" "))
     os.write(StrawFormat.Magic)
     var fileLen = StrawFormat.Magic.length.toLong
     val metas = new Array[ColumnMeta](totalLeaves)

@@ -149,7 +149,11 @@ object TextOps {
     // the vocab-sized aggregate ONCE so neither branch re-tokenizes the
     // corpus — relying on AQE exchange reuse instead measured 48.5 vs
     // 42.4 s warm (and 128 vs 49 s cold) at 1M docs: the reuse does not
-    // reliably fire across the aggregate branches.
+    // reliably fire across the aggregate branches. (Re-measured in r19
+    // after StrawScan gained value equality: dropping the checkpoint in
+    // favor of reuse was STILL a wash-to-loss at sf0.1 — 1.97/2.01/2.67 s
+    // vs 1.89/2.30/2.32 with it, one extra job — so the checkpoint
+    // stands.)
     val c1 = toks.groupBy(col("_tok").as("_prev")).agg(count(lit(1)).as("_c1"))
       .localCheckpoint(false)
     val vocab = c1.agg(count(lit(1)).as("_v"))
