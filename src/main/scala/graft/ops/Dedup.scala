@@ -686,8 +686,12 @@ object Dedup {
     // needs anyway, so at scale this changes nothing but the pinning.
     val aw = a.repartition(math.max(1,
       spark.sessionState.conf.numShufflePartitions), col("__sd_cell"))
+    // BOTH join sides are the same pinned frame: identical subtrees let
+    // exchange reuse materialize the assignment kernel + cell shuffle once
+    // (an unpinned b side planned its own ENSURE_REQUIREMENTS exchange —
+    // different shuffle origin, no reuse — so the kernel ran twice)
     aw.as("a")
-      .join(a.as("b"),
+      .join(aw.as("b"),
         col("a.__sd_cell") === col("b.__sd_cell") &&
         col("a." + idCol) < col("b." + idCol))
       .filter(round(graft.functions.VectorFunctions.cosine(spark,
@@ -716,11 +720,12 @@ object Dedup {
     val a = Ann.kmeansAssign(spark,
       corpus.select(col(idCol), col(embCol), orderKey.as("__sd_key")),
       centroids, embCol, "__sd_cell")
-    // pair-scan parallelism pinned — see semanticDupIds
+    // pair-scan parallelism pinned, and BOTH sides share the pinned
+    // exchange — see semanticDupIds
     val aw = a.repartition(math.max(1,
       spark.sessionState.conf.numShufflePartitions), col("__sd_cell"))
     aw.as("a")
-      .join(a.as("b"),
+      .join(aw.as("b"),
         col("a.__sd_cell") === col("b.__sd_cell") &&
         (col("a.__sd_key") < col("b.__sd_key") ||
           (col("a.__sd_key") === col("b.__sd_key") &&
